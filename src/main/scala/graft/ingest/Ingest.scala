@@ -1,0 +1,111 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Schemas
+
+/** Batch ingestion: initial-load derivations and CDC landing.
+  *
+  * Spark-first replacement for the reference's two Glue jobs' transform
+  * sections (glue_jobs/initial_load.py:124-153,
+  * glue_jobs/incremental.py:118-148) and the stream consumer's
+  * minute-partitioned landing (dynamodb_stream_consumer.py:62-90).
+  */
+object Ingest {
+
+  /** Synthetic record key: `"account:" + account + ",create_at:" + create_at`
+    * (initial_load.py:124-133, dynamodb_table.py:31-44).
+    */
+  def withId(df: DataFrame): DataFrame =
+    df.withColumn("id", concat(
+      lit("account:"), col("account"), lit(",create_at:"), col("create_at")))
+
+  /** 5-level partition columns by fixed-offset substring of the
+    * zero-padded ISO string (initial_load.py:134-153). The substring
+    * trick is deliberate: it never parses the timestamp, so it is
+    * codegen-friendly and immune to format/locale drift — but it REQUIRES
+    * the validated wire format (Schemas.TsPattern); we enforce it with an
+    * explicit schema instead of inference.
+    */
+  def withPartitionColumns(df: DataFrame, src: String = "create_at"): DataFrame =
+    df.withColumn("create_year", substring(col(src), 1, 4))
+      .withColumn("create_month", substring(col(src), 6, 2))
+      .withColumn("create_day", substring(col(src), 9, 2))
+      .withColumn("create_hour", substring(col(src), 12, 2))
+      .withColumn("create_minute", substring(col(src), 15, 2))
+
+  /** Full initial-load transform: flat rows -> 13-column lake rows. */
+  def toLakeRows(flat: DataFrame): DataFrame = {
+    val derived = withPartitionColumns(withId(flat))
+    derived.select("id", "account", "create_at", "update_at", "entity",
+      "amount", "is_credit", "note", "create_year", "create_month",
+      "create_day", "create_hour", "create_minute")
+  }
+
+  /** Initial load: read the processed export (gzip JSON-lines of flat
+    * rows, explicit schema — never inferred) and derive the lake shape.
+    * Replaces initial_load.py:95-153 (DynamicFrame scan + withColumns).
+    */
+  def initialLoad(spark: SparkSession, dir: String): DataFrame =
+    toLakeRows(spark.read.schema(Schemas.flatCdcRow)
+      .option("recursiveFileLookup", "true").json(dir))
+
+  /** CDC landing: minute-partitioned JSON-lines keyed by update_at
+    * (dynamodb_stream_consumer.py:62-90). NOTE the reference asymmetry:
+    * landing partitions derive from update_at (arrival window), lake
+    * partitions from create_at (event time) — SURVEY.md §1.2.
+    *
+    * At 100 TB, minute-level dirs in the LAKE would be tiny-file
+    * pathological; minute granularity is kept only here in the transient
+    * landing zone, which is pruned by the orchestrator's time-range scan
+    * and compacted away by the merge job.
+    */
+  def landCdc(events: DataFrame, dir: String): Unit = {
+    val partitioned = events
+      .withColumn("year", substring(col("update_at"), 1, 4))
+      .withColumn("month", substring(col("update_at"), 6, 2))
+      .withColumn("day", substring(col("update_at"), 9, 2))
+      .withColumn("hour", substring(col("update_at"), 12, 2))
+      .withColumn("minute", substring(col("update_at"), 15, 2))
+    partitioned.write
+      .partitionBy("year", "month", "day", "hour", "minute")
+      .mode("append").json(dir)
+  }
+
+  /** Read back a set of landed CDC files (explicit file list, like the
+    * incremental Glue job's manifest-driven scan — incremental.py:103-110).
+    */
+  def readCdcFiles(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.schema(Schemas.flatCdcRow).json(paths: _*)
+}
+
+/** Idempotent lake writer emulating Hudi COPY_ON_WRITE semantics with
+  * plain Parquet (no Hudi jar in this environment — SURVEY.md §7).
+  * Dynamic partition overwrite rewrites only the partitions present in
+  * the incoming batch, which is what Hudi COW does per commit.
+  */
+object TableWriter {
+  val partitionCols: Seq[String] =
+    Seq("create_year", "create_month", "create_day")
+
+  /** Bulk write (initial load): full overwrite, like Hudi
+    * `mode("overwrite")` (initial_load.py:163-186). Lake layout coarsens
+    * to day-level partitions (SURVEY.md §7.6 item 5): minute-level dirs
+    * at 100 TB mean ~5e5 dirs/year × tiny files; day-level keeps pruning
+    * effective with healthy file sizes.
+    */
+  def bulkWrite(lake: DataFrame, path: String): Unit =
+    lake.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
+
+  /** Upsert commit: merge result written with dynamic partition
+    * overwrite — only partitions present in `merged` are replaced.
+    */
+  def upsertWrite(merged: DataFrame, path: String): Unit =
+    merged.write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite").parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,101 @@
+package graft.merge
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The heart of the engine: latest-wins key-based merge, replacing the
+  * Hudi upsert the reference delegates to
+  * (glue_jobs/incremental.py:172-194: recordkey.field=id,
+  * precombine.field=update_at) plus the in-batch window dedup
+  * (incremental.py:154-163).
+  *
+  * Scale notes (100 TB): both dedupLatest and upsert are a single hash
+  * shuffle on the record key — Catalyst plans them as one Exchange +
+  * WindowExec. The in-batch dedup runs FIRST so the (small) delta is
+  * shrunk before the wide union with the snapshot, exactly like the
+  * reference's pre-upsert dedup. For repeated merges at scale, bucketing
+  * the snapshot by `id` would make the merge shuffle-free on the
+  * snapshot side; with AQE on, skewed keys are split automatically.
+  */
+object Merge {
+
+  /** Collapse multiple CDC events for the same key inside one batch to
+    * the latest version (incremental.py:154-163 = W1).
+    *
+    * `row_number` over equal `versionCol` values is non-deterministic,
+    * a latent issue the reference shares (SURVEY.md §7.6 item 4) — so we
+    * always add deterministic tiebreakers.
+    */
+  def dedupLatest(
+      df: DataFrame,
+      keyCol: String = "id",
+      versionCol: String = "update_at",
+      tiebreak: Seq[Column] = Seq.empty): DataFrame = {
+    val order = (col(versionCol).desc +: tiebreak) :+ monotonicallyStableTiebreak(df)
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // All-column struct as a last-resort total order: stable across runs
+  // (unlike monotonically_increasing_id, which depends on partitioning).
+  private def monotonicallyStableTiebreak(df: DataFrame): Column =
+    struct(df.columns.map(col).toIndexedSeq: _*).asc
+
+  /** Upsert: merge `delta` into `snapshot`, latest `versionCol` per
+    * `keyCol` wins; on version ties the delta row wins (matching Hudi's
+    * precombine-then-upsert behavior where the incoming record replaces
+    * the stored one on equal precombine values).
+    *
+    * Pure DataFrame -> DataFrame so the DuckDB oracle can check it, and
+    * idempotent under replay: merging the same delta twice is a no-op
+    * (T8 in SURVEY.md §2.9) — verified as a ScalaCheck law.
+    */
+  def upsert(
+      snapshot: DataFrame,
+      delta: DataFrame,
+      keyCol: String = "id",
+      versionCol: String = "update_at"): DataFrame = {
+    val cols = snapshot.columns.toIndexedSeq
+    val d = dedupLatest(delta.selectExpr(cols: _*), keyCol, versionCol)
+      .withColumn("__src", lit(0)) // 0 = delta: wins version ties
+    val s = snapshot.withColumn("__src", lit(1))
+    val unioned = d.unionByName(s)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(versionCol).desc, col("__src").asc)
+    unioned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__src")
+  }
+
+  /** REMOVE handling: the reference drops deletes by design
+    * (dynamodb_stream_consumer.py:38-39, README.rst:62). We keep that
+    * default but expose a tombstone mode so the design isn't painted
+    * into a corner (SURVEY.md §7.6 item 6).
+    */
+  def filterRemoves(events: DataFrame, eventNameCol: String = "eventName"): DataFrame =
+    events.filter(col(eventNameCol) =!= "REMOVE")
+
+  /** Tombstone-aware upsert: REMOVE rows in `delta` (flagged by
+    * `isDelete`) drop the key from the result instead of being ignored.
+    */
+  def upsertWithTombstones(
+      snapshot: DataFrame,
+      delta: DataFrame,
+      isDelete: Column,
+      keyCol: String = "id",
+      versionCol: String = "update_at"): DataFrame = {
+    val cols = snapshot.columns.toIndexedSeq
+    val d = delta.withColumn("__del", isDelete.cast("int"))
+      .selectExpr((cols :+ "__del"): _*)
+    val s = snapshot.withColumn("__del", lit(0))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(versionCol).desc, col("__del").desc)
+    dedupLatest(d, keyCol, versionCol, Seq(col("__del").desc))
+      .unionByName(s)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("__del") === 0)
+      .drop("__rn", "__del")
+  }
+}

@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Large-scale document deduplication operators (north-star extensions,
+  * SURVEY.md §7.7 / BASELINE.json): exact, MinHash+LSH, SimHash and
+  * n-gram-Jaccard near-dup over a `documents(doc_id, text, ...)` table.
+  *
+  * Scale design: every operator here is expressed as hash-partitioned
+  * group-bys / equi-joins so Catalyst shuffles on content hashes, never
+  * on document text; candidate generation is LSH-bucketed (linear in
+  * candidates), with the exact O(n²)-per-token variant kept only as the
+  * small-scale verification baseline.
+  */
+object Dedup {
+
+  def tokens(textCol: Column): Column = split(lower(textCol), " ")
+
+  /** Exact dedup: group by content hash, keep the smallest id.
+    * One map-side-combinable shuffle on a 128-bit hash — at 100 TB this
+    * shuffles ~(n_docs × 50B), not the corpus.
+    */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact n-gram (token-set) Jaccard similarity for all pairs above a
+    * threshold, via an inverted-index join on tokens. Correct but
+    * O(sum over tokens of df(token)²) — the verification baseline;
+    * MinHash+LSH below is the scale path.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("d"), explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val sizes = tok.groupBy(col("d")).agg(count(lit(1)).as("n"))
+    val common = tok.as("a").join(tok.as("b"),
+        col("a.tok") === col("b.tok") && col("a.d") < col("b.d"))
+      .groupBy(col("a.d").as("d1"), col("b.d").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.withColumnRenamed("d", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("d", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("n1") + col("n2") - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  // ---------------- MinHash + LSH ----------------
+
+  /** 31-bit Mersenne prime for the universal-hash family
+    * h_j(x) = (a_j·(x mod p) + b_j) mod p — operands stay < 2^62, so no
+    * long overflow under ANSI arithmetic.
+    */
+  private val P = 2147483647L
+  private def perms(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    val r = new Random(seed)
+    Seq.fill(numHashes)((1L + r.nextInt((P - 1).toInt).toLong, r.nextInt(P.toInt).toLong))
+  }
+
+  /** doc -> (id, shingles): k-word shingle strings. Documents shorter
+    * than k tokens degrade to a single whole-text shingle.
+    */
+  def shingleCol(textCol: Column, k: Int): Column = {
+    val t = tokens(textCol)
+    when(size(t) < k, array(concat_ws(" ", t)))
+      .otherwise(transform(
+        sequence(lit(0), size(t) - k),
+        i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+  }
+
+  /** MinHash signatures: one row per doc with `sig: array<bigint>` of
+    * length numHashes, plus the distinct shingle-hash set (kept for the
+    * exact-Jaccard verification step).
+    *
+    * Implementation: explode distinct shingles, xxhash64 them, then ONE
+    * hash aggregation with numHashes independent `min` columns — all
+    * map-side combinable, whole-stage-codegen'd, no UDFs.
+    */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 64, shingleK: Int = 3,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        seed: Long = 42L): DataFrame = {
+    val sh = docs.select(col(idCol).as("d"),
+        explode(array_distinct(shingleCol(col(textCol), shingleK))).as("sh"))
+      .select(col("d"), pmod(xxhash64(col("sh")), lit(P)).as("h"))
+    val minCols = perms(numHashes, seed).zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"m$j")
+    }
+    sh.groupBy(col("d"))
+      .agg(collect_set(col("h")).as("shset"), minCols: _*)
+      .select(col("d"), col("shset"),
+        array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
+  }
+
+  /** MinHash+LSH near-duplicate pairs: band the signature (bands ×
+    * rowsPerBand = numHashes), bucket-join docs sharing any band value,
+    * then verify candidates with exact Jaccard over the shingle-hash
+    * sets. Output: (d1, d2, jaccard) with jaccard >= threshold.
+    *
+    * Shuffle profile at scale: explode(bands) is numBands rows/doc;
+    * the self-join is on (band, bandHash) — candidate pairs only, never
+    * n². AQE handles hot buckets (boilerplate/empty docs) via skew-join
+    * splitting; a `length(text) > 0` guard upstream keeps degenerate
+    * empty shingles from forming one giant bucket.
+    */
+  def minhashLshPairs(docs: DataFrame, threshold: Double = 0.7,
+                      numHashes: Int = 64, bands: Int = 16,
+                      shingleK: Int = 3,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rpb = numHashes / bands
+    val sigs = minhashSignatures(docs, numHashes, shingleK, textCol, idCol)
+    val banded = sigs.select(col("d"), col("shset"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",", slice(col("sig"), b * rpb + 1, lit(rpb)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.d") < col("b.d"))
+      .select(col("a.d").as("d1"), col("b.d").as("d2"),
+        col("a.shset").as("s1"), col("b.shset").as("s2"))
+      .dropDuplicates("d1", "d2")
+    cand
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("s1")) + size(col("s2")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  // ---------------- SimHash ----------------
+
+  /** 64-bit SimHash per doc: per-token xxhash64, each bit accumulates
+    * +count / -count, sign of the sum sets the output bit. One explode +
+    * one aggregation with 64 codegen'd `sum` columns — map-side partial
+    * aggregation keeps the shuffle at one row per (doc, bit-block).
+    */
+  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tf = docs.select(col(idCol).as("d"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("d", "tok").agg(count(lit(1)).as("cnt"))
+      .select(col("d"), xxhash64(col("tok")).as("h"), col("cnt"))
+    val bitSums = (0 until 64).map { b =>
+      sum(col("cnt") * (shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1)).as(s"b$b")
+    }
+    val packed = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    tf.groupBy(col("d")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("d"), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist (< 16):
+    * pigeonhole over four 16-bit chunks — pairs within distance 3 must
+    * agree on at least one chunk, so the join is bucketed, not n².
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = simhash(docs, textCol, idCol)
+    val chunked = sh.select(col("d"), col("simhash"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          c => shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cv")
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+          col("a.d") < col("b.d"))
+      .select(col("a.d").as("d1"), col("b.d").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("d1", "d2")
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane-LSH bucketed variant as the 100 TB scale path.
+  *
+  * All arithmetic is double-precision, in array order (zip_with →
+  * left-to-right aggregate), so results are bit-deterministic and
+  * reproducible by any engine that follows the same order — which is
+  * how the DuckDB oracle checks these queries exactly.
+  */
+object Similarity {
+
+  /** In-order double dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force cosine top-k: for every query vector, the k
+    * nearest corpus vectors. The query side is broadcast (queries are
+    * small by construction); the corpus is scanned once, partitioned by
+    * query for the top-k window. At 100 TB this is the correct plan for
+    * small query batches; for large query sets use `lshTopK`.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    val scored = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .join(q, col("n_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("sim"))
+  }
+
+  /** Deterministic random hyperplanes: nPlanes × dim matrix of ±1
+    * weights from a seeded RNG, embedded as a literal array-of-arrays
+    * (tiny: 16×64 ints) so bucketing is pure codegen'd arithmetic.
+    */
+  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Column = {
+    val r = new Random(seed)
+    array((0 until nPlanes).map { _ =>
+      array((0 until dim).map(_ => lit(if (r.nextBoolean()) 1.0 else -1.0)): _*)
+    }: _*)
+  }
+
+  /** Sign-random-projection bucket id (one int of nPlanes bits). */
+  def srpBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 7L): Column = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    aggregate(
+      zip_with(planes, sequence(lit(0), lit(nPlanes - 1)), (plane, i) =>
+        when(dot(plane, vec) >= 0, shiftleft(lit(1L), i.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** LSH-bucketed approximate top-k: corpus and queries are bucketed by
+    * sign-random-projection under `nTables` independent tables; exact
+    * cosine runs only inside matching buckets. Misses are possible
+    * (approximate by design); recall grows with nTables.
+    *
+    * Scale profile: bucketing is a narrow map; the join is an equi-join
+    * on (table, bucket) — shuffle proportional to candidates. This is
+    * the plan that survives a 1000-executor corpus where broadcast
+    * brute force cannot.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nPlanes: Int = 12, nTables: Int = 4, dim: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def bucketed(df: DataFrame, prefix: String): DataFrame =
+      df.select(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}_vec"),
+          explode(array((0 until nTables).map(t =>
+            struct(lit(t).as("tbl"),
+              srpBucket(col(vecCol), nPlanes, dim, seed = 7L + t).as("bkt"))): _*)).as("tb"))
+        .select(col(s"${prefix}_id"), col(s"${prefix}_vec"),
+          col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val c = bucketed(corpus, "n")
+    val q = bucketed(queries, "q")
+    val cand = c.join(q, Seq("tbl", "bkt"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec"))
+      .dropDuplicates("q_id", "n_id")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    cand.withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (the fifth dedup modality of
+    * SURVEY's north star): all pairs with cosine >= threshold.
+    * Brute-force O(n²) exact baseline; the LSH candidates variant is
+    * `lshNearDupPairs`.
+    */
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = vectors.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = vectors.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cos_sim", cosine(col("v1"), col("v2")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id1"), col("id2"), col("cos_sim"))
+  }
+
+  /** LSH-bucketed near-dup pairs: same SRP bucketing, pairs only form
+    * inside buckets, then exact cosine verification.
+    */
+  def lshNearDupPairs(vectors: DataFrame, threshold: Double,
+                      nPlanes: Int = 10, nTables: Int = 6, dim: Int = 64,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+        explode(array((0 until nTables).map(t =>
+          struct(lit(t).as("tbl"),
+            srpBucket(col("v"), nPlanes, dim, seed = 11L + t).as("bkt"))): _*)).as("tb"))
+      .select(col("id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.v").as("v1"), col("b.v").as("v2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("cos_sim", cosine(col("v1"), col("v2")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id1"), col("id2"), col("cos_sim"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.RollingHash
+
+/** Text-analysis operators for a training-data pipeline: token
+  * counting, quality scoring, language ID and document fingerprinting —
+  * all pure column expressions (codegen'd, no UDFs) so they fuse into
+  * one whole-stage pass over the corpus.
+  */
+object Text {
+
+  def tokensCol(textCol: Column): Column = split(textCol, " ")
+
+  /** Whitespace token count + char count. */
+  def withTokenStats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_tokens", size(tokensCol(col(textCol))))
+      .withColumn("n_chars_calc", length(col(textCol)))
+
+  /** BPE-ish subword count upper bound: words are split at letter/digit
+    * boundaries and every 4 chars of a run counts as one token — a
+    * cheap deterministic proxy for tokenizer budgeting at corpus scale.
+    */
+  def bpeishTokenCount(textCol: Column): Column = {
+    val pieces = split(textCol, "[^A-Za-z0-9]+")
+    aggregate(pieces, lit(0L),
+      (acc, p) => acc + ceil(length(p).cast("double") / 4.0).cast("long"))
+  }
+
+  private val stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+
+  /** Quality features + a composite score in [0,1]:
+    * punctuation ratio, alpha ratio, stopword ratio, mean word length.
+    * All single-division double arithmetic — deterministic and exactly
+    * reproducible by the SQL oracle.
+    */
+  def withQuality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokensCol(t)
+    val nTok = size(toks).cast("double")
+    val punct = length(regexp_replace(t, "[^.!?,;]", "")).cast("double")
+    val alpha = length(regexp_replace(t, "[^A-Za-z ]", "")).cast("double")
+    val stopHits = size(filter(toks, x => x.isin(stopwords: _*))).cast("double")
+    val meanLen = aggregate(toks, lit(0L), (acc, x) => acc + length(x))
+      .cast("double") / nTok
+    docs
+      .withColumn("punct_ratio", punct / length(t).cast("double"))
+      .withColumn("alpha_ratio", alpha / length(t).cast("double"))
+      .withColumn("stopword_ratio", stopHits / nTok)
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("quality_score",
+        least(lit(1.0), col("alpha_ratio") * 0.5
+          + col("stopword_ratio") * 0.3
+          + least(col("mean_word_len") / lit(10.0), lit(1.0)) * 0.2))
+  }
+
+  /** Marker-token language ID heuristic: count hits from tiny per-lang
+    * marker sets; argmax with a fixed tie order (en > es > fr > unknown).
+    * Accuracy is corpus-dependent; what matters for the engine is that
+    * the scoring is deterministic, codegen'd, and mirrors to SQL.
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "to"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "les", "des", "et", "une"))
+
+  def withLangId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokensCol(lower(col(textCol)))
+    val scored = markers.foldLeft(docs) { case (df, (lang, ms)) =>
+      df.withColumn(s"score_$lang", size(filter(toks, x => x.isin(ms: _*))))
+    }
+    scored.withColumn("lang_pred",
+      when(col("score_en") >= col("score_es") && col("score_en") >= col("score_fr")
+        && col("score_en") > 0, "en")
+        .when(col("score_es") >= col("score_fr") && col("score_es") > 0, "es")
+        .when(col("score_fr") > 0, "fr")
+        .otherwise("unknown"))
+  }
+
+  /** Whole-document fingerprint via the native RollingHash expression. */
+  def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("fingerprint", RollingHash.rolling_hash(col(textCol)))
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
+    * k-token shingle, slide a window of `w` hashes, keep each window's
+    * minimum — the standard local fingerprinting scheme for near-dup /
+    * plagiarism detection. Pure higher-order functions over the token
+    * array; output is the distinct selected hash set per document.
+    */
+  def withWinnowing(docs: DataFrame, k: Int = 4, w: Int = 4,
+                    textCol: String = "text"): DataFrame = {
+    val toks = tokensCol(lower(col(textCol)))
+    val grams = when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    val hashes = transform(grams, g => xxhash64(g))
+    val wins = when(size(hashes) <= w, array(array_min(hashes)))
+      .otherwise(transform(sequence(lit(0), size(hashes) - w),
+        i => array_min(slice(hashes, i + 1, lit(w)))))
+    docs.withColumn("winnow_fp", array_sort(array_distinct(wins)))
+  }
+}

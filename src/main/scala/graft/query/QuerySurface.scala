@@ -1,0 +1,47 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's Athena read surface, re-expressed as plain DataFrame
+  * ops — no Athena/CSV materialization hop (athena.py:29-88), results
+  * stay distributed.
+  */
+object QuerySurface {
+
+  /** `SELECT COUNT(*) as n_rows FROM t` (athena.py:75-81 = A1). */
+  def countRows(df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"))
+
+  /** `SELECT DISTINCT account FROM t` (data_faker.py:64-68 = A2). */
+  def distinctValues(df: DataFrame, column: String): DataFrame =
+    df.select(column).distinct()
+
+  /** `SELECT * FROM t LIMIT n` preview (athena.py:83-86 = O2), made
+    * deterministic with an explicit sort.
+    */
+  def preview(df: DataFrame, orderCol: String, n: Int): DataFrame =
+    df.orderBy(col(orderCol)).limit(n)
+
+  /** Latest-k rows of one key, descending range key — the DynamoDB
+    * `Query(hash_key, scan_index_forward=False, limit=k)` pattern
+    * (data_faker.py:105-111 = S8/O3).
+    */
+  def latestOfKey(df: DataFrame, keyCol: String, key: String,
+                  rangeCol: String, k: Int): DataFrame =
+    df.filter(col(keyCol) === key).orderBy(col(rangeCol).desc).limit(k)
+
+  /** The compare() oracle (compare.py:50-79 = J2): source-of-truth vs
+    * lake readback. The reference sorts both sides and zips row-by-row;
+    * distributed-first this is two anti-semijoins — no driver collect,
+    * no global sort. Returns (rows only in left, rows only in right).
+    */
+  def compare(source: DataFrame, lake: DataFrame): (DataFrame, DataFrame) =
+    (source.exceptAll(lake), lake.exceptAll(source))
+
+  /** Convenience: true iff both relations are multiset-equal. */
+  def isEqual(source: DataFrame, lake: DataFrame): Boolean = {
+    val (l, r) = compare(source, lake)
+    l.isEmpty && r.isEmpty
+  }
+}
