@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.RollingHash
+
+/** Registers graft's native Catalyst expressions through the PUBLIC
+  * extension point (`SparkSessionExtensions.injectFunction`) — the
+  * Spark-4-sanctioned way to get a custom `Expression` addressable from
+  * both SQL and the Column API (`call_function`), with no `private[sql]`
+  * access. Usable standalone via `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (args: Seq[Expression]) => RollingHash(args.head)))
+  }
+}
+
+/** One place that knows how to build a correctly-configured local
+  * session: graft extensions, UTC, AQE on, shuffle partitions sized to
+  * the local core count (32 on the driver harness, not the 200 default
+  * that would fragment tiny local shuffles).
+  */
+object GraftSession {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val s = builder(cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,13 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult.{TypeCheckFailure, TypeCheckSuccess}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
-import org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes
-import org.apache.spark.sql.classic.ClassicConversions.castToImpl
-import org.apache.spark.sql.classic.ExpressionUtils.column
 
 /** 64-bit polynomial rolling hash of a string (document fingerprint).
   *
@@ -19,11 +19,20 @@ import org.apache.spark.sql.classic.ExpressionUtils.column
   * native Expression > Scala UDF). Wrap-around multiplication is
   * intentional and exempt from ANSI overflow checks because the
   * arithmetic is emitted directly as Java.
+  *
+  * Spark 4 note: `ExpectsInputTypes`/`AbstractDataType` are
+  * `private[sql]` there, so input checking is a direct
+  * `checkInputDataTypes` override, and the Column API goes through the
+  * public function registry (`GraftExtensions` + `call_function`)
+  * rather than a private Column constructor.
   */
-case class RollingHash(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
+case class RollingHash(child: Expression) extends UnaryExpression {
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"rolling_hash requires a string argument, got ${child.dataType.catalogString}")
+
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
@@ -51,6 +60,9 @@ object RollingHash {
     h
   }
 
-  /** Column-level API: `rolling_hash(col)`. */
-  def rolling_hash(c: Column): Column = column(RollingHash(c.expr))
+  /** Column-level API: `rolling_hash(col)`. Resolves through the session
+    * function registry — sessions must be built with [[graft.GraftSession]]
+    * (or `spark.sql.extensions=graft.GraftExtensions`).
+    */
+  def rolling_hash(c: Column): Column = call_function("rolling_hash", c)
 }

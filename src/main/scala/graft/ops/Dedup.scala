@@ -160,9 +160,11 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sh = simhash(docs, textCol, idCol)
-    val chunked = sh.select(col("d"), col("simhash"),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          c => shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)))))
+    // Chunk count is static (4 × 16-bit), so the array is built Scala-side
+    // with the Int-typed shift overload — stays fully codegen'd.
+    val chunks = array((0 until 4).map(c =>
+      shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val chunked = sh.select(col("d"), col("simhash"), posexplode(chunks))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cv")
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&

@@ -91,7 +91,7 @@ object Multimodal {
         explode(filter(sequence(lit(0), col("n_frames") - 1),
           i => i % stride === 0)))
       .withColumn("frame_bytes",
-        substring(col("payload"), col("frame_idx") * 1024 + 1, 1024))
+        col("payload").substr(col("frame_idx") * 1024 + 1, lit(1024)))
       .select(col("doc_id"), col("media_type"), col("frame_idx"),
         length(col("frame_bytes")).as("frame_n_bytes"))
 }

@@ -45,25 +45,25 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), col("sim"))
   }
 
-  /** Deterministic random hyperplanes: nPlanes × dim matrix of ±1
-    * weights from a seeded RNG, embedded as a literal array-of-arrays
-    * (tiny: 16×64 ints) so bucketing is pure codegen'd arithmetic.
+  /** Deterministic random hyperplanes: nPlanes literal ±1 arrays of
+    * length dim from a seeded RNG (tiny: 16×64 doubles), so bucketing
+    * is pure codegen'd arithmetic.
     */
-  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Column = {
+  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Column] = {
     val r = new Random(seed)
-    array((0 until nPlanes).map { _ =>
+    (0 until nPlanes).map { _ =>
       array((0 until dim).map(_ => lit(if (r.nextBoolean()) 1.0 else -1.0)): _*)
-    }: _*)
+    }
   }
 
-  /** Sign-random-projection bucket id (one int of nPlanes bits). */
-  def srpBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 7L): Column = {
-    val planes = hyperplanes(nPlanes, dim, seed)
-    aggregate(
-      zip_with(planes, sequence(lit(0), lit(nPlanes - 1)), (plane, i) =>
-        when(dot(plane, vec) >= 0, shiftleft(lit(1L), i.cast("int"))).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
+  /** Sign-random-projection bucket id (one long of nPlanes bits). The
+    * plane count is static, so each bit is a Scala-side `1L << p`
+    * literal — no Column-typed shift needed.
+    */
+  def srpBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 7L): Column =
+    hyperplanes(nPlanes, dim, seed).zipWithIndex.map { case (plane, p) =>
+      when(dot(plane, vec) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
 
   /** LSH-bucketed approximate top-k: corpus and queries are bucketed by
     * sign-random-projection under `nTables` independent tables; exact
