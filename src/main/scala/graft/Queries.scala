@@ -1,0 +1,412 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.codec.DynamoDbJson
+import graft.ingest.Ingest
+import graft.merge.Merge
+import graft.model.Schemas
+import graft.orchestrate.CdcTracker
+import graft.query.QuerySurface
+import graft.sources.Manifest
+
+/** One registered query: the Spark implementation plus (where
+  * SQL-expressible) the equivalent DuckDB oracle SQL over the same
+  * parquet tables. Column names and types are aligned on BOTH sides —
+  * the driver sorts columns by name and hash-compares values.
+  */
+final case class Q(fn: (SparkSession, String) => DataFrame, sql: Option[String])
+
+/** The driver-facing operator registry (SURVEY.md §2 inventory).
+  *
+  * The `events` table plays the CDC-feed role: a derived `tx` view maps
+  * it onto the reference's Transaction wire shape (account / create_at /
+  * update_at strings, int amount — dynamodb_table.py:13-29), so every
+  * CDC operator (decode, derive, dedup, upsert, landing, tracker) runs
+  * against real data AND has a DuckDB-checkable oracle.
+  */
+object Queries {
+
+  // ---- shared derivation: events -> Transaction wire rows ------------
+
+  /** The events table carries parquet TIMESTAMP(NANOS), which Spark has
+    * no native type for — read it as long (legacy conf, set defensively
+    * at runtime so the driver's own session works too) and convert to a
+    * µs timestamp. The fixture's values are µs-aligned, so `div 1000`
+    * loses nothing (verified: epoch_ns % 1000 == 0 for every row).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Spark side of the tx view. MUST stay in lockstep with [[TxCte]]. */
+  def tx(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("event_id"),
+      concat(lit("user-"), col("user_id")).as("account"),
+      concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), lit("+0000")).as("create_at"),
+      concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), lit("+0000")).as("update_at"),
+      col("event_type").as("entity"),
+      pmod(col("event_id"), lit(1000)).cast("int").as("amount"),
+      pmod(col("event_id"), lit(2)).cast("int").as("is_credit"),
+      col("props").as("note"),
+      col("ts"))
+
+  /** DuckDB side of the tx view (prefix for every CDC oracle). */
+  val TxCte: String =
+    """WITH tx AS (
+      |  SELECT event_id,
+      |         'user-' || user_id AS account,
+      |         strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || '+0000' AS create_at,
+      |         strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || '+0000' AS update_at,
+      |         event_type AS entity,
+      |         CAST(event_id % 1000 AS INTEGER) AS amount,
+      |         CAST(event_id % 2 AS INTEGER) AS is_credit,
+      |         props AS note,
+      |         ts
+      |  FROM events
+      |)""".stripMargin
+
+  /** Coarse merge key: (account, entity) — 150 users × 5 types at
+    * sf0.01 gives ~13 versions per key, so dedup/upsert do real work.
+    */
+  private def keyed(t: DataFrame): DataFrame =
+    t.withColumn("id",
+      concat(lit("account:"), col("account"), lit(",entity:"), col("entity")))
+
+  private val KeyedCte =
+    """, keyed AS (
+      |  SELECT 'account:' || account || ',entity:' || entity AS id,
+      |         account, create_at, update_at, entity, amount, is_credit, note, event_id
+      |  FROM tx
+      |)""".stripMargin
+
+  private val flatCols =
+    Seq("id", "account", "create_at", "update_at", "entity", "amount", "is_credit", "note", "event_id")
+
+  private val PartitionSelect =
+    """substr(create_at, 1, 4) AS create_year, substr(create_at, 6, 2) AS create_month,
+      |substr(create_at, 9, 2) AS create_day, substr(create_at, 12, 2) AS create_hour,
+      |substr(create_at, 15, 2) AS create_minute""".stripMargin
+
+  /** Fresh scratch dir for sink round-trip queries (deterministic path,
+    * wiped per run so `append` sinks can't accumulate).
+    */
+  private def scratch(name: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_q", name)
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    }
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  // ---- the CDC-pipeline queries --------------------------------------
+
+  /** Flagship (SURVEY §7.3): split the feed into a snapshot (even
+    * event_id) and a delta (odd), W1-dedup each side, J1-upsert, derive
+    * P4 partition columns, O1-order. Exercises the entire critical path.
+    */
+  def flagshipUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = keyed(tx(spark, dir)).select(flatCols.map(col): _*)
+    val tiebreak = Seq(col("event_id").desc)
+    val snap = Merge.dedupLatest(base.filter(col("event_id") % 2 === 0), "id", "update_at", tiebreak)
+    val delt = Merge.dedupLatest(base.filter(col("event_id") % 2 === 1), "id", "update_at", tiebreak)
+    val merged = Merge.upsert(snap, delt, "id", "update_at")
+    Ingest.withPartitionColumns(merged).orderBy("id")
+  }
+
+  private val flagshipSql = s"""$TxCte$KeyedCte,
+    |snap AS (SELECT * EXCLUDE rn FROM (
+    |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, event_id DESC) AS rn
+    |  FROM keyed WHERE event_id % 2 = 0) WHERE rn = 1),
+    |delt AS (SELECT * EXCLUDE rn FROM (
+    |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, event_id DESC) AS rn
+    |  FROM keyed WHERE event_id % 2 = 1) WHERE rn = 1),
+    |u AS (SELECT *, 0 AS src FROM delt UNION ALL SELECT *, 1 AS src FROM snap),
+    |m AS (SELECT * EXCLUDE (rn, src) FROM (
+    |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, src ASC) AS rn
+    |  FROM u) WHERE rn = 1)
+    |SELECT id, account, create_at, update_at, entity, amount, is_credit, note, event_id,
+    |       $PartitionSelect
+    |FROM m ORDER BY id""".stripMargin
+
+  /** S1+S6+K4+P1/P2+P3+P4 end-to-end: encode the feed as DynamoDB-JSON
+    * export lines, write .json.gz, decode (the worker Lambda step),
+    * re-write flat .json.gz (K4), initial-load scan with explicit schema
+    * (S1), derive lake rows. The oracle derives the same rows straight
+    * from the parquet — so the whole codec/sink/scan loop must be
+    * lossless to hash-match.
+    */
+  def initialLoadE2e(spark: SparkSession, dir: String): DataFrame = {
+    val flat = tx(spark, dir).select(
+      col("account"), col("create_at"), col("update_at"), col("entity"),
+      col("amount"), col("is_credit"), col("note"))
+    val rawDir = scratch("export_raw")
+    DynamoDbJson.encodeExportLines(flat).write
+      .mode("overwrite").option("compression", "gzip").text(rawDir)
+    val decoded = DynamoDbJson.decodeExportLines(spark.read.text(rawDir))
+    val processedDir = scratch("export_processed")
+    decoded.write.mode("overwrite").option("compression", "gzip").json(processedDir)
+    Ingest.initialLoad(spark, processedDir).orderBy("id")
+  }
+
+  private val initialLoadSql = s"""$TxCte
+    |SELECT 'account:' || account || ',create_at:' || create_at AS id,
+    |       account, create_at, update_at, entity, amount, is_credit, note,
+    |       $PartitionSelect
+    |FROM tx ORDER BY id""".stripMargin
+
+  /** All registered queries. Names carry the SURVEY §2 operator ids. */
+  val cdc: Seq[(String, Q)] = Seq(
+
+    "j1_flagship_upsert" -> Q(flagshipUpsert, Some(flagshipSql)),
+
+    "s1_initial_load_e2e" -> Q(initialLoadE2e, Some(initialLoadSql)),
+
+    // P6: REMOVE filter — entity "error" plays the REMOVE role.
+    "p6_filter_removes" -> Q(
+      (s, d) => {
+        val ev = tx(s, d).withColumn("eventName",
+          when(col("entity") === "error", "REMOVE").otherwise("INSERT"))
+        Merge.filterRemoves(ev)
+          .select("event_id", "eventName", "account", "entity")
+          .orderBy("event_id")
+      },
+      Some(s"""$TxCte
+        |SELECT event_id,
+        |       CASE WHEN entity = 'error' THEN 'REMOVE' ELSE 'INSERT' END AS eventName,
+        |       account, entity
+        |FROM tx WHERE entity <> 'error' ORDER BY event_id""".stripMargin)),
+
+    // W1: latest-per-key dedup with deterministic tiebreak.
+    "w1_dedup_latest" -> Q(
+      (s, d) => {
+        val base = keyed(tx(s, d)).select(flatCols.map(col): _*)
+        Merge.dedupLatest(base, "id", "update_at", Seq(col("event_id").desc))
+          .select("id", "event_id", "update_at", "amount").orderBy("id")
+      },
+      Some(s"""$TxCte$KeyedCte
+        |SELECT id, event_id, update_at, amount FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, event_id DESC) AS rn
+        |  FROM keyed) WHERE rn = 1 ORDER BY id""".stripMargin)),
+
+    // J2: the compare() oracle — full scan vs a lake missing day > 15.
+    "j2_compare_except" -> Q(
+      (s, d) => {
+        val base = keyed(tx(s, d)).select(flatCols.map(col): _*)
+        val latest = Merge.dedupLatest(base, "id", "update_at", Seq(col("event_id").desc))
+        val source = latest.select("id", "update_at", "event_id")
+        val lakeP = latest.filter(substring(col("create_at"), 9, 2) <= "15")
+          .select("id", "update_at", "event_id")
+        val (l, r) = QuerySurface.compare(source, lakeP)
+        l.withColumn("side", lit("source_only"))
+          .unionByName(r.withColumn("side", lit("lake_only")))
+          .orderBy("side", "id")
+      },
+      Some(s"""$TxCte$KeyedCte,
+        |latest AS (SELECT * EXCLUDE rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, event_id DESC) AS rn
+        |  FROM keyed) WHERE rn = 1),
+        |src AS (SELECT id, update_at, event_id FROM latest),
+        |lakep AS (SELECT id, update_at, event_id FROM latest WHERE substr(create_at, 9, 2) <= '15')
+        |SELECT *, 'source_only' AS side FROM (SELECT * FROM src EXCEPT ALL SELECT * FROM lakep)
+        |UNION ALL
+        |SELECT *, 'lake_only' AS side FROM (SELECT * FROM lakep EXCEPT ALL SELECT * FROM src)
+        |ORDER BY side, id""".stripMargin)),
+
+    // A1: COUNT(*).
+    "a1_count" -> Q(
+      (s, d) => QuerySurface.countRows(tx(s, d)),
+      Some(s"$TxCte SELECT CAST(count(*) AS BIGINT) AS n_rows FROM tx")),
+
+    // A2: DISTINCT account.
+    "a2_distinct_accounts" -> Q(
+      (s, d) => QuerySurface.distinctValues(tx(s, d), "account").orderBy("account"),
+      Some(s"$TxCte SELECT DISTINCT account FROM tx ORDER BY account")),
+
+    // A3: row-count equality check, one row of side-by-side counts.
+    "a3_count_equality" -> Q(
+      (s, d) => tx(s, d).agg(
+        sum(when(col("event_id") % 2 === 0, 1).otherwise(0)).cast("long").as("n_snapshot"),
+        sum(when(col("event_id") % 2 === 1, 1).otherwise(0)).cast("long").as("n_delta"),
+        count(lit(1)).cast("long").as("n_total")),
+      Some(s"""$TxCte
+        |SELECT CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_snapshot,
+        |       CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+        |       CAST(count(*) AS BIGINT) AS n_total
+        |FROM tx""".stripMargin)),
+
+    // O1+O2: deterministic preview (total order via unique tiebreak).
+    "o1_preview_limit" -> Q(
+      (s, d) => tx(s, d).orderBy(col("create_at"), col("event_id")).limit(50)
+        .select("event_id", "account", "create_at", "entity", "amount"),
+      Some(s"""$TxCte
+        |SELECT event_id, account, create_at, entity, amount
+        |FROM tx ORDER BY create_at, event_id LIMIT 50""".stripMargin)),
+
+    // S8+O3: latest-3 rows of one key, descending range key.
+    "o3_latest_of_key" -> Q(
+      (s, d) => QuerySurface.latestOfKey(
+        tx(s, d).select("account", "create_at", "entity", "amount"),
+        "account", "user-1", "create_at", 3),
+      Some(s"""$TxCte
+        |SELECT account, create_at, entity, amount
+        |FROM tx WHERE account = 'user-1' ORDER BY create_at DESC LIMIT 3""".stripMargin)),
+
+    // P5: µs+offset timestamp parse/format round-trip fidelity.
+    "p5_ts_roundtrip" -> Q(
+      (s, d) => {
+        val rt = date_format(to_timestamp(col("create_at"), Schemas.TsPattern),
+          "yyyy-MM-dd'T'HH:mm:ss.SSSSSSZ")
+        tx(s, d).select(col("event_id"), rt.as("rt"), (rt === col("create_at")).as("ok"))
+          .orderBy("event_id")
+      },
+      Some(s"""$TxCte
+        |SELECT event_id,
+        |       strftime(strptime(create_at, '%Y-%m-%dT%H:%M:%S.%f%z'), '%Y-%m-%dT%H:%M:%S.%f') || '+0000' AS rt,
+        |       (strftime(strptime(create_at, '%Y-%m-%dT%H:%M:%S.%f%z'), '%Y-%m-%dT%H:%M:%S.%f') || '+0000' = create_at) AS ok
+        |FROM tx ORDER BY event_id""".stripMargin)),
+
+    // P9: lexicographic partition-range predicate over minute partitions.
+    "p9_partition_range" -> Q(
+      (s, d) => {
+        val p = concat(
+          lit("year="), substring(col("update_at"), 1, 4),
+          lit("/month="), substring(col("update_at"), 6, 2),
+          lit("/day="), substring(col("update_at"), 9, 2),
+          lit("/hour="), substring(col("update_at"), 12, 2),
+          lit("/minute="), substring(col("update_at"), 15, 2))
+        tx(s, d).withColumn("p", p)
+          .filter(col("p") >= "year=2024/month=01/day=10/hour=00/minute=00" &&
+                  col("p") < "year=2024/month=01/day=12/hour=00/minute=00")
+          .select("event_id", "p").orderBy("event_id")
+      },
+      Some(s"""$TxCte,
+        |parts AS (SELECT event_id,
+        |  'year=' || substr(update_at,1,4) || '/month=' || substr(update_at,6,2) ||
+        |  '/day=' || substr(update_at,9,2) || '/hour=' || substr(update_at,12,2) ||
+        |  '/minute=' || substr(update_at,15,2) AS p FROM tx)
+        |SELECT event_id, p FROM parts
+        |WHERE p >= 'year=2024/month=01/day=10/hour=00/minute=00'
+        |  AND p < 'year=2024/month=01/day=12/hour=00/minute=00'
+        |ORDER BY event_id""".stripMargin)),
+
+    // T3 (batch form): watermark clamp at max(ts) - 2 min.
+    "t3_watermark_clamp" -> Q(
+      (s, d) => {
+        val ev = events(s, d)
+        val mx = ev.agg(max(col("ts")).as("mx"))
+        ev.crossJoin(broadcast(mx))
+          .filter(col("ts") < col("mx") - expr("INTERVAL 2 MINUTES"))
+          .groupBy(col("event_type").as("entity"))
+          .agg(count(lit(1)).cast("long").as("n"))
+          .orderBy("entity")
+      },
+      Some("""SELECT event_type AS entity, CAST(count(*) AS BIGINT) AS n
+        |FROM events
+        |WHERE ts < (SELECT max(ts) FROM events) - INTERVAL 2 MINUTE
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // T2: 1-minute tumbling window counts (batch form of the stream agg).
+    "t2_minute_window" -> Q(
+      (s, d) => events(s, d)
+        .groupBy(window(col("ts"), "1 minute"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(col("window.start").as("wstart"), col("n"))
+        .orderBy("wstart"),
+      Some("""SELECT date_trunc('minute', ts) AS wstart, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // T4/T5/T6/O4/S3: the tracker state machine plans one capped tick.
+    "t5_tracker_plan" -> Q(
+      (s, d) => {
+        val parts = tx(s, d).select(concat(
+            lit("year="), substring(col("update_at"), 1, 4),
+            lit("/month="), substring(col("update_at"), 6, 2),
+            lit("/day="), substring(col("update_at"), 9, 2),
+            lit("/hour="), substring(col("update_at"), 12, 2),
+            lit("/minute="), substring(col("update_at"), 15, 2)).as("p"))
+          .distinct().orderBy("p").collect().map(_.getString(0)).toSeq
+        val state = CdcTracker.State(
+          "year=2024/month=01/day=01/hour=00/minute=00", None, None, readyToRunNext = true)
+        val now = java.time.Instant.parse("2024-02-01T00:00:00Z")
+        val plan = CdcTracker.plan(state, now, parts, maxFiles = 100)
+        import s.implicits._
+        plan.map(_.files).getOrElse(Seq.empty).toDF("p").orderBy("p")
+      },
+      Some(s"""$TxCte,
+        |parts AS (SELECT DISTINCT
+        |  'year=' || substr(update_at,1,4) || '/month=' || substr(update_at,6,2) ||
+        |  '/day=' || substr(update_at,9,2) || '/hour=' || substr(update_at,12,2) ||
+        |  '/minute=' || substr(update_at,15,2) AS p FROM tx)
+        |SELECT p FROM parts
+        |WHERE p >= 'year=2024/month=01/day=01/hour=00/minute=01'
+        |  AND p < 'year=2024/month=01/day=31/hour=23/minute=59'
+        |ORDER BY p LIMIT 100""".stripMargin)),
+
+    // K3+A4: minute-partitioned landing sink, read back and re-aggregate.
+    "k3_landing_roundtrip" -> Q(
+      (s, d) => {
+        val day1 = tx(s, d).filter(substring(col("update_at"), 9, 2) === "01")
+          .select("account", "create_at", "update_at", "entity", "amount", "is_credit", "note")
+        val dirOut = scratch("landing")
+        Ingest.landCdc(day1, dirOut)
+        s.read.schema(Schemas.flatCdcRow).json(dirOut)
+          .groupBy(col("hour"))
+          .agg(count(lit(1)).cast("long").as("n"), sum(col("amount")).cast("long").as("amt"))
+          .orderBy("hour")
+      },
+      Some(s"""$TxCte
+        |SELECT substr(update_at, 12, 2) AS hour,
+        |       CAST(count(*) AS BIGINT) AS n, CAST(sum(amount) AS BIGINT) AS amt
+        |FROM tx WHERE substr(update_at, 9, 2) = '01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // K5: CSV sink round-trip (header, quoted JSON-ish strings).
+    "k5_csv_roundtrip" -> Q(
+      (s, d) => {
+        val day2 = tx(s, d).filter(substring(col("update_at"), 9, 2) === "02")
+          .select("account", "create_at", "update_at", "entity", "amount", "is_credit", "note")
+        val dirOut = scratch("csv_sink")
+        day2.write.mode("overwrite").option("header", "true").csv(dirOut)
+        s.read.schema(Schemas.flatCdcRow).option("header", "true").csv(dirOut)
+          .groupBy(col("entity"))
+          .agg(count(lit(1)).cast("long").as("n"), sum(col("amount")).cast("long").as("amt"))
+          .orderBy("entity")
+      },
+      Some(s"""$TxCte
+        |SELECT entity, CAST(count(*) AS BIGINT) AS n, CAST(sum(amount) AS BIGINT) AS amt
+        |FROM tx WHERE substr(update_at, 9, 2) = '02'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S5+P10: export manifest write, validated read, re-aggregation.
+    "s5_manifest_roundtrip" -> Q(
+      (s, d) => {
+        val manifest = tx(s, d).filter(substring(col("update_at"), 9, 2) === "01")
+          .groupBy(substring(col("update_at"), 12, 2).as("h"))
+          .agg(count(lit(1)).cast("long").as("itemCount"))
+          .select(
+            col("itemCount"),
+            md5(concat(lit("chk-"), col("h"))).as("md5Checksum"),
+            md5(concat(lit("etag-"), col("h"))).as("etag"),
+            concat(lit("AWSDynamoDB/01234-abcd/data/h"), col("h"), lit(".json.gz"))
+              .as("dataFileS3Key"))
+        val dirOut = scratch("manifest")
+        Manifest.writeDataFiles(manifest, dirOut)
+        Manifest.readDataFiles(s, dirOut).orderBy("dataFileS3Key")
+      },
+      Some(s"""$TxCte
+        |SELECT CAST(count(*) AS BIGINT) AS itemCount,
+        |       md5('chk-' || substr(update_at, 12, 2)) AS md5Checksum,
+        |       md5('etag-' || substr(update_at, 12, 2)) AS etag,
+        |       'AWSDynamoDB/01234-abcd/data/h' || substr(update_at, 12, 2) || '.json.gz' AS dataFileS3Key
+        |FROM tx WHERE substr(update_at, 9, 2) = '01'
+        |GROUP BY substr(update_at, 12, 2) ORDER BY dataFileS3Key""".stripMargin)))
+}

@@ -1,0 +1,297 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, Text}
+
+/** Registry part 2: the LLM-training-data operators (dedup, similarity,
+  * text analysis, multimodal) over `documents`/`embeddings`, plus
+  * TPC-H-style relational queries over the star schema that double as
+  * the shuffle/join benchmark suite.
+  *
+  * Oracle notes: everything whose arithmetic is engine-portable gets a
+  * DuckDB oracle (md5, integer arithmetic, exact-decimal sums, in-order
+  * double division). xxhash64/seeded-RNG operators (minhash, simhash,
+  * SRP-LSH) are not SQL-reproducible — they get rows-only checks here
+  * and property/recall tests in ScalaTest.
+  */
+object QueriesOps {
+
+  private def docs(s: SparkSession, d: String) = s.read.parquet(s"$d/documents.parquet")
+  private def embs(s: SparkSession, d: String) = s.read.parquet(s"$d/embeddings.parquet")
+  private def li(s: SparkSession, d: String) = s.read.parquet(s"$d/lineitem.parquet")
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+  private val discPrice = dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // ---- text analysis ------------------------------------------------
+
+    "tx1_token_stats" -> Q(
+      (s, d) => Text.withTokenStats(docs(s, d))
+        .withColumn("bpeish", Text.bpeishTokenCount(col("text")))
+        .select("doc_id", "n_tokens", "n_chars_calc", "bpeish").orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars_calc,
+        |  CAST(list_sum(list_transform(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
+        |       p -> CAST(ceil(length(p) / 4.0) AS BIGINT))) AS BIGINT) AS bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "tx2_quality_score" -> Q(
+      (s, d) => Text.withQuality(docs(s, d))
+        .select("doc_id", "punct_ratio", "alpha_ratio", "stopword_ratio",
+          "mean_word_len", "quality_score").orderBy("doc_id"),
+      Some("""WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+        |    CAST(list_sum(list_transform(string_split(text, ' '),
+        |         x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len
+        |  FROM documents)
+        |SELECT doc_id, punct_ratio, alpha_ratio, stopword_ratio, mean_word_len,
+        |  least(1.0, alpha_ratio * 0.5 + stopword_ratio * 0.3
+        |        + least(mean_word_len / 10.0, 1.0) * 0.2) AS quality_score
+        |FROM q ORDER BY doc_id""".stripMargin)),
+
+    "tx3_langid" -> Q(
+      (s, d) => Text.withLangId(docs(s, d))
+        .select("doc_id", "score_en", "score_es", "score_fr", "lang_pred")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sc AS (SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','and','of','is','to'], x))) AS INTEGER) AS score_en,
+        |  CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x))) AS INTEGER) AS score_es,
+        |  CAST(len(list_filter(toks, x -> list_contains(['le','les','des','et','une'], x))) AS INTEGER) AS score_fr
+        |  FROM t)
+        |SELECT doc_id, score_en, score_es, score_fr,
+        |  CASE WHEN score_en >= score_es AND score_en >= score_fr AND score_en > 0 THEN 'en'
+        |       WHEN score_es >= score_fr AND score_es > 0 THEN 'es'
+        |       WHEN score_fr > 0 THEN 'fr'
+        |       ELSE 'unknown' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // rolling_hash is a native codegen Expression — not SQL-portable.
+    "tx4_fingerprint" -> Q(
+      (s, d) => Text.withFingerprint(docs(s, d))
+        .select("doc_id", "fingerprint").orderBy("doc_id"),
+      None),
+
+    "tx5_winnowing" -> Q(
+      (s, d) => Text.withWinnowing(docs(s, d))
+        .select(col("doc_id"), size(col("winnow_fp")).as("n_fp")).orderBy("doc_id"),
+      None),
+
+    // ---- deduplication ------------------------------------------------
+
+    "dd1_exact_dedup" -> Q(
+      (s, d) => Dedup.exact(docs(s, d)).orderBy("content_hash"),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    "dd2_ngram_jaccard" -> Q(
+      (s, d) => Dedup.ngramJaccardPairs(docs(s, d), threshold = 0.5).orderBy("d1", "d2"),
+      Some("""WITH tok AS (
+        |  SELECT doc_id AS d, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+        |  FROM documents),
+        |sizes AS (SELECT d, count(*) AS n FROM tok GROUP BY d),
+        |common AS (SELECT a.d AS d1, b.d AS d2, count(*) AS c
+        |           FROM tok a JOIN tok b ON a.tok = b.tok AND a.d < b.d GROUP BY 1, 2)
+        |SELECT d1, d2, CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) AS jaccard
+        |FROM common JOIN sizes s1 ON s1.d = common.d1 JOIN sizes s2 ON s2.d = common.d2
+        |WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5
+        |ORDER BY d1, d2""".stripMargin)),
+
+    // xxhash64-based — rows-only here; recall-vs-exact checked in tests.
+    "dd3_minhash_lsh_pairs" -> Q(
+      (s, d) => Dedup.minhashLshPairs(docs(s, d), threshold = 0.5).orderBy("d1", "d2"),
+      None),
+
+    "dd4_simhash_pairs" -> Q(
+      (s, d) => Dedup.simhashPairs(docs(s, d), maxDist = 3).orderBy("d1", "d2"),
+      None),
+
+    // ---- similarity search -------------------------------------------
+
+    "ss1_bruteforce_topk" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
+          .select(col("q_id"), col("n_id"), col("rank"), round(col("sim"), 6).as("sim"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM e WHERE vec_id < 8),
+        |pairs AS (
+        |  SELECT q_id, e.vec_id AS n_id,
+        |    list_sum(list_transform(range(1, len(q_vec) + 1),
+        |      i -> CAST(q_vec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(q_vec) + 1),
+        |         i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS sim
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
+        |ranked AS (SELECT q_id, n_id, sim,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rank
+        |  FROM pairs)
+        |SELECT q_id, n_id, rank, round(sim, 6) AS sim
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    "ss2_cosine_neardup_pairs" -> Q(
+      (s, d) => Similarity.cosineNearDupPairs(embs(s, d), threshold = 0.4)
+        .select(col("id1"), col("id2"), round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy("id1", "id2"),
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos_sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id1, id2, round(cos_sim, 6) AS cos_sim
+        |FROM pairs WHERE cos_sim >= 0.4 ORDER BY id1, id2""".stripMargin)),
+
+    // seeded-RNG SRP buckets — rows-only; recall checked in tests.
+    "ss3_lsh_topk" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.lshTopK(e, e.filter(col("vec_id") < 8), k = 5)
+          .select(col("q_id"), col("n_id"), col("rank"), round(col("sim"), 6).as("sim"))
+          .orderBy("q_id", "rank")
+      },
+      None),
+
+    "ss4_lsh_neardup_pairs" -> Q(
+      (s, d) => Similarity.lshNearDupPairs(embs(s, d), threshold = 0.4)
+        .select(col("id1"), col("id2"), round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy("id1", "id2"),
+      None),
+
+    // ---- multimodal ---------------------------------------------------
+
+    "mm1_extract_features" -> Q(
+      (s, d) => Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs(s, d)))
+        .toDF().orderBy("doc_id"),
+      Some("""WITH m AS (SELECT doc_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+        |  octet_length(encode(text)) AS n, md5(text) AS checksum FROM documents)
+        |SELECT doc_id, media_type, CAST(n AS BIGINT) AS n_bytes, checksum,
+        |  CAST((n % 512) + 16 AS INTEGER) AS width,
+        |  CAST(((n // 512) % 512) + 16 AS INTEGER) AS height,
+        |  CAST((n + 1023) // 1024 AS INTEGER) AS n_frames
+        |FROM m ORDER BY doc_id""".stripMargin)),
+
+    "mm2_sample_frames" -> Q(
+      (s, d) => Multimodal.sampleFrames(Multimodal.mediaFromDocuments(docs(s, d)), stride = 2)
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH m AS (SELECT doc_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+        |  octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, media_type, n,
+        |  unnest(range(0, (n + 1023) // 1024)) AS fi FROM m)
+        |SELECT doc_id, media_type, CAST(fi AS INTEGER) AS frame_idx,
+        |  CAST(least(1024, n - fi * 1024) AS INTEGER) AS frame_n_bytes
+        |FROM f WHERE fi % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // ---- relational / benchmark suite --------------------------------
+
+    // TPC-H Q1-style pricing summary: decimal-exact sums cast to double
+    // so both engines produce bit-identical results.
+    "h1_pricing_summary" -> Q(
+      (s, d) => li(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
+          count(lit(1)).cast("long").as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order").cast("double"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(count(*) AS BIGINT) AS count_order,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS avg_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Fact-fact join + aggregation: revenue per order priority.
+    "h3_join_revenue" -> Q(
+      (s, d) => li(s, d)
+        .join(s.read.parquet(s"$d/orders.parquet"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(discPrice).cast("double").as("revenue"),
+          count(lit(1)).cast("long").as("n"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Broadcast dims + window top-k: top-3 suppliers by revenue per nation.
+    "h4_top_suppliers" -> Q(
+      (s, d) => {
+        val rev = li(s, d)
+          .join(broadcast(s.read.parquet(s"$d/supplier.parquet")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(s.read.parquet(s"$d/nation.parquet")),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("s_suppkey"))
+          .agg(sum(discPrice).cast("double").as("revenue"))
+        val w = Window.partitionBy(col("n_name"))
+          .orderBy(col("revenue").desc, col("s_suppkey").asc)
+        rev.withColumn("rk", row_number().over(w).cast("int"))
+          .filter(col("rk") <= 3)
+          .orderBy("n_name", "rk")
+      },
+      Some("""WITH rev AS (
+        |  SELECT n_name, s_suppkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |                JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT n_name, s_suppkey, revenue, rk FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY n_name
+        |    ORDER BY revenue DESC, s_suppkey ASC) AS INTEGER) AS rk FROM rev)
+        |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin)),
+
+    // Semi-join (J3 analog): BUILDING-segment customers that have orders.
+    "h5_semi_join" -> Q(
+      (s, d) => s.read.parquet(s"$d/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(s.read.parquet(s"$d/orders.parquet"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // Anti-join: customers with no orders at all.
+    "h6_anti_join" -> Q(
+      (s, d) => s.read.parquet(s"$d/customer.parquet")
+        .join(s.read.parquet(s"$d/orders.parquet"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin)))
+}

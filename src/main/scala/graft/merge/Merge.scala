@@ -32,16 +32,19 @@ object Merge {
       keyCol: String = "id",
       versionCol: String = "update_at",
       tiebreak: Seq[Column] = Seq.empty): DataFrame = {
-    val order = (col(versionCol).desc +: tiebreak) :+ monotonicallyStableTiebreak(df)
+    val order = (col(versionCol).desc +: tiebreak) :+ contentTiebreak(df)
     val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  // All-column struct as a last-resort total order: stable across runs
-  // (unlike monotonically_increasing_id, which depends on partitioning).
-  private def monotonicallyStableTiebreak(df: DataFrame): Column =
-    struct(df.columns.map(col).toIndexedSeq: _*).asc
+  // Content-derived last-resort total order: stable across runs and
+  // partitionings (unlike monotonically_increasing_id). A single long
+  // sort key instead of a wide all-columns struct comparator — rows that
+  // tie on it are byte-identical (or an astronomically unlikely hash
+  // collision, where any winner is equally valid).
+  private def contentTiebreak(df: DataFrame): Column =
+    xxhash64(df.columns.map(col).toIndexedSeq: _*).asc
 
   /** Upsert: merge `delta` into `snapshot`, latest `versionCol` per
     * `keyCol` wins; on version ties the delta row wins (matching Hudi's

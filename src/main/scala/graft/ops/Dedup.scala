@@ -72,39 +72,49 @@ object Dedup {
         i => concat_ws(" ", slice(t, i + 1, lit(k)))))
   }
 
+  /** Distinct (doc, shingle-hash) pairs — the exploded inverted-index
+    * form shared by signature building and candidate verification.
+    */
+  def shingleHashes(docs: DataFrame, shingleK: Int,
+                    textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("d"),
+        explode(array_distinct(shingleCol(col(textCol), shingleK))).as("sh"))
+      .select(col("d"), pmod(xxhash64(col("sh")), lit(P)).as("h"))
+
   /** MinHash signatures: one row per doc with `sig: array<bigint>` of
-    * length numHashes, plus the distinct shingle-hash set (kept for the
-    * exact-Jaccard verification step).
+    * length numHashes.
     *
     * Implementation: explode distinct shingles, xxhash64 them, then ONE
     * hash aggregation with numHashes independent `min` columns — all
-    * map-side combinable, whole-stage-codegen'd, no UDFs.
+    * map-side combinable, whole-stage-codegen'd, no UDFs, and no
+    * `collect_set` (the full shingle set never leaves the aggregation).
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 64, shingleK: Int = 3,
                         textCol: String = "text", idCol: String = "doc_id",
                         seed: Long = 42L): DataFrame = {
-    val sh = docs.select(col(idCol).as("d"),
-        explode(array_distinct(shingleCol(col(textCol), shingleK))).as("sh"))
-      .select(col("d"), pmod(xxhash64(col("sh")), lit(P)).as("h"))
+    val sh = shingleHashes(docs, shingleK, textCol, idCol)
     val minCols = perms(numHashes, seed).zipWithIndex.map { case ((a, b), j) =>
       min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"m$j")
     }
     sh.groupBy(col("d"))
-      .agg(collect_set(col("h")).as("shset"), minCols: _*)
-      .select(col("d"), col("shset"),
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("d"),
         array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
   }
 
   /** MinHash+LSH near-duplicate pairs: band the signature (bands ×
     * rowsPerBand = numHashes), bucket-join docs sharing any band value,
-    * then verify candidates with exact Jaccard over the shingle-hash
-    * sets. Output: (d1, d2, jaccard) with jaccard >= threshold.
+    * then verify candidates with exact Jaccard. Output: (d1, d2,
+    * jaccard) with jaccard >= threshold.
     *
-    * Shuffle profile at scale: explode(bands) is numBands rows/doc;
-    * the self-join is on (band, bandHash) — candidate pairs only, never
-    * n². AQE handles hot buckets (boilerplate/empty docs) via skew-join
-    * splitting; a `length(text) > 0` guard upstream keeps degenerate
-    * empty shingles from forming one giant bucket.
+    * Shuffle profile at scale: the band self-join carries ONLY
+    * (id, band, bandHash) — never shingle sets or text. Candidate
+    * verification re-joins the candidate ids against the exploded
+    * (doc, shingle-hash) relation twice: common-shingle counts come
+    * from an equi-join on (d2, h), so the shuffle is O(candidate
+    * shingles), rows of (id, id, long) — the plan that survives 100 TB,
+    * where shipping per-doc token sets through a join would not. AQE
+    * splits hot buckets (boilerplate docs) via skew-join handling.
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.7,
                       numHashes: Int = 64, bands: Int = 16,
@@ -112,8 +122,9 @@ object Dedup {
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rpb = numHashes / bands
+    val sh = shingleHashes(docs, shingleK, textCol, idCol)
     val sigs = minhashSignatures(docs, numHashes, shingleK, textCol, idCol)
-    val banded = sigs.select(col("d"), col("shset"),
+    val banded = sigs.select(col("d"),
         posexplode(transform(
           sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",", slice(col("sig"), b * rpb + 1, lit(rpb)))))))
@@ -121,13 +132,18 @@ object Dedup {
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.d") < col("b.d"))
-      .select(col("a.d").as("d1"), col("b.d").as("d2"),
-        col("a.shset").as("s1"), col("b.shset").as("s2"))
+      .select(col("a.d").as("d1"), col("b.d").as("d2"))
       .dropDuplicates("d1", "d2")
-    cand
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("double"))
+    val sizes = sh.groupBy(col("d")).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.toDF("d1", "h"), "d1")            // one row per shingle of d1
+      .join(sh.toDF("d2", "h"), Seq("d2", "h"))  // keep shingles also in d2
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.toDF("d1", "n1"), "d1")
+      .join(sizes.toDF("d2", "n2"), "d2")
       .withColumn("jaccard",
-        col("inter") / (size(col("s1")) + size(col("s2")) - col("inter")))
+        col("c").cast("double") / (col("n1") + col("n2") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
   }

@@ -120,10 +120,13 @@ object Similarity {
   def lshNearDupPairs(vectors: DataFrame, threshold: Double,
                       nPlanes: Int = 10, nTables: Int = 6, dim: Int = 64,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // NB: srpBucket must reference the ORIGINAL vecCol, not the "v"
+    // alias from this same select — lateral column aliases can't be
+    // resolved inside a Generate (explode) in Spark 4.
     val bucketed = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
         explode(array((0 until nTables).map(t =>
           struct(lit(t).as("tbl"),
-            srpBucket(col("v"), nPlanes, dim, seed = 11L + t).as("bkt"))): _*)).as("tb"))
+            srpBucket(col(vecCol), nPlanes, dim, seed = 11L + t).as("bkt"))): _*)).as("tb"))
       .select(col("id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     bucketed.as("a").join(bucketed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&

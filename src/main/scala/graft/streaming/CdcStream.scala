@@ -38,12 +38,9 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val delta = Ingest.toLakeRows(batch)
-          val snapshot = TableWriter.read(spark, lakePath)
-          val merged = Merge.upsert(snapshot, delta)
-          // localCheckpoint materializes the merge before the dynamic
-          // partition overwrite rewrites the files it was read from.
-          TableWriter.upsertWrite(merged.localCheckpoint(), lakePath)
+          // Partition-pruned merge: O(touched partitions) per tick, not
+          // O(table) — see TableWriter.mergeCommit.
+          TableWriter.mergeCommit(spark, Ingest.toLakeRows(batch), lakePath)
         }
       }
       .start()

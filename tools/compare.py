@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: for each query result
+parquet written by graft.Verify, run the corresponding oracle SQL in
+DuckDB over the same test tables, then compare row count, column names,
+and a hash over column-name-sorted, row-sorted values.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+"""
+import sys, os, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return repr(v)
+
+def table_digest(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    mat = sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    import hashlib
+    h = hashlib.sha256()
+    for row in mat:
+        h.update("\x1f".join(row).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        try:
+            got = con.sql(f"SELECT * FROM '{d}/*.parquet'")
+            grows, gcols = got.fetchall(), [c for c in got.columns]
+        except Exception as e:
+            results[name] = {"status": "SPARK_READ_FAIL", "err": str(e)[:200]}
+            continue
+        if name not in oracle:
+            results[name] = {"status": "ROWS_ONLY", "rows": len(grows),
+                             "ok": len(grows) > 0}
+            continue
+        try:
+            exp = con.sql(oracle[name])
+            erows, ecols = exp.fetchall(), [c for c in exp.columns]
+        except Exception as e:
+            results[name] = {"status": "ORACLE_SQL_FAIL", "err": str(e)[:300]}
+            continue
+        cols_ok = sorted(gcols) == sorted(ecols)
+        rows_ok = len(grows) == len(erows)
+        hash_ok = cols_ok and rows_ok and \
+            table_digest(grows, gcols) == table_digest(erows, ecols)
+        results[name] = {
+            "status": "MATCH" if (cols_ok and rows_ok and hash_ok) else "MISMATCH",
+            "rows": len(grows), "oracle_rows": len(erows),
+            "cols_ok": cols_ok, "rows_ok": rows_ok, "hash_ok": hash_ok}
+        if not cols_ok:
+            results[name]["cols"] = {"got": sorted(gcols), "want": sorted(ecols)}
+        elif not hash_ok and rows_ok:
+            # show first differing row for debugging
+            order = sorted(range(len(gcols)), key=lambda i: gcols[i])
+            gm = sorted(tuple(canon(r[i]) for i in order) for r in grows)
+            em = sorted(tuple(canon(r[i]) for i in order) for r in erows)
+            for i, (a, b) in enumerate(zip(gm, em)):
+                if a != b:
+                    results[name]["first_diff"] = {"i": i, "got": a[:6], "want": b[:6]}
+                    break
+    n_match = sum(1 for r in results.values() if r["status"] == "MATCH")
+    n_rows_only = sum(1 for r in results.values()
+                      if r["status"] == "ROWS_ONLY" and r.get("ok"))
+    print(json.dumps(results, indent=1, default=str))
+    print(f"## {n_match} MATCH + {n_rows_only} ROWS_ONLY-ok of {len(results)} queries",
+          file=sys.stderr)
+    bad = [n for n, r in results.items()
+           if r["status"] not in ("MATCH",) and not (r["status"] == "ROWS_ONLY" and r.get("ok"))]
+    if bad:
+        print("## FAILING: " + " ".join(bad), file=sys.stderr)
+        sys.exit(1)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
