@@ -174,8 +174,11 @@ object QueriesOps {
       },
       None),
 
+    // 8 planes × 8 tables: ~18% recall at cos 0.4 (vs ~3% at the
+    // near-dup defaults) — this query targets moderate-similarity pairs.
     "ss4_lsh_neardup_pairs" -> Q(
-      (s, d) => Similarity.lshNearDupPairs(embs(s, d), threshold = 0.4)
+      (s, d) => Similarity.lshNearDupPairs(embs(s, d), threshold = 0.4,
+          nPlanes = 8, nTables = 8)
         .select(col("id1"), col("id2"), round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy("id1", "id2"),
       None),

@@ -140,13 +140,17 @@ object TableWriter {
     * refuses a same-path read-write cycle otherwise); the checkpoint
     * cost is O(delta partitions), not O(table).
     */
-  def mergeCommit(spark: SparkSession, delta: DataFrame, path: String): Unit = {
+  def mergeCommit(spark: SparkSession, delta: DataFrame, path: String,
+                  keyCol: String = "id", versionCol: String = "update_at"): Unit = {
     if (!new java.io.File(path).exists()) {
-      bulkWrite(delta, path)
+      // bootstrap: the first delta IS the table — but it can still carry
+      // several versions of one key, so it gets the same in-batch dedup
+      // a merge would apply
+      bulkWrite(Merge.dedupLatest(delta, keyCol, versionCol), path)
     } else {
       touchedPartitionsPredicate(delta).foreach { pred =>
         val snapshotSlice = read(spark, path).filter(pred)
-        val merged = Merge.upsert(snapshotSlice, delta)
+        val merged = Merge.upsert(snapshotSlice, delta, keyCol, versionCol)
         upsertWrite(merged.localCheckpoint(), path)
       }
     }

@@ -1,0 +1,85 @@
+package graft.ingest
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.merge.Merge
+
+/** The scale-critical property: a merge commit touches ONLY the
+  * partitions present in the delta (O(delta) work per tick), and still
+  * produces exactly the same table as a full-table upsert would.
+  */
+class MergeCommitSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def lakeRows(rows: Seq[(String, String, String)]): DataFrame = {
+    import spark.implicits._
+    Ingest.withPartitionColumns(
+      rows.toDF("id", "create_at", "note")
+        .withColumn("update_at", col("create_at")))
+  }
+
+  private def day(d: Int, sec: Int) = f"2024-01-$d%02dT00:00:$sec%02d.000000+0000"
+
+  test("mergeCommit rewrites only delta partitions and matches full upsert") {
+    val lake = Files.createTempDirectory("graft_lake").toString
+    val snapshot = lakeRows(Seq(
+      ("k1", day(1, 1), "d1-a"), ("k2", day(1, 2), "d1-b"),
+      ("k3", day(2, 1), "d2-a"), ("k4", day(3, 1), "d3-a")))
+    TableWriter.bulkWrite(snapshot, lake)
+
+    val untouchedDir = Paths.get(lake, "create_year=2024", "create_month=01", "create_day=03")
+    def filesOf(p: java.nio.file.Path): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))
+        .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis).toMap
+    }
+    val before = filesOf(untouchedDir)
+
+    // delta updates k1 (same day-1 partition, newer version) + inserts k5 into day 2
+    val delta = lakeRows(Seq(("k1", day(1, 1), "d1-a2"), ("k5", day(2, 5), "d2-new")))
+      .withColumn("update_at", concat(lit("2024-02-01T"), substring(col("update_at"), 12, 20)))
+    TableWriter.mergeCommit(spark, delta, lake)
+
+    val after = filesOf(untouchedDir)
+    assert(before === after, "day-3 partition files must be untouched by a day-1/2 delta")
+
+    // exceptAll resolves by POSITION; parquet read-back moves partition
+    // columns to the end, so realign first
+    val want = Merge.upsert(snapshot, delta)
+    val got = TableWriter.read(spark, lake).select(want.columns.map(col).toIndexedSeq: _*)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.filter(col("id") === "k1").head().getAs[String]("note") === "d1-a2")
+    assert(got.count() === 5)
+  }
+
+  test("mergeCommit on an empty lake bootstraps via bulk write") {
+    val lake = Files.createTempDirectory("graft_lake_empty").resolve("tbl").toString
+    val delta = lakeRows(Seq(("k1", day(1, 1), "a"), ("k2", day(2, 1), "b")))
+    TableWriter.mergeCommit(spark, delta, lake)
+    assert(TableWriter.read(spark, lake).count() === 2)
+  }
+
+  test("snapshot scan is partition-pruned to the delta's partitions") {
+    val lake = Files.createTempDirectory("graft_lake_prune").toString
+    TableWriter.bulkWrite(lakeRows(Seq(
+      ("a", day(1, 1), "x"), ("b", day(2, 1), "y"), ("c", day(3, 1), "z"))), lake)
+    val delta = lakeRows(Seq(("a", day(1, 2), "x2")))
+    val pred = TableWriter.touchedPartitionsPredicate(delta).get
+    val pruned = TableWriter.read(spark, lake).filter(pred)
+    // physical proof of pruning: the scan's numFiles metric after
+    // execution must be 1 of the 3 partition files (df.inputFiles shows
+    // the UNPRUNED listing, so it can't be used here)
+    val plan = pruned.queryExecution.executedPlan
+    assert(pruned.collect().length === 1)
+    val scan = plan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metrics("numFiles").value === 1,
+      s"expected the scan to read 1 pruned file; plan:\n$plan")
+  }
+}

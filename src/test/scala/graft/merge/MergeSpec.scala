@@ -1,0 +1,102 @@
+package graft.merge
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+import graft.TestSpark
+
+/** The upsert laws the reference gets from Hudi (recordkey + precombine,
+  * incremental.py:176-177) and replay tolerance T8 — now actually
+  * verified instead of claimed.
+  */
+class MergeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def df(rows: Seq[(String, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "update_at", "note")
+  }
+
+  private def multisetEqual(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("dedupLatest keeps exactly the max-version row per key") {
+    val d = df(Seq(
+      ("k1", "2024-01-01T00:00:01.000000+0000", "old"),
+      ("k1", "2024-01-01T00:00:03.000000+0000", "new"),
+      ("k1", "2024-01-01T00:00:02.000000+0000", "mid"),
+      ("k2", "2024-01-01T00:00:01.000000+0000", "only")))
+    val out = Merge.dedupLatest(d, "id", "update_at").orderBy("id").collect()
+    assert(out.map(r => (r.getString(0), r.getString(2))).toSeq ===
+      Seq(("k1", "new"), ("k2", "only")))
+  }
+
+  test("upsert: latest wins, delta beats snapshot on version ties") {
+    val snap = df(Seq(
+      ("k1", "2024-01-01T00:00:05.000000+0000", "snap-newer"),
+      ("k2", "2024-01-01T00:00:01.000000+0000", "snap-tied"),
+      ("k3", "2024-01-01T00:00:01.000000+0000", "snap-only")))
+    val delta = df(Seq(
+      ("k1", "2024-01-01T00:00:01.000000+0000", "delta-older"),
+      ("k2", "2024-01-01T00:00:01.000000+0000", "delta-tied"),
+      ("k4", "2024-01-01T00:00:09.000000+0000", "delta-new")))
+    val out = Merge.upsert(snap, delta).orderBy("id").collect()
+      .map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(out === Seq(
+      ("k1", "snap-newer"),   // older delta must NOT overwrite
+      ("k2", "delta-tied"),   // Hudi precombine tie -> incoming wins
+      ("k3", "snap-only"),
+      ("k4", "delta-new")))
+  }
+
+  test("upsert is idempotent under replay (T8): merge(merge(s,d),d) = merge(s,d)") {
+    val r = new Random(42)
+    def randRows(n: Int) = Seq.fill(n)((
+      s"k${r.nextInt(30)}",
+      f"2024-01-01T00:00:${r.nextInt(60)}%02d.${r.nextInt(1000000)}%06d+0000",
+      s"v${r.nextInt(1000)}"))
+    val snap = Merge.dedupLatest(df(randRows(100)), "id", "update_at")
+    val delta = df(randRows(80))
+    val once = Merge.upsert(snap, delta)
+    val twice = Merge.upsert(once, delta)
+    assert(multisetEqual(once, twice))
+  }
+
+  test("upsert result = global dedupLatest when snapshot and delta partition the feed") {
+    val r = new Random(7)
+    val all = df(Seq.fill(200)((
+      s"k${r.nextInt(40)}",
+      f"2024-01-01T00:${r.nextInt(60)}%02d:${r.nextInt(60)}%02d.${r.nextInt(1000000)}%06d+0000",
+      s"v${r.nextInt(1000)}")))
+    val withMod = all.withColumn("m", pmod(xxhash64(col("note")), lit(2)))
+    val snap = Merge.dedupLatest(withMod.filter(col("m") === 0).drop("m"), "id", "update_at")
+    val delta = withMod.filter(col("m") === 1).drop("m")
+    val merged = Merge.upsert(snap, delta)
+    val globalLatest = Merge.dedupLatest(all, "id", "update_at")
+    // NB: equality can only differ on per-key version ties; ties across
+    // sides resolve delta-first in upsert but content-hash in global
+    // dedup — the generator makes versions collide rarely; compare on
+    // (id, update_at) which is tie-insensitive.
+    assert(multisetEqual(merged.select("id", "update_at"), globalLatest.select("id", "update_at")))
+  }
+
+  test("filterRemoves drops REMOVE; tombstone upsert deletes the key") {
+    import spark.implicits._
+    val ev = Seq(("INSERT", "k1"), ("REMOVE", "k2"), ("MODIFY", "k3"))
+      .toDF("eventName", "id")
+    assert(Merge.filterRemoves(ev).select("id").as[String].collect().sorted === Array("k1", "k3"))
+
+    val snap = df(Seq(
+      ("k1", "2024-01-01T00:00:01.000000+0000", "a"),
+      ("k2", "2024-01-01T00:00:01.000000+0000", "b")))
+    val delta = df(Seq(
+      ("k2", "2024-01-01T00:00:02.000000+0000", "DEL"),
+      ("k3", "2024-01-01T00:00:02.000000+0000", "c")))
+    val out = Merge.upsertWithTombstones(snap, delta, isDelete = col("note") === "DEL")
+      .select("id").as[String].collect().sorted
+    assert(out === Array("k1", "k3"))
+  }
+}

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.RollingHash
+
+/** Property/recall tests for the hash-based operators that have no SQL
+  * oracle (minhash-LSH, simhash, SRP-LSH, rolling hash).
+  */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** 60 base docs + exact duplicates of 10 + near-duplicates (one token
+    * changed) of another 10 — known ground truth for dedup recall.
+    */
+  private lazy val corpus: DataFrame = {
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(60).cache()
+    val exactDups = base.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 1000).as("doc_id"), col("text"))
+    val nearDups = base.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+      .select((col("doc_id") + 2000).as("doc_id"),
+        concat(lit("zzz "), expr("substring(text, 5)")).as("text"))
+    base.unionByName(exactDups).unionByName(nearDups)
+  }
+
+  test("exact dedup finds exactly the 10 planted duplicate groups") {
+    val groups = Dedup.exact(corpus).filter(col("n_copies") > 1).collect()
+    assert(groups.length === 10)
+    assert(groups.forall(_.getAs[Long]("n_copies") == 2L))
+    assert(groups.forall(_.getAs[Long]("keep_id") < 10L)) // min id kept
+  }
+
+  test("minhash-LSH pairs recall the exact-duplicate pairs with jaccard 1.0") {
+    val pairs = Dedup.minhashLshPairs(corpus, threshold = 0.9).collect()
+    val exactPairs = pairs.filter(r => r.getAs[Double]("jaccard") >= 0.999)
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    (0L until 10L).foreach { i =>
+      assert(exactPairs.contains((i, i + 1000)), s"missing exact-dup pair ($i, ${i + 1000})")
+    }
+  }
+
+  test("minhash-LSH agrees with the exact n-gram Jaccard baseline on found pairs") {
+    val lsh = Dedup.minhashLshPairs(corpus, threshold = 0.5)
+      .withColumnRenamed("jaccard", "lsh_j")
+    val exact = Dedup.ngramJaccardPairs(corpus, threshold = 0.0)
+    // every LSH pair's shingle-set jaccard must be a real >=0.5 pair...
+    val joined = lsh.join(exact, Seq("d1", "d2"), "left")
+    assert(joined.filter(col("jaccard").isNull).count() === 0,
+      "LSH reported a pair with zero token overlap")
+    // ...and recall of truly-identical docs is 100% (banding guarantees
+    // equal signatures collide in every band)
+    val identical = Dedup.minhashLshPairs(corpus, threshold = 0.999)
+    assert(identical.filter(col("d2") === col("d1") + 1000).count() === 10)
+  }
+
+  test("simhash: identical docs collide at hamming 0; near-dups are close") {
+    val pairs = Dedup.simhashPairs(corpus, maxDist = 6).cache()
+    val exact = pairs.filter(col("d2") === col("d1") + 1000)
+    assert(exact.count() === 10)
+    assert(exact.filter(col("hamming") =!= 0).count() === 0)
+    val near = pairs.filter(col("d2") === col("d1") + 2000)
+    assert(near.count() >= 5, "one-token edits should mostly stay within hamming 6")
+  }
+
+  test("SRP-LSH near-dup pairs are a subset of brute-force pairs with equal cosine") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(150).cache()
+    // plant exact duplicates — cos=1 pairs that SRP MUST recall (an
+    // identical vector lands in the same bucket in every table)
+    val dup = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 5000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = e.unionByName(dup)
+    val brute = Similarity.cosineNearDupPairs(corpus, threshold = 0.3)
+    val lsh = Similarity.lshNearDupPairs(corpus, threshold = 0.3)
+      .withColumnRenamed("cos_sim", "lsh_sim").cache()
+    val joined = lsh.join(brute, Seq("id1", "id2"), "left")
+    assert(joined.filter(col("cos_sim").isNull).count() === 0,
+      "LSH returned a pair brute force did not")
+    assert(joined.filter(abs(col("cos_sim") - col("lsh_sim")) > 1e-12).count() === 0,
+      "cosine must be identical for identical pairs")
+    assert(lsh.filter(col("id2") === col("id1") + 5000).count() === 10,
+      "exact duplicates must be recalled with probability 1")
+    // overall recall at low similarity is LOW BY DESIGN for SRP —
+    // report it, don't assert it (see the p=(1-θ/π)^planes math)
+    val recall = lsh.count().toDouble / math.max(brute.count(), 1).toDouble
+    info(f"SRP-LSH near-dup recall vs brute force at cos>=0.3: $recall%.2f")
+  }
+
+  test("LSH top-k self-bucket sanity: vectors find their duplicates") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    // plant exact duplicates with shifted ids: dup(i) = i + 10000
+    val dup = e.select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = e.unionByName(dup)
+    val res = Similarity.lshTopK(corpus, e.limit(20), k = 1)
+    // an identical vector lands in the same bucket in every table -> must be rank 1 (cos=1)
+    val hits = res.filter(col("rank") === 1 && col("n_id") === col("q_id") + 10000).count()
+    assert(hits === 20L, s"every query's exact duplicate must be its top-1; got $hits/20")
+  }
+
+  test("rolling_hash matches the reference implementation and is codegen-stable") {
+    import spark.implicits._
+    val strs = Seq("", "a", "abc", "Ünïcøde ✓", "the quick brown fox")
+    val viaSql = strs.toDF("s")
+      .select(RollingHash.rolling_hash(col("s")).as("h")).as[Long].collect()
+    val direct = strs.map(s => RollingHash.hashBytes(s.getBytes("UTF-8")))
+    assert(viaSql.toSeq === direct)
+    // h("") = 0; h("a") = 97
+    assert(direct.head === 0L)
+    assert(direct(1) === 97L)
+  }
+
+  test("winnowing: identical docs produce identical fingerprint sets") {
+    val fp = Text.withWinnowing(corpus).select("doc_id", "winnow_fp")
+    val a = fp.filter(col("doc_id") === 3).head().getSeq[Long](1)
+    val b = fp.filter(col("doc_id") === 1003).head().getSeq[Long](1)
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("multimodal feature extraction is deterministic and complete") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val feats1 = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs)).collect()
+    val feats2 = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs)).collect()
+    assert(feats1.sortBy(_.doc_id) === feats2.sortBy(_.doc_id))
+    assert(feats1.length === 50)
+    assert(feats1.forall(f => f.width >= 16 && f.height >= 16 && f.n_frames >= 1))
+  }
+}

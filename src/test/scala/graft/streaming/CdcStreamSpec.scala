@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.ingest.TableWriter
+import graft.model.Schemas
+
+/** End-to-end Structured Streaming coverage: landing (T1/T2/T7/K3),
+  * continuous merge (T5/T8/K2) and checkpoint-resume on new files only.
+  * Uses the file source — the same surface the production pipeline uses.
+  */
+class CdcStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ev(name: String, acct: String, sec: Int, note: String): String =
+    s"""{"eventName":"$name","account":"$acct","create_at":"2024-01-01T00:00:${f"$sec%02d"}.000000+0000","update_at":"2024-01-01T00:00:${f"$sec%02d"}.000000+0000","entity":"E","amount":1,"is_credit":0,"note":"$note"}"""
+
+  test("landing stream drops REMOVE and lands minute-partitioned files; merge stream builds and maintains the lake") {
+    val root = Files.createTempDirectory("graft_stream")
+    val srcDir = root.resolve("src").toString
+    val landingDir = root.resolve("landing").toString
+    val lakeDir = root.resolve("lake").toString
+    Files.createDirectories(Paths.get(srcDir))
+
+    Files.writeString(Paths.get(srcDir, "batch1.json"), Seq(
+      ev("INSERT", "acc-1", 1, "v1"),
+      ev("INSERT", "acc-2", 2, "v1"),
+      ev("REMOVE", "acc-3", 3, "gone"),
+      ev("MODIFY", "acc-1", 1, "v2")).mkString("\n"))
+
+    val streamSchema = Schemas.flatCdcRow.add("eventName", "string")
+    val src = spark.readStream.schema(streamSchema).json(srcDir)
+
+    // ---- landing leg
+    val landQ = CdcStream.landingStream(src, landingDir,
+      root.resolve("ckpt_land").toString, triggerInterval = "1 seconds")
+    landQ.processAllAvailable()
+    landQ.stop()
+
+    val landed = spark.read.schema(Schemas.flatCdcRow).json(landingDir)
+    assert(landed.count() === 3, "REMOVE must be dropped at landing")
+    assert(landed.filter(col("account") === "acc-3").count() === 0)
+    // minute-partition dirs exist (K3 layout)
+    assert(Files.exists(Paths.get(landingDir,
+      "year=2024", "month=01", "day=01", "hour=00", "minute=00")))
+
+    // ---- merge leg
+    val mergeQ = CdcStream.mergeStream(spark, landingDir, lakeDir,
+      root.resolve("ckpt_merge").toString, triggerInterval = "1 seconds")
+    mergeQ.processAllAvailable()
+    mergeQ.stop()
+
+    val lake = TableWriter.read(spark, lakeDir)
+    assert(lake.count() === 2, "one row per key after latest-wins merge")
+    // same update_at for acc-1's two versions -> delta row order within
+    // one batch resolves by content tiebreak; both rows carry v1/v2 with
+    // the SAME key+version, so just assert single row per key
+    assert(lake.select("id").distinct().count() === 2)
+
+    // ---- checkpoint resume: a new source batch flows through the
+    // landing stream (the landing dir carries a _spark_metadata sink
+    // log, so the merge source only trusts files the SINK committed —
+    // hand-dropped files are invisible by design; that IS the
+    // exactly-once contract)
+    Files.writeString(Paths.get(srcDir, "batch2.json"),
+      """{"eventName":"MODIFY","account":"acc-1","create_at":"2024-01-01T00:00:01.000000+0000","update_at":"2024-01-01T00:01:00.000000+0000","entity":"E","amount":1,"is_credit":0,"note":"v3"}""")
+    val landQ2 = CdcStream.landingStream(
+      spark.readStream.schema(streamSchema).json(srcDir), landingDir,
+      root.resolve("ckpt_land").toString, triggerInterval = "1 seconds")
+    landQ2.processAllAvailable()
+    landQ2.stop()
+
+    val mergeQ2 = CdcStream.mergeStream(spark, landingDir, lakeDir,
+      root.resolve("ckpt_merge").toString, triggerInterval = "1 seconds")
+    mergeQ2.processAllAvailable()
+    mergeQ2.stop()
+
+    val lake2 = TableWriter.read(spark, lakeDir)
+    assert(lake2.count() === 2)
+    assert(lake2.filter(col("account") === "acc-1").head().getAs[String]("note") === "v3",
+      "newer landed version must win after checkpoint resume")
+  }
+}
