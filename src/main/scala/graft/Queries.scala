@@ -352,21 +352,25 @@ object Queries {
         |ORDER BY p LIMIT 100""".stripMargin)),
 
     // K3+A4: minute-partitioned landing sink, read back and re-aggregate.
+    // Scoped to one hour (≤60 minute-dirs): the minute granularity is
+    // the reference's transient-landing design; writing a full day of
+    // minute dirs is a filesystem micro-benchmark, not a query.
     "k3_landing_roundtrip" -> Q(
       (s, d) => {
-        val day1 = tx(s, d).filter(substring(col("update_at"), 9, 2) === "01")
+        val hour0 = tx(s, d).filter(substring(col("update_at"), 9, 2) === "01" &&
+            substring(col("update_at"), 12, 2) === "00")
           .select("account", "create_at", "update_at", "entity", "amount", "is_credit", "note")
         val dirOut = scratch("landing")
-        Ingest.landCdc(day1, dirOut)
+        Ingest.landCdc(hour0, dirOut)
         s.read.schema(Schemas.flatCdcRow).json(dirOut)
-          .groupBy(col("hour"))
+          .groupBy(col("minute"))
           .agg(count(lit(1)).cast("long").as("n"), sum(col("amount")).cast("long").as("amt"))
-          .orderBy("hour")
+          .orderBy("minute")
       },
       Some(s"""$TxCte
-        |SELECT substr(update_at, 12, 2) AS hour,
+        |SELECT substr(update_at, 15, 2) AS minute,
         |       CAST(count(*) AS BIGINT) AS n, CAST(sum(amount) AS BIGINT) AS amt
-        |FROM tx WHERE substr(update_at, 9, 2) = '01'
+        |FROM tx WHERE substr(update_at, 9, 2) = '01' AND substr(update_at, 12, 2) = '00'
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // K5: CSV sink round-trip (header, quoted JSON-ish strings).

@@ -23,6 +23,15 @@ object QueriesOps {
   private def embs(s: SparkSession, d: String) = s.read.parquet(s"$d/embeddings.parquet")
   private def li(s: SparkSession, d: String) = s.read.parquet(s"$d/lineitem.parquet")
 
+  /** The local fixtures are single parquet files → single-task scans.
+    * The hash-heavy per-row operators (minhash/simhash/SRP) are
+    * compute-bound maps, so spread them across all cores first; on a
+    * real many-file 100 TB corpus the scan parallelism comes for free
+    * and this repartition would be dropped.
+    */
+  private def par(df: org.apache.spark.sql.DataFrame) =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   private def dec(c: String) = col(c).cast("decimal(18,2)")
   private val discPrice = dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))
 
@@ -99,11 +108,14 @@ object QueriesOps {
         |  CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // exact all-pairs baseline: bounded to a fixed 1000-doc slice — its
+    // role is verifying the LSH path, not running at corpus scale
     "dd2_ngram_jaccard" -> Q(
-      (s, d) => Dedup.ngramJaccardPairs(docs(s, d), threshold = 0.5).orderBy("d1", "d2"),
+      (s, d) => Dedup.ngramJaccardPairs(
+        docs(s, d).filter(col("doc_id") < 1000), threshold = 0.5).orderBy("d1", "d2"),
       Some("""WITH tok AS (
         |  SELECT doc_id AS d, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
-        |  FROM documents),
+        |  FROM documents WHERE doc_id < 1000),
         |sizes AS (SELECT d, count(*) AS n FROM tok GROUP BY d),
         |common AS (SELECT a.d AS d1, b.d AS d2, count(*) AS c
         |           FROM tok a JOIN tok b ON a.tok = b.tok AND a.d < b.d GROUP BY 1, 2)
@@ -114,11 +126,11 @@ object QueriesOps {
 
     // xxhash64-based — rows-only here; recall-vs-exact checked in tests.
     "dd3_minhash_lsh_pairs" -> Q(
-      (s, d) => Dedup.minhashLshPairs(docs(s, d), threshold = 0.5).orderBy("d1", "d2"),
+      (s, d) => Dedup.minhashLshPairs(par(docs(s, d)), threshold = 0.5).orderBy("d1", "d2"),
       None),
 
     "dd4_simhash_pairs" -> Q(
-      (s, d) => Dedup.simhashPairs(docs(s, d), maxDist = 3).orderBy("d1", "d2"),
+      (s, d) => Dedup.simhashPairs(par(docs(s, d)), maxDist = 3).orderBy("d1", "d2"),
       None),
 
     // ---- similarity search -------------------------------------------
@@ -147,11 +159,13 @@ object QueriesOps {
         |SELECT q_id, n_id, rank, round(sim, 6) AS sim
         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    // exact O(n²) baseline: bounded to a fixed 600-vector slice
     "ss2_cosine_neardup_pairs" -> Q(
-      (s, d) => Similarity.cosineNearDupPairs(embs(s, d), threshold = 0.4)
+      (s, d) => Similarity.cosineNearDupPairs(
+          embs(s, d).filter(col("vec_id") < 600), threshold = 0.4)
         .select(col("id1"), col("id2"), round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy("id1", "id2"),
-      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 600),
         |pairs AS (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
         |    list_sum(list_transform(range(1, len(a.embedding) + 1),
@@ -177,7 +191,7 @@ object QueriesOps {
     // 8 planes × 8 tables: ~18% recall at cos 0.4 (vs ~3% at the
     // near-dup defaults) — this query targets moderate-similarity pairs.
     "ss4_lsh_neardup_pairs" -> Q(
-      (s, d) => Similarity.lshNearDupPairs(embs(s, d), threshold = 0.4,
+      (s, d) => Similarity.lshNearDupPairs(par(embs(s, d)), threshold = 0.4,
           nPlanes = 8, nTables = 8)
         .select(col("id1"), col("id2"), round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy("id1", "id2"),

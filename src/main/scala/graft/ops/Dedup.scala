@@ -84,22 +84,24 @@ object Dedup {
   /** MinHash signatures: one row per doc with `sig: array<bigint>` of
     * length numHashes.
     *
-    * Implementation: explode distinct shingles, xxhash64 them, then ONE
-    * hash aggregation with numHashes independent `min` columns — all
-    * map-side combinable, whole-stage-codegen'd, no UDFs, and no
-    * `collect_set` (the full shingle set never leaves the aggregation).
+    * Implementation: fully NARROW — the shingle-hash array is
+    * materialized once per row (its own projection, so CollapseProject
+    * won't re-inline the non-cheap expression into each consumer), then
+    * each signature slot is an `array_min(transform(...))` over it. No
+    * explode, no shuffle, no UDF: signing a 100 TB corpus is one
+    * codegen'd map pass, vs the explode+groupBy formulation that
+    * shuffles every (doc, shingle) pair.
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 64, shingleK: Int = 3,
                         textCol: String = "text", idCol: String = "doc_id",
                         seed: Long = 42L): DataFrame = {
-    val sh = shingleHashes(docs, shingleK, textCol, idCol)
-    val minCols = perms(numHashes, seed).zipWithIndex.map { case ((a, b), j) =>
-      min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"m$j")
+    val hashes = transform(array_distinct(shingleCol(col(textCol), shingleK)),
+      x => pmod(xxhash64(x), lit(P)))
+    val sigCols = perms(numHashes, seed).map { case (a, b) =>
+      array_min(transform(col("hs"), h => pmod(lit(a) * h + lit(b), lit(P))))
     }
-    sh.groupBy(col("d"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("d"),
-        array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
+    docs.select(col(idCol).as("d"), hashes.as("hs"))
+      .select(col("d"), array(sigCols: _*).as("sig"))
   }
 
   /** MinHash+LSH near-duplicate pairs: band the signature (bands ×
@@ -122,7 +124,6 @@ object Dedup {
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rpb = numHashes / bands
-    val sh = shingleHashes(docs, shingleK, textCol, idCol)
     val sigs = minhashSignatures(docs, numHashes, shingleK, textCol, idCol)
     val banded = sigs.select(col("d"),
         posexplode(transform(
@@ -134,6 +135,12 @@ object Dedup {
           col("a.d") < col("b.d"))
       .select(col("a.d").as("d1"), col("b.d").as("d2"))
       .dropDuplicates("d1", "d2")
+    // verification only ever touches CANDIDATE docs: semi-join the
+    // corpus down before exploding shingles — at scale the candidate
+    // set is a sliver of the corpus
+    val candDocs = cand.select(col("d1").as("cd")).union(cand.select(col("d2").as("cd"))).distinct()
+    val docsC = docs.join(candDocs, col(idCol) === col("cd"), "left_semi")
+    val sh = shingleHashes(docsC, shingleK, textCol, idCol).dropDuplicates("d", "h")
     val sizes = sh.groupBy(col("d")).agg(count(lit(1)).as("n"))
     val common = cand
       .join(sh.toDF("d1", "h"), "d1")            // one row per shingle of d1
@@ -151,21 +158,21 @@ object Dedup {
   // ---------------- SimHash ----------------
 
   /** 64-bit SimHash per doc: per-token xxhash64, each bit accumulates
-    * +count / -count, sign of the sum sets the output bit. One explode +
-    * one aggregation with 64 codegen'd `sum` columns — map-side partial
-    * aggregation keeps the shuffle at one row per (doc, bit-block).
+    * +1/-1 per occurrence, sign of the sum sets the output bit.
+    *
+    * Fully NARROW: token hashes are materialized once per row, then 64
+    * `aggregate(...)` folds compute the per-bit sums — no explode, no
+    * shuffle, one codegen'd map pass over the corpus (frequency
+    * weighting falls out of iterating raw occurrences).
     */
   def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val tf = docs.select(col(idCol).as("d"), explode(tokens(col(textCol))).as("tok"))
-      .groupBy("d", "tok").agg(count(lit(1)).as("cnt"))
-      .select(col("d"), xxhash64(col("tok")).as("h"), col("cnt"))
-    val bitSums = (0 until 64).map { b =>
-      sum(col("cnt") * (shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1)).as(s"b$b")
-    }
+    val hashes = transform(tokens(col(textCol)), t => xxhash64(t))
     val packed = (0 until 64).map { b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      val bitSum = aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
+      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
-    tf.groupBy(col("d")).agg(bitSums.head, bitSums.tail: _*)
+    docs.select(col(idCol).as("d"), hashes.as("hs"))
       .select(col("d"), packed.as("simhash"))
   }
 

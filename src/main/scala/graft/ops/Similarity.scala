@@ -34,10 +34,14 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
-    val scored = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    // norms are computed ONCE per side before the join (n+m sqrt-dots
+    // instead of 2·n·m inside the pair loop)
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm")))
+    val scored = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        norm(col(vecCol)).as("n_norm"))
       .join(q, col("n_id") =!= col("q_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("sim", dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -80,20 +84,22 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     def bucketed(df: DataFrame, prefix: String): DataFrame =
       df.select(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}_vec"),
+          norm(col(vecCol)).as(s"${prefix}_norm"),
           explode(array((0 until nTables).map(t =>
             struct(lit(t).as("tbl"),
               srpBucket(col(vecCol), nPlanes, dim, seed = 7L + t).as("bkt"))): _*)).as("tb"))
-        .select(col(s"${prefix}_id"), col(s"${prefix}_vec"),
+        .select(col(s"${prefix}_id"), col(s"${prefix}_vec"), col(s"${prefix}_norm"),
           col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     val c = bucketed(corpus, "n")
     val q = bucketed(queries, "q")
     val cand = c.join(q, Seq("tbl", "bkt"))
       .filter(col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec"))
+      .select(col("q_id"), col("q_vec"), col("q_norm"),
+        col("n_id"), col("n_vec"), col("n_norm"))
       .dropDuplicates("q_id", "n_id")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id").asc)
-    cand.withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    cand.withColumn("sim", dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"), col("sim"))
@@ -106,10 +112,12 @@ object Similarity {
     */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = vectors.select(col(idCol).as("id1"), col(vecCol).as("v1"))
-    val b = vectors.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    val a = vectors.select(col(idCol).as("id1"), col(vecCol).as("v1"),
+      norm(col(vecCol)).as("nn1"))
+    val b = vectors.select(col(idCol).as("id2"), col(vecCol).as("v2"),
+      norm(col(vecCol)).as("nn2"))
     a.join(b, col("id1") < col("id2"))
-      .withColumn("cos_sim", cosine(col("v1"), col("v2")))
+      .withColumn("cos_sim", dot(col("v1"), col("v2")) / (col("nn1") * col("nn2")))
       .filter(col("cos_sim") >= threshold)
       .select(col("id1"), col("id2"), col("cos_sim"))
   }
@@ -124,17 +132,20 @@ object Similarity {
     // alias from this same select — lateral column aliases can't be
     // resolved inside a Generate (explode) in Spark 4.
     val bucketed = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nn"),
         explode(array((0 until nTables).map(t =>
           struct(lit(t).as("tbl"),
             srpBucket(col(vecCol), nPlanes, dim, seed = 11L + t).as("bkt"))): _*)).as("tb"))
-      .select(col("id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+      .select(col("id"), col("v"), col("nn"),
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     bucketed.as("a").join(bucketed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.v").as("v1"), col("b.v").as("v2"))
+        col("a.v").as("v1"), col("b.v").as("v2"),
+        col("a.nn").as("nn1"), col("b.nn").as("nn2"))
       .dropDuplicates("id1", "id2")
-      .withColumn("cos_sim", cosine(col("v1"), col("v2")))
+      .withColumn("cos_sim", dot(col("v1"), col("v2")) / (col("nn1") * col("nn2")))
       .filter(col("cos_sim") >= threshold)
       .select(col("id1"), col("id2"), col("cos_sim"))
   }
