@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.RollingHash
+import graft.functions.{RollingHash, VectorDot}
 
 /** Registers graft's native Catalyst expressions through the PUBLIC
   * extension point (`SparkSessionExtensions.injectFunction`) — the
@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (args: Seq[Expression]) => RollingHash(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (args: Seq[Expression]) => VectorDot(args(0), args(1))))
   }
 }
 

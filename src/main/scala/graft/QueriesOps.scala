@@ -197,6 +197,16 @@ object QueriesOps {
         .orderBy("id1", "id2"),
       None),
 
+    // IVF scale path: probe-limited exact search inside coarse cells.
+    "ss5_ivf_topk" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.ivfTopK(par(e), e.filter(col("vec_id") < 8), k = 5)
+          .select(col("q_id"), col("n_id"), col("rank"), round(col("sim"), 6).as("sim"))
+          .orderBy("q_id", "rank")
+      },
+      None),
+
     // ---- multimodal ---------------------------------------------------
 
     "mm1_extract_features" -> Q(

@@ -16,8 +16,17 @@ import scala.util.Random
   */
 object Similarity {
 
-  /** In-order double dot product of two float arrays. */
-  def dot(a: Column, b: Column): Column =
+  /** In-order double dot product of two float/double arrays, as a
+    * native codegen'd Expression (graft.functions.VectorDot) — one
+    * fused loop instead of zip_with allocation + boxed lambda folds.
+    * Identical accumulation order, so values are bit-for-bit the same
+    * as the higher-order formulation (which [[dotHof]] keeps for
+    * sessions without GraftExtensions).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorDot.vector_dot(a, b)
+
+  /** Composable-built-ins fallback of [[dot]]; same values. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -100,6 +109,51 @@ object Similarity {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id").asc)
     cand.withColumn("sim", dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("sim"))
+  }
+
+  /** IVF (inverted-file) approximate top-k — the second scale path
+    * besides SRP-LSH. The corpus is coarse-quantized into nCentroids
+    * cells (centroids here are the deterministic lowest-id corpus
+    * vectors; a production build would k-means them — the INDEX/probe
+    * plumbing is identical), each vector assigned to its nearest
+    * centroid by one narrow pass over a broadcast centroid table; each
+    * query probes its nProbe nearest cells and runs exact cosine only
+    * inside them.
+    *
+    * Scale profile: assignment is a broadcast nested loop over
+    * nCentroids rows (no shuffle of the corpus); the search join is an
+    * equi-join on cell id, so work is corpus/nCentroids × nProbe per
+    * query — the standard IVF trade of recall for a nCentroids/nProbe
+    * fraction of the scan.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = broadcast(corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm")))
+
+    def assign(df: DataFrame, prefix: String, probes: Int): DataFrame = {
+      val sim = dot(col(vecCol), col("c_vec")) / (norm(col(vecCol)) * col("c_norm"))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("c_sim").desc, col("c_id").asc)
+      df.crossJoin(cents)
+        .withColumn("c_sim", sim)
+        .withColumn("c_rk", row_number().over(w))
+        .filter(col("c_rk") <= probes)
+        .select(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}_vec"),
+          norm(col(vecCol)).as(s"${prefix}_norm"), col("c_id").as("cell"))
+    }
+
+    val cells = assign(corpus, "n", probes = 1)
+    val probed = assign(queries, "q", probes = nProbe)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    cells.join(probed, "cell")
+      .filter(col("n_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("sim", dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"), col("sim"))

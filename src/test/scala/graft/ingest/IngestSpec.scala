@@ -1,0 +1,43 @@
+package graft.ingest
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.model.Schemas
+
+class IngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("readCdcFiles reads an explicit file list, not the whole landing dir (S2)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_s2").toString
+    def row(acct: String, min: Int) =
+      s"""{"account":"$acct","create_at":"2024-01-01T00:$min%02d:00.000000+0000","update_at":"2024-01-01T00:$min%02d:00.000000+0000","entity":"E","amount":1,"is_credit":0,"note":"n"}"""
+        .replace("$min%02d", f"$min%02d")
+    Files.writeString(Paths.get(dir, "f1.json"), Seq(row("a1", 1), row("a2", 1)).mkString("\n"))
+    Files.writeString(Paths.get(dir, "f2.json"), row("a3", 2))
+    Files.writeString(Paths.get(dir, "f3.json"), row("a4", 3))
+
+    val picked = Ingest.readCdcFiles(spark, Seq(s"$dir/f1.json", s"$dir/f3.json"))
+    assert(picked.count() === 3)
+    assert(picked.select("account").as[String].collect().sorted === Array("a1", "a2", "a4"))
+  }
+
+  test("landCdc derives landing partitions from update_at, not create_at (the reference asymmetry)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_land").toString
+    val ev = Seq((
+      "acc-1", "2024-01-01T00:00:00.000000+0000", "2024-02-15T10:30:00.000000+0000",
+      "E", 1, 0, "n"))
+      .toDF("account", "create_at", "update_at", "entity", "amount", "is_credit", "note")
+    Ingest.landCdc(ev, dir)
+    assert(Files.exists(Paths.get(dir,
+      "year=2024", "month=02", "day=15", "hour=10", "minute=30")),
+      "landing partition must follow update_at (arrival window)")
+    val back = spark.read.schema(Schemas.flatCdcRow).json(dir)
+    assert(back.head().getAs[String]("create_at").startsWith("2024-01-01"))
+  }
+}

@@ -101,6 +101,25 @@ class OpsSpec extends AnyFunSuite {
     assert(hits === 20L, s"every query's exact duplicate must be its top-1; got $hits/20")
   }
 
+  test("IVF top-k: exact duplicates quantize to the same cell and rank first") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    val dup = e.select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = e.unionByName(dup)
+    val res = Similarity.ivfTopK(corpus, e.limit(20), k = 1)
+    val hits = res.filter(col("rank") === 1 && col("n_id") === col("q_id") + 10000).count()
+    assert(hits === 20L, s"every query's exact duplicate shares its cell and must be top-1; got $hits/20")
+  }
+
+  test("vector_dot equals the higher-order dot formulation bit-for-bit") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    val a = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+    val b = e.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    val pairs = a.join(b, col("id1") < col("id2"))
+      .withColumn("native", Similarity.dot(col("v1"), col("v2")))
+      .withColumn("hof", Similarity.dotHof(col("v1"), col("v2")))
+    assert(pairs.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
   test("rolling_hash matches the reference implementation and is codegen-stable") {
     import spark.implicits._
     val strs = Seq("", "a", "abc", "Ünïcøde ✓", "the quick brown fox")
