@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{RollingHash, VectorDot}
+import graft.functions.{MinHashSigs, RollingHash, SimHash64, VectorDot}
 
 /** Registers graft's native Catalyst expressions through the PUBLIC
   * extension point (`SparkSessionExtensions.injectFunction`) — the
@@ -22,6 +22,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (args: Seq[Expression]) => VectorDot(args(0), args(1))))
+    // literal numHashes/seed args are extracted at resolution time
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (args: Seq[Expression]) => MinHashSigs(args(0),
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Number].longValue())))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
   }
 }
 

@@ -1,0 +1,31 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Dump physical plans of the headline queries for plan-quality review
+  * (pushdown, pruning, broadcast choice, WSCG spans, shuffle count).
+  * `runMain graft.Plans [sfDir] [outFile]`.
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val out = if (args.length > 1) args(1) else "/tmp/plans.txt"
+    val spark = GraftSession.local()
+    val names = Seq("j1_flagship_upsert", "w1_dedup_latest", "h1_pricing_summary",
+      "h3_join_revenue", "h4_top_suppliers", "h5_semi_join", "dd3_minhash_lsh_pairs",
+      "ss3_lsh_topk", "ss5_ivf_topk", "p9_partition_range", "t3_watermark_clamp")
+    val qs = SparkEntry.queries
+    val sb = new StringBuilder
+    names.foreach { n =>
+      val df = qs(n)(spark, sfDir)
+      sb.append(s"\n======== $n ========\n")
+      sb.append(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      val shuffles = "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+      sb.append(s"\n[exchanges in plan: $shuffles]\n")
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"[plans] written to $out")
+    spark.stop()
+  }
+}

@@ -53,13 +53,11 @@ object Dedup {
 
   /** 31-bit Mersenne prime for the universal-hash family
     * h_j(x) = (a_j·(x mod p) + b_j) mod p — operands stay < 2^62, so no
-    * long overflow under ANSI arithmetic.
+    * long overflow under ANSI arithmetic. The family lives in
+    * [[graft.functions.MinHashSigs]] (single source of truth shared
+    * with the native expression).
     */
-  private val P = 2147483647L
-  private def perms(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
-    val r = new Random(seed)
-    Seq.fill(numHashes)((1L + r.nextInt((P - 1).toInt).toLong, r.nextInt(P.toInt).toLong))
-  }
+  private val P = graft.functions.MinHashSigs.P
 
   /** doc -> (id, shingles): k-word shingle strings. Documents shorter
     * than k tokens degrade to a single whole-text shingle.
@@ -84,24 +82,19 @@ object Dedup {
   /** MinHash signatures: one row per doc with `sig: array<bigint>` of
     * length numHashes.
     *
-    * Implementation: fully NARROW — the shingle-hash array is
-    * materialized once per row (its own projection, so CollapseProject
-    * won't re-inline the non-cheap expression into each consumer), then
-    * each signature slot is an `array_min(transform(...))` over it. No
-    * explode, no shuffle, no UDF: signing a 100 TB corpus is one
-    * codegen'd map pass, vs the explode+groupBy formulation that
-    * shuffles every (doc, shingle) pair.
+    * Implementation: fully NARROW — shingle hashes are built with the
+    * codegen'd built-ins, then the native [[graft.functions.MinHashSigs]]
+    * expression computes all numHashes slots in ONE fused loop. No
+    * explode, no shuffle, no boxed per-slot lambdas: signing a 100 TB
+    * corpus is a single codegen'd map pass.
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 64, shingleK: Int = 3,
                         textCol: String = "text", idCol: String = "doc_id",
                         seed: Long = 42L): DataFrame = {
     val hashes = transform(array_distinct(shingleCol(col(textCol), shingleK)),
       x => pmod(xxhash64(x), lit(P)))
-    val sigCols = perms(numHashes, seed).map { case (a, b) =>
-      array_min(transform(col("hs"), h => pmod(lit(a) * h + lit(b), lit(P))))
-    }
-    docs.select(col(idCol).as("d"), hashes.as("hs"))
-      .select(col("d"), array(sigCols: _*).as("sig"))
+    docs.select(col(idCol).as("d"),
+      call_function("minhash_sigs", hashes, lit(numHashes), lit(seed)).as("sig"))
   }
 
   /** MinHash+LSH near-duplicate pairs: band the signature (bands ×
@@ -130,17 +123,23 @@ object Dedup {
           sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",", slice(col("sig"), b * rpb + 1, lit(rpb)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    // candidates are SMALL (near-dup pairs, not the corpus) and are
+    // consumed by three downstream branches — materialize once instead
+    // of re-running the band join per branch
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.d") < col("b.d"))
       .select(col("a.d").as("d1"), col("b.d").as("d2"))
       .dropDuplicates("d1", "d2")
+      .localCheckpoint()
     // verification only ever touches CANDIDATE docs: semi-join the
     // corpus down before exploding shingles — at scale the candidate
-    // set is a sliver of the corpus
+    // set is a sliver of the corpus. Also materialized: three consumers
+    // (sizes + both sides of the common-shingle join).
     val candDocs = cand.select(col("d1").as("cd")).union(cand.select(col("d2").as("cd"))).distinct()
     val docsC = docs.join(candDocs, col(idCol) === col("cd"), "left_semi")
     val sh = shingleHashes(docsC, shingleK, textCol, idCol).dropDuplicates("d", "h")
+      .localCheckpoint()
     val sizes = sh.groupBy(col("d")).agg(count(lit(1)).as("n"))
     val common = cand
       .join(sh.toDF("d1", "h"), "d1")            // one row per shingle of d1
@@ -160,20 +159,15 @@ object Dedup {
   /** 64-bit SimHash per doc: per-token xxhash64, each bit accumulates
     * +1/-1 per occurrence, sign of the sum sets the output bit.
     *
-    * Fully NARROW: token hashes are materialized once per row, then 64
-    * `aggregate(...)` folds compute the per-bit sums — no explode, no
-    * shuffle, one codegen'd map pass over the corpus (frequency
-    * weighting falls out of iterating raw occurrences).
+    * Fully NARROW: token hashes via codegen'd built-ins, then the
+    * native [[graft.functions.SimHash64]] expression folds all 64 bit
+    * counters in one loop — no explode, no shuffle, no per-bit
+    * traversals (frequency weighting falls out of iterating raw
+    * occurrences).
     */
   def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val hashes = transform(tokens(col(textCol)), t => xxhash64(t))
-    val packed = (0 until 64).map { b =>
-      val bitSum = aggregate(col("hs"), lit(0L),
-        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
-      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    docs.select(col(idCol).as("d"), hashes.as("hs"))
-      .select(col("d"), packed.as("simhash"))
+    docs.select(col(idCol).as("d"), call_function("simhash64", hashes).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist (< 16):
