@@ -14,10 +14,17 @@ object Bench {
     // warm-up: JVM/codegen path, not measured
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
+    // two passes: pass 1 warms JIT/codegen/page cache, pass 2 is the
+    // reported steady-state time (local single-JVM runs are otherwise
+    // dominated by first-touch compilation noise)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       val outcome =
-        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        try {
+          fn(spark, sfDir).count()
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          Right((System.nanoTime() - t0) / 1e9)
+        }
         catch { case e: Throwable => Left(e.getClass.getSimpleName + ": " + e.getMessage) }
       name -> outcome
     }
@@ -29,7 +36,7 @@ object Bench {
     val fs = failed.map { case (k, m) => "\"" + k + "\":\"" + esc(m.take(200)) + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"n_ok":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady-state (2nd run)","queries":$qs,"failed":$fs,"n_ok":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(2)
   }

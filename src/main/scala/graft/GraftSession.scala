@@ -51,6 +51,9 @@ object GraftSession {
       // partition dirs land as strings ("01" stays "01", not int 1) —
       // required for the CDC landing round-trip fidelity
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      // bucketed tables (BucketedLake) land outside the repo/cwd
+      .config("spark.sql.warehouse.dir",
+        sys.props("java.io.tmpdir") + "/graft_warehouse")
       .config("spark.ui.enabled", "false")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
