@@ -16,7 +16,9 @@ import graft.model.{CdcEvent, Transaction}
   * Driver-side fixture generator only — test inputs for the engine, not
   * a distributed op.
   */
-final class TransactionFaker(seed: Long, start: Instant = Instant.parse("2023-07-27T00:00:00Z")) {
+final class TransactionFaker(seed: Long,
+                             start: Instant = Instant.parse("2023-07-27T00:00:00Z"),
+                             tickMicros: Long = 10000L) {
   private val rnd = new Random(seed)
   private val fmt = DateTimeFormatter
     .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSZ").withZone(ZoneOffset.UTC)
@@ -27,8 +29,9 @@ final class TransactionFaker(seed: Long, start: Instant = Instant.parse("2023-07
     "indeed", "opportunity", "determine", "specific", "market", "value")
 
   private def tick(): String = {
-    // 10ms ± 50% like the reference's sleep (data_faker.py:144-157)
-    clock = clock.plusNanos((10000L + rnd.nextInt(10000)) * 1000L)
+    // tickMicros ± 50%, default 10ms like the reference's sleep
+    // (data_faker.py:144-157); tests stretch it to span many minutes
+    clock = clock.plusNanos((tickMicros + rnd.nextLong(tickMicros)) * 1000L)
     fmt.format(clock)
   }
   private def phone(): String =

@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.time.{Duration, Instant}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+import graft.codec.DynamoDbJson
+import graft.faker.TransactionFaker
+import graft.ingest.{Ingest, TableWriter}
+import graft.merge.Merge
+import graft.model.Schemas
+import graft.orchestrate.{CdcTracker, Persist}
+import graft.query.QuerySurface
+import graft.sources.Manifest
+
+/** The reference's whole example.ipynb lifecycle in one deterministic
+  * run: DynamoDB export (S4/S5/S6 manifests + tracker + .json.gz data)
+  * → initial load (S1/K1) → CDC landing (K3) → cron-tracker planned,
+  * file-capped incremental merges (S2/S3/P9/O4/T3-T6, K2) → full-table
+  * compare oracle (J2/S7). The CDC feed REPLAYS events that predate the
+  * export snapshot, so convergence also proves replay idempotency (T8)
+  * end-to-end, exactly like Hudi's precombine makes the reference
+  * tolerate the stream/export overlap.
+  */
+class LifecycleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("export → initial load → CDC catch-up ticks → source/lake compare is clean") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_lifecycle")
+    // ~1 s per event → 1600 events span ~30 minutes of partitions, so
+    // the 1-minute interval cap forces a real multi-tick catch-up
+    val faker = new TransactionFaker(seed = 42L, tickMicros = 1000000L)
+
+    // ---- phase 1: business writes happen; at T0 an export is taken
+    val preExport = faker.events(800)
+    val snapshotAtT0 = faker.tableState
+
+    val exportId = "01690000000000-deadbeef"
+    val exportRoot = root.resolve("exports").toString
+    val dataDir = s"$exportRoot/AWSDynamoDB/$exportId/data"
+    DynamoDbJson.encodeExportLines(snapshotAtT0.toDF())
+      .write.mode("overwrite").option("compression", "gzip").text(dataDir)
+
+    // the reference's worker names its outputs NNNNNN.json.gz
+    // (…post_processor_worker.py:61-67); Spark's text sink emits
+    // .txt.gz part files, so rename to the wire convention
+    Files.list(Paths.get(dataDir)).iterator().asScala
+      .filter(_.toString.endsWith(".txt.gz")).toSeq.zipWithIndex
+      .foreach { case (f, i) =>
+        Files.move(f, f.resolveSibling(f"$i%06d.json.gz"))
+      }
+    // manifest-files.json + export tracker, then resolve the dir back
+    // through the S4 path like initial_load.py:79-90 does
+    val dataFiles = Files.list(Paths.get(dataDir)).iterator().asScala
+      .filter(_.toString.endsWith(".json.gz")).toSeq.sortBy(_.toString)
+    Manifest.writeDataFiles(
+      dataFiles.map(f => (1L, "md5-x", "etag-x",
+        s"AWSDynamoDB/$exportId/data/${f.getFileName}")).toDF(
+        "itemCount", "md5Checksum", "etag", "dataFileS3Key"),
+      root.resolve("manifest").toString)
+    Manifest.writeExportTracker(
+      Manifest.ExportTracker(s"arn:aws:dynamodb:us-east-1:1:table/T/export/$exportId"),
+      root.resolve("tracker.json").toString)
+
+    val tracker = Manifest.readExportTracker(root.resolve("tracker.json").toString)
+    assert(tracker.dataDir(exportRoot) === dataDir)
+    val manifest = Manifest.readDataFiles(spark, root.resolve("manifest").toString)
+    val exportFiles = manifest.select("dataFileS3Key").as[String].collect().sorted
+      .map(k => s"$exportRoot/$k").toSeq
+
+    // S2 explicit-file-list read of the export, decode, initial load
+    val decoded = DynamoDbJson.decodeExportLines(
+      spark.read.text(exportFiles: _*))
+    val lakePath = root.resolve("lake").toString
+    TableWriter.bulkWrite(Ingest.toLakeRows(decoded), lakePath)
+    assert(TableWriter.read(spark, lakePath).count() === snapshotAtT0.size.toLong)
+
+    // ---- phase 2: CDC continues; the FULL event log (incl. pre-T0
+    // replays) lands minute-partitioned
+    val postExport = faker.events(800)
+    val finalState = faker.tableState
+    val landingDir = root.resolve("landing").toString
+    val allEvents = (preExport ++ postExport).toDF()
+    Ingest.landCdc(Merge.filterRemoves(allEvents, "eventName").drop("eventName"), landingDir)
+
+    // ---- phase 3: cron ticks — tracker state machine + job-input serde
+    def relFiles(): Seq[String] = Files.walk(Paths.get(landingDir)).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".json"))
+      .map(p => Paths.get(landingDir).relativize(p).toString).toSeq
+
+    val firstMinute = relFiles().sorted.head.split('/').init.mkString("/")
+    var state = CdcTracker.State(
+      // bootstrap one minute BEFORE the first landed partition
+      CdcTracker.partitionOf(
+        CdcTracker.parsePartition(firstMinute).minus(Duration.ofMinutes(1))),
+      None, None, readyToRunNext = true)
+    val lastMinute = relFiles().sorted.last.split('/').init.mkString("/")
+    val now = CdcTracker.parsePartition(lastMinute).plus(Duration.ofMinutes(3))
+
+    var ticks = 0
+    var merged = 0
+    while (ticks < 50 && CdcTracker.parsePartition(state.lastProcessedPartition)
+        .isBefore(CdcTracker.parsePartition(lastMinute))) {
+      CdcTracker.plan(state, now, relFiles(), maxFiles = 100,
+          maxInterval = Duration.ofMinutes(1)) match {
+        case Some(p) =>
+          // job-input round-trip (S3) exactly like orchestration.py:240-277
+          val inputPath = root.resolve(s"input_$ticks.json").toString
+          Persist.writeJobInput(Persist.JobInput(
+            p.startAfterPartition, p.endBeforePartition, p.files), inputPath)
+          val input = Persist.readJobInput(inputPath)
+          if (input.s3uriList.nonEmpty) {
+            val delta = Ingest.toLakeRows(
+              Ingest.readCdcFiles(spark, input.s3uriList.map(f => s"$landingDir/$f")))
+            TableWriter.mergeCommit(spark, delta, lakePath)
+            merged += input.s3uriList.size
+          }
+          state = CdcTracker.completed(CdcTracker.launched(state, p, s"run-$ticks"))
+        case None =>
+          state = CdcTracker.completed(state)
+      }
+      ticks += 1
+    }
+    assert(merged > 0, "at least one incremental merge must have run")
+    assert(ticks > 2, "the 1-minute interval cap must force multiple ticks")
+
+    // ---- phase 4: the compare oracle (compare.py:50-79)
+    val source = Ingest.toLakeRows(finalState.toDF())
+    val lake = TableWriter.read(spark, lakePath)
+      .select(source.columns.map(col).toIndexedSeq: _*)
+    val (onlySource, onlyLake) = QuerySurface.compare(source, lake)
+    assert(onlySource.isEmpty && onlyLake.isEmpty,
+      s"source/lake diverged: ${onlySource.count()} source-only, ${onlyLake.count()} lake-only rows")
+    assert(lake.count() === finalState.size.toLong)
+  }
+}
