@@ -89,6 +89,21 @@ object QueriesOps {
         |       ELSE 'unknown' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin)),
 
+    "tx6_tfidf_topterms" -> Q(
+      (s, d) => Text.topTfidfTerms(docs(s, d), k = 3).orderBy("d", "rk"),
+      Some("""WITH tok AS (
+        |  SELECT doc_id AS d, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |tf AS (SELECT d, tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+        |        FROM (SELECT DISTINCT d, tok FROM tok) GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+        |sc AS (SELECT d, tf.tok AS tok, tf, df,
+        |         CAST(tf AS DOUBLE) * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS tfidf
+        |       FROM tf JOIN dfq ON tf.tok = dfq.tok CROSS JOIN n)
+        |SELECT d, tok, tf, df, tfidf, rk FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY d ORDER BY tfidf DESC, tok ASC) AS INTEGER) AS rk
+        |  FROM sc) WHERE rk <= 3 ORDER BY d, rk""".stripMargin)),
+
     // rolling_hash is a native codegen Expression — not SQL-portable.
     "tx4_fingerprint" -> Q(
       (s, d) => Text.withFingerprint(docs(s, d))
@@ -123,6 +138,13 @@ object QueriesOps {
         |FROM common JOIN sizes s1 ON s1.d = common.d1 JOIN sizes s2 ON s2.d = common.d2
         |WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5
         |ORDER BY d1, d2""".stripMargin)),
+
+    // corpus-level dedup decision: the deduplicated corpus itself
+    "dd5_dedup_corpus" -> Q(
+      (s, d) => Dedup.dedupExactCorpus(docs(s, d)).select("doc_id").orderBy("doc_id"),
+      Some("""SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
     // xxhash64-based — rows-only here; recall-vs-exact checked in tests.
     "dd3_minhash_lsh_pairs" -> Q(

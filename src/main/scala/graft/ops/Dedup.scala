@@ -1,8 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import scala.util.Random
 
 /** Large-scale document deduplication operators (north-star extensions,
   * SURVEY.md §7.7 / BASELINE.json): exact, MinHash+LSH, SimHash and
@@ -48,6 +48,30 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
   }
+
+  /** Corpus-level exact dedup DECISION: the deduplicated corpus itself
+    * (keep the min-id representative of every content-hash group) — the
+    * operation a training-data pipeline actually runs, where [[exact]]
+    * is its reporting side. One hash shuffle; text never shuffles twice
+    * (the window runs on (hash, id) pairs and semi-joins back).
+    */
+  def dedupExactCorpus(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("__h")).orderBy(col(idCol).asc)
+    docs.withColumn("__h", md5(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__h", "__rn")
+  }
+
+  /** Greedy near-dup pruning: drop every doc that appears as the
+    * LATER member (d2) of a pair from any pair generator (LSH, simhash,
+    * cosine). Not transitive closure — the standard one-pass greedy
+    * policy: a kept doc may itself shadow further docs.
+    */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame,
+                         idCol: String = "doc_id"): DataFrame =
+    docs.join(pairs.select(col("d2").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
   // ---------------- MinHash + LSH ----------------
 

@@ -79,6 +79,35 @@ object Text {
         .otherwise("unknown"))
   }
 
+  /** Per-document top TF-IDF terms: tokenize, per-doc term frequency,
+    * document frequency via one token-level aggregation (broadcast back
+    * — the vocabulary is small relative to the corpus), smooth-IDF
+    * weight, top-k terms per doc by weight.
+    *
+    * Scale: two shuffles — (doc, token) TF and token DF — both
+    * map-side combinable; the DF table broadcasts (vocab ≪ corpus).
+    */
+  def topTfidfTerms(docs: DataFrame, k: Int = 3, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol).as("d"),
+      explode(tokensCol(lower(col(textCol)))).as("tok"))
+    val tf = tok.groupBy("d", "tok").agg(count(lit(1)).as("tf"))
+    val df = tok.select("d", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy(col("d"))
+      .orderBy(col("tfidf").desc, col("tok").asc)
+    tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf").cast("double") *
+          log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .select(col("d"), col("tok"), col("tf"), col("df"), col("tfidf"), col("rk"))
+  }
+
   /** Whole-document fingerprint via the native RollingHash expression. */
   def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fingerprint", RollingHash.rolling_hash(col(textCol)))

@@ -57,6 +57,18 @@ class OpsSpec extends AnyFunSuite {
     assert(identical.filter(col("d2") === col("d1") + 1000).count() === 10)
   }
 
+  test("corpus dedup decision: exact then near-dup pruning shrinks 80 -> 70 -> 60") {
+    assert(corpus.count() === 80)
+    val exactKept = Dedup.dedupExactCorpus(corpus)
+    assert(exactKept.count() === 70, "10 exact duplicates must be dropped")
+    assert(exactKept.filter(col("doc_id") >= 1000 && col("doc_id") < 2000).count() === 0,
+      "the min-id representative is kept, the shifted copy dropped")
+    val nearPairs = Dedup.minhashLshPairs(exactKept, threshold = 0.6)
+    val pruned = Dedup.dropNearDuplicates(exactKept, nearPairs)
+    assert(pruned.filter(col("doc_id") >= 2000).count() === 0,
+      "one-token-edit near-dups must be pruned at jaccard 0.6")
+  }
+
   test("simhash: identical docs collide at hamming 0; near-dups are close") {
     val pairs = Dedup.simhashPairs(corpus, maxDist = 6).cache()
     val exact = pairs.filter(col("d2") === col("d1") + 1000)

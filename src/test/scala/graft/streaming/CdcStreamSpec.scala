@@ -84,4 +84,36 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(lake2.filter(col("account") === "acc-1").head().getAs[String]("note") === "v3",
       "newer landed version must win after checkpoint resume")
   }
+
+  test("minuteCounts: streaming tumbling windows with 2-minute watermark emit per-minute counts") {
+    val root = Files.createTempDirectory("graft_stream_win")
+    val srcDir = root.resolve("src").toString
+    Files.createDirectories(Paths.get(srcDir))
+    def row(min: Int, sec: Int): String = {
+      val ts = f"2024-01-01T00:$min%02d:$sec%02d.000000+0000"
+      s"""{"account":"a","create_at":"$ts","update_at":"$ts","entity":"E","amount":1,"is_credit":0,"note":"n"}"""
+    }
+    Files.writeString(Paths.get(srcDir, "b1.json"),
+      Seq(row(0, 10), row(0, 40), row(1, 5), row(5, 0)).mkString("\n"))
+
+    val src = spark.readStream.schema(Schemas.flatCdcRow).json(srcDir)
+    val counts = CdcStream.minuteCounts(src)
+    val q = counts.writeStream
+      .format("memory").queryName("graft_minute_counts")
+      .outputMode("append")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    // append mode only emits windows the watermark has CLOSED: max event
+    // 00:05:00 - 2min watermark = 00:03 -> windows 00:00 and 00:01 are
+    // final, 00:05 is still open (T3 semantics)
+    val out = spark.table("graft_minute_counts")
+      .select(col("window.start").cast("string").as("w"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    q.stop()
+    assert(out === Map(
+      "2024-01-01 00:00:00" -> 2L,
+      "2024-01-01 00:01:00" -> 1L),
+      s"closed windows only; got $out")
+  }
 }
