@@ -44,4 +44,41 @@ object QuerySurface {
     val (l, r) = compare(source, lake)
     l.isEmpty && r.isEmpty
   }
+
+  /** First-n differing rows, labeled by side — the reference prints the
+    * first 10 diffs on mismatch (compare.py:66-79); distributed version
+    * via limit, no driver-side zip.
+    */
+  def diffReport(source: DataFrame, lake: DataFrame, n: Int = 10): DataFrame = {
+    val (l, r) = compare(source, lake)
+    l.withColumn("side", lit("source_only"))
+      .unionByName(r.withColumn("side", lit("lake_only")))
+      .limit(n)
+  }
+}
+
+/** The reference's raw-SQL entry point (`run_athena_query(database,
+  * sql)` — athena.py:29-64) re-expressed: register the lake as a view,
+  * submit SQL strings, results stay distributed DataFrames (no CSV
+  * materialization hop, no polling waiter — SURVEY §2.1 S10/T10 n/a).
+  */
+object SqlSurface {
+
+  /** Register a lake path under a view name (the "database.table"). */
+  def registerLake(spark: org.apache.spark.sql.SparkSession, path: String,
+                   view: String = "transactions"): Unit =
+    spark.read.parquet(path).createOrReplaceTempView(view)
+
+  /** `run_athena_query` analog: SQL in, DataFrame out. */
+  def query(spark: org.apache.spark.sql.SparkSession, sql: String): DataFrame =
+    spark.sql(sql)
+
+  /** The two canned queries the reference driver issues
+    * (athena.py:75-88): COUNT(*) and an ordered LIMIT preview.
+    */
+  def countRows(spark: org.apache.spark.sql.SparkSession, view: String): DataFrame =
+    spark.sql(s"SELECT COUNT(*) AS n_rows FROM $view")
+
+  def previewSql(spark: org.apache.spark.sql.SparkSession, view: String, n: Int): DataFrame =
+    spark.sql(s"SELECT * FROM $view ORDER BY id LIMIT $n")
 }

@@ -137,5 +137,16 @@ class LifecycleSpec extends AnyFunSuite {
     assert(onlySource.isEmpty && onlyLake.isEmpty,
       s"source/lake diverged: ${onlySource.count()} source-only, ${onlyLake.count()} lake-only rows")
     assert(lake.count() === finalState.size.toLong)
+
+    // ---- phase 5: the Athena-style raw-SQL read surface over the lake
+    graft.query.SqlSurface.registerLake(spark, lakePath)
+    val nSql = graft.query.SqlSurface.countRows(spark, "transactions")
+      .head().getLong(0)
+    assert(nSql === finalState.size.toLong)
+    val prev = graft.query.SqlSurface.previewSql(spark, "transactions", 5).collect()
+    assert(prev.length === 5)
+    val distinctAccts = graft.query.SqlSurface.query(spark,
+      "SELECT COUNT(DISTINCT account) AS n FROM transactions").head().getLong(0)
+    assert(distinctAccts > 0 && distinctAccts <= nSql)
   }
 }
