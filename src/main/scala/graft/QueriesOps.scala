@@ -255,6 +255,62 @@ object QueriesOps {
         |  CAST(least(1024, n - fi * 1024) AS INTEGER) AS frame_n_bytes
         |FROM f WHERE fi % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    "mm3_resize_thumbnails" -> Q(
+      (s, d) => Multimodal.resize(Multimodal.mediaFromDocuments(docs(s, d)), side = 16)
+        .toDF().select(col("doc_id"), col("media_type"),
+          length(col("thumb")).as("thumb_bytes"), col("thumb_checksum"))
+        .orderBy("doc_id"),
+      None),
+
+    // the composite curation pipeline a training-data run would execute:
+    // quality gate -> language gate -> exact dedup -> token budget,
+    // one declarative plan, fully oracle-checkable
+    "tx7_curation_pipeline" -> Q(
+      (s, d) => {
+        val curated = Dedup.dedupExactCorpus(
+          Text.withLangId(Text.withQuality(docs(s, d)))
+            .filter(col("quality_score") >= 0.3 && col("lang_pred") === "en"))
+        curated
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("token_budget"),
+            min(col("doc_id")).as("first_doc"))
+      },
+      Some("""WITH q AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+        |    CAST(list_sum(list_transform(string_split(text, ' '),
+        |         x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |         x -> list_contains(['the','and','of','is','to'], x))) AS INTEGER) AS score_en,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |         x -> list_contains(['el','la','de','que','y'], x))) AS INTEGER) AS score_es,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |         x -> list_contains(['le','les','des','et','une'], x))) AS INTEGER) AS score_fr
+        |  FROM documents),
+        |gated AS (
+        |  SELECT doc_id, text FROM q
+        |  WHERE least(1.0, alpha_ratio * 0.5 + stopword_ratio * 0.3
+        |          + least(mean_word_len / 10.0, 1.0) * 0.2) >= 0.3
+        |    AND (CASE WHEN score_en >= score_es AND score_en >= score_fr AND score_en > 0 THEN 'en'
+        |              WHEN score_es >= score_fr AND score_es > 0 THEN 'es'
+        |              WHEN score_fr > 0 THEN 'fr'
+        |              ELSE 'unknown' END) = 'en'),
+        |deduped AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+        |    FROM gated) WHERE rn = 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS token_budget,
+        |       min(doc_id) AS first_doc
+        |FROM deduped""".stripMargin)),
+
     // ---- relational / benchmark suite --------------------------------
 
     // TPC-H Q1-style pricing summary: decimal-exact sums cast to double

@@ -79,6 +79,32 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** Resize: per-payload fixed-size thumbnail. STUB resampler ==========
+    * a real deployment would decode + bilinear-resize here; the fake
+    * nearest-neighbor byte sampler keeps the exact execution shape
+    * (partition-level batch transform, binary in / fixed-width binary
+    * out) and is deterministic for tests/oracles.
+    * ==================================================================
+    */
+  final case class Thumbnail(doc_id: Long, media_type: String,
+                             thumb: Array[Byte], thumb_checksum: String)
+
+  def resize(media: Dataset[MediaRow], side: Int = 64): Dataset[Thumbnail] = {
+    implicit val enc = Encoders.product[Thumbnail]
+    val n = side * side
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val src = r.payload
+        val out = new Array[Byte](n)
+        if (src.nonEmpty) {
+          var i = 0
+          while (i < n) { out(i) = src((i.toLong * src.length / n).toInt); i += 1 }
+        }
+        Thumbnail(r.doc_id, r.media_type, out, md5hex(out))
+      }
+    }
+  }
+
   /** Frame sampling: explode each payload into per-frame rows (1 KiB
     * chunks), keeping every `stride`-th frame — the Spark-side shape of
     * video frame-sampling (real decode stubbed).

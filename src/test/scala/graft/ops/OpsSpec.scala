@@ -152,6 +152,16 @@ class OpsSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("multimodal resize emits fixed-width deterministic thumbnails") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    val t1 = Multimodal.resize(Multimodal.mediaFromDocuments(docs), side = 16).collect()
+    val t2 = Multimodal.resize(Multimodal.mediaFromDocuments(docs), side = 16).collect()
+    assert(t1.length === 30)
+    assert(t1.forall(_.thumb.length === 256))
+    assert(t1.map(t => t.doc_id -> t.thumb_checksum).toMap ===
+      t2.map(t => t.doc_id -> t.thumb_checksum).toMap)
+  }
+
   test("multimodal feature extraction is deterministic and complete") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
     val feats1 = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs)).collect()
