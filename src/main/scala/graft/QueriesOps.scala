@@ -89,6 +89,36 @@ object QueriesOps {
         |       ELSE 'unknown' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin)),
 
+    "tx8_langid_ngram" -> Q(
+      (s, d) => Text.withLangIdNgram(docs(s, d))
+        .select("doc_id", "ng_en", "ng_es", "ng_fr", "ng_lang_pred")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, lower(text) AS lt, CAST(length(text) AS DOUBLE) AS n
+        |  FROM documents),
+        |sc AS (SELECT doc_id,
+        |  (CAST((length(lt) - length(replace(lt, 'th', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'he', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'in', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'er', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'an', ''))) / 2 AS DOUBLE)) / n AS ng_en,
+        |  (CAST((length(lt) - length(replace(lt, 'de', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'la', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'os', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'ue', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'ción', ''))) / 4 AS DOUBLE)) / n AS ng_es,
+        |  (CAST((length(lt) - length(replace(lt, 'le', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'ou', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'es', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'ai', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'eau', ''))) / 3 AS DOUBLE)) / n AS ng_fr
+        |  FROM t)
+        |SELECT doc_id, ng_en, ng_es, ng_fr,
+        |  CASE WHEN ng_en >= ng_es AND ng_en >= ng_fr AND ng_en > 0 THEN 'en'
+        |       WHEN ng_es >= ng_fr AND ng_es > 0 THEN 'es'
+        |       WHEN ng_fr > 0 THEN 'fr'
+        |       ELSE 'unknown' END AS ng_lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin)),
+
     "tx6_tfidf_topterms" -> Q(
       (s, d) => Text.topTfidfTerms(docs(s, d), k = 3).orderBy("d", "rk"),
       Some("""WITH tok AS (

@@ -79,6 +79,36 @@ object Text {
         .otherwise("unknown"))
   }
 
+  /** Character-n-gram language ID (the classic Cavnar–Trenkle-style
+    * profile heuristic, miniaturized): per language a tiny set of
+    * characteristic character bigrams; score = total non-overlapping
+    * occurrences, normalized by text length; argmax with fixed tie
+    * order. Counting is `(len(t) - len(replace(t, g, ''))) / len(g)` —
+    * portable to the SQL oracle verbatim, and codegen'd in Spark.
+    */
+  private val bigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he", "in", "er", "an"),
+    "es" -> Seq("de", "la", "os", "ue", "ción"),
+    "fr" -> Seq("le", "ou", "es", "ai", "eau"))
+
+  private def occurrences(t: Column, g: String): Column =
+    (length(t) - length(call_function("replace", t, lit(g), lit("")))) / lit(g.length)
+
+  def withLangIdNgram(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = lower(col(textCol))
+    val scored = bigramProfiles.foldLeft(docs) { case (df, (lang, grams)) =>
+      df.withColumn(s"ng_$lang",
+        grams.map(g => occurrences(t, g)).reduce(_ + _).cast("double")
+          / length(col(textCol)).cast("double"))
+    }
+    scored.withColumn("ng_lang_pred",
+      when(col("ng_en") >= col("ng_es") && col("ng_en") >= col("ng_fr")
+        && col("ng_en") > 0, "en")
+        .when(col("ng_es") >= col("ng_fr") && col("ng_es") > 0, "es")
+        .when(col("ng_fr") > 0, "fr")
+        .otherwise("unknown"))
+  }
+
   /** Per-document top TF-IDF terms: tokenize, per-doc term frequency,
     * document frequency via one token-level aggregation (broadcast back
     * — the vocabulary is small relative to the corpus), smooth-IDF
