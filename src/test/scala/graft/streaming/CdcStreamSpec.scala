@@ -17,7 +17,14 @@ class CdcStreamSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private def ev(name: String, acct: String, sec: Int, note: String): String =
-    s"""{"eventName":"$name","account":"$acct","create_at":"2024-01-01T00:00:${f"$sec%02d"}.000000+0000","update_at":"2024-01-01T00:00:${f"$sec%02d"}.000000+0000","entity":"E","amount":1,"is_credit":0,"note":"$note"}"""
+    ev2(name, acct, sec, sec, note)
+
+  /** create_at (the immutable range key) and update_at set separately —
+    * needed to express replays/updates of an existing record.
+    */
+  private def ev2(name: String, acct: String, createSec: Int, updateSec: Int,
+                  note: String): String =
+    s"""{"eventName":"$name","account":"$acct","create_at":"2024-01-01T00:00:${f"$createSec%02d"}.000000+0000","update_at":"2024-01-01T00:00:${f"$updateSec%02d"}.000000+0000","entity":"E","amount":1,"is_credit":0,"note":"$note"}"""
 
   test("landing stream drops REMOVE and lands minute-partitioned files; merge stream builds and maintains the lake") {
     val root = Files.createTempDirectory("graft_stream")
@@ -83,6 +90,48 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(lake2.count() === 2)
     assert(lake2.filter(col("account") === "acc-1").head().getAs[String]("note") === "v3",
       "newer landed version must win after checkpoint resume")
+  }
+
+  test("latestPerKeyStream: custom state emits a key only when its latest version changes") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_stream_state")
+    val srcDir = root.resolve("src").toString
+    Files.createDirectories(Paths.get(srcDir))
+    Files.writeString(Paths.get(srcDir, "b1.json"), Seq(
+      ev("INSERT", "acc-1", 1, "v1"),
+      ev("MODIFY", "acc-1", 1, "v2"),   // same update_at: arriving wins tie
+      ev("REMOVE", "acc-9", 2, "gone"),
+      ev("INSERT", "acc-2", 3, "w1")).mkString("\n"))
+
+    val streamSchema = Schemas.flatCdcRow.add("eventName", "string")
+    // one long-running query fed incrementally (the memory sink cannot
+    // recover from a checkpoint, and this matches real operation anyway)
+    val q = CdcStream.latestPerKeyStream(
+        spark.readStream.schema(streamSchema).json(srcDir)
+          .as[graft.model.CdcEvent])
+      .writeStream.format("memory").queryName("graft_latest_state")
+      .outputMode("update")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    val out1 = spark.table("graft_latest_state")
+      .select("account", "note").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out1.toSet === Set(("acc-1", "v2"), ("acc-2", "w1")),
+      s"one emission per key, REMOVE dropped; got ${out1.toSeq}")
+
+    // batch 2: an OLDER replay of acc-1's record (same create_at key,
+    // older update_at — must emit nothing) + a real update to acc-2
+    Files.writeString(Paths.get(srcDir, "b2.json"), Seq(
+      ev2("MODIFY", "acc-1", 1, 0, "stale-replay"),
+      ev2("MODIFY", "acc-2", 3, 9, "w2")).mkString("\n"))
+    q.processAllAvailable()
+    q.stop()
+    val out2 = spark.table("graft_latest_state")
+      .select("account", "note").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out2.count(_ == ("acc-2", "w2")) === 1, "real update must be emitted")
+    assert(!out2.contains(("acc-1", "stale-replay")),
+      "an older replayed version must not displace the state winner")
+    assert(out2.length === out1.length + 1, "exactly one new emission in batch 2")
   }
 
   test("minuteCounts: streaming tumbling windows with 2-minute watermark emit per-minute counts") {
