@@ -53,7 +53,8 @@ object Merge {
     *
     * Pure DataFrame -> DataFrame so the DuckDB oracle can check it, and
     * idempotent under replay: merging the same delta twice is a no-op
-    * (T8 in SURVEY.md §2.9) — verified as a ScalaCheck law.
+    * (T8 in SURVEY.md §2.9) — verified as a seeded property test in
+    * MergeSpec ("upsert is idempotent under replay").
     */
   def upsert(
       snapshot: DataFrame,
