@@ -408,6 +408,21 @@ object QueriesOps {
         |    ORDER BY revenue DESC, s_suppkey ASC) AS INTEGER) AS rk FROM rev)
         |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin)),
 
+    // Multi-level aggregates: rollup over (returnflag, linestatus) —
+    // beyond the reference's surface, but table stakes for an analytics
+    // engine. NULLS FIRST pinned on both sides (engine defaults differ).
+    "h7_rollup" -> Q(
+      (s, d) => li(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(dec("l_quantity")).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
     // Semi-join (J3 analog): BUILDING-segment customers that have orders.
     "h5_semi_join" -> Q(
       (s, d) => s.read.parquet(s"$d/customer.parquet")
