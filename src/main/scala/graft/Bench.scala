@@ -32,7 +32,10 @@ object Bench {
     val failed = results.collect { case (n, Left(m)) => n -> m }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ").replace("\t", " ")
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // Locale.ROOT: a comma-decimal default locale would break the JSON
+    val qs = ok.map { case (k, v) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }.mkString("{", ",", "}")
     val fs = failed.map { case (k, m) => "\"" + k + "\":\"" + esc(m.take(200)) + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
