@@ -12,6 +12,15 @@ import graft.functions.{MinHashSigs, RollingHash, SimHash64, VectorDot}
   * both SQL and the Column API (`call_function`), with no `private[sql]`
   * access. Usable standalone via `spark.sql.extensions=graft.GraftExtensions`.
   */
+object GraftExtensions {
+  /** True when the active session resolves the named graft function —
+    * operators use this to degrade to built-in formulations (same
+    * values, slower) on sessions built without the extensions.
+    */
+  def available(fn: String): Boolean =
+    SparkSession.getActiveSession.exists(_.catalog.functionExists(fn))
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

@@ -117,8 +117,19 @@ object Dedup {
                         seed: Long = 42L): DataFrame = {
     val hashes = transform(array_distinct(shingleCol(col(textCol), shingleK)),
       x => pmod(xxhash64(x), lit(P)))
-    docs.select(col(idCol).as("d"),
-      call_function("minhash_sigs", hashes, lit(numHashes), lit(seed)).as("sig"))
+    if (graft.GraftExtensions.available("minhash_sigs"))
+      docs.select(col(idCol).as("d"),
+        call_function("minhash_sigs", hashes, lit(numHashes), lit(seed)).as("sig"))
+    else {
+      // built-ins fallback: same permutation family, same values — 64
+      // boxed traversals instead of one fused loop
+      val (a, b) = graft.functions.MinHashSigs.perms(numHashes, seed)
+      val sigCols = (0 until numHashes).map { j =>
+        array_min(transform(col("hs"), h => pmod(lit(a(j)) * h + lit(b(j)), lit(P))))
+      }
+      docs.select(col(idCol).as("d"), hashes.as("hs"))
+        .select(col("d"), array(sigCols: _*).as("sig"))
+    }
   }
 
   /** MinHash+LSH near-duplicate pairs: band the signature (bands ×
@@ -191,7 +202,17 @@ object Dedup {
     */
   def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val hashes = transform(tokens(col(textCol)), t => xxhash64(t))
-    docs.select(col(idCol).as("d"), call_function("simhash64", hashes).as("simhash"))
+    if (graft.GraftExtensions.available("simhash64"))
+      docs.select(col(idCol).as("d"), call_function("simhash64", hashes).as("simhash"))
+    else {
+      val packed = (0 until 64).map { b =>
+        val bitSum = aggregate(col("hs"), lit(0L),
+          (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
+        when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y))
+      docs.select(col(idCol).as("d"), hashes.as("hs"))
+        .select(col("d"), packed.as("simhash"))
+    }
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist (< 16):

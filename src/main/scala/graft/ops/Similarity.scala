@@ -20,10 +20,13 @@ object Similarity {
     * native codegen'd Expression (graft.functions.VectorDot) — one
     * fused loop instead of zip_with allocation + boxed lambda folds.
     * Identical accumulation order, so values are bit-for-bit the same
-    * as the higher-order formulation (which [[dotHof]] keeps for
-    * sessions without GraftExtensions).
+    * as the higher-order formulation, to which this degrades gracefully
+    * on sessions built without GraftExtensions.
     */
-  def dot(a: Column, b: Column): Column = graft.functions.VectorDot.vector_dot(a, b)
+  def dot(a: Column, b: Column): Column =
+    if (graft.GraftExtensions.available("vector_dot"))
+      graft.functions.VectorDot.vector_dot(a, b)
+    else dotHof(a, b)
 
   /** Composable-built-ins fallback of [[dot]]; same values. */
   def dotHof(a: Column, b: Column): Column =

@@ -138,9 +138,19 @@ object Text {
       .select(col("d"), col("tok"), col("tf"), col("df"), col("tfidf"), col("rk"))
   }
 
-  /** Whole-document fingerprint via the native RollingHash expression. */
-  def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.withColumn("fingerprint", RollingHash.rolling_hash(col(textCol)))
+  /** Whole-document fingerprint via the native RollingHash expression;
+    * degrades to a Scala UDF of the same hash on extension-less
+    * sessions (same values, loses codegen fusion).
+    */
+  def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val fp =
+      if (graft.GraftExtensions.available("rolling_hash"))
+        RollingHash.rolling_hash(col(textCol))
+      else udf((s: String) =>
+        if (s == null) null else Long.box(RollingHash.hashBytes(s.getBytes("UTF-8"))))
+        .apply(col(textCol))
+    docs.withColumn("fingerprint", fp)
+  }
 
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
     * k-token shingle, slide a window of `w` hashes, keep each window's
