@@ -35,6 +35,12 @@ case class MinHashSigs(child: Expression, numHashes: Int, seed: Long)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // an EMPTY input array also yields null, so this expression can be
+  // null even when its child is non-nullable; without this override,
+  // nullSafeCodeGen would emit `false = true;` for non-nullable
+  // children — uncompilable generated Java and a silent fallback to
+  // interpreted evaluation
+  override def nullable: Boolean = true
 
   @transient private lazy val (permA, permB) = MinHashSigs.perms(numHashes, seed)
 

@@ -34,6 +34,10 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // mismatched array lengths yield null (matching the zip_with/aggregate
+  // fallback, which null-pads the shorter side), so the result can be
+  // null even for non-nullable children
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression) =
     e.dataType.asInstanceOf[ArrayType].elementType
@@ -41,7 +45,8 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     val aF = elemType(left) == FloatType
     val bF = elemType(right) == FloatType
     var acc = 0.0
@@ -63,12 +68,16 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.$aGet($i)) * ((double) $b.$bGet($i));
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.$aGet($i)) * ((double) $b.$bGet($i));
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

@@ -58,12 +58,20 @@ object BucketedLake {
   def mergeCommit(spark: SparkSession, delta: DataFrame, table: String,
                   nBuckets: Int = 32,
                   keyCol: String = "id", versionCol: String = "update_at"): Unit = {
+    val staging = table + "_staging"
+    // crash recovery: the DROP→RENAME swap below is not atomic. If a
+    // previous commit died between the two statements, the fully-merged
+    // result lives in staging and the table is gone — finishing the
+    // rename FIRST restores the snapshot instead of silently
+    // re-bootstrapping from the next delta alone.
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(staging)) {
+      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    }
     val merged =
       if (!spark.catalog.tableExists(table)) Merge.dedupLatest(delta, keyCol, versionCol)
       else Merge.upsertJoin(read(spark, table), delta, keyCol, versionCol)
     // stage the merge result, then swap: saveAsTable(Overwrite) on the
     // source table would otherwise read-modify-write the same files
-    val staging = table + "_staging"
     bulkWrite(merged, staging, nBuckets, keyCol, versionCol)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")

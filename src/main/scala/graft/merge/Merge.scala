@@ -40,11 +40,18 @@ object Merge {
 
   // Content-derived last-resort total order: stable across runs and
   // partitionings (unlike monotonically_increasing_id). A single long
-  // sort key instead of a wide all-columns struct comparator — rows that
-  // tie on it are byte-identical (or an astronomically unlikely hash
-  // collision, where any winner is equally valid).
-  private def contentTiebreak(df: DataFrame): Column =
-    xxhash64(df.columns.map(col).toIndexedSeq: _*).asc
+  // sort key instead of a wide all-columns struct comparator. xxhash64
+  // SKIPS null inputs (two rows differing only in WHICH column is null
+  // would collide), so a null-bitmap long is hashed alongside the
+  // values; rows that still tie are byte-identical (or an
+  // astronomically unlikely collision, where any winner is valid).
+  private def contentTiebreak(df: DataFrame): Column = {
+    val cols = df.columns.map(col).toIndexedSeq
+    val nullBitmap = cols.zipWithIndex.map { case (c, i) =>
+      when(c.isNull, lit(1L << (i % 64))).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    xxhash64((nullBitmap +: cols): _*).asc
+  }
 
   /** Upsert: merge `delta` into `snapshot`, latest `versionCol` per
     * `keyCol` wins; on version ties the delta row wins (matching Hudi's
@@ -93,8 +100,15 @@ object Merge {
     val d = dedupLatest(delta.selectExpr(cols: _*), keyCol, versionCol)
       .select(cols.map(c => col(c).as(s"__d_$c")): _*)
     val joined = snapshot.join(d, col(keyCol) === col(s"__d_$keyCol"), "full_outer")
-    val useDelta = col(s"__d_$versionCol").isNotNull &&
-      (col(versionCol).isNull || col(s"__d_$versionCol") >= col(versionCol))
+    // presence = the side's KEY is non-null after the full-outer join.
+    // A delta-only row must win even with a null version (the
+    // union+window formulation keeps it; dropping to all-NULL would
+    // corrupt the lake), and ties/null-versions resolve delta-first
+    // exactly like upsert().
+    val deltaPresent = col(s"__d_$keyCol").isNotNull
+    val snapPresent = col(keyCol).isNotNull
+    val useDelta = deltaPresent && (!snapPresent || col(versionCol).isNull ||
+      (col(s"__d_$versionCol").isNotNull && col(s"__d_$versionCol") >= col(versionCol)))
     joined.select(cols.map(c =>
       when(useDelta, col(s"__d_$c")).otherwise(col(c)).as(c)): _*)
   }

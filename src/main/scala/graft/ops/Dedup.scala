@@ -52,17 +52,18 @@ object Dedup {
   /** Corpus-level exact dedup DECISION: the deduplicated corpus itself
     * (keep the min-id representative of every content-hash group) — the
     * operation a training-data pipeline actually runs, where [[exact]]
-    * is its reporting side. One hash shuffle; text never shuffles twice
-    * (the window runs on (hash, id) pairs and semi-joins back).
+    * is its reporting side.
+    *
+    * Shuffle profile: [[exact]] aggregates (hash → min id) — only
+    * hashes and ids cross that exchange — and the keep-list semi-joins
+    * back against the corpus (broadcastable when the survivor count
+    * allows; never a full-text shuffle through a window partitioned by
+    * hash, which is what a row_number formulation would do).
     */
   def dedupExactCorpus(docs: DataFrame, textCol: String = "text",
-                       idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(col("__h")).orderBy(col(idCol).asc)
-    docs.withColumn("__h", md5(col(textCol)))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__h", "__rn")
-  }
+                       idCol: String = "doc_id"): DataFrame =
+    docs.join(exact(docs, textCol, idCol).select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
 
   /** Greedy near-dup pruning: drop every doc that appears as the
     * LATER member (d2) of a pair from any pair generator (LSH, simhash,

@@ -135,18 +135,34 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = broadcast(corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm")))
+    // centroids are tiny and fixed — collect them at PLAN time and embed
+    // as literal arrays, so cell assignment is a pure per-row argmax:
+    // NO crossJoin, NO window, NO shuffle of the corpus (a window-based
+    // assignment would exchange corpus×nCentroids rows by vec_id)
+    val centRows = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>")).collect()
+    val cents: Seq[(Long, Array[Double], Double)] = centRows.toSeq.map { r =>
+      val v = r.getSeq[Double](1).toArray
+      (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
+    }
+
+    // struct(c_sim, c_id) per centroid; struct ordering sorts by sim
+    // first. The row vector's own norm is constant across centroids, so
+    // dividing by it cannot change the argmax — only centroid norms
+    // matter for cell choice.
+    val cellStructs: Column = array(cents.map { case (cid, vec, cnorm) =>
+      val vlit = array(vec.toIndexedSeq.map(lit): _*)
+      struct((dot(vlit, col(vecCol)) / lit(cnorm)).as("c_sim"), lit(cid).as("c_id"))
+    }: _*)
 
     def assign(df: DataFrame, prefix: String, probes: Int): DataFrame = {
-      val sim = dot(col(vecCol), col("c_vec")) / (norm(col(vecCol)) * col("c_norm"))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("c_sim").desc, col("c_id").asc)
-      df.crossJoin(cents)
-        .withColumn("c_sim", sim)
-        .withColumn("c_rk", row_number().over(w))
-        .filter(col("c_rk") <= probes)
-        .select(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}_vec"),
-          norm(col(vecCol)).as(s"${prefix}_norm"), col("c_id").as("cell"))
+      val probedCells =
+        if (probes == 1) array(array_max(cellStructs).getField("c_id"))
+        else transform(slice(reverse(array_sort(cellStructs)), 1, probes),
+          s => s.getField("c_id"))
+      df.select(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}_vec"),
+          norm(col(vecCol)).as(s"${prefix}_norm"),
+          explode(probedCells).as("cell"))
     }
 
     val cells = assign(corpus, "n", probes = 1)

@@ -22,10 +22,34 @@ object Persist {
       case c => c.toString
     } + "\""
 
+  /** Single left-to-right pass: each escape is decoded exactly once
+    * (a replace-chain would re-interpret backslashes produced by an
+    * earlier replacement, corrupting e.g. the literal two chars "\n").
+    */
+  private def unescape(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => out += '"'; i += 2
+          case '\\' => out += '\\'; i += 2
+          case 'n' => out += '\n'; i += 2
+          case 'r' => out += '\r'; i += 2
+          case 't' => out += '\t'; i += 2
+          case 'u' if i + 5 < s.length =>
+            out += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case other => out += other; i += 2
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
   private def strField(json: String, name: String): Option[String] = {
     val re = ("\"" + name + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
-    re.findFirstMatchIn(json).map(m =>
-      m.group(1).replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n"))
+    re.findFirstMatchIn(json).map(m => unescape(m.group(1)))
   }
 
   private def boolField(json: String, name: String): Option[Boolean] = {
@@ -33,13 +57,29 @@ object Persist {
     re.findFirstMatchIn(json).map(_.group(1).toBoolean)
   }
 
+  /** Quote-aware scan to the MATCHING ']' (a ']' inside a quoted
+    * element must not terminate the array), then extract the quoted
+    * elements.
+    */
   private def arrField(json: String, name: String): Option[Seq[String]] = {
-    val re = ("\"" + name + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
-    re.findFirstMatchIn(json).map { m =>
-      val body = m.group(1).trim
-      if (body.isEmpty) Seq.empty
-      else "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body)
-        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+    val startRe = ("\"" + name + "\"\\s*:\\s*\\[").r
+    startRe.findFirstMatchIn(json).map { m =>
+      var i = m.end
+      var inString = false
+      var escaped = false
+      val body = new StringBuilder
+      var done = false
+      while (i < json.length && !done) {
+        val c = json.charAt(i)
+        if (escaped) { body += c; escaped = false }
+        else if (inString && c == '\\') { body += c; escaped = true }
+        else if (c == '"') { body += c; inString = !inString }
+        else if (c == ']' && !inString) done = true
+        else body += c
+        i += 1
+      }
+      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body.toString)
+        .map(m2 => unescape(m2.group(1))).toSeq
     }
   }
 

@@ -46,8 +46,12 @@ object Manifest {
     */
   def readDataFiles(spark: SparkSession, dir: String): DataFrame = {
     val df = spark.read.schema(dataFileSchema).json(dir)
-    val bad = df.filter(!col("dataFileS3Key").rlike("AWSDynamoDB/.*\\.json\\.gz$")).limit(1).count()
-    require(bad == 0, s"manifest contains invalid data-file keys under $dir")
+    // NULL keys (malformed/permissive-parsed lines) must count as bad —
+    // a bare `!rlike` predicate is NULL for them and filter() would
+    // silently drop exactly the rows this check exists to catch
+    val bad = df.filter(col("dataFileS3Key").isNull ||
+      !col("dataFileS3Key").rlike("AWSDynamoDB/.*\\.json\\.gz$")).limit(1).count()
+    require(bad == 0, s"manifest contains invalid or unparseable data-file keys under $dir")
     df
   }
 

@@ -31,6 +31,40 @@ class BucketedLakeSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("upsertJoin keeps a delta-only row whose version is null") {
+    import spark.implicits._
+    val snap = Seq(("k1", "2024-01-01T00:00:05.000000+0000", "s")).toDF("id", "update_at", "note")
+    val delta = Seq(("k9", null.asInstanceOf[String], "d-nullver")).toDF("id", "update_at", "note")
+    val out = Merge.upsertJoin(snap, delta).orderBy("id").collect()
+      .map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(out === Seq(("k1", "s"), ("k9", "d-nullver")),
+      "a delta-only null-version row must survive, not collapse to all-NULL")
+  }
+
+  test("mergeCommit recovers from a crash between DROP and RENAME") {
+    val r = new Random(23)
+    val tbl = "graft_bucketed_crash_test"
+    Seq(tbl, s"${tbl}_staging").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val snap = Merge.dedupLatest(df(randRows(r, 100)), "id", "update_at")
+    BucketedLake.bulkWrite(snap, tbl, nBuckets = 4)
+    val delta1 = df(randRows(r, 30))
+    BucketedLake.mergeCommit(spark, delta1, tbl, nBuckets = 4)
+    val committed = BucketedLake.read(spark, tbl).localCheckpoint()
+
+    // simulate the crash window: the merged result sits in staging and
+    // the table vanished before the rename completed
+    BucketedLake.bulkWrite(committed, s"${tbl}_staging", nBuckets = 4)
+    spark.sql(s"DROP TABLE $tbl")
+
+    val delta2 = df(randRows(r, 20))
+    BucketedLake.mergeCommit(spark, delta2, tbl, nBuckets = 4)
+    val want = Merge.upsert(committed, delta2)
+    val got = BucketedLake.read(spark, tbl)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "post-crash commit must resume from the staged snapshot, not re-bootstrap from the delta")
+    Seq(tbl, s"${tbl}_staging").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("bucketed snapshot merges with no exchange on the snapshot side") {
     val r = new Random(5)
     val tbl = "graft_bucketed_lake_test"

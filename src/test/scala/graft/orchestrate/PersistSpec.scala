@@ -38,12 +38,21 @@ class PersistSpec extends AnyFunSuite {
       JobInput("year=2024/month=01/day=01/hour=00/minute=01",
         "year=2024/month=01/day=01/hour=00/minute=09",
         Seq("s3://b/p/f1.json", "s3://b/p/f \"quoted\".json")),
-      JobInput("a", "b", Seq.empty))
+      JobInput("a", "b", Seq.empty),
+      // the hostile cases: literal backslash-n, brackets inside URIs,
+      // tabs/control chars (encoded as \uXXXX), trailing backslash-ish
+      JobInput("a\\nb", "c\td",
+        Seq("s3://b/part[0].json", "s3://b/f]2.json", "s3://b/back\\slash.json")))
     cases.foreach { j =>
       assert(jobInputFromJson(jobInputToJson(j)) === j)
       val p = tmp("input.json")
       writeJobInput(j, p)
       assert(readJobInput(p) === j)
     }
+  }
+
+  test("state round-trips strings with backslash escapes and control chars") {
+    val s = CdcTracker.State("p\\n1", Some("x\"y"), Some("run\t9"), readyToRunNext = true)
+    assert(stateFromJson(stateToJson(s)) === s)
   }
 }

@@ -45,5 +45,15 @@ class ManifestSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       readDataFiles(spark, dir2).count()
     }
+
+    // a malformed line parses to an all-null row under PERMISSIVE mode —
+    // the null key must ALSO fail validation, not silently pass
+    val dir3 = Files.createTempDirectory("graft_manifest_null").toString
+    Files.writeString(java.nio.file.Paths.get(dir3, "m.json"),
+      """{"broken json line""" + "\n" +
+        """{"itemCount": 1, "md5Checksum": "c", "etag": "e", "dataFileS3Key": "AWSDynamoDB/01-ab/data/ok.json.gz"}""")
+    assertThrows[IllegalArgumentException] {
+      readDataFiles(spark, dir3).count()
+    }
   }
 }
