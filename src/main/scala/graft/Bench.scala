@@ -14,16 +14,20 @@ object Bench {
     // warm-up: JVM/codegen path, not measured
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
-    // two passes: pass 1 warms JIT/codegen/page cache, pass 2 is the
-    // reported steady-state time (local single-JVM runs are otherwise
-    // dominated by first-touch compilation noise)
+    // one warm pass (JIT/codegen/page cache), then min of two timed
+    // passes: the shared host shows 2x CPU-availability swings within
+    // seconds, and min-of-N is the standard way to report the code's
+    // actual cost rather than the noisiest co-tenant moment
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val outcome =
         try {
           fn(spark, sfDir).count()
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          Right((System.nanoTime() - t0) / 1e9)
+          val times = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          Right(times.min)
         }
         catch { case e: Throwable => Left(e.getClass.getSimpleName + ": " + e.getMessage) }
       name -> outcome
@@ -39,7 +43,7 @@ object Bench {
     val fs = failed.map { case (k, m) => "\"" + k + "\":\"" + esc(m.take(200)) + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady-state (2nd run)","queries":$qs,"failed":$fs,"n_ok":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady-state (min of 2 timed runs after warm-up)","queries":$qs,"failed":$fs,"n_ok":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(2)
   }
