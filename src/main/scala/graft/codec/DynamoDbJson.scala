@@ -54,6 +54,29 @@ object DynamoDbJson {
       col("item.is_credit.N").cast("int").as("is_credit"),
       col("item.note.S").as("note"))
 
+  /** Encode flat rows + `eventName` as stream-event JSON lines (inverse
+    * of decodeStreamEvents). REMOVE events carry Keys but NO NewImage —
+    * exactly the wire shape the stream consumer must survive
+    * (dynamodb_stream_consumer.py:42-59): `to_json` omits null fields,
+    * so the NewImage key is absent, not null.
+    */
+  def encodeStreamEvents(flat: DataFrame, eventNameCol: String = "eventName"): DataFrame = {
+    val newImage = struct(
+      struct(col("update_at").as("S")).as("update_at"),
+      struct(col("entity").as("S")).as("entity"),
+      struct(col("amount").cast("string").as("N")).as("amount"),
+      struct(col("is_credit").cast("string").as("N")).as("is_credit"),
+      struct(col("note").as("S")).as("note"))
+    flat.select(to_json(struct(
+      col(eventNameCol).as("eventName"),
+      struct(
+        struct(
+          struct(col("account").as("S")).as("account"),
+          struct(col("create_at").as("S")).as("create_at")).as("Keys"),
+        when(col(eventNameCol) === "REMOVE", lit(null)).otherwise(newImage).as("NewImage")
+      ).as("dynamodb"))).as("value"))
+  }
+
   /** Encode flat transaction rows back to DynamoDB-JSON export lines
     * (inverse of decodeExportLines; used by the faker to produce
     * F1-shaped fixtures and by round-trip property tests).

@@ -29,8 +29,9 @@ final class TransactionFaker(seed: Long,
     "indeed", "opportunity", "determine", "specific", "market", "value")
 
   private def tick(): String = {
-    // tickMicros ± 50%, default 10ms like the reference's sleep
-    // (data_faker.py:144-157); tests stretch it to span many minutes
+    // tickMicros + 0..100% jitter (strictly monotone clock), default
+    // ~10ms like the reference's sleep cadence (data_faker.py:144-157);
+    // tests stretch it to span many minutes
     clock = clock.plusNanos((tickMicros + rnd.nextLong(tickMicros)) * 1000L)
     fmt.format(clock)
   }

@@ -119,7 +119,10 @@ object TableWriter {
     if (parts.isEmpty) None
     else Some(parts.map { r =>
       partitionCols.zipWithIndex
-        .map { case (c, i) => col(c) === lit(r.getString(i)) }
+        // null-safe <=>: a null partition value (__HIVE_DEFAULT_PARTITION__)
+        // must still select its existing versions, or merging silently
+        // duplicates those keys
+        .map { case (c, i) => col(c) <=> lit(r.getString(i)) }
         .reduce(_ && _)
     }.reduce(_ || _))
   }

@@ -98,15 +98,18 @@ object Merge {
       versionCol: String = "update_at"): DataFrame = {
     val cols = snapshot.columns.toIndexedSeq
     val d = dedupLatest(delta.selectExpr(cols: _*), keyCol, versionCol)
-      .select(cols.map(c => col(c).as(s"__d_$c")): _*)
-    val joined = snapshot.join(d, col(keyCol) === col(s"__d_$keyCol"), "full_outer")
-    // presence = the side's KEY is non-null after the full-outer join.
-    // A delta-only row must win even with a null version (the
-    // union+window formulation keeps it; dropping to all-NULL would
-    // corrupt the lake), and ties/null-versions resolve delta-first
-    // exactly like upsert().
-    val deltaPresent = col(s"__d_$keyCol").isNotNull
-    val snapPresent = col(keyCol).isNotNull
+      .select(cols.map(c => col(c).as(s"__d_$c")) :+ lit(true).as("__d_present"): _*)
+    val s = snapshot.withColumn("__s_present", lit(true))
+    val joined = s.join(d, col(keyCol) === col(s"__d_$keyCol"), "full_outer")
+    // presence = a constant marker carried through the full-outer join
+    // (null on the absent side). Key nullity would misclassify a row
+    // whose key is genuinely null — e.g. id null-propagated from a null
+    // account — as "absent" on both sides and emit all-NULLs; upsert()
+    // keeps such rows, and so must this formulation. Delta-only rows win
+    // even with a null version, and ties/null-versions resolve
+    // delta-first exactly like upsert().
+    val deltaPresent = col("__d_present").isNotNull
+    val snapPresent = col("__s_present").isNotNull
     val useDelta = deltaPresent && (!snapPresent || col(versionCol).isNull ||
       (col(s"__d_$versionCol").isNotNull && col(s"__d_$versionCol") >= col(versionCol)))
     joined.select(cols.map(c =>

@@ -160,14 +160,17 @@ object Dedup {
           b => xxhash64(concat_ws(",", slice(col("sig"), b * rpb + 1, lit(rpb)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     // candidates are SMALL (near-dup pairs, not the corpus) and are
-    // consumed by three downstream branches — materialize once instead
-    // of re-running the band join per branch
+    // consumed by three downstream branches — cache once instead of
+    // re-running the band join per branch. DISK_ONLY persist, not
+    // localCheckpoint: it keeps lineage, so an executor loss recomputes
+    // the lost blocks instead of failing the job, and it is lazy, so no
+    // eager extra pass is paid up front.
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.d") < col("b.d"))
       .select(col("a.d").as("d1"), col("b.d").as("d2"))
       .dropDuplicates("d1", "d2")
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // verification only ever touches CANDIDATE docs: semi-join the
     // corpus down before exploding shingles — at scale the candidate
     // set is a sliver of the corpus. Also materialized: three consumers
@@ -175,7 +178,7 @@ object Dedup {
     val candDocs = cand.select(col("d1").as("cd")).union(cand.select(col("d2").as("cd"))).distinct()
     val docsC = docs.join(candDocs, col(idCol) === col("cd"), "left_semi")
     val sh = shingleHashes(docsC, shingleK, textCol, idCol).dropDuplicates("d", "h")
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val sizes = sh.groupBy(col("d")).agg(count(lit(1)).as("n"))
     val common = cand
       .join(sh.toDF("d1", "h"), "d1")            // one row per shingle of d1

@@ -99,7 +99,7 @@ object Text {
     val scored = bigramProfiles.foldLeft(docs) { case (df, (lang, grams)) =>
       df.withColumn(s"ng_$lang",
         grams.map(g => occurrences(t, g)).reduce(_ + _).cast("double")
-          / length(col(textCol)).cast("double"))
+          / greatest(length(col(textCol)), lit(1)).cast("double"))
     }
     scored.withColumn("ng_lang_pred",
       when(col("ng_en") >= col("ng_es") && col("ng_en") >= col("ng_fr")
@@ -110,12 +110,16 @@ object Text {
   }
 
   /** Per-document top TF-IDF terms: tokenize, per-doc term frequency,
-    * document frequency via one token-level aggregation (broadcast back
-    * — the vocabulary is small relative to the corpus), smooth-IDF
+    * document frequency via one token-level aggregation, smooth-IDF
     * weight, top-k terms per doc by weight.
     *
     * Scale: two shuffles — (doc, token) TF and token DF — both
-    * map-side combinable; the DF table broadcasts (vocab ≪ corpus).
+    * map-side combinable. The TF⋈DF join is deliberately NOT
+    * broadcast-hinted: on a web corpus the distinct-token vocabulary is
+    * unbounded (typos/URLs/ids — billions of rows), so a forced
+    * broadcast is an OOM; both sides already share the `tok` hash
+    * partitioning from their aggregations, and AQE still picks a
+    * broadcast at runtime when the vocab actually fits.
     */
   def topTfidfTerms(docs: DataFrame, k: Int = 3, textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
@@ -128,7 +132,7 @@ object Text {
     val nDocs = docs.select(countDistinct(col(idCol)).as("n_docs"))
     val w = Window.partitionBy(col("d"))
       .orderBy(col("tfidf").desc, col("tok").asc)
-    tf.join(broadcast(df), "tok")
+    tf.join(df, "tok")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         col("tf").cast("double") *
