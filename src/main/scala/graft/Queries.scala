@@ -6,13 +6,16 @@ import java.util.Comparator
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 import graft.codec.DynamoDbJson
-import graft.ingest.Ingest
+import graft.ingest.{Ingest, TableWriter}
 import graft.merge.Merge
 import graft.model.Schemas
 import graft.orchestrate.CdcTracker
 import graft.query.QuerySurface
 import graft.sources.Manifest
+import graft.streaming.CdcStream
 
 /** One registered query: the Spark implementation plus (where
   * SQL-expressible) the equivalent DuckDB oracle SQL over the same
@@ -412,5 +415,138 @@ object Queries {
         |       md5('etag-' || substr(update_at, 12, 2)) AS etag,
         |       'AWSDynamoDB/01234-abcd/data/h' || substr(update_at, 12, 2) || '.json.gz' AS dataFileS3Key
         |FROM tx WHERE substr(update_at, 9, 2) = '01'
-        |GROUP BY substr(update_at, 12, 2) ORDER BY dataFileS3Key""".stripMargin)))
+        |GROUP BY substr(update_at, 12, 2) ORDER BY dataFileS3Key""".stripMargin)),
+
+    // S2+O4+T4: the incremental Glue job's manifest-driven scan
+    // (incremental.py:103-110): land one hour of CDC, let the tracker
+    // plan the tick over the landed FILE LISTING, then read exactly the
+    // planned files (an explicit file-list scan, no directory glob) and
+    // re-aggregate. coalesce(1) keeps one file per minute dir so the
+    // 100-file cap never truncates (cap semantics are t5's job).
+    "s2_filelist_read" -> Q(
+      (s, d) => {
+        val hour1 = tx(s, d).filter(substring(col("update_at"), 9, 2) === "01" &&
+            substring(col("update_at"), 12, 2) === "01")
+          .select("account", "create_at", "update_at", "entity", "amount", "is_credit", "note")
+        val dirOut = scratch("s2_landing")
+        Ingest.landCdc(hour1.coalesce(1), dirOut)
+        val root = Paths.get(dirOut)
+        val files = Files.walk(root).iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".json"))
+          .map(p => root.relativize(p).toString).toSeq
+        val state = CdcTracker.State(
+          "year=2024/month=01/day=01/hour=00/minute=59", None, None, readyToRunNext = true)
+        val plan = CdcTracker.plan(state,
+          java.time.Instant.parse("2024-01-01T02:01:30Z"), files, maxFiles = 100)
+        val paths = plan.map(_.files).getOrElse(Seq.empty).map(f => s"$dirOut/$f")
+        Ingest.readCdcFiles(s, paths)
+          .groupBy(substring(col("update_at"), 15, 2).as("minute"))
+          .agg(count(lit(1)).cast("long").as("n"), sum(col("amount")).cast("long").as("amt"))
+          .orderBy("minute")
+      },
+      Some(s"""$TxCte
+        |SELECT substr(update_at, 15, 2) AS minute,
+        |       CAST(count(*) AS BIGINT) AS n, CAST(sum(amount) AS BIGINT) AS amt
+        |FROM tx WHERE substr(update_at, 9, 2) = '01' AND substr(update_at, 12, 2) = '01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S4: export-tracker round-trip driving an S1-style scan
+    // (initial_load.py:79-90): persist {"export_arn": …}, read it back,
+    // resolve the ARN's export-id to the data dir, write the export
+    // there as DynamoDB-JSON gzip, scan+decode from the tracker-resolved
+    // location, re-aggregate.
+    "s4_tracker_read" -> Q(
+      (s, d) => {
+        val prefix = scratch("s4_export")
+        val arn = "arn:aws:dynamodb:us-east-1:123456789012:table/transactions/export/01234567890123-abcdefgh"
+        Manifest.writeExportTracker(Manifest.ExportTracker(arn), s"$prefix/tracker.json")
+        val t = Manifest.readExportTracker(s"$prefix/tracker.json")
+        val day3 = tx(s, d).filter(substring(col("update_at"), 9, 2) === "03")
+          .select("account", "create_at", "update_at", "entity", "amount", "is_credit", "note")
+        DynamoDbJson.encodeExportLines(day3).write
+          .mode("overwrite").option("compression", "gzip").text(t.dataDir(prefix))
+        DynamoDbJson.decodeExportLines(s.read.text(t.dataDir(prefix)))
+          .groupBy(col("entity"))
+          .agg(count(lit(1)).cast("long").as("n"), sum(col("amount")).cast("long").as("amt"))
+          .orderBy("entity")
+      },
+      Some(s"""$TxCte
+        |SELECT entity, CAST(count(*) AS BIGINT) AS n, CAST(sum(amount) AS BIGINT) AS amt
+        |FROM tx WHERE substr(update_at, 9, 2) = '03'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // K1: bulk overwrite of the full lake (initial_load.py:163-186),
+    // zstd-compressed parquet (codec breadth), read back with a
+    // partition-pruned filter (create_day dirs) and re-aggregate.
+    "k1_bulk_write" -> Q(
+      (s, d) => {
+        val lake = Ingest.toLakeRows(tx(s, d)
+          .select("account", "create_at", "update_at", "entity", "amount", "is_credit", "note"))
+        val dirOut = scratch("k1_lake")
+        TableWriter.bulkWrite(lake, dirOut, codec = "zstd")
+        // partition values read back as ints (directory-type inference),
+        // so the pruning filter is numeric; output day re-derives from
+        // create_at to stay a zero-padded string for the oracle
+        TableWriter.read(s, dirOut)
+          .filter(col("create_day") <= 5)
+          .groupBy(substring(col("create_at"), 9, 2).as("day"))
+          .agg(count(lit(1)).cast("long").as("n"), sum(col("amount")).cast("long").as("amt"))
+          .orderBy("day")
+      },
+      Some(s"""$TxCte
+        |SELECT substr(create_at, 9, 2) AS day, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(amount) AS BIGINT) AS amt
+        |FROM tx WHERE CAST(substr(create_at, 9, 2) AS INTEGER) <= 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // P1: stream-event codec round-trip incl. REMOVE-without-NewImage
+    // (dynamodb_stream_consumer.py:42-59): encode every row as the
+    // stream wire shape (entity 'error' plays REMOVE, whose NewImage is
+    // ABSENT, not null), decode, and hash-compare the surviving fields.
+    "p1_stream_codec_roundtrip" -> Q(
+      (s, d) => {
+        val ev = tx(s, d).withColumn("eventName",
+            when(col("entity") === "error", "REMOVE").otherwise("INSERT"))
+          .select("eventName", "account", "create_at", "update_at", "entity",
+            "amount", "is_credit", "note")
+        DynamoDbJson.decodeStreamEvents(DynamoDbJson.encodeStreamEvents(ev))
+          .orderBy("account", "create_at")
+      },
+      Some(s"""$TxCte
+        |SELECT CASE WHEN entity = 'error' THEN 'REMOVE' ELSE 'INSERT' END AS eventName,
+        |       account, create_at,
+        |       CASE WHEN entity = 'error' THEN NULL ELSE update_at END AS update_at,
+        |       CASE WHEN entity = 'error' THEN NULL ELSE entity END AS entity,
+        |       CASE WHEN entity = 'error' THEN NULL ELSE amount END AS amount,
+        |       CASE WHEN entity = 'error' THEN NULL ELSE is_credit END AS is_credit,
+        |       CASE WHEN entity = 'error' THEN NULL ELSE note END AS note
+        |FROM tx ORDER BY account, create_at""".stripMargin)),
+
+    // S9+T1+T8: the reference's entire core loop (README.rst:43-51)
+    // under the oracle gate — land one hour of CDC, drain it with the
+    // STREAMING merge (Trigger.AvailableNow, 20-file ticks through the
+    // same foreachBatch -> partition-pruned mergeCommit path as the 10 s
+    // production trigger), then hash-compare the resulting LAKE against
+    // the batch-derived truth of the same files.
+    "s9_stream_merge_e2e" -> Q(
+      (s, d) => {
+        val hour0 = tx(s, d).filter(substring(col("update_at"), 9, 2) === "04" &&
+            substring(col("update_at"), 12, 2) === "00")
+          .select("account", "create_at", "update_at", "entity", "amount", "is_credit", "note")
+        val landing = scratch("s9_landing")
+        Ingest.landCdc(hour0.coalesce(1), landing)
+        val lake = scratch("s9_lake") + "/tbl" // must not pre-exist: bootstrap check
+        val ckpt = scratch("s9_ckpt")
+        CdcStream.mergeStream(s, landing, lake, ckpt,
+          maxFilesPerTrigger = 20, availableNow = true).awaitTermination()
+        TableWriter.read(s, lake)
+          .select("id", "account", "create_at", "update_at", "entity",
+            "amount", "is_credit", "note")
+          .orderBy("id")
+      },
+      Some(s"""$TxCte
+        |SELECT 'account:' || account || ',create_at:' || create_at AS id,
+        |       account, create_at, update_at, entity, amount, is_credit, note
+        |FROM tx WHERE substr(update_at, 9, 2) = '04' AND substr(update_at, 12, 2) = '00'
+        |ORDER BY id""".stripMargin)))
 }

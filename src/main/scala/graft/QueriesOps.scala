@@ -259,6 +259,40 @@ object QueriesOps {
       },
       None),
 
+    // Quantified driver-visible quality check for the approximate ANN
+    // paths: recall of ss3/ss4/ss5 against their exact ground truths,
+    // computed entirely in-plan (semi-join hit counting — no collect).
+    // rows-only: the approximate sides use seeded-RNG hyperplanes /
+    // xxhash64, which no SQL oracle can reproduce; the VALUE of this
+    // query is that recall regressions in any approximate operator
+    // surface as a changed driver-visible row instead of silently.
+    "ann1_recall" -> Q(
+      (s, d) => {
+        def recallOf(name: String, truth: DataFrame, approx: DataFrame): DataFrame =
+          truth.join(approx, Seq("q_id", "n_id"), "left_semi")
+            .agg(count(lit(1)).cast("long").as("n_hits"))
+            .crossJoin(truth.agg(count(lit(1)).cast("long").as("n_truth")))
+            .select(lit(name).as("method"), col("n_hits"), col("n_truth"),
+              round(col("n_hits").cast("double")
+                / greatest(col("n_truth"), lit(1L)).cast("double"), 6).as("recall"))
+        val e = embs(s, d)
+        val q = e.filter(col("vec_id") < 8)
+        val topkTruth = Similarity.bruteForceTopK(e, q, k = 5).select("q_id", "n_id")
+        val bounded = e.filter(col("vec_id") < 600)
+        val pairTruth = Similarity.cosineNearDupPairs(bounded, threshold = 0.4)
+          .select(col("id1").as("q_id"), col("id2").as("n_id"))
+        val pairLsh = Similarity.lshNearDupPairs(bounded, threshold = 0.4,
+            nPlanes = 8, nTables = 8)
+          .select(col("id1").as("q_id"), col("id2").as("n_id"))
+        recallOf("ss3_lsh_topk", topkTruth,
+            Similarity.lshTopK(e, q, k = 5).select("q_id", "n_id"))
+          .unionByName(recallOf("ss4_lsh_neardup", pairTruth, pairLsh))
+          .unionByName(recallOf("ss5_ivf_topk", topkTruth,
+            Similarity.ivfTopK(e, q, k = 5).select("q_id", "n_id")))
+          .orderBy("method")
+      },
+      None),
+
     // ---- multimodal ---------------------------------------------------
 
     "mm1_extract_features" -> Q(
@@ -421,6 +455,21 @@ object QueriesOps {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // Full cube over the same pair: all four grouping sets in one pass
+    // (Catalyst plans rollup/cube as a single Expand + aggregation — no
+    // per-grouping-set rescan). Same NULLS FIRST discipline as h7.
+    "h8_cube" -> Q(
+      (s, d) => li(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(dec("l_quantity")).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
 
     // Semi-join (J3 analog): BUILDING-segment customers that have orders.

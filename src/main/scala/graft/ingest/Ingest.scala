@@ -77,6 +77,51 @@ object Ingest {
     */
   def readCdcFiles(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.schema(Schemas.flatCdcRow).json(paths: _*)
+
+  /** Landing-zone retention: delete minute partitions the merge has
+    * already absorbed (relative partition path <= the tracker cursor,
+    * i.e. `CdcTracker.State.lastProcessedPartition` — the cursor is the
+    * last minute INSIDE the processed half-open range, so `<=` is
+    * exact). The reference leans on S3 lifecycle rules for this; an
+    * explicit idempotent cleanup keeps the transient landing zone from
+    * accumulating minute-dirs forever. Driver-side listing is O(dirs) —
+    * the same order of work as the tracker's own partition listing.
+    * Returns the number of minute partitions removed.
+    */
+  def pruneLanding(dir: String, throughPartition: String): Int = {
+    import java.nio.file.{Files, Path, Paths}
+    import java.util.Comparator
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) return 0
+    val doomed = {
+      val s = Files.walk(root, 5)
+      try s.iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("minute=")
+          && root.relativize(p).toString <= throughPartition)
+        .toVector
+      finally s.close()
+    }
+    doomed.foreach { p =>
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally s.close()
+    }
+    // sweep now-empty parent dirs (hour/day/month/year) bottom-up
+    val all = {
+      val s = Files.walk(root)
+      try s.sorted(Comparator.reverseOrder[Path]()).iterator().asScala.toVector
+      finally s.close()
+    }
+    all.foreach { p =>
+      if (p != root && Files.isDirectory(p)) {
+        val ls = Files.list(p)
+        val empty = try !ls.iterator().hasNext finally ls.close()
+        if (empty) Files.delete(p)
+      }
+    }
+    doomed.size
+  }
 }
 
 /** Idempotent lake writer emulating Hudi COPY_ON_WRITE semantics with
@@ -96,8 +141,9 @@ object TableWriter {
     * at 100 TB mean ~5e5 dirs/year × tiny files; day-level keeps pruning
     * effective with healthy file sizes.
     */
-  def bulkWrite(lake: DataFrame, path: String): Unit =
-    lake.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
+  def bulkWrite(lake: DataFrame, path: String, codec: String = "snappy"): Unit =
+    lake.write.option("compression", codec)
+      .partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
 
   /** Upsert commit: merge result written with dynamic partition
     * overwrite — only partitions present in `merged` are replaced.

@@ -88,11 +88,16 @@ object Dedup {
     * than k tokens degrade to a single whole-text shingle.
     */
   def shingleCol(textCol: Column, k: Int): Column = {
+    // `slice(t, …)` inside the lambda would re-run the split per
+    // shingle (interpreted HOFs re-evaluate lambda-body subtrees every
+    // element — O(n²·|text|) per row). Binding the token array as a
+    // lambda variable via a single-element array evaluates it once.
     val t = tokens(textCol)
-    when(size(t) < k, array(concat_ws(" ", t)))
-      .otherwise(transform(
-        sequence(lit(0), size(t) - k),
-        i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+    flatten(transform(array(t), tt =>
+      when(size(tt) < k, array(concat_ws(" ", tt)))
+        .otherwise(transform(
+          sequence(lit(0), size(tt) - k),
+          i => concat_ws(" ", slice(tt, i + 1, lit(k)))))))
   }
 
   /** Distinct (doc, shingle-hash) pairs — the exploded inverted-index

@@ -63,12 +63,15 @@ object Similarity {
 
   /** Deterministic random hyperplanes: nPlanes literal ±1 arrays of
     * length dim from a seeded RNG (tiny: 16×64 doubles), so bucketing
-    * is pure codegen'd arithmetic.
+    * is pure codegen'd arithmetic. Each plane is ONE array Literal
+    * (`typedlit`), not a 64-node CreateArray tree — with
+    * planes × tables × dim literals the tree-shaped form made codegen
+    * JIT the dominant cost of the LSH queries.
     */
   private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Column] = {
     val r = new Random(seed)
     (0 until nPlanes).map { _ =>
-      array((0 until dim).map(_ => lit(if (r.nextBoolean()) 1.0 else -1.0)): _*)
+      typedlit((0 until dim).map(_ => if (r.nextBoolean()) 1.0 else -1.0))
     }
   }
 
@@ -117,42 +120,102 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), col("sim"))
   }
 
+  /** An IVF coarse centroid: synthetic cell id, vector, L2 norm. */
+  final case class Centroid(id: Long, vec: Array[Double], norm: Double)
+
+  /** Spherical k-means (Lloyd's) centroids for [[ivfTopK]], computed
+    * driver-side over a deterministic hash-ordered sample — the same
+    * plan-time-literal discipline as the probe plumbing, so the corpus
+    * is never shuffled for index construction.
+    *
+    * Scale: the sample is a TakeOrdered over xxhash64(id) (map-side
+    * top-N per partition, driver merge — no global sort), capped at
+    * `sampleSize` rows ≈ 1 MB at dim 64; iterations are
+    * sampleSize × k × dim flops on the driver, microseconds. Sampling
+    * by id-hash is content-independent, deterministic across runs and
+    * partitionings, and unbiased w.r.t. insertion order — unlike the
+    * lowest-id prefix it replaces, which degenerates to one hot cell on
+    * corpora where id order correlates with content (time-ordered
+    * feeds). Vectors are L2-normalized first, so Lloyd's on them is
+    * spherical k-means — consistent with the cosine argmax assignment.
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      sampleSize: Int = 2048, iters: Int = 5): Seq[Centroid] = {
+    val rows = corpus
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(sampleSize)
+      .select(col(vecCol).cast("array<double>"))
+      .collect()
+    require(rows.nonEmpty, "kmeansCentroids: empty corpus")
+    val sample: Array[Array[Double]] = rows.map { r =>
+      val v = r.getSeq[Double](0).toArray
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val dim = sample(0).length
+    // init: first k sample rows (hash order = pseudo-random, seedless
+    // and reproducible); pad cyclically if the corpus is tiny
+    var cents: Array[Array[Double]] =
+      Array.tabulate(k)(i => sample(i % sample.length).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum).max(1e-12))
+      for (v <- sample) {
+        var best = 0; var bestSim = Double.NegativeInfinity; var c = 0
+        while (c < k) {
+          var dp = 0.0; var i = 0
+          val cent = cents(c)
+          while (i < dim) { dp += cent(i) * v(i); i += 1 }
+          val sim = dp / cnorms(c)
+          if (sim > bestSim) { bestSim = sim; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        // empty cell: keep the old centroid rather than collapsing
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    cents.toIndexedSeq.zipWithIndex.map { case (v, i) =>
+      Centroid(i.toLong, v, math.sqrt(v.map(x => x * x).sum).max(1e-12))
+    }
+  }
+
   /** IVF (inverted-file) approximate top-k — the second scale path
     * besides SRP-LSH. The corpus is coarse-quantized into nCentroids
-    * cells (centroids here are the deterministic lowest-id corpus
-    * vectors; a production build would k-means them — the INDEX/probe
-    * plumbing is identical), each vector assigned to its nearest
-    * centroid by one narrow pass over a broadcast centroid table; each
-    * query probes its nProbe nearest cells and runs exact cosine only
-    * inside them.
+    * cells (spherical-k-means centroids from [[kmeansCentroids]] unless
+    * an explicit centroid table is passed), each vector assigned to its
+    * nearest centroid by one narrow pass over plan-time centroid
+    * literals; each query probes its nProbe nearest cells and runs
+    * exact cosine only inside them.
     *
-    * Scale profile: assignment is a broadcast nested loop over
-    * nCentroids rows (no shuffle of the corpus); the search join is an
-    * equi-join on cell id, so work is corpus/nCentroids × nProbe per
+    * Scale profile: assignment is pure per-row arithmetic over
+    * nCentroids literals (no shuffle of the corpus); the search join is
+    * an equi-join on cell id, so work is corpus/nCentroids × nProbe per
     * query — the standard IVF trade of recall for a nCentroids/nProbe
     * fraction of the scan.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // centroids are tiny and fixed — collect them at PLAN time and embed
-    // as literal arrays, so cell assignment is a pure per-row argmax:
-    // NO crossJoin, NO window, NO shuffle of the corpus (a window-based
-    // assignment would exchange corpus×nCentroids rows by vec_id)
-    val centRows = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>")).collect()
-    val cents: Seq[(Long, Array[Double], Double)] = centRows.toSeq.map { r =>
-      val v = r.getSeq[Double](1).toArray
-      (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
-    }
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              centroids: Seq[Centroid] = Nil): DataFrame = {
+    val cents: Seq[Centroid] =
+      if (centroids.nonEmpty) centroids
+      else kmeansCentroids(corpus, nCentroids, idCol, vecCol)
 
     // struct(c_sim, c_id) per centroid; struct ordering sorts by sim
     // first. The row vector's own norm is constant across centroids, so
     // dividing by it cannot change the argmax — only centroid norms
     // matter for cell choice.
-    val cellStructs: Column = array(cents.map { case (cid, vec, cnorm) =>
-      val vlit = array(vec.toIndexedSeq.map(lit): _*)
-      struct((dot(vlit, col(vecCol)) / lit(cnorm)).as("c_sim"), lit(cid).as("c_id"))
+    val cellStructs: Column = array(cents.map { c =>
+      val vlit = typedlit(c.vec.toIndexedSeq) // one array Literal, not dim CreateArray nodes
+      struct((dot(vlit, col(vecCol)) / lit(c.norm)).as("c_sim"), lit(c.id).as("c_id"))
     }: _*)
 
     def assign(df: DataFrame, prefix: String, probes: Int): DataFrame = {

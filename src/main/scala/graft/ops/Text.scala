@@ -164,14 +164,25 @@ object Text {
     */
   def withWinnowing(docs: DataFrame, k: Int = 4, w: Int = 4,
                     textCol: String = "text"): DataFrame = {
+    // Higher-order functions are interpreted (CodegenFallback), and a
+    // subtree referenced INSIDE a lambda body is re-evaluated on every
+    // element — writing `slice(hashes, i, w)` directly in the windows
+    // lambda re-derives hashes→grams→split per window, an O(n²·|text|)
+    // per-row blowup. Binding each stage as a LAMBDA VARIABLE via a
+    // single-element array (`transform(array(x), v => …)`) evaluates it
+    // exactly once per row; inner references are variable lookups.
     val toks = tokensCol(lower(col(textCol)))
-    val grams = when(size(toks) < k, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-    val hashes = transform(grams, g => xxhash64(g))
-    val wins = when(size(hashes) <= w, array(array_min(hashes)))
-      .otherwise(transform(sequence(lit(0), size(hashes) - w),
-        i => array_min(slice(hashes, i + 1, lit(w)))))
+    def gramsOf(t: Column): Column =
+      when(size(t) < k, array(concat_ws(" ", t)))
+        .otherwise(transform(sequence(lit(0), size(t) - k),
+          i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+    def winsOf(hs: Column): Column =
+      when(size(hs) <= w, array(array_min(hs)))
+        .otherwise(transform(sequence(lit(0), size(hs) - w),
+          i => array_min(slice(hs, i + 1, lit(w)))))
+    val wins = flatten(transform(array(toks), t =>
+      flatten(transform(array(transform(gramsOf(t), g => xxhash64(g))),
+        hs => winsOf(hs)))))
     docs.withColumn("winnow_fp", array_sort(array_distinct(wins)))
   }
 }

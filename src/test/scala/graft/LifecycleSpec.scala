@@ -148,5 +148,22 @@ class LifecycleSpec extends AnyFunSuite {
     val distinctAccts = graft.query.SqlSurface.query(spark,
       "SELECT COUNT(DISTINCT account) AS n FROM transactions").head().getLong(0)
     assert(distinctAccts > 0 && distinctAccts <= nSql)
+
+    // ---- phase 6: landing retention — minute partitions at or before
+    // the tracker cursor are pruned (transient zone must not grow
+    // forever; the reference leans on S3 lifecycle rules for this)
+    def minuteDirs(): Seq[String] = Files.walk(Paths.get(landingDir)).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("minute="))
+      .map(p => Paths.get(landingDir).relativize(p).toString).toSeq
+    val before = minuteDirs()
+    assert(before.nonEmpty)
+    val removed = Ingest.pruneLanding(landingDir, state.lastProcessedPartition)
+    assert(removed === before.count(_ <= state.lastProcessedPartition))
+    val after = minuteDirs()
+    assert(after.forall(_ > state.lastProcessedPartition),
+      "only unprocessed partitions may remain in the landing zone")
+    assert(before.size - after.size === removed)
+    assert(Ingest.pruneLanding(landingDir, state.lastProcessedPartition) === 0,
+      "retention must be idempotent")
   }
 }

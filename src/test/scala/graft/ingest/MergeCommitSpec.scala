@@ -64,6 +64,23 @@ class MergeCommitSpec extends AnyFunSuite {
     assert(TableWriter.read(spark, lake).count() === 2)
   }
 
+  test("bulkWrite zstd parquet round-trips identically to snappy") {
+    import scala.jdk.CollectionConverters._
+    val base = Files.createTempDirectory("graft_lake_zstd")
+    val rows = lakeRows(Seq(
+      ("k1", day(1, 1), "a"), ("k2", day(2, 1), "b"), ("k3", day(3, 1), "c")))
+    TableWriter.bulkWrite(rows, base.resolve("snappy").toString)
+    TableWriter.bulkWrite(rows, base.resolve("zstd").toString, codec = "zstd")
+    val a = TableWriter.read(spark, base.resolve("snappy").toString)
+    val b = TableWriter.read(spark, base.resolve("zstd").toString)
+      .select(a.columns.map(col).toIndexedSeq: _*)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val zfiles = Files.walk(base.resolve("zstd")).iterator().asScala
+      .filter(f => f.toString.endsWith(".parquet")).toSeq
+    assert(zfiles.nonEmpty && zfiles.forall(_.getFileName.toString.contains("zstd")),
+      s"expected zstd-coded part files, got: ${zfiles.map(_.getFileName).mkString(", ")}")
+  }
+
   test("snapshot scan is partition-pruned to the delta's partitions") {
     val lake = Files.createTempDirectory("graft_lake_prune").toString
     TableWriter.bulkWrite(lakeRows(Seq(

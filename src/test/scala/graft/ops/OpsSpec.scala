@@ -122,6 +122,53 @@ class OpsSpec extends AnyFunSuite {
     assert(hits === 20L, s"every query's exact duplicate shares its cell and must be top-1; got $hits/20")
   }
 
+  test("IVF k-means centroids: balanced cells and recall >= lowest-id baseline on clustered data") {
+    import spark.implicits._
+    // 3 well-separated Gaussian clusters whose ids CORRELATE with content
+    // (a time-ordered feed) — the adversarial case for lowest-id
+    // "centroids", which all land in cluster 0 and give no pruning
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val centers = Array.fill(3)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = for (c <- 0 until 3; i <- 0 until 100) yield {
+      val v = centers(c).map(x => (x + 0.15 * rnd.nextGaussian()).toFloat)
+      ((c * 100 + i).toLong, v)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 50 === 0) // 2 per cluster
+    val k = 5
+    val brute = Similarity.bruteForceTopK(corpus, queries, k)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+
+    val km = Similarity.kmeansCentroids(corpus, 8, sampleSize = 300)
+    val lowest = corpus.orderBy(col("vec_id")).limit(8)
+      .select(col("embedding").cast("array<double>")).collect()
+      .toIndexedSeq.zipWithIndex.map { case (r, i) =>
+        val v = r.getSeq[Double](0).toArray
+        Similarity.Centroid(i.toLong, v, math.sqrt(v.map(x => x * x).sum).max(1e-12))
+      }
+    def recallOf(cents: Seq[Similarity.Centroid]): Double = {
+      val res = Similarity.ivfTopK(corpus, queries, k,
+          nCentroids = 8, nProbe = 3, centroids = cents)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      res.intersect(brute).size.toDouble / brute.size
+    }
+    val rKm = recallOf(km)
+    val rLo = recallOf(lowest)
+    info(f"IVF recall@5 (nProbe=3/8): kmeans=$rKm%.2f lowest-id=$rLo%.2f")
+    assert(rKm >= rLo, "k-means centroids must not lose to the lowest-id baseline")
+    assert(rKm >= 0.7, f"k-means IVF recall degenerated: $rKm%.2f")
+
+    // balance: no k-means cell swallows the corpus (the lowest-id
+    // failure mode this replaces)
+    val assigned = rows.map { case (_, v) =>
+      km.maxBy(c => c.vec.zip(v).map { case (a, b) => a * b.toDouble }.sum / c.norm).id
+    }
+    val maxCell = assigned.groupBy(identity).values.map(_.size).max
+    assert(maxCell <= (rows.size * 0.6).toInt,
+      s"one cell holds $maxCell of ${rows.size} vectors")
+  }
+
   test("vector_dot equals the higher-order dot formulation bit-for-bit") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
     val a = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
