@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, Text}
+import graft.ops.{Curate, Dedup, Multimodal, Similarity, Text}
 
 /** Registry part 2: the LLM-training-data operators (dedup, similarity,
   * text analysis, multimodal) over `documents`/`embeddings`, plus
@@ -374,6 +374,69 @@ object QueriesOps {
         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS token_budget,
         |       min(doc_id) AS first_doc
         |FROM deduped""".stripMargin)),
+
+    // ---- curation: sampling / packing / scrubbing / composition ------
+
+    // deterministic stratified downsample: hash-smallest 5 docs per
+    // source — reproducible without RNG, portable to the oracle
+    "cur1_stratified_sample" -> Q(
+      (s, d) => Curate.stratifiedSample(docs(s, d), "source", perStratum = 5)
+        .select("doc_id", "source").orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 5 ORDER BY doc_id""".stripMargin)),
+
+    // concat-then-chunk packing into 200-token bins, sharded by source
+    "cur2_token_packing" -> Q(
+      (s, d) => Curate.packTokenBudget(docs(s, d), budget = 200, shardCol = "source")
+        .select("doc_id", "source", "n_tokens", "tok_offset", "bin").orderBy("doc_id"),
+      Some("""WITH t AS (
+        |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT doc_id, source, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, tok_offset, tok_offset // 200 AS bin
+        |FROM o ORDER BY doc_id""".stripMargin)),
+
+    // PII scrub over deterministically seeded emails/phones; the md5 of
+    // the scrubbed text proves the exact redaction output matches
+    "cur3_pii_scrub" -> Q(
+      (s, d) => {
+        val seeded = docs(s, d).withColumn("text2", concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" contact "), col("source"), lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit(" call 415-555-0123")).otherwise(lit(""))))
+        Curate.scrubPii(seeded, "text2")
+          .select(col("doc_id"), col("n_emails"), col("n_phones"),
+            md5(col("scrubbed")).as("scrub_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH seeded AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ' contact ' || source || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' call 415-555-0123' ELSE '' END AS text2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text2, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(text2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g')) AS scrub_md5
+        |FROM seeded ORDER BY doc_id""".stripMargin)),
+
+    // corpus composition: docs/tokens and token share per (source, lang)
+    "cur4_source_composition" -> Q(
+      (s, d) => Curate.sourceComposition(docs(s, d)).orderBy("source", "lang"),
+      Some("""WITH a AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) AS token_share
+        |FROM a ORDER BY source, lang""".stripMargin)),
 
     // ---- relational / benchmark suite --------------------------------
 

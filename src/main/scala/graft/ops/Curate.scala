@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between dedup and tokenization: deterministic stratified sampling,
+  * concat-then-chunk sequence packing, PII scrubbing, and corpus
+  * composition reporting. All are pure column expressions / windowed
+  * aggregations, so every one is DuckDB-oracle-checkable and fully
+  * codegen'd (no UDFs, no RNG — determinism comes from content hashes).
+  */
+object Curate {
+
+  /** Deterministic stratified downsample: keep the `perStratum`
+    * hash-smallest documents of every stratum. Ordering by md5(text)
+    * is a seedless, engine-portable uniform order — re-running on the
+    * same corpus reproduces the exact sample, and adding documents only
+    * perturbs strata whose hash frontier moved (stable for incremental
+    * re-curation).
+    *
+    * Scale: one hash shuffle on the stratum key + a top-k window per
+    * stratum; nothing wide. Skewed strata are bounded by perStratum on
+    * the output side; AQE handles the input skew.
+    */
+  def stratifiedSample(docs: DataFrame, stratumCol: String, perStratum: Int,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(textCol)), col(idCol))
+    docs.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= perStratum).drop("__rk")
+  }
+
+  /** Concat-then-chunk sequence packing (the standard LLM-pretraining
+    * packing): within each shard, documents form one virtual token
+    * stream in `idCol` order; each document is assigned the bin that
+    * holds its FIRST token, for a bin size of `budget` tokens.
+    *
+    * Sharding is the scale design: a single global stream would be one
+    * unpartitioned window (single reducer). Per-shard streams pack in
+    * parallel — one shuffle on the shard key — which is how packing is
+    * actually run at 100 TB (each shard becomes a training-file group).
+    */
+  def packTokenBudget(docs: DataFrame, budget: Int, shardCol: String,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("n_tokens", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", (col("tok_offset") / budget).cast("long"))
+  }
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII scrub: redact emails and phone numbers, reporting per-document
+    * redaction counts. Regexes are RE2-compatible (no lookaround), so
+    * the oracle applies the identical patterns. Pure codegen'd string
+    * expressions — a narrow map over the corpus, no shuffle.
+    */
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]"))
+
+  /** Corpus composition report: document and token counts per
+    * (stratum, lang) with each cell's share of the total token budget —
+    * the standard mixture table a data-curation run publishes.
+    * One map-side-combinable aggregation + a scalar total.
+    */
+  def sourceComposition(docs: DataFrame, stratumCol: String = "source",
+                        langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val agg = docs.groupBy(col(stratumCol), col(langCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(size(split(col(textCol), " "))).cast("long").as("n_tokens"))
+    agg.withColumn("token_share",
+      col("n_tokens").cast("double") / sum(col("n_tokens")).over(Window.partitionBy()))
+  }
+}
