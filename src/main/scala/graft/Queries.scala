@@ -548,5 +548,26 @@ object Queries {
         |SELECT 'account:' || account || ',create_at:' || create_at AS id,
         |       account, create_at, update_at, entity, amount, is_credit, note
         |FROM tx WHERE substr(update_at, 9, 2) = '04' AND substr(update_at, 12, 2) = '00'
-        |ORDER BY id""".stripMargin)))
+        |ORDER BY id""".stripMargin)),
+
+    // S10 analog: the reference's raw-SQL read surface
+    // (run_athena_query — athena.py:29-64): write a lake slice, register
+    // it as a view from its parquet path, and answer an ad-hoc SQL
+    // string — results stay distributed (no CSV materialization hop).
+    "s10_sql_surface" -> Q(
+      (s, d) => {
+        val lake = Ingest.toLakeRows(tx(s, d)
+          .filter(substring(col("update_at"), 9, 2) === "05")
+          .select("account", "create_at", "update_at", "entity", "amount", "is_credit", "note"))
+        val dirOut = scratch("s10_lake")
+        TableWriter.bulkWrite(lake, dirOut)
+        graft.query.SqlSurface.registerLake(s, dirOut, "transactions_s10")
+        graft.query.SqlSurface.query(s,
+          """SELECT entity, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(amount) AS BIGINT) AS amt
+            |FROM transactions_s10 GROUP BY entity ORDER BY entity""".stripMargin)
+      },
+      Some(s"""$TxCte
+        |SELECT entity, CAST(count(*) AS BIGINT) AS n, CAST(sum(amount) AS BIGINT) AS amt
+        |FROM tx WHERE substr(update_at, 9, 2) = '05'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

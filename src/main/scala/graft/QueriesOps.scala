@@ -535,6 +535,43 @@ object QueriesOps {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
 
+    // GROUPING SETS proper (disjoint single-column groupings — neither
+    // rollup nor cube): SQL-only surface in Spark's DataFrame-era API,
+    // still one Expand + aggregate pass.
+    "h9_grouping_sets" -> Q(
+      (s, d) => {
+        li(s, d).createOrReplaceTempView("lineitem_h9")
+        s.sql("""SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem_h9
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // Salted two-phase top-k (Skew.saltedTopK): must equal the plain
+    // window top-k the oracle computes — salting is a physical rewrite,
+    // never a semantic one. Struct ordering encodes the composite
+    // (price DESC, orderkey, linenumber) tiebreak as one sort key.
+    "sk1_salted_topk" -> Q(
+      (s, d) => graft.ops.Skew.saltedTopK(
+          li(s, d).select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"),
+          "l_suppkey",
+          struct((-col("l_extendedprice")).as("p"), col("l_orderkey").as("o"),
+            col("l_linenumber").as("l")).asc,
+          k = 3)
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber"),
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+        |  FROM lineitem) WHERE rk <= 3
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
+
     // Semi-join (J3 analog): BUILDING-segment customers that have orders.
     "h5_semi_join" -> Q(
       (s, d) => s.read.parquet(s"$d/customer.parquet")

@@ -81,7 +81,14 @@ object Curate {
     val agg = docs.groupBy(col(stratumCol), col(langCol))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(size(split(col(textCol), " "))).cast("long").as("n_tokens"))
-    agg.withColumn("token_share",
-      col("n_tokens").cast("double") / sum(col("n_tokens")).over(Window.partitionBy()))
+    // share via a broadcast one-row total, NOT an unpartitioned window:
+    // a global window funnels the whole mixture table through one
+    // reducer, while re-aggregating the already-tiny cell table and
+    // broadcasting the scalar keeps every stage parallel
+    val total = agg.agg(sum(col("n_tokens")).as("__total"))
+    agg.crossJoin(broadcast(total))
+      .withColumn("token_share",
+        col("n_tokens").cast("double") / col("__total").cast("double"))
+      .drop("__total")
   }
 }

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Laws for the curation operators (sampling determinism, packing
+  * conservation, scrub idempotency) beyond the oracle's value checks.
+  */
+class CurateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+  test("stratified sample is deterministic, capped, and a subset") {
+    val s1 = Curate.stratifiedSample(docs, "source", perStratum = 3)
+    val s2 = Curate.stratifiedSample(docs, "source", perStratum = 3)
+    assert(s1.select("doc_id").exceptAll(s2.select("doc_id")).isEmpty)
+    val counts = s1.groupBy("source").count().collect()
+    assert(counts.forall(_.getAs[Long]("count") <= 3L))
+    assert(s1.join(docs, Seq("doc_id"), "left_anti").isEmpty, "sample must be a subset")
+    // growing the cap only ADDS documents (hash-frontier stability)
+    val s3 = Curate.stratifiedSample(docs, "source", perStratum = 5)
+    assert(s1.select("doc_id").exceptAll(s3.select("doc_id")).isEmpty,
+      "a smaller sample must be contained in a larger one")
+  }
+
+  test("token packing conserves tokens and bins are contiguous per shard") {
+    val packed = Curate.packTokenBudget(docs, budget = 100, shardCol = "source").cache()
+    // conservation: offsets + counts tile the stream exactly
+    val total = packed.agg(sum("n_tokens")).head().getLong(0)
+    val lastPerShard = packed.groupBy("source")
+      .agg(max(col("tok_offset") + col("n_tokens")).as("stream_len"))
+      .agg(sum("stream_len")).head().getLong(0)
+    assert(total === lastPerShard, "per-shard stream length must equal the token sum")
+    // a doc's bin is exactly its first token's chunk index
+    assert(packed.filter(col("bin") =!= (col("tok_offset") / 100).cast("long")).isEmpty)
+    // bins start at 0 and never skip more than a whole doc can span
+    assert(packed.groupBy("source").agg(min("bin").as("b0"))
+      .filter(col("b0") =!= 0L).isEmpty)
+  }
+
+  test("PII scrub removes every seeded email/phone and is idempotent") {
+    val seeded = docs.withColumn("text2",
+      concat(col("text"), lit(" reach me at j.doe+spam@mail.example.org or 415-555-0123")))
+    val scrubbed = Curate.scrubPii(seeded, "text2").cache()
+    assert(scrubbed.filter(col("n_emails") =!= 1L || col("n_phones") =!= 1L).isEmpty)
+    assert(scrubbed.filter(col("scrubbed").contains("@")).isEmpty)
+    assert(scrubbed.filter(col("scrubbed").rlike("\\d{3}-\\d{3}-\\d{4}")).isEmpty)
+    // idempotent: scrubbing the scrubbed text changes nothing
+    val again = Curate.scrubPii(
+      scrubbed.select(col("doc_id"), col("scrubbed").as("text2")), "text2")
+    assert(again.filter(col("n_emails") =!= 0L || col("n_phones") =!= 0L).isEmpty)
+    assert(again.filter(col("scrubbed") =!= col("text2")).isEmpty)
+  }
+
+  test("source composition shares sum to 1") {
+    val comp = Curate.sourceComposition(docs)
+    val share = comp.agg(sum("token_share")).head().getDouble(0)
+    assert(math.abs(share - 1.0) < 1e-9)
+    assert(comp.agg(sum("n_docs")).head().getLong(0) === docs.count())
+  }
+}
