@@ -259,6 +259,34 @@ object QueriesOps {
       },
       None),
 
+    // The fifth dedup modality end-to-end: embedding-cosine near-dup
+    // pairs drive the corpus dedup DECISION (drop the later member of
+    // every pair ≥ τ). Bounded to the ss2 slice so the exact pair
+    // baseline stays the oracle; at scale the pair source swaps to
+    // lshNearDupPairs with the same decision join.
+    "dd6_embedding_dedup" -> Q(
+      (s, d) => {
+        val pairs = Similarity.cosineNearDupPairs(
+            embs(s, d).filter(col("vec_id") < 600), threshold = 0.4)
+          .select(col("id1").as("d1"), col("id2").as("d2"))
+        Dedup.dropNearDuplicates(docs(s, d).filter(col("doc_id") < 600), pairs)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 600),
+        |pairs AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos_sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id < 600
+        |  AND doc_id NOT IN (SELECT id2 FROM pairs WHERE cos_sim >= 0.4)
+        |ORDER BY doc_id""".stripMargin)),
+
     // Quantified driver-visible quality check for the approximate ANN
     // paths: recall of ss3/ss4/ss5 against their exact ground truths,
     // computed entirely in-plan (semi-join hit counting — no collect).
