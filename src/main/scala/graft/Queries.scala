@@ -550,6 +550,45 @@ object Queries {
         |FROM tx WHERE substr(update_at, 9, 2) = '04' AND substr(update_at, 12, 2) = '00'
         |ORDER BY id""".stripMargin)),
 
+    // T8 (stream form): the CUSTOM-STATE latest-per-key operator
+    // (flatMapGroupsWithState, O(live keys) state) drained with
+    // AvailableNow into a memory sink. Every key's final emission must
+    // equal the batch latest-wins dedup of the same landed files — the
+    // stream/batch consistency law, under the oracle gate.
+    "t8_stream_latest" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import s.implicits._
+        val hour0 = tx(s, d).filter(substring(col("update_at"), 9, 2) === "06" &&
+            substring(col("update_at"), 12, 2) === "00")
+          .select("account", "create_at", "update_at", "entity", "amount", "is_credit", "note")
+        val landing = scratch("t8_landing")
+        Ingest.landCdc(hour0.coalesce(1), landing)
+        val events = s.readStream.schema(Schemas.flatCdcRow)
+          .option("recursiveFileLookup", "true").option("maxFilesPerTrigger", 20)
+          .json(landing)
+          .withColumn("eventName", lit("INSERT"))
+          .as[graft.model.CdcEvent]
+        CdcStream.latestPerKeyStream(events).writeStream
+          .format("memory").queryName("t8_latest")
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", scratch("t8_ckpt"))
+          .start()
+          .awaitTermination()
+        // the memory sink accumulates every update emission; collapse to
+        // the final winner per key (idempotent when keys emit once)
+        val emitted = s.table("t8_latest")
+          .withColumn("__k", concat(col("account"), lit(" "), col("create_at")))
+        Merge.dedupLatest(emitted, "__k", "update_at")
+          .select("account", "create_at", "update_at", "entity", "amount", "is_credit", "note")
+          .orderBy("account", "create_at")
+      },
+      Some(s"""$TxCte
+        |SELECT account, create_at, update_at, entity, amount, is_credit, note
+        |FROM tx WHERE substr(update_at, 9, 2) = '06' AND substr(update_at, 12, 2) = '00'
+        |ORDER BY account, create_at""".stripMargin)),
+
     // S10 analog: the reference's raw-SQL read surface
     // (run_athena_query — athena.py:29-64): write a lake slice, register
     // it as a view from its parquet path, and answer an ad-hoc SQL
