@@ -431,9 +431,12 @@ object Queries {
         val dirOut = scratch("s2_landing")
         Ingest.landCdc(hour1.coalesce(1), dirOut)
         val root = Paths.get(dirOut)
-        val files = Files.walk(root).iterator().asScala
-          .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".json"))
-          .map(p => root.relativize(p).toString).toSeq
+        val walk = Files.walk(root)
+        val files =
+          try walk.iterator().asScala
+            .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".json"))
+            .map(p => root.relativize(p).toString).toSeq
+          finally walk.close()
         val state = CdcTracker.State(
           "year=2024/month=01/day=01/hour=00/minute=59", None, None, readyToRunNext = true)
         val plan = CdcTracker.plan(state,
@@ -579,7 +582,7 @@ object Queries {
         // the memory sink accumulates every update emission; collapse to
         // the final winner per key (idempotent when keys emit once)
         val emitted = s.table("t8_latest")
-          .withColumn("__k", concat(col("account"), lit(" "), col("create_at")))
+          .withColumn("__k", concat(col("account"), lit("\u0000"), col("create_at")))
         Merge.dedupLatest(emitted, "__k", "update_at")
           .select("account", "create_at", "update_at", "entity", "amount", "is_credit", "note")
           .orderBy("account", "create_at")

@@ -93,7 +93,8 @@ object QueriesOps {
       (s, d) => Text.withLangIdNgram(docs(s, d))
         .select("doc_id", "ng_en", "ng_es", "ng_fr", "ng_lang_pred")
         .orderBy("doc_id"),
-      Some("""WITH t AS (SELECT doc_id, lower(text) AS lt, CAST(length(text) AS DOUBLE) AS n
+      Some("""WITH t AS (SELECT doc_id, lower(text) AS lt,
+        |    greatest(CAST(length(text) AS DOUBLE), 1.0) AS n
         |  FROM documents),
         |sc AS (SELECT doc_id,
         |  (CAST((length(lt) - length(replace(lt, 'th', ''))) / 2
@@ -296,16 +297,22 @@ object QueriesOps {
     // surface as a changed driver-visible row instead of silently.
     "ann1_recall" -> Q(
       (s, d) => {
+        // ONE pass over each truth per method: a left join marks hits,
+        // a single aggregation counts rows and hits together (the
+        // semi-join + crossJoin form would re-execute the truth subplan
+        // twice per method). The truths themselves are persisted — each
+        // brute-force baseline is expensive and feeds two methods.
         def recallOf(name: String, truth: DataFrame, approx: DataFrame): DataFrame =
-          truth.join(approx, Seq("q_id", "n_id"), "left_semi")
-            .agg(count(lit(1)).cast("long").as("n_hits"))
-            .crossJoin(truth.agg(count(lit(1)).cast("long").as("n_truth")))
+          truth.join(approx.withColumn("__hit", lit(1)), Seq("q_id", "n_id"), "left")
+            .agg(count(lit(1)).cast("long").as("n_truth"),
+              count(col("__hit")).cast("long").as("n_hits"))
             .select(lit(name).as("method"), col("n_hits"), col("n_truth"),
               round(col("n_hits").cast("double")
                 / greatest(col("n_truth"), lit(1L)).cast("double"), 6).as("recall"))
         val e = embs(s, d)
         val q = e.filter(col("vec_id") < 8)
         val topkTruth = Similarity.bruteForceTopK(e, q, k = 5).select("q_id", "n_id")
+          .persist()
         val bounded = e.filter(col("vec_id") < 600)
         val pairTruth = Similarity.cosineNearDupPairs(bounded, threshold = 0.4)
           .select(col("id1").as("q_id"), col("id2").as("n_id"))

@@ -97,23 +97,32 @@ object Merge {
       keyCol: String = "id",
       versionCol: String = "update_at"): DataFrame = {
     val cols = snapshot.columns.toIndexedSeq
-    val d = dedupLatest(delta.selectExpr(cols: _*), keyCol, versionCol)
+    val d0 = dedupLatest(delta.selectExpr(cols: _*), keyCol, versionCol)
+    val d = d0.filter(col(keyCol).isNotNull)
       .select(cols.map(c => col(c).as(s"__d_$c")) :+ lit(true).as("__d_present"): _*)
-    val s = snapshot.withColumn("__s_present", lit(true))
+    val s = snapshot.filter(col(keyCol).isNotNull).withColumn("__s_present", lit(true))
+    // Plain === join ON PURPOSE: a null-safe <=> key is planned as
+    // (coalesce(key,…), isnull(key)) join keys, which disables the
+    // bucketed-scan matching this formulation exists for. Null keys
+    // can't equi-join, so both sides' null-key slices (normally empty;
+    // id is a concat of required fields) detour through the union+window
+    // upsert below, which groups all null keys into one partition —
+    // keeping the law upsertJoin == upsert even there.
     val joined = s.join(d, col(keyCol) === col(s"__d_$keyCol"), "full_outer")
     // presence = a constant marker carried through the full-outer join
-    // (null on the absent side). Key nullity would misclassify a row
-    // whose key is genuinely null — e.g. id null-propagated from a null
-    // account — as "absent" on both sides and emit all-NULLs; upsert()
-    // keeps such rows, and so must this formulation. Delta-only rows win
-    // even with a null version, and ties/null-versions resolve
-    // delta-first exactly like upsert().
+    // (null on the absent side). Key nullity would misclassify rows on
+    // other grounds; markers are unambiguous. Delta-only rows win even
+    // with a null version, and ties/null-versions resolve delta-first
+    // exactly like upsert().
     val deltaPresent = col("__d_present").isNotNull
     val snapPresent = col("__s_present").isNotNull
     val useDelta = deltaPresent && (!snapPresent || col(versionCol).isNull ||
       (col(s"__d_$versionCol").isNotNull && col(s"__d_$versionCol") >= col(versionCol)))
-    joined.select(cols.map(c =>
+    val merged = joined.select(cols.map(c =>
       when(useDelta, col(s"__d_$c")).otherwise(col(c)).as(c)): _*)
+    val nullSlice = upsert(snapshot.filter(col(keyCol).isNull),
+      d0.filter(col(keyCol).isNull), keyCol, versionCol)
+    merged.unionByName(nullSlice)
   }
 
   /** REMOVE handling: the reference drops deletes by design

@@ -22,7 +22,7 @@ class PlanSpec extends AnyFunSuite {
     try f finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
-  test("column pruning reaches the scan: h1 reads only the 4 needed lineitem columns") {
+  test("column pruning reaches the scan: h1 reads only its 5 needed lineitem columns") {
     val q = SparkEntry.queries("h1_pricing_summary")(spark, sf)
     val scans = withAqeOff(q.queryExecution.executedPlan.collectLeaves().collect {
       case f: FileSourceScanExec => f

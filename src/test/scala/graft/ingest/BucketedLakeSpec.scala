@@ -41,6 +41,21 @@ class BucketedLakeSpec extends AnyFunSuite {
       "a delta-only null-version row must survive, not collapse to all-NULL")
   }
 
+  test("upsertJoin collapses null-key rows on both sides exactly like upsert") {
+    import spark.implicits._
+    val snap = Seq(("k1", "2024-01-01T00:00:05.000000+0000", "s1"),
+      (null.asInstanceOf[String], "2024-01-01T00:00:01.000000+0000", "s-null"))
+      .toDF("id", "update_at", "note")
+    val delta = Seq((null.asInstanceOf[String], "2024-01-01T00:00:09.000000+0000", "d-null"))
+      .toDF("id", "update_at", "note")
+    val a = Merge.upsert(snap, delta)
+    val b = Merge.upsertJoin(snap, delta)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(b.filter(col("id").isNull).count() === 1,
+      "all null-key rows must collapse to ONE winner, not accumulate per tick")
+    assert(b.filter(col("id").isNull).head().getString(2) === "d-null")
+  }
+
   test("mergeCommit recovers from a crash between DROP and RENAME") {
     val r = new Random(23)
     val tbl = "graft_bucketed_crash_test"
