@@ -592,6 +592,41 @@ object Queries {
         |FROM tx WHERE substr(update_at, 9, 2) = '06' AND substr(update_at, 12, 2) = '00'
         |ORDER BY account, create_at""".stripMargin)),
 
+    // T9 (analytics form): gap-based sessionization — the standard
+    // event-analytics window chain (lag → gap flag → running sum →
+    // per-session aggregate). Two windows, both partitioned by user —
+    // one shuffle on the user key, no global sort.
+    "t9_sessionize" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        events(s, d)
+          .withColumn("__gap",
+            when(col("ts") - lag(col("ts"), 1).over(byUser) >
+              expr("INTERVAL 5 MINUTES"), 1)
+              .when(lag(col("ts"), 1).over(byUser).isNull, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum(col("__gap")).over(byUser).cast("long"))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
+        |         WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 5 MINUTE THEN 1
+        |         ELSE 0 END AS gap
+        |  FROM events),
+        |sess AS (SELECT user_id, ts,
+        |  CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       min(ts) AS t_start, max(ts) AS t_end
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // S10 analog: the reference's raw-SQL read surface
     // (run_athena_query — athena.py:29-64): write a lake slice, register
     // it as a view from its parquet path, and answer an ad-hoc SQL

@@ -607,6 +607,23 @@ object QueriesOps {
         |  FROM lineitem) WHERE rk <= 3
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
 
+    // Exact interpolated percentiles (sort-based `percentile`, not the
+    // approximate sketch) — both engines interpolate linearly over the
+    // sorted values, so the doubles hash-match.
+    "h10_percentiles" -> Q(
+      (s, d) => li(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95"),
+          count(lit(1)).cast("long").as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Semi-join (J3 analog): BUILDING-segment customers that have orders.
     "h5_semi_join" -> Q(
       (s, d) => s.read.parquet(s"$d/customer.parquet")
