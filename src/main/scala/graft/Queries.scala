@@ -592,6 +592,41 @@ object Queries {
         |FROM tx WHERE substr(update_at, 9, 2) = '06' AND substr(update_at, 12, 2) = '00'
         |ORDER BY account, create_at""".stripMargin)),
 
+    // K3/T1/T7 (stream form): the streaming landing sink — raw events
+    // (incl. REMOVEs, which the consumer drops, T7) arrive as a stream
+    // and land minute-partitioned exactly like the Lambda consumer;
+    // drained with AvailableNow, read back, re-aggregated. The sink's
+    // _spark_metadata log makes the handoff exactly-once.
+    "k6_stream_landing" -> Q(
+      (s, d) => {
+        val src = tx(s, d).filter(substring(col("update_at"), 9, 2) === "07" &&
+            substring(col("update_at"), 12, 2) === "00")
+          .withColumn("eventName",
+            when(col("entity") === "error", "REMOVE").otherwise("INSERT"))
+          .select("eventName", "account", "create_at", "update_at", "entity",
+            "amount", "is_credit", "note")
+        val srcDir = scratch("k6_src")
+        src.coalesce(1).write.mode("overwrite").json(srcDir)
+        val landing = scratch("k6_landing")
+        val eventsStream = s.readStream
+          .schema(org.apache.spark.sql.types.StructType(
+            org.apache.spark.sql.types.StructField("eventName",
+              org.apache.spark.sql.types.StringType) +: Schemas.flatCdcRow.fields.toSeq))
+          .json(srcDir)
+        CdcStream.landingStream(eventsStream, landing, scratch("k6_ckpt"),
+          availableNow = true).awaitTermination()
+        s.read.schema(Schemas.flatCdcRow).json(landing)
+          .groupBy(col("minute"))
+          .agg(count(lit(1)).cast("long").as("n"), sum(col("amount")).cast("long").as("amt"))
+          .orderBy("minute")
+      },
+      Some(s"""$TxCte
+        |SELECT substr(update_at, 15, 2) AS minute,
+        |       CAST(count(*) AS BIGINT) AS n, CAST(sum(amount) AS BIGINT) AS amt
+        |FROM tx WHERE substr(update_at, 9, 2) = '07' AND substr(update_at, 12, 2) = '00'
+        |  AND entity <> 'error'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // T9 (analytics form): gap-based sessionization — the standard
     // event-analytics window chain (lag → gap flag → running sum →
     // per-session aggregate). Two windows, both partitioned by user —

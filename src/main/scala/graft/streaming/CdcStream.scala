@@ -61,15 +61,18 @@ object CdcStream {
       events: DataFrame, // streaming DF with flatCdcRow cols + eventName
       landingDir: String,
       checkpointDir: String,
-      triggerInterval: String = "10 seconds"): StreamingQuery = {
+      triggerInterval: String = "10 seconds",
+      availableNow: Boolean = false): StreamingQuery = {
     val flat = Merge.filterRemoves(events).drop("eventName")
       .withColumn("year", substring(col("update_at"), 1, 4))
       .withColumn("month", substring(col("update_at"), 6, 2))
       .withColumn("day", substring(col("update_at"), 9, 2))
       .withColumn("hour", substring(col("update_at"), 12, 2))
       .withColumn("minute", substring(col("update_at"), 15, 2))
+    val trig = if (availableNow) Trigger.AvailableNow()
+               else Trigger.ProcessingTime(triggerInterval)
     flat.writeStream
-      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .trigger(trig)
       .option("checkpointLocation", checkpointDir)
       .partitionBy("year", "month", "day", "hour", "minute")
       .format("json")
