@@ -84,29 +84,42 @@ object Similarity {
       when(dot(plane, vec) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
 
-  /** LSH-bucketed approximate top-k: corpus and queries are bucketed by
-    * sign-random-projection under `nTables` independent tables; exact
-    * cosine runs only inside matching buckets. Misses are possible
-    * (approximate by design); recall grows with nTables.
+  /** LSH-bucketed approximate top-k with MULTI-PROBE: corpus and
+    * queries are bucketed by sign-random-projection under `nTables`
+    * independent tables; each QUERY additionally probes every bucket at
+    * Hamming distance 1 from its own (one flipped hyperplane bit), so a
+    * near-neighbor split off by a single borderline plane is still
+    * found. Exact cosine runs only inside matching buckets. Misses
+    * remain possible (approximate by design); recall grows with
+    * nTables and multi-probe.
     *
-    * Scale profile: bucketing is a narrow map; the join is an equi-join
-    * on (table, bucket) — shuffle proportional to candidates. This is
-    * the plan that survives a 1000-executor corpus where broadcast
-    * brute force cannot.
+    * Scale profile: the CORPUS side stays one bucket per table (narrow
+    * map — the big side never fans out); only the small query side
+    * explodes ×(nPlanes+1). The join is an equi-join on (table, bucket)
+    * — shuffle proportional to candidates. This is the plan that
+    * survives a 1000-executor corpus where broadcast brute force
+    * cannot.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nPlanes: Int = 12, nTables: Int = 4, dim: Int = 64,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def bucketed(df: DataFrame, prefix: String): DataFrame =
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              multiProbe: Boolean = true): DataFrame = {
+    def bucketed(df: DataFrame, prefix: String, probe: Boolean): DataFrame = {
+      val tb = (0 until nTables).map { t =>
+        val bkt = srpBucket(col(vecCol), nPlanes, dim, seed = 7L + t)
+        val probes =
+          if (probe) bkt +: (0 until nPlanes).map(p => bkt.bitwiseXOR(lit(1L << p)))
+          else Seq(bkt)
+        probes.map(b => struct(lit(t).as("tbl"), b.as("bkt")))
+      }
       df.select(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}_vec"),
           norm(col(vecCol)).as(s"${prefix}_norm"),
-          explode(array((0 until nTables).map(t =>
-            struct(lit(t).as("tbl"),
-              srpBucket(col(vecCol), nPlanes, dim, seed = 7L + t).as("bkt"))): _*)).as("tb"))
+          explode(array(tb.flatten: _*)).as("tb"))
         .select(col(s"${prefix}_id"), col(s"${prefix}_vec"), col(s"${prefix}_norm"),
           col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-    val c = bucketed(corpus, "n")
-    val q = bucketed(queries, "q")
+    }
+    val c = bucketed(corpus, "n", probe = false)
+    val q = bucketed(queries, "q", probe = multiProbe)
     val cand = c.join(q, Seq("tbl", "bkt"))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("q_vec"), col("q_norm"),

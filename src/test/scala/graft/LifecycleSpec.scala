@@ -89,9 +89,13 @@ class LifecycleSpec extends AnyFunSuite {
     Ingest.landCdc(Merge.filterRemoves(allEvents, "eventName").drop("eventName"), landingDir)
 
     // ---- phase 3: cron ticks — tracker state machine + job-input serde
-    def relFiles(): Seq[String] = Files.walk(Paths.get(landingDir)).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".json"))
-      .map(p => Paths.get(landingDir).relativize(p).toString).toSeq
+    def relFiles(): Seq[String] = {
+      val w = Files.walk(Paths.get(landingDir))
+      try w.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".json"))
+        .map(p => Paths.get(landingDir).relativize(p).toString).toSeq
+      finally w.close()
+    }
 
     val firstMinute = relFiles().sorted.head.split('/').init.mkString("/")
     var state = CdcTracker.State(
@@ -152,9 +156,13 @@ class LifecycleSpec extends AnyFunSuite {
     // ---- phase 6: landing retention — minute partitions at or before
     // the tracker cursor are pruned (transient zone must not grow
     // forever; the reference leans on S3 lifecycle rules for this)
-    def minuteDirs(): Seq[String] = Files.walk(Paths.get(landingDir)).iterator().asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("minute="))
-      .map(p => Paths.get(landingDir).relativize(p).toString).toSeq
+    def minuteDirs(): Seq[String] = {
+      val w = Files.walk(Paths.get(landingDir))
+      try w.iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("minute="))
+        .map(p => Paths.get(landingDir).relativize(p).toString).toSeq
+      finally w.close()
+    }
     val before = minuteDirs()
     assert(before.nonEmpty)
     val removed = Ingest.pruneLanding(landingDir, state.lastProcessedPartition)

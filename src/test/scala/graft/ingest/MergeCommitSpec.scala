@@ -35,8 +35,10 @@ class MergeCommitSpec extends AnyFunSuite {
     val untouchedDir = Paths.get(lake, "create_year=2024", "create_month=01", "create_day=03")
     def filesOf(p: java.nio.file.Path): Map[String, Long] = {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))
+      val w = Files.walk(p)
+      try w.iterator().asScala.filter(Files.isRegularFile(_))
         .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis).toMap
+      finally w.close()
     }
     val before = filesOf(untouchedDir)
 
