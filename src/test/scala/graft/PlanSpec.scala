@@ -60,6 +60,18 @@ class PlanSpec extends AnyFunSuite {
     assert(hints.head.child.schema.fieldNames.toSeq === Seq("n_docs"))
   }
 
+  test("flagship j1 plan stays at 3 exchanges (2 dedup windows + final sort)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val q = SparkEntry.queries("j1_flagship_upsert")(spark, sf)
+    val exchanges = withAqeOff(q.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    })
+    // the union's latest-wins window must reuse the children's
+    // co-partitioning — a 4th exchange means that reuse regressed
+    assert(exchanges.size <= 3,
+      s"flagship merge grew to ${exchanges.size} exchanges")
+  }
+
   test("broadcast dims: h4 joins supplier and nation via broadcast, not shuffle") {
     val q = SparkEntry.queries("h4_top_suppliers")(spark, sf)
     val plan = withAqeOff(q.queryExecution.executedPlan)
