@@ -627,6 +627,29 @@ object Queries {
         |  AND entity <> 'error'
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // K7: small-file compaction — write one day fragmented (6 files),
+    // compact it to one file via the dynamic-overwrite path, and prove
+    // the data survived byte-for-byte by re-aggregating against the
+    // oracle. The CDC-lake pathology this guards against: every 10 s
+    // tick adds files to touched days forever.
+    "k7_compact_roundtrip" -> Q(
+      (s, d) => {
+        val day8 = Ingest.toLakeRows(tx(s, d)
+          .filter(substring(col("create_at"), 9, 2) === "08")
+          .select("account", "create_at", "update_at", "entity", "amount", "is_credit", "note"))
+        val dirOut = scratch("k7_lake")
+        TableWriter.bulkWrite(day8.repartition(6), dirOut)
+        TableWriter.compactPartition(s, dirOut, "2024", "01", "08")
+        TableWriter.read(s, dirOut)
+          .groupBy(col("entity"))
+          .agg(count(lit(1)).cast("long").as("n"), sum(col("amount")).cast("long").as("amt"))
+          .orderBy("entity")
+      },
+      Some(s"""$TxCte
+        |SELECT entity, CAST(count(*) AS BIGINT) AS n, CAST(sum(amount) AS BIGINT) AS amt
+        |FROM tx WHERE substr(create_at, 9, 2) = '08'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // T9 (analytics form): gap-based sessionization — the standard
     // event-analytics window chain (lag → gap flag → running sum →
     // per-session aggregate). Two windows, both partitioned by user —

@@ -207,4 +207,24 @@ object TableWriter {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Small-file compaction for one day partition: every 10 s merge tick
+    * adds a few files to each touched day, so a hot partition
+    * accumulates thousands of small files over days — the classic CDC
+    * lake pathology. Rewrite just that partition into `targetFiles`
+    * files via the same dynamic-overwrite path a merge commit uses:
+    * O(partition) IO, untouched partitions keep their files, readers
+    * see the old file set until the atomic-per-file swap completes.
+    * Run on a compaction cadence (hourly/daily), not per tick.
+    */
+  def compactPartition(spark: SparkSession, path: String,
+                       year: String, month: String, day: String,
+                       targetFiles: Int = 1): Unit = {
+    val pred = col("create_year") === year &&
+      col("create_month") === month && col("create_day") === day
+    val slice = read(spark, path).filter(pred).coalesce(targetFiles)
+    // localCheckpoint breaks the read-from/write-to-same-path cycle;
+    // cost is O(this partition), never the table
+    upsertWrite(slice.localCheckpoint(), path)
+  }
 }

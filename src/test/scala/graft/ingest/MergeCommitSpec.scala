@@ -66,6 +66,32 @@ class MergeCommitSpec extends AnyFunSuite {
     assert(TableWriter.read(spark, lake).count() === 2)
   }
 
+  test("compactPartition shrinks one day's file count without changing data or neighbors") {
+    import scala.jdk.CollectionConverters._
+    val lake = Files.createTempDirectory("graft_lake_compact").toString
+    val rows = lakeRows((1 to 24).map(i => (s"k$i", day(1, i), s"v$i")) ++
+      Seq(("x1", day(2, 1), "other-day")))
+    TableWriter.bulkWrite(rows.repartition(6), lake)
+    def filesIn(d: Int): Seq[java.nio.file.Path] = {
+      val p = Paths.get(lake, "create_year=2024", "create_month=01", f"create_day=$d%02d")
+      val w = Files.walk(p)
+      try w.iterator().asScala.filter(f =>
+        Files.isRegularFile(f) && f.toString.endsWith(".parquet")).toSeq
+      finally w.close()
+    }
+    assert(filesIn(1).size > 1, "fixture must start fragmented")
+    val day2Before = filesIn(2).map(_.toString).sorted
+    val before = TableWriter.read(spark, lake).localCheckpoint()
+
+    TableWriter.compactPartition(spark, lake, "2024", "01", "01")
+
+    assert(filesIn(1).size === 1, "day-1 must compact to one file")
+    assert(filesIn(2).map(_.toString).sorted === day2Before, "day-2 files untouched")
+    val after = TableWriter.read(spark, lake)
+      .select(before.columns.map(col).toIndexedSeq: _*)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+  }
+
   test("bulkWrite zstd parquet round-trips identically to snappy") {
     import scala.jdk.CollectionConverters._
     val base = Files.createTempDirectory("graft_lake_zstd")
