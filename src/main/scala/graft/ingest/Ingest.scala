@@ -205,8 +205,26 @@ object TableWriter {
     }
   }
 
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  /** Read the lake with partition columns pinned to their canonical
+    * zero-padded STRING form. A session with partition type inference
+    * enabled (the Spark default; GraftSession disables it) reads
+    * `create_day=08` back as int 8 — and a subsequent dynamic-overwrite
+    * write would then create `create_day=8` BESIDE the existing
+    * `create_day=08`, silently duplicating the partition's rows on read
+    * (both dirs parse to the same logical value). Every TableWriter
+    * write path routes through this read, so the library is safe on any
+    * session, not just GraftSession.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val widths = Map("create_year" -> 4, "create_month" -> 2, "create_day" -> 2)
+    partitionCols.foldLeft(spark.read.parquet(path)) { (df, c) =>
+      // no-op under GraftSession (inference disabled → already string,
+      // and partition pruning on the raw column stays effective); the
+      // rewrite only fires on sessions whose inference mangled the type
+      if (df.schema(c).dataType == org.apache.spark.sql.types.StringType) df
+      else df.withColumn(c, lpad(col(c).cast("string"), widths(c), "0"))
+    }
+  }
 
   /** Small-file compaction for one day partition: every 10 s merge tick
     * adds a few files to each touched day, so a hot partition

@@ -105,16 +105,25 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding",
               multiProbe: Boolean = true): DataFrame = {
     def bucketed(df: DataFrame, prefix: String, probe: Boolean): DataFrame = {
-      val tb = (0 until nTables).map { t =>
-        val bkt = srpBucket(col(vecCol), nPlanes, dim, seed = 7L + t)
+      // materialize each table's bucket ONCE in its own projection: the
+      // probe structs reference the alias, not 13 copies of the
+      // 12-plane dot-product tree (CollapseProject keeps the stage
+      // split because the alias is expensive and multi-referenced —
+      // without this the probe fan-out made codegen JIT 13× the work)
+      val bktCols = (0 until nTables).map(t =>
+        srpBucket(col(vecCol), nPlanes, dim, seed = 7L + t).as(s"__b$t"))
+      val base = df.select(Seq(col(idCol).as(s"${prefix}_id"),
+        col(vecCol).as(s"${prefix}_vec"),
+        norm(col(vecCol)).as(s"${prefix}_norm")) ++ bktCols: _*)
+      val tb = (0 until nTables).flatMap { t =>
+        val bkt = col(s"__b$t")
         val probes =
           if (probe) bkt +: (0 until nPlanes).map(p => bkt.bitwiseXOR(lit(1L << p)))
           else Seq(bkt)
         probes.map(b => struct(lit(t).as("tbl"), b.as("bkt")))
       }
-      df.select(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}_vec"),
-          norm(col(vecCol)).as(s"${prefix}_norm"),
-          explode(array(tb.flatten: _*)).as("tb"))
+      base.select(col(s"${prefix}_id"), col(s"${prefix}_vec"), col(s"${prefix}_norm"),
+          explode(array(tb: _*)).as("tb"))
         .select(col(s"${prefix}_id"), col(s"${prefix}_vec"), col(s"${prefix}_norm"),
           col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     }

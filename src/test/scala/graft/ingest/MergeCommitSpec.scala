@@ -92,6 +92,25 @@ class MergeCommitSpec extends AnyFunSuite {
     assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
   }
 
+  test("compactPartition does not duplicate partitions under default type inference") {
+    val lake = Files.createTempDirectory("graft_lake_infer").toString
+    TableWriter.bulkWrite(lakeRows(Seq(
+      ("k1", day(8, 1), "a"), ("k2", day(8, 2), "b"), ("k3", day(9, 1), "c"))), lake)
+    val n0 = TableWriter.read(spark, lake).count()
+    // the Spark DEFAULT: partition dirs like create_day=08 infer as int
+    // 8; a naive rewrite would then write create_day=8 BESIDE it and
+    // every read would return the day twice
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
+    try {
+      TableWriter.compactPartition(spark, lake, "2024", "01", "08")
+    } finally {
+      spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    }
+    assert(!Files.exists(Paths.get(lake, "create_year=2024", "create_month=1")),
+      "an unpadded twin partition directory must not appear")
+    assert(TableWriter.read(spark, lake).count() === n0, "no row may be duplicated")
+  }
+
   test("bulkWrite zstd parquet round-trips identically to snappy") {
     import scala.jdk.CollectionConverters._
     val base = Files.createTempDirectory("graft_lake_zstd")
