@@ -607,6 +607,23 @@ object QueriesOps {
         |  FROM lineitem) WHERE rk <= 3
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
 
+    // Approximate aggregates — the sketch family every analytics engine
+    // carries for 100 TB interactive work: HLL++ distinct counts and
+    // t-digest-style quantiles, both single-pass, map-side-combinable,
+    // O(sketch) memory per group. rows-only: sketch internals are
+    // engine-specific, so no cross-engine hash can exist; accuracy vs
+    // the exact answers is asserted in ApproxSpec instead.
+    "ag1_approx_stats" -> Q(
+      (s, d) => li(s, d).groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("nd_orders"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)").as("pcts"),
+          count(lit(1)).cast("long").as("n"))
+        .select(col("l_returnflag"), col("nd_orders"),
+          col("pcts").getItem(0).as("p50_approx"),
+          col("pcts").getItem(1).as("p99_approx"), col("n"))
+        .orderBy("l_returnflag"),
+      None),
+
     // Exact interpolated percentiles (sort-based `percentile`, not the
     // approximate sketch) — both engines interpolate linearly over the
     // sorted values, so the doubles hash-match.
