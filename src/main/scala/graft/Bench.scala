@@ -18,7 +18,11 @@ object Bench {
     // passes: the shared host shows 2x CPU-availability swings within
     // seconds, and min-of-N is the standard way to report the code's
     // actual cost rather than the noisiest co-tenant moment
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional positional args: run only the named queries (local triage)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.toSeq.filter { case (n, _) => args.contains(n) }
+    val results = selected.sortBy(_._1).map { case (name, fn) =>
       val outcome =
         try {
           fn(spark, sfDir).count()
@@ -30,6 +34,11 @@ object Bench {
           Right(times.min)
         }
         catch { case e: Throwable => Left(e.getClass.getSimpleName + ": " + e.getMessage) }
+      // drop blocks persisted inside the query (ann1 truth, dd3/dd5
+      // candidates): intra-query reuse across the timed runs is real
+      // reuse (CacheManager matches by plan), but letting 66 queries'
+      // blocks accumulate distorts every later query's measurement
+      spark.catalog.clearCache()
       name -> outcome
     }
     val ok = results.collect { case (n, Right(t)) => n -> t }

@@ -419,7 +419,8 @@ object QueriesOps {
         .select("doc_id", "source").orderBy("doc_id"),
       Some("""SELECT doc_id, source FROM (
         |  SELECT doc_id, source,
-        |         row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY md5(text) NULLS LAST, doc_id) AS rk
         |  FROM documents) WHERE rk <= 5 ORDER BY doc_id""".stripMargin)),
 
     // concat-then-chunk packing into 200-token bins, sharded by source

@@ -14,6 +14,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release blocks persisted inside the query (ann1/dd3/dd5): a
+      // 66-query session would otherwise accumulate them indefinitely
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -214,15 +214,29 @@ object TableWriter {
     * (both dirs parse to the same logical value). Every TableWriter
     * write path routes through this read, so the library is safe on any
     * session, not just GraftSession.
+    *
+    * The pin is a USER-SPECIFIED SCHEMA, not a post-read rewrite: a
+    * user schema disables partition type inference for that read, so
+    * the directory string `08` survives as-is AND the `create_*`
+    * columns remain genuine partition columns — filters on them (the
+    * merge tick's touched-partitions predicate, compaction's day
+    * predicate) still prune at the directory level. A `withColumn`
+    * rewrite would have silently turned those O(delta) scans into
+    * O(table) post-scan filters on inference-enabled sessions.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val widths = Map("create_year" -> 4, "create_month" -> 2, "create_day" -> 2)
-    partitionCols.foldLeft(spark.read.parquet(path)) { (df, c) =>
-      // no-op under GraftSession (inference disabled → already string,
-      // and partition pruning on the raw column stays effective); the
-      // rewrite only fires on sessions whose inference mangled the type
-      if (df.schema(c).dataType == org.apache.spark.sql.types.StringType) df
-      else df.withColumn(c, lpad(col(c).cast("string"), widths(c), "0"))
+    val first = spark.read.parquet(path)
+    if (partitionCols.forall(c =>
+        first.schema(c).dataType == org.apache.spark.sql.types.StringType)) first
+    else {
+      // schema-only pass above (footer + dir listing); re-read with the
+      // partition columns forced to string
+      val pinned = org.apache.spark.sql.types.StructType(first.schema.map { f =>
+        if (partitionCols.contains(f.name))
+          f.copy(dataType = org.apache.spark.sql.types.StringType)
+        else f
+      })
+      spark.read.schema(pinned).parquet(path)
     }
   }
 

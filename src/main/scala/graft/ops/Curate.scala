@@ -26,8 +26,11 @@ object Curate {
     */
   def stratifiedSample(docs: DataFrame, stratumCol: String, perStratum: Int,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // nulls LAST explicitly: Spark's default is NULLS FIRST ascending,
+    // DuckDB's is NULLS LAST — on a corpus with null documents the two
+    // engines would otherwise sample different sets
     val w = Window.partitionBy(col(stratumCol))
-      .orderBy(md5(col(textCol)), col(idCol))
+      .orderBy(md5(col(textCol)).asc_nulls_last, col(idCol))
     docs.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= perStratum).drop("__rk")
   }

@@ -111,6 +111,30 @@ class MergeCommitSpec extends AnyFunSuite {
     assert(TableWriter.read(spark, lake).count() === n0, "no row may be duplicated")
   }
 
+  test("partition pruning stays physical under default type inference") {
+    // the schema-pinned read must keep create_* as real partition
+    // columns: a post-read lpad rewrite would silently turn the merge
+    // tick's O(delta) pruned scan into an O(table) post-scan filter on
+    // inference-enabled (non-Graft) sessions
+    val lake = Files.createTempDirectory("graft_lake_infprune").toString
+    TableWriter.bulkWrite(lakeRows(Seq(
+      ("a", day(1, 1), "x"), ("b", day(2, 1), "y"), ("c", day(3, 1), "z"))), lake)
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
+    try {
+      val pred = TableWriter.touchedPartitionsPredicate(
+        lakeRows(Seq(("a", day(1, 2), "x2")))).get
+      val pruned = TableWriter.read(spark, lake).filter(pred)
+      assert(pruned.collect().length === 1)
+      val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+      assert(scan.metrics("numFiles").value === 1,
+        s"expected a 1-file pruned scan under inference; got ${scan.metrics("numFiles").value}")
+    } finally {
+      spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    }
+  }
+
   test("bulkWrite zstd parquet round-trips identically to snappy") {
     import scala.jdk.CollectionConverters._
     val base = Files.createTempDirectory("graft_lake_zstd")
