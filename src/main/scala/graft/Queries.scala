@@ -704,5 +704,80 @@ object Queries {
       Some(s"""$TxCte
         |SELECT entity, CAST(count(*) AS BIGINT) AS n, CAST(sum(amount) AS BIGINT) AS amt
         |FROM tx WHERE substr(update_at, 9, 2) = '05'
-        |GROUP BY 1 ORDER BY 1""".stripMargin)))
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Point-in-time enrichment (backward as-of join): every click gets
+    // the latest at-or-before purchase of the same user. Planned as ONE
+    // key shuffle + window — no join operator (JoinsSpec proves it
+    // structurally). Oracle: DuckDB's native ASOF LEFT JOIN — an
+    // independent as-of implementation, so semantics are cross-checked,
+    // not just round-tripped.
+    "aj1_asof_join" -> Q(
+      (s, d) => {
+        val ev = events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts").as("p_ts"))
+          .agg(max(col("event_id")).as("p_event_id"))
+          .select("user_id", "p_ts", "p_event_id")
+        graft.ops.Joins.asofJoin(clicks, purchases, Seq("user_id"), "ts", "p_ts")
+          .select("event_id", "user_id", "ts", "p_event_id", "p_ts")
+          .orderBy("event_id")
+      },
+      Some("""WITH pur AS (SELECT user_id, ts AS p_ts, max(event_id) AS p_event_id
+        |             FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |clk AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts, p.p_event_id, p.p_ts
+        |FROM clk c ASOF LEFT JOIN pur p
+        |  ON c.user_id = p.user_id AND c.ts >= p.p_ts
+        |ORDER BY c.event_id""".stripMargin)),
+
+    // Forward as-of join: time-to-next-failure — every click gets the
+    // EARLIEST at-or-after error of the same user. Oracle uses a
+    // correlated min() subquery (a third independent formulation).
+    "aj2_asof_forward" -> Q(
+      (s, d) => {
+        val ev = events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts").as("next_err_ts")).distinct()
+        graft.ops.Joins.asofJoinForward(clicks, errors, Seq("user_id"), "ts", "next_err_ts")
+          .select("event_id", "user_id", "ts", "next_err_ts")
+          .orderBy("event_id")
+      },
+      Some("""SELECT c.event_id, c.user_id, c.ts,
+        |  (SELECT min(e.ts) FROM events e WHERE e.event_type = 'error'
+        |     AND e.user_id = c.user_id AND e.ts >= c.ts) AS next_err_ts
+        |FROM events c WHERE c.event_type = 'click' ORDER BY c.event_id""".stripMargin)),
+
+    // Interval (range) join, bucketized to an equi-join: clicks falling
+    // inside any 10-minute incident window opened by an error event of
+    // users 0-9. A raw `t BETWEEN start AND end` join would plan as
+    // BroadcastNestedLoop; the bucketed form shuffles on the bucket key
+    // (JoinsSpec proves the equi-join plan structurally).
+    "rj1_range_join" -> Q(
+      (s, d) => {
+        val ev = events(s, d)
+        val points = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+            col("ts").as("click_ts"), unix_micros(col("ts")).as("click_us"))
+        val intervals = ev.filter(col("event_type") === "error" && col("user_id") < 10)
+          .select(col("event_id").as("err_id"), col("ts").as("err_start"),
+            unix_micros(col("ts")).as("start_us"),
+            (unix_micros(col("ts")) + lit(600000000L)).as("end_us"))
+        graft.ops.Joins.rangeJoin(points, intervals,
+            "click_us", "start_us", "end_us", bucketWidth = 600000000L)
+          .select("click_id", "click_user", "click_ts", "err_id", "err_start")
+          .orderBy("click_id", "err_id")
+      },
+      Some("""WITH iv AS (SELECT event_id AS err_id, ts AS err_start,
+        |              ts + INTERVAL 10 MINUTE AS err_end
+        |            FROM events WHERE event_type = 'error' AND user_id < 10),
+        |pt AS (SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts
+        |       FROM events WHERE event_type = 'click')
+        |SELECT click_id, click_user, click_ts, err_id, err_start
+        |FROM pt JOIN iv ON click_ts >= err_start AND click_ts < err_end
+        |ORDER BY click_id, err_id""".stripMargin)))
 }

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark lacks as built-ins: point-in-time (as-of) join
+  * and interval (range) join. Both are built by COMPOSING shuffled
+  * built-in operators — preference (a) of the extension ladder — so
+  * Catalyst/AQE still own the physical planning.
+  *
+  * As-of: the union+window formulation. Tagging both inputs, sorting
+  * per key on (time, side), and running one `last(_, ignoreNulls)`
+  * window gives every left row the latest right payload at-or-before
+  * its timestamp with ONE key shuffle and NO join operator at all —
+  * at 100 TB this is strictly cheaper than any bucketed-join
+  * formulation (which must either replicate right rows across time
+  * buckets or re-window per bucket), and it inherits sort-based spill.
+  *
+  * Range: bucketize-and-equi-join. Each interval is exploded to the
+  * fixed-width buckets it covers, each point hashes to exactly one
+  * bucket, and the residual `start <= p < end` predicate runs inside a
+  * plain equi-join — a shuffled hash/sort-merge join instead of the
+  * BroadcastNestedLoop/cartesian plan Spark picks for a raw non-equi
+  * condition. Output rows are exact (a point matches an interval in
+  * exactly one shared bucket, so no dedup pass is needed).
+  */
+object Joins {
+
+  /** Backward as-of join: for every left row, the single right row with
+    * the greatest `rightTime <= leftTime` among rows sharing `keys`
+    * (inclusive, like DuckDB `ASOF JOIN ... ON l.t >= r.t`); left rows
+    * with no prior right row keep null payloads (left-outer shape).
+    *
+    * `right` must already be projected to `keys ++ rightTime ++
+    * payload` with names disjoint from `left`'s non-key columns. Ties
+    * on (key, rightTime) resolve deterministically to the greatest
+    * payload struct.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String): DataFrame = {
+    val payloadCols = right.columns.filterNot(keys.contains).toSeq
+    val p = struct(payloadCols.map(col): _*)
+    val r2 = right.select(keys.map(col) ++ Seq(
+      col(rightTime).cast("timestamp").as("__t"), lit(0).as("__src"), p.as("__p")): _*)
+    val l2 = left
+      .withColumn("__t", col(leftTime).cast("timestamp"))
+      .withColumn("__src", lit(1))
+    // unionByName fills the other side's exclusive columns with null
+    val u = l2.unionByName(r2, allowMissingColumns = true)
+    // right rows sort BEFORE the left rows of the same instant, so the
+    // running frame is >=-inclusive; __p ascending makes equal-time
+    // right rows resolve to a deterministic winner
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__src").asc, col("__p").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = u.withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
+    val out = left.columns.map(col) ++ payloadCols.map(c => col(s"__m.$c").as(c))
+    matched.select(out.toSeq: _*)
+  }
+
+  /** Forward as-of join: the single right row with the smallest
+    * `rightTime >= leftTime` per key. Same contract as [[asofJoin]].
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTime: String, rightTime: String): DataFrame = {
+    val payloadCols = right.columns.filterNot(keys.contains).toSeq
+    val p = struct(payloadCols.map(col): _*)
+    val r2 = right.select(keys.map(col) ++ Seq(
+      col(rightTime).cast("timestamp").as("__t"), lit(0).as("__src"), p.as("__p")): _*)
+    val l2 = left
+      .withColumn("__t", col(leftTime).cast("timestamp"))
+      .withColumn("__src", lit(1))
+    val u = l2.unionByName(r2, allowMissingColumns = true)
+    // left rows sort before same-instant right rows (src desc), so the
+    // forward frame [current, +inf) still sees an equal-time right row;
+    // __p ascending -> first() picks the deterministic smallest payload
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__src").desc, col("__p").asc_nulls_first)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = u.withColumn("__m", first(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
+    val out = left.columns.map(col) ++ payloadCols.map(c => col(s"__m.$c").as(c))
+    matched.select(out.toSeq: _*)
+  }
+
+  /** Interval join on a numeric axis: all (point, interval) pairs with
+    * `start <= point < end`, planned as an equi-join on fixed-width
+    * buckets. `pointCol`/`startCol`/`endCol` must be numeric (cast
+    * timestamps to epoch micros first) and column names of the two
+    * inputs must be disjoint.
+    *
+    * `bucketWidth` trades replication for pruning: each interval emits
+    * `ceil(len/width)+1` bucket rows, each point exactly one — pick a
+    * width near the typical interval length. Long outlier intervals
+    * degrade gracefully (more replicas, still an equi-join); AQE's
+    * skew-join splitting handles hot buckets.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                pointCol: String, startCol: String, endCol: String,
+                bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val pb = points.withColumn("__pb", floor(col(pointCol) / bucketWidth).cast("long"))
+    val ib = intervals.withColumn("__ib", explode(sequence(
+      floor(col(startCol) / bucketWidth).cast("long"),
+      // end is exclusive, but a point in the end bucket can still be
+      // < end, so the interval covers through floor(end/width)
+      floor(col(endCol) / bucketWidth).cast("long"))))
+    pb.join(ib, col("__pb") === col("__ib") &&
+        col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__pb", "__ib")
+  }
+}

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Semantics (vs naive formulations) and physical-plan structure for
+  * the temporal joins: as-of must plan with NO join operator at all,
+  * range must plan as an equi-join, never nested-loop/cartesian.
+  */
+class JoinsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // plan inspected with AQE off: the static plan's operator choice is
+  // what matters, and it keeps TreeNode.collect a full traversal
+  // (no opaque QueryStageExec wrappers)
+  private def staticPlan(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  // left: (key, t, tag)  right: (key, rt, v)
+  private lazy val left = Seq(
+    ("a", 10L, "l1"), ("a", 20L, "l2"), ("a", 5L, "l0"),
+    ("b", 10L, "l3"), ("c", 10L, "l4")
+  ).toDF("k", "t", "tag")
+  private lazy val right = Seq(
+    ("a", 10L, "r10"), ("a", 15L, "r15"), ("a", 2L, "r2"),
+    ("b", 11L, "r11")
+  ).toDF("k", "rt", "v")
+
+  test("asofJoin backward: inclusive latest-at-or-before per key, null when none") {
+    val out = Joins.asofJoin(
+        left, right.select(col("k"), col("rt"), col("v")), Seq("k"), "t", "rt")
+      .select("k", "t", "tag", "rt", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)), Option(r.get(4)))).toSet
+    // a@10 matches r10 exactly (inclusive); a@20 matches r15; a@5 matches r2;
+    // b@10 has no prior right row; c has no right rows at all
+    assert(out.exists { case (k, t, _, _, v) => k == "a" && t == 10L && v.contains("r10") })
+    assert(out.exists { case (k, t, _, _, v) => k == "a" && t == 20L && v.contains("r15") })
+    assert(out.exists { case (k, t, _, _, v) => k == "a" && t == 5L && v.contains("r2") })
+    assert(out.exists { case (k, t, _, _, v) => k == "b" && t == 10L && v.isEmpty })
+    assert(out.exists { case (k, t, _, _, v) => k == "c" && t == 10L && v.isEmpty })
+    assert(out.size === 5, "exactly one output row per left row")
+  }
+
+  test("asofJoinForward: inclusive earliest-at-or-after per key") {
+    val out = Joins.asofJoinForward(
+        left, right.select(col("k"), col("rt"), col("v")), Seq("k"), "t", "rt")
+      .select("k", "t", "rt", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(out.exists { case (k, t, _, v) => k == "a" && t == 10L && v.contains("r10") })
+    assert(out.exists { case (k, t, _, v) => k == "a" && t == 20L && v.isEmpty })
+    assert(out.exists { case (k, t, _, v) => k == "a" && t == 5L && v.contains("r10") })
+    assert(out.exists { case (k, t, _, v) => k == "b" && t == 10L && v.contains("r11") })
+    assert(out.size === 5)
+  }
+
+  test("asofJoin ties on (key, time) resolve to the greatest payload deterministically") {
+    val dupRight = Seq(("a", 10L, "rA"), ("a", 10L, "rB")).toDF("k", "rt", "v")
+    val out = Joins.asofJoin(Seq(("a", 10L)).toDF("k", "t"), dupRight, Seq("k"), "t", "rt")
+    // payload struct (rt, v) ascending -> last() picks ("rB")
+    assert(out.select("v").as[String].collect().toSeq === Seq("rB"))
+  }
+
+  test("asofJoin plans with a window, not a join operator") {
+    val plan = staticPlan(Joins.asofJoin(
+      left, right.select(col("k"), col("rt"), col("v")), Seq("k"), "t", "rt"))
+    val joins = plan.collect { case j: BaseJoinExec => j }
+    assert(joins.isEmpty, s"expected no join operator, got:\n$plan")
+  }
+
+  test("rangeJoin equals the naive non-equi join, boundaries half-open") {
+    val points = Seq((1L, 0L), (2L, 10L), (3L, 25L), (4L, 30L), (5L, 99L))
+      .toDF("pid", "x")
+    // [10,30) spans multiple width-7 buckets; [30,31) catches nothing at 30? no: 30 matches
+    val intervals = Seq((100L, 10L, 30L), (200L, 28L, 45L), (300L, 500L, 600L))
+      .toDF("iid", "s", "e")
+    val got = Joins.rangeJoin(points, intervals, "x", "s", "e", bucketWidth = 7L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = points.as("p").join(intervals.as("i"),
+        col("x") >= col("s") && col("x") < col("e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(want === Set((2L, 100L), (3L, 100L), (4L, 200L)),
+      "x=10 matches start-inclusive, x=30 misses end-exclusive, x=30 inside [28,45)")
+  }
+
+  test("rangeJoin plans as an equi-join, never nested-loop or cartesian") {
+    val points = Seq((1L, 0L), (2L, 10L)).toDF("pid", "x")
+    val intervals = Seq((100L, 10L, 30L)).toDF("iid", "s", "e")
+    val plan = staticPlan(Joins.rangeJoin(points, intervals, "x", "s", "e", 7L))
+    assert(plan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }.isEmpty, s"nested-loop/cartesian plan:\n$plan")
+    assert(plan.collect { case j: BaseJoinExec => j }.nonEmpty,
+      "expected an equi-join operator")
+  }
+}
