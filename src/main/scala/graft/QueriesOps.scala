@@ -608,6 +608,88 @@ object QueriesOps {
         |  FROM lineitem) WHERE rk <= 3
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
 
+    // Window-analytics breadth: lag/lead offsets, a running total, and
+    // a 5-row moving average in ONE window pass per supplier. Running
+    // double sums are order-sensitive (DuckDB evaluates windowed sums
+    // via segment trees, Spark incrementally) — so all sums run over
+    // exact decimals and only the final value casts to double. The
+    // synthetic lineitem has duplicate (l_orderkey, l_linenumber) pairs,
+    // so the window order also includes every column the frame consumes
+    // (price, qty): any remaining ties are between rows the window
+    // functions cannot distinguish, making the result tie-order-proof.
+    "w2_window_analytics" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"), col("l_quantity"))
+        val w5 = w.rowsBetween(-4, 0)
+        li(s, d).select(
+            col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+            col("l_extendedprice"),
+            sum(dec("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+              .cast("double").as("run_qty"),
+            lag(col("l_extendedprice"), 1).over(w).as("prev_price"),
+            lead(col("l_extendedprice"), 1).over(w).as("next_price"),
+            (sum(dec("l_extendedprice")).over(w5).cast("double")
+              / count(lit(1)).over(w5).cast("double")).as("ma5"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty,
+        |  lag(l_extendedprice, 1) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity) AS prev_price,
+        |  lead(l_extendedprice, 1) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity) AS next_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(count(*) OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS ma5
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Rank-function family over per-nation supplier revenue: rank,
+    // dense_rank, percent_rank, cume_dist, ntile — the tiebreak on
+    // s_suppkey makes the window order total, so every rank value is
+    // engine-portable.
+    "w3_rank_family" -> Q(
+      (s, d) => {
+        val rev = li(s, d)
+          .join(broadcast(s.read.parquet(s"$d/supplier.parquet")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(s.read.parquet(s"$d/nation.parquet")),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("s_suppkey"))
+          .agg(sum(discPrice).cast("double").as("revenue"))
+        val w = Window.partitionBy(col("n_name"))
+          .orderBy(col("revenue").desc, col("s_suppkey").asc)
+        rev.select(col("n_name"), col("s_suppkey"), col("revenue"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"),
+            percent_rank().over(w).as("prnk"),
+            cume_dist().over(w).as("cdist"),
+            ntile(4).over(w).cast("int").as("quartile"))
+          .orderBy("n_name", "rnk")
+      },
+      Some("""WITH rev AS (
+        |  SELECT n_name, s_suppkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |                JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT n_name, s_suppkey, revenue,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cdist,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM rev
+        |WINDOW w AS (PARTITION BY n_name ORDER BY revenue DESC, s_suppkey ASC)
+        |ORDER BY n_name, rnk""".stripMargin)),
+
     // Approximate aggregates — the sketch family every analytics engine
     // carries for 100 TB interactive work: HLL++ distinct counts and
     // t-digest-style quantiles, both single-pass, map-side-combinable,
