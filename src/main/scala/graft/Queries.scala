@@ -627,6 +627,46 @@ object Queries {
         |  AND entity <> 'error'
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // SD1: STREAMING exact dedup — the corpus exact-dedup decision as a
+    // continuously-ingesting stream. One day-hour of events is landed
+    // TWICE (two files, forced into separate micro-batches by
+    // maxFilesPerTrigger=1, so suppression is cross-batch state, not
+    // within-batch distinct); dropDuplicatesWithinWatermark on a
+    // full-row content hash must collapse the doubled stream back to
+    // the batch DISTINCT of the hour. Horizon (2 days) exceeds the
+    // hour's span, so no state evicts mid-run and stream == batch
+    // exactly; at scale the horizon shrinks to the real replay window.
+    "sd1_stream_dedup" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val cols = Seq("account", "create_at", "update_at", "entity",
+          "amount", "is_credit", "note")
+        val hour = tx(s, d).filter(substring(col("update_at"), 9, 2) === "05" &&
+            substring(col("update_at"), 12, 2) === "00")
+          .select(cols.map(col): _*)
+        val srcDir = scratch("sd1_src")
+        hour.coalesce(1).write.mode("overwrite").json(srcDir)
+        hour.coalesce(1).write.mode("append").json(srcDir) // exact-duplicate file
+        val stream = s.readStream.schema(hour.schema)
+          .option("maxFilesPerTrigger", 1).json(srcDir)
+        val dd = CdcStream.dedupStream(stream,
+          to_timestamp(col("update_at"), Schemas.TsPattern), "2 days",
+          // unit-sep-joined + null sentinel: without them ("ab","c") vs
+          // ("a","bc"), or ("a",null) vs (null,"a"), would collide
+          md5(concat_ws("\u001f",
+            cols.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*)))
+        dd.writeStream.format("memory").queryName("sd1_dedup")
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", scratch("sd1_ckpt"))
+          .start().awaitTermination()
+        s.table("sd1_dedup").select(cols.map(col): _*)
+          .orderBy(cols.map(col): _*)
+      },
+      Some(s"""$TxCte
+        |SELECT DISTINCT account, create_at, update_at, entity, amount, is_credit, note
+        |FROM tx WHERE substr(update_at, 9, 2) = '05' AND substr(update_at, 12, 2) = '00'
+        |ORDER BY account, create_at, update_at, entity, amount, is_credit, note""".stripMargin)),
+
     // K7: small-file compaction — write one day fragmented (6 files),
     // compact it to one file via the dynamic-overwrite path, and prove
     // the data survived byte-for-byte by re-aggregating against the

@@ -135,11 +135,26 @@ object QueriesOps {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY d ORDER BY tfidf DESC, tok ASC) AS INTEGER) AS rk
         |  FROM sc) WHERE rk <= 3 ORDER BY d, rk""".stripMargin)),
 
-    // rolling_hash is a native codegen Expression — not SQL-portable.
+    // rolling_hash is a native codegen Expression, but its arithmetic
+    // (polynomial fold over UTF-8 bytes mod 2^64) IS SQL-portable:
+    // DuckDB folds the hex-decoded bytes in HUGEINT with an explicit
+    // mod, then re-wraps to the signed 64-bit value — so the native
+    // expression gets a full cross-engine oracle, not a rows-only row.
     "tx4_fingerprint" -> Q(
       (s, d) => Text.withFingerprint(docs(s, d))
         .select("doc_id", "fingerprint").orderBy("doc_id"),
-      None),
+      Some("""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        |f AS (SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS HUGEINT),
+        |        list_transform(range(1, length(hx)//2 + 1),
+        |          i -> CAST(strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) * 16
+        |                  + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 17 AS HUGEINT))),
+        |      (h, x) -> (h * 1000003 + x) % CAST('18446744073709551616' AS HUGEINT)) AS m
+        |  FROM b)
+        |SELECT doc_id, CAST(CASE WHEN m >= CAST('9223372036854775808' AS HUGEINT)
+        |    THEN m - CAST('18446744073709551616' AS HUGEINT) ELSE m END AS BIGINT) AS fingerprint
+        |FROM f ORDER BY doc_id""".stripMargin)),
 
     "tx5_winnowing" -> Q(
       (s, d) => Text.withWinnowing(docs(s, d))
@@ -241,11 +256,13 @@ object QueriesOps {
       },
       None),
 
-    // 8 planes × 8 tables: ~18% recall at cos 0.4 (vs ~3% at the
-    // near-dup defaults) — this query targets moderate-similarity pairs.
+    // 8 planes × 8 tables + Hamming-1 multi-probe on one join side:
+    // this query targets moderate-similarity pairs (cos 0.4), where
+    // plain bucketing recalls ~0.22 — probing recovers pairs split by a
+    // single borderline plane (recall measured by ann1_recall).
     "ss4_lsh_neardup_pairs" -> Q(
       (s, d) => Similarity.lshNearDupPairs(par(embs(s, d)), threshold = 0.4,
-          nPlanes = 8, nTables = 8)
+          nPlanes = 8, nTables = 8, multiProbe = true)
         .select(col("id1"), col("id2"), round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy("id1", "id2"),
       None),
@@ -288,6 +305,50 @@ object QueriesOps {
         |  AND doc_id NOT IN (SELECT id2 FROM pairs WHERE cos_sim >= 0.4)
         |ORDER BY doc_id""".stripMargin)),
 
+    // DD7: near-dup pairs -> dedup CLUSTERS via distributed connected
+    // components (iterative min-label propagation; see
+    // Dedup.connectedComponents for the per-round shuffle profile).
+    // Pair source here is the exact-cosine baseline so the DuckDB
+    // oracle can rebuild the same graph and close it with a recursive
+    // CTE; at scale the pair source swaps to lshNearDupPairs/
+    // minhashLshPairs with the same clustering pass.
+    "dd7_dedup_clusters" -> Q(
+      (s, d) => {
+        val bounded = embs(s, d).filter(col("vec_id") < 600)
+        val pairs = Similarity.cosineNearDupPairs(bounded, threshold = 0.4)
+          .select(col("id1").as("d1"), col("id2").as("d2"))
+        val verts = bounded.select(col("vec_id").as("v"))
+        val cc = Dedup.connectedComponents(verts, pairs)
+        val sizes = cc.groupBy("cluster").agg(count(lit(1)).cast("long").as("csize"))
+        cc.join(sizes, "cluster")
+          .select(col("v"), col("cluster"), col("csize"),
+            (col("v") === col("cluster")).as("is_rep"))
+          .orderBy("v")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 600),
+        |pairs AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos_sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |edges AS (SELECT CAST(id1 AS BIGINT) AS src, CAST(id2 AS BIGINT) AS dst
+        |            FROM pairs WHERE cos_sim >= 0.4
+        |          UNION ALL
+        |          SELECT CAST(id2 AS BIGINT), CAST(id1 AS BIGINT)
+        |            FROM pairs WHERE cos_sim >= 0.4),
+        |reach(v, r) AS (
+        |  SELECT CAST(vec_id AS BIGINT), CAST(vec_id AS BIGINT) FROM e
+        |  UNION
+        |  SELECT edges.dst, reach.r FROM reach JOIN edges ON edges.src = reach.v),
+        |cl AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v),
+        |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize FROM cl GROUP BY cluster)
+        |SELECT cl.v, cl.cluster, sz.csize, cl.v = cl.cluster AS is_rep
+        |FROM cl JOIN sz USING (cluster) ORDER BY v""".stripMargin)),
+
     // Quantified driver-visible quality check for the approximate ANN
     // paths: recall of ss3/ss4/ss5 against their exact ground truths,
     // computed entirely in-plan (semi-join hit counting — no collect).
@@ -317,7 +378,7 @@ object QueriesOps {
         val pairTruth = Similarity.cosineNearDupPairs(bounded, threshold = 0.4)
           .select(col("id1").as("q_id"), col("id2").as("n_id"))
         val pairLsh = Similarity.lshNearDupPairs(bounded, threshold = 0.4,
-            nPlanes = 8, nTables = 8)
+            nPlanes = 8, nTables = 8, multiProbe = true)
           .select(col("id1").as("q_id"), col("id2").as("n_id"))
         recallOf("ss3_lsh_topk", topkTruth,
             Similarity.lshTopK(e, q, k = 5).select("q_id", "n_id"))
@@ -689,6 +750,53 @@ object QueriesOps {
         |FROM rev
         |WINDOW w AS (PARTITION BY n_name ORDER BY revenue DESC, s_suppkey ASC)
         |ORDER BY n_name, rnk""".stripMargin)),
+
+    // Pivot: long->wide with a PINNED value list (Seq("F","O","P")) —
+    // never the value-discovery overload, which needs an extra
+    // distinct-scan job and makes the output schema data-dependent
+    // (nondeterministic columns at scale). One shuffle: the groupBy.
+    "pv1_pivot" -> Q(
+      (s, d) => s.read.parquet(s"$d/orders.parquet")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(dec("o_totalprice")).cast("double"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Unpivot: wide->long (the Dataset.unpivot operator — melt). All
+    // measures pre-cast to double so the unpivoted value column has one
+    // type; avg is sum/count over exact decimals for engine portability.
+    "pv2_unpivot" -> Q(
+      (s, d) => {
+        val aggd = li(s, d).groupBy(col("l_returnflag")).agg(
+          sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_price"),
+          (sum(dec("l_discount")).cast("double")
+            / count(lit(1)).cast("double")).as("avg_disc"))
+        aggd.unpivot(
+            Array(col("l_returnflag")),
+            Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+            "metric", "value")
+          .orderBy("l_returnflag", "metric")
+      },
+      Some("""WITH a AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS avg_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+        |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+        |UNION ALL SELECT l_returnflag, 'avg_disc', avg_disc FROM a
+        |ORDER BY l_returnflag, metric""".stripMargin)),
 
     // Approximate aggregates — the sketch family every analytics engine
     // carries for 100 TB interactive work: HLL++ distinct counts and

@@ -198,6 +198,66 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  // ---------------- dedup clustering (connected components) ----------
+
+  /** Connected components over a near-duplicate pair list: every vertex
+    * is labeled with the minimum id reachable through pairs — turning
+    * pairwise near-dup evidence (from ANY generator: minhash-LSH,
+    * simhash, cosine) into dedup groups whose min-id member is the
+    * canonical representative. `vertices` must have a single column `v`;
+    * `pairs` columns `d1`/`d2`. Output: (v, cluster).
+    *
+    * Algorithm: Pregel-style iterative min-label propagation. labels(v)
+    * starts at v; each round every vertex takes the min of its own and
+    * its neighbors' labels, until fixpoint. Round count = component
+    * diameter: near-dup graphs are dense local clusters with tiny
+    * diameters, so a handful of rounds suffice (the O(log n)-round
+    * large-star/small-star scheme of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", MLG'14, is the upgrade path
+    * for adversarial chain-shaped graphs).
+    *
+    * Scale profile per round: ONE shuffle join (edges ⋈ labels on dst,
+    * payloads are pairs of longs — vectors/text never enter the loop) +
+    * one map-side-combinable min-aggregation. Convergence detection is
+    * an aggregate over the label sum: labels only ever decrease, so the
+    * sum strictly decreases iff any label changed — no change-count
+    * join, no collect of the label table (the sum runs over
+    * decimal(38,0) so 10^10 vertices with 10^10-sized ids cannot
+    * overflow it). Each round's labels are persisted and the previous
+    * round's blocks released: lineage stays one round deep, so executor
+    * loss recomputes a round, not the whole history.
+    */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame,
+                          maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs
+      .select(col("d1").cast("long").as("src"), col("d2").cast("long").as("dst"))
+      .union(pairs.select(col("d2").cast("long").as("src"), col("d1").cast("long").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col("v").cast("long").as("v"), col("v").cast("long").as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var round = 0
+    var converged = prevSum == null // empty vertex set: sum is NULL, nothing to do
+    while (!converged && round < maxIter) {
+      val nbrMin = edges.join(labels.withColumnRenamed("v", "dst"), "dst")
+        .groupBy(col("src").as("v")).agg(min("lbl").as("nbl"))
+      val next = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"), least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val s = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      round += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("lbl", "cluster")
+  }
+
   // ---------------- SimHash ----------------
 
   /** 64-bit SimHash per doc: per-token xxhash64, each bit accumulates

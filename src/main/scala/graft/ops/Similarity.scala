@@ -282,27 +282,53 @@ object Similarity {
 
   /** LSH-bucketed near-dup pairs: same SRP bucketing, pairs only form
     * inside buckets, then exact cosine verification.
+    *
+    * Shuffle discipline (the dd3 pattern): the bucket self-join carries
+    * ONLY (id, table, bucket) tuples — vectors re-join just for the
+    * surviving candidate pairs, so the wide payload never rides the
+    * candidate-generation shuffle.
+    *
+    * `multiProbe` additionally probes, on ONE side of the self-join,
+    * every bucket at Hamming distance 1 (one flipped hyperplane): a
+    * pair split by a single borderline plane in table t still collides
+    * there. Asymmetric on purpose — probing both sides would square the
+    * fan-out for the same distance-1 coverage. Fan-out cost is
+    * ×(nPlanes+1) rows of three longs on one side, nothing on the
+    * other.
     */
   def lshNearDupPairs(vectors: DataFrame, threshold: Double,
                       nPlanes: Int = 10, nTables: Int = 6, dim: Int = 64,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // NB: srpBucket must reference the ORIGINAL vecCol, not the "v"
-    // alias from this same select — lateral column aliases can't be
-    // resolved inside a Generate (explode) in Spark 4.
-    val bucketed = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
-        norm(col(vecCol)).as("nn"),
-        explode(array((0 until nTables).map(t =>
-          struct(lit(t).as("tbl"),
-            srpBucket(col(vecCol), nPlanes, dim, seed = 11L + t).as("bkt"))): _*)).as("tb"))
-      .select(col("id"), col("v"), col("nn"),
-        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-    bucketed.as("a").join(bucketed.as("b"),
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      multiProbe: Boolean = false): DataFrame = {
+    // NB: srpBucket must reference the ORIGINAL vecCol, not an alias
+    // from this same select — lateral column aliases can't be resolved
+    // inside a Generate (explode) in Spark 4. Buckets get their own
+    // projection (bktCols aliases) so the probe fan-out references the
+    // computed value, not nPlanes copies of the dot-product tree.
+    val bktCols = (0 until nTables).map(t =>
+      srpBucket(col(vecCol), nPlanes, dim, seed = 11L + t).as(s"__b$t"))
+    val base = vectors.select(col(idCol).as("id") +: bktCols: _*)
+    def exploded(probe: Boolean): DataFrame = {
+      val tb = (0 until nTables).flatMap { t =>
+        val bkt = col(s"__b$t")
+        val probes =
+          if (probe) bkt +: (0 until nPlanes).map(p => bkt.bitwiseXOR(lit(1L << p)))
+          else Seq(bkt)
+        probes.map(b => struct(lit(t).as("tbl"), b.as("bkt")))
+      }
+      base.select(col("id"), explode(array(tb: _*)).as("tb"))
+        .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    }
+    val cand = exploded(multiProbe).as("a").join(exploded(false).as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.v").as("v1"), col("b.v").as("v2"),
-        col("a.nn").as("nn1"), col("b.nn").as("nn2"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .dropDuplicates("id1", "id2")
+    val vecs = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nn"))
+    cand
+      .join(vecs.toDF("id1", "v1", "nn1"), "id1")
+      .join(vecs.toDF("id2", "v2", "nn2"), "id2")
       .withColumn("cos_sim", dot(col("v1"), col("v2")) / (col("nn1") * col("nn2")))
       .filter(col("cos_sim") >= threshold)
       .select(col("id1"), col("id2"), col("cos_sim"))

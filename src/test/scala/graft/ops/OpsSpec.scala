@@ -209,6 +209,46 @@ class OpsSpec extends AnyFunSuite {
       t2.map(t => t.doc_id -> t.thumb_checksum).toMap)
   }
 
+  test("connected components: chains, separate components, singletons, convergence") {
+    import spark.implicits._
+    // component A: a CHAIN 1-2-3-4-5 (diameter 4 — forces multiple
+    // propagation rounds); component B: triangle 10-11-12; C: pair
+    // 20-21; vertex 30 is a singleton with no edges at all.
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("d1", "d2")
+    val verts = (Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 20L, 21L, 30L)).toDF("v")
+    val got = Dedup.connectedComponents(verts, pairs)
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("cluster")).toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L))
+  }
+
+  test("connected components handles an empty vertex set") {
+    import spark.implicits._
+    val empty = Dedup.connectedComponents(
+      Seq.empty[Long].toDF("v"), Seq.empty[(Long, Long)].toDF("d1", "d2"))
+    assert(empty.count() === 0)
+  }
+
+  test("SRP-LSH multi-probe pairs are a superset of plain pairs with higher recall") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pairSet(mp: Boolean) =
+      Similarity.lshNearDupPairs(vecs, threshold = 0.4, nPlanes = 8, nTables = 8,
+          multiProbe = mp)
+        .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    val plain = pairSet(false)
+    val probed = pairSet(true)
+    assert(plain.subsetOf(probed)) // probing only ADDS candidate buckets
+    val truth = Similarity.cosineNearDupPairs(vecs, threshold = 0.4)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(probed.subsetOf(truth)) // exact verification: no false positives
+    if (truth.nonEmpty) assert(probed.size >= plain.size)
+  }
+
   test("multimodal feature extraction is deterministic and complete") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
     val feats1 = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs)).collect()
