@@ -156,10 +156,40 @@ object QueriesOps {
         |    THEN m - CAST('18446744073709551616' AS HUGEINT) ELSE m END AS BIGINT) AS fingerprint
         |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // Full fingerprint sets, not just their sizes: the md5 shingle hash
+    // exists identically in DuckDB, so the whole winnowing pipeline
+    // (shingle -> hash -> sliding min -> distinct set) is value-checked
+    // cross-engine.
     "tx5_winnowing" -> Q(
       (s, d) => Text.withWinnowing(docs(s, d))
-        .select(col("doc_id"), size(col("winnow_fp")).as("n_fp")).orderBy("doc_id"),
-      None),
+        .select(col("doc_id"), col("winnow_fp"),
+          size(col("winnow_fp")).cast("long").as("n_fp")).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+        |        ELSE list_transform(range(0, len(toks) - 4 + 1),
+        |               i -> array_to_string(toks[i+1:i+4], ' ')) END AS grams FROM t),
+        |h AS (SELECT doc_id, list_transform(grams, x -> md5(x)) AS hs FROM g),
+        |w AS (SELECT doc_id, CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+        |        ELSE list_transform(range(0, len(hs) - 4 + 1),
+        |               i -> list_min(hs[i+1:i+4])) END AS wins FROM h)
+        |SELECT doc_id, list_sort(list_distinct(wins)) AS winnow_fp,
+        |  CAST(len(list_distinct(wins)) AS BIGINT) AS n_fp
+        |FROM w ORDER BY doc_id""".stripMargin)),
+
+    // Gopher-style repetition filter: duplicated-trigram fraction.
+    "tx9_repetition" -> Q(
+      (s, d) => Text.withRepetition(docs(s, d))
+        .select("doc_id", "n_grams", "n_distinct_grams", "rep_ratio")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |        ELSE list_transform(range(0, len(toks) - 3 + 1),
+        |               i -> array_to_string(toks[i+1:i+3], ' ')) END AS grams FROM t)
+        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+        |  1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+        |      / CAST(greatest(len(grams), 1) AS DOUBLE) AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin)),
 
     // ---- deduplication ------------------------------------------------
 
@@ -534,6 +564,50 @@ object QueriesOps {
         |SELECT source, lang, n_docs, n_tokens,
         |  CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) AS token_share
         |FROM a ORDER BY source, lang""".stripMargin)),
+
+    // Context-length chunking: overlapping 64-token windows, stride 48.
+    // Bounded to doc_id < 200 purely to keep the oracle-compared output
+    // volume sane — the operator itself is a shuffle-free narrow map.
+    "cur5_chunking" -> Q(
+      (s, d) => Curate.chunkDocs(docs(s, d).filter(col("doc_id") < 200))
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |         FROM documents WHERE doc_id < 200),
+        |c AS (SELECT doc_id, toks,
+        |        unnest(range(0, CAST(ceil(CAST(greatest(len(toks) - 64, 0) AS DOUBLE) / 48)
+        |                          AS BIGINT) + 1)) AS chunk_id
+        |      FROM t)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(toks[chunk_id*48 + 1 : chunk_id*48 + 64], ' ') AS chunk_text,
+        |  CAST(least(64, len(toks) - chunk_id*48) AS BIGINT) AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // Benchmark decontamination: every ~97th document plays the eval
+    // set; any 8-token-shingle overlap marks a training doc
+    // contaminated. The benchmark shingle set is broadcast — the corpus
+    // side never shuffles its shingles.
+    "dc1_decontaminate" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        Curate.decontaminate(
+            all.filter(col("doc_id") % 97 =!= 0),
+            all.filter(col("doc_id") % 97 === 0))
+          .select("doc_id", "n_shared", "contaminated")
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |         CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(0, len(toks) - 8 + 1),
+        |                i -> array_to_string(toks[i+1:i+8], ' ')) END)) AS sh FROM t),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+        |corp AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+        |shared AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |           FROM corp JOIN bench USING (sh) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(s.n_shared, 0) AS n_shared,
+        |       COALESCE(s.n_shared, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+        |LEFT JOIN shared s USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     // ---- relational / benchmark suite --------------------------------
 

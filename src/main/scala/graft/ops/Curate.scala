@@ -74,6 +74,62 @@ object Curate {
         regexp_replace(regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
           PhoneRe, "[PHONE]"))
 
+  /** Overlapping token-window chunking — the context-length splitter
+    * that turns documents into model-sized pieces (chunk i covers
+    * tokens [i·stride, i·stride + chunkSize)). The last chunk starts at
+    * the smallest multiple of `stride` that reaches the document's end,
+    * so every token lands in ≥ 1 chunk and no chunk is empty.
+    *
+    * Scale: a narrow map + explode — no shuffle at all. Output size is
+    * the (1 + overlap) blow-up the chunking policy itself implies; the
+    * token array is bound as a lambda variable (evaluated once per
+    * document) and each chunk's slice is O(chunkSize), so cost is
+    * O(output tokens), not O(n²).
+    */
+  def chunkDocs(docs: DataFrame, chunkSize: Int = 64, stride: Int = 48,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    val t = split(col(textCol), " ")
+    val chunks = flatten(transform(array(t), tt => {
+      val n = size(tt)
+      val lastStart = ceil(greatest(n - chunkSize, lit(0)).cast("double") / stride).cast("int")
+      transform(sequence(lit(0), lastStart), i =>
+        struct(i.cast("long").as("chunk_id"),
+          concat_ws(" ", slice(tt, i * stride + 1, lit(chunkSize))).as("chunk_text"),
+          least(lit(chunkSize), n - i * stride).cast("long").as("n_chunk_tokens")))
+    }))
+    docs.select(col(idCol), explode(chunks).as("ch"))
+      .select(col(idCol), col("ch.chunk_id").as("chunk_id"),
+        col("ch.chunk_text").as("chunk_text"),
+        col("ch.n_chunk_tokens").as("n_chunk_tokens"))
+  }
+
+  /** Benchmark decontamination: flag every corpus document that shares
+    * at least one k-token shingle with a benchmark/eval set — the
+    * standard guard against test-set leakage into training data
+    * (n-gram-overlap decontamination à la GPT-3 appendix C).
+    *
+    * Scale: benchmark sets are tiny relative to a 100 TB corpus, so the
+    * benchmark shingle set is BROADCAST and the corpus side never
+    * shuffles its shingles — the per-doc overlap count comes from a
+    * broadcast hash join + one map-side-combinable count, then a
+    * broadcast-able id-only left join back onto the corpus.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, k: Int = 8,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val docSh = docs.select(col(idCol).as("__d"),
+      explode(array_distinct(Dedup.shingleCol(col(textCol), k))).as("sh"))
+    val benchSh = benchmark
+      .select(explode(array_distinct(Dedup.shingleCol(col(textCol), k))).as("sh"))
+      .distinct()
+    val shared = docSh.join(broadcast(benchSh), "sh")
+      .groupBy(col("__d")).agg(count(lit(1)).as("n_shared"))
+    docs.join(shared, col(idCol) === col("__d"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contaminated", col("n_shared") > 0)
+      .drop("__d")
+  }
+
   /** Corpus composition report: document and token counts per
     * (stratum, lang) with each cell's share of the total token budget —
     * the standard mixture table a data-curation run publishes.

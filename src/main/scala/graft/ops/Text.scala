@@ -161,6 +161,12 @@ object Text {
     * minimum — the standard local fingerprinting scheme for near-dup /
     * plagiarism detection. Pure higher-order functions over the token
     * array; output is the distinct selected hash set per document.
+    *
+    * The shingle hash is md5-hex and the window minimum is the
+    * lexicographic string min: winnowing only needs a uniform
+    * deterministic hash, and md5 (unlike xxhash64) exists identically
+    * in every engine — which is what makes this operator fully
+    * cross-engine-oracle-checkable rather than rows-only.
     */
   def withWinnowing(docs: DataFrame, k: Int = 4, w: Int = 4,
                     textCol: String = "text"): DataFrame = {
@@ -181,8 +187,32 @@ object Text {
         .otherwise(transform(sequence(lit(0), size(hs) - w),
           i => array_min(slice(hs, i + 1, lit(w)))))
     val wins = flatten(transform(array(toks), t =>
-      flatten(transform(array(transform(gramsOf(t), g => xxhash64(g))),
+      flatten(transform(array(transform(gramsOf(t), g => md5(g))),
         hs => winsOf(hs)))))
     docs.withColumn("winnow_fp", array_sort(array_distinct(wins)))
+  }
+
+  /** Intra-document repetition signal (the Gopher/MassiveText-style
+    * quality filter of Rae et al. 2021): the fraction of n-gram
+    * occurrences that are repeats of an earlier n-gram in the same
+    * document — `1 − distinct/total`. Heavily templated or looping text
+    * scores high and gets filtered before training. Narrow codegen'd
+    * map; the n-gram array is bound once as a lambda variable and once
+    * as a projection alias, so neither the HOF re-evaluation trap nor
+    * the multi-reference tree-copy cost applies.
+    */
+  def withRepetition(docs: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame = {
+    val t = tokensCol(lower(col(textCol)))
+    val grams = flatten(transform(array(t), tt =>
+      when(size(tt) < n, array(concat_ws(" ", tt)))
+        .otherwise(transform(sequence(lit(0), size(tt) - n),
+          i => concat_ws(" ", slice(tt, i + 1, lit(n)))))))
+    docs.withColumn("__grams", grams)
+      .withColumn("n_grams", size(col("__grams")).cast("long"))
+      .withColumn("n_distinct_grams", size(array_distinct(col("__grams"))).cast("long"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_distinct_grams").cast("double")
+          / greatest(col("n_grams"), lit(1L)).cast("double"))
+      .drop("__grams")
   }
 }

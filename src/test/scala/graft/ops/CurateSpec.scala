@@ -62,4 +62,53 @@ class CurateSpec extends AnyFunSuite {
     assert(math.abs(share - 1.0) < 1e-9)
     assert(comp.agg(sum("n_docs")).head().getLong(0) === docs.count())
   }
+
+  test("chunking covers every token, respects stride, and rebuilds short docs") {
+    import spark.implicits._
+    val c = Curate.chunkDocs(docs, chunkSize = 64, stride = 48)
+    // conservation: summing (first) chunk starts of the LAST chunk per
+    // doc + its length reaches exactly the doc's token count
+    val last = c.groupBy("doc_id").agg(max("chunk_id").as("last_id"))
+    val byDoc = c.join(last, Seq("doc_id"))
+      .filter(col("chunk_id") === col("last_id"))
+      .select(col("doc_id"), (col("chunk_id") * 48 + col("n_chunk_tokens")).as("covered"))
+    val truth = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    assert(byDoc.join(truth, "doc_id").filter(col("covered") =!= col("n_tok")).isEmpty,
+      "last chunk must end exactly at the document's last token")
+    // a doc shorter than chunkSize yields exactly one chunk == the doc
+    val short = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val sc = Curate.chunkDocs(short).collect()
+    assert(sc.length === 1 && sc(0).getAs[String]("chunk_text") === "a b c"
+      && sc(0).getAs[Long]("n_chunk_tokens") === 3L)
+  }
+
+  test("decontamination flags exactly the planted benchmark overlaps") {
+    import spark.implicits._
+    val bench = Seq((900L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the full benchmark 8-shingle "alpha ... theta"
+      (1L, "x alpha beta gamma delta epsilon zeta eta theta y"),
+      (2L, "completely unrelated text with no overlap at all here"),
+      // 7-token overlap only -> NOT an 8-shingle hit
+      (3L, "alpha beta gamma delta epsilon zeta eta DIFFERENT tail tokens")
+    ).toDF("doc_id", "text")
+    val got = Curate.decontaminate(corpus, bench, k = 8)
+      .select("doc_id", "contaminated").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("repetition ratio: looping text scores high, varied text scores 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "eight totally distinct words appear exactly once here")
+    ).toDF("doc_id", "text")
+    val got = Text.withRepetition(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("rep_ratio")).toMap
+    assert(got(1L) > 0.8, s"looping doc should repeat, got ${got(1L)}")
+    assert(got(2L) === 0.0)
+  }
 }
