@@ -78,4 +78,56 @@ class PlanSpec extends AnyFunSuite {
     val broadcasts = plan.collect { case b: BroadcastExchangeExec => b }
     assert(broadcasts.size >= 2, "both dim tables must arrive by broadcast")
   }
+
+  test("chunking is shuffle-free: cur5's plan contains no exchange at all") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = withAqeOff(
+      graft.ops.Curate.chunkDocs(docs).queryExecution.executedPlan)
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty,
+      s"chunking must be a narrow map+explode, found ${exchanges.size} exchanges")
+  }
+
+  test("decontamination broadcasts the benchmark shingles, never the corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = withAqeOff(graft.ops.Curate.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0))
+      .queryExecution.executedPlan)
+    // the join that matters is the SHINGLE join (string keys): its
+    // build side must be the benchmark (filter doc_id % 97 = 0,
+    // un-negated). The later id-count left-join may also broadcast its
+    // small aggregated side — planner-chosen from estimates, fine.
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.types.StringType
+    val shingleJoins = plan.collect { case j: BroadcastHashJoinExec
+        if j.leftKeys.headOption.exists(_.dataType == StringType) => j }
+    assert(shingleJoins.nonEmpty, "shingle join must be a broadcast hash join")
+    shingleJoins.foreach { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case _ => j.left
+      }
+      val s = build.toString
+      assert(s.contains("% 97) = 0") && !s.contains("NOT ((doc_id"),
+        s"the shingle join's build side is not the benchmark slice:\n$s")
+    }
+  }
+
+  test("pivot with a pinned value list keeps the two-phase aggregate shape") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val q = SparkEntry.queries("pv1_pivot")(spark, sf)
+    val exchanges = withAqeOff(q.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    })
+    // Spark compiles values-pinned pivot to TWO aggregations (partial
+    // by (priority, status), then pivot-first by priority) + the final
+    // orderBy — 3 exchanges, each map-side combinable. More would mean
+    // the pivot stopped fusing (e.g. fell back to per-value joins);
+    // value DISCOVERY would add a separate distinct-scan job before the
+    // plan even builds, which the pinned list avoids by construction.
+    assert(exchanges.size <= 3,
+      s"pinned-values pivot should stay two-phase, found ${exchanges.size} exchanges")
+  }
 }
