@@ -667,6 +667,39 @@ object Queries {
         |FROM tx WHERE substr(update_at, 9, 2) = '05' AND substr(update_at, 12, 2) = '00'
         |ORDER BY account, create_at, update_at, entity, amount, is_credit, note""".stripMargin)),
 
+    // ST1: stream-static ENRICHMENT join — the standard CDC pattern of
+    // decorating a stream with a broadcast dimension (per-account tier
+    // derived deterministically so the oracle can rebuild it). The dim
+    // is broadcast: each micro-batch joins map-side, no stream shuffle.
+    "st1_stream_enrich" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val hour = tx(s, d).filter(substring(col("update_at"), 9, 2) === "03" &&
+            substring(col("update_at"), 12, 2) === "00")
+          .select("account", "create_at", "update_at", "entity",
+            "amount", "is_credit", "note")
+        val srcDir = scratch("st1_src")
+        hour.coalesce(1).write.mode("overwrite").json(srcDir)
+        val dim = tx(s, d).select(col("account")).distinct()
+          .withColumn("tier",
+            pmod(substring(col("account"), 6, 10).cast("long"), lit(5)).cast("int"))
+        val stream = s.readStream.schema(hour.schema)
+          .option("maxFilesPerTrigger", 1).json(srcDir)
+        stream.join(broadcast(dim), "account")
+          .writeStream.format("memory").queryName("st1_enrich")
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", scratch("st1_ckpt"))
+          .start().awaitTermination()
+        s.table("st1_enrich")
+          .select("account", "update_at", "entity", "amount", "tier")
+          .orderBy("account", "update_at", "entity")
+      },
+      Some(s"""$TxCte
+        |SELECT account, update_at, entity, amount,
+        |       CAST(CAST(substr(account, 6) AS BIGINT) % 5 AS INTEGER) AS tier
+        |FROM tx WHERE substr(update_at, 9, 2) = '03' AND substr(update_at, 12, 2) = '00'
+        |ORDER BY account, update_at, entity""".stripMargin)),
+
     // K7: small-file compaction — write one day fragmented (6 files),
     // compact it to one file via the dynamic-overwrite path, and prove
     // the data survived byte-for-byte by re-aggregating against the

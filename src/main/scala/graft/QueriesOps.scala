@@ -609,6 +609,69 @@ object QueriesOps {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
         |LEFT JOIN shared s USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // Data profiling: one aggregation pass over the fact table -> one
+    // row per profiled column (nulls / exact distincts / range).
+    "pr1_profile" -> Q(
+      (s, d) => graft.ops.Profile.profileNumeric(li(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_name"),
+      Some("""SELECT 'l_quantity' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(CASE WHEN l_quantity IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+        |  CAST(min(l_quantity) AS DOUBLE) AS min_val, CAST(max(l_quantity) AS DOUBLE) AS max_val
+        |FROM lineitem
+        |UNION ALL SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+        |  CAST(count(CASE WHEN l_extendedprice IS NULL THEN 1 END) AS BIGINT),
+        |  CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+        |  CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE)
+        |FROM lineitem
+        |UNION ALL SELECT 'l_discount', CAST(count(*) AS BIGINT),
+        |  CAST(count(CASE WHEN l_discount IS NULL THEN 1 END) AS BIGINT),
+        |  CAST(count(DISTINCT l_discount) AS BIGINT),
+        |  CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE)
+        |FROM lineitem
+        |UNION ALL SELECT 'l_tax', CAST(count(*) AS BIGINT),
+        |  CAST(count(CASE WHEN l_tax IS NULL THEN 1 END) AS BIGINT),
+        |  CAST(count(DISTINCT l_tax) AS BIGINT),
+        |  CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE)
+        |FROM lineitem
+        |ORDER BY col_name""".stripMargin)),
+
+    // Fixed-width histogram (24 × 5000 over extendedprice), edge-bucket
+    // clamped so counts always sum to the row count.
+    "hi1_histogram" -> Q(
+      (s, d) => graft.ops.Profile.histogram(li(s, d), "l_extendedprice",
+          lo = 0.0, hi = 120000.0, nBuckets = 24)
+        .orderBy("bucket"),
+      Some("""WITH b AS (
+        |  SELECT CAST(least(23, greatest(0, CAST(floor(l_extendedprice / 5000.0) AS INTEGER))) AS INTEGER) AS bucket
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(bucket * 5000.0 AS DOUBLE) AS lo_edge
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Z-order (Morton) key — cross-engine value check of the layout
+    // op's bit-interleave arithmetic (the clustering WRITE and its
+    // row-group-skipping payoff are proven in LayoutSpec on parquet
+    // footers; this row pins the key values the layout clusters by).
+    "zo1_zorder_key" -> Q(
+      (s, d) => li(s, d).filter(col("l_orderkey") < 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          graft.ops.Layout.zorderKey2(
+            pmod(col("l_partkey"), lit(256)),
+            pmod(col("l_suppkey"), lit(256)), bits = 8).as("zkey"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some {
+        val z = (0 until 8).map(b =>
+          s"((((l_partkey % 256) >> $b) & 1) << ${2 * b}) | " +
+            s"((((l_suppkey % 256) >> $b) & 1) << ${2 * b + 1})").mkString(" | ")
+        s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           |  CAST($z AS BIGINT) AS zkey
+           |FROM lineitem WHERE l_orderkey < 500
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      }),
+
     // ---- relational / benchmark suite --------------------------------
 
     // TPC-H Q1-style pricing summary: decimal-exact sums cast to double

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-profiling operators — the "ANALYZE TABLE"-style summaries a
+  * pipeline publishes before training on a new corpus drop: per-column
+  * null/distinct/range stats and fixed-width histograms.
+  *
+  * Scale: `profileNumeric` is ONE aggregation pass producing a single
+  * row (count/min/max are map-side combinable; the exact distincts ride
+  * Spark's Expand-based multi-distinct rewrite), then a constant-width
+  * unpivot of that one row — no per-column scans, no shuffle of data
+  * rows beyond the aggregation itself. `histogram` is one
+  * map-side-combinable groupBy on a computed bucket id.
+  */
+object Profile {
+
+  /** One profile row per column: total rows, nulls, exact distincts,
+    * min/max (as double — numeric columns only, which keeps the values
+    * engine-portable; string min/max would hinge on collation).
+    */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileNumeric needs at least one column")
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).cast("long").as(s"${c}__n"),
+        count(when(col(c).isNull, 1)).cast("long").as(s"${c}__nulls"),
+        count_distinct(col(c)).cast("long").as(s"${c}__distinct"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"${c}__n").as("n_rows"), col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_val"), col(s"${c}__max").as("max_val"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** Fixed-width histogram over `[lo, hi)` with `nBuckets` buckets;
+    * values outside the range clamp into the edge buckets, so counts
+    * always sum to the row count. Fixed bounds keep it one pass — a
+    * data-dependent range would need a min/max pre-pass (two jobs) for
+    * no profiling benefit.
+    */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double,
+                nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && hi > lo, "need nBuckets > 0 and hi > lo")
+    val width = (hi - lo) / nBuckets
+    val bucket = least(lit(nBuckets - 1),
+      greatest(lit(0), floor((col(c) - lo) / width).cast("int")))
+    df.filter(col(c).isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("lo_edge", lit(lo) + col("bucket") * width)
+  }
+}
