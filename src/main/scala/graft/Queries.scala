@@ -393,6 +393,50 @@ object Queries {
         |FROM tx WHERE substr(update_at, 9, 2) = '02'
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // K8: ORC sink round-trip — columnar-format breadth beside parquet
+    // (zlib ORC write, schema'd read-back, re-aggregation vs the same
+    // rows derived straight from parquet).
+    "k8_orc_roundtrip" -> Q(
+      (s, d) => {
+        val day6 = tx(s, d).filter(substring(col("update_at"), 9, 2) === "06")
+          .select("account", "create_at", "update_at", "entity",
+            "amount", "is_credit", "note")
+        val dirOut = scratch("orc_sink")
+        day6.write.mode("overwrite").option("compression", "zlib").orc(dirOut)
+        s.read.orc(dirOut)
+          .groupBy(col("entity"))
+          .agg(count(lit(1)).cast("long").as("n"), sum(col("amount")).cast("long").as("amt"))
+          .orderBy("entity")
+      },
+      Some(s"""$TxCte
+        |SELECT entity, CAST(count(*) AS BIGINT) AS n, CAST(sum(amount) AS BIGINT) AS amt
+        |FROM tx WHERE substr(update_at, 9, 2) = '06'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // JF1: semi-structured payload extraction — from_json over the
+    // event props column with an explicit schema (never schema
+    // inference, which would add a sampling scan and make the output
+    // schema data-dependent), then a per-entity rollup of the extracted
+    // field.
+    "jf1_json_extract" -> Q(
+      (s, d) => tx(s, d)
+        .withColumn("k",
+          from_json(col("note"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))).getField("k"))
+        .groupBy(col("entity"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("k")).cast("long").as("sum_k"),
+          min(col("k")).cast("int").as("min_k"),
+          max(col("k")).cast("int").as("max_k"))
+        .orderBy("entity"),
+      Some(s"""$TxCte
+        |SELECT entity, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract(note, '$$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract(note, '$$.k') AS INTEGER)) AS INTEGER) AS min_k,
+        |  CAST(max(CAST(json_extract(note, '$$.k') AS INTEGER)) AS INTEGER) AS max_k
+        |FROM tx GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S5+P10: export manifest write, validated read, re-aggregation.
     "s5_manifest_roundtrip" -> Q(
       (s, d) => {
