@@ -86,16 +86,19 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k with MULTI-PROBE: corpus and
     * queries are bucketed by sign-random-projection under `nTables`
-    * independent tables; each QUERY additionally probes every bucket at
-    * Hamming distance 1 from its own (one flipped hyperplane bit), so a
-    * near-neighbor split off by a single borderline plane is still
-    * found. Exact cosine runs only inside matching buckets. Misses
-    * remain possible (approximate by design); recall grows with
-    * nTables and multi-probe.
+    * independent tables; each QUERY additionally probes every bucket
+    * within Hamming distance `probeHamming` of its own (flipped
+    * hyperplane bits), so a near-neighbor split off by one or two
+    * borderline planes is still found. Exact cosine runs only inside
+    * matching buckets. Misses remain possible (approximate by design);
+    * recall grows with nTables and probe depth.
     *
     * Scale profile: the CORPUS side stays one bucket per table (narrow
-    * map — the big side never fans out); only the small query side
-    * explodes ×(nPlanes+1). The join is an equi-join on (table, bucket)
+    * map — the big side never fans out); only the query side explodes,
+    * ×(1 + nPlanes + C(nPlanes,2)) at depth 2 — and query batches are
+    * small BY DEFINITION of this operator (large query sets pair with
+    * `lshNearDupPairs`), so aggressive probing is nearly free where it
+    * buys the most recall. The join is an equi-join on (table, bucket)
     * — shuffle proportional to candidates. This is the plan that
     * survives a 1000-executor corpus where broadcast brute force
     * cannot.
@@ -103,10 +106,11 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nPlanes: Int = 12, nTables: Int = 4, dim: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              multiProbe: Boolean = true): DataFrame = {
+              probeHamming: Int = 2): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 2, "probeHamming in [0, 2]")
     def bucketed(df: DataFrame, prefix: String, probe: Boolean): DataFrame = {
       // materialize each table's bucket ONCE in its own projection: the
-      // probe structs reference the alias, not 13 copies of the
+      // probe structs reference the alias, not dozens of copies of the
       // 12-plane dot-product tree (CollapseProject keeps the stage
       // split because the alias is expensive and multi-referenced —
       // without this the probe fan-out made codegen JIT 13× the work)
@@ -115,12 +119,16 @@ object Similarity {
       val base = df.select(Seq(col(idCol).as(s"${prefix}_id"),
         col(vecCol).as(s"${prefix}_vec"),
         norm(col(vecCol)).as(s"${prefix}_norm")) ++ bktCols: _*)
+      val flips: Seq[Long] = Seq(0L) ++
+        (if (probe && probeHamming >= 1)
+          (0 until nPlanes).map(p => 1L << p) else Nil) ++
+        (if (probe && probeHamming >= 2)
+          (for (p <- 0 until nPlanes; r <- p + 1 until nPlanes)
+            yield (1L << p) | (1L << r)) else Nil)
       val tb = (0 until nTables).flatMap { t =>
         val bkt = col(s"__b$t")
-        val probes =
-          if (probe) bkt +: (0 until nPlanes).map(p => bkt.bitwiseXOR(lit(1L << p)))
-          else Seq(bkt)
-        probes.map(b => struct(lit(t).as("tbl"), b.as("bkt")))
+        flips.map(f => struct(lit(t).as("tbl"),
+          (if (f == 0L) bkt else bkt.bitwiseXOR(lit(f))).as("bkt")))
       }
       base.select(col(s"${prefix}_id"), col(s"${prefix}_vec"), col(s"${prefix}_norm"),
           explode(array(tb: _*)).as("tb"))
@@ -128,7 +136,7 @@ object Similarity {
           col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     }
     val c = bucketed(corpus, "n", probe = false)
-    val q = bucketed(queries, "q", probe = multiProbe)
+    val q = bucketed(queries, "q", probe = probeHamming > 0)
     val cand = c.join(q, Seq("tbl", "bkt"))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("q_vec"), col("q_norm"),
@@ -224,7 +232,7 @@ object Similarity {
     * fraction of the scan.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4,
+              nCentroids: Int = 16, nProbe: Int = 6,
               idCol: String = "vec_id", vecCol: String = "embedding",
               centroids: Seq[Centroid] = Nil): DataFrame = {
     val cents: Seq[Centroid] =
