@@ -201,6 +201,45 @@ object Text {
     * as a projection alias, so neither the HOF re-evaluation trap nor
     * the multi-reference tree-copy cost applies.
     */
+  /** Token-distribution Shannon entropy per document — low entropy =
+    * templated/repetitive text (a standard quality filter signal
+    * alongside [[withRepetition]]).
+    *
+    * Determinism design: entropy is a sum of doubles, and a sum over
+    * rows of a shuffled relation has engine- and partitioning-dependent
+    * order. Here the whole computation stays IN-ROW over the sorted
+    * token array (sorted tokens → run-length boundaries → counts →
+    * entropy fold in array order), so both engines add the same terms
+    * in the same sequence — bit-identical, oracle-checkable. Every
+    * staged array is bound as a lambda variable (the interpreted-HOF
+    * re-evaluation trap), and the i=1 boundary guard uses when() so the
+    * out-of-range element_at(st, 0) branch is never evaluated.
+    */
+  def withTokenEntropy(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val sorted = array_sort(tokensCol(lower(col(textCol))))
+    val packed = element_at(transform(array(sorted), stt => {
+      val n = size(stt)
+      val starts = filter(sequence(lit(1), n), i =>
+        when(i === 1, lit(true))
+          .otherwise(element_at(stt, i) =!= element_at(stt, i - 1)))
+      element_at(transform(array(starts), ss => {
+        val shifted = concat(slice(ss, 2, size(ss)), array(n + 1))
+        val counts = zip_with(ss, shifted, (a, b) => b - a)
+        val entropy = lit(0.0) - aggregate(counts, lit(0.0), (acc, c) =>
+          acc + (c.cast("double") / n.cast("double"))
+            * log(c.cast("double") / n.cast("double")))
+        struct(n.cast("long").as("n_tokens"),
+          size(ss).cast("long").as("n_distinct_tokens"),
+          entropy.as("entropy"))
+      }), 1)
+    }), 1)
+    docs.withColumn("__e", packed)
+      .withColumn("n_tokens", col("__e.n_tokens"))
+      .withColumn("n_distinct_tokens", col("__e.n_distinct_tokens"))
+      .withColumn("entropy", col("__e.entropy"))
+      .drop("__e")
+  }
+
   def withRepetition(docs: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame = {
     val t = tokensCol(lower(col(textCol)))
     val grams = flatten(transform(array(t), tt =>
