@@ -191,6 +191,33 @@ object QueriesOps {
         |      / CAST(greatest(len(grams), 1) AS DOUBLE) AS rep_ratio
         |FROM g ORDER BY doc_id""".stripMargin)),
 
+    // Shannon token entropy: the whole computation is in-row over the
+    // SORTED token array (run-length boundaries -> counts -> ordered
+    // entropy fold), so both engines add the same float terms in the
+    // same sequence — bit-identical, hash-checkable.
+    "tx10_token_entropy" -> Q(
+      (s, d) => Text.withTokenEntropy(docs(s, d))
+        .select("doc_id", "n_tokens", "n_distinct_tokens", "entropy")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, list_sort(string_split(lower(text), ' ')) AS st
+        |        FROM documents),
+        |s AS (SELECT doc_id, len(st) AS n,
+        |        list_filter(range(1, len(st) + 1),
+        |          i -> i = 1 OR st[i] != st[i-1]) AS ss
+        |      FROM t),
+        |c AS (SELECT doc_id, n, ss,
+        |        list_transform(range(1, len(ss) + 1),
+        |          j -> coalesce(ss[j+1], n + 1) - ss[j]) AS counts
+        |      FROM s)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(len(ss) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(0.0 AS DOUBLE) - list_reduce(
+        |    list_prepend(CAST(0.0 AS DOUBLE), list_transform(counts,
+        |      c -> (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |         * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))),
+        |    (a, b) -> a + b) AS entropy
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
     // ---- deduplication ------------------------------------------------
 
     "dd1_exact_dedup" -> Q(

@@ -268,6 +268,15 @@ object Dedup {
       round += 1
     }
     edges.unpersist()
+    if (!converged)
+      // Returning partially-propagated labels as if final would silently
+      // split long-diameter components; fail loudly instead (the
+      // large-star/small-star algorithm is the upgrade path if real
+      // corpora ever hit this — dup graphs are near-cliques, so label
+      // propagation converges in O(log diameter) rounds in practice).
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds; " +
+          "increase maxIter or switch to large-star/small-star")
     labels.withColumnRenamed("lbl", "cluster")
   }
 

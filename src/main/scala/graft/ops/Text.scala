@@ -192,15 +192,6 @@ object Text {
     docs.withColumn("winnow_fp", array_sort(array_distinct(wins)))
   }
 
-  /** Intra-document repetition signal (the Gopher/MassiveText-style
-    * quality filter of Rae et al. 2021): the fraction of n-gram
-    * occurrences that are repeats of an earlier n-gram in the same
-    * document — `1 − distinct/total`. Heavily templated or looping text
-    * scores high and gets filtered before training. Narrow codegen'd
-    * map; the n-gram array is bound once as a lambda variable and once
-    * as a projection alias, so neither the HOF re-evaluation trap nor
-    * the multi-reference tree-copy cost applies.
-    */
   /** Token-distribution Shannon entropy per document — low entropy =
     * templated/repetitive text (a standard quality filter signal
     * alongside [[withRepetition]]).
@@ -223,7 +214,7 @@ object Text {
         when(i === 1, lit(true))
           .otherwise(element_at(stt, i) =!= element_at(stt, i - 1)))
       element_at(transform(array(starts), ss => {
-        val shifted = concat(slice(ss, 2, size(ss)), array(n + 1))
+        val shifted = concat(slice(ss, lit(2), size(ss)), array(n + 1))
         val counts = zip_with(ss, shifted, (a, b) => b - a)
         val entropy = lit(0.0) - aggregate(counts, lit(0.0), (acc, c) =>
           acc + (c.cast("double") / n.cast("double"))
@@ -240,6 +231,15 @@ object Text {
       .drop("__e")
   }
 
+  /** Intra-document repetition signal (the Gopher/MassiveText-style
+    * quality filter of Rae et al. 2021): the fraction of n-gram
+    * occurrences that are repeats of an earlier n-gram in the same
+    * document — `1 − distinct/total`. Heavily templated or looping text
+    * scores high and gets filtered before training. Narrow codegen'd
+    * map; the n-gram array is bound once as a lambda variable and once
+    * as a projection alias, so neither the HOF re-evaluation trap nor
+    * the multi-reference tree-copy cost applies.
+    */
   def withRepetition(docs: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame = {
     val t = tokensCol(lower(col(textCol)))
     val grams = flatten(transform(array(t), tt =>

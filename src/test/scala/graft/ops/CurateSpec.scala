@@ -111,4 +111,24 @@ class CurateSpec extends AnyFunSuite {
     assert(got(1L) > 0.8, s"looping doc should repeat, got ${got(1L)}")
     assert(got(2L) === 0.0)
   }
+
+  test("token entropy: uniform text maxes, constant text zeroes, counts exact") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a a"),                 // one distinct token -> entropy 0
+      (2L, "a b c d"),                 // uniform over 4 -> ln(4)
+      (3L, "a a a b")                  // H = -(3/4 ln 3/4 + 1/4 ln 1/4)
+    ).toDF("doc_id", "text")
+    val got = Text.withTokenEntropy(df)
+      .select("doc_id", "n_tokens", "n_distinct_tokens", "entropy").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct_tokens"),
+          r.getAs[Double]("entropy")))).toMap
+    assert(got(1L)._1 === 4L && got(1L)._2 === 1L)
+    assert(math.abs(got(1L)._3) < 1e-12)
+    assert(got(2L)._2 === 4L)
+    assert(math.abs(got(2L)._3 - math.log(4)) < 1e-12)
+    val h3 = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(got(3L)._3 - h3) < 1e-12)
+  }
 }
