@@ -638,6 +638,123 @@ object QueriesOps {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
         |LEFT JOIN shared s USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // Paragraph-level dedup (Falcon-style keep-first): aligned 16-token
+    // paragraphs, global first-occurrence wins, docs reassembled from
+    // survivors. The keep-first window carries (md5, doc_id, pidx) only.
+    "pd1_paragraph_dedup" -> Q(
+      (s, d) => Dedup.paragraphDedup(docs(s, d), p = 16).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |ix AS (SELECT doc_id, toks,
+        |         unnest(range(0, CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS pidx FROM t),
+        |ch AS (SELECT doc_id, pidx,
+        |         array_to_string(toks[pidx*16 + 1 : pidx*16 + 16], ' ') AS ptext FROM ix),
+        |k AS (SELECT doc_id, pidx, ptext,
+        |        row_number() OVER (PARTITION BY ptext ORDER BY doc_id, pidx) AS rk FROM ch)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_paras,
+        |  string_agg(ptext, ' ' ORDER BY pidx) AS dedup_text
+        |FROM k WHERE rk = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // RefinedWeb-style per-source document cap: top-15 docs per source
+    // by quality score (ties broken by id — total order, so the cut is
+    // engine-reproducible).
+    "qc1_quality_cap" -> Q(
+      (s, d) => Curate.qualityCap(docs(s, d), cap = 15)
+        .select("doc_id", "source", "quality_score").orderBy("doc_id"),
+      Some("""WITH q AS (
+        |  SELECT doc_id, source,
+        |    least(1.0,
+        |      CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE) * 0.5
+        |      + CAST(len(list_filter(string_split(text, ' '),
+        |           x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
+        |      + least(CAST(list_sum(list_transform(string_split(text, ' '),
+        |           x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0, 1.0) * 0.2)
+        |      AS quality_score
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, quality_score,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY quality_score DESC, doc_id) AS rk FROM q)
+        |SELECT doc_id, source, quality_score FROM r WHERE rk <= 15
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Temperature (T=2) source rebalancing: stratum s keeps
+    // (1/sqrt(n_s)) / max_t(1/sqrt(n_t)) of its docs via a
+    // content-hash coin — seedless, so both engines flip identically.
+    "cur6_temperature_resample" -> Q(
+      (s, d) => Curate.temperatureResample(docs(s, d), stratumCol = "lang")
+        .select("doc_id", "lang", "keep_rate", "u").orderBy("doc_id"),
+      Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |        FROM documents GROUP BY lang),
+        |w AS (SELECT lang, CAST(1.0 AS DOUBLE) / sqrt(CAST(n AS DOUBLE)) AS wt FROM c),
+        |r AS (SELECT lang, wt / (SELECT max(wt) FROM w) AS keep_rate FROM w),
+        |h AS (SELECT doc_id, lang,
+        |        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(range(1, 9),
+        |            i -> CAST(strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1 AS BIGINT))),
+        |          (a, x) -> a * 16 + x) AS DOUBLE)
+        |        / CAST(4294967296 AS DOUBLE) AS u
+        |      FROM documents)
+        |SELECT doc_id, h.lang, keep_rate, u
+        |FROM h JOIN r USING (lang) WHERE u < keep_rate
+        |ORDER BY doc_id""".stripMargin)),
+
+    // BM25 keyword retrieval for a fixed term list. k1=1.0, b=0.5 in
+    // the registered query: exactly-representable binary constants, so
+    // the plan-time-folded Scala doubles and the oracle's literals are
+    // bit-identical (1.2/0.75 defaults exist on the API for real use).
+    "bm1_bm25_search" -> Q(
+      (s, d) => graft.ops.Search.bm25(docs(s, d),
+          Seq("spark", "join", "stream"), k1 = 1.0, b = 0.5)
+        .orderBy("doc_id"),
+      Some("""WITH b AS (SELECT doc_id,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x = 'spark')) AS BIGINT) AS tf_0,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x = 'join')) AS BIGINT) AS tf_1,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x = 'stream')) AS BIGINT) AS tf_2
+        |  FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+        |    CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+        |    CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+        |    CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_2
+        |  FROM b),
+        |sc AS (SELECT doc_id, dl, tf_0, tf_1, tf_2,
+        |    ln((CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |         / (CAST(df_0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        |      * (CAST(tf_0 AS DOUBLE) * CAST(2.0 AS DOUBLE))
+        |      / (CAST(tf_0 AS DOUBLE) + CAST(1.0 AS DOUBLE) * (CAST(0.5 AS DOUBLE)
+        |         + CAST(0.5 AS DOUBLE) * (CAST(dl AS DOUBLE)
+        |             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |    + ln((CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |         / (CAST(df_1 AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        |      * (CAST(tf_1 AS DOUBLE) * CAST(2.0 AS DOUBLE))
+        |      / (CAST(tf_1 AS DOUBLE) + CAST(1.0 AS DOUBLE) * (CAST(0.5 AS DOUBLE)
+        |         + CAST(0.5 AS DOUBLE) * (CAST(dl AS DOUBLE)
+        |             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |    + ln((CAST(n_docs AS DOUBLE) - CAST(df_2 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |         / (CAST(df_2 AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        |      * (CAST(tf_2 AS DOUBLE) * CAST(2.0 AS DOUBLE))
+        |      / (CAST(tf_2 AS DOUBLE) + CAST(1.0 AS DOUBLE) * (CAST(0.5 AS DOUBLE)
+        |         + CAST(0.5 AS DOUBLE) * (CAST(dl AS DOUBLE)
+        |             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |    AS score
+        |  FROM b, st)
+        |SELECT doc_id, dl, tf_0, tf_1, tf_2, score FROM sc
+        |WHERE score > 0 ORDER BY doc_id""".stripMargin)),
+
+    // Exact corpus heavy hitters: tokens at >= 0.1% of all occurrences.
+    "hh1_heavy_hitters" -> Q(
+      (s, d) => graft.ops.Search.heavyHitters(docs(s, d), minShare = 0.001)
+        .orderBy("tok"),
+      Some("""WITH tk AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY tok),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+        |SELECT tok, cnt, CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |FROM c, t
+        |WHERE CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) >= CAST(0.001 AS DOUBLE)
+        |ORDER BY tok""".stripMargin)),
+
     // Data profiling: one aggregation pass over the fact table -> one
     // row per profiled column (nulls / exact distincts / range).
     "pr1_profile" -> Q(

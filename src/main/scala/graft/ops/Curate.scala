@@ -130,6 +130,61 @@ object Curate {
       .drop("__d")
   }
 
+  /** Per-stratum quality cap (the RefinedWeb-style per-domain document
+    * cap): keep at most `cap` documents of every stratum, preferring
+    * higher [[Text.withQuality]] scores (ties broken by id so the cut
+    * is total-ordered and engine-reproducible). Bounds any single
+    * domain's contribution to the corpus — the guard against one crawl
+    * host dominating training data.
+    *
+    * Scale: one hash shuffle on the stratum key + a per-stratum top-k
+    * window; output bounded at cap × strata regardless of skew.
+    */
+  def qualityCap(docs: DataFrame, cap: Int, stratumCol: String = "source",
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("quality_score").desc, col(idCol))
+    Text.withQuality(docs, textCol)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap).drop("__rk")
+  }
+
+  /** Temperature-based source rebalancing at T=2 (sampling weight
+    * n_s^0.5 instead of n_s — the multilingual-pretraining mixture
+    * trick): downsample each stratum at rate
+    * `sqrt(n_min... )` — concretely `w_s / max_t w_t` with
+    * `w_s = 1/sqrt(n_s)`, so the smallest stratum keeps everything and
+    * a stratum 100× larger keeps 10%. Selection is a seedless
+    * content-hash coin (first 8 md5 hex digits as a uniform in [0,1)),
+    * so the sample is reproducible and incremental re-curation keeps
+    * prior decisions.
+    *
+    * The exponent is fixed at 0.5 (not a parameter) deliberately:
+    * sqrt is IEEE-correctly-rounded in every engine while pow(x, α) is
+    * not, and bit-reproducibility across engines is part of the
+    * operator's contract.
+    *
+    * Scale: per-stratum counts are a map-side-combinable aggregate over
+    * ids only; the tiny (stratum, rate) table broadcasts back onto the
+    * corpus — no corpus-side shuffle at all.
+    */
+  def temperatureResample(docs: DataFrame, stratumCol: String = "source",
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val counts = docs.groupBy(col(stratumCol))
+      .agg(count(lit(1)).cast("long").as("__n"))
+      .withColumn("__w", lit(1.0) / sqrt(col("__n").cast("double")))
+    val maxW = counts.agg(max(col("__w")).as("__maxw"))
+    val rates = counts.crossJoin(broadcast(maxW))
+      .withColumn("keep_rate", col("__w") / col("__maxw"))
+      .select(col(stratumCol), col("keep_rate"))
+    val u = conv(substring(md5(col(textCol)), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+    docs.join(broadcast(rates), stratumCol)
+      .withColumn("u", u)
+      .filter(col("u") < col("keep_rate"))
+  }
+
   /** Corpus composition report: document and token counts per
     * (stratum, lang) with each cell's share of the total token budget —
     * the standard mixture table a data-curation run publishes.

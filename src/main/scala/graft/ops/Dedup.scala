@@ -65,6 +65,42 @@ object Dedup {
     docs.join(exact(docs, textCol, idCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Paragraph-level dedup (the Falcon/RefinedWeb policy applied at
+    * sub-document granularity): split every document into aligned
+    * `p`-token paragraphs, keep only the FIRST occurrence (corpus order
+    * = lowest (doc_id, paragraph index)) of every distinct paragraph,
+    * and reassemble each document from its surviving paragraphs in
+    * original order. Documents whose every paragraph was seen earlier
+    * vanish from the output — exactly the boilerplate-removal semantics
+    * training pipelines want (headers/footers/license blocks collapse
+    * to their first occurrence).
+    *
+    * Scale design: the global keep-first decision is a window over the
+    * paragraph's 128-bit md5 — ONLY (hash, doc_id, pidx) cross that
+    * exchange, never text. Survivor (doc_id, pidx) pairs then semi-join
+    * the re-derived paragraph relation (narrow recompute beats shipping
+    * text through the wide stage), and reassembly is one groupBy on
+    * doc_id — the single unavoidable text shuffle.
+    */
+  def paragraphDedup(docs: DataFrame, p: Int = 16,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(p > 0, "paragraph size must be positive")
+    val tt = tokens(col(textCol))
+    val paras = docs.select(col(idCol).as("__d"),
+      posexplode(transform(sequence(lit(0),
+          ceil(size(tt).cast("double") / p).cast("int") - 1),
+        i => concat_ws(" ", slice(tt, i * p + 1, lit(p))))).as(Seq("pidx", "ptext")))
+    val slim = paras.select(md5(col("ptext")).as("h"), col("__d"), col("pidx"))
+    val keepW = Window.partitionBy(col("h")).orderBy(col("__d"), col("pidx"))
+    val keep = slim.withColumn("__rk", row_number().over(keepW))
+      .filter(col("__rk") === 1).select(col("__d"), col("pidx"))
+    val kept = paras.join(keep, Seq("__d", "pidx"), "left_semi")
+    kept.groupBy(col("__d").as(idCol))
+      .agg(count(lit(1)).cast("long").as("n_kept_paras"),
+        array_join(transform(array_sort(collect_list(struct(col("pidx"), col("ptext")))),
+          s => s.getField("ptext")), " ").as("dedup_text"))
+  }
+
   /** Greedy near-dup pruning: drop every doc that appears as the
     * LATER member (d2) of a pair from any pair generator (LSH, simhash,
     * cosine). Not transitive closure — the standard one-pass greedy

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus search / ranking operators: BM25 keyword retrieval and exact
+  * heavy-hitter token statistics. Like the rest of the text suite these
+  * are pure column expressions whose float arithmetic is derived from
+  * exact integer aggregates in a fixed evaluation order, so every score
+  * is bit-reproducible by the SQL oracle.
+  */
+object Search {
+
+  /** BM25 (Robertson/Spärck Jones, the Okapi k1/b form) document
+    * scoring for a FIXED term list — the retrieval primitive behind
+    * corpus QA spot-checks ("show me the docs about X") and
+    * quality-by-query auditing.
+    *
+    * Determinism design: every float feeds from exact integers —
+    * `tf` is an in-row token count, `df`/`N`/`Σdl` are integer
+    * aggregates — and the per-term partial scores are added in the
+    * term-list order, so Spark and the oracle evaluate the identical
+    * expression tree. No per-row double is ever summed across rows
+    * (cross-row float summation order is engine-dependent — the one
+    * thing that would break hash equality).
+    *
+    * Scale: one broadcast one-row stats table (N, Σdl, per-term df —
+    * df via map-side-combinable conditional sums); scoring is then a
+    * narrow codegen'd map over the corpus. The term list is a handful
+    * of literals, so tf computation stays in-row — no explode, no
+    * inverted index, no shuffle of text.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val tt = Dedup.tokens(col(textCol))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(tt, x => x === t)).cast("long").as(s"tf_$i")
+    }
+    val base = docs.select(
+      (col(idCol) +: size(tt).cast("long").as("dl") +: tfCols): _*)
+    val statCols = sum(col("dl")).as("sum_dl") +: terms.indices.map(i =>
+      sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = base.agg(count(lit(1)).cast("long").as("n_docs"), statCols: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val df = col(s"df_$i").cast("double")
+      val idf = log((col("n_docs").cast("double") - df + 0.5) / (df + 0.5) + 1.0)
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    }.reduce(_ + _) // left fold in term order — same order as the oracle
+    scored.withColumn("score", score)
+      .filter(col("score") > 0)
+      .select(col(idCol) +: col("dl") +:
+        terms.indices.map(i => col(s"tf_$i")) :+ col("score"): _*)
+  }
+
+  /** Exact corpus heavy hitters: every token whose relative frequency
+    * is ≥ `minShare` of all token occurrences. The exact counterpart of
+    * sketch-based frequent-item mining — at 100 TB the token→count
+    * aggregate is map-side-combinable (the combine collapses each
+    * partition to its local vocabulary before the exchange), and the
+    * scalar total broadcasts, so the only wide stage carries
+    * (token, count) pairs for the distinct vocabulary.
+    */
+  def heavyHitters(docs: DataFrame, minShare: Double = 0.001,
+                   textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(explode(Dedup.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).cast("long").as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", col("cnt").cast("double") / col("__total").cast("double"))
+      .filter(col("share") >= minShare)
+      .drop("__total")
+  }
+}

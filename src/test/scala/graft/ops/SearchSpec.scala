@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Laws for the search/ranking and round-5 curation operators beyond
+  * the oracle's value checks: BM25 ordering properties, heavy-hitter
+  * exactness, paragraph-dedup keep-first semantics, per-source caps,
+  * temperature-resample rates.
+  */
+class SearchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bm25: more hits => higher score; zero hits excluded; dl penalty works") {
+    val df = Seq(
+      (1L, "spark spark spark other words here"),
+      (2L, "spark other words here padding tokens"),
+      (3L, "no relevant terms at all whatsoever"),
+      // same tf as doc 2 but much longer -> lower score (length norm)
+      (4L, "spark " + Seq.fill(40)("pad").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Search.bm25(df, Seq("spark")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(!got.contains(3L), "doc without any query term must not appear")
+    assert(got(1L) > got(2L), "higher tf must outrank")
+    assert(got(2L) > got(4L), "longer doc with equal tf must score lower")
+  }
+
+  test("heavy hitters: exact counts and share threshold") {
+    val df = Seq(
+      (1L, "aa aa aa aa bb"),
+      (2L, "aa aa aa aa cc")
+    ).toDF("doc_id", "text")
+    // 10 tokens total: aa=8 (0.8), bb=1 (0.1), cc=1 (0.1)
+    val all = Search.heavyHitters(df, minShare = 0.05).collect()
+      .map(r => r.getAs[String]("tok") -> (r.getAs[Long]("cnt"), r.getAs[Double]("share"))).toMap
+    assert(all("aa") === ((8L, 0.8)))
+    assert(all("bb") === ((1L, 0.1)))
+    val top = Search.heavyHitters(df, minShare = 0.5).collect()
+    assert(top.map(_.getAs[String]("tok")).toSeq === Seq("aa"))
+  }
+
+  test("paragraph dedup keeps first occurrence and reassembles in order") {
+    val p4 = Seq(
+      // doc 1: two distinct 4-token paragraphs
+      (1L, "a b c d e f g h"),
+      // doc 2: first paragraph repeats doc 1's first -> dropped;
+      // second paragraph is new -> kept
+      (2L, "a b c d x y z w"),
+      // doc 3: all paragraphs already seen -> vanishes entirely
+      (3L, "e f g h x y z w")
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(p4, p = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_kept_paras"), r.getAs[String]("dedup_text")))).toMap
+    assert(got(1L) === ((2L, "a b c d e f g h")))
+    assert(got(2L) === ((1L, "x y z w")))
+    assert(!got.contains(3L), "fully-duplicated doc must vanish")
+  }
+
+  test("paragraph dedup keep-first is corpus-order, not arbitrary") {
+    val df = Seq(
+      (10L, "p q r s"),
+      (2L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(df, p = 4).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    // doc 2 has the lower id -> owns "p q r s"; doc 10 vanishes
+    assert(got === Set(2L))
+  }
+
+  test("quality cap bounds every stratum and keeps the best-scoring docs") {
+    val df = (1L to 20L).map { i =>
+      val src = if (i <= 10) "s1" else "s2"
+      // more stopwords -> higher stopword ratio -> higher quality score
+      val nStop = (if (i <= 10) i else i - 10).toInt
+      val text = (Seq.fill(nStop)("the") ++ Seq.fill(5)("zz")).mkString(" ")
+      (i, src, text)
+    }.toDF("doc_id", "source", "text")
+    val capped = Curate.qualityCap(df, cap = 3)
+    val bySrc = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.values.forall(_ <= 3L))
+    // the kept docs of s1 must be the 3 highest-quality ones (ids 8,9,10
+    // have the most stopwords among 1..10)
+    val s1Kept = capped.filter(col("source") === "s1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1Kept === Set(8L, 9L, 10L))
+  }
+
+  test("temperature resample: balanced strata keep all; skew downsamples the big one") {
+    val balanced = (1L to 40L).map(i => (i, s"s${i % 2}", s"text body $i")).toDF("doc_id", "source", "text")
+    assert(Curate.temperatureResample(balanced).count() === 40L)
+    val skewed = ((1L to 360L).map(i => (i, "big", s"unique text $i")) ++
+      (361L to 370L).map(i => (i, "small", s"other text $i"))).toDF("doc_id", "source", "text")
+    val kept = Curate.temperatureResample(skewed)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("small") === 10L, "smallest stratum keeps everything")
+    // big keeps ~sqrt(10/360)=0.167 of 360 ≈ 60; allow generous band
+    assert(bySrc("big") < 160L && bySrc("big") > 20L,
+      s"big stratum should be heavily downsampled, kept ${bySrc("big")}")
+    // determinism: re-running keeps the identical set
+    val again = Curate.temperatureResample(skewed)
+    assert(kept.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
+  }
+}
