@@ -744,6 +744,48 @@ object Queries {
         |FROM tx WHERE substr(update_at, 9, 2) = '03' AND substr(update_at, 12, 2) = '00'
         |ORDER BY account, update_at, entity""".stripMargin)),
 
+    // SSJ1: stream-stream inner join — credits and debits of one day
+    // arrive as two independent streams and pair up per account within
+    // a shared event-time window. The window equality is the state
+    // bound (O(horizon), not O(history)); matches emit immediately.
+    // Oracle = the batch join of the same two slices.
+    "ssj1_stream_stream_join" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val day = tx(s, d).filter(substring(col("update_at"), 9, 2) === "06")
+          .select("account", "update_at", "amount", "is_credit")
+        val srcC = scratch("ssj1_credit")
+        val srcD = scratch("ssj1_debit")
+        day.filter(col("is_credit") === 1).coalesce(1).write.mode("overwrite").json(srcC)
+        day.filter(col("is_credit") === 0).coalesce(1).write.mode("overwrite").json(srcD)
+        val schema = day.schema
+        val credits = s.readStream.schema(schema).json(srcC)
+          .withColumn("ts_c", to_timestamp(col("update_at"), Schemas.TsPattern))
+          .select(col("account"), col("ts_c"),
+            col("update_at").as("credit_at"), col("amount").as("credit_amt"))
+        val debits = s.readStream.schema(schema).json(srcD)
+          .withColumn("ts_d", to_timestamp(col("update_at"), Schemas.TsPattern))
+          .select(col("account"), col("ts_d"),
+            col("update_at").as("debit_at"), col("amount").as("debit_amt"))
+        CdcStream.windowedStreamJoin(credits, "ts_c", debits, "ts_d",
+            windowDur = "1 day", watermark = "2 days", keys = Seq("account"))
+          .select("account", "credit_at", "credit_amt", "debit_at", "debit_amt")
+          .writeStream.format("memory").queryName("ssj1_join")
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", scratch("ssj1_ckpt"))
+          .start().awaitTermination()
+        s.table("ssj1_join")
+          .orderBy("account", "credit_at", "debit_at", "credit_amt", "debit_amt")
+      },
+      Some(s"""$TxCte,
+        |f AS (SELECT account, update_at, amount, is_credit FROM tx
+        |      WHERE substr(update_at, 9, 2) = '06')
+        |SELECT a.account, a.update_at AS credit_at, a.amount AS credit_amt,
+        |       b.update_at AS debit_at, b.amount AS debit_amt
+        |FROM f a JOIN f b ON a.account = b.account
+        |WHERE a.is_credit = 1 AND b.is_credit = 0
+        |ORDER BY a.account, credit_at, debit_at, credit_amt, debit_amt""".stripMargin)),
+
     // K7: small-file compaction — write one day fragmented (6 files),
     // compact it to one file via the dynamic-overwrite path, and prove
     // the data survived byte-for-byte by re-aggregating against the

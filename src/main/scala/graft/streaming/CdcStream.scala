@@ -143,6 +143,37 @@ object CdcStream {
       .dropDuplicatesWithinWatermark("__dk")
       .drop("__ts", "__dk")
 
+  /** Stream-stream inner join scoped to a shared event-time window:
+    * rows from the two streams pair up when their keys match AND their
+    * event times fall in the same tumbling `windowDur` window — the
+    * standard "correlate two event streams" primitive (orders↔payments,
+    * credits↔debits, request↔response).
+    *
+    * Scale/state design: the window-equality condition is what makes
+    * this runnable forever — Spark's state store keeps only rows whose
+    * window can still find partners (evicted once the watermark passes
+    * the window end + `watermark` delay), so state is O(rows within the
+    * watermark horizon), not O(stream history). Without an event-time
+    * constraint a stream-stream join buffers both streams unboundedly.
+    * Inner-join matches emit immediately (the watermark gates state
+    * cleanup, not emission), so there is no latency penalty. Each
+    * micro-batch joins by (key, window) hash partitioning — the same
+    * shuffle profile as the batch equi-join.
+    *
+    * Each side declares its own event-time column (they must be named
+    * differently so the joined row can carry both).
+    */
+  def windowedStreamJoin(left: DataFrame, leftTime: String,
+                         right: DataFrame, rightTime: String,
+                         windowDur: String, watermark: String,
+                         keys: Seq[String]): DataFrame = {
+    val l = left.withWatermark(leftTime, watermark)
+      .withColumn("__win", window(col(leftTime), windowDur))
+    val r = right.withWatermark(rightTime, watermark)
+      .withColumn("__win", window(col(rightTime), windowDur))
+    l.join(r, keys :+ "__win").drop("__win")
+  }
+
   /** Windowed freshness metrics over the event stream: 1-minute tumbling
     * counts with the reference's 2-minute late-data tolerance (T2+T3).
     */

@@ -134,6 +134,42 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(out2.length === out1.length + 1, "exactly one new emission in batch 2")
   }
 
+  test("windowedStreamJoin: pairs within the window, never across windows") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft_ssj")
+    val aDir = root.resolve("a").toString
+    val bDir = root.resolve("b").toString
+    Files.createDirectories(Paths.get(aDir))
+    Files.createDirectories(Paths.get(bDir))
+    // left: k1 in minute 00, k2 in minute 01; right: k1 in minute 00
+    // (joins), k1 in minute 01 (different window -> must NOT join k1's
+    // minute-00 row), k2 in minute 01 (joins)
+    Files.writeString(Paths.get(aDir, "a.json"),
+      """{"k":"k1","t":"2024-01-01T00:00:10.000000+0000","av":1}
+        |{"k":"k2","t":"2024-01-01T00:01:10.000000+0000","av":2}""".stripMargin)
+    Files.writeString(Paths.get(bDir, "b.json"),
+      """{"k":"k1","t":"2024-01-01T00:00:50.000000+0000","bv":10}
+        |{"k":"k1","t":"2024-01-01T00:01:20.000000+0000","bv":11}
+        |{"k":"k2","t":"2024-01-01T00:01:40.000000+0000","bv":12}""".stripMargin)
+    val aSchema = "k STRING, t STRING, av INT"
+    val bSchema = "k STRING, t STRING, bv INT"
+    val left = spark.readStream.schema(aSchema).json(aDir)
+      .withColumn("ts_a", to_timestamp(col("t"), Schemas.TsPattern)).drop("t")
+    val right = spark.readStream.schema(bSchema).json(bDir)
+      .withColumn("ts_b", to_timestamp(col("t"), Schemas.TsPattern)).drop("t")
+    CdcStream.windowedStreamJoin(left, "ts_a", right, "ts_b",
+        windowDur = "1 minute", watermark = "10 minutes", keys = Seq("k"))
+      .select("k", "av", "bv")
+      .writeStream.format("memory").queryName("ssj_spec")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start().awaitTermination()
+    val got = spark.table("ssj_spec").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got === Set(("k1", 1, 10), ("k2", 2, 12)),
+      "only same-window pairs may join")
+  }
+
   test("minuteCounts: streaming tumbling windows with 2-minute watermark emit per-minute counts") {
     val root = Files.createTempDirectory("graft_stream_win")
     val srcDir = root.resolve("src").toString
