@@ -844,6 +844,51 @@ object Queries {
         |       min(ts) AS t_start, max(ts) AS t_end
         |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // GF1: time-series regularization — dense minute spine over one
+    // day's events, zero-filled counts, forward-filled last amount.
+    "gf1_gap_fill" -> Q(
+      (s, d) => {
+        val perMin = events(s, d).filter(dayofmonth(col("ts")) === 6)
+          .groupBy(date_trunc("minute", col("ts")).as("m"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum((col("event_id") % 1000).cast("int")).cast("long").as("amt"))
+        val filled = graft.ops.TimeSeries.forwardFill(
+          graft.ops.TimeSeries.gapFill(perMin, "m", "1 minute"), "m", Seq("amt"))
+        filled.select(date_format(col("m"), "yyyy-MM-dd HH:mm").as("minute"),
+            coalesce(col("n"), lit(0L)).as("n"), col("amt"), col("amt_ffill"))
+          .orderBy("minute")
+      },
+      Some("""WITH f AS (SELECT date_trunc('minute', ts) AS m,
+        |        CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CAST(event_id % 1000 AS INTEGER)) AS BIGINT) AS amt
+        |      FROM events WHERE date_part('day', ts) = 6 GROUP BY 1),
+        |sp AS (SELECT unnest(generate_series((SELECT min(m) FROM f),
+        |         (SELECT max(m) FROM f), INTERVAL 1 MINUTE)) AS m),
+        |g AS (SELECT sp.m, coalesce(f.n, 0) AS n, f.amt
+        |      FROM sp LEFT JOIN f USING (m))
+        |SELECT strftime(m, '%Y-%m-%d %H:%M') AS minute, n, amt,
+        |  last_value(amt IGNORE NULLS) OVER (ORDER BY m
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS amt_ffill
+        |FROM g ORDER BY minute""".stripMargin)),
+
+    // FZ1: fuzzy entity resolution — every account-string pair within
+    // Levenshtein distance 1, found by deletion-neighborhood blocking
+    // (complete for d=1) + equi-join on variant hash, NOT an n² cross
+    // join. Oracle runs the semantic n² definition — tractable there
+    // because the oracle corpus is small; the Spark plan is the one
+    // that scales.
+    "fz1_fuzzy_join" -> Q(
+      (s, d) => graft.ops.Fuzzy.selfJoinLev1(
+          tx(s, d).select(col("account")), "account")
+        .orderBy("s1", "s2"),
+      Some(s"""$TxCte,
+        |v AS (SELECT DISTINCT account FROM tx)
+        |SELECT a.account AS s1, b.account AS s2,
+        |       CAST(levenshtein(a.account, b.account) AS INTEGER) AS dist
+        |FROM v a, v b
+        |WHERE a.account < b.account AND levenshtein(a.account, b.account) <= 1
+        |ORDER BY s1, s2""".stripMargin)),
+
     // S10 analog: the reference's raw-SQL read surface
     // (run_athena_query — athena.py:29-64): write a lake slice, register
     // it as a view from its parquet path, and answer an ad-hoc SQL

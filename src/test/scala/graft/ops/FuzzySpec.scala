@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Completeness law for deletion-neighborhood blocking: every edit
+  * kind within distance 1 must be found; nothing beyond distance 1 may
+  * appear.
+  */
+class FuzzySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("selfJoinLev1 finds substitution, insertion, deletion; rejects d>=2") {
+    val strs = Seq(
+      "alpha",   // base
+      "alphb",   // substitution at end          -> d=1
+      "alphas",  // insertion at end             -> d=1
+      "alph",    // deletion at end              -> d=1
+      "blpha",   // substitution at start        -> d=1
+      "lpha",    // deletion at start            -> d=1
+      "alxxa",   // two substitutions            -> d=2, must NOT pair with alpha
+      "zzz"      // unrelated
+    ).toDF("s")
+    val got = Fuzzy.selfJoinLev1(strs, "s").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val withAlpha = got.collect {
+      case ("alpha", x) => x
+      case (x, "alpha") => x
+    }
+    assert(withAlpha.toSet === Set("alphb", "alphas", "alph", "blpha", "lpha"))
+    assert(!got.contains(("alpha", "alxxa")) && !got.contains(("alxxa", "alpha")))
+    assert(got.forall { case (a, b) => a < b }, "pairs must be ordered s1 < s2")
+    // d=1 pairs among the variants themselves are legitimate (e.g.
+    // "alph"/"lpha" is d=2, but "alphb"/"alphbs"... none added here);
+    // just assert no pair involves zzz
+    assert(got.forall { case (a, b) => a != "zzz" && b != "zzz" })
+  }
+
+  test("selfJoinLev1 handles single-char strings and duplicates") {
+    val strs = Seq("a", "b", "ab", "a").toDF("s")
+    val got = Fuzzy.selfJoinLev1(strs, "s").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getInt(2))).toMap
+    // "a"~"b" substitution, "a"~"ab" insertion, "b"~"ab" substitution+? lev(b,ab)=1 (insert a)
+    assert(got === Map(("a", "b") -> 1, ("a", "ab") -> 1, ("ab", "b") -> 1))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TimeSeriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("gapFill inserts missing buckets per key; forwardFill carries last value") {
+    val df = Seq(
+      ("k1", ts(0), 10), ("k1", ts(3), 13),
+      ("k2", ts(1), 21), ("k2", ts(2), 22)
+    ).toDF("k", "m", "v")
+    val filled = TimeSeries.forwardFill(
+      TimeSeries.gapFill(df, "m", "1 minute", keys = Seq("k")),
+      "m", Seq("v"), keys = Seq("k"))
+    val rows = filled.orderBy("k", "m").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString.substring(14, 16),
+        Option(r.get(2)).map(_.asInstanceOf[Int]), r.getInt(3)))
+    assert(rows.toSeq === Seq(
+      ("k1", "00", Some(10), 10),
+      ("k1", "01", None, 10),     // gap: null raw, ffilled 10
+      ("k1", "02", None, 10),
+      ("k1", "03", Some(13), 13),
+      ("k2", "01", Some(21), 21),
+      ("k2", "02", Some(22), 22)  // k2 has no gaps; spine stops at its own max
+    ))
+  }
+
+  test("gapFill with no keys spans the global min..max") {
+    val df = Seq((ts(5), 1), (ts(8), 2)).toDF("m", "v")
+    val got = TimeSeries.gapFill(df, "m", "1 minute")
+    assert(got.count() === 4) // 05,06,07,08
+    assert(got.filter(col("v").isNull).count() === 2)
+  }
+}
