@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
 
 import graft.codec.DynamoDbJson
-import graft.ingest.{Ingest, TableWriter}
+import graft.ingest.{HashBucketLake, Ingest, TableWriter}
 import graft.merge.Merge
 import graft.model.Schemas
 import graft.orchestrate.CdcTracker
@@ -843,6 +843,41 @@ object Queries {
         |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
         |       min(ts) AS t_start, max(ts) AS t_end
         |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // K9: hash-bucket lake — the O(touched-buckets) merge tick. Bulk
+    // load days <= 10, merge days 11-12 as a delta (only the buckets
+    // the delta's keys hash into are read or rewritten), then report
+    // per-bucket totals. The md5-derived bucket id is itself part of
+    // the oracle check.
+    "k9_bucket_merge" -> Q(
+      (s, d) => {
+        val base = keyed(tx(s, d)).select(flatCols.map(col): _*)
+        val init = base.filter(substring(col("update_at"), 9, 2) <= "10")
+        val delta = base.filter(substring(col("update_at"), 9, 2).between("11", "12"))
+        val dir = scratch("k9_lake")
+        HashBucketLake.bulkWrite(
+          Merge.dedupLatest(init, "id", "update_at", Seq(col("event_id").desc)),
+          dir, nBuckets = 8)
+        HashBucketLake.mergeCommit(s, delta, dir, nBuckets = 8)
+        HashBucketLake.read(s, dir)
+          .groupBy(col("bucket").cast("long").as("bucket"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("amount")).cast("long").as("amt"))
+          .orderBy("bucket")
+      },
+      Some(s"""$TxCte$KeyedCte,
+        |u AS (SELECT * FROM keyed WHERE substr(update_at, 9, 2) <= '12'),
+        |m AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY id ORDER BY update_at DESC, event_id DESC) AS rn
+        |      FROM u) WHERE rn = 1),
+        |b AS (SELECT id, amount,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(range(1, 9),
+        |            i -> CAST(strpos('0123456789abcdef', substr(md5(id), i, 1)) - 1 AS BIGINT))),
+        |          (a, x) -> a * 16 + x) % 8 AS bucket
+        |      FROM m)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n, CAST(sum(amount) AS BIGINT) AS amt
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // GF1: time-series regularization — dense minute spine over one
     // day's events, zero-filled counts, forward-filled last amount.

@@ -115,6 +115,44 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("paragraph dedup: the keep-first window shuffles hash+ids only, never text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = withAqeOff(
+      graft.ops.Dedup.paragraphDedup(docs).queryExecution.executedPlan)
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.size === 1)
+    // the exchange feeding the window must carry exactly (h, __d, pidx)
+    val winExchange = windows.head.collectFirst { case e: ShuffleExchangeExec => e }.get
+    val cols = winExchange.output.map(_.name).toSet
+    assert(cols === Set("h", "__d", "pidx"),
+      s"keep-first window must shuffle slim rows, got $cols")
+  }
+
+  test("bm25 is one broadcast scalar + a narrow scoring map: no shuffle join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = withAqeOff(graft.ops.Search.bm25(docs, Seq("spark", "join"))
+      .queryExecution.executedPlan)
+    val broadcasts = plan.collect { case b: BroadcastExchangeExec => b }
+    assert(broadcasts.size === 1, "exactly the one-row stats broadcast")
+    // the only exchange tolerated is the single-partition stats
+    // aggregate; the corpus side must never shuffle
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.forall(_.outputPartitioning.numPartitions === 1),
+      s"corpus side of bm25 must not shuffle: ${shuffles.map(_.outputPartitioning)}")
+  }
+
+  test("temperature resample broadcasts the per-stratum rates onto the corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = withAqeOff(graft.ops.Curate.temperatureResample(docs)
+      .queryExecution.executedPlan)
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val joins = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty, "rate table must arrive by broadcast hash join")
+  }
+
   test("pivot with a pinned value list keeps the two-phase aggregate shape") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val q = SparkEntry.queries("pv1_pivot")(spark, sf)
