@@ -17,9 +17,20 @@ object Verify {
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // The driver's comparator sorts rows with pandas, which cannot
+        // hash array/map cells: an oracle-checked query returning one
+        // would err at the gate. Fail loudly here instead.
+        if (SparkEntry.oracleSql.contains(name)) {
+          val bad = df.schema.fields.filter(f =>
+            f.dataType.typeName == "array" || f.dataType.typeName == "map")
+          require(bad.isEmpty, s"oracle-checked query $name returns " +
+            s"non-comparable column(s) ${bad.map(_.name).mkString(",")}: " +
+            "serialize with array_join/to_json before registering")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // release blocks persisted inside the query (ann1/dd3/dd5): a

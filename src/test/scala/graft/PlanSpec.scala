@@ -168,4 +168,16 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.size <= 3,
       s"pinned-values pivot should stay two-phase, found ${exchanges.size} exchanges")
   }
+
+  test("par() is a no-op on an already-parallel input (no gratuitous shuffle at scale)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val want = spark.sparkContext.defaultParallelism
+    val wide = spark.range(0, 10000, 1, numPartitions = want).toDF("id")
+    val plan = withAqeOff(QueriesOps.par(wide).queryExecution.executedPlan)
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "par() must not inject an Exchange when the scan already has >= one partition per core")
+    val narrow = spark.range(0, 10000, 1, numPartitions = 1).toDF("id")
+    assert(QueriesOps.par(narrow).rdd.getNumPartitions === want,
+      "par() must still fan out a single-partition fixture scan")
+  }
 }
