@@ -906,6 +906,39 @@ object Queries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS amt_ffill
         |FROM g ORDER BY minute""".stripMargin)),
 
+    // GF2: the KEYED gap fill — the form that scales. Each event_type
+    // gets its own dense minute spine over its own [min, max] on day 6,
+    // and the forward-fill window partitions per key, so spine join and
+    // fill both hash-distribute across the cluster instead of the
+    // keyless single-window form gf1 keeps for one bounded series.
+    "gf2_gap_fill_keyed" -> Q(
+      (s, d) => {
+        val perMin = events(s, d).filter(dayofmonth(col("ts")) === 6)
+          .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("m"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum((col("event_id") % 1000).cast("int")).cast("long").as("amt"))
+        val filled = graft.ops.TimeSeries.forwardFill(
+          graft.ops.TimeSeries.gapFill(perMin, "m", "1 minute",
+            keys = Seq("event_type")),
+          "m", Seq("amt"), keys = Seq("event_type"))
+        filled.select(col("event_type"),
+            date_format(col("m"), "yyyy-MM-dd HH:mm").as("minute"),
+            coalesce(col("n"), lit(0L)).as("n"), col("amt"), col("amt_ffill"))
+          .orderBy("event_type", "minute")
+      },
+      Some("""WITH f AS (SELECT event_type, date_trunc('minute', ts) AS m,
+        |        CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CAST(event_id % 1000 AS INTEGER)) AS BIGINT) AS amt
+        |      FROM events WHERE date_part('day', ts) = 6 GROUP BY 1, 2),
+        |sp AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS m
+        |      FROM (SELECT event_type, min(m) AS lo, max(m) AS hi FROM f GROUP BY 1)),
+        |g AS (SELECT sp.event_type, sp.m, coalesce(f.n, 0) AS n, f.amt
+        |      FROM sp LEFT JOIN f USING (event_type, m))
+        |SELECT event_type, strftime(m, '%Y-%m-%d %H:%M') AS minute, n, amt,
+        |  last_value(amt IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY m
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS amt_ffill
+        |FROM g ORDER BY event_type, minute""".stripMargin)),
+
     // FZ1: fuzzy entity resolution — every account-string pair within
     // Levenshtein distance 1, found by deletion-neighborhood blocking
     // (complete for d=1) + equi-join on variant hash, NOT an n² cross

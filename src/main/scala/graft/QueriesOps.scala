@@ -482,12 +482,59 @@ object QueriesOps {
         |  CAST(least(1024, n - fi * 1024) AS INTEGER) AS frame_n_bytes
         |FROM f WHERE fi % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // REAL codec path: synthesize a decodable P6 image per document
+    // (pixels cycle the UTF-8 text bytes), genuinely parse the binary
+    // header, nearest-neighbor-resize the RGB grid to 8x8, re-encode.
+    // The oracle reproduces the resample arithmetic byte-for-byte from
+    // the hex-decoded text (the tx4 trick), so a wrong header parse,
+    // wrong stride, or wrong channel order shifts every sum → MATCH is
+    // a value proof of the decoder, not just plumbing.
     "mm3_resize_thumbnails" -> Q(
-      (s, d) => Multimodal.resize(Multimodal.mediaFromDocuments(docs(s, d)), side = 16)
-        .toDF().select(col("doc_id"), col("media_type"),
-          length(col("thumb")).as("thumb_bytes"), col("thumb_checksum"))
+      (s, d) => Multimodal.resizePpm(Multimodal.ppmFromDocuments(docs(s, d)), side = 8)
+        .toDF().select(col("doc_id"), col("src_w"), col("src_h"),
+          length(col("thumb")).as("thumb_bytes"),
+          col("t_r_sum"), col("t_g_sum"), col("t_b_sum"))
         .orderBy("doc_id"),
-      None),
+      Some("""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        |d AS (SELECT doc_id,
+        |    CAST(8 + doc_id % 24 AS INTEGER) AS w,
+        |    CAST(8 + (doc_id // 5) % 24 AS INTEGER) AS h,
+        |    list_transform(range(1, length(hx)//2 + 1),
+        |      i -> strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) * 16
+        |         + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 17) AS bytes
+        |  FROM b),
+        |t AS (SELECT doc_id, w, h, bytes, len(bytes) AS L,
+        |    list_transform(range(0, 64),
+        |      t -> ((((t // 8) * h) // 8 * w + ((t % 8) * w) // 8) * 3)) AS base
+        |  FROM d)
+        |SELECT doc_id, w AS src_w, h AS src_h, CAST(203 AS INTEGER) AS thumb_bytes,
+        |  CAST(list_sum(list_transform(base, i -> bytes[(i % L) + 1])) AS BIGINT) AS t_r_sum,
+        |  CAST(list_sum(list_transform(base, i -> bytes[((i + 1) % L) + 1])) AS BIGINT) AS t_g_sum,
+        |  CAST(list_sum(list_transform(base, i -> bytes[((i + 2) % L) + 1])) AS BIGINT) AS t_b_sum
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // Full-image channel statistics through the same real parse — the
+    // decode step of the codec under its own oracle row.
+    "mm4_image_stats" -> Q(
+      (s, d) => Multimodal.ppmStats(Multimodal.ppmFromDocuments(docs(s, d)))
+        .toDF().select(col("doc_id"), col("width"), col("height"),
+          col("r_sum"), col("g_sum"), col("b_sum"))
+        .orderBy("doc_id"),
+      Some("""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        |d AS (SELECT doc_id,
+        |    CAST(8 + doc_id % 24 AS INTEGER) AS w,
+        |    CAST(8 + (doc_id // 5) % 24 AS INTEGER) AS h,
+        |    list_transform(range(1, length(hx)//2 + 1),
+        |      i -> strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) * 16
+        |         + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 17) AS bytes
+        |  FROM b),
+        |t AS (SELECT doc_id, w, h, bytes, len(bytes) AS L,
+        |    list_transform(range(0, w * h), p -> p * 3) AS base FROM d)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(list_sum(list_transform(base, i -> bytes[(i % L) + 1])) AS BIGINT) AS r_sum,
+        |  CAST(list_sum(list_transform(base, i -> bytes[((i + 1) % L) + 1])) AS BIGINT) AS g_sum,
+        |  CAST(list_sum(list_transform(base, i -> bytes[((i + 2) % L) + 1])) AS BIGINT) AS b_sum
+        |FROM t ORDER BY doc_id""".stripMargin)),
 
     // the composite curation pipeline a training-data run would execute:
     // quality gate -> language gate -> exact dedup -> token budget,

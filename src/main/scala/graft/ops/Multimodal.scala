@@ -56,7 +56,12 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition init (a real decoder would open codecs here, once)
       rows.map { r =>
-        val (w, h, f) = decodeStub(r.payload)
+        // magic-sniff: a genuinely decodable P6 image gets REAL
+        // dimensions; everything else falls back to the fake
+        val (w, h, f) = parsePpm(r.payload) match {
+          case Some(p) => (p.width, p.height, 1)
+          case None    => decodeStub(r.payload)
+        }
         MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
           md5hex(r.payload), w, h, f)
       }
@@ -103,6 +108,130 @@ object Multimodal {
         Thumbnail(r.doc_id, r.media_type, out, md5hex(out))
       }
     }
+  }
+
+  // ==== Real image codec: PPM (P6) ====================================
+  // One genuinely-decoded format, pure JVM: binary P6 = ASCII header
+  // ("P6\n<w> <h>\n255\n") + w*h RGB byte triplets. The synth / decode /
+  // resize loop below does real header parsing and real nearest-neighbor
+  // resampling over the 2-D pixel grid — so the stub disclosure above
+  // now covers audio/video only.
+
+  /** Deterministic P6 synthesis: dimensions derive from doc_id, pixel
+    * bytes cycle through the UTF-8 text bytes. Gives every fixture doc
+    * a real decodable image whose pixel arithmetic an external oracle
+    * can reproduce without a codec.
+    */
+  def makePpm(docId: Long, textBytes: Array[Byte]): Array[Byte] = {
+    val w = (8 + (docId % 24)).toInt
+    val h = (8 + ((docId / 5) % 24)).toInt
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val data = new Array[Byte](w * h * 3)
+    if (textBytes.nonEmpty) {
+      var i = 0
+      while (i < data.length) { data(i) = textBytes(i % textBytes.length); i += 1 }
+    }
+    header ++ data
+  }
+
+  /** Decoded P6: dimensions + offset of the pixel data in the payload.
+    * Real parser: checks the magic, walks ASCII whitespace-separated
+    * header tokens (comments excluded — synthesis never emits them),
+    * validates maxval and payload length.
+    */
+  final case class Ppm(width: Int, height: Int, dataOffset: Int)
+
+  def parsePpm(payload: Array[Byte]): Option[Ppm] = {
+    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6') return None
+    var pos = 2
+    def nextInt(): Int = {
+      while (pos < payload.length && payload(pos).toChar.isWhitespace) pos += 1
+      var v = 0
+      var any = false
+      while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
+        v = v * 10 + (payload(pos) - '0'); pos += 1; any = true
+      }
+      if (any) v else -1
+    }
+    val (w, h, maxv) = (nextInt(), nextInt(), nextInt())
+    pos += 1 // single whitespace byte after maxval, per spec
+    if (w <= 0 || h <= 0 || maxv != 255) None
+    else if (payload.length - pos < w * h * 3) None
+    else Some(Ppm(w, h, pos))
+  }
+
+  /** Per-channel pixel sums of a decoded image — the numeric feature a
+    * value oracle can check (wrong header parse or wrong byte layout
+    * shifts every sum).
+    */
+  final case class ImageStats(doc_id: Long, width: Int, height: Int,
+                              r_sum: Long, g_sum: Long, b_sum: Long)
+
+  def ppmStats(media: Dataset[MediaRow]): Dataset[ImageStats] = {
+    implicit val enc = Encoders.product[ImageStats]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        parsePpm(r.payload).map { p =>
+          var (rs, gs, bs) = (0L, 0L, 0L)
+          var px = 0
+          val n = p.width * p.height
+          while (px < n) {
+            val i = p.dataOffset + px * 3
+            rs += r.payload(i) & 0xff
+            gs += r.payload(i + 1) & 0xff
+            bs += r.payload(i + 2) & 0xff
+            px += 1
+          }
+          ImageStats(r.doc_id, p.width, p.height, rs, gs, bs)
+        }
+      }
+    }
+  }
+
+  /** Real nearest-neighbor resize over the decoded 2-D RGB grid to a
+    * `side`×`side` P6 thumbnail; emits the re-encoded payload plus its
+    * channel sums (the oracle-checkable arithmetic).
+    */
+  final case class ThumbStats(doc_id: Long, src_w: Int, src_h: Int,
+                              thumb: Array[Byte], t_r_sum: Long, t_g_sum: Long, t_b_sum: Long)
+
+  def resizePpm(media: Dataset[MediaRow], side: Int = 8): Dataset[ThumbStats] = {
+    implicit val enc = Encoders.product[ThumbStats]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        parsePpm(r.payload).map { p =>
+          val header = s"P6\n$side $side\n255\n".getBytes("US-ASCII")
+          val data = new Array[Byte](side * side * 3)
+          var (rs, gs, bs) = (0L, 0L, 0L)
+          var t = 0
+          while (t < side * side) {
+            val (y, x) = (t / side, t % side)
+            val (sy, sx) = (y * p.height / side, x * p.width / side)
+            val i = p.dataOffset + (sy * p.width + sx) * 3
+            data(t * 3) = r.payload(i)
+            data(t * 3 + 1) = r.payload(i + 1)
+            data(t * 3 + 2) = r.payload(i + 2)
+            rs += r.payload(i) & 0xff
+            gs += r.payload(i + 1) & 0xff
+            bs += r.payload(i + 2) & 0xff
+            t += 1
+          }
+          ThumbStats(r.doc_id, p.width, p.height, header ++ data, rs, gs, bs)
+        }
+      }
+    }
+  }
+
+  /** Media table of REAL P6 images synthesized from the documents
+    * fixture (same hash-spread layout notes as [[mediaFromDocuments]]).
+    */
+  final case class DocText(doc_id: Long, text: String)
+
+  def ppmFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    implicit val encIn = Encoders.product[DocText]
+    implicit val encOut = Encoders.product[MediaRow]
+    docs.select(col("doc_id"), col("text")).as[DocText]
+      .map(r => MediaRow(r.doc_id, "image", makePpm(r.doc_id, r.text.getBytes("UTF-8"))))
   }
 
   /** Frame sampling: explode each payload into per-frame rows (1 KiB
