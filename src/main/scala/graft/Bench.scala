@@ -52,7 +52,13 @@ object Bench {
     val fs = failed.map { case (k, m) => "\"" + k + "\":\"" + esc(m.take(200)) + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady-state (min of 2 timed runs after warm-up)","queries":$qs,"failed":$fs,"n_ok":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady-state (min of 2 timed runs after warm-up)","queries":$qs,"failed":$fs,"n_ok":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
+    println(line)
+    // stdout capture has been observed truncated to a tail when the
+    // query map grows large; the file copy survives whole for the
+    // round snapshot
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
     spark.stop()
     if (failed.nonEmpty) sys.exit(2)
   }

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import scala.jdk.CollectionConverters._
@@ -376,6 +376,38 @@ object Queries {
         |FROM tx WHERE substr(update_at, 9, 2) = '01' AND substr(update_at, 12, 2) = '00'
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // K10: landing-zone retention under the gate — land two hours,
+    // advance the cursor past hour 00 (after a merge tick that absorbed
+    // hour 00, `CdcTracker.State.lastProcessedPartition` is exactly the
+    // last minute inside the processed half-open range, i.e.
+    // hour=00/minute=59), prune, and re-aggregate the survivors. The
+    // pruned-partition count rides along as a column so the oracle
+    // value-checks the deletion itself, not just the surviving slice.
+    "k10_landing_retention" -> Q(
+      (s, d) => {
+        val twoHours = tx(s, d).filter(substring(col("update_at"), 9, 2) === "02" &&
+            substring(col("update_at"), 12, 2) <= "01")
+          .select("account", "create_at", "update_at", "entity", "amount", "is_credit", "note")
+        val dirOut = scratch("k10_landing")
+        Ingest.landCdc(twoHours, dirOut)
+        val nPruned = Ingest.pruneLanding(dirOut,
+          "year=2024/month=01/day=02/hour=00/minute=59")
+        s.read.schema(Schemas.flatCdcRow).json(dirOut)
+          .groupBy(col("hour"), col("minute"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("amount")).cast("long").as("amt"))
+          .withColumn("n_pruned", lit(nPruned.toLong))
+          .orderBy("hour", "minute")
+      },
+      Some(s"""$TxCte
+        |SELECT substr(update_at, 12, 2) AS hour, substr(update_at, 15, 2) AS minute,
+        |       CAST(count(*) AS BIGINT) AS n, CAST(sum(amount) AS BIGINT) AS amt,
+        |       (SELECT CAST(count(DISTINCT substr(update_at, 15, 2)) AS BIGINT) FROM tx
+        |        WHERE substr(update_at, 9, 2) = '02'
+        |          AND substr(update_at, 12, 2) = '00') AS n_pruned
+        |FROM tx WHERE substr(update_at, 9, 2) = '02' AND substr(update_at, 12, 2) = '01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // K5: CSV sink round-trip (header, quoted JSON-ish strings).
     "k5_csv_roundtrip" -> Q(
       (s, d) => {
@@ -616,16 +648,23 @@ object Queries {
           .json(landing)
           .withColumn("eventName", lit("INSERT"))
           .as[graft.model.CdcEvent]
+        // update-mode emissions drain to a parquet dir per micro-batch
+        // (file sinks can't take update mode directly) — emissions land
+        // distributed, nothing accumulates on the driver, and the same
+        // shape works for an unbounded production drain
+        val outDir = scratch("t8_out")
         CdcStream.latestPerKeyStream(events).writeStream
-          .format("memory").queryName("t8_latest")
           .outputMode("update")
+          .foreachBatch { (batch: Dataset[graft.model.CdcEvent], _: Long) =>
+            batch.write.mode("append").parquet(outDir): Unit
+          }
           .trigger(Trigger.AvailableNow())
           .option("checkpointLocation", scratch("t8_ckpt"))
           .start()
           .awaitTermination()
-        // the memory sink accumulates every update emission; collapse to
-        // the final winner per key (idempotent when keys emit once)
-        val emitted = s.table("t8_latest")
+        // collapse the drained emissions to the final winner per key
+        // (idempotent when keys emit once)
+        val emitted = s.read.parquet(outDir)
           .withColumn("__k", concat(col("account"), lit("\u0000"), col("create_at")))
         Merge.dedupLatest(emitted, "__k", "update_at")
           .select("account", "create_at", "update_at", "entity", "amount", "is_credit", "note")

@@ -143,8 +143,12 @@ object Curate {
   def qualityCap(docs: DataFrame, cap: Int, stratumCol: String = "source",
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(cap > 0, "cap must be positive")
+    // nanvl: empty/whitespace-only text yields NaN ratios (0.0/0.0) in
+    // the quality score, and Spark sorts NaN ABOVE every double in a
+    // descending order — unguarded, degenerate docs would outrank real
+    // content and consume cap slots.
     val w = Window.partitionBy(col(stratumCol))
-      .orderBy(col("quality_score").desc, col(idCol))
+      .orderBy(nanvl(col("quality_score"), lit(0.0)).desc, col(idCol))
     Text.withQuality(docs, textCol)
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= cap).drop("__rk")

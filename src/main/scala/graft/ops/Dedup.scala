@@ -243,77 +243,94 @@ object Dedup {
     * canonical representative. `vertices` must have a single column `v`;
     * `pairs` columns `d1`/`d2`. Output: (v, cluster).
     *
-    * Algorithm: Pregel-style iterative min-label propagation. labels(v)
-    * starts at v; each round every vertex takes the min of its own and
-    * its neighbors' labels, until fixpoint. Round count = component
-    * diameter: near-dup graphs are dense local clusters with tiny
-    * diameters, so a handful of rounds suffice (the O(log n)-round
-    * large-star/small-star scheme of Kiveris et al., "Connected
-    * Components in MapReduce and Beyond", MLG'14, is the upgrade path
-    * for adversarial chain-shaped graphs).
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", MLG'14) — the
+    * edge set contracts toward a star forest whose centers are the
+    * component minima. Unlike min-label propagation (whose round count
+    * is the component DIAMETER), this converges in O(log n) rounds even
+    * on adversarial chain-shaped graphs, so `maxIter = 25` covers any
+    * component a 64-bit id space can hold.
     *
-    * Scale profile per round: ONE shuffle join (edges ⋈ labels on dst,
-    * payloads are pairs of longs — vectors/text never enter the loop) +
-    * one map-side-combinable min-aggregation. Convergence detection is
-    * an aggregate over the label sum: labels only ever decrease, so the
-    * sum strictly decreases iff any label changed — no change-count
-    * join, no collect of the label table (the sum runs over
-    * decimal(38,0) so 10^10 vertices with 10^10-sized ids cannot
-    * overflow it). Each round's labels are persisted and the previous
-    * round's blocks released: lineage stays one round deep, so executor
-    * loss recomputes a round, not the whole history.
+    * Per round: two self-join-shaped shuffles over (long, long) edges
+    * plus map-side-combinable min-aggregations — vectors/text never
+    * enter the loop. Convergence = the canonical (big, small) edge set
+    * reaches a fixpoint, detected by an exact count + one-sided
+    * exceptAll emptiness check (both over ids only). Each round's edge
+    * set is persisted, the previous round's blocks released, and the
+    * plan re-rooted on a LogicalRDD so the analyzer never walks an
+    * exponentially-growing tree (see the lineage-cut note below).
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
                           maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = vertices.sparkSession
     // Lineage cut, the load-bearing detail of every DataFrame-iterative
-    // algorithm: round t's plan references round t-1 TWICE (directly and
-    // through nbrMin), so chaining raw DataFrames doubles the logical
-    // plan per round — persist() caches execution but the ANALYZER
-    // still walks the exponentially-growing tree (measured: 73 s for a
-    // 600-vertex graph before this fix, ~2 s after). Re-wrapping each
-    // materialized round as a LogicalRDD over its cached blocks keeps
-    // every round's plan O(1)-deep while the RDD lineage stays intact
-    // for fault recovery.
+    // algorithm: round t's plan references round t-1 several times, so
+    // chaining raw DataFrames multiplies the logical plan per round —
+    // persist() caches execution but the ANALYZER still walks the
+    // exponentially-growing tree (measured on the label-propagation
+    // predecessor: 73 s for a 600-vertex graph before the cut, ~2 s
+    // after). Re-wrapping each materialized round as a LogicalRDD over
+    // its cached blocks keeps every round's plan O(1)-deep while the
+    // RDD lineage stays intact for fault recovery.
     def shallow(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
-    val edges = pairs
-      .select(col("d1").cast("long").as("src"), col("d2").cast("long").as("dst"))
-      .union(pairs.select(col("d2").cast("long").as("src"), col("d1").cast("long").as("dst")))
+    // canonical working edges: (u, v) with u > v, deduplicated
+    var cur = pairs
+      .select(col("d1").cast("long").as("a"), col("d2").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var cur = vertices.select(col("v").cast("long").as("v"), col("v").cast("long").as("lbl"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum = labelSum(cur) // also materializes cur's cache
-    var labels = shallow(cur)
+    var curCount = cur.count()
+    var edges = shallow(cur)
+    var converged = curCount == 0L
     var round = 0
-    var converged = prevSum == null // empty vertex set: sum is NULL, nothing to do
     while (!converged && round < maxIter) {
-      val nbrMin = edges.join(labels.withColumnRenamed("v", "dst"), "dst")
-        .groupBy(col("src").as("v")).agg(min("lbl").as("nbl"))
-      val next = labels.join(nbrMin, Seq("v"), "left")
-        .select(col("v"), least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+      // large-star: every neighbor bigger than u attaches to
+      // m(u) = min(N(u) ∪ {u}); output edges keep the big→small
+      // orientation (emitted v > u >= m).
+      val bidir = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = bidir.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = bidir.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: all of u's (strictly smaller) neighbors plus u
+      // itself attach to the smallest of them.
+      val m2 = large.groupBy("u").agg(min("v").as("m"))
+      val next = large.join(m2, "u").filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+        .union(m2.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val s = labelSum(next)
+      val nextCount = next.count()
+      // fixpoint: same cardinality and no edge outside the previous set
+      // (exceptAll is exact on the (u, v) pairs — ids only, no hashing
+      // shortcut that could false-positive)
+      converged = nextCount == curCount &&
+        shallow(next).exceptAll(edges).limit(1).count() == 0L
       cur.unpersist()
       cur = next
-      labels = shallow(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      edges = shallow(next)
+      curCount = nextCount
       round += 1
     }
-    edges.unpersist()
     if (!converged)
-      // Returning partially-propagated labels as if final would silently
-      // split long-diameter components; fail loudly instead (the
-      // large-star/small-star algorithm is the upgrade path if real
-      // corpora ever hit this — dup graphs are near-cliques, so label
-      // propagation converges in O(log diameter) rounds in practice).
+      // Returning a half-contracted graph as if final would silently
+      // split components; fail loudly instead. With O(log n)
+      // convergence this would require a component of > 2^25 vertices
+      // AND pathological shape — not a configuration a dedup pair
+      // generator can produce.
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds; " +
-          "increase maxIter or switch to large-star/small-star")
-    labels.withColumnRenamed("lbl", "cluster")
+        s"connectedComponents did not converge in $maxIter rounds")
+    // star forest: every non-center vertex carries exactly one edge to
+    // its component minimum (min() guards the impossible multi-edge
+    // case rather than silently picking an arbitrary row)
+    val roots = edges.groupBy("u").agg(min("v").as("cluster"))
+      .withColumnRenamed("u", "v")
+    vertices.select(col("v").cast("long").as("v"))
+      .join(roots, Seq("v"), "left")
+      .select(col("v"), coalesce(col("cluster"), col("v")).as("cluster"))
   }
 
   // ---------------- SimHash ----------------

@@ -61,6 +61,34 @@ class HashBucketLakeSpec extends AnyFunSuite {
     assert(got.size === 7)
   }
 
+  test("null-key delta rows bucket deterministically instead of crashing the touched-bucket listing") {
+    val root = Files.createTempDirectory("graft_hbl_null").toString
+    val dir = Paths.get(root, "lake").toString
+    HashBucketLake.bulkWrite(lakeRows(("k1", "2024-01-01", 1)), dir, nBuckets = 4)
+    val delta = Seq((Option("k1"), "2024-01-02", 10), (Option.empty[String], "2024-01-02", 99))
+      .toDF("id", "update_at", "amount")
+    HashBucketLake.mergeCommit(spark, delta, dir, nBuckets = 4) // NPE'd before the coalesce fix
+    val got = HashBucketLake.read(spark, dir).select("id", "amount").collect()
+      .map(r => Option(r.getString(0)) -> r.getInt(1)).toMap
+    assert(got(Some("k1")) === 10)
+    assert(got(None) === 99, "null-key row must land in a real bucket, not the Hive default partition")
+    // and it must live under a real bucket=N dir (prunable), never __HIVE_DEFAULT_PARTITION__
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(!dirs.exists(_.contains("HIVE_DEFAULT")), s"found $dirs")
+  }
+
+  test("mergeCommit tiebreak resolves equal-(key, version) duplicates inside one delta") {
+    val root = Files.createTempDirectory("graft_hbl_tb").toString
+    val dir = Paths.get(root, "lake").toString
+    HashBucketLake.bulkWrite(lakeRows(("k1", "2024-01-01", 1)), dir, nBuckets = 4)
+    val delta = Seq(("k1", "2024-01-02", 5, 100L), ("k1", "2024-01-02", 7, 200L))
+      .toDF("id", "update_at", "amount", "event_id")
+    HashBucketLake.mergeCommit(spark, delta, dir, nBuckets = 4,
+      tiebreak = Seq(col("event_id").desc))
+    val got = HashBucketLake.read(spark, dir).select("amount").collect().map(_.getInt(0))
+    assert(got.toSeq === Seq(7), "event_id DESC tiebreak must pick the higher event_id row")
+  }
+
   test("first mergeCommit on an empty dir bootstraps the lake") {
     val root = Files.createTempDirectory("graft_hbl2").toString
     val dir = Paths.get(root, "lake").toString

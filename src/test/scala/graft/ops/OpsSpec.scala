@@ -227,6 +227,18 @@ class OpsSpec extends AnyFunSuite {
       30L -> 30L))
   }
 
+  test("connected components: diameter-100 chain converges (large-star/small-star O(log n))") {
+    import spark.implicits._
+    // a 101-vertex path 0-1-2-...-100: label propagation would need 100
+    // rounds (> maxIter); star contraction needs ~log2(101) ≈ 7.
+    val pairs = (0L until 100L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val verts = (0L to 100L).toDF("v")
+    val got = Dedup.connectedComponents(verts, pairs, maxIter = 15)
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("cluster"))
+    assert(got.length === 101)
+    assert(got.forall(_._2 === 0L), s"all must label 0, got ${got.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
   test("connected components handles an empty vertex set") {
     import spark.implicits._
     val empty = Dedup.connectedComponents(
