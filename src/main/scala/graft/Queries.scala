@@ -200,6 +200,27 @@ object Queries {
         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, event_id DESC) AS rn
         |  FROM keyed) WHERE rn = 1 ORDER BY id""".stripMargin)),
 
+    // W4: SCD type-2 history — every version kept with a validity
+    // interval instead of collapsed latest-wins; the warehouse answer
+    // to "what did this record say at time t". Same single-shuffle
+    // scale profile as w1; event_id makes the order total so the
+    // interval chain is engine-reproducible.
+    "w4_scd2_history" -> Q(
+      (s, d) => {
+        val base = keyed(tx(s, d)).select(flatCols.map(col): _*)
+          .filter(substring(col("update_at"), 9, 2) <= "03")
+        Merge.scd2History(base, Seq("id"), "update_at", Seq(col("event_id").asc))
+          .select("id", "event_id", "valid_from", "valid_to", "is_current", "amount")
+          .orderBy("id", "valid_from", "event_id")
+      },
+      Some(s"""$TxCte$KeyedCte
+        |SELECT id, event_id, update_at AS valid_from,
+        |  lead(update_at) OVER (PARTITION BY id ORDER BY update_at, event_id) AS valid_to,
+        |  lead(update_at) OVER (PARTITION BY id ORDER BY update_at, event_id) IS NULL AS is_current,
+        |  amount
+        |FROM keyed WHERE substr(update_at, 9, 2) <= '03'
+        |ORDER BY id, valid_from, event_id""".stripMargin)),
+
     // J2: the compare() oracle — full scan vs a lake missing day > 15.
     "j2_compare_except" -> Q(
       (s, d) => {

@@ -184,6 +184,36 @@ object QueriesOps {
         |  CAST(len(list_distinct(wins)) AS BIGINT) AS n_fp
         |FROM w ORDER BY doc_id""".stripMargin)),
 
+    // TX11: corpus-level token co-occurrence (window ≤ 2), the counting
+    // backbone of PMI / distributional-similarity features. Pair
+    // generation is IN-ROW (a narrow nested-transform over the token
+    // array — ~2n pairs per doc, no positional self-join), then one
+    // map-side-combinable count shuffle on the pair key and a global
+    // top-100 TakeOrdered. The oracle builds the same pairs by
+    // positional self-join — tractable there, but the Spark plan is
+    // the one that scales.
+    "tx11_cooccurrence" -> Q(
+      (s, d) => docs(s, d)
+        .select(split(lower(col("text")), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "flatten(transform(sequence(0, size(toks)-2), i -> " +
+            "transform(sequence(i+1, least(i+2, size(toks)-1)), j -> " +
+            "struct(least(toks[i], toks[j]) AS t1, greatest(toks[i], toks[j]) AS t2))))"))
+          .as("p"))
+        .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"))
+        .limit(100),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, unnest(toks) AS tok,
+        |        unnest(range(1, len(toks) + 1)) AS pos FROM t WHERE len(toks) >= 2),
+        |pairs AS (SELECT least(a.tok, b.tok) AS t1, greatest(a.tok, b.tok) AS t2
+        |  FROM p a JOIN p b ON a.doc_id = b.doc_id
+        |    AND b.pos > a.pos AND b.pos <= a.pos + 2)
+        |SELECT t1, t2, CAST(count(*) AS BIGINT) AS n FROM pairs
+        |GROUP BY 1, 2 ORDER BY n DESC, t1, t2 LIMIT 100""".stripMargin)),
+
     // Gopher-style repetition filter: duplicated-trigram fraction.
     "tx9_repetition" -> Q(
       (s, d) => Text.withRepetition(docs(s, d))
@@ -256,6 +286,18 @@ object QueriesOps {
       Some("""SELECT doc_id FROM (
         |  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // DD8: the INCREMENTAL refresh flavor — new docs (id >= 200) vs an
+    // already-curated base (id < 300); the 100-doc overlap must drop.
+    "dd8_incremental_dedup" -> Q(
+      (s, d) => Dedup.dedupAgainst(
+          docs(s, d).filter(col("doc_id") >= 200),
+          docs(s, d).filter(col("doc_id") < 300))
+        .select("doc_id").orderBy("doc_id"),
+      Some("""SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id >= 200 AND NOT EXISTS (
+        |  SELECT 1 FROM documents b WHERE b.doc_id < 300 AND md5(b.text) = md5(d.text))
+        |ORDER BY doc_id""".stripMargin)),
 
     // xxhash64-based — rows-only here; recall-vs-exact checked in tests.
     "dd3_minhash_lsh_pairs" -> Q(
@@ -455,6 +497,73 @@ object QueriesOps {
           .orderBy("method")
       },
       None),
+
+    // ann1's gate-checkable twin (the ag1 pattern): the exact-baseline
+    // sizes carry the cross-engine hash — DuckDB recomputes both truth
+    // sets from scratch — and each method's recall collapses to a
+    // floor-check boolean that flips the row red if LSH/IVF accuracy
+    // ever regresses. Floors sit ~0.1 under the measured sf0.01
+    // recalls (ss3 0.50, ss4 0.78, ss5 0.625).
+    "ann2_recall_floor" -> Q(
+      (s, d) => {
+        def floorOf(name: String, truth: DataFrame, approx: DataFrame,
+                    floor: Double): DataFrame =
+          truth.join(approx.withColumn("__hit", lit(1)), Seq("q_id", "n_id"), "left")
+            .agg(count(lit(1)).cast("long").as("n_truth"),
+              count(col("__hit")).cast("long").as("n_hits"))
+            .select(lit(name).as("method"), col("n_truth"),
+              lit(floor).as("recall_floor"),
+              (col("n_hits").cast("double")
+                >= lit(floor) * col("n_truth").cast("double")).as("recall_ok"))
+        val e = embs(s, d)
+        val q = e.filter(col("vec_id") < 8)
+        val topkTruth = Similarity.bruteForceTopK(e, q, k = 5).select("q_id", "n_id")
+          .persist()
+        val bounded = e.filter(col("vec_id") < 600)
+        val pairTruth = Similarity.cosineNearDupPairs(bounded, threshold = 0.4)
+          .select(col("id1").as("q_id"), col("id2").as("n_id"))
+        floorOf("ss3_lsh_topk", topkTruth,
+            Similarity.lshTopK(e, q, k = 5, nTables = 8).select("q_id", "n_id"), 0.4)
+          .unionByName(floorOf("ss4_lsh_neardup", pairTruth,
+            Similarity.lshNearDupPairs(bounded, threshold = 0.4,
+              nPlanes = 8, nTables = 8, multiProbe = true)
+              .select(col("id1").as("q_id"), col("id2").as("n_id")), 0.6))
+          .unionByName(floorOf("ss5_ivf_topk", topkTruth,
+            Similarity.ivfTopK(e, q, k = 5).select("q_id", "n_id"), 0.5))
+          .orderBy("method")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM e WHERE vec_id < 8),
+        |p AS (
+        |  SELECT q_id, e.vec_id AS n_id,
+        |    list_sum(list_transform(range(1, len(q_vec) + 1),
+        |      i -> CAST(q_vec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(q_vec) + 1),
+        |         i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS sim
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
+        |ranked AS (SELECT q_id, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank FROM p),
+        |topk_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ranked WHERE rank <= 5),
+        |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 600),
+        |bp AS (
+        |  SELECT list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(x.embedding) + 1),
+        |         i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE))))) AS sim
+        |  FROM b a JOIN b x ON a.vec_id < x.vec_id),
+        |pair_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bp WHERE sim >= 0.4)
+        |SELECT * FROM (
+        |  SELECT 'ss3_lsh_topk' AS method, (SELECT n FROM topk_n) AS n_truth,
+        |    CAST(0.4 AS DOUBLE) AS recall_floor, TRUE AS recall_ok
+        |  UNION ALL SELECT 'ss4_lsh_neardup', (SELECT n FROM pair_n),
+        |    CAST(0.6 AS DOUBLE), TRUE
+        |  UNION ALL SELECT 'ss5_ivf_topk', (SELECT n FROM topk_n),
+        |    CAST(0.5 AS DOUBLE), TRUE
+        |) ORDER BY method""".stripMargin)),
 
     // ---- multimodal ---------------------------------------------------
 

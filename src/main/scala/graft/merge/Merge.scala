@@ -154,4 +154,28 @@ object Merge {
       .filter(col("__rn") === 1 && col("__del") === 0)
       .drop("__rn", "__del")
   }
+
+  /** SCD type-2 history: instead of collapsing each key to its latest
+    * version (what [[upsert]] does, mirroring the reference's Hudi
+    * path), keep EVERY version as a row with a validity interval —
+    * `valid_from` = its own version, `valid_to` = the next version of
+    * the same key (null = still current, flagged `is_current`). The
+    * standard warehouse shape for "what did this record say at time t"
+    * queries, answered with `valid_from <= t AND (valid_to > t OR
+    * is_current)`.
+    *
+    * One hash shuffle on the key + one window `lead` — the same scale
+    * profile as dedupLatest. `tiebreak` totally orders equal-version
+    * duplicates (same contract as everywhere in this API); pass the
+    * ingest sequence column when the source can emit them.
+    */
+  def scd2History(df: DataFrame, keyCols: Seq[String],
+                  versionCol: String = "update_at",
+                  tiebreak: Seq[Column] = Seq.empty): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col(versionCol).asc +: tiebreak) :+ contentTiebreak(df): _*)
+    df.withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

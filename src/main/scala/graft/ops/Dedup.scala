@@ -26,6 +26,21 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental (cross-corpus) exact dedup: drop every delta document
+    * whose content already exists in the base corpus — the operation an
+    * incremental training-data refresh runs (new crawl vs the corpus
+    * already curated). Anti-join on the 128-bit content hash: the base
+    * side reduces to DISTINCT hashes first (map-side combinable), so
+    * only ~(n_base × 32B) of hashes cross the exchange and the delta's
+    * text never shuffles at all; with a small base-hash set the
+    * anti-join broadcasts.
+    */
+  def dedupAgainst(delta: DataFrame, base: DataFrame,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    delta.withColumn("__h", md5(col(textCol)))
+      .join(base.select(md5(col(textCol)).as("__h")).distinct(), Seq("__h"), "left_anti")
+      .drop("__h")
+
   /** Exact n-gram (token-set) Jaccard similarity for all pairs above a
     * threshold, via an inverted-index join on tokens. Correct but
     * O(sum over tokens of df(token)²) — the verification baseline;
