@@ -802,6 +802,36 @@ object QueriesOps {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
         |LEFT JOIN shared s USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // DC2: dc1's membership test through a broadcast BLOOM FILTER (the
+    // corpus side stays narrow — no shingle explode, no shuffle). The
+    // sketch's no-false-negative law collapses to an oracle-checked
+    // boolean: exact-contaminated ⇒ bloom-flagged, per document.
+    "dc2_bloom_decontaminate" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        val corpus = all.filter(col("doc_id") % 97 =!= 0)
+        val bench = all.filter(col("doc_id") % 97 === 0)
+        Curate.decontaminateBloom(corpus, bench)
+          .join(Curate.decontaminate(corpus, bench).select("doc_id", "contaminated"),
+            Seq("doc_id"))
+          .select(col("doc_id"), col("contaminated"),
+            (!col("contaminated") || col("bloom_flagged")).as("superset_ok"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |         CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(0, len(toks) - 8 + 1),
+        |                i -> array_to_string(toks[i+1:i+8], ' ')) END)) AS sh FROM t),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+        |corp AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+        |shared AS (SELECT doc_id, count(*) AS n_shared
+        |           FROM corp JOIN bench USING (sh) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(s.n_shared, 0) > 0 AS contaminated,
+        |       TRUE AS superset_ok
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+        |LEFT JOIN shared s USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     // Paragraph-level dedup (Falcon-style keep-first): aligned 16-token
     // paragraphs, global first-occurrence wins, docs reassembled from
     // survivors. The keep-first window carries (md5, doc_id, pidx) only.
@@ -918,6 +948,19 @@ object QueriesOps {
         |FROM c, t
         |WHERE CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) >= CAST(0.001 AS DOUBLE)
         |ORDER BY tok""".stripMargin)),
+
+    // HH2: hh1's counts through a count-min sketch — exact top-20
+    // carries the cross-engine hash, the sketch's never-undercount and
+    // eps·N-overcount laws ride as oracle-checked booleans (the ag1 /
+    // ann2 / dc2 pattern, completing the sketch family's gate coverage:
+    // HLL, approx-percentile, bloom, CMS).
+    "hh2_cms_heavy_hitters" -> Q(
+      (s, d) => graft.ops.Search.heavyHittersCms(docs(s, d), k = 20)
+        .orderBy(col("cnt").desc, col("tok")),
+      Some("""WITH tk AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY tok)
+        |SELECT tok, cnt, TRUE AS over_ok, TRUE AS bound_ok
+        |FROM c ORDER BY cnt DESC, tok LIMIT 20""".stripMargin)),
 
     // Data profiling: one aggregation pass over the fact table -> one
     // row per profiled column (nulls / exact distincts / range).

@@ -130,6 +130,40 @@ object Curate {
       .drop("__d")
   }
 
+  /** Bloom-filter decontamination: the same membership test as
+    * [[decontaminate]] but against an approximate broadcast structure —
+    * the form to reach for when even the DISTINCT benchmark shingle set
+    * is too wide to ship as a join hash table (a bloom filter costs
+    * ~10 bits/shingle at 1% fpp vs tens of bytes per shingle). The
+    * sketch guarantees no false negatives, so every truly contaminated
+    * document is flagged; false positives over-flag at ~`fpp`, which a
+    * decontamination guard tolerates by construction (it only discards
+    * extra documents).
+    *
+    * Scale: the filter builds from one pass over the (tiny) benchmark,
+    * ships once per executor, and the corpus side stays fully NARROW —
+    * an in-row any-match over each document's shingle array, with no
+    * explode and no shuffle at all (dc1's broadcast join still explodes
+    * corpus shingles to rows). The per-row membership probe is a Scala
+    * UDF by necessity — Spark's BloomFilterMightContain expression is
+    * internal to runtime-filter injection — and wraps a pure
+    * bit-test, so it is cheap despite sitting outside codegen.
+    */
+  def decontaminateBloom(docs: DataFrame, benchmark: DataFrame, k: Int = 8,
+                         fpp: Double = 0.01,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val benchSh = benchmark
+      .select(explode(array_distinct(Dedup.shingleCol(col(textCol), k))).as("sh"))
+      .distinct()
+    val n = benchSh.count() // one tiny job over the benchmark only
+    val bf = benchSh.stat.bloomFilter("sh", math.max(n, 1L), fpp)
+    val bfBc = docs.sparkSession.sparkContext.broadcast(bf)
+    val hit = udf((shs: Seq[String]) => shs.exists(bfBc.value.mightContainString))
+    docs
+      .withColumn("bloom_flagged",
+        hit(array_distinct(Dedup.shingleCol(col(textCol), k))))
+  }
+
   /** Per-stratum quality cap (the RefinedWeb-style per-domain document
     * cap): keep at most `cap` documents of every stratum, preferring
     * higher [[Text.withQuality]] scores (ties broken by id so the cut

@@ -76,4 +76,40 @@ object Search {
       .filter(col("share") >= minShare)
       .drop("__total")
   }
+
+  /** Count-min-sketch heavy hitters: the sub-linear-memory counterpart
+    * of [[heavyHitters]] for streams / cardinalities where an exact
+    * token→count table no longer fits. The sketch is O(1/eps × ln(1/δ))
+    * cells regardless of vocabulary size, never under-counts, and
+    * over-counts by at most eps × N (N = total tokens) with
+    * probability ≥ δ.
+    *
+    * This operator returns the top-`k` EXACT counts joined with the
+    * sketch's two laws as columns — `over_ok` (estimate ≥ exact, holds
+    * always) and `bound_ok` (estimate ≤ exact + eps × N, holds w.p. δ
+    * but deterministically for a fixed seed) — so sketch-accuracy
+    * regressions surface as flipped booleans in an oracle-checkable
+    * row, the same pattern as the HLL/percentile and ANN-recall gates.
+    *
+    * Scale: one combinable count shuffle for the exact side (the
+    * baseline being verified), one `stat.countMinSketch` pass for the
+    * sketch (tree-aggregated, driver holds only the O(cells) sketch),
+    * and per-row probes through a broadcast of the sketch.
+    */
+  def heavyHittersCms(docs: DataFrame, k: Int = 20, eps: Double = 0.0005,
+                      confidence: Double = 0.99, seed: Int = 42,
+                      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(explode(Dedup.tokens(col(textCol))).as("tok"))
+    val cms = toks.stat.countMinSketch("tok", eps, confidence, seed)
+    val totalN = cms.totalCount()
+    val bc = docs.sparkSession.sparkContext.broadcast(cms)
+    val est = udf((t: String) => bc.value.estimateCount(t))
+    toks.groupBy("tok").agg(count(lit(1)).cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(k)
+      .withColumn("__est", est(col("tok")))
+      .select(col("tok"), col("cnt"),
+        (col("__est") >= col("cnt")).as("over_ok"),
+        (col("__est") <= col("cnt") + lit(math.ceil(eps * totalN).toLong)).as("bound_ok"))
+  }
 }

@@ -100,6 +100,27 @@ class CurateSpec extends AnyFunSuite {
     assert(got === Map(1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("bloom decontamination flags every exact hit (no false negatives)") {
+    import spark.implicits._
+    val bench = Seq((900L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x alpha beta gamma delta epsilon zeta eta theta y"),
+      (2L, "completely unrelated text with no overlap at all here"),
+      (3L, "alpha beta gamma delta epsilon zeta eta DIFFERENT tail tokens")
+    ).toDF("doc_id", "text")
+    val bloom = Curate.decontaminateBloom(corpus, bench, k = 8)
+      .select("doc_id", "bloom_flagged").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("bloom_flagged")).toMap
+    assert(bloom(1L), "planted exact hit must be bloom-flagged (no false negatives)")
+    val exact = Curate.decontaminate(corpus, bench, k = 8)
+      .select("doc_id", "contaminated").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
+    exact.foreach { case (id, c) =>
+      assert(!c || bloom(id), s"doc $id: exact-contaminated but not bloom-flagged")
+    }
+  }
+
   test("repetition ratio: looping text scores high, varied text scores 0") {
     import spark.implicits._
     val df = Seq(
