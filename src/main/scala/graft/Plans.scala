@@ -13,7 +13,10 @@ object Plans {
     val spark = GraftSession.local()
     val names = Seq("j1_flagship_upsert", "w1_dedup_latest", "h1_pricing_summary",
       "h3_join_revenue", "h4_top_suppliers", "h5_semi_join", "dd3_minhash_lsh_pairs",
-      "ss3_lsh_topk", "ss5_ivf_topk", "p9_partition_range", "t3_watermark_clamp")
+      "ss3_lsh_topk", "ss5_ivf_topk", "p9_partition_range", "t3_watermark_clamp",
+      "gf2_gap_fill_keyed", "tx11_cooccurrence", "dd8_incremental_dedup",
+      "dc2_bloom_decontaminate", "hh2_cms_heavy_hitters", "mm3_resize_thumbnails",
+      "w4_scd2_history", "ann2_recall_floor")
     val qs = SparkEntry.queries
     val sb = new StringBuilder
     names.foreach { n =>
