@@ -386,6 +386,36 @@ object QueriesOps {
       },
       None),
 
+    // VQ1: int8 absmax quantization of the embedding corpus — scale,
+    // quantized checksums, and the per-element reconstruction-error
+    // bound all reproduce bit-for-bit in DuckDB (plain IEEE arithmetic
+    // in a fixed fold order; no hashing anywhere), so the compression
+    // step is fully value-checked, not rows-only.
+    "vq1_int8_quantize" -> Q(
+      (s, d) => Similarity.quantizeInt8(embs(s, d))
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("qvec"), lit(0L), (a, b) => a + b.cast("long")).as("q_sum"),
+          aggregate(col("qvec"), lit(0L), (a, b) => a + abs(b.cast("long"))).as("q_l1"),
+          col("err_ok"))
+        .orderBy("vec_id"),
+      Some("""WITH v AS (SELECT vec_id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd FROM embeddings),
+        |s AS (SELECT vec_id, xd,
+        |        list_reduce(list_prepend(0.0, list_transform(xd, x -> abs(x))),
+        |          (a, b) -> greatest(a, b)) AS scale FROM v),
+        |q AS (SELECT vec_id, scale, xd,
+        |        CASE WHEN scale = 0 THEN list_transform(xd, x -> 0)
+        |        ELSE list_transform(xd, x -> CAST(round(x / scale * 127.0) AS INTEGER))
+        |        END AS qv FROM s)
+        |SELECT vec_id, scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(qv, q -> abs(q))) AS BIGINT) AS q_l1,
+        |  CASE WHEN scale = 0 THEN TRUE ELSE
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(qv) + 1),
+        |      i -> abs(CAST(qv[i] AS DOUBLE) * scale / 127.0 - xd[i]))),
+        |      (a, b) -> greatest(a, b)) <= scale / 253.0 END AS err_ok
+        |FROM q ORDER BY vec_id""".stripMargin)),
+
     // The fifth dedup modality end-to-end: embedding-cosine near-dup
     // pairs drive the corpus dedup DECISION (drop the later member of
     // every pair ≥ τ). Bounded to the ss2 slice so the exact pair

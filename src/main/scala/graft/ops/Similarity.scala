@@ -341,4 +341,34 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .select(col("id1"), col("id2"), col("cos_sim"))
   }
+
+  /** Symmetric int8 vector quantization (per-vector absmax scaling):
+    * `q_i = round(x_i / scale × 127)` with `scale = max|x_i|` — the
+    * standard compression step before storing or ANN-searching a
+    * 100 TB embedding corpus (4× smaller than float32, SIMD-friendly
+    * int8 dot products downstream). Reconstruction error is bounded by
+    * `scale/254` per element (round-to-nearest), which the output
+    * carries as a checkable boolean.
+    *
+    * Fully NARROW: per-row HOFs over the vector, no shuffle, no UDF —
+    * and every output column is plain IEEE arithmetic in a fixed
+    * fold order, so an external engine reproduces it bit-for-bit
+    * (unlike the xxhash64-based signature ops).
+    */
+  def quantizeInt8(vectors: DataFrame, vecCol: String = "embedding",
+                   idCol: String = "vec_id"): DataFrame = {
+    val xd = transform(col(vecCol), v => v.cast("double"))
+    vectors
+      .withColumn("scale", aggregate(xd, lit(0.0), (a, b) => greatest(a, abs(b))))
+      .withColumn("qvec", when(col("scale") === 0.0,
+          transform(col(vecCol), _ => lit(0)))
+        .otherwise(transform(col(vecCol),
+          v => round(v.cast("double") / col("scale") * 127.0).cast("int"))))
+      .withColumn("max_err", when(col("scale") === 0.0, lit(0.0))
+        .otherwise(aggregate(
+          zip_with(col("qvec"), col(vecCol),
+            (q, x) => abs(q.cast("double") * col("scale") / 127.0 - x.cast("double"))),
+          lit(0.0), (a, b) => greatest(a, b))))
+      .withColumn("err_ok", col("max_err") <= col("scale") / 253.0)
+  }
 }
