@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Curate, Dedup, Multimodal, Similarity, Text}
+import graft.ops.{Curate, Dedup, Multimodal, Search, Sessions, Similarity, Text}
 
 /** Registry part 2: the LLM-training-data operators (dedup, similarity,
   * text analysis, multimodal) over `documents`/`embeddings`, plus
@@ -1397,5 +1397,116 @@ object QueriesOps {
         .select("c_custkey", "c_name").orderBy("c_custkey"),
       Some("""SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-        |ORDER BY c_custkey""".stripMargin)))
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- sessionization / event-time windows --------------------------
+
+    // Gap-based sessionization (gaps-and-islands): per-user sessions
+    // split on >12 h silence, rolled up to start/end/count/duration.
+    // One hash exchange on user_id; lag + running-sum share one sort.
+    "ses1_sessionize" -> Q(
+      (s, d) => Sessions.sessionStats(
+          Queries.events(s, d),
+          keyCol = "user_id", tsCol = "ts",
+          gap = lit(43200000000L), tieCol = "event_id")
+        .orderBy("user_id", "session_idx"),
+      Some("""WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 43200000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM g)
+        |SELECT user_id, session_idx,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_us
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Spark's NATIVE session_window aggregate (the streaming-capable
+    // form of ses1; merge rule: an event extends the session iff its
+    // gap from the previous event is < 12 h, window end = last + 12 h).
+    "ses2_session_window" -> Q(
+      (s, d) => Queries.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("w_start"),
+          col("session_window.end").as("w_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "w_start"),
+      Some("""WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 43200000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id,
+        |  min(ts) AS w_start,
+        |  max(ts) + INTERVAL 12 HOUR AS w_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin)),
+
+    // Trailing 24 h per-user RANGE frame on integer microseconds —
+    // order-independent (peers included), decimal-exact sum.
+    "ma1_trailing_window" -> Q(
+      (s, d) => Sessions.trailingWindow(
+          Queries.events(s, d),
+          keyCol = "user_id", tsCol = "ts", valueCol = "value",
+          horizonUs = 86400000000L)
+        .select("event_id", "user_id", "trail_n", "trail_sum")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS trail_n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS trail_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)),
+
+    // ---- splits / index build ----------------------------------------
+
+    // Deterministic md5-coin train/val/test split — narrow map, zero
+    // shuffle; documents never migrate between splits as the corpus
+    // grows (eval-contamination safety).
+    "sp1_hash_split" -> Q(
+      (s, d) => Curate.hashSplit(docs(s, d), "doc_id",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .select("doc_id", "split").orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+        |    (a, x) -> a * 16 + x) AS DOUBLE) / CAST(4294967296 AS DOUBLE) AS u
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Inverted-index build: (term, df, posting-list head) for df >= 2.
+    // The wide stage carries (term, doc_id) pairs only — never text.
+    "ix1_inverted_index" -> Q(
+      (s, d) => Search.invertedIndex(docs(s, d), minDf = 2L, postingCap = 20)
+        .orderBy("term"),
+      Some("""WITH pairs AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split(lower(text), ' '))) AS term
+        |  FROM documents)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  array_to_string(list_slice(list_sort(list(doc_id)), 1, 20), ',') AS postings_head
+        |FROM pairs WHERE length(term) > 0
+        |GROUP BY term HAVING count(*) >= 2
+        |ORDER BY term""".stripMargin)))
 }

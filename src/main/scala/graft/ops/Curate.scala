@@ -243,4 +243,28 @@ object Curate {
         col("n_tokens").cast("double") / col("__total").cast("double"))
       .drop("__total")
   }
+
+  /** Deterministic train/val/test assignment: a content-hash coin
+    * (first 8 md5 hex digits of the id as a uniform in [0,1)) cut at
+    * the cumulative fractions of `fractions`. Seedless and
+    * engine-portable by construction — re-running the split on a grown
+    * corpus never reassigns an existing document (the property that
+    * keeps eval sets uncontaminated across recrawls), unlike
+    * `randomSplit`, whose assignment depends on partitioning.
+    *
+    * Scale: a narrow per-row map — no shuffle, no state, trivially
+    * 100 TB-safe.
+    */
+  def hashSplit(docs: DataFrame, idCol: String,
+                fractions: Seq[(String, Double)]): DataFrame = {
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+    val cuts = fractions.scanLeft(0.0)(_ + _._2).tail
+    val assign = fractions.zip(cuts).init
+      .foldRight(lit(fractions.last._1): Column) { case (((name, _), cut), els) =>
+        when(u < cut, name).otherwise(els)
+      }
+    docs.withColumn("split", assign)
+  }
 }

@@ -112,4 +112,30 @@ object Search {
         (col("__est") >= col("cnt")).as("over_ok"),
         (col("__est") <= col("cnt") + lit(math.ceil(eps * totalN).toLong)).as("bound_ok"))
   }
+
+  /** Inverted-index build: term → document frequency + the first
+    * `postingCap` doc ids (ascending) as the posting-list head, for
+    * terms appearing in at least `minDf` documents. The classic batch
+    * index-build job (one MapReduce-era benchmark, still the shape
+    * behind BM25 serving tiers).
+    *
+    * Scale: explode emits (term, doc_id) pairs — the only wide data is
+    * that pair stream, never text. `collect_set` partially aggregates
+    * map-side, and the posting cap bounds the reducer-side state per
+    * term: stop-word terms cost O(docs-per-partition) in the partial
+    * sets, which at 100 TB argues for a `minDf`/stop-list pre-filter or
+    * a two-level (term, doc-range) composite key; both compose with
+    * this operator unchanged.
+    */
+  def invertedIndex(docs: DataFrame, minDf: Long = 2, postingCap: Int = 20,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol), explode(array_distinct(Dedup.tokens(col(textCol)))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df"),
+        slice(sort_array(collect_set(col(idCol))), 1, postingCap).as("__p"))
+      .filter(col("df") >= minDf)
+      .select(col("term"), col("df"),
+        array_join(col("__p"), ",").as("postings_head"))
 }

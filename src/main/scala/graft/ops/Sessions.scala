@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sessionization and time-range windowing over event streams — the
+  * gaps-and-islands primitives behind user-behavior analytics,
+  * conversation-thread assembly for chat-log training corpora, and
+  * rate-limited feature windows.
+  *
+  * Reference analog: the minute-window grouping the CDC pipeline lands
+  * by (SURVEY §2.9 T2) is a fixed tumbling window; these are the
+  * data-dependent variants (a session ends when the USER goes quiet,
+  * not when the clock ticks).
+  */
+object Sessions {
+
+  /** Gap-based sessionization: assigns every event a per-key
+    * `session_idx` (1-based, in time order); a new session starts when
+    * the gap from the key's previous event exceeds `gap`. Ties on
+    * `tsCol` break by `tieCol` so the island assignment is
+    * engine-reproducible.
+    *
+    * Scale: one hash exchange on `keyCol`; both windows (the lag and
+    * the running sum) share that partitioning AND the same sort order,
+    * so Catalyst plans a single Exchange + single Sort. State per key
+    * is a scan — no self-join, no O(events²) anything. Skewed power
+    * users are a window-function skew (one key's events on one task);
+    * at 100 TB bound it by splitting keys on a coarse time prefix
+    * first if a single key exceeds a task's memory.
+    */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 gap: Column, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val prev = lag(unix_micros(col(tsCol)), 1).over(w)
+    val isNew = when(
+      prev.isNull || unix_micros(col(tsCol)) - prev > gap, 1L).otherwise(0L)
+    events.withColumn("session_idx",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-session roll-up of [[sessionize]]: start/end/event-count and
+    * exact integer-microsecond duration. The aggregate reuses the
+    * session assignment's (key) partitioning — (key, session_idx) is a
+    * refinement, so AQE-era Spark still needs one exchange for the
+    * groupBy; at scale that exchange carries (key, idx, ts) triples,
+    * never payloads.
+    */
+  def sessionStats(events: DataFrame, keyCol: String, tsCol: String,
+                   gap: Column, tieCol: String): DataFrame =
+    sessionize(events, keyCol, tsCol, gap, tieCol)
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (max(unix_micros(col(tsCol))) - min(unix_micros(col(tsCol))))
+          .as("duration_us"))
+
+  /** Trailing time-range aggregate: for every event, the count and
+    * exact decimal sum of `valueCol` over the key's events in
+    * [ts − `horizonUs`, ts] — a RANGE frame on integer microseconds, so
+    * peers (exact-tie timestamps) are all included and the result is
+    * order-independent and engine-exact.
+    *
+    * Scale: same single-exchange shape as [[sessionize]]; the range
+    * frame is a sliding two-pointer over the sorted run, O(n) per key.
+    */
+  def trailingWindow(events: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, horizonUs: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-horizonUs, 0)
+    events
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .withColumn("trail_sum",
+        sum(col(valueCol).cast("decimal(18,6)")).over(w).cast("double"))
+  }
+}

@@ -180,4 +180,53 @@ class PlanSpec extends AnyFunSuite {
     assert(QueriesOps.par(narrow).rdd.getNumPartitions === want,
       "par() must still fan out a single-partition fixture scan")
   }
+
+  test("sessionize shares one exchange + one sort between its lag and running-sum windows") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val ev = Queries.events(spark, sf)
+    val plan = withAqeOff(graft.ops.Sessions.sessionize(
+        ev, "user_id", "ts", lit(43200000000L), "event_id")
+      .queryExecution.executedPlan)
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.size === 1,
+      "lag and running-sum must reuse one hash partitioning on user_id")
+    assert(plan.collect { case s: SortExec => s }.size === 1,
+      "both windows order by (ts, event_id) — a second sort means the reuse broke")
+  }
+
+  test("trailing range frame costs exactly one exchange (no self-join shape)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val ev = Queries.events(spark, sf)
+    val plan = withAqeOff(graft.ops.Sessions.trailingWindow(
+        ev, "user_id", "ts", "value", 86400000000L)
+      .queryExecution.executedPlan)
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.size === 1)
+    assert(plan.collect {
+      case j: SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }.isEmpty, "a time-range window must not plan as a self-join")
+  }
+
+  test("hashSplit is a narrow map: zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = withAqeOff(graft.ops.Curate.hashSplit(
+        docs, "doc_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .queryExecution.executedPlan)
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "split assignment must not shuffle")
+  }
+
+  test("inverted index shuffles (term, doc_id) pairs only, never text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = withAqeOff(graft.ops.Search.invertedIndex(docs)
+      .queryExecution.executedPlan)
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size === 1)
+    val shuffled = exchanges.head.child.schema.fieldNames.toSet
+    assert(!shuffled.contains("text"),
+      s"exchange must carry pair/partial-agg columns, got $shuffled")
+  }
 }
