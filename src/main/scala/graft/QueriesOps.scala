@@ -675,6 +675,38 @@ object QueriesOps {
         |  CAST(list_sum(list_transform(base, i -> bytes[((i + 2) % L) + 1])) AS BIGINT) AS b_sum
         |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // Real WAV (RIFF PCM s16le) decode: synthesize an 8 kHz mono wave
+    // per document, chunk-walk the container, and compute all-integer
+    // audio features — every value (duration, peak, Σ|s|, zero
+    // crossings) reproduced by DuckDB from the synthesis rule, so a
+    // header-offset or endianness bug shifts every row red.
+    "au1_wav_stats" -> Q(
+      (s, d) => Multimodal.wavStats(Multimodal.wavFromDocuments(docs(s, d)))
+        .toDF().select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("duration_us"), col("peak"), col("abs_sum"), col("zero_crossings"))
+        .orderBy("doc_id"),
+      Some("""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        |d AS (SELECT doc_id,
+        |    CAST(256 + doc_id % 512 AS INTEGER) AS n,
+        |    list_transform(range(1, length(hx)//2 + 1),
+        |      i -> strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) * 16
+        |         + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 17) AS bytes
+        |  FROM b),
+        |s AS (SELECT doc_id, n,
+        |    list_transform(range(0, n),
+        |      i -> (bytes[(i % len(bytes)) + 1] - 128) * 256) AS smp
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  n AS n_samples,
+        |  CAST(n * 125 AS BIGINT) AS duration_us,
+        |  CAST(list_max(list_transform(smp, x -> abs(x))) AS INTEGER) AS peak,
+        |  CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT) AS abs_sum,
+        |  CAST(list_sum(list_transform(range(2, n + 1),
+        |    i -> CASE WHEN (smp[i] < 0) != (smp[i-1] < 0) THEN 1 ELSE 0 END))
+        |    AS INTEGER) AS zero_crossings
+        |FROM s ORDER BY doc_id""".stripMargin)),
+
     // the composite curation pipeline a training-data run would execute:
     // quality gate -> language gate -> exact dedup -> token budget,
     // one declarative plan, fully oracle-checkable

@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * `mapInPandas`: one iterator per partition, schema declared up
   * front, arbitrary library calls inside).
   *
-  * The actual media codecs are NOT in this container, so `decodeStub`
-  * is a clearly-marked deterministic fake — the Spark-side plumbing
-  * (binary schema, partitioning, batch iterator shape, feature schema)
-  * is real and is what these operators test.
+  * Third-party media codecs are NOT in this container; two formats are
+  * implemented for real in pure JVM instead — P6/PPM images and
+  * RIFF/WAV PCM audio — with value-checked decode arithmetic. Only
+  * video remains behind the clearly-marked deterministic `decodeStub`;
+  * the Spark-side plumbing (binary schema, partitioning, batch
+  * iterator shape, feature schema) is real everywhere.
   */
 object Multimodal {
 
@@ -220,6 +222,134 @@ object Multimodal {
         }
       }
     }
+  }
+
+  // ==== Real audio codec: WAV (RIFF PCM s16le) ========================
+  // Second genuinely-decoded format, pure JVM: canonical RIFF container
+  // with a PCM fmt chunk and 16-bit little-endian mono samples. The
+  // parser walks the chunk list for real (it does not assume the 44-byte
+  // canonical layout), so WAVs with extra chunks still decode. With
+  // images (P6) and audio (WAV) both real, the decode stub above now
+  // covers video only.
+
+  private def u16le(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def u32le(b: Array[Byte], off: Int, v: Int): Unit = {
+    u16le(b, off, v & 0xffff); u16le(b, off + 2, (v >>> 16) & 0xffff)
+  }
+  private def readU16le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def readU32le(b: Array[Byte], off: Int): Long =
+    (readU16le(b, off) & 0xffffL) | ((readU16le(b, off + 2) & 0xffffL) << 16)
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** Deterministic WAV synthesis: 8 kHz mono s16le; sample count
+    * derives from doc_id, sample values from the UTF-8 text bytes
+    * (`s_i = (byte_{i mod L} − 128) · 256`, exactly representable and
+    * reproducible by an external oracle with no audio library).
+    */
+  def makeWav(docId: Long, textBytes: Array[Byte]): Array[Byte] = {
+    val nSamples = (256 + (docId % 512)).toInt
+    val dataSize = nSamples * 2
+    val out = new Array[Byte](44 + dataSize)
+    "RIFF".getBytes("US-ASCII").copyToArray(out, 0)
+    u32le(out, 4, 36 + dataSize)
+    "WAVE".getBytes("US-ASCII").copyToArray(out, 8)
+    "fmt ".getBytes("US-ASCII").copyToArray(out, 12)
+    u32le(out, 16, 16)     // fmt chunk size
+    u16le(out, 20, 1)      // PCM
+    u16le(out, 22, 1)      // mono
+    u32le(out, 24, 8000)   // sample rate
+    u32le(out, 28, 16000)  // byte rate
+    u16le(out, 32, 2)      // block align
+    u16le(out, 34, 16)     // bits per sample
+    "data".getBytes("US-ASCII").copyToArray(out, 36)
+    u32le(out, 40, dataSize)
+    var i = 0
+    while (i < nSamples) {
+      val b = if (textBytes.nonEmpty) textBytes(i % textBytes.length) & 0xff else 128
+      u16le(out, 44 + i * 2, ((b - 128) * 256) & 0xffff)
+      i += 1
+    }
+    out
+  }
+
+  /** Decoded WAV header: PCM format fields + location of the sample
+    * data. Real chunk-walking parser — unknown chunks are skipped by
+    * their declared size (word-aligned, per RIFF).
+    */
+  final case class Wav(sampleRate: Int, nChannels: Int, bitsPerSample: Int,
+                       nSamples: Int, dataOffset: Int)
+
+  def parseWav(payload: Array[Byte]): Option[Wav] = {
+    if (payload.length < 44 || fourcc(payload, 0) != "RIFF" ||
+        fourcc(payload, 8) != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None
+    while (pos + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = fourcc(payload, pos)
+      val size = readU32le(payload, pos + 4).toInt
+      if (size < 0 || pos + 8 + size > payload.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16 || readU16le(payload, pos + 8) != 1) return None // PCM only
+          fmt = Some((readU16le(payload, pos + 10),              // channels
+            readU32le(payload, pos + 12).toInt,                  // rate
+            readU16le(payload, pos + 22)))                       // bits
+        case "data" => data = Some((pos + 8, size))
+        case _ => ()
+      }
+      pos += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    for {
+      (ch, rate, bits) <- fmt
+      (off, size) <- data
+      if ch > 0 && rate > 0 && bits == 16
+    } yield Wav(rate, ch, bits, size / (2 * ch), off)
+  }
+
+  /** Integer audio features of a decoded WAV — duration, peak, total
+    * absolute amplitude, zero crossings. All-integer arithmetic so a
+    * SQL oracle can reproduce every value from the synthesis rule.
+    */
+  final case class AudioStats(doc_id: Long, sample_rate: Int, n_samples: Int,
+                              duration_us: Long, peak: Int, abs_sum: Long,
+                              zero_crossings: Int)
+
+  def wavStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    implicit val enc = Encoders.product[AudioStats]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        parseWav(r.payload).map { w =>
+          var (peak, absSum, zc) = (0, 0L, 0)
+          var prevNeg = false
+          var i = 0
+          while (i < w.nSamples) {
+            val s = readU16le(r.payload, w.dataOffset + i * 2).toShort.toInt
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            absSum += a
+            val neg = s < 0
+            if (i > 0 && neg != prevNeg) zc += 1
+            prevNeg = neg
+            i += 1
+          }
+          AudioStats(r.doc_id, w.sampleRate, w.nSamples,
+            w.nSamples.toLong * 1000000L / w.sampleRate, peak, absSum, zc)
+        }
+      }
+    }
+  }
+
+  /** Media table of REAL WAVs synthesized from the documents fixture. */
+  def wavFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    implicit val encIn = Encoders.product[DocText]
+    implicit val encOut = Encoders.product[MediaRow]
+    docs.select(col("doc_id"), col("text")).as[DocText]
+      .map(r => MediaRow(r.doc_id, "audio", makeWav(r.doc_id, r.text.getBytes("UTF-8"))))
   }
 
   /** Media table of REAL P6 images synthesized from the documents

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Laws of the real WAV codec: synthesis round-trips through the
+  * chunk-walking parser, the parser survives extra chunks and rejects
+  * malformed containers, and the integer features match hand-computed
+  * values on a crafted wave.
+  */
+class WavSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("makeWav round-trips through parseWav with the synthesized format") {
+    val payload = Multimodal.makeWav(300L, "cycle these bytes".getBytes("UTF-8"))
+    val w = Multimodal.parseWav(payload).get
+    assert(w.sampleRate === 8000 && w.nChannels === 1 && w.bitsPerSample === 16)
+    assert(w.nSamples === 256 + 300 % 512)
+    assert(payload.length === w.dataOffset + w.nSamples * 2)
+  }
+
+  test("parser walks unknown chunks instead of assuming the 44-byte layout") {
+    val base = Multimodal.makeWav(5L, "abc".getBytes("UTF-8"))
+    // splice a LIST chunk between fmt and data
+    val junk = "LIST".getBytes("US-ASCII") ++ Array[Byte](6, 0, 0, 0) ++
+      "INFOab".getBytes("US-ASCII")
+    val spliced = base.slice(0, 36) ++ junk ++ base.drop(36)
+    // fix the RIFF size field
+    val fixed = spliced.clone()
+    val riffSize = spliced.length - 8
+    fixed(4) = (riffSize & 0xff).toByte
+    fixed(5) = ((riffSize >> 8) & 0xff).toByte
+    fixed(6) = ((riffSize >> 16) & 0xff).toByte
+    fixed(7) = ((riffSize >> 24) & 0xff).toByte
+    val w = Multimodal.parseWav(fixed).get
+    assert(w.nSamples === 256 + 5)
+    assert(w.dataOffset === 44 + junk.length)
+  }
+
+  test("parser rejects wrong magic, truncated data, and non-PCM format") {
+    assert(Multimodal.parseWav("OggS....".getBytes("US-ASCII")).isEmpty)
+    val good = Multimodal.makeWav(5L, "abc".getBytes("UTF-8"))
+    assert(Multimodal.parseWav(good.dropRight(1)).isEmpty)
+    val float = good.clone() // audio format 3 = IEEE float
+    float(20) = 3
+    assert(Multimodal.parseWav(float).isEmpty)
+  }
+
+  test("wavStats integer features match hand-computed values") {
+    import spark.implicits._
+    // bytes 0x00 and 0xFF alternate: samples (0-128)*256 = -32768 and
+    // (255-128)*256 = 32512, so every step is a zero crossing
+    val payload = Multimodal.makeWav(0L, Array[Byte](0, 0xff.toByte))
+    val st = Multimodal.wavStats(
+      Seq(Multimodal.MediaRow(1L, "audio", payload)).toDS()).collect().head
+    assert(st.n_samples === 256)
+    assert(st.duration_us === 256L * 1000000 / 8000)
+    assert(st.peak === 32768)
+    assert(st.abs_sum === 128L * 32768 + 128L * 32512)
+    assert(st.zero_crossings === 255)
+  }
+}
