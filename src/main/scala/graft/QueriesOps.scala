@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Curate, Dedup, Multimodal, Search, Sessions, Similarity, Text}
+import graft.ops.{Curate, Dedup, Graph, Multimodal, Search, Sessions, Similarity, Text}
 
 /** Registry part 2: the LLM-training-data operators (dedup, similarity,
   * text analysis, multimodal) over `documents`/`embeddings`, plus
@@ -34,6 +34,42 @@ object QueriesOps {
   private[graft] def par(df: org.apache.spark.sql.DataFrame) = {
     val want = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
+  /** DuckDB oracle for pg1: the 8 PageRank iterations UNROLLED as
+    * chained CTEs (r0..r8) — recursive-CTE SQL cannot aggregate over
+    * the recursive relation, but a fixed iteration count needs no
+    * recursion at all. Float literals are written as the same
+    * expressions Spark evaluates ((1.0 - 0.85), 0.85) so both engines
+    * hit identical IEEE operations; the remaining sum-order ulps are
+    * absorbed by the comparator's 9-decimal canonicalization.
+    */
+  private val PageRankIters = 8
+  private val PageRankOracle: String = {
+    val base = """WITH ed AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT lag(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS src,
+      |           user_id AS dst FROM events)
+      |  WHERE src IS NOT NULL AND src != dst),
+      |nodes AS (SELECT src AS v FROM ed UNION SELECT dst FROM ed),
+      |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM ed GROUP BY src),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      |r0 AS (SELECT v, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)""".stripMargin
+    val rounds = (1 to PageRankIters).map { k =>
+      s""",
+         |r$k AS (
+         |  SELECT n.v,
+         |    ((1.0 - 0.85) / nn.n) + 0.85 * (COALESCE(c.contrib, 0) + dm.mass / nn.n) AS pr
+         |  FROM nodes n
+         |  CROSS JOIN nn
+         |  CROSS JOIN (SELECT COALESCE(sum(p.pr), 0) AS mass FROM r${k - 1} p
+         |              LEFT JOIN deg dg ON dg.src = p.v WHERE dg.src IS NULL) dm
+         |  LEFT JOIN (SELECT ed.dst AS cv, sum(p.pr / dg.od) AS contrib
+         |             FROM ed JOIN r${k - 1} p ON p.v = ed.src
+         |             JOIN deg dg ON dg.src = ed.src GROUP BY ed.dst) c ON c.cv = n.v)""".stripMargin
+    }.mkString
+    base + rounds +
+      s"\nSELECT v AS user_id, pr FROM r$PageRankIters ORDER BY user_id"
   }
 
   private def dec(c: String) = col(c).cast("decimal(18,2)")
@@ -1526,6 +1562,20 @@ object QueriesOps {
         |    (a, x) -> a * 16 + x) AS DOUBLE) / CAST(4294967296 AS DOUBLE) AS u
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin)),
+
+    // Fixed-iteration PageRank over the event handoff graph (src user's
+    // event immediately followed by dst user's in the same event_type
+    // stream). Iterative (node, double) exchanges over a once-shuffled
+    // static edge partitioning; the oracle unrolls all 8 iterations as
+    // chained CTEs. Teleport + dangling-mass redistribution included.
+    "pg1_pagerank" -> Q(
+      (s, d) => Graph.pageRank(
+          Graph.handoffEdges(Queries.events(s, d),
+            streamCol = "event_type", keyCol = "user_id",
+            tsCol = "ts", tieCol = "event_id"),
+          iterations = PageRankIters)
+        .select(col("v").as("user_id"), col("pr")).orderBy("user_id"),
+      Some(PageRankOracle)),
 
     // Inverted-index build: (term, df, posting-list head) for df >= 2.
     // The wide stage carries (term, doc_id) pairs only — never text.

@@ -1,0 +1,69 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** PageRank laws: hand-computed single-iteration values with dangling
+  * mass, symmetry fixpoints, probability conservation, and the handoff
+  * edge derivation.
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def edges(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  private def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+    df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("uniform ring is a fixpoint: every node keeps pr = 1/3") {
+    val pr = ranks(Graph.pageRank(edges((1L, 2L), (2L, 3L), (3L, 1L)), iterations = 10))
+    pr.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+  }
+
+  test("one iteration with a dangling node matches hand-computed values") {
+    // A(1) -> B(2); B dangles. pr0 = (.5, .5); dangling mass = .5
+    // prA = .15/2 + .85*(0 + .25) = 0.2875
+    // prB = .15/2 + .85*(.5 + .25) = 0.7125
+    val pr = ranks(Graph.pageRank(edges((1L, 2L)), iterations = 1))
+    assert(math.abs(pr(1L) - 0.2875) < 1e-12)
+    assert(math.abs(pr(2L) - 0.7125) < 1e-12)
+  }
+
+  test("rank is conserved (sums to 1) and favors the sink hub") {
+    // star: everyone points at 9, which points back at 0
+    val star = (0L to 8L).map(i => (i, 9L)) :+ (9L, 0L)
+    val df = Graph.pageRank(edges(star: _*), iterations = 12)
+    val total = df.agg(sum("pr")).head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9)
+    val pr = ranks(df)
+    // the 9<->0 two-cycle oscillates at finite iteration counts, so only
+    // the order-free laws are asserted: both cycle members dominate the
+    // teleport-only leaves, and the leaves stay exactly symmetric
+    assert(pr(9L) > pr(1L) * 5 && pr(0L) > pr(1L) * 5)
+    assert((1L to 8L).forall(i => math.abs(pr(i) - pr(1L)) < 1e-12)) // leaf symmetry
+  }
+
+  test("handoffEdges links consecutive distinct users per stream, deduplicated") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, "a", 10L, ts("2024-01-01 10:00:00")),
+      (2L, "a", 20L, ts("2024-01-01 10:01:00")),
+      (3L, "a", 20L, ts("2024-01-01 10:02:00")), // same user twice: no self-loop
+      (4L, "a", 10L, ts("2024-01-01 10:03:00")),
+      (5L, "b", 30L, ts("2024-01-01 10:00:30")),
+      (6L, "b", 10L, ts("2024-01-01 10:01:30")),
+      (7L, "a", 20L, ts("2024-01-01 10:04:00")) // repeat 10->20: deduped
+    ).toDF("event_id", "event_type", "user_id", "ts")
+    val got = Graph.handoffEdges(ev, "event_type", "user_id", "ts", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((10L, 20L), (20L, 10L), (30L, 10L)))
+  }
+}
