@@ -1090,6 +1090,29 @@ object QueriesOps {
 
     // Fixed-width histogram (24 × 5000 over extendedprice), edge-bucket
     // clamped so counts always sum to the row count.
+    // Equi-depth histogram: exact interpolated quartile cut points
+    // (tree-aggregated) broadcast onto a narrow bucket-assign map +
+    // combinable counts — the scale-safe alternative to a global ntile
+    // window. DuckDB's quantile_cont interpolates identically (h10).
+    "hi2_equidepth" -> Q(
+      (s, d) => graft.ops.Profile.equiDepth(li(s, d), "l_extendedprice", k = 4)
+        .orderBy("bucket"),
+      Some("""WITH c AS (
+        |  SELECT quantile_cont(l_extendedprice, 0.25) AS c0,
+        |         quantile_cont(l_extendedprice, 0.5)  AS c1,
+        |         quantile_cont(l_extendedprice, 0.75) AS c2
+        |  FROM lineitem)
+        |SELECT CAST(CASE WHEN l_extendedprice < c0 THEN 0
+        |            WHEN l_extendedprice < c1 THEN 1
+        |            WHEN l_extendedprice < c2 THEN 2
+        |            ELSE 3 END AS INTEGER) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(l_extendedprice) AS DOUBLE) AS lo_val,
+        |  CAST(max(l_extendedprice) AS DOUBLE) AS hi_val
+        |FROM lineitem CROSS JOIN c
+        |WHERE l_extendedprice IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     "hi1_histogram" -> Q(
       (s, d) => graft.ops.Profile.histogram(li(s, d), "l_extendedprice",
           lo = 0.0, hi = 120000.0, nBuckets = 24)

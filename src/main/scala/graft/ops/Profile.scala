@@ -57,4 +57,30 @@ object Profile {
       .agg(count(lit(1)).cast("long").as("n"))
       .withColumn("lo_edge", lit(lo) + col("bucket") * width)
   }
+
+  /** Equi-depth (quantile-bucketed) histogram: cut points are the exact
+    * interpolated `k`-quantiles of `c`, buckets assigned by comparison
+    * against them. The scalable shape for data-dependent binning:
+    * NOT a global `ntile` window (which funnels the table through one
+    * partition) but one tree-aggregated quantile pass, a broadcast of
+    * the k−1 cut points, a narrow comparison map, and a combinable
+    * count — the same two-job profile cost as a min/max pre-pass.
+    * At 100 TB swap the exact `percentile` for `approx_percentile` and
+    * the plan is unchanged.
+    */
+  def equiDepth(df: DataFrame, c: String, k: Int): DataFrame = {
+    require(k > 1, "need at least 2 buckets")
+    val ps = (1 until k).map(i => i.toDouble / k)
+    val cuts = df.agg(
+      expr(s"percentile($c, array(${ps.mkString(",")}))").as("__cuts"))
+    val bucket = (0 until k - 1).foldRight(lit(k - 1): Column) { (i, els) =>
+      when(col(c) < col("__cuts")(i), i).otherwise(els)
+    }
+    df.filter(col(c).isNotNull)
+      .crossJoin(broadcast(cuts))
+      .groupBy(bucket.cast("int").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        min(col(c)).cast("double").as("lo_val"),
+        max(col(c)).cast("double").as("hi_val"))
+  }
 }

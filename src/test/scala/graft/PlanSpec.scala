@@ -218,6 +218,17 @@ class PlanSpec extends AnyFunSuite {
       "split assignment must not shuffle")
   }
 
+  test("equi-depth histogram: broadcast cut points, no global ntile window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val plan = withAqeOff(graft.ops.Profile.equiDepth(li, "l_extendedprice", 4)
+      .queryExecution.executedPlan)
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "data-dependent binning must not plan a global window")
+    assert(plan.collect { case b: BroadcastExchangeExec => b }.size === 1,
+      "the k-1 cut points must arrive by broadcast")
+  }
+
   test("inverted index shuffles (term, doc_id) pairs only, never text") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val docs = spark.read.parquet(s"$sf/documents.parquet")
