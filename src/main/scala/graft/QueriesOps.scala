@@ -1586,6 +1586,32 @@ object QueriesOps {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin)),
 
+    // Per-label embedding centroids + within-cluster inertia: the
+    // clustering-evaluation math (and one k-means E-step) fully under
+    // the cross-engine gate — posexplode → (label, dim) combinable
+    // sums, broadcast centroid re-join, narrow zip_with inertia.
+    "cl1_label_centroids" -> Q(
+      (s, d) => Similarity.labelCentroids(embs(s, d))
+        .select(col("label"), col("n"), col("inertia"),
+          col("cvec")(0).as("c0"), col("cvec")(1).as("c1"),
+          col("cvec")(2).as("c2"), col("cvec")(3).as("c3"))
+        .orderBy("label"),
+      Some("""WITH d AS (SELECT label,
+        |    unnest(range(1, len(embedding) + 1)) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |c AS (SELECT label, pos, sum(x) / count(*) AS cv FROM d GROUP BY 1, 2),
+        |cent AS (SELECT label, list(cv ORDER BY pos) AS cvec FROM c GROUP BY label),
+        |i AS (SELECT e.label,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      k -> (CAST(e.embedding[k] AS DOUBLE) - cvec[k])
+        |         * (CAST(e.embedding[k] AS DOUBLE) - cvec[k])))) AS inertia
+        |  FROM embeddings e JOIN cent USING (label) GROUP BY e.label)
+        |SELECT i.label, n, inertia,
+        |  cvec[1] AS c0, cvec[2] AS c1, cvec[3] AS c2, cvec[4] AS c3
+        |FROM i JOIN cent USING (label) ORDER BY label""".stripMargin)),
+
     // Fixed-iteration PageRank over the event handoff graph (src user's
     // event immediately followed by dst user's in the same event_type
     // stream). Iterative (node, double) exchanges over a once-shuffled

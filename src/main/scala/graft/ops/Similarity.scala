@@ -371,4 +371,38 @@ object Similarity {
           lit(0.0), (a, b) => greatest(a, b))))
       .withColumn("err_ok", col("max_err") <= col("scale") / 253.0)
   }
+
+  /** Per-label centroids + within-cluster inertia — the evaluation
+    * pass of any embedding clustering (and the E-step cost function
+    * of the IVF k-means above), expressed so an external SQL engine
+    * can recompute every value.
+    *
+    * Scale: centroid sums ride ONE posexplode → (label, dim) combinable
+    * aggregation — (n_rows × dim) narrow rows into a (labels × dim)
+    * result, no vector ever shuffled whole. The tiny centroid table
+    * re-assembles per label (array_sort keeps dim order) and broadcasts
+    * back for the inertia pass, which is a narrow zip_with per row +
+    * one combinable sum. Two passes over the corpus, zero wide
+    * shuffles — the same profile as a single k-means iteration.
+    */
+  def labelCentroids(embs: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame = {
+    val dims = embs
+      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg((sum(col("x").cast("double")) / count(lit(1))).as("cv"))
+    val cents = dims.groupBy(col(labelCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s("cv")).as("cvec"))
+    embs.join(broadcast(cents), labelCol)
+      .withColumn("sq", aggregate(
+        zip_with(col(vecCol), col("cvec"),
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), (acc, v) => acc + v))
+      .groupBy(col(labelCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("sq")).as("inertia"),
+        first(col("cvec")).as("cvec"))
+  }
 }

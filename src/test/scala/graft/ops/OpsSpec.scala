@@ -269,4 +269,22 @@ class OpsSpec extends AnyFunSuite {
     assert(feats1.length === 50)
     assert(feats1.forall(f => f.width >= 16 && f.height >= 16 && f.n_frames >= 1))
   }
+
+  test("labelCentroids: hand-computed centroid and inertia on a 2-label set") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Array(0f, 0f), 0), (2L, Array(2f, 4f), 0), // centroid (1, 2)
+      (3L, Array(5f, 5f), 1)                          // singleton: inertia 0
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroids(embs)
+      .orderBy("label").collect()
+    val l0 = got(0)
+    assert(l0.getAs[Long]("n") === 2L)
+    assert(l0.getAs[Seq[Double]]("cvec") === Seq(1.0, 2.0))
+    // inertia: (1+4) + (1+4) = 10
+    assert(math.abs(l0.getAs[Double]("inertia") - 10.0) < 1e-12)
+    val l1 = got(1)
+    assert(l1.getAs[Seq[Double]]("cvec") === Seq(5.0, 5.0))
+    assert(math.abs(l1.getAs[Double]("inertia")) < 1e-12)
+  }
 }
