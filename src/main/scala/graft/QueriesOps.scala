@@ -228,6 +228,37 @@ object QueriesOps {
     // top-100 TakeOrdered. The oracle builds the same pairs by
     // positional self-join — tractable there, but the Spark plan is
     // the one that scales.
+    // Bigram language-model counts: P(w2 | w1) = n12 / n1 with the
+    // prefix totals from a window over the already-aggregated bigram
+    // table (vocab-bounded, never the corpus). In-row adjacent-pair
+    // generation — no positional self-join, no text shuffle.
+    "tx12_bigram_lm" -> Q(
+      (s, d) => {
+        val w1win = Window.partitionBy(col("w1"))
+        docs(s, d)
+          .select(split(lower(col("text")), " ").as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(toks)-2), i -> " +
+              "struct(toks[i] AS w1, toks[i+1] AS w2))")).as("b"))
+          .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .agg(count(lit(1)).cast("long").as("n12"))
+          .withColumn("n1", sum(col("n12")).over(w1win).cast("long"))
+          .withColumn("p", col("n12").cast("double") / col("n1").cast("double"))
+          .orderBy(col("n12").desc, col("w1"), col("w2"))
+          .limit(100)
+      },
+      Some("""WITH t AS (SELECT string_split(lower(text), ' ') AS toks FROM documents),
+        |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |        i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS s
+        |      FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT s.w1 AS w1, s.w2 AS w2, CAST(count(*) AS BIGINT) AS n12
+        |      FROM b GROUP BY 1, 2)
+        |SELECT w1, w2, n12,
+        |  CAST(sum(n12) OVER (PARTITION BY w1) AS BIGINT) AS n1,
+        |  CAST(n12 AS DOUBLE) / CAST(sum(n12) OVER (PARTITION BY w1) AS DOUBLE) AS p
+        |FROM c ORDER BY n12 DESC, w1, w2 LIMIT 100""".stripMargin)),
+
     "tx11_cooccurrence" -> Q(
       (s, d) => docs(s, d)
         .select(split(lower(col("text")), " ").as("toks"))
