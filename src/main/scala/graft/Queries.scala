@@ -1111,5 +1111,57 @@ object Queries {
         |       FROM events WHERE event_type = 'click')
         |SELECT click_id, click_user, click_ts, err_id, err_start
         |FROM pt JOIN iv ON click_ts >= err_start AND click_ts < err_end
-        |ORDER BY click_id, err_id""".stripMargin)))
+        |ORDER BY click_id, err_id""".stripMargin)),
+
+    // STREAMING sessionization under the gate: session_window with a
+    // 0 s watermark drains through a parquet append sink; append mode
+    // emits exactly the sessions the final watermark closed
+    // (w_end <= max event time), which is what the oracle recomputes
+    // from the islands form — streaming session semantics themselves
+    // are the law being checked, like t3's closed-window rule.
+    // Single input file = single data batch, so no out-of-order drops
+    // muddy the closed-session predicate.
+    "ses3_stream_sessions" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ev = events(s, d).select(col("user_id"), col("ts"), col("value"))
+        val srcDir = scratch("ses3_src")
+        ev.coalesce(1).write.mode("overwrite").parquet(srcDir)
+        val outDir = scratch("ses3_out")
+        s.readStream.schema(ev.schema).parquet(srcDir)
+          .withWatermark("ts", "0 seconds")
+          .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+          .select(col("user_id"),
+            col("session_window.start").as("w_start"),
+            col("session_window.end").as("w_end"),
+            col("n_events"), col("sum_value"))
+          .writeStream.format("parquet").outputMode("append")
+          .option("path", outDir)
+          .option("checkpointLocation", scratch("ses3_ckpt"))
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+        s.read.parquet(outDir).orderBy("user_id", "w_start")
+      },
+      Some("""WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 43200000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |), agg AS (
+        |  SELECT user_id,
+        |    min(ts) AS w_start,
+        |    max(ts) + INTERVAL 12 HOUR AS w_end,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id, w_start, w_end, n_events, sum_value FROM agg
+        |WHERE w_end <= (SELECT max(ts) FROM events)
+        |ORDER BY user_id, w_start""".stripMargin)))
 }
