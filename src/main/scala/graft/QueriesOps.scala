@@ -1482,6 +1482,59 @@ object QueriesOps {
         |  TRUE AS nd_err_ok, TRUE AS p50_err_ok, TRUE AS p99_err_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Moment statistics (variance / correlation / regression slope)
+    // from DECIMAL-EXACT accumulators: the five raw moments are exact
+    // decimal sums (order-independent, partitioning-independent), cast
+    // to double only for the final closed-form combination — so the
+    // statistics are bit-reproducible across engines AND across
+    // cluster repartitionings, unlike double-accumulated corr()/
+    // var_samp() whose value shifts with partition count at 100 TB.
+    "st2_moment_stats" -> Q(
+      (s, d) => {
+        val q = dec("l_quantity")
+        val p = dec("l_extendedprice")
+        val m = li(s, d).groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(q).as("sq"), sum(p).as("sp"),
+            sum(q * q).as("sqq"), sum(p * p).as("spp"),
+            sum(q * p).as("sqp"))
+        val nD = col("n").cast("double")
+        val (sq, sp, sqq, spp, sqp) = (col("sq").cast("double"),
+          col("sp").cast("double"), col("sqq").cast("double"),
+          col("spp").cast("double"), col("sqp").cast("double"))
+        val covN = sqp - sq * sp / nD          // n * covar
+        val varQN = sqq - sq * sq / nD         // n * var(q)
+        val varPN = spp - sp * sp / nD
+        m.select(col("l_returnflag"), col("n"),
+            (sq / nD).as("mean_qty"),
+            (varQN / (nD - 1.0)).as("var_qty"),
+            (covN / sqrt(varQN * varPN)).as("corr_qp"),
+            (covN / varQN).as("slope_p_on_q"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sqq,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp
+        |  FROM lineitem GROUP BY 1)
+        |, c AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(n AS DOUBLE) AS nd,
+        |    CAST(sq AS DOUBLE) AS sqd, CAST(sp AS DOUBLE) AS spd,
+        |    CAST(sqq AS DOUBLE) AS sqqd, CAST(spp AS DOUBLE) AS sppd,
+        |    CAST(sqp AS DOUBLE) AS sqpd
+        |  FROM m)
+        |SELECT l_returnflag, n,
+        |  sqd / nd AS mean_qty,
+        |  (sqqd - sqd * sqd / nd) / (nd - 1.0) AS var_qty,
+        |  (sqpd - sqd * spd / nd)
+        |    / sqrt((sqqd - sqd * sqd / nd) * (sppd - spd * spd / nd)) AS corr_qp,
+        |  (sqpd - sqd * spd / nd) / (sqqd - sqd * sqd / nd) AS slope_p_on_q
+        |FROM c ORDER BY l_returnflag""".stripMargin)),
+
     // Exact interpolated percentiles (sort-based `percentile`, not the
     // approximate sketch) — both engines interpolate linearly over the
     // sorted values, so the doubles hash-match.
