@@ -16,7 +16,9 @@ object Plans {
       "ss3_lsh_topk", "ss5_ivf_topk", "p9_partition_range", "t3_watermark_clamp",
       "gf2_gap_fill_keyed", "tx11_cooccurrence", "dd8_incremental_dedup",
       "dc2_bloom_decontaminate", "hh2_cms_heavy_hitters", "mm3_resize_thumbnails",
-      "w4_scd2_history", "ann2_recall_floor")
+      "w4_scd2_history", "ann2_recall_floor",
+      "ses1_sessionize", "ma1_trailing_window", "ix1_inverted_index",
+      "cl1_label_centroids", "hi2_equidepth", "st2_moment_stats", "tx12_bigram_lm")
     val qs = SparkEntry.queries
     val sb = new StringBuilder
     names.foreach { n =>
