@@ -1650,6 +1650,112 @@ object QueriesOps {
         |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin)),
 
+    // Ordered conversion funnel view -> click -> purchase: stage
+    // timestamps chain strictly (each stage's min ts must follow the
+    // previous stage's), computed as three STACKED unordered windows
+    // over one user_id partitioning — a single exchange, no self-joins.
+    "fn1_funnel" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+        // first two days only: the full month funnels every user to
+        // stage 3 (one output row) — the slice keeps all four stages
+        // populated so the gate discriminates
+        val ev = Queries.events(s, d)
+          .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+          .withColumn("tv", min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("tc", min(when(col("event_type") === "click" &&
+            col("ts") > col("tv"), col("ts"))).over(w))
+          .withColumn("tp", min(when(col("event_type") === "purchase" &&
+            col("ts") > col("tc"), col("ts"))).over(w))
+        ev.select(col("user_id"), col("tv"), col("tc"), col("tp")).distinct()
+          .select(when(col("tp").isNotNull, 3).when(col("tc").isNotNull, 2)
+            .when(col("tv").isNotNull, 1).otherwise(0).cast("int").as("stage"))
+          .groupBy("stage").agg(count(lit(1)).cast("long").as("n_users"))
+          .orderBy("stage")
+      },
+      Some("""WITH ev AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-03'),
+        |u AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS tv
+        |  FROM ev GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS tc FROM ev e JOIN u USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > u.tv GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS tp FROM ev e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1)
+        |SELECT CAST(CASE WHEN tp IS NOT NULL THEN 3 WHEN tc IS NOT NULL THEN 2
+        |            WHEN tv IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS stage,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM u LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Weekly retention cohorts: signup week x activity-week offset.
+    // Both engines Monday-truncate weeks, so the day differences are
+    // exact multiples of 7 and the offset division is exact.
+    "rt1_retention" -> Q(
+      (s, d) => {
+        val ev = Queries.events(s, d)
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(date_trunc("week", min(col("ts"))).as("cw"))
+        val act = ev.select(col("user_id"),
+          date_trunc("week", col("ts")).as("aw")).distinct()
+        su.join(act, "user_id").filter(col("aw") >= col("cw"))
+          .groupBy(col("cw").as("cohort_week"),
+            (datediff(col("aw"), col("cw")) / lit(7)).cast("int").as("week_offset"))
+          .agg(count(lit(1)).cast("long").as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH s AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
+        |SELECT CAST(cw AS TIMESTAMP) AS cohort_week,
+        |  CAST(datediff('day', cw, aw) / 7 AS INTEGER) AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM s JOIN a USING (user_id) WHERE aw >= cw
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Chi-squared independence test (event_type x weekend) from exact
+    // long contingency counts; expected values and the statistic are
+    // closed-form doubles over those exact counts. Marginals re-agg
+    // from the tiny cell table and broadcast — no second corpus pass.
+    "st3_chi2" -> Q(
+      (s, d) => {
+        val base = Queries.events(s, d).select(col("event_type"),
+          dayofweek(col("ts")).isin(1, 7).cast("int").as("wknd"))
+        val o = base.groupBy("event_type", "wknd")
+          .agg(count(lit(1)).cast("long").as("o"))
+        val rt = o.groupBy("event_type").agg(sum(col("o")).cast("long").as("rt"))
+        val ct = o.groupBy("wknd").agg(sum(col("o")).cast("long").as("ctot"))
+        val n = o.agg(sum(col("o")).cast("long").as("n"))
+        val e = col("rt").cast("double") * col("ctot").cast("double") /
+          col("n").cast("double")
+        o.join(rt, "event_type").join(ct, "wknd").crossJoin(broadcast(n))
+          .withColumn("cell", (col("o").cast("double") - e) *
+            (col("o").cast("double") - e) / e)
+          .agg(sum(col("cell")).as("chi2"),
+            count(lit(1)).cast("long").as("n_cells"),
+            first(col("n")).as("n_rows"))
+      },
+      Some("""WITH b AS (
+        |  SELECT event_type,
+        |    CAST(CASE WHEN isodow(ts) IN (6, 7) THEN 1 ELSE 0 END AS INTEGER) AS wknd
+        |  FROM events),
+        |o AS (SELECT event_type, wknd, CAST(count(*) AS BIGINT) AS o
+        |      FROM b GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM o GROUP BY 1),
+        |ct AS (SELECT wknd, CAST(sum(o) AS BIGINT) AS ctot FROM o GROUP BY 1),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o)
+        |SELECT sum((CAST(o.o AS DOUBLE)
+        |    - CAST(rt.rt AS DOUBLE) * CAST(ct.ctot AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |  * (CAST(o.o AS DOUBLE)
+        |    - CAST(rt.rt AS DOUBLE) * CAST(ct.ctot AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |  / (CAST(rt.rt AS DOUBLE) * CAST(ct.ctot AS DOUBLE) / CAST(n.n AS DOUBLE)))
+        |  AS chi2,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(any_value(n.n) AS BIGINT) AS n_rows
+        |FROM o JOIN rt USING (event_type) JOIN ct USING (wknd) CROSS JOIN n""".stripMargin)),
+
     // ---- splits / index build ----------------------------------------
 
     // Deterministic md5-coin train/val/test split — narrow map, zero
