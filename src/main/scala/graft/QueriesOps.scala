@@ -1756,6 +1756,54 @@ object QueriesOps {
         |  CAST(any_value(n.n) AS BIGINT) AS n_rows
         |FROM o JOIN rt USING (event_type) JOIN ct USING (wknd) CROSS JOIN n""".stripMargin)),
 
+    // Z-score outlier screen per event_type: moments from decimal-exact
+    // sums (st2's trick), broadcast back onto the stream for a narrow
+    // per-row z — the standard drift/anomaly monitor a pipeline runs
+    // over a new data drop. max() and count() are order-independent, so
+    // the row hashes cross-engine despite the double division.
+    "an1_zscore_outliers" -> Q(
+      (s, d) => {
+        val v = col("value").cast("decimal(18,6)")
+        val ev = Queries.events(s, d)
+        val m = ev.groupBy("event_type").agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(v).as("sv"), sum(v * v).as("svv"))
+        val nD = col("n").cast("double")
+        val mean = col("sv").cast("double") / nD
+        val vr = (col("svv").cast("double") -
+          col("sv").cast("double") * col("sv").cast("double") / nD) / (nD - 1.0)
+        val stats = m.select(col("event_type"), col("n"),
+          mean.as("mean_v"), sqrt(vr).as("std_v"))
+        ev.join(broadcast(stats), "event_type")
+          .withColumn("z", (col("value") - col("mean_v")) / col("std_v"))
+          .groupBy("event_type")
+          .agg(first(col("n")).as("n"),
+            first(col("mean_v")).as("mean_v"),
+            first(col("std_v")).as("std_v"),
+            sum(when(abs(col("z")) > 3.0, 1L).otherwise(0L)).as("n_outliers"),
+            max(abs(col("z"))).as("max_abs_z"))
+          .orderBy("event_type")
+      },
+      Some("""WITH m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS sv,
+        |    sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS svv
+        |  FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT event_type, n,
+        |    CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean_v,
+        |    sqrt((CAST(svv AS DOUBLE)
+        |      - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0)) AS std_v
+        |  FROM m)
+        |SELECT e.event_type, any_value(st.n) AS n,
+        |  any_value(st.mean_v) AS mean_v, any_value(st.std_v) AS std_v,
+        |  CAST(sum(CASE WHEN abs((e.value - st.mean_v) / st.std_v) > 3.0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  max(abs((e.value - st.mean_v) / st.std_v)) AS max_abs_z
+        |FROM events e JOIN st USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
+
     // ---- splits / index build ----------------------------------------
 
     // Deterministic md5-coin train/val/test split — narrow map, zero
