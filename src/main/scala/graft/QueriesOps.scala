@@ -1756,6 +1756,26 @@ object QueriesOps {
         |  CAST(any_value(n.n) AS BIGINT) AS n_rows
         |FROM o JOIN rt USING (event_type) JOIN ct USING (wknd) CROSS JOIN n""".stripMargin)),
 
+    // Substring-level exact dedup (Lee et al. 2021, k-token spans):
+    // per-doc duplicated-span fractions; text leaves the row as md5
+    // hashes, all wide stages carry (hash, id) pairs only.
+    "dd9_duplicated_spans" -> Q(
+      (s, d) => Dedup.duplicatedSpans(docs(s, d), k = 8)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |        FROM documents),
+        |sh AS (SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(toks) - 8, 0) + 1),
+        |      i -> md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')))) AS h
+        |  FROM t),
+        |multi AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) > 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN h IN (SELECT h FROM multi) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_spans,
+        |  CAST(sum(CASE WHEN h IN (SELECT h FROM multi) THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS dup_ratio
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Z-score outlier screen per event_type: moments from decimal-exact
     // sums (st2's trick), broadcast back onto the stream for a narrow
     // per-row z — the standard drift/anomaly monitor a pipeline runs

@@ -395,4 +395,40 @@ object Dedup {
       .dropDuplicates("d1", "d2")
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Cross-document duplicated-span detection — the substring-level
+    * exact dedup of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (arXiv:2107.06499), bounded to `k`-token
+    * granularity: a span is duplicated when its `k`-token shingle hash
+    * occurs in MORE THAN ONE document. Per doc: total spans, duplicated
+    * spans, and the duplicated fraction (the signal that pipeline cuts
+    * boilerplate/licenses/templates that whole-doc MinHash cannot see).
+    *
+    * Scale: shingles generate in-row and leave the row as md5 hashes —
+    * the wide stages carry (hash, doc_id) pairs and the multi-doc hash
+    * set, never text. Both aggregations are map-side combinable; the
+    * mark join is ids-only. Docs shorter than `k` tokens contribute
+    * their single truncated shingle, so every doc appears in the
+    * output.
+    */
+  def duplicatedSpans(docs: DataFrame, k: Int = 8,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "span length must be positive")
+    val tt = tokens(col(textCol))
+    val sh = docs.select(col(idCol).as("__d"),
+      explode(transform(
+        sequence(lit(0), greatest(size(tt) - k, lit(0))),
+        i => md5(concat_ws(" ", slice(tt, i + 1, lit(k)))))).as("h"))
+    val multi = sh.groupBy(col("h"))
+      .agg(count_distinct(col("__d")).as("nd"))
+      .filter(col("nd") > 1).select("h")
+    val dup = sh.join(multi, Seq("h"))
+      .groupBy(col("__d")).agg(count(lit(1)).cast("long").as("n_dup_spans"))
+    sh.groupBy(col("__d")).agg(count(lit(1)).cast("long").as("n_spans"))
+      .join(dup, Seq("__d"), "left")
+      .select(col("__d").as(idCol), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        (coalesce(col("n_dup_spans"), lit(0L)).cast("double") /
+          col("n_spans").cast("double")).as("dup_ratio"))
+  }
 }

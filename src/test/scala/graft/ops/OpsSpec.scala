@@ -270,6 +270,23 @@ class OpsSpec extends AnyFunSuite {
     assert(feats1.forall(f => f.width >= 16 && f.height >= 16 && f.n_frames >= 1))
   }
 
+  test("duplicatedSpans flags exactly the docs sharing a k-token span") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val docs = Seq(
+      (1L, s"intro words here $shared trailing tail one"),
+      (2L, s"$shared completely different continuation text"),
+      (3L, "nothing in common with the others at all here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, k = 8).orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_dup_spans") === 1L) // exactly the planted span
+    assert(got(1).getAs[Long]("n_dup_spans") === 1L)
+    assert(got(2).getAs[Long]("n_dup_spans") === 0L)
+    // span counts: len - k + 1 sliding windows (doc 1 has 14 tokens)
+    assert(got(0).getAs[Long]("n_spans") === 14L - 8 + 1)
+    assert(got(2).getAs[Double]("dup_ratio") === 0.0)
+  }
+
   test("labelCentroids: hand-computed centroid and inertia on a 2-label set") {
     import spark.implicits._
     val embs = Seq(
