@@ -99,6 +99,48 @@ class SessionsSpec extends AnyFunSuite {
     assert(got === Seq((1L, 1L), (1L, 4L), (2L, 1L)))
   }
 
+  test("session stream resumes from checkpoint: each session emitted exactly once") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sess-resume").toString
+    def drain(): Seq[(Long, Long)] = {
+      val q = spark.readStream
+        .schema(fixture.schema.add("batch", "string"))
+        .parquet(s"$dir/in")
+        .withWatermark("ts", "0 seconds")
+        .groupBy(col("user_id"), session_window(col("ts"), "2 hours"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("n_events"))
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$dir/out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    // phase 1: the base fixture + a flush event on 2024-01-02 closes
+    // the three real sessions; the flush's own session stays open
+    val a = fixture.withColumn("batch", lit("a")).unionByName(
+      Seq((99L, 99L, ts("2024-01-02 00:00:00"), 0.0, "a"))
+        .toDF("event_id", "user_id", "ts", "value", "batch"))
+    a.coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val e1 = drain()
+    assert(e1.sorted === Seq((1L, 1L), (1L, 4L), (2L, 1L)))
+    // phase 2: only NEW files land (post-watermark events + a later
+    // flush); the resumed query closes the old open session and the new
+    // one, and must NOT re-emit anything from phase 1
+    val b = Seq(
+      (100L, 50L, ts("2024-01-03 09:00:00"), 1.0, "b"),
+      (101L, 50L, ts("2024-01-03 09:30:00"), 1.0, "b"),
+      (102L, 98L, ts("2024-01-05 00:00:00"), 0.0, "b")
+    ).toDF("event_id", "user_id", "ts", "value", "batch")
+    b.coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val all = drain()
+    val e2 = all.diff(e1)
+    assert(e2.sorted === Seq((50L, 2L), (99L, 1L))) // new + previously-open
+    assert(all.size === e1.size + e2.size, "no session may be emitted twice")
+  }
+
   test("trailingWindow range frame includes timestamp-tie peers both ways") {
     val got = Sessions.trailingWindow(fixture, "user_id", "ts", "value",
         horizonUs = 600000000L) // 10 min
