@@ -83,6 +83,42 @@ class MergeSpec extends AnyFunSuite {
     assert(multisetEqual(merged.select("id", "update_at"), globalLatest.select("id", "update_at")))
   }
 
+  test("upsertJoin == upsert over randomized feeds incl. null keys (5 rounds)") {
+    val r = new Random(7)
+    def randRows(n: Int) = Seq.fill(n)((
+      if (r.nextInt(20) == 0) null else s"k${r.nextInt(25)}",
+      f"2024-01-01T00:00:${r.nextInt(60)}%02d.${r.nextInt(1000000)}%06d+0000",
+      s"v${r.nextInt(1000)}"))
+    for (_ <- 1 to 5) {
+      val snap = Merge.dedupLatest(df(randRows(60)), "id", "update_at")
+      val delta = df(randRows(40))
+      assert(multisetEqual(
+        Merge.upsert(snap, delta),
+        Merge.upsertJoin(snap, delta)),
+        "join-formulated upsert must agree with the union+window form")
+    }
+  }
+
+  test("sequential ticks == one combined merge when (key, version) pairs are unique") {
+    val r = new Random(11)
+    // unique versions per (key, tick-row): composition is deterministic
+    // (tie order between two deltas is otherwise unspecified)
+    def rows(n: Int, salt: Int) = Seq.tabulate(n)(i => (
+      s"k${r.nextInt(20)}",
+      f"2024-01-01T00:$salt%02d:${i % 60}%02d.${r.nextInt(1000000)}%06d+0000",
+      s"v$salt-$i"))
+    for (round <- 1 to 3) {
+      val snap = Merge.dedupLatest(df(rows(50, 1)), "id", "update_at")
+      val d1 = df(rows(30, 2))
+      val d2 = df(rows(30, 3))
+      val sequential = Merge.upsert(Merge.upsert(snap, d1), d2)
+      val combined = Merge.upsert(snap,
+        Merge.dedupLatest(d1.unionByName(d2), "id", "update_at"))
+      assert(multisetEqual(sequential, combined),
+        s"round $round: tick-by-tick catch-up must equal one combined merge")
+    }
+  }
+
   test("filterRemoves drops REMOVE; tombstone upsert deletes the key") {
     import spark.implicits._
     val ev = Seq(("INSERT", "k1"), ("REMOVE", "k2"), ("MODIFY", "k3"))
