@@ -101,7 +101,7 @@ object Queries {
   /** Fresh scratch dir for sink round-trip queries (deterministic path,
     * wiped per run so `append` sinks can't accumulate).
     */
-  private def scratch(name: String): String = {
+  private[graft] def scratch(name: String): String = {
     val p = Paths.get(sys.props("java.io.tmpdir"), "graft_q", name)
     if (Files.exists(p)) {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))

@@ -1824,6 +1824,31 @@ object QueriesOps {
         |FROM events e JOIN st USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
 
+    // Schema evolution: two parquet batches with different schemas
+    // (a column added mid-stream) land in one directory; a
+    // mergeSchema read unifies them, old rows surfacing the new column
+    // as null — the add-a-column lake migration every long-lived table
+    // goes through. The oracle recomputes the expected unified rows
+    // from the source table.
+    "sc1_schema_evolution" -> Q(
+      (s, d) => {
+        val dir = Queries.scratch("sc1_lake")
+        val o = s.read.parquet(s"$d/orders.parquet")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("append").parquet(dir)
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .write.mode("append").parquet(dir)
+        s.read.option("mergeSchema", "true").parquet(dir)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus ELSE NULL END
+        |    AS o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // ---- splits / index build ----------------------------------------
 
     // Deterministic md5-coin train/val/test split — narrow map, zero
