@@ -347,6 +347,29 @@ object QueriesOps {
         |WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5
         |ORDER BY d1, d2""".stripMargin)),
 
+    // The EXACT-at-scale counterpart to dd2: frequency-ordered prefix
+    // filtering (AllPairs/PPJoin) joins only each doc's rarest
+    // `n - ceil(t*n) + 1` tokens against the inverted index, then
+    // verifies candidates exactly — same answer as the n² baseline,
+    // which is precisely why it gets a FULL value oracle (the oracle
+    // runs the n² form; the engine runs the pruned one; identical
+    // output proves the prefix-filter lemma end to end). Runs over the
+    // whole documents table — no doc_id cap — because pruning, not a
+    // bounded fixture, is what contains the cost.
+    "dd10_prefix_jaccard" -> Q(
+      (s, d) => Dedup.prefixJaccardPairs(docs(s, d), threshold = 0.9)
+        .orderBy("d1", "d2"),
+      Some("""WITH tok AS (
+        |  SELECT doc_id AS d, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+        |  FROM documents),
+        |sizes AS (SELECT d, count(*) AS n FROM tok GROUP BY d),
+        |common AS (SELECT a.d AS d1, b.d AS d2, count(*) AS c
+        |           FROM tok a JOIN tok b ON a.tok = b.tok AND a.d < b.d GROUP BY 1, 2)
+        |SELECT d1, d2, CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) AS jaccard
+        |FROM common JOIN sizes s1 ON s1.d = common.d1 JOIN sizes s2 ON s2.d = common.d2
+        |WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.9
+        |ORDER BY d1, d2""".stripMargin)),
+
     // corpus-level dedup decision: the deduplicated corpus itself
     "dd5_dedup_corpus" -> Q(
       (s, d) => Dedup.dedupExactCorpus(docs(s, d)).select("doc_id").orderBy("doc_id"),

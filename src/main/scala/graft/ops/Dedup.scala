@@ -64,6 +64,65 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** EXACT token-set Jaccard self-join at scale via frequency-ordered
+    * prefix filtering (the AllPairs/PPJoin family, Bayardo et al. 2007
+    * "Scaling Up All Pairs Similarity Search"). Same output contract as
+    * [[ngramJaccardPairs]] — every pair with `jaccard >= threshold`,
+    * NO approximation — but candidate generation only joins each
+    * document's PREFIX (its `n - ceil(t*n) + 1` globally-rarest
+    * tokens) against the inverted index, instead of every token.
+    *
+    * Why it's exact: order all tokens by ascending document frequency.
+    * If two sets share NO token within both prefixes, then even if all
+    * remaining tokens matched, the overlap is < the minimum required
+    * for `J >= t` — so every qualifying pair shares a prefix token and
+    * survives candidate generation (the standard prefix-filter lemma).
+    *
+    * Shuffle profile: one df-count aggregate on tokens, one window per
+    * doc id for (rank, size) — ids+tokens only, never text — then an
+    * equi-join on PREFIX tokens whose cost is Σ_prefix-tokens df², with
+    * df small by construction (prefixes keep the rarest tokens).
+    * Verification counts shared tokens only for candidate pairs (two
+    * semi-bounded equi-joins), not all pairs. At 100 TB this replaces
+    * [[ngramJaccardPairs]]'s full-index join as the exact path;
+    * MinHash+LSH below remains the cheaper approximate alternative.
+    */
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("d"), explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val dfCount = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // rank tokens inside each doc rare-first; ties broken lexically so
+    // the prefix is deterministic. One exchange on d serves both the
+    // rank and the set size.
+    val wd = Window.partitionBy(col("d"))
+    val ranked = tok.join(dfCount, "tok")
+      .withColumn("rk", row_number().over(wd.orderBy(col("df").asc, col("tok").asc)))
+      .withColumn("n", count(lit(1)).over(wd))
+    val prefix = ranked
+      .filter(col("rk") <= col("n") - ceil(col("n") * lit(threshold)) + lit(1))
+      .select(col("d"), col("tok"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.d") < col("b.d"))
+      .select(col("a.d").as("d1"), col("b.d").as("d2"))
+      .distinct()
+    // exact verify bounded by candidates: shared-token count via two
+    // id-keyed equi-joins against the token index.
+    val sizes = ranked.select(col("d"), col("n")).distinct()
+    val common = cand
+      .join(tok.select(col("d").as("d1"), col("tok")), Seq("d1"))
+      .join(tok.select(col("d").as("d2"), col("tok")), Seq("d2", "tok"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("d").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("d").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("n1") + col("n2") - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
   /** Corpus-level exact dedup DECISION: the deduplicated corpus itself
     * (keep the min-id representative of every content-hash group) — the
     * operation a training-data pipeline actually runs, where [[exact]]
