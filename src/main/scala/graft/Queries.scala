@@ -221,6 +221,51 @@ object Queries {
         |FROM keyed WHERE substr(update_at, 9, 2) <= '03'
         |ORDER BY id, valid_from, event_id""".stripMargin)),
 
+    // Point-in-time (PIT) join: each probe row retrieves the SCD2
+    // version that was valid AT ITS OWN timestamp — the feature-store
+    // correctness rule that prevents training-time leakage (a feature
+    // computed tomorrow must not describe today's example). Probes span
+    // days 02-04 against the day<=03 history, so matches land in the
+    // MIDDLE of version chains, not just on is_current rows.
+    //
+    // Scale shape: equi-join on the key + interval containment filter;
+    // per-key version counts are bounded (~13 here), so the join never
+    // fans out — each probe matches at most one half-open [from, to)
+    // interval. No window over probes, no range join needed.
+    "pt1_point_in_time" -> Q(
+      (s, d) => {
+        val base = keyed(tx(s, d)).select(flatCols.map(col): _*)
+        val hist = Merge.scd2History(
+            base.filter(substring(col("update_at"), 9, 2) <= "03"),
+            Seq("id"), "update_at", Seq(col("event_id").asc))
+          .select(col("id"), col("valid_from"), col("valid_to"),
+            col("event_id").as("version_event"), col("amount").as("pit_amount"))
+        val probes = keyed(tx(s, d))
+          .filter(substring(col("update_at"), 9, 2).between("02", "04"))
+          .select(col("id"), col("update_at").as("probe_ts"),
+            col("event_id").as("probe_event"))
+        probes.as("p").join(hist.as("h"),
+            col("p.id") === col("h.id") && col("probe_ts") >= col("valid_from") &&
+              (col("valid_to").isNull || col("probe_ts") < col("valid_to")), "left")
+          .select(col("p.id").as("id"), col("probe_ts"), col("probe_event"),
+            col("valid_from"), col("version_event"), col("pit_amount"))
+          .orderBy("id", "probe_ts", "probe_event")
+      },
+      Some(s"""$TxCte$KeyedCte,
+        |hist AS (
+        |  SELECT id, update_at AS valid_from,
+        |         lead(update_at) OVER (PARTITION BY id ORDER BY update_at, event_id) AS valid_to,
+        |         event_id AS version_event, amount AS pit_amount
+        |  FROM keyed WHERE substr(update_at, 9, 2) <= '03'),
+        |probes AS (
+        |  SELECT id, update_at AS probe_ts, event_id AS probe_event
+        |  FROM keyed WHERE substr(update_at, 9, 2) BETWEEN '02' AND '04')
+        |SELECT p.id, p.probe_ts, p.probe_event, h.valid_from, h.version_event, h.pit_amount
+        |FROM probes p LEFT JOIN hist h
+        |  ON p.id = h.id AND p.probe_ts >= h.valid_from
+        | AND (h.valid_to IS NULL OR p.probe_ts < h.valid_to)
+        |ORDER BY p.id, probe_ts, probe_event""".stripMargin)),
+
     // J2: the compare() oracle — full scan vs a lake missing day > 15.
     "j2_compare_except" -> Q(
       (s, d) => {
