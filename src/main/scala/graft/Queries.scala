@@ -290,6 +290,58 @@ object Queries {
         |SELECT *, 'lake_only' AS side FROM (SELECT * FROM lakep EXCEPT ALL SELECT * FROM src)
         |ORDER BY side, id""".stripMargin)),
 
+    // CMP1: classified snapshot diff — j2's exceptAll says WHETHER the
+    // lake drifted; this labels every key added / removed / changed /
+    // unchanged. The stale lake drops keys whose latest landed after
+    // day 28 (-> added), perturbs amounts for days <= 25 (-> changed),
+    // and grows ghost keys (-> removed); days 26-28 stay unchanged —
+    // all four labels exercised in one row set.
+    "cmp1_diff_classify" -> Q(
+      (s, d) => {
+        val base = keyed(tx(s, d)).select(flatCols.map(col): _*)
+        val latest = Merge.dedupLatest(base, "id", "update_at", Seq(col("event_id").desc))
+          .select("id", "create_at", "update_at", "event_id", "amount")
+        val src = latest.select("id", "update_at", "event_id", "amount")
+        val stale = latest.filter(substring(col("create_at"), 9, 2) <= "28")
+          .withColumn("amount",
+            when(substring(col("update_at"), 9, 2) <= "25", col("amount") + 1)
+              .otherwise(col("amount")))
+          .select("id", "update_at", "event_id", "amount")
+        val ghosts = latest.filter(substring(col("create_at"), 9, 2) === "26")
+          .select(concat(col("id"), lit(":ghost")).as("id"),
+            col("update_at"), col("event_id"), col("amount"))
+        QuerySurface.diffClassify(src, stale.unionByName(ghosts), Seq("id"))
+          .select("id", "status", "h_src", "h_tgt")
+          .orderBy("id")
+      },
+      Some(s"""$TxCte$KeyedCte,
+        |latest AS (SELECT * EXCLUDE rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, event_id DESC) AS rn
+        |  FROM keyed) WHERE rn = 1),
+        |srcr AS (SELECT id, update_at, event_id, amount FROM latest),
+        |staler AS (SELECT id, update_at, event_id,
+        |    CASE WHEN substr(update_at, 9, 2) <= '25' THEN amount + 1 ELSE amount END AS amount
+        |  FROM latest WHERE substr(create_at, 9, 2) <= '28'),
+        |ghosts AS (SELECT id || ':ghost' AS id, update_at, event_id, amount
+        |  FROM latest WHERE substr(create_at, 9, 2) = '26'),
+        |tgtr AS (SELECT * FROM staler UNION ALL SELECT * FROM ghosts),
+        |sh AS (SELECT id, md5(concat_ws(chr(31),
+        |    coalesce(CAST(amount AS VARCHAR), chr(1)),
+        |    coalesce(CAST(event_id AS VARCHAR), chr(1)),
+        |    coalesce(update_at, chr(1)))) AS h_src FROM srcr),
+        |th AS (SELECT id, md5(concat_ws(chr(31),
+        |    coalesce(CAST(amount AS VARCHAR), chr(1)),
+        |    coalesce(CAST(event_id AS VARCHAR), chr(1)),
+        |    coalesce(update_at, chr(1)))) AS h_tgt FROM tgtr)
+        |SELECT coalesce(sh.id, th.id) AS id,
+        |  CASE WHEN th.h_tgt IS NULL THEN 'added'
+        |       WHEN sh.h_src IS NULL THEN 'removed'
+        |       WHEN sh.h_src = th.h_tgt THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  sh.h_src, th.h_tgt
+        |FROM sh FULL OUTER JOIN th ON sh.id = th.id
+        |ORDER BY coalesce(sh.id, th.id)""".stripMargin)),
+
     // A1: COUNT(*).
     "a1_count" -> Q(
       (s, d) => QuerySurface.countRows(tx(s, d)),

@@ -55,6 +55,34 @@ object QuerySurface {
       .unionByName(r.withColumn("side", lit("lake_only")))
       .limit(n)
   }
+
+  /** Classified snapshot diff: one row per key, labeled added /
+    * removed / changed / unchanged, by full-outer-joining the two
+    * keyed snapshots and comparing a content hash. The reconciliation
+    * REPORT form of [[compare]]: exceptAll says WHETHER the lake
+    * drifted, this says per key WHERE and HOW. Both inputs must be
+    * unique per key (snapshot shape, e.g. Merge.dedupLatest output).
+    *
+    * Scale: each side's payload collapses to one 128-bit hash BEFORE
+    * the join, so only (key, hash) pairs cross the exchange — never
+    * content columns — and the join itself is a plain equi-join on the
+    * key. Output is O(keys), streamable to a report sink. Content
+    * columns are name-sorted and null-sentineled so the hash is
+    * column-order- and null-safe.
+    */
+  def diffClassify(source: DataFrame, target: DataFrame, keys: Seq[String]): DataFrame = {
+    def hashed(df: DataFrame, as: String) = {
+      val content = df.columns.filterNot(keys.contains).sorted.toSeq
+      df.select(keys.map(col) :+ md5(concat_ws("\u001f",
+        content.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*)).as(as): _*)
+    }
+    hashed(source, "h_src").join(hashed(target, "h_tgt"), keys, "full_outer")
+      .withColumn("status",
+        when(col("h_tgt").isNull, lit("added"))
+          .when(col("h_src").isNull, lit("removed"))
+          .when(col("h_src") === col("h_tgt"), lit("unchanged"))
+          .otherwise(lit("changed")))
+  }
 }
 
 /** The reference's raw-SQL entry point (`run_athena_query(database,
