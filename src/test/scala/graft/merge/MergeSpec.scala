@@ -119,6 +119,29 @@ class MergeSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2 history + interval containment answers point-in-time probes") {
+    import spark.implicits._
+    // versions of k1 at seconds 1, 3, 5; the PIT rule is half-open
+    // containment [valid_from, valid_to), so a probe AT a version's own
+    // timestamp sees that version, and probes before the first or for
+    // an unknown key see null
+    def ts(s: Int) = f"2024-01-01T00:00:$s%02d.000000+0000"
+    val hist = Merge.scd2History(
+      df(Seq(("k1", ts(1), "v1"), ("k1", ts(3), "v3"), ("k1", ts(5), "v5"))),
+      Seq("id"), "update_at")
+      .select(col("id"), col("valid_from"), col("valid_to"), col("note"))
+    val probes = Seq(("k1", ts(0)), ("k1", ts(1)), ("k1", ts(2)),
+      ("k1", ts(3)), ("k1", ts(6)), ("k2", ts(6))).toDF("id", "probe_ts")
+    val got = probes.as("p").join(hist.as("h"),
+        col("p.id") === col("h.id") && col("probe_ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("probe_ts") < col("valid_to")), "left")
+      .select(col("p.id"), col("probe_ts"), col("note"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set(
+      ("k1", ts(0), null), ("k1", ts(1), "v1"), ("k1", ts(2), "v1"),
+      ("k1", ts(3), "v3"), ("k1", ts(6), "v5"), ("k2", ts(6), null)))
+  }
+
   test("filterRemoves drops REMOVE; tombstone upsert deletes the key") {
     import spark.implicits._
     val ev = Seq(("INSERT", "k1"), ("REMOVE", "k2"), ("MODIFY", "k3"))

@@ -43,6 +43,22 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-filtered Jaccard join equals the n-squared baseline exactly") {
+    // the prefix-filter lemma says pruning loses NO qualifying pair —
+    // so at every threshold the fast path must reproduce the full
+    // inverted-index join bit for bit (ids and jaccard values)
+    for (t <- Seq(0.5, 0.9)) {
+      def pairs(df: DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+          math.round(r.getAs[Double]("jaccard") * 1e9)))
+        .toSet
+      val fast = pairs(Dedup.prefixJaccardPairs(corpus, t))
+      val slow = pairs(Dedup.ngramJaccardPairs(corpus, t))
+      assert(fast === slow, s"prefix filter diverged from baseline at t=$t")
+      assert(fast.nonEmpty, s"degenerate fixture: no pairs at t=$t")
+    }
+  }
+
   test("minhash-LSH agrees with the exact n-gram Jaccard baseline on found pairs") {
     val lsh = Dedup.minhashLshPairs(corpus, threshold = 0.5)
       .withColumnRenamed("jaccard", "lsh_j")
