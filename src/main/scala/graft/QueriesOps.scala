@@ -1469,6 +1469,44 @@ object QueriesOps {
     // O(sketch) memory per group. rows-only: sketch internals are
     // engine-specific, so no cross-engine hash can exist; accuracy vs
     // the exact answers is asserted in ApproxSpec instead.
+    // The MERGEABLE-sketch pattern ag1 stops short of: build one HLL
+    // sketch PER DAY (the pre-aggregate a 100 TB warehouse persists
+    // instead of raw ids), then answer the whole-range distinct count
+    // by UNIONING the day sketches — no rescan of the raw data, which
+    // is the entire point of sketches: a day's sketch is ~16 KB
+    // regardless of row count, and rollups over any date range become
+    // O(days) merges. Exact columns (day count, per-day distinct sum,
+    // range-exact distinct) carry the cross-engine hash; sketch
+    // accuracy reduces to two deterministic bound booleans, ag1-style.
+    "hl1_sketch_rollup" -> Q(
+      (s, d) => {
+        val ev = Queries.events(s, d)
+          .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+        val daily = ev.groupBy(col("day")).agg(
+          expr("hll_sketch_agg(user_id, 14)").as("sk"),
+          countDistinct(col("user_id")).cast("long").as("exact_nd"))
+        val rolled = daily.agg(
+          count(lit(1)).cast("long").as("n_days"),
+          sum(col("exact_nd")).cast("long").as("sum_daily_nd"),
+          expr("every(abs(hll_sketch_estimate(sk) - exact_nd) <= 0.05 * exact_nd)")
+            .as("daily_err_ok"),
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("__est_total"))
+        val total = ev.agg(countDistinct(col("user_id")).cast("long").as("total_exact"))
+        rolled.crossJoin(total) // one-row broadcast scalar
+          .select(col("n_days"), col("sum_daily_nd"), col("total_exact"),
+            col("daily_err_ok"),
+            (abs(col("__est_total") - col("total_exact"))
+              <= lit(0.05) * col("total_exact")).as("merged_err_ok"))
+      },
+      Some("""WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, count(DISTINCT user_id) AS nd
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(nd) AS BIGINT) AS sum_daily_nd,
+        |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS total_exact,
+        |  TRUE AS daily_err_ok, TRUE AS merged_err_ok
+        |FROM daily""".stripMargin)),
+
     "ag1_approx_stats" -> Q(
       (s, d) => {
         // One pass computes BOTH the sketches and the exact answers,
