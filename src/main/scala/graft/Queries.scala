@@ -1210,6 +1210,40 @@ object Queries {
         |FROM pt JOIN iv ON click_ts >= err_start AND click_ts < err_end
         |ORDER BY click_id, err_id""".stripMargin)),
 
+    // Interval-OVERLAP join (rj1's two-sided sibling): 30-min outage
+    // windows opened by errors vs 10-min activity windows opened by
+    // clicks — all pairs whose windows INTERSECT, not point-in-range.
+    // Both sides replicate into 30-min buckets and meet on bucket
+    // equality; the greatest-start-bucket guard emits each pair exactly
+    // once with no distinct pass (JoinsSpec proves both the law and the
+    // equi-join plan). Oracle is the naive non-equi join.
+    "io1_interval_overlap" -> Q(
+      (s, d) => {
+        val ev = events(s, d)
+        val outages = ev.filter(col("event_type") === "error" && col("user_id") < 30)
+          .select(col("event_id").as("err_id"),
+            unix_micros(col("ts")).as("a_s"),
+            (unix_micros(col("ts")) + lit(1800000000L)).as("a_e"))
+        val sessions = ev.filter(col("event_type") === "click" && col("user_id") < 30)
+          .select(col("event_id").as("click_id"),
+            unix_micros(col("ts")).as("b_s"),
+            (unix_micros(col("ts")) + lit(600000000L)).as("b_e"))
+        graft.ops.Joins.intervalOverlapJoin(outages, sessions,
+            "a_s", "a_e", "b_s", "b_e", bucketWidth = 1800000000L)
+          .select(col("err_id"), col("click_id"),
+            (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+              .as("overlap_us"))
+          .orderBy("err_id", "click_id")
+      },
+      Some("""WITH oa AS (SELECT event_id AS err_id, ts AS a_s, ts + INTERVAL 30 MINUTE AS a_e
+        |            FROM events WHERE event_type = 'error' AND user_id < 30),
+        |sb AS (SELECT event_id AS click_id, ts AS b_s, ts + INTERVAL 10 MINUTE AS b_e
+        |       FROM events WHERE event_type = 'click' AND user_id < 30)
+        |SELECT err_id, click_id,
+        |  date_diff('microsecond', greatest(a_s, b_s), least(a_e, b_e)) AS overlap_us
+        |FROM oa JOIN sb ON a_s < b_e AND b_s < a_e
+        |ORDER BY err_id, click_id""".stripMargin)),
+
     // STREAMING sessionization under the gate: session_window with a
     // 0 s watermark drains through a parquet append sink; append mode
     // emits exactly the sessions the final watermark closed

@@ -111,4 +111,37 @@ object Joins {
         col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__pb", "__ib")
   }
+
+  /** Interval-OVERLAP join: all (left, right) pairs whose half-open
+    * intervals intersect (`lStart < rEnd && rStart < lEnd`) — the
+    * sessions-vs-outages / bookings-vs-maintenance primitive that a
+    * naive formulation plans as a cartesian product. Same bucketing
+    * device as [[rangeJoin]], on BOTH sides: each interval replicates
+    * into the fixed-width buckets it covers and candidates meet on
+    * bucket equality.
+    *
+    * Exactly-once without a distinct pass: a pair overlapping several
+    * shared buckets would match in each, so the join keeps only the
+    * bucket containing `greatest(lStart, rStart)` — the overlap's
+    * first instant, which provably lies in both intervals and in both
+    * bucket ranges. Columns must be numeric (cast timestamps to epoch
+    * seconds/micros) and names disjoint across the two inputs.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          lStart: String, lEnd: String,
+                          rStart: String, rEnd: String,
+                          bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def buckets(df: DataFrame, s: String, e: String, as: String) =
+      df.withColumn(as, explode(sequence(
+        floor(col(s) / bucketWidth).cast("long"),
+        // half-open [s, e) occupies buckets through floor((e-1)/width)
+        floor((col(e) - 1) / bucketWidth).cast("long"))))
+    val lb = buckets(left, lStart, lEnd, "__lb")
+    val rb = buckets(right, rStart, rEnd, "__rb")
+    lb.join(rb, col("__lb") === col("__rb") &&
+        col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+        floor(greatest(col(lStart), col(rStart)) / bucketWidth).cast("long") === col("__lb"))
+      .drop("__lb", "__rb")
+  }
 }

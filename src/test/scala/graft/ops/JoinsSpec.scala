@@ -104,4 +104,36 @@ class JoinsSpec extends AnyFunSuite {
     assert(plan.collect { case j: BaseJoinExec => j }.nonEmpty,
       "expected an equi-join operator")
   }
+
+  // overlap fixture: [0,20) spans 3 width-7 buckets and overlaps both
+  // right intervals; [25,26) only the long one; adjacency ([20,x) vs
+  // [0,20)) must NOT count (half-open); each pair exactly once even
+  // when the overlap itself spans several buckets
+  private lazy val leftIv = Seq((1L, 0L, 20L), (2L, 25L, 26L), (3L, 90L, 95L))
+    .toDF("lid", "ls", "le")
+  private lazy val rightIv = Seq((100L, 5L, 40L), (200L, 19L, 21L), (300L, 20L, 22L))
+    .toDF("rid", "rs", "re")
+
+  test("intervalOverlapJoin equals the naive non-equi join, each pair exactly once") {
+    val got = Joins.intervalOverlapJoin(leftIv, rightIv,
+        "ls", "le", "rs", "re", bucketWidth = 7L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.toSet.size, "a pair was emitted more than once")
+    val want = leftIv.join(rightIv, col("ls") < col("re") && col("rs") < col("le"))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toSet === want)
+    assert(want === Set((1L, 100L), (1L, 200L), (2L, 100L)),
+      "[0,20) meets [19,21) but NOT [20,22) (half-open adjacency)")
+  }
+
+  test("intervalOverlapJoin plans as an equi-join, never nested-loop or cartesian") {
+    val plan = staticPlan(Joins.intervalOverlapJoin(leftIv, rightIv,
+      "ls", "le", "rs", "re", 7L))
+    assert(plan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }.isEmpty, s"nested-loop/cartesian plan:\n$plan")
+    assert(plan.collect { case j: BaseJoinExec => j }.nonEmpty,
+      "expected an equi-join operator")
+  }
 }
