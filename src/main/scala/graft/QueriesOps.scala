@@ -1750,6 +1750,38 @@ object QueriesOps {
         |FROM u LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Cumulative distinct users by day WITHOUT a running COUNT(DISTINCT)
+    // — the first-seen trick: distinct-ness collapses to min(day) per
+    // user (one combinable shuffle on user_id), daily news aggregate to
+    // O(days) rows, and only THAT tiny table flows through the global
+    // running-sum window. A naive per-day distinct-union would rescan
+    // the prefix per day; this is one pass at any scale.
+    "cd1_cumulative_distinct" -> Q(
+      (s, d) => {
+        val ev = Queries.events(s, d)
+          .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+        val firstSeen = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+        val newPerDay = firstSeen.groupBy(col("day"))
+          .agg(count(lit(1)).cast("long").as("new_users"))
+        val days = ev.select("day").distinct()
+        days.join(newPerDay, Seq("day"), "left")
+          .na.fill(0L, Seq("new_users"))
+          .withColumn("cum_users",
+            sum(col("new_users")).over(Window.orderBy(col("day"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("long"))
+          .orderBy("day")
+      },
+      Some("""WITH fs AS (SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS day
+        |        FROM events GROUP BY 1),
+        |np AS (SELECT day, count(*) AS n FROM fs GROUP BY 1),
+        |days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events)
+        |SELECT d.day, CAST(coalesce(np.n, 0) AS BIGINT) AS new_users,
+        |  CAST(sum(coalesce(np.n, 0)) OVER (ORDER BY d.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM days d LEFT JOIN np ON d.day = np.day
+        |ORDER BY d.day""".stripMargin)),
+
     // Weekly retention cohorts: signup week x activity-week offset.
     // Both engines Monday-truncate weeks, so the day differences are
     // exact multiples of 7 and the offset division is exact.
