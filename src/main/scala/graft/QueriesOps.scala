@@ -2002,6 +2002,35 @@ object QueriesOps {
         .select(col("v").as("user_id"), col("pr")).orderBy("user_id"),
       Some(PageRankOracle)),
 
+    // Exact triangle count / clustering coefficient via the
+    // degree-oriented wedge join: orientation bounds out-neighborhoods
+    // by O(sqrt(E)), collapsing hub-node wedge blow-up from sum(d^2)
+    // to E^{3/2} — counting is exact, only (long,long) pairs shuffle.
+    // Oracle closes triangles with the naive three-way self-join on
+    // the canonical a<b edge set (each triangle x<y<z found once).
+    "gr2_triangles" -> Q(
+      (s, d) => Graph.triangleStats(
+        Graph.handoffEdges(Queries.events(s, d),
+          streamCol = "event_type", keyCol = "user_id",
+          tsCol = "ts", tieCol = "event_id")),
+      Some("""WITH ed AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT lag(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS src,
+        |           user_id AS dst FROM events)
+        |  WHERE src IS NOT NULL AND src != dst),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM ed),
+        |deg AS (SELECT v, count(*) AS deg FROM (
+        |    SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        |tri AS (SELECT count(*) AS triangles
+        |        FROM und e1 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        |                    JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+        |  CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
+        |  CAST(tri.triangles AS BIGINT) AS triangles,
+        |  3.0 * tri.triangles / CAST(sum(deg * (deg - 1) // 2) AS DOUBLE) AS clustering
+        |FROM deg CROSS JOIN tri GROUP BY tri.triangles""".stripMargin)),
+
     // Inverted-index build: (term, df, posting-list head) for df >= 2.
     // The wide stage carries (term, doc_id) pairs only — never text.
     "ix1_inverted_index" -> Q(

@@ -66,4 +66,23 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((10L, 20L), (20L, 10L), (30L, 10L)))
   }
+
+  test("triangleStats: K4 has 4 triangles and clustering 1; a path has none") {
+    import spark.implicits._
+    // K4 given with duplicates and both directions — canonicalization
+    // must collapse them before counting
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (4L, 3L)).toDF("src", "dst")
+    val r = Graph.triangleStats(k4).collect().head
+    assert(r.getAs[Long]("n_nodes") === 4L)
+    assert(r.getAs[Long]("n_edges") === 6L)
+    assert(r.getAs[Long]("n_wedges") === 12L) // 4 nodes x C(3,2)
+    assert(r.getAs[Long]("triangles") === 4L)
+    assert(r.getAs[Double]("clustering") === 1.0)
+
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val p = Graph.triangleStats(path).collect().head
+    assert(p.getAs[Long]("triangles") === 0L)
+    assert(p.getAs[Double]("clustering") === 0.0)
+  }
 }
