@@ -101,24 +101,39 @@ object Dedup {
       .withColumn("n", count(lit(1)).over(wd))
     val prefix = ranked
       .filter(col("rk") <= col("n") - ceil(col("n") * lit(threshold)) + lit(1))
-      .select(col("d"), col("tok"))
+      .select(col("d"), col("tok"), col("n"), col("rk"))
+    // Two lossless candidate filters from the AllPairs/PPJoin papers,
+    // both plain arithmetic on columns already in the join (no extra
+    // shuffle). Size compatibility: J >= t forces |B| >= t·|A| and
+    // vice versa. Positional: J >= t forces overlap >= ceil(t/(1+t) ·
+    // (n1+n2)) = α, and for any shared token at prefix positions
+    // (i, j) the overlap is at most min(i,j)-1 + 1 + min(n1-i, n2-j),
+    // so occurrences whose bound is < α cannot belong to a qualifying
+    // pair (every occurrence of a qualifying pair has bound >= overlap
+    // >= α — pruning can't orphan one). The 1e-9 slack keeps double
+    // rounding from excluding exact-boundary pairs; verify is exact.
+    val alpha = ceil((col("a.n") + col("b.n")) * lit(threshold / (1.0 + threshold))
+      - lit(1e-9))
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.d") < col("b.d"))
+        col("a.tok") === col("b.tok") && col("a.d") < col("b.d") &&
+          col("b.n") >= col("a.n") * lit(threshold) - lit(1e-9) &&
+          col("a.n") >= col("b.n") * lit(threshold) - lit(1e-9) &&
+          least(col("a.rk"), col("b.rk")) +
+            least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")) >= alpha)
       .select(col("a.d").as("d1"), col("b.d").as("d2"))
       .distinct()
-    // exact verify bounded by candidates: shared-token count via two
-    // id-keyed equi-joins against the token index.
-    val sizes = ranked.select(col("d"), col("n")).distinct()
-    val common = cand
-      .join(tok.select(col("d").as("d1"), col("tok")), Seq("d1"))
-      .join(tok.select(col("d").as("d2"), col("tok")), Seq("d2", "tok"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.select(col("d").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("d").as("d2"), col("n").as("n2")), "d2")
-      .withColumn("jaccard",
-        col("c").cast("double") / (col("n1") + col("n2") - col("c")).cast("double"))
+    // exact verify bounded by candidates: join each side's DISTINCT
+    // token array onto the pair (two id-keyed equi-joins whose row
+    // count is |candidates|, not |candidates|×|tokens|) and intersect
+    // IN-ROW — no per-token explode, no count shuffle after the join.
+    val tokArr = docs.select(col(idCol).as("d"),
+      array_distinct(tokens(col(textCol))).as("ta"))
+    cand
+      .join(tokArr.select(col("d").as("d1"), col("ta").as("ta1")), "d1")
+      .join(tokArr.select(col("d").as("d2"), col("ta").as("ta2")), "d2")
+      .withColumn("c", size(array_intersect(col("ta1"), col("ta2"))))
+      .withColumn("jaccard", col("c").cast("double") /
+        (size(col("ta1")) + size(col("ta2")) - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
   }
