@@ -966,6 +966,34 @@ object Queries {
         |FROM tx WHERE substr(create_at, 9, 2) = '08'
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // K11: right-to-be-forgotten purge. The key set names its own
+    // partitions (id embeds the immutable create_at), so the purge
+    // rewrites O(touched partitions) with a broadcast anti-join and
+    // never scans the lake to find the keys; fully-emptied partitions
+    // are deleted explicitly (dynamic overwrite can't). Oracle = the
+    // day's re-aggregation excluding the purged accounts.
+    "k11_purge_keys" -> Q(
+      (s, d) => {
+        val day7 = Ingest.toLakeRows(tx(s, d)
+          .filter(substring(col("create_at"), 9, 2) === "07")
+          .select("account", "create_at", "update_at", "entity", "amount", "is_credit", "note"))
+        val dirOut = scratch("k11_lake")
+        TableWriter.bulkWrite(day7, dirOut)
+        val keys = TableWriter.read(s, dirOut)
+          .filter(col("account").isin("user-3", "user-7"))
+          .select("id")
+        TableWriter.purgeKeys(s, dirOut, keys)
+        TableWriter.read(s, dirOut)
+          .groupBy(col("entity"))
+          .agg(count(lit(1)).cast("long").as("n"), sum(col("amount")).cast("long").as("amt"))
+          .orderBy("entity")
+      },
+      Some(s"""$TxCte
+        |SELECT entity, CAST(count(*) AS BIGINT) AS n, CAST(sum(amount) AS BIGINT) AS amt
+        |FROM tx WHERE substr(create_at, 9, 2) = '07'
+        |  AND account NOT IN ('user-3', 'user-7')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // T9 (analytics form): gap-based sessionization — the standard
     // event-analytics window chain (lag → gap flag → running sum →
     // per-session aggregate). Two windows, both partitioned by user —

@@ -259,4 +259,47 @@ object TableWriter {
     // cost is O(this partition), never the table
     upsertWrite(slice.localCheckpoint(), path)
   }
+
+  /** Right-to-be-forgotten purge: delete every lake row whose `keyCol`
+    * is in `keys`, rewriting ONLY the partitions that can contain those
+    * keys — O(touched partitions), never a table scan.
+    *
+    * Works because the record key embeds its immutable `create_at`
+    * (initial_load.py:124-133), the same invariant [[mergeCommit]]
+    * leans on: the key set itself NAMES its partitions, so the touched
+    * set derives from the keys alone (no lake read to locate them).
+    * Inside each touched partition the survivors are a broadcastable
+    * anti-join (the purge set is small — a user's keys, not a corpus).
+    *
+    * Dynamic partition overwrite cannot DELETE a partition that ends up
+    * empty (it only replaces partitions present in the written data),
+    * so fully-purged partitions are removed explicitly through the
+    * Hadoop FileSystem — without this, readers would keep seeing every
+    * purged row of any partition the purge emptied.
+    */
+  def purgeKeys(spark: SparkSession, path: String, keys: DataFrame,
+                keyCol: String = "id"): Unit = {
+    val withParts = Ingest.withPartitionColumns(
+      keys.select(col(keyCol).as("__k"),
+        substring_index(col(keyCol), ",create_at:", -1).as("create_at")))
+    touchedPartitionsPredicate(withParts).foreach { pred =>
+      val touched = withParts.select(partitionCols.map(col): _*).distinct()
+        .collect().map(r => partitionCols.indices.map(r.getString).toSeq)
+      val slice = read(spark, path).filter(pred)
+      val kept = slice.join(
+          broadcast(keys.select(col(keyCol).as("__k")).distinct()),
+          slice(keyCol) === col("__k"), "left_anti")
+        .localCheckpoint()
+      val surviving = kept.select(partitionCols.map(col): _*).distinct()
+        .collect().map(r => partitionCols.indices.map(r.getString).toSeq).toSet
+      upsertWrite(kept, path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touched.filterNot(surviving).foreach { p =>
+        val dir = partitionCols.zip(p).map { case (c, v) => s"$c=$v" }
+          .mkString(path + "/", "/", "")
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      }
+    }
+  }
 }

@@ -170,4 +170,38 @@ class MergeCommitSpec extends AnyFunSuite {
     assert(scan.metrics("numFiles").value === 1,
       s"expected the scan to read 1 pruned file; plan:\n$plan")
   }
+
+  test("purgeKeys rewrites only key-named partitions and deletes emptied ones") {
+    import spark.implicits._
+    val lake = Files.createTempDirectory("graft_purge").toString
+    val flat = Seq(
+      ("acc1", day(1, 1), "a"), ("acc2", day(1, 2), "b"), // day 1: mixed
+      ("acc1", day(2, 1), "c"),                           // day 2: acc1 only -> emptied
+      ("acc3", day(3, 1), "d"))                           // day 3: untouched
+      .toDF("account", "create_at", "note")
+      .withColumn("update_at", col("create_at"))
+    val rows = Ingest.withPartitionColumns(Ingest.withId(flat))
+    TableWriter.bulkWrite(rows, lake)
+
+    def filesOf(p: java.nio.file.Path): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      val w = Files.walk(p)
+      try w.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis).toMap
+      finally w.close()
+    }
+    val d3 = Paths.get(lake, "create_year=2024", "create_month=01", "create_day=03")
+    val before = filesOf(d3)
+
+    TableWriter.purgeKeys(spark, lake,
+      rows.filter(col("account") === "acc1").select("id"))
+
+    val got = TableWriter.read(spark, lake)
+    assert(got.select("account").as[String].collect().sorted === Array("acc2", "acc3"))
+    assert(Files.notExists(
+      Paths.get(lake, "create_year=2024", "create_month=01", "create_day=02")),
+      "a fully-purged partition directory must be deleted, not left stale")
+    assert(before === filesOf(d3),
+      "a partition the key set does not name must keep its exact files")
+  }
 }
