@@ -126,6 +126,25 @@ class JoinsSpec extends AnyFunSuite {
       "[0,20) meets [19,21) but NOT [20,22) (half-open adjacency)")
   }
 
+  test("intervalOverlapJoin matches the naive join on random intervals and widths") {
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 3) {
+      val l = Seq.tabulate(40) { i =>
+        val s = rnd.nextInt(200).toLong; (i.toLong, s, s + 1 + rnd.nextInt(30))
+      }.toDF("lid", "ls", "le")
+      val r = Seq.tabulate(40) { i =>
+        val s = rnd.nextInt(200).toLong; (i.toLong, s, s + 1 + rnd.nextInt(30))
+      }.toDF("rid", "rs", "re")
+      val width = 1L + rnd.nextInt(40)
+      val got = Joins.intervalOverlapJoin(l, r, "ls", "le", "rs", "re", width)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+      assert(got.length === got.toSet.size, s"round $round width $width: duplicate pair")
+      val want = l.join(r, col("ls") < col("re") && col("rs") < col("le"))
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got.toSet === want, s"round $round width $width diverged from naive join")
+    }
+  }
+
   test("intervalOverlapJoin plans as an equi-join, never nested-loop or cartesian") {
     val plan = staticPlan(Joins.intervalOverlapJoin(leftIv, rightIv,
       "ls", "le", "rs", "re", 7L))

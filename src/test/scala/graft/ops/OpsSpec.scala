@@ -59,6 +59,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-filtered Jaccard matches the baseline on random small-vocab corpora") {
+    import spark.implicits._
+    // a 12-token vocabulary forces dense collisions — the regime where
+    // a broken prefix/size/positional filter would actually drop pairs
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("ape", "bee", "cat", "dog", "eel", "fox",
+      "gnu", "hen", "ibis", "jay", "kiwi", "lynx")
+    for (round <- 1 to 2; t <- Seq(0.4, 0.8)) {
+      val corpus = Seq.tabulate(50) { i =>
+        val n = 3 + rnd.nextInt(8)
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      def pairs(df: DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+          math.round(r.getAs[Double]("jaccard") * 1e9))).toSet
+      val fast = pairs(Dedup.prefixJaccardPairs(corpus, t))
+      val slow = pairs(Dedup.ngramJaccardPairs(corpus, t))
+      assert(fast === slow, s"round $round t=$t: prefix filter diverged")
+    }
+  }
+
   test("minhash-LSH agrees with the exact n-gram Jaccard baseline on found pairs") {
     val lsh = Dedup.minhashLshPairs(corpus, threshold = 0.5)
       .withColumnRenamed("jaccard", "lsh_j")
