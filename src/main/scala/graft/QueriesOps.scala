@@ -1759,6 +1759,53 @@ object QueriesOps {
         |FROM u LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Per-group MODE with a deterministic tiebreak (smallest value wins
+    // equal counts): count shuffle on (group, value) — map-side
+    // combinable — then a WindowGroupLimit top-1 over the tiny count
+    // table, never the raw rows.
+    "md1_mode_per_group" -> Q(
+      (s, d) => {
+        val counts = Queries.events(s, d)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).cast("long").as("n"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("n").desc, col("event_type").asc)
+        counts.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("user_id"), col("event_type").as("mode_event"), col("n"))
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |        FROM events GROUP BY 1, 2)
+        |SELECT user_id, event_type AS mode_event, n FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY n DESC, event_type ASC) AS rk FROM c)
+        |WHERE rk = 1 ORDER BY user_id""".stripMargin)),
+
+    // Normalization-layer exact dedup: lowercase, strip sentence
+    // punctuation, collapse runs of whitespace — the curation layer
+    // that catches trivially-reformatted duplicates BEFORE near-dup
+    // hashing spends anything on them. Same shuffle profile as dd1
+    // (hash + id only); the normalization itself is a narrow codegen
+    // regexp chain identical in both engines.
+    "dd11_normalized_dedup" -> Q(
+      (s, d) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[.,!?;:]", ""), "\\s+", " "))
+        docs(s, d)
+          .groupBy(md5(norm).as("norm_hash"))
+          .agg(min(col("doc_id")).cast("long").as("keep_id"),
+            count(lit(1)).cast("long").as("n_variants"))
+          .select("keep_id", "n_variants")
+          .orderBy("keep_id")
+      },
+      Some("""SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_variants
+        |FROM documents
+        |GROUP BY md5(trim(regexp_replace(
+        |  regexp_replace(lower(text), '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')))
+        |ORDER BY keep_id""".stripMargin)),
+
     // Cumulative distinct users by day WITHOUT a running COUNT(DISTINCT)
     // — the first-seen trick: distinct-ness collapses to min(day) per
     // user (one combinable shuffle on user_id), daily news aggregate to
