@@ -18,7 +18,10 @@ object Plans {
       "dc2_bloom_decontaminate", "hh2_cms_heavy_hitters", "mm3_resize_thumbnails",
       "w4_scd2_history", "ann2_recall_floor",
       "ses1_sessionize", "ma1_trailing_window", "ix1_inverted_index",
-      "cl1_label_centroids", "hi2_equidepth", "st2_moment_stats", "tx12_bigram_lm")
+      "cl1_label_centroids", "hi2_equidepth", "st2_moment_stats", "tx12_bigram_lm",
+      "dd10_prefix_jaccard", "pt1_point_in_time", "cmp1_diff_classify",
+      "hl1_sketch_rollup", "io1_interval_overlap", "cd1_cumulative_distinct",
+      "gr2_triangles", "md1_mode_per_group", "dd11_normalized_dedup")
     val qs = SparkEntry.queries
     val sb = new StringBuilder
     names.foreach { n =>
