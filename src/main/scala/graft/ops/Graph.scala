@@ -108,8 +108,13 @@ object Graph {
       .select(least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct()
+    // deg feeds three consumers and oriented three (wedge x/y sides +
+    // closing edge): persist both or every self-join reference re-runs
+    // the whole canonicalize+degree pipeline (52 exchanges unpersisted
+    // vs a handful with the cuts — the pageRank static-edge pattern)
     val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val withDeg = und
       .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
@@ -121,6 +126,7 @@ object Graph {
         .otherwise(struct(col("b").as("t"), col("a").as("h"), col("da").as("dh")))
         .as("e"))
       .select(col("e.t").as("t"), col("e.h").as("h"), col("e.dh").as("dh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val wedges = oriented.as("x").join(oriented.as("y"),
         col("x.t") === col("y.t") &&
           (col("x.dh") < col("y.dh") ||
