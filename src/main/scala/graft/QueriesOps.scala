@@ -1516,6 +1516,39 @@ object QueriesOps {
         |  TRUE AS daily_err_ok, TRUE AS merged_err_ok
         |FROM daily""".stripMargin)),
 
+    // STREAMING form of hl1: the sketch table is MAINTAINED by the
+    // stream (one O(batch) sketch-merge per micro-batch via
+    // foreachBatch) instead of built in one pass; the final analytics
+    // read sketches only. Exact per-day distincts carry the hash;
+    // estimate accuracy is the bound boolean. Multi-tick drain
+    // (maxFilesPerTrigger=1 over 4 files) proves merge associativity
+    // across batches, not just within one.
+    "hl2_stream_sketch" -> Q(
+      (s, d) => {
+        val ev = Queries.events(s, d)
+          .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+        val srcDir = Queries.scratch("hl2_src")
+        ev.repartition(4).write.mode("overwrite").parquet(srcDir)
+        val sketchDir = Queries.scratch("hl2_sketch") + "/t"
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        graft.streaming.CdcStream.sketchMaintenance(stream, sketchDir,
+          "day", "user_id", Queries.scratch("hl2_ckpt"))
+        val est = s.read.parquet(sketchDir)
+          .select(col("day"), expr("hll_sketch_estimate(sk)").as("__est"))
+        ev.groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).cast("long").as("exact_nd"))
+          .join(est, "day")
+          .select(col("day"), col("exact_nd"),
+            (abs(col("__est") - col("exact_nd"))
+              <= lit(0.05) * col("exact_nd")).as("est_err_ok"))
+          .orderBy("day")
+      },
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_nd,
+        |  TRUE AS est_err_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     "ag1_approx_stats" -> Q(
       (s, d) => {
         // One pass computes BOTH the sketches and the exact answers,

@@ -143,6 +143,45 @@ object CdcStream {
       .dropDuplicatesWithinWatermark("__dk")
       .drop("__ts", "__dk")
 
+  /** Streaming maintenance of a MERGEABLE pre-aggregate: each
+    * micro-batch reduces to one HLL sketch per `dayCol` group
+    * (O(batch) work, ~16 KB per group) and unions it into the persisted
+    * sketch table — the streaming form of the hl1 rollup pattern.
+    * Distinct-count analytics then read the sketch table, never the
+    * raw stream history: freshness costs O(batch) per tick and queries
+    * cost O(groups), at ANY retained-stream size. Only possible
+    * because HLL union is associative+commutative — the property the
+    * sketch family exists for.
+    *
+    * The read-merge-overwrite is serialized by foreachBatch (one batch
+    * at a time) and the table is tiny (one row per group), so the
+    * rewrite is O(groups), not O(stream).
+    */
+  def sketchMaintenance(stream: DataFrame, sketchDir: String,
+                        dayCol: String, valueCol: String,
+                        checkpointDir: String): Unit = {
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val bs = batch.groupBy(col(dayCol))
+            .agg(expr(s"hll_sketch_agg($valueCol, 14)").as("sk"))
+          val p = new org.apache.hadoop.fs.Path(sketchDir)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val merged =
+            if (fs.exists(p))
+              s.read.parquet(sketchDir).unionByName(bs)
+                .groupBy(col(dayCol)).agg(expr("hll_union_agg(sk)").as("sk"))
+            else bs
+          // localCheckpoint breaks the read-from/overwrite-same-path cycle
+          merged.localCheckpoint().write.mode("overwrite").parquet(sketchDir)
+        }
+      }
+      .start().awaitTermination()
+  }
+
   /** Stream-stream inner join scoped to a shared event-time window:
     * rows from the two streams pair up when their keys match AND their
     * event times fall in the same tumbling `windowDur` window — the
