@@ -1123,6 +1123,60 @@ object QueriesOps {
         |SELECT tok, cnt, TRUE AS over_ok, TRUE AS bound_ok
         |FROM c ORDER BY cnt DESC, tok LIMIT 20""".stripMargin)),
 
+    // Declarative data-quality expectations (Deequ-style): uniqueness,
+    // completeness, range, and referential integrity, each ONE
+    // aggregation pass (the FK check a broadcastable anti-join), the
+    // report a union of one-row frames. Checks chosen so both outcomes
+    // appear: orders.o_custkey->customer and lineitem FK pass; the
+    // synthetic duplicate-injected orders slice and the out-of-range
+    // discount bound fail with exact violation counts.
+    "dq1_expectations" -> Q(
+      (s, d) => {
+        val P = graft.ops.Profile
+        val orders = s.read.parquet(s"$d/orders.parquet")
+        val cust = s.read.parquet(s"$d/customer.parquet")
+        val line = li(s, d)
+        // inject known violations: re-append orders with key%97==0
+        val dupOrders = orders.unionByName(orders.filter(col("o_orderkey") % 97 === 0))
+        P.qualityReport(Seq(
+          P.expectUnique(orders, "orders_pk_unique", Seq("o_orderkey")),
+          P.expectUnique(dupOrders, "dup_slice_pk_unique", Seq("o_orderkey")),
+          P.expectComplete(orders, "orders_custkey_complete", "o_custkey"),
+          P.expectInRange(line, "discount_0_to_0.08", "l_discount", 0.0, 0.08),
+          P.expectReferential(orders, "orders_customer_fk", "o_custkey",
+            cust, "c_custkey"),
+          P.expectReferential(line, "lineitem_orders_fk", "l_orderkey",
+            orders, "o_orderkey"))).orderBy("check_name")
+      },
+      Some("""SELECT 'orders_pk_unique' AS check_name, CAST(0 AS BIGINT) AS n_violations, TRUE AS pass
+        |UNION ALL
+        |SELECT 'dup_slice_pk_unique',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 97 = 0),
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 97 = 0) = 0
+        |UNION ALL
+        |SELECT 'orders_custkey_complete',
+        |  (SELECT CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) FROM orders),
+        |  (SELECT count(CASE WHEN o_custkey IS NULL THEN 1 END) FROM orders) = 0
+        |UNION ALL
+        |SELECT 'discount_0_to_0.08',
+        |  (SELECT CAST(count(CASE WHEN l_discount < 0.0 OR l_discount > 0.08
+        |     OR l_discount IS NULL THEN 1 END) AS BIGINT) FROM lineitem),
+        |  (SELECT count(CASE WHEN l_discount < 0.0 OR l_discount > 0.08
+        |     OR l_discount IS NULL THEN 1 END) FROM lineitem) = 0
+        |UNION ALL
+        |SELECT 'orders_customer_fk',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders o LEFT JOIN customer c
+        |     ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL),
+        |  (SELECT count(*) FROM orders o LEFT JOIN customer c
+        |     ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) = 0
+        |UNION ALL
+        |SELECT 'lineitem_orders_fk',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l LEFT JOIN orders o
+        |     ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL),
+        |  (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |     ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) = 0
+        |ORDER BY check_name""".stripMargin)),
+
     // Data profiling: one aggregation pass over the fact table -> one
     // row per profiled column (nulls / exact distincts / range).
     "pr1_profile" -> Q(

@@ -83,4 +83,45 @@ object Profile {
         min(col(c)).cast("double").as("lo_val"),
         max(col(c)).cast("double").as("hi_val"))
   }
+
+  /** Declarative data-quality expectations (the Deequ/Great-Expectations
+    * pattern): each check is a NAME plus a violation-counting DataFrame,
+    * and the report is one row per check — (check, n_violations, pass).
+    * Library-provided check builders cover the recurring four; callers
+    * union their own rows for bespoke rules.
+    *
+    * Scale: every builder is a single aggregation pass over its input —
+    * uniqueness is a combinable (key → count>1) aggregate, completeness
+    * and range are plain conditional counts, and referential integrity
+    * is a left-anti join that broadcasts when the dimension allows.
+    * The final report is a union of one-row frames — no data rows
+    * survive past each check's own aggregate.
+    */
+  def expectUnique(df: DataFrame, name: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(when(col("__n") > 1, col("__n") - 1)), lit(0))
+        .cast("long").as("n_violations"))
+      .select(lit(name).as("check_name"), col("n_violations"))
+
+  def expectComplete(df: DataFrame, name: String, c: String): DataFrame =
+    df.agg(count(when(col(c).isNull, 1)).cast("long").as("n_violations"))
+      .select(lit(name).as("check_name"), col("n_violations"))
+
+  def expectInRange(df: DataFrame, name: String, c: String,
+                    lo: Double, hi: Double): DataFrame =
+    df.agg(count(when(col(c) < lo || col(c) > hi || col(c).isNull, 1))
+        .cast("long").as("n_violations"))
+      .select(lit(name).as("check_name"), col("n_violations"))
+
+  def expectReferential(fact: DataFrame, name: String, fk: String,
+                        dim: DataFrame, pk: String): DataFrame =
+    fact.join(dim.select(col(pk).as("__pk")).distinct(),
+        fact(fk) === col("__pk"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("n_violations"))
+      .select(lit(name).as("check_name"), col("n_violations"))
+
+  /** Union check rows into the final report with the pass verdict. */
+  def qualityReport(checks: Seq[DataFrame]): DataFrame =
+    checks.reduce(_ unionByName _)
+      .withColumn("pass", col("n_violations") === 0L)
 }
