@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Laws for the data-quality expectation builders: violation counts are
+  * exact (k copies of a key = k-1 violations; nulls violate range), and
+  * the report verdict is derived, not asserted.
+  */
+class ProfileSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("expectUnique counts surplus copies exactly; clean keys pass") {
+    val df = Seq("a", "a", "a", "b", "c", "c").toDF("k")
+    val r = Profile.expectUnique(df, "u", Seq("k")).collect().head
+    assert(r.getAs[Long]("n_violations") === 3L) // (3-1) + (2-1)
+    val clean = Profile.expectUnique(Seq("x", "y").toDF("k"), "u", Seq("k"))
+      .collect().head
+    assert(clean.getAs[Long]("n_violations") === 0L)
+  }
+
+  test("expectInRange treats nulls and out-of-range as violations") {
+    val df = Seq(Some(0.0), Some(0.05), Some(0.09), None).toDF("v")
+    val r = Profile.expectInRange(df, "r", "v", 0.0, 0.08).collect().head
+    assert(r.getAs[Long]("n_violations") === 2L) // 0.09 and null
+  }
+
+  test("expectReferential counts orphan fact rows, not distinct orphan keys") {
+    val fact = Seq(1L, 2L, 2L, 9L, 9L, 9L).toDF("fk")
+    val dim = Seq(1L, 2L).toDF("pk")
+    val r = Profile.expectReferential(fact, "fk", "fk", dim, "pk").collect().head
+    assert(r.getAs[Long]("n_violations") === 3L) // the three 9s
+  }
+
+  test("qualityReport derives pass from the violation count") {
+    val rep = Profile.qualityReport(Seq(
+      Profile.expectComplete(Seq(Some("x"), None).toDF("c"), "has_null", "c"),
+      Profile.expectComplete(Seq(Some("x")).toDF("c"), "clean", "c")))
+      .collect().map(r => r.getAs[String]("check_name") -> r.getAs[Boolean]("pass")).toMap
+    assert(rep === Map("has_null" -> false, "clean" -> true))
+  }
+}
