@@ -1142,6 +1142,45 @@ object Queries {
         |WHERE a.account < b.account AND levenshtein(a.account, b.account) <= 1
         |ORDER BY s1, s2""".stripMargin)),
 
+    // ER1: end-to-end ENTITY RESOLUTION — deletion-neighborhood
+    // blocking (fz1's lev-1 join) emits candidate identity edges, and
+    // large-star/small-star connected components assigns every account
+    // string its canonical entity id (min id in the component). The
+    // full record-linkage composition: blocking → match → cluster,
+    // with every stage a bounded equi-join or O(log n) edge iteration.
+    // Oracle = the same lev-1 edges closed by a recursive CTE.
+    "er1_entity_resolution" -> Q(
+      (s, d) => {
+        val accounts = tx(s, d).select(col("account")).distinct()
+        def idOf(c: org.apache.spark.sql.Column) =
+          regexp_replace(c, "^user-", "").cast("long")
+        val pairs = graft.ops.Fuzzy.selfJoinLev1(accounts, "account")
+          .select(idOf(col("s1")).as("d1"), idOf(col("s2")).as("d2"))
+        val verts = accounts.select(idOf(col("account")).as("v"))
+        val cc = graft.ops.Dedup.connectedComponents(verts, pairs)
+        val sizes = cc.groupBy("cluster").agg(count(lit(1)).cast("long").as("csize"))
+        accounts.withColumn("v", idOf(col("account")))
+          .join(cc, "v").join(sizes, "cluster")
+          .select(col("account"), col("cluster").as("entity_id"), col("csize"))
+          .orderBy("account")
+      },
+      Some(s"""${TxCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |acc AS (SELECT DISTINCT account, CAST(regexp_replace(account, '^user-', '') AS BIGINT) AS v
+        |        FROM tx),
+        |p AS (SELECT a.v AS v1, b.v AS v2 FROM acc a JOIN acc b
+        |      ON a.account < b.account AND levenshtein(a.account, b.account) <= 1),
+        |edges AS (SELECT v1 AS src, v2 AS dst FROM p
+        |          UNION ALL SELECT v2, v1 FROM p),
+        |reach(v, r) AS (
+        |  SELECT v, v FROM acc
+        |  UNION
+        |  SELECT edges.dst, reach.r FROM reach JOIN edges ON edges.src = reach.v),
+        |cl AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v),
+        |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize FROM cl GROUP BY cluster)
+        |SELECT acc.account, cl.cluster AS entity_id, sz.csize
+        |FROM acc JOIN cl USING (v) JOIN sz USING (cluster)
+        |ORDER BY acc.account""".stripMargin)),
+
     // S10 analog: the reference's raw-SQL read surface
     // (run_athena_query — athena.py:29-64): write a lake slice, register
     // it as a view from its parquet path, and answer an ad-hoc SQL
