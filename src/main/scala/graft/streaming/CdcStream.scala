@@ -156,6 +156,13 @@ object CdcStream {
     * The read-merge-overwrite is serialized by foreachBatch (one batch
     * at a time) and the table is tiny (one row per group), so the
     * rewrite is O(groups), not O(stream).
+    *
+    * Caveat (disclosed, same class as HashBucketLake's commit note):
+    * the overwrite of the sketch table is not atomic — a crash mid-
+    * rewrite can leave a partial table that the replayed batch would
+    * merge with. Production hardening is a staged write + rename (or
+    * per-epoch snapshot dirs keyed by batchId, which also makes the
+    * replay idempotent); the maintenance LOOP itself is unchanged.
     */
   def sketchMaintenance(stream: DataFrame, sketchDir: String,
                         dayCol: String, valueCol: String,
