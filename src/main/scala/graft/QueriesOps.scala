@@ -1588,7 +1588,7 @@ object QueriesOps {
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
         graft.streaming.CdcStream.sketchMaintenance(stream, sketchDir,
           "day", "user_id", Queries.scratch("hl2_ckpt"))
-        val est = s.read.parquet(sketchDir)
+        val est = graft.streaming.CdcStream.currentSketches(s, sketchDir).get
           .select(col("day"), expr("hll_sketch_estimate(sk)").as("__est"))
         ev.groupBy(col("day"))
           .agg(countDistinct(col("user_id")).cast("long").as("exact_nd"))

@@ -157,12 +157,18 @@ object CdcStream {
     * at a time) and the table is tiny (one row per group), so the
     * rewrite is O(groups), not O(stream).
     *
-    * Caveat (disclosed, same class as HashBucketLake's commit note):
-    * the overwrite of the sketch table is not atomic — a crash mid-
-    * rewrite can leave a partial table that the replayed batch would
-    * merge with. Production hardening is a staged write + rename (or
-    * per-epoch snapshot dirs keyed by batchId, which also makes the
-    * replay idempotent); the maintenance LOOP itself is unchanged.
+    * Crash safety (the commit design, not a disclosed gap): each epoch
+    * writes a NEW snapshot dir `v=<batchId>` and then flips a pointer
+    * file via create+atomic-rename — readers never observe a partial
+    * table. Replay after any crash point is safe: before the pointer
+    * flip, the replayed batch rebuilds `v=<batchId>` from the previous
+    * snapshot; after the flip but before the checkpoint commit, the
+    * replay merges the SAME batch sketch into a table that already
+    * contains it — and HLL union is IDEMPOTENT (register-wise max), so
+    * re-merging identical data cannot double-count. The exactly-once
+    * guarantee rides the sketch algebra itself — the property that
+    * makes sketches mergeable in the first place (idempotency law in
+    * CdcStreamSpec).
     */
   def sketchMaintenance(stream: DataFrame, sketchDir: String,
                         dayCol: String, valueCol: String,
@@ -170,23 +176,45 @@ object CdcStream {
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
           val bs = batch.groupBy(col(dayCol))
             .agg(expr(s"hll_sketch_agg($valueCol, 14)").as("sk"))
-          val p = new org.apache.hadoop.fs.Path(sketchDir)
-          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-          val merged =
-            if (fs.exists(p))
-              s.read.parquet(sketchDir).unionByName(bs)
-                .groupBy(col(dayCol)).agg(expr("hll_union_agg(sk)").as("sk"))
-            else bs
-          // localCheckpoint breaks the read-from/overwrite-same-path cycle
-          merged.localCheckpoint().write.mode("overwrite").parquet(sketchDir)
+          val merged = currentSketches(s, sketchDir) match {
+            case Some(cur) => cur.unionByName(bs)
+              .groupBy(col(dayCol)).agg(expr("hll_union_agg(sk)").as("sk"))
+            case None => bs
+          }
+          // snapshot dir per epoch: same-batch replay rewrites the same
+          // dir (mode overwrite = idempotent), never the live snapshot
+          merged.write.mode("overwrite").parquet(s"$sketchDir/v=$batchId")
+          val fs = new org.apache.hadoop.fs.Path(sketchDir)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          val tmp = new org.apache.hadoop.fs.Path(sketchDir, s"_LATEST.$batchId.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+          fs.delete(new org.apache.hadoop.fs.Path(sketchDir, "_LATEST"), false)
+          fs.rename(tmp, new org.apache.hadoop.fs.Path(sketchDir, "_LATEST"))
+          ()
         }
       }
       .start().awaitTermination()
+  }
+
+  /** Read the current sketch snapshot (the dir the `_LATEST` pointer
+    * names), or None before the first commit.
+    */
+  def currentSketches(spark: SparkSession, sketchDir: String): Option[DataFrame] = {
+    val ptr = new org.apache.hadoop.fs.Path(sketchDir, "_LATEST")
+    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(ptr)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(ptr).getLen.toInt)
+      val in = fs.open(ptr)
+      try in.readFully(0, buf) finally in.close()
+      Some(spark.read.parquet(s"$sketchDir/v=${new String(buf, "UTF-8").trim}"))
+    }
   }
 
   /** Stream-stream inner join scoped to a shared event-time window:

@@ -201,4 +201,42 @@ class CdcStreamSpec extends AnyFunSuite {
       "2024-01-01 00:01:00" -> 1L),
       s"closed windows only; got $out")
   }
+
+  test("sketchMaintenance: versioned snapshots, pointer read-back, replay idempotency") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_sketch")
+    val srcDir = root.resolve("src").toString
+    val sketchDir = root.resolve("sketches").toString
+    val data = (0 until 900).map(i => (s"d${i % 3}", (i % 200).toLong))
+    data.toDF("day", "u").repartition(3).write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream
+      .schema(data.toDF("day", "u").schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    CdcStream.sketchMaintenance(stream, sketchDir, "day", "u",
+      root.resolve("ckpt").toString)
+
+    val cur = CdcStream.currentSketches(spark, sketchDir).get
+    def estimates(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.select(col("day"), expr("hll_sketch_estimate(sk)").as("e"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 3 days x 200 distinct users; lgK=14 is near-exact at this size
+    val est = estimates(cur)
+    assert(est.keySet === Set("d0", "d1", "d2"))
+    est.values.foreach(v => assert(math.abs(v - 200L) <= 10L, s"estimate $v"))
+
+    // replay simulation: re-merge the WHOLE input's sketch into the
+    // current snapshot — register-wise max means estimates are unchanged
+    val replayed = cur.unionByName(
+        data.toDF("day", "u").groupBy(col("day"))
+          .agg(expr("hll_sketch_agg(u, 14)").as("sk")))
+      .groupBy(col("day")).agg(expr("hll_union_agg(sk)").as("sk"))
+    assert(estimates(replayed) === est,
+      "re-merging already-counted data must not change any estimate")
+
+    // pointer names the last snapshot; earlier versions remain on disk
+    val vDirs = new java.io.File(sketchDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v=")).map(_.getName)
+    assert(vDirs.length >= 2, s"expected per-epoch snapshot dirs, got ${vDirs.toSeq}")
+  }
 }
