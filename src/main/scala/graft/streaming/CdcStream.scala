@@ -202,6 +202,29 @@ object CdcStream {
       .start().awaitTermination()
   }
 
+  /** Retention for the versioned sketch table: delete every snapshot
+    * dir older than the `keep` most recent — the [[graft.ingest.Ingest.pruneLanding]]
+    * analog. Never deletes the pointed-at snapshot; returns the number
+    * of dirs removed. Run on a cleanup cadence, not per epoch.
+    */
+  def pruneSketchVersions(spark: SparkSession, sketchDir: String,
+                          keep: Int = 2): Int = {
+    require(keep >= 1, "must keep at least the current snapshot")
+    val root = new org.apache.hadoop.fs.Path(sketchDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) 0
+    else {
+      val versions = fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+        .map(s => s.getPath.getName.stripPrefix("v=").toLong)
+        .sorted
+      val drop = versions.dropRight(keep)
+      drop.foreach(v => fs.delete(
+        new org.apache.hadoop.fs.Path(sketchDir, s"v=$v"), true))
+      drop.size
+    }
+  }
+
   /** Read the current sketch snapshot (the dir the `_LATEST` pointer
     * names), or None before the first commit.
     */

@@ -238,5 +238,12 @@ class CdcStreamSpec extends AnyFunSuite {
     val vDirs = new java.io.File(sketchDir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("v=")).map(_.getName)
     assert(vDirs.length >= 2, s"expected per-epoch snapshot dirs, got ${vDirs.toSeq}")
+
+    // retention: prune to the most recent snapshot; the pointer target
+    // survives and still reads back the same estimates
+    val removed = CdcStream.pruneSketchVersions(spark, sketchDir, keep = 1)
+    assert(removed === vDirs.length - 1)
+    assert(estimates(CdcStream.currentSketches(spark, sketchDir).get) === est,
+      "pruning old snapshots must not touch the current one")
   }
 }
