@@ -85,4 +85,22 @@ class GraphSpec extends AnyFunSuite {
     assert(p.getAs[Long]("triangles") === 0L)
     assert(p.getAs[Double]("clustering") === 0.0)
   }
+
+  test("triangleStats matches the naive three-way join on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    for (round <- 1 to 3) {
+      val edges = (for {
+        a <- 0L until 25L; b <- (a + 1) until 25L
+        if rnd.nextDouble() < 0.25
+      } yield (a, b)).toDF("src", "dst")
+      val got = Graph.triangleStats(edges).collect().head.getAs[Long]("triangles")
+      val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      val want = und.as("e1")
+        .join(und.as("e2"), col("e2.a") === col("e1.a") && col("e2.b") > col("e1.b"))
+        .join(und.as("e3"), col("e3.a") === col("e1.b") && col("e3.b") === col("e2.b"))
+        .count()
+      assert(got === want, s"round $round: oriented wedge count diverged from naive")
+    }
+  }
 }
