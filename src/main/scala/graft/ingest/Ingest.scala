@@ -279,9 +279,19 @@ object TableWriter {
     */
   def purgeKeys(spark: SparkSession, path: String, keys: DataFrame,
                 keyCol: String = "id"): Unit = {
-    val withParts = Ingest.withPartitionColumns(
-      keys.select(col(keyCol).as("__k"),
-        substring_index(col(keyCol), ",create_at:", -1).as("create_at")))
+    val withTs = keys.select(col(keyCol).as("__k"),
+      substring_index(col(keyCol), ",create_at:", -1).as("create_at"))
+    // fail LOUDLY if any key lacks the synthetic-id suffix (custom
+    // keyCol, malformed id): the partition predicate derived from a bad
+    // extraction matches nothing and the RTBF purge would silently
+    // delete nothing — a silent compliance failure. Purge sets are
+    // small (a user's keys), so this extra pass is cheap.
+    val bad = withTs.filter(!col("create_at").rlike(
+      "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{6}[+-]\\d{4}$")).count()
+    require(bad == 0,
+      s"purgeKeys: $bad key(s) do not embed a ',create_at:<${Schemas.TsPattern}>' " +
+        "suffix; refusing to purge (the derived partition predicate would be wrong)")
+    val withParts = Ingest.withPartitionColumns(withTs)
     touchedPartitionsPredicate(withParts).foreach { pred =>
       val touched = withParts.select(partitionCols.map(col): _*).distinct()
         .collect().map(r => partitionCols.indices.map(r.getString).toSeq)

@@ -99,8 +99,11 @@ object Dedup {
     val ranked = tok.join(dfCount, "tok")
       .withColumn("rk", row_number().over(wd.orderBy(col("df").asc, col("tok").asc)))
       .withColumn("n", count(lit(1)).over(wd))
+    // same 1e-9 slack as the alpha/size filters below: without it,
+    // double rounding (20*0.55 = 11.000000000000002, ceil = 12) shortens
+    // the prefix by one token and can silently drop qualifying pairs
     val prefix = ranked
-      .filter(col("rk") <= col("n") - ceil(col("n") * lit(threshold)) + lit(1))
+      .filter(col("rk") <= col("n") - ceil(col("n") * lit(threshold) - lit(1e-9)) + lit(1))
       .select(col("d"), col("tok"), col("n"), col("rk"))
     // Two lossless candidate filters from the AllPairs/PPJoin papers,
     // both plain arithmetic on columns already in the join (no extra

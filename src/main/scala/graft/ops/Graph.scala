@@ -138,8 +138,16 @@ object Graph {
       count(lit(1)).cast("long").as("n_nodes"),
       (sum(col("deg")) / 2).cast("long").as("n_edges"),
       sum(expr("deg * (deg - 1) div 2")).cast("long").as("n_wedges"))
-    stats.crossJoin(tri) // two one-row frames
+    // materialize the one-row result EAGERLY so both caches can be
+    // dropped before returning — without this, repeated calls leak
+    // MEMORY_AND_DISK blocks for the session lifetime (pageRank already
+    // unpersists each round's prev; same discipline here)
+    val result = stats.crossJoin(tri) // two one-row frames
       .withColumn("clustering",
         lit(3.0) * col("triangles").cast("double") / col("n_wedges").cast("double"))
+      .localCheckpoint()
+    deg.unpersist(false)
+    oriented.unpersist(false)
+    result
   }
 }

@@ -194,9 +194,15 @@ object CdcStream {
           val tmp = new org.apache.hadoop.fs.Path(sketchDir, s"_LATEST.$batchId.tmp")
           val out = fs.create(tmp, true)
           try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-          fs.delete(new org.apache.hadoop.fs.Path(sketchDir, "_LATEST"), false)
-          fs.rename(tmp, new org.apache.hadoop.fs.Path(sketchDir, "_LATEST"))
-          ()
+          // single atomic overwrite-rename (no delete-then-rename window
+          // in which a crash would leave NO pointer and a replay would
+          // silently rebuild from only its own batch); FileContext.rename
+          // throws on failure rather than returning an unchecked boolean
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            new org.apache.hadoop.fs.Path(sketchDir).toUri,
+            s.sparkContext.hadoopConfiguration)
+          fc.rename(tmp, new org.apache.hadoop.fs.Path(sketchDir, "_LATEST"),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
         }
       }
       .start().awaitTermination()
@@ -218,7 +224,19 @@ object CdcStream {
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
         .map(s => s.getPath.getName.stripPrefix("v=").toLong)
         .sorted
-      val drop = versions.dropRight(keep)
+      // the pointed-at snapshot is sacrosanct even when a crash left a
+      // NEWER unpointed v= dir above it (keep=1 would otherwise delete
+      // exactly the dir readers resolve through _LATEST)
+      val ptr = new org.apache.hadoop.fs.Path(sketchDir, "_LATEST")
+      val pointed: Option[Long] =
+        if (!fs.exists(ptr)) None
+        else {
+          val buf = new Array[Byte](fs.getFileStatus(ptr).getLen.toInt)
+          val in = fs.open(ptr)
+          try in.readFully(0, buf) finally in.close()
+          scala.util.Try(new String(buf, "UTF-8").trim.toLong).toOption
+        }
+      val drop = versions.dropRight(keep).filterNot(pointed.contains)
       drop.foreach(v => fs.delete(
         new org.apache.hadoop.fs.Path(sketchDir, s"v=$v"), true))
       drop.size

@@ -203,5 +203,14 @@ class MergeCommitSpec extends AnyFunSuite {
       "a fully-purged partition directory must be deleted, not left stale")
     assert(before === filesOf(d3),
       "a partition the key set does not name must keep its exact files")
+
+    // malformed keys (no ',create_at:<ts>' suffix) must fail LOUDLY:
+    // the derived partition predicate would match nothing and the RTBF
+    // purge would silently delete nothing — a compliance failure
+    val err = intercept[IllegalArgumentException] {
+      TableWriter.purgeKeys(spark, lake,
+        Seq("not-a-synthetic-id").toDF("id"))
+    }
+    assert(err.getMessage.contains("purgeKeys"))
   }
 }

@@ -59,6 +59,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix length survives the ceil rounding boundary (t=0.55, n=20)") {
+    import spark.implicits._
+    // adversarial construction for the float-rounding bug: 20*0.55 =
+    // 11.000000000000002 in doubles, so ceil WITHOUT the 1e-9 slack
+    // returns 12 and shortens A's prefix from 10 to 9 tokens. Doc A has
+    // 9 unshared df=1 tokens (they rank rare-first at 1-9) and 11
+    // shared df=2 tokens (ranks 10-20); doc B is exactly the 11 shared
+    // tokens. J = 11/(20+11-11) = 0.55 — qualifying — but the ONLY
+    // prefix token the pair shares is A's rank-10 token, which the
+    // shortened prefix drops, silently losing the pair.
+    val shared = (1 to 11).map(i => f"shared$i%02d")
+    val docA = ((1 to 9).map(i => f"only$i%02d") ++ shared).mkString(" ")
+    val docB = shared.mkString(" ")
+    val corpus2 = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    val fast = Dedup.prefixJaccardPairs(corpus2, 0.55).collect()
+    assert(fast.length === 1, "boundary pair dropped by prefix rounding")
+    assert(math.abs(fast.head.getAs[Double]("jaccard") - 0.55) < 1e-12)
+    val slow = Dedup.ngramJaccardPairs(corpus2, 0.55).collect()
+    assert(slow.length === 1)
+  }
+
   test("prefix-filtered Jaccard matches the baseline on random small-vocab corpora") {
     import spark.implicits._
     // a 12-token vocabulary forces dense collisions — the regime where

@@ -246,4 +246,25 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(estimates(CdcStream.currentSketches(spark, sketchDir).get) === est,
       "pruning old snapshots must not touch the current one")
   }
+
+  test("prune never deletes the pointed-at snapshot, even with a newer unpointed dir") {
+    // crash-window shape: v=N exists on disk but _LATEST still names
+    // v=N-1 (the epoch died between the snapshot write and the pointer
+    // flip). keep=1 keeps the newest dir BY NUMBER (v=N) — the pointer
+    // target must survive anyway, or readers break.
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    import spark.implicits._
+    Seq(("d1", 1L)).toDF("day", "u").write.parquet(s"$dir/v=1")
+    Seq(("d1", 2L)).toDF("day", "u").write.parquet(s"$dir/v=2")
+    Seq(("d1", 3L)).toDF("day", "u").write.parquet(s"$dir/v=3")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_LATEST"),
+      "2".getBytes("UTF-8"))
+    val removed = CdcStream.pruneSketchVersions(spark, dir, keep = 1)
+    assert(removed === 1, "only v=1 is deletable: v=3 is newest, v=2 is pointed-at")
+    val left = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v=")).map(_.getName).toSet
+    assert(left === Set("v=2", "v=3"))
+    assert(CdcStream.currentSketches(spark, dir).get.count() === 1L,
+      "the pointed-at snapshot must still read back")
+  }
 }
