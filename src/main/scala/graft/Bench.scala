@@ -2,10 +2,14 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR,
-  * prints ONE JSON line {"metric","value","unit","queries","sf",…}.
-  * Failures are reported distinctly (never folded into the total as a
-  * fast "success") and flip the exit code.
+/** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR.
+  * Emits one NDJSON line per query ({"query","sec"}) as it completes —
+  * so every timing survives truncation-prone output capture on its own
+  * line — then the summary JSON line {"metric","value","unit",
+  * "queries","sf",…} last (the driver contract). BENCH_LOCAL.json
+  * keeps a whole file copy of the summary. Failures are reported
+  * distinctly (never folded into the total as a fast "success") and
+  * flip the exit code.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,6 +26,8 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.toSeq.filter { case (n, _) => args.contains(n) }
+    def esc0(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", " ").replace("\r", " ").replace("\t", " ")
     val results = selected.sortBy(_._1).map { case (name, fn) =>
       val outcome =
         try {
@@ -39,12 +45,20 @@ object Bench {
       // reuse (CacheManager matches by plan), but letting 66 queries'
       // blocks accumulate distorts every later query's measurement
       spark.catalog.clearCache()
+      // per-query NDJSON line, emitted as soon as the query finishes:
+      // each timing survives on its own line even when the artifact
+      // capture truncates the (large) final summary line, and the lines
+      // double as live progress
+      outcome match {
+        case Right(t) => println(String.format(java.util.Locale.ROOT,
+          """{"query":"%s","sec":%.3f}""", name, Double.box(t)))
+        case Left(m) => println(s"""{"query":"$name","error":"${esc0(m.take(200))}"}""")
+      }
       name -> outcome
     }
     val ok = results.collect { case (n, Right(t)) => n -> t }
     val failed = results.collect { case (n, Left(m)) => n -> m }
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", " ").replace("\r", " ").replace("\t", " ")
+    def esc(s: String) = esc0(s)
     // Locale.ROOT: a comma-decimal default locale would break the JSON
     val qs = ok.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

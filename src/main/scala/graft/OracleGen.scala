@@ -1,0 +1,191 @@
+package graft
+
+import graft.functions.MinHashSigs
+import graft.ops.Similarity
+
+/** Programmatic DuckDB oracle SQL for the signature/LSH operators whose
+  * randomness is plan-time-deterministic: the seeded hyperplanes,
+  * fixed centroids, and universal-hash permutation constants are
+  * serialized INTO the SQL, so the oracle recomputes buckets, cells and
+  * signatures from scratch and the driver's rows+schema+hash gate
+  * applies to queries that were previously rows-only.
+  *
+  * Exactness discipline: any floating-point value that decides ROW
+  * MEMBERSHIP (an SRP sign, an IVF argmax) is computed with
+  * `list_reduce` — an explicit left fold in index order, the same
+  * operation sequence as [[graft.functions.VectorDot]] — so the double
+  * is bit-identical across engines and the decision cannot flip.
+  * Values that only ride along (the reported cosine) use `list_sum` +
+  * round(·, 6), the ss1/ss2 precedent.
+  */
+object OracleGen {
+
+  /** DuckDB: parse the first 15 hex chars of the md5 column `m` into a
+    * 60-bit BIGINT — the SQL twin of [[graft.ops.Dedup.md5Hash60]].
+    */
+  private def hex60(m: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16), " +
+      s"i -> CAST(strpos('0123456789abcdef', substr($m, CAST(i AS INTEGER), 1)) - 1 AS BIGINT))), " +
+      "(acc, x) -> acc * 16 + x)"
+
+  private val P = MinHashSigs.P
+
+  /** dd3p: md5-backed MinHash+LSH pairs (numHashes=64, bands=16, k=3,
+    * seed=42) — mirrors minhashLshPairsPortable step for step.
+    */
+  def dd3pSql(threshold: Double): String = {
+    val (a, b) = MinHashSigs.perms(64, 42L)
+    val minExprs = (0 until 64)
+      .map(j => s"min((${a(j)} * h + ${b(j)}) % $P)").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id AS d, string_split(lower(text), ' ') AS t FROM documents),
+       |shg AS (SELECT d, unnest(list_distinct(
+       |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |  ELSE list_transform(range(0, len(t) - 2),
+       |    i -> array_to_string(list_slice(t, CAST(i + 1 AS INTEGER), CAST(i + 3 AS INTEGER)), ' '))
+       |  END)) AS s FROM tok),
+       |shm AS (SELECT d, md5(s) AS m FROM shg),
+       |sh AS (SELECT DISTINCT d, ${hex60("m")} % $P AS h FROM shm),
+       |sigs AS (SELECT d, [$minExprs] AS sig FROM sh GROUP BY d),
+       |bands AS (SELECT d, bb.b AS band,
+       |    md5(array_to_string(list_slice(sig, CAST(bb.b * 4 + 1 AS INTEGER), CAST(bb.b * 4 + 4 AS INTEGER)), ',')) AS bh
+       |  FROM sigs, range(16) bb(b)),
+       |cand AS (SELECT DISTINCT x.d AS d1, y.d AS d2 FROM bands x
+       |  JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.d < y.d),
+       |sizes AS (SELECT d, count(*) AS n FROM sh GROUP BY d),
+       |common AS (SELECT cand.d1, cand.d2, count(*) AS c FROM cand
+       |  JOIN sh x ON x.d = cand.d1
+       |  JOIN sh y ON y.d = cand.d2 AND y.h = x.h
+       |  GROUP BY cand.d1, cand.d2)
+       |SELECT d1, d2, CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) AS jaccard
+       |FROM common JOIN sizes s1 ON s1.d = common.d1 JOIN sizes s2 ON s2.d = common.d2
+       |WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= $threshold
+       |ORDER BY d1, d2""".stripMargin
+  }
+
+  /** dd4p: md5-backed SimHash pairs (60-bit hashes, 16-bit pigeonhole
+    * chunks, Hamming <= maxDist) — mirrors simhashPairsPortable.
+    */
+  def dd4pSql(maxDist: Int): String = {
+    val bitTerms = (0 until 60).map(bb =>
+      s"(CASE WHEN sum(((h >> $bb) & 1) * 2 - 1) > 0 THEN CAST(1 AS BIGINT) << $bb ELSE CAST(0 AS BIGINT) END)"
+    ).mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id AS d, unnest(string_split(lower(text), ' ')) AS tk FROM documents),
+       |tm AS (SELECT d, md5(tk) AS m FROM tok),
+       |th AS (SELECT d, ${hex60("m")} AS h FROM tm),
+       |sh AS (SELECT d, $bitTerms AS simhash FROM th GROUP BY d),
+       |ch AS (SELECT d, simhash, cc.c AS chunk,
+       |    (simhash >> CAST(cc.c * 16 AS INTEGER)) & 65535 AS cv
+       |  FROM sh, range(4) cc(c)),
+       |cand AS (SELECT DISTINCT x.d AS d1, y.d AS d2,
+       |    CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+       |  FROM ch x JOIN ch y ON x.chunk = y.chunk AND x.cv = y.cv AND x.d < y.d)
+       |SELECT d1, d2, hamming FROM cand WHERE hamming <= $maxDist ORDER BY d1, d2""".stripMargin
+  }
+
+  /** One VALUES row per (table, plane): the ±1 components encoded as a
+    * '1'/'0' sign string, decoded positionally inside the dot fold.
+    */
+  private def planeRows(nPlanes: Int, dim: Int, seeds: Seq[Long]): String =
+    seeds.zipWithIndex.flatMap { case (seed, t) =>
+      Similarity.planeSigns(nPlanes, dim, seed).zipWithIndex.map { case (signs, p) =>
+        val s = signs.map(x => if (x > 0) '1' else '0').mkString
+        s"($t, $p, '$s')"
+      }
+    }.mkString(", ")
+
+  /** Exact in-order signed dot of plane string `s` against vector col
+    * `v` — bit-identical to VectorDot's left fold.
+    */
+  private def planeDot(dim: Int): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+      "i -> (CASE WHEN substr(pl.s, CAST(i AS INTEGER), 1) = '1' THEN 1.0 ELSE -1.0 END) " +
+      "* v[CAST(i AS INTEGER)])), (acc, x) -> acc + x)"
+
+  /** Cosine between e-aliased rows `$qa.v` and `$na.v` (list_sum +
+    * round-6 downstream, the ss1 precedent).
+    */
+  private def cosSql(dim: Int, qa: String, na: String): String = {
+    def d(x: String, y: String) =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> $x.v[CAST(i AS INTEGER)] * $y.v[CAST(i AS INTEGER)]))"
+    s"${d(qa, na)} / (sqrt(${d(qa, qa)}) * sqrt(${d(na, na)}))"
+  }
+
+  /** ss3: SRP-LSH top-k with Hamming<=2 multi-probe on the query side
+    * (nPlanes=12, nTables=8, seeds 7..14, queries vec_id < 8, k=5).
+    */
+  def ss3Sql(k: Int = 5, nPlanes: Int = 12, nTables: Int = 8,
+             dim: Int = 64, baseSeed: Long = 7L): String = {
+    val flips: Seq[Long] = Seq(0L) ++ (0 until nPlanes).map(p => 1L << p) ++
+      (for (p <- 0 until nPlanes; r <- p + 1 until nPlanes) yield (1L << p) | (1L << r))
+    s"""WITH pl(tbl, p, s) AS (VALUES ${planeRows(nPlanes, dim, (0 until nTables).map(baseSeed + _))}),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |dots AS (SELECT e.vec_id, pl.tbl, pl.p, ${planeDot(dim)} AS dp FROM e CROSS JOIN pl),
+       |bkt AS (SELECT vec_id, tbl,
+       |    CAST(sum(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bkt
+       |  FROM dots GROUP BY vec_id, tbl),
+       |qb AS (SELECT b.vec_id AS q_id, b.tbl, xor(b.bkt, CAST(f.f AS BIGINT)) AS bkt
+       |  FROM bkt b, (SELECT unnest([${flips.mkString(", ")}]) AS f) f WHERE b.vec_id < 8),
+       |cand AS (SELECT DISTINCT q.q_id, c.vec_id AS n_id
+       |  FROM qb q JOIN bkt c ON c.tbl = q.tbl AND c.bkt = q.bkt WHERE c.vec_id <> q.q_id),
+       |sims AS (SELECT cand.q_id, cand.n_id, ${cosSql(dim, "qe", "ne")} AS sim
+       |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id JOIN e ne ON ne.vec_id = cand.n_id),
+       |ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (
+       |    PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rank FROM sims)
+       |SELECT q_id, n_id, rank, round(sim, 6) AS sim
+       |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** ss4: SRP-LSH near-dup pairs, Hamming-1 multi-probe on ONE side
+    * (nPlanes=8, nTables=8, seeds 11..18, cosine >= threshold).
+    */
+  def ss4Sql(threshold: Double, nPlanes: Int = 8, nTables: Int = 8,
+             dim: Int = 64, baseSeed: Long = 11L): String = {
+    val flips: Seq[Long] = Seq(0L) ++ (0 until nPlanes).map(p => 1L << p)
+    s"""WITH pl(tbl, p, s) AS (VALUES ${planeRows(nPlanes, dim, (0 until nTables).map(baseSeed + _))}),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |dots AS (SELECT e.vec_id, pl.tbl, pl.p, ${planeDot(dim)} AS dp FROM e CROSS JOIN pl),
+       |bkt AS (SELECT vec_id, tbl,
+       |    CAST(sum(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bkt
+       |  FROM dots GROUP BY vec_id, tbl),
+       |pa AS (SELECT b.vec_id AS id, b.tbl, xor(b.bkt, CAST(f.f AS BIGINT)) AS bkt
+       |  FROM bkt b, (SELECT unnest([${flips.mkString(", ")}]) AS f) f),
+       |cand AS (SELECT DISTINCT a.id AS id1, c.vec_id AS id2
+       |  FROM pa a JOIN bkt c ON c.tbl = a.tbl AND c.bkt = a.bkt AND a.id < c.vec_id),
+       |sims AS (SELECT cand.id1, cand.id2, ${cosSql(dim, "ae", "be")} AS cos_sim
+       |  FROM cand JOIN e ae ON ae.vec_id = cand.id1 JOIN e be ON be.vec_id = cand.id2)
+       |SELECT id1, id2, round(cos_sim, 6) AS cos_sim
+       |FROM sims WHERE cos_sim >= $threshold ORDER BY id1, id2""".stripMargin
+  }
+
+  /** ss5: IVF top-k over the FIXED deterministic centroids
+    * ([[Similarity.fixedCentroids]]), nProbe cells per query. Doubles
+    * are serialized via Double.toString (shortest round-trip form), so
+    * the SQL literal parses back to the identical IEEE value.
+    */
+  def ss5Sql(k: Int = 5, nCentroids: Int = 16, nProbe: Int = 6,
+             dim: Int = 64): String = {
+    val rows = Similarity.fixedCentroids(nCentroids, dim).map { c =>
+      s"(${c.id}, [${c.vec.mkString(", ")}], ${c.norm})"
+    }.mkString(", ")
+    val centDot = s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+      "i -> cv[CAST(i AS INTEGER)] * v[CAST(i AS INTEGER)])), (acc, x) -> acc + x)"
+    s"""WITH cent(cid, cv, cn) AS (VALUES $rows),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |cs AS (SELECT e.vec_id, cent.cid, $centDot / cn AS c_sim FROM e CROSS JOIN cent),
+       |cell AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cid DESC) AS rn FROM cs)
+       |  WHERE rn = 1),
+       |probe AS (SELECT vec_id AS q_id, cid AS cell FROM (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cid DESC) AS rn
+       |    FROM cs WHERE vec_id < 8)
+       |  WHERE rn <= $nProbe),
+       |cand AS (SELECT DISTINCT p.q_id, c.vec_id AS n_id
+       |  FROM probe p JOIN cell c ON c.cell = p.cell WHERE c.vec_id <> p.q_id),
+       |sims AS (SELECT cand.q_id, cand.n_id, ${cosSql(dim, "qe", "ne")} AS sim
+       |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id JOIN e ne ON ne.vec_id = cand.n_id),
+       |ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (
+       |    PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rank FROM sims)
+       |SELECT q_id, n_id, rank, round(sim, 6) AS sim
+       |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+}

@@ -398,7 +398,9 @@ object QueriesOps {
         |  SELECT 1 FROM documents b WHERE b.doc_id < 300 AND md5(b.text) = md5(d.text))
         |ORDER BY doc_id""".stripMargin)),
 
-    // xxhash64-based — rows-only here; recall-vs-exact checked in tests.
+    // xxhash64-based — rows-only here; recall-vs-exact checked in tests
+    // and the same LSH construction fully value-checked via the
+    // md5-backed portable twins dd3p/dd4p below.
     "dd3_minhash_lsh_pairs" -> Q(
       (s, d) => Dedup.minhashLshPairs(par(docs(s, d)), threshold = 0.5).orderBy("d1", "d2"),
       None),
@@ -406,6 +408,22 @@ object QueriesOps {
     "dd4_simhash_pairs" -> Q(
       (s, d) => Dedup.simhashPairs(par(docs(s, d)), maxDist = 3).orderBy("d1", "d2"),
       None),
+
+    // Portable-signature twins: identical MinHash-LSH / SimHash
+    // constructions with every hash md5-derived, so the DuckDB oracle
+    // rebuilds signatures, bands and chunks from scratch and the full
+    // rows+schema+hash gate applies (the xxhash64 natives above stay
+    // the production fast path; OracleGen serializes the permutation
+    // constants into the SQL from the same MinHashSigs.perms source).
+    "dd3p_minhash_portable" -> Q(
+      (s, d) => Dedup.minhashLshPairsPortable(par(docs(s, d)), threshold = 0.5)
+        .orderBy("d1", "d2"),
+      Some(OracleGen.dd3pSql(0.5))),
+
+    "dd4p_simhash_portable" -> Q(
+      (s, d) => Dedup.simhashPairsPortable(par(docs(s, d)), maxDist = 3)
+        .orderBy("d1", "d2"),
+      Some(OracleGen.dd4pSql(3))),
 
     // ---- similarity search -------------------------------------------
 
@@ -452,9 +470,12 @@ object QueriesOps {
         |SELECT id1, id2, round(cos_sim, 6) AS cos_sim
         |FROM pairs WHERE cos_sim >= 0.4 ORDER BY id1, id2""".stripMargin)),
 
-    // seeded-RNG SRP buckets — rows-only; recall checked in tests and
-    // quantified by ann1_recall (0.50 at 8 tables + Hamming-2 probing;
-    // the query side is small by definition, so deep probing is cheap).
+    // Seeded SRP buckets are plan-time literals, so the oracle gets the
+    // SAME ±1 planes serialized into its SQL (OracleGen.ss3Sql) and
+    // recomputes every bucket: fully value-checked. Bucket-deciding
+    // dots use list_reduce in the oracle — the same left fold as
+    // VectorDot — so a sign can never flip between engines. Recall
+    // quantified by ann1_recall (0.50 at 8 tables + Hamming-2 probing).
     "ss3_lsh_topk" -> Q(
       (s, d) => {
         val e = embs(s, d)
@@ -462,7 +483,7 @@ object QueriesOps {
           .select(col("q_id"), col("n_id"), col("rank"), round(col("sim"), 6).as("sim"))
           .orderBy("q_id", "rank")
       },
-      None),
+      Some(OracleGen.ss3Sql())),
 
     // 8 planes × 8 tables + Hamming-1 multi-probe on one join side:
     // this query targets moderate-similarity pairs (cos 0.4), where
@@ -473,17 +494,22 @@ object QueriesOps {
           nPlanes = 8, nTables = 8, multiProbe = true)
         .select(col("id1"), col("id2"), round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy("id1", "id2"),
-      None),
+      Some(OracleGen.ss4Sql(0.4))),
 
     // IVF scale path: probe-limited exact search inside coarse cells.
+    // The GATE query quantizes against fixed deterministic centroids
+    // (data-independent literals the oracle can be handed verbatim —
+    // OracleGen.ss5Sql); the k-means index build stays the default path
+    // and stays quantified under the gate via ann2_recall_floor.
     "ss5_ivf_topk" -> Q(
       (s, d) => {
         val e = embs(s, d)
-        Similarity.ivfTopK(par(e), e.filter(col("vec_id") < 8), k = 5)
+        Similarity.ivfTopK(par(e), e.filter(col("vec_id") < 8), k = 5,
+            centroids = Similarity.fixedCentroids(16, 64))
           .select(col("q_id"), col("n_id"), col("rank"), round(col("sim"), 6).as("sim"))
           .orderBy("q_id", "rank")
       },
-      None),
+      Some(OracleGen.ss5Sql())),
 
     // VQ1: int8 absmax quantization of the embedding corpus — scale,
     // quantized checksums, and the per-element reconstruction-error

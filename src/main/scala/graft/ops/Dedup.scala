@@ -228,14 +228,35 @@ object Dedup {
           i => concat_ws(" ", slice(tt, i + 1, lit(k)))))))
   }
 
+  /** Default shingle hash: xxhash64 reduced into the universal-hash
+    * family's domain [0, P). Fast (codegen'd native) but not
+    * reproducible outside the JVM — the portable variants swap in
+    * [[md5Hash60]].
+    */
+  def xxShingleHash(c: Column): Column = pmod(xxhash64(c), lit(P))
+
+  /** Portable 60-bit hash: the first 15 hex chars of md5, parsed as a
+    * long. ~16× slower than xxhash64 but reproducible by ANY engine
+    * with md5 — the DuckDB oracle re-derives it digit by digit, which
+    * is what lets the `*Portable` signature operators carry a full
+    * value check at the gate while the xxhash64 natives stay the
+    * production fast path.
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** [[md5Hash60]] reduced into the permutation family's domain. */
+  def md5ShingleHash(c: Column): Column = pmod(md5Hash60(c), lit(P))
+
   /** Distinct (doc, shingle-hash) pairs — the exploded inverted-index
     * form shared by signature building and candidate verification.
     */
   def shingleHashes(docs: DataFrame, shingleK: Int,
-                    textCol: String, idCol: String): DataFrame =
+                    textCol: String, idCol: String,
+                    hashFn: Column => Column = xxShingleHash): DataFrame =
     docs.select(col(idCol).as("d"),
         explode(array_distinct(shingleCol(col(textCol), shingleK))).as("sh"))
-      .select(col("d"), pmod(xxhash64(col("sh")), lit(P)).as("h"))
+      .select(col("d"), hashFn(col("sh")).as("h"))
 
   /** MinHash signatures: one row per doc with `sig: array<bigint>` of
     * length numHashes.
@@ -248,9 +269,10 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 64, shingleK: Int = 3,
                         textCol: String = "text", idCol: String = "doc_id",
-                        seed: Long = 42L): DataFrame = {
+                        seed: Long = 42L,
+                        hashFn: Column => Column = xxShingleHash): DataFrame = {
     val hashes = transform(array_distinct(shingleCol(col(textCol), shingleK)),
-      x => pmod(xxhash64(x), lit(P)))
+      x => hashFn(x))
     if (graft.GraftExtensions.available("minhash_sigs"))
       docs.select(col(idCol).as("d"),
         call_function("minhash_sigs", hashes, lit(numHashes), lit(seed)).as("sig"))
@@ -283,14 +305,17 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.7,
                       numHashes: Int = 64, bands: Int = 16,
                       shingleK: Int = 3,
-                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                      textCol: String = "text", idCol: String = "doc_id",
+                      hashFn: Column => Column = xxShingleHash,
+                      bandHashFn: Column => Column = c => xxhash64(c)): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rpb = numHashes / bands
-    val sigs = minhashSignatures(docs, numHashes, shingleK, textCol, idCol)
+    val sigs = minhashSignatures(docs, numHashes, shingleK, textCol, idCol,
+      hashFn = hashFn)
     val banded = sigs.select(col("d"),
         posexplode(transform(
           sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",", slice(col("sig"), b * rpb + 1, lit(rpb)))))))
+          b => bandHashFn(concat_ws(",", slice(col("sig"), b * rpb + 1, lit(rpb)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     // candidates are SMALL (near-dup pairs, not the corpus) and are
     // consumed by three downstream branches — cache once instead of
@@ -310,7 +335,8 @@ object Dedup {
     // (sizes + both sides of the common-shingle join).
     val candDocs = cand.select(col("d1").as("cd")).union(cand.select(col("d2").as("cd"))).distinct()
     val docsC = docs.join(candDocs, col(idCol) === col("cd"), "left_semi")
-    val sh = shingleHashes(docsC, shingleK, textCol, idCol).dropDuplicates("d", "h")
+    val sh = shingleHashes(docsC, shingleK, textCol, idCol, hashFn)
+      .dropDuplicates("d", "h")
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val sizes = sh.groupBy(col("d")).agg(count(lit(1)).as("n"))
     val common = cand
@@ -325,6 +351,22 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
   }
+
+  /** [[minhashLshPairs]] with every hash md5-derived ([[md5Hash60]] for
+    * shingles, md5 hex for band buckets) — identical LSH construction,
+    * fully reproducible by the DuckDB oracle, so this variant carries a
+    * rows+schema+hash check at the gate where the xxhash64 native is
+    * rows-only. Same shuffle profile; ~16× more hash arithmetic in the
+    * signature map pass, which is why it is the GATE variant rather
+    * than the default.
+    */
+  def minhashLshPairsPortable(docs: DataFrame, threshold: Double = 0.7,
+                              numHashes: Int = 64, bands: Int = 16,
+                              shingleK: Int = 3,
+                              textCol: String = "text",
+                              idCol: String = "doc_id"): DataFrame =
+    minhashLshPairs(docs, threshold, numHashes, bands, shingleK, textCol, idCol,
+      hashFn = md5ShingleHash, bandHashFn = md5)
 
   // ---------------- dedup clustering (connected components) ----------
 
@@ -436,8 +478,9 @@ object Dedup {
     * traversals (frequency weighting falls out of iterating raw
     * occurrences).
     */
-  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val hashes = transform(tokens(col(textCol)), t => xxhash64(t))
+  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+              tokenHash: Column => Column = c => xxhash64(c)): DataFrame = {
+    val hashes = transform(tokens(col(textCol)), t => tokenHash(t))
     if (graft.GraftExtensions.available("simhash64"))
       docs.select(col(idCol).as("d"), call_function("simhash64", hashes).as("simhash"))
     else {
@@ -456,8 +499,9 @@ object Dedup {
     * agree on at least one chunk, so the join is bucketed, not n².
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
-                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sh = simhash(docs, textCol, idCol)
+                   textCol: String = "text", idCol: String = "doc_id",
+                   tokenHash: Column => Column = c => xxhash64(c)): DataFrame = {
+    val sh = simhash(docs, textCol, idCol, tokenHash)
     // Chunk count is static (4 × 16-bit), so the array is built Scala-side
     // with the Int-typed shift overload — stays fully codegen'd.
     val chunks = array((0 until 4).map(c =>
@@ -472,6 +516,16 @@ object Dedup {
       .dropDuplicates("d1", "d2")
       .filter(col("hamming") <= maxDist)
   }
+
+  /** [[simhashPairs]] with [[md5Hash60]] token hashes — effectively a
+    * 60-bit SimHash (the top 4 bits of every token hash are zero, so
+    * the top 4 simhash bits are always clear, identically in both
+    * engines), fully recomputable by the DuckDB oracle bit by bit.
+    */
+  def simhashPairsPortable(docs: DataFrame, maxDist: Int = 3,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame =
+    simhashPairs(docs, maxDist, textCol, idCol, tokenHash = md5Hash60)
 
   /** Cross-document duplicated-span detection — the substring-level
     * exact dedup of Lee et al., "Deduplicating Training Data Makes

@@ -68,10 +68,19 @@ object Similarity {
     * planes × tables × dim literals the tree-shaped form made codegen
     * JIT the dominant cost of the LSH queries.
     */
-  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Column] = {
+  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Column] =
+    planeSigns(nPlanes, dim, seed).map(typedlit(_))
+
+  /** The raw ±1 plane components behind [[srpBucket]] — public so the
+    * DuckDB oracle generator (graft.OracleGen) can serialize the SAME
+    * literals into SQL and recompute buckets exactly. Element order is
+    * the seeded-RNG call order; both consumers share one definition so
+    * they cannot drift.
+    */
+  def planeSigns(nPlanes: Int, dim: Int, seed: Long): Seq[IndexedSeq[Double]] = {
     val r = new Random(seed)
     (0 until nPlanes).map { _ =>
-      typedlit((0 until dim).map(_ => if (r.nextBoolean()) 1.0 else -1.0))
+      (0 until dim).map(_ => if (r.nextBoolean()) 1.0 else -1.0)
     }
   }
 
@@ -152,6 +161,24 @@ object Similarity {
 
   /** An IVF coarse centroid: synthetic cell id, vector, L2 norm. */
   final case class Centroid(id: Long, vec: Array[Double], norm: Double)
+
+  /** Deterministic DATA-INDEPENDENT centroids: seeded-Gaussian unit
+    * vectors. Coarser cells than [[kmeansCentroids]] (they ignore the
+    * corpus distribution), but every component is a fixed literal that
+    * an external SQL engine can be handed verbatim — which is what lets
+    * the driver's DuckDB oracle value-check the IVF query end to end.
+    * The k-means index build stays quantified under the gate through
+    * `ann2_recall_floor`, which uses the default (k-means) path.
+    */
+  def fixedCentroids(n: Int, dim: Int, seed: Long = 5L): Seq[Centroid] = {
+    val r = new Random(seed)
+    (0 until n).map { i =>
+      val raw = Array.fill(dim)(r.nextGaussian())
+      val nm = math.sqrt(raw.map(x => x * x).sum)
+      val v = raw.map(_ / nm)
+      Centroid(i.toLong, v, math.sqrt(v.map(x => x * x).sum).max(1e-12))
+    }
+  }
 
   /** Spherical k-means (Lloyd's) centroids for [[ivfTopK]], computed
     * driver-side over a deterministic hash-ordered sample — the same
