@@ -171,6 +171,41 @@ object Queries {
 
     "j1_flagship_upsert" -> Q(flagshipUpsert, Some(flagshipSql)),
 
+    // T7 tombstone mode under the gate: same snapshot/delta split as
+    // j1, but delta rows with entity 'error' (the p6 REMOVE convention)
+    // are tombstones — a key whose LATEST event is a REMOVE disappears
+    // from the merge instead of being ignored (SURVEY §7.6 item 6: the
+    // design must not paint itself into insert/update-only). event_id
+    // makes every window order total, so DuckDB replays the merge
+    // decision for decision.
+    "j4_tombstone_upsert" -> Q(
+      (s, d) => {
+        val base = keyed(tx(s, d)).select(flatCols.map(col): _*)
+        val tiebreak = Seq(col("event_id").desc)
+        val snap = Merge.dedupLatest(
+          base.filter(col("event_id") % 2 === 0), "id", "update_at", tiebreak)
+        val delt = base.filter(col("event_id") % 2 === 1)
+        Merge.upsertWithTombstones(snap, delt, col("entity") === "error",
+            "id", "update_at", tiebreak)
+          .select("id", "account", "update_at", "entity", "amount", "event_id")
+          .orderBy("id")
+      },
+      Some(s"""$TxCte$KeyedCte,
+        |snap AS (SELECT * EXCLUDE rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, event_id DESC) AS rn
+        |  FROM keyed WHERE event_id % 2 = 0) WHERE rn = 1),
+        |delt0 AS (SELECT *, CASE WHEN entity = 'error' THEN 1 ELSE 0 END AS del
+        |  FROM keyed WHERE event_id % 2 = 1),
+        |delt AS (SELECT * EXCLUDE rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, del DESC, event_id DESC) AS rn
+        |  FROM delt0) WHERE rn = 1),
+        |u AS (SELECT * FROM delt UNION ALL SELECT *, 0 AS del FROM snap),
+        |m AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, del DESC, event_id DESC) AS rn
+        |  FROM u) WHERE rn = 1 AND del = 0)
+        |SELECT id, account, update_at, entity, amount, event_id
+        |FROM m ORDER BY id""".stripMargin)),
+
     "s1_initial_load_e2e" -> Q(initialLoadE2e, Some(initialLoadSql)),
 
     // P6: REMOVE filter — entity "error" plays the REMOVE role.

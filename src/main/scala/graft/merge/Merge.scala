@@ -135,20 +135,26 @@ object Merge {
 
   /** Tombstone-aware upsert: REMOVE rows in `delta` (flagged by
     * `isDelete`) drop the key from the result instead of being ignored.
+    * `tiebreak` extends the (version desc, delete-first) order to a
+    * total one — pass the event sequence column so equal-version
+    * duplicates resolve identically in any engine (the same contract as
+    * [[dedupLatest]]; without it the content-hash last resort decides,
+    * which an external oracle cannot reproduce).
     */
   def upsertWithTombstones(
       snapshot: DataFrame,
       delta: DataFrame,
       isDelete: Column,
       keyCol: String = "id",
-      versionCol: String = "update_at"): DataFrame = {
+      versionCol: String = "update_at",
+      tiebreak: Seq[Column] = Seq.empty): DataFrame = {
     val cols = snapshot.columns.toIndexedSeq
     val d = delta.withColumn("__del", isDelete.cast("int"))
       .selectExpr((cols :+ "__del"): _*)
     val s = snapshot.withColumn("__del", lit(0))
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(versionCol).desc, col("__del").desc)
-    dedupLatest(d, keyCol, versionCol, Seq(col("__del").desc))
+      .orderBy((col(versionCol).desc +: col("__del").desc +: tiebreak): _*)
+    dedupLatest(d, keyCol, versionCol, col("__del").desc +: tiebreak)
       .unionByName(s)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("__del") === 0)

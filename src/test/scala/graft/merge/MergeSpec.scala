@@ -158,4 +158,26 @@ class MergeSpec extends AnyFunSuite {
       .select("id").as[String].collect().sorted
     assert(out === Array("k1", "k3"))
   }
+
+  test("tombstone upsert tiebreak: delete-first on version ties, then sequence — total order") {
+    import spark.implicits._
+    def df(rows: Seq[(String, String, String, Int)]) =
+      rows.toDF("id", "update_at", "note", "seq")
+    val snap = df(Seq(("k1", "2024-01-01T00:00:01.000000+0000", "a", 0),
+      ("k2", "2024-01-01T00:00:01.000000+0000", "a", 1)))
+    // contract (mirrored by the j4 oracle): version desc, then
+    // delete-first, THEN the caller's sequence. So an equal-version
+    // delete removes the key even when an insert carries a higher seq
+    // (conservative: a tie with a tombstone is a tombstone)...
+    val delta = df(Seq(
+      ("k1", "2024-01-01T00:00:02.000000+0000", "DEL", 2),
+      ("k1", "2024-01-01T00:00:02.000000+0000", "b", 3),
+      // ...and two equal-version INSERTS resolve by seq, reproducibly
+      ("k2", "2024-01-01T00:00:02.000000+0000", "x", 4),
+      ("k2", "2024-01-01T00:00:02.000000+0000", "y", 5)))
+    val out = Merge.upsertWithTombstones(snap, delta,
+      isDelete = col("note") === "DEL", tiebreak = Seq(col("seq").desc))
+    val rows = out.select("id", "note").as[(String, String)].collect().sorted
+    assert(rows === Array(("k2", "y")), "k1 tombstoned on the tie; k2 takes seq-5 insert")
+  }
 }
