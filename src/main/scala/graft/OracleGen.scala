@@ -62,6 +62,43 @@ object OracleGen {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  /** dd12: incremental near-dup dedup — delta docs (doc_id >= split)
+    * surviving a signature-agreement dedup against the base corpus's
+    * (doc_id < split) persisted MinHash signature table. The oracle
+    * rebuilds BOTH sides' signatures from the documents table with the
+    * same md5-backed family (the engine only ever re-signs the delta;
+    * proving value-equality against a from-scratch recomputation is
+    * exactly what shows the persisted store is lossless).
+    */
+  def dd12Sql(split: Long, estThreshold: Double): String = {
+    val (a, b) = MinHashSigs.perms(64, 42L)
+    val minExprs = (0 until 64)
+      .map(j => s"min((${a(j)} * h + ${b(j)}) % $P)").mkString(", ")
+    val agree = "list_sum(list_transform(range(1, 65), " +
+      "i -> CASE WHEN sa.sig[CAST(i AS INTEGER)] = sb.sig[CAST(i AS INTEGER)] THEN 1 ELSE 0 END))"
+    s"""WITH tok AS (SELECT doc_id AS d, string_split(lower(text), ' ') AS t FROM documents),
+       |shg AS (SELECT d, unnest(list_distinct(
+       |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |  ELSE list_transform(range(0, len(t) - 2),
+       |    i -> array_to_string(list_slice(t, CAST(i + 1 AS INTEGER), CAST(i + 3 AS INTEGER)), ' '))
+       |  END)) AS s FROM tok),
+       |shm AS (SELECT d, md5(s) AS m FROM shg),
+       |sh AS (SELECT DISTINCT d, ${hex60("m")} % $P AS h FROM shm),
+       |sigs AS (SELECT d, [$minExprs] AS sig FROM sh GROUP BY d),
+       |bands AS (SELECT d, bb.b AS band,
+       |    md5(array_to_string(list_slice(sig, CAST(bb.b * 4 + 1 AS INTEGER), CAST(bb.b * 4 + 4 AS INTEGER)), ',')) AS bh
+       |  FROM sigs, range(16) bb(b)),
+       |cand AS (SELECT DISTINCT x.d AS d1, y.d AS d2 FROM bands x
+       |  JOIN bands y ON x.band = y.band AND x.bh = y.bh
+       |  WHERE x.d >= $split AND y.d < $split),
+       |hits AS (SELECT DISTINCT cand.d1 FROM cand
+       |  JOIN sigs sa ON sa.d = cand.d1 JOIN sigs sb ON sb.d = cand.d2
+       |  WHERE CAST($agree AS DOUBLE) / 64.0 >= $estThreshold)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id >= $split AND doc_id NOT IN (SELECT d1 FROM hits)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** dd4p: md5-backed SimHash pairs (60-bit hashes, 16-bit pigeonhole
     * chunks, Hamming <= maxDist) — mirrors simhashPairsPortable.
     */

@@ -425,6 +425,33 @@ object QueriesOps {
         .orderBy("d1", "d2"),
       Some(OracleGen.dd4pSql(3))),
 
+    // Incremental NEAR-dup dedup against a PERSISTED signature table —
+    // dd8's incremental pattern lifted from exact hashes to MinHash:
+    // the base corpus (doc_id < 300) is signed once and published as a
+    // VersionedDir snapshot (the hl2 commit pattern: v= dir + atomic
+    // _LATEST pointer); the delta then dedups against the store — the
+    // base is neither rescanned nor re-signed, only its ~64-long/doc
+    // signature snapshot band-joins (ids-only) with the freshly-signed
+    // delta, and candidates verify by in-row signature agreement (exact
+    // integer compares). The oracle recomputes BOTH sides from the raw
+    // documents table — value-equality proves the persisted store is
+    // lossless.
+    "dd12_incremental_sig_dedup" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        val store = Queries.scratch("sig_store")
+        graft.ingest.VersionedDir.publish(
+          Dedup.minhashSignatures(all.filter(col("doc_id") < 300),
+            hashFn = Dedup.md5ShingleHash),
+          store, 1L)
+        val baseSigs = graft.ingest.VersionedDir.current(s, store).get
+        Dedup.dedupDeltaAgainstSignatures(
+            all.filter(col("doc_id") >= 300), baseSigs, estThreshold = 0.5,
+            hashFn = Dedup.md5ShingleHash, bandHashFn = md5)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(OracleGen.dd12Sql(300, 0.5))),
+
     // ---- similarity search -------------------------------------------
 
     "ss1_bruteforce_topk" -> Q(

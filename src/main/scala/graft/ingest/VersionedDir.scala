@@ -1,0 +1,73 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+
+/** Versioned parquet snapshot dir with an atomic `_LATEST` pointer —
+  * the commit pattern behind the streaming HLL sketch table (hl2) and
+  * the incremental dedup signature store (dd12): each publish writes a
+  * NEW `v=<version>` dir and then flips the pointer with a single
+  * atomic overwrite-rename, so readers never observe a partial table
+  * and a crash at any point leaves the previous snapshot live.
+  *
+  * Replay safety is the CALLER's contract: re-publishing the same
+  * version overwrites the same dir (idempotent), and merge-style
+  * callers (HLL union) are idempotent by algebra.
+  */
+object VersionedDir {
+
+  /** Write `df` as snapshot `v=<version>` under `dir` and atomically
+    * point `_LATEST` at it.
+    */
+  def publish(df: DataFrame, dir: String, version: Long): Unit = {
+    df.write.mode("overwrite").parquet(s"$dir/v=$version")
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    val tmp = new Path(dir, s"_LATEST.$version.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    // atomic overwrite-rename: no delete-then-rename window in which a
+    // crash would leave NO pointer; FileContext.rename throws on
+    // failure rather than returning an unchecked boolean
+    val fc = FileContext.getFileContext(new Path(dir).toUri, conf)
+    fc.rename(tmp, new Path(dir, "_LATEST"), Options.Rename.OVERWRITE)
+  }
+
+  /** The version `_LATEST` names, or None before the first publish. */
+  def currentVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val ptr = new Path(dir, "_LATEST")
+    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(ptr)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(ptr).getLen.toInt)
+      val in = fs.open(ptr)
+      try in.readFully(0, buf) finally in.close()
+      scala.util.Try(new String(buf, "UTF-8").trim.toLong).toOption
+    }
+  }
+
+  /** Read the pointed-at snapshot, or None before the first publish. */
+  def current(spark: SparkSession, dir: String): Option[DataFrame] =
+    currentVersion(spark, dir).map(v => spark.read.parquet(s"$dir/v=$v"))
+
+  /** Delete every snapshot dir older than the `keep` most recent,
+    * NEVER the pointed-at one (even when a crash left a newer unpointed
+    * dir above it). Returns the number of dirs removed.
+    */
+  def prune(spark: SparkSession, dir: String, keep: Int = 2): Int = {
+    require(keep >= 1, "must keep at least the current snapshot")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) 0
+    else {
+      val versions = fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+        .map(s => s.getPath.getName.stripPrefix("v=").toLong)
+        .sorted
+      val pointed = currentVersion(spark, dir)
+      val drop = versions.dropRight(keep).filterNot(pointed.contains)
+      drop.foreach(v => fs.delete(new Path(dir, s"v=$v"), true))
+      drop.size
+    }
+  }
+}

@@ -308,15 +308,9 @@ object Dedup {
                       textCol: String = "text", idCol: String = "doc_id",
                       hashFn: Column => Column = xxShingleHash,
                       bandHashFn: Column => Column = c => xxhash64(c)): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rpb = numHashes / bands
     val sigs = minhashSignatures(docs, numHashes, shingleK, textCol, idCol,
       hashFn = hashFn)
-    val banded = sigs.select(col("d"),
-        posexplode(transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => bandHashFn(concat_ws(",", slice(col("sig"), b * rpb + 1, lit(rpb)))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val banded = bandsOfSignatures(sigs, numHashes, bands, bandHashFn)
     // candidates are SMALL (near-dup pairs, not the corpus) and are
     // consumed by three downstream branches — cache once instead of
     // re-running the band join per branch. DISK_ONLY persist, not
@@ -350,6 +344,83 @@ object Dedup {
         col("c").cast("double") / (col("n1") + col("n2") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** Derive the banded (d, band, bh) relation from a signature table
+    * (one row per doc with `sig: array<bigint>`) — a narrow in-row map,
+    * so the PERSISTED form stays one row per doc and banding costs
+    * nothing to re-derive at read time.
+    */
+  def bandsOfSignatures(sigs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+                        bandHashFn: Column => Column = c => xxhash64(c)): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rpb = numHashes / bands
+    sigs.select(col("d"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => bandHashFn(concat_ws(",", slice(col("sig"), b * rpb + 1, lit(rpb)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+  }
+
+  /** Incremental NEAR-dup pairs of a delta against a PERSISTED base
+    * signature table — the dd8 incremental pattern lifted from exact
+    * hashes to MinHash: the base corpus is never rescanned and never
+    * re-signed; only its (doc, sig) snapshot (64 longs/doc, ~3 orders
+    * smaller than text) participates.
+    *
+    * `baseSigs` is the signature table (d, sig) — typically
+    * [[graft.ingest.VersionedDir.current]] of a store that
+    * [[graft.ingest.VersionedDir.publish]] wrote at base-corpus build
+    * time. The delta is signed HERE (one narrow codegen pass over delta
+    * text only), band-joined against the base bands (ids-only shuffle),
+    * and candidates are verified by SIGNATURE AGREEMENT — the fraction
+    * of equal signature slots, the standard unbiased Jaccard estimator,
+    * computed in-row from the two sig arrays (exact integer compares,
+    * so any engine reproduces it bit for bit). Base text is not
+    * available by design, so verification is estimator-based — at the
+    * default 64 hashes the estimator's σ ≈ 0.06, and the J≥0.9 dup
+    * density this targets sits far above any sane `estThreshold`.
+    *
+    * Output: (d1 = delta id, d2 = base id, est).
+    */
+  def incrementalNearDupPairs(delta: DataFrame, baseSigs: DataFrame,
+                              estThreshold: Double = 0.5,
+                              numHashes: Int = 64, bands: Int = 16,
+                              shingleK: Int = 3,
+                              textCol: String = "text", idCol: String = "doc_id",
+                              hashFn: Column => Column = xxShingleHash,
+                              bandHashFn: Column => Column = c => xxhash64(c)): DataFrame = {
+    val dsig = minhashSignatures(delta, numHashes, shingleK, textCol, idCol,
+      hashFn = hashFn)
+    val cand = bandsOfSignatures(dsig, numHashes, bands, bandHashFn).as("a")
+      .join(bandsOfSignatures(baseSigs, numHashes, bands, bandHashFn).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.d").as("d1"), col("b.d").as("d2"))
+      .dropDuplicates("d1", "d2")
+    cand
+      .join(dsig.select(col("d").as("d1"), col("sig").as("s1")), "d1")
+      .join(baseSigs.select(col("d").as("d2"), col("sig").as("s2")), "d2")
+      .withColumn("est",
+        aggregate(zip_with(col("s1"), col("s2"),
+            (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
+      .filter(col("est") >= estThreshold)
+      .select(col("d1"), col("d2"), col("est"))
+  }
+
+  /** The incremental dedup DECISION: delta docs that are near-dups of
+    * nothing in the persisted base signature table.
+    */
+  def dedupDeltaAgainstSignatures(delta: DataFrame, baseSigs: DataFrame,
+                                  estThreshold: Double = 0.5,
+                                  numHashes: Int = 64, bands: Int = 16,
+                                  shingleK: Int = 3,
+                                  textCol: String = "text", idCol: String = "doc_id",
+                                  hashFn: Column => Column = xxShingleHash,
+                                  bandHashFn: Column => Column = c => xxhash64(c)): DataFrame = {
+    val hits = incrementalNearDupPairs(delta, baseSigs, estThreshold,
+      numHashes, bands, shingleK, textCol, idCol, hashFn, bandHashFn)
+    delta.join(hits.select(col("d1").as(idCol)).distinct(), Seq(idCol), "left_anti")
   }
 
   /** [[minhashLshPairs]] with every hash md5-derived ([[md5Hash60]] for

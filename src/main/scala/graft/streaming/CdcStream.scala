@@ -187,22 +187,9 @@ object CdcStream {
             case None => bs
           }
           // snapshot dir per epoch: same-batch replay rewrites the same
-          // dir (mode overwrite = idempotent), never the live snapshot
-          merged.write.mode("overwrite").parquet(s"$sketchDir/v=$batchId")
-          val fs = new org.apache.hadoop.fs.Path(sketchDir)
-            .getFileSystem(s.sparkContext.hadoopConfiguration)
-          val tmp = new org.apache.hadoop.fs.Path(sketchDir, s"_LATEST.$batchId.tmp")
-          val out = fs.create(tmp, true)
-          try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-          // single atomic overwrite-rename (no delete-then-rename window
-          // in which a crash would leave NO pointer and a replay would
-          // silently rebuild from only its own batch); FileContext.rename
-          // throws on failure rather than returning an unchecked boolean
-          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-            new org.apache.hadoop.fs.Path(sketchDir).toUri,
-            s.sparkContext.hadoopConfiguration)
-          fc.rename(tmp, new org.apache.hadoop.fs.Path(sketchDir, "_LATEST"),
-            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          // dir (mode overwrite = idempotent), never the live snapshot;
+          // the pointer flip is VersionedDir's atomic overwrite-rename
+          graft.ingest.VersionedDir.publish(merged, sketchDir, batchId)
         }
       }
       .start().awaitTermination()
@@ -214,49 +201,14 @@ object CdcStream {
     * of dirs removed. Run on a cleanup cadence, not per epoch.
     */
   def pruneSketchVersions(spark: SparkSession, sketchDir: String,
-                          keep: Int = 2): Int = {
-    require(keep >= 1, "must keep at least the current snapshot")
-    val root = new org.apache.hadoop.fs.Path(sketchDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) 0
-    else {
-      val versions = fs.listStatus(root).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-        .map(s => s.getPath.getName.stripPrefix("v=").toLong)
-        .sorted
-      // the pointed-at snapshot is sacrosanct even when a crash left a
-      // NEWER unpointed v= dir above it (keep=1 would otherwise delete
-      // exactly the dir readers resolve through _LATEST)
-      val ptr = new org.apache.hadoop.fs.Path(sketchDir, "_LATEST")
-      val pointed: Option[Long] =
-        if (!fs.exists(ptr)) None
-        else {
-          val buf = new Array[Byte](fs.getFileStatus(ptr).getLen.toInt)
-          val in = fs.open(ptr)
-          try in.readFully(0, buf) finally in.close()
-          scala.util.Try(new String(buf, "UTF-8").trim.toLong).toOption
-        }
-      val drop = versions.dropRight(keep).filterNot(pointed.contains)
-      drop.foreach(v => fs.delete(
-        new org.apache.hadoop.fs.Path(sketchDir, s"v=$v"), true))
-      drop.size
-    }
-  }
+                          keep: Int = 2): Int =
+    graft.ingest.VersionedDir.prune(spark, sketchDir, keep)
 
   /** Read the current sketch snapshot (the dir the `_LATEST` pointer
     * names), or None before the first commit.
     */
-  def currentSketches(spark: SparkSession, sketchDir: String): Option[DataFrame] = {
-    val ptr = new org.apache.hadoop.fs.Path(sketchDir, "_LATEST")
-    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(ptr)) None
-    else {
-      val buf = new Array[Byte](fs.getFileStatus(ptr).getLen.toInt)
-      val in = fs.open(ptr)
-      try in.readFully(0, buf) finally in.close()
-      Some(spark.read.parquet(s"$sketchDir/v=${new String(buf, "UTF-8").trim}"))
-    }
-  }
+  def currentSketches(spark: SparkSession, sketchDir: String): Option[DataFrame] =
+    graft.ingest.VersionedDir.current(spark, sketchDir)
 
   /** Stream-stream inner join scoped to a shared event-time window:
     * rows from the two streams pair up when their keys match AND their
