@@ -761,17 +761,40 @@ object QueriesOps {
         |  CAST((n + 1023) // 1024 AS INTEGER) AS n_frames
         |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // REAL video decode: synthesize a YUV4MPEG2 stream per document
+    // (C420 frames cycling the UTF-8 text bytes), genuinely walk the
+    // tagged header and every FRAME marker, and emit each sampled
+    // frame's PARSED data offset + luma-plane sum. The oracle rebuilds
+    // offsets and sums from the synthesis rule with integer arithmetic
+    // (the mm4 hex-byte trick), so a wrong header walk, frame-size
+    // rule, or marker scan shifts every row — the decode itself is
+    // value-checked, and no modality is stubbed anymore.
     "mm2_sample_frames" -> Q(
-      (s, d) => Multimodal.sampleFrames(Multimodal.mediaFromDocuments(docs(s, d)), stride = 2)
-        .orderBy("doc_id", "frame_idx"),
-      Some("""WITH m AS (SELECT doc_id,
-        |  (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
-        |  octet_length(encode(text)) AS n FROM documents),
-        |f AS (SELECT doc_id, media_type, n,
-        |  unnest(range(0, (n + 1023) // 1024)) AS fi FROM m)
-        |SELECT doc_id, media_type, CAST(fi AS INTEGER) AS frame_idx,
-        |  CAST(least(1024, n - fi * 1024) AS INTEGER) AS frame_n_bytes
-        |FROM f WHERE fi % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin)),
+      (s, d) => Multimodal.sampleFramesY4m(
+          Multimodal.y4mFromDocuments(docs(s, d)), stride = 2)
+        .toDF().orderBy("doc_id", "frame_idx"),
+      Some("""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        |d AS (SELECT doc_id,
+        |    CAST(16 + (doc_id % 16) * 2 AS INTEGER) AS w,
+        |    CAST(16 + ((doc_id // 7) % 16) * 2 AS INTEGER) AS h,
+        |    CAST(2 + doc_id % 5 AS INTEGER) AS nf,
+        |    list_transform(range(1, length(hx)//2 + 1),
+        |      i -> strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) * 16
+        |         + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 17) AS bytes
+        |  FROM b),
+        |t AS (SELECT doc_id, w, h, nf, bytes, len(bytes) AS L,
+        |    w * h * 3 // 2 AS fs,
+        |    length('YUV4MPEG2 W' || CAST(w AS VARCHAR) || ' H' || CAST(h AS VARCHAR)
+        |           || ' F25:1 Ip A1:1 C420jpeg') + 1 AS hl
+        |  FROM d),
+        |f AS (SELECT *, unnest(range(0, nf)) AS k FROM t)
+        |SELECT doc_id, w AS width, h AS height, nf AS n_frames,
+        |  CAST(k AS INTEGER) AS frame_idx,
+        |  CAST(hl + (k + 1) * 6 + k * fs AS BIGINT) AS data_offset,
+        |  CAST(fs AS INTEGER) AS frame_n_bytes,
+        |  CAST(list_sum(list_transform(range(0, w * h),
+        |    j -> bytes[CAST((k * fs + j) % L + 1 AS INTEGER)])) AS BIGINT) AS y_sum
+        |FROM f WHERE k % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin)),
 
     // REAL codec path: synthesize a decodable P6 image per document
     // (pixels cycle the UTF-8 text bytes), genuinely parse the binary

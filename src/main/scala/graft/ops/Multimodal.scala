@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * `mapInPandas`: one iterator per partition, schema declared up
   * front, arbitrary library calls inside).
   *
-  * Third-party media codecs are NOT in this container; two formats are
-  * implemented for real in pure JVM instead — P6/PPM images and
-  * RIFF/WAV PCM audio — with value-checked decode arithmetic. Only
-  * video remains behind the clearly-marked deterministic `decodeStub`;
-  * the Spark-side plumbing (binary schema, partitioning, batch
-  * iterator shape, feature schema) is real everywhere.
+  * Third-party media codecs are NOT in this container; one format per
+  * modality is implemented for real in pure JVM instead — P6/PPM
+  * images, RIFF/WAV PCM audio, and YUV4MPEG2 (Y4M) video — each with
+  * value-checked decode arithmetic under the driver gate. The
+  * deterministic `decodeStub` survives only as the disclosed fallback
+  * for payloads in none of the three formats; the Spark-side plumbing
+  * (binary schema, partitioning, batch iterator shape, feature schema)
+  * is real everywhere.
   */
 object Multimodal {
 
@@ -31,10 +33,12 @@ object Multimodal {
       height: Int,
       n_frames: Int)  // frame-sampling: 1 frame per 1024-byte chunk
 
-  /** STUB decoder ======================================================
-    * A real deployment would call an image/audio library here
-    * (e.g. JavaCV / TwelveMonkeys) on each payload. Deterministic fake:
-    * dimensions derived from payload length, checksum = MD5.
+  /** FALLBACK pseudo-decoder ===========================================
+    * Payloads that are none of the three real formats (P6 / WAV / Y4M)
+    * get deterministic length-derived pseudo-dimensions — a disclosed
+    * stand-in for "call an arbitrary third-party codec here", which
+    * this container cannot. Every modality has a REAL pure-JVM codec
+    * above/below; this never shadows them (magic-sniff first).
     * ==================================================================
     */
   private def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
@@ -58,12 +62,12 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition init (a real decoder would open codecs here, once)
       rows.map { r =>
-        // magic-sniff: a genuinely decodable P6 image gets REAL
-        // dimensions; everything else falls back to the fake
-        val (w, h, f) = parsePpm(r.payload) match {
-          case Some(p) => (p.width, p.height, 1)
-          case None    => decodeStub(r.payload)
-        }
+        // magic-sniff: genuinely decodable P6 / Y4M payloads get REAL
+        // dimensions and frame counts; everything else falls back to
+        // the disclosed length-derived pseudo-decoder
+        val (w, h, f) = parsePpm(r.payload).map(p => (p.width, p.height, 1))
+          .orElse(parseY4m(r.payload).map(v => (v.width, v.height, v.nFrames)))
+          .getOrElse(decodeStub(r.payload))
         MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
           md5hex(r.payload), w, h, f)
       }
@@ -342,6 +346,142 @@ object Multimodal {
         }
       }
     }
+  }
+
+  // ==== Real video codec: Y4M (YUV4MPEG2, C420) =======================
+  // Third genuinely-decoded format, pure JVM: YUV4MPEG2 is a plain-text
+  // stream header ("YUV4MPEG2 W<w> H<h> F<n>:<d> ... C420jpeg\n")
+  // followed by raw frames, each introduced by its own "FRAME[params]\n"
+  // marker and carrying w*h luma + 2*(w/2)*(h/2) chroma bytes (C420).
+  // The parser walks the tagged header and every frame marker for real
+  // (frame params allowed, sizes validated), so frame offsets/counts
+  // are DECODED, not assumed. With P6 images, WAV audio and Y4M video
+  // all real, no modality is stubbed — decodeStub below survives only
+  // as the disclosed fallback for payloads in none of the three
+  // formats.
+
+  /** Deterministic Y4M synthesis: even dimensions and frame count from
+    * doc_id, frame bytes cycling the UTF-8 text (one CONTINUOUS cycle
+    * across frames: byte m of the concatenated frame data is
+    * `text[m mod L]`), so an external oracle reproduces every luma sum
+    * and every frame offset with integer arithmetic only.
+    */
+  def makeY4m(docId: Long, textBytes: Array[Byte]): Array[Byte] = {
+    val w = (16 + (docId % 16) * 2).toInt
+    val h = (16 + ((docId / 7) % 16) * 2).toInt
+    val nFrames = (2 + docId % 5).toInt
+    val frameSize = w * h * 3 / 2
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + nFrames * (marker.length + frameSize))
+    header.copyToArray(out, 0)
+    var pos = header.length
+    var m = 0
+    var k = 0
+    while (k < nFrames) {
+      marker.copyToArray(out, pos); pos += marker.length
+      var j = 0
+      while (j < frameSize) {
+        out(pos) = if (textBytes.nonEmpty) textBytes(m % textBytes.length) else 0
+        pos += 1; m += 1; j += 1
+      }
+      k += 1
+    }
+    out
+  }
+
+  /** Decoded Y4M: stream parameters + the byte offset of every frame's
+    * data. Real parser: tagged-header walk (W/H/F required, C must be a
+    * 4:2:0 variant for the frame-size rule), then a frame-marker walk
+    * that tolerates per-frame params and validates every size.
+    */
+  final case class Y4m(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+                       frameOffsets: IndexedSeq[Int]) {
+    def nFrames: Int = frameOffsets.length
+    def frameSize: Int = width * height * 3 / 2
+  }
+
+  def parseY4m(payload: Array[Byte]): Option[Y4m] = {
+    val magic = "YUV4MPEG2".getBytes("US-ASCII")
+    if (payload.length < magic.length + 1 ||
+        !magic.indices.forall(i => payload(i) == magic(i))) return None
+    var eol = magic.length
+    while (eol < payload.length && payload(eol) != '\n') eol += 1
+    if (eol >= payload.length) return None
+    val tags = new String(payload, magic.length, eol - magic.length, "US-ASCII")
+      .trim.split("\\s+").filter(_.nonEmpty)
+    var (w, h, fn, fd) = (-1, -1, 25, 1)
+    var c420 = true // C absent defaults to 4:2:0 per spec
+    tags.foreach { t =>
+      (t.head, t.tail) match {
+        case ('W', v) => w = v.toIntOption.getOrElse(-1)
+        case ('H', v) => h = v.toIntOption.getOrElse(-1)
+        case ('F', v) => v.split(":") match {
+          case Array(a, b) =>
+            fn = a.toIntOption.getOrElse(-1); fd = b.toIntOption.getOrElse(-1)
+          case _ => fn = -1
+        }
+        case ('C', v) => c420 = v.startsWith("420")
+        case _ => () // Ip/A/X params don't affect the frame-size rule
+      }
+    }
+    if (w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0 ||
+        fn <= 0 || fd <= 0 || !c420) return None
+    val frameSize = w * h * 3 / 2
+    val frame = "FRAME".getBytes("US-ASCII")
+    val offsets = IndexedSeq.newBuilder[Int]
+    var pos = eol + 1
+    while (pos < payload.length) {
+      if (pos + frame.length > payload.length ||
+          !frame.indices.forall(i => payload(pos + i) == frame(i))) return None
+      var fe = pos + frame.length // optional frame params until newline
+      while (fe < payload.length && payload(fe) != '\n') fe += 1
+      if (fe >= payload.length || fe + 1 + frameSize > payload.length) return None
+      offsets += fe + 1
+      pos = fe + 1 + frameSize
+    }
+    val off = offsets.result()
+    if (off.isEmpty) None else Some(Y4m(w, h, fn, fd, off))
+  }
+
+  /** REAL frame sampling over decoded Y4M video: every `stride`-th
+    * frame row carries its PARSED data offset, its size, and the sum of
+    * its luma plane — integer features an external oracle recomputes
+    * from the synthesis rule, so a wrong header walk, wrong frame-size
+    * rule, or off-by-one marker scan shifts every row.
+    */
+  final case class FrameSample(doc_id: Long, width: Int, height: Int,
+                               n_frames: Int, frame_idx: Int,
+                               data_offset: Long, frame_n_bytes: Int,
+                               y_sum: Long)
+
+  def sampleFramesY4m(media: Dataset[MediaRow], stride: Int = 2): Dataset[FrameSample] = {
+    implicit val enc = Encoders.product[FrameSample]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        parseY4m(r.payload).toSeq.flatMap { v =>
+          (0 until v.nFrames).filter(_ % stride == 0).map { k =>
+            val off = v.frameOffsets(k)
+            var ySum = 0L
+            var j = 0
+            val n = v.width * v.height
+            while (j < n) { ySum += r.payload(off + j) & 0xff; j += 1 }
+            FrameSample(r.doc_id, v.width, v.height, v.nFrames, k,
+              off.toLong, v.frameSize, ySum)
+          }
+        }
+      }
+    }
+  }
+
+  /** Media table of REAL Y4M videos synthesized from the documents
+    * fixture.
+    */
+  def y4mFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    implicit val encIn = Encoders.product[DocText]
+    implicit val encOut = Encoders.product[MediaRow]
+    docs.select(col("doc_id"), col("text")).as[DocText]
+      .map(r => MediaRow(r.doc_id, "video", makeY4m(r.doc_id, r.text.getBytes("UTF-8"))))
   }
 
   /** Media table of REAL WAVs synthesized from the documents fixture. */

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Laws of the real Y4M codec: synthesis round-trips through the
+  * header/frame-marker walk, the parser tolerates per-frame params and
+  * rejects malformed streams, and the luma sums match hand-computed
+  * values on a crafted stream.
+  */
+class Y4mSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("makeY4m round-trips through parseY4m with the synthesized format") {
+    val payload = Multimodal.makeY4m(23L, "cycle these bytes".getBytes("UTF-8"))
+    val v = Multimodal.parseY4m(payload).get
+    assert(v.width === 16 + (23 % 16) * 2)
+    assert(v.height === 16 + ((23 / 7) % 16) * 2)
+    assert(v.nFrames === (2 + 23 % 5))
+    assert(v.fpsNum === 25 && v.fpsDen === 1)
+    // every parsed offset lands exactly after its FRAME\n marker and
+    // the stream is fully consumed
+    val header = s"YUV4MPEG2 W${v.width} H${v.height} F25:1 Ip A1:1 C420jpeg\n".length
+    v.frameOffsets.zipWithIndex.foreach { case (off, k) =>
+      assert(off === header + (k + 1) * 6 + k * v.frameSize)
+    }
+    assert(payload.length === v.frameOffsets.last + v.frameSize)
+  }
+
+  test("parser tolerates per-frame params and interlacing/aspect tags") {
+    val w = 4; val h = 2; val fs = w * h * 3 / 2
+    val data = Array.tabulate[Byte](fs)(i => (i + 1).toByte)
+    val s = s"YUV4MPEG2 W$w H$h F30000:1001 It A4:3 Xcustom\n".getBytes("US-ASCII") ++
+      "FRAME Ixyz\n".getBytes("US-ASCII") ++ data ++
+      "FRAME\n".getBytes("US-ASCII") ++ data
+    val v = Multimodal.parseY4m(s).get
+    assert(v.width === 4 && v.height === 2 && v.nFrames === 2)
+    assert(v.fpsNum === 30000 && v.fpsDen === 1001)
+  }
+
+  test("parser rejects wrong magic, odd dims, truncated frames, non-420 chroma") {
+    assert(Multimodal.parseY4m("RIFF....".getBytes("US-ASCII")).isEmpty)
+    val good = Multimodal.makeY4m(5L, "abc".getBytes("UTF-8"))
+    assert(Multimodal.parseY4m(good.dropRight(1)).isEmpty, "truncated last frame")
+    val odd = "YUV4MPEG2 W3 H2 F25:1\nFRAME\n123456789".getBytes("US-ASCII")
+    assert(Multimodal.parseY4m(odd).isEmpty, "odd width breaks the 4:2:0 rule")
+    val c444 = ("YUV4MPEG2 W2 H2 F25:1 C444\nFRAME\n" + "x" * 12).getBytes("US-ASCII")
+    assert(Multimodal.parseY4m(c444).isEmpty, "non-420 chroma uses another size rule")
+  }
+
+  test("sampleFramesY4m luma sums and offsets match hand-computed values") {
+    import spark.implicits._
+    // text = two bytes 'a','b' (97, 98): the continuous cycle makes
+    // frame k's luma sum depend on (k*frameSize) % 2 parity
+    val payload = Multimodal.makeY4m(0L, "ab".getBytes("UTF-8"))
+    val v = Multimodal.parseY4m(payload).get // 16x16, 2 frames at doc 0
+    val out = Multimodal.sampleFramesY4m(
+      Seq(Multimodal.MediaRow(0L, "video", payload)).toDS(), stride = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(out.length === v.nFrames)
+    out.foreach { f =>
+      val n = v.width * v.height
+      val start = f.frame_idx * v.frameSize
+      val expected = (0 until n).map(j => if ((start + j) % 2 == 0) 97L else 98L).sum
+      assert(f.y_sum === expected, s"frame ${f.frame_idx}")
+      assert(f.data_offset === v.frameOffsets(f.frame_idx).toLong)
+      assert(f.frame_n_bytes === v.frameSize)
+    }
+  }
+}
