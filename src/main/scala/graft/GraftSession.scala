@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashSigs, RollingHash, SimHash64, VectorDot}
+import graft.functions.{BloomAnyContain, CmsEstimate, MinHashSigs, RollingHash, SimHash64, VectorDot}
 
 /** Registers graft's native Catalyst expressions through the PUBLIC
   * extension point (`SparkSessionExtensions.injectFunction`) — the
@@ -41,6 +41,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (args: Seq[Expression]) => CmsEstimate(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_any_contain"),
+      new ExpressionInfo(classOf[BloomAnyContain].getName, "bloom_any_contain"),
+      (args: Seq[Expression]) => BloomAnyContain(args(0), args(1))))
   }
 }
 

@@ -141,13 +141,14 @@ object Curate {
     * extra documents).
     *
     * Scale: the filter builds from one pass over the (tiny) benchmark,
-    * ships once per executor, and the corpus side stays fully NARROW —
-    * an in-row any-match over each document's shingle array, with no
-    * explode and no shuffle at all (dc1's broadcast join still explodes
-    * corpus shingles to rows). The per-row membership probe is a Scala
-    * UDF by necessity — Spark's BloomFilterMightContain expression is
-    * internal to runtime-filter injection — and wraps a pure
-    * bit-test, so it is cheap despite sitting outside codegen.
+    * ships in the plan as a binary literal (Spark's own
+    * BloomFilterMightContain expression is internal to runtime-filter
+    * injection, so graft carries its own: the codegen'd
+    * `bloom_any_contain`, deserialized once per task, probing each
+    * document's shingle array IN-ROW with short-circuit on first hit),
+    * and the corpus side stays fully NARROW — no explode, no shuffle,
+    * no ScalaUDF codegen fence (dc1's broadcast join still explodes
+    * corpus shingles to rows).
     */
   def decontaminateBloom(docs: DataFrame, benchmark: DataFrame, k: Int = 8,
                          fpp: Double = 0.01,
@@ -157,11 +158,19 @@ object Curate {
       .distinct()
     val n = benchSh.count() // one tiny job over the benchmark only
     val bf = benchSh.stat.bloomFilter("sh", math.max(n, 1L), fpp)
-    val bfBc = docs.sparkSession.sparkContext.broadcast(bf)
-    val hit = udf((shs: Seq[String]) => shs.exists(bfBc.value.mightContainString))
-    docs
-      .withColumn("bloom_flagged",
-        hit(array_distinct(Dedup.shingleCol(col(textCol), k))))
+    val shingles = array_distinct(Dedup.shingleCol(col(textCol), k))
+    val flagged =
+      if (graft.GraftExtensions.available("bloom_any_contain")) {
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        call_function("bloom_any_contain", lit(bos.toByteArray), shingles)
+      } else {
+        // fallback for sessions built without GraftExtensions
+        val bfBc = docs.sparkSession.sparkContext.broadcast(bf)
+        udf((shs: Seq[String]) => shs.exists(bfBc.value.mightContainString))
+          .apply(shingles)
+      }
+    docs.withColumn("bloom_flagged", flagged)
   }
 
   /** Per-stratum quality cap (the RefinedWeb-style per-domain document

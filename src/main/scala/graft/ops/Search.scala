@@ -102,8 +102,21 @@ object Search {
     val toks = docs.select(explode(Dedup.tokens(col(textCol))).as("tok"))
     val cms = toks.stat.countMinSketch("tok", eps, confidence, seed)
     val totalN = cms.totalCount()
-    val bc = docs.sparkSession.sparkContext.broadcast(cms)
-    val est = udf((t: String) => bc.value.estimateCount(t))
+    // native codegen probe: the serialized sketch rides the plan as a
+    // binary literal, deserialized once per task — no ScalaUDF node in
+    // the hot path (PlanSpec asserts). Broadcast+UDF remains the
+    // fallback on sessions built without GraftExtensions.
+    val est: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (graft.GraftExtensions.available("cms_estimate")) {
+        val bos = new java.io.ByteArrayOutputStream()
+        cms.writeTo(bos)
+        val bytes = bos.toByteArray
+        t => call_function("cms_estimate", lit(bytes), t)
+      } else {
+        val bc = docs.sparkSession.sparkContext.broadcast(cms)
+        val u = udf((t: String) => bc.value.estimateCount(t))
+        t => u(t)
+      }
     toks.groupBy("tok").agg(count(lit(1)).cast("long").as("cnt"))
       .orderBy(col("cnt").desc, col("tok"))
       .limit(k)

@@ -229,6 +229,18 @@ class PlanSpec extends AnyFunSuite {
       "the k-1 cut points must arrive by broadcast")
   }
 
+  test("sketch probes are native expressions: no ScalaUDF in the hh2/dc2 plans") {
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    for (q <- Seq("hh2_cms_heavy_hitters", "dc2_bloom_decontaminate")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      val udfs = plan.collect { case p => p.expressions.flatMap(_.collect {
+        case u: ScalaUDF => u
+      }) }.flatten
+      assert(udfs.isEmpty,
+        s"$q must probe its sketch through the codegen expression, found $udfs")
+    }
+  }
+
   test("inverted index shuffles (term, doc_id) pairs only, never text") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val docs = spark.read.parquet(s"$sf/documents.parquet")
