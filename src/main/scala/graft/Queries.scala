@@ -1177,19 +1177,24 @@ object Queries {
         |WHERE a.account < b.account AND levenshtein(a.account, b.account) <= 1
         |ORDER BY s1, s2""".stripMargin)),
 
-    // ER1: end-to-end ENTITY RESOLUTION — deletion-neighborhood
-    // blocking (fz1's lev-1 join) emits candidate identity edges, and
-    // large-star/small-star connected components assigns every account
-    // string its canonical entity id (min id in the component). The
-    // full record-linkage composition: blocking → match → cluster,
-    // with every stage a bounded equi-join or O(log n) edge iteration.
-    // Oracle = the same lev-1 edges closed by a recursive CTE.
+    // ER1: end-to-end ENTITY RESOLUTION — TWO blocking families
+    // unioned (the lev-1 deletion neighborhood + char-3-gram blocks,
+    // which catch the transposition/double-edit shapes a deletion
+    // block structurally cannot), one lev<=2 match-verify, and
+    // large-star/small-star connected components assigning every
+    // account string its canonical entity id (min id in the
+    // component). The full record-linkage composition: blocking →
+    // match → cluster, with every stage a bounded equi-join or
+    // O(log n) edge iteration, and the matcher not tied to any single
+    // blocker's recall shape. Oracle = the edge set restated
+    // declaratively ("lev<=1, or lev<=2 sharing a 3-gram") closed by a
+    // recursive CTE.
     "er1_entity_resolution" -> Q(
       (s, d) => {
         val accounts = tx(s, d).select(col("account")).distinct()
         def idOf(c: org.apache.spark.sql.Column) =
           regexp_replace(c, "^user-", "").cast("long")
-        val pairs = graft.ops.Fuzzy.selfJoinLev1(accounts, "account")
+        val pairs = graft.ops.Fuzzy.selfJoinFuzzy(accounts, "account", maxDist = 2)
           .select(idOf(col("s1")).as("d1"), idOf(col("s2")).as("d2"))
         val verts = accounts.select(idOf(col("account")).as("v"))
         val cc = graft.ops.Dedup.connectedComponents(verts, pairs)
@@ -1203,7 +1208,14 @@ object Queries {
         |acc AS (SELECT DISTINCT account, CAST(regexp_replace(account, '^user-', '') AS BIGINT) AS v
         |        FROM tx),
         |p AS (SELECT a.v AS v1, b.v AS v2 FROM acc a JOIN acc b
-        |      ON a.account < b.account AND levenshtein(a.account, b.account) <= 1),
+        |      ON a.account < b.account AND (
+        |        levenshtein(a.account, b.account) <= 1
+        |        OR (levenshtein(a.account, b.account) <= 2
+        |            AND len(list_intersect(
+        |              list_distinct(list_transform(range(1, greatest(len(a.account) - 2, 1) + 1),
+        |                i -> substr(a.account, CAST(i AS INTEGER), 3))),
+        |              list_distinct(list_transform(range(1, greatest(len(b.account) - 2, 1) + 1),
+        |                i -> substr(b.account, CAST(i AS INTEGER), 3))))) > 0))),
         |edges AS (SELECT v1 AS src, v2 AS dst FROM p
         |          UNION ALL SELECT v2, v1 FROM p),
         |reach(v, r) AS (

@@ -45,4 +45,30 @@ class FuzzySpec extends AnyFunSuite {
     // "a"~"b" substitution, "a"~"ab" insertion, "b"~"ab" substitution+? lev(b,ab)=1 (insert a)
     assert(got === Map(("a", "b") -> 1, ("a", "ab") -> 1, ("ab", "b") -> 1))
   }
+
+  test("a transposition pair (d=2) resolves via the n-gram blocker, not the deletion one") {
+    // "account-1234" vs "account-1243": a transposition = lev 2 — the
+    // 1-deletion neighborhood CANNOT block it (their deletion variants
+    // never meet), but the pair shares plenty of 3-grams, so the
+    // second blocking family catches it and the union resolves the
+    // pair. This is the law ER composition relies on: adding a blocker
+    // widens recall without touching the matcher.
+    val strs = Seq("account-1234", "account-1243", "unrelated-xyz").toDF("s")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val lev1 = pairs(Fuzzy.selfJoinLev1(strs, "s"))
+    assert(lev1.isEmpty, "the deletion blocker alone must miss the d=2 transposition")
+    val multi = pairs(Fuzzy.selfJoinFuzzy(strs, "s", maxDist = 2))
+    assert(multi === Set(("account-1234", "account-1243", 2)))
+  }
+
+  test("selfJoinFuzzy remains complete for every d<=1 edit kind (superset of lev-1)") {
+    val strs = Seq("alpha", "alphb", "alphas", "alph", "blpha", "lpha", "zzz").toDF("s")
+    def keyset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val lev1 = keyset(Fuzzy.selfJoinLev1(strs, "s"))
+    val multi = keyset(Fuzzy.selfJoinFuzzy(strs, "s", maxDist = 2))
+    assert(lev1.subsetOf(multi), "the union blocker must never lose a lev-1 pair")
+    assert(multi.forall { case (a, b) => a != "zzz" && b != "zzz" })
+  }
 }
