@@ -353,20 +353,22 @@ object QueriesOps {
     // verifies candidates exactly — same answer as the n² baseline,
     // which is precisely why it gets a FULL value oracle (the oracle
     // runs the n² form; the engine runs the pruned one; identical
-    // output proves the prefix-filter lemma end to end). Runs over the
-    // whole documents table — no doc_id cap — because pruning, not a
-    // bounded fixture, is what contains the cost.
+    // output proves the pruning-is-lossless lemma end to end). Runs
+    // over the whole documents table — no doc_id cap — because pruning,
+    // not a bounded fixture, is what contains the cost.
     //
-    // Cost note (measured at sf0.1): this synthetic corpus is ~4%
-    // NEAR-DUP DENSE — 191 k true pairs at t=0.95 among 5 000 docs, so
-    // the exact join is OUTPUT-BOUND (1.86 M candidates after the
-    // size + positional filters, broadcast-narrow verify; plan
-    // audited). Real web corpora sit near 1e-6 density where the
-    // prefix index is the whole cost; when density itself explodes,
-    // the approximate path (dd3 MinHash-LSH) is the scale answer, not
-    // a faster exact join.
+    // Engine path: [[Dedup.partitionJaccardPairs]] — set
+    // canonicalization + size-banded pigeonhole blocking (the
+    // partition-based exact-join family), which replaced the
+    // prefix-filter path ([[Dedup.prefixJaccardPairs]], kept as the
+    // documented AllPairs/PPJoin baseline and equivalence-tested in
+    // OpsSpec) after plan audit: this corpus is ~4% NEAR-DUP DENSE
+    // (191 k true pairs at t=0.95 among 5 000 docs) with heavy
+    // identical-set multiplicity, so single-token prefix blocking
+    // yields 1.86 M candidates where part-subset blocking yields 37 k
+    // for the identical output — 17.8 s → ~3 s at sf0.1.
     "dd10_prefix_jaccard" -> Q(
-      (s, d) => Dedup.prefixJaccardPairs(docs(s, d), threshold = 0.95)
+      (s, d) => Dedup.partitionJaccardPairs(docs(s, d), threshold = 0.95)
         .orderBy("d1", "d2"),
       Some("""WITH tok AS (
         |  SELECT doc_id AS d, unnest(list_distinct(string_split(lower(text), ' '))) AS tok

@@ -80,6 +80,46 @@ class OpsSpec extends AnyFunSuite {
     assert(slow.length === 1)
   }
 
+  test("partition-based Jaccard equals the n-squared baseline exactly") {
+    // the pigeonhole lemma says a qualifying pair agrees exactly on at
+    // least one hash-part of the token universe — so at every
+    // threshold (including the t=1 identical-sets short-circuit and
+    // the 0.55 ceil-rounding boundary) the banded partition join must
+    // reproduce the full inverted-index join bit for bit
+    for (t <- Seq(0.5, 0.55, 0.9, 1.0)) {
+      def pairs(df: DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+          math.round(r.getAs[Double]("jaccard") * 1e9)))
+        .toSet
+      val fast = pairs(Dedup.partitionJaccardPairs(corpus, t))
+      val slow = pairs(Dedup.ngramJaccardPairs(corpus, t))
+      assert(fast === slow, s"partition join diverged from baseline at t=$t")
+      assert(fast.nonEmpty, s"degenerate fixture: no pairs at t=$t")
+    }
+  }
+
+  test("partition-based Jaccard matches the baseline on random small-vocab corpora") {
+    import spark.implicits._
+    // dense-collision regime plus size spreads that cross band
+    // boundaries — the two places a broken band/parts computation
+    // would lose pairs
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("ape", "bee", "cat", "dog", "eel", "fox",
+      "gnu", "hen", "ibis", "jay", "kiwi", "lynx", "mole", "newt")
+    for (round <- 1 to 2; t <- Seq(0.4, 0.55, 0.8)) {
+      val corpus = Seq.tabulate(60) { i =>
+        val n = 1 + rnd.nextInt(12)
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      def pairs(df: DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+          math.round(r.getAs[Double]("jaccard") * 1e9))).toSet
+      val fast = pairs(Dedup.partitionJaccardPairs(corpus, t))
+      val slow = pairs(Dedup.ngramJaccardPairs(corpus, t))
+      assert(fast === slow, s"round $round t=$t: partition join diverged")
+    }
+  }
+
   test("prefix-filtered Jaccard matches the baseline on random small-vocab corpora") {
     import spark.implicits._
     // a 12-token vocabulary forces dense collisions — the regime where
