@@ -99,6 +99,66 @@ object OracleGen {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** sd2: the epoch-loop signature store ([[graft.ops.SigStore]]) —
+    * epochs are `doc_id % nEpochs`, processed in order against an
+    * initially-empty store. The oracle unrolls the loop: per epoch, a
+    * doc drops on a signature-agreement hit against any PRIOR
+    * survivor (cross) or as the larger id of an intra-epoch pair
+    * (greedy drop-d2, regardless of d1's own fate); only survivors
+    * join the store. Recomputing every epoch's store from the raw
+    * documents table and matching the engine — which only ever reads
+    * the persisted snapshot — proves the versioned store is lossless
+    * across the whole epoch chain, not just one delta (the dd12
+    * check's closure).
+    */
+  def sd2Sql(nEpochs: Int, estThreshold: Double): String = {
+    val (a, b) = MinHashSigs.perms(64, 42L)
+    val minExprs = (0 until 64)
+      .map(j => s"min((${a(j)} * h + ${b(j)}) % $P)").mkString(", ")
+    val agree = "list_sum(list_transform(range(1, 65), " +
+      "i -> CASE WHEN sa.sig[CAST(i AS INTEGER)] = sb.sig[CAST(i AS INTEGER)] THEN 1 ELSE 0 END))"
+    def intraSql(k: Int): String =
+      s"""SELECT y.d FROM bands x
+         |    JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.d < y.d
+         |    JOIN sigs sa ON sa.d = x.d JOIN sigs sb ON sb.d = y.d
+         |    WHERE x.d % $nEpochs = $k AND y.d % $nEpochs = $k
+         |      AND CAST($agree AS DOUBLE) / 64.0 >= $estThreshold""".stripMargin
+    val epochCtes = (0 until nEpochs).map { k =>
+      val drop =
+        if (k == 0) intraSql(0)
+        else
+          s"""SELECT x.d FROM bands x
+             |    JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.d <> y.d
+             |    JOIN sigs sa ON sa.d = x.d JOIN sigs sb ON sb.d = y.d
+             |    WHERE x.d % $nEpochs = $k AND y.d IN (SELECT d FROM store${k - 1})
+             |      AND CAST($agree AS DOUBLE) / 64.0 >= $estThreshold
+             |  UNION
+             |  ${intraSql(k)}""".stripMargin
+      val store =
+        if (k == 0) s"store0 AS (SELECT d FROM surv0)"
+        else s"store$k AS (SELECT d FROM store${k - 1} UNION SELECT d FROM surv$k)"
+      s"""surv$k AS (SELECT d FROM sigs WHERE d % $nEpochs = $k AND d NOT IN (
+         |  $drop)),
+         |$store""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (SELECT doc_id AS d, string_split(lower(text), ' ') AS t FROM documents),
+       |shg AS (SELECT d, unnest(list_distinct(
+       |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |  ELSE list_transform(range(0, len(t) - 2),
+       |    i -> array_to_string(list_slice(t, CAST(i + 1 AS INTEGER), CAST(i + 3 AS INTEGER)), ' '))
+       |  END)) AS s FROM tok),
+       |shm AS (SELECT d, md5(s) AS m FROM shg),
+       |sh AS (SELECT DISTINCT d, ${hex60("m")} % $P AS h FROM shm),
+       |sigs AS (SELECT d, [$minExprs] AS sig FROM sh GROUP BY d),
+       |bands AS (SELECT d, bb.b AS band,
+       |    md5(array_to_string(list_slice(sig, CAST(bb.b * 4 + 1 AS INTEGER), CAST(bb.b * 4 + 4 AS INTEGER)), ',')) AS bh
+       |  FROM sigs, range(16) bb(b)),
+       |$epochCtes
+       |SELECT doc_id FROM documents
+       |WHERE doc_id IN (SELECT d FROM store${nEpochs - 1})
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** dd4p: md5-backed SimHash pairs (60-bit hashes, 16-bit pigeonhole
     * chunks, Hamming <= maxDist) — mirrors simhashPairsPortable.
     */

@@ -454,6 +454,30 @@ object QueriesOps {
       },
       Some(OracleGen.dd12Sql(300, 0.5))),
 
+    // SD2: the EPOCH-LOOP signature store — dd12's one-shot incremental
+    // dedup run as a maintained loop: four epochs (doc_id % 4, in
+    // order) each dedup against the persisted store + themselves, and
+    // survivor signatures append via crash-safe VersionedDir commits.
+    // The oracle unrolls all four epochs from the raw documents table
+    // (the pg1 unrolled-iteration pattern), so the hash-match proves
+    // the store stayed lossless across the whole chain. The streaming
+    // form of the same loop (foreachBatch -> ingestEpoch) is
+    // SigStoreSpec territory.
+    "sd2_sigstore_epochs" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        val store = Queries.scratch("sd2_store")
+        val nEpochs = 4
+        (0 until nEpochs).map { k =>
+          graft.ops.SigStore.ingestEpoch(
+            all.filter(pmod(col("doc_id"), lit(nEpochs)) === k),
+            store, k.toLong, estThreshold = 0.5,
+            hashFn = Dedup.md5ShingleHash, bandHashFn = md5)
+            .select("doc_id")
+        }.reduce(_ unionByName _).orderBy("doc_id")
+      },
+      Some(OracleGen.sd2Sql(4, 0.5))),
+
     // ---- similarity search -------------------------------------------
 
     "ss1_bruteforce_topk" -> Q(

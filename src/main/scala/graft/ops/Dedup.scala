@@ -518,14 +518,34 @@ object Dedup {
                               bandHashFn: Column => Column = c => xxhash64(c)): DataFrame = {
     val dsig = minhashSignatures(delta, numHashes, shingleK, textCol, idCol,
       hashFn = hashFn)
-    val cand = bandsOfSignatures(dsig, numHashes, bands, bandHashFn).as("a")
-      .join(bandsOfSignatures(baseSigs, numHashes, bands, bandHashFn).as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+    sigAgreementPairs(dsig, baseSigs, estThreshold, numHashes, bands, bandHashFn)
+  }
+
+  /** Near-dup pairs BETWEEN two signature tables (each `(d, sig)` with
+    * `sig: array<bigint>` of length numHashes), verified by signature
+    * AGREEMENT — the fraction of equal slots, the standard unbiased
+    * Jaccard estimator — computed in-row from the two arrays (exact
+    * integer compares, reproducible by any engine). Candidates come
+    * from the banded equi-join (ids only cross the exchange); rows
+    * with `d1 == d2` are excluded so a table joined against a store
+    * that already contains it (a replayed epoch) never reports
+    * self-pairs. `ordered = true` restricts to `d1 < d2` — the
+    * SELF-join form for intra-batch pairs.
+    */
+  def sigAgreementPairs(sigA: DataFrame, sigB: DataFrame,
+                        estThreshold: Double = 0.5,
+                        numHashes: Int = 64, bands: Int = 16,
+                        bandHashFn: Column => Column = c => xxhash64(c),
+                        ordered: Boolean = false): DataFrame = {
+    val idCond = if (ordered) col("a.d") < col("b.d") else col("a.d") =!= col("b.d")
+    val cand = bandsOfSignatures(sigA, numHashes, bands, bandHashFn).as("a")
+      .join(bandsOfSignatures(sigB, numHashes, bands, bandHashFn).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && idCond)
       .select(col("a.d").as("d1"), col("b.d").as("d2"))
       .dropDuplicates("d1", "d2")
     cand
-      .join(dsig.select(col("d").as("d1"), col("sig").as("s1")), "d1")
-      .join(baseSigs.select(col("d").as("d2"), col("sig").as("s2")), "d2")
+      .join(sigA.select(col("d").as("d1"), col("sig").as("s1")), "d1")
+      .join(sigB.select(col("d").as("d2"), col("sig").as("s2")), "d2")
       .withColumn("est",
         aggregate(zip_with(col("s1"), col("s2"),
             (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
