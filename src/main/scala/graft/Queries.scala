@@ -1189,13 +1189,25 @@ object Queries {
     // blocker's recall shape. Oracle = the edge set restated
     // declaratively ("lev<=1, or lev<=2 sharing a 3-gram") closed by a
     // recursive CTE.
+    //
+    // Plan note: accounts and pairs PERSIST — accounts feeds four
+    // blocking-index scans plus the vertex/assemble sides, and pairs
+    // seeds the component iteration; without the cache the tx-distinct
+    // subtree recomputes per consumer (measured 10.3 s -> ~4 s at
+    // sf0.1). This corpus's lev<=2 edge set is ~21% dense (236 k edges
+    // / 1 500 accounts, collapsing to one component), so the pair
+    // stage is OUTPUT-bound — a denser blocker would not shrink it
+    // (segment blocking for the long-string sparse regime is
+    // Fuzzy.selfJoinLev, FuzzySpec-covered).
     "er1_entity_resolution" -> Q(
       (s, d) => {
         val accounts = tx(s, d).select(col("account")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         def idOf(c: org.apache.spark.sql.Column) =
           regexp_replace(c, "^user-", "").cast("long")
         val pairs = graft.ops.Fuzzy.selfJoinFuzzy(accounts, "account", maxDist = 2)
           .select(idOf(col("s1")).as("d1"), idOf(col("s2")).as("d2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val verts = accounts.select(idOf(col("account")).as("v"))
         val cc = graft.ops.Dedup.connectedComponents(verts, pairs)
         val sizes = cc.groupBy("cluster").agg(count(lit(1)).cast("long").as("csize"))

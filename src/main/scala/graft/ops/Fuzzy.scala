@@ -78,6 +78,124 @@ object Fuzzy {
       .withColumn("dist", levenshtein(col("s1"), col("s2")))
       .filter(col("dist") <= 1)
 
+  private def segLen(l: Column, k: Int, p: Int): Column = {
+    val m = floor(l.cast("double") / p).cast("int")
+    m + when(lit(k) >= lit(p) - pmod(l, lit(p)), 1).otherwise(0)
+  }
+
+  private def segStart(l: Column, k: Int, p: Int): Column = {
+    val m = floor(l.cast("double") / p).cast("int")
+    lit(1) + lit(k) * m + greatest(lit(0), lit(k) - (lit(p) - pmod(l, lit(p))))
+  }
+
+  /** Candidate pairs for lev ≤ d via PassJoin-style SEGMENT blocking
+    * (Li, Deng, Feng, Wang, "PassJoin: a partition-based method for
+    * similarity joins", VLDB'11), with an extra pigeonhole twist that
+    * makes it robust to shared boilerplate affixes:
+    *
+    *  - Every string splits into P = 2d+1 even segments (longer tails
+    *    last) and INDEXES all of them under (length, segId, content).
+    *  - In an optimal ≤ d edit script, each operation breaks at most
+    *    ONE segment of the partner's split and merely SHIFTS the rest
+    *    by ≤ d positions — so at least P − d = d+1 segments are
+    *    preserved verbatim within a ±d start window. By pigeonhole,
+    *    ANY (d+1)-subset of segment ids — even a different subset per
+    *    probing string — still contains a preserved segment. So each
+    *    string probes only its d+1 RAREST segments (by global
+    *    (length, segId, content) document frequency — the AllPairs
+    *    rare-first discipline applied to segment blocking), emitting
+    *    its substrings at the segment positions of every candidate
+    *    partner length (ℓ ∈ [L−d, L+d]) shifted by ≤ d.
+    *
+    * Rarity-ranked probing is what keeps this linear on corpora whose
+    * strings share CONSTANT AFFIXES (URLs, path-like keys): the
+    * boilerplate segments are indexed (they must be, for completeness)
+    * but probed by almost nobody — every string's rare segments are
+    * its discriminative ones — so the quadratic collision a shared
+    * gram/segment causes in a symmetric blocker never enters the
+    * join. Cost: ≤ (d+1)(2d+1)² probe keys per string — 45 at d = 2 —
+    * each a fixed-width row, with the join output bounded by
+    * Σ df(probed segment). `probeIds` pins a fixed id subset instead
+    * (skipping the df pass) when the discriminative region is known a
+    * priori.
+    *
+    * REGIME honesty (measured): the advantage needs the discriminative
+    * content to SPAN ≥ d+1 of the 2d+1 segments. Short keys whose
+    * entropy sits in a narrow suffix (zero-padded ids, `user-NNN`)
+    * leave ≤ d discriminative segments, so at least one probed segment
+    * is boilerplate and candidate volume approaches the symmetric
+    * blocker's — with more plan stages on top. For those corpora, if
+    * the pair density is high the simple gram blocker is already
+    * output-bound (er1's case: 21% of all pairs qualify); if it is
+    * low, normalize the key (strip the literal affix) before joining.
+    */
+  def segmentCandidates(strs: DataFrame, d: Int = 2,
+                        probeIds: Option[Seq[Int]] = None): DataFrame = {
+    require(d >= 1, "segment blocking needs d >= 1")
+    val p = 2 * d + 1
+    probeIds.foreach(ids =>
+      require(ids.size >= d + 1, s"need at least ${d + 1} probed segment ids"))
+    val s = col("s")
+    val bigL = length(s)
+    val idx = strs.select(s,
+        explode(array((0 until p).map { k =>
+          struct(bigL.as("l"), lit(k).as("k"),
+            s.substr(segStart(bigL, k, p), segLen(bigL, k, p)).as("c"))
+        }: _*)).as("seg"))
+      .select(s.as("bs"), col("seg.l"), col("seg.k"), col("seg.c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // which ids each string probes: a fixed subset, or its d+1 rarest
+    // segments (df over the index keys; ties to the lower id)
+    val chosen = probeIds match {
+      case Some(ids) =>
+        strs.select(s.as("as"), explode(array(ids.map(lit(_)): _*)).as("k"))
+      case None =>
+        val dfc = idx.groupBy("l", "k", "c").agg(count(lit(1)).as("df"))
+        idx.join(dfc, Seq("l", "k", "c"))
+          .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("bs"))
+              .orderBy(col("df").asc, col("k").asc)))
+          .filter(col("rk") <= d + 1)
+          .select(col("bs").as("as"), col("k"))
+    }
+    val probeStructs = for {
+      k <- 0 until p
+      dl <- -d to d
+      off <- -d to d
+    } yield {
+      val ell = bigL + dl
+      val sl = segLen(ell, k, p)
+      val pos = segStart(ell, k, p) + off
+      // a zero-length segment is matchable anywhere — emit it once
+      // (pos pinned to 1) so array_distinct collapses the window
+      val posN = when(sl === 0, lit(1)).otherwise(pos)
+      when(ell >= 1 && posN >= 1 && posN + sl - lit(1) <= bigL,
+        struct(ell.as("l"), lit(k).as("k"), s.substr(posN, sl).as("c")))
+    }
+    val probe = strs.select(s,
+        explode(array_distinct(filter(array(probeStructs: _*), x => x.isNotNull))).as("seg"))
+      .select(s.as("as"), col("seg.l"), col("seg.k"), col("seg.c"))
+      .join(chosen, Seq("as", "k"), "left_semi")
+    probe.join(idx, Seq("l", "k", "c"))
+      .filter(col("as") =!= col("bs"))
+      .select(least(col("as"), col("bs")).as("s1"),
+        greatest(col("as"), col("bs")).as("s2"))
+      .distinct()
+  }
+
+  /** All-pairs self-join: every unordered pair (s1 < s2) of distinct
+    * values of `strCol` with lev ≤ `maxDist`, via [[segmentCandidates]]
+    * — COMPLETE for any `maxDist` (unlike the gram blocker's
+    * length-conditioned completeness), with the blocking cost
+    * concentrated on the probed discriminative segments. Output:
+    * (s1, s2, dist).
+    */
+  def selfJoinLev(df: DataFrame, strCol: String, maxDist: Int = 2,
+                  probeIds: Option[Seq[Int]] = None): DataFrame =
+    segmentCandidates(df.select(col(strCol).as("s")).distinct(), maxDist, probeIds)
+      .withColumn("dist", levenshtein(col("s1"), col("s2")))
+      .filter(col("dist") <= maxDist)
+
   /** Multi-blocker fuzzy self-join: candidates are the UNION of the
     * 1-deletion neighborhood and the char-n-gram block — so the
     * match-verify stage is not tied to any one blocker's recall shape —

@@ -62,6 +62,42 @@ class FuzzySpec extends AnyFunSuite {
     assert(multi === Set(("account-1234", "account-1243", 2)))
   }
 
+  test("segment blocking equals the n-squared levenshtein join on random corpora") {
+    // the PassJoin pigeonhole (2d+1 segments, d+1 probed) must lose NO
+    // pair at any d — checked against the brute-force cross join on a
+    // dense 3-letter alphabet with lengths straddling the
+    // segments-longer-than-strings degenerate zone
+    val rnd = new scala.util.Random(41)
+    for (round <- 1 to 2; d <- Seq(1, 2)) {
+      val strs = Seq.fill(40)(
+        Seq.fill(1 + rnd.nextInt(10))("abc" (rnd.nextInt(3))).mkString).distinct.toDF("s")
+      def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      val fast = pairs(Fuzzy.selfJoinLev(strs, "s", maxDist = d))
+      val slow = pairs {
+        import org.apache.spark.sql.functions._
+        val a = strs.select(col("s").as("s1"))
+        val b = strs.select(col("s").as("s2"))
+        a.crossJoin(b).filter(col("s1") < col("s2"))
+          .withColumn("dist", levenshtein(col("s1"), col("s2")))
+          .filter(col("dist") <= d)
+      }
+      assert(fast === slow, s"round $round d=$d: segment blocking diverged")
+      assert(fast.nonEmpty, s"degenerate fixture round $round d=$d")
+    }
+  }
+
+  test("segment blocking finds the transposition pair without probing the shared prefix") {
+    // the er1 shape: constant "account-" prefix, discriminative tail.
+    // The tail-probed segment blocker must resolve the d=2
+    // transposition (which the 1-deletion neighborhood cannot block)
+    // while only ever probing tail segments.
+    val strs = Seq("account-1234", "account-1243", "unrelated-xyz").toDF("s")
+    val got = Fuzzy.selfJoinLev(strs, "s", maxDist = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got === Set(("account-1234", "account-1243", 2)))
+  }
+
   test("selfJoinFuzzy remains complete for every d<=1 edit kind (superset of lev-1)") {
     val strs = Seq("alpha", "alphb", "alphas", "alph", "blpha", "lpha", "zzz").toDF("s")
     def keyset(df: org.apache.spark.sql.DataFrame) = df.collect()
