@@ -1343,6 +1343,65 @@ object QueriesOps {
         |  CAST(bucket * 5000.0 AS DOUBLE) AS lo_edge
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    // HQ1: mergeable QUANTILE-HISTOGRAM rollup — the hl1 pre-aggregate
+    // pattern for the percentile family: per-day fixed-width bin
+    // vectors (array<long>, element-wise-ADD mergeable), merged across
+    // days into one histogram, quantiles answered by interpolation
+    // inside the containing bin — O(days × bins) arithmetic, no raw
+    // rescan. Row membership is decided by integer cumulative counts;
+    // the interpolated double rides along rounded (ss1 precedent). The
+    // exact_disc column recomputes the true discrete quantile from
+    // value-level counts (bounded by the value domain, not data size)
+    // and within_bin_width pins the estimator's error to one bin —
+    // both value-checked cross-engine.
+    "hq1_quantile_rollup" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val qs = Seq(0.25, 0.5, 0.9, 0.99)
+        val vals = Queries.events(s, d).select(
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          pmod(col("event_id"), lit(1000)).cast("int").as("v"))
+        val daily = graft.ops.Profile.histogramRollup(vals, "day", "v",
+          lo = 0.0, hi = 1000.0, nBuckets = 100)
+        val merged = graft.ops.Profile.mergeHistogramBins(daily)
+        val est = graft.ops.Profile.binQuantiles(merged, qs, lo = 0.0, width = 10.0)
+        val vc = vals.groupBy(col("v")).agg(count(lit(1)).cast("long").as("n"))
+          .withColumn("cumv", sum(col("n")).over(Window.orderBy(col("v"))))
+        val exact = est.select(col("q"), col("total"))
+          .join(vc, col("cumv") >= col("q") * col("total"))
+          .groupBy(col("q")).agg(min(col("v")).cast("int").as("exact_disc"))
+        est.join(exact, "q")
+          .withColumn("within_bin_width",
+            abs(col("est") - col("exact_disc")) <= lit(10.0))
+          .orderBy("q")
+      },
+      Some("""WITH vals AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(event_id % 1000 AS INTEGER) AS v
+        |  FROM events),
+        |db AS (SELECT day, least(99, greatest(0, CAST(floor((v - CAST(0.0 AS DOUBLE)) / CAST(10.0 AS DOUBLE)) AS INTEGER))) AS bin,
+        |         CAST(count(*) AS BIGINT) AS n
+        |       FROM vals GROUP BY 1, 2),
+        |merged AS (SELECT bin, CAST(sum(n) AS BIGINT) AS n FROM db GROUP BY 1),
+        |cum AS (SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum,
+        |          CAST(sum(n) OVER (ORDER BY bin) - n AS BIGINT) AS cum_before
+        |        FROM merged),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM merged),
+        |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+        |est AS (SELECT q, CAST(bin AS INTEGER) AS bin,
+        |          CAST(0.0 AS DOUBLE) + bin * CAST(10.0 AS DOUBLE) AS lo_edge,
+        |          n AS bin_n, cum_before, total,
+        |          round(CAST(0.0 AS DOUBLE) + bin * CAST(10.0 AS DOUBLE)
+        |            + CAST(10.0 AS DOUBLE) * (q * total - cum_before) / n, 6) AS est
+        |        FROM cum, tot, qs WHERE cum >= q * total AND cum_before < q * total),
+        |vc AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM vals GROUP BY 1),
+        |vcc AS (SELECT v, sum(n) OVER (ORDER BY v) AS cumv FROM vc),
+        |exact AS (SELECT e.q, CAST(min(vcc.v) AS INTEGER) AS exact_disc
+        |          FROM est e JOIN vcc ON vcc.cumv >= e.q * e.total GROUP BY e.q)
+        |SELECT est.q, bin, lo_edge, bin_n, cum_before, total, est.est,
+        |  exact.exact_disc,
+        |  abs(est.est - exact.exact_disc) <= CAST(10.0 AS DOUBLE) AS within_bin_width
+        |FROM est JOIN exact ON est.q = exact.q ORDER BY est.q""".stripMargin)),
+
     // Z-order (Morton) key — cross-engine value check of the layout
     // op's bit-interleave arithmetic (the clustering WRITE and its
     // row-group-skipping payoff are proven in LayoutSpec on parquet

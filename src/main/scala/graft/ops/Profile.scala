@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-profiling operators — the "ANALYZE TABLE"-style summaries a
@@ -56,6 +57,75 @@ object Profile {
       .groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).cast("long").as("n"))
       .withColumn("lo_edge", lit(lo) + col("bucket") * width)
+  }
+
+  /** Per-group MERGEABLE histogram: one row per group with
+    * `bins: array<long>` of length nBuckets over the fixed range
+    * `[lo, hi)` (edge-clamped like [[histogram]]). The quantile-family
+    * analog of the hl1 HLL rollup: bin-count vectors merge by
+    * element-wise ADD — associative, commutative, idempotent-free but
+    * exact — so any group range's distribution query becomes O(groups ×
+    * nBuckets) arithmetic on the rollup table with NO rescan of raw
+    * data. Build cost: one map-combinable (group, bin) count plus one
+    * (group)-keyed reassembly; only (group, int, long) rows shuffle.
+    */
+  def histogramRollup(df: DataFrame, groupCol: String, c: String,
+                      lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && hi > lo, "need nBuckets > 0 and hi > lo")
+    val width = (hi - lo) / nBuckets
+    val bucket = least(lit(nBuckets - 1),
+      greatest(lit(0), floor((col(c) - lo) / width).cast("int")))
+    df.filter(col(c).isNotNull)
+      .groupBy(col(groupCol), bucket.as("__b"))
+      .agg(count(lit(1)).cast("long").as("__n"))
+      .groupBy(col(groupCol))
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__n")))).as("__m"))
+      .select(col(groupCol),
+        transform(sequence(lit(0), lit(nBuckets - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0L))).as("bins"))
+  }
+
+  /** Merge a set of histogram-rollup rows into ONE histogram:
+    * (bin, n), bins summed element-wise. The (int, long) pair stream
+    * is the only thing that shuffles — O(groups × nBuckets), never
+    * raw rows.
+    */
+  def mergeHistogramBins(hists: DataFrame, binsCol: String = "bins"): DataFrame =
+    hists.select(posexplode(col(binsCol)).as(Seq("bin", "n")))
+      .groupBy(col("bin")).agg(sum(col("n")).cast("long").as("n"))
+
+  /** Quantile estimates FROM a merged (bin, n) histogram: for each q,
+    * the containing bin (first with cumulative ≥ q·N) and the
+    * linear-interpolation estimate within it — the answer shape a
+    * percentile dashboard reads off the rollup table. The window runs
+    * over nBuckets rows (bounded by construction, never data-sized).
+    * Output: (q, bin, lo_edge, bin_n, cum_before, total, est) with
+    * est = lo_edge + width·(q·N − cum_before)/bin_n rounded to 6
+    * (row membership is decided by integer cumulative counts only;
+    * the double rides along, the ss1 precedent).
+    */
+  def binQuantiles(hist: DataFrame, qs: Seq[Double],
+                   lo: Double, width: Double): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "qs must be in (0, 1]")
+    val w = Window.orderBy(col("bin"))
+    val cum = hist
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("cum_before", (col("cum") - col("n")).cast("long"))
+    val total = hist.agg(sum(col("n")).cast("long").as("total"))
+    val qdf = hist.sparkSession.range(1)
+      .select(explode(array(qs.map(lit(_)): _*)).as("q"))
+    val qRows = cum.crossJoin(broadcast(total)).crossJoin(qdf)
+    val t = col("q") * col("total")
+    qRows
+      .filter(col("cum") >= t && col("cum_before") < t)
+      .select(col("q"),
+        col("bin").cast("int").as("bin"),
+        (lit(lo) + col("bin") * lit(width)).as("lo_edge"),
+        col("n").as("bin_n"),
+        col("cum_before"),
+        col("total"),
+        round(lit(lo) + col("bin") * lit(width) +
+          lit(width) * (t - col("cum_before")) / col("n"), 6).as("est"))
   }
 
   /** Equi-depth (quantile-bucketed) histogram: cut points are the exact

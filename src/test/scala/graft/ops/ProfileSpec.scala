@@ -35,6 +35,30 @@ class ProfileSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_violations") === 3L) // the three 9s
   }
 
+  test("histogram rollup merges to the one-shot global histogram; quantiles land in the containing bin") {
+    val df = Seq.tabulate(300)(i => (s"g${i % 3}", (i * 7) % 100))
+      .toDF("g", "v")
+    // merge-law: element-wise sum of per-group bins == ungrouped histogram
+    val rolled = Profile.histogramRollup(df, "g", "v", 0.0, 100.0, 10)
+    assert(rolled.count() === 3)
+    val merged = Profile.mergeHistogramBins(rolled).collect()
+      .map(r => r.getAs[Int]("bin") -> r.getAs[Long]("n")).toMap
+    val oneShot = Profile.histogram(df, "v", 0.0, 100.0, 10).collect()
+      .map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("n")).toMap
+    assert(merged === oneShot)
+    // quantile law: each q's row is the bin containing q*N, est inside it
+    val qs = Profile.binQuantiles(Profile.mergeHistogramBins(rolled),
+      Seq(0.1, 0.5, 0.95), 0.0, 10.0).collect()
+    assert(qs.length === 3)
+    qs.foreach { r =>
+      val t = r.getAs[Double]("q") * r.getAs[Long]("total")
+      assert(r.getAs[Long]("cum_before") < t &&
+        r.getAs[Long]("cum_before") + r.getAs[Long]("bin_n") >= t)
+      val lo = r.getAs[Double]("lo_edge")
+      assert(r.getAs[Double]("est") >= lo && r.getAs[Double]("est") <= lo + 10.0)
+    }
+  }
+
   test("qualityReport derives pass from the violation count") {
     val rep = Profile.qualityReport(Seq(
       Profile.expectComplete(Seq(Some("x"), None).toDF("c"), "has_null", "c"),
