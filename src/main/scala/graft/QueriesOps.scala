@@ -822,6 +822,46 @@ object QueriesOps {
         |    j -> bytes[CAST((k * fs + j) % L + 1 AS INTEGER)])) AS BIGINT) AS y_sum
         |FROM f WHERE k % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // MM5: scene-cut detection on the decoded video — mean-luma jump
+    // >= 0.25 gray levels between consecutive frames (the synthetic
+    // frames cycle the same text bytes, so their means differ by
+    // fractions of a level; w*h is divisible by 4, making the
+    // quarter-level threshold exact in both engines). The oracle rebuilds every frame's luma sum
+    // from the synthesis rule (the mm2 walk, stride 1) and applies the
+    // same lag/threshold — a wrong frame walk or off-by-one in the
+    // window shifts every cut.
+    "mm5_scene_cuts" -> Q(
+      (s, d) => Multimodal.sceneCutsY4m(
+          Multimodal.y4mFromDocuments(docs(s, d)), meanDelta = 0.25)
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        |d AS (SELECT doc_id,
+        |    CAST(16 + (doc_id % 16) * 2 AS INTEGER) AS w,
+        |    CAST(16 + ((doc_id // 7) % 16) * 2 AS INTEGER) AS h,
+        |    CAST(2 + doc_id % 5 AS INTEGER) AS nf,
+        |    list_transform(range(1, length(hx)//2 + 1),
+        |      i -> strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) * 16
+        |         + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 17) AS bytes
+        |  FROM b),
+        |t AS (SELECT doc_id, w, h, nf, bytes, len(bytes) AS L,
+        |    w * h * 3 // 2 AS fs
+        |  FROM d),
+        |f AS (SELECT *, unnest(range(0, nf)) AS k FROM t),
+        |ys AS (SELECT doc_id, w, h, CAST(k AS INTEGER) AS frame_idx,
+        |    CAST(list_sum(list_transform(range(0, w * h),
+        |      j -> bytes[CAST((k * fs + j) % L + 1 AS INTEGER)])) AS BIGINT) AS y_sum
+        |  FROM f),
+        |lagd AS (SELECT doc_id, frame_idx, w, h,
+        |    lag(y_sum) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_y_sum,
+        |    y_sum
+        |  FROM ys)
+        |SELECT doc_id, frame_idx, prev_y_sum, y_sum,
+        |  CAST(abs(y_sum - prev_y_sum) AS BIGINT) AS delta
+        |FROM lagd
+        |WHERE prev_y_sum IS NOT NULL
+        |  AND abs(y_sum - prev_y_sum) >= CAST(w AS BIGINT) * h * CAST(0.25 AS DOUBLE)
+        |ORDER BY doc_id, frame_idx""".stripMargin)),
+
     // REAL codec path: synthesize a decodable P6 image per document
     // (pixels cycle the UTF-8 text bytes), genuinely parse the binary
     // header, nearest-neighbor-resize the RGB grid to 8x8, re-encode.

@@ -474,6 +474,29 @@ object Multimodal {
     }
   }
 
+  /** Scene-cut detection over decoded Y4M video — the segmentation op
+    * a video training pipeline runs before clip sampling: a cut is a
+    * frame whose mean luma jumps by ≥ `meanDelta` gray levels vs the
+    * previous frame (compared in integers as
+    * |Δ y_sum| ≥ w·h·meanDelta, so the decision is exact and
+    * engine-portable). Composes the real decode ([[sampleFramesY4m]]
+    * at stride 1) with a per-video lag window — frames of one video
+    * hash-partition together and only the (doc, idx, sum) rows ever
+    * shuffle, never pixel data.
+    */
+  def sceneCutsY4m(media: Dataset[MediaRow], meanDelta: Double = 8.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    sampleFramesY4m(media, stride = 1).toDF()
+      .withColumn("prev_y_sum", lag(col("y_sum"), 1).over(w))
+      .filter(col("prev_y_sum").isNotNull)
+      .withColumn("delta", abs(col("y_sum") - col("prev_y_sum")))
+      .filter(col("delta").cast("double") >=
+        col("width").cast("long") * col("height") * lit(meanDelta))
+      .select(col("doc_id"), col("frame_idx"), col("prev_y_sum"),
+        col("y_sum"), col("delta"))
+  }
+
   /** Media table of REAL Y4M videos synthesized from the documents
     * fixture.
     */

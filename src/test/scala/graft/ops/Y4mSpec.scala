@@ -67,4 +67,29 @@ class Y4mSpec extends AnyFunSuite {
       assert(f.frame_n_bytes === v.frameSize)
     }
   }
+
+  test("sceneCutsY4m flags exactly the frame transitions above the mean-delta threshold") {
+    import spark.implicits._
+    // three docs' synthetic videos; recompute every frame-pair delta
+    // from the decoded sums and check the cut set equals the
+    // above-threshold set (and that a huge threshold yields none)
+    val media = Seq(1L, 3L, 7L).map(id =>
+      Multimodal.MediaRow(id, "video",
+        Multimodal.makeY4m(id, s"text for doc $id".getBytes("UTF-8")))).toDS()
+    val frames = Multimodal.sampleFramesY4m(media, stride = 1).collect()
+      .groupBy(_.doc_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
+    val thr = 0.05
+    val expected = frames.toSeq.flatMap { case (id, fs) =>
+      fs.sliding(2).collect {
+        case Array(a, b)
+          if math.abs(b.y_sum - a.y_sum).toDouble >= a.width * a.height * thr =>
+            (id, b.frame_idx)
+      }
+    }.toSet
+    val got = Multimodal.sceneCutsY4m(media, meanDelta = thr).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx"))).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty, "degenerate fixture: no cuts at the test threshold")
+    assert(Multimodal.sceneCutsY4m(media, meanDelta = 256.0).count() === 0)
+  }
 }
