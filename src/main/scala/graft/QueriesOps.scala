@@ -2218,6 +2218,51 @@ object QueriesOps {
     // per-row z — the standard drift/anomaly monitor a pipeline runs
     // over a new data drop. max() and count() are order-independent, so
     // the row hashes cross-engine despite the double division.
+    // AN2: ROBUST anomaly detection — median/MAD instead of mean/std,
+    // the monitor that survives the very outliers it hunts (one wild
+    // value drags a mean+std z-score toward itself and masks the rest;
+    // the median and MAD have 50% breakdown). Exact interpolated
+    // percentile both sides (the h10 cross-engine precedent); MAD == 0
+    // groups yield null z via the null-propagating guard, identically
+    // in both engines. Scale: two tree-aggregated percentile passes +
+    // two broadcast joins — the same shuffle profile as an1.
+    "an2_robust_zscore" -> Q(
+      (s, d) => {
+        val ev = Queries.events(s, d)
+          .select(col("event_type"), col("value").cast("double").as("v"))
+        val m = ev.groupBy("event_type").agg(
+          count(lit(1)).cast("long").as("n"),
+          expr("percentile(v, 0.5)").as("med_v"))
+        val md = ev.join(broadcast(m), "event_type")
+          .select(col("event_type"), abs(col("v") - col("med_v")).as("av"))
+          .groupBy("event_type").agg(expr("percentile(av, 0.5)").as("mad_v"))
+        val denom = lit(1.4826) * col("mad_v")
+        ev.join(broadcast(m), "event_type").join(broadcast(md), "event_type")
+          .withColumn("z", (col("v") - col("med_v")) /
+            when(denom =!= 0.0, denom))
+          .groupBy("event_type")
+          .agg(first(col("n")).as("n"),
+            first(col("med_v")).as("med_v"),
+            first(col("mad_v")).as("mad_v"),
+            sum(when(abs(col("z")) > 3.5, 1L).otherwise(0L)).as("n_outliers"),
+            max(abs(col("z"))).as("max_abs_z"))
+          .orderBy("event_type")
+      },
+      Some("""WITH s AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        quantile_cont(v, 0.5) AS med_v
+        |      FROM s GROUP BY 1),
+        |md AS (SELECT s.event_type, quantile_cont(abs(s.v - m.med_v), 0.5) AS mad_v
+        |       FROM s JOIN m USING (event_type) GROUP BY 1),
+        |j AS (SELECT s.event_type, m.n, m.med_v, md.mad_v,
+        |        (s.v - m.med_v) / (CASE WHEN CAST(1.4826 AS DOUBLE) * md.mad_v <> 0.0
+        |          THEN CAST(1.4826 AS DOUBLE) * md.mad_v END) AS z
+        |      FROM s JOIN m USING (event_type) JOIN md USING (event_type))
+        |SELECT event_type, max(n) AS n, max(med_v) AS med_v, max(mad_v) AS mad_v,
+        |  CAST(sum(CASE WHEN abs(z) > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  max(abs(z)) AS max_abs_z
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     "an1_zscore_outliers" -> Q(
       (s, d) => {
         val v = col("value").cast("decimal(18,6)")
