@@ -480,6 +480,23 @@ object QueriesOps {
 
     // ---- similarity search -------------------------------------------
 
+    // SS6: product quantization + ADC + exact re-rank (Jégou 2011) —
+    // the fourth ANN path beside brute force, SRP-LSH and IVF, and the
+    // one that changes the STORAGE equation: the scan touches m=8
+    // codes per vector instead of 64 floats. Fixed deterministic
+    // codebooks here so the oracle recomputes encode/ADC/re-rank from
+    // literals (the ss5 discipline); the trained-codebook path
+    // (per-subspace Lloyd's) is the API default, covered in OpsSpec by
+    // the rerank=corpus equivalence law against brute force.
+    "ss6_pq_topk" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.pqTopK(e, e.filter(col("vec_id") < 8), k = 5,
+            codebooks = Similarity.fixedPqCodebooks(8, 16, 8))
+          .orderBy("q_id", "rank")
+      },
+      Some(OracleGen.pq1Sql())),
+
     "ss1_bruteforce_topk" -> Q(
       (s, d) => {
         val e = embs(s, d)

@@ -298,6 +298,164 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), col("sim"))
   }
 
+  // ---------------- product quantization (PQ / ADC) -----------------
+
+  /** One PQ codebook: `m` subspaces × `ks` centroids each; entry
+    * (j, c) is the c-th centroid of subspace j with its precomputed
+    * squared norm.
+    */
+  final case class PqCode(sub: Int, code: Int, vec: Array[Double], cc: Double)
+
+  /** Deterministic data-independent PQ codebooks (seeded Gaussians,
+    * the [[fixedCentroids]] discipline): every component is a
+    * plan-time literal an external SQL engine can be handed verbatim —
+    * what lets the DuckDB oracle value-check the PQ query end to end.
+    * Trained codebooks come from [[pqCodebooks]].
+    */
+  def fixedPqCodebooks(m: Int, ks: Int, subDim: Int, seed: Long = 23L): Seq[Seq[PqCode]] =
+    (0 until m).map { j =>
+      val r = new Random(seed + j)
+      (0 until ks).map { c =>
+        val v = Array.fill(subDim)(r.nextGaussian() * 0.5)
+        PqCode(j, c, v, v.map(x => x * x).sum)
+      }
+    }
+
+  /** Trained PQ codebooks: plain (non-spherical) Lloyd's k-means per
+    * SUBSPACE over a deterministic hash-ordered driver-side sample —
+    * the [[kmeansCentroids]] sampling discipline, minus the L2
+    * normalization (PQ quantizes raw subvectors, so the objective is
+    * plain squared error, not cosine).
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int, ks: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  sampleSize: Int = 2048, iters: Int = 5): Seq[Seq[PqCode]] = {
+    val rows = corpus
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(sampleSize)
+      .select(col(vecCol).cast("array<double>"))
+      .collect()
+    require(rows.nonEmpty, "pqCodebooks: empty corpus")
+    val sample: Array[Array[Double]] = rows.map(_.getSeq[Double](0).toArray)
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sd = dim / m
+    (0 until m).map { j =>
+      val subs = sample.map(v => v.slice(j * sd, (j + 1) * sd))
+      var cents: Array[Array[Double]] =
+        Array.tabulate(ks)(i => subs(i % subs.length).clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(ks)(new Array[Double](sd))
+        val counts = new Array[Int](ks)
+        for (v <- subs) {
+          var best = 0; var bestD = Double.PositiveInfinity; var c = 0
+          while (c < ks) {
+            var dd = 0.0; var i = 0
+            while (i < sd) { val t = v(i) - cents(c)(i); dd += t * t; i += 1 }
+            if (dd < bestD) { bestD = dd; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < sd) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(ks)(c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+      }
+      cents.toIndexedSeq.zipWithIndex.map { case (v, c) =>
+        PqCode(j, c, v, v.map(x => x * x).sum)
+      }
+    }
+  }
+
+  /** PQ-encode the corpus: each vector becomes `m` sub-codes
+    * (array<int>), 64 floats → m small ints — the compressed
+    * representation a billion-vector index actually stores. Encoding
+    * is ONE narrow codegen pass: per subspace, argmin over ks
+    * plan-time centroid literals of ‖s−c‖², computed as (‖c‖² − 2·s·c)
+    * since ‖s‖² is constant within a subspace's argmin; ties break to
+    * the lower code via lexicographic struct ordering.
+    */
+  def pqEncode(vectors: DataFrame, codebooks: Seq[Seq[PqCode]],
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.size
+    val sd = codebooks.head.head.vec.length
+    val v = col(vecCol).cast("array<double>")
+    val codeCols = (0 until m).map { j =>
+      val sub = slice(v, j * sd + 1, sd)
+      val scored = array(codebooks(j).map { c =>
+        struct((lit(c.cc) - lit(2.0) * dot(typedlit(c.vec.toIndexedSeq), sub)).as("score"),
+          lit(c.code).as("code"))
+      }: _*)
+      array_min(scored).getField("code")
+    }
+    vectors.select(col(idCol).as("n_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** PQ top-k via ASYMMETRIC DISTANCE COMPUTATION with exact re-rank
+    * (Jégou, Douze, Schmid, "Product quantization for nearest neighbor
+    * search", TPAMI 2011). Each query precomputes its m × ks table of
+    * exact subspace distances d[j][c] = ‖q_j‖² − 2·q_j·c + ‖c‖² (one
+    * narrow pass over plan-time literals); a candidate's approximate
+    * distance is the in-order sum of m table LOOKUPS on its stored
+    * codes — the scan touches m ints per corpus row, never the
+    * vectors. The top `rerank` candidates by ADC then re-rank by exact
+    * cosine (only those rows ever load their true vectors), emitting
+    * the final top `k`.
+    *
+    * Scale: the broadcast side is queries × (m·ks doubles); the scan
+    * side reads the code table (m bytes/vector at ks ≤ 256 — ~32 GB
+    * for a billion vectors, memory-resident where raw floats are
+    * 8 TB); the re-rank join touches k·rerank ids. Compose with the
+    * IVF cell filter (ss5) for IVF-PQ when even the code scan needs
+    * pruning. All ranking decisions are double comparisons over
+    * identical in-order folds, so an external engine reproduces every
+    * rank (the ss3/ss5 discipline).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, ks: Int = 16, rerank: Int = 24,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             codebooks: Seq[Seq[PqCode]] = Nil): DataFrame = {
+    val cbs: Seq[Seq[PqCode]] =
+      if (codebooks.nonEmpty) codebooks
+      else pqCodebooks(corpus, m, ks, idCol, vecCol)
+    val sd = cbs.head.head.vec.length
+    val codes = pqEncode(corpus, cbs, idCol, vecCol)
+    val qv = col(vecCol).cast("array<double>")
+    val tabCols = (0 until m).map { j =>
+      val sub = slice(qv, j * sd + 1, sd)
+      val qq = dot(sub, sub)
+      array(cbs(j).map { c =>
+        (qq - lit(2.0) * dot(typedlit(c.vec.toIndexedSeq), sub)) + lit(c.cc)
+      }: _*)
+    }
+    val q = queries.select(col(idCol).as("q_id"), qv.as("q_vec"),
+      array(tabCols: _*).as("tabs"))
+    // in-order fold 0.0 + d_0 + d_1 + … mirrors the oracle's
+    // list_reduce exactly (same accumulation order, same doubles)
+    val adc = (0 until m).map(j =>
+        element_at(element_at(col("tabs"), j + 1),
+          element_at(col("codes"), j + 1) + 1))
+      .foldLeft(lit(0.0))(_ + _)
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist").asc, col("n_id").asc)
+    val cand = broadcast(q).join(codes, col("n_id") =!= col("q_id"))
+      .withColumn("adc_dist", adc)
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= rerank)
+    val exact = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      norm(col(vecCol)).as("n_norm"))
+    val wSim = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    cand.join(exact, "n_id")
+      .withColumn("sim", dot(col("q_vec"), col("n_vec")) /
+        (norm(col("q_vec")) * col("n_norm")))
+      .withColumn("rank", row_number().over(wSim))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"),
+        round(col("adc_dist"), 6).as("adc_dist"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (the fifth dedup modality of
     * SURVEY's north star): all pairs with cosine >= threshold.
     * Brute-force O(n²) exact baseline; the LSH candidates variant is

@@ -211,6 +211,33 @@ class OpsSpec extends AnyFunSuite {
     assert(hits === 20L, s"every query's exact duplicate must be its top-1; got $hits/20")
   }
 
+  test("PQ: duplicates share codes; full re-rank equals brute force exactly") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(60)
+    val dup = e.select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = e.unionByName(dup)
+    // trained per-subspace codebooks (the API default path)
+    val cbs = Similarity.pqCodebooks(corpus, m = 8, ks = 16)
+    assert(cbs.size === 8 && cbs.forall(_.size === 16))
+    val codes = Similarity.pqEncode(corpus, cbs).collect()
+      .map(r => r.getAs[Long]("n_id") -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // identical vectors must encode identically
+    codes.keys.filter(_ < 10000).foreach(id =>
+      assert(codes(id) === codes(id + 10000), s"dup of $id encoded differently"))
+    // with rerank covering the whole corpus, the final ranking is the
+    // exact cosine over all candidates — bit-equal to brute force
+    val queries = e.limit(6)
+    val pq = Similarity.pqTopK(corpus, queries, k = 4,
+        rerank = 200, codebooks = cbs)
+      .select("q_id", "n_id", "rank", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val bf = Similarity.bruteForceTopK(corpus, queries, k = 4)
+      .select(col("q_id"), col("n_id"), col("rank"),
+        round(col("sim"), 6).as("sim")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(pq === bf, "full-rerank PQ diverged from brute force")
+  }
+
   test("IVF top-k: exact duplicates quantize to the same cell and rank first") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
     val dup = e.select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
