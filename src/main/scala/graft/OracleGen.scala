@@ -255,6 +255,69 @@ object OracleGen {
        |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
+  /** ss7: IVF-PQ top-k — ss5's fixed-centroid cell pruning composed
+    * with ss6's PQ encode/ADC/re-rank, all from serialized literals.
+    */
+  def pq2Sql(k: Int = 5, nCentroids: Int = 16, nProbe: Int = 6,
+             m: Int = 8, ks: Int = 16, rerank: Int = 24,
+             dim: Int = 64, pqSeed: Long = 23L): String = {
+    val sd = dim / m
+    val cbs = Similarity.fixedPqCodebooks(m, ks, sd, pqSeed)
+    val cbRows = cbs.flatten.map(c =>
+      s"(${c.sub}, ${c.code}, [${c.vec.mkString(", ")}], ${c.cc})").mkString(", ")
+    val centRows = Similarity.fixedCentroids(nCentroids, dim).map { c =>
+      s"(${c.id}, [${c.vec.mkString(", ")}], ${c.norm})"
+    }.mkString(", ")
+    val centDot = s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+      "i -> cent.cv[CAST(i AS INTEGER)] * v[CAST(i AS INTEGER)])), (acc, x) -> acc + x)"
+    def subDot(va: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${sd + 1}), " +
+        s"i -> cb.cv[CAST(i AS INTEGER)] * $va[CAST(cb.j * $sd + i AS INTEGER)])), (acc, x) -> acc + x)"
+    def qq(va: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${sd + 1}), " +
+        s"i -> $va[CAST(cb.j * $sd + i AS INTEGER)] * $va[CAST(cb.j * $sd + i AS INTEGER)])), (acc, x) -> acc + x)"
+    s"""WITH cent(cid, cv, cn) AS (VALUES $centRows),
+       |cb(j, c, cv, cc) AS (VALUES $cbRows),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |cs AS (SELECT e.vec_id, cent.cid, $centDot / cn AS c_sim FROM e CROSS JOIN cent),
+       |cell AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cid DESC) AS rn FROM cs)
+       |  WHERE rn = 1),
+       |probe AS (SELECT vec_id AS q_id, cid AS cell FROM (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cid DESC) AS rn
+       |    FROM cs WHERE vec_id < 8)
+       |  WHERE rn <= $nProbe),
+       |candc AS (SELECT DISTINCT p.q_id, c.vec_id AS n_id
+       |  FROM probe p JOIN cell c ON c.cell = p.cell WHERE c.vec_id <> p.q_id),
+       |sc AS (SELECT e.vec_id, cb.j, cb.c,
+       |    cb.cc - CAST(2.0 AS DOUBLE) * ${subDot("e.v")} AS score
+       |  FROM e CROSS JOIN cb),
+       |enc AS (SELECT vec_id, j, c AS code FROM (
+       |    SELECT vec_id, j, c,
+       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY score ASC, c ASC) AS rn
+       |    FROM sc) WHERE rn = 1),
+       |qd AS (SELECT e.vec_id AS q_id, cb.j, cb.c,
+       |    (${qq("e.v")} - CAST(2.0 AS DOUBLE) * ${subDot("e.v")}) + cb.cc AS d
+       |  FROM e CROSS JOIN cb WHERE e.vec_id < 8),
+       |adcl AS (SELECT candc.q_id, candc.n_id, list(qd.d ORDER BY qd.j) AS ds
+       |  FROM candc
+       |  JOIN qd ON qd.q_id = candc.q_id
+       |  JOIN enc ON enc.vec_id = candc.n_id AND enc.j = qd.j AND enc.code = qd.c
+       |  GROUP BY 1, 2),
+       |adc AS (SELECT q_id, n_id,
+       |    list_reduce(list_prepend(0.0, ds), (acc, x) -> acc + x) AS adc_dist FROM adcl),
+       |cand AS (SELECT q_id, n_id, adc_dist FROM (
+       |    SELECT q_id, n_id, adc_dist,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc_dist ASC, n_id ASC) AS adc_rank
+       |    FROM adc) WHERE adc_rank <= $rerank),
+       |sims AS (SELECT cand.q_id, cand.n_id, cand.adc_dist, ${cosSql(dim, "qe", "ne")} AS sim
+       |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id JOIN e ne ON ne.vec_id = cand.n_id),
+       |ranked AS (SELECT q_id, n_id, adc_dist, sim, CAST(row_number() OVER (
+       |    PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rank FROM sims)
+       |SELECT q_id, n_id, rank, round(adc_dist, 6) AS adc_dist, round(sim, 6) AS sim
+       |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
   /** ss3: SRP-LSH top-k with Hamming<=2 multi-probe on the query side
     * (nPlanes=12, nTables=8, seeds 7..14, queries vec_id < 8, k=5).
     */

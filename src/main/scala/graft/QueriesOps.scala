@@ -497,6 +497,20 @@ object QueriesOps {
       },
       Some(OracleGen.pq1Sql())),
 
+    // SS7: IVF-PQ — the two prunings composed: cells bound WHICH rows
+    // a query reads, codes bound what a read COSTS, re-rank bounds the
+    // error. Fixed centroid + codebook literals so the oracle
+    // recomputes the entire composition (ss5 + ss6 CTEs chained).
+    "ss7_ivfpq_topk" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 8), k = 5,
+            centroids = Similarity.fixedCentroids(16, 64),
+            codebooks = Similarity.fixedPqCodebooks(8, 16, 8))
+          .orderBy("q_id", "rank")
+      },
+      Some(OracleGen.pq2Sql())),
+
     "ss1_bruteforce_topk" -> Q(
       (s, d) => {
         val e = embs(s, d)

@@ -456,6 +456,73 @@ object Similarity {
         round(col("adc_dist"), 6).as("adc_dist"), round(col("sim"), 6).as("sim"))
   }
 
+  /** IVF-PQ top-k: the composition the PQ scaladoc promises — the IVF
+    * coarse quantizer prunes WHICH code rows each query reads
+    * (equi-join on cell id, corpus/nCentroids × nProbe rows), and PQ
+    * compresses WHAT a read costs (m codes, not raw floats). This is
+    * the billion-vector production shape: cells bound the scan, codes
+    * bound the bytes, exact re-rank bounds the error. Candidate
+    * generation = one cell equi-join on (cell, m ints) rows; ADC and
+    * re-rank as in [[pqTopK]].
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCentroids: Int = 16, nProbe: Int = 6,
+                m: Int = 8, ks: Int = 16, rerank: Int = 24,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                centroids: Seq[Centroid] = Nil,
+                codebooks: Seq[Seq[PqCode]] = Nil): DataFrame = {
+    val cents: Seq[Centroid] =
+      if (centroids.nonEmpty) centroids
+      else kmeansCentroids(corpus, nCentroids, idCol, vecCol)
+    val cbs: Seq[Seq[PqCode]] =
+      if (codebooks.nonEmpty) codebooks
+      else pqCodebooks(corpus, m, ks, idCol, vecCol)
+    val sd = cbs.head.head.vec.length
+    val cellStructs: Column = array(cents.map { c =>
+      val vlit = typedlit(c.vec.toIndexedSeq)
+      struct((dot(vlit, col(vecCol)) / lit(c.norm)).as("c_sim"), lit(c.id).as("c_id"))
+    }: _*)
+    // corpus side: cell + codes, one narrow pass — the stored index row
+    val codes = pqEncode(corpus, cbs, idCol, vecCol)
+      .join(corpus.select(col(idCol).as("n_id"),
+        array_max(cellStructs).getField("c_id").as("cell")), "n_id")
+    val qv = col(vecCol).cast("array<double>")
+    val tabCols = (0 until m).map { j =>
+      val sub = slice(qv, j * sd + 1, sd)
+      val qq = dot(sub, sub)
+      array(cbs(j).map { c =>
+        (qq - lit(2.0) * dot(typedlit(c.vec.toIndexedSeq), sub)) + lit(c.cc)
+      }: _*)
+    }
+    val probedCells = transform(slice(reverse(array_sort(cellStructs)), 1, nProbe),
+      s => s.getField("c_id"))
+    val q = queries.select(col(idCol).as("q_id"), qv.as("q_vec"),
+      array(tabCols: _*).as("tabs"), explode(probedCells).as("cell"))
+    val adc = (0 until m).map(j =>
+        element_at(element_at(col("tabs"), j + 1),
+          element_at(col("codes"), j + 1) + 1))
+      .foldLeft(lit(0.0))(_ + _)
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist").asc, col("n_id").asc)
+    val cand = codes.join(broadcast(q), "cell")
+      .filter(col("n_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("adc_dist", adc)
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= rerank)
+    val exact = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      norm(col(vecCol)).as("n_norm"))
+    val wSim = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    cand.join(exact, "n_id")
+      .withColumn("sim", dot(col("q_vec"), col("n_vec")) /
+        (norm(col("q_vec")) * col("n_norm")))
+      .withColumn("rank", row_number().over(wSim))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"),
+        round(col("adc_dist"), 6).as("adc_dist"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (the fifth dedup modality of
     * SURVEY's north star): all pairs with cosine >= threshold.
     * Brute-force O(n²) exact baseline; the LSH candidates variant is

@@ -238,6 +238,23 @@ class OpsSpec extends AnyFunSuite {
     assert(pq === bf, "full-rerank PQ diverged from brute force")
   }
 
+  test("IVF-PQ with full probes and full rerank equals brute force exactly") {
+    // probing every cell + re-ranking everything removes both
+    // approximations — the composition law that pins cells and codes
+    // to pure pruning roles (trained centroid AND codebook paths)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(80)
+    val queries = e.limit(5)
+    val ivfpq = Similarity.ivfPqTopK(e, queries, k = 4,
+        nCentroids = 8, nProbe = 8, rerank = 100)
+      .select("q_id", "n_id", "rank", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val bf = Similarity.bruteForceTopK(e, queries, k = 4)
+      .select(col("q_id"), col("n_id"), col("rank"),
+        round(col("sim"), 6).as("sim")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(ivfpq === bf, "full-coverage IVF-PQ diverged from brute force")
+  }
+
   test("IVF top-k: exact duplicates quantize to the same cell and rank first") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
     val dup = e.select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
