@@ -697,6 +697,59 @@ object QueriesOps {
         |SELECT cl.v, cl.cluster, sz.csize, cl.v = cl.cluster AS is_rep
         |FROM cl JOIN sz USING (cluster) ORDER BY v""".stripMargin)),
 
+    // SP2: LEAKAGE-SAFE train/val/test split — the sp1 hash coin
+    // flipped per NEAR-DUP CLUSTER instead of per document, so two
+    // near-duplicates can never land on opposite sides of a train/test
+    // boundary (the classic eval-contamination failure sp1's per-doc
+    // coin cannot prevent). Composition: dd7's component pass over the
+    // cosine near-dup graph assigns cluster ids, the md5 coin flips on
+    // the cluster id, members inherit. Oracle = dd7's recursive-CTE
+    // closure + sp1's coin restated on the cluster id.
+    "sp2_cluster_safe_split" -> Q(
+      (s, d) => {
+        val bounded = embs(s, d).filter(col("vec_id") < 600)
+        val pairs = Similarity.cosineNearDupPairs(bounded, threshold = 0.4)
+          .select(col("id1").as("d1"), col("id2").as("d2"))
+        val cc = Dedup.connectedComponents(
+          bounded.select(col("vec_id").as("v")), pairs)
+        val assigned = graft.ops.Curate.hashSplit(
+          cc.select(col("cluster")).distinct(), "cluster",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        cc.join(broadcast(assigned), "cluster")
+          .select(col("v"), col("cluster"), col("split")).orderBy("v")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 600),
+        |pairs AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos_sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |edges AS (SELECT CAST(id1 AS BIGINT) AS src, CAST(id2 AS BIGINT) AS dst
+        |            FROM pairs WHERE cos_sim >= 0.4
+        |          UNION ALL
+        |          SELECT CAST(id2 AS BIGINT), CAST(id1 AS BIGINT)
+        |            FROM pairs WHERE cos_sim >= 0.4),
+        |reach(v, r) AS (
+        |  SELECT CAST(vec_id AS BIGINT), CAST(vec_id AS BIGINT) FROM e
+        |  UNION
+        |  SELECT edges.dst, reach.r FROM reach JOIN edges ON edges.src = reach.v),
+        |cl AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v),
+        |coin AS (SELECT cluster,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5(CAST(cluster AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+        |    (a, x) -> a * 16 + x) AS DOUBLE) / CAST(4294967296 AS DOUBLE) AS u
+        |  FROM (SELECT DISTINCT cluster FROM cl))
+        |SELECT cl.v, cl.cluster,
+        |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+        |FROM cl JOIN coin USING (cluster)
+        |ORDER BY v""".stripMargin)),
+
     // Quantified driver-visible quality check for the approximate ANN
     // paths: recall of ss3/ss4/ss5 against their exact ground truths,
     // computed entirely in-plan (semi-join hit counting — no collect).

@@ -152,4 +152,32 @@ class CurateSpec extends AnyFunSuite {
     val h3 = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
     assert(math.abs(got(3L)._3 - h3) < 1e-12)
   }
+
+  test("cluster-safe split never separates near-duplicates; per-doc split does") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(40)
+    // plant exact duplicates under distant ids — the per-doc md5 coin
+    // is independent of content, so some dup pair WILL straddle a
+    // split; the cluster coin cannot, by construction
+    val dup = e.select((col("vec_id") + 5000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = e.unionByName(dup)
+    val pairs = Similarity.cosineNearDupPairs(corpus, threshold = 0.999)
+      .select(col("id1").as("d1"), col("id2").as("d2"))
+    val cc = Dedup.connectedComponents(corpus.select(col("vec_id").as("v")), pairs)
+    val byCluster = cc.join(
+      Curate.hashSplit(cc.select("cluster").distinct(), "cluster",
+        Seq(("train", 0.8), ("test", 0.2))), "cluster")
+    val splitOf = byCluster.select("v", "split").as[(Long, String)].collect().toMap
+    val pairRows = pairs.as[(Long, Long)].collect()
+    assert(pairRows.nonEmpty)
+    pairRows.foreach { case (a, b) =>
+      assert(splitOf(a) === splitOf(b), s"near-dup pair ($a,$b) straddles splits")
+    }
+    // the contrast: the same coin flipped per doc separates >= 1 pair
+    val perDoc = Curate.hashSplit(corpus.select(col("vec_id")), "vec_id",
+        Seq(("train", 0.8), ("test", 0.2)))
+      .as[(Long, String)].collect().toMap
+    assert(pairRows.exists { case (a, b) => perDoc(a) != perDoc(b) },
+      "fixture too small to show the per-doc leakage sp2 prevents")
+  }
 }
