@@ -259,6 +259,50 @@ object QueriesOps {
         |  CAST(n12 AS DOUBLE) / CAST(sum(n12) OVER (PARTITION BY w1) AS DOUBLE) AS p
         |FROM c ORDER BY n12 DESC, w1, w2 LIMIT 100""".stripMargin)),
 
+    // The published Gopher rule battery (Rae et al. 2021 §A.1.1) as
+    // PASS/FAIL booleans per document — integer counts and one-division
+    // ratios, so every bit is reproduced by the DuckDB oracle.
+    "tx13_gopher_rules" -> Q(
+      (s, d) => Text.gopherRules(docs(s, d))
+        .select("doc_id", "n_words", "r_word_count", "r_mean_word_len",
+          "r_hash_ratio", "r_ellipsis_ratio", "r_bullet_lines",
+          "r_ellipsis_lines", "r_alpha_words", "r_stopwords",
+          "r_dup_lines", "gopher_keep")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+        |  SELECT doc_id, text,
+        |         string_split(text, ' ') AS w,
+        |         string_split(text, chr(10)) AS l
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    len(w) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w) AS mean_len,
+        |    CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE) / len(w) AS hash_ratio,
+        |    CAST((len(text) - len(replace(text, '...', ''))) / 3 AS DOUBLE) / len(w) AS ell_ratio,
+        |    CAST(len(list_filter(l, x -> regexp_matches(x, '^\s*[-*•]'))) AS DOUBLE) / len(l) AS bullet_frac,
+        |    CAST(len(list_filter(l, x -> regexp_matches(x, '\.\.\.\s*$'))) AS DOUBLE) / len(l) AS ell_line_frac,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(w) AS alpha_frac,
+        |    len(list_distinct(list_filter(w, x ->
+        |      list_contains(['the','be','to','of','and','that','have','with'], lower(x))))) AS stop_hits,
+        |    1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l) AS dup_line_frac
+        |  FROM t)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  n_words BETWEEN 50 AND 100000 AS r_word_count,
+        |  mean_len BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
+        |  hash_ratio < 0.1 AS r_hash_ratio,
+        |  ell_ratio < 0.1 AS r_ellipsis_ratio,
+        |  bullet_frac < 0.9 AS r_bullet_lines,
+        |  ell_line_frac < 0.3 AS r_ellipsis_lines,
+        |  alpha_frac >= 0.8 AS r_alpha_words,
+        |  stop_hits >= 2 AS r_stopwords,
+        |  dup_line_frac < 0.3 AS r_dup_lines,
+        |  (n_words BETWEEN 50 AND 100000) AND (mean_len BETWEEN 3.0 AND 10.0)
+        |    AND hash_ratio < 0.1 AND ell_ratio < 0.1 AND bullet_frac < 0.9
+        |    AND ell_line_frac < 0.3 AND alpha_frac >= 0.8 AND stop_hits >= 2
+        |    AND dup_line_frac < 0.3 AS gopher_keep
+        |FROM f ORDER BY doc_id""".stripMargin)),
+
     "tx11_cooccurrence" -> Q(
       (s, d) => docs(s, d)
         .select(split(lower(col("text")), " ").as("toks"))

@@ -240,6 +240,66 @@ object Text {
     * as a projection alias, so neither the HOF re-evaluation trap nor
     * the multi-reference tree-copy cost applies.
     */
+  private val gopherStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The full Gopher/MassiveText rule battery (Rae et al. 2021, §A.1.1):
+    * document-level heuristics that gate a page out of the training set.
+    * Reference-pipeline analog: the curation stage's quality filters
+    * (tx2 scores; this emits the published PASS/FAIL rules verbatim).
+    *
+    * Rules (keep iff ALL hold):
+    *  - word count in [minWords, maxWords]
+    *  - mean word length in [3, 10]
+    *  - symbol-to-word ratio < 0.1 for both '#' and '...'
+    *  - < 90% of lines start with a bullet; < 30% end with '...'
+    *  - >= 80% of words contain at least one alphabetic character
+    *  - >= 2 distinct words from the 8-stopword indicator set
+    *  - duplicate-line fraction < 0.30 (the §A.1.2 repetition gate's
+    *    line-level member; n-gram members live in [[withRepetition]])
+    *
+    * Everything is a single-pass codegen column battery over in-row
+    * arrays — integer counts and one-division ratios, so the DuckDB
+    * oracle reproduces every boolean bit-exactly. At 100 TB this is a
+    * narrow map stage fused into the scan: no shuffle, no state.
+    */
+  def gopherRules(docs: DataFrame, textCol: String = "text",
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val words = tokensCol(t)
+    val nW = size(words)
+    val nWd = nW.cast("double")
+    val lines = split(t, "\n")
+    val nLd = size(lines).cast("double")
+    val meanLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / nWd
+    val hashes = (length(t) - length(regexp_replace(t, "#", ""))).cast("double")
+    val ellipses = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
+      .cast("double")
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double")
+    val bulletLines = size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("double")
+    val ellipsisLines = size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))).cast("double")
+    val stopHits = size(array_distinct(
+      filter(words, w => lower(w).isin(gopherStopwords: _*))))
+    val dupLineFrac = lit(1.0) - size(array_distinct(lines)).cast("double") / nLd
+    docs
+      .withColumn("n_words", nW.cast("long"))
+      .withColumn("r_word_count", nW.between(minWords, maxWords))
+      .withColumn("r_mean_word_len", meanLen.between(3.0, 10.0))
+      .withColumn("r_hash_ratio", hashes / nWd < 0.1)
+      .withColumn("r_ellipsis_ratio", ellipses / nWd < 0.1)
+      .withColumn("r_bullet_lines", bulletLines / nLd < 0.9)
+      .withColumn("r_ellipsis_lines", ellipsisLines / nLd < 0.3)
+      .withColumn("r_alpha_words", alphaWords / nWd >= 0.8)
+      .withColumn("r_stopwords", stopHits >= 2)
+      .withColumn("r_dup_lines", dupLineFrac < 0.3)
+      .withColumn("gopher_keep",
+        col("r_word_count") && col("r_mean_word_len") && col("r_hash_ratio") &&
+          col("r_ellipsis_ratio") && col("r_bullet_lines") &&
+          col("r_ellipsis_lines") && col("r_alpha_words") &&
+          col("r_stopwords") && col("r_dup_lines"))
+  }
+
   def withRepetition(docs: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame = {
     val t = tokensCol(lower(col(textCol)))
     val grams = flatten(transform(array(t), tt =>

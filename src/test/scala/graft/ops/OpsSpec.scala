@@ -446,4 +446,35 @@ class OpsSpec extends AnyFunSuite {
     assert(l1.getAs[Seq[Double]]("cvec") === Seq(5.0, 5.0))
     assert(math.abs(l1.getAs[Double]("inertia")) < 1e-12)
   }
+
+  test("gopherRules: each rule trips on its crafted violator and only there") {
+    import spark.implicits._
+    val ok = ("the be of and " + Seq.tabulate(60)(i => s"word$i").mkString(" "))
+    val docs = Seq(
+      (0L, ok),                                           // passes everything
+      (1L, "the be too short"),                           // word count < 50
+      (2L, ok.replaceAll("word(\\d+)", "w")),             // mean word len < 3
+      (3L, ok + " " + Seq.fill(20)("#tag").mkString(" ")),// hash ratio >= 0.1
+      (4L, ok + " " + Seq.fill(20)("so...").mkString(" ") + " end"), // ellipsis ratio
+      (5L, (Seq(ok) ++ Seq.tabulate(30)(i => s"- bullet line $i")).mkString("\n")), // bullets >= 90%
+      (6L, (Seq(ok) ++ Seq.tabulate(9)(i => s"line $i trailing off...")).mkString("\n")), // ellipsis lines
+      (7L, ok + " " + Seq.fill(70)("123").mkString(" ")), // alpha words < 80%
+      (8L, ok.replace("the be of and ", "") + " x y z"),  // < 2 stopwords
+      (9L, (Seq(ok) ++ Seq.fill(9)("same line")).mkString("\n")) // dup lines >= 30%
+    ).toDF("doc_id", "text")
+    val got = Text.gopherRules(docs).orderBy("doc_id").collect()
+    val ruleCols = Seq("r_word_count", "r_mean_word_len", "r_hash_ratio",
+      "r_ellipsis_ratio", "r_bullet_lines", "r_ellipsis_lines",
+      "r_alpha_words", "r_stopwords", "r_dup_lines")
+    assert(got(0).getAs[Boolean]("gopher_keep"))
+    ruleCols.foreach(c => assert(got(0).getAs[Boolean](c), c))
+    // violator i fails exactly rule i-1 (crafts are orthogonal to the rest)
+    ruleCols.zipWithIndex.foreach { case (c, i) =>
+      val row = got(i + 1)
+      assert(!row.getAs[Boolean](c), s"doc ${i + 1} should fail $c")
+      assert(!row.getAs[Boolean]("gopher_keep"))
+      ruleCols.filter(_ != c).foreach(o =>
+        assert(row.getAs[Boolean](o), s"doc ${i + 1} should pass $o"))
+    }
+  }
 }
