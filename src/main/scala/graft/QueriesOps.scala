@@ -598,6 +598,33 @@ object QueriesOps {
         |SELECT id1, id2, round(cos_sim, 6) AS cos_sim
         |FROM pairs WHERE cos_sim >= 0.4 ORDER BY id1, id2""".stripMargin)),
 
+    // Sparse TF-IDF cosine join over raw text via an inverted index —
+    // term-at-a-time postings join, the sparse complement of ss2's
+    // dense pairs. Same-operand divisions on both engines; sum-order
+    // ulps absorbed by the 6-decimal output rounding.
+    "ss8_sparse_cosine_join" -> Q(
+      (s, d) => Similarity.sparseCosineJoin(
+          docs(s, d).filter(col("doc_id") < 300), threshold = 0.8)
+        .select(col("d1"), col("d2"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("d1", "d2"),
+      Some("""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents WHERE doc_id < 300),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |w AS (SELECT tf.doc_id, tf.term, tf.tf * ln(n.n / df.df) AS w
+        |      FROM tf JOIN df USING (term) CROSS JOIN n),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+        |dot AS (SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.w * b.w) AS dotp
+        |        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        |cos AS (SELECT d1, d2, dotp / (x.nrm * y.nrm) AS cosine
+        |        FROM dot JOIN nrm x ON x.doc_id = d1 JOIN nrm y ON y.doc_id = d2)
+        |SELECT d1, d2, round(cosine, 6) AS cosine FROM cos
+        |WHERE cosine >= 0.8 ORDER BY d1, d2""".stripMargin)),
+
     // Seeded SRP buckets are plan-time literals, so the oracle gets the
     // SAME ±1 planes serialized into its SQL (OracleGen.ss3Sql) and
     // recomputes every bucket: fully value-checked. Bucket-deciding

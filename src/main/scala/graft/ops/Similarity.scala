@@ -607,6 +607,46 @@ object Similarity {
     * fold order, so an external engine reproduces it bit-for-bit
     * (unlike the xxhash64-based signature ops).
     */
+  /** Exact sparse TF-IDF cosine similarity self-join via an inverted
+    * index — the SSJoin/term-at-a-time construction (Sarawagi & Kirpal
+    * 2004): the sparse-text complement of the dense-vector family above.
+    * Reference-pipeline analog: the dedup/similarity stage over raw
+    * text where no embedding exists yet.
+    *
+    * Plan shape (the part that matters at 100 TB): document text is
+    * read once and immediately reduced to (id, term, weight) postings —
+    * ONE shuffle keyed by term covers the tf→df join AND the postings
+    * self-join, so raw text never moves again; norms are (id, double)
+    * rows; the pair-accumulation shuffle carries (d1, d2, partial-sum)
+    * with map-side combine. Cost is Σ_term df² — Zipfian hot terms
+    * dominate, and their idf weight ~0 means they contribute nothing:
+    * compose with a df-cap or the dd10 prefix filter (threshold-aware
+    * pruning on idf-descending postings) when the tail must be cut;
+    * this operator keeps the join exact.
+    */
+  def sparseCosineJoin(docs: DataFrame, threshold: Double,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"), explode(split(lower(col(textCol)), " ")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val nDocs = tf.agg(countDistinct(col("id")).cast("double").as("n"))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val w = tf.join(df, "term").crossJoin(broadcast(nDocs))
+      .withColumn("w", col("tf") * log(col("n") / col("df")))
+      .select("id", "term", "w")
+    val nrm = w.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val dot = w.as("a")
+      .join(w.as("b"), col("a.term") === col("b.term") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("d1"), col("b.id").as("d2"))
+      .agg(sum(col("a.w") * col("b.w")).as("dotp"))
+    dot
+      .join(nrm.select(col("id").as("d1"), col("nrm").as("nrm1")), "d1")
+      .join(nrm.select(col("id").as("d2"), col("nrm").as("nrm2")), "d2")
+      .withColumn("cosine", col("dotp") / (col("nrm1") * col("nrm2")))
+      .filter(col("cosine") >= threshold)
+      .select("d1", "d2", "cosine")
+  }
+
   def quantizeInt8(vectors: DataFrame, vecCol: String = "embedding",
                    idCol: String = "vec_id"): DataFrame = {
     val xd = transform(col(vecCol), v => v.cast("double"))

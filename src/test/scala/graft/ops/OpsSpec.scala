@@ -447,6 +447,27 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(l1.getAs[Double]("inertia")) < 1e-12)
   }
 
+  test("sparseCosineJoin: identical docs score 1, disjoint docs never pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),  // identical to 1
+      (3L, "omega sigma tau phi"),     // disjoint from 1/2
+      (4L, "alpha beta rho xi")        // partial overlap with 1/2
+    ).toDF("doc_id", "text")
+    val pairs = Similarity.sparseCosineJoin(docs, threshold = 0.0)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
+        r.getAs[Double]("cosine")).toMap
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-12)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      "disjoint docs must not co-occur in any posting")
+    // overlap pair exists and scores strictly between 0 and 1
+    val p14 = pairs((1L, 4L))
+    assert(p14 > 0.0 && p14 < 1.0)
+    // symmetry of construction: (2,4) has the same text as (1,4)
+    assert(math.abs(pairs((2L, 4L)) - p14) < 1e-12)
+  }
+
   test("gopherRules: each rule trips on its crafted violator and only there") {
     import spark.implicits._
     val ok = ("the be of and " + Seq.tabulate(60)(i => s"word$i").mkString(" "))
