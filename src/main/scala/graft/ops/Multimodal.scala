@@ -228,6 +228,81 @@ object Multimodal {
     }
   }
 
+  /** Average-hash (aHash) perceptual fingerprint of a decoded P6 image:
+    * integer grayscale per pixel, box-partition onto a grid×grid lattice
+    * (cell = (y·grid/h, x·grid/w) — every cell nonempty for the ≥8×8
+    * fixtures), per-cell floor-average, bit = cell-average >= mean of
+    * the 64 averages. All-integer arithmetic end to end, so an external
+    * oracle reproduces every bit from the synthesis rule; a header or
+    * layout bug flips whole rows red.
+    *
+    * This is the image-modality member of the near-dup family (text:
+    * dd3/dd4; embeddings: ss2/ss4): at 100 TB of images the decode+hash
+    * is the embarrassingly-parallel map over opaque binary (the one
+    * place mapPartitions is the right tool), and everything downstream
+    * carries (doc_id, 64-bit string) only.
+    */
+  final case class ImageHash(doc_id: Long, ahash_bits: String)
+
+  def aHashPpm(media: Dataset[MediaRow], grid: Int = 8): Dataset[ImageHash] = {
+    implicit val enc = Encoders.product[ImageHash]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        parsePpm(r.payload).map { p =>
+          val sums = new Array[Long](grid * grid)
+          val cnts = new Array[Long](grid * grid)
+          var y = 0
+          while (y < p.height) {
+            val cy = y * grid / p.height
+            var x = 0
+            while (x < p.width) {
+              val i = p.dataOffset + (y * p.width + x) * 3
+              val gray = ((r.payload(i) & 0xff) + (r.payload(i + 1) & 0xff)
+                + (r.payload(i + 2) & 0xff)) / 3
+              val c = cy * grid + x * grid / p.width
+              sums(c) += gray; cnts(c) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val avgs = Array.tabulate(grid * grid)(c => sums(c) / cnts(c))
+          val mean = avgs.sum / (grid * grid)
+          ImageHash(r.doc_id, avgs.map(a => if (a >= mean) '1' else '0').mkString)
+        }
+      }
+    }
+  }
+
+  /** Image near-dup pairs from aHash fingerprints: the simhash
+    * pigeonhole (dd4's construction, applied to the image modality).
+    * A pair with hamming <= maxDist differs in at most maxDist bands,
+    * so with bands > maxDist at least one band matches exactly — the
+    * ids-only band equi-join is a LOSSLESS candidate generator, and the
+    * in-row bit compare keeps verification off the shuffle. Exactness
+    * is provable by the oracle running the n² form.
+    */
+  def imageNearDupPairs(hashes: Dataset[ImageHash], maxDist: Int = 3,
+                        bands: Int = 4): DataFrame = {
+    require(bands > maxDist, "pigeonhole needs bands > maxDist")
+    val bandLen = 64 / bands
+    val banded = hashes.toDF().select(col("doc_id"), col("ahash_bits"),
+      explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+        s"struct(b AS band_idx, substring(ahash_bits, b*$bandLen + 1, $bandLen) AS band))"))
+        .as("bd"))
+      .select(col("doc_id"), col("ahash_bits"), col("bd.band_idx"), col("bd.band"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band") === col("b.band")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.ahash_bits").as("h1"), col("b.ahash_bits").as("h2"))
+      .distinct()
+      .withColumn("hamming", expr(
+        "cast(size(filter(sequence(1, 64), i -> substring(h1, i, 1) != substring(h2, i, 1))) as bigint)"))
+      .filter(col("hamming") <= maxDist)
+      .select("d1", "d2", "hamming")
+  }
+
   // ==== Real audio codec: WAV (RIFF PCM s16le) ========================
   // Second genuinely-decoded format, pure JVM: canonical RIFF container
   // with a PCM fmt chunk and 16-bit little-endian mono samples. The

@@ -43,4 +43,40 @@ class PpmSpec extends AnyFunSuite {
     assert((stats.r_sum, stats.g_sum, stats.b_sum) ===
       (108L * 10, 108L * 20, 108L * 30))
   }
+
+  test("aHash: constant image hashes all-ones; banded join equals brute force") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // constant image: every cell average equals the mean -> all bits 1
+    val const = Multimodal.MediaRow(1L, "image",
+      "P6\n12 9\n255\n".getBytes("US-ASCII") ++
+        Array.tabulate[Byte](12 * 9 * 3)(_ => 50.toByte))
+    val constBits = Multimodal.aHashPpm(spark.createDataset(Seq(const))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]))
+      .collect().head.ahash_bits
+    assert(constBits === "1" * 64)
+
+    // pigeonhole losslessness: banded candidates reproduce the n²
+    // hamming join exactly on a corpus with planted one-char variants
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(40)
+    val planted = base.select((col("doc_id") + 12000).as("doc_id"),
+      concat(lit("Q"), expr("substring(text, 2)")).as("text"))
+    val hashes = Multimodal.aHashPpm(
+      Multimodal.ppmFromDocuments(base.unionByName(planted)))
+    val banded = Multimodal.imageNearDupPairs(hashes, maxDist = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = hashes.toDF().as("a")
+      .join(hashes.toDF().as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        expr("cast(size(filter(sequence(1, 64), i -> " +
+          "substring(a.ahash_bits, i, 1) != substring(b.ahash_bits, i, 1))) as bigint)")
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded === brute, "band join lost or invented a pair")
+    assert(banded.nonEmpty, "degenerate fixture: no near-dup image pairs")
+    // planted variants dominate: every found pair is (i, i+12000)
+    assert(banded.forall { case (d1, d2, _) => d2 == d1 + 12000 })
+  }
 }
