@@ -1356,6 +1356,36 @@ object QueriesOps {
     // RefinedWeb-style per-source document cap: top-15 docs per source
     // by quality score (ties broken by id — total order, so the cut is
     // engine-reproducible).
+    // Model-scored quality filtering: fixed-weight LR over the tx2
+    // feature battery. Keep decision via sign of the linear term (exact
+    // same-operand doubles both engines); sigmoid attached rounded.
+    "qs1_lr_quality" -> Q(
+      (s, d) => Curate.lrQualityScore(docs(s, d))
+        .select(col("doc_id"), round(col("lr_linear"), 6).as("lr_linear"),
+          round(col("lr_score"), 6).as("lr_score"), col("lr_keep"))
+        .orderBy("doc_id"),
+      Some("""WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+        |    CAST(list_sum(list_transform(string_split(text, ' '),
+        |         x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |    -2.0 + alpha_ratio * 3.0 + stopword_ratio * 2.5
+        |      + mean_word_len * 0.15 - punct_ratio * 4.0 AS lr_linear
+        |  FROM q)
+        |SELECT doc_id, round(lr_linear, 6) AS lr_linear,
+        |  round(1.0 / (1.0 + exp(0.0 - lr_linear)), 6) AS lr_score,
+        |  lr_linear >= 0.0 AS lr_keep
+        |FROM l ORDER BY doc_id""".stripMargin)),
+
     "qc1_quality_cap" -> Q(
       (s, d) => Curate.qualityCap(docs(s, d), cap = 15)
         .select("doc_id", "source", "quality_score").orderBy("doc_id"),

@@ -264,6 +264,27 @@ object Curate {
     * Scale: a narrow per-row map — no shuffle, no state, trivially
     * 100 TB-safe.
     */
+  /** Model-based quality filtering: a fixed-weight logistic-regression
+    * scorer over the [[Text.withQuality]] features — the CCNet/
+    * fastText-style "quality classifier" stage of a training-data
+    * pipeline, run as pure codegen column arithmetic (the model is a
+    * handful of literals; no UDF, no model server, no shuffle).
+    *
+    * The keep decision is computed from the LINEAR term (sign test), so
+    * it is exact integer-ratio arithmetic — the sigmoid is attached for
+    * ranking/calibration only. At 100 TB this fuses into the same
+    * whole-stage pass as the rest of the quality battery.
+    */
+  def lrQualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val f = Text.withQuality(docs, textCol)
+    val linear = lit(-2.0) + col("alpha_ratio") * lit(3.0) +
+      col("stopword_ratio") * lit(2.5) + col("mean_word_len") * lit(0.15) -
+      col("punct_ratio") * lit(4.0)
+    f.withColumn("lr_linear", linear)
+      .withColumn("lr_score", lit(1.0) / (lit(1.0) + exp(lit(0.0) - col("lr_linear"))))
+      .withColumn("lr_keep", col("lr_linear") >= 0.0)
+  }
+
   def hashSplit(docs: DataFrame, idCol: String,
                 fractions: Seq[(String, Double)]): DataFrame = {
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")

@@ -180,4 +180,22 @@ class CurateSpec extends AnyFunSuite {
     assert(pairRows.exists { case (a, b) => perDoc(a) != perDoc(b) },
       "fixture too small to show the per-doc leakage sp2 prevents")
   }
+
+  test("lrQualityScore: hand-computed score; keep flips with the linear sign") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // "the of and to" — 4 stopwords of 4 words, all-alpha, mean len 2.5:
+    //   alpha_ratio = 1, stopword_ratio = 1, mean_word_len = 2.5, punct = 0
+    //   linear = -2 + 3 + 2.5 + 0.375 - 0 = 3.875  -> keep
+    // "!!!! ????" — no alpha, no stopwords, mean len 4, punct 8/9:
+    //   linear = -2 + 0 + 0 + 0.6 - 4*8/9 = -4.955... -> drop
+    val docs = Seq((1L, "the of and to"), (2L, "!!!! ????")).toDF("doc_id", "text")
+    val got = Curate.lrQualityScore(docs).orderBy("doc_id")
+      .select("doc_id", "lr_linear", "lr_score", "lr_keep").collect()
+    assert(math.abs(got(0).getDouble(1) - 3.875) < 1e-12)
+    assert(math.abs(got(0).getDouble(2) - 1.0 / (1.0 + math.exp(-3.875))) < 1e-12)
+    assert(got(0).getBoolean(3))
+    assert(!got(1).getBoolean(3))
+    assert(got(1).getDouble(2) < 0.01, "drop doc should score near zero")
+  }
 }
