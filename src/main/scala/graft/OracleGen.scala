@@ -365,6 +365,31 @@ object OracleGen {
        |FROM sims WHERE cos_sim >= $threshold ORDER BY id1, id2""".stripMargin
   }
 
+  /** dd13: SemDeDup over the FIXED deterministic centroids — cell
+    * assignment via the same in-order list_reduce fold as VectorDot
+    * (ties to the higher cid, matching array_max on (c_sim, c_id)),
+    * then within-cell cosine pairs and the keep-min-id rule.
+    */
+  def dd13Sql(threshold: Double, nCentroids: Int = 16, dim: Int = 64): String = {
+    val rows = Similarity.fixedCentroids(nCentroids, dim).map { c =>
+      s"(${c.id}, [${c.vec.mkString(", ")}], ${c.norm})"
+    }.mkString(", ")
+    val centDot = s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+      "i -> cv[CAST(i AS INTEGER)] * v[CAST(i AS INTEGER)])), (acc, x) -> acc + x)"
+    s"""WITH cent(cid, cv, cn) AS (VALUES $rows),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |cs AS (SELECT e.vec_id, cent.cid, $centDot / cn AS c_sim FROM e CROSS JOIN cent),
+       |cell AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cid DESC) AS rn FROM cs)
+       |  WHERE rn = 1),
+       |drops AS (SELECT DISTINCT cb.vec_id AS drop_id
+       |  FROM cell ca JOIN cell cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+       |  JOIN e ae ON ae.vec_id = ca.vec_id JOIN e be ON be.vec_id = cb.vec_id
+       |  WHERE ${cosSql(dim, "ae", "be")} >= $threshold)
+       |SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT drop_id FROM drops)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** ss5: IVF top-k over the FIXED deterministic centroids
     * ([[Similarity.fixedCentroids]]), nProbe cells per query. Doubles
     * are serialized via Double.toString (shortest round-trip form), so

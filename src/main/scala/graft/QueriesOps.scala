@@ -724,6 +724,17 @@ object QueriesOps {
         |  AND doc_id NOT IN (SELECT id2 FROM pairs WHERE cos_sim >= 0.4)
         |ORDER BY doc_id""".stripMargin)),
 
+    // SemDeDup: embedding-space dedup made tractable by confining the
+    // quadratic pair search to centroid cells. The GATE path uses the
+    // fixed deterministic centroids (plan-time literals the oracle is
+    // handed verbatim — OracleGen.dd13Sql); production swaps in the
+    // k-means index with identical plumbing (the ss5 discipline).
+    "dd13_semantic_dedup" -> Q(
+      (s, d) => Similarity.semanticDedup(embs(s, d), threshold = 0.4,
+          centroids = Similarity.fixedCentroids(16, 64))
+        .orderBy("vec_id"),
+      Some(OracleGen.dd13Sql(0.4))),
+
     // DD7: near-dup pairs -> dedup CLUSTERS via distributed connected
     // components (iterative min-label propagation; see
     // Dedup.connectedComponents for the per-round shuffle profile).

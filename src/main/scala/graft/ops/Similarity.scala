@@ -607,6 +607,44 @@ object Similarity {
     * fold order, so an external engine reproduces it bit-for-bit
     * (unlike the xxhash64-based signature ops).
     */
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+    * the embedding space and near-dup-pruning WITHIN cells only — the
+    * construction that makes embedding-level dedup tractable at corpus
+    * scale, because the quadratic pair search runs per cell (n/k docs
+    * each) instead of globally. Returns the kept ids (drop = the higher
+    * id of every within-cell pair above `threshold`, the dd6 keep-min
+    * convention).
+    *
+    * Scale shape: assignment is a narrow codegen argmax over plan-time
+    * centroid literals (corpus never shuffles for the index); the ONE
+    * shuffle keys by cell id; within-cell pairing carries (id, vec,
+    * norm) and its output only ids. A pathologically hot cell is the
+    * known SemDeDup failure mode — raise nCentroids (k ∝ √n) or re-run
+    * recursively inside oversized cells; cell sizes are one cheap
+    * count-by-key to check.
+    */
+  def semanticDedup(vectors: DataFrame, threshold: Double, nCentroids: Int = 16,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    centroids: Seq[Centroid] = Nil): DataFrame = {
+    val cents: Seq[Centroid] =
+      if (centroids.nonEmpty) centroids
+      else kmeansCentroids(vectors, nCentroids, idCol, vecCol)
+    val cellStructs: Column = array(cents.map { c =>
+      val vlit = typedlit(c.vec.toIndexedSeq)
+      struct((dot(vlit, col(vecCol)) / lit(c.norm)).as("c_sim"), lit(c.id).as("c_id"))
+    }: _*)
+    val cells = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"),
+      array_max(cellStructs).getField("c_id").as("cell"))
+    val dropIds = cells.as("a")
+      .join(cells.as("b"), col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm"))
+        >= threshold)
+      .select(col("b.id").as("drop_id")).distinct()
+    vectors.join(dropIds, col(idCol) === col("drop_id"), "left_anti")
+      .select(col(idCol))
+  }
+
   /** Exact sparse TF-IDF cosine similarity self-join via an inverted
     * index — the SSJoin/term-at-a-time construction (Sarawagi & Kirpal
     * 2004): the sparse-text complement of the dense-vector family above.

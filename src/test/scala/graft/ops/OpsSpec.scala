@@ -447,6 +447,29 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(l1.getAs[Double]("inertia")) < 1e-12)
   }
 
+  test("semanticDedup: planted exact copies drop; drops are a subset of global") {
+    import spark.implicits._
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").limit(80)
+    val copies = base.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 5000).as("vec_id"), col("embedding"))
+    val corpus = base.unionByName(copies)
+    val cents = Similarity.fixedCentroids(8, 64)
+    val kept = Similarity.semanticDedup(corpus, threshold = 0.95, centroids = cents)
+      .as[Long].collect().toSet
+    // an exact copy lands in the same argmax cell as its original and
+    // scores cosine 1 -> the higher id must always be dropped
+    (0L until 5L).foreach(i => assert(!kept.contains(i + 5000), s"copy ${i + 5000} kept"))
+    (0L until 5L).foreach(i => assert(kept.contains(i), s"original $i dropped"))
+    // within-cell pairs are a subset of all pairs: semantic dedup can
+    // never drop an id the global quadratic pass would keep
+    val globalDrops = Similarity.cosineNearDupPairs(corpus, threshold = 0.95)
+      .select(col("id2")).as[Long].collect().toSet
+    val semanticDrops = corpus.select("vec_id").as[Long].collect().toSet -- kept
+    assert(semanticDrops.subsetOf(globalDrops),
+      s"semantic dropped ids outside the global drop set: ${semanticDrops -- globalDrops}")
+  }
+
   test("sparseCosineJoin: identical docs score 1, disjoint docs never pair") {
     import spark.implicits._
     val docs = Seq(
