@@ -259,6 +259,32 @@ object QueriesOps {
         |  CAST(n12 AS DOUBLE) / CAST(sum(n12) OVER (PARTITION BY w1) AS DOUBLE) AS p
         |FROM c ORDER BY n12 DESC, w1, w2 LIMIT 100""".stripMargin)),
 
+    // CCNet-style LM perplexity filter: corpus-trained bigram LM with
+    // add-one smoothing, mean bigram NLL per doc, keep the low-
+    // perplexity head. avg() = sum/count in both engines; sum-order
+    // ulps absorbed by round-6; the 3.39 cut sits ~7e-4 from the
+    // nearest score.
+    "tx14_perplexity_filter" -> Q(
+      (s, d) => Text.perplexityFilter(docs(s, d), threshold = 3.39)
+        .select(col("doc_id"), round(col("nll"), 6).as("nll"),
+          col("n_bigrams"), col("lm_keep"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |        i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS s
+        |      FROM t WHERE len(toks) >= 2),
+        |c12 AS (SELECT s.w1 AS w1, s.w2 AS w2, CAST(count(*) AS DOUBLE) AS n12
+        |        FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(n12) AS n1 FROM c12 GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM c12),
+        |lm AS (SELECT w1, w2, (n12 + 1.0) / (n1 + v.v) AS p
+        |       FROM c12 JOIN c1 USING (w1) CROSS JOIN v),
+        |sc AS (SELECT b.doc_id, avg(0.0 - ln(lm.p)) AS nll,
+        |         CAST(count(*) AS BIGINT) AS n_bigrams
+        |       FROM b JOIN lm ON b.s.w1 = lm.w1 AND b.s.w2 = lm.w2 GROUP BY 1)
+        |SELECT doc_id, round(nll, 6) AS nll, n_bigrams, nll <= 3.39 AS lm_keep
+        |FROM sc ORDER BY doc_id""".stripMargin)),
+
     // The published Gopher rule battery (Rae et al. 2021 §A.1.1) as
     // PASS/FAIL booleans per document — integer counts and one-division
     // ratios, so every bit is reproduced by the DuckDB oracle.

@@ -240,6 +240,42 @@ object Text {
     * as a projection alias, so neither the HOF re-evaluation trap nor
     * the multi-reference tree-copy cost applies.
     */
+  /** LM-perplexity quality filtering (the CCNet stage of Wenzek et al.
+    * 2020): train a bigram LM with add-one smoothing over the corpus,
+    * score every document by its mean bigram negative-log-likelihood,
+    * keep documents under the threshold (CCNet keeps the low-perplexity
+    * "head"). A real deployment scores against a pretrained 5-gram
+    * KenLM; the pipeline SHAPE — train counts, score per doc, gate on
+    * the score — is identical, and a bigram table keeps every number
+    * an external SQL oracle can recompute.
+    *
+    * Scale: counts are two map-side-combinable aggregations; the
+    * score join keys by (w1, w2) — for a bounded vocabulary the LM
+    * table broadcasts and the whole scorer is one narrow pass.
+    * Documents with < 2 tokens have no bigrams and are not scored.
+    */
+  def perplexityFilter(docs: DataFrame, threshold: Double,
+                       textCol: String = "text"): DataFrame = {
+    val b = docs
+      .select(col("doc_id"), split(lower(col(textCol)), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> " +
+          "struct(toks[i] AS w1, toks[i+1] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = b.groupBy("w1", "w2").agg(count(lit(1)).cast("double").as("n12"))
+    val c1 = c12.groupBy("w1").agg(sum(col("n12")).as("n1"))
+    val vocab = c12.agg(countDistinct(col("w2")).cast("double").as("v"))
+    val lm = c12.join(c1, "w1").crossJoin(broadcast(vocab))
+      .withColumn("p", (col("n12") + lit(1.0)) / (col("n1") + col("v")))
+      .select("w1", "w2", "p")
+    b.join(lm, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(avg(lit(0.0) - log(col("p"))).as("nll"),
+        count(lit(1)).cast("long").as("n_bigrams"))
+      .withColumn("lm_keep", col("nll") <= threshold)
+  }
+
   private val gopherStopwords =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 

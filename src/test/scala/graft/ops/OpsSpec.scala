@@ -447,6 +447,21 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(l1.getAs[Double]("inertia")) < 1e-12)
   }
 
+  test("perplexityFilter: hand-computed add-one bigram NLL on a 2-doc corpus") {
+    import spark.implicits._
+    // corpus bigrams: d1 = ab, ba, ab ; d2 = ac
+    // counts: ab=2 ba=1 ac=1; c1: a=3 b=1; vocab(w2) = {a,b,c} = 3
+    // p(ab)=(2+1)/(3+3)=1/2, p(ba)=(1+1)/(1+3)=1/2, p(ac)=(1+1)/(3+3)=1/3
+    // d1 nll = ln 2, d2 nll = ln 3
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = Text.perplexityFilter(docs, threshold = 0.8)
+      .orderBy("doc_id").collect()
+    assert(math.abs(got(0).getAs[Double]("nll") - math.log(2)) < 1e-12)
+    assert(math.abs(got(1).getAs[Double]("nll") - math.log(3)) < 1e-12)
+    assert(got(0).getAs[Long]("n_bigrams") === 3L)
+    assert(got(0).getAs[Boolean]("lm_keep") && !got(1).getAs[Boolean]("lm_keep"))
+  }
+
   test("semanticDedup: planted exact copies drop; drops are a subset of global") {
     import spark.implicits._
     val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
