@@ -1029,6 +1029,55 @@ object Queries {
         |  AND account NOT IN ('user-3', 'user-7')
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Write-audit-publish: the lakehouse integrity gate. Batch 1 is
+    // clean and publishes v1; batch 2 carries planted violations
+    // (nulled custkeys at %89, a duplicated %97 key slice), fails its
+    // audit against the STAGED snapshot, and must NOT move the pointer
+    // — the emitted live_version/live_rows prove the reader still sees
+    // v1. The oracle recomputes every violation count from the plant
+    // rule, so a WAP that publishes bad data turns the whole row set red.
+    "k12_write_audit_publish" -> Q(
+      (s, d) => {
+        val P = graft.ops.Profile
+        val dir = scratch("k12_wap")
+        val orders = s.read.parquet(s"$d/orders.parquet")
+        def audit(df: DataFrame): DataFrame = P.qualityReport(Seq(
+          P.expectUnique(df, "pk_unique", Seq("o_orderkey")),
+          P.expectComplete(df, "custkey_complete", "o_custkey"),
+          P.expectInRange(df, "price_range", "o_totalprice", 0.0, 1e9)))
+        val (rep1, _) = graft.ingest.VersionedDir.writeAuditPublish(orders, dir, 1L, audit)
+        val bad = orders.withColumn("o_custkey",
+          when(col("o_orderkey") % 89 === 0, lit(null).cast("bigint"))
+            .otherwise(col("o_custkey")))
+        val bad2 = bad.unionByName(bad.filter(col("o_orderkey") % 97 === 0))
+        val (rep2, _) = graft.ingest.VersionedDir.writeAuditPublish(bad2, dir, 2L, audit)
+        val liveMeta = broadcast(
+          graft.ingest.VersionedDir.current(s, dir).get
+            .agg(count(lit(1)).cast("long").as("live_rows"))
+            .withColumn("live_version",
+              lit(graft.ingest.VersionedDir.currentVersion(s, dir).get)))
+        rep1.withColumn("batch", lit(1)).unionByName(rep2.withColumn("batch", lit(2)))
+          .crossJoin(liveMeta)
+          .select("batch", "check_name", "n_violations", "pass",
+            "live_version", "live_rows")
+          .orderBy("batch", "check_name")
+      },
+      Some("""WITH n97 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM orders WHERE o_orderkey % 97 = 0),
+        |n89 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM orders WHERE o_orderkey % 89 = 0),
+        |n89d AS (SELECT CAST(count(*) AS BIGINT) AS v FROM orders
+        |         WHERE o_orderkey % 89 = 0 AND o_orderkey % 97 = 0),
+        |nall AS (SELECT CAST(count(*) AS BIGINT) AS v FROM orders)
+        |SELECT 1 AS batch, 'custkey_complete' AS check_name,
+        |  CAST(0 AS BIGINT) AS n_violations, TRUE AS pass,
+        |  CAST(1 AS BIGINT) AS live_version, nall.v AS live_rows FROM nall
+        |UNION ALL SELECT 1, 'pk_unique', 0, TRUE, 1, nall.v FROM nall
+        |UNION ALL SELECT 1, 'price_range', 0, TRUE, 1, nall.v FROM nall
+        |UNION ALL SELECT 2, 'custkey_complete', n89.v + n89d.v,
+        |  (n89.v + n89d.v) = 0, 1, nall.v FROM n89, n89d, nall
+        |UNION ALL SELECT 2, 'pk_unique', n97.v, n97.v = 0, 1, nall.v FROM n97, nall
+        |UNION ALL SELECT 2, 'price_range', 0, TRUE, 1, nall.v FROM nall
+        |ORDER BY batch, check_name""".stripMargin)),
+
     // T9 (analytics form): gap-based sessionization — the standard
     // event-analytics window chain (lag → gap flag → running sum →
     // per-session aggregate). Two windows, both partitioned by user —

@@ -1,6 +1,7 @@
 package graft.ingest
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.hadoop.fs.{FileContext, Options, Path}
 
 /** Versioned parquet snapshot dir with an atomic `_LATEST` pointer —
@@ -16,12 +17,15 @@ import org.apache.hadoop.fs.{FileContext, Options, Path}
   */
 object VersionedDir {
 
-  /** Write `df` as snapshot `v=<version>` under `dir` and atomically
-    * point `_LATEST` at it.
+  /** Write `df` as snapshot `v=<version>` under `dir` WITHOUT moving
+    * the pointer — readers of `current` still see the prior snapshot.
     */
-  def publish(df: DataFrame, dir: String, version: Long): Unit = {
+  def stage(df: DataFrame, dir: String, version: Long): Unit =
     df.write.mode("overwrite").parquet(s"$dir/v=$version")
-    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+
+  /** Atomically point `_LATEST` at an (already staged) version. */
+  def flipPointer(spark: SparkSession, dir: String, version: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(dir).getFileSystem(conf)
     val tmp = new Path(dir, s"_LATEST.$version.tmp")
     val out = fs.create(tmp, true)
@@ -31,6 +35,35 @@ object VersionedDir {
     // failure rather than returning an unchecked boolean
     val fc = FileContext.getFileContext(new Path(dir).toUri, conf)
     fc.rename(tmp, new Path(dir, "_LATEST"), Options.Rename.OVERWRITE)
+  }
+
+  /** Write `df` as snapshot `v=<version>` under `dir` and atomically
+    * point `_LATEST` at it.
+    */
+  def publish(df: DataFrame, dir: String, version: Long): Unit = {
+    stage(df, dir, version)
+    flipPointer(df.sparkSession, dir, version)
+  }
+
+  /** Write-audit-publish (the Iceberg/lakehouse WAP integrity gate):
+    * stage the batch as a new snapshot, run the caller's audit against
+    * the STAGED files (what was actually written, not the input plan),
+    * and flip the pointer only when no report row has `pass = false`.
+    * A failed audit leaves the previous snapshot live and the staged
+    * dir on disk for debugging. Returns (report, published).
+    *
+    * The audit function receives the staged DataFrame and returns a
+    * report with a boolean `pass` column — compose it from
+    * [[graft.ops.Profile]]'s expectation builders via `qualityReport`.
+    */
+  def writeAuditPublish(df: DataFrame, dir: String, version: Long,
+                        audit: DataFrame => DataFrame): (DataFrame, Boolean) = {
+    stage(df, dir, version)
+    val staged = df.sparkSession.read.parquet(s"$dir/v=$version")
+    val report = audit(staged)
+    val ok = report.filter(col("pass") === false).limit(1).count() == 0
+    if (ok) flipPointer(df.sparkSession, dir, version)
+    (report, ok)
   }
 
   /** The version `_LATEST` names, or None before the first publish. */

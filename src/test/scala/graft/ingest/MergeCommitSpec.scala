@@ -213,4 +213,31 @@ class MergeCommitSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("purgeKeys"))
   }
+
+  test("writeAuditPublish: failed audit stages but never flips the pointer") {
+    import spark.implicits._
+    import graft.ops.Profile
+    val dir = Files.createTempDirectory("wap").toString
+    def audit(df: DataFrame): DataFrame = Profile.qualityReport(Seq(
+      Profile.expectUnique(df, "pk", Seq("k")),
+      Profile.expectComplete(df, "v_complete", "v")))
+    val clean = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val (_, ok1) = VersionedDir.writeAuditPublish(clean, dir, 1L, audit)
+    assert(ok1 && VersionedDir.currentVersion(spark, dir) === Some(1L))
+    // duplicate key + null value: audit fails, pointer must stay at 1
+    val bad = Seq((1L, "a"), (1L, "a"), (3L, null.asInstanceOf[String])).toDF("k", "v")
+    val (rep2, ok2) = VersionedDir.writeAuditPublish(bad, dir, 2L, audit)
+    assert(!ok2)
+    assert(VersionedDir.currentVersion(spark, dir) === Some(1L))
+    assert(VersionedDir.current(spark, dir).get.count() === 2L)
+    // the staged dir is preserved for debugging
+    assert(Files.exists(Paths.get(dir, "v=2")))
+    val reports = rep2.collect().map(r =>
+      r.getAs[String]("check_name") -> r.getAs[Long]("n_violations")).toMap
+    assert(reports("pk") === 1L && reports("v_complete") === 1L)
+    // a corrected batch publishes over the failed stage
+    val fixed = Seq((1L, "a"), (3L, "c")).toDF("k", "v")
+    val (_, ok3) = VersionedDir.writeAuditPublish(fixed, dir, 2L, audit)
+    assert(ok3 && VersionedDir.currentVersion(spark, dir) === Some(2L))
+  }
 }
