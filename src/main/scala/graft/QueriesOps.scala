@@ -1187,6 +1187,42 @@ object QueriesOps {
         |    AS INTEGER) AS zero_crossings
         |FROM s ORDER BY doc_id""".stripMargin)),
 
+    // Audio-quality gates: silence ratio, energy, clipping, and the
+    // stuck-sample run detector — all-integer, value-checked; max_run
+    // is reproduced in SQL by the gaps-and-islands window.
+    "au2_audio_quality" -> Q(
+      (s, d) => Multimodal.audioQuality(Multimodal.wavFromDocuments(docs(s, d)))
+        .toDF().select(col("doc_id"), col("n_samples"), col("n_silent"),
+          col("sq_sum"), col("n_clipped"), col("max_run"))
+        .orderBy("doc_id"),
+      Some("""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        |d AS (SELECT doc_id,
+        |    CAST(256 + doc_id % 512 AS INTEGER) AS n,
+        |    list_transform(range(1, length(hx)//2 + 1),
+        |      i -> strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) * 16
+        |         + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 17) AS bytes
+        |  FROM b),
+        |s AS (SELECT doc_id, n,
+        |    list_transform(range(0, n),
+        |      i -> (bytes[(i % len(bytes)) + 1] - 128) * 256) AS smp
+        |  FROM d),
+        |flat AS (SELECT doc_id, unnest(smp) AS v,
+        |    unnest(range(0, n)) AS i FROM s),
+        |runs AS (SELECT doc_id, v,
+        |    i - row_number() OVER (PARTITION BY doc_id, v ORDER BY i) AS grp
+        |  FROM flat),
+        |mr AS (SELECT doc_id, CAST(max(rl) AS INTEGER) AS max_run FROM (
+        |    SELECT doc_id, count(*) AS rl FROM runs GROUP BY doc_id, v, grp)
+        |  GROUP BY doc_id)
+        |SELECT s.doc_id, s.n AS n_samples,
+        |  CAST(list_sum(list_transform(smp,
+        |    x -> CASE WHEN abs(x) <= 2048 THEN 1 ELSE 0 END)) AS BIGINT) AS n_silent,
+        |  CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT) AS sq_sum,
+        |  CAST(list_sum(list_transform(smp,
+        |    x -> CASE WHEN abs(x) >= 32256 THEN 1 ELSE 0 END)) AS BIGINT) AS n_clipped,
+        |  mr.max_run
+        |FROM s JOIN mr ON mr.doc_id = s.doc_id ORDER BY s.doc_id""".stripMargin)),
+
     // the composite curation pipeline a training-data run would execute:
     // quality gate -> language gate -> exact dedup -> token budget,
     // one declarative plan, fully oracle-checkable

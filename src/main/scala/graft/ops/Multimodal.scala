@@ -435,6 +435,44 @@ object Multimodal {
   // as the disclosed fallback for payloads in none of the three
   // formats.
 
+  /** Audio-quality gates over decoded PCM — the audio-modality member
+    * of the curation battery (text: tx2/tx13; images: mm4): silence
+    * ratio (|s| <= silence), energy (Σs², the all-integer RMS proxy),
+    * clipping (|s| >= clip counts digital saturation), and the longest
+    * run of a repeated sample value (stuck-sample/dropout detector).
+    * All-integer single-pass arithmetic over the sample stream, so an
+    * external oracle reproduces every value from the synthesis rule;
+    * at 100 TB this is the same embarrassingly-parallel decode map as
+    * [[wavStats]] — one pass, no state beyond the row.
+    */
+  final case class AudioQuality(doc_id: Long, n_samples: Int, n_silent: Long,
+                                sq_sum: Long, n_clipped: Long, max_run: Int)
+
+  def audioQuality(media: Dataset[MediaRow], silence: Int = 2048,
+                   clip: Int = 32256): Dataset[AudioQuality] = {
+    implicit val enc = Encoders.product[AudioQuality]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        parseWav(r.payload).map { w =>
+          var (nSilent, sqSum, nClipped) = (0L, 0L, 0L)
+          var (maxRun, curRun, prev) = (0, 0, Int.MinValue)
+          var i = 0
+          while (i < w.nSamples) {
+            val s = readU16le(r.payload, w.dataOffset + i * 2).toShort.toInt
+            val a = math.abs(s)
+            if (a <= silence) nSilent += 1
+            if (a >= clip) nClipped += 1
+            sqSum += s.toLong * s
+            if (s == prev) curRun += 1 else { prev = s; curRun = 1 }
+            if (curRun > maxRun) maxRun = curRun
+            i += 1
+          }
+          AudioQuality(r.doc_id, w.nSamples, nSilent, sqSum, nClipped, maxRun)
+        }
+      }
+    }
+  }
+
   /** Deterministic Y4M synthesis: even dimensions and frame count from
     * doc_id, frame bytes cycling the UTF-8 text (one CONTINUOUS cycle
     * across frames: byte m of the concatenated frame data is

@@ -59,4 +59,19 @@ class WavSpec extends AnyFunSuite {
     assert(st.abs_sum === 128L * 32768 + 128L * 32512)
     assert(st.zero_crossings === 255)
   }
+
+  test("audioQuality: hand-computed silence/energy/clip/run on a 5-byte cycle") {
+    import spark.implicits._
+    // bytes cycle (130,130,130,254,128) -> samples 512,512,512,32256,0
+    // over 256 samples (docId 0): 154×512 + 51×32256 + 51×0
+    val payload = Multimodal.makeWav(0L,
+      Array[Byte](130.toByte, 130.toByte, 130.toByte, 254.toByte, 128.toByte))
+    val q = Multimodal.audioQuality(
+      Seq(Multimodal.MediaRow(0L, "audio", payload)).toDS()).collect().head
+    assert(q.n_samples === 256)
+    assert(q.n_silent === 205L)            // 154 at 512 + 51 at 0
+    assert(q.n_clipped === 51L)            // the 32256 samples saturate
+    assert(q.sq_sum === 154L * 512 * 512 + 51L * 32256 * 32256)
+    assert(q.max_run === 3)                // the 512,512,512 prefix of each cycle
+  }
 }
