@@ -1413,6 +1413,39 @@ object QueriesOps {
     // Paragraph-level dedup (Falcon-style keep-first): aligned 16-token
     // paragraphs, global first-occurrence wins, docs reassembled from
     // survivors. The keep-first window carries (md5, doc_id, pidx) only.
+    // C4/CCNet boilerplate-line removal: lines planted into every 3rd
+    // doc cross the df cap and are stripped everywhere; every doc's
+    // own content line (df=1) survives with original text intact.
+    "pd2_boilerplate_lines" -> Q(
+      (s, d) => {
+        val corpus = docs(s, d).select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"),
+              lit("\nSUBSCRIBE TO OUR NEWSLETTER\nfollow us on social media")))
+            .otherwise(col("text")).as("text"))
+        Dedup.removeBoilerplateLines(corpus, minDf = 10L)
+          .select("doc_id", "n_kept_lines", "n_removed_lines", "clean_text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || 'SUBSCRIBE TO OUR NEWSLETTER'
+        |           || chr(10) || 'follow us on social media'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS lns FROM c),
+        |l AS (SELECT doc_id, unnest(lns) AS line,
+        |       unnest(range(0, len(lns))) AS lidx FROM ls),
+        |df AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM l GROUP BY 1),
+        |m AS (SELECT l.doc_id, l.line, l.lidx, df.line_df FROM l JOIN df USING (line)),
+        |k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_lines,
+        |        string_agg(line, chr(10) ORDER BY lidx) AS clean_text
+        |      FROM m WHERE line_df < 10 GROUP BY 1),
+        |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed_lines
+        |      FROM m WHERE line_df >= 10 GROUP BY 1)
+        |SELECT k.doc_id, k.n_kept_lines,
+        |  COALESCE(r.n_removed_lines, 0) AS n_removed_lines, k.clean_text
+        |FROM k LEFT JOIN r USING (doc_id) ORDER BY k.doc_id""".stripMargin)),
+
     "pd1_paragraph_dedup" -> Q(
       (s, d) => Dedup.paragraphDedup(docs(s, d), p = 16).orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),

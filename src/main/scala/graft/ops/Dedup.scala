@@ -319,6 +319,42 @@ object Dedup {
           s => s.getField("ptext")), " ").as("dedup_text"))
   }
 
+  /** Cross-document boilerplate-line removal (the C4/CCNet terminal-
+    * lines filter of Raffel et al. 2020 / Wenzek et al. 2020): a LINE
+    * that occurs in >= minDf distinct documents is template chrome
+    * (nav bars, cookie banners, footers), not content — strip it from
+    * every document and reassemble the survivors in original order.
+    * Complements [[paragraphDedup]] (keep-FIRST within-corpus) by
+    * deleting high-frequency lines EVERYWHERE.
+    *
+    * Scale: lines collapse to (md5, doc, idx) before anything wide; the
+    * df count is a combinable aggregate over 16-byte hashes; the keep
+    * decision joins back on the hash (ids only), and full line text is
+    * shuffled once, at reassembly. minDf caps nothing silently — the
+    * removed-count column reports per-doc losses.
+    */
+  def removeBoilerplateLines(docs: DataFrame, minDf: Long,
+                             textCol: String = "text",
+                             idCol: String = "doc_id"): DataFrame = {
+    val lines = docs.select(col(idCol).as("__d"),
+      posexplode(split(col(textCol), "\n")).as(Seq("lidx", "line")))
+      .withColumn("h", md5(col("line")))
+    val df = lines.groupBy("h")
+      .agg(countDistinct(col("__d")).as("line_df"))
+    val marked = lines.join(df, "h")
+    val kept = marked.filter(col("line_df") < minDf)
+    kept.groupBy(col("__d").as(idCol))
+      .agg(count(lit(1)).cast("long").as("n_kept_lines"),
+        array_join(transform(array_sort(collect_list(struct(col("lidx"), col("line")))),
+          s => s.getField("line")), "\n").as("clean_text"))
+      .join(
+        marked.filter(col("line_df") >= minDf)
+          .groupBy(col("__d").as(idCol))
+          .agg(count(lit(1)).cast("long").as("n_removed_lines")),
+        Seq(idCol), "left")
+      .na.fill(0L, Seq("n_removed_lines"))
+  }
+
   /** Greedy near-dup pruning: drop every doc that appears as the
     * LATER member (d2) of a pair from any pair generator (LSH, simhash,
     * cosine). Not transitive closure — the standard one-pass greedy

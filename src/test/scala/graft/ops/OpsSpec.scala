@@ -447,6 +447,28 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(l1.getAs[Double]("inertia")) < 1e-12)
   }
 
+  test("removeBoilerplateLines: df-capped lines strip everywhere, order kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique alpha\nFOOTER\nunique beta"),
+      (2L, "other content\nFOOTER"),
+      (3L, "shared twice\nFOOTER"),
+      (4L, "shared twice\nonly here"),   // "shared twice" df=2 < 3 -> kept
+      (5L, "FOOTER")                      // all lines boilerplate -> dropped doc
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeBoilerplateLines(docs, minDf = 3L)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L), "doc 5 must drop")
+    val r1 = got(0)
+    assert(r1.getAs[String]("clean_text") === "unique alpha\nunique beta")
+    assert(r1.getAs[Long]("n_kept_lines") === 2L)
+    assert(r1.getAs[Long]("n_removed_lines") === 1L)
+    // the df=2 line survives the df>=3 cap in BOTH its documents
+    assert(got(2).getAs[String]("clean_text") === "shared twice")
+    assert(got(3).getAs[String]("clean_text") === "shared twice\nonly here")
+    assert(got(3).getAs[Long]("n_removed_lines") === 0L)
+  }
+
   test("perplexityFilter: hand-computed add-one bigram NLL on a 2-doc corpus") {
     import spark.implicits._
     // corpus bigrams: d1 = ab, ba, ab ; d2 = ac
