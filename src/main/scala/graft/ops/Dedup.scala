@@ -355,6 +355,25 @@ object Dedup {
       .na.fill(0L, Seq("n_removed_lines"))
   }
 
+  /** Quality-aware canonical selection: given cluster assignments
+    * (v, cluster) from [[connectedComponents]] and a per-doc score
+    * table, mark as each cluster's canonical the HIGHEST-scoring member
+    * (ties to the lower id) — what a production dedup keeps, rather
+    * than the arbitrary min-id representative. One window over the
+    * cluster key; nothing but (id, cluster, double) ever shuffles.
+    */
+  def qualityCanonical(cc: DataFrame, scores: DataFrame,
+                       idCol: String = "doc_id",
+                       scoreCol: String = "quality_score"): DataFrame = {
+    val joined = cc.join(
+      scores.select(col(idCol).as("v"), col(scoreCol).as("__q")), "v")
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("__q").desc, col("v").asc)
+    joined.withColumn("is_canonical", row_number().over(w) === 1)
+      .select(col("v").as(idCol), col("cluster"),
+        col("__q").as(scoreCol), col("is_canonical"))
+  }
+
   /** Greedy near-dup pruning: drop every doc that appears as the
     * LATER member (d2) of a pair from any pair generator (LSH, simhash,
     * cosine). Not transitive closure — the standard one-pass greedy

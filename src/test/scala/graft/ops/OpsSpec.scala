@@ -447,6 +447,19 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(l1.getAs[Double]("inertia")) < 1e-12)
   }
 
+  test("qualityCanonical: highest score wins the cluster; ties to lower id") {
+    import spark.implicits._
+    val cc = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L), (9L, 9L))
+      .toDF("v", "cluster")
+    val scores = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (7L, 0.5), (8L, 0.5), (9L, 0.1))
+      .toDF("doc_id", "quality_score")
+    val got = Dedup.qualityCanonical(cc, scores).orderBy("doc_id")
+      .select("doc_id", "is_canonical").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> false, // 2 beats 3 on id tie
+      7L -> true, 8L -> false,                               // 7 beats 8 on id tie
+      9L -> true))                                           // singleton is canonical
+  }
+
   test("removeBoilerplateLines: df-capped lines strip everywhere, order kept") {
     import spark.implicits._
     val docs = Seq(
