@@ -252,4 +252,47 @@ class PlanSpec extends AnyFunSuite {
     assert(!shuffled.contains("text"),
       s"exchange must carry pair/partial-agg columns, got $shuffled")
   }
+
+  test("sparse cosine join: no exchange ever carries document text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = withAqeOff(graft.ops.Similarity.sparseCosineJoin(docs, 0.8)
+      .queryExecution.executedPlan)
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val cols = e.child.schema.fieldNames.toSet
+      assert(!cols.contains("text"),
+        s"postings join must reduce text to (id, term, w) first, got $cols")
+    }
+  }
+
+  test("gopher rules + LR scorer fuse into the scan: zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for (df <- Seq(graft.ops.Text.gopherRules(docs),
+                   graft.ops.Curate.lrQualityScore(docs))) {
+      val plan = withAqeOff(df.queryExecution.executedPlan)
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        "quality batteries must be narrow maps")
+    }
+  }
+
+  test("semanticDedup: corpus never shuffles for the index — one cell join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = withAqeOff(graft.ops.Similarity.semanticDedup(embs, 0.4,
+        centroids = graft.ops.Similarity.fixedCentroids(16, 64))
+      .queryExecution.executedPlan)
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    // cell-keyed pair join (both sides) + drop-id distinct + anti-join:
+    // assignment itself must add NO exchange (argmax over literals)
+    exchanges.foreach { e =>
+      val part = e.outputPartitioning
+      assert(part.numPartitions > 1 || e.child.schema.fieldNames.length <= 2,
+        s"unexpected single-partition wide exchange: $part")
+    }
+    assert(exchanges.size <= 5,
+      s"semanticDedup grew extra exchanges: ${exchanges.size}")
+  }
 }
