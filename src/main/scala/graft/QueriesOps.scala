@@ -2620,6 +2620,34 @@ object QueriesOps {
     // groups yield null z via the null-propagating guard, identically
     // in both engines. Scale: two tree-aggregated percentile passes +
     // two broadcast joins — the same shuffle profile as an1.
+    // Truncated normalized EWMA drift monitor per event type: the
+    // weighted sum is an in-row ordered fold over the 20-row frame, so
+    // both engines add the same terms in the same order (pow ulps
+    // absorbed by round-6).
+    "an3_ewma_drift" -> Q(
+      (s, d) => graft.ops.TimeSeries.ewmaSpikes(
+          Queries.events(s, d), "value", Seq("ts", "event_id"), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("ewma"), 6).as("ewma"), round(col("dev"), 6).as("dev"),
+          col("spike"))
+        .orderBy("event_id"),
+      Some("""WITH a AS (SELECT event_id, event_type, value,
+        |    list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+        |  FROM events),
+        |s AS (SELECT event_id, event_type, value,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(arr) + 1),
+        |      i -> pow(0.8, CAST(len(arr) - i AS DOUBLE)) * arr[CAST(i AS INTEGER)])),
+        |      (acc, x) -> acc + x) AS num,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(arr) + 1),
+        |      i -> pow(0.8, CAST(len(arr) - i AS DOUBLE)))),
+        |      (acc, x) -> acc + x) AS den
+        |  FROM a)
+        |SELECT event_id, event_type, value, round(num / den, 6) AS ewma,
+        |  round(value - num / den, 6) AS dev,
+        |  abs(value - num / den) > 8.0 AS spike
+        |FROM s ORDER BY event_id""".stripMargin)),
+
     "an2_robust_zscore" -> Q(
       (s, d) => {
         val ev = Queries.events(s, d)

@@ -37,6 +37,39 @@ object TimeSeries {
     * `last(ignoreNulls)` over a running window — one pass, no self
     * join.
     */
+  /** Truncated normalized EWMA (the pandas `ewm(adjust=True)` form over
+    * a bounded trailing window) + deviation-spike flag — the standard
+    * streaming drift monitor. The unbounded recursive EWMA is not
+    * window-expressible without numerically-explosive (1-α)^-k terms,
+    * so production systems truncate: with window W the dropped tail
+    * weight is (1-α)^W (< 1% for α=0.2, W=20).
+    *
+    * The weighted sum runs as an IN-ROW ordered fold over the
+    * collect_list frame — deterministic summation order, so an external
+    * oracle reproduces it with the same left fold. One exchange on the
+    * key; the frame is O(W) values per row.
+    */
+  def ewmaSpikes(df: DataFrame, valueCol: String, orderCols: Seq[String],
+                 keys: Seq[String], alpha: Double = 0.2, window: Int = 20,
+                 spikeThreshold: Double = 8.0): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val decay = lit(1.0 - alpha)
+    val withArr = df.withColumn("__arr", collect_list(col(valueCol)).over(w))
+    val n = size(col("__arr"))
+    val num = aggregate(sequence(lit(1), n), lit(0.0),
+      (acc, i) => acc + pow(decay, (n - i).cast("double"))
+        * element_at(col("__arr"), i))
+    val den = aggregate(sequence(lit(1), n), lit(0.0),
+      (acc, i) => acc + pow(decay, (n - i).cast("double")))
+    withArr
+      .withColumn("ewma", num / den)
+      .withColumn("dev", col(valueCol) - col("ewma"))
+      .withColumn("spike", abs(col("dev")) > spikeThreshold)
+      .drop("__arr")
+  }
+
   def forwardFill(df: DataFrame, timeCol: String, valueCols: Seq[String],
                   keys: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(timeCol))

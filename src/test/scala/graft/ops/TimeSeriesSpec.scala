@@ -40,4 +40,20 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.count() === 4) // 05,06,07,08
     assert(got.filter(col("v").isNull).count() === 2)
   }
+
+  test("ewmaSpikes: hand-computed truncated EWMA; spike only on the jump") {
+    // key A: 10, 10, 10, 30 — first three rows: ewma = 10 exactly;
+    // row 4 (window 4, α=0.2): num = .512·10 + .64·10 + .8·10 + 30,
+    // den = .512 + .64 + .8 + 1 -> ewma ≈ 16.775…, dev ≈ 13.2 > 8
+    val df = Seq(("A", 1L, 10.0), ("A", 2L, 10.0), ("A", 3L, 10.0), ("A", 4L, 30.0))
+      .toDF("k", "seq", "v")
+    val got = TimeSeries.ewmaSpikes(df, "v", Seq("seq"), Seq("k"))
+      .orderBy("seq").collect()
+    assert(math.abs(got(0).getAs[Double]("ewma") - 10.0) < 1e-12)
+    assert(math.abs(got(2).getAs[Double]("ewma") - 10.0) < 1e-12)
+    val num = 0.512 * 10 + 0.64 * 10 + 0.8 * 10 + 30.0
+    val den = 0.512 + 0.64 + 0.8 + 1.0
+    assert(math.abs(got(3).getAs[Double]("ewma") - num / den) < 1e-9)
+    assert(got.map(_.getAs[Boolean]("spike")).toSeq === Seq(false, false, false, true))
+  }
 }
