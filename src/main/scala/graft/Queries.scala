@@ -1289,6 +1289,63 @@ object Queries {
         |FROM acc JOIN cl USING (v) JOIN sz USING (cluster)
         |ORDER BY acc.account""".stripMargin)),
 
+    // Blocking-quality diagnostics for er1's multi-blocker: reduction
+    // ratio and pair completeness vs the n² lev<=2 truth on the
+    // account vocabulary. The oracle re-runs the candidate
+    // CONSTRUCTION (deletion variants + 3-grams) declaratively, so a
+    // blocker that silently loses pairs shows up as completeness < 1
+    // in one engine and not the other.
+    "er2_blocking_quality" -> Q(
+      (s, d) => graft.ops.Fuzzy.blockingQuality(
+          tx(s, d).select(col("account")), "account")
+        .orderBy("blocker"),
+      Some(s"""$TxCte,
+        |acc AS (SELECT DISTINCT account FROM tx),
+        |del AS (SELECT account, unnest(list_distinct(list_transform(
+        |    range(0, len(account) + 1),
+        |    i -> CASE WHEN i = 0 THEN account
+        |         ELSE substr(account, 1, CAST(i - 1 AS INTEGER))
+        |           || substr(account, CAST(i + 1 AS INTEGER)) END))) AS v
+        |  FROM acc),
+        |dc AS (SELECT DISTINCT a.account AS s1, b.account AS s2
+        |  FROM del a JOIN del b ON a.v = b.v AND a.account < b.account),
+        |gr AS (SELECT account, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(account) - 2, 1) + 1),
+        |    i -> substr(account, CAST(i AS INTEGER), 3)))) AS g
+        |  FROM acc),
+        |gdf AS (SELECT g, count(*) AS gdf FROM gr GROUP BY 1),
+        |gc AS (SELECT DISTINCT a.account AS s1, b.account AS s2
+        |  FROM gr a JOIN gr b ON a.g = b.g AND a.account < b.account),
+        |gcap AS (SELECT DISTINCT a.account AS s1, b.account AS s2
+        |  FROM gr a JOIN gr b ON a.g = b.g AND a.account < b.account
+        |  JOIN gdf ON gdf.g = a.g AND gdf.gdf <= 30),
+        |cand_full AS (SELECT s1, s2 FROM dc UNION SELECT s1, s2 FROM gc),
+        |cand_cap AS (SELECT s1, s2 FROM dc UNION SELECT s1, s2 FROM gcap),
+        |truth AS (SELECT a.account AS s1, b.account AS s2
+        |  FROM acc a JOIN acc b ON a.account < b.account
+        |  WHERE levenshtein(a.account, b.account) <= 2),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM acc),
+        |m AS (
+        |  SELECT 'union_full' AS blocker,
+        |    (SELECT ns FROM n) AS n_strings,
+        |    (SELECT ns * (ns - 1) // 2 FROM n) AS n_all_pairs,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM cand_full) AS n_candidates,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM truth t
+        |       JOIN cand_full c ON c.s1 = t.s1 AND c.s2 = t.s2) AS n_caught
+        |  UNION ALL
+        |  SELECT 'union_dfcap',
+        |    (SELECT ns FROM n),
+        |    (SELECT ns * (ns - 1) // 2 FROM n),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM cand_cap),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM truth),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM truth t
+        |       JOIN cand_cap c ON c.s1 = t.s1 AND c.s2 = t.s2))
+        |SELECT blocker, n_strings, n_all_pairs, n_candidates, n_truth, n_caught,
+        |  round(CAST(n_caught AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS pair_completeness,
+        |  round(1.0 - CAST(n_candidates AS DOUBLE) / CAST(n_all_pairs AS DOUBLE), 6) AS reduction_ratio
+        |FROM m ORDER BY blocker""".stripMargin)),
+
     // S10 analog: the reference's raw-SQL read surface
     // (run_athena_query — athena.py:29-64): write a lake slice, register
     // it as a view from its parquet path, and answer an ad-hoc SQL

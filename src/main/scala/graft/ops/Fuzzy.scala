@@ -58,12 +58,24 @@ object Fuzzy {
     * the blocking index; completeness then holds per that prefix
     * lemma's overlap bound instead of the count filter.
     */
-  def ngramCandidates(strs: DataFrame, n: Int = 3): DataFrame = {
+  def ngramCandidates(strs: DataFrame, n: Int = 3,
+                      dfCap: Long = Long.MaxValue): DataFrame = {
     val s = col("s")
     val grams = transform(sequence(lit(1), greatest(length(s) - (n - 1), lit(1))),
       i => s.substr(i, lit(n)))
-    val keyed = strs.select(s, explode(array_distinct(grams)).as("g"))
+    val keyed0 = strs.select(s, explode(array_distinct(grams)).as("g"))
       .select(s, md5(col("g")).as("gk"))
+    // df-cap pruning (the stop-gram discipline): grams shared by more
+    // than dfCap strings are vocabulary chrome ("use"/"ser" in user-N
+    // ids) that would block everything with everything — drop them from
+    // the INDEX and let er2's pair-completeness metric certify that the
+    // surviving rare grams still cover the true pairs.
+    val keyed =
+      if (dfCap == Long.MaxValue) keyed0
+      else {
+        val df = keyed0.groupBy("gk").agg(count(lit(1)).as("__df"))
+        keyed0.join(df.filter(col("__df") <= dfCap).select("gk"), "gk")
+      }
     keyed.as("a").join(keyed.as("b"),
         col("a.gk") === col("b.gk") && col("a.s") < col("b.s"))
       .select(col("a.s").as("s1"), col("b.s").as("s2"))
@@ -195,6 +207,55 @@ object Fuzzy {
     segmentCandidates(df.select(col(strCol).as("s")).distinct(), maxDist, probeIds)
       .withColumn("dist", levenshtein(col("s1"), col("s2")))
       .filter(col("dist") <= maxDist)
+
+  /** Blocking-quality metrics — the record-linkage evaluation pair
+    * (Christen 2012): REDUCTION RATIO (how much of the n² pair space
+    * the blocker prunes) and PAIR COMPLETENESS (what fraction of true
+    * lev ≤ maxDist pairs survive blocking). The multi-blocker union is
+    * complete for lev ≤ 1 by construction, so completeness < 1 can only
+    * come from lev-2 pairs outside the gram blocker's length bound —
+    * exactly what this metric makes visible.
+    *
+    * The n² truth join runs over the DISTINCT KEY VOCABULARY (entity
+    * strings), not the corpus — a bounded diagnostic table. At 100 TB
+    * the vocab is what it is (accounts, names); if it outgrows n²,
+    * sample strata of it — the metric is a ratio estimate either way.
+    */
+  def blockingQuality(df: DataFrame, strCol: String,
+                      maxDist: Int = 2, n: Int = 3,
+                      dfCap: Long = 30L): DataFrame = {
+    val strs = df.select(col(strCol).as("s")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = strs.as("a").join(strs.as("b"), col("a.s") < col("b.s"))
+      .select(col("a.s").as("s1"), col("b.s").as("s2"))
+      .filter(levenshtein(col("s1"), col("s2")) <= maxDist)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nStr = strs.count()
+    val nTruth = truth.count()
+    def row(name: String, cand: DataFrame): DataFrame = {
+      val c = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = strs.sparkSession.range(1).select(
+        lit(name).as("blocker"),
+        lit(nStr).as("n_strings"),
+        lit(nStr * (nStr - 1) / 2).as("n_all_pairs"),
+        lit(c.count()).as("n_candidates"),
+        lit(nTruth).as("n_truth"),
+        lit(truth.join(c, Seq("s1", "s2"), "left_semi").count()).as("n_caught"))
+        .withColumn("pair_completeness",
+          round(col("n_caught").cast("double") / col("n_truth").cast("double"), 6))
+        .withColumn("reduction_ratio",
+          round(lit(1.0) - col("n_candidates").cast("double")
+            / col("n_all_pairs").cast("double"), 6))
+      c.unpersist()
+      out
+    }
+    def union2(g: DataFrame) = deletionCandidates(strs).unionByName(g)
+      .dropDuplicates("s1", "s2")
+    val out = row("union_full", union2(ngramCandidates(strs, n)))
+      .unionByName(row("union_dfcap", union2(ngramCandidates(strs, n, dfCap))))
+    strs.unpersist(); truth.unpersist()
+    out
+  }
 
   /** Multi-blocker fuzzy self-join: candidates are the UNION of the
     * 1-deletion neighborhood and the char-n-gram block — so the

@@ -107,4 +107,24 @@ class FuzzySpec extends AnyFunSuite {
     assert(lev1.subsetOf(multi), "the union blocker must never lose a lev-1 pair")
     assert(multi.forall { case (a, b) => a != "zzz" && b != "zzz" })
   }
+
+  test("blockingQuality: complete + reductive on a realistic name vocabulary") {
+    // distinct surnames + one planted typo each: truth = the 5 planted
+    // pairs; everything else is far apart, so a good blocker should be
+    // both complete (catch all 5) and reductive (prune most of n²)
+    val names = Seq("anderson", "martinez", "thompson", "richards", "caldwell")
+    val typos = Seq("andersen", "martines", "thompsen", "richerds", "calddwell")
+    val strs = (names ++ typos).toDF("s")
+    val got = Fuzzy.blockingQuality(strs, "s", maxDist = 2, dfCap = 4)
+      .collect().map(r => r.getAs[String]("blocker") ->
+        (r.getAs[Long]("n_truth"), r.getAs[Double]("pair_completeness"),
+          r.getAs[Double]("reduction_ratio"))).toMap
+    val (nTruthF, pcF, rrF) = got("union_full")
+    assert(nTruthF === 5L, s"expected exactly the 5 planted pairs, got $nTruthF")
+    assert(pcF === 1.0, "full union blocker must catch every planted typo")
+    assert(rrF > 0.5, s"blocker should prune most of n^2 here, got rr=$rrF")
+    val (_, pcC, rrC) = got("union_dfcap")
+    assert(pcC === 1.0, "df-cap keeps completeness on a non-adversarial vocab")
+    assert(rrC >= rrF, "df-cap can only shrink the candidate set")
+  }
 }
