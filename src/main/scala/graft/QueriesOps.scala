@@ -2648,6 +2648,52 @@ object QueriesOps {
         |  abs(value - num / den) > 8.0 AS spike
         |FROM s ORDER BY event_id""".stripMargin)),
 
+    // SFT chat-transcript linting: conversations synthesized per user
+    // from the event stream (deterministic role map + ordered turns),
+    // serialized to JSON, then linted through the from_json path. The
+    // oracle recomputes every lint value from the events directly — a
+    // broken JSON round-trip or a wrong HOF shows as a value diff.
+    "cv1_chat_lint" -> Q(
+      (s, d) => {
+        val conv = Queries.events(s, d).filter(col("user_id") < 50)
+          .withColumn("role",
+            when(col("event_type").isin("click", "view"), "user")
+              .otherwise("assistant"))
+          .withColumn("content",
+            concat(col("event_type"), lit(":"), col("event_id")))
+          .groupBy("user_id")
+          .agg(to_json(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("role"), col("content")))),
+            t => struct(t.getField("role").as("role"),
+              t.getField("content").as("content")))).as("conv"))
+        Curate.lintConversations(conv, "conv")
+          .select("user_id", "n_turns", "first_role_ok",
+            "n_alternation_violations", "n_empty_turns", "lint_pass")
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type IN ('click', 'view') THEN 'user'
+        |         ELSE 'assistant' END AS role,
+        |    event_type || ':' || event_id AS content
+        |  FROM events WHERE user_id < 50),
+        |c AS (SELECT user_id,
+        |    list(struct_pack(role := role, content := content)
+        |      ORDER BY ts, event_id) AS t
+        |  FROM e GROUP BY 1),
+        |l AS (SELECT user_id, len(t) AS n_turns,
+        |    t[1].role = 'user' AS first_role_ok,
+        |    CASE WHEN len(t) >= 2 THEN len(list_filter(range(2, len(t) + 1),
+        |      i -> t[CAST(i AS INTEGER)].role = t[CAST(i - 1 AS INTEGER)].role))
+        |      ELSE 0 END AS nav,
+        |    len(list_filter(t, x -> len(x.content) = 0)) AS net
+        |  FROM c)
+        |SELECT user_id, CAST(n_turns AS BIGINT) AS n_turns, first_role_ok,
+        |  CAST(nav AS BIGINT) AS n_alternation_violations,
+        |  CAST(net AS BIGINT) AS n_empty_turns,
+        |  first_role_ok AND nav = 0 AND net = 0 AS lint_pass
+        |FROM l ORDER BY user_id""".stripMargin)),
+
     "an2_robust_zscore" -> Q(
       (s, d) => {
         val ev = Queries.events(s, d)

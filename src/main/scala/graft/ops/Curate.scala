@@ -285,6 +285,41 @@ object Curate {
       .withColumn("lr_keep", col("lr_linear") >= 0.0)
   }
 
+  /** SFT conversation linting: parse a JSON transcript column
+    * (`[{"role":…,"content":…},…]`) and emit the chat-data QA battery —
+    * turn count, user-first check, role-alternation violations, empty
+    * turns, and the composite pass flag. The checks instruction-tuning
+    * pipelines run before a transcript may enter the training mix.
+    *
+    * Pure codegen: from_json with an explicit schema (no inference
+    * scan) + in-row HOFs over the turn array — no shuffle, fuses into
+    * the transcript scan at any scale.
+    */
+  def lintConversations(df: DataFrame, convCol: String): DataFrame = {
+    val turns = from_json(col(convCol),
+      org.apache.spark.sql.types.DataType.fromDDL(
+        "array<struct<role: string, content: string>>"))
+    val withT = df.withColumn("__t", turns)
+    val n = size(col("__t"))
+    withT
+      .withColumn("n_turns", n.cast("long"))
+      .withColumn("first_role_ok",
+        coalesce(try_element_at(col("__t"), lit(1)).getField("role") === "user",
+          lit(false)))
+      .withColumn("n_alternation_violations",
+        // sequence(2, n) flips to a DESCENDING range when n < 2 — guard
+        when(n >= 2, size(filter(sequence(lit(2), n), i =>
+          element_at(col("__t"), i).getField("role")
+            === element_at(col("__t"), i - 1).getField("role"))))
+          .otherwise(lit(0)).cast("long"))
+      .withColumn("n_empty_turns",
+        size(filter(col("__t"), t => length(t.getField("content")) === 0)).cast("long"))
+      .withColumn("lint_pass",
+        col("first_role_ok") && col("n_alternation_violations") === 0L
+          && col("n_empty_turns") === 0L)
+      .drop("__t")
+  }
+
   def hashSplit(docs: DataFrame, idCol: String,
                 fractions: Seq[(String, Double)]): DataFrame = {
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")

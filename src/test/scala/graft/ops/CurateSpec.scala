@@ -181,6 +181,26 @@ class CurateSpec extends AnyFunSuite {
       "fixture too small to show the per-doc leakage sp2 prevents")
   }
 
+  test("lintConversations: each defect trips its counter; clean chat passes") {
+    import spark.implicits._
+    val convs = Seq(
+      (1L, """[{"role":"user","content":"hi"},{"role":"assistant","content":"hello"}]"""),
+      (2L, """[{"role":"assistant","content":"i speak first"}]"""),          // wrong opener
+      (3L, """[{"role":"user","content":"a"},{"role":"user","content":"b"},
+               {"role":"assistant","content":"c"}]""".replaceAll("\\s+", " ")), // double user turn
+      (4L, """[{"role":"user","content":""},{"role":"assistant","content":"x"}]"""), // empty turn
+      (5L, "[]")                                                             // degenerate
+    ).toDF("conv_id", "conv")
+    val got = Curate.lintConversations(convs, "conv").orderBy("conv_id").collect()
+    assert(got(0).getAs[Boolean]("lint_pass"))
+    assert(!got(1).getAs[Boolean]("first_role_ok") && !got(1).getAs[Boolean]("lint_pass"))
+    assert(got(2).getAs[Long]("n_alternation_violations") === 1L)
+    assert(got(3).getAs[Long]("n_empty_turns") === 1L)
+    assert(got(4).getAs[Long]("n_turns") === 0L)
+    assert(!got(4).getAs[Boolean]("first_role_ok"))
+    assert(got(4).getAs[Long]("n_alternation_violations") === 0L)
+  }
+
   test("lrQualityScore: hand-computed score; keep flips with the linear sign") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
