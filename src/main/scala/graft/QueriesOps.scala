@@ -259,6 +259,28 @@ object QueriesOps {
         |  CAST(n12 AS DOUBLE) / CAST(sum(n12) OVER (PARTITION BY w1) AS DOUBLE) AS p
         |FROM c ORDER BY n12 DESC, w1, w2 LIMIT 100""".stripMargin)),
 
+    // Cross-document n-gram novelty: the diversity telemetry of a data
+    // mix — fraction of each doc's distinct trigrams unique to it.
+    "tx15_novelty" -> Q(
+      (s, d) => Text.withNovelty(docs(s, d))
+        .select(col("doc_id"), col("n_distinct_grams"), col("n_novel"),
+          round(col("novelty_ratio"), 6).as("novelty_ratio"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(0, len(toks) - 2),
+        |           i -> array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' '))
+        |    END)) AS gram
+        |  FROM t),
+        |df AS (SELECT gram, CAST(count(*) AS BIGINT) AS gdf FROM g GROUP BY 1),
+        |j AS (SELECT g.doc_id, df.gdf FROM g JOIN df USING (gram))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_grams,
+        |  CAST(sum(CASE WHEN gdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN gdf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS novelty_ratio
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // CCNet-style LM perplexity filter: corpus-trained bigram LM with
     // add-one smoothing, mean bigram NLL per doc, keep the low-
     // perplexity head. avg() = sum/count in both engines; sum-order
@@ -749,6 +771,26 @@ object QueriesOps {
         |WHERE doc_id < 600
         |  AND doc_id NOT IN (SELECT id2 FROM pairs WHERE cos_sim >= 0.4)
         |ORDER BY doc_id""".stripMargin)),
+
+    // Per-dimension z-scoring of the embedding table; per-vector
+    // checksums under the gate (sum-order ulps absorbed by round-6).
+    "vq2_standardize" -> Q(
+      (s, d) => Similarity.standardize(embs(s, d))
+        .select(col("vec_id"), col("dim_count"),
+          round(col("z_sum"), 6).as("z_sum"),
+          round(col("z_min"), 6).as("z_min"),
+          round(col("z_max"), 6).as("z_max"))
+        .orderBy("vec_id"),
+      Some("""WITH x AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |st AS (SELECT dim, avg(v) AS mu, stddev_pop(v) AS sigma FROM x GROUP BY 1),
+        |z AS (SELECT x.vec_id,
+        |    CASE WHEN st.sigma > 0.0 THEN (x.v - st.mu) / st.sigma ELSE 0.0 END AS z
+        |  FROM x JOIN st USING (dim))
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS dim_count,
+        |  round(sum(z), 6) AS z_sum, round(min(z), 6) AS z_min,
+        |  round(max(z), 6) AS z_max
+        |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
 
     // SemDeDup: embedding-space dedup made tractable by confining the
     // quadratic pair search to centroid cells. The GATE path uses the

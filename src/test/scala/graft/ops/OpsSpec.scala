@@ -447,6 +447,34 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(l1.getAs[Double]("inertia")) < 1e-12)
   }
 
+  test("standardize: hand-computed z-checksums; zero-variance dim maps to 0") {
+    import spark.implicits._
+    // dim 0: values (0, 2) -> mu 1, sigma 1 -> z = (-1, 1)
+    // dim 1: values (5, 5) -> sigma 0  -> z = (0, 0)
+    val embs = Seq((1L, Array(0f, 5f)), (2L, Array(2f, 5f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.standardize(embs).orderBy("vec_id").collect()
+    assert(got(0).getAs[Long]("dim_count") === 2L)
+    assert(math.abs(got(0).getAs[Double]("z_sum") - (-1.0)) < 1e-12)
+    assert(math.abs(got(0).getAs[Double]("z_min") - (-1.0)) < 1e-12)
+    assert(math.abs(got(0).getAs[Double]("z_max") - 0.0) < 1e-12)
+    assert(math.abs(got(1).getAs[Double]("z_sum") - 1.0) < 1e-12)
+  }
+
+  test("withNovelty: cloned docs score 0, unique doc scores 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),      // exact clone: every gram df=2
+      (3L, "completely different words here") // all grams unique
+    ).toDF("doc_id", "text")
+    val got = Text.withNovelty(docs).orderBy("doc_id").collect()
+    assert(got(0).getAs[Double]("novelty_ratio") === 0.0)
+    assert(got(1).getAs[Double]("novelty_ratio") === 0.0)
+    assert(got(2).getAs[Double]("novelty_ratio") === 1.0)
+    assert(got(2).getAs[Long]("n_distinct_grams") === 2L) // 4 tokens -> 2 trigrams
+  }
+
   test("qualityCanonical: highest score wins the cluster; ties to lower id") {
     import spark.implicits._
     val cc = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L), (9L, 9L))
