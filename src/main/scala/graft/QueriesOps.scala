@@ -259,6 +259,52 @@ object QueriesOps {
         |  CAST(n12 AS DOUBLE) / CAST(sum(n12) OVER (PARTITION BY w1) AS DOUBLE) AS p
         |FROM c ORDER BY n12 DESC, w1, w2 LIMIT 100""".stripMargin)),
 
+    // Curation-on-ingest: documents drained as 4 file-bounded micro-
+    // batches through the Gopher gate; per-epoch (keep, drop) counts
+    // committed replay-safe (epoch-keyed overwrite dirs), totals summed
+    // at read time. Oracle recomputes the whole battery in batch.
+    "st4_stream_quality" -> Q(
+      (s, d) => {
+        val dir = Queries.scratch("st4_docs")
+        val out = Queries.scratch("st4_counts")
+        val ck = Queries.scratch("st4_ck")
+        docs(s, d).repartition(4).write.mode("overwrite").parquet(dir)
+        val stream = s.readStream.schema(docs(s, d).schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir)
+        val gated = Text.gopherRules(stream).select(col("source"), col("gopher_keep"))
+        graft.streaming.CdcStream.streamQualityCounts(
+          gated, out, "source", "gopher_keep", ck)
+        s.read.parquet(out).groupBy("source")
+          .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+            sum(col("n_keep")).cast("long").as("n_keep"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT doc_id, source, text,
+        |    string_split(text, ' ') AS w,
+        |    string_split(text, chr(10)) AS l
+        |  FROM documents),
+        |f AS (SELECT source,
+        |    len(w) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w) AS mean_len,
+        |    CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE) / len(w) AS hash_ratio,
+        |    CAST((len(text) - len(replace(text, '...', ''))) / 3 AS DOUBLE) / len(w) AS ell_ratio,
+        |    CAST(len(list_filter(l, x -> regexp_matches(x, '^\s*[-*•]'))) AS DOUBLE) / len(l) AS bullet_frac,
+        |    CAST(len(list_filter(l, x -> regexp_matches(x, '\.\.\.\s*$'))) AS DOUBLE) / len(l) AS ell_line_frac,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(w) AS alpha_frac,
+        |    len(list_distinct(list_filter(w, x ->
+        |      list_contains(['the','be','to','of','and','that','have','with'], lower(x))))) AS stop_hits,
+        |    1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l) AS dup_line_frac
+        |  FROM t),
+        |k AS (SELECT source,
+        |    (n_words BETWEEN 50 AND 100000) AND (mean_len BETWEEN 3.0 AND 10.0)
+        |      AND hash_ratio < 0.1 AND ell_ratio < 0.1 AND bullet_frac < 0.9
+        |      AND ell_line_frac < 0.3 AND alpha_frac >= 0.8 AND stop_hits >= 2
+        |      AND dup_line_frac < 0.3 AS keep
+        |  FROM f)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Cross-document n-gram novelty: the diversity telemetry of a data
     // mix — fraction of each doc's distinct trigrams unique to it.
     "tx15_novelty" -> Q(

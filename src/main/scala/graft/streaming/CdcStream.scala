@@ -195,6 +195,36 @@ object CdcStream {
       .start().awaitTermination()
   }
 
+  /** Curation-on-ingest: drain a document stream through a quality
+    * gate, committing per-stratum (keep, drop) counts for EACH epoch to
+    * its own `epoch=<batchId>` dir (mode overwrite ⇒ same-batch replay
+    * rewrites the same dir — idempotent without sink transactions; the
+    * [[graft.ops.SigStore]] discipline for additive state). Totals are
+    * a sum over epoch files at read time, so no read-modify-write race
+    * exists at all.
+    *
+    * At 100 TB of continuous ingest this is the shape of a streaming
+    * curation monitor: the gate is a narrow codegen battery inside the
+    * micro-batch, per-epoch state is O(strata) rows, and history is
+    * append-only.
+    */
+  def streamQualityCounts(stream: DataFrame, outDir: String,
+                          stratumCol: String, keepCol: String,
+                          checkpointDir: String): Unit = {
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.groupBy(col(stratumCol))
+            .agg(count(lit(1)).cast("long").as("n_docs"),
+              sum(when(col(keepCol), 1L).otherwise(0L)).cast("long").as("n_keep"))
+            .write.mode("overwrite").parquet(s"$outDir/epoch=$batchId")
+        }
+      }
+      .start().awaitTermination()
+  }
+
   /** Retention for the versioned sketch table: delete every snapshot
     * dir older than the `keep` most recent — the [[graft.ingest.Ingest.pruneLanding]]
     * analog. Never deletes the pointed-at snapshot; returns the number

@@ -267,4 +267,31 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(CdcStream.currentSketches(spark, dir).get.count() === 1L,
       "the pointed-at snapshot must still read back")
   }
+
+  test("streamQualityCounts: epoch-keyed commits; full replay leaves totals fixed") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_sq")
+    val srcDir = root.resolve("src").toString
+    val outDir = root.resolve("counts").toString
+    val data = (0 until 90).map(i => (s"s${i % 3}", i % 2 == 0))
+    data.toDF("stratum", "keep").repartition(3).write.mode("overwrite").parquet(srcDir)
+    def drain(ck: String): Unit = CdcStream.streamQualityCounts(
+      spark.readStream.schema(data.toDF("stratum", "keep").schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      outDir, "stratum", "keep", root.resolve(ck).toString)
+    def totals: Map[String, (Long, Long)] = spark.read.parquet(outDir)
+      .groupBy("stratum").agg(sum("n_docs").as("d"), sum("n_keep").as("k"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    drain("ck1")
+    val first = totals
+    assert(first === Map("s0" -> (30L, 15L), "s1" -> (30L, 15L), "s2" -> (30L, 15L)))
+    // epoch dirs: one per micro-batch (3 files, maxFilesPerTrigger=1)
+    val epochs = new java.io.File(outDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch=")).map(_.getName)
+    assert(epochs.length === 3, s"expected 3 epoch dirs, got ${epochs.toSeq}")
+    // full replay with a FRESH checkpoint reprocesses every file into
+    // the same epoch ids — overwrite semantics keep totals identical
+    drain("ck2")
+    assert(totals === first, "replay must rewrite epochs, not double-count")
+  }
 }
