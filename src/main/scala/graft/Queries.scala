@@ -1289,6 +1289,45 @@ object Queries {
         |FROM acc JOIN cl USING (v) JOIN sz USING (cluster)
         |ORDER BY acc.account""".stripMargin)),
 
+    // Snapshot time travel: publish v1 and an edited v2 through the
+    // versioned-pointer table, read v1 BY VERSION while the pointer
+    // serves v2, and classify the diff. Proves old snapshots stay
+    // readable and byte-stable after the pointer moves on — the
+    // lakehouse time-travel contract.
+    "vt1_time_travel_diff" -> Q(
+      (s, d) => {
+        import graft.ingest.VersionedDir
+        val dir = scratch("vt1_tbl")
+        val orders = s.read.parquet(s"$d/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val base = orders.filter(col("o_orderkey") % 4 === 0)
+        VersionedDir.publish(base, dir, 1L)
+        val v2 = base
+          .filter(!(col("o_orderkey") % 36 === 12))                 // deletes
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 20 === 0,
+              col("o_totalprice") + 1.0).otherwise(col("o_totalprice"))) // updates
+          .unionByName(orders.filter(col("o_orderkey") % 16 === 1)) // inserts
+        VersionedDir.publish(v2, dir, 2L)
+        val old = s.read.parquet(s"$dir/v=1") // time-travel read of v1
+        val cur = VersionedDir.current(s, dir).get
+        graft.query.QuerySurface.diffClassify(cur, old, Seq("o_orderkey"))
+          .groupBy("status").agg(count(lit(1)).cast("long").as("n"))
+          .orderBy("status")
+      },
+      Some("""WITH c AS (SELECT
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 16 = 1) AS added,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 4 = 0
+        |     AND o_orderkey % 36 = 12) AS removed,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 4 = 0
+        |     AND o_orderkey % 20 = 0 AND o_orderkey % 36 != 12) AS changed,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 4 = 0) AS base)
+        |SELECT 'added' AS status, CAST(added AS BIGINT) AS n FROM c
+        |UNION ALL SELECT 'changed', CAST(changed AS BIGINT) FROM c
+        |UNION ALL SELECT 'removed', CAST(removed AS BIGINT) FROM c
+        |UNION ALL SELECT 'unchanged', CAST(base - removed - changed AS BIGINT) FROM c
+        |ORDER BY status""".stripMargin)),
+
     // Blocking-quality diagnostics for er1's multi-blocker: reduction
     // ratio and pair completeness vs the n² lev<=2 truth on the
     // account vocabulary. The oracle re-runs the candidate
