@@ -1801,6 +1801,32 @@ object QueriesOps {
         |     ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) = 0
         |ORDER BY check_name""".stripMargin)),
 
+    // Schema-drift classification at the ingest gate: an incoming
+    // batch that drops o_orderpriority, retypes o_totalprice to
+    // DECIMAL(12,2), and adds ingest_batch_id, diffed against the
+    // governed table. Pure schema metadata (driver-side bytes, free at
+    // any table size); all four statuses appear in the report.
+    "dq2_schema_drift" -> Q(
+      (s, d) => {
+        val orders = s.read.parquet(s"$d/orders.parquet")
+        val batch = orders.select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"),
+          col("o_orderdate"),
+          lit("b-2024-01-01").as("ingest_batch_id"))
+        graft.ops.Profile.schemaDrift(orders, batch).orderBy("col_name")
+      },
+      Some("""SELECT * FROM (VALUES
+        |  ('ingest_batch_id', NULL, 'STRING', 'added'),
+        |  ('o_custkey', 'BIGINT', 'BIGINT', 'unchanged'),
+        |  ('o_orderdate', 'TIMESTAMP_NTZ', 'TIMESTAMP_NTZ', 'unchanged'),
+        |  ('o_orderkey', 'BIGINT', 'BIGINT', 'unchanged'),
+        |  ('o_orderpriority', 'STRING', NULL, 'removed'),
+        |  ('o_orderstatus', 'STRING', 'STRING', 'unchanged'),
+        |  ('o_totalprice', 'DOUBLE', 'DECIMAL(12,2)', 'retyped')
+        |) AS t(col_name, table_type, batch_type, status)
+        |ORDER BY col_name""".stripMargin)),
+
     // Data profiling: one aggregation pass over the fact table -> one
     // row per profiled column (nulls / exact distincts / range).
     "pr1_profile" -> Q(

@@ -194,4 +194,31 @@ object Profile {
   def qualityReport(checks: Seq[DataFrame]): DataFrame =
     checks.reduce(_ unionByName _)
       .withColumn("pass", col("n_violations") === 0L)
+
+  /** Schema-drift classification between a governed table and an
+    * incoming batch: per column — `added` (batch only), `removed`
+    * (table only), `retyped` (both, different type), `unchanged`.
+    * The ingest-time contract check that decides between mergeSchema
+    * evolution (added), quarantine (removed/retyped), and fast-path
+    * append (all unchanged).
+    *
+    * Schemas are driver-side metadata (bytes, not data) — building the
+    * report from them costs nothing at any table size.
+    */
+  def schemaDrift(table: DataFrame, batch: DataFrame): DataFrame = {
+    val spark = table.sparkSession
+    import spark.implicits._
+    val t = table.schema.map(f => f.name -> f.dataType.sql).toMap
+    val b = batch.schema.map(f => f.name -> f.dataType.sql).toMap
+    val rows = (t.keySet ++ b.keySet).toSeq.sorted.map { c =>
+      val status = (t.get(c), b.get(c)) match {
+        case (None, Some(_))                  => "added"
+        case (Some(_), None)                  => "removed"
+        case (Some(x), Some(y)) if x != y     => "retyped"
+        case _                                => "unchanged"
+      }
+      (c, t.getOrElse(c, null), b.getOrElse(c, null), status)
+    }
+    rows.toDF("col_name", "table_type", "batch_type", "status")
+  }
 }

@@ -59,6 +59,25 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("schemaDrift classifies added/removed/retyped/unchanged; identical schemas all unchanged") {
+    val table = Seq((1L, "x", 0.5)).toDF("id", "name", "score")
+    val batch = table.select(col("id").cast("int").as("id"), col("name"),
+      lit(true).as("flag")) // retype id, drop score, add flag
+    val m = Profile.schemaDrift(table, batch).collect()
+      .map(r => r.getAs[String]("col_name") -> r.getAs[String]("status")).toMap
+    assert(m === Map("id" -> "retyped", "name" -> "unchanged",
+      "score" -> "removed", "flag" -> "added"))
+    // reflexive law: diffing a frame against itself reports no drift
+    val self = Profile.schemaDrift(table, table).collect()
+    assert(self.forall(_.getAs[String]("status") == "unchanged"))
+    // type strings are Spark DDL (what a contract file would record)
+    val byCol = Profile.schemaDrift(table, batch).collect()
+      .map(r => r.getAs[String]("col_name") ->
+        (r.getAs[String]("table_type"), r.getAs[String]("batch_type"))).toMap
+    assert(byCol("id") === (("BIGINT", "INT")))
+    assert(byCol("flag") === ((null, "BOOLEAN")))
+  }
+
   test("qualityReport derives pass from the violation count") {
     val rep = Profile.qualityReport(Seq(
       Profile.expectComplete(Seq(Some("x"), None).toDF("c"), "has_null", "c"),
