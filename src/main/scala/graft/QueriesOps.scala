@@ -72,6 +72,51 @@ object QueriesOps {
       s"\nSELECT v AS user_id, pr FROM r$PageRankIters ORDER BY user_id"
   }
 
+  /** DuckDB oracle for bpe1/bpe2: the BPE merge loop UNROLLED as
+    * chained CTEs, mirroring [[graft.ops.Bpe.learnMerges]] round for
+    * round. Each round: pairs from the current word table (1-indexed
+    * lateral list walk), argmax under (count desc, pair asc), literal
+    * string replace — the replace's left-to-right non-overlapping
+    * semantics are identical in the JVM and DuckDB, so the greedy
+    * within-word merge order matches exactly. Integer counts
+    * throughout; no float enters any decision.
+    */
+  private val BpeMergeRounds = 8
+  private def bpeWordCtes(rounds: Int): String = {
+    val base = """WITH w0 AS (
+      |  SELECT w, ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' ' AS s, cnt
+      |  FROM (SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt
+      |        FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+      |        WHERE len(tok) > 0 GROUP BY tok))""".stripMargin
+    val loop = (1 to rounds).map { k =>
+      s""",
+         |p$k AS (
+         |  SELECT l[u.i] AS p1, l[u.i+1] AS p2, CAST(sum(cnt) AS BIGINT) AS pair_cnt
+         |  FROM (SELECT string_split(trim(s), '  ') AS l, cnt FROM w${k - 1}) t,
+         |       unnest(generate_series(1, len(t.l)-1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT p1, p2, pair_cnt FROM p$k
+         |        ORDER BY pair_cnt DESC, p1, p2 LIMIT 1),
+         |w$k AS (SELECT w,
+         |  replace(s, ' ' || b.p1 || '  ' || b.p2 || ' ',
+         |             ' ' || b.p1 || b.p2 || ' ') AS s, cnt
+         |  FROM w${k - 1}, b$k b)""".stripMargin
+    }.mkString
+    base + loop
+  }
+  private val BpeMergesOracle: String =
+    bpeWordCtes(BpeMergeRounds) + "\n" +
+      (1 to BpeMergeRounds).map { k =>
+        s"SELECT $k AS step, p1, p2, pair_cnt FROM b$k"
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY step")
+  private val BpeSegmentOracle: String =
+    bpeWordCtes(BpeMergeRounds) +
+      s"""
+         |SELECT w, cnt,
+         |  CAST(len(string_split(trim(s), '  ')) AS INTEGER) AS n_pieces,
+         |  replace(trim(s), '  ', ',') AS pieces_csv
+         |FROM w$BpeMergeRounds ORDER BY w""".stripMargin
+
   private def dec(c: String) = col(c).cast("decimal(18,2)")
   private val discPrice = dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))
 
@@ -3015,5 +3060,26 @@ object QueriesOps {
         |  array_to_string(list_slice(list_sort(list(doc_id)), 1, 20), ',') AS postings_head
         |FROM pairs WHERE length(term) > 0
         |GROUP BY term HAVING count(*) >= 2
-        |ORDER BY term""".stripMargin)))
+        |ORDER BY term""".stripMargin)),
+
+    // BPE merge learning (Sennrich ACL'16): 8 rounds of the greedy
+    // pair-merge loop over the word-frequency table. Oracle = the same
+    // loop UNROLLED as chained CTEs (the pg1 pattern); both engines'
+    // within-word merges ride literal left-to-right string replace, so
+    // the greedy order is bit-identical. All counts integer.
+    "bpe1_bpe_merges" -> Q(
+      (s, d) => graft.ops.Bpe.learnMerges(docs(s, d), BpeMergeRounds)
+        .orderBy("step"),
+      Some(BpeMergesOracle)),
+
+    // The trained tokenizer APPLIED: replay the 8 learned merges over
+    // the vocabulary (a chain of literal replaces — narrow, codegen).
+    "bpe2_segment_vocab" -> Q(
+      (s, d) => {
+        val m = graft.ops.Bpe.learnMerges(docs(s, d), BpeMergeRounds)
+          .orderBy("step").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.ops.Bpe.segmentVocab(docs(s, d), m).orderBy("w")
+      },
+      Some(BpeSegmentOracle)))
 }

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Laws for BPE merge learning: the textbook Sennrich example, greedy
+  * left-to-right within-word merge order, and the learn/apply
+  * round-trip (segmenting with the learned merges rebuilds each word).
+  */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(docs: String*) = docs.toDF("text")
+
+  test("learns the highest-count pair first; lexical tiebreak on equal counts") {
+    // (e,r) = lower x2 + newer x3 + wider = 6, the unique max
+    val docs = corpus("lower lower newer newer newer wider")
+    val m = Bpe.learnMerges(docs, 1).collect().head
+    assert((m.getString(1), m.getString(2)) === (("e", "r")))
+    assert(m.getLong(3) === 6L)
+    // exact tie (a,b)=2 vs (c,d)=2 -> lexically smaller pair wins
+    val tie = Bpe.learnMerges(corpus("ab ab cd cd"), 1).collect().head
+    assert((tie.getString(1), tie.getString(2)) === (("a", "b")))
+    assert(tie.getLong(3) === 2L)
+  }
+
+  test("greedy left-to-right: 'aaa' under merge (a,a) segments as (aa, a)") {
+    val docs = corpus("aaa aaa bb")
+    val m = Bpe.learnMerges(docs, 1).collect().head
+    assert((m.getString(1), m.getString(2)) === (("a", "a"))) // count 4 beats (b,b)=1
+    val seg = Bpe.segmentVocab(docs, Seq(("a", "a")))
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(seg("aaa") === "aa,a")
+    assert(seg("bb") === "b,b")
+  }
+
+  test("merges chain into longer units and the pieces always rebuild the word") {
+    val docs = corpus("abab abab abab cd")
+    val merges = Bpe.learnMerges(docs, 3).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // (a,b) first (count 6), then (ab,ab) -> whole word
+    assert(merges.take(2) === Seq(("a", "b"), ("ab", "ab")))
+    val seg = Bpe.segmentVocab(docs, merges).collect()
+    seg.foreach { r =>
+      assert(r.getString(3).replace(",", "") === r.getString(0)) // lossless
+    }
+    val byW = seg.map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(byW("abab") === 1) // fully merged
+  }
+
+  test("single-char and merge-free words survive all rounds untouched") {
+    val docs = corpus("x x x yz")
+    val m = Bpe.learnMerges(docs, 5) // only 1 real pair exists
+    assert(m.count() === 1L) // rounds with no pairs left learn nothing
+    val seg = Bpe.segmentVocab(docs, Seq(("y", "z")))
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(seg("x") === "x")
+    assert(seg("yz") === "yz")
+  }
+}
