@@ -206,6 +206,46 @@ object Queries {
         |SELECT id, account, update_at, entity, amount, event_id
         |FROM m ORDER BY id""".stripMargin)),
 
+    // MV1: incremental materialized-aggregate maintenance with
+    // retractions (signed deltas a la differential dataflow / DBSP).
+    // The per-account view is built from the snapshot ONCE, then
+    // maintained across the j4-style tombstone upsert batch from
+    // aggPrev + delta + the old rows of delta-named keys only — the
+    // base is never rescanned. The oracle RECOMPUTES the aggregate
+    // from the fully-merged state, so a hash match proves the
+    // algebraic maintenance path is exactly equivalent to recompute
+    // (inserts, updates with retraction, tombstones, stale no-ops).
+    "mv1_incremental_agg" -> Q(
+      (s, d) => {
+        val base = keyed(tx(s, d)).select(flatCols.map(col): _*)
+        val tiebreak = Seq(col("event_id").desc)
+        val snap = Merge.dedupLatest(
+          base.filter(col("event_id") % 2 === 0), "id", "update_at", tiebreak)
+        val delt = base.filter(col("event_id") % 2 === 1)
+        val aggV1 = graft.ops.Materialize.groupAgg(snap, "account", "amount")
+        graft.ops.Materialize.maintainAgg(aggV1, snap, delt,
+            col("entity") === "error")
+          .select(col("account"), col("n_rows"),
+            col("total").cast("double").as("total"))
+          .orderBy("account")
+      },
+      Some(s"""$TxCte$KeyedCte,
+        |snap AS (SELECT * EXCLUDE rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, event_id DESC) AS rn
+        |  FROM keyed WHERE event_id % 2 = 0) WHERE rn = 1),
+        |delt0 AS (SELECT *, CASE WHEN entity = 'error' THEN 1 ELSE 0 END AS del
+        |  FROM keyed WHERE event_id % 2 = 1),
+        |delt AS (SELECT * EXCLUDE rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, del DESC, event_id DESC) AS rn
+        |  FROM delt0) WHERE rn = 1),
+        |u AS (SELECT * FROM delt UNION ALL SELECT *, 0 AS del FROM snap),
+        |m AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, del DESC, event_id DESC) AS rn
+        |  FROM u) WHERE rn = 1 AND del = 0)
+        |SELECT account, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM m GROUP BY account ORDER BY account""".stripMargin)),
+
     "s1_initial_load_e2e" -> Q(initialLoadE2e, Some(initialLoadSql)),
 
     // P6: REMOVE filter — entity "error" plays the REMOVE role.
