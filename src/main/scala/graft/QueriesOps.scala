@@ -1514,6 +1514,25 @@ object QueriesOps {
         |    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g')) AS scrub_md5
         |FROM seeded ORDER BY doc_id""".stripMargin)),
 
+    // k-anonymity / l-diversity audit over the event table: QI =
+    // (event_type, hour), sensitive = user_id. Thresholds chosen so
+    // both pass and fail outcomes appear (class sizes 61-108, distinct
+    // users 49-80 at sf0.01). All counts integer — exact.
+    "ka1_k_anonymity" -> Q(
+      (s, d) => {
+        val ev = Queries.events(s, d)
+          .withColumn("hr", hour(col("ts")).cast("int"))
+        Curate.kAnonymityReport(ev, Seq("event_type", "hr"), "user_id",
+            k = 70, l = 55)
+          .orderBy("event_type", "hr")
+      },
+      Some("""SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive,
+        |  count(*) >= 70 AS k_ok,
+        |  count(DISTINCT user_id) >= 55 AS l_ok
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin)),
+
     // corpus composition: docs/tokens and token share per (source, lang)
     "cur4_source_composition" -> Q(
       (s, d) => Curate.sourceComposition(docs(s, d)).orderBy("source", "lang"),

@@ -74,6 +74,41 @@ object Curate {
         regexp_replace(regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
           PhoneRe, "[PHONE]"))
 
+  /** k-anonymity / l-diversity audit (Sweeney IJUFKS'02; Machanavajjhala
+    * et al. ICDE'06) over a release candidate: group rows by the
+    * quasi-identifier columns and report, per equivalence class, its
+    * size (k-anonymity), the number of distinct sensitive values
+    * (l-diversity), and the pass flags. The privacy gate a curation
+    * pipeline runs before publishing event- or user-derived tables —
+    * the structural complement of [[scrubPii]]'s content scrub.
+    *
+    * Scale: ONE combinable aggregation keyed by the quasi-identifier
+    * tuple (count + distinct-sensitive via two-level agg); report size
+    * is O(equivalence classes). All counts integer — exactly
+    * oracle-checkable.
+    */
+  def kAnonymityReport(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                       k: Int, l: Int): DataFrame =
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("class_size"),
+        countDistinct(col(sensitiveCol)).cast("long").as("n_sensitive"))
+      .withColumn("k_ok", col("class_size") >= k)
+      .withColumn("l_ok", col("n_sensitive") >= l)
+
+  /** Enforcement half of the audit: drop every row whose equivalence
+    * class is smaller than `k` (suppression — the standard minimal
+    * release action). One aggregation + a semi-join of the passing
+    * classes back onto the rows — the class table is O(equivalence
+    * classes), so AQE broadcasts it when small; no forced hint because
+    * high-cardinality QI tuples can make it large.
+    */
+  def suppressSmallClasses(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    val ok = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") >= k)
+      .drop("__n")
+    df.join(ok, qiCols, "left_semi")
+  }
+
   /** Overlapping token-window chunking — the context-length splitter
     * that turns documents into model-sized pieces (chunk i covers
     * tokens [i·stride, i·stride + chunkSize)). The last chunk starts at

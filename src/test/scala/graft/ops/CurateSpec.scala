@@ -218,4 +218,27 @@ class CurateSpec extends AnyFunSuite {
     assert(!got(1).getBoolean(3))
     assert(got(1).getDouble(2) < 0.01, "drop doc should score near zero")
   }
+
+  test("kAnonymityReport counts classes exactly; suppression drops exactly the small classes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // class (a,x): 3 rows 2 users; (a,y): 1 row 1 user; (b,x): 2 rows 2 users
+    val rows = Seq(
+      ("a", "x", 1L), ("a", "x", 1L), ("a", "x", 2L),
+      ("a", "y", 3L),
+      ("b", "x", 4L), ("b", "x", 5L)).toDF("q1", "q2", "uid")
+    val rep = Curate.kAnonymityReport(rows, Seq("q1", "q2"), "uid", k = 2, l = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(rep(("a", "x")) === ((3L, 2L, true, true)))
+    assert(rep(("a", "y")) === ((1L, 1L, false, false)))
+    assert(rep(("b", "x")) === ((2L, 2L, true, true)))
+    // k=2 suppression keeps only classes of size >= 2, rows intact
+    val kept = Curate.suppressSmallClasses(rows, Seq("q1", "q2"), 2)
+    assert(kept.count() === 5L)
+    assert(kept.filter(col("q2") === "y").count() === 0L)
+    // suppressed output itself satisfies k-anonymity at the same k
+    val rekept = Curate.kAnonymityReport(kept, Seq("q1", "q2"), "uid", 2, 2)
+    assert(rekept.filter(!col("k_ok")).count() === 0L)
+  }
 }
