@@ -117,6 +117,33 @@ object QueriesOps {
          |  replace(trim(s), '  ', ',') AS pieces_csv
          |FROM w$BpeMergeRounds ORDER BY w""".stripMargin
 
+  /** DuckDB oracle for lp1: the synchronous label-propagation rounds
+    * unrolled as CTEs over the same undirected handoff edges as pg1.
+    * Every round is `argmax_(count desc, label asc)` over neighbor
+    * labels — integer decisions only, bit-identical across engines.
+    */
+  private val LabelPropRounds = 5
+  private val LabelPropOracle: String = {
+    val base = """WITH ed AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT lag(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS src,
+      |           user_id AS dst FROM events)
+      |  WHERE src IS NOT NULL AND src != dst),
+      |und AS (SELECT src AS a, dst AS b FROM ed UNION SELECT dst, src FROM ed),
+      |l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM und)""".stripMargin
+    val rounds = (1 to LabelPropRounds).map { k =>
+      s""",
+         |l$k AS (SELECT a AS v, lbl FROM (
+         |  SELECT u.a, l.lbl,
+         |    row_number() OVER (PARTITION BY u.a
+         |      ORDER BY count(*) DESC, l.lbl ASC) AS rn
+         |  FROM und u JOIN l${k - 1} l ON l.v = u.b
+         |  GROUP BY u.a, l.lbl) WHERE rn = 1)""".stripMargin
+    }.mkString
+    base + rounds +
+      s"\nSELECT v AS user_id, lbl AS label FROM l$LabelPropRounds ORDER BY user_id"
+  }
+
   private def dec(c: String) = col(c).cast("decimal(18,2)")
   private val discPrice = dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))
 
@@ -3036,6 +3063,20 @@ object QueriesOps {
           iterations = PageRankIters)
         .select(col("v").as("user_id"), col("pr")).orderBy("user_id"),
       Some(PageRankOracle)),
+
+    // Synchronous label-propagation communities (Raghavan '07): 5
+    // fixed rounds, most-frequent-neighbor label, ties to the SMALLEST
+    // label — every decision an integer compare, so the oracle (the
+    // same rounds unrolled as CTEs) reproduces the labeling exactly.
+    "lp1_label_prop" -> Q(
+      (s, d) => Graph.labelPropagation(
+          Graph.handoffEdges(Queries.events(s, d),
+            streamCol = "event_type", keyCol = "user_id",
+            tsCol = "ts", tieCol = "event_id"),
+          iterations = LabelPropRounds)
+        .select(col("v").as("user_id"), col("lbl").as("label"))
+        .orderBy("user_id"),
+      Some(LabelPropOracle)),
 
     // Exact triangle count / clustering coefficient via the
     // degree-oriented wedge join: orientation bounds out-neighborhoods

@@ -83,6 +83,55 @@ object Graph {
     pr
   }
 
+  /** Synchronous label propagation (Raghavan, Albert, Kumara, Phys.
+    * Rev. E'07) for community detection: every node starts labeled
+    * with its own id; each round, every node simultaneously adopts the
+    * most frequent label among its neighbors, ties broken by the
+    * SMALLEST label. Run for a FIXED `iterations` so the output is
+    * deterministic (same rationale as [[pageRank]]: no convergence
+    * test an external oracle would have to reproduce; synchronous
+    * updates + total-order tiebreak make every round a pure function
+    * of the last). All decisions are integer — counts and long labels
+    * — so the result is exactly reproducible in any engine.
+    *
+    * Scale: the undirected adjacency is shuffled ONCE and persisted;
+    * each round exchanges (node, label, count) triples — O(edges)
+    * narrow rows, never text or properties. Per-round lineage cut and
+    * unpersist discipline as in [[pageRank]]; interim rounds and the
+    * adjacency are unpersisted before returning, the final round's
+    * table staying persisted for the caller (the pageRank contract).
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int = 5): DataFrame = {
+    val spark = edges.sparkSession
+    def shallow(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
+
+    val dir = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+    val adj = dir.select(col("src").as("a"), col("dst").as("b"))
+      .union(dir.select(col("dst").as("a"), col("src").as("b")))
+      .distinct().repartition(col("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lab = shallow(adj.select(col("a").as("v")).distinct()
+      .withColumn("lbl", col("v")).persist(StorageLevel.MEMORY_AND_DISK))
+    var prev: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val next = adj.join(lab, adj("b") === lab("v"))
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("a")).orderBy(col("c").desc, col("lbl").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("a").as("v"), col("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      if (prev != null) prev.unpersist()
+      prev = lab
+      lab = shallow(next)
+    }
+    if (prev != null) prev.unpersist()
+    adj.unpersist()
+    lab // final round stays persisted for the caller (pageRank contract)
+  }
+
   /** Exact triangle count + global clustering coefficient via the
     * DEGREE-ORIENTED wedge join (Suri & Vassilvitskii WWW'11 /
     * Cohen's MapReduce formulation): orient every undirected edge from

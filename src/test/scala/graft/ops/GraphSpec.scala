@@ -103,4 +103,30 @@ class GraphSpec extends AnyFunSuite {
       assert(got === want, s"round $round: oriented wedge count diverged from naive")
     }
   }
+
+  private def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("label propagation: disjoint triangles converge to their min ids, never mixing") {
+    val e = edges((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L), (12L, 10L))
+    val got = labels(Graph.labelPropagation(e, iterations = 5))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("label propagation round 1: neighbors' majority with min-label tiebreak, synchronous") {
+    // star center 5, leaves 1 and 2: leaves see only {5}; center ties {1,2} -> 1
+    val got = labels(Graph.labelPropagation(edges((5L, 1L), (5L, 2L)), iterations = 1))
+    assert(got === Map(1L -> 5L, 2L -> 5L, 5L -> 1L))
+    // direction of the input edge must not matter (undirected adjacency)
+    val rev = labels(Graph.labelPropagation(edges((1L, 5L), (2L, 5L)), iterations = 1))
+    assert(rev === got)
+  }
+
+  test("label propagation is deterministic across runs") {
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (2L, 6L))
+    val a = labels(Graph.labelPropagation(e, iterations = 4))
+    val b = labels(Graph.labelPropagation(e, iterations = 4))
+    assert(a === b)
+  }
 }
