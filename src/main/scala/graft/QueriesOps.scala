@@ -745,6 +745,41 @@ object QueriesOps {
         |SELECT q_id, n_id, rank, round(sim, 6) AS sim
         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    // Hard-negative mining (FaceNet triplet mining): per anchor, top-5
+    // most-similar DIFFERENT-label vectors + best same-label sim +
+    // margin-violation flag. Same bounded-anchor plan as ss1.
+    "hn1_hard_negatives" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.hardNegatives(e, e.filter(col("vec_id") < 8), k = 5)
+          .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+            col("rank"), round(col("sim"), 6).as("sim"),
+            round(col("pos_sim"), 6).as("pos_sim"), col("violates_margin"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+        |      FROM e WHERE vec_id < 8),
+        |pairs AS (
+        |  SELECT q_id, q_label, e.vec_id AS n_id, e.label AS n_label,
+        |    list_sum(list_transform(range(1, len(q_vec) + 1),
+        |      i -> CAST(q_vec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(q_vec) + 1),
+        |         i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS sim
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
+        |pos AS (SELECT q_id, max(sim) AS pos_sim FROM pairs
+        |        WHERE n_label = q_label GROUP BY q_id),
+        |neg AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |          ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rank
+        |        FROM pairs WHERE n_label <> q_label)
+        |SELECT n.q_id, n.q_label, n.n_id, n.n_label, n.rank,
+        |  round(n.sim, 6) AS sim, round(p.pos_sim, 6) AS pos_sim,
+        |  n.sim > p.pos_sim - 0.2 AS violates_margin
+        |FROM neg n LEFT JOIN pos p USING (q_id)
+        |WHERE n.rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
     // exact O(n²) baseline: bounded to a fixed 600-vector slice
     "ss2_cosine_neardup_pairs" -> Q(
       (s, d) => Similarity.cosineNearDupPairs(

@@ -61,6 +61,48 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), col("sim"))
   }
 
+  /** Hard-negative mining for metric/embedding training (the FaceNet
+    * triplet-mining step, Schroff et al. CVPR'15): for every anchor,
+    * the k most similar corpus vectors with a DIFFERENT label — the
+    * negatives a contrastive trainer most needs — plus the anchor's
+    * best same-label similarity (`pos_sim`) and the margin-violation
+    * flag (`sim > pos_sim − margin`) that marks the triplets worth
+    * training on.
+    *
+    * Same plan shape as [[bruteForceTopK]]: anchors broadcast, corpus
+    * scanned once (label filter rides the join condition — an integer
+    * compare), norms precomputed per side, one window per anchor for
+    * the top-k. For anchor sets too large to broadcast, mine inside
+    * LSH buckets ([[lshTopK]]) — the approximate-negatives tradeoff
+    * the literature makes at corpus scale.
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+                    margin: Double = 0.2, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val a = broadcast(anchors.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"), col(labelCol).as("q_label")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      norm(col(vecCol)).as("n_norm"), col(labelCol).as("n_label"))
+    // best same-label similarity per anchor (the "positive" the margin
+    // is measured against) — one corpus pass, combinable max
+    val pos = c.join(a, col("n_id") =!= col("q_id") &&
+        col("n_label") === col("q_label"))
+      .withColumn("sim", dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+      .groupBy(col("q_id").as("p_id")).agg(max(col("sim")).as("pos_sim"))
+    val neg = c.join(a, col("n_id") =!= col("q_id") &&
+        col("n_label") =!= col("q_label"))
+      .withColumn("sim", dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    neg.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(pos, col("q_id") === col("p_id"), "left")
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+        col("rank"), col("sim"), col("pos_sim"),
+        (col("sim") > col("pos_sim") - lit(margin)).as("violates_margin"))
+  }
+
   /** Deterministic random hyperplanes: nPlanes literal ±1 arrays of
     * length dim from a seeded RNG (tiny: 16×64 doubles), so bucketing
     * is pure codegen'd arithmetic. Each plane is ONE array Literal

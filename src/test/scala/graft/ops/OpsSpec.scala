@@ -176,6 +176,28 @@ class OpsSpec extends AnyFunSuite {
     assert(near.count() >= 5, "one-token edits should mostly stay within hamming 6")
   }
 
+  test("hard negatives: different-label only, hardest first, margin flag hand-checked") {
+    import spark.implicits._
+    // axis-aligned vectors: labels 0 = x-ish, 1 = y-ish
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f), 0),   // anchor
+      (1L, Array(0.9f, 0.1f, 0f), 0),  // positive, sim ~0.9938
+      (2L, Array(0.8f, 0.6f, 0f), 1),  // hard negative, sim 0.8
+      (3L, Array(0f, 1f, 0f), 1),      // easy negative, sim 0
+      (4L, Array(0.6f, 0.8f, 0f), 1))  // hardest negative, sim 0.6... no: 0.6
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(vecs, vecs.filter(col("vec_id") === 0L),
+        k = 3, margin = 0.2)
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(2)).toSeq === Seq(2L, 4L, 3L)) // sims .8, .6, 0
+    assert(got.forall(_.getInt(3) == 1), "negatives must carry a different label")
+    val posSim = got.head.getDouble(6)
+    assert(math.abs(posSim - 0.9 / math.sqrt(0.81 + 0.01)) < 1e-9)
+    // margin 0.2: violation iff sim > pos_sim - 0.2 (~0.794): only id 2
+    assert(got.map(r => r.getLong(2) -> r.getBoolean(7)).toMap ===
+      Map(2L -> true, 4L -> false, 3L -> false))
+  }
+
   test("SRP-LSH near-dup pairs are a subset of brute-force pairs with equal cosine") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(150).cache()
     // plant exact duplicates — cos=1 pairs that SRP MUST recall (an
