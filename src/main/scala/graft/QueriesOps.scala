@@ -144,6 +144,66 @@ object QueriesOps {
       s"\nSELECT v AS user_id, lbl AS label FROM l$LabelPropRounds ORDER BY user_id"
   }
 
+  /** DuckDB oracle for pca1/pca2: the quantized-covariance power
+    * iteration unrolled. Integer moments are order-free; every float
+    * step is an explicit ascending left fold
+    * (`list_reduce(list_prepend(0.0, …))`) mirroring the Scala loops
+    * in [[graft.ops.Pca]] — bit-identical, no rounding needed.
+    */
+  private val PcaDim = 64
+  private val PcaIters = 12
+  private def pcaCtePrefix: String = {
+    val D = PcaDim
+    val base = s"""WITH e AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd FROM embeddings),
+      |g AS (SELECT max(list_reduce(list_prepend(0.0,
+      |  list_transform(xd, x -> abs(x))), (a,b) -> greatest(a,b))) AS gmax FROM e),
+      |q AS (SELECT vec_id, list_transform(xd,
+      |  x -> CAST(round(x / g.gmax * 127.0) AS BIGINT)) AS qv FROM e, g),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+      |s1 AS (SELECT u.i AS i, sum(qv[u.i]) AS s
+      |  FROM q, unnest(generate_series(1, $D)) u(i) GROUP BY u.i),
+      |s2 AS (SELECT u.i AS i, w.j AS j, sum(qv[u.i]*qv[w.j]) AS s
+      |  FROM q, unnest(generate_series(1, $D)) u(i),
+      |       unnest(generate_series(1, $D)) w(j)
+      |  GROUP BY u.i, w.j),
+      |cm AS (SELECT list(cr ORDER BY i) AS m FROM (
+      |  SELECT s2.i AS i,
+      |    list(CAST(nn.n * s2.s - a.s * b.s AS DOUBLE) ORDER BY s2.j) AS cr
+      |  FROM s2, nn, s1 a, s1 b WHERE a.i = s2.i AND b.i = s2.j
+      |  GROUP BY s2.i)),
+      |v0 AS (SELECT list_transform(generate_series(1, $D),
+      |  x -> 1.0 / sqrt(${D}.0)) AS v)""".stripMargin
+    val rounds = (1 to PcaIters).map { k =>
+      s""",
+         |w$k AS (SELECT list_transform(generate_series(1, $D), i ->
+         |  list_reduce(list_prepend(0.0, list_transform(generate_series(1, $D),
+         |    j -> m[i][j] * v[j])), (a,b) -> a + b)) AS w
+         |  FROM cm, v${k - 1}),
+         |v$k AS (SELECT list_transform(w, x -> x / sqrt(
+         |  list_reduce(list_prepend(0.0, list_transform(w, y -> y*y)),
+         |    (a,b) -> a + b))) AS v FROM w$k)""".stripMargin
+    }.mkString
+    val fin = s""",
+      |wf AS (SELECT list_transform(generate_series(1, $D), i ->
+      |  list_reduce(list_prepend(0.0, list_transform(generate_series(1, $D),
+      |    j -> m[i][j] * v[j])), (a,b) -> a + b)) AS w
+      |  FROM cm, v$PcaIters),
+      |fin AS (SELECT v, list_reduce(list_prepend(0.0,
+      |  list_transform(generate_series(1, $D), i -> v[i] * w[i])),
+      |  (a,b) -> a + b) AS eig FROM v$PcaIters, wf)""".stripMargin
+    base + rounds + fin
+  }
+  private val PcaComponentOracle: String = pcaCtePrefix + s"""
+    |SELECT u.i - 1 AS dim_idx, v[u.i] AS loading, eig AS eigval
+    |FROM fin, unnest(generate_series(1, $PcaDim)) u(i)
+    |ORDER BY dim_idx""".stripMargin
+  private val PcaProjectOracle: String = pcaCtePrefix + s"""
+    |SELECT q.vec_id, list_reduce(list_prepend(0.0,
+    |  list_transform(generate_series(1, $PcaDim),
+    |    j -> CAST(qv[j] AS DOUBLE) * v[j])), (a,b) -> a + b) AS score
+    |FROM q, fin WHERE q.vec_id < 100 ORDER BY q.vec_id""".stripMargin
+
   private def dec(c: String) = col(c).cast("decimal(18,2)")
   private val discPrice = dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))
 
@@ -872,6 +932,31 @@ object QueriesOps {
     // bound all reproduce bit-for-bit in DuckDB (plain IEEE arithmetic
     // in a fixed fold order; no hashing anywhere), so the compression
     // step is fully value-checked, not rows-only.
+    // PCA top component by power iteration over the GLOBALLY-quantized
+    // covariance: integer moments (order-free), then 12 strictly
+    // ordered-fold iterations — bit-identical to the unrolled oracle,
+    // no display rounding anywhere.
+    "pca1_top_component" -> Q(
+      (s, d) => graft.ops.Pca.topComponentQuantized(embs(s, d))
+        .orderBy("dim_idx"),
+      Some(PcaComponentOracle)),
+
+    // The projection half: per-vector score against the learned
+    // loadings (int weights x plan-time literals, in-row fold).
+    "pca2_project" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        val comp = graft.ops.Pca.topComponentQuantized(e)
+          .orderBy("dim_idx").collect()
+        val loadings = comp.map(_.getDouble(1)).toSeq
+        val xd = transform(col("embedding"), _.cast("double"))
+        val gmax = e.select(max(aggregate(xd, lit(0.0),
+          (a, b) => greatest(a, abs(b))))).head.getDouble(0)
+        graft.ops.Pca.project(e.filter(col("vec_id") < 100), loadings, gmax)
+          .orderBy("vec_id")
+      },
+      Some(PcaProjectOracle)),
+
     "vq1_int8_quantize" -> Q(
       (s, d) => Similarity.quantizeInt8(embs(s, d))
         .select(col("vec_id"), col("scale"),

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Top principal component of an embedding column by power iteration
+  * (Mises & Pollaczek-Geiringer 1929; the PCA-whitening precursor every
+  * embedding pipeline runs before indexing / probing — see also vq2's
+  * per-dim standardization).
+  *
+  * Exactness across engines is engineered, not hoped for:
+  *  - vectors are first quantized to int8 on a GLOBAL scale (the vq1
+  *    rounding convention, `round(x / gmax * 127)` — cross-engine
+  *    validated), so every covariance moment is an INTEGER sum —
+  *    order-free, exactly reproducible under any partitioning;
+  *  - the (unnormalized) covariance uses the integer identity
+  *    `n·Σqᵢqⱼ − Σqᵢ·Σqⱼ` — no float centering pass;
+  *  - power iteration runs on the collected 64×64 matrix with STRICT
+  *    ascending-index left folds, the same ordered-fold discipline as
+  *    VectorDot — bit-identical to an oracle that unrolls the same
+  *    folds (`list_reduce(list_prepend(0.0, …))`).
+  *
+  * Scale: one narrow codegen pass for the global max, one for the
+  * quantized upper-triangle products — a combinable (pos, long) sum
+  * shuffle of dim·(dim+1)/2 cells per row batch. The collected pieces
+  * are O(dim²) longs (2080 for dim 64 — the bounded-collect
+  * discipline, cf. the k-means sample); the corpus is scanned exactly
+  * twice and never shuffled wide. At petabyte row counts the int64
+  * moment sums need DECIMAL(38,0) headroom (qᵢqⱼ ≤ 16129 · rows);
+  * noted rather than paid here.
+  */
+object Pca {
+
+  /** Returns (dim_idx, loading, eigval): the top component's loading
+    * per dimension plus the Rayleigh-quotient eigenvalue (in quantized
+    * covariance units) on every row.
+    */
+  def topComponentQuantized(embs: DataFrame, iters: Int = 12,
+                            vecCol: String = "embedding"): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+
+    val xd = transform(col(vecCol), _.cast("double"))
+    val dim = embs.select(size(col(vecCol))).head.getInt(0)
+    val gmax = embs
+      .select(max(aggregate(xd, lit(0.0), (a, b) => greatest(a, abs(b)))))
+      .head.getDouble(0)
+    val q = embs.select(transform(xd,
+      v => round(v / lit(gmax) * lit(127.0)).cast("long")).as("q"))
+
+    // integer moments: per-dim sums and upper-triangle product sums
+    val s1 = q.select(posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy("i").agg(sum("qi").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val upExpr = s"flatten(transform(sequence(0, ${dim - 1}), " +
+      s"i -> transform(sequence(i, ${dim - 1}), j -> q[i] * q[j])))"
+    val s2 = q.select(posexplode(expr(upExpr)).as(Seq("pos", "p")))
+      .groupBy("pos").agg(sum("p").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = q.count()
+
+    def triPos(i: Int, j: Int): Int = i * dim - i * (i - 1) / 2 + (j - i)
+    val c = Array.tabulate(dim, dim) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      (n * s2(triPos(a, b)) - s1(i) * s1(j)).toDouble // exact: < 2^53
+    }
+
+    // power iteration, strict ascending-index left folds throughout
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    def matVec(u: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += c(i)(j) * u(j); j += 1 }
+        acc
+      }
+    for (_ <- 1 to iters) {
+      val w = matVec(v)
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc += w(i) * w(i); i += 1 }
+      val nrm = math.sqrt(acc)
+      v = w.map(_ / nrm)
+    }
+    val wF = matVec(v)
+    var eig = 0.0
+    var i = 0
+    while (i < dim) { eig += v(i) * wF(i); i += 1 }
+
+    v.zipWithIndex.map { case (l, d) => (d, l, eig) }.toSeq
+      .toDF("dim_idx", "loading", "eigval")
+  }
+
+  /** Apply the component: per-vector score = qᵀ·v (int weights times
+    * the plan-time loading literals, ascending in-row fold — exact).
+    * The projection half of the whitening transform.
+    */
+  def project(embs: DataFrame, loadings: Seq[Double], gmax: Double,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val xd = transform(col(vecCol), _.cast("double"))
+    val q = transform(xd, v => round(v / lit(gmax) * lit(127.0)).cast("long"))
+    val ll = typedlit(loadings)
+    embs.select(col(idCol),
+      aggregate(zip_with(q, ll, (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, x) => acc + x).as("score"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Laws for the quantized power-iteration PCA: the result is a unit
+  * eigenvector of the quantized covariance (residual law), it aligns
+  * with a planted dominant direction, and projection reproduces the
+  * hand fold.
+  */
+class PcaSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 40 vectors along (3,4,0...)/5 with small deterministic jitter in dim 2
+  private def planted(dim: Int = 8): org.apache.spark.sql.DataFrame =
+    Seq.tabulate(40) { k =>
+      val t = (k - 20).toFloat / 4f
+      val v = Array.fill(dim)(0f)
+      v(0) = 0.6f * t; v(1) = 0.8f * t; v(2) = (k % 3 - 1) * 0.05f
+      (k.toLong, v)
+    }.toDF("vec_id", "embedding")
+
+  test("returns a unit vector; C·v = λ·v within power-iteration tolerance") {
+    val e = planted()
+    val rows = Pca.topComponentQuantized(e, iters = 30).orderBy("dim_idx").collect()
+    val v = rows.map(_.getDouble(1))
+    val eig = rows.head.getDouble(2)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+    // rebuild the quantized covariance independently and check the residual
+    val xd = transform(col("embedding"), _.cast("double"))
+    val gmax = e.select(max(aggregate(xd, lit(0.0),
+      (a, b) => greatest(a, abs(b))))).head.getDouble(0)
+    val q = e.select(transform(xd,
+        x => round(x / lit(gmax) * lit(127.0)).cast("long")).as("q"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val n = q.length.toLong
+    val dim = v.length
+    val c = Array.tabulate(dim, dim) { (i, j) =>
+      val s2 = q.map(r => r(i) * r(j)).sum
+      val s1i = q.map(_(i)).sum
+      val s1j = q.map(_(j)).sum
+      (n * s2 - s1i * s1j).toDouble
+    }
+    val cv = Array.tabulate(dim)(i => (0 until dim).map(j => c(i)(j) * v(j)).sum)
+    val resid = math.sqrt(cv.zip(v).map { case (a, b) => (a - eig * b) * (a - eig * b) }.sum)
+    assert(resid < 1e-6 * math.abs(eig), s"residual $resid vs eig $eig")
+  }
+
+  test("aligns with the planted dominant direction (3,4)/5") {
+    val rows = Pca.topComponentQuantized(planted(), iters = 30)
+      .orderBy("dim_idx").collect().map(_.getDouble(1))
+    val cosine = math.abs(rows(0) * 0.6 + rows(1) * 0.8)
+    assert(cosine > 0.999, s"|cos| with planted axis = $cosine")
+  }
+
+  test("project reproduces the explicit quantized fold") {
+    val e = planted()
+    val loadings = Seq.tabulate(8)(i => if (i == 0) 1.0 else 0.0)
+    val got = Pca.project(e, loadings, gmax = 4.0)
+      .orderBy("vec_id").collect()
+    // score = round(x0 / 4 * 127) * 1.0
+    val want = e.orderBy("vec_id").collect().map { r =>
+      math.round(r.getSeq[Float](1).head.toDouble / 4.0 * 127.0).toDouble
+    }
+    got.map(_.getDouble(1)).zip(want).foreach { case (g, w) =>
+      assert(g === w)
+    }
+  }
+}
