@@ -116,6 +116,21 @@ object QueriesOps {
          |  CAST(len(string_split(trim(s), '  ')) AS INTEGER) AS n_pieces,
          |  replace(trim(s), '  ', ',') AS pieces_csv
          |FROM w$BpeMergeRounds ORDER BY w""".stripMargin
+  private val BpeTokenizeOracle: String =
+    bpeWordCtes(BpeMergeRounds) +
+      s""",
+         |pieces AS (SELECT w,
+         |  CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS np,
+         |  replace(trim(s), '  ', ',') AS csv FROM w$BpeMergeRounds),
+         |tk AS (SELECT doc_id,
+         |    string_split(lower(text), ' ')[u.i] AS tok, u.i AS i
+         |  FROM documents,
+         |    unnest(generate_series(1, len(string_split(lower(text), ' ')))) u(i))
+         |SELECT tk.doc_id, CAST(sum(p.np) AS BIGINT) AS n_pieces,
+         |  md5(string_agg(p.csv, ',' ORDER BY tk.i)) AS pieces_md5
+         |FROM tk JOIN pieces p ON p.w = tk.tok
+         |WHERE len(tk.tok) > 0
+         |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin
 
   /** DuckDB oracle for lp1: the synchronous label-propagation rounds
     * unrolled as CTEs over the same undirected handoff edges as pg1.
@@ -3261,5 +3276,53 @@ object QueriesOps {
           .map(r => (r.getString(1), r.getString(2))).toSeq
         graft.ops.Bpe.segmentVocab(docs(s, d), m).orderBy("w")
       },
-      Some(BpeSegmentOracle)))
+      Some(BpeSegmentOracle)),
+
+    // Corpus-wide tokenization with the learned merges — the job the
+    // tokenizer exists for. Per-doc piece count + md5 of the ordered
+    // piece sequence (ordered reassembly via array_sort(struct(pos,…)),
+    // never bare collect_list order).
+    "bpe3_tokenize_corpus" -> Q(
+      (s, d) => {
+        val m = graft.ops.Bpe.learnMerges(docs(s, d), BpeMergeRounds)
+          .orderBy("step").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.ops.Bpe.tokenizeCorpus(docs(s, d), m).orderBy("doc_id")
+      },
+      Some(BpeTokenizeOracle)),
+
+    // One-row dataset card: volume / diversity / dup mass / exact
+    // median length / mean quality — the release datasheet.
+    "card1_dataset_card" -> Q(
+      (s, d) => graft.ops.Profile.datasetCard(docs(s, d)),
+      Some("""WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split(lower(text), ' '),
+        |    w -> length(w) > 0))) AS BIGINT) AS n_words,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |  FROM documents),
+        |dup AS (SELECT CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+        |    AS n_dup_docs
+        |  FROM (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1)),
+        |med AS (SELECT CAST(nc AS BIGINT) AS median_chars FROM
+        |  (SELECT n_chars AS nc, row_number() OVER (ORDER BY n_chars) AS rn
+        |   FROM documents), base
+        |  WHERE rn = (base.n_docs + 1) // 2),
+        |q AS (SELECT
+        |    CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+        |    CAST(list_sum(list_transform(string_split(text, ' '),
+        |         x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len
+        |  FROM documents),
+        |mq AS (SELECT round(avg(least(1.0, alpha_ratio * 0.5 + stopword_ratio * 0.3
+        |        + least(mean_word_len / 10.0, 1.0) * 0.2)), 6) AS mean_quality FROM q)
+        |SELECT base.n_docs, base.n_words, base.n_langs, base.n_sources,
+        |  dup.n_dup_docs,
+        |  CAST(dup.n_dup_docs AS DOUBLE) / CAST(base.n_docs AS DOUBLE) AS dup_rate,
+        |  med.median_chars, mq.mean_quality
+        |FROM base, dup, med, mq""".stripMargin)))
 }

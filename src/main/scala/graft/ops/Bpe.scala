@@ -111,4 +111,34 @@ object Bpe {
       size(split(trim(col("s")), "  ")).as("n_pieces"),
       regexp_replace(trim(col("s")), "  ", ",").as("pieces_csv"))
   }
+
+  /** Corpus-wide tokenization — the actual 100 TB job the learned
+    * merges exist for: every document becomes its piece sequence
+    * (reported as piece count + an md5 of the comma-joined sequence so
+    * the full output stays hash-comparable without shipping giant
+    * strings through the gate).
+    *
+    * Scale: the merge replay happens on the VOCABULARY (segmentVocab),
+    * never per token occurrence; the corpus side is one posexplode →
+    * join on the word (the vocab side is vocabulary-sized — AQE
+    * broadcasts it when it fits) → one doc-keyed reassembly shuffle.
+    * In-doc order is restored with `array_sort(struct(pos, …))`, the
+    * engine-reproducible ordered-reassembly pattern (pd1's discipline)
+    * — never bare `collect_list` order.
+    */
+  def tokenizeCorpus(docs: DataFrame, merges: Seq[(String, String)],
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val vocab = segmentVocab(docs, merges, textCol)
+      .select(col("w"), col("n_pieces"), col("pieces_csv"))
+    val toks = docs
+      .select(col(idCol), posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    toks.join(vocab, "w")
+      .groupBy(col(idCol))
+      .agg(sum(col("n_pieces")).cast("long").as("n_pieces"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("pieces_csv")))),
+            x => x.getField("pieces_csv")), ",")).as("pieces_md5"))
+  }
 }

@@ -195,6 +195,43 @@ object Profile {
     checks.reduce(_ unionByName _)
       .withColumn("pass", col("n_violations") === 0L)
 
+  /** One-row dataset card (the datasheet/model-card summary a corpus
+    * release ships with — Gebru et al. CACM'21): volume (docs, words),
+    * diversity (langs, sources), exact-duplicate mass and rate, the
+    * exact lower-median document length, and mean quality score
+    * ([[Text.withQuality]] semantics).
+    *
+    * Scale: three aggregation passes (base counts, md5 dup mass, mean
+    * quality) are all combinable scans; the exact median rides a
+    * global row_number over ONE (long) column — the known cost of an
+    * exact order statistic (the hq1 histogram rollup is the
+    * approximate path at petabyte row counts).
+    */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(size(filter(split(lower(col("text")), " "), w => length(w) > 0)))
+        .cast("long").as("n_words"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+    val dup = docs.groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+        .cast("long").as("n_dup_docs"))
+    val med = docs.select(col("n_chars").cast("long").as("nc"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("nc"))))
+      .crossJoin(base.select(col("n_docs").as("__n")))
+      .filter(col("rn") === ((col("__n") + 1) / 2).cast("long")) // integral: (n+1) div 2
+      .select(col("nc").as("median_chars"))
+    val mq = graft.ops.Text.withQuality(docs)
+      .agg(round(avg(col("quality_score")), 6).as("mean_quality"))
+    base.crossJoin(dup).crossJoin(med).crossJoin(mq)
+      .withColumn("dup_rate",
+        col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+      .select(col("n_docs"), col("n_words"), col("n_langs"), col("n_sources"),
+        col("n_dup_docs"), col("dup_rate"), col("median_chars"), col("mean_quality"))
+  }
+
   /** Schema-drift classification between a governed table and an
     * incoming batch: per column — `added` (batch only), `removed`
     * (table only), `retyped` (both, different type), `unchanged`.

@@ -50,6 +50,21 @@ class BpeSpec extends AnyFunSuite {
     assert(byW("abab") === 1) // fully merged
   }
 
+  test("tokenizeCorpus: ordered reassembly, counts summed over occurrences") {
+    val docs = Seq((1L, "ab ba ab"), (2L, "ba")).toDF("doc_id", "text")
+      .withColumnRenamed("doc_id", "doc_id")
+    val got = Bpe.tokenizeCorpus(docs, Seq(("a", "b")), idCol = "doc_id")
+      .orderBy("doc_id").collect()
+    // doc 1: pieces ab | b,a | ab -> 4 pieces, joined "ab,b,a,ab"
+    assert(got(0).getLong(1) === 4L)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) =
+      md5.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(0).getString(2) === hex("ab,b,a,ab"))
+    assert(got(1).getLong(1) === 2L)
+    assert(got(1).getString(2) === hex("b,a"))
+  }
+
   test("single-char and merge-free words survive all rounds untouched") {
     val docs = corpus("x x x yz")
     val m = Bpe.learnMerges(docs, 5) // only 1 real pair exists

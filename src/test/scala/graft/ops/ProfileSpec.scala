@@ -78,6 +78,27 @@ class ProfileSpec extends AnyFunSuite {
     assert(byCol("flag") === ((null, "BOOLEAN")))
   }
 
+  test("datasetCard: hand-checked counts, dup mass, exact lower median") {
+    // 5 docs; two share identical text (dup mass 2); n_chars 3,3,5,7,9
+    val docs = Seq(
+      (1L, "a b", "en", "web", 3),
+      (2L, "a b", "en", "web", 3),
+      (3L, "c d e", "en", "book", 5),
+      (4L, "f g h i", "fr", "web", 7),
+      (5L, "j k l m n", "fr", "code", 9))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Profile.datasetCard(docs).collect().head
+    assert(r.getAs[Long]("n_docs") === 5L)
+    assert(r.getAs[Long]("n_words") === 2 + 2 + 3 + 4 + 5)
+    assert(r.getAs[Long]("n_langs") === 2L)
+    assert(r.getAs[Long]("n_sources") === 3L)
+    assert(r.getAs[Long]("n_dup_docs") === 2L)
+    assert(math.abs(r.getAs[Double]("dup_rate") - 0.4) < 1e-15)
+    assert(r.getAs[Long]("median_chars") === 5L) // rank 3 of 5
+    val mq = r.getAs[Double]("mean_quality")
+    assert(mq > 0.0 && mq <= 1.0)
+  }
+
   test("qualityReport derives pass from the violation count") {
     val rep = Profile.qualityReport(Seq(
       Profile.expectComplete(Seq(Some("x"), None).toDF("c"), "has_null", "c"),
