@@ -544,6 +544,26 @@ object QueriesOps {
         |    AND dup_line_frac < 0.3 AS gopher_keep
         |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // Document-level PMI collocations (Church & Hanks CL'90): rare
+    // tokens cut at df>=5 BEFORE in-row pair generation; pmi from
+    // exact integer dfs, rounded for display only.
+    "tx16_pmi_pairs" -> Q(
+      (s, d) => Text.pmiPairs(docs(s, d), minDf = 5L, topK = 100),
+      Some("""WITH dt AS (SELECT doc_id AS d,
+        |    unnest(list_distinct(string_split(lower(text), ' '))) AS t
+        |  FROM documents),
+        |dt2 AS (SELECT * FROM dt WHERE length(t) > 0),
+        |dfT AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM dt2
+        |        GROUP BY t HAVING count(*) >= 5),
+        |f AS (SELECT d, dt2.t FROM dt2 JOIN dfT USING (t)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |p AS (SELECT a.t AS t1, b.t AS t2, CAST(count(*) AS BIGINT) AS df_xy
+        |      FROM f a JOIN f b ON a.d = b.d AND a.t < b.t GROUP BY 1, 2)
+        |SELECT t1, t2, df_xy,
+        |  round(ln(CAST(df_xy AS DOUBLE) * nn.n_docs / (x.df * y.df)), 6) AS pmi
+        |FROM p, nn, dfT x, dfT y WHERE x.t = p.t1 AND y.t = p.t2
+        |ORDER BY df_xy DESC, t1, t2 LIMIT 100""".stripMargin)),
+
     "tx11_cooccurrence" -> Q(
       (s, d) => docs(s, d)
         .select(split(lower(col("text")), " ").as("toks"))
@@ -1537,6 +1557,42 @@ object QueriesOps {
         |    i -> CASE WHEN (smp[i] < 0) != (smp[i-1] < 0) THEN 1 ELSE 0 END))
         |    AS INTEGER) AS zero_crossings
         |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // Decimation resample (8 kHz -> 4 kHz) over the REAL WAV decode:
+    // clipped integer boxcar sums — no division, no rounding mode to
+    // reconcile; the oracle rebuilds every output sample from the
+    // synthesis rule and byte arithmetic.
+    "au3_resample" -> Q(
+      (s, d) => Multimodal.resampleStats(Multimodal.wavFromDocuments(docs(s, d)))
+        .toDF().select(col("doc_id"), col("rate_in"), col("rate_out"),
+          col("n_in"), col("n_out"), col("peak"), col("abs_sum"),
+          col("zero_crossings"))
+        .orderBy("doc_id"),
+      Some("""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        |d AS (SELECT doc_id,
+        |    CAST(256 + doc_id % 512 AS INTEGER) AS n,
+        |    list_transform(range(1, length(hx)//2 + 1),
+        |      i -> strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) * 16
+        |         + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 17) AS bytes
+        |  FROM b),
+        |s AS (SELECT doc_id, n,
+        |    list_transform(range(0, n),
+        |      i -> (bytes[(i % len(bytes)) + 1] - 128) * 256) AS smp
+        |  FROM d),
+        |y AS (SELECT doc_id, n, CAST(n // 2 AS INTEGER) AS m,
+        |    list_transform(range(0, n // 2),
+        |      i -> greatest(-32768, least(32767, smp[2*i+1] + smp[2*i+2]))) AS ys
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(8000 AS INTEGER) AS rate_in,
+        |  CAST(4000 AS INTEGER) AS rate_out,
+        |  n AS n_in, m AS n_out,
+        |  CAST(coalesce(list_max(list_transform(ys, x -> abs(x))), 0) AS INTEGER) AS peak,
+        |  CAST(coalesce(list_sum(list_transform(ys, x -> abs(x))), 0) AS BIGINT) AS abs_sum,
+        |  CAST(coalesce(list_sum(list_transform(range(2, m + 1),
+        |    i -> CASE WHEN (ys[i] < 0) != (ys[i-1] < 0) THEN 1 ELSE 0 END)), 0)
+        |    AS INTEGER) AS zero_crossings
+        |FROM y ORDER BY doc_id""".stripMargin)),
 
     // Audio-quality gates: silence ratio, energy, clipping, and the
     // stuck-sample run detector — all-integer, value-checked; max_run

@@ -473,6 +473,56 @@ object Multimodal {
     }
   }
 
+  /** Integer decimation resample of decoded PCM: each output sample is
+    * the CLIPPED SUM of `factor` consecutive inputs (a boxcar
+    * anti-alias accumulator held in pure integer arithmetic — no
+    * division, so there is no rounding-mode divergence to reconcile
+    * across engines; gain normalization is the player's job). A
+    * trailing partial window is dropped (`n_out = n_in / factor`,
+    * floor). Output stats carry peak / abs-sum / zero-crossings of the
+    * resampled signal plus the declared output rate.
+    *
+    * Scale: same embarrassingly-parallel decode map as [[wavStats]] —
+    * one pass over opaque binary, no state beyond the row, mapPartitions
+    * justified because the payload is not columnar data.
+    */
+  final case class ResampleStats(doc_id: Long, rate_in: Int, rate_out: Int,
+                                 n_in: Int, n_out: Int, peak: Int,
+                                 abs_sum: Long, zero_crossings: Int)
+
+  def resampleStats(media: Dataset[MediaRow], factor: Int = 2): Dataset[ResampleStats] = {
+    implicit val enc = Encoders.product[ResampleStats]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        parseWav(r.payload).map { w =>
+          val m = w.nSamples / factor
+          var (peak, absSum, zc) = (0, 0L, 0)
+          var prevNeg = false
+          var i = 0
+          while (i < m) {
+            var acc = 0
+            var k = 0
+            while (k < factor) {
+              acc += readU16le(r.payload, w.dataOffset + (i * factor + k) * 2)
+                .toShort.toInt
+              k += 1
+            }
+            val y = math.max(-32768, math.min(32767, acc))
+            val a = math.abs(y)
+            if (a > peak) peak = a
+            absSum += a
+            val neg = y < 0
+            if (i > 0 && neg != prevNeg) zc += 1
+            prevNeg = neg
+            i += 1
+          }
+          ResampleStats(r.doc_id, w.sampleRate, w.sampleRate / factor,
+            w.nSamples, m, peak, absSum, zc)
+        }
+      }
+    }
+  }
+
   /** Deterministic Y4M synthesis: even dimensions and frame count from
     * doc_id, frame bytes cycling the UTF-8 text (one CONTINUOUS cycle
     * across frames: byte m of the concatenated frame data is

@@ -379,4 +379,48 @@ object Text {
           / greatest(col("n_grams"), lit(1L)).cast("double"))
       .drop("__grams")
   }
+
+  /** Document-level pointwise mutual information between token pairs
+    * (Church & Hanks CL'90) — the collocation strength signal beside
+    * tx11's positional co-occurrence counts:
+    * `pmi(x,y) = ln(df_xy · N / (df_x · df_y))` over document
+    * frequencies. Rare tokens are cut at `minDf` BEFORE pair
+    * generation (PMI's known rare-pair explosion), and pairs build
+    * IN-ROW from each document's sorted distinct frequent-token array
+    * — vocabulary-bounded per doc, no self-join of the posting list.
+    *
+    * Scale: two token-keyed shuffles (df count, pair count), both
+    * combinable; the wide rows are (token) and (token-pair) — never
+    * text. PMI itself is same-operand-order arithmetic on exact
+    * integer counts, rounded only for display.
+    */
+  def pmiPairs(docs: DataFrame, minDf: Long = 5, topK: Int = 100,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dt = docs
+      .select(col(idCol).as("d"),
+        explode(array_distinct(tokensCol(lower(col(textCol))))).as("t"))
+      .filter(length(col("t")) > 0)
+    val dfT = dt.groupBy("t").agg(count(lit(1)).cast("long").as("df"))
+      .filter(col("df") >= minDf)
+    val perDoc = dt.join(dfT, "t")
+      .groupBy("d").agg(array_sort(collect_list(col("t"))).as("ts"))
+    val pairs = perDoc
+      .filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ts)-2), i -> " +
+          "transform(sequence(i+1, size(ts)-1), j -> " +
+          "struct(ts[i] AS t1, ts[j] AS t2))))")).as("p"))
+      .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .agg(count(lit(1)).cast("long").as("df_xy"))
+    val n = docs.agg(count(lit(1)).cast("long").as("n_docs"))
+    pairs
+      .join(dfT.select(col("t").as("t1"), col("df").as("df1")), "t1")
+      .join(dfT.select(col("t").as("t2"), col("df").as("df2")), "t2")
+      .crossJoin(n)
+      .select(col("t1"), col("t2"), col("df_xy"),
+        round(log(col("df_xy").cast("double") * col("n_docs")
+          / (col("df1") * col("df2"))), 6).as("pmi"))
+      .orderBy(col("df_xy").desc, col("t1"), col("t2"))
+      .limit(topK)
+  }
 }

@@ -176,6 +176,22 @@ class OpsSpec extends AnyFunSuite {
     assert(near.count() >= 5, "one-token edits should mostly stay within hamming 6")
   }
 
+  test("pmi pairs: hand-computed dfs and pmi; minDf cuts rare tokens before pairing") {
+    import spark.implicits._
+    val docs4 = Seq((1L, "x y"), (2L, "x y"), (3L, "x z"), (4L, "y z"))
+      .toDF("doc_id", "text")
+    val got = Text.pmiPairs(docs4, minDf = 1L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("x", "y"))._1 === 2L)
+    assert(math.abs(got(("x", "y"))._2 -
+      BigDecimal(math.log(2.0 * 4 / (3 * 3))).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(got(("x", "z"))._1 === 1L)
+    // minDf = 3 removes z entirely: only the (x, y) pair survives
+    val cut = Text.pmiPairs(docs4, minDf = 3L, topK = 10).collect()
+    assert(cut.map(r => (r.getString(0), r.getString(1))).toSet === Set(("x", "y")))
+  }
+
   test("hard negatives: different-label only, hardest first, margin flag hand-checked") {
     import spark.implicits._
     // axis-aligned vectors: labels 0 = x-ish, 1 = y-ish

@@ -60,6 +60,24 @@ class WavSpec extends AnyFunSuite {
     assert(st.zero_crossings === 255)
   }
 
+  test("resampleStats: clipped boxcar sums, hand-computed on the alternating fixture") {
+    import spark.implicits._
+    // samples alternate -32768, +32512: each pair sums to -256 -> all
+    // 128 outputs are -256; no clipping triggers, zc = 0
+    val payload = Multimodal.makeWav(0L, Array[Byte](0, 0xff.toByte))
+    val r = Multimodal.resampleStats(
+      Seq(Multimodal.MediaRow(1L, "audio", payload)).toDS()).collect().head
+    assert(r.rate_in === 8000 && r.rate_out === 4000)
+    assert(r.n_in === 256 && r.n_out === 128)
+    assert(r.peak === 256 && r.abs_sum === 128L * 256 && r.zero_crossings === 0)
+    // clip law: constant 0xFF bytes give +32512 samples; pair sum 65024
+    // saturates to 32767
+    val loud = Multimodal.makeWav(0L, Array[Byte](0xff.toByte))
+    val r2 = Multimodal.resampleStats(
+      Seq(Multimodal.MediaRow(2L, "audio", loud)).toDS()).collect().head
+    assert(r2.peak === 32767 && r2.abs_sum === 128L * 32767)
+  }
+
   test("audioQuality: hand-computed silence/energy/clip/run on a 5-byte cycle") {
     import spark.implicits._
     // bytes cycle (130,130,130,254,128) -> samples 512,512,512,32256,0
