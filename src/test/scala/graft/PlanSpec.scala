@@ -295,4 +295,68 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.size <= 5,
       s"semanticDedup grew extra exchanges: ${exchanges.size}")
   }
+
+  test("hard negatives: anchors broadcast, corpus never shuffles before the window") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = withAqeOff(graft.ops.Similarity.hardNegatives(
+        embs, embs.filter(col("vec_id") < 8), k = 3)
+      .queryExecution.executedPlan)
+    assert(plan.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
+      "anchor side must broadcast")
+    // the only shuffles are the per-anchor top-k window + pos join key
+    val wide = plan.collect { case e: ShuffleExchangeExec => e }
+      .filter(_.child.schema.fieldNames.contains("n_vec"))
+    assert(wide.size <= 1,
+      s"corpus vectors shuffled ${wide.size} times — scoring must happen map-side")
+  }
+
+  test("pca moment pass: one combinable aggregation, no wide vector shuffle") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val xd = transform(col("embedding"), _.cast("double"))
+    val q = embs.select(transform(xd,
+      v => round(v / lit(4.0) * lit(127.0)).cast("long")).as("q"))
+    val moments = q.select(posexplode(expr(
+        "flatten(transform(sequence(0, 63), i -> transform(sequence(i, 63), j -> q[i] * q[j])))"))
+        .as(Seq("pos", "p")))
+      .groupBy("pos").agg(sum("p").as("s"))
+    val plan = withAqeOff(moments.queryExecution.executedPlan)
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size === 1, s"moment reduction must be one shuffle, got ${exchanges.size}")
+    val cols = exchanges.head.child.schema.fieldNames.toSet
+    assert(!cols.contains("q") && !cols.contains("embedding"),
+      s"exchange must carry (pos, partial sum) only, got $cols")
+    assert(plan.collect { case h: HashAggregateExec => h }.size >= 2,
+      "moment sums must have a map-side partial aggregate")
+  }
+
+  test("bpe corpus tokenization: reassembly shuffle carries pieces, never document text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = withAqeOff(graft.ops.Bpe.tokenizeCorpus(docs, Seq(("e", "r")))
+      .queryExecution.executedPlan)
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      assert(!e.child.schema.fieldNames.contains("text"),
+        "corpus text must reduce to (doc_id, pos, word) before any exchange")
+    }
+  }
+
+  test("incremental view maintenance never rescans base wide: signed rows are narrow") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val base = Queries.tx(spark, sf).limit(1000)
+      .select(col("event_id").cast("string").as("id"), col("account"),
+        col("update_at"), col("entity"), col("amount"), col("event_id"))
+    val aggPrev = graft.ops.Materialize.groupAgg(base, "account", "amount")
+    val delta = base.limit(100)
+    val plan = withAqeOff(graft.ops.Materialize.maintainAgg(
+        aggPrev, base, delta, col("entity") === "error")
+      .queryExecution.executedPlan)
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      val cols = e.child.schema.fieldNames.toSet
+      assert(!cols.contains("note") && !cols.contains("props"),
+        s"maintenance exchanges must carry key/group/amount columns only, got $cols")
+    }
+  }
 }
