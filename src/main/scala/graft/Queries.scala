@@ -166,6 +166,28 @@ object Queries {
     |       $PartitionSelect
     |FROM tx ORDER BY id""".stripMargin
 
+  /** Shared oracle for mv1/mv2: full recompute of the per-account
+    * aggregate over the tombstone-upserted state (j4 semantics) — a
+    * hash match proves the maintained view ≡ recompute, whether the
+    * maintenance ran in one batch (mv1) or across stream ticks (mv2).
+    */
+  private val MvAggSql: String = s"""$TxCte$KeyedCte,
+    |snap AS (SELECT * EXCLUDE rn FROM (
+    |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, event_id DESC) AS rn
+    |  FROM keyed WHERE event_id % 2 = 0) WHERE rn = 1),
+    |delt0 AS (SELECT *, CASE WHEN entity = 'error' THEN 1 ELSE 0 END AS del
+    |  FROM keyed WHERE event_id % 2 = 1),
+    |delt AS (SELECT * EXCLUDE rn FROM (
+    |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, del DESC, event_id DESC) AS rn
+    |  FROM delt0) WHERE rn = 1),
+    |u AS (SELECT * FROM delt UNION ALL SELECT *, 0 AS del FROM snap),
+    |m AS (SELECT * FROM (
+    |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, del DESC, event_id DESC) AS rn
+    |  FROM u) WHERE rn = 1 AND del = 0)
+    |SELECT account, CAST(count(*) AS BIGINT) AS n_rows,
+    |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+    |FROM m GROUP BY account ORDER BY account""".stripMargin
+
   /** All registered queries. Names carry the SURVEY §2 operator ids. */
   val cdc: Seq[(String, Q)] = Seq(
 
@@ -229,22 +251,36 @@ object Queries {
             col("total").cast("double").as("total"))
           .orderBy("account")
       },
-      Some(s"""$TxCte$KeyedCte,
-        |snap AS (SELECT * EXCLUDE rn FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, event_id DESC) AS rn
-        |  FROM keyed WHERE event_id % 2 = 0) WHERE rn = 1),
-        |delt0 AS (SELECT *, CASE WHEN entity = 'error' THEN 1 ELSE 0 END AS del
-        |  FROM keyed WHERE event_id % 2 = 1),
-        |delt AS (SELECT * EXCLUDE rn FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, del DESC, event_id DESC) AS rn
-        |  FROM delt0) WHERE rn = 1),
-        |u AS (SELECT * FROM delt UNION ALL SELECT *, 0 AS del FROM snap),
-        |m AS (SELECT * FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, del DESC, event_id DESC) AS rn
-        |  FROM u) WHERE rn = 1 AND del = 0)
-        |SELECT account, CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM m GROUP BY account ORDER BY account""".stripMargin)),
+      Some(MvAggSql)),
+
+    // MV2: mv1's STREAMING twin — the delta drains through an
+    // AvailableNow stream in 4 single-file micro-batches; each batch
+    // advances the keyed state AND the aggregate view as versioned
+    // snapshots (reading v=batchId-1 explicitly, the replay-safe
+    // contract for NON-idempotent signed sums — see
+    // CdcStream.viewMaintenance). The final pointed-at view must equal
+    // the one-shot batch recompute: the same oracle as mv1.
+    "mv2_stream_view" -> Q(
+      (s, d) => {
+        val base = keyed(tx(s, d)).select(flatCols.map(col): _*)
+        val tiebreak = Seq(col("event_id").desc)
+        val snap = Merge.dedupLatest(
+          base.filter(col("event_id") % 2 === 0), "id", "update_at", tiebreak)
+        val delt = base.filter(col("event_id") % 2 === 1)
+        val srcDir = scratch("mv2_src")
+        delt.repartition(4).write.mode("overwrite").parquet(srcDir)
+        val stateDir = scratch("mv2_state") + "/t"
+        val viewDir = scratch("mv2_view") + "/t"
+        val stream = s.readStream.schema(delt.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        graft.streaming.CdcStream.viewMaintenance(stream, snap, stateDir,
+          viewDir, col("entity") === "error", scratch("mv2_ckpt"))
+        graft.ingest.VersionedDir.current(s, viewDir).get
+          .select(col("account"), col("n_rows"),
+            col("total").cast("double").as("total"))
+          .orderBy("account")
+      },
+      Some(MvAggSql)),
 
     "s1_initial_load_e2e" -> Q(initialLoadE2e, Some(initialLoadSql)),
 

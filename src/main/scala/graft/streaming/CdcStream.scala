@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.ingest.{Ingest, TableWriter}
@@ -221,6 +221,50 @@ object CdcStream {
               sum(when(col(keepCol), 1L).otherwise(0L)).cast("long").as("n_keep"))
             .write.mode("overwrite").parquet(s"$outDir/epoch=$batchId")
         }
+      }
+      .start().awaitTermination()
+  }
+
+  /** Streaming twin of [[graft.ops.Materialize.maintainAgg]]: each
+    * micro-batch advances BOTH the keyed state table (tombstone upsert)
+    * and the aggregate view (signed-delta maintenance) as versioned
+    * snapshots (`v=batchId`), the view refreshed at delta cost — the
+    * base is only consulted for batch-named keys, never rescanned.
+    *
+    * Replay safety without idempotent algebra: signed sums are NOT
+    * idempotent (unlike hl2's HLL union), so a replayed batch must not
+    * re-apply against a snapshot that already includes it. Each batch
+    * therefore reads version `batchId − 1` EXPLICITLY (never the
+    * `_LATEST` pointer) and rewrites `v=batchId` (mode overwrite) —
+    * recomputing batch k from the k−1 snapshot is a pure function, so
+    * crash-replay converges to the identical table. Readers still use
+    * the atomically-flipped pointer. Empty batches republish the prior
+    * content to keep the version chain unbroken.
+    */
+  def viewMaintenance(stream: DataFrame, initialState: DataFrame,
+                      stateDir: String, viewDir: String, isDelete: Column,
+                      checkpointDir: String, keyCol: String = "id",
+                      versionCol: String = "update_at",
+                      seqCol: String = "event_id",
+                      groupCol: String = "account",
+                      amountCol: String = "amount"): Unit = {
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val prevState =
+          if (batchId == 0) initialState
+          else s.read.parquet(s"$stateDir/v=${batchId - 1}")
+        val prevAgg =
+          if (batchId == 0) graft.ops.Materialize.groupAgg(prevState, groupCol, amountCol)
+          else s.read.parquet(s"$viewDir/v=${batchId - 1}")
+        val newAgg = graft.ops.Materialize.maintainAgg(prevAgg, prevState,
+          batch, isDelete, keyCol, versionCol, seqCol, groupCol, amountCol)
+        val newState = Merge.upsertWithTombstones(prevState, batch, isDelete,
+          keyCol, versionCol, Seq(col(seqCol).desc))
+        graft.ingest.VersionedDir.publish(newState, stateDir, batchId)
+        graft.ingest.VersionedDir.publish(newAgg, viewDir, batchId)
       }
       .start().awaitTermination()
   }

@@ -247,6 +247,46 @@ class CdcStreamSpec extends AnyFunSuite {
       "pruning old snapshots must not touch the current one")
   }
 
+  test("viewMaintenance: signed-delta view tracks the upserted state; full replay converges") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_view")
+    def df(rows: (String, String, String, Long, String, Double)*) =
+      rows.toDF("id", "account", "update_at", "event_id", "entity", "amount")
+    val snap = df(
+      ("k1", "a1", "2024-01-01", 10L, "order", 10.0),
+      ("k2", "a1", "2024-01-01", 11L, "order", 20.0),
+      ("k3", "a2", "2024-01-01", 12L, "order", 30.0))
+    val delta = df(
+      ("k1", "a1", "2024-01-02", 20L, "order", 15.0),  // update
+      ("k3", "a2", "2024-01-02", 21L, "error", 0.0),   // tombstone
+      ("k4", "a3", "2024-01-02", 22L, "order", 5.0),   // insert
+      ("k2", "a1", "2023-01-01", 23L, "order", 99.0))  // stale no-op
+    val srcDir = root.resolve("src").toString
+    delta.repartition(2).write.mode("overwrite").parquet(srcDir)
+
+    def drain(ckpt: String): Map[String, (Long, Double)] = {
+      val stream = spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      CdcStream.viewMaintenance(stream, snap,
+        root.resolve("state").toString, root.resolve("view").toString,
+        col("entity") === "error", ckpt)
+      graft.ingest.VersionedDir.current(spark, root.resolve("view").toString).get
+        .collect().map(r => r.getAs[String]("account") ->
+          (r.getAs[Long]("n_rows"),
+            r.getAs[java.math.BigDecimal]("total").doubleValue())).toMap
+    }
+    val v1 = drain(root.resolve("ckpt1").toString)
+    assert(v1 === Map("a1" -> ((2L, 35.0)), "a3" -> ((1L, 5.0))))
+    // state table agrees with the view at every key
+    val st = graft.ingest.VersionedDir.current(spark, root.resolve("state").toString).get
+    assert(st.count() === 3 && st.filter(col("id") === "k3").count() === 0)
+    // crash-replay convergence: a FRESH checkpoint replays every batch
+    // against explicit v=batchId-1 reads — the rebuilt chain must land
+    // on the identical view (signed sums applied exactly once)
+    val v2 = drain(root.resolve("ckpt2").toString)
+    assert(v2 === v1)
+  }
+
   test("prune never deletes the pointed-at snapshot, even with a newer unpointed dir") {
     // crash-window shape: v=N exists on disk but _LATEST still names
     // v=N-1 (the epoch died between the snapshot write and the pointer
