@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomAnyContain, CmsEstimate, MinHashSigs, RollingHash, SimHash64, VectorDot}
+import graft.functions.{BloomAnyContain, BloomContainsLong, CmsEstimate, MinHashSigs, RollingHash, SimHash64, VectorDot}
 
 /** Registers graft's native Catalyst expressions through the PUBLIC
   * extension point (`SparkSessionExtensions.injectFunction`) — the
@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("bloom_any_contain"),
       new ExpressionInfo(classOf[BloomAnyContain].getName, "bloom_any_contain"),
       (args: Seq[Expression]) => BloomAnyContain(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_contains_long"),
+      new ExpressionInfo(classOf[BloomContainsLong].getName, "bloom_contains_long"),
+      (args: Seq[Expression]) => BloomContainsLong(args(0), args(1))))
   }
 }
 

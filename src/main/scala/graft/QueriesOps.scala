@@ -1732,6 +1732,31 @@ object QueriesOps {
         |    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g')) AS scrub_md5
         |FROM seeded ORDER BY doc_id""".stripMargin)),
 
+    // Bloom semi-join reduction (hand-rolled runtime filter / LIP):
+    // urgent orders' keys prune lineitem BEFORE its exchange; the real
+    // join removes Bloom false positives, so the result is exactly the
+    // plain join — which is what the oracle runs.
+    "bj1_bloom_join" -> Q(
+      (s, d) => {
+        val urgent = s.read.parquet(s"$d/orders.parquet")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        graft.ops.Joins.bloomPreJoin(li(s, d), urgent, "l_orderkey", "o_orderkey")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).cast("long").as("n_items"),
+            sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)")
+              - dec("l_discount"))).cast("double").as("revenue"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o.o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // k-anonymity / l-diversity audit over the event table: QI =
     // (event_type, hour), sensitive = user_id. Thresholds chosen so
     // both pass and fail outcomes appear (class sizes 61-108, distinct

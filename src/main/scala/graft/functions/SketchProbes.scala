@@ -115,3 +115,42 @@ case class BloomAnyContain(left: Expression, right: Expression) extends BinaryEx
 
   override def prettyName: String = "bloom_any_contain"
 }
+
+/** Scalar long-key Bloom membership — the probe side of the
+  * runtime-filter / semi-join-reduction pattern ([[graft.ops.Joins
+  * .bloomPreJoin]]): the dimension's key filter rides the plan as a
+  * binary literal and prunes fact rows BEFORE the join exchange.
+  * Spark's own BloomFilterMightContain is `private[sql]` (injected
+  * runtime filters only), hence this public-route twin.
+  */
+case class BloomContainsLong(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType || !left.foldable)
+      TypeCheckFailure("bloom_contains_long requires a foldable binary serialized filter")
+    else if (right.dataType != LongType)
+      TypeCheckFailure(s"bloom_contains_long requires a bigint key, got ${right.dataType.catalogString}")
+    else TypeCheckSuccess
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val bf: BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(
+      left.eval(null).asInstanceOf[Array[Byte]]))
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    bf.mightContainLong(r.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bf", bf, classOf[BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, (_, key) =>
+      s"${ev.value} = $ref.mightContainLong($key);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomContainsLong =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "bloom_contains_long"
+}

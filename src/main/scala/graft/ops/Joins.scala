@@ -144,4 +144,37 @@ object Joins {
         floor(greatest(col(lStart), col(rStart)) / bucketWidth).cast("long") === col("__lb"))
       .drop("__lb", "__rb")
   }
+
+  /** Bloom semi-join reduction (the hand-rolled runtime filter — the
+    * sideways-information-passing trick of Bloom joins / LIP, Zhu et
+    * al. SIGMOD'17): build a Bloom filter over the dimension's join
+    * keys (one tiny pass), prune the fact side with a codegen'd
+    * probe BEFORE its shuffle, then run the real equi-join, which
+    * removes the filter's false positives — semantics are exactly the
+    * plain join's.
+    *
+    * 100 TB: when the dimension filter is selective, the fact exchange
+    * shrinks by ~the selectivity factor for the cost of a broadcast
+    * byte array — the dominant join cost (shuffling the fact table)
+    * becomes proportional to the SURVIVING rows. Spark's own injected
+    * runtime filters cover shuffle-hash cases; this form works on any
+    * plan shape and any session (UDF fallback without extensions).
+    */
+  def bloomPreJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                   dimKey: String, fpp: Double = 0.01): DataFrame = {
+    val keys = dim.select(col(dimKey)).distinct()
+    val n = keys.count() // one tiny job over the dimension only
+    val bf = keys.stat.bloomFilter(dimKey, math.max(n, 1L), fpp)
+    val keep =
+      if (graft.GraftExtensions.available("bloom_contains_long")) {
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        call_function("bloom_contains_long", lit(bos.toByteArray),
+          col(factKey).cast("long"))
+      } else {
+        val bc = fact.sparkSession.sparkContext.broadcast(bf)
+        udf((k: Long) => bc.value.mightContainLong(k)).apply(col(factKey).cast("long"))
+      }
+    fact.filter(keep).join(dim, col(factKey) === col(dimKey))
+  }
 }

@@ -296,6 +296,37 @@ class PlanSpec extends AnyFunSuite {
       s"semanticDedup grew extra exchanges: ${exchanges.size}")
   }
 
+  test("bloom pre-join: native probe (no ScalaUDF) prunes the fact side below its exchange") {
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dim = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    // force the shuffle-join shape (a small local dim would broadcast
+    // and leave no fact exchange to assert on)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan = try withAqeOff(
+      graft.ops.Joins.bloomPreJoin(li, dim, "l_orderkey", "o_orderkey")
+        .queryExecution.executedPlan)
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    val udfs = plan.collect { case p => p.expressions.flatMap(_.collect {
+      case u: ScalaUDF => u }) }.flatten
+    assert(udfs.isEmpty, "probe must be the codegen bloom_contains_long expression")
+    // the bloom filter must sit BELOW the fact-side exchange: find a
+    // shuffle whose subtree contains a Filter mentioning the probe
+    val factShuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      .filter(_.child.schema.fieldNames.contains("l_extendedprice"))
+    assert(factShuffles.nonEmpty)
+    factShuffles.foreach { e =>
+      val probes = e.child.collect { case f: FilterExec
+        if f.condition.toString.contains("bloom_contains_long") => f }
+      assert(probes.nonEmpty, "bloom probe must prune before the fact exchange")
+    }
+  }
+
   test("hard negatives: anchors broadcast, corpus never shuffles before the window") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")

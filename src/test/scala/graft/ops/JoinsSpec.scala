@@ -155,4 +155,17 @@ class JoinsSpec extends AnyFunSuite {
     assert(plan.collect { case j: BaseJoinExec => j }.nonEmpty,
       "expected an equi-join operator")
   }
+
+  test("bloomPreJoin equals the plain join exactly (false positives removed by the join)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val fact = Seq.tabulate(500)(i => (i.toLong, s"f$i")).toDF("fk", "payload")
+    val dim = Seq.tabulate(25)(i => ((i * 17).toLong, s"d$i")).toDF("dk", "name")
+    // high fpp to force false positives through the probe
+    val got = graft.ops.Joins.bloomPreJoin(fact, dim, "fk", "dk", fpp = 0.2)
+      .select("fk", "payload", "name").collect().map(_.toSeq).toSet
+    val want = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "payload", "name").collect().map(_.toSeq).toSet
+    assert(got === want)
+  }
 }
