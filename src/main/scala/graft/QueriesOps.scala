@@ -992,6 +992,27 @@ object QueriesOps {
       },
       Some(PcaProjectOracle)),
 
+    // Exact rank-based winsorization bounds per embedding dimension:
+    // clip values are data values (1st/99th rank) — no interpolation,
+    // fully engine-portable; clamp counts integer.
+    "wz1_winsorize_bounds" -> Q(
+      (s, d) => Similarity.winsorizeBounds(embs(s, d), p = 0.01)
+        .orderBy("dim_idx"),
+      Some("""WITH ex AS (SELECT vec_id AS id, u.i - 1 AS dim_idx,
+        |    CAST(embedding[u.i] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY dim_idx ORDER BY v, id) AS rn,
+        |    count(*) OVER (PARTITION BY dim_idx) AS n FROM ex),
+        |b AS (SELECT dim_idx, min(v) AS lo, max(v) AS hi FROM r
+        |  WHERE rn = CAST(ceil(n * 0.01) AS BIGINT)
+        |     OR rn = n - CAST(ceil(n * 0.01) AS BIGINT) + 1
+        |  GROUP BY dim_idx)
+        |SELECT ex.dim_idx, any_value(b.lo) AS lo, any_value(b.hi) AS hi,
+        |  CAST(sum(CASE WHEN ex.v < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |  CAST(sum(CASE WHEN ex.v > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        |FROM ex JOIN b USING (dim_idx)
+        |GROUP BY ex.dim_idx ORDER BY ex.dim_idx""".stripMargin)),
+
     "vq1_int8_quantize" -> Q(
       (s, d) => Similarity.quantizeInt8(embs(s, d))
         .select(col("vec_id"), col("scale"),
@@ -1775,6 +1796,38 @@ object QueriesOps {
         |  count(*) >= 70 AS k_ok,
         |  count(DISTINCT user_id) >= 55 AS l_ok
         |FROM events GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin)),
+
+    // PSI drift gate between the even/odd doc_id halves on n_chars
+    // with fixed literal bucket edges — counts exact, shares Laplace-
+    // smoothed, terms round-6 for display.
+    "dr1_psi_drift" -> Q(
+      (s, d) => graft.ops.Profile.psiDrift(
+          docs(s, d).filter(col("doc_id") % 2 === 0),
+          docs(s, d).filter(col("doc_id") % 2 === 1),
+          "n_chars", Seq(100.0, 200.0, 300.0, 400.0, 500.0))
+        .orderBy("bucket"),
+      Some("""WITH b AS (SELECT doc_id,
+        |    CAST(n_chars >= 100 AS INTEGER) + CAST(n_chars >= 200 AS INTEGER)
+        |  + CAST(n_chars >= 300 AS INTEGER) + CAST(n_chars >= 400 AS INTEGER)
+        |  + CAST(n_chars >= 500 AS INTEGER) AS bucket FROM documents),
+        |rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM b
+        |       WHERE doc_id % 2 = 0 GROUP BY 1),
+        |cc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM b
+        |       WHERE doc_id % 2 = 1 GROUP BY 1),
+        |bk AS (SELECT CAST(unnest(generate_series(0, 5)) AS INTEGER) AS bucket),
+        |j AS (SELECT bk.bucket,
+        |    CAST(coalesce(rc.c, 0) AS BIGINT) AS ref_n,
+        |    CAST(coalesce(cc.c, 0) AS BIGINT) AS cur_n
+        |  FROM bk LEFT JOIN rc USING (bucket) LEFT JOIN cc USING (bucket)),
+        |t AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM j),
+        |x AS (SELECT bucket, ref_n, cur_n,
+        |    CAST(ref_n + 1 AS DOUBLE) / (rt + 6) AS p,
+        |    CAST(cur_n + 1 AS DOUBLE) / (ct + 6) AS q
+        |  FROM j, t)
+        |SELECT bucket, ref_n, cur_n,
+        |  round((p - q) * ln(p / q), 6) AS term,
+        |  round(sum((p - q) * ln(p / q)) OVER (), 6) AS psi_total
+        |FROM x ORDER BY bucket""".stripMargin)),
 
     // corpus composition: docs/tokens and token share per (source, lang)
     "cur4_source_composition" -> Q(

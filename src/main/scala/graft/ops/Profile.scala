@@ -195,6 +195,48 @@ object Profile {
     checks.reduce(_ unionByName _)
       .withColumn("pass", col("n_violations") === 0L)
 
+  /** Population stability index between a reference and a current
+    * slice of a numeric feature (the model-monitoring drift gate —
+    * the banking-scorecard PSI, bucketized on FIXED edges so counts
+    * are exact integers): per bucket, both counts, the Laplace-
+    * smoothed shares `p=(c+1)/(n+B)`, and the PSI term
+    * `(p−q)·ln(p/q)`; `psi_total` (the Σ, conventionally >0.1 =
+    * drifting, >0.25 = drifted) rides every row.
+    *
+    * Scale: two combinable bucket-count aggregations (each one narrow
+    * scan) + an O(buckets) join — report size O(buckets). The edges
+    * are plan-time literals; nothing wide ever moves.
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+               edges: Seq[Double]): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted, "edges must be sorted")
+    val nB = edges.size + 1
+    def bucketOf = edges.zipWithIndex.foldLeft(lit(0)) { case (acc, (e, _)) =>
+      acc + when(col(valueCol).cast("double") >= e, 1).otherwise(0)
+    }
+    def counts(df: DataFrame, as: String) = df
+      .select(bucketOf.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).cast("long").as(as))
+    val allBuckets = ref.sparkSession.range(0, nB)
+      .select(col("id").cast("int").as("bucket"))
+    val joined = allBuckets
+      .join(counts(ref, "ref_n"), Seq("bucket"), "left")
+      .join(counts(cur, "cur_n"), Seq("bucket"), "left")
+      .na.fill(0L, Seq("ref_n", "cur_n"))
+    val tot = joined.agg(sum(col("ref_n")).as("__rt"), sum(col("cur_n")).as("__ct"))
+    joined.crossJoin(tot)
+      .withColumn("p", (col("ref_n") + lit(1)).cast("double")
+        / (col("__rt") + lit(nB)).cast("double"))
+      .withColumn("q", (col("cur_n") + lit(1)).cast("double")
+        / (col("__ct") + lit(nB)).cast("double"))
+      .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+      .withColumn("psi_total",
+        round(sum(col("term")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()), 6))
+      .select(col("bucket"), col("ref_n"), col("cur_n"),
+        round(col("term"), 6).as("term"), col("psi_total"))
+  }
+
   /** One-row dataset card (the datasheet/model-card summary a corpus
     * release ships with — Gebru et al. CACM'21): volume (docs, words),
     * diversity (langs, sources), exact-duplicate mass and rate, the

@@ -61,6 +61,40 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), col("sim"))
   }
 
+  /** Exact per-dimension winsorization bounds (the outlier-clamping
+    * feature-scaling step beside [[standardize]]): for each dimension,
+    * the RANK-BASED lower/upper clip values — lo = k-th smallest,
+    * hi = (n−k+1)-th smallest with k = ceil(p·n) — plus how many
+    * values each side would clamp. Rank-based (not interpolated)
+    * bounds are data values, so they are exact and engine-portable;
+    * the value at a rank is invariant to how ties are broken.
+    *
+    * Scale: one posexplode to (dim, value, id) and one per-dim window
+    * — the exact-order-statistic cost (cf. card1's median note); the
+    * histogram rollup (`hq1`) is the approximate path at petabyte
+    * rows.
+    */
+  def winsorizeBounds(vectors: DataFrame, p: Double = 0.01,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val ex = vectors.select(col(idCol).as("id"),
+        posexplode(transform(col(vecCol), _.cast("double"))).as(Seq("dim_idx", "v")))
+    val w = Window.partitionBy(col("dim_idx"))
+    val ranked = ex
+      .withColumn("rn", row_number().over(w.orderBy(col("v"), col("id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("k", ceil(col("n") * lit(p)).cast("long"))
+    val bounds = ranked
+      .filter(col("rn") === col("k") || col("rn") === col("n") - col("k") + 1)
+      .groupBy(col("dim_idx"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    ex.join(bounds, "dim_idx")
+      .groupBy(col("dim_idx"))
+      .agg(first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_above"))
+  }
+
   /** Hard-negative mining for metric/embedding training (the FaceNet
     * triplet-mining step, Schroff et al. CVPR'15): for every anchor,
     * the k most similar corpus vectors with a DIFFERENT label — the

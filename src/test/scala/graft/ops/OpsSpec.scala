@@ -176,6 +176,16 @@ class OpsSpec extends AnyFunSuite {
     assert(near.count() >= 5, "one-token edits should mostly stay within hamming 6")
   }
 
+  test("winsorize bounds: rank-k clip values and clamp counts on a known ladder") {
+    import spark.implicits._
+    // dim 0: values 1..100 -> k = ceil(100*0.05) = 5: lo = 5, hi = 96
+    val vecs = Seq.tabulate(100)(i => (i.toLong, Array((i + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val b = Similarity.winsorizeBounds(vecs, p = 0.05).collect().head
+    assert(b.getAs[Double]("lo") === 5.0 && b.getAs[Double]("hi") === 96.0)
+    assert(b.getAs[Long]("n_below") === 4L && b.getAs[Long]("n_above") === 4L)
+  }
+
   test("pmi pairs: hand-computed dfs and pmi; minDf cuts rare tokens before pairing") {
     import spark.implicits._
     val docs4 = Seq((1L, "x y"), (2L, "x y"), (3L, "x z"), (4L, "y z"))

@@ -78,6 +78,22 @@ class ProfileSpec extends AnyFunSuite {
     assert(byCol("flag") === ((null, "BOOLEAN")))
   }
 
+  test("psiDrift: identical slices give psi 0; a shifted slice gives the hand value") {
+    import org.apache.spark.sql.functions.col
+    val a = Seq.tabulate(100)(i => i % 10).toDF("v") // uniform 0..9
+    val same = Profile.psiDrift(a, a, "v", Seq(5.0)).collect()
+    assert(same.forall(_.getAs[Double]("psi_total") === 0.0))
+    // b concentrated below 5: ref 50/50, cur 100/0 across the 2 buckets
+    val b = Seq.tabulate(100)(i => i % 5).toDF("v")
+    val drift = Profile.psiDrift(a, b, "v", Seq(5.0)).collect()
+    val p0 = 51.0 / 102; val q0 = 101.0 / 102
+    val p1 = 51.0 / 102; val q1 = 1.0 / 102
+    val want = BigDecimal((p0 - q0) * math.log(p0 / q0) + (p1 - q1) * math.log(p1 / q1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(drift.head.getAs[Double]("psi_total") - want) < 2e-6)
+    assert(drift.head.getAs[Double]("psi_total") > 0.25, "this shift must read as drifted")
+  }
+
   test("datasetCard: hand-checked counts, dup mass, exact lower median") {
     // 5 docs; two share identical text (dup mass 2); n_chars 3,3,5,7,9
     val docs = Seq(
