@@ -36,16 +36,28 @@ object Queries {
 
   // ---- shared derivation: events -> Transaction wire rows ------------
 
-  /** The events table carries parquet TIMESTAMP(NANOS), which Spark has
-    * no native type for — read it as long (legacy conf, set defensively
-    * at runtime so the driver's own session works too) and convert to a
-    * µs timestamp. The fixture's values are µs-aligned, so `div 1000`
-    * loses nothing (verified: epoch_ns % 1000 == 0 for every row).
+  /** The events table's `ts` has shipped in two physical shapes:
+    * parquet TIMESTAMP(NANOS) (no native Spark type — read as long via
+    * the legacy conf and divide down to µs; values are µs-aligned so
+    * nothing is lost) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (reads natively as TIMESTAMP_NTZ). Branch on the actual dtype so
+    * both work. The session timezone is pinned UTC here (defensively,
+    * like the nanos conf — GraftSession already sets it) so the
+    * NTZ→TIMESTAMP cast is wall-clock-preserving and the `tx` view's
+    * `date_format(...)+0000` strings stay byte-identical to the DuckDB
+    * `strftime` side, which reads the same file as a naive timestamp.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Spark side of the tx view. MUST stay in lockstep with [[TxCte]]. */
@@ -847,7 +859,13 @@ object Queries {
         val ckpt = scratch("s9_ckpt")
         CdcStream.mergeStream(s, landing, lake, ckpt,
           maxFilesPerTrigger = 20, availableNow = true).awaitTermination()
-        TableWriter.read(s, lake)
+        // An hour with zero CDC rows never bootstraps the lake (tiny SFs
+        // hit this): the truth is an empty result, not a read error.
+        val out =
+          if (Files.exists(Paths.get(lake))) TableWriter.read(s, lake)
+          else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            Schemas.lakeFlat)
+        out
           .select("id", "account", "create_at", "update_at", "entity",
             "amount", "is_credit", "note")
           .orderBy("id")
@@ -892,8 +910,9 @@ object Queries {
           .start()
           .awaitTermination()
         // collapse the drained emissions to the final winner per key
-        // (idempotent when keys emit once)
-        val emitted = s.read.parquet(outDir)
+        // (idempotent when keys emit once); an hour with zero rows
+        // emits no batch at all — schema must come from us, not the dir
+        val emitted = s.read.schema(Schemas.flatCdcRow).parquet(outDir)
           .withColumn("__k", concat(col("account"), lit("\u0000"), col("create_at")))
         Merge.dedupLatest(emitted, "__k", "update_at")
           .select("account", "create_at", "update_at", "entity", "amount", "is_credit", "note")

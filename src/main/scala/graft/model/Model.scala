@@ -85,6 +85,12 @@ object Schemas {
       StructField("Keys", StructType(Seq(s("account"), s("create_at")))),
       StructField("NewImage", ddbItem))))))
 
+  /** A lake row without its partition columns: synthetic id + the flat
+    * CDC payload. The shape of an EMPTY lake (nothing merged yet).
+    */
+  lazy val lakeFlat: StructType =
+    StructType(StructField("id", StringType) +: flatCdcRow.fields)
+
   /** Flat CDC row landed as JSON-lines (README.rst:198-205). */
   val flatCdcRow: StructType = StructType(Seq(
     StructField("account", StringType),
