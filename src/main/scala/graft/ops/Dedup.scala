@@ -809,10 +809,12 @@ object Dedup {
     *
     * Scale: shingles generate in-row and leave the row as md5 hashes —
     * the wide stages carry (hash, doc_id) pairs and the multi-doc hash
-    * set, never text. Both aggregations are map-side combinable; the
-    * mark join is ids-only. Docs shorter than `k` tokens contribute
-    * their single truncated shingle, so every doc appears in the
-    * output.
+    * set, never text. The per-doc span total is computed NARROWLY —
+    * `greatest(size(tokens)-k+1, 1)`, exactly the number of shingles
+    * the explode emits — so the exploded stream is shuffled only for
+    * the multi-doc mark, never re-aggregated just to count. Docs
+    * shorter than `k` tokens contribute their single truncated
+    * shingle, so every doc appears in the output.
     */
   def duplicatedSpans(docs: DataFrame, k: Int = 8,
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -827,7 +829,8 @@ object Dedup {
       .filter(col("nd") > 1).select("h")
     val dup = sh.join(multi, Seq("h"))
       .groupBy(col("__d")).agg(count(lit(1)).cast("long").as("n_dup_spans"))
-    sh.groupBy(col("__d")).agg(count(lit(1)).cast("long").as("n_spans"))
+    docs.select(col(idCol).as("__d"),
+        greatest(size(tt) - (k - 1), lit(1)).cast("long").as("n_spans"))
       .join(dup, Seq("__d"), "left")
       .select(col("__d").as(idCol), col("n_spans"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),

@@ -296,6 +296,28 @@ class PlanSpec extends AnyFunSuite {
       s"semanticDedup grew extra exchanges: ${exchanges.size}")
   }
 
+  test("duplicatedSpans: the exploded shingle stream rides at most 2 exchanges") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = withAqeOff(graft.ops.Dedup.duplicatedSpans(docs, k = 8)
+      .queryExecution.executedPlan)
+    // the corpus-sized stream (one row per token position) must shuffle
+    // only for the multi-doc mark (agg on hash + the mark join's probe
+    // side) — n_spans is a NARROW per-doc arithmetic, so no third
+    // exchange re-aggregates the explode just to count it. "Stream-
+    // sized" = the path from the exchange down to the Generate crosses
+    // no other exchange (anything above a shuffle has already been
+    // reduced to per-doc rows by the mark join's aggregation).
+    val streamSized = plan.collect {
+      case e: ShuffleExchangeExec if e.child.collectFirst {
+          case g: GenerateExec => g }.isDefined &&
+        e.child.collectFirst { case x: ShuffleExchangeExec => x }.isEmpty => e
+    }
+    assert(streamSized.size <= 2,
+      s"shingle stream rides ${streamSized.size} exchanges — n_spans re-aggregation regressed")
+  }
+
   test("bloom pre-join: native probe (no ScalaUDF) prunes the fact side below its exchange") {
     import org.apache.spark.sql.catalyst.expressions.ScalaUDF
     import org.apache.spark.sql.execution.FilterExec
