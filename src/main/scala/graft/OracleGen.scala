@@ -390,6 +390,58 @@ object OracleGen {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** dd14: quality-aware canonical selection over SemDeDup's
+    * CELL-CONFINED pair graph (the tractable pair source —
+    * [[graft.ops.Similarity.semanticDedupPairs]] with the fixed
+    * deterministic centroids), closed with a recursive CTE and ranked
+    * by the tx2 quality score with the lower-id tiebreak. The exact
+    * all-pairs composition stays available as dd7's disclosed baseline.
+    */
+  def dd14Sql(threshold: Double, bound: Int, nCentroids: Int = 16,
+              dim: Int = 64): String = {
+    val rows = Similarity.fixedCentroids(nCentroids, dim).map { c =>
+      s"(${c.id}, [${c.vec.mkString(", ")}], ${c.norm})"
+    }.mkString(", ")
+    val centDot = s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+      "i -> cv[CAST(i AS INTEGER)] * v[CAST(i AS INTEGER)])), (acc, x) -> acc + x)"
+    s"""WITH RECURSIVE cent(cid, cv, cn) AS (VALUES $rows),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE vec_id < $bound),
+       |cs AS (SELECT e.vec_id, cent.cid, $centDot / cn AS c_sim FROM e CROSS JOIN cent),
+       |cell AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cid DESC) AS rn FROM cs)
+       |  WHERE rn = 1),
+       |pairs AS (SELECT ca.vec_id AS id1, cb.vec_id AS id2
+       |  FROM cell ca JOIN cell cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+       |  JOIN e ae ON ae.vec_id = ca.vec_id JOIN e be ON be.vec_id = cb.vec_id
+       |  WHERE ${cosSql(dim, "ae", "be")} >= $threshold),
+       |edges AS (SELECT CAST(id1 AS BIGINT) AS src, CAST(id2 AS BIGINT) AS dst FROM pairs
+       |          UNION ALL
+       |          SELECT CAST(id2 AS BIGINT), CAST(id1 AS BIGINT) FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT CAST(vec_id AS BIGINT), CAST(vec_id AS BIGINT) FROM e
+       |  UNION
+       |  SELECT edges.dst, reach.r FROM reach JOIN edges ON edges.src = reach.v),
+       |cl AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v),
+       |q AS (SELECT doc_id,
+       |    least(1.0,
+       |      CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+       |        / CAST(length(text) AS DOUBLE) * 0.5
+       |      + CAST(len(list_filter(string_split(text, ' '),
+       |          x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE)
+       |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
+       |      + least(CAST(list_sum(list_transform(string_split(text, ' '),
+       |          x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+       |          / CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0, 1.0) * 0.2) AS qs
+       |  FROM documents WHERE doc_id < $bound),
+       |j AS (SELECT cl.v AS doc_id, cl.cluster, q.qs,
+       |    row_number() OVER (PARTITION BY cl.cluster
+       |      ORDER BY q.qs DESC, cl.v ASC) AS rn
+       |  FROM cl JOIN q ON q.doc_id = cl.v)
+       |SELECT doc_id, cluster, round(qs, 6) AS q, rn = 1 AS is_canonical
+       |FROM j ORDER BY doc_id""".stripMargin
+  }
+
   /** ss5: IVF top-k over the FIXED deterministic centroids
     * ([[Similarity.fixedCentroids]]), nProbe cells per query. Doubles
     * are serialized via Double.toString (shortest round-trip form), so

@@ -1141,15 +1141,21 @@ object QueriesOps {
         |SELECT cl.v, cl.cluster, sz.csize, cl.v = cl.cluster AS is_rep
         |FROM cl JOIN sz USING (cluster) ORDER BY v""".stripMargin)),
 
-    // Quality-aware canonical selection: dd7's clusters, but the kept
-    // member of each near-dup cluster is the HIGHEST-quality doc (tx2
-    // score), not the min id — the production keep rule. Same-operand
-    // doubles order identically in both engines, so the argmax and its
-    // lower-id tiebreak are exact.
+    // Quality-aware canonical selection: near-dup clusters where the
+    // kept member is the HIGHEST-quality doc (tx2 score), not the min
+    // id — the production keep rule. Pair source is SemDeDup's
+    // CELL-CONFINED graph (semanticDedupPairs over the fixed
+    // deterministic centroids — the pair generator that stays tractable
+    // at corpus scale), which the oracle reproduces cell by cell
+    // (OracleGen.dd14Sql); the exact all-pairs composition remains
+    // dd7's disclosed baseline. Same-operand doubles order identically
+    // in both engines, so the argmax and its lower-id tiebreak are
+    // exact.
     "dd14_quality_canonical" -> Q(
       (s, d) => {
         val bounded = embs(s, d).filter(col("vec_id") < 600)
-        val pairs = Similarity.cosineNearDupPairs(bounded, threshold = 0.4)
+        val pairs = Similarity.semanticDedupPairs(bounded, threshold = 0.4,
+            centroids = Similarity.fixedCentroids(16, 64))
           .select(col("id1").as("d1"), col("id2").as("d2"))
         val cc = Dedup.connectedComponents(
           bounded.select(col("vec_id").as("v")), pairs)
@@ -1159,43 +1165,7 @@ object QueriesOps {
             round(col("quality_score"), 6).as("q"), col("is_canonical"))
           .orderBy("doc_id")
       },
-      Some("""WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 600),
-        |pairs AS (
-        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
-        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
-        |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos_sim
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
-        |edges AS (SELECT CAST(id1 AS BIGINT) AS src, CAST(id2 AS BIGINT) AS dst
-        |            FROM pairs WHERE cos_sim >= 0.4
-        |          UNION ALL
-        |          SELECT CAST(id2 AS BIGINT), CAST(id1 AS BIGINT)
-        |            FROM pairs WHERE cos_sim >= 0.4),
-        |reach(v, r) AS (
-        |  SELECT CAST(vec_id AS BIGINT), CAST(vec_id AS BIGINT) FROM e
-        |  UNION
-        |  SELECT edges.dst, reach.r FROM reach JOIN edges ON edges.src = reach.v),
-        |cl AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v),
-        |q AS (SELECT doc_id,
-        |    least(1.0,
-        |      CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
-        |        / CAST(length(text) AS DOUBLE) * 0.5
-        |      + CAST(len(list_filter(string_split(text, ' '),
-        |          x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE)
-        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
-        |      + least(CAST(list_sum(list_transform(string_split(text, ' '),
-        |          x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
-        |          / CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0, 1.0) * 0.2) AS qs
-        |  FROM documents WHERE doc_id < 600),
-        |j AS (SELECT cl.v AS doc_id, cl.cluster, q.qs,
-        |    row_number() OVER (PARTITION BY cl.cluster
-        |      ORDER BY q.qs DESC, cl.v ASC) AS rn
-        |  FROM cl JOIN q ON q.doc_id = cl.v)
-        |SELECT doc_id, cluster, round(qs, 6) AS q, rn = 1 AS is_canonical
-        |FROM j ORDER BY doc_id""".stripMargin)),
+      Some(OracleGen.dd14Sql(0.4, 600))),
 
     // SP2: LEAKAGE-SAFE train/val/test split — the sp1 hash coin
     // flipped per NEAR-DUP CLUSTER instead of per document, so two

@@ -702,6 +702,25 @@ object Similarity {
   def semanticDedup(vectors: DataFrame, threshold: Double, nCentroids: Int = 16,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     centroids: Seq[Centroid] = Nil): DataFrame = {
+    val dropIds = semanticDedupPairs(vectors, threshold, nCentroids, idCol,
+        vecCol, centroids)
+      .select(col("id2").as("drop_id")).distinct()
+    vectors.join(dropIds, col(idCol) === col("drop_id"), "left_anti")
+      .select(col(idCol))
+  }
+
+  /** The cell-confined near-dup pairs underlying [[semanticDedup]]:
+    * (id1, id2, cos_sim) for every within-cell pair at or above
+    * `threshold`, id1 < id2. Exposed separately so downstream graph
+    * passes (clustering, canonical selection, leakage-safe splits) can
+    * consume the TRACTABLE pair source directly instead of the exact
+    * all-pairs baseline — same one-shuffle-keyed-by-cell profile as the
+    * dedup itself.
+    */
+  def semanticDedupPairs(vectors: DataFrame, threshold: Double,
+                         nCentroids: Int = 16, idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         centroids: Seq[Centroid] = Nil): DataFrame = {
     val cents: Seq[Centroid] =
       if (centroids.nonEmpty) centroids
       else kmeansCentroids(vectors, nCentroids, idCol, vecCol)
@@ -712,13 +731,12 @@ object Similarity {
     val cells = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"),
       array_max(cellStructs).getField("c_id").as("cell"))
-    val dropIds = cells.as("a")
+    cells.as("a")
       .join(cells.as("b"), col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
-      .filter(dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm"))
-        >= threshold)
-      .select(col("b.id").as("drop_id")).distinct()
-    vectors.join(dropIds, col(idCol) === col("drop_id"), "left_anti")
-      .select(col(idCol))
+      .withColumn("cos_sim",
+        dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("cos_sim"))
   }
 
   /** Exact sparse TF-IDF cosine similarity self-join via an inverted

@@ -596,6 +596,61 @@ class OpsSpec extends AnyFunSuite {
       s"semantic dropped ids outside the global drop set: ${semanticDrops -- globalDrops}")
   }
 
+  test("cell-confined clusters refine the exact composition; canonicals agree inside them") {
+    import spark.implicits._
+    // dd14's production pair source is semanticDedupPairs (cell-confined,
+    // tractable at corpus scale). Cell pairs are a SUBSET of the exact
+    // all-pairs graph (same within-cell cosine, cells just cut cross-cell
+    // edges), so the lawful relationship is REFINEMENT, not equality:
+    // every cell-based cluster sits wholly inside one exact cluster.
+    // Within any cluster the two compositions share, the quality-argmax
+    // canonical must be the identical document.
+    val bounded = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").filter(col("vec_id") < 600)
+    val verts = bounded.select(col("vec_id").as("v"))
+    def clustersFrom(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val cc = Dedup.connectedComponents(verts,
+        pairs.select(col("id1").as("d1"), col("id2").as("d2")))
+      cc.select("v", "cluster").as[(Long, Long)].collect().toMap
+    }
+    val cellPairDf = Similarity.semanticDedupPairs(
+      bounded, threshold = 0.4, centroids = Similarity.fixedCentroids(16, 64))
+    val exactPairDf = Similarity.cosineNearDupPairs(bounded, threshold = 0.4)
+    val cellPairs = cellPairDf.select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val exactPairs = exactPairDf.select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(cellPairs.subsetOf(exactPairs),
+      s"cell pairs outside the exact graph: ${cellPairs -- exactPairs}")
+    val cellCl = clustersFrom(cellPairDf)
+    val exactCl = clustersFrom(exactPairDf)
+    // refinement: two ids sharing a cell-based cluster always share the
+    // exact cluster (the converse is allowed — cells may split clusters)
+    cellCl.groupBy(_._2).values.foreach { members =>
+      val exactLabels = members.keys.map(exactCl).toSet
+      assert(exactLabels.size === 1,
+        s"cell cluster ${members.keys.toSeq.sorted} straddles exact clusters $exactLabels")
+    }
+    // canonical agreement on shared clusters: where the two compositions
+    // produce the same member set, the quality argmax picks the same doc
+    val scored = graft.ops.Text.withQuality(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(col("doc_id") < 600))
+    def canonicalOf(cl: Map[Long, Long]): Map[Set[Long], Long] = {
+      val ccDf = cl.toSeq.toDF("v", "cluster")
+      Dedup.qualityCanonical(ccDf, scored)
+        .filter(col("is_canonical")).select($"cluster", $"doc_id")
+        .as[(Long, Long)].collect()
+        .map { case (c, d) => (cl.filter(_._2 == c).keySet, d) }.toMap
+    }
+    val cellCanon = canonicalOf(cellCl)
+    val exactCanon = canonicalOf(exactCl)
+    val shared = cellCanon.keySet.intersect(exactCanon.keySet)
+    assert(shared.nonEmpty, "no shared clusters — the law checked nothing")
+    shared.foreach { members =>
+      assert(cellCanon(members) === exactCanon(members),
+        s"canonical diverged on identical cluster $members")
+    }
+  }
+
   test("sparseCosineJoin: identical docs score 1, disjoint docs never pair") {
     import spark.implicits._
     val docs = Seq(
