@@ -11,11 +11,15 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir, only) = (args(0), args(1), args.drop(2).toSet)
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — check SparkEntry.queries")
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only).toMap
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     selected.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -31,6 +35,7 @@ object Verify {
         }
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // release blocks persisted inside the query (ann1/dd3/dd5): a
@@ -54,5 +59,14 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Absence from the correctness artifact must be LOUD, not a silent
+    // skip: every registered query either wrote its parquet or this run
+    // exits nonzero naming the ones that didn't. (Round 7 lost 71
+    // queries to one analysis error that only surfaced as missing rows.)
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] FAILED ${failed.size}/${selected.size} queries: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }
