@@ -390,6 +390,94 @@ object OracleGen {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** ann1: full recall oracle for the approximate ANN paths — the
+    * exact top-k / near-dup truths AND all three approximate
+    * constructions (ss3 SRP-LSH top-k, ss4 SRP-LSH pairs, ss5 IVF
+    * top-k) rebuilt from the same serialized plane/centroid literals
+    * the engine uses, so the recall fractions themselves carry the
+    * cross-engine hash. Upgrades ann1 from rows-only to fully
+    * value-checked (the dd3p precedent applied to ANN).
+    */
+  def ann1Sql(k: Int = 5, pairThreshold: Double = 0.4, bound: Int = 600,
+              dim: Int = 64): String = {
+    val flips3: Seq[Long] = Seq(0L) ++ (0 until 12).map(p => 1L << p) ++
+      (for (p <- 0 until 12; r <- p + 1 until 12) yield (1L << p) | (1L << r))
+    val flips4: Seq[Long] = Seq(0L) ++ (0 until 8).map(p => 1L << p)
+    val cents = Similarity.fixedCentroids(16, dim).map { c =>
+      s"(${c.id}, [${c.vec.mkString(", ")}], ${c.norm})"
+    }.mkString(", ")
+    val centDot = s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+      "i -> cv[CAST(i AS INTEGER)] * v[CAST(i AS INTEGER)])), (acc, x) -> acc + x)"
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |tp AS (SELECT qe.vec_id AS q_id, ne.vec_id AS n_id, ${cosSql(dim, "qe", "ne")} AS sim
+       |  FROM e qe CROSS JOIN e ne WHERE qe.vec_id < 8 AND ne.vec_id <> qe.vec_id),
+       |tk AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rn FROM tp)
+       |  WHERE rn <= $k),
+       |pl3(tbl, p, s) AS (VALUES ${planeRows(12, dim, (0 until 8).map(7L + _))}),
+       |d3 AS (SELECT e.vec_id, pl.tbl, pl.p, ${planeDot(dim)} AS dp FROM e CROSS JOIN pl3 pl),
+       |b3 AS (SELECT vec_id, tbl,
+       |    CAST(sum(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bkt
+       |  FROM d3 GROUP BY vec_id, tbl),
+       |qb3 AS (SELECT b.vec_id AS q_id, b.tbl, xor(b.bkt, CAST(f.f AS BIGINT)) AS bkt
+       |  FROM b3 b, (SELECT unnest([${flips3.mkString(", ")}]) AS f) f WHERE b.vec_id < 8),
+       |c3 AS (SELECT DISTINCT q.q_id, c.vec_id AS n_id
+       |  FROM qb3 q JOIN b3 c ON c.tbl = q.tbl AND c.bkt = q.bkt WHERE c.vec_id <> q.q_id),
+       |s3 AS (SELECT c3.q_id, c3.n_id, ${cosSql(dim, "qe", "ne")} AS sim
+       |  FROM c3 JOIN e qe ON qe.vec_id = c3.q_id JOIN e ne ON ne.vec_id = c3.n_id),
+       |a3 AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rn FROM s3)
+       |  WHERE rn <= $k),
+       |cent(cid, cv, cn) AS (VALUES $cents),
+       |cs AS (SELECT e.vec_id, cent.cid, $centDot / cn AS c_sim FROM e CROSS JOIN cent),
+       |cell AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cid DESC) AS rn FROM cs)
+       |  WHERE rn = 1),
+       |probe AS (SELECT vec_id AS q_id, cid AS cell FROM (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cid DESC) AS rn
+       |    FROM cs WHERE vec_id < 8)
+       |  WHERE rn <= 6),
+       |c5 AS (SELECT DISTINCT p.q_id, c.vec_id AS n_id
+       |  FROM probe p JOIN cell c ON c.cell = p.cell WHERE c.vec_id <> p.q_id),
+       |s5 AS (SELECT c5.q_id, c5.n_id, ${cosSql(dim, "qe", "ne")} AS sim
+       |  FROM c5 JOIN e qe ON qe.vec_id = c5.q_id JOIN e ne ON ne.vec_id = c5.n_id),
+       |a5 AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rn FROM s5)
+       |  WHERE rn <= $k),
+       |pt AS (SELECT ae.vec_id AS q_id, be.vec_id AS n_id
+       |  FROM e ae JOIN e be ON ae.vec_id < be.vec_id
+       |  WHERE ae.vec_id < $bound AND be.vec_id < $bound
+       |    AND ${cosSql(dim, "ae", "be")} >= $pairThreshold),
+       |pl4(tbl, p, s) AS (VALUES ${planeRows(8, dim, (0 until 8).map(11L + _))}),
+       |d4 AS (SELECT e.vec_id, pl.tbl, pl.p, ${planeDot(dim)} AS dp
+       |  FROM e CROSS JOIN pl4 pl WHERE e.vec_id < $bound),
+       |b4 AS (SELECT vec_id, tbl,
+       |    CAST(sum(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bkt
+       |  FROM d4 GROUP BY vec_id, tbl),
+       |pa4 AS (SELECT b.vec_id AS id, b.tbl, xor(b.bkt, CAST(f.f AS BIGINT)) AS bkt
+       |  FROM b4 b, (SELECT unnest([${flips4.mkString(", ")}]) AS f) f),
+       |c4 AS (SELECT DISTINCT a.id AS q_id, c.vec_id AS n_id
+       |  FROM pa4 a JOIN b4 c ON c.tbl = a.tbl AND c.bkt = a.bkt AND a.id < c.vec_id),
+       |a4 AS (SELECT c4.q_id, c4.n_id
+       |  FROM c4 JOIN e ae ON ae.vec_id = c4.q_id JOIN e be ON be.vec_id = c4.n_id
+       |  WHERE ${cosSql(dim, "ae", "be")} >= $pairThreshold),
+       |u AS (
+       |  SELECT 'ss3_lsh_topk' AS method,
+       |    CAST((SELECT count(*) FROM tk JOIN a3 USING (q_id, n_id)) AS BIGINT) AS n_hits,
+       |    CAST((SELECT count(*) FROM tk) AS BIGINT) AS n_truth
+       |  UNION ALL
+       |  SELECT 'ss4_lsh_neardup',
+       |    CAST((SELECT count(*) FROM pt JOIN a4 USING (q_id, n_id)) AS BIGINT),
+       |    CAST((SELECT count(*) FROM pt) AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'ss5_ivf_topk',
+       |    CAST((SELECT count(*) FROM tk JOIN a5 USING (q_id, n_id)) AS BIGINT),
+       |    CAST((SELECT count(*) FROM tk) AS BIGINT))
+       |SELECT method, n_hits, n_truth,
+       |  round(CAST(n_hits AS DOUBLE) / greatest(CAST(n_truth AS DOUBLE), 1.0), 6) AS recall
+       |FROM u ORDER BY method""".stripMargin
+  }
+
   /** dd14: quality-aware canonical selection over SemDeDup's
     * CELL-CONFINED pair graph (the tractable pair source —
     * [[graft.ops.Similarity.semanticDedupPairs]] with the fixed

@@ -1223,10 +1223,11 @@ object QueriesOps {
     // Quantified driver-visible quality check for the approximate ANN
     // paths: recall of ss3/ss4/ss5 against their exact ground truths,
     // computed entirely in-plan (semi-join hit counting — no collect).
-    // rows-only: the approximate sides use seeded-RNG hyperplanes /
-    // xxhash64, which no SQL oracle can reproduce; the VALUE of this
-    // query is that recall regressions in any approximate operator
-    // surface as a changed driver-visible row instead of silently.
+    // Fully oracle-checked: the serialized plane/centroid literals that
+    // make ss3/ss4/ss5 individually reproducible compose into a recall
+    // oracle too (OracleGen.ann1Sql) — the IVF leg therefore uses the
+    // fixed deterministic centroids (the ss5 gate convention); the
+    // k-means index path stays quantified via ann2_recall_floor.
     "ann1_recall" -> Q(
       (s, d) => {
         // ONE pass over each truth per method: a left join marks hits,
@@ -1255,10 +1256,11 @@ object QueriesOps {
             Similarity.lshTopK(e, q, k = 5, nTables = 8).select("q_id", "n_id"))
           .unionByName(recallOf("ss4_lsh_neardup", pairTruth, pairLsh))
           .unionByName(recallOf("ss5_ivf_topk", topkTruth,
-            Similarity.ivfTopK(e, q, k = 5).select("q_id", "n_id")))
+            Similarity.ivfTopK(e, q, k = 5,
+              centroids = Similarity.fixedCentroids(16, 64)).select("q_id", "n_id")))
           .orderBy("method")
       },
-      None),
+      Some(OracleGen.ann1Sql())),
 
     // ann1's gate-checkable twin (the ag1 pattern): the exact-baseline
     // sizes carry the cross-engine hash — DuckDB recomputes both truth
