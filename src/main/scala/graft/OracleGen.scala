@@ -390,6 +390,61 @@ object OracleGen {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** hr1: hybrid retrieval with reciprocal-rank fusion — the BM25 leg
+    * restated exactly as bm1's score expression (same literal order),
+    * the dense leg as the ss1 cosine, each ranked and capped at
+    * `candidateK`, fused as `1/(rrfK+rank)` sums in sparse-then-dense
+    * order. k1/b must be exactly-representable binary doubles.
+    */
+  def hr1Sql(terms: Seq[String], queryVecId: Long, k: Int, candidateK: Int,
+             rrfK: Int, k1: Double, b: Double, dim: Int = 64): String = {
+    def d(x: Double) = s"CAST($x AS DOUBLE)"
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"    CAST(len(list_filter(string_split(lower(text), ' '), x -> x = '$t')) AS BIGINT) AS tf_$i"
+    }.mkString(",\n|")
+    val dfCols = terms.indices.map { i =>
+      s"    CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i"
+    }.mkString(",\n|")
+    val avgdl = s"(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    val score = terms.indices.map { i =>
+      s"""ln((CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + ${d(0.5)})
+         |         / (CAST(df_$i AS DOUBLE) + ${d(0.5)}) + ${d(1.0)})
+         |      * (CAST(tf_$i AS DOUBLE) * ${d(k1 + 1.0)})
+         |      / (CAST(tf_$i AS DOUBLE) + ${d(k1)} * (${d(1.0 - b)}
+         |         + ${d(b)} * (CAST(dl AS DOUBLE) / $avgdl)))""".stripMargin
+    }.mkString("\n|    + ")
+    s"""WITH bb AS (SELECT doc_id,
+       |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+       |$tfCols
+       |  FROM documents),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |$dfCols
+       |  FROM bb),
+       |sc AS (SELECT doc_id, $score
+       |    AS score
+       |  FROM bb, st),
+       |sp AS (SELECT doc_id AS id, CAST(rn AS BIGINT) AS rank_sparse
+       |  FROM (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+       |        FROM sc WHERE score > 0)
+       |  WHERE rn <= $candidateK),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |qv AS (SELECT v FROM e WHERE vec_id = $queryVecId),
+       |ds AS (SELECT e.vec_id AS id, ${cosSql(dim, "e", "qv")} AS sim
+       |  FROM e CROSS JOIN qv qv WHERE e.vec_id <> $queryVecId),
+       |dn AS (SELECT id, CAST(rn AS BIGINT) AS rank_dense
+       |  FROM (SELECT id, row_number() OVER (ORDER BY sim DESC, id ASC) AS rn FROM ds)
+       |  WHERE rn <= $candidateK),
+       |fu AS (SELECT coalesce(sp.id, dn.id) AS doc_id, sp.rank_sparse, dn.rank_dense,
+       |    coalesce(${d(1.0)} / (${d(rrfK.toDouble)} + CAST(rank_sparse AS DOUBLE)), ${d(0.0)})
+       |    + coalesce(${d(1.0)} / (${d(rrfK.toDouble)} + CAST(rank_dense AS DOUBLE)), ${d(0.0)}) AS rrf_score
+       |  FROM sp FULL OUTER JOIN dn ON sp.id = dn.id)
+       |SELECT doc_id, rank, rank_sparse, rank_dense, round(rrf_score, 6) AS rrf
+       |FROM (SELECT doc_id, rank_sparse, rank_dense, rrf_score,
+       |    CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM fu)
+       |WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
   /** ann1: full recall oracle for the approximate ANN paths — the
     * exact top-k / near-dup truths AND all three approximate
     * constructions (ss3 SRP-LSH top-k, ss4 SRP-LSH pairs, ss5 IVF

@@ -2054,6 +2054,21 @@ object QueriesOps {
         |SELECT doc_id, dl, tf_0, tf_1, tf_2, score FROM sc
         |WHERE score > 0 ORDER BY doc_id""".stripMargin)),
 
+    // HR1: hybrid retrieval — BM25 leg + dense cosine leg, each capped
+    // at top-50 (TakeOrderedAndProject, never a global sort shuffle),
+    // fused by reciprocal-rank fusion (1/(60+rank), Cormack et al.).
+    // Integer ranks and fixed-order reciprocal sums make the fusion
+    // bit-reproducible; oracle restates both legs (OracleGen.hr1Sql).
+    "hr1_hybrid_rrf" -> Q(
+      (s, d) => graft.ops.Search.hybridRetrieve(docs(s, d), embs(s, d),
+          Seq("spark", "join", "stream"), queryVecId = 7L, k = 10,
+          candidateK = 50, rrfK = 60, k1 = 1.0, b = 0.5)
+        .select(col("doc_id"), col("rank"), col("rank_sparse"),
+          col("rank_dense"), round(col("rrf_score"), 6).as("rrf"))
+        .orderBy("rank"),
+      Some(OracleGen.hr1Sql(Seq("spark", "join", "stream"), queryVecId = 7L,
+        k = 10, candidateK = 50, rrfK = 60, k1 = 1.0, b = 0.5))),
+
     // Exact corpus heavy hitters: tokens at >= 0.1% of all occurrences.
     "hh1_heavy_hitters" -> Q(
       (s, d) => graft.ops.Search.heavyHitters(docs(s, d), minShare = 0.001)

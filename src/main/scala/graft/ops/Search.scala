@@ -57,6 +57,65 @@ object Search {
         terms.indices.map(i => col(s"tf_$i")) :+ col("score"): _*)
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    * 2009): the sparse BM25 leg and a dense cosine leg each produce
+    * their top-`candidateK` candidates, and a document's fused score is
+    * `1/(rrfK + sparse_rank) + 1/(rrfK + dense_rank)` (absent legs
+    * contribute nothing). The standard retrieval front-end of a
+    * RAG / training-data curation stack, where neither keyword nor
+    * embedding recall alone is trusted.
+    *
+    * Determinism: both leg ranks are integers from total orders
+    * (score desc, id asc), and the fused score is a two-term sum of
+    * exact reciprocals in a fixed leg order — bit-reproducible by the
+    * SQL oracle like the rest of this file.
+    *
+    * Scale: each leg's candidate list is `orderBy(...).limit(n)` —
+    * Spark plans that as TakeOrderedAndProject (per-partition top-n,
+    * then a driver-side merge of n-row heaps), NOT a global sort
+    * shuffle, so the corpus-wide ranking never materializes. The BM25
+    * leg scores in-row off one broadcast stats row; the dense leg
+    * scores in-row against ONE broadcast query vector. Fusion then
+    * joins two ≤candidateK-row lists — driver-scale regardless of
+    * corpus size.
+    */
+  def hybridRetrieve(docs: DataFrame, embeddings: DataFrame,
+                     terms: Seq[String], queryVecId: Long,
+                     k: Int = 10, candidateK: Int = 50, rrfK: Int = 60,
+                     k1: Double = 1.2, b: Double = 0.75,
+                     textCol: String = "text", idCol: String = "doc_id",
+                     vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k <= 2 * candidateK,
+      "k exceeds the largest possible fused list (the union of both legs)")
+    val wSparse = Window.orderBy(col("score").desc, col("id").asc)
+    val sparse = bm25(docs, terms, k1, b, textCol, idCol)
+      .select(col(idCol).as("id"), col("score"))
+      .orderBy(col("score").desc, col("id").asc).limit(candidateK)
+      .withColumn("rank_sparse", row_number().over(wSparse).cast("long"))
+      .select("id", "rank_sparse")
+    val q = embeddings.filter(col(vecIdCol) === queryVecId)
+      .select(col(vecCol).as("q_vec"))
+    val wDense = Window.orderBy(col("sim").desc, col("id").asc)
+    val dense = embeddings.filter(col(vecIdCol) =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .withColumn("sim", Similarity.dot(col(vecCol), col("q_vec")) /
+        (Similarity.norm(col(vecCol)) * Similarity.norm(col("q_vec"))))
+      .select(col(vecIdCol).as("id"), col("sim"))
+      .orderBy(col("sim").desc, col("id").asc).limit(candidateK)
+      .withColumn("rank_dense", row_number().over(wDense).cast("long"))
+      .select("id", "rank_dense")
+    val wFused = Window.orderBy(col("rrf_score").desc, col("id").asc)
+    sparse.join(dense, Seq("id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("rank_sparse").cast("double")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("rank_dense").cast("double")), lit(0.0)))
+      .withColumn("rank", row_number().over(wFused).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("rank"), col("rank_sparse"),
+        col("rank_dense"), col("rrf_score"))
+  }
+
   /** Exact corpus heavy hitters: every token whose relative frequency
     * is ≥ `minShare` of all token occurrences. The exact counterpart of
     * sketch-based frequent-item mining — at 100 TB the token→count

@@ -318,6 +318,20 @@ class PlanSpec extends AnyFunSuite {
       s"shingle stream rides ${streamSized.size} exchanges — n_spans re-aggregation regressed")
   }
 
+  test("hybridRetrieve: both legs rank via top-n, never a global sort of the corpus") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = withAqeOff(graft.ops.Search.hybridRetrieve(
+        docs, embs, Seq("spark", "join", "stream"), queryVecId = 7L)
+      .queryExecution.executedPlan)
+    val topn = plan.collect { case t: TakeOrderedAndProjectExec => t }
+    // each leg's candidateK cap must plan as TakeOrderedAndProject
+    // (per-partition heaps + driver merge) — the shape that survives a
+    // corpus where a global sort shuffle would not
+    assert(topn.size >= 2, s"expected 2 top-n legs, found ${topn.size}")
+  }
+
   test("bloom pre-join: native probe (no ScalaUDF) prunes the fact side below its exchange") {
     import org.apache.spark.sql.catalyst.expressions.ScalaUDF
     import org.apache.spark.sql.execution.FilterExec

@@ -651,6 +651,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hybridRetrieve: hand-computed RRF fusion; absent legs contribute nothing") {
+    import spark.implicits._
+    // sparse leg (k1=1, b=0.5, avgdl=2.75): doc1 2.10 > doc2 1.49 >
+    // doc4 0.82, doc3 scores 0 (absent). dense leg vs query (1,0):
+    // doc1 cos=1 > doc3 ~0.99995 > doc2 ~0.994; doc4 cos=-1 falls
+    // outside candidateK=3. RRF: doc1 = 1/61+1/61 = .03279 > doc2 =
+    // 1/62+1/63 = .03200 > doc3 = 1/62 = .01613 > doc4 = 1/63 = .01587.
+    val docs = Seq(
+      (1L, "spark join stream spark"),
+      (2L, "spark join"),
+      (3L, "nothing relevant here"),
+      (4L, "stream")
+    ).toDF("doc_id", "text")
+    val embs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(1f, 0.01f)), (4L, Array(-1f, 0f)),
+      (7L, Array(1f, 0f)) // the query vector
+    ).toDF("vec_id", "embedding")
+    val got = Search.hybridRetrieve(docs, embs, Seq("spark", "join", "stream"),
+        queryVecId = 7L, k = 4, candidateK = 3, rrfK = 60, k1 = 1.0, b = 0.5)
+      .orderBy("rank").collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L, 3L, 4L))
+    val byId = got.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(3L).isNullAt(byId(3L).fieldIndex("rank_sparse")), "doc3 has no sparse leg")
+    assert(byId(4L).isNullAt(byId(4L).fieldIndex("rank_dense")), "doc4 missed the dense cap")
+    assert(math.abs(byId(1L).getAs[Double]("rrf_score") - 2.0 / 61.0) < 1e-12)
+    assert(math.abs(byId(4L).getAs[Double]("rrf_score") - 1.0 / 63.0) < 1e-12)
+  }
+
   test("sparseCosineJoin: identical docs score 1, disjoint docs never pair") {
     import spark.implicits._
     val docs = Seq(
