@@ -66,13 +66,17 @@ object Bench {
     val fs = failed.map { case (k, m) => "\"" + k + "\":\"" + esc(m.take(200)) + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady-state (min of 2 timed runs after warm-up)","queries":$qs,"failed":$fs,"n_ok":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady-state (min of 2 timed runs after warm-up)","partial":${failed.nonEmpty},"queries":$qs,"failed":$fs,"n_ok":${ok.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
     println(line)
     // stdout capture has been observed truncated to a tail when the
     // query map grows large; the file copy survives whole for the
-    // round snapshot
+    // round snapshot. A PARTIAL run (any failure) must never replace
+    // the last complete anchor — it lands beside it instead, so bench
+    // history comparisons only ever see full runs.
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+      java.nio.file.Paths.get(
+        if (failed.isEmpty) "BENCH_LOCAL.json" else "BENCH_LOCAL_partial.json"),
+      line + "\n")
     spark.stop()
     if (failed.nonEmpty) sys.exit(2)
   }
