@@ -1856,6 +1856,40 @@ object QueriesOps {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
         |LEFT JOIN shared s USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // DC3: the decontamination REPORT — overlap fraction (shared grams
+    // over the doc's own distinct grams, an in-row denominator) and the
+    // 5% drop decision. The threshold compare runs on the UNROUNDED
+    // fraction in both engines; round-6 is display only.
+    "dc3_overlap_fraction" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        Curate.contaminationReport(
+            all.filter(col("doc_id") % 97 =!= 0),
+            all.filter(col("doc_id") % 97 === 0),
+            dropThreshold = 0.05)
+          .select(col("doc_id"), col("n_shared"), col("n_grams"),
+            round(col("overlap_frac"), 6).as("overlap_frac"), col("drop_doc"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, list_distinct(
+        |         CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(0, len(toks) - 8 + 1),
+        |                i -> array_to_string(toks[i+1:i+8], ' ')) END) AS grams FROM t),
+        |sh AS (SELECT doc_id, unnest(grams) AS sh FROM g),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+        |corp AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+        |shared AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |           FROM corp JOIN bench USING (sh) GROUP BY doc_id),
+        |ng AS (SELECT doc_id, CAST(greatest(len(grams), 1) AS BIGINT) AS n_grams
+        |       FROM g WHERE doc_id % 97 <> 0)
+        |SELECT ng.doc_id, COALESCE(s.n_shared, 0) AS n_shared, ng.n_grams,
+        |       round(CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+        |             / CAST(ng.n_grams AS DOUBLE), 6) AS overlap_frac,
+        |       CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+        |         / CAST(ng.n_grams AS DOUBLE) >= CAST(0.05 AS DOUBLE) AS drop_doc
+        |FROM ng LEFT JOIN shared s USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     // DC2: dc1's membership test through a broadcast BLOOM FILTER (the
     // corpus side stays narrow — no shingle explode, no shuffle). The
     // sketch's no-false-negative law collapses to an oracle-checked

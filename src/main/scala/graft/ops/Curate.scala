@@ -165,6 +165,27 @@ object Curate {
       .drop("__d")
   }
 
+  /** The decontamination REPORT (GPT-3 appendix-C shape): not just the
+    * boolean flag but the overlap FRACTION — shared k-shingles over the
+    * document's own distinct k-shingles — and the resulting drop
+    * decision at `dropThreshold`. The fraction is what separates
+    * "quotes one benchmark sentence" (keep, maybe redact) from "IS the
+    * benchmark" (drop) in a production decontamination pass.
+    *
+    * Scale: [[decontaminate]]'s broadcast profile unchanged; the
+    * per-doc distinct-gram denominator is an in-row expression, no new
+    * shuffle.
+    */
+  def contaminationReport(docs: DataFrame, benchmark: DataFrame, k: Int = 8,
+                          dropThreshold: Double = 0.05,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    decontaminate(docs, benchmark, k, idCol, textCol)
+      .withColumn("n_grams", greatest(
+        size(array_distinct(Dedup.shingleCol(col(textCol), k))).cast("long"), lit(1L)))
+      .withColumn("overlap_frac",
+        col("n_shared").cast("double") / col("n_grams").cast("double"))
+      .withColumn("drop_doc", col("overlap_frac") >= dropThreshold)
+
   /** Bloom-filter decontamination: the same membership test as
     * [[decontaminate]] but against an approximate broadcast structure —
     * the form to reach for when even the DISTINCT benchmark shingle set

@@ -100,6 +100,31 @@ class CurateSpec extends AnyFunSuite {
     assert(got === Map(1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("contamination report: hand-computed overlap fractions and the drop cut") {
+    import spark.implicits._
+    val bench = Seq((900L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // 10 tokens -> 3 distinct 8-shingles ("x..eta", "alpha..theta",
+      // "beta..y"); only "alpha..theta" is a benchmark shingle -> 1/3
+      (1L, "x alpha beta gamma delta epsilon zeta eta theta y"),
+      (2L, "completely unrelated text with no overlap at all here"),
+      // the benchmark text verbatim: every shingle shared -> frac 1.0
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val got = Curate.contaminationReport(corpus, bench, k = 8, dropThreshold = 0.5)
+      .select("doc_id", "n_shared", "n_grams", "overlap_frac", "drop_doc")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("n_grams") === 3L)
+    assert(got(1L).getAs[Long]("n_shared") === 1L) // only "alpha..theta"
+    assert(math.abs(got(1L).getAs[Double]("overlap_frac") - 1.0 / 3.0) < 1e-12)
+    assert(!got(1L).getAs[Boolean]("drop_doc"))
+    assert(got(2L).getAs[Long]("n_shared") === 0L)
+    assert(got(2L).getAs[Double]("overlap_frac") === 0.0)
+    assert(got(4L).getAs[Double]("overlap_frac") === 1.0)
+    assert(got(4L).getAs[Boolean]("drop_doc"), "verbatim benchmark copy must drop")
+  }
+
   test("bloom decontamination flags every exact hit (no false negatives)") {
     import spark.implicits._
     val bench = Seq((900L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
