@@ -2024,6 +2024,29 @@ object QueriesOps {
         |SELECT doc_id, source, quality_score FROM r WHERE rk <= 15
         |ORDER BY doc_id""".stripMargin)),
 
+    // CUR7: deterministic epoch shuffle + sharding (the training-order
+    // step): shard and in-shard position both drawn from the seeded md5
+    // coin — no global sort anywhere, the per-shard position window
+    // partitions at n/nShards. Seed 1 plays epoch 1; a new seed is a
+    // fresh reproducible permutation.
+    "cur7_epoch_shuffle" -> Q(
+      (s, d) => Curate.epochShuffle(docs(s, d), nShards = 8, seed = 1L)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("doc_id"),
+      Some("""WITH h AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5('1:' || CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+        |      (a, x) -> a * 16 + x) AS h1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(9, 17),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5('1:' || CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+        |      (a, x) -> a * 16 + x) AS h2
+        |  FROM documents)
+        |SELECT doc_id, CAST(h1 % 8 AS INTEGER) AS shard,
+        |       CAST(row_number() OVER (PARTITION BY h1 % 8 ORDER BY h2, doc_id) AS BIGINT) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin)),
+
     // Temperature (T=2) source rebalancing: stratum s keeps
     // (1/sqrt(n_s)) / max_t(1/sqrt(n_t)) of its docs via a
     // content-hash coin — seedless, so both engines flip identically.

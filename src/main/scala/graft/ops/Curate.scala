@@ -376,6 +376,32 @@ object Curate {
       .drop("__t")
   }
 
+  /** Deterministic epoch shuffle + sharding: the "shuffle once, shard
+    * for N data-parallel readers" step in front of a training run. Each
+    * document draws a shard and an in-shard position from the md5 coin
+    * (keyed by `seed`, so every epoch is a fresh-but-reproducible
+    * permutation), giving any worker `i` its shard as a contiguous,
+    * stably-ordered slice with no global coordination.
+    *
+    * Scale: both hash slices are narrow in-row expressions; the only
+    * wide stage is the per-shard position window, whose partitions are
+    * n/nShards rows each (nShards is chosen ∝ workers, so this is the
+    * parallelism you wanted anyway). No global sort ever happens —
+    * the "shuffle" lives entirely in the hash.
+    */
+  def epochShuffle(docs: DataFrame, nShards: Int, seed: Long = 0L,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, "need at least one shard")
+    val h = md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string")))
+    val h1 = conv(substring(h, 1, 8), 16, 10).cast("long")
+    val h2 = conv(substring(h, 9, 8), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h2").asc, col(idCol).asc)
+    docs.withColumn("shard", pmod(h1, lit(nShards.toLong)).cast("int"))
+      .withColumn("__h2", h2)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h2")
+  }
+
   def hashSplit(docs: DataFrame, idCol: String,
                 fractions: Seq[(String, Double)]): DataFrame = {
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")

@@ -100,6 +100,33 @@ class CurateSpec extends AnyFunSuite {
     assert(got === Map(1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("epoch shuffle: total, contiguous, deterministic; seeds permute") {
+    import spark.implicits._
+    val docs = (0L until 200L).toDF("doc_id")
+    val e1 = Curate.epochShuffle(docs, nShards = 4, seed = 1L)
+      .select("doc_id", "shard", "pos").collect()
+    // every doc exactly once, shards in range
+    assert(e1.length === 200)
+    assert(e1.map(_.getAs[Long]("doc_id")).toSet === (0L until 200L).toSet)
+    assert(e1.forall(r => (0 until 4).contains(r.getAs[Int]("shard"))))
+    // positions are 1..n contiguous within every shard
+    e1.groupBy(_.getAs[Int]("shard")).values.foreach { rows =>
+      val ps = rows.map(_.getAs[Long]("pos")).sorted.toSeq
+      assert(ps === (1L to rows.length.toLong), "positions must be contiguous")
+    }
+    // deterministic: the same seed reproduces the identical assignment
+    val e1b = Curate.epochShuffle(docs, nShards = 4, seed = 1L)
+      .select("doc_id", "shard", "pos").collect()
+    assert(e1.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq ===
+      e1b.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq)
+    // a different seed is a genuinely different permutation
+    val e2 = Curate.epochShuffle(docs, nShards = 4, seed = 2L)
+      .select("doc_id", "shard", "pos").collect()
+    val m1 = e1.map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val m2 = e2.map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(m1 !== m2, "epoch 2 must reshuffle")
+  }
+
   test("contamination report: hand-computed overlap fractions and the drop cut") {
     import spark.implicits._
     val bench = Seq((900L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
