@@ -318,6 +318,18 @@ class PlanSpec extends AnyFunSuite {
       s"shingle stream rides ${streamSized.size} exchanges — n_spans re-aggregation regressed")
   }
 
+  test("epochShuffle: one hash exchange on shard, never a range (global-sort) exchange") {
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = withAqeOff(graft.ops.Curate.epochShuffle(docs, nShards = 8, seed = 1L)
+      .queryExecution.executedPlan)
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size === 1, s"expected only the shard window exchange, got ${exchanges.size}")
+    assert(!exchanges.head.outputPartitioning.isInstanceOf[RangePartitioning],
+      "the epoch shuffle must not globally sort — the hash IS the shuffle")
+  }
+
   test("hybridRetrieve: both legs rank via top-n, never a global sort of the corpus") {
     import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
     val docs = spark.read.parquet(s"$sf/documents.parquet")
