@@ -66,7 +66,19 @@ object GraftSession {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
+      // Reducer sizing, measured at sf0.1 (183-query bench, 32-core
+      // host): a static partitions=cores fragments every tiny stage —
+      // iterative ops (connected components, PageRank, BPE rounds) and
+      // stateful streams (no AQE) pay per-task scheduling 32× per
+      // round/tick (141s -> 183s total), and even AQE's
+      // initialPartitionNum=32 keeps the 32-bucket shuffle writes
+      // (164s). So reducers stay at a small static 8 at this SF while
+      // the MASTER keeps every core: map-side/per-row compute
+      // parallelism comes from input splits and par()'s fan-out (the
+      // text batteries run 3× faster on 32 cores), not reducer count.
+      // At real scale, raise spark.sql.shuffle.partitions with the
+      // data — reducer count scales with bytes shuffled, not cores.
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // partition dirs land as strings ("01" stays "01", not int 1) —
@@ -77,7 +89,12 @@ object GraftSession {
         sys.props("java.io.tmpdir") + "/graft_warehouse")
       .config("spark.ui.enabled", "false")
 
-  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+  // default to the harness contract (local[32], shuffle.partitions=32,
+  // capped at the actual core count): Bench/Verify were silently
+  // running 4-thread on a 32-core box. Tests keep their explicit "4" —
+  // tiny fixtures fragment at 32 partitions.
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors, 32).toString)): SparkSession = {
     val s = builder(cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
