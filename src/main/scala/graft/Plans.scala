@@ -21,7 +21,9 @@ object Plans {
       "cl1_label_centroids", "hi2_equidepth", "st2_moment_stats", "tx12_bigram_lm",
       "dd10_prefix_jaccard", "pt1_point_in_time", "cmp1_diff_classify",
       "hl1_sketch_rollup", "io1_interval_overlap", "cd1_cumulative_distinct",
-      "gr2_triangles", "md1_mode_per_group", "dd11_normalized_dedup")
+      "gr2_triangles", "md1_mode_per_group", "dd11_normalized_dedup",
+      "hr1_hybrid_rrf", "dc3_overlap_fraction", "cur7_epoch_shuffle",
+      "dd9_duplicated_spans", "dd14_quality_canonical")
     val qs = SparkEntry.queries
     val sb = new StringBuilder
     names.foreach { n =>
