@@ -544,6 +544,28 @@ object QueriesOps {
         |    AND dup_line_frac < 0.3 AS gopher_keep
         |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // TX17: vocabulary coverage — top-500 corpus vocab (tie-broken
+    // lexicographically, a total order both engines reproduce), per-doc
+    // OOV counts and rate. The vocab learns via TakeOrderedAndProject
+    // and broadcasts; text never re-shuffles.
+    "tx17_oov_rate" -> Q(
+      (s, d) => Text.oovRate(docs(s, d), vocabSize = 500)
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          round(col("oov_rate"), 6).as("oov_rate"))
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS t
+        |  FROM documents),
+        |c AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY t),
+        |v AS (SELECT t FROM (SELECT t, row_number() OVER (ORDER BY cnt DESC, t ASC) AS rn FROM c)
+        |      WHERE rn <= 500),
+        |per AS (SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |        CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |        FROM tk LEFT JOIN v ON v.t = tk.t GROUP BY tk.doc_id)
+        |SELECT doc_id, n_tokens, n_oov,
+        |       round(CAST(n_oov AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE), 6) AS oov_rate
+        |FROM per ORDER BY doc_id""".stripMargin)),
+
     // Document-level PMI collocations (Church & Hanks CL'90): rare
     // tokens cut at df>=5 BEFORE in-row pair generation; pmi from
     // exact integer dfs, rounded for display only.

@@ -394,6 +394,38 @@ object Text {
     * text. PMI itself is same-operand-order arithmetic on exact
     * integer counts, rounded only for display.
     */
+  /** Vocabulary coverage / OOV-rate report: learn the top-`vocabSize`
+    * corpus vocabulary by frequency (ties to the lexicographically
+    * smaller token, so the cut is total-ordered) and report per-doc
+    * token totals, out-of-vocabulary counts, and the OOV rate — the
+    * standard pre-check before committing a tokenizer/vocab size, and
+    * the monitor that catches domain drift pushing OOV up.
+    *
+    * Scale: the vocabulary is top-V of a combinable (token, count)
+    * aggregate via orderBy+limit (TakeOrderedAndProject — never a
+    * global sort), then BROADCASTS (V is tokenizer-sized, tens of
+    * thousands at most); membership marking is a broadcast left join on
+    * the exploded token stream and the per-doc rollup is one combinable
+    * shuffle of (doc, counts) partials. Corpus text never re-shuffles.
+    */
+  def oovRate(docs: DataFrame, vocabSize: Int = 1000,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(vocabSize > 0, "vocabulary must be non-empty")
+    val toks = docs
+      .select(col(idCol).as("__d"), explode(split(lower(col(textCol)), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+    val vocab = toks.groupBy("t").agg(count(lit(1)).cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("t").asc).limit(vocabSize)
+      .select(col("t"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        count(when(col("__in").isNull, 1)).cast("long").as("n_oov"))
+      .select(col("__d").as(idCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double")).as("oov_rate"))
+  }
+
   def pmiPairs(docs: DataFrame, minDf: Long = 5, topK: Int = 100,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val dt = docs

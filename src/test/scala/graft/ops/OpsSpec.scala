@@ -651,6 +651,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("oovRate: hand-computed coverage under a 2-term vocabulary") {
+    import spark.implicits._
+    // corpus counts: a=4, b=3, c=1, d=1 -> top-2 vocab {a, b}
+    // (c and d tie at 1 but the cut lands above them)
+    val docs = Seq(
+      (1L, "a a b c"),   // 4 tokens, 1 OOV (c)   -> 0.25
+      (2L, "a b b d"),   // 4 tokens, 1 OOV (d)   -> 0.25
+      (3L, "a")          // 1 token,  0 OOV       -> 0.0
+    ).toDF("doc_id", "text")
+    val got = Text.oovRate(docs, vocabSize = 2)
+      .orderBy("doc_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getAs[Long]("n_tokens"),
+      r.getAs[Long]("n_oov"))).toSeq ===
+      Seq((1L, 4L, 1L), (2L, 4L, 1L), (3L, 1L, 0L)))
+    assert(got(0).getAs[Double]("oov_rate") === 0.25)
+    assert(got(2).getAs[Double]("oov_rate") === 0.0)
+    // vocab-boundary tie: with vocabSize=3 the lexicographically
+    // smaller of the tied tokens (c over d) enters the vocabulary
+    val got3 = Text.oovRate(docs, vocabSize = 3)
+      .orderBy("doc_id").collect()
+    assert(got3(0).getAs[Long]("n_oov") === 0L, "c is in the top-3 vocab")
+    assert(got3(1).getAs[Long]("n_oov") === 1L, "d loses the tie to c")
+  }
+
   test("hybridRetrieve: hand-computed RRF fusion; absent legs contribute nothing") {
     import spark.implicits._
     // sparse leg (k1=1, b=0.5, avgdl=2.75): doc1 2.10 > doc2 1.49 >
