@@ -2281,6 +2281,31 @@ object QueriesOps {
         |FROM lineitem
         |ORDER BY col_name""".stripMargin)),
 
+    // SK2: join-key skew report — top-10 heaviest l_suppkey keys with
+    // share and skew factor (count over uniform expectation). The
+    // pre-join diagnostic that decides salting; one combinable count
+    // shuffle + a TakeOrdered top-K, never a global sort.
+    "sk2_skew_report" -> Q(
+      (s, d) => graft.ops.Profile.skewReport(li(s, d), "l_suppkey", topK = 10)
+        .select(col("rank"), col("key"), col("cnt"),
+          round(col("share"), 6).as("share"),
+          round(col("skew_factor"), 6).as("skew_factor"),
+          col("n_keys"), col("n_rows"))
+        .orderBy("rank"),
+      Some("""WITH c AS (SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM lineitem GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |              CAST(sum(cnt) AS BIGINT) AS n_rows FROM c),
+        |t AS (SELECT key, cnt,
+        |        CAST(row_number() OVER (ORDER BY cnt DESC, key ASC) AS BIGINT) AS rank
+        |      FROM c)
+        |SELECT rank, key, cnt,
+        |       round(CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS share,
+        |       round(CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |             / CAST(n_rows AS DOUBLE), 6) AS skew_factor,
+        |       n_keys, n_rows
+        |FROM t, st WHERE rank <= 10 ORDER BY rank""".stripMargin)),
+
     // Fixed-width histogram (24 × 5000 over extendedprice), edge-bucket
     // clamped so counts always sum to the row count.
     // Equi-depth histogram: exact interpolated quartile cut points

@@ -284,6 +284,36 @@ object Profile {
     * Schemas are driver-side metadata (bytes, not data) — building the
     * report from them costs nothing at any table size.
     */
+  /** Join-key skew report: the top-`topK` heaviest keys with their
+    * share of all rows and skew factor (count over the uniform
+    * per-key expectation) — the operational pre-check that decides
+    * whether a join needs salting (`Skew`) or AQE's skew handling can
+    * carry it, and the monitor that catches a new hot key in
+    * production. Exact integer counts; the ratios are fixed-order
+    * arithmetic on the two broadcast scalars.
+    *
+    * Scale: one combinable (key, count) shuffle, a one-row global
+    * aggregate, and a TakeOrdered top-K — no global sort, nothing
+    * wide. This is the diagnostic you run BEFORE the expensive join,
+    * on the join keys alone.
+    */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val stats = counts.agg(count(lit(1)).cast("long").as("n_keys"),
+      sum(col("cnt")).cast("long").as("n_rows"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("key").asc)
+    counts.orderBy(col("cnt").desc, col("key").asc).limit(topK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(stats))
+      .select(col("rank"), col("key"), col("cnt"),
+        (col("cnt").cast("double") / col("n_rows").cast("double")).as("share"),
+        (col("cnt").cast("double") * col("n_keys").cast("double")
+          / col("n_rows").cast("double")).as("skew_factor"),
+        col("n_keys"), col("n_rows"))
+  }
+
   def schemaDrift(table: DataFrame, batch: DataFrame): DataFrame = {
     val spark = table.sparkSession
     import spark.implicits._

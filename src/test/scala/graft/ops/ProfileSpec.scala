@@ -22,6 +22,21 @@ class ProfileSpec extends AnyFunSuite {
     assert(clean.getAs[Long]("n_violations") === 0L)
   }
 
+  test("skewReport: hand-computed shares and skew factors, rank order total") {
+    // keys: a x4, b x2, c x1, d x1 -> n_keys 4, n_rows 8, uniform = 2
+    val df = Seq("a", "a", "a", "a", "b", "b", "c", "d").toDF("k")
+    val got = Profile.skewReport(df, "k", topK = 2).orderBy("rank").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[String]("key") === "a")
+    assert(got(0).getAs[Long]("cnt") === 4L)
+    assert(got(0).getAs[Double]("share") === 0.5)
+    assert(got(0).getAs[Double]("skew_factor") === 2.0) // 4 / (8/4)
+    assert(got(1).getAs[String]("key") === "b")
+    assert(got(1).getAs[Double]("skew_factor") === 1.0)
+    assert(got(0).getAs[Long]("n_keys") === 4L)
+    assert(got(0).getAs[Long]("n_rows") === 8L)
+  }
+
   test("expectInRange treats nulls and out-of-range as violations") {
     val df = Seq(Some(0.0), Some(0.05), Some(0.09), None).toDF("v")
     val r = Profile.expectInRange(df, "r", "v", 0.0, 0.08).collect().head
