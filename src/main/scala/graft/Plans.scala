@@ -11,6 +11,10 @@ object Plans {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val out = if (args.length > 1) args(1) else "/tmp/plans.txt"
     val spark = GraftSession.local()
+    // structural dump: AQE's AdaptiveSparkPlanExec wrapper hides the
+    // plan tree from collect() and re-plans at runtime anyway — turn it
+    // off so the printed shape and exchange counts are the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     val names = Seq("j1_flagship_upsert", "w1_dedup_latest", "h1_pricing_summary",
       "h3_join_revenue", "h4_top_suppliers", "h5_semi_join", "dd3_minhash_lsh_pairs",
       "ss3_lsh_topk", "ss5_ivf_topk", "p9_partition_range", "t3_watermark_clamp",
@@ -31,8 +35,15 @@ object Plans {
       sb.append(s"\n======== $n ========\n")
       sb.append(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
-      val shuffles = "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
-      sb.append(s"\n[exchanges in plan: $shuffles]\n")
+      // count via tree walk, not the text dump: a persisted subtree's
+      // plan prints again at every InMemoryTableScan reference, so the
+      // regex count multiplied shared exchanges by their consumer count
+      val plan = df.queryExecution.executedPlan
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }.size
+      val broadcasts = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e }.size
+      sb.append(s"\n[shuffle exchanges: $shuffles, broadcast exchanges: $broadcasts]\n")
     }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"[plans] written to $out")
