@@ -62,6 +62,37 @@ object OracleGen {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  /** dd3: the native xxhash64 MinHash-LSH pair set asserted equal to
+    * the portable md5 one IN-PLAN — the engine emits the full-outer
+    * union of both verified pair sets with membership flags, and the
+    * oracle is the portable reconstruction with both flags expected
+    * `true`. The jaccard verification values are hash-family-independent
+    * (exact set overlap of per-doc shingle hashes, injective in
+    * practice), so when banding recall is 1 on the corpus's true pairs
+    * — they sit at J ≈ 1, where 16-band/4-row miss probability is
+    * ~1e-7 — the sets coincide exactly. Any native divergence (a
+    * missed pair → `in_native=false` row, a spurious verified pair the
+    * portable banding lacks → extra row) breaks rows/hash and flips
+    * the gate red.
+    */
+  def dd3Sql(threshold: Double): String =
+    s"""SELECT d1, d2, jaccard, true AS in_native, true AS in_portable
+       |FROM (${dd3pSql(threshold)}) ORDER BY d1, d2""".stripMargin
+
+  /** dd4: SimHash pair sets are genuinely hash-family-dependent (the
+    * fingerprint IS the xxhash64 bit statistics — no engine-independent
+    * ground truth exists for the native pairs), so the gate row emits
+    * the portable pair set (fully recomputed here) plus two in-plan
+    * guards on the native path: `native_impl_ok` — every doc's fused
+    * native `simhash64` equals the compositional built-in fold — and
+    * `native_nonempty` — the native pigeonhole pipeline ran and found
+    * pairs. Both expected `true`; a native codegen regression or a
+    * broken native pipeline flips the whole row set red.
+    */
+  def dd4Sql(maxDist: Int): String =
+    s"""SELECT d1, d2, hamming, true AS native_impl_ok, true AS native_nonempty
+       |FROM (${dd4pSql(maxDist)}) ORDER BY d1, d2""".stripMargin
+
   /** dd12: incremental near-dup dedup — delta docs (doc_id >= split)
     * surviving a signature-agreement dedup against the base corpus's
     * (doc_id < split) persisted MinHash signature table. The oracle

@@ -727,16 +727,59 @@ object QueriesOps {
         |  SELECT 1 FROM documents b WHERE b.doc_id < 300 AND md5(b.text) = md5(d.text))
         |ORDER BY doc_id""".stripMargin)),
 
-    // xxhash64-based — rows-only here; recall-vs-exact checked in tests
-    // and the same LSH construction fully value-checked via the
-    // md5-backed portable twins dd3p/dd4p below.
+    // The native xxhash64 LSH, value-checked at the gate via in-plan
+    // equality with the portable twin (the ann1 composed-oracle
+    // pattern): emit the full-outer union of native and portable
+    // verified pair sets with membership flags, oracle = the portable
+    // reconstruction expecting both flags true. Verified-jaccard values
+    // are hash-family-independent, and on true pairs (J ≈ 1) the
+    // 16-band/4-row banding miss probability is ~1e-7 per family, so
+    // the sets coincide; if a native regression ever breaks that —
+    // wrong signatures changing the candidate set either way — the row
+    // set itself diverges from the oracle and the gate goes red.
     "dd3_minhash_lsh_pairs" -> Q(
-      (s, d) => Dedup.minhashLshPairs(par(docs(s, d)), threshold = 0.5).orderBy("d1", "d2"),
-      None),
+      (s, d) => {
+        val ds = par(docs(s, d))
+        val nat = Dedup.minhashLshPairs(ds, threshold = 0.5)
+          .withColumn("in_native", lit(true))
+        val por = Dedup.minhashLshPairsPortable(ds, threshold = 0.5)
+          .select(col("d1"), col("d2"), col("jaccard").as("__jp"),
+            lit(true).as("in_portable"))
+        nat.join(por, Seq("d1", "d2"), "full_outer")
+          .select(col("d1"), col("d2"),
+            coalesce(col("jaccard"), col("__jp")).as("jaccard"),
+            coalesce(col("in_native"), lit(false)).as("in_native"),
+            coalesce(col("in_portable"), lit(false)).as("in_portable"))
+          .orderBy("d1", "d2")
+      },
+      Some(OracleGen.dd3Sql(0.5))),
 
+    // SimHash fingerprints ARE the hash family's bit statistics, so
+    // native and portable pair sets legitimately differ (no set
+    // equality to assert). The gate row instead emits the portable
+    // pairs — fully oracle-recomputed — guarded by two in-plan checks
+    // of the native path: per-doc agreement of the fused native
+    // simhash64 expression with the compositional built-in fold
+    // (value-checks the custom codegen against the definition over the
+    // whole corpus), and non-emptiness of the native pigeonhole
+    // pipeline (keeps the production path executing). Either guard
+    // flipping false reddens every row.
     "dd4_simhash_pairs" -> Q(
-      (s, d) => Dedup.simhashPairs(par(docs(s, d)), maxDist = 3).orderBy("d1", "d2"),
-      None),
+      (s, d) => {
+        val ds = par(docs(s, d))
+        val agree = Dedup.simhashImplAgreement(ds)
+          .agg((count(lit(1)) === sum(when(col("sh_native") === col("sh_builtin"),
+            lit(1L)).otherwise(lit(0L)))).as("native_impl_ok"))
+        val nonempty = Dedup.simhashPairs(ds, maxDist = 3)
+          .agg((count(lit(1)) > 0).as("native_nonempty"))
+        Dedup.simhashPairsPortable(ds, maxDist = 3)
+          .crossJoin(broadcast(agree))
+          .crossJoin(broadcast(nonempty))
+          .select(col("d1"), col("d2"), col("hamming"),
+            col("native_impl_ok"), col("native_nonempty"))
+          .orderBy("d1", "d2")
+      },
+      Some(OracleGen.dd4Sql(3))),
 
     // Portable-signature twins: identical MinHash-LSH / SimHash
     // constructions with every hash md5-derived, so the DuckDB oracle

@@ -755,15 +755,43 @@ object Dedup {
     val hashes = transform(tokens(col(textCol)), t => tokenHash(t))
     if (graft.GraftExtensions.available("simhash64"))
       docs.select(col(idCol).as("d"), call_function("simhash64", hashes).as("simhash"))
-    else {
-      val packed = (0 until 64).map { b =>
-        val bitSum = aggregate(col("hs"), lit(0L),
-          (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
-        when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce((x, y) => x.bitwiseOR(y))
+    else
       docs.select(col(idCol).as("d"), hashes.as("hs"))
-        .select(col("d"), packed.as("simhash"))
-    }
+        .select(col("d"), simhashPackedBuiltin(col("hs")).as("simhash"))
+  }
+
+  /** The built-ins-only SimHash fold over a token-hash array column —
+    * the guarded fallback of [[simhash]], public so the dd4 gate query
+    * can evaluate it NEXT TO the native expression and assert per-doc
+    * equality in-plan: the compositional formulation (64 boxed bit
+    * traversals) is slow but independently derived, so agreement
+    * value-checks the fused native codegen against the definition.
+    */
+  def simhashPackedBuiltin(hs: Column): Column =
+    (0 until 64).map { b =>
+      val bitSum = aggregate(hs, lit(0L),
+        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
+      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+
+  /** Per-doc cross-check of the native [[graft.functions.SimHash64]]
+    * expression against [[simhashPackedBuiltin]] on identical token
+    * hashes: `(d, sh_native, sh_builtin)`. On sessions without the
+    * extension the native column degrades to the builtin (trivially
+    * equal — the guarded-fallback convention); with it, any codegen bug
+    * in the fused expression surfaces as a row where the columns differ.
+    */
+  def simhashImplAgreement(docs: DataFrame, textCol: String = "text",
+                           idCol: String = "doc_id",
+                           tokenHash: Column => Column = c => xxhash64(c)): DataFrame = {
+    val hashes = transform(tokens(col(textCol)), t => tokenHash(t))
+    val builtin = simhashPackedBuiltin(col("hs"))
+    val native =
+      if (graft.GraftExtensions.available("simhash64"))
+        call_function("simhash64", col("hs"))
+      else builtin
+    docs.select(col(idCol).as("d"), hashes.as("hs"))
+      .select(col("d"), native.as("sh_native"), builtin.as("sh_builtin"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist (< 16):
