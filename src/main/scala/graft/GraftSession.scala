@@ -77,8 +77,10 @@ object GraftSession {
       // parallelism comes from input splits and par()'s fan-out (the
       // text batteries run 3× faster on 32 cores), not reducer count.
       // At real scale, raise spark.sql.shuffle.partitions with the
-      // data — reducer count scales with bytes shuffled, not cores.
-      .config("spark.sql.shuffle.partitions", "8")
+      // data — reducer count scales with bytes shuffled, not cores —
+      // via SPARK_GRAFT_SHUFFLE_PARTITIONS (no code change needed).
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // partition dirs land as strings ("01" stays "01", not int 1) —
@@ -89,10 +91,11 @@ object GraftSession {
         sys.props("java.io.tmpdir") + "/graft_warehouse")
       .config("spark.ui.enabled", "false")
 
-  // default to the harness contract (local[32], shuffle.partitions=32,
-  // capped at the actual core count): Bench/Verify were silently
-  // running 4-thread on a 32-core box. Tests keep their explicit "4" —
-  // tiny fixtures fragment at 32 partitions.
+  // default master to local[32] capped at the actual core count (the
+  // harness contract): Bench/Verify were silently running 4-thread on
+  // a 32-core box. Reducers stay at builder()'s measured static 8
+  // unless SPARK_GRAFT_SHUFFLE_PARTITIONS overrides. Tests keep their
+  // explicit "4" — tiny fixtures fragment at 32 partitions.
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)): SparkSession = {
     val s = builder(cpus).getOrCreate()

@@ -56,7 +56,15 @@ object Queries {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
+      // LTZ micros: already the session-UTC wall-clock the tx view needs
+      case org.apache.spark.sql.types.TimestampType => raw
+      // Any OTHER physical encoding (millis-as-long, string, date…)
+      // must fail LOUDLY here: a silent pass-through would flow into
+      // subtly wrong tx wire strings — the exact breakage class the
+      // round-7 testdata dtype swap caused.
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other — " +
+          "teach Queries.events the new encoding explicitly")
     }
   }
 

@@ -298,8 +298,14 @@ object Profile {
     * on the join keys alone.
     */
   def skewReport(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    // Two consumers read the aggregate (top-K branch + global stats):
+    // persist so the input scan and (key, count) shuffle run ONCE —
+    // exchange reuse is not guaranteed across the limit/agg branches.
+    // Key-cardinality-sized, DISK_ONLY (lineage kept, lazily built);
+    // released by the caller's session cache discipline.
     val counts = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).cast("long").as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val stats = counts.agg(count(lit(1)).cast("long").as("n_keys"),
       sum(col("cnt")).cast("long").as("n_rows"))
     val w = org.apache.spark.sql.expressions.Window
