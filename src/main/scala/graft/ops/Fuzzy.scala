@@ -216,21 +216,47 @@ object Fuzzy {
     * come from lev-2 pairs outside the gram blocker's length bound —
     * exactly what this metric makes visible.
     *
-    * The n² truth join runs over the DISTINCT KEY VOCABULARY (entity
-    * strings), not the corpus — a bounded diagnostic table. At 100 TB
-    * the vocab is what it is (accounts, names); if it outgrows n²,
-    * sample strata of it — the metric is a ratio estimate either way.
+    * The ONLY quadratic piece is the truth join, and it is bounded by
+    * construction: above `maxVocab` distinct strings the truth is
+    * estimated on a DETERMINISTIC STRATIFIED SAMPLE — per length
+    * stratum (true pairs need |len(a)−len(b)| ≤ maxDist, so length is
+    * the variance-relevant stratum), each stratum keeps its
+    * ceil(count · maxVocab/n) smallest strings by md5 order. The theta
+    * join then runs sample×sample (≤ maxVocab² cells, never n²), the
+    * completeness ratio n_caught/n_truth is the standard pair-sampled
+    * estimator (pairs drawn with probability ≈ (maxVocab/n)², σ ≤
+    * 1/(2·√n_truth_sampled)), and the reduction ratio is UNAFFECTED —
+    * candidates and the n²/2 denominator always come from the full
+    * vocabulary; the blockers are the linear, scalable part. In the
+    * sampled regime `n_truth`/`n_caught` carry the within-sample
+    * counts (the ratio columns are the estimates); below the guard the
+    * exact path is byte-identical to before.
     */
   def blockingQuality(df: DataFrame, strCol: String,
                       maxDist: Int = 2, n: Int = 3,
-                      dfCap: Long = 30L): DataFrame = {
+                      dfCap: Long = 30L,
+                      maxVocab: Long = 10000L): DataFrame = {
+    require(maxVocab > 0, "maxVocab must be positive")
     val strs = df.select(col(strCol).as("s")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val truth = strs.as("a").join(strs.as("b"), col("a.s") < col("b.s"))
+    val nStr = strs.count()
+    val truthBase =
+      if (nStr <= maxVocab) strs
+      else {
+        val frac = maxVocab.toDouble / nStr
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(length(col("s"))).orderBy(md5(col("s")), col("s"))
+        strs
+          .withColumn("__rk", row_number().over(w))
+          .withColumn("__n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(length(col("s")))))
+          .filter(col("__rk") <= ceil(col("__n") * lit(frac)))
+          .select("s")
+      }
+    val truth = truthBase.as("a").join(truthBase.as("b"), col("a.s") < col("b.s"))
       .select(col("a.s").as("s1"), col("b.s").as("s2"))
       .filter(levenshtein(col("s1"), col("s2")) <= maxDist)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nStr = strs.count()
     val nTruth = truth.count()
     def row(name: String, cand: DataFrame): DataFrame = {
       val c = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -127,4 +127,37 @@ class FuzzySpec extends AnyFunSuite {
     assert(pcC === 1.0, "df-cap keeps completeness on a non-adversarial vocab")
     assert(rrC >= rrF, "df-cap can only shrink the candidate set")
   }
+
+  test("blockingQuality: above maxVocab the truth is stratified-sampled, ratios converge") {
+    // er2's shape at scale: a user-NNN vocabulary with planted lev<=2
+    // relatives. The guard must (a) keep the exact path byte-identical
+    // below maxVocab, (b) above it shrink the truth join to the sample
+    // (never n²), (c) leave the reduction ratio untouched (candidates
+    // stay full-vocab), and (d) estimate completeness near the exact
+    // value — deterministically, so two runs agree bit for bit.
+    import org.apache.spark.sql.functions.col
+    val base = (0 until 120).map(i => f"user-$i%04d")
+    val typos = (0 until 120 by 3).map(i => f"user-$i%04d".dropRight(1)) // deletions: lev 1
+    val strs = (base ++ typos).toDF("s")
+    def rows(maxVocab: Long) =
+      Fuzzy.blockingQuality(strs, "s", maxDist = 2, dfCap = 30, maxVocab = maxVocab)
+        .collect().map(r => r.getAs[String]("blocker") ->
+          (r.getAs[Long]("n_truth"), r.getAs[Long]("n_caught"),
+            r.getAs[Double]("pair_completeness"),
+            r.getAs[Double]("reduction_ratio"))).toMap
+    val exact = rows(maxVocab = 100000L)
+    val sampled = rows(maxVocab = 80L)
+    val sampled2 = rows(maxVocab = 80L)
+    assert(sampled === sampled2, "sampling must be deterministic (md5-ordered strata)")
+    for (blocker <- Seq("union_full", "union_dfcap")) {
+      val (ntE, _, pcE, rrE) = exact(blocker)
+      val (ntS, ncS, pcS, rrS) = sampled(blocker)
+      assert(rrS === rrE, s"$blocker: reduction ratio must not change under sampling")
+      assert(ntS < ntE, s"$blocker: sampled truth must be a strict subset ($ntS vs $ntE)")
+      assert(ntS > 0, s"$blocker: the stratified sample must retain some true pairs")
+      assert(ncS <= ntS, s"$blocker: caught cannot exceed sampled truth")
+      assert(math.abs(pcS - pcE) <= 0.2,
+        s"$blocker: sampled completeness $pcS should approximate exact $pcE")
+    }
+  }
 }
