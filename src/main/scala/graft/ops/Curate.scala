@@ -385,13 +385,20 @@ object Curate {
     *
     * Scale: both hash slices are narrow in-row expressions; the only
     * wide stage is the per-shard position window, whose partitions are
-    * n/nShards rows each (nShards is chosen ∝ workers, so this is the
-    * parallelism you wanted anyway). No global sort ever happens —
-    * the "shuffle" lives entirely in the hash.
+    * n/nShards rows each. SIZING RULE: each shard's rows land on ONE
+    * reducer for the local position sort, so `nShards` must grow ∝
+    * corpus size to keep shards bounded (~1 GB each) — nShards is the
+    * reader parallelism AND the sort parallelism; a fixed small
+    * nShards on a growing corpus turns the window into a single-task
+    * sort. [[shardSizeWarning]] checks the rule from plan statistics
+    * (free — no job) and this method prints its warning when the
+    * estimate exceeds ~4 GiB/shard. No global sort ever happens — the
+    * "shuffle" lives entirely in the hash.
     */
   def epochShuffle(docs: DataFrame, nShards: Int, seed: Long = 0L,
                    idCol: String = "doc_id"): DataFrame = {
     require(nShards > 0, "need at least one shard")
+    shardSizeWarning(docs, nShards).foreach(System.err.println)
     val h = md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string")))
     val h1 = conv(substring(h, 1, 8), 16, 10).cast("long")
     val h2 = conv(substring(h, 9, 8), 16, 10).cast("long")
@@ -400,6 +407,23 @@ object Curate {
       .withColumn("__h2", h2)
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__h2")
+  }
+
+  /** [[epochShuffle]]'s shard-sizing rule made checkable: a plan-stat
+    * estimate (optimizer `sizeInBytes` — costs no job) of bytes per
+    * shard, returning a warning when it exceeds `warnBytes` (default
+    * 4 GiB). Callers sizing shards for a training run should treat the
+    * warning as "raise nShards": the per-shard position sort runs on a
+    * single reducer by construction.
+    */
+  def shardSizeWarning(docs: DataFrame, nShards: Int,
+                       warnBytes: Long = 4L << 30): Option[String] = {
+    val perShard = docs.queryExecution.optimizedPlan.stats.sizeInBytes / nShards
+    if (perShard > warnBytes)
+      Some(s"epochShuffle: ~$perShard estimated bytes/shard across $nShards shards " +
+        s"(> $warnBytes) — each shard position-sorts on one reducer; " +
+        "raise nShards with the corpus so shards stay ~1 GB")
+    else None
   }
 
   def hashSplit(docs: DataFrame, idCol: String,

@@ -127,6 +127,19 @@ class CurateSpec extends AnyFunSuite {
     assert(m1 !== m2, "epoch 2 must reshuffle")
   }
 
+  test("epoch shuffle shard-sizing rule: warns when shards outgrow one reducer") {
+    import spark.implicits._
+    val docs = (0L until 200L).toDF("doc_id")
+    // the fixture is tiny, so the default 4 GiB threshold stays silent…
+    assert(Curate.shardSizeWarning(docs, nShards = 4).isEmpty)
+    // …and a 1-byte threshold must trip: the per-shard single-reducer
+    // position sort is the documented scaling hazard, and the warning
+    // names the remedy (raise nShards with the corpus)
+    val warn = Curate.shardSizeWarning(docs, nShards = 4, warnBytes = 1L)
+    assert(warn.nonEmpty, "plan-stat estimate should exceed 1 byte/shard")
+    assert(warn.get.contains("raise nShards"))
+  }
+
   test("contamination report: hand-computed overlap fractions and the drop cut") {
     import spark.implicits._
     val bench = Seq((900L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
