@@ -7,6 +7,42 @@ import java.nio.file.{Files, Paths}
   * `runMain graft.Plans [sfDir] [outFile]`.
   */
 object Plans {
+
+  /** The plan-audited headline set — also the universe of the golden
+    * exchange-count regression gate (`PlanGoldenSpec` +
+    * `src/test/resources/plan_golden.tsv`).
+    */
+  val Headline: Seq[String] = Seq("j1_flagship_upsert", "w1_dedup_latest",
+    "h1_pricing_summary",
+    "h3_join_revenue", "h4_top_suppliers", "h5_semi_join", "dd3_minhash_lsh_pairs",
+    "ss3_lsh_topk", "ss5_ivf_topk", "p9_partition_range", "t3_watermark_clamp",
+    "gf2_gap_fill_keyed", "tx11_cooccurrence", "dd8_incremental_dedup",
+    "dc2_bloom_decontaminate", "hh2_cms_heavy_hitters", "mm3_resize_thumbnails",
+    "w4_scd2_history", "ann2_recall_floor",
+    "ses1_sessionize", "ma1_trailing_window", "ix1_inverted_index",
+    "cl1_label_centroids", "hi2_equidepth", "st2_moment_stats", "tx12_bigram_lm",
+    "dd10_prefix_jaccard", "pt1_point_in_time", "cmp1_diff_classify",
+    "hl1_sketch_rollup", "io1_interval_overlap", "cd1_cumulative_distinct",
+    "gr2_triangles", "md1_mode_per_group", "dd11_normalized_dedup",
+    "hr1_hybrid_rrf", "dc3_overlap_fraction", "cur7_epoch_shuffle",
+    "dd9_duplicated_spans", "dd14_quality_canonical")
+
+  /** (shuffle exchanges, broadcast exchanges) of the physical plan,
+    * counted via tree walk, not the text dump: a persisted subtree's
+    * plan prints again at every InMemoryTableScan reference, so a
+    * regex over the dump would multiply shared exchanges by their
+    * consumer count. Build the DataFrame with AQE OFF — the adaptive
+    * wrapper hides the static tree from collect().
+    */
+  def exchangeCounts(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+    val plan = df.queryExecution.executedPlan
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }.size
+    val broadcasts = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e }.size
+    (shuffles, broadcasts)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val out = if (args.length > 1) args(1) else "/tmp/plans.txt"
@@ -15,34 +51,14 @@ object Plans {
     // plan tree from collect() and re-plans at runtime anyway — turn it
     // off so the printed shape and exchange counts are the static plan
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val names = Seq("j1_flagship_upsert", "w1_dedup_latest", "h1_pricing_summary",
-      "h3_join_revenue", "h4_top_suppliers", "h5_semi_join", "dd3_minhash_lsh_pairs",
-      "ss3_lsh_topk", "ss5_ivf_topk", "p9_partition_range", "t3_watermark_clamp",
-      "gf2_gap_fill_keyed", "tx11_cooccurrence", "dd8_incremental_dedup",
-      "dc2_bloom_decontaminate", "hh2_cms_heavy_hitters", "mm3_resize_thumbnails",
-      "w4_scd2_history", "ann2_recall_floor",
-      "ses1_sessionize", "ma1_trailing_window", "ix1_inverted_index",
-      "cl1_label_centroids", "hi2_equidepth", "st2_moment_stats", "tx12_bigram_lm",
-      "dd10_prefix_jaccard", "pt1_point_in_time", "cmp1_diff_classify",
-      "hl1_sketch_rollup", "io1_interval_overlap", "cd1_cumulative_distinct",
-      "gr2_triangles", "md1_mode_per_group", "dd11_normalized_dedup",
-      "hr1_hybrid_rrf", "dc3_overlap_fraction", "cur7_epoch_shuffle",
-      "dd9_duplicated_spans", "dd14_quality_canonical")
     val qs = SparkEntry.queries
     val sb = new StringBuilder
-    names.foreach { n =>
+    Headline.foreach { n =>
       val df = qs(n)(spark, sfDir)
       sb.append(s"\n======== $n ========\n")
       sb.append(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
-      // count via tree walk, not the text dump: a persisted subtree's
-      // plan prints again at every InMemoryTableScan reference, so the
-      // regex count multiplied shared exchanges by their consumer count
-      val plan = df.queryExecution.executedPlan
-      val shuffles = plan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }.size
-      val broadcasts = plan.collect {
-        case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e }.size
+      val (shuffles, broadcasts) = exchangeCounts(df)
       sb.append(s"\n[shuffle exchanges: $shuffles, broadcast exchanges: $broadcasts]\n")
     }
     Files.writeString(Paths.get(out), sb.toString)
