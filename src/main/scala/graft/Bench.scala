@@ -70,12 +70,15 @@ object Bench {
     println(line)
     // stdout capture has been observed truncated to a tail when the
     // query map grows large; the file copy survives whole for the
-    // round snapshot. A PARTIAL run (any failure) must never replace
-    // the last complete anchor — it lands beside it instead, so bench
-    // history comparisons only ever see full runs.
+    // round snapshot. A PARTIAL run — any failure, OR a name-filtered
+    // subset (args given) — must never replace the last complete
+    // anchor: it lands beside it instead, so bench history comparisons
+    // only ever see full runs. (A 13-query triage run once silently
+    // became the "anchor"; the args.isEmpty guard closes that hole.)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
-        if (failed.isEmpty) "BENCH_LOCAL.json" else "BENCH_LOCAL_partial.json"),
+        if (failed.isEmpty && args.isEmpty) "BENCH_LOCAL.json"
+        else "BENCH_LOCAL_partial.json"),
       line + "\n")
     spark.stop()
     if (failed.nonEmpty) sys.exit(2)

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling smoke: synthesize a k× corpus from a base SF by
+  * union-shifting ids, then time a linear-expectation headline subset
+  * at both scales and record the time ratios —
+  * `{"k":…, "queries":{name:{base_sec, scaled_sec, ratio}}, …}` to
+  * BENCH_SCALE.json. A ratio well above k exposes a hidden
+  * single-reducer stage, driver-side loop, or superlinear join that
+  * plan-shape assertions alone cannot catch.
+  *
+  * Construction (what makes the ratios MEANINGFUL):
+  *  - ids shift by a 1e9 stride per copy, so keys/users/components are
+  *    DISJOINT across copies — graphs/sessions/joins scale as k
+  *    independent replicas (stride is even: event_id parity splits are
+  *    preserved per copy).
+  *  - `documents.text` gets every token suffixed with a per-copy tag
+  *    (copy 0 verbatim), so copies are mutually DISSIMILAR: the dup
+  *    structure replicates (~k× the dup groups at the same group
+  *    sizes), instead of every doc gaining k−1 artificial near-twins
+  *    whose pair output would explode quadratically in k.
+  *  - `embeddings.embedding` is circularly rotated by the copy index
+  *    (norms and coordinate distribution preserved, cross-copy cosine
+  *    decorrelated) for the same reason.
+  *  - dimension tables (region, nation) stay 1× — dims don't scale
+  *    with fact data.
+  *
+  * Usage: `runMain graft.BenchScale [baseSfDir] [k] [outFile]`.
+  */
+object BenchScale {
+
+  /** Queries whose output and work are expected ~linear in corpus
+    * size: aggregations, joins against fixed dims, per-row batteries,
+    * windows per key, fixed-round graph iteration, fixed-query-set
+    * retrieval/ANN. Pair-emitting dedup diagnostics are excluded by
+    * design — their output depends on dup DENSITY, which the
+    * construction holds constant per copy.
+    */
+  val ScaleQueries: Seq[String] = Seq(
+    "h1_pricing_summary", "h3_join_revenue", "h4_top_suppliers",
+    "w1_dedup_latest", "j1_flagship_upsert",
+    "dd1_exact_dedup", "dd5_dedup_corpus",
+    "tx2_quality_score", "tx8_langid_ngram",
+    "bm1_bm25_search", "ss1_bruteforce_topk", "ss3_lsh_topk",
+    "ses1_sessionize", "ma1_trailing_window", "pg1_pagerank")
+
+  private val Stride = 1000000000L
+
+  private def shifted(df: DataFrame, i: Int, cols: String*): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(Stride * i)))
+
+  /** One scaled copy of a table (copy 0 is always verbatim). */
+  private def copyOf(table: String, base: DataFrame, i: Int, dim: Int): DataFrame =
+    if (i == 0) base
+    else table match {
+      case "events" => shifted(base, i, "event_id", "user_id")
+      case "documents" =>
+        shifted(base, i, "doc_id").withColumn("text",
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit(s"_c$i"))), " "))
+      case "embeddings" =>
+        val rot = i % dim
+        shifted(base, i, "vec_id").withColumn("embedding",
+          concat(slice(col("embedding"), rot + 1, dim - rot),
+            slice(col("embedding"), 1, rot)))
+      case "lineitem" => shifted(base, i, "l_orderkey", "l_partkey", "l_suppkey")
+      case "orders"   => shifted(base, i, "o_orderkey", "o_custkey")
+      case "customer" => shifted(base, i, "c_custkey")
+      case "supplier" => shifted(base, i, "s_suppkey")
+      case "part"     => shifted(base, i, "p_partkey")
+      case _          => base // region/nation: dims stay 1×
+    }
+
+  def buildScaledDir(spark: SparkSession, baseDir: String, outDir: String,
+                     k: Int): Unit = {
+    val dims = Set("region", "nation")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")) {
+      val base = spark.read.parquet(s"$baseDir/$t.parquet")
+      val copies = if (dims(t)) 1 else k
+      // parquet list types carry no static length — probe one row
+      val dim =
+        if (t == "embeddings")
+          base.select(size(col("embedding"))).head().getInt(0)
+        else 0
+      (0 until copies).map(copyOf(t, base, _, dim)).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
+  private def timeOf(fn: (SparkSession, String) => DataFrame,
+                     spark: SparkSession, dir: String): Double = {
+    fn(spark, dir).count() // warm: codegen + page cache
+    val t0 = System.nanoTime()
+    fn(spark, dir).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    spark.catalog.clearCache()
+    sec
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val k = if (args.length > 1) args(1).toInt else 10
+    val out = if (args.length > 2) args(2) else "BENCH_SCALE.json"
+    val spark = GraftSession.local()
+    val scaledDir = Queries.scratch("bench_scale_corpus")
+    println(s"[bench-scale] building ${k}x corpus at $scaledDir")
+    buildScaledDir(spark, baseDir, scaledDir, k)
+    val rows = ScaleQueries.map { name =>
+      val fn = SparkEntry.queries(name)
+      val b = timeOf(fn, spark, baseDir)
+      val s = timeOf(fn, spark, scaledDir)
+      val r = s / b
+      println(String.format(java.util.Locale.ROOT,
+        """{"query":"%s","base_sec":%.3f,"scaled_sec":%.3f,"ratio":%.2f}""",
+        name, Double.box(b), Double.box(s), Double.box(r)))
+      (name, b, s, r)
+    }
+    val maxR = rows.map(_._4).max
+    val qs = rows.map { case (n, b, s, r) =>
+      String.format(java.util.Locale.ROOT,
+        """"%s":{"base_sec":%.3f,"scaled_sec":%.3f,"ratio":%.2f}""",
+        n, Double.box(b), Double.box(s), Double.box(r))
+    }.mkString("{", ",", "}")
+    val line = String.format(java.util.Locale.ROOT,
+      """{"metric":"scale_smoke","k":%d,"base_sf":"%s","max_ratio":%.2f,"queries":%s}""",
+      Int.box(k), baseDir, Double.box(maxR), qs)
+    println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    spark.stop()
+  }
+}

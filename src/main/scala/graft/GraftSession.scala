@@ -86,9 +86,10 @@ object GraftSession {
       // partition dirs land as strings ("01" stays "01", not int 1) —
       // required for the CDC landing round-trip fidelity
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-      // bucketed tables (BucketedLake) land outside the repo/cwd
+      // bucketed tables (BucketedLake) land outside the repo/cwd, on
+      // the same tmpfs-preferring scratch base as the sink round-trips
       .config("spark.sql.warehouse.dir",
-        sys.props("java.io.tmpdir") + "/graft_warehouse")
+        Queries.scratchBase + "/graft_warehouse")
       .config("spark.ui.enabled", "false")
 
   // default master to local[32] capped at the actual core count (the

@@ -120,9 +120,24 @@ object Queries {
 
   /** Fresh scratch dir for sink round-trip queries (deterministic path,
     * wiped per run so `append` sinks can't accumulate).
+    *
+    * Base dir: SPARK_GRAFT_SCRATCH if set, else /dev/shm when present
+    * (tmpfs — stream checkpoints and versioned-snapshot sinks fsync
+    * MANY small files per micro-batch, and on a disk-backed /tmp those
+    * fsyncs are the dominant fixed cost of every streaming query),
+    * else java.io.tmpdir. Scratch is wiped per run by definition, so
+    * volatility is fine — production sinks take real durable paths
+    * through the operator APIs, never through here.
     */
+  private[graft] val scratchBase: String =
+    sys.env.getOrElse("SPARK_GRAFT_SCRATCH", {
+      val shm = Paths.get("/dev/shm")
+      if (Files.isDirectory(shm) && Files.isWritable(shm)) "/dev/shm"
+      else sys.props("java.io.tmpdir")
+    })
+
   private[graft] def scratch(name: String): String = {
-    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_q", name)
+    val p = Paths.get(scratchBase, "graft_q", name)
     if (Files.exists(p)) {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
     }
@@ -1437,9 +1452,14 @@ object Queries {
     // CONSTRUCTION (deletion variants + 3-grams) declaratively, so a
     // blocker that silently loses pairs shows up as completeness < 1
     // in one engine and not the other.
+    // maxVocab 500: at the sf0.01 gate the 150-string vocab takes the
+    // EXACT truth path (the oracle below recomputes the same exact
+    // join), while at sf0.1+ bench scale the ~1.5k vocab exercises the
+    // stratified-sample estimator — the production path for vocabularies
+    // that outgrow n² (FuzzySpec pins estimator convergence).
     "er2_blocking_quality" -> Q(
       (s, d) => graft.ops.Fuzzy.blockingQuality(
-          tx(s, d).select(col("account")), "account")
+          tx(s, d).select(col("account")), "account", maxVocab = 500L)
         .orderBy("blocker"),
       Some(s"""$TxCte,
         |acc AS (SELECT DISTINCT account FROM tx),
