@@ -90,6 +90,16 @@ object GraftSession {
       // the same tmpfs-preferring scratch base as the sink round-trips
       .config("spark.sql.warehouse.dir",
         Queries.scratchBase + "/graft_warehouse")
+      // Output-commit cost: v2 commits task output directly into the
+      // destination (no job-commit rename pass) and the _SUCCESS marker
+      // is skipped — the right trade for this engine's sinks, whose
+      // atomicity comes from the VersionedDir pointer flip / landing
+      // tracker cursor, not from directory-rename visibility. The
+      // many-small-snapshot streaming queries pay this commit protocol
+      // per micro-batch. (On a real cluster against S3/ABFS you'd swap
+      // in the cloud-native committer; same reasoning.)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .config("spark.ui.enabled", "false")
 
   // default master to local[32] capped at the actual core count (the

@@ -309,7 +309,8 @@ object Queries {
         val stream = s.readStream.schema(delt.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
         graft.streaming.CdcStream.viewMaintenance(stream, snap, stateDir,
-          viewDir, col("entity") === "error", scratch("mv2_ckpt"))
+          viewDir, col("entity") === "error", scratch("mv2_ckpt"),
+          snapshotPartitions = 1) // KB-scale snapshots at this SF
         graft.ingest.VersionedDir.current(s, viewDir).get
           .select(col("account"), col("n_rows"),
             col("total").cast("double").as("total"))

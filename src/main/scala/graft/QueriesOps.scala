@@ -842,7 +842,8 @@ object QueriesOps {
           graft.ops.SigStore.ingestEpoch(
             all.filter(pmod(col("doc_id"), lit(nEpochs)) === k),
             store, k.toLong, estThreshold = 0.5,
-            hashFn = Dedup.md5ShingleHash, bandHashFn = md5)
+            hashFn = Dedup.md5ShingleHash, bandHashFn = md5,
+            storePartitions = 1) // MB-scale store at this SF
             .select("doc_id")
         }.reduce(_ unionByName _).orderBy("doc_id")
       },

@@ -54,13 +54,20 @@ object SigStore {
   /** Run one dedup epoch: returns the surviving rows of `batch` (all
     * original columns) and advances the store at `storeDir` to
     * `v=<epochId>`. See the object doc for the policy.
+    *
+    * `storePartitions` right-sizes the store-snapshot files (the store
+    * rewrite otherwise inherits the shuffle partition count — at test
+    * SFs that is 8 near-empty files plus 8 commit-protocol rounds per
+    * epoch). Pick ⌈store bytes / 128 MB⌉; 0 keeps the plan's own
+    * partitioning.
     */
   def ingestEpoch(batch: DataFrame, storeDir: String, epochId: Long,
                   estThreshold: Double = 0.5,
                   numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
                   textCol: String = "text", idCol: String = "doc_id",
                   hashFn: Column => Column = Dedup.xxShingleHash,
-                  bandHashFn: Column => Column = c => xxhash64(c)): DataFrame = {
+                  bandHashFn: Column => Column = c => xxhash64(c),
+                  storePartitions: Int = 0): DataFrame = {
     val spark = batch.sparkSession
     // sign the batch ONCE; three consumers (cross join, intra join,
     // survivor append) read the persisted form
@@ -85,9 +92,11 @@ object SigStore {
       survivors.select(col(idCol).as("d")), Seq("d"), "left_semi")
     // dropDuplicates(d) absorbs the replayed-epoch case where the
     // pointed-at store already contains this epoch's survivors
-    val newStore = store
+    val newStore0 = store
       .map(_.unionByName(survSigs).dropDuplicates("d"))
       .getOrElse(survSigs)
+    val newStore =
+      if (storePartitions > 0) newStore0.coalesce(storePartitions) else newStore0
     VersionedDir.publish(newStore, storeDir, epochId)
     survivors
   }

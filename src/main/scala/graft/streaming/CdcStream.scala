@@ -240,6 +240,12 @@ object CdcStream {
     * crash-replay converges to the identical table. Readers still use
     * the atomically-flipped pointer. Empty batches republish the prior
     * content to keep the version chain unbroken.
+    *
+    * `snapshotPartitions` right-sizes the snapshot FILES to the data:
+    * each publish otherwise inherits the shuffle partition count, so a
+    * KB-scale aggregate view lands as 8 near-empty files per batch and
+    * the commit protocol runs 8× per write. Pick ⌈snapshot bytes /
+    * 128 MB⌉ (1 at test SFs); 0 keeps the plan's own partitioning.
     */
   def viewMaintenance(stream: DataFrame, initialState: DataFrame,
                       stateDir: String, viewDir: String, isDelete: Column,
@@ -247,7 +253,10 @@ object CdcStream {
                       versionCol: String = "update_at",
                       seqCol: String = "event_id",
                       groupCol: String = "account",
-                      amountCol: String = "amount"): Unit = {
+                      amountCol: String = "amount",
+                      snapshotPartitions: Int = 0): Unit = {
+    def sized(df: DataFrame): DataFrame =
+      if (snapshotPartitions > 0) df.coalesce(snapshotPartitions) else df
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
@@ -263,8 +272,8 @@ object CdcStream {
           batch, isDelete, keyCol, versionCol, seqCol, groupCol, amountCol)
         val newState = Merge.upsertWithTombstones(prevState, batch, isDelete,
           keyCol, versionCol, Seq(col(seqCol).desc))
-        graft.ingest.VersionedDir.publish(newState, stateDir, batchId)
-        graft.ingest.VersionedDir.publish(newAgg, viewDir, batchId)
+        graft.ingest.VersionedDir.publish(sized(newState), stateDir, batchId)
+        graft.ingest.VersionedDir.publish(sized(newAgg), viewDir, batchId)
       }
       .start().awaitTermination()
   }
