@@ -44,7 +44,13 @@ object BenchScale {
     "dd1_exact_dedup", "dd5_dedup_corpus",
     "tx2_quality_score", "tx8_langid_ngram",
     "bm1_bm25_search", "ss1_bruteforce_topk", "ss3_lsh_topk",
-    "ses1_sessionize", "ma1_trailing_window", "pg1_pagerank")
+    "ses1_sessionize", "ma1_trailing_window", "pg1_pagerank",
+    // the streaming / versioned-snapshot family: micro-batch count is
+    // fixed, so batches grow with the corpus — linear unless a
+    // per-batch stage hides a single-reducer or re-scan bottleneck
+    "mv2_stream_view", "sd2_sigstore_epochs", "t8_stream_latest",
+    // mixture resampling: counts agg + broadcast rates + explode
+    "cur10_target_mixture")
 
   private val Stride = 1000000000L
 

@@ -2113,6 +2113,48 @@ object QueriesOps {
         |       CAST(row_number() OVER (PARTITION BY h1 % 8 ORDER BY h2, doc_id) AS BIGINT) AS pos
         |FROM h ORDER BY doc_id""".stripMargin)),
 
+    // Explicit target-mixture resampling (the published recipe-table
+    // form): five strata at exact-binary weights summing to 1.0 (no
+    // normalization drift between engines), totalDocs = corpus size so
+    // the rates — and therefore which paths run (cap at 4 epochs,
+    // integer+fractional repeat, fractional-only, sub-1 downsample) —
+    // are SF-invariant (~20·w at this corpus's ~uniform strata).
+    // Up-sampling emits an epoch index per copy; the md5 content coin
+    // decides both the fractional repeat and the downsample, so both
+    // engines draw the identical multiset.
+    "cur10_target_mixture" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        Curate.mixToTarget(dd,
+            Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.125,
+              "src4" -> 0.09375, "src5" -> 0.03125),
+            totalDocs = dd.count())
+          .select("doc_id", "source", "epoch")
+          .orderBy("doc_id", "epoch")
+      },
+      Some("""WITH t AS (SELECT * FROM (VALUES
+        |    ('src1', CAST(0.5 AS DOUBLE)), ('src2', CAST(0.25 AS DOUBLE)),
+        |    ('src3', CAST(0.125 AS DOUBLE)), ('src4', CAST(0.09375 AS DOUBLE)),
+        |    ('src5', CAST(0.03125 AS DOUBLE))) AS v(source, w)),
+        |n AS (SELECT source, CAST(count(*) AS DOUBLE) AS ns
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT source,
+        |    least(w * CAST((SELECT count(*) FROM documents) AS DOUBLE) / ns,
+        |      CAST(4 AS DOUBLE)) AS rate
+        |  FROM n JOIN t USING (source)),
+        |h AS (SELECT doc_id, source,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 9),
+        |        i -> CAST(strpos('0123456789abcdef', substr(md5(text), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+        |      (a, x) -> a * 16 + x) AS DOUBLE)
+        |    / CAST(4294967296 AS DOUBLE) AS u
+        |  FROM documents),
+        |reps AS (SELECT doc_id, source,
+        |    CAST(floor(rate) + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS BIGINT) AS nrep
+        |  FROM h JOIN r USING (source))
+        |SELECT doc_id, source, CAST(unnest(range(0, nrep)) AS INTEGER) AS epoch
+        |FROM reps WHERE nrep > 0 ORDER BY doc_id, epoch""".stripMargin)),
+
     // Temperature (T=2) source rebalancing: stratum s keeps
     // (1/sqrt(n_s)) / max_t(1/sqrt(n_t)) of its docs via a
     // content-hash coin — seedless, so both engines flip identically.

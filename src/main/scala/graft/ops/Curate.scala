@@ -288,6 +288,64 @@ object Curate {
       .filter(col("u") < col("keep_rate"))
   }
 
+  /** Resample a corpus to an EXPLICIT target mixture — the recipe-table
+    * form every pretraining run publishes ("webtext 0.50, books 0.16,
+    * …"), as opposed to [[temperatureResample]]'s formulaic smoothing.
+    * Stratum `s` with `n_s` source docs and target weight `w_s`
+    * (weights are normalized over the strata present) is drawn at rate
+    * `r_s = w_s · totalDocs / n_s`:
+    *  - `r_s < 1` downsamples with the seedless md5 content coin
+    *    (same coin as [[temperatureResample]] — re-curation keeps
+    *    prior decisions);
+    *  - `r_s > 1` UP-samples by integer repetition: every doc appears
+    *    `⌊r_s⌋` times plus once more when its coin < frac(r_s), so the
+    *    stratum lands within one doc of its target in expectation and
+    *    deterministically given the corpus.
+    * Rates are capped at `maxRepeat` epochs — repeating data much past
+    * ~4 epochs stops buying model quality (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models"), so a target that
+    * demands more than `maxRepeat` passes is clamped, not honored.
+    * Strata absent from `targets` get weight 0 (dropped).
+    *
+    * Output = input columns + `epoch` (0-based repeat index): a
+    * downstream [[epochShuffle]] keyed on (id, epoch) spreads the
+    * copies through the training order instead of clustering them.
+    *
+    * Scale: per-stratum counts are a map-side-combinable aggregate;
+    * the (stratum, rate) table is rows-of-a-literal-map sized and
+    * broadcasts onto the corpus; repetition is a codegen'd
+    * sequence-explode — no corpus-side shuffle at all, output bytes
+    * bounded by `totalDocs · avg doc · (1 + 1/totalDocs)`.
+    */
+  def mixToTarget(docs: DataFrame, targets: Map[String, Double],
+                  totalDocs: Long, maxRepeat: Int = 4,
+                  stratumCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ >= 0.0),
+      "targets must be non-empty with non-negative weights")
+    require(totalDocs > 0 && maxRepeat >= 1, "totalDocs and maxRepeat must be positive")
+    val wSum = targets.values.sum
+    require(wSum > 0.0, "at least one target weight must be positive")
+    val tgt = docs.sparkSession.createDataFrame(
+      targets.toSeq.sortBy(_._1).map { case (s, w) => (s, w / wSum) })
+      .toDF(stratumCol, "__w")
+    val rates = docs.groupBy(col(stratumCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .join(tgt, stratumCol) // inner: unlisted strata are dropped
+      .withColumn("__r", least(col("__w") * lit(totalDocs.toDouble) / col("__n"),
+        lit(maxRepeat.toDouble)))
+      .select(col(stratumCol), col("__r"))
+    val u = conv(substring(md5(col(textCol)), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+    val nRep = (floor(col("__r")) +
+      when(u < col("__r") - floor(col("__r")), 1L).otherwise(0L)).cast("int")
+    docs.join(broadcast(rates), stratumCol)
+      .withColumn("__nrep", nRep)
+      .filter(col("__nrep") > 0) // sequence() would descend on (0, -1)
+      .withColumn("epoch", explode(sequence(lit(0), col("__nrep") - 1)))
+      .drop("__r", "__nrep")
+  }
+
   /** Corpus composition report: document and token counts per
     * (stratum, lang) with each cell's share of the total token budget —
     * the standard mixture table a data-curation run publishes.

@@ -115,14 +115,16 @@ object SigStore {
                numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
                textCol: String = "text", idCol: String = "doc_id",
                hashFn: Column => Column = Dedup.xxShingleHash,
-               bandHashFn: Column => Column = c => xxhash64(c)): Unit = {
+               bandHashFn: Column => Column = c => xxhash64(c),
+               storePartitions: Int = 0): Unit = {
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
           val surv = ingestEpoch(batch, storeDir, id, estThreshold,
-            numHashes, bands, shingleK, textCol, idCol, hashFn, bandHashFn)
+            numHashes, bands, shingleK, textCol, idCol, hashFn, bandHashFn,
+            storePartitions)
           surv.write.mode("overwrite").parquet(s"$outDir/epoch=$id")
         }
       }

@@ -42,6 +42,39 @@ class CurateSpec extends AnyFunSuite {
       .filter(col("b0") =!= 0L).isEmpty)
   }
 
+  test("mixToTarget: deterministic, capped, near-target, drops unlisted strata") {
+    val targets = Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.25)
+    val total = 60L
+    val m1 = Curate.mixToTarget(docs, targets, totalDocs = total).cache()
+    // deterministic: the identical multiset both runs
+    val m2 = Curate.mixToTarget(docs, targets, totalDocs = total)
+    assert(m1.select("doc_id", "epoch").exceptAll(m2.select("doc_id", "epoch")).isEmpty
+      && m2.select("doc_id", "epoch").exceptAll(m1.select("doc_id", "epoch")).isEmpty)
+    // strata outside the recipe are gone
+    assert(m1.filter(!col("source").isin("src1", "src2", "src3")).isEmpty)
+    // the epoch cap is a hard bound
+    assert(m1.filter(col("epoch") >= 4).isEmpty)
+    // per-stratum output lands within one doc of the (possibly capped)
+    // target: n_src * min(cap, w*total/n_src)
+    val nSrc = docs.filter(col("source").isin("src1", "src2", "src3"))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = m1.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((s, w) <- targets) {
+      val expect = nSrc(s) * math.min(4.0, w * total / nSrc(s))
+      assert(math.abs(got.getOrElse(s, 0L) - expect) <= math.max(1.0, 0.35 * expect),
+        s"$s: got ${got.getOrElse(s, 0L)}, expected ~$expect")
+    }
+    // every emitted copy is a real doc and epochs are dense from 0
+    assert(m1.join(docs, Seq("doc_id"), "left_anti").isEmpty)
+    assert(m1.groupBy("doc_id").agg(min("epoch").as("e0"),
+        max("epoch").as("emax"), count(lit(1)).as("n"))
+      .filter(col("e0") =!= 0 || col("n") =!= col("emax") + 1).isEmpty,
+      "per-doc epochs must be exactly 0..n-1")
+    m1.unpersist()
+  }
+
   test("PII scrub removes every seeded email/phone and is idempotent") {
     val seeded = docs.withColumn("text2",
       concat(col("text"), lit(" reach me at j.doe+spam@mail.example.org or 415-555-0123")))
