@@ -2113,6 +2113,37 @@ object QueriesOps {
         |       CAST(row_number() OVER (PARTITION BY h1 % 8 ORDER BY h2, doc_id) AS BIGINT) AS pos
         |FROM h ORDER BY doc_id""".stripMargin)),
 
+    // Shard manifest: the pipeline→trainer handoff artifact — per-shard
+    // doc/token/char counts plus an order-insensitive bit_xor fold of a
+    // 60-bit per-row md5 slice, over the epochShuffle(seed=1) shard
+    // assignment. The oracle recomputes the whole thing (assignment,
+    // counts, checksum) from raw text, so a single corrupted or
+    // reassigned row reddens the shard row in one engine and not the
+    // other — exactly the integrity property the manifest exists for.
+    "sm1_shard_manifest" -> Q(
+      (s, d) => {
+        val dd = docs(s, d).withColumn("shard",
+          Curate.shardAssign(col("doc_id"), nShards = 8, seed = 1L))
+        Curate.shardManifest(dd).orderBy("shard")
+      },
+      Some("""WITH h AS (SELECT doc_id, text,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5('1:' || CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+        |      (a, x) -> a * 16 + x) AS h1
+        |  FROM documents),
+        |sh AS (SELECT CAST(h1 % 8 AS INTEGER) AS shard, doc_id, text,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+        |      (a, x) -> a * 16 + x) AS rh
+        |  FROM h)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  bit_xor(rh) AS checksum
+        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin)),
+
     // Explicit target-mixture resampling (the published recipe-table
     // form): five strata at exact-binary weights summing to 1.0 (no
     // normalization drift between engines), totalDocs = corpus size so

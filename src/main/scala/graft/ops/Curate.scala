@@ -453,15 +453,23 @@ object Curate {
     * estimate exceeds ~4 GiB/shard. No global sort ever happens — the
     * "shuffle" lives entirely in the hash.
     */
+  /** The shard a document draws under [[epochShuffle]]'s seeded md5
+    * coin — exposed so downstream steps ([[shardManifest]]) can name a
+    * document's shard without paying the in-shard position window.
+    */
+  def shardAssign(idCol: Column, nShards: Int, seed: Long): Column =
+    pmod(conv(substring(
+      md5(concat(lit(seed.toString), lit(":"), idCol.cast("string"))), 1, 8),
+      16, 10).cast("long"), lit(nShards.toLong)).cast("int")
+
   def epochShuffle(docs: DataFrame, nShards: Int, seed: Long = 0L,
                    idCol: String = "doc_id"): DataFrame = {
     require(nShards > 0, "need at least one shard")
     shardSizeWarning(docs, nShards).foreach(System.err.println)
     val h = md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string")))
-    val h1 = conv(substring(h, 1, 8), 16, 10).cast("long")
     val h2 = conv(substring(h, 9, 8), 16, 10).cast("long")
     val w = Window.partitionBy(col("shard")).orderBy(col("__h2").asc, col(idCol).asc)
-    docs.withColumn("shard", pmod(h1, lit(nShards.toLong)).cast("int"))
+    docs.withColumn("shard", shardAssign(col(idCol), nShards, seed))
       .withColumn("__h2", h2)
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__h2")
@@ -482,6 +490,40 @@ object Curate {
         s"(> $warnBytes) — each shard position-sorts on one reducer; " +
         "raise nShards with the corpus so shards stay ~1 GB")
     else None
+  }
+
+  /** Shard manifest — the handoff-integrity artifact between the data
+    * pipeline and a training job: one row per shard with document,
+    * token, and character counts plus an ORDER-INSENSITIVE checksum,
+    * so the trainer can verify a shard it just read (in ANY order —
+    * parquet split order is not stable) against the manifest, and a
+    * resume can detect a silently rewritten shard without re-reading
+    * the rest of the lake.
+    *
+    * Checksum: per row, the first 15 md5 hex digits of `id:text` as a
+    * 60-bit integer (fits BIGINT in every engine — no 64-bit overflow
+    * edge), folded per shard with bit_xor. XOR is commutative and
+    * associative, so the fold is map-side combinable and file-order
+    * independent; a corrupted, dropped, or duplicated row flips the
+    * shard checksum with probability 1 − 2⁻⁶⁰ — integrity-check grade,
+    * not cryptographic (an ADVERSARY can forge XOR; use a signed
+    * per-file digest for that threat model).
+    *
+    * Scale: one map-side-combinable aggregation keyed by shard — the
+    * same profile as counts-by-key; the text itself never shuffles
+    * (each row contributes a 60-bit value).
+    */
+  def shardManifest(docs: DataFrame, shardCol: String = "shard",
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val rowHash = conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(":"), col(textCol))), 1, 15),
+      16, 10).cast("long")
+    docs.groupBy(col(shardCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(size(split(col(textCol), " ", -1))).cast("long").as("n_tokens"),
+        sum(length(col(textCol))).cast("long").as("n_chars"),
+        call_function("bit_xor", rowHash).as("checksum"))
   }
 
   def hashSplit(docs: DataFrame, idCol: String,

@@ -75,6 +75,30 @@ class CurateSpec extends AnyFunSuite {
     m1.unpersist()
   }
 
+  test("shardManifest: order-insensitive, corruption-sensitive, conserving") {
+    val sharded = docs.withColumn("shard",
+      Curate.shardAssign(col("doc_id"), nShards = 4, seed = 7L))
+    val m1 = Curate.shardManifest(sharded).cache()
+    // the checksum must not depend on row order / partitioning
+    val m2 = Curate.shardManifest(sharded.repartition(13).sortWithinPartitions("text"))
+    assert(m1.exceptAll(m2).isEmpty && m2.exceptAll(m1).isEmpty)
+    // totals conserve across shards
+    val nd = m1.agg(sum("n_docs")).head().getLong(0)
+    assert(nd === docs.count())
+    // flipping ONE row's text changes exactly that row's shard checksum
+    val someId = docs.select(min("doc_id")).head().getLong(0)
+    val corrupted = sharded.withColumn("text",
+      when(col("doc_id") === someId, concat(col("text"), lit("!"))).otherwise(col("text")))
+    val m3 = Curate.shardManifest(corrupted)
+    val diff = m1.select("shard", "checksum")
+      .exceptAll(m3.select("shard", "checksum")).collect()
+    assert(diff.length === 1, s"exactly one shard checksum must change, got ${diff.length}")
+    val hitShard = sharded.filter(col("doc_id") === someId)
+      .select("shard").head().getInt(0)
+    assert(diff.head.getInt(0) === hitShard)
+    m1.unpersist()
+  }
+
   test("PII scrub removes every seeded email/phone and is idempotent") {
     val seeded = docs.withColumn("text2",
       concat(col("text"), lit(" reach me at j.doe+spam@mail.example.org or 415-555-0123")))
