@@ -32,12 +32,19 @@ object Bench {
       val outcome =
         try {
           fn(spark, sfDir).count()
-          val times = (1 to 2).map { _ =>
+          def timed(): Double = {
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()
             (System.nanoTime() - t0) / 1e9
           }
-          Right(times.min)
+          val times = Seq(timed(), timed())
+          // the shared host shows multi-second stall EPISODES (co-tenant
+          // steal / IO freezes) that can swallow both timed runs; when
+          // the two disagree wildly, one of them hit an episode — take a
+          // third sample so the min reflects the code, not the stall
+          val all =
+            if (times.max > 2 * times.min + 0.5) times :+ timed() else times
+          Right(all.min)
         }
         catch { case e: Throwable => Left(e.getClass.getSimpleName + ": " + e.getMessage) }
       // drop blocks persisted inside the query (ann1 truth, dd3/dd5

@@ -99,11 +99,19 @@ object BenchScale {
   private def timeOf(fn: (SparkSession, String) => DataFrame,
                      spark: SparkSession, dir: String): Double = {
     fn(spark, dir).count() // warm: codegen + page cache
-    val t0 = System.nanoTime()
-    fn(spark, dir).count()
-    val sec = (System.nanoTime() - t0) / 1e9
+    def timed(): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // min-of-2 with an adaptive third sample when the two disagree
+    // wildly (same stall-episode defense as Bench): a ratio built from
+    // one sample per scale turns a host freeze into a fake scaling wall
+    val times = Seq(timed(), timed())
+    val all =
+      if (times.max > 2 * times.min + 0.5) times :+ timed() else times
     spark.catalog.clearCache()
-    sec
+    all.min
   }
 
   def main(args: Array[String]): Unit = {
