@@ -25,7 +25,8 @@ object Plans {
     "hl1_sketch_rollup", "io1_interval_overlap", "cd1_cumulative_distinct",
     "gr2_triangles", "md1_mode_per_group", "dd11_normalized_dedup",
     "hr1_hybrid_rrf", "dc3_overlap_fraction", "cur7_epoch_shuffle",
-    "dd9_duplicated_spans", "dd14_quality_canonical")
+    "dd9_duplicated_spans", "dd14_quality_canonical",
+    "cur10_target_mixture", "sm1_shard_manifest")
 
   /** (shuffle exchanges, broadcast exchanges) of the physical plan,
     * counted via tree walk, not the text dump: a persisted subtree's
