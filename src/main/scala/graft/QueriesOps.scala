@@ -882,6 +882,56 @@ object QueriesOps {
       },
       Some(OracleGen.pq2Sql())),
 
+    // Margin-based bitext mining (Artetxe & Schwenk 2019): the two
+    // label-parity halves of the embedding table play the two
+    // languages; mutual-best ratio-margin pairs above 1.05 are the
+    // mined "translations". avgK rides the ordered-left-fold
+    // discipline so margins (and therefore mutual-best ranks) are
+    // bit-identical across engines; cos/margin round(6) on output.
+    "bx1_bitext_margin" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        graft.ops.Similarity.bitextMine(
+            e.filter(pmod(col("label"), lit(2)) === 0),
+            e.filter(pmod(col("label"), lit(2)) === 1),
+            k = 4, marginThreshold = 1.05)
+          .select(col("s_id"), col("t_id"),
+            round(col("cos_sim"), 6).as("cos_sim"),
+            round(col("margin"), 6).as("margin"))
+          .orderBy("s_id")
+      },
+      Some("""WITH s AS (SELECT vec_id AS s_id, embedding AS s_vec FROM embeddings WHERE label % 2 = 0),
+        |t AS (SELECT vec_id AS t_id, embedding AS t_vec FROM embeddings WHERE label % 2 = 1),
+        |sc AS (SELECT s_id, t_id,
+        |    list_sum(list_transform(range(1, len(s_vec) + 1),
+        |      i -> CAST(s_vec[i] AS DOUBLE) * CAST(t_vec[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(s_vec) + 1),
+        |         i -> CAST(s_vec[i] AS DOUBLE) * CAST(s_vec[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(t_vec) + 1),
+        |         i -> CAST(t_vec[i] AS DOUBLE) * CAST(t_vec[i] AS DOUBLE))))) AS cos_sim
+        |  FROM s, t),
+        |rs AS (SELECT *, row_number() OVER (PARTITION BY s_id ORDER BY cos_sim DESC, t_id ASC) AS r FROM sc),
+        |rt AS (SELECT *, row_number() OVER (PARTITION BY t_id ORDER BY cos_sim DESC, s_id ASC) AS r FROM sc),
+        |avs AS (SELECT s_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(cos_sim ORDER BY cos_sim DESC, t_id ASC)), (a, x) -> a + x)
+        |    / count(*) AS avg_s
+        |  FROM rs WHERE r <= 4 GROUP BY s_id),
+        |avt AS (SELECT t_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(cos_sim ORDER BY cos_sim DESC, s_id ASC)), (a, x) -> a + x)
+        |    / count(*) AS avg_t
+        |  FROM rt WHERE r <= 4 GROUP BY t_id),
+        |m AS (SELECT sc.s_id, sc.t_id, cos_sim,
+        |    cos_sim / ((avg_s + avg_t) / 2.0) AS margin
+        |  FROM sc JOIN avs ON sc.s_id = avs.s_id JOIN avt ON sc.t_id = avt.t_id),
+        |b AS (SELECT *,
+        |    row_number() OVER (PARTITION BY s_id ORDER BY margin DESC, t_id ASC) AS bs,
+        |    row_number() OVER (PARTITION BY t_id ORDER BY margin DESC, s_id ASC) AS bt
+        |  FROM m)
+        |SELECT s_id, t_id, round(cos_sim, 6) AS cos_sim, round(margin, 6) AS margin
+        |FROM b WHERE bs = 1 AND bt = 1 AND margin > 1.05 ORDER BY s_id""".stripMargin)),
+
     "ss1_bruteforce_topk" -> Q(
       (s, d) => {
         val e = embs(s, d)

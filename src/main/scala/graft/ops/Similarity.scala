@@ -61,6 +61,75 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), col("sim"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
+    * LASER/CCMatrix construction): candidate cross-lingual pairs
+    * (s, t) are scored by RATIO MARGIN
+    *   margin(s,t) = cos(s,t) / ((avgK(s) + avgK(t)) / 2)
+    * where avgK(v) is the mean cosine of v's k nearest candidates on
+    * the other side — the normalization that suppresses "hub" vectors
+    * which are near everything. Emitted pairs are MUTUAL BEST matches
+    * (t is s's max-margin target and vice versa, ties by id) above
+    * `marginThreshold` — the precision-oriented intersection criterion.
+    *
+    * Engine portability (this is a gate query): avgK is computed as an
+    * explicit LEFT FOLD over the top-k cosines in (cos desc, id asc)
+    * order — the md5-fold discipline — so the averages, margins, and
+    * therefore the mutual-best ranks are bit-identical in any engine
+    * that folds the same ordered list.
+    *
+    * Scale: `candidates` defaults to the full cross join — correct for
+    * bounded sides (a language pair's aligned shard). At corpus scale
+    * pass LSH/IVF candidates ((s_id, t_id) from [[lshTopK]] /
+    * [[ivfTopK]] with k' > k); everything downstream of scoring
+    * shuffles (s_id, t_id, cos) triples only — the vectors never move
+    * after the one scoring pass.
+    */
+  def bitextMine(src: DataFrame, tgt: DataFrame, k: Int = 4,
+                 marginThreshold: Double = 1.05,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 candidates: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val s = src.select(col(idCol).as("s_id"), col(vecCol).as("s_vec"),
+      norm(col(vecCol)).as("s_norm"))
+    val t = tgt.select(col(idCol).as("t_id"), col(vecCol).as("t_vec"),
+      norm(col(vecCol)).as("t_norm"))
+    val paired = candidates match {
+      case Some(c) => c.select("s_id", "t_id").join(s, "s_id").join(t, "t_id")
+      case None    => s.crossJoin(t)
+    }
+    val scored = paired
+      .withColumn("cos_sim",
+        dot(col("s_vec"), col("t_vec")) / (col("s_norm") * col("t_norm")))
+      .select("s_id", "t_id", "cos_sim")
+    // top-k mean per side as an ordered left fold (portability, above)
+    def avgK(key: String, other: String, as: String): DataFrame = {
+      val w = Window.partitionBy(col(key))
+        .orderBy(col("cos_sim").desc, col(other).asc)
+      scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= k)
+        .groupBy(col(key))
+        .agg(sort_array(collect_list(
+          struct((-col("cos_sim")).as("nc"), col(other).as("oid"),
+            col("cos_sim").as("c")))).as("__l"))
+        .select(col(key),
+          (aggregate(transform(col("__l"), x => x.getField("c")),
+            lit(0.0), (acc, v) => acc + v) / size(col("__l"))).as(as))
+    }
+    val m = scored
+      .join(avgK("s_id", "t_id", "__avg_s"), "s_id")
+      .join(avgK("t_id", "s_id", "__avg_t"), "t_id")
+      .withColumn("margin",
+        col("cos_sim") / ((col("__avg_s") + col("__avg_t")) / lit(2.0)))
+    val bs = Window.partitionBy(col("s_id"))
+      .orderBy(col("margin").desc, col("t_id").asc)
+    val bt = Window.partitionBy(col("t_id"))
+      .orderBy(col("margin").desc, col("s_id").asc)
+    m.withColumn("__bs", row_number().over(bs))
+      .withColumn("__bt", row_number().over(bt))
+      .filter(col("__bs") === 1 && col("__bt") === 1
+        && col("margin") > marginThreshold)
+      .select(col("s_id"), col("t_id"), col("cos_sim"), col("margin"))
+  }
+
   /** Exact per-dimension winsorization bounds (the outlier-clamping
     * feature-scaling step beside [[standardize]]): for each dimension,
     * the RANK-BASED lower/upper clip values — lo = k-th smallest,

@@ -755,4 +755,32 @@ class OpsSpec extends AnyFunSuite {
         assert(row.getAs[Boolean](o), s"doc ${i + 1} should pass $o"))
     }
   }
+
+  test("bitextMine: planted translations mined, distractors and asymmetric matches rejected") {
+    import spark.implicits._
+    // 4 near-orthogonal "sentence" directions; side B holds an exact
+    // copy of each (a true translation) plus pure-noise distractors
+    def unit(axis: Int, dim: Int, wiggle: Seq[(Int, Float)] = Nil): Seq[Float] = {
+      val a = Array.fill(dim)(0.0f); a(axis) = 1.0f
+      wiggle.foreach { case (i, v) => a(i) = v }
+      a.toSeq
+    }
+    val dim = 8
+    val src = (0 until 4).map(i => (i.toLong, unit(i, dim))).toDF("vec_id", "embedding")
+    val tgt = ((0 until 4).map(i => (100L + i, unit(i, dim, Seq((7, 0.05f))))) ++
+      Seq((200L, unit(4, dim)), (201L, unit(5, dim)))).toDF("vec_id", "embedding")
+    val mined = graft.ops.Similarity.bitextMine(src, tgt, k = 2,
+      marginThreshold = 1.05).collect()
+    val pairs = mined.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs === Map(0L -> 100L, 1L -> 101L, 2L -> 102L, 3L -> 103L),
+      s"planted translations must be the mined set, got ${pairs.toSeq.sorted.mkString(",")}")
+    assert(mined.forall(_.getAs[Double]("margin") > 1.05))
+    // pruned-candidate path agrees with the exhaustive default
+    val cand = src.select(col("vec_id").as("s_id"))
+      .crossJoin(tgt.select(col("vec_id").as("t_id")))
+    val viaCand = graft.ops.Similarity.bitextMine(src, tgt, k = 2,
+      marginThreshold = 1.05, candidates = Some(cand))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaCand === pairs)
+  }
 }
