@@ -82,6 +82,27 @@ object Fuzzy {
       .distinct()
   }
 
+  /** [[ngramCandidates]]'s pair set CARRYING each pair's smallest
+    * shared-gram document frequency — one gram join then serves every
+    * df-cap variant as a filter (`min_df <= cap` ⇔ "shares a gram the
+    * capped index keeps", since df is global either way), instead of a
+    * re-join per cap. Used by [[blockingQuality]], which needs the
+    * capped AND uncapped sets of the SAME vocabulary.
+    */
+  def ngramCandidatesWithDf(strs: DataFrame, n: Int = 3): DataFrame = {
+    val s = col("s")
+    val grams = transform(sequence(lit(1), greatest(length(s) - (n - 1), lit(1))),
+      i => s.substr(i, lit(n)))
+    val keyed0 = strs.select(s, explode(array_distinct(grams)).as("g"))
+      .select(s, md5(col("g")).as("gk"))
+    val dfc = keyed0.groupBy("gk").agg(count(lit(1)).as("__df"))
+    val keyed = keyed0.join(dfc, "gk")
+    keyed.as("a").join(keyed.as("b"),
+        col("a.gk") === col("b.gk") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
+      .agg(min(col("a.__df")).as("min_df"))
+  }
+
   /** All-pairs self-join: every unordered pair (s1 < s2) of distinct
     * values of `strCol` with lev ≤ 1. Output: (s1, s2, dist).
     */
@@ -275,11 +296,17 @@ object Fuzzy {
       c.unpersist()
       out
     }
-    def union2(g: DataFrame) = deletionCandidates(strs).unionByName(g)
-      .dropDuplicates("s1", "s2")
-    val out = row("union_full", union2(ngramCandidates(strs, n)))
-      .unionByName(row("union_dfcap", union2(ngramCandidates(strs, n, dfCap))))
-    strs.unpersist(); truth.unpersist()
+    // both blocker variants from ONE deletion join and ONE gram join:
+    // the capped gram set is a min_df filter over the uncapped pairs
+    val delC = deletionCandidates(strs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gp = ngramCandidatesWithDf(strs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def union2(g: DataFrame) = delC.unionByName(g).dropDuplicates("s1", "s2")
+    val out = row("union_full", union2(gp.select("s1", "s2")))
+      .unionByName(row("union_dfcap",
+        union2(gp.filter(col("min_df") <= dfCap).select("s1", "s2"))))
+    delC.unpersist(); gp.unpersist(); strs.unpersist(); truth.unpersist()
     out
   }
 
