@@ -23,23 +23,34 @@ import org.apache.spark.sql.functions._
   */
 object Fuzzy {
 
-  /** Candidate pairs from the 1-deletion neighborhood (complete for
-    * lev ≤ 1). `strs` must be a single distinct column `s`.
+  /** The 1-deletion variant index (s, vk) — raw variant strings as the
+    * join key: for entity-key vocabularies the variant is SHORTER than
+    * any fixed-width digest, so hashing would widen the shuffle, not
+    * narrow it.
     */
-  def deletionCandidates(strs: DataFrame): DataFrame = {
+  private def deletionIndex(strs: DataFrame): DataFrame = {
     val s = col("s")
     // variant i=0 is the string itself; variant i in 1..len deletes
     // char i. substr is 1-based; both engines agree on that.
     val variants = transform(sequence(lit(0), length(s)), i =>
       when(i === lit(0), s).otherwise(
         concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s) - i))))
-    val keyed = strs.select(s, explode(array_distinct(variants)).as("v"))
-      .select(s, md5(col("v")).as("vk"))
+    strs.select(s, explode(array_distinct(variants)).as("vk"))
+  }
+
+  /** Pre-dedup deletion-blocked pairs (one row per shared variant). */
+  private def deletionCandidatesRaw(strs: DataFrame): DataFrame = {
+    val keyed = deletionIndex(strs)
     keyed.as("a").join(keyed.as("b"),
         col("a.vk") === col("b.vk") && col("a.s") < col("b.s"))
       .select(col("a.s").as("s1"), col("b.s").as("s2"))
-      .distinct()
   }
+
+  /** Candidate pairs from the 1-deletion neighborhood (complete for
+    * lev ≤ 1). `strs` must be a single distinct column `s`.
+    */
+  def deletionCandidates(strs: DataFrame): DataFrame =
+    deletionCandidatesRaw(strs).distinct()
 
   /** Candidate pairs sharing at least one character n-gram — the
     * SECOND blocking family, catching the edit shapes a 1-deletion
@@ -58,13 +69,28 @@ object Fuzzy {
     * the blocking index; completeness then holds per that prefix
     * lemma's overlap bound instead of the count filter.
     */
-  def ngramCandidates(strs: DataFrame, n: Int = 3,
-                      dfCap: Long = Long.MaxValue): DataFrame = {
+  /** The char-n-gram index (s, g) — one row per distinct gram of each
+    * string, raw gram as the join key (an n-char key is narrower than
+    * any digest).
+    */
+  private def gramIndex(strs: DataFrame, n: Int): DataFrame = {
     val s = col("s")
     val grams = transform(sequence(lit(1), greatest(length(s) - (n - 1), lit(1))),
       i => s.substr(i, lit(n)))
-    val keyed0 = strs.select(s, explode(array_distinct(grams)).as("g"))
-      .select(s, md5(col("g")).as("gk"))
+    strs.select(s, explode(array_distinct(grams)).as("g"))
+  }
+
+  /** Pre-dedup gram-blocked pairs from an index (one row per shared
+    * gram).
+    */
+  private def gramPairsRaw(keyed: DataFrame): DataFrame =
+    keyed.as("a").join(keyed.as("b"),
+        col("a.g") === col("b.g") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("s1"), col("b.s").as("s2"))
+
+  def ngramCandidates(strs: DataFrame, n: Int = 3,
+                      dfCap: Long = Long.MaxValue): DataFrame = {
+    val keyed0 = gramIndex(strs, n)
     // df-cap pruning (the stop-gram discipline): grams shared by more
     // than dfCap strings are vocabulary chrome ("use"/"ser" in user-N
     // ids) that would block everything with everything — drop them from
@@ -73,34 +99,10 @@ object Fuzzy {
     val keyed =
       if (dfCap == Long.MaxValue) keyed0
       else {
-        val df = keyed0.groupBy("gk").agg(count(lit(1)).as("__df"))
-        keyed0.join(df.filter(col("__df") <= dfCap).select("gk"), "gk")
+        val df = keyed0.groupBy("g").agg(count(lit(1)).as("__df"))
+        keyed0.join(df.filter(col("__df") <= dfCap).select("g"), "g")
       }
-    keyed.as("a").join(keyed.as("b"),
-        col("a.gk") === col("b.gk") && col("a.s") < col("b.s"))
-      .select(col("a.s").as("s1"), col("b.s").as("s2"))
-      .distinct()
-  }
-
-  /** [[ngramCandidates]]'s pair set CARRYING each pair's smallest
-    * shared-gram document frequency — one gram join then serves every
-    * df-cap variant as a filter (`min_df <= cap` ⇔ "shares a gram the
-    * capped index keeps", since df is global either way), instead of a
-    * re-join per cap. Used by [[blockingQuality]], which needs the
-    * capped AND uncapped sets of the SAME vocabulary.
-    */
-  def ngramCandidatesWithDf(strs: DataFrame, n: Int = 3): DataFrame = {
-    val s = col("s")
-    val grams = transform(sequence(lit(1), greatest(length(s) - (n - 1), lit(1))),
-      i => s.substr(i, lit(n)))
-    val keyed0 = strs.select(s, explode(array_distinct(grams)).as("g"))
-      .select(s, md5(col("g")).as("gk"))
-    val dfc = keyed0.groupBy("gk").agg(count(lit(1)).as("__df"))
-    val keyed = keyed0.join(dfc, "gk")
-    keyed.as("a").join(keyed.as("b"),
-        col("a.gk") === col("b.gk") && col("a.s") < col("b.s"))
-      .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
-      .agg(min(col("a.__df")).as("min_df"))
+    gramPairsRaw(keyed).distinct()
   }
 
   /** All-pairs self-join: every unordered pair (s1 < s2) of distinct
@@ -252,14 +254,35 @@ object Fuzzy {
     * sampled regime `n_truth`/`n_caught` carry the within-sample
     * counts (the ratio columns are the estimates); below the guard the
     * exact path is byte-identical to before.
+    *
+    * The OTHER quadratic hazard is the uncapped gram blocker itself: a
+    * gram shared by D strings blocks D²/2 pairs, so on boilerplate
+    * vocabularies ("user-NNN": "use"/"ser" have D = n) the full-union
+    * candidate COUNT is Θ(n²) — and a join would materialize it just
+    * to count it. This implementation never does: the top `denseBits`
+    * grams by document frequency (among those over `dfCap`) form a
+    * MASK TIER — each string gets a ≤ 64-bit membership mask, strings
+    * group by mask (boilerplate vocabularies collapse to few distinct
+    * masks), and "pairs sharing a dense gram" is the closed-form
+    * Σ c_i·c_j over mask pairs with intersecting bits — computed on
+    * the ≤ `maskCap` mask GROUPS, never on string pairs. Only the
+    * remaining grams (df ≤ dfCap plus any dense overflow past 64) go
+    * through the equi-join, whose output is df-bounded. The df-capped
+    * variant is untouched by the mask tier (every masked gram has
+    * df > dfCap by construction). If the vocabulary yields more than
+    * `maskCap` distinct masks — no boilerplate structure to exploit —
+    * the mask tier is abandoned and all grams take the join path (the
+    * pre-optimization behavior).
     */
   def blockingQuality(df: DataFrame, strCol: String,
                       maxDist: Int = 2, n: Int = 3,
                       dfCap: Long = 30L,
-                      maxVocab: Long = 10000L): DataFrame = {
+                      maxVocab: Long = 10000L,
+                      maskCap: Int = 4096): DataFrame = {
     require(maxVocab > 0, "maxVocab must be positive")
-    val strs = df.select(col(strCol).as("s")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = df.sparkSession
+    val strs = df.select(col(strCol).as("s")).distinct().persist(mem)
     val nStr = strs.count()
     val truthBase =
       if (nStr <= maxVocab) strs
@@ -277,36 +300,131 @@ object Fuzzy {
     val truth = truthBase.as("a").join(truthBase.as("b"), col("a.s") < col("b.s"))
       .select(col("a.s").as("s1"), col("b.s").as("s2"))
       .filter(levenshtein(col("s1"), col("s2")) <= maxDist)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nTruth = truth.count()
-    def row(name: String, cand: DataFrame): DataFrame = {
-      val c = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val out = strs.sparkSession.range(1).select(
+
+    // ---- gram tiers ------------------------------------------------
+    val idx = gramIndex(strs, n).persist(mem)
+    val dfc = idx.groupBy("g").agg(count(lit(1)).as("gdf"))
+    // deterministic top-64 dense grams (bounded collect: 64 rows)
+    val denseTop = dfc.filter(col("gdf") > dfCap)
+      .orderBy(col("gdf").desc, col("g")).limit(64)
+      .select("g").collect().map(_.getString(0))
+    val bitOf = denseTop.zipWithIndex.toMap
+    // per-string mask over the dense tier; strings with no dense gram
+    // keep mask 0 (they can only pair through the join tier)
+    val denseDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        bitOf.toSeq.map { case (g, b) => org.apache.spark.sql.Row(g, 1L << b) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("bitv",
+          org.apache.spark.sql.types.LongType))))
+    val masks = strs
+      .join(idx.join(broadcast(denseDf), "g")
+          .groupBy("s").agg(expr("bit_or(bitv)").as("mask")),
+        Seq("s"), "left")
+      .na.fill(0L, Seq("mask"))
+      .persist(mem)
+    // mask groups: few on boilerplate vocabularies; guarded collect
+    val maskCounts = masks.filter(col("mask") =!= 0L)
+      .groupBy("mask").agg(count(lit(1)).as("c"))
+      .limit(maskCap + 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val maskTierOn = denseTop.nonEmpty && maskCounts.length <= maskCap
+    // closed-form count of unordered string pairs sharing a dense gram
+    val nMaskPairs: Long = if (!maskTierOn) 0L else {
+      var acc = 0L
+      var i = 0
+      while (i < maskCounts.length) {
+        val (mi, ci) = maskCounts(i)
+        acc += ci * (ci - 1) / 2 // within one mask group: always share
+        var j = i + 1
+        while (j < maskCounts.length) {
+          val (mj, cj) = maskCounts(j)
+          if ((mi & mj) != 0L) acc += ci * cj
+          j += 1
+        }
+        i += 1
+      }
+      acc
+    }
+    // join tier: every gram outside the mask tier (rare grams always;
+    // plus ALL grams when the mask tier is off). Carry gdf so the
+    // df-capped variant is a filter, not a second join.
+    val joinIdx =
+      if (maskTierOn)
+        idx.join(broadcast(denseDf.select("g")), Seq("g"), "left_anti")
+          .join(dfc, "g")
+      else idx.join(dfc, "g")
+    // min gdf per joined pair drives the cap filter
+    val jpMin = joinIdx.as("a").join(joinIdx.as("b"),
+        col("a.g") === col("b.g") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
+      .agg(min(col("a.gdf")).as("min_df"))
+      .persist(mem)
+    val delC = deletionCandidates(strs).persist(mem)
+    val baseFull = delC.unionByName(jpMin.select("s1", "s2"))
+      .dropDuplicates("s1", "s2").persist(mem)
+    val baseCap = delC.unionByName(
+        jpMin.filter(col("min_df") <= dfCap).select("s1", "s2"))
+      .dropDuplicates("s1", "s2").persist(mem)
+    // annotate a pair set with "shares a dense (masked) gram"; with the
+    // mask tier off every gram took the join path, so nothing shares
+    def withShare(p: DataFrame): DataFrame =
+      if (!maskTierOn) p.withColumn("__share", lit(false))
+      else p
+        .join(masks.select(col("s").as("s1"), col("mask").as("m1")), "s1")
+        .join(masks.select(col("s").as("s2"), col("mask").as("m2")), "s2")
+        .withColumn("__share", (col("m1").bitwiseAND(col("m2"))) =!= 0L)
+
+    def metricRow(name: String, nCand: Long, nTruth: Long,
+                  nCaught: Long): DataFrame =
+      spark.range(1).select(
         lit(name).as("blocker"),
         lit(nStr).as("n_strings"),
         lit(nStr * (nStr - 1) / 2).as("n_all_pairs"),
-        lit(c.count()).as("n_candidates"),
+        lit(nCand).as("n_candidates"),
         lit(nTruth).as("n_truth"),
-        lit(truth.join(c, Seq("s1", "s2"), "left_semi").count()).as("n_caught"))
+        lit(nCaught).as("n_caught"))
         .withColumn("pair_completeness",
           round(col("n_caught").cast("double") / col("n_truth").cast("double"), 6))
         .withColumn("reduction_ratio",
           round(lit(1.0) - col("n_candidates").cast("double")
             / col("n_all_pairs").cast("double"), 6))
-      c.unpersist()
-      out
-    }
-    // both blocker variants from ONE deletion join and ONE gram join:
-    // the capped gram set is a min_df filter over the uncapped pairs
-    val delC = deletionCandidates(strs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val gp = ngramCandidatesWithDf(strs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def union2(g: DataFrame) = delC.unionByName(g).dropDuplicates("s1", "s2")
-    val out = row("union_full", union2(gp.select("s1", "s2")))
-      .unionByName(row("union_dfcap",
-        union2(gp.filter(col("min_df") <= dfCap).select("s1", "s2"))))
-    delC.unpersist(); gp.unpersist(); strs.unpersist(); truth.unpersist()
+
+    // ONE action for every remaining count — the metric is latency-
+    // bound (many tiny jobs), so the four scalar aggregates union into
+    // a single collected frame and Spark runs their subtrees in one job:
+    //  - candfull_rest: |baseFull \ maskPairs| (union_full candidates
+    //    beyond the closed-form mask-pair count)
+    //  - the truth row: n_truth plus caught-by-full (shares a dense
+    //    gram OR in baseFull) and caught-by-cap (in baseCap) marked via
+    //    left-join hit flags
+    //  - candcap: |baseCap|
+    val truthAnnot = withShare(truth)
+      .join(baseFull.withColumn("__hf", lit(1)), Seq("s1", "s2"), "left")
+      .join(baseCap.withColumn("__hc", lit(1)), Seq("s1", "s2"), "left")
+    val stats = withShare(baseFull).filter(!col("__share"))
+      .agg(count(lit(1)).as("a"), lit(0L).as("b"), lit(0L).as("c"))
+      .withColumn("k", lit("candfull_rest"))
+      .unionByName(truthAnnot.agg(
+        count(lit(1)).as("a"),
+        count(when(col("__share") || col("__hf").isNotNull, 1)).as("b"),
+        count(when(col("__hc").isNotNull, 1)).as("c"))
+        .withColumn("k", lit("truth")))
+      .unionByName(baseCap
+        .agg(count(lit(1)).as("a"), lit(0L).as("b"), lit(0L).as("c"))
+        .withColumn("k", lit("candcap")))
+    val m = stats.collect()
+      .map(r => r.getString(3) -> (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toMap
+    val (nTruth, nCaughtFull, nCaughtCap) = m("truth")
+    val nCandFull = nMaskPairs + m("candfull_rest")._1
+    val nCandCap = m("candcap")._1
+    val out = metricRow("union_full", nCandFull, nTruth, nCaughtFull)
+      .unionByName(metricRow("union_dfcap", nCandCap, nTruth, nCaughtCap))
+    Seq(idx, masks, jpMin, delC, baseFull, baseCap, strs)
+      .foreach(_.unpersist())
     out
   }
 
@@ -322,6 +440,10 @@ object Fuzzy {
   def selfJoinFuzzy(df: DataFrame, strCol: String,
                     maxDist: Int = 2, n: Int = 3): DataFrame = {
     val strs = df.select(col(strCol).as("s")).distinct()
+    // dedup BEFORE verifying: levenshtein is O(len²) per row, so it
+    // runs once per DISTINCT candidate pair, not once per shared key
+    // occurrence (measured 2× on the boilerplate vocab, where dense
+    // grams emit each pair several times)
     deletionCandidates(strs).unionByName(ngramCandidates(strs, n))
       .dropDuplicates("s1", "s2")
       .withColumn("dist", levenshtein(col("s1"), col("s2")))
