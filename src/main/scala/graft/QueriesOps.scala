@@ -2257,6 +2257,79 @@ object QueriesOps {
         |FROM h JOIN r USING (lang) WHERE u < keep_rate
         |ORDER BY doc_id""".stripMargin)),
 
+    // DSIR data selection (Xie et al. 2023): raw docs scored by hashed
+    // unigram+bigram importance vs the English-target distribution,
+    // Gumbel-top-k drawn without replacement. Per-bucket log-ratios are
+    // quantized to integer micro-units BEFORE the per-doc sum, so the
+    // score is an order-free long sum both engines reproduce exactly;
+    // only the one-per-doc Gumbel term stays float (rounded on output).
+    "ds1_dsir_select" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        Curate.dsirSelect(dd, dd.filter(col("lang") === "en"), k = 100)
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("logw_micro"), round(col("gumbel_key"), 6).as("gkey"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, lang, unnest(w ||
+        |    list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])) AS term
+        |  FROM tok),
+        |fb AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 9),
+        |        i -> CAST(strpos('0123456789abcdef', substr(md5(term), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+        |      (a, x) -> a * 16 + x) % 256 AS b
+        |  FROM feat),
+        |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM fb WHERE lang = 'en' GROUP BY b),
+        |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM fb GROUP BY b),
+        |wt AS (
+        |  SELECT r.b,
+        |    CAST(round((ln((coalesce(tc.ct, 0) + 1) / CAST((SELECT sum(ct) FROM tc) + 256 AS DOUBLE))
+        |      - ln((coalesce(rc.cr, 0) + 1) / CAST((SELECT sum(cr) FROM rc) + 256 AS DOUBLE))) * 1e6) AS BIGINT) AS lw_micro
+        |  FROM (SELECT unnest(range(0, 256)) AS b) r
+        |  LEFT JOIN tc USING (b) LEFT JOIN rc USING (b)),
+        |pd AS (
+        |  SELECT fb.doc_id, CAST(sum(wt.lw_micro) AS BIGINT) AS logw_micro
+        |  FROM fb JOIN wt USING (b) GROUP BY fb.doc_id),
+        |scored AS (
+        |  SELECT d.doc_id, d.source, d.lang,
+        |    coalesce(pd.logw_micro, 0) AS logw_micro,
+        |    coalesce(pd.logw_micro, 0) / 1e6
+        |      - ln(0.0 - ln((CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(range(1, 9),
+        |            i -> CAST(strpos('0123456789abcdef', substr(md5(d.text), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+        |          (a, x) -> a * 16 + x) AS DOUBLE) + 0.5) / 4294967296.0)) AS gumbel_key
+        |  FROM documents d LEFT JOIN pd USING (doc_id)),
+        |sel AS (SELECT * FROM scored ORDER BY gumbel_key DESC, doc_id LIMIT 100)
+        |SELECT doc_id, source, lang, logw_micro, round(gumbel_key, 6) AS gkey
+        |FROM sel ORDER BY doc_id""".stripMargin)),
+
+    // Weighted sample without replacement (Efraimidis-Spirakis A-ES):
+    // 50 docs drawn proportional to n_chars via the ln(u)/w key — the
+    // one-pass, RNG-free form of "sample k docs by token weight".
+    "cur11_weighted_sample" -> Q(
+      (s, d) => Curate.weightedSample(docs(s, d), k = 50, weightCol = "n_chars")
+        .select(col("doc_id"), col("n_chars"),
+          round(col("sample_key"), 9).as("skey"))
+        .orderBy("doc_id"),
+      Some("""WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    ln((CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 9),
+        |        i -> CAST(strpos('0123456789abcdef', substr(md5(text), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+        |      (a, x) -> a * 16 + x) AS DOUBLE) + 0.5) / 4294967296.0)
+        |    / CAST(n_chars AS DOUBLE) AS skey
+        |  FROM documents),
+        |sel AS (SELECT * FROM h ORDER BY skey DESC, doc_id LIMIT 50)
+        |SELECT doc_id, n_chars, round(skey, 9) AS skey
+        |FROM sel ORDER BY doc_id""".stripMargin)),
+
     // BM25 keyword retrieval for a fixed term list. k1=1.0, b=0.5 in
     // the registered query: exactly-representable binary constants, so
     // the plan-time-folded Scala doubles and the oracle's literals are

@@ -538,4 +538,113 @@ object Curate {
       }
     docs.withColumn("split", assign)
   }
+
+  /** The hashed unigram+bigram feature stream of a text corpus: one row
+    * per feature OCCURRENCE, bucketed into `nBuckets` via the md5 coin
+    * (portable across engines, unlike murmur/xxhash). Tokenization is
+    * the house convention (lower + single-space split, empties
+    * dropped); bigrams join with '_'.
+    */
+  private def hashedNgramFeatures(docs: DataFrame, nBuckets: Int,
+                                  idCol: String, textCol: String): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), " "),
+      t => length(t) > lit(0))
+    val unis = toks
+    val bis = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        concat(element_at(toks, i), lit("_"), element_at(toks, i + 1))))
+      .otherwise(array())
+    docs.select(col(idCol), explode(concat(unis, bis)).as("__term"))
+      .select(col(idCol),
+        pmod(conv(substring(md5(col("__term")), 1, 8), 16, 10).cast("long"),
+          lit(nBuckets.toLong)).as("b"))
+  }
+
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score every raw document by
+    * how target-like its hashed-n-gram profile is, then draw `k`
+    * documents WITHOUT replacement, importance-weighted, via the Gumbel
+    * top-k trick.
+    *
+    *  - Features: hashed unigram+bigram counts over `nBuckets` buckets
+    *    (the paper's bag-of-hashed-ngrams).
+    *  - Both corpora fit add-one-smoothed bucket distributions p
+    *    (target) and q (raw); a document's log importance weight is
+    *    Σ over its feature occurrences of ln(p_b/q_b).
+    *  - Each per-bucket log-ratio is QUANTIZED to integer micro-units
+    *    (round(·×1e6) as long) before the per-document sum, so the sum
+    *    is order-free and bit-identical in any engine — the float-sum
+    *    nondeterminism a parallel reduce would otherwise leak into the
+    *    selection order.
+    *  - Gumbel key: logw + (−ln(−ln u)) with the content-hash coin u
+    *    shifted to (0,1) by +0.5/2³² (keeps both logs finite). Top-k by
+    *    (key desc, id) IS importance resampling without replacement
+    *    (Efraimidis-Spirakis / Gumbel-max equivalence).
+    *
+    * Scale: two map-side-combinable bucket aggregations (nBuckets-row
+    * results), a broadcast of the bucket-weight table onto the feature
+    * stream, one per-doc combinable long sum, and a distributed top-k
+    * (TakeOrdered — no global sort). Text never shuffles; the widest
+    * intermediate is (id, bucket) pairs.
+    */
+  def dsirSelect(raw: DataFrame, target: DataFrame, k: Int,
+                 nBuckets: Int = 256, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(k > 0 && nBuckets > 0, "k and nBuckets must be positive")
+    val spark = raw.sparkSession
+    def bucketCounts(df: DataFrame, cname: String): DataFrame =
+      hashedNgramFeatures(df, nBuckets, idCol, textCol)
+        .groupBy("b").agg(count(lit(1)).cast("long").as(cname))
+    val tc = bucketCounts(target, "ct")
+    val rc = bucketCounts(raw, "cr")
+    val tTot = tc.agg(sum(col("ct")).as("t_tot"))
+    val rTot = rc.agg(sum(col("cr")).as("r_tot"))
+    // every bucket appears (smoothing needs the zeros), totals ride in
+    // as broadcast one-row scalars
+    val weights = spark.range(nBuckets).select(col("id").as("b"))
+      .join(tc, Seq("b"), "left").join(rc, Seq("b"), "left")
+      .na.fill(0L, Seq("ct", "cr"))
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("b"), round((
+          log((col("ct") + 1).cast("double")
+            / (col("t_tot") + nBuckets).cast("double"))
+          - log((col("cr") + 1).cast("double")
+            / (col("r_tot") + nBuckets).cast("double"))) * 1e6)
+        .cast("long").as("lw_micro"))
+    val perDoc = hashedNgramFeatures(raw, nBuckets, idCol, textCol)
+      .join(broadcast(weights), "b")
+      .groupBy(idCol).agg(sum(col("lw_micro")).as("logw_micro"))
+    val u = (conv(substring(md5(col(textCol)), 1, 8), 16, 10)
+      .cast("long").cast("double") + 0.5) / 4294967296.0
+    raw.join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("logw_micro"))
+      .withColumn("logw", col("logw_micro").cast("double") / 1e6)
+      .withColumn("gumbel_key",
+        col("logw") - log(lit(0.0) - log(u)))
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** One-pass weighted sample without replacement (Efraimidis-Spirakis
+    * A-ES, 2006): each row draws the key ln(u)/w — order-equivalent to
+    * u^(1/w) but with one portable ln instead of a pow — and the k
+    * LARGEST keys are the weighted sample. u is the content-hash coin
+    * shifted into (0,1); weights must be strictly positive.
+    *
+    * This is how "sample 10k docs proportional to token count /
+    * quality" runs at 100 TB: a narrow per-row key plus a distributed
+    * top-k (TakeOrdered), no global sort, no RNG state, reproducible
+    * across runs and engines.
+    */
+  def weightedSample(docs: DataFrame, k: Int, weightCol: String,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (conv(substring(md5(col(textCol)), 1, 8), 16, 10)
+      .cast("long").cast("double") + 0.5) / 4294967296.0
+    docs
+      .withColumn("sample_key", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -363,4 +363,51 @@ class CurateSpec extends AnyFunSuite {
     val rekept = Curate.kAnonymityReport(kept, Seq("q1", "q2"), "uid", 2, 2)
     assert(rekept.filter(!col("k_ok")).count() === 0L)
   }
+
+  test("dsirSelect scores target-like docs above off-target and draws without replacement") {
+    import spark.implicits._
+    // two disjoint vocabularies: the target corpus speaks 'aqua'; raw
+    // holds 6 aqua docs and 6 'zeta' docs with distinct word mixes
+    val tgt = (0 until 8).map(i =>
+      (1000L + i, s"aqua blue sea wave tide foam aqua blue sea w$i")).toDF("doc_id", "text")
+    val raw = ((0 until 6).map(i =>
+        (i.toLong, s"aqua blue sea wave tide foam crest r$i")) ++
+      (6 until 12).map(i =>
+        (i.toLong, s"zeta gamma delta omega sigma kappa r$i"))).toDF("doc_id", "text")
+    val scored = Curate.dsirSelect(raw, tgt, k = 12)
+    val byId = scored.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("logw_micro")).toMap
+    assert(byId.size === 12, "k = n returns every doc exactly once")
+    val aquaMin = (0 until 6).map(i => byId(i.toLong)).min
+    val zetaMax = (6 until 12).map(i => byId(i.toLong)).max
+    assert(aquaMin > zetaMax,
+      s"every target-vocab doc must outscore every off-target doc ($aquaMin vs $zetaMax)")
+    // top-3 selection is deterministic and all target-like
+    val top = Curate.dsirSelect(raw, tgt, k = 3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(top === Curate.dsirSelect(raw, tgt, k = 3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet, "selection must be reproducible")
+    assert(top.forall(_ < 6L), s"top-3 must be target-like docs, got $top")
+  }
+
+  test("weightedSample: subset without replacement, deterministic, weight-monotone") {
+    import spark.implicits._
+    // one heavy doc (weight 1e9) among unit-weight docs: its key
+    // ln(u)/1e9 is within 1e-8 of zero while a unit key needs u >
+    // exp(-1e-8) (p < 1e-8 per doc) to compete — the heavy doc wins
+    // any k >= 1 sample for ANY coin values
+    val rows = ((0 until 20).map(i => (i.toLong, s"doc text $i", 1.0)) :+
+      (99L, "heavy doc", 1e9)).toDF("doc_id", "text", "w")
+    val s5 = Curate.weightedSample(rows, k = 5, weightCol = "w")
+    assert(s5.count() === 5L)
+    assert(s5.select("doc_id").distinct().count() === 5L, "no replacement")
+    assert(s5.filter(col("doc_id") === 99L).count() === 1L,
+      "the overwhelming-weight doc must be drawn")
+    assert(s5.join(rows, Seq("doc_id"), "left_anti").isEmpty, "sample is a subset")
+    val again = Curate.weightedSample(rows, k = 5, weightCol = "w")
+    assert(s5.select("doc_id").exceptAll(again.select("doc_id")).isEmpty,
+      "sample must be reproducible")
+    // k = n returns everything
+    assert(Curate.weightedSample(rows, k = 21, weightCol = "w").count() === 21L)
+  }
 }
