@@ -1739,6 +1739,59 @@ object QueriesOps {
         |  mr.max_run
         |FROM s JOIN mr ON mr.doc_id = s.doc_id ORDER BY s.doc_id""".stripMargin)),
 
+    // AU4: audio near-dup via the energy-envelope fingerprint + banded
+    // hamming join — the audio member of the near-dup family (text:
+    // dd3/dd4; images: mm6; embeddings: ss4). Corpus = docs<200 plus
+    // planted one-char variants at +12800 (≡0 mod 512, so the variant
+    // keeps its sample count and byte phase — a genuine near-duplicate;
+    // measured: every planted pair lands within hamming 4, nearest
+    // non-planted pair sits at 13). The oracle resynthesizes every
+    // fingerprint from the WAV rule and runs the n² hamming form,
+    // proving the 8-band pigeonhole lossless at maxDist 6.
+    "au4_audio_neardup" -> Q(
+      (s, d) => {
+        val base = docs(s, d).filter(col("doc_id") < 200).select("doc_id", "text")
+        val planted = base.select((col("doc_id") + 12800).as("doc_id"),
+          concat(lit("Q"), expr("substring(text, 2)")).as("text"))
+        Multimodal.audioNearDupPairs(
+            Multimodal.audioFingerprint(
+              Multimodal.wavFromDocuments(base.unionByName(planted))),
+            maxDist = 6, bands = 8)
+          .orderBy("d1", "d2")
+      },
+      Some("""WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id + 12800, 'Q' || substr(text, 2) FROM documents WHERE doc_id < 200),
+        |b AS (SELECT doc_id, hex(encode(text)) AS hx FROM docs2),
+        |d AS (SELECT doc_id,
+        |    CAST(256 + doc_id % 512 AS INTEGER) AS n,
+        |    list_transform(range(1, length(hx)//2 + 1),
+        |      i -> strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) * 16
+        |         + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 17) AS bytes
+        |  FROM b),
+        |s AS (SELECT doc_id, n,
+        |    list_transform(range(0, n),
+        |      i -> (bytes[(i % len(bytes)) + 1] - 128) * 256) AS smp
+        |  FROM d),
+        |e AS (SELECT doc_id,
+        |    list_transform(range(0, 65),
+        |      f -> coalesce(list_sum(list_transform(
+        |        range(f*n//65, (f+1)*n//65),
+        |        i -> CAST(smp[i+1] AS BIGINT) * smp[i+1])), 0)) AS en
+        |  FROM s),
+        |fp AS (SELECT doc_id,
+        |    list_reduce(list_transform(range(1, 65),
+        |      f -> CASE WHEN en[f+1] > en[f] THEN '1' ELSE '0' END),
+        |      (a, x) -> a || x) AS bits
+        |  FROM e),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(len(list_filter(range(1, 65),
+        |      i -> substr(a.bits, i, 1) != substr(b.bits, i, 1))) AS BIGINT) AS hamming
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+        |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 6
+        |ORDER BY d1, d2""".stripMargin)),
+
     // the composite curation pipeline a training-data run would execute:
     // quality gate -> language gate -> exact dedup -> token budget,
     // one declarative plan, fully oracle-checkable

@@ -282,26 +282,93 @@ object Multimodal {
     * is provable by the oracle running the n² form.
     */
   def imageNearDupPairs(hashes: Dataset[ImageHash], maxDist: Int = 3,
-                        bands: Int = 4): DataFrame = {
+                        bands: Int = 4): DataFrame =
+    bandedHammingPairs(hashes.toDF(), "ahash_bits", 64, maxDist, bands)
+
+  /** The banded-hamming candidate join shared by every 64-bit
+    * fingerprint modality (images: [[imageNearDupPairs]]; audio:
+    * [[audioNearDupPairs]]): band equi-join for lossless candidates
+    * (pigeonhole: `bands > maxDist` ⇒ a qualifying pair matches some
+    * band exactly), in-row bit compare for verification.
+    */
+  private def bandedHammingPairs(hashes: DataFrame, bitsCol: String,
+                                 nBits: Int, maxDist: Int,
+                                 bands: Int): DataFrame = {
     require(bands > maxDist, "pigeonhole needs bands > maxDist")
-    val bandLen = 64 / bands
-    val banded = hashes.toDF().select(col("doc_id"), col("ahash_bits"),
+    val bandLen = nBits / bands
+    val banded = hashes.select(col("doc_id"), col(bitsCol),
       explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-        s"struct(b AS band_idx, substring(ahash_bits, b*$bandLen + 1, $bandLen) AS band))"))
+        s"struct(b AS band_idx, substring($bitsCol, b*$bandLen + 1, $bandLen) AS band))"))
         .as("bd"))
-      .select(col("doc_id"), col("ahash_bits"), col("bd.band_idx"), col("bd.band"))
+      .select(col("doc_id"), col(bitsCol), col("bd.band_idx"), col("bd.band"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.band") === col("b.band")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.ahash_bits").as("h1"), col("b.ahash_bits").as("h2"))
+        col(s"a.$bitsCol").as("h1"), col(s"b.$bitsCol").as("h2"))
       .distinct()
       .withColumn("hamming", expr(
-        "cast(size(filter(sequence(1, 64), i -> substring(h1, i, 1) != substring(h2, i, 1))) as bigint)"))
+        s"cast(size(filter(sequence(1, $nBits), i -> substring(h1, i, 1) != substring(h2, i, 1))) as bigint)"))
       .filter(col("hamming") <= maxDist)
       .select("d1", "d2", "hamming")
   }
+
+  /** Temporal energy-envelope fingerprint of decoded PCM — the audio
+    * member of the 64-bit fingerprint family (images: [[aHashPpm]];
+    * text: simhash). A simplified Haitsma-Kalker robust hash (ISMIR
+    * 2002) on the time axis: the signal splits into `frames` equal
+    * spans (integer boundaries f·n/frames), each span's energy is the
+    * exact integer Σs², and bit f is the SIGN of the energy delta
+    * between spans f+1 and f. Delta signs survive small sample
+    * perturbations, so near-identical audio lands within a few bits
+    * while unrelated clips sit near 32. All-integer until the final
+    * bit string — an external oracle reproduces every bit from the
+    * synthesis rule. Same embarrassingly-parallel decode map as
+    * [[wavStats]].
+    */
+  final case class AudioFp(doc_id: Long, fp_bits: String)
+
+  def audioFingerprint(media: Dataset[MediaRow], frames: Int = 65): Dataset[AudioFp] = {
+    require(frames >= 2, "need at least two frames for one delta bit")
+    implicit val enc = Encoders.product[AudioFp]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        parseWav(r.payload).map { w =>
+          val n = w.nSamples
+          val e = new Array[Long](frames)
+          var f = 0
+          while (f < frames) {
+            var i = f * n / frames
+            val hi = (f + 1) * n / frames
+            var acc = 0L
+            while (i < hi) {
+              val s = readU16le(r.payload, w.dataOffset + i * 2).toShort.toInt
+              acc += s.toLong * s
+              i += 1
+            }
+            e(f) = acc
+            f += 1
+          }
+          val sb = new StringBuilder(frames - 1)
+          var k = 1
+          while (k < frames) {
+            sb.append(if (e(k) > e(k - 1)) '1' else '0'); k += 1
+          }
+          AudioFp(r.doc_id, sb.toString)
+        }
+      }
+    }
+  }
+
+  /** Audio near-dup pairs from energy-envelope fingerprints — the
+    * audio modality's member of the near-dup family (text: dd3/dd4;
+    * images: mm6; embeddings: ss4), via the same lossless banded
+    * pigeonhole join.
+    */
+  def audioNearDupPairs(fps: Dataset[AudioFp], maxDist: Int = 6,
+                        bands: Int = 8): DataFrame =
+    bandedHammingPairs(fps.toDF(), "fp_bits", 64, maxDist, bands)
 
   // ==== Real audio codec: WAV (RIFF PCM s16le) ========================
   // Second genuinely-decoded format, pure JVM: canonical RIFF container

@@ -92,4 +92,46 @@ class WavSpec extends AnyFunSuite {
     assert(q.sq_sum === 154L * 512 * 512 + 51L * 32256 * 32256)
     assert(q.max_run === 3)                // the 512,512,512 prefix of each cycle
   }
+
+  test("audioFingerprint: hand-computed delta signs; near-identical audio lands close") {
+    import spark.implicits._
+    // docId 0 -> 256 samples; a single-byte cycle (200) gives constant
+    // samples, so every frame energy is proportional to its LENGTH:
+    // frame sizes under 256/65 alternate 3 and 4, and the delta sign
+    // bit is exactly "this frame is longer than the previous one"
+    val const = Multimodal.makeWav(0L, Array[Byte](200.toByte))
+    val fp0 = Multimodal.audioFingerprint(
+      Seq(Multimodal.MediaRow(0L, "audio", const)).toDS()).collect().head
+    val expected = (1 until 65).map { f =>
+      def len(k: Int) = (k + 1) * 256 / 65 - k * 256 / 65
+      if (len(f) > len(f - 1)) '1' else '0'
+    }.mkString
+    assert(fp0.fp_bits === expected)
+    assert(fp0.fp_bits.length === 64)
+
+    // one perturbed byte out of 64 => close fingerprint; a different
+    // text => far; the banded join must find exactly the close pair
+    val bytesA = Array.tabulate[Byte](64)(i => ((i * 37) % 200 + 20).toByte)
+    val bytesB = bytesA.clone(); bytesB(10) = (bytesB(10) + 90).toByte
+    val bytesC = Array.tabulate[Byte](64)(i => ((i * 91) % 251).toByte)
+    val media = Seq(
+      Multimodal.MediaRow(0L, "audio", Multimodal.makeWav(0L, bytesA)),
+      Multimodal.MediaRow(512L, "audio", Multimodal.makeWav(512L, bytesB)),
+      Multimodal.MediaRow(1024L, "audio", Multimodal.makeWav(1024L, bytesC))).toDS()
+    val fps = Multimodal.audioFingerprint(media)
+    val banded = Multimodal.audioNearDupPairs(fps, maxDist = 6, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force hamming over the same fingerprints
+    val all = fps.collect().map(f => f.doc_id -> f.fp_bits).toMap
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val brute = (for {
+      x <- all.keys; y <- all.keys if x < y
+      d = ham(all(x), all(y)) if d <= 6
+    } yield (x, y, d.toLong)).toSet
+    assert(banded === brute, "banded pigeonhole must equal the n² form")
+    assert(banded.exists { case (a, b, _) => a == 0L && b == 512L },
+      "the one-byte perturbation must be found as a near-dup")
+    assert(!banded.exists { case (a, b, _) => b == 1024L || a == 1024L },
+      "the unrelated clip must not pair")
+  }
 }
