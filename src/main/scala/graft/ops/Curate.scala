@@ -547,14 +547,20 @@ object Curate {
     */
   private def hashedNgramFeatures(docs: DataFrame, nBuckets: Int,
                                   idCol: String, textCol: String): DataFrame = {
+    // materialize the token array in its OWN projection: every
+    // element_at inside the bigram lambda references the alias, not a
+    // copy of the split+filter tree — inlined, the lambda re-tokenizes
+    // the whole document once PER ELEMENT (the lshTopK bucket lesson;
+    // measured 5× on ds1)
     val toks = filter(split(lower(col(textCol)), " "),
       t => length(t) > lit(0))
-    val unis = toks
-    val bis = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1), i =>
-        concat(element_at(toks, i), lit("_"), element_at(toks, i + 1))))
+    val t = col("__toks")
+    val bis = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1), i =>
+        concat(element_at(t, i), lit("_"), element_at(t, i + 1))))
       .otherwise(array())
-    docs.select(col(idCol), explode(concat(unis, bis)).as("__term"))
+    docs.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), explode(concat(t, bis)).as("__term"))
       .select(col(idCol),
         pmod(conv(substring(md5(col("__term")), 1, 8), 16, 10).cast("long"),
           lit(nBuckets.toLong)).as("b"))
@@ -582,37 +588,41 @@ object Curate {
     *    (Efraimidis-Spirakis / Gumbel-max equivalence).
     *
     * Scale: two map-side-combinable bucket aggregations (nBuckets-row
-    * results), a broadcast of the bucket-weight table onto the feature
-    * stream, one per-doc combinable long sum, and a distributed top-k
-    * (TakeOrdered — no global sort). Text never shuffles; the widest
-    * intermediate is (id, bucket) pairs.
+    * bounded collects — the weight table then rides into codegen as
+    * ONE literal-array lookup, no join), one per-doc combinable long
+    * sum, and a distributed top-k (TakeOrdered — no global sort). Text
+    * never shuffles; the widest intermediate is (id, bucket) pairs.
     */
   def dsirSelect(raw: DataFrame, target: DataFrame, k: Int,
                  nBuckets: Int = 256, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     require(k > 0 && nBuckets > 0, "k and nBuckets must be positive")
-    val spark = raw.sparkSession
-    def bucketCounts(df: DataFrame, cname: String): DataFrame =
+    // The two bucket distributions COLLECT at build time — nBuckets
+    // rows each, bounded by the parameter, the kmeansCentroids
+    // discipline — and the weight table becomes one literal array
+    // lookup. The alternative (joining the weight frame into the
+    // feature stream) re-evaluates the whole explode+hash subtree once
+    // per consumer (weights join + two total scalars + the per-doc
+    // pass: measured 11.3 s at sf0.1 vs ~2 s with the literal).
+    def bucketCounts(df: DataFrame): Map[Long, Long] =
       hashedNgramFeatures(df, nBuckets, idCol, textCol)
-        .groupBy("b").agg(count(lit(1)).cast("long").as(cname))
-    val tc = bucketCounts(target, "ct")
-    val rc = bucketCounts(raw, "cr")
-    val tTot = tc.agg(sum(col("ct")).as("t_tot"))
-    val rTot = rc.agg(sum(col("cr")).as("r_tot"))
-    // every bucket appears (smoothing needs the zeros), totals ride in
-    // as broadcast one-row scalars
-    val weights = spark.range(nBuckets).select(col("id").as("b"))
-      .join(tc, Seq("b"), "left").join(rc, Seq("b"), "left")
-      .na.fill(0L, Seq("ct", "cr"))
-      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
-      .select(col("b"), round((
-          log((col("ct") + 1).cast("double")
-            / (col("t_tot") + nBuckets).cast("double"))
-          - log((col("cr") + 1).cast("double")
-            / (col("r_tot") + nBuckets).cast("double"))) * 1e6)
-        .cast("long").as("lw_micro"))
+        .groupBy("b").agg(count(lit(1)).cast("long").as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tc = bucketCounts(target)
+    val rc = bucketCounts(raw)
+    val tTot = tc.values.sum
+    val rTot = rc.values.sum
+    // add-one smoothing over every bucket; log-ratios quantized to
+    // integer micro-units (HALF_UP, matching SQL round semantics)
+    val lwArr: Array[Long] = Array.tabulate(nBuckets) { b =>
+      val lw = (math.log((tc.getOrElse(b.toLong, 0L) + 1).toDouble
+          / (tTot + nBuckets).toDouble)
+        - math.log((rc.getOrElse(b.toLong, 0L) + 1).toDouble
+          / (rTot + nBuckets).toDouble)) * 1e6
+      BigDecimal(lw).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
     val perDoc = hashedNgramFeatures(raw, nBuckets, idCol, textCol)
-      .join(broadcast(weights), "b")
+      .withColumn("lw_micro", element_at(lit(lwArr), col("b").cast("int") + 1))
       .groupBy(idCol).agg(sum(col("lw_micro")).as("logw_micro"))
     val u = (conv(substring(md5(col(textCol)), 1, 8), 16, 10)
       .cast("long").cast("double") + 0.5) / 4294967296.0
