@@ -27,7 +27,8 @@ object Plans {
     "hr1_hybrid_rrf", "dc3_overlap_fraction", "cur7_epoch_shuffle",
     "dd9_duplicated_spans", "dd14_quality_canonical",
     "cur10_target_mixture", "sm1_shard_manifest", "bx1_bitext_margin",
-    "ds1_dsir_select", "cur11_weighted_sample", "au4_audio_neardup")
+    "ds1_dsir_select", "cur11_weighted_sample", "au4_audio_neardup",
+    "ss9_matryoshka_recall")
 
   /** (shuffle exchanges, broadcast exchanges) of the physical plan,
     * counted via tree walk, not the text dump: a persisted subtree's

@@ -956,6 +956,56 @@ object QueriesOps {
         |SELECT q_id, n_id, rank, round(sim, 6) AS sim
         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    // Matryoshka truncation eval (Kusupati et al. 2022): recall@5 of
+    // prefix-16/32 truncated search against the full-dim exact top-5.
+    // The oracle recomputes all three rankings with range-bounded dot
+    // folds (same accumulation order as VectorDot), so every rank
+    // decision and overlap count is value-checked.
+    "ss9_matryoshka_recall" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.matryoshkaRecall(e, e.filter(col("vec_id") < 8), k = 5,
+            prefixes = Seq(16, 32))
+          .orderBy("dims", "q_id")
+      },
+      Some {
+        def pairsCte(name: String, upto: String) =
+          s"""$name AS (
+             |  SELECT q_id, e.vec_id AS n_id,
+             |    list_sum(list_transform(range(1, $upto),
+             |      i -> CAST(q_vec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+             |    / (sqrt(list_sum(list_transform(range(1, $upto),
+             |         i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE))))
+             |     * sqrt(list_sum(list_transform(range(1, $upto),
+             |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS sim
+             |  FROM e CROSS JOIN q WHERE e.vec_id <> q_id)""".stripMargin
+        def rankCte(name: String, from: String) =
+          s"""$name AS (SELECT q_id, n_id FROM (
+             |  SELECT q_id, n_id, row_number() OVER (
+             |    PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+             |  FROM $from) WHERE rk <= 5)""".stripMargin
+        def overlapCte(name: String, dims: Int, from: String) =
+          s"""$name AS (SELECT $dims AS dims, r.q_id,
+             |    CAST(count(f.q_id) AS BIGINT) AS n_overlap
+             |  FROM $from r LEFT JOIN fr f
+             |    ON f.q_id = r.q_id AND f.n_id = r.n_id
+             |  GROUP BY r.q_id)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM e WHERE vec_id < 8),
+           |${pairsCte("fp", "len(q_vec) + 1")},
+           |${rankCte("fr", "fp")},
+           |${pairsCte("p16", "17")},
+           |${rankCte("r16", "p16")},
+           |${pairsCte("p32", "33")},
+           |${rankCte("r32", "p32")},
+           |${overlapCte("o16", 16, "r16")},
+           |${overlapCte("o32", 32, "r32")},
+           |u AS (SELECT * FROM o16 UNION ALL SELECT * FROM o32)
+           |SELECT CAST(dims AS INTEGER) AS dims, q_id, n_overlap,
+           |  round(CAST(n_overlap AS DOUBLE) / 5, 6) AS recall
+           |FROM u ORDER BY dims, q_id""".stripMargin
+      }),
+
     // Hard-negative mining (FaceNet triplet mining): per anchor, top-5
     // most-similar DIFFERENT-label vectors + best same-label sim +
     // margin-violation flag. Same bounded-anchor plan as ss1.

@@ -61,6 +61,42 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), col("sim"))
   }
 
+  /** Matryoshka truncation evaluation (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning"): recall@k of
+    * prefix-truncated embeddings against the full-dimension exact
+    * top-k — the measurement that decides how many dimensions a
+    * deployment can drop before retrieval quality pays for it. For
+    * each d in `prefixes`, corpus and queries truncate to their first
+    * d components, the exact top-k recomputes, and recall@k is each
+    * query's overlap fraction with the full-dim truth (k exactly
+    * divides the count, so the ratio is one exact division).
+    *
+    * Scale: one [[bruteForceTopK]]-shaped pass per prefix plus the
+    * full-dim pass — broadcast queries, corpus scanned once per pass,
+    * overlap joined on (q_id, n_id) over k-row-per-query tables. The
+    * corpus passes share nothing BY DESIGN: truncated dots are not
+    * derivable from full dots, so fusing them would only widen one
+    * scan without removing work.
+    */
+  def matryoshkaRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+                       prefixes: Seq[Int] = Seq(16, 32),
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && prefixes.nonEmpty, "need k > 0 and at least one prefix")
+    val full = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("q_id"), col("n_id"), lit(1).as("__hit"))
+    prefixes.map { d =>
+      val tc = corpus.withColumn(vecCol, slice(col(vecCol), 1, d))
+      val tq = queries.withColumn(vecCol, slice(col(vecCol), 1, d))
+      bruteForceTopK(tc, tq, k, idCol, vecCol)
+        .join(full, Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(count(col("__hit")).cast("long").as("n_overlap"))
+        .select(lit(d).as("dims"), col("q_id"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / k, 6).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
     * LASER/CCMatrix construction): candidate cross-lingual pairs
     * (s, t) are scored by RATIO MARGIN

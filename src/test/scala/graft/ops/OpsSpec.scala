@@ -303,6 +303,31 @@ class OpsSpec extends AnyFunSuite {
     assert(ivfpq === bf, "full-coverage IVF-PQ diverged from brute force")
   }
 
+  test("matryoshkaRecall: full-width prefix scores recall 1; a planted tail-heavy neighbor drops it") {
+    import spark.implicits._
+    // 4-dim corpus, query = vec 0 = (1,1,1,1). True top-2: the exact
+    // duplicate (1) and the TAIL-CARRIED neighbor (2), whose prefix
+    // opposes q — truncating to d=2 flips 2's cosine to −1 and
+    // promotes the prefix-impostor (3), so recall@2 must drop to 1/2,
+    // while d=4 (full width) is recall 1 by identity
+    val rows = Seq(
+      (0L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
+      (1L, Array(1.0f, 1.0f, 1.0f, 1.0f)),    // exact duplicate
+      (2L, Array(-1.0f, -1.0f, 1.8f, 1.8f)),  // tail-carried true neighbor
+      (3L, Array(0.5f, 0.5f, -1.0f, -1.0f)),  // prefix impostor (full cos < 0)
+      (4L, Array(1.0f, -1.0f, 0.2f, 0.0f))).toDF("vec_id", "embedding")
+    val q = rows.filter(col("vec_id") === 0L)
+    val got = Similarity.matryoshkaRecall(rows, q, k = 2,
+        prefixes = Seq(2, 4)).collect()
+      .map(r => r.getAs[Int]("dims") ->
+        (r.getAs[Long]("n_overlap"), r.getAs[Double]("recall"))).toMap
+    assert(got(4) === ((2L, 1.0)), "full-width truncation must reproduce the truth exactly")
+    val (ov2, rec2) = got(2)
+    assert(ov2 < 2L && rec2 < 1.0,
+      s"d=2 must lose the tail-heavy true neighbor, got overlap $ov2")
+    assert(ov2 >= 1L, "the prefix-aligned neighbor must survive truncation")
+  }
+
   test("IVF top-k: exact duplicates quantize to the same cell and rank first") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
     val dup = e.select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
