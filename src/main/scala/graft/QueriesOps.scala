@@ -2433,6 +2433,61 @@ object QueriesOps {
         |SELECT doc_id, n_chars, round(skey, 9) AS skey
         |FROM sel ORDER BY doc_id""".stripMargin)),
 
+    // RM3 pseudo-relevance-feedback expansion over the bm1 query:
+    // top-10 feedback docs by BM25 (same exact-binary k1=1.0/b=0.5),
+    // relevance-model term weights as order-free micro-unit sums,
+    // top-8 new terms. The oracle recomputes the whole chain — BM25
+    // scores, the feedback cut, per-term weights, the expansion
+    // ranking — so a drift anywhere in the pipeline breaks the hash.
+    "rm1_rm3_expansion" -> Q(
+      (s, d) => graft.ops.Search.rm3Expansion(docs(s, d),
+          Seq("spark", "join", "stream"), fbDocs = 10, expandTerms = 8,
+          k1 = 1.0, b = 0.5)
+        .orderBy("rank"),
+      Some {
+        def t(i: Int) =
+          s"""ln((CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             |         / (CAST(df_$i AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+             |      * (CAST(tf_$i AS DOUBLE) * CAST(2.0 AS DOUBLE))
+             |      / (CAST(tf_$i AS DOUBLE) + CAST(1.0 AS DOUBLE) * (CAST(0.5 AS DOUBLE)
+             |         + CAST(0.5 AS DOUBLE) * (CAST(dl AS DOUBLE)
+             |             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))""".stripMargin
+        s"""WITH b AS (SELECT doc_id,
+           |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+           |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x = 'spark')) AS BIGINT) AS tf_0,
+           |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x = 'join')) AS BIGINT) AS tf_1,
+           |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x = 'stream')) AS BIGINT) AS tf_2
+           |  FROM documents),
+           |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+           |    CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+           |    CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+           |    CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_2
+           |  FROM b),
+           |sc AS (SELECT doc_id, dl,
+           |    ${t(0)}
+           |    + ${t(1)}
+           |    + ${t(2)}
+           |    AS score
+           |  FROM b, st),
+           |fb AS (SELECT doc_id, dl, score FROM sc WHERE score > 0
+           |       ORDER BY score DESC, doc_id LIMIT 10),
+           |tok AS (SELECT f.doc_id, f.dl, f.score,
+           |    unnest(string_split(lower(d.text), ' ')) AS term
+           |  FROM fb f JOIN documents d USING (doc_id)),
+           |tf AS (SELECT doc_id, dl, score, term, CAST(count(*) AS BIGINT) AS tf
+           |  FROM tok WHERE len(term) > 0 GROUP BY 1, 2, 3, 4),
+           |c AS (SELECT term,
+           |    CAST(round(score * CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE) * 1e6) AS BIGINT) AS c_micro
+           |  FROM tf),
+           |agg AS (SELECT term, CAST(sum(c_micro) AS BIGINT) AS rm_micro FROM c
+           |  WHERE term NOT IN ('spark', 'join', 'stream') GROUP BY 1),
+           |top AS (SELECT term, rm_micro FROM agg
+           |        ORDER BY rm_micro DESC, term LIMIT 8)
+           |SELECT CAST(row_number() OVER (ORDER BY rm_micro DESC, term) AS INTEGER) AS rank,
+           |  term, rm_micro, rm_micro / 1e6 AS rm_weight
+           |FROM top ORDER BY rank""".stripMargin
+      }),
+
     // BM25 keyword retrieval for a fixed term list. k1=1.0, b=0.5 in
     // the registered query: exactly-representable binary constants, so
     // the plan-time-folded Scala doubles and the oracle's literals are

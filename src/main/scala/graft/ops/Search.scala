@@ -210,4 +210,52 @@ object Search {
       .filter(col("df") >= minDf)
       .select(col("term"), col("df"),
         array_join(col("__p"), ",").as("postings_head"))
+
+  /** RM3 pseudo-relevance-feedback query expansion (Lavrenko & Croft
+    * SIGIR'01 relevance models, in the RM3 form benchmarked by
+    * Abdul-Jaleel et al., TREC 2004): run the seed query, take the top
+    * `fbDocs` documents as the pseudo-relevant set, estimate the
+    * relevance model P(w|R) ∝ Σ_d score_d · tf(w,d)/|d| over that set,
+    * and emit the top `expandTerms` NEW terms (seed terms excluded)
+    * with their weights — the classic recall-widening step in front of
+    * a second retrieval pass.
+    *
+    * Determinism: each (doc, term) contribution quantizes to integer
+    * micro-units BEFORE the cross-document sum (score_d is the bm25
+    * double both engines already reproduce bit-for-bit — bm1's proof;
+    * tf/|d| is a small rational), so every term weight is an
+    * order-free long sum and the expansion ranking is a total order
+    * over (weight desc, term asc).
+    *
+    * Scale: the feedback set is `fbDocs` rows by construction
+    * (TakeOrdered — no global sort), and only THOSE documents
+    * tokenize: after the one bm25 corpus scan, the expansion costs
+    * O(fbDocs · doc length) regardless of corpus size.
+    */
+  def rm3Expansion(docs: DataFrame, terms: Seq[String],
+                   fbDocs: Int = 10, expandTerms: Int = 8,
+                   k1: Double = 1.2, b: Double = 0.75,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(fbDocs > 0 && expandTerms > 0, "fbDocs and expandTerms must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val fb = bm25(docs, terms, k1, b, textCol, idCol)
+      .select(col(idCol), col("dl"), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc).limit(fbDocs)
+    val contrib = fb.join(docs.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol), col("dl"), col("score"),
+        explode(Dedup.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("dl"), col("score"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("c_micro",
+        round(col("score") * col("tf").cast("double")
+          / col("dl").cast("double") * 1e6).cast("long"))
+    val w = Window.orderBy(col("rm_micro").desc, col("term").asc)
+    contrib.filter(!col("term").isin(terms: _*))
+      .groupBy("term").agg(sum(col("c_micro")).as("rm_micro"))
+      .orderBy(col("rm_micro").desc, col("term").asc).limit(expandTerms)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .withColumn("rm_weight", col("rm_micro").cast("double") / 1e6)
+      .select("rank", "term", "rm_micro", "rm_weight")
+  }
 }

@@ -107,4 +107,31 @@ class SearchSpec extends AnyFunSuite {
     val again = Curate.temperatureResample(skewed)
     assert(kept.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
   }
+
+  test("rm3Expansion: co-occurring term tops the expansion; seeds and non-feedback docs excluded") {
+    val df = Seq(
+      (1L, "apple fruit fruit sweet"),
+      (2L, "apple fruit tree"),
+      (3L, "apple fruit orchard"),
+      // no seed term: BM25 score 0 -> outside the feedback set, so its
+      // vocabulary must contribute NOTHING
+      (4L, "zebra zebra zebra zebra")
+    ).toDF("doc_id", "text")
+    val got = Search.rm3Expansion(df, Seq("apple"), fbDocs = 3, expandTerms = 5)
+      .collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("term"),
+        r.getAs[Long]("rm_micro"))).toList
+    val terms = got.map(_._2)
+    assert(terms.head === "fruit",
+      s"the term co-occurring in every feedback doc must rank first, got $terms")
+    assert(!terms.contains("apple"), "seed terms are excluded from the expansion")
+    assert(!terms.contains("zebra"), "a zero-score doc's vocabulary must not leak in")
+    assert(got.map(_._1) === (1 to got.size).toList, "ranks are a dense total order")
+    assert(got.forall(_._3 > 0L), "every emitted weight is positive")
+    // weights are deterministic across runs
+    val again = Search.rm3Expansion(df, Seq("apple"), fbDocs = 3, expandTerms = 5)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("term"),
+        r.getAs[Long]("rm_micro"))).toList
+    assert(again === got)
+  }
 }
