@@ -660,6 +660,41 @@ object QueriesOps {
 
     // exact all-pairs baseline: bounded to a fixed 1000-doc slice — its
     // role is verifying the LSH path, not running at corpus scale
+    // Asymmetric containment near-dup (quote/subset detection): the
+    // corpus is docs<150 plus planted 20-token excerpts at +13000 —
+    // every excerpt's distinct-token set is a subset of its source, so
+    // its containment is exactly 1.0 while Jaccard is far below any
+    // dedup threshold. The oracle runs the n² list_intersect form over
+    // the same union, proving the one-sided prefix filter lossless.
+    "dd15_containment" -> Q(
+      (s, d) => {
+        val base = docs(s, d).filter(col("doc_id") < 150).select("doc_id", "text")
+        val planted = base.select((col("doc_id") + 13000).as("doc_id"),
+          array_join(slice(split(lower(col("text")), " "), 1, 20), " ").as("text"))
+        Dedup.containmentPairs(base.unionByName(planted), threshold = 0.95)
+          .select(col("d1"), col("d2"),
+            round(col("cont1"), 6).as("cont1"), round(col("cont2"), 6).as("cont2"))
+          .orderBy("d1", "d2")
+      },
+      Some("""WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 150
+        |  UNION ALL
+        |  SELECT doc_id + 13000,
+        |    array_to_string(string_split(lower(text), ' ')[1:20], ' ')
+        |  FROM documents WHERE doc_id < 150),
+        |ta AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS t
+        |  FROM docs2),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    len(list_intersect(a.t, b.t)) AS c, len(a.t) AS n1, len(b.t) AS n2
+        |  FROM ta a JOIN ta b ON a.doc_id < b.doc_id)
+        |SELECT d1, d2,
+        |  round(CAST(c AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS cont1,
+        |  round(CAST(c AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS cont2
+        |FROM p
+        |WHERE greatest(CAST(c AS DOUBLE) / CAST(n1 AS DOUBLE),
+        |               CAST(c AS DOUBLE) / CAST(n2 AS DOUBLE)) >= 0.95
+        |ORDER BY d1, d2""".stripMargin)),
+
     "dd2_ngram_jaccard" -> Q(
       (s, d) => Dedup.ngramJaccardPairs(
         docs(s, d).filter(col("doc_id") < 1000), threshold = 0.5).orderBy("d1", "d2"),

@@ -141,6 +141,56 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** EXACT asymmetric CONTAINMENT near-dup: all unordered pairs where
+    * either direction of C(A,B) = |S_A ∩ S_B| / |S_A| reaches
+    * `threshold` — the relationship Jaccard structurally misses (a
+    * short document quoted inside a long one has tiny Jaccard but
+    * containment ≈ 1 of the short side). The dedup decision for
+    * quote/subset boilerplate and doc-in-doc syndication.
+    *
+    * Exact via the ONE-SIDED prefix filter: C(A,B) ≥ t forces overlap
+    * ≥ t·|A|, so A's (|A| − ⌈t·|A|⌉ + 1) globally-rarest tokens must
+    * intersect S_B — joining PREFIX(A) against the FULL index is a
+    * lossless candidate generator for "A contained anywhere", with no
+    * size-compatibility filter (B may be arbitrarily larger — that is
+    * the point). Join cost is Σ_{prefix tokens} df(tok), small by the
+    * rare-first prefix discipline even though the probed index is
+    * full. Verification intersects DISTINCT token arrays in-row on
+    * |candidates| rows ([[prefixJaccardPairs]]'s verify shape) — no
+    * per-token explode after candidate generation, text never
+    * shuffles past the token index.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val tok = docs
+      .select(col(idCol).as("d"), explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val dfCount = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val wd = Window.partitionBy(col("d"))
+    val ranked = tok.join(dfCount, "tok")
+      .withColumn("rk", row_number().over(wd.orderBy(col("df").asc, col("tok").asc)))
+      .withColumn("n", count(lit(1)).over(wd))
+    // the 1e-9 slack: same double-rounding guard as prefixJaccardPairs
+    val prefix = ranked
+      .filter(col("rk") <= col("n") - ceil(col("n") * lit(threshold) - lit(1e-9)) + lit(1))
+      .select(col("d"), col("tok"))
+    val cand = prefix.as("a").join(tok.as("b"),
+        col("a.tok") === col("b.tok") && col("a.d") =!= col("b.d"))
+      .select(least(col("a.d"), col("b.d")).as("d1"),
+        greatest(col("a.d"), col("b.d")).as("d2"))
+      .distinct()
+    val tokArr = docs.select(col(idCol).as("d"),
+      array_distinct(tokens(col(textCol))).as("ta"))
+    cand
+      .join(tokArr.select(col("d").as("d1"), col("ta").as("ta1")), "d1")
+      .join(tokArr.select(col("d").as("d2"), col("ta").as("ta2")), "d2")
+      .withColumn("c", size(array_intersect(col("ta1"), col("ta2"))))
+      .withColumn("cont1", col("c").cast("double") / size(col("ta1")).cast("double"))
+      .withColumn("cont2", col("c").cast("double") / size(col("ta2")).cast("double"))
+      .filter(greatest(col("cont1"), col("cont2")) >= threshold)
+      .select(col("d1"), col("d2"), col("cont1"), col("cont2"))
+  }
+
   /** EXACT token-set Jaccard self-join via set canonicalization plus
     * size-banded partition (pigeonhole) candidate generation — the
     * partition-based exact-similarity-join family (Deng, Li, Feng,

@@ -303,6 +303,45 @@ class OpsSpec extends AnyFunSuite {
     assert(ivfpq === bf, "full-coverage IVF-PQ diverged from brute force")
   }
 
+  test("containmentPairs: subset scores 1.0 where Jaccard misses; prefix filter equals brute force") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma"),                   // contained in 1: cont=1, J=0.3
+      (3L, "lambda mu nu xi omicron pi rho"),
+      (4L, "completely different words here now")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, threshold = 0.9).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet === Set((1L, 2L)), s"only the subset pair qualifies, got ${got.keySet}")
+    val (c12, c21) = got((1L, 2L))
+    assert(c21 === 1.0, "the short side is fully contained")
+    assert(c12 === 0.3, "the long side's containment is 3/10")
+    // Jaccard at the same threshold misses it — the relationship this
+    // operator exists for
+    assert(Dedup.ngramJaccardPairs(docs, threshold = 0.9).count() === 0L)
+    // lossless candidate generation: prefix-filtered result equals the
+    // brute-force n² form on a random-ish corpus
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(10))("w" + rnd.nextInt(12)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val fast = Dedup.containmentPairs(corpus, threshold = 0.8)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ta = corpus.select(col("doc_id"),
+      array_distinct(split(lower(col("text")), " ")).as("t"))
+    val brute = ta.as("a").crossJoin(ta.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("c", size(array_intersect(col("a.t"), col("b.t"))))
+      .filter(greatest(
+        col("c") / size(col("a.t")).cast("double"),
+        col("c") / size(col("b.t")).cast("double")) >= 0.8)
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast === brute, "one-sided prefix filter must lose no qualifying pair")
+    assert(brute.nonEmpty, "degenerate fixture: no qualifying pairs to check")
+  }
+
   test("matryoshkaRecall: full-width prefix scores recall 1; a planted tail-heavy neighbor drops it") {
     import spark.implicits._
     // 4-dim corpus, query = vec 0 = (1,1,1,1). True top-2: the exact
