@@ -647,4 +647,39 @@ object OracleGen {
        |SELECT q_id, n_id, rank, round(sim, 6) AS sim
        |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
+
+  /** eo1: embedding outliers vs the FIXED deterministic centroids —
+    * cell argmax (sim desc, cid desc), micro-quantized distance, exact
+    * integer moments (HUGEINT Σd² mirrors the engine's decimal(38,0)),
+    * closed-form z. Same VectorDot-order folds as ss5.
+    */
+  def eo1Sql(topK: Int = 20, nCentroids: Int = 16, dim: Int = 64): String = {
+    val rows = Similarity.fixedCentroids(nCentroids, dim).map { c =>
+      s"(${c.id}, [${c.vec.mkString(", ")}], ${c.norm})"
+    }.mkString(", ")
+    val centDot = s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+      "i -> cv[CAST(i AS INTEGER)] * v[CAST(i AS INTEGER)])), (acc, x) -> acc + x)"
+    val selfDot = s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+      "i -> v[CAST(i AS INTEGER)] * v[CAST(i AS INTEGER)])), (acc, x) -> acc + x)"
+    s"""WITH cent(cid, cv, cn) AS (VALUES $rows),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |cs AS (SELECT e.vec_id, cent.cid, $centDot / cn AS c_sim FROM e CROSS JOIN cent),
+       |best AS (SELECT vec_id, cid AS cell, c_sim FROM (SELECT vec_id, cid, c_sim,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cid DESC) AS rn FROM cs)
+       |  WHERE rn = 1),
+       |vn AS (SELECT vec_id, sqrt($selfDot) AS nrm FROM e),
+       |d AS (SELECT b.vec_id, b.cell,
+       |    CAST(round((1.0 - b.c_sim / vn.nrm) * 1e6) AS BIGINT) AS d_micro
+       |  FROM best b JOIN vn USING (vec_id)),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(d_micro) AS BIGINT) AS s1,
+       |    sum(CAST(d_micro AS HUGEINT) * d_micro) AS s2 FROM d),
+       |z AS (SELECT d.vec_id, d.cell, d.d_micro,
+       |    (CAST(d_micro AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       |      / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+       |        - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS z
+       |  FROM d, st),
+       |top AS (SELECT * FROM z ORDER BY d_micro DESC, vec_id LIMIT $topK)
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell, d_micro, round(z, 6) AS z
+       |FROM top ORDER BY vec_id""".stripMargin
+  }
 }

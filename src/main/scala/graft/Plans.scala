@@ -28,7 +28,8 @@ object Plans {
     "dd9_duplicated_spans", "dd14_quality_canonical",
     "cur10_target_mixture", "sm1_shard_manifest", "bx1_bitext_margin",
     "ds1_dsir_select", "cur11_weighted_sample", "au4_audio_neardup",
-    "ss9_matryoshka_recall", "rm1_rm3_expansion")
+    "ss9_matryoshka_recall", "rm1_rm3_expansion", "dd15_containment",
+    "eo1_embedding_outliers")
 
   /** (shuffle exchanges, broadcast exchanges) of the physical plan,
     * counted via tree walk, not the text dump: a persisted subtree's

@@ -1163,6 +1163,18 @@ object QueriesOps {
       },
       Some(OracleGen.ss5Sql())),
 
+    // EO1: embedding-space outliers — cosine distance to the own
+    // (nearest) fixed centroid, micro-quantized, z-scored from exact
+    // integer moments, top-20. The vector-modality outlier gate beside
+    // an1/an2's scalar z-scores.
+    "eo1_embedding_outliers" -> Q(
+      (s, d) => Similarity.embeddingOutliers(embs(s, d), topK = 20,
+          centroids = Similarity.fixedCentroids(16, 64))
+        .select(col("vec_id"), col("cell"), col("d_micro"),
+          round(col("z"), 6).as("z"))
+        .orderBy("vec_id"),
+      Some(OracleGen.eo1Sql())),
+
     // VQ1: int8 absmax quantization of the embedding corpus — scale,
     // quantized checksums, and the per-element reconstruction-error
     // bound all reproduce bit-for-bit in DuckDB (plain IEEE arithmetic
@@ -2026,6 +2038,49 @@ object QueriesOps {
     // PSI drift gate between the even/odd doc_id halves on n_chars
     // with fixed literal bucket edges — counts exact, shares Laplace-
     // smoothed, terms round-6 for display.
+    // JS1: vocabulary drift between two corpus "crawls" (doc_id
+    // parity split): Jensen-Shannon divergence + top-10 terms by
+    // probability shift. JS contributions quantize to pico-units
+    // before the vocabulary sum (order-free longs); the shift ranking
+    // orders by the nano-quantized |Δp|.
+    "js1_vocab_drift" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        graft.ops.Profile.vocabDrift(
+            dd.filter(col("doc_id") % 2 === 0),
+            dd.filter(col("doc_id") % 2 === 1), topK = 10)
+          .orderBy(col("shift_nano").desc, col("term").asc)
+      },
+      Some("""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, term FROM tok WHERE len(term) > 0),
+        |oc AS (SELECT term, CAST(count(*) AS BIGINT) AS c_old
+        |       FROM t2 WHERE doc_id % 2 = 0 GROUP BY 1),
+        |nc AS (SELECT term, CAST(count(*) AS BIGINT) AS c_new
+        |       FROM t2 WHERE doc_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT term, coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+        |      FROM oc FULL OUTER JOIN nc USING (term)),
+        |tot AS (SELECT CAST(sum(c_old) AS DOUBLE) AS no,
+        |               CAST(sum(c_new) AS DOUBLE) AS nn FROM j),
+        |w AS (SELECT term, c_old, c_new,
+        |    c_old / no AS p_old, c_new / nn AS p_new,
+        |    (c_old / no + c_new / nn) / 2 AS m
+        |  FROM j, tot),
+        |q AS (SELECT *,
+        |    CAST(round(((CASE WHEN p_old > 0 THEN p_old * ln(p_old / m) ELSE 0 END)
+        |      + (CASE WHEN p_new > 0 THEN p_new * ln(p_new / m) ELSE 0 END)) / 2 * 1e12)
+        |      AS BIGINT) AS jsp,
+        |    CAST(round(abs(p_old - p_new) * 1e9) AS BIGINT) AS shift_nano
+        |  FROM w),
+        |js AS (SELECT CAST(sum(jsp) AS BIGINT) AS s FROM q),
+        |top AS (SELECT term, c_old, c_new, round(p_old, 9) AS p_old,
+        |    round(p_new, 9) AS p_new, shift_nano
+        |  FROM q ORDER BY shift_nano DESC, term LIMIT 10)
+        |SELECT term, c_old, c_new, p_old, p_new, shift_nano,
+        |  round(CAST(s AS DOUBLE) / 1e12, 9) AS js_divergence
+        |FROM top, js ORDER BY shift_nano DESC, term""".stripMargin)),
+
     "dr1_psi_drift" -> Q(
       (s, d) => graft.ops.Profile.psiDrift(
           docs(s, d).filter(col("doc_id") % 2 === 0),

@@ -336,4 +336,80 @@ object Profile {
     }
     rows.toDF("col_name", "table_type", "batch_type", "status")
   }
+
+  /** Vocabulary drift between two corpus versions (old crawl vs new
+    * crawl): Jensen-Shannon divergence of the term distributions plus
+    * the top `topK` terms by absolute probability shift — the lexical
+    * companion to [[psiDrift]]'s numeric-feature drift, and the check
+    * a dataset card publishes when a refresh lands ("what moved in the
+    * vocabulary, and by how much").
+    *
+    * Determinism: probabilities are exact rationals (term count /
+    * total), every per-term JS contribution quantizes to integer
+    * pico-units (×10¹²) before the vocabulary-wide sum — order-free
+    * long arithmetic, no cross-row float accumulation — and the shift
+    * ranking orders by the ×10⁹-quantized |p_old − p_new| with a term
+    * tiebreak.
+    *
+    * Scale: two map-side-combinable term counts + one full-outer join
+    * on term (ids-and-counts only, text never shuffles past
+    * tokenization), one combinable long sum for JS, TakeOrdered for
+    * the report. JS is symmetric and bounded by ln 2, so the scalar is
+    * comparable across refreshes of any size.
+    */
+  def vocabDrift(oldDocs: DataFrame, newDocs: DataFrame, topK: Int = 10,
+                 textCol: String = "text"): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    def counts(df: DataFrame, cname: String): DataFrame = df
+      .select(explode(split(lower(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).cast("long").as(cname))
+    val oc = counts(oldDocs, "c_old")
+    val nc = counts(newDocs, "c_new")
+    val joined = oc.join(nc, Seq("term"), "full_outer")
+      .na.fill(0L, Seq("c_old", "c_new"))
+    val totals = joined.agg(sum(col("c_old")).as("__no"),
+      sum(col("c_new")).as("__nn"))
+    val withP = joined.crossJoin(broadcast(totals))
+      .withColumn("p_old", col("c_old").cast("double") / col("__no").cast("double"))
+      .withColumn("p_new", col("c_new").cast("double") / col("__nn").cast("double"))
+      .withColumn("__m", (col("p_old") + col("p_new")) / 2)
+      .withColumn("__js_pico", round((
+          when(col("p_old") > 0,
+            col("p_old") * log(col("p_old") / col("__m"))).otherwise(lit(0.0)) +
+          when(col("p_new") > 0,
+            col("p_new") * log(col("p_new") / col("__m"))).otherwise(lit(0.0))
+        ) / 2 * 1e12).cast("long"))
+      .withColumn("shift_nano",
+        round(abs(col("p_old") - col("p_new")) * 1e9).cast("long"))
+    // one pass over the joined vocabulary serves BOTH consumers (the
+    // JS sum and the shift report): persist, run the two bounded
+    // actions, return the <= topK rows as literals — the blockingQuality
+    // eager discipline, avoiding a second tokenize+join of the corpus
+    val p = withP.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val jsSum = p.agg(sum(col("__js_pico")).as("s")).collect()(0).getLong(0)
+    val top = p.orderBy(col("shift_nano").desc, col("term").asc).limit(topK)
+      .select(col("term"), col("c_old"), col("c_new"),
+        round(col("p_old"), 9).as("p_old"), round(col("p_new"), 9).as("p_new"),
+        col("shift_nano"))
+      .collect().toSeq
+    p.unpersist()
+    val spark = oldDocs.sparkSession
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(top, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("term",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("c_old",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("c_new",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("p_old",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("p_new",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("shift_nano",
+            org.apache.spark.sql.types.LongType))))
+      .withColumn("js_divergence", round(lit(jsSum.toDouble / 1e12), 9))
+  }
 }

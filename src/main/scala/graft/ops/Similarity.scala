@@ -479,6 +479,55 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), col("sim"))
   }
 
+  /** Embedding-space outlier report — the vector-modality member of
+    * the outlier family (an1/an2 z-score scalar series; this scores
+    * vectors): each embedding's cosine DISTANCE to its own nearest
+    * coarse centroid, z-scored over the corpus, top `topK` emitted.
+    * The data-cleaning gate that surfaces corrupt / mislabeled /
+    * off-manifold vectors before they enter training or ANN indexes.
+    *
+    * Determinism: the per-row distance quantizes to integer
+    * micro-units, corpus moments are EXACT sums over those integers
+    * (the long Σd and a decimal(38,0) Σd² — order-free, no cross-row
+    * float accumulation; decimal because Σd² overflows a long at
+    * ~10⁹ rows), and z is a closed-form double over the two exact
+    * integers. Cell choice reuses [[ivfTopK]]'s argmax (ties to the
+    * larger cell id via struct ordering).
+    *
+    * Scale: one narrow corpus pass over plan-time centroid literals +
+    * one combinable 1-row moment aggregate broadcast back + a
+    * distributed TakeOrdered — no shuffle of vectors at all.
+    */
+  def embeddingOutliers(corpus: DataFrame, topK: Int = 20,
+                        centroids: Seq[Centroid] = Nil, nCentroids: Int = 16,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val cents: Seq[Centroid] =
+      if (centroids.nonEmpty) centroids
+      else kmeansCentroids(corpus, nCentroids, idCol, vecCol)
+    val cellStructs: Column = array(cents.map { c =>
+      val vlit = typedlit(c.vec.toIndexedSeq)
+      struct((dot(vlit, col(vecCol)) / lit(c.norm)).as("c_sim"), lit(c.id).as("c_id"))
+    }: _*)
+    val best = array_max(cellStructs)
+    val base = corpus.select(col(idCol),
+        best.getField("c_id").as("cell"),
+        (best.getField("c_sim") / norm(col(vecCol))).as("__sim"))
+      .withColumn("d_micro",
+        round((lit(1.0) - col("__sim")) * 1e6).cast("long"))
+    val stats = base.agg(count(lit(1)).cast("long").as("__n"),
+      sum(col("d_micro")).as("__s1"),
+      sum((col("d_micro") * col("d_micro")).cast("decimal(38,0)")).as("__s2"))
+    base.crossJoin(broadcast(stats))
+      .withColumn("__mu", col("__s1").cast("double") / col("__n").cast("double"))
+      .withColumn("__sd", sqrt(col("__s2").cast("double") / col("__n").cast("double")
+        - col("__mu") * col("__mu")))
+      .withColumn("z", (col("d_micro").cast("double") - col("__mu")) / col("__sd"))
+      .orderBy(col("d_micro").desc, col(idCol).asc).limit(topK)
+      .select(col(idCol), col("cell"), col("d_micro"), col("z"))
+  }
+
   // ---------------- product quantization (PQ / ADC) -----------------
 
   /** One PQ codebook: `m` subspaces × `ks` centroids each; entry

@@ -303,6 +303,31 @@ class OpsSpec extends AnyFunSuite {
     assert(ivfpq === bf, "full-coverage IVF-PQ diverged from brute force")
   }
 
+  test("embeddingOutliers: a planted far-off vector tops the report with the extreme z") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // a tight cluster near centroid direction e1 plus one antipodal vector
+    val base = (0 until 40).map { i =>
+      val v = Array.tabulate(64)(j => (if (j == 0) 1.0f else 0.0f) + rnd.nextFloat() * 0.05f)
+      (i.toLong, v)
+    }
+    val outlier = (99L, Array.tabulate(64)(j => if (j == 0) -1.0f else 0.01f))
+    val df = (base :+ outlier).toDF("vec_id", "embedding")
+    // one explicit unit centroid at e1: the cluster sits at cos ~ 1
+    // (distance ~ 0) and the antipodal vector at cos ~ -1 — the
+    // outlier geometry is pinned, not left to random fixed centroids
+    val e1 = Array.tabulate(64)(j => if (j == 0) 1.0 else 0.0)
+    val cents = Seq(Similarity.Centroid(0L, e1, 1.0))
+    val got = Similarity.embeddingOutliers(df, topK = 3, centroids = cents).collect()
+    assert(got.head.getAs[Long]("vec_id") === 99L,
+      "the antipodal vector must be the #1 outlier")
+    val zs = got.map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("z")).toMap
+    assert(zs(99L) > 2.0, s"the planted outlier's z must be extreme, got ${zs(99L)}")
+    // determinism
+    val again = Similarity.embeddingOutliers(df, topK = 3, centroids = cents).collect()
+    assert(got.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("containmentPairs: subset scores 1.0 where Jaccard misses; prefix filter equals brute force") {
     import spark.implicits._
     val docs = Seq(

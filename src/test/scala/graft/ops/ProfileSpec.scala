@@ -137,4 +137,25 @@ class ProfileSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[String]("check_name") -> r.getAs[Boolean]("pass")).toMap
     assert(rep === Map("has_null" -> false, "clean" -> true))
   }
+
+  test("vocabDrift: identical corpora give JS 0; disjoint vocabularies give ln 2; shift ranks the mover first") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta")).toDF("doc_id", "text")
+    val same = Profile.vocabDrift(a, a, topK = 3).collect()
+    assert(same.forall(_.getAs[Double]("js_divergence") === 0.0),
+      "identical distributions must have zero divergence")
+    assert(same.forall(_.getAs[Long]("shift_nano") === 0L))
+    // fully disjoint vocabularies: JS = ln 2 (each side's mass entirely
+    // on its own terms, m = p/2 everywhere)
+    val b = Seq((3L, "omega psi chi"), (4L, "omega psi phi")).toDF("doc_id", "text")
+    val disj = Profile.vocabDrift(a, b, topK = 3).collect()
+    val js = disj.head.getAs[Double]("js_divergence")
+    assert(math.abs(js - math.log(2.0)) < 1e-6,
+      s"disjoint vocabularies must score ln 2, got $js")
+    // the biggest single probability shift tops the report
+    val c = Seq((5L, "alpha alpha alpha alpha beta gamma")).toDF("doc_id", "text")
+    val top = Profile.vocabDrift(a, c, topK = 1).collect().head
+    assert(top.getAs[String]("term") === "alpha",
+      "the term whose probability moved most must rank first")
+  }
 }
