@@ -29,7 +29,7 @@ object Plans {
     "cur10_target_mixture", "sm1_shard_manifest", "bx1_bitext_margin",
     "ds1_dsir_select", "cur11_weighted_sample", "au4_audio_neardup",
     "ss9_matryoshka_recall", "rm1_rm3_expansion", "dd15_containment",
-    "eo1_embedding_outliers")
+    "eo1_embedding_outliers", "mm7_video_neardup")
 
   /** (shuffle exchanges, broadcast exchanges) of the physical plan,
     * counted via tree walk, not the text dump: a persisted subtree's

@@ -1646,6 +1646,57 @@ object QueriesOps {
         |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 3
         |ORDER BY d1, d2""".stripMargin)),
 
+    // MM7: video near-dup via keyframe aHash + banded hamming join —
+    // completes the near-dup family across all five modalities.
+    // Planted one-char variants sit at +11200 (≡0 mod 112, preserving
+    // both dimension generators so the variant keeps its frame
+    // geometry and byte phase). Variants land mostly at hamming 0-3
+    // (the luma is raw bytes, so a harsher change can exceed the
+    // threshold and legitimately not pair); nearest non-planted pair
+    // measured at 10. The oracle resynthesizes frame-0 luma and runs
+    // the n² hamming form — the 4-band pigeonhole proven lossless.
+    "mm7_video_neardup" -> Q(
+      (s, d) => {
+        val base = docs(s, d).filter(col("doc_id") < 200).select("doc_id", "text")
+        val planted = base.select((col("doc_id") + 11200).as("doc_id"),
+          concat(lit("Q"), expr("substring(text, 2)")).as("text"))
+        Multimodal.videoNearDupPairs(
+            Multimodal.videoFingerprint(
+              Multimodal.y4mFromDocuments(base.unionByName(planted))),
+            maxDist = 3, bands = 4)
+          .orderBy("d1", "d2")
+      },
+      Some("""WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id + 11200, 'Q' || substr(text, 2) FROM documents WHERE doc_id < 200),
+        |b AS (SELECT doc_id, hex(encode(text)) AS hx FROM docs2),
+        |d AS (SELECT doc_id,
+        |    CAST(16 + (doc_id % 16) * 2 AS INTEGER) AS w,
+        |    CAST(16 + ((doc_id // 7) % 16) * 2 AS INTEGER) AS h,
+        |    list_transform(range(1, length(hx)//2 + 1),
+        |      i -> strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) * 16
+        |         + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 17) AS bytes
+        |  FROM b),
+        |px AS (SELECT doc_id, w, h, len(bytes) AS L, bytes,
+        |       unnest(range(0, w*h)) AS p FROM d),
+        |g AS (SELECT doc_id, w, h, (p % w) AS x, (p // w) AS y,
+        |    bytes[(p % L) + 1] AS luma
+        |  FROM px),
+        |cells AS (SELECT doc_id, (y*8//h)*8 + (x*8//w) AS cell,
+        |       sum(luma) AS s, count(*) AS c FROM g GROUP BY 1, 2),
+        |avgs AS (SELECT doc_id, list(s // c ORDER BY cell) AS av FROM cells GROUP BY 1),
+        |hsh AS (SELECT doc_id,
+        |    array_to_string(list_transform(av,
+        |      a -> CASE WHEN a >= list_sum(av)//64 THEN '1' ELSE '0' END), '') AS bits
+        |  FROM avgs),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(len(list_filter(range(1, 65),
+        |      i -> substr(a.bits, i, 1) != substr(b.bits, i, 1))) AS BIGINT) AS hamming
+        |  FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id)
+        |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 3
+        |ORDER BY d1, d2""".stripMargin)),
+
     "mm5_scene_cuts" -> Q(
       (s, d) => Multimodal.sceneCutsY4m(
           Multimodal.y4mFromDocuments(docs(s, d)), meanDelta = 0.25)

@@ -370,6 +370,52 @@ object Multimodal {
                         bands: Int = 8): DataFrame =
     bandedHammingPairs(fps.toDF(), "fp_bits", 64, maxDist, bands)
 
+  /** Keyframe fingerprint of decoded video — the video member of the
+    * 64-bit fingerprint family: [[aHashPpm]]'s 8×8 average-hash
+    * construction applied to FRAME 0's luma plane of the real Y4M
+    * decode (keyframe perceptual hashing — the standard first pass of
+    * video dedup, since near-dup videos share near-identical
+    * keyframes). All-integer: per-cell luma sums, floor-divided
+    * averages, a floor-divided global mean, one bit per cell.
+    */
+  final case class VideoHash(doc_id: Long, vhash_bits: String)
+
+  def videoFingerprint(media: Dataset[MediaRow], grid: Int = 8): Dataset[VideoHash] = {
+    implicit val enc = Encoders.product[VideoHash]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        parseY4m(r.payload).map { y =>
+          val off = y.frameOffsets.head
+          val sums = new Array[Long](grid * grid)
+          val cnts = new Array[Long](grid * grid)
+          var py = 0
+          while (py < y.height) {
+            val cy = py * grid / y.height
+            var px = 0
+            while (px < y.width) {
+              val c = cy * grid + px * grid / y.width
+              sums(c) += (r.payload(off + py * y.width + px) & 0xff)
+              cnts(c) += 1
+              px += 1
+            }
+            py += 1
+          }
+          val avgs = Array.tabulate(grid * grid)(c => sums(c) / cnts(c))
+          val mean = avgs.sum / (grid * grid)
+          VideoHash(r.doc_id, avgs.map(a => if (a >= mean) '1' else '0').mkString)
+        }
+      }
+    }
+  }
+
+  /** Video near-dup pairs from keyframe fingerprints — completes the
+    * near-dup family across every modality (text, image, audio,
+    * embedding, video), via the same lossless banded pigeonhole join.
+    */
+  def videoNearDupPairs(fps: Dataset[VideoHash], maxDist: Int = 3,
+                        bands: Int = 4): DataFrame =
+    bandedHammingPairs(fps.toDF(), "vhash_bits", 64, maxDist, bands)
+
   // ==== Real audio codec: WAV (RIFF PCM s16le) ========================
   // Second genuinely-decoded format, pure JVM: canonical RIFF container
   // with a PCM fmt chunk and 16-bit little-endian mono samples. The

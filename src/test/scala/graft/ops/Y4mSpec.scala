@@ -92,4 +92,33 @@ class Y4mSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "degenerate fixture: no cuts at the test threshold")
     assert(Multimodal.sceneCutsY4m(media, meanDelta = 256.0).count() === 0)
   }
+
+  test("videoFingerprint: 64 bits from frame-0 luma; banded near-dup equals brute force") {
+    import spark.implicits._
+    // ids differing by 112 share both dimension generators, so the
+    // one-byte text change perturbs a few grid cells only; id 5 has
+    // different dims and unrelated content
+    val tA = "the quick brown fox jumps over the lazy dog again and again".getBytes("UTF-8")
+    val tB = tA.clone(); tB(4) = 'Q'.toByte
+    val tC = "completely different video payload bytes here".getBytes("UTF-8")
+    val media = Seq(
+      Multimodal.MediaRow(3L, "video", Multimodal.makeY4m(3L, tA)),
+      Multimodal.MediaRow(115L, "video", Multimodal.makeY4m(115L, tB)),
+      Multimodal.MediaRow(5L, "video", Multimodal.makeY4m(5L, tC))).toDS()
+    val fps = Multimodal.videoFingerprint(media)
+    val all = fps.collect().map(f => f.doc_id -> f.vhash_bits).toMap
+    assert(all.values.forall(b => b.length == 64 && b.forall(c => c == '0' || c == '1')))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val banded = Multimodal.videoNearDupPairs(fps, maxDist = 5, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      x <- all.keys; y <- all.keys if x < y
+      d = ham(all(x), all(y)) if d <= 5
+    } yield (x, y, d.toLong)).toSet
+    assert(banded === brute, "banded pigeonhole must equal the n² form")
+    assert(banded.exists { case (a, b, _) => a == 3L && b == 115L },
+      "the one-byte variant with preserved dims must pair")
+    assert(!banded.exists { case (a, b, _) => a == 5L || b == 5L },
+      "the unrelated clip must not pair")
+  }
 }
