@@ -29,7 +29,9 @@ object Plans {
     "cur10_target_mixture", "sm1_shard_manifest", "bx1_bitext_margin",
     "ds1_dsir_select", "cur11_weighted_sample", "au4_audio_neardup",
     "ss9_matryoshka_recall", "rm1_rm3_expansion", "dd15_containment",
-    "eo1_embedding_outliers", "mm7_video_neardup")
+    "eo1_embedding_outliers", "mm7_video_neardup",
+    "ev1_retrieval_metrics", "kp1_labeler_agreement", "mi1_source_lang_mi",
+    "ab1_welch_ttest", "fi1_itemset_lift")
 
   /** (shuffle exchanges, broadcast exchanges) of the physical plan,
     * counted via tree walk, not the text dump: a persisted subtree's

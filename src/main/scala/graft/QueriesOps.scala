@@ -222,6 +222,81 @@ object QueriesOps {
   private def dec(c: String) = col(c).cast("decimal(18,2)")
   private val discPrice = dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))
 
+  /** DuckDB oracle for ev1: the retrieval-metrics harness restated in
+    * SQL, with the nDCG rank discounts inlined as the SAME driver-
+    * computed double literals [[graft.ops.Search.ndcgDiscounts]] feeds
+    * the Spark plan (Double.toString round-trips, so both engines
+    * consume bit-identical discounts — no engine evaluates a log).
+    */
+  private val EvalTerms = Seq("spark", "join", "stream", "query")
+  private val EvalK = 10
+  private val RetrievalMetricsOracle: String = {
+    val tfCols = EvalTerms.zipWithIndex.map { case (t, i) =>
+      s"|    CAST(len(list_filter(string_split(lower(text), ' '), x -> x = '$t')) AS BIGINT) AS tf_$i"
+    }.mkString(",\n")
+    val dfCols = EvalTerms.indices.map(i =>
+      s"|    CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i").mkString(",\n")
+    val longArms = EvalTerms.indices.map(i =>
+      s"|  SELECT id, dl, $i AS tidx, tf_$i AS tf FROM base WHERE tf_$i > 0").mkString("\n|  UNION ALL\n")
+    val termList = EvalTerms.map(t => s"'$t'").mkString(", ")
+    val dfList = EvalTerms.indices.map(i => s"s.df_$i").mkString(", ")
+    val discRows = graft.ops.Search.ndcgDiscounts(EvalK).zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, ${java.lang.Double.toString(w)})" }.mkString(", ")
+    s"""WITH base AS (
+      |  SELECT doc_id AS id,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+      $tfCols
+      |  FROM documents),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+      $dfCols
+      |  FROM base),
+      |long0 AS (
+      $longArms),
+      |scored AS (
+      |  SELECT [$termList][tidx + 1] AS term, id,
+      |    CAST(least(tf, 3) AS INTEGER) AS rel,
+      |    ln((CAST(n_docs AS DOUBLE) - dfv + 0.5) / (dfv + 0.5) + 1.0)
+      |      * (CAST(tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |          (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS score
+      |  FROM (SELECT l.*, s.n_docs, s.sum_dl,
+      |          CAST([$dfList][l.tidx + 1] AS DOUBLE) AS dfv
+      |        FROM long0 l, stats s)),
+      |disc(drk, w) AS (VALUES $discRows),
+      |run AS (SELECT term, id, rel,
+      |    CAST(row_number() OVER (PARTITION BY term ORDER BY score DESC, id) AS INTEGER) AS rk
+      |  FROM scored),
+      |runagg AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS n_retrieved,
+      |    CAST(sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_at_k,
+      |    CAST(sum(CAST(floor(CAST([0.0, 1.0, 3.0, 7.0][rel + 1] AS DOUBLE) * w * 1e12 + 0.5)
+      |      AS BIGINT)) AS BIGINT) AS dcg_pico,
+      |    min(CASE WHEN rel >= 2 THEN rk END) AS first_rel
+      |  FROM run JOIN disc ON disc.drk = run.rk WHERE rk <= $EvalK GROUP BY 1),
+      |ideal AS (SELECT term, rel,
+      |    CAST(row_number() OVER (PARTITION BY term ORDER BY rel DESC, id) AS INTEGER) AS rk
+      |  FROM scored),
+      |idealagg AS (
+      |  SELECT term,
+      |    CAST(sum(CAST(floor(CAST([0.0, 1.0, 3.0, 7.0][rel + 1] AS DOUBLE) * w * 1e12 + 0.5)
+      |      AS BIGINT)) AS BIGINT) AS idcg_pico
+      |  FROM ideal JOIN disc ON disc.drk = ideal.rk WHERE rk <= $EvalK GROUP BY 1),
+      |totals AS (SELECT term,
+      |    CAST(sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_total
+      |  FROM scored GROUP BY 1)
+      |SELECT r.term, r.n_retrieved, t.n_rel_total, r.n_rel_at_k,
+      |  CASE WHEN i.idcg_pico > 0
+      |    THEN CAST(r.dcg_pico AS DOUBLE) / CAST(i.idcg_pico AS DOUBLE) ELSE 0.0 END AS ndcg,
+      |  CASE WHEN r.first_rel IS NOT NULL
+      |    THEN 1.0 / CAST(r.first_rel AS DOUBLE) ELSE 0.0 END AS mrr,
+      |  CAST(r.n_rel_at_k AS DOUBLE) / 10.0 AS p_at_k,
+      |  CASE WHEN t.n_rel_total > 0
+      |    THEN CAST(r.n_rel_at_k AS DOUBLE) / CAST(t.n_rel_total AS DOUBLE) ELSE 0.0 END AS r_at_k
+      |FROM runagg r JOIN idealagg i ON i.term = r.term JOIN totals t ON t.term = r.term
+      |ORDER BY r.term""".stripMargin
+  }
+
   val all: Seq[(String, Q)] = Seq(
 
     // ---- text analysis ------------------------------------------------
@@ -4088,5 +4163,182 @@ object QueriesOps {
         |  dup.n_dup_docs,
         |  CAST(dup.n_dup_docs AS DOUBLE) / CAST(base.n_docs AS DOUBLE) AS dup_rate,
         |  med.median_chars, mq.mean_quality
-        |FROM base, dup, med, mq""".stripMargin)))
+        |FROM base, dup, med, mq""".stripMargin)),
+
+    // ---- inference statistics + eval harnesses (round 9) --------------
+
+    // EV1: retrieval eval — nDCG@10 / MRR / P@10 / R@10 per query over
+    // the self-labeling single-term-BM25 benchmark. All ranks are
+    // total-order integers, all DCG terms pico-quantized longs, the
+    // rank discounts shared driver-computed literals — see
+    // Search.retrievalMetrics.
+    "ev1_retrieval_metrics" -> Q(
+      (s, d) => graft.ops.Search.retrievalMetrics(docs(s, d), EvalTerms, k = EvalK)
+        .orderBy("term"),
+      Some(RetrievalMetricsOracle)),
+
+    // KP1: inter-labeler agreement — Cohen's kappa between the
+    // stopword langid (tx3) and the n-gram langid (tx8) over the same
+    // corpus: the annotation-QA gate. Full confusion matrix + the
+    // scalar kappa on every row, all from exact integer counts.
+    "kp1_labeler_agreement" -> Q(
+      (s, d) => graft.ops.Stats.cohenKappa(
+          Text.withLangIdNgram(Text.withLangId(docs(s, d))),
+          "lang_pred", "ng_lang_pred")
+        .orderBy("label_a", "label_b"),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks,
+        |    lower(text) AS lt, greatest(CAST(length(text) AS DOUBLE), 1.0) AS n
+        |  FROM documents),
+        |sc AS (SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','and','of','is','to'], x))) AS INTEGER) AS score_en,
+        |  CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x))) AS INTEGER) AS score_es,
+        |  CAST(len(list_filter(toks, x -> list_contains(['le','les','des','et','une'], x))) AS INTEGER) AS score_fr
+        |  FROM t),
+        |p1 AS (SELECT doc_id,
+        |  CASE WHEN score_en >= score_es AND score_en >= score_fr AND score_en > 0 THEN 'en'
+        |       WHEN score_es >= score_fr AND score_es > 0 THEN 'es'
+        |       WHEN score_fr > 0 THEN 'fr'
+        |       ELSE 'unknown' END AS label_a
+        |  FROM sc),
+        |ng AS (SELECT doc_id,
+        |  (CAST((length(lt) - length(replace(lt, 'th', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'he', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'in', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'er', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'an', ''))) / 2 AS DOUBLE)) / n AS ng_en,
+        |  (CAST((length(lt) - length(replace(lt, 'de', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'la', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'os', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'ue', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'ción', ''))) / 4 AS DOUBLE)) / n AS ng_es,
+        |  (CAST((length(lt) - length(replace(lt, 'le', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'ou', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'es', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'ai', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'eau', ''))) / 3 AS DOUBLE)) / n AS ng_fr
+        |  FROM t),
+        |p2 AS (SELECT doc_id,
+        |  CASE WHEN ng_en >= ng_es AND ng_en >= ng_fr AND ng_en > 0 THEN 'en'
+        |       WHEN ng_es >= ng_fr AND ng_es > 0 THEN 'es'
+        |       WHEN ng_fr > 0 THEN 'fr'
+        |       ELSE 'unknown' END AS label_b
+        |  FROM ng),
+        |cells AS (SELECT label_a, label_b, CAST(count(*) AS BIGINT) AS n_cell
+        |  FROM p1 JOIN p2 USING (doc_id) GROUP BY 1, 2),
+        |nn AS (SELECT CAST(sum(n_cell) AS BIGINT) AS n FROM cells),
+        |agr AS (SELECT CAST(coalesce(sum(CASE WHEN label_a = label_b THEN n_cell END), 0)
+        |    AS BIGINT) AS n_agree FROM cells),
+        |ma AS (SELECT label_a AS lab, CAST(sum(n_cell) AS BIGINT) AS n_a FROM cells GROUP BY 1),
+        |mb AS (SELECT label_b AS lab, CAST(sum(n_cell) AS BIGINT) AS n_b FROM cells GROUP BY 1),
+        |pe AS (SELECT CAST(coalesce(sum(CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))), 0)
+        |    AS DECIMAL(38,0)) AS pe_num FROM ma JOIN mb USING (lab)),
+        |sca AS (SELECT n,
+        |    CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS p_o,
+        |    CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS p_e
+        |  FROM nn, agr, pe)
+        |SELECT label_a, label_b, n_cell, n, round(p_o, 9) AS p_o, round(p_e, 9) AS p_e,
+        |  round((p_o - p_e) / (1.0 - p_e), 9) AS kappa
+        |FROM cells, sca ORDER BY label_a, label_b""".stripMargin)),
+
+    // MI1: source↔language dependence — mutual information + NMI over
+    // the (source, lang) contingency table; the composition audit
+    // companion of st3's chi-square. Per-cell terms pico-quantized
+    // before the order-free vocabulary sum (the js1 pattern).
+    "mi1_source_lang_mi" -> Q(
+      (s, d) => graft.ops.Stats.columnMi(docs(s, d), "source", "lang")
+        .orderBy("a", "b"),
+      Some("""WITH cells AS (SELECT source AS a, lang AS b,
+        |    CAST(count(*) AS BIGINT) AS n_ab FROM documents GROUP BY 1, 2),
+        |nn AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM cells),
+        |ma AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM cells GROUP BY 1),
+        |mb AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS n_b FROM cells GROUP BY 1),
+        |joint AS (SELECT c.a, c.b, c.n_ab, ma.n_a, mb.n_b,
+        |    CAST(c.n_ab AS DOUBLE) / CAST(nn.n AS DOUBLE) AS p_ab,
+        |    CAST(c.n_ab AS DOUBLE) / CAST(nn.n AS DOUBLE) *
+        |      ln((CAST(c.n_ab AS DOUBLE) / CAST(nn.n AS DOUBLE)) /
+        |          (CAST(ma.n_a AS DOUBLE) / CAST(nn.n AS DOUBLE)
+        |           * (CAST(mb.n_b AS DOUBLE) / CAST(nn.n AS DOUBLE)))) AS mi_term
+        |  FROM cells c JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn),
+        |q AS (SELECT *, CAST(floor(mi_term * 1e12 + 0.5) AS BIGINT) AS mi_pico FROM joint),
+        |ms AS (SELECT CAST(sum(mi_pico) AS BIGINT) AS mi_pico_sum FROM q),
+        |ha AS (SELECT CAST(sum(CAST(floor(-(CAST(n_a AS DOUBLE) / CAST(nn.n AS DOUBLE))
+        |    * ln(CAST(n_a AS DOUBLE) / CAST(nn.n AS DOUBLE)) * 1e12 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS h FROM ma CROSS JOIN nn),
+        |hb AS (SELECT CAST(sum(CAST(floor(-(CAST(n_b AS DOUBLE) / CAST(nn.n AS DOUBLE))
+        |    * ln(CAST(n_b AS DOUBLE) / CAST(nn.n AS DOUBLE)) * 1e12 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS h FROM mb CROSS JOIN nn)
+        |SELECT q.a, q.b, q.n_ab, q.n_a, q.n_b, round(q.mi_term, 9) AS mi_term,
+        |  round(CAST(ms.mi_pico_sum AS DOUBLE) / 1e12, 9) AS mi_total,
+        |  round(CAST(ms.mi_pico_sum AS DOUBLE) /
+        |    CAST(least(ha.h, hb.h) AS DOUBLE), 9) AS nmi
+        |FROM q, ms, ha, hb ORDER BY q.a, q.b""".stripMargin)),
+
+    // AB1: Welch's unequal-variance t-test between the even/odd user
+    // arms of the event stream — the continuous A/B gate beside st3's
+    // categorical chi-square. Micro-quantized moments, one combinable
+    // aggregate pass.
+    "ab1_welch_ttest" -> Q(
+      (s, d) => graft.ops.Stats.welchTTest(
+        Queries.events(s, d).withColumn("arm",
+          when(col("user_id") % 2 === 0, "control").otherwise("treatment")),
+        "value", "arm", "control", "treatment"),
+      Some("""WITH b AS (SELECT
+        |    CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm,
+        |    CAST(floor(value * 1e6 + 0.5) AS DECIMAL(38,0)) AS q
+        |  FROM events),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN arm = 'control' THEN q ELSE CAST(0 AS DECIMAL(38,0)) END) AS s_a,
+        |    sum(CASE WHEN arm = 'treatment' THEN q ELSE CAST(0 AS DECIMAL(38,0)) END) AS s_b,
+        |    sum(CASE WHEN arm = 'control' THEN q * q ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss_a,
+        |    sum(CASE WHEN arm = 'treatment' THEN q * q ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss_b
+        |  FROM b),
+        |c AS (SELECT n_a, n_b,
+        |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |    CAST(s_a AS DOUBLE) AS sa, CAST(s_b AS DOUBLE) AS sb,
+        |    CAST(ss_a AS DOUBLE) AS ssa, CAST(ss_b AS DOUBLE) AS ssb
+        |  FROM m),
+        |v AS (SELECT *,
+        |    (ssa - sa * sa / na) / (na - 1.0) AS var_qa,
+        |    (ssb - sb * sb / nb) / (nb - 1.0) AS var_qb
+        |  FROM c),
+        |w AS (SELECT *, var_qa / na + var_qb / nb AS se2 FROM v)
+        |SELECT n_a, n_b,
+        |  round(sa / na / 1e6, 6) AS mean_a,
+        |  round(sb / nb / 1e6, 6) AS mean_b,
+        |  round(var_qa / 1e12, 6) AS var_a,
+        |  round(var_qb / 1e12, 6) AS var_b,
+        |  (sa / na - sb / nb) / sqrt(se2) AS t_stat,
+        |  se2 * se2 / ((var_qa / na) * (var_qa / na) / (na - 1.0)
+        |             + (var_qb / nb) * (var_qb / nb) / (nb - 1.0)) AS df_welch,
+        |  abs((sa / na - sb / nb) / sqrt(se2)) > 1.96 AS significant
+        |FROM w""".stripMargin)),
+
+    // FI1: A-Priori frequent item pairs over order baskets — exact
+    // support counts after frequent-item pruning, ratios from single
+    // divisions of exact longs. See Itemsets.frequentPairs for the
+    // 100 TB pruning argument.
+    "fi1_itemset_lift" -> Q(
+      (s, d) => graft.ops.Itemsets.frequentPairs(
+          li(s, d), "l_orderkey", "l_partkey", minSupport = 2L)
+        .filter(col("n_ab") >= 3)
+        .orderBy("item_a", "item_b"),
+      Some("""WITH bi AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |  FROM lineitem),
+        |nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM bi),
+        |f AS (SELECT item, CAST(count(*) AS BIGINT) AS item_n FROM bi
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        |pr AS (SELECT bi.basket, bi.item, f.item_n FROM bi JOIN f USING (item)),
+        |pc AS (SELECT x.item AS item_a, y.item AS item_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab,
+        |    CAST(min(x.item_n) AS BIGINT) AS n_a, CAST(min(y.item_n) AS BIGINT) AS n_b
+        |  FROM pr x JOIN pr y ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT item_a, item_b, n_ab, n_a, n_b,
+        |  CAST(n_ab AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE) AS support,
+        |  CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) AS confidence,
+        |  CAST(n_ab AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS lift
+        |FROM pc, nb ORDER BY item_a, item_b""".stripMargin)))
 }

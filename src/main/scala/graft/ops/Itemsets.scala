@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Frequent-itemset mining: co-occurring item pairs within baskets with
+  * support / confidence / lift — the association-rule primitive behind
+  * "parts bought together" audits and, in the corpus world, tag/source
+  * co-occurrence analysis.
+  */
+object Itemsets {
+
+  /** All item pairs `(a < b)` co-occurring in at least `minSupport`
+    * baskets, with their exact support counts and the derived
+    * `support` / `confidence(a→b)` / `lift` ratios.
+    *
+    * Scale design — the A-Priori pruning that makes pair mining
+    * feasible at 100 TB:
+    *   1. distinct (basket, item) — one combinable dedup shuffle;
+    *   2. frequent ITEMS first: any item in < minSupport baskets
+    *      cannot appear in a frequent pair (downward closure), so the
+    *      self-join input is semi-join-pruned to frequent items before
+    *      any pair is formed;
+    *   3. the pair join is an equi-join on basket over the PRUNED
+    *      (basket, item) table carrying ids only, `a < b` halving the
+    *      output; pair counting is another combinable shuffle.
+    * The n² blowup per basket is bounded by the largest basket's
+    * FREQUENT-item count, not its raw size. All ratios are single
+    * divisions of exact longs cast to double in a fixed order.
+    */
+  def frequentPairs(df: DataFrame, basketCol: String, itemCol: String,
+                    minSupport: Long): DataFrame = {
+    val bi = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct().persist()
+    val nBaskets = bi.agg(countDistinct("basket").cast("long").as("n_baskets"))
+    val freq = bi.groupBy("item").agg(count(lit(1)).cast("long").as("item_n"))
+      .filter(col("item_n") >= minSupport)
+    val pruned = bi.join(freq, "item")
+      .select(col("basket"), col("item"), col("item_n"))
+    val pairs = pruned.as("x").join(pruned.as("y"), Seq("basket"))
+      .filter(col("x.item") < col("y.item"))
+      .select(col("x.item").as("item_a"), col("y.item").as("item_b"),
+        col("x.item_n").as("n_a"), col("y.item_n").as("n_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).cast("long").as("n_ab"),
+        first("n_a").cast("long").as("n_a"),
+        first("n_b").cast("long").as("n_b"))
+      .filter(col("n_ab") >= minSupport)
+    val nb = col("n_baskets").cast("double")
+    pairs.crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        (col("n_ab").cast("double") / nb).as("support"),
+        (col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence"),
+        (col("n_ab").cast("double") * nb /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+  }
+}

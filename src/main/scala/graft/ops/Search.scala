@@ -258,4 +258,98 @@ object Search {
       .withColumn("rm_weight", col("rm_micro").cast("double") / 1e6)
       .select("rank", "term", "rm_micro", "rm_weight")
   }
+
+  /** The rank-@k discount table nDCG uses: `1/log2(r+1)` for
+    * r = 1..k, computed once on the driver so BOTH engines consume the
+    * identical double literals (libm-free — no engine ever evaluates a
+    * log for the discount).
+    */
+  def ndcgDiscounts(k: Int): Seq[Double] =
+    (1 to k).map(r => math.log(2.0) / math.log(r + 1.0))
+
+  /** Retrieval-quality evaluation — nDCG@k, MRR, precision@k and
+    * recall@k per query — over a self-labeling benchmark: each query is
+    * a single term, its run is the corpus ranked by single-term BM25
+    * (score desc, id asc — a total order), and the graded relevance of
+    * a document is its capped term frequency `min(tf, maxGrade)` with
+    * "relevant" meaning grade ≥ `relThreshold`. The standard eval
+    * harness a retrieval/curation stack runs after every index or
+    * scorer change.
+    *
+    * Determinism: ranks are integers from total orders; DCG/IDCG
+    * contributions are `(2^grade − 1) · disc[rank]` with the discount
+    * a driver-computed literal ([[ndcgDiscounts]]), pico-quantized
+    * per row and summed as order-free longs; MRR is one exact
+    * reciprocal of an integer rank.
+    *
+    * Scale: ONE corpus text scan produces all terms' tf columns
+    * in-row; the per-term stats reduce in one combinable agg to a
+    * single broadcast row. The long (doc, term) table carries only
+    * scalars for docs that CONTAIN the term, and the rank-≤-k filters
+    * compile to WindowGroupLimit (per-partition top-k heaps, no global
+    * sort). Metric assembly joins term-count-sized aggregates.
+    */
+  def retrievalMetrics(docs: DataFrame, terms: Seq[String], k: Int = 10,
+                       relThreshold: Int = 2, maxGrade: Int = 3,
+                       k1: Double = 1.2, b: Double = 0.75,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    import org.apache.spark.sql.expressions.Window
+    val tt = Dedup.tokens(col(textCol))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(tt, x => x === t)).cast("long").as(s"tf_$i")
+    }
+    val base = docs.select(
+      (col(idCol).as("id") +: size(tt).cast("long").as("dl") +: tfCols): _*)
+    val statCols = sum(col("dl")).as("sum_dl") +: terms.indices.map(i =>
+      sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = base.agg(count(lit(1)).cast("long").as("n_docs"), statCols: _*)
+    val long0 = base
+      .select(col("id"), col("dl"),
+        posexplode(array(terms.indices.map(i => col(s"tf_$i")): _*)).as(Seq("tidx", "tf")))
+      .filter(col("tf") > 0)
+      .crossJoin(broadcast(stats))
+    val termArr = array(terms.map(lit): _*)
+    val dfArr = array(terms.indices.map(i => col(s"df_$i")): _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val tf = col("tf").cast("double")
+    val dfd = element_at(dfArr, col("tidx") + 1).cast("double")
+    val idf = log((col("n_docs").cast("double") - dfd + 0.5) / (dfd + 0.5) + 1.0)
+    val score = idf * (tf * lit(k1 + 1.0)) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    val scored = long0
+      .withColumn("term", element_at(termArr, col("tidx") + 1))
+      .withColumn("rel", least(col("tf"), lit(maxGrade.toLong)).cast("int"))
+      .withColumn("score", score)
+      .select("term", "id", "rel", "score").persist()
+    val discArr = array(ndcgDiscounts(k).map(lit): _*)
+    // graded gain 2^rel − 1 as a literal lookup (libm-free, exact)
+    val gainArr = array((0 to maxGrade).map(r => lit(((1L << r) - 1L).toDouble)): _*)
+    val gain = element_at(gainArr, col("rel") + 1)
+    def dcgPico(rankCol: org.apache.spark.sql.Column) =
+      floor(gain * element_at(discArr, rankCol.cast("int")) * lit(1e12) + lit(0.5)).cast("long")
+    val wRun = Window.partitionBy("term").orderBy(col("score").desc, col("id").asc)
+    val run = scored.withColumn("rk", row_number().over(wRun)).filter(col("rk") <= k)
+      .groupBy("term").agg(
+        count(lit(1)).cast("long").as("n_retrieved"),
+        sum(when(col("rel") >= relThreshold, 1L).otherwise(0L)).cast("long").as("n_rel_at_k"),
+        sum(dcgPico(col("rk"))).cast("long").as("dcg_pico"),
+        min(when(col("rel") >= relThreshold, col("rk"))).as("first_rel_rank"))
+    val wIdeal = Window.partitionBy("term").orderBy(col("rel").desc, col("id").asc)
+    val ideal = scored.withColumn("rk", row_number().over(wIdeal)).filter(col("rk") <= k)
+      .groupBy("term").agg(sum(dcgPico(col("rk"))).cast("long").as("idcg_pico"))
+    val totals = scored.groupBy("term").agg(
+      sum(when(col("rel") >= relThreshold, 1L).otherwise(0L)).cast("long").as("n_rel_total"))
+    run.join(ideal, "term").join(totals, "term")
+      .select(col("term"), col("n_retrieved"), col("n_rel_total"), col("n_rel_at_k"),
+        when(col("idcg_pico") > 0L,
+          col("dcg_pico").cast("double") / col("idcg_pico").cast("double"))
+          .otherwise(lit(0.0)).as("ndcg"),
+        when(col("first_rel_rank").isNotNull,
+          lit(1.0) / col("first_rel_rank").cast("double")).otherwise(lit(0.0)).as("mrr"),
+        (col("n_rel_at_k").cast("double") / lit(k.toDouble)).as("p_at_k"),
+        when(col("n_rel_total") > 0L,
+          col("n_rel_at_k").cast("double") / col("n_rel_total").cast("double"))
+          .otherwise(lit(0.0)).as("r_at_k"))
+  }
 }

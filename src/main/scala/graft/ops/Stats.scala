@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Inference-grade statistics over grouped data: the two-sample Welch
+  * t-test (continuous A/B comparison, the companion of st3's chi-square
+  * for categorical independence), Cohen's kappa (inter-labeler
+  * agreement — the standard QA gate when two annotation pipelines
+  * disagree), and column-level mutual information (corpus-composition
+  * dependence audit).
+  *
+  * Determinism design shared by all three: every floating-point value
+  * derives from EXACT integer aggregates (micro-quantized observations
+  * summed as decimal(38,0); confusion/contingency cells as longs),
+  * combined in a fixed scalar expression order — so results are
+  * bit-reproducible across engines and across cluster repartitionings.
+  * No per-row double is ever summed across rows; where a vocabulary-
+  * wide sum of float terms is unavoidable (MI), each term is quantized
+  * to pico-units first and the longs sum order-free (the js1 pattern).
+  */
+object Stats {
+
+  /** Welch's unequal-variance two-sample t-test between the rows where
+    * `armCol` = `armA` and those where it equals `armB`.
+    *
+    * Observations quantize to micro-units (`floor(x·1e6 + 0.5)` — one
+    * IEEE multiply + add + floor on the raw double, identical in any
+    * engine) and the three moments (n, Σq, Σq²) accumulate as exact
+    * integers in ONE combinable aggregate pass — map-side partials,
+    * ~two rows shuffled total, any corpus size. Mean/variance/t/df
+    * then come from the closed forms in quantized units, cast to
+    * double in a fixed order.
+    *
+    * Output: one row — n/mean/var per arm (means in original units,
+    * round-6 for display), `t_stat`, Welch–Satterthwaite `df_welch`,
+    * and the |t| > 1.96 significance indicator.
+    */
+  def welchTTest(df: DataFrame, valueCol: String, armCol: String,
+                 armA: String, armB: String): DataFrame = {
+    val q = floor(col(valueCol) * lit(1e6) + lit(0.5)).cast("decimal(38,0)")
+    val isA = col(armCol) === armA
+    val isB = col(armCol) === armB
+    val m = df.filter(isA || isB).agg(
+      sum(when(isA, 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when(isB, 1L).otherwise(0L)).cast("long").as("n_b"),
+      sum(when(isA, q).otherwise(lit(0).cast("decimal(38,0)"))).as("s_a"),
+      sum(when(isB, q).otherwise(lit(0).cast("decimal(38,0)"))).as("s_b"),
+      sum(when(isA, q * q).otherwise(lit(0).cast("decimal(38,0)"))).as("ss_a"),
+      sum(when(isB, q * q).otherwise(lit(0).cast("decimal(38,0)"))).as("ss_b"))
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val (sa, sb) = (col("s_a").cast("double"), col("s_b").cast("double"))
+    val (ssa, ssb) = (col("ss_a").cast("double"), col("ss_b").cast("double"))
+    // sample variances in micro-unit² (exact integer numerators)
+    val varA = (ssa - sa * sa / na) / (na - 1.0)
+    val varB = (ssb - sb * sb / nb) / (nb - 1.0)
+    val se2 = varA / na + varB / nb // squared standard error
+    val t = (sa / na - sb / nb) / sqrt(se2)
+    val dfW = se2 * se2 /
+      ((varA / na) * (varA / na) / (na - 1.0) + (varB / nb) * (varB / nb) / (nb - 1.0))
+    m.select(col("n_a"), col("n_b"),
+      round(sa / na / 1e6, 6).as("mean_a"),
+      round(sb / nb / 1e6, 6).as("mean_b"),
+      round(varA / 1e12, 6).as("var_a"),
+      round(varB / 1e12, 6).as("var_b"),
+      t.as("t_stat"),
+      dfW.as("df_welch"),
+      (abs(t) > 1.96).as("significant"))
+  }
+
+  /** Cohen's kappa between two label columns of the same rows — the
+    * chance-corrected agreement `κ = (p_o − p_e) / (1 − p_e)` where
+    * `p_o` is observed agreement and `p_e = Σ_c p_a(c)·p_b(c)` the
+    * agreement expected if the two labelers were independent.
+    *
+    * Output: the full confusion matrix (one row per observed
+    * (label_a, label_b) cell, exact long count) with the scalar
+    * n / p_o / κ columns carried on every row, so the oracle
+    * value-checks the entire matrix AND the statistic in one table.
+    *
+    * Scale: one combinable (label_a, label_b) count shuffle — cells,
+    * not rows, move; marginals and the p_e cross-sum reduce the
+    * already-tiny cell table. The label vocabulary bounds every
+    * post-shuffle stage.
+    */
+  def cohenKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA).as("label_a"), col(colB).as("label_b"))
+      .agg(count(lit(1)).cast("long").as("n_cell")).persist()
+    val n = cells.agg(sum("n_cell").cast("long").as("n"))
+    val agree = cells.filter(col("label_a") === col("label_b"))
+      .agg(coalesce(sum("n_cell"), lit(0L)).cast("long").as("n_agree"))
+    val ma = cells.groupBy("label_a").agg(sum("n_cell").cast("long").as("n_a"))
+    val mb = cells.groupBy("label_b").agg(sum("n_cell").cast("long").as("n_b"))
+    // Σ_c n_a(c)·n_b(c): exact integer (products of longs fit decimal)
+    val pe = ma.join(mb, col("label_a") === col("label_b"))
+      .agg(coalesce(sum(col("n_a").cast("decimal(38,0)") * col("n_b").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("pe_num"))
+    val scalars = n.crossJoin(agree).crossJoin(pe)
+      .withColumn("p_o", col("n_agree").cast("double") / col("n").cast("double"))
+      .withColumn("p_e", col("pe_num").cast("double") /
+        (col("n").cast("double") * col("n").cast("double")))
+      .withColumn("kappa", (col("p_o") - col("p_e")) / (lit(1.0) - col("p_e")))
+      .select("n", "p_o", "p_e", "kappa")
+    cells.crossJoin(broadcast(scalars))
+      .select(col("label_a"), col("label_b"), col("n_cell"),
+        col("n"), round(col("p_o"), 9).as("p_o"),
+        round(col("p_e"), 9).as("p_e"), round(col("kappa"), 9).as("kappa"))
+  }
+
+  /** Mutual information between two categorical columns —
+    * `I(A;B) = Σ_{a,b} p(a,b)·ln(p(a,b)/(p(a)p(b)))` — plus the
+    * min-entropy-normalized NMI, the composition-audit statistic that
+    * answers "does `source` determine `lang`?" more directly than
+    * st3's chi-square (MI is in interpretable nats and normalizes to
+    * [0,1]).
+    *
+    * Per-cell contributions quantize to pico-units before the
+    * vocabulary-wide sum (order-free longs — the js1 pattern), so the
+    * total is bit-stable. Entropies H(A), H(B) quantize the same way.
+    * Output: one row per observed cell (exact counts + round-9
+    * contribution) with mi_total / nmi carried on every row.
+    *
+    * Scale: identical shape to [[cohenKappa]] — one combinable cell
+    * count shuffle; everything after is vocabulary-sized.
+    */
+  def columnMi(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).cast("long").as("n_ab")).persist()
+    val n = cells.agg(sum("n_ab").cast("long").as("n"))
+    val ma = cells.groupBy("a").agg(sum("n_ab").cast("long").as("n_a"))
+    val mb = cells.groupBy("b").agg(sum("n_ab").cast("long").as("n_b"))
+    val nd = col("n").cast("double")
+    val joint = cells.join(ma, "a").join(mb, "b").crossJoin(broadcast(n))
+      .withColumn("p_ab", col("n_ab").cast("double") / nd)
+      .withColumn("mi_term", col("p_ab") *
+        log(col("p_ab") / (col("n_a").cast("double") / nd * (col("n_b").cast("double") / nd))))
+      .withColumn("mi_pico", floor(col("mi_term") * lit(1e12) + lit(0.5)).cast("long"))
+      .persist()
+    val miSum = joint.agg(sum("mi_pico").cast("long").as("mi_pico_sum"))
+    def entPico(marg: DataFrame, cnt: String) = marg.crossJoin(n)
+      .withColumn("p", col(cnt).cast("double") / nd)
+      .withColumn("h_pico", floor(-col("p") * log(col("p")) * lit(1e12) + lit(0.5)).cast("long"))
+      .agg(sum("h_pico").cast("long"))
+    val hA = entPico(ma, "n_a").collect()(0).getLong(0)
+    val hB = entPico(mb, "n_b").collect()(0).getLong(0)
+    val hMin = math.min(hA, hB)
+    joint.crossJoin(broadcast(miSum))
+      .withColumn("mi_total", round(col("mi_pico_sum").cast("double") / 1e12, 9))
+      .withColumn("nmi", round(col("mi_pico_sum").cast("double") / lit(hMin.toDouble), 9))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("mi_term"), 9).as("mi_term"), col("mi_total"), col("nmi"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Hand-computed cases for the inference-statistics family (Welch t,
+  * Cohen's kappa, column MI), A-Priori pair mining, and the retrieval
+  * eval harness.
+  */
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("welchTTest: hand-computed t, df, and significance") {
+    // control [1,2,3]: mean 2, var 1 — treatment [2,4,6,8]: mean 5, var 20/3
+    // se2 = 1/3 + (20/3)/4 = 2; t = (2-5)/sqrt(2); df = 4/(1/18 + 25/27)
+    val df = Seq(("control", 1.0), ("control", 2.0), ("control", 3.0),
+      ("treatment", 2.0), ("treatment", 4.0), ("treatment", 6.0), ("treatment", 8.0))
+      .toDF("arm", "v")
+    val r = Stats.welchTTest(df, "v", "arm", "control", "treatment").collect().head
+    assert(r.getAs[Long]("n_a") === 3L)
+    assert(r.getAs[Long]("n_b") === 4L)
+    assert(r.getAs[Double]("mean_a") === 2.0)
+    assert(r.getAs[Double]("mean_b") === 5.0)
+    assert(math.abs(r.getAs[Double]("var_a") - 1.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("var_b") - 20.0 / 3.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("t_stat") - (-3.0 / math.sqrt(2.0))) < 1e-9)
+    assert(math.abs(r.getAs[Double]("df_welch") - 4.0 / (1.0 / 18.0 + 25.0 / 27.0)) < 1e-9)
+    assert(r.getAs[Boolean]("significant")) // |t| = 2.121 > 1.96
+  }
+
+  test("cohenKappa: the textbook 2x2 example gives kappa 0.4") {
+    // yes/yes 20, yes/no 5, no/yes 10, no/no 15:
+    // p_o = 35/50 = 0.7; p_e = (25*30 + 25*20)/50^2 = 0.5; kappa = 0.4
+    val rows = Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+      Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val got = Stats.cohenKappa(rows.toDF("a", "b"), "a", "b")
+      .orderBy("label_a", "label_b").collect()
+    assert(got.length === 4)
+    val head = got.head
+    assert(head.getAs[Long]("n") === 50L)
+    assert(head.getAs[Double]("p_o") === 0.7)
+    assert(head.getAs[Double]("p_e") === 0.5)
+    assert(math.abs(head.getAs[Double]("kappa") - 0.4) < 1e-9)
+    val cell = got.map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_cell")).toMap
+    assert(cell(("yes", "yes")) === 20L && cell(("no", "yes")) === 10L)
+  }
+
+  test("columnMi: identity columns give MI = H = ln 2 and NMI = 1; independence gives 0") {
+    val dep = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y")).toDF("a", "b")
+    val d = Stats.columnMi(dep, "a", "b").collect().head
+    assert(math.abs(d.getAs[Double]("mi_total") - math.log(2.0)) < 1e-9)
+    assert(math.abs(d.getAs[Double]("nmi") - 1.0) < 1e-9)
+    val ind = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")).toDF("a", "b")
+    val i = Stats.columnMi(ind, "a", "b").collect().head
+    assert(math.abs(i.getAs[Double]("mi_total")) < 1e-9)
+  }
+
+  test("frequentPairs: A-Priori pruning and hand-computed support/confidence/lift") {
+    // baskets: 1{A,B,C} 2{A,B} 3{A,B} 4{C,D}; minSupport 2
+    // items: A3 B3 C2 D1(pruned); only pair (A,B) support 3 survives
+    val df = Seq((1, "A"), (1, "B"), (1, "C"), (2, "A"), (2, "B"),
+      (3, "A"), (3, "B"), (4, "C"), (4, "D")).toDF("basket", "item")
+    val got = Itemsets.frequentPairs(df, "basket", "item", minSupport = 2L).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[String]("item_a") === "A" && r.getAs[String]("item_b") === "B")
+    assert(r.getAs[Long]("n_ab") === 3L)
+    assert(r.getAs[Double]("support") === 0.75) // 3/4 baskets
+    assert(r.getAs[Double]("confidence") === 1.0) // 3/3
+    assert(math.abs(r.getAs[Double]("lift") - 4.0 / 3.0) < 1e-12) // 3*4/(3*3)
+  }
+
+  test("retrievalMetrics: equal-length corpus ranks by tf — perfect ndcg and mrr") {
+    // all dl equal => score strictly increases with tf => run == ideal
+    val docs = Seq((1L, "t t t"), (2L, "t t x"), (3L, "t x y"), (4L, "z z z"))
+      .toDF("doc_id", "text")
+    val r = Search.retrievalMetrics(docs, Seq("t"), k = 10).collect().head
+    assert(r.getAs[Long]("n_retrieved") === 3L) // d4 has no 't'
+    assert(r.getAs[Long]("n_rel_total") === 2L) // tf >= 2: d1, d2
+    assert(r.getAs[Long]("n_rel_at_k") === 2L)
+    assert(r.getAs[Double]("ndcg") === 1.0)
+    assert(r.getAs[Double]("mrr") === 1.0)
+    assert(r.getAs[Double]("p_at_k") === 0.2)
+    assert(r.getAs[Double]("r_at_k") === 1.0)
+  }
+
+  test("retrievalMetrics: length normalization can demote a relevant doc — ndcg < 1, mrr = 1/2") {
+    // d1: tf 1, dl 1 outranks d2: tf 2, dl 20 under BM25 length norm
+    val filler = (1 to 18).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, "t"), (2L, s"t t $filler")).toDF("doc_id", "text")
+    val r = Search.retrievalMetrics(docs, Seq("t"), k = 10).collect().head
+    assert(r.getAs[Double]("mrr") === 0.5) // first rel-2 doc at rank 2
+    val ndcg = r.getAs[Double]("ndcg")
+    assert(ndcg > 0.0 && ndcg < 1.0) // run order != ideal order
+    assert(r.getAs[Long]("n_rel_total") === 1L)
+  }
+}
