@@ -31,7 +31,8 @@ object Plans {
     "ss9_matryoshka_recall", "rm1_rm3_expansion", "dd15_containment",
     "eo1_embedding_outliers", "mm7_video_neardup",
     "ev1_retrieval_metrics", "kp1_labeler_agreement", "mi1_source_lang_mi",
-    "ab1_welch_ttest", "fi1_itemset_lift")
+    "ab1_welch_ttest", "fi1_itemset_lift",
+    "kc1_kcore", "zl1_zipf_slope", "ed1_embedding_drift", "ao1_audience_overlap")
 
   /** (shuffle exchanges, broadcast exchanges) of the physical plan,
     * counted via tree walk, not the text dump: a persisted subtree's

@@ -297,6 +297,37 @@ object QueriesOps {
       |ORDER BY r.term""".stripMargin
   }
 
+  /** DuckDB oracle for kc1: the synchronous k-core peel UNROLLED as
+    * chained CTEs (same discipline as [[PageRankOracle]] — a fixed
+    * round count needs no recursion). Every decision is an integer
+    * degree count, so the match is exact.
+    */
+  private val KCoreK = 2
+  private val KCoreRounds = 8
+  private val KCoreOracle: String = {
+    // every e_r is referenced 3× by round r+1 — MATERIALIZED stops
+    // the default CTE inlining from expanding the chain exponentially
+    val base = """WITH ed AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT lag(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS src,
+      |           user_id AS dst FROM events)
+      |  WHERE src IS NOT NULL AND src != dst),
+      |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM ed)""".stripMargin
+    val rounds = (1 to KCoreRounds).map { r =>
+      s""",
+         |d$r AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS v FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1}) GROUP BY 1),
+         |k$r AS MATERIALIZED (SELECT v FROM d$r WHERE deg >= $KCoreK),
+         |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+         |        JOIN k$r x ON e.a = x.v JOIN k$r y ON e.b = y.v)""".stripMargin
+    }.mkString
+    base + rounds +
+      s"""
+         |SELECT v, CAST(count(*) AS BIGINT) AS core_deg FROM (
+         |  SELECT a AS v FROM e$KCoreRounds UNION ALL SELECT b FROM e$KCoreRounds)
+         |GROUP BY 1 ORDER BY v""".stripMargin
+  }
+
   val all: Seq[(String, Q)] = Seq(
 
     // ---- text analysis ------------------------------------------------
@@ -4340,5 +4371,109 @@ object QueriesOps {
         |  CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) AS confidence,
         |  CAST(n_ab AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
         |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS lift
-        |FROM pc, nb ORDER BY item_a, item_b""".stripMargin)))
+        |FROM pc, nb ORDER BY item_a, item_b""".stripMargin)),
+
+    // KC1: k-core of the user-handoff graph — 8 synchronous peel
+    // rounds at k=2, every decision an integer degree count. Oracle =
+    // the peel unrolled as chained CTEs (the pg1 discipline).
+    "kc1_kcore" -> Q(
+      (s, d) => graft.ops.Graph.kCore(
+          graft.ops.Graph.handoffEdges(
+            Queries.events(s, d), "event_type", "user_id", "ts", "event_id"),
+          k = KCoreK, rounds = KCoreRounds)
+        .orderBy("v"),
+      Some(KCoreOracle)),
+
+    // ZL1: Zipf-law fit — OLS slope of ln(freq) on ln(rank) over the
+    // top-100 terms, moments from nano-quantized logs (exact integer
+    // sums), top-10 terms emitted with the fit scalars.
+    "zl1_zipf_slope" -> Q(
+      (s, d) => Text.zipfFit(docs(s, d), fitN = 100, topK = 10).orderBy("rank"),
+      Some("""WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |tc AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok
+        |  WHERE len(term) > 0 GROUP BY 1),
+        |topn AS (SELECT term, cnt FROM tc ORDER BY cnt DESC, term LIMIT 100),
+        |rk AS (SELECT term, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank
+        |  FROM topn),
+        |qq AS (SELECT *,
+        |    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e9 + 0.5) AS DECIMAL(38,0)) AS qx,
+        |    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e9 + 0.5) AS DECIMAL(38,0)) AS qy
+        |  FROM rk),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(qx) AS sx, sum(qy) AS sy,
+        |    sum(qx * qy) AS sxy, sum(qx * qx) AS sxx FROM qq),
+        |c AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd FROM m),
+        |f AS (SELECT n,
+        |    (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope,
+        |    (syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd) / nd / 1e9
+        |      AS intercept
+        |  FROM c)
+        |SELECT rank, term, cnt, n, round(slope, 9) AS slope,
+        |  round(intercept, 9) AS intercept
+        |FROM rk, f WHERE rank <= 10 ORDER BY rank""".stripMargin)),
+
+    // ED1: embedding drift between the even/odd vec_id halves —
+    // per-dim Welch z on micro-quantized exact moments + the mean-
+    // vector cosine from pico-quantized per-dim contributions. The
+    // model-monitoring gate for "the embedding space silently moved".
+    "ed1_embedding_drift" -> Q(
+      (s, d) => graft.ops.Similarity.embeddingDrift(
+          embs(s, d).filter(col("vec_id") % 2 === 0),
+          embs(s, d).filter(col("vec_id") % 2 === 1))
+        .orderBy("dim"),
+      Some("""WITH ex AS (SELECT vec_id, CAST(g.i - 1 AS INTEGER) AS dim,
+        |    CAST(embedding[g.i] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(generate_series(1, 64)) AS g(i)),
+        |qq AS (SELECT vec_id % 2 AS side, dim,
+        |    CAST(floor(x * 1e6 + 0.5) AS DECIMAL(38,0)) AS q FROM ex),
+        |o AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_old,
+        |    sum(q) AS s_old, sum(q * q) AS ss_old FROM qq WHERE side = 0 GROUP BY 1),
+        |nw AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_new,
+        |    sum(q) AS s_new, sum(q * q) AS ss_new FROM qq WHERE side = 1 GROUP BY 1),
+        |j AS (SELECT o.dim, n_old, n_new,
+        |    CAST(n_old AS DOUBLE) AS no, CAST(n_new AS DOUBLE) AS nn,
+        |    CAST(s_old AS DOUBLE) AS so, CAST(s_new AS DOUBLE) AS sn,
+        |    CAST(ss_old AS DOUBLE) AS sso, CAST(ss_new AS DOUBLE) AS ssn
+        |  FROM o JOIN nw ON nw.dim = o.dim),
+        |dims AS (SELECT dim, n_old, n_new,
+        |    round(so / no / 1e6, 6) AS mean_old,
+        |    round(sn / nn / 1e6, 6) AS mean_new,
+        |    round((sn / nn - so / no) / 1e6, 6) AS delta,
+        |    (sn / nn - so / no) / sqrt(((sso - so * so / no) / (no - 1.0)) / no
+        |      + ((ssn - sn * sn / nn) / (nn - 1.0)) / nn) AS drift_z,
+        |    CAST(floor((so / no) * (sn / nn) + 0.5) AS BIGINT) AS dotq,
+        |    CAST(floor((so / no) * (so / no) + 0.5) AS BIGINT) AS ooq,
+        |    CAST(floor((sn / nn) * (sn / nn) + 0.5) AS BIGINT) AS nnq
+        |  FROM j),
+        |cosagg AS (SELECT CAST(sum(dotq) AS DOUBLE) AS dd,
+        |    CAST(sum(ooq) AS DOUBLE) AS oo, CAST(sum(nnq) AS DOUBLE) AS mm
+        |  FROM dims)
+        |SELECT dim, n_old, n_new, mean_old, mean_new, delta, drift_z,
+        |  round(dd / (sqrt(oo) * sqrt(mm)), 9) AS mean_cosine
+        |FROM dims, cosagg ORDER BY dim""".stripMargin)),
+
+    // AO1: pairwise audience overlap between event-type segments —
+    // exact intersection / union / Jaccard carry the hash; the HLL
+    // inclusion–exclusion estimates reduce to bound-check booleans
+    // (the ag1 discipline for approximate aggregates).
+    "ao1_audience_overlap" -> Q(
+      (s, d) => graft.ops.Stats.audienceOverlap(
+          Queries.events(s, d), "event_type", "user_id")
+        .orderBy("seg_a", "seg_b"),
+      Some("""WITH sm AS (SELECT DISTINCT event_type AS seg, user_id AS m FROM events),
+        |sizes AS (SELECT seg, CAST(count(*) AS BIGINT) AS n FROM sm GROUP BY 1),
+        |inter AS (SELECT x.seg AS seg_a, y.seg AS seg_b,
+        |    CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM sm x JOIN sm y ON x.m = y.m AND x.seg < y.seg GROUP BY 1, 2)
+        |SELECT seg_a, seg_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+        |  sa.n + sb.n - n_inter AS n_union,
+        |  CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard,
+        |  TRUE AS sketch_inter_ok, TRUE AS sketch_union_ok
+        |FROM inter
+        |JOIN sizes sa ON sa.seg = inter.seg_a
+        |JOIN sizes sb ON sb.seg = inter.seg_b
+        |ORDER BY seg_a, seg_b""".stripMargin)))
 }

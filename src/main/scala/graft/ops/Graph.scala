@@ -199,4 +199,53 @@ object Graph {
     oriented.unpersist(false)
     result
   }
+
+  /** k-core decomposition by synchronous peeling (Seidman, Social
+    * Networks 1983; the Batagelj–Zaveršnik bulk variant): each round
+    * simultaneously removes every node whose degree in the CURRENT
+    * subgraph is < k, for a FIXED `rounds` (deterministic output, no
+    * fixpoint test an oracle would have to reproduce — on bounded-
+    * degeneracy graphs peeling converges in a handful of rounds, and a
+    * converged round is a no-op). The graph-quality filter behind
+    * "drop the spam fringe, keep the dense interaction core".
+    *
+    * Output: nodes still carrying an edge after the last round, with
+    * their degree in that final subgraph. All decisions are integer
+    * degree counts — exactly reproducible in any engine.
+    *
+    * Scale: edges canonicalize to undirected (lo, hi) pairs once; each
+    * round is one combinable degree count (node, long) and two
+    * semi-joins of the edge table against the surviving-node set —
+    * O(edges) narrow rows per round, text/properties never move.
+    * Per-round lineage cut + unpersist discipline as in [[pageRank]].
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
+    val spark = edges.sparkSession
+    def shallow(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
+
+    var cur = shallow(edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    cur.count()
+    for (_ <- 1 to rounds) {
+      val deg = cur.select(col("a").as("v")).union(cur.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).cast("long").as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("v")
+      val next = cur
+        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      cur.unpersist(false)
+      cur = shallow(next)
+    }
+    val out = cur.select(col("a").as("v")).union(cur.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).cast("long").as("core_deg"))
+      .localCheckpoint()
+    cur.unpersist(false)
+    out
+  }
 }

@@ -1012,4 +1012,63 @@ object Similarity {
         sum(col("sq")).as("inertia"),
         first(col("cvec")).as("cvec"))
   }
+
+  /** Embedding-distribution drift between two corpus versions (e.g.
+    * after an encoder swap or a re-crawl): per-DIMENSION mean shift
+    * with a Welch-style z, plus the cosine between the two mean
+    * vectors — the model-monitoring gate that catches "the new
+    * embedding space silently moved" before any downstream ANN index
+    * degrades.
+    *
+    * Determinism: every float element micro-quantizes to a long
+    * before aggregation, so the per-dim moments (n, Σq, Σq²) are
+    * exact integers in ONE combinable (dim, side) shuffle; means /
+    * variances / z are fixed-order double arithmetic from those. The
+    * mean-vector cosine needs a dim-wide sum of float products — each
+    * dim's dot/norm contribution quantizes to pico-units first and
+    * the longs sum order-free (the js1 pattern).
+    *
+    * Scale: posexplode carries (dim, long) pairs only — dim × 2 rows
+    * survive the shuffle regardless of corpus size; the cosine reduces
+    * the dim-sized table.
+    */
+  def embeddingDrift(oldVecs: DataFrame, newVecs: DataFrame,
+                     vecCol: String = "embedding"): DataFrame = {
+    def side(df: DataFrame, tag: String) = df
+      .select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("dim"),
+        floor(col("x").cast("double") * lit(1e6) + lit(0.5)).cast("decimal(38,0)").as("q"))
+      .groupBy("dim").agg(
+        count(lit(1)).cast("long").as(s"n_$tag"),
+        sum(col("q")).as(s"s_$tag"),
+        sum(col("q") * col("q")).as(s"ss_$tag"))
+    val j = side(oldVecs, "old").join(side(newVecs, "new"), "dim")
+    val (no, nn) = (col("n_old").cast("double"), col("n_new").cast("double"))
+    val (so, sn) = (col("s_old").cast("double"), col("s_new").cast("double"))
+    val (sso, ssn) = (col("ss_old").cast("double"), col("ss_new").cast("double"))
+    val muO = so / no // micro-units
+    val muN = sn / nn
+    val varO = (sso - so * so / no) / (no - 1.0)
+    val varN = (ssn - sn * sn / nn) / (nn - 1.0)
+    val z = (muN - muO) / sqrt(varO / no + varN / nn)
+    val dims = j.select(col("dim"), col("n_old"), col("n_new"),
+        round(muO / 1e6, 6).as("mean_old"),
+        round(muN / 1e6, 6).as("mean_new"),
+        round((muN - muO) / 1e6, 6).as("delta"),
+        z.as("drift_z"),
+        // cosine contributions in micro²-units, pico-quantized per dim
+        floor(muO * muN + lit(0.5)).cast("long").as("__dot"),
+        floor(muO * muO + lit(0.5)).cast("long").as("__oo"),
+        floor(muN * muN + lit(0.5)).cast("long").as("__nn"))
+      .persist()
+    val cos = dims.agg(
+      sum(col("__dot")).cast("double").as("__d"),
+      sum(col("__oo")).cast("double").as("__o"),
+      sum(col("__nn")).cast("double").as("__m"))
+      .select((col("__d") / (sqrt(col("__o")) * sqrt(col("__m")))).as("mean_cosine"))
+    dims.crossJoin(broadcast(cos))
+      .select(col("dim"), col("n_old"), col("n_new"), col("mean_old"),
+        col("mean_new"), col("delta"), col("drift_z"),
+        round(col("mean_cosine"), 9).as("mean_cosine"))
+  }
 }

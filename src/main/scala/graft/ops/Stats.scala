@@ -150,4 +150,54 @@ object Stats {
       .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
         round(col("mi_term"), 9).as("mi_term"), col("mi_total"), col("nmi"))
   }
+
+  /** Pairwise audience overlap between segments: for every segment
+    * pair, the EXACT distinct-member intersection, union, and Jaccard
+    * — plus an HLL-sketch inclusion–exclusion estimate of the same
+    * intersection reduced to a deterministic bound-check boolean (the
+    * ag1 discipline: exact columns carry the hash, sketch accuracy is
+    * asserted, not emitted).
+    *
+    * Exact path: distinct (segment, member) — one combinable dedup
+    * shuffle — then a per-member self-join. A member in `s` segments
+    * yields `s·(s−1)/2` pair rows, so the join output is bounded by
+    * members × segments², NOT members² — the segment vocabulary is
+    * small by construction. Sketch path: one `hll_sketch_agg` per
+    * segment (mergeable pre-aggregate, the 100 TB route where members
+    * no longer fit a shuffle), pairwise `hll_union` for the union
+    * estimate, intersection by inclusion–exclusion.
+    */
+  def audienceOverlap(df: DataFrame, segmentCol: String, memberCol: String,
+                      tolerance: Double = 0.05): DataFrame = {
+    val sm = df.select(col(segmentCol).as("seg"), col(memberCol).as("m")).distinct()
+      .persist()
+    val sizes = sm.groupBy("seg").agg(count(lit(1)).cast("long").as("n"))
+    val inter = sm.as("x").join(sm.as("y"),
+        col("x.m") === col("y.m") && col("x.seg") < col("y.seg"))
+      .groupBy(col("x.seg").as("seg_a"), col("y.seg").as("seg_b"))
+      .agg(count(lit(1)).cast("long").as("n_inter"))
+    val sketches = sm.groupBy("seg")
+      .agg(expr("hll_sketch_agg(m, 14)").as("sk"),
+        count(lit(1)).cast("long").as("n_sk"))
+    val skPairs = sketches.as("p").join(sketches.as("q"), col("p.seg") < col("q.seg"))
+      .select(col("p.seg").as("seg_a"), col("q.seg").as("seg_b"),
+        expr("hll_sketch_estimate(hll_union(p.sk, q.sk))").as("est_union"),
+        expr("hll_sketch_estimate(p.sk)").as("est_a"),
+        expr("hll_sketch_estimate(q.sk)").as("est_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    inter
+      .join(sizes.select(col("seg").as("seg_a"), col("n").as("n_a")), "seg_a")
+      .join(sizes.select(col("seg").as("seg_b"), col("n").as("n_b")), "seg_b")
+      .join(skPairs, Seq("seg_a", "seg_b"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .withColumn("est_inter", col("est_a") + col("est_b") - col("est_union"))
+      .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+        col("n_inter"), col("n_union"),
+        (col("n_inter").cast("double") / col("n_union").cast("double")).as("jaccard"),
+        (abs(col("est_inter") - col("n_inter").cast("double")) <=
+          lit(tolerance) * col("n_union").cast("double") + lit(8.0)).as("sketch_inter_ok"),
+        (abs(col("est_union") - col("n_union").cast("double")) <=
+          lit(tolerance) * col("n_union").cast("double") + lit(8.0)).as("sketch_union_ok"))
+  }
 }

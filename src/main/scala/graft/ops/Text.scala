@@ -455,4 +455,55 @@ object Text {
       .orderBy(col("df_xy").desc, col("t1"), col("t2"))
       .limit(topK)
   }
+
+  /** Zipf-law fit over the term frequency distribution: OLS slope of
+    * `ln(freq)` on `ln(rank)` across the top-`fitN` terms — the
+    * corpus-linguistics health check (natural language sits near −1;
+    * a synthetic or templated corpus drifts visibly). Emits the
+    * top-`topK` terms with their ranks plus the fitted slope/intercept
+    * on every row.
+    *
+    * Determinism: ranks are integers from the (count desc, term asc)
+    * total order; `ln(rank)`/`ln(count)` quantize to nano-unit longs
+    * per term, and ALL OLS moments (Σx, Σy, Σxy, Σx²) are exact
+    * integer sums of those quantized values (decimal(38,0) products)
+    * — slope and intercept are then two fixed-order double divisions,
+    * so both engines agree bit-for-bit. The nano units cancel in the
+    * slope; the intercept converts back once.
+    *
+    * Scale: one combinable token-count shuffle; the fit set is
+    * `orderBy(...).limit(fitN)` — TakeOrdered per-partition heaps,
+    * no global sort — and everything after is `fitN` rows.
+    */
+  def zipfFit(docs: DataFrame, fitN: Int = 100, topK: Int = 10,
+              textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(Dedup.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(fitN)
+    val w = Window.orderBy(col("cnt").desc, col("term").asc)
+    val ranked = counts.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("qx", floor(log(col("rank").cast("double")) * lit(1e9) + lit(0.5))
+        .cast("decimal(38,0)"))
+      .withColumn("qy", floor(log(col("cnt").cast("double")) * lit(1e9) + lit(0.5))
+        .cast("decimal(38,0)"))
+      .persist()
+    val m = ranked.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("qx")).as("sx"), sum(col("qy")).as("sy"),
+      sum(col("qx") * col("qy")).as("sxy"), sum(col("qx") * col("qx")).as("sxx"))
+    val nD = col("n").cast("double")
+    val (sx, sy, sxy, sxx) = (col("sx").cast("double"), col("sy").cast("double"),
+      col("sxy").cast("double"), col("sxx").cast("double"))
+    val slope = (nD * sxy - sx * sy) / (nD * sxx - sx * sx)
+    val fit = m.select(col("n"),
+      slope.as("slope"),
+      ((sy - slope * sx) / nD / 1e9).as("intercept"))
+    ranked.filter(col("rank") <= topK)
+      .crossJoin(broadcast(fit))
+      .select(col("rank"), col("term"), col("cnt"), col("n"),
+        round(col("slope"), 9).as("slope"), round(col("intercept"), 9).as("intercept"))
+  }
 }

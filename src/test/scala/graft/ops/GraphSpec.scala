@@ -129,4 +129,24 @@ class GraphSpec extends AnyFunSuite {
     val b = labels(Graph.labelPropagation(e, iterations = 4))
     assert(a === b)
   }
+
+  test("kCore: a path dissolves under k=2 peeling, a triangle survives with degree 2") {
+    // path 1-2-3-4 loses an endpoint per round until empty;
+    // triangle 5-6-7 is its own 2-core
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L), (5L, 7L))
+    val got = Graph.kCore(e, k = 2, rounds = 8).collect()
+      .map(r => r.getAs[Long]("v") -> r.getAs[Long]("core_deg")).toMap
+    assert(got === Map(5L -> 2L, 6L -> 2L, 7L -> 2L))
+  }
+
+  test("kCore: peeling is iterative, not a one-shot degree filter") {
+    // star center 9 with leaves 1..3 plus a triangle hanging off leaf 1:
+    // one-shot deg>=2 keeps the center (deg 3), but peeling removes
+    // leaves 2,3 first and then the center (deg 1 after) — only the
+    // triangle remains
+    val e = edges((9L, 1L), (9L, 2L), (9L, 3L), (1L, 10L), (10L, 11L), (1L, 11L))
+    val got = Graph.kCore(e, k = 2, rounds = 8).collect()
+      .map(r => r.getAs[Long]("v")).toSet
+    assert(got === Set(1L, 10L, 11L))
+  }
 }

@@ -97,4 +97,43 @@ class StatsSpec extends AnyFunSuite {
     assert(ndcg > 0.0 && ndcg < 1.0) // run order != ideal order
     assert(r.getAs[Long]("n_rel_total") === 1L)
   }
+
+  test("zipfFit: a perfect two-point Zipf pair fits slope -1") {
+    // counts 4 and 2 at ranks 1 and 2: slope = (ln2 - ln4)/(ln2 - ln1) = -1
+    val docs = Seq((1L, "a a a a b b")).toDF("doc_id", "text")
+    val got = Text.zipfFit(docs, fitN = 2, topK = 2).orderBy("rank").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[String]("term") === "a" && got(0).getAs[Long]("cnt") === 4L)
+    assert(math.abs(got(0).getAs[Double]("slope") - (-1.0)) < 1e-6)
+    // intercept = mean(y) - slope*mean(x) = ln4 at rank 1 for a perfect fit
+    assert(math.abs(got(0).getAs[Double]("intercept") - math.log(4.0)) < 1e-6)
+  }
+
+  test("embeddingDrift: orthogonal mean shift — deltas exact, mean cosine 0; identity gives 0 drift, cosine 1") {
+    val old = Seq((1L, Seq(0.9f, 0.1f)), (2L, Seq(1.1f, -0.1f)), (3L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val nw = Seq((4L, Seq(0.1f, 0.9f)), (5L, Seq(-0.1f, 1.1f)), (6L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embeddingDrift(old, nw).orderBy("dim").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[Double]("mean_old") === 1.0 && got(0).getAs[Double]("mean_new") === 0.0)
+    assert(got(0).getAs[Double]("delta") === -1.0)
+    assert(got(1).getAs[Double]("delta") === 1.0)
+    assert(got(0).getAs[Double]("mean_cosine") === 0.0) // means are orthogonal
+    val same = Similarity.embeddingDrift(old, old).orderBy("dim").collect()
+    assert(same.forall(r => r.getAs[Double]("delta") === 0.0))
+    assert(same.forall(r => math.abs(r.getAs[Double]("mean_cosine") - 1.0) < 1e-9))
+  }
+
+  test("audienceOverlap: hand-computed intersection/jaccard; zero-overlap pairs absent; sketch bounds hold") {
+    val df = Seq(("s1", 1L), ("s1", 2L), ("s1", 3L), ("s2", 2L), ("s2", 3L),
+      ("s2", 4L), ("s3", 9L)).toDF("seg", "m")
+    val got = Stats.audienceOverlap(df, "seg", "m").collect()
+    assert(got.length === 1) // only (s1,s2) overlaps; s3 pairs never appear
+    val r = got.head
+    assert(r.getAs[String]("seg_a") === "s1" && r.getAs[String]("seg_b") === "s2")
+    assert(r.getAs[Long]("n_inter") === 2L && r.getAs[Long]("n_union") === 4L)
+    assert(r.getAs[Double]("jaccard") === 0.5)
+    assert(r.getAs[Boolean]("sketch_inter_ok") && r.getAs[Boolean]("sketch_union_ok"))
+  }
 }
