@@ -32,7 +32,9 @@ object Plans {
     "eo1_embedding_outliers", "mm7_video_neardup",
     "ev1_retrieval_metrics", "kp1_labeler_agreement", "mi1_source_lang_mi",
     "ab1_welch_ttest", "fi1_itemset_lift",
-    "kc1_kcore", "zl1_zipf_slope", "ed1_embedding_drift", "ao1_audience_overlap")
+    "kc1_kcore", "zl1_zipf_slope", "ed1_embedding_drift", "ao1_audience_overlap",
+    "bf1_benford", "gn1_gini", "fc1_seasonal_naive", "cp1_conformal_quality",
+    "sn1_sorted_neighborhood")
 
   /** (shuffle exchanges, broadcast exchanges) of the physical plan,
     * counted via tree walk, not the text dump: a persisted subtree's

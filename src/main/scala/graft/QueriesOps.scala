@@ -328,6 +328,37 @@ object QueriesOps {
          |GROUP BY 1 ORDER BY v""".stripMargin
   }
 
+  /** DuckDB oracle for bf1: the Benford audit with the nine expected
+    * shares inlined as the SAME driver-computed double literals
+    * [[graft.ops.Stats.benfordExpected]] feeds the Spark plan (the
+    * ndcgDiscounts discipline — no engine evaluates a log10).
+    */
+  private val BenfordOracle: String = {
+    val probs = graft.ops.Stats.benfordExpected
+      .map(java.lang.Double.toString).mkString("[", ", ", "]")
+    s"""WITH dg AS (SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100.0 + 0.5)
+      |      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      |  FROM lineitem WHERE l_extendedprice > 0),
+      |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_d FROM dg GROUP BY 1),
+      |nn AS (SELECT CAST(sum(n_d) AS BIGINT) AS n FROM c),
+      |cell AS (SELECT digit, n_d, n,
+      |    CAST($probs[digit] AS DOUBLE) AS expected_p,
+      |    CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE) AS share
+      |  FROM c, nn),
+      |q AS (SELECT *,
+      |    CAST(floor((CAST(n_d AS DOUBLE) - CAST(n AS DOUBLE) * expected_p)
+      |      * (CAST(n_d AS DOUBLE) - CAST(n AS DOUBLE) * expected_p)
+      |      / (CAST(n AS DOUBLE) * expected_p) * 1e12 + 0.5) AS BIGINT) AS chi2_pico,
+      |    CAST(floor(abs(share - expected_p) * 1e12 + 0.5) AS BIGINT) AS mad_pico
+      |  FROM cell),
+      |sc AS (SELECT CAST(sum(chi2_pico) AS DOUBLE) / 1e12 AS chi2,
+      |    CAST(sum(mad_pico) AS DOUBLE) / 9.0 / 1e12 AS mad FROM q)
+      |SELECT digit, n_d, n, round(share, 9) AS share,
+      |  round(expected_p, 9) AS expected_p,
+      |  round(chi2, 6) AS chi2, round(mad, 9) AS mad
+      |FROM q, sc ORDER BY digit""".stripMargin
+  }
+
   val all: Seq[(String, Q)] = Seq(
 
     // ---- text analysis ------------------------------------------------
@@ -4475,5 +4506,132 @@ object QueriesOps {
         |FROM inter
         |JOIN sizes sa ON sa.seg = inter.seg_a
         |JOIN sizes sb ON sb.seg = inter.seg_b
-        |ORDER BY seg_a, seg_b""".stripMargin)))
+        |ORDER BY seg_a, seg_b""".stripMargin)),
+
+    // BF1: Benford first-digit audit of extended prices — digit from
+    // the integer cents' decimal string (no float extraction), chi²
+    // and Nigrini MAD from pico-quantized cell terms, expected shares
+    // as driver-computed literals.
+    "bf1_benford" -> Q(
+      (s, d) => graft.ops.Stats.benfordAudit(li(s, d), "l_extendedprice")
+        .orderBy("digit"),
+      Some(BenfordOracle)),
+
+    // GN1: Gini concentration of per-customer revenue — exact decimal
+    // revenue quantized to 1e-4 units, rank moments as exact integers
+    // (HUGEINT on the oracle side), distributed ranking via
+    // range-sort + zipWithIndex (no single-reducer window).
+    "gn1_gini" -> Q(
+      (s, d) => {
+        val rev = li(s, d)
+          .join(s.read.parquet(s"$d/orders.parquet"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg((sum(discPrice) * 10000).cast("long").as("rev_q"))
+        graft.ops.Stats.gini(rev, "rev_q", "o_custkey")
+      },
+      Some("""WITH rev AS (SELECT o_custkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |      * 10000 AS BIGINT) AS x
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1),
+        |r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS rnk
+        |  FROM rev),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx,
+        |    sum(CAST(rnk AS HUGEINT) * CAST(x AS HUGEINT)) AS six
+        |  FROM r)
+        |SELECT n, CAST(sx AS BIGINT) AS total_q,
+        |  round((2.0 * CAST(six AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS gini
+        |FROM m""".stripMargin)),
+
+    // FC1: seasonal-naive forecast backtest — hourly buckets, 24 h
+    // season via an equi-join on (key, bucket − season); MAE from
+    // exact micro-unit errors, MAPE from pico-quantized terms. The
+    // forecasting baseline every model must beat.
+    "fc1_seasonal_naive" -> Q(
+      (s, d) => graft.ops.TimeSeries.seasonalNaiveBacktest(
+          Queries.events(s, d), "event_type", "ts", "value")
+        .orderBy("event_type"),
+      Some("""WITH qq AS (SELECT event_type AS k, date_trunc('hour', ts) AS b,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS q FROM events),
+        |bk AS (SELECT k, b, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(q) AS BIGINT) AS sq FROM qq GROUP BY 1, 2),
+        |v AS (SELECT k, b,
+        |    CAST(floor(CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE) + 0.5) AS BIGINT) AS v_micro
+        |  FROM bk),
+        |j AS (SELECT c.k, c.v_micro, p.v_micro AS pred
+        |  FROM v c LEFT JOIN v p ON p.k = c.k AND p.b + INTERVAL 24 HOURS = c.b)
+        |SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_forecast,
+        |  round(CAST(sum(CASE WHEN pred IS NOT NULL THEN abs(v_micro - pred) ELSE 0 END)
+        |      AS DOUBLE)
+        |    / CAST(sum(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / 1e6, 6) AS mae,
+        |  round(CAST(sum(CASE WHEN pred IS NOT NULL AND v_micro != 0
+        |      THEN CAST(floor(CAST(abs(v_micro - pred) AS DOUBLE)
+        |        / CAST(abs(v_micro) AS DOUBLE) * 1e12 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / 1e12, 9) AS mape
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // CP1: split-conformal quality gate — τ is the exact k-th order
+    // statistic of the calibration half's tx2 quality scores
+    // (k = floor(α(n+1)), α = 0.1), coverage checked on the held-out
+    // half. The distribution-free guarantee, then its honest audit.
+    "cp1_conformal_quality" -> Q(
+      (s, d) => {
+        val q = Text.withQuality(docs(s, d)).select(col("doc_id"), col("quality_score"))
+        graft.ops.Stats.conformalGate(
+          q.filter(col("doc_id") % 2 === 0), q.filter(col("doc_id") % 2 === 1),
+          "quality_score", "doc_id", alpha = 0.1)
+      },
+      Some("""WITH q AS (
+        |  SELECT doc_id,
+        |    least(1.0,
+        |      CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE) * 0.5
+        |      + CAST(len(list_filter(string_split(text, ' '),
+        |          x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
+        |      + least(CAST(list_sum(list_transform(string_split(text, ' '),
+        |            x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+        |          / CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0, 1.0) * 0.2)
+        |      AS score
+        |  FROM documents),
+        |cal AS (SELECT score, doc_id FROM q WHERE doc_id % 2 = 0),
+        |ncal AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+        |kk AS (SELECT n_cal,
+        |    greatest(1, CAST(floor(0.1 * CAST(n_cal + 1 AS DOUBLE)) AS BIGINT)) AS k
+        |  FROM ncal),
+        |r AS (SELECT score,
+        |    CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT) AS rnk FROM cal),
+        |tau AS (SELECT score AS tau FROM r, kk WHERE rnk = kk.k),
+        |ev AS (SELECT CAST(count(*) AS BIGINT) AS n_eval,
+        |    CAST(sum(CASE WHEN score >= tau THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+        |  FROM q, tau WHERE doc_id % 2 = 1)
+        |SELECT kk.n_cal, kk.k, tau.tau, ev.n_eval, ev.n_covered,
+        |  CAST(n_covered AS DOUBLE) / CAST(n_eval AS DOUBLE) AS coverage,
+        |  CAST(n_covered AS DOUBLE) / CAST(n_eval AS DOUBLE) >= 0.85 AS coverage_ok
+        |FROM kk, tau, ev""".stripMargin)),
+
+    // SN1: sorted-neighborhood blocking over customer names — the
+    // third blocker family (SIGMOD'95), ranked by range-sort +
+    // zipWithIndex, neighbors paired by an exploded equi-join index,
+    // levenshtein-verified.
+    "sn1_sorted_neighborhood" -> Q(
+      (s, d) => graft.ops.Fuzzy.sortedNeighborhoodPairs(
+          s.read.parquet(s"$d/customer.parquet"), "c_name", "c_custkey",
+          window = 4, maxDist = 2)
+        .orderBy("id1", "id2"),
+      Some("""WITH r AS (SELECT c_name AS s, c_custkey AS id,
+        |    CAST(row_number() OVER (ORDER BY c_name, c_custkey) AS BIGINT) - 1 AS idx
+        |  FROM customer),
+        |p AS (SELECT a.id AS id1, b.id AS id2, a.s AS s1, b.s AS s2,
+        |    CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+        |  FROM r a JOIN r b ON b.idx BETWEEN a.idx + 1 AND a.idx + 3)
+        |SELECT id1, id2, s1, s2, dist FROM p WHERE dist <= 2
+        |ORDER BY id1, id2""".stripMargin)))
 }

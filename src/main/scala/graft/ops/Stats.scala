@@ -200,4 +200,126 @@ object Stats {
         (abs(col("est_union") - col("n_union").cast("double")) <=
           lit(tolerance) * col("n_union").cast("double") + lit(8.0)).as("sketch_union_ok"))
   }
+
+  /** Distributed global ranking: the input sorted by `sortCols` (which
+    * MUST include a unique tiebreaker for determinism) with a 0-based
+    * dense index column `idx` attached.
+    *
+    * Deliberately NOT `row_number() over (ORDER BY …)` — a window with
+    * no partition key funnels every row through ONE task. This is the
+    * scale-right form: `orderBy` plans a range-partitioned sort (every
+    * partition works), and `zipWithIndex` assigns contiguous indices
+    * with one lightweight count job — no data ever converges on a
+    * single reducer. One of the few justified RDD drops in the repo:
+    * Spark SQL has no distributed global-rank operator.
+    */
+  def globalRank(df: DataFrame, sortCols: org.apache.spark.sql.Column*): DataFrame = {
+    val sorted = df.orderBy(sortCols: _*)
+    val schema = sorted.schema.add("idx", "long", nullable = false)
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Benford's-law audit of a positive numeric column (Newcomb 1881,
+    * Benford 1938; the standard fabricated-data / fraud screen): the
+    * observed first-significant-digit distribution against the
+    * log10(1+1/d) expectation, with the chi-square statistic and the
+    * mean absolute deviation (Nigrini's MAD) attached to every row.
+    *
+    * Determinism: values quantize to integer cents and the first digit
+    * comes from the LONG's decimal string — no log10/float extraction
+    * in either engine. The nine expected shares are DRIVER-COMPUTED
+    * literals ([[benfordExpected]]), chi² / MAD cell terms
+    * pico-quantize before their 9-term order-free sums.
+    *
+    * Scale: one combinable 9-cell count shuffle; everything after is
+    * nine rows.
+    */
+  def benfordExpected: Seq[Double] = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val cents = floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")
+    val digits = df.filter(col(valueCol) > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).cast("long").as("n_d"))
+    val n = digits.agg(sum("n_d").cast("long").as("n"))
+    val expArr = array(benfordExpected.map(lit): _*)
+    val cells = digits.crossJoin(broadcast(n))
+      .withColumn("expected_p", element_at(expArr, col("digit")))
+      .withColumn("share", col("n_d").cast("double") / col("n").cast("double"))
+      .withColumn("chi2_pico", floor(
+        (col("n_d").cast("double") - col("n").cast("double") * col("expected_p")) *
+          (col("n_d").cast("double") - col("n").cast("double") * col("expected_p")) /
+          (col("n").cast("double") * col("expected_p")) * lit(1e12) + lit(0.5)).cast("long"))
+      .withColumn("mad_pico",
+        floor(abs(col("share") - col("expected_p")) * lit(1e12) + lit(0.5)).cast("long"))
+      .persist()
+    val scalars = cells.agg(
+      (sum(col("chi2_pico")).cast("double") / 1e12).as("chi2"),
+      (sum(col("mad_pico")).cast("double") / lit(9.0) / 1e12).as("mad"))
+    cells.crossJoin(broadcast(scalars))
+      .select(col("digit"), col("n_d"), col("n"),
+        round(col("share"), 9).as("share"),
+        round(col("expected_p"), 9).as("expected_p"),
+        round(col("chi2"), 6).as("chi2"), round(col("mad"), 9).as("mad"))
+  }
+
+  /** Gini coefficient of a value distribution (Gini 1912, via the
+    * rank formula `G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)` over values
+    * sorted ascending, 1-based ranks) — the concentration audit:
+    * "what share of revenue/tokens does the head hold?"
+    *
+    * `valueCol` must already be an exact integer quantization of the
+    * measure (e.g. revenue in 1e-4 units): rank products then
+    * accumulate as decimal(38,0), so numerator and denominator are
+    * EXACT integers (the oracle mirrors them in HUGEINT) and the one
+    * final division is the only float op. Ranking is [[globalRank]] —
+    * range-partitioned sort + zipWithIndex, no single-reducer window.
+    */
+  def gini(df: DataFrame, valueCol: String, tieCol: String): DataFrame = {
+    val ranked = globalRank(
+      df.select(col(valueCol).cast("long").as("x"), col(tieCol).as("tb")),
+      col("x").asc, col("tb").asc)
+    val m = ranked.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum((col("idx") + 1).cast("decimal(38,0)") * col("x").cast("decimal(38,0)")).as("six"))
+    m.select(col("n"), col("sx").cast("long").as("total_q"),
+      round((lit(2.0) * col("six").cast("double") -
+        (col("n") + 1).cast("double") * col("sx").cast("double")) /
+        (col("n").cast("double") * col("sx").cast("double")), 9).as("gini"))
+  }
+
+  /** Split-conformal quality gate (Vovk et al.; the distribution-free
+    * coverage guarantee): on the CALIBRATION split, take the k-th
+    * smallest score with `k = floor(α·(n_cal+1))` as the threshold τ —
+    * then P(score_new ≥ τ) ≥ 1−α for exchangeable data. Emits τ and
+    * the EVALUATION split's empirical coverage, the honest check that
+    * the guarantee held.
+    *
+    * The order statistic comes from [[globalRank]] + one index filter
+    * — distributed selection, no driver-side sort, no approximate
+    * percentile standing in for the exact rank the guarantee needs.
+    */
+  def conformalGate(cal: DataFrame, eval: DataFrame, scoreCol: String,
+                    tieCol: String, alpha: Double = 0.1,
+                    minCoverage: Double = 0.85): DataFrame = {
+    val nCal = cal.count()
+    val k = math.max(1L, math.floor(alpha * (nCal + 1)).toLong)
+    val tauRow = globalRank(cal.select(col(scoreCol).as("s"), col(tieCol).as("tb")),
+        col("s").asc, col("tb").asc)
+      .filter(col("idx") === k - 1).select(col("s")).collect()
+    require(tauRow.nonEmpty, s"calibration split too small for alpha=$alpha")
+    val tau = tauRow(0).getDouble(0)
+    eval.agg(
+        count(lit(1)).cast("long").as("n_eval"),
+        sum(when(col(scoreCol) >= tau, 1L).otherwise(0L)).cast("long").as("n_covered"))
+      .select(lit(nCal).as("n_cal"), lit(k).as("k"), lit(tau).as("tau"),
+        col("n_eval"), col("n_covered"),
+        (col("n_covered").cast("double") / col("n_eval").cast("double")).as("coverage"),
+        (col("n_covered").cast("double") / col("n_eval").cast("double") >=
+          lit(minCoverage)).as("coverage_ok"))
+  }
 }

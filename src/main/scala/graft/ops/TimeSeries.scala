@@ -77,4 +77,55 @@ object TimeSeries {
     valueCols.foldLeft(df)((d, c) =>
       d.withColumn(s"${c}_ffill", last(col(c), ignoreNulls = true).over(w)))
   }
+
+  /** Seasonal-naive forecast backtest (the standard forecasting
+    * BASELINE every model must beat — Hyndman & Athanasopoulos §5.2):
+    * bucket the series per key, predict each bucket's mean by the
+    * bucket exactly one `season` earlier, and score MAE / MAPE over
+    * every bucket whose seasonal ancestor exists.
+    *
+    * Determinism: per-bucket means come from micro-quantized exact
+    * integer sums (one combinable shuffle), re-quantized to micro
+    * longs, so every |error| is an exact long and MAE is an exact
+    * ratio; MAPE terms pico-quantize before the order-free sum.
+    *
+    * Scale: the seasonal lookup is an EQUI-join on
+    * (key, bucket − season) — no window over an unpartitioned order,
+    * no gap-sensitive row-lag misalignment; missing ancestors simply
+    * drop out (and are counted). Everything shuffled is (key,
+    * timestamp, long) triples.
+    */
+  def seasonalNaiveBacktest(df: DataFrame, keyCol: String, tsCol: String,
+                            valueCol: String, bucket: String = "hour",
+                            season: String = "24 hours"): DataFrame = {
+    val buckets = df
+      .select(col(keyCol).as("k"), date_trunc(bucket, col(tsCol)).as("b"),
+        floor(col(valueCol) * lit(1e6) + lit(0.5)).cast("long").as("q"))
+      .groupBy("k", "b")
+      .agg(count(lit(1)).cast("long").as("cnt"), sum("q").as("sq"))
+      .withColumn("v_micro",
+        floor(col("sq").cast("double") / col("cnt").cast("double") + lit(0.5)).cast("long"))
+      .select("k", "b", "v_micro").persist()
+    val joined = buckets.as("cur").join(
+        buckets.select(col("k"), (col("b") + expr(s"INTERVAL $season")).as("b"),
+          col("v_micro").as("pred_micro")).as("prev"),
+        Seq("k", "b"), "left")
+    joined
+      .groupBy(col("k").as(keyCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_buckets"),
+        sum(when(col("pred_micro").isNotNull, 1L).otherwise(0L)).cast("long").as("n_forecast"),
+        sum(when(col("pred_micro").isNotNull,
+          abs(col("v_micro") - col("pred_micro"))).otherwise(lit(0L)))
+          .cast("long").as("abs_err_micro"),
+        sum(when(col("pred_micro").isNotNull && col("v_micro") =!= 0L,
+          floor(abs(col("v_micro") - col("pred_micro")).cast("double") /
+            abs(col("v_micro")).cast("double") * lit(1e12) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L))).cast("long").as("ape_pico"))
+      .select(col(keyCol), col("n_buckets"), col("n_forecast"),
+        round(col("abs_err_micro").cast("double") /
+          col("n_forecast").cast("double") / 1e6, 6).as("mae"),
+        round(col("ape_pico").cast("double") /
+          col("n_forecast").cast("double") / 1e12, 9).as("mape"))
+  }
 }

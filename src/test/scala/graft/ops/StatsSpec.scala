@@ -125,6 +125,61 @@ class StatsSpec extends AnyFunSuite {
     assert(same.forall(r => math.abs(r.getAs[Double]("mean_cosine") - 1.0) < 1e-9))
   }
 
+  test("benfordAudit: digit from integer cents (sub-1 values included), exact counts, chi2 positive") {
+    // 1.0->100->'1', 1.5->150->'1', 2.3->230->'2', 9.99->999->'9', 0.05->5->'5'
+    val df = Seq(1.0, 1.5, 2.3, 9.99, 0.05, -3.0).toDF("v") // negatives excluded
+    val got = Stats.benfordAudit(df, "v").orderBy("digit").collect()
+    val counts = got.map(r => r.getAs[Int]("digit") -> r.getAs[Long]("n_d")).toMap
+    assert(counts === Map(1 -> 2L, 2 -> 1L, 5 -> 1L, 9 -> 1L))
+    assert(got.head.getAs[Long]("n") === 5L)
+    assert(got.head.getAs[Double]("share") === 0.4)
+    assert(math.abs(got.head.getAs[Double]("expected_p") - math.log10(2.0)) < 1e-9)
+    assert(got.head.getAs[Double]("chi2") > 0.0)
+  }
+
+  test("gini: uniform values give 0, full concentration gives (n-1)/n") {
+    val eq = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)).toDF("id", "x")
+    assert(Stats.gini(eq, "x", "id").collect().head.getAs[Double]("gini") === 0.0)
+    val conc = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 10L)).toDF("id", "x")
+    val r = Stats.gini(conc, "x", "id").collect().head
+    assert(r.getAs[Double]("gini") === 0.75) // (n-1)/n
+    assert(r.getAs[Long]("total_q") === 10L)
+  }
+
+  test("conformalGate: tau is the exact k-th order statistic; coverage counted on the held-out split") {
+    val cal = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    val ev = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    val r = Stats.conformalGate(cal, ev, "s", "id", alpha = 0.2).collect().head
+    assert(r.getAs[Long]("k") === 2L) // floor(0.2 * 11)
+    assert(r.getAs[Double]("tau") === 2.0)
+    assert(r.getAs[Long]("n_covered") === 9L) // scores >= 2.0
+    assert(r.getAs[Double]("coverage") === 0.9)
+    assert(r.getAs[Boolean]("coverage_ok"))
+  }
+
+  test("seasonalNaiveBacktest: bucket means, 24h-ago prediction, hand-computed MAE/MAPE") {
+    def at(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-0${1 + h / 24}%d ${h % 24}%02d:$m%02d:00")
+    val df = Seq(
+      ("a", at(0, 10), 1.0), ("a", at(0, 20), 2.0), // h0 mean 1.5
+      ("a", at(24, 5), 2.0),                        // h24: pred 1.5, err 0.5
+      ("a", at(48, 5), 2.0)                         // h48: pred 2.0, err 0
+    ).toDF("k", "ts", "v")
+    val r = graft.ops.TimeSeries.seasonalNaiveBacktest(df, "k", "ts", "v")
+      .collect().head
+    assert(r.getAs[Long]("n_buckets") === 3L)
+    assert(r.getAs[Long]("n_forecast") === 2L)
+    assert(r.getAs[Double]("mae") === 0.25) // (0.5 + 0)/2
+    assert(math.abs(r.getAs[Double]("mape") - 0.125) < 1e-9) // (0.5/2.0 + 0)/2
+  }
+
+  test("sortedNeighborhoodPairs: only within-window sort neighbors pair, verified by distance") {
+    val df = Seq((1L, "aa"), (2L, "ab"), (3L, "zz"), (4L, "ac")).toDF("id", "s")
+    val got = Fuzzy.sortedNeighborhoodPairs(df, "s", "id", window = 2, maxDist = 1)
+      .collect().map(r => (r.getAs[String]("s1"), r.getAs[String]("s2"))).toSet
+    // sort order aa,ab,ac,zz — adjacent pairs only, (ac,zz) fails lev<=1
+    assert(got === Set(("aa", "ab"), ("ab", "ac")))
+  }
+
   test("audienceOverlap: hand-computed intersection/jaccard; zero-overlap pairs absent; sketch bounds hold") {
     val df = Seq(("s1", 1L), ("s1", 2L), ("s1", 3L), ("s2", 2L), ("s2", 3L),
       ("s2", 4L), ("s3", 9L)).toDF("seg", "m")
