@@ -4633,5 +4633,93 @@ object QueriesOps {
         |    CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
         |  FROM r a JOIN r b ON b.idx BETWEEN a.idx + 1 AND a.idx + 3)
         |SELECT id1, id2, s1, s2, dist FROM p WHERE dist <= 2
-        |ORDER BY id1, id2""".stripMargin)))
+        |ORDER BY id1, id2""".stripMargin)),
+
+    // PH1: exact phrase search over a positional inverted index —
+    // postings filtered to the phrase's terms before any join, then
+    // one (id, pos−offset) equi-join per extra term. The capability a
+    // bag-of-words index cannot express.
+    "ph1_phrase_search" -> Q(
+      (s, d) => graft.ops.Search.phraseSearch(docs(s, d), Seq("table", "hash"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, CAST(g.i - 1 AS INTEGER) AS pos, toks[g.i] AS tok
+        |  FROM t, unnest(generate_series(1, len(toks))) AS g(i)
+        |  WHERE toks[g.i] IN ('table', 'hash')),
+        |f AS (SELECT doc_id, pos FROM p WHERE tok = 'table'),
+        |m AS (SELECT f.doc_id, f.pos FROM f
+        |  JOIN p x ON x.doc_id = f.doc_id AND x.tok = 'hash' AND x.pos - 1 = f.pos)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(min(pos) AS BIGINT) AS first_pos
+        |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // DH1: time-decayed top-k users — per-event 2^(−age/24h) terms
+    // pico-quantized before the per-key sum; anchor = max(ts) in-plan,
+    // decay constant a driver literal (no wall clock).
+    "dh1_decayed_topk" -> Q(
+      (s, d) => graft.ops.Search.decayedTopK(
+          Queries.events(s, d), "user_id", "ts", halfLifeHours = 24.0, k = 20)
+        .orderBy(col("decayed_pico").desc, col("key").asc),
+      Some(s"""WITH a AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS now_us FROM events),
+        |e AS (SELECT user_id AS key, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+        |t AS (SELECT key, CAST(floor(exp(CAST(now_us - ts_us AS DOUBLE)
+        |    * ${java.lang.Double.toString(-math.log(2.0) / (24.0 * 3600e6))})
+        |    * 1e12 + 0.5) AS BIGINT) AS term_pico
+        |  FROM e, a),
+        |g AS (SELECT key, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(term_pico) AS BIGINT) AS decayed_pico FROM t GROUP BY 1)
+        |SELECT key, n_events, decayed_pico,
+        |  round(CAST(decayed_pico AS DOUBLE) / 1e12, 9) AS decayed
+        |FROM g ORDER BY decayed_pico DESC, key LIMIT 20""".stripMargin)),
+
+    // FS1: Fellegi–Sunter probabilistic linkage scoring over the
+    // sorted-neighborhood candidates — u rates from exact counts, m a
+    // literal, per-pair weight a fixed-order 3-term log sum.
+    "fs1_fellegi_sunter" -> Q(
+      (s, d) => {
+        val cust = s.read.parquet(s"$d/customer.parquet")
+          .withColumn("bal_band", floor(col("c_acctbal") / 1000.0).cast("long"))
+        val cands = graft.ops.Fuzzy.sortedNeighborhoodPairs(
+          cust, "c_name", "c_custkey", window = 4, maxDist = 2)
+        graft.ops.Fuzzy.fellegiSunterScores(cust, "c_custkey",
+            Seq("c_nationkey", "c_mktsegment", "bal_band"), cands, m = 0.9)
+          .orderBy("id1", "id2")
+      },
+      Some("""WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band FROM customer),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        |u1 AS (SELECT CAST(coalesce(sum(CAST(cv AS HUGEINT) * CAST(cv - 1 AS HUGEINT)), 0)
+        |    AS DOUBLE) AS num FROM (SELECT count(*) AS cv FROM c GROUP BY c_nationkey)),
+        |u2 AS (SELECT CAST(coalesce(sum(CAST(cv AS HUGEINT) * CAST(cv - 1 AS HUGEINT)), 0)
+        |    AS DOUBLE) AS num FROM (SELECT count(*) AS cv FROM c GROUP BY c_mktsegment)),
+        |u3 AS (SELECT CAST(coalesce(sum(CAST(cv AS HUGEINT) * CAST(cv - 1 AS HUGEINT)), 0)
+        |    AS DOUBLE) AS num FROM (SELECT count(*) AS cv FROM c GROUP BY bal_band)),
+        |uu AS (SELECT
+        |    u1.num / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS ua,
+        |    u2.num / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS ub,
+        |    u3.num / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS uc
+        |  FROM u1, u2, u3, nn),
+        |r AS (SELECT c_name AS s, c_custkey AS id,
+        |    CAST(row_number() OVER (ORDER BY c_name, c_custkey) AS BIGINT) - 1 AS idx
+        |  FROM c),
+        |p AS (SELECT a.id AS id1, b.id AS id2 FROM r a
+        |  JOIN r b ON b.idx BETWEEN a.idx + 1 AND a.idx + 3
+        |  WHERE levenshtein(a.s, b.s) <= 2),
+        |j AS (SELECT p.id1, p.id2,
+        |    x.c_nationkey = y.c_nationkey AS agree_c_nationkey,
+        |    x.c_mktsegment = y.c_mktsegment AS agree_c_mktsegment,
+        |    x.bal_band = y.bal_band AS agree_bal_band
+        |  FROM p JOIN c x ON x.c_custkey = p.id1 JOIN c y ON y.c_custkey = p.id2),
+        |w AS (SELECT *,
+        |    (CASE WHEN agree_c_nationkey THEN ln(0.9 / ua)
+        |          ELSE ln((1.0 - 0.9) / (1.0 - ua)) END
+        |   + CASE WHEN agree_c_mktsegment THEN ln(0.9 / ub)
+        |          ELSE ln((1.0 - 0.9) / (1.0 - ub)) END
+        |   + CASE WHEN agree_bal_band THEN ln(0.9 / uc)
+        |          ELSE ln((1.0 - 0.9) / (1.0 - uc)) END) AS wt
+        |  FROM j, uu)
+        |SELECT id1, id2, agree_c_nationkey, agree_c_mktsegment, agree_bal_band,
+        |  round(wt, 6) AS weight, wt > 0 AS is_match
+        |FROM w ORDER BY id1, id2""".stripMargin)))
 }

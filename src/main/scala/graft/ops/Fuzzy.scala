@@ -479,4 +479,55 @@ object Fuzzy {
       .filter(col("dist") <= maxDist)
       .select(col("id1"), col("id2"), col("s1"), col("s2"), col("dist"))
   }
+
+  /** Fellegi–Sunter probabilistic record-linkage scoring (JASA 1969 —
+    * the canonical model behind every production linker): a candidate
+    * pair's match weight is `Σ_f agree_f ? ln(m_f/u_f) :
+    * ln((1−m_f)/(1−u_f))` over the comparison fields. `m_f` (agreement
+    * probability among true matches) is supplied; `u_f` (chance
+    * agreement among NON-matches) is estimated from the data as the
+    * exact random-pair agreement rate `Σ_v c_v(c_v−1) / N(N−1)` of
+    * each field's value distribution.
+    *
+    * Determinism: every `u_f` is a ratio of exact integer counts; the
+    * per-pair weight is a FIXED-ORDER sum of `|fields|` log terms
+    * evaluated on identical doubles in both engines — no cross-row
+    * float summation anywhere.
+    *
+    * Scale: u estimation is one combinable value-count shuffle per
+    * field; scoring joins the (small) candidate set against the
+    * record table twice by id — the candidate generator (blocking)
+    * bounds everything.
+    */
+  def fellegiSunterScores(records: DataFrame, idCol: String, fields: Seq[String],
+                          candidates: DataFrame, m: Double = 0.9): DataFrame = {
+    require(fields.nonEmpty, "need at least one comparison field")
+    val n = records.count()
+    require(n >= 2, "need at least two records")
+    // exact chance-agreement rate per field (u): exact integer counts,
+    // then the SAME double division the oracle performs —
+    // num / (n · (n−1)) with every operand cast to double first
+    val us: Map[String, Double] = fields.map { f =>
+      val num = records.groupBy(col(f)).agg(count(lit(1)).cast("decimal(38,0)").as("c"))
+        .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0).cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
+      f -> num.doubleValue / (n.toDouble * (n - 1).toDouble)
+    }.toMap
+    val a = records.select(col(idCol).as("id1") +:
+      fields.map(f => col(f).as(s"${f}_1")): _*)
+    val b = records.select(col(idCol).as("id2") +:
+      fields.map(f => col(f).as(s"${f}_2")): _*)
+    val joined = candidates.select("id1", "id2").join(a, "id1").join(b, "id2")
+    val agreeCols = fields.map(f =>
+      (col(s"${f}_1") === col(s"${f}_2")).as(s"agree_$f"))
+    val withAgree = joined.select(col("id1") +: col("id2") +: agreeCols: _*)
+    // fixed-order per-field log terms: m and u are plan-time doubles
+    val weight = fields.map { f =>
+      val u = us(f)
+      when(col(s"agree_$f"), lit(math.log(m / u)))
+        .otherwise(lit(math.log((1.0 - m) / (1.0 - u))))
+    }.reduce(_ + _)
+    withAgree.withColumn("weight", round(weight, 6))
+      .withColumn("is_match", weight > 0)
+  }
 }

@@ -352,4 +352,66 @@ object Search {
           col("n_rel_at_k").cast("double") / col("n_rel_total").cast("double"))
           .otherwise(lit(0.0)).as("r_at_k"))
   }
+
+  /** Exact phrase search over a POSITIONAL inverted index: documents
+    * containing the query terms at consecutive token positions, with
+    * the occurrence count and first match position — the capability a
+    * bag-of-words index ([[bm25]], ix1's unigram postings) cannot
+    * express.
+    *
+    * Scale: the postings explode filters to the phrase's own terms
+    * BEFORE anything joins — only (id, pos) pairs for query-term hits
+    * survive, a vanishing fraction of the corpus. The phrase then
+    * resolves as a chain of EQUI-joins on (id, pos − offset): each
+    * join's keys are both integers, no window, no text movement. All
+    * outputs are exact integers.
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String],
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two terms")
+    val pos = docs
+      .select(col(idCol).as("id"),
+        posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(phrase: _*))
+      .persist()
+    val first = pos.filter(col("tok") === phrase.head).select(col("id"), col("pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(first) { case (acc, (t, i)) =>
+      acc.join(pos.filter(col("tok") === t)
+        .select(col("id"), (col("pos") - i).as("pos")), Seq("id", "pos"))
+    }
+    matched.groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).cast("long").as("n_occurrences"),
+        min(col("pos")).cast("long").as("first_pos"))
+  }
+
+  /** Time-decayed top-k heavy hitters: each observation contributes
+    * `2^(−age/halflife)` relative to the stream's newest timestamp, so
+    * recent activity dominates — the "trending now" ranking plain
+    * counts (hh1) cannot express.
+    *
+    * Determinism: the decay constant is a DRIVER-COMPUTED literal and
+    * the anchor timestamp an in-plan scalar aggregate (no wall
+    * clock anywhere — rerunning on the same data gives the same
+    * ranking); per-event decay terms pico-quantize before the
+    * order-free per-key long sum. Top-k is TakeOrdered under the
+    * (score desc, key asc) total order.
+    *
+    * Scale: one broadcast one-row max, one combinable per-key shuffle
+    * of (key, long) — identical shape to a plain count.
+    */
+  def decayedTopK(df: DataFrame, keyCol: String, tsCol: String,
+                  halfLifeHours: Double = 24.0, k: Int = 20): DataFrame = {
+    val c = -math.log(2.0) / (halfLifeHours * 3600e6) // per microsecond
+    val anchor = df.agg(max(unix_micros(col(tsCol))).as("now_us"))
+    df.select(col(keyCol).as("key"), unix_micros(col(tsCol)).as("ts_us"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("term_pico", floor(
+        exp((col("now_us") - col("ts_us")).cast("double") * lit(c)) * lit(1e12) + lit(0.5))
+        .cast("long"))
+      .groupBy("key")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(col("term_pico")).cast("long").as("decayed_pico"))
+      .orderBy(col("decayed_pico").desc, col("key").asc).limit(k)
+      .withColumn("decayed", round(col("decayed_pico").cast("double") / 1e12, 9))
+  }
 }

@@ -216,7 +216,7 @@ object Stats {
   def globalRank(df: DataFrame, sortCols: org.apache.spark.sql.Column*): DataFrame = {
     val sorted = df.orderBy(sortCols: _*)
     val schema = sorted.schema.add("idx", "long", nullable = false)
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
     }
     df.sparkSession.createDataFrame(rdd, schema)

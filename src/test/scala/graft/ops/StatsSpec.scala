@@ -180,6 +180,55 @@ class StatsSpec extends AnyFunSuite {
     assert(got === Set(("aa", "ab"), ("ab", "ac")))
   }
 
+  test("phraseSearch: consecutive positions only, counts and first position exact; 3-term phrases chain") {
+    val docs = Seq(
+      (1L, "x table hash y table hash"), // 2 occurrences, first at pos 1
+      (2L, "table z hash"),              // gap — no match
+      (3L, "hash table")                 // reversed — no match
+    ).toDF("doc_id", "text")
+    val got = Search.phraseSearch(docs, Seq("table", "hash")).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("doc_id") === 1L)
+    assert(got.head.getAs[Long]("n_occurrences") === 2L)
+    assert(got.head.getAs[Long]("first_pos") === 1L)
+    val tri = Search.phraseSearch(
+      Seq((1L, "a b c a b c"), (2L, "a b x c")).toDF("doc_id", "text"),
+      Seq("a", "b", "c")).collect()
+    assert(tri.length === 1 && tri.head.getAs[Long]("n_occurrences") === 2L)
+  }
+
+  test("decayedTopK: one-halflife-old events contribute exactly half; ties break by key") {
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-0${1 + h / 24}%d ${h % 24}%02d:00:00")
+    val df = Seq(
+      ("a", ts(48)),              // at anchor: weight 1.0
+      ("b", ts(24)), ("b", ts(24)), // one halflife old: 0.5 + 0.5 = 1.0
+      ("c", ts(0))                // two halflives: 0.25
+    ).toDF("k", "ts")
+    val got = Search.decayedTopK(df, "k", "ts", halfLifeHours = 24.0, k = 10)
+      .orderBy(col("decayed_pico").desc, col("key").asc).collect()
+    assert(got.map(_.getAs[String]("key")).toSeq === Seq("a", "b", "c"))
+    assert(got(0).getAs[Double]("decayed") === 1.0)
+    assert(got(1).getAs[Double]("decayed") === 1.0)
+    assert(got(2).getAs[Double]("decayed") === 0.25)
+    assert(got(1).getAs[Long]("n_events") === 2L)
+  }
+
+  test("fellegiSunterScores: u from exact pair counts, agreement/disagreement weights hand-computed") {
+    // f1 values a,a,b,c over 4 records: u = 2·1/(4·3) = 1/6
+    val recs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c")).toDF("id", "f1")
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("id1", "id2")
+    val got = Fuzzy.fellegiSunterScores(recs, "id", Seq("f1"), cands, m = 0.9)
+      .orderBy("id1", "id2").collect()
+    val u = 2.0 / 12.0
+    assert(got(0).getAs[Boolean]("agree_f1"))
+    assert(math.abs(got(0).getAs[Double]("weight") - math.log(0.9 / u)) < 1e-6)
+    assert(got(0).getAs[Boolean]("is_match")) // ln(5.4) > 0
+    assert(!got(1).getAs[Boolean]("agree_f1"))
+    assert(math.abs(got(1).getAs[Double]("weight") -
+      math.log((1.0 - 0.9) / (1.0 - u))) < 1e-6)
+    assert(!got(1).getAs[Boolean]("is_match")) // ln(0.12) < 0
+  }
+
   test("audienceOverlap: hand-computed intersection/jaccard; zero-overlap pairs absent; sketch bounds hold") {
     val df = Seq(("s1", 1L), ("s1", 2L), ("s1", 3L), ("s2", 2L), ("s2", 3L),
       ("s2", 4L), ("s3", 9L)).toDF("seg", "m")
