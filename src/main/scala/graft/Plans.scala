@@ -35,7 +35,8 @@ object Plans {
     "kc1_kcore", "zl1_zipf_slope", "ed1_embedding_drift", "ao1_audience_overlap",
     "bf1_benford", "gn1_gini", "fc1_seasonal_naive", "cp1_conformal_quality",
     "sn1_sorted_neighborhood",
-    "ph1_phrase_search", "dh1_decayed_topk", "fs1_fellegi_sunter")
+    "ph1_phrase_search", "dh1_decayed_topk", "fs1_fellegi_sunter",
+    "rd1_readability")
 
   /** (shuffle exchanges, broadcast exchanges) of the physical plan,
     * counted via tree walk, not the text dump: a persisted subtree's

@@ -4721,5 +4721,32 @@ object QueriesOps {
         |  FROM j, uu)
         |SELECT id1, id2, agree_c_nationkey, agree_c_mktsegment, agree_bal_band,
         |  round(wt, 6) AS weight, wt > 0 AS is_match
-        |FROM w ORDER BY id1, id2""".stripMargin)))
+        |FROM w ORDER BY id1, id2""".stripMargin)),
+
+    // RD1: Flesch reading ease + Flesch–Kincaid grade — vowel-group
+    // syllables and terminal-punctuation sentences as exact integer
+    // counts, scores in fixed-order double arithmetic.
+    "rd1_readability" -> Q(
+      (s, d) => Text.withReadability(docs(s, d))
+        .select(col("doc_id"), col("rd_words"), col("rd_sentences"),
+          col("rd_syllables"), round(col("flesch_ease"), 6).as("flesch_ease"),
+          round(col("fk_grade"), 6).as("fk_grade"))
+        .orderBy("doc_id"),
+      Some("""WITH c AS (SELECT doc_id,
+        |    greatest(1, CAST(len(list_filter(string_split(text, ' '),
+        |      w -> length(w) > 0)) AS BIGINT)) AS rd_words,
+        |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+        |      AS rd_sentences,
+        |    greatest(1, CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT))
+        |      AS rd_syllables
+        |  FROM documents)
+        |SELECT doc_id, rd_words, rd_sentences, rd_syllables,
+        |  round(206.835
+        |    - 1.015 * (CAST(rd_words AS DOUBLE) / CAST(rd_sentences AS DOUBLE))
+        |    - 84.6 * (CAST(rd_syllables AS DOUBLE) / CAST(rd_words AS DOUBLE)), 6)
+        |    AS flesch_ease,
+        |  round(0.39 * (CAST(rd_words AS DOUBLE) / CAST(rd_sentences AS DOUBLE))
+        |    + 11.8 * (CAST(rd_syllables AS DOUBLE) / CAST(rd_words AS DOUBLE))
+        |    - 15.59, 6) AS fk_grade
+        |FROM c ORDER BY doc_id""".stripMargin)))
 }

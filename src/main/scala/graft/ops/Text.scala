@@ -475,6 +475,36 @@ object Text {
     * `orderBy(...).limit(fitN)` — TakeOrdered per-partition heaps,
     * no global sort — and everything after is `fitN` rows.
     */
+  /** Flesch reading-ease and Flesch–Kincaid grade level (Kincaid et
+    * al. 1975 — the readability gates behind "write for grade 8"
+    * policies and, in corpus curation, a complexity-stratification
+    * feature). Syllables are approximated as vowel-group runs and
+    * sentences as terminal-punctuation runs — the standard regex
+    * approximations, both exact integer counts.
+    *
+    * One codegen column battery, no shuffle; the two scores are
+    * fixed-order double arithmetic over the integer counts, so the
+    * oracle reproduces them bit-for-bit.
+    */
+  def withReadability(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = greatest(lit(1L),
+      size(filter(split(col(textCol), " "), w => length(w) > 0)).cast("long"))
+    val sentences = greatest(lit(1L),
+      regexp_count(col(textCol), lit("[.!?]+")).cast("long"))
+    val syllables = greatest(lit(1L),
+      regexp_count(lower(col(textCol)), lit("[aeiouy]+")).cast("long"))
+    val (w, s, sy) = (col("rd_words").cast("double"),
+      col("rd_sentences").cast("double"), col("rd_syllables").cast("double"))
+    docs
+      .withColumn("rd_words", words)
+      .withColumn("rd_sentences", sentences)
+      .withColumn("rd_syllables", syllables)
+      .withColumn("flesch_ease",
+        lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (sy / w))
+      .withColumn("fk_grade",
+        lit(0.39) * (w / s) + lit(11.8) * (sy / w) - lit(15.59))
+  }
+
   def zipfFit(docs: DataFrame, fitN: Int = 100, topK: Int = 10,
               textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -229,6 +229,23 @@ class StatsSpec extends AnyFunSuite {
     assert(!got(1).getAs[Boolean]("is_match")) // ln(0.12) < 0
   }
 
+  test("withReadability: hand-counted words/sentences/syllables and the exact Flesch forms") {
+    // "the cat sat. it sat!" -> 5 words, 2 sentences, 5 syllable runs
+    val df = Seq((1L, "the cat sat. it sat!")).toDF("doc_id", "text")
+    val r = Text.withReadability(df).collect().head
+    assert(r.getAs[Long]("rd_words") === 5L)
+    assert(r.getAs[Long]("rd_sentences") === 2L)
+    assert(r.getAs[Long]("rd_syllables") === 5L)
+    val ease = 206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (5.0 / 5.0)
+    assert(math.abs(r.getAs[Double]("flesch_ease") - ease) < 1e-9)
+    val grade = 0.39 * (5.0 / 2.0) + 11.8 * (5.0 / 5.0) - 15.59
+    assert(math.abs(r.getAs[Double]("fk_grade") - grade) < 1e-9)
+    // punctuation-free text floors sentences at 1 instead of dividing by 0
+    val bare = Text.withReadability(Seq((2L, "no end")).toDF("doc_id", "text"))
+      .collect().head
+    assert(bare.getAs[Long]("rd_sentences") === 1L)
+  }
+
   test("audienceOverlap: hand-computed intersection/jaccard; zero-overlap pairs absent; sketch bounds hold") {
     val df = Seq(("s1", 1L), ("s1", 2L), ("s1", 3L), ("s2", 2L), ("s2", 3L),
       ("s2", 4L), ("s3", 9L)).toDF("seg", "m")
