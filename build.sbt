@@ -29,4 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 32 local executor threads + block-manager checkpoints need headroom;
   // 8g thrashes GC under the bench suite
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 215+ whole-stage-codegen queries × 3 bench executions in ONE JVM
+  // overflow the default 240 MB JIT code cache — once full, late
+  // queries run interpreted and the bench regresses 30-50% in spots
+  // that move between runs. 1 GB keeps every generated class compiled.
+  "-XX:ReservedCodeCacheSize=1g",
 )
