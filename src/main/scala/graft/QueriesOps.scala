@@ -4723,6 +4723,30 @@ object QueriesOps {
         |  round(wt, 6) AS weight, wt > 0 AS is_match
         |FROM w ORDER BY id1, id2""".stripMargin)),
 
+    // JW1: Jaro–Winkler scoring of sorted-neighborhood candidate
+    // pairs via the native codegen expression — semantics pinned to
+    // DuckDB's jaro_winkler_similarity, so the native kernel gets a
+    // direct cross-engine value check (the tx4 discipline for native
+    // expressions).
+    "jw1_jaro_winkler" -> Q(
+      (s, d) => {
+        val pairs = graft.ops.Fuzzy.sortedNeighborhoodPairs(
+          s.read.parquet(s"$d/customer.parquet"), "c_name", "c_custkey",
+          window = 3, maxDist = 1000)
+        pairs.withColumn("jw",
+            round(graft.ops.Fuzzy.jaroWinklerCol(col("s1"), col("s2")), 6))
+          .orderBy("id1", "id2")
+      },
+      Some("""WITH r AS (SELECT c_name AS s, c_custkey AS id,
+        |    CAST(row_number() OVER (ORDER BY c_name, c_custkey) AS BIGINT) - 1 AS idx
+        |  FROM customer),
+        |p AS (SELECT a.id AS id1, b.id AS id2, a.s AS s1, b.s AS s2,
+        |    CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+        |  FROM r a JOIN r b ON b.idx BETWEEN a.idx + 1 AND a.idx + 2)
+        |SELECT id1, id2, s1, s2, dist,
+        |  round(jaro_winkler_similarity(s1, s2), 6) AS jw
+        |FROM p ORDER BY id1, id2""".stripMargin)),
+
     // RD1: Flesch reading ease + Flesch–Kincaid grade — vowel-group
     // syllables and terminal-punctuation sentences as exact integer
     // counts, scores in fixed-order double arithmetic.

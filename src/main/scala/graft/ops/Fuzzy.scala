@@ -480,6 +480,18 @@ object Fuzzy {
       .select(col("id1"), col("id2"), col("s1"), col("s2"), col("dist"))
   }
 
+  /** Jaro–Winkler similarity column: the native codegen expression
+    * when the session has graft's extensions, else a Scala-UDF
+    * fallback over the identical static kernel (same values, slower —
+    * the guarded-fallback pattern of the other native functions).
+    */
+  def jaroWinklerCol(a: Column, b: Column): Column =
+    if (graft.GraftExtensions.available("jaro_winkler"))
+      graft.functions.JaroWinkler.jaro_winkler(a, b)
+    else org.apache.spark.sql.functions.udf((x: String, y: String) =>
+      graft.functions.JaroWinkler.similarity(
+        x.getBytes("UTF-8"), y.getBytes("UTF-8"))).apply(a, b)
+
   /** Fellegi–Sunter probabilistic record-linkage scoring (JASA 1969 —
     * the canonical model behind every production linker): a candidate
     * pair's match weight is `Σ_f agree_f ? ln(m_f/u_f) :

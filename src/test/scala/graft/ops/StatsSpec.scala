@@ -246,6 +246,23 @@ class StatsSpec extends AnyFunSuite {
     assert(bare.getAs[Long]("rd_sentences") === 1L)
   }
 
+  test("JaroWinkler kernel: textbook values, 0.7 boost threshold, empties, window-0 swaps") {
+    def jw(a: String, b: String) =
+      graft.functions.JaroWinkler.similarity(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(jw("dwayne", "duane") - 0.8400000000000001) < 1e-12)
+    assert(jw("", "") === 0.0 && jw("a", "") === 0.0) // DuckDB's empty convention
+    assert(jw("ab", "ba") === 0.0) // window 0 admits only same-position matches
+    assert(jw("abcdxxxxxx", "abcdyyyyyy") === 0.6) // jaro 0.6 <= 0.7: NO prefix boost
+    assert(math.abs(jw("abcdef", "bcadef") - 0.9444444444444445) < 1e-12) // integer half-transpositions
+    assert(jw("same", "same") === 1.0)
+    // column path (native expression under TestSpark's extensions)
+    val got = Seq(("martha", "marhta")).toDF("a", "b")
+      .select(Fuzzy.jaroWinklerCol(col("a"), col("b")).as("jw")).collect().head
+    assert(math.abs(got.getAs[Double]("jw") - 0.9611111111111111) < 1e-12)
+  }
+
   test("audienceOverlap: hand-computed intersection/jaccard; zero-overlap pairs absent; sketch bounds hold") {
     val df = Seq(("s1", 1L), ("s1", 2L), ("s1", 3L), ("s2", 2L), ("s2", 3L),
       ("s2", 4L), ("s3", 9L)).toDF("seg", "m")
