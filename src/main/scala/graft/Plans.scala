@@ -36,7 +36,8 @@ object Plans {
     "bf1_benford", "gn1_gini", "fc1_seasonal_naive", "cp1_conformal_quality",
     "sn1_sorted_neighborhood",
     "ph1_phrase_search", "dh1_decayed_topk", "fs1_fellegi_sunter",
-    "rd1_readability", "jw1_jaro_winkler")
+    "rd1_readability", "jw1_jaro_winkler", "gc1_grid_density",
+    "np1_nucleus_vocab")
 
   /** (shuffle exchanges, broadcast exchanges) of the physical plan,
     * counted via tree walk, not the text dump: a persisted subtree's

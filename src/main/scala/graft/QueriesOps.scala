@@ -4723,6 +4723,70 @@ object QueriesOps {
         |  round(wt, 6) AS weight, wt > 0 AS is_match
         |FROM w ORDER BY id1, id2""".stripMargin)),
 
+    // GC1: grid-density clustering of the embedding projection — the
+    // DBSCAN-family first pass: dense cells merge through the
+    // 8-neighborhood (connected components on the CELL graph), sparse
+    // cells are noise. Oracle = recursive-CTE closure over the same
+    // integer cell graph.
+    "gc1_grid_density" -> Q(
+      (s, d) => graft.ops.Similarity.gridDensityClusters(embs(s, d))
+        .orderBy("cluster_id"),
+      Some("""WITH RECURSIVE p AS (SELECT vec_id AS id,
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.05) AS BIGINT) AS cx,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.05) AS BIGINT) AS cy
+        |  FROM embeddings),
+        |cells AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+        |dense AS (SELECT cx, cy, n,
+        |    (cx + 1000) * 100000 + (cy + 1000) AS cell_id
+        |  FROM cells WHERE n >= 10),
+        |ed AS (SELECT a.cell_id AS src, b.cell_id AS dst
+        |  FROM dense a JOIN dense b
+        |    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+        |   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+        |   AND NOT (b.cx = a.cx AND b.cy = a.cy)),
+        |reach(v, r) AS (
+        |  SELECT cell_id, cell_id FROM dense
+        |  UNION
+        |  SELECT ed.dst, reach.r FROM reach JOIN ed ON ed.src = reach.v),
+        |cl AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v),
+        |dp AS (SELECT p.id, p.cx, p.cy, cl.cluster
+        |  FROM p JOIN dense dd ON dd.cx = p.cx AND dd.cy = p.cy
+        |  JOIN cl ON cl.v = dd.cell_id),
+        |agg AS (SELECT cluster AS cluster_id,
+        |    CAST(count(DISTINCT (cx + 1000) * 100000 + (cy + 1000)) AS BIGINT) AS n_cells,
+        |    CAST(count(*) AS BIGINT) AS n_points
+        |  FROM dp GROUP BY 1),
+        |noise AS (SELECT CAST(-1 AS BIGINT) AS cluster_id, CAST(0 AS BIGINT) AS n_cells,
+        |    CAST(count(*) AS BIGINT) AS n_points
+        |  FROM p WHERE NOT EXISTS (SELECT 1 FROM dense dd
+        |    WHERE dd.cx = p.cx AND dd.cy = p.cy))
+        |SELECT * FROM agg UNION ALL SELECT * FROM noise ORDER BY cluster_id""".stripMargin)),
+
+    // NP1: nucleus (top-p) successor sets of the corpus bigram LM —
+    // membership decided entirely in integers ((cum−c)·10 < 9·total),
+    // one window per context.
+    "np1_nucleus_vocab" -> Q(
+      (s, d) => graft.ops.Text.nucleusVocab(docs(s, d)).orderBy("t1"),
+      Some("""WITH tk AS (SELECT doc_id, g.i AS pos, toks[g.i] AS tok
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |    unnest(generate_series(1, len(toks))) AS g(i)
+        |  WHERE length(toks[g.i]) > 0),
+        |big AS (SELECT x.tok AS t1, y.tok AS t2, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk x JOIN tk y ON x.doc_id = y.doc_id AND y.pos = x.pos + 1
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT t1, CAST(sum(c) AS BIGINT) AS total FROM big
+        |  GROUP BY 1 HAVING sum(c) >= 50),
+        |r AS (SELECT big.t1, t2, c, total,
+        |    CAST(sum(c) OVER (PARTITION BY big.t1 ORDER BY c DESC, t2
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM big JOIN tot USING (t1))
+        |SELECT t1, CAST(min(total) AS BIGINT) AS total,
+        |  CAST(count(*) AS BIGINT) AS nucleus_n,
+        |  CAST(max(cum) AS BIGINT) AS nucleus_c,
+        |  round(CAST(max(cum) AS DOUBLE) / CAST(min(total) AS DOUBLE), 9) AS nucleus_mass
+        |FROM r WHERE (cum - c) * 10 < 9 * total
+        |GROUP BY t1 ORDER BY t1""".stripMargin)),
+
     // JW1: Jaro–Winkler scoring of sorted-neighborhood candidate
     // pairs via the native codegen expression — semantics pinned to
     // DuckDB's jaro_winkler_similarity, so the native kernel gets a

@@ -1071,4 +1071,62 @@ object Similarity {
         col("mean_new"), col("delta"), col("drift_z"),
         round(col("mean_cosine"), 9).as("mean_cosine"))
   }
+
+  /** Grid-density clustering over a 2-D projection of the embedding
+    * space — the scalable first pass of the DBSCAN family (grid
+    * approximation: dense cells ≈ core regions, adjacent dense cells
+    * merge into clusters, sparse-cell points are noise). The
+    * unsupervised complement of the label-driven cl1 centroids.
+    *
+    * Determinism: cell assignment is one floor-divide per coordinate
+    * (identical IEEE op in any engine); density and adjacency are
+    * exact integers; cluster ids come from
+    * [[Dedup.connectedComponents]]' min-id labeling over the CELL
+    * graph.
+    *
+    * Scale: points shuffle once as (id, cx, cy) triples for the cell
+    * count; everything after operates on the DENSE-CELL table —
+    * corpus/minPts-bounded, tiny. Cell adjacency is an exploded
+    * 8-neighbor EQUI-join (no theta join), and the component loop runs
+    * on cells, not points. Output: one row per cluster
+    * (cluster_id, n_cells, n_points) plus the noise row (−1).
+    */
+  def gridDensityClusters(vectors: DataFrame, cellSize: Double = 0.05,
+                          minPts: Long = 10, dimA: Int = 0, dimB: Int = 1,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val enc = (cx: Column, cy: Column) => (cx + 1000L) * 100000L + (cy + 1000L)
+    val pts = vectors.select(col(idCol).as("id"),
+        floor(element_at(col(vecCol), dimA + 1).cast("double") / lit(cellSize))
+          .cast("long").as("cx"),
+        floor(element_at(col(vecCol), dimB + 1).cast("double") / lit(cellSize))
+          .cast("long").as("cy"))
+      .persist()
+    val cells = pts.groupBy("cx", "cy").agg(count(lit(1)).cast("long").as("n"))
+    val dense = cells.filter(col("n") >= minPts)
+      .withColumn("cell_id", enc(col("cx"), col("cy"))).persist()
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0 }
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
+    val edges = dense
+      .select(col("cell_id").as("a"), col("cx"), col("cy"),
+        explode(array(offsets: _*)).as("o"))
+      .select(col("a"), (col("cx") + col("o.dx")).as("cx"),
+        (col("cy") + col("o.dy")).as("cy"))
+      .join(dense.select(col("cx"), col("cy"), col("cell_id").as("b")),
+        Seq("cx", "cy"))
+      .select(col("a").as("d1"), col("b").as("d2")) // CC's pair contract
+    val cc = Dedup.connectedComponents(
+      dense.select(col("cell_id").as("v")), edges)
+    val cellCluster = dense.join(cc, dense("cell_id") === cc("v"))
+      .select(col("cx"), col("cy"), col("cluster"))
+    val clustered = pts.join(cellCluster, Seq("cx", "cy"))
+    val agg = clustered.groupBy(col("cluster").as("cluster_id"))
+      .agg(countDistinct(col("cx"), col("cy")).cast("long").as("n_cells"),
+        count(lit(1)).cast("long").as("n_points"))
+    val noise = pts.join(dense.select("cx", "cy"), Seq("cx", "cy"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("n_points"))
+      .select(lit(-1L).as("cluster_id"),
+        lit(0L).as("n_cells"), col("n_points"))
+    agg.unionByName(noise)
+  }
 }

@@ -456,6 +456,49 @@ object Text {
       .limit(topK)
   }
 
+  /** Nucleus (top-p) successor sets of a bigram language model
+    * (Holtzman et al. 2020's sampling rule applied to corpus
+    * statistics): for each context token, the smallest
+    * probability-ranked successor set whose cumulative mass reaches
+    * `p`, reported as (set size, exact mass). The vocabulary-audit
+    * view of "how peaked is the corpus LM here" — a companion to the
+    * tx12 bigram LM.
+    *
+    * Determinism: the nucleus rule is evaluated ENTIRELY in integers —
+    * a successor is in the nucleus iff `(cum − c) · denom <
+    * num · total` with p = num/denom exact longs — so no float ever
+    * decides membership; the reported mass is one final division.
+    *
+    * Scale: one combinable bigram-count shuffle, one per-context
+    * window (contexts are the partition key — no global sort), output
+    * one row per qualifying context.
+    */
+  def nucleusVocab(docs: DataFrame, pNum: Long = 9, pDenom: Long = 10,
+                   minTotal: Long = 50, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+        posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    val big = toks.as("x").join(toks.as("y"),
+        col("x.doc_id") === col("y.doc_id") && col("y.pos") === col("x.pos") + 1)
+      .groupBy(col("x.tok").as("t1"), col("y.tok").as("t2"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val totals = big.groupBy("t1").agg(sum("c").cast("long").as("total"))
+      .filter(col("total") >= minTotal)
+    val w = Window.partitionBy("t1").orderBy(col("c").desc, col("t2").asc)
+    big.join(totals, "t1")
+      .withColumn("cum", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      // integer nucleus rule: rows before the mass crossing, inclusive
+      .filter((col("cum") - col("c")) * pDenom < lit(pNum) * col("total"))
+      .groupBy("t1")
+      .agg(first("total").cast("long").as("total"),
+        count(lit(1)).cast("long").as("nucleus_n"),
+        max("cum").cast("long").as("nucleus_c"))
+      .withColumn("nucleus_mass",
+        round(col("nucleus_c").cast("double") / col("total").cast("double"), 9))
+  }
+
   /** Zipf-law fit over the term frequency distribution: OLS slope of
     * `ln(freq)` on `ln(rank)` across the top-`fitN` terms — the
     * corpus-linguistics health check (natural language sits near −1;

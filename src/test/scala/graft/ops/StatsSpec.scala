@@ -246,6 +246,35 @@ class StatsSpec extends AnyFunSuite {
     assert(bare.getAs[Long]("rd_sentences") === 1L)
   }
 
+  test("gridDensityClusters: adjacent dense cells merge, distant ones don't, sparse points are noise") {
+    def pts(n: Int, x: Float, y: Float, base: Long) =
+      (0 until n).map(i => (base + i, Seq(x, y)))
+    val df = (pts(12, 0.01f, 0.01f, 0L) ++ pts(12, 0.06f, 0.01f, 100L) ++
+      pts(12, 0.5f, 0.5f, 200L) ++ pts(3, -0.3f, -0.3f, 300L))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.gridDensityClusters(df, cellSize = 0.05, minPts = 10)
+      .orderBy("cluster_id").collect()
+    val noise = got.filter(_.getAs[Long]("cluster_id") == -1L)
+    val clusters = got.filter(_.getAs[Long]("cluster_id") != -1L)
+    assert(clusters.length === 2) // merged adjacent pair + the far cell
+    assert(clusters.map(_.getAs[Long]("n_points")).sorted.toSeq === Seq(12L, 24L))
+    assert(clusters.find(_.getAs[Long]("n_points") == 24L).get.getAs[Long]("n_cells") === 2L)
+    assert(noise.head.getAs[Long]("n_points") === 3L)
+  }
+
+  test("nucleusVocab: integer top-p rule includes the crossing successor and no more") {
+    // context 'a': successors b x2, c x1 (total 3)
+    val df = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val wide = Text.nucleusVocab(df, pNum = 9, pDenom = 10, minTotal = 1)
+      .filter(col("t1") === "a").collect().head
+    assert(wide.getAs[Long]("nucleus_n") === 2L) // 2/3 < 0.9: c also needed
+    assert(wide.getAs[Double]("nucleus_mass") === 1.0)
+    val tight = Text.nucleusVocab(df, pNum = 1, pDenom = 2, minTotal = 1)
+      .filter(col("t1") === "a").collect().head
+    assert(tight.getAs[Long]("nucleus_n") === 1L) // b alone crosses 1/2
+    assert(math.abs(tight.getAs[Double]("nucleus_mass") - 2.0 / 3.0) < 1e-9)
+  }
+
   test("JaroWinkler kernel: textbook values, 0.7 boost threshold, empties, window-0 swaps") {
     def jw(a: String, b: String) =
       graft.functions.JaroWinkler.similarity(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
