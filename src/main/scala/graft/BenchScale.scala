@@ -50,7 +50,13 @@ object BenchScale {
     // per-batch stage hides a single-reducer or re-scan bottleneck
     "mv2_stream_view", "sd2_sigstore_epochs", "t8_stream_latest",
     // mixture resampling: counts agg + broadcast rates + explode
-    "cur10_target_mixture")
+    "cur10_target_mixture",
+    // round-9 families: distributed global rank (range sort +
+    // zipWithIndex), retrieval eval fan-in, A-Priori pair mining,
+    // fixed-round k-core peel, decayed heavy hitters — each expected
+    // linear; a superlinear rank would expose a hidden sort funnel
+    "gn1_gini", "ev1_retrieval_metrics", "fi1_itemset_lift",
+    "kc1_kcore", "dh1_decayed_topk")
 
   private val Stride = 1000000000L
 
