@@ -4723,6 +4723,30 @@ object QueriesOps {
         |  round(wt, 6) AS weight, wt > 0 AS is_match
         |FROM w ORDER BY id1, id2""".stripMargin)),
 
+    // DP1: ε-differentially-private count release — Laplace(1/ε) via
+    // the inverse CDF over the repo's portable md5 uniform; true_n is
+    // emitted for the gate only (a real release ships noisy_n alone).
+    "dp1_dp_release" -> Q(
+      (s, d) => graft.ops.Curate.dpCountRelease(
+          Queries.events(s, d), "event_type", epsilon = 1.0)
+        .orderBy("key"),
+      Some("""WITH c AS (SELECT event_type AS key, CAST(count(*) AS BIGINT) AS true_n
+        |  FROM events GROUP BY 1),
+        |uu AS (SELECT key, true_n,
+        |    (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 9),
+        |        i -> CAST(strpos('0123456789abcdef',
+        |               substr(md5(key || ':dp1'), i, 1)) - 1 AS BIGINT))),
+        |      (a, x) -> a * 16 + x) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+        |  FROM c),
+        |n AS (SELECT key, true_n, u - 0.5 AS cen FROM uu)
+        |SELECT key, true_n,
+        |  round(CAST(true_n AS DOUBLE)
+        |    + -(CASE WHEN cen > 0 THEN 1.0 WHEN cen < 0 THEN -1.0 ELSE 0.0 END)
+        |      * ln(1.0 - 2.0 * abs(cen)) / 1.0, 6) AS noisy_n,
+        |  CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM n ORDER BY key""".stripMargin)),
+
     // GC1: grid-density clustering of the embedding projection — the
     // DBSCAN-family first pass: dense cells merge through the
     // 8-neighborhood (connected components on the CELL graph), sparse

@@ -657,4 +657,34 @@ object Curate {
       .orderBy(col("sample_key").desc, col(idCol))
       .limit(k)
   }
+
+  /** Differentially-private count release (Dwork et al. 2006): per-key
+    * counts with Laplace(1/ε) noise via the inverse CDF,
+    * `X = −b·sgn(u−½)·ln(1−2|u−½|)`, the ε-DP mechanism for a
+    * sensitivity-1 count query. The noise draw is the repo's standard
+    * DETERMINISTIC portable uniform — md5(key:seed) folded to 32 bits,
+    * `(v+½)/2³²` strictly inside (0,1) — so releases are reproducible
+    * and the oracle re-derives every draw (a production release would
+    * swap in a secret seed; `true_n` is emitted HERE for the
+    * verification gate only and must not ship alongside a real
+    * release).
+    *
+    * Scale: one combinable count shuffle; noise is a per-key codegen
+    * expression.
+    */
+  def dpCountRelease(df: DataFrame, keyCol: String, epsilon: Double = 1.0,
+                     seed: String = "dp1"): DataFrame = {
+    require(epsilon > 0, "epsilon must be positive")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).cast("long").as("true_n"))
+    val u = (conv(substring(md5(concat(col("key").cast("string"),
+        lit(":" + seed))), 1, 8), 16, 10)
+      .cast("long").cast("double") + 0.5) / 4294967296.0
+    val centered = u - 0.5
+    val noise = -signum(centered) * log(lit(1.0) - lit(2.0) * abs(centered)) /
+      lit(epsilon)
+    counts
+      .withColumn("noisy_n", round(col("true_n").cast("double") + noise, 6))
+      .withColumn("epsilon", lit(epsilon))
+  }
 }

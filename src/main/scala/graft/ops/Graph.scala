@@ -228,8 +228,10 @@ object Graph {
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK))
-    cur.count()
-    for (_ <- 1 to rounds) {
+    var curCount = cur.count()
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
       val deg = cur.select(col("a").as("v")).union(cur.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).cast("long").as("deg"))
       val keep = deg.filter(col("deg") >= k).select("v")
@@ -238,9 +240,16 @@ object Graph {
         .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
         .select("a", "b")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
+      val nextCount = next.count()
+      // peeling only ever REMOVES edges, so an unchanged count IS the
+      // fixpoint — every remaining round would be a no-op (which is
+      // exactly why the fixed-round oracle still matches: its extra
+      // rounds change nothing)
+      converged = nextCount == curCount
       cur.unpersist(false)
       cur = shallow(next)
+      curCount = nextCount
+      round += 1
     }
     val out = cur.select(col("a").as("v")).union(cur.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).cast("long").as("core_deg"))

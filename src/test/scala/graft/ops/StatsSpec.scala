@@ -275,6 +275,31 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(tight.getAs[Double]("nucleus_mass") - 2.0 / 3.0) < 1e-9)
   }
 
+  test("dpCountRelease: deterministic draws, exact counts, noise scales as 1/epsilon") {
+    val df = (Seq.fill(30)("a") ++ Seq.fill(70)("b")).toDF("k")
+    val r1 = Curate.dpCountRelease(df, "k", epsilon = 1.0).orderBy("key").collect()
+    val r1b = Curate.dpCountRelease(df, "k", epsilon = 1.0).orderBy("key").collect()
+    assert(r1.map(_.toSeq).toSeq === r1b.map(_.toSeq).toSeq) // reproducible release
+    assert(r1.map(r => r.getAs[String]("key") -> r.getAs[Long]("true_n")).toMap
+      === Map("a" -> 30L, "b" -> 70L))
+    val r2 = Curate.dpCountRelease(df, "k", epsilon = 2.0).orderBy("key").collect()
+    r1.zip(r2).foreach { case (a, b) =>
+      val n1 = a.getAs[Double]("noisy_n") - a.getAs[Long]("true_n")
+      val n2 = b.getAs[Double]("noisy_n") - b.getAs[Long]("true_n")
+      assert(math.abs(n1 - 2.0 * n2) < 2e-6) // same uniform draw, scale 1/eps
+      assert(n1 != 0.0) // the mechanism actually perturbs
+    }
+  }
+
+  test("kCore early-exit at the fixpoint matches the full fixed-round peel") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L), (5L, 7L))
+      .toDF("src", "dst")
+    val a = Graph.kCore(e, k = 2, rounds = 8).orderBy("v").collect().map(_.toSeq).toSeq
+    val b = Graph.kCore(e, k = 2, rounds = 100).orderBy("v").collect().map(_.toSeq).toSeq
+    assert(a === b) // converged rounds are no-ops
+  }
+
   test("JaroWinkler kernel: textbook values, 0.7 boost threshold, empties, window-0 swaps") {
     def jw(a: String, b: String) =
       graft.functions.JaroWinkler.similarity(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
