@@ -4723,6 +4723,46 @@ object QueriesOps {
         |  round(wt, 6) AS weight, wt > 0 AS is_match
         |FROM w ORDER BY id1, id2""".stripMargin)),
 
+    // QN1: quantile normalization of per-source quality scores onto
+    // the pooled distribution — the batch-effect correction that stops
+    // a hot-running scorer from dominating a thresholded keep rule.
+    "qn1_quantile_norm" -> Q(
+      (s, d) => graft.ops.Curate.quantileNormalize(
+          Text.withQuality(docs(s, d))
+            .select(col("doc_id"), col("source"), col("quality_score")),
+          "quality_score", "source", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH q AS (
+        |  SELECT doc_id, source,
+        |    least(1.0,
+        |      CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE) * 0.5
+        |      + CAST(len(list_filter(string_split(text, ' '),
+        |          x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
+        |      + least(CAST(list_sum(list_transform(string_split(text, ' '),
+        |            x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+        |          / CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0, 1.0) * 0.2)
+        |      AS quality_score
+        |  FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+        |r AS (SELECT doc_id, source, quality_score,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY quality_score, doc_id) AS BIGINT) - 1 AS rr,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+        |  FROM q),
+        |x AS (SELECT doc_id, source, quality_score,
+        |    CASE WHEN ns > 1 THEN CAST(rr AS DOUBLE) / CAST(ns - 1 AS DOUBLE)
+        |         ELSE 0.5 END AS qq
+        |  FROM r),
+        |ix AS (SELECT x.*, CAST(floor(qq * CAST(nn.n - 1 AS DOUBLE) + 0.5) AS BIGINT)
+        |    AS pidx FROM x, nn),
+        |pooled AS (SELECT quality_score AS norm_value,
+        |    CAST(row_number() OVER (ORDER BY quality_score, doc_id) AS BIGINT) - 1 AS pidx
+        |  FROM q)
+        |SELECT ix.doc_id, ix.source, ix.quality_score, pooled.norm_value
+        |FROM ix JOIN pooled USING (pidx) ORDER BY ix.doc_id""".stripMargin)),
+
     // DP1: ε-differentially-private count release — Laplace(1/ε) via
     // the inverse CDF over the repo's portable md5 uniform; true_n is
     // emitted for the gate only (a real release ships noisy_n alone).

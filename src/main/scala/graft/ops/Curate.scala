@@ -672,6 +672,48 @@ object Curate {
     * Scale: one combinable count shuffle; noise is a per-key codegen
     * expression.
     */
+  /** Quantile normalization across groups (the Bolstad 2003
+    * batch-effect correction, applied to corpus curation: each
+    * source's score distribution maps onto the POOLED distribution, so
+    * a source whose quality scorer runs hot no longer dominates a
+    * score-thresholded keep rule). Each row's within-group percent
+    * rank is mapped to the pooled order statistic at the same
+    * quantile.
+    *
+    * Determinism: ranks are integers from total orders; the pooled
+    * index is `floor(q·(N−1) + ½)` on identically-derived doubles;
+    * the normalized value is an EXISTING pooled value, not an
+    * interpolation.
+    *
+    * Scale: one window per group partition (keys partition the sort),
+    * the pooled ranking is [[Stats.globalRank]] (range sort +
+    * zipWithIndex, no single-reducer window), and the final lookup is
+    * an integer equi-join against the pooled rank table.
+    */
+  def quantileNormalize(df: DataFrame, valueCol: String, groupCol: String,
+                        idCol: String): DataFrame = {
+    val ws = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    val wn = Window.partitionBy(col(groupCol))
+    val n = df.count()
+    require(n > 0, "empty input")
+    val ranked = df
+      .withColumn("__r", row_number().over(ws).cast("long") - 1)
+      .withColumn("__n", count(lit(1)).over(wn).cast("long"))
+      .withColumn("__q", when(col("__n") > 1,
+        col("__r").cast("double") / (col("__n") - 1).cast("double"))
+        .otherwise(lit(0.5)))
+      .withColumn("__pidx",
+        floor(col("__q") * lit((n - 1).toDouble) + lit(0.5)).cast("long"))
+    val pooled = graft.ops.Stats.globalRank(
+        df.select(col(valueCol).as("__v"), col(idCol).as("__tb")),
+        col("__v").asc, col("__tb").asc)
+      .select(col("idx").as("__pidx"), col("__v").as("norm_value"))
+    ranked.join(pooled, Seq("__pidx"))
+      .select(col(idCol), col(groupCol), col(valueCol),
+        col("norm_value"))
+  }
+
   def dpCountRelease(df: DataFrame, keyCol: String, epsilon: Double = 1.0,
                      seed: String = "dp1"): DataFrame = {
     require(epsilon > 0, "epsilon must be positive")

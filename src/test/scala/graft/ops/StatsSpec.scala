@@ -275,6 +275,22 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(tight.getAs[Double]("nucleus_mass") - 2.0 / 3.0) < 1e-9)
   }
 
+  test("quantileNormalize: a hot-running source maps onto the pooled distribution") {
+    // source A scores run 10x hotter than B but have the same shape:
+    // after normalization, equal within-group ranks get equal values
+    val df = Seq(
+      (1L, "A", 10.0), (2L, "A", 20.0), (3L, "A", 30.0),
+      (4L, "B", 1.0), (5L, "B", 2.0), (6L, "B", 3.0)
+    ).toDF("id", "src", "score")
+    val got = Curate.quantileNormalize(df, "score", "src", "id")
+      .orderBy("id").collect()
+    val norm = got.map(r => r.getAs[Long]("id") -> r.getAs[Double]("norm_value")).toMap
+    // pooled sorted: 1,2,3,10,20,30 (N=6); q in {0,.5,1} -> pooled idx {0,3,5}
+    assert(norm(1L) === 1.0 && norm(4L) === 1.0)   // both group minima
+    assert(norm(2L) === 10.0 && norm(5L) === 10.0) // both medians -> idx round(2.5)=3
+    assert(norm(3L) === 30.0 && norm(6L) === 30.0) // both maxima
+  }
+
   test("dpCountRelease: deterministic draws, exact counts, noise scales as 1/epsilon") {
     val df = (Seq.fill(30)("a") ++ Seq.fill(70)("b")).toDF("k")
     val r1 = Curate.dpCountRelease(df, "k", epsilon = 1.0).orderBy("key").collect()
