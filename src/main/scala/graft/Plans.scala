@@ -37,7 +37,8 @@ object Plans {
     "sn1_sorted_neighborhood",
     "ph1_phrase_search", "dh1_decayed_topk", "fs1_fellegi_sunter",
     "rd1_readability", "jw1_jaro_winkler", "gc1_grid_density",
-    "np1_nucleus_vocab", "dp1_dp_release", "qn1_quantile_norm")
+    "np1_nucleus_vocab", "dp1_dp_release", "qn1_quantile_norm",
+    "cal1_calibration")
 
   /** (shuffle exchanges, broadcast exchanges) of the physical plan,
     * counted via tree walk, not the text dump: a persisted subtree's

@@ -4723,6 +4723,59 @@ object QueriesOps {
         |  round(wt, 6) AS weight, wt > 0 AS is_match
         |FROM w ORDER BY id1, id2""".stripMargin)),
 
+    // CAL1: reliability diagram + ECE for the qs1 quality classifier
+    // against the "document is exact-unique" label — the calibration
+    // audit a thresholded keep rule needs.
+    "cal1_calibration" -> Q(
+      (s, d) => {
+        val scored = Curate.lrQualityScore(docs(s, d))
+          .withColumn("is_unique",
+            (count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(md5(col("text")))) === 1).cast("long"))
+        graft.ops.Curate.calibrationReport(scored, "lr_score", "is_unique")
+          .orderBy("bucket")
+      },
+      Some("""WITH q AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+        |    CAST(list_sum(list_transform(string_split(text, ' '),
+        |         x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len
+        |  FROM documents),
+        |sc AS (SELECT doc_id, text,
+        |    1.0 / (1.0 + exp(0.0 - (-2.0 + alpha_ratio * 3.0 + stopword_ratio * 2.5
+        |      + mean_word_len * 0.15 - punct_ratio * 4.0))) AS s
+        |  FROM q),
+        |lab AS (SELECT doc_id, s,
+        |    CAST(count(*) OVER (PARTITION BY md5(text)) = 1 AS BIGINT) AS y
+        |  FROM sc),
+        |bn AS (SELECT CAST(least(floor(s * 10), 9) AS INTEGER) AS bucket,
+        |    s, y, CAST(floor(s * 1e6 + 0.5) AS BIGINT) AS sq
+        |  FROM lab),
+        |bins AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(sum(sq) AS BIGINT) AS pred_micro
+        |  FROM bn GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM bins),
+        |rr AS (SELECT bucket, n, n_pos,
+        |    CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+        |    CAST(pred_micro AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS mean_pred,
+        |    CAST(floor(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+        |      * abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |            - CAST(pred_micro AS DOUBLE) / CAST(n AS DOUBLE) / 1e6)
+        |      * 1e12 + 0.5) AS BIGINT) AS ece_pico
+        |  FROM bins, tot),
+        |e AS (SELECT CAST(sum(ece_pico) AS DOUBLE) / 1e12 AS ece FROM rr)
+        |SELECT bucket, n, n_pos, round(rate, 9) AS rate,
+        |  round(mean_pred, 9) AS mean_pred, round(e.ece, 9) AS ece
+        |FROM rr, e ORDER BY bucket""".stripMargin)),
+
     // QN1: quantile normalization of per-source quality scores onto
     // the pooled distribution — the batch-effect correction that stops
     // a hot-running scorer from dominating a thresholded keep rule.

@@ -672,6 +672,52 @@ object Curate {
     * Scale: one combinable count shuffle; noise is a per-key codegen
     * expression.
     */
+  /** Calibration / reliability report (Guo et al. 2017's ECE over the
+    * classic reliability diagram): probability scores bucketed into
+    * `nBuckets` bins, each bin's observed positive rate against its
+    * mean predicted probability, plus the expected calibration error
+    * `ECE = Σ (n_b/N)·|rate_b − mean_pred_b|` on every row. The eval
+    * every score-thresholded keep rule needs before its threshold
+    * means anything.
+    *
+    * Determinism: bin ids are `min(floor(score·nBuckets), nBuckets−1)`
+    * integers; per-bin predicted-mass sums micro-quantize per row
+    * (exact longs); rates are single divisions; ECE terms
+    * pico-quantize before the order-free bin sum.
+    *
+    * Scale: one combinable nBuckets-ary count shuffle — the bin table
+    * is constant-size at any corpus.
+    */
+  def calibrationReport(scored: DataFrame, scoreCol: String, labelCol: String,
+                        nBuckets: Int = 10): DataFrame = {
+    val b = least(floor(col(scoreCol) * nBuckets), lit(nBuckets - 1L))
+      .cast("int").as("bucket")
+    val bins = scored.select(b, col(scoreCol).as("__s"),
+        col(labelCol).cast("long").as("__y"))
+      .withColumn("__sq", floor(col("__s") * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__y")).cast("long").as("n_pos"),
+        sum(col("__sq")).cast("long").as("pred_micro"))
+      .persist()
+    val nTot = bins.agg(sum("n").cast("long").as("n_total"))
+    val withRates = bins.crossJoin(broadcast(nTot))
+      .withColumn("rate", col("n_pos").cast("double") / col("n").cast("double"))
+      .withColumn("mean_pred",
+        col("pred_micro").cast("double") / col("n").cast("double") / 1e6)
+      .withColumn("ece_pico", floor(
+        col("n").cast("double") / col("n_total").cast("double") *
+          abs(col("rate") - col("mean_pred")) * lit(1e12) + lit(0.5)).cast("long"))
+      .persist()
+    val ece = withRates.agg(
+      (sum("ece_pico").cast("double") / 1e12).as("__ece"))
+    withRates.crossJoin(broadcast(ece))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round(col("rate"), 9).as("rate"),
+        round(col("mean_pred"), 9).as("mean_pred"),
+        round(col("__ece"), 9).as("ece"))
+  }
+
   /** Quantile normalization across groups (the Bolstad 2003
     * batch-effect correction, applied to corpus curation: each
     * source's score distribution maps onto the POOLED distribution, so

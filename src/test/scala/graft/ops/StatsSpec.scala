@@ -275,6 +275,27 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(tight.getAs[Double]("nucleus_mass") - 2.0 / 3.0) < 1e-9)
   }
 
+  test("calibrationReport: perfectly calibrated bins give ECE 0; a wrong classifier doesn't") {
+    // bin 2 (score .25): half positive -> rate .5 vs pred .25 => gap .25
+    // bin 7 (score .75): all positive -> rate 1.0 vs pred .75 => gap .25
+    val df = Seq((0.25, 1L), (0.25, 0L), (0.75, 1L), (0.75, 1L))
+      .toDF("s", "y")
+    val got = Curate.calibrationReport(df, "s", "y").orderBy("bucket").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[Int]("bucket") === 2 && got(1).getAs[Int]("bucket") === 7)
+    assert(got(0).getAs[Double]("rate") === 0.5)
+    assert(got(0).getAs[Double]("mean_pred") === 0.25)
+    assert(math.abs(got(0).getAs[Double]("ece") - 0.25) < 1e-9) // .5*.25 + .5*.25
+    // calibrated: predicted 0.5, observed half positive -> ECE 0
+    val cal = Curate.calibrationReport(
+      Seq((0.5, 1L), (0.5, 0L)).toDF("s", "y"), "s", "y").collect()
+    assert(math.abs(cal.head.getAs[Double]("ece")) < 1e-9)
+    // score 1.0 lands in the LAST bucket, not an 11th
+    val edge = Curate.calibrationReport(
+      Seq((1.0, 1L)).toDF("s", "y"), "s", "y").collect()
+    assert(edge.head.getAs[Int]("bucket") === 9)
+  }
+
   test("quantileNormalize: a hot-running source maps onto the pooled distribution") {
     // source A scores run 10x hotter than B but have the same shape:
     // after normalization, equal within-group ranks get equal values
