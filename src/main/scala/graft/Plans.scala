@@ -38,7 +38,7 @@ object Plans {
     "ph1_phrase_search", "dh1_decayed_topk", "fs1_fellegi_sunter",
     "rd1_readability", "jw1_jaro_winkler", "gc1_grid_density",
     "np1_nucleus_vocab", "dp1_dp_release", "qn1_quantile_norm",
-    "cal1_calibration")
+    "cal1_calibration", "ac1_langid_eval", "fk1_fleiss_kappa")
 
   /** (shuffle exchanges, broadcast exchanges) of the physical plan,
     * counted via tree walk, not the text dump: a persisted subtree's

@@ -4723,6 +4723,141 @@ object QueriesOps {
         |  round(wt, 6) AS weight, wt > 0 AS is_match
         |FROM w ORDER BY id1, id2""".stripMargin)),
 
+    // AC1: classification report of the stopword langid against the
+    // lang ground truth — per-class tp/fp/fn, single-division P/R/F1,
+    // overall accuracy with its Wilson 95% interval, macro-F1.
+    "ac1_langid_eval" -> Q(
+      (s, d) => graft.ops.Stats.classificationReport(
+          Text.withLangId(docs(s, d)), "lang_pred", "lang")
+        .orderBy("cls"),
+      Some("""WITH t AS (SELECT doc_id, lang,
+        |    string_split(lower(text), ' ') AS toks FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','and','of','is','to'], x))) AS INTEGER) AS score_en,
+        |  CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x))) AS INTEGER) AS score_es,
+        |  CAST(len(list_filter(toks, x -> list_contains(['le','les','des','et','une'], x))) AS INTEGER) AS score_fr
+        |  FROM t),
+        |p AS (SELECT lang AS label,
+        |  CASE WHEN score_en >= score_es AND score_en >= score_fr AND score_en > 0 THEN 'en'
+        |       WHEN score_es >= score_fr AND score_es > 0 THEN 'es'
+        |       WHEN score_fr > 0 THEN 'fr'
+        |       ELSE 'unknown' END AS pred
+        |  FROM sc),
+        |cells AS (SELECT label, pred, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+        |pt AS (SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS n_pred FROM cells GROUP BY 1),
+        |lt AS (SELECT label AS cls, CAST(sum(n) AS BIGINT) AS n_label FROM cells GROUP BY 1),
+        |dg AS (SELECT label AS cls, n AS tp FROM cells WHERE label = pred),
+        |pc AS (SELECT cls,
+        |    CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+        |    CAST(coalesce(n_pred, 0) - coalesce(tp, 0) AS BIGINT) AS fp,
+        |    CAST(coalesce(n_label, 0) - coalesce(tp, 0) AS BIGINT) AS fn
+        |  FROM pt FULL OUTER JOIN lt USING (cls) LEFT JOIN dg USING (cls)),
+        |pr AS (SELECT *,
+        |    CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+        |         ELSE 0.0 END AS precision,
+        |    CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+        |         ELSE 0.0 END AS recall,
+        |    CASE WHEN 2 * tp + fp + fn > 0
+        |         THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+        |         ELSE 0.0 END AS f1
+        |  FROM pc),
+        |sm AS (SELECT CAST(sum(tp) AS BIGINT) AS n_correct,
+        |    CAST(sum(tp) + sum(fp) AS BIGINT) AS n_total,
+        |    CAST(count(*) AS BIGINT) AS n_classes,
+        |    CAST(sum(CAST(floor(f1 * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS f1_pico
+        |  FROM pr),
+        |sc2 AS (SELECT
+        |    CAST(n_correct AS DOUBLE) / CAST(n_total AS DOUBLE) AS accuracy,
+        |    CAST(f1_pico AS DOUBLE) / CAST(n_classes AS DOUBLE) / 1e12 AS macro_f1,
+        |    CAST(n_total AS DOUBLE) AS nd
+        |  FROM sm),
+        |zz AS (SELECT CAST(1.96 AS DOUBLE) AS z,
+        |    CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2),
+        |ci AS (SELECT round(accuracy, 9) AS accuracy, round(macro_f1, 9) AS macro_f1,
+        |    round((accuracy + z2 / (2.0 * nd)
+        |      - z * sqrt(accuracy * (1.0 - accuracy) / nd + z2 / (4.0 * nd * nd)))
+        |      / (1.0 + z2 / nd), 9) AS wilson_lo,
+        |    round((accuracy + z2 / (2.0 * nd)
+        |      + z * sqrt(accuracy * (1.0 - accuracy) / nd + z2 / (4.0 * nd * nd)))
+        |      / (1.0 + z2 / nd), 9) AS wilson_hi
+        |  FROM sc2, zz)
+        |SELECT cls, tp, fp, fn, round(precision, 9) AS precision,
+        |  round(recall, 9) AS recall, round(f1, 9) AS f1,
+        |  accuracy, macro_f1, wilson_lo, wilson_hi
+        |FROM pr, ci ORDER BY cls""".stripMargin)),
+
+    // FK1: Fleiss' kappa across THREE raters — the two langid
+    // pipelines plus the lang ground truth — the multi-labeler
+    // agreement gate beside kp1's two-rater Cohen form.
+    "fk1_fleiss_kappa" -> Q(
+      (s, d) => graft.ops.Stats.fleissKappa(
+          Text.withLangIdNgram(Text.withLangId(docs(s, d))),
+          "doc_id", Seq("lang_pred", "ng_lang_pred", "lang"))
+        .orderBy("cat"),
+      Some("""WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks,
+        |    lower(text) AS lt, greatest(CAST(length(text) AS DOUBLE), 1.0) AS nn
+        |  FROM documents),
+        |sc AS (SELECT doc_id, lang, lt, nn,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','and','of','is','to'], x))) AS INTEGER) AS score_en,
+        |  CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x))) AS INTEGER) AS score_es,
+        |  CAST(len(list_filter(toks, x -> list_contains(['le','les','des','et','une'], x))) AS INTEGER) AS score_fr
+        |  FROM t),
+        |r1 AS (SELECT doc_id, lang,
+        |  CASE WHEN score_en >= score_es AND score_en >= score_fr AND score_en > 0 THEN 'en'
+        |       WHEN score_es >= score_fr AND score_es > 0 THEN 'es'
+        |       WHEN score_fr > 0 THEN 'fr'
+        |       ELSE 'unknown' END AS p1, lt, nn
+        |  FROM sc),
+        |ng AS (SELECT doc_id, lang, p1,
+        |  (CAST((length(lt) - length(replace(lt, 'th', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'he', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'in', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'er', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'an', ''))) / 2 AS DOUBLE)) / nn AS ng_en,
+        |  (CAST((length(lt) - length(replace(lt, 'de', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'la', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'os', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'ue', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'ción', ''))) / 4 AS DOUBLE)) / nn AS ng_es,
+        |  (CAST((length(lt) - length(replace(lt, 'le', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'ou', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'es', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'ai', ''))) / 2
+        |      + (length(lt) - length(replace(lt, 'eau', ''))) / 3 AS DOUBLE)) / nn AS ng_fr
+        |  FROM r1),
+        |r2 AS (SELECT doc_id, lang, p1,
+        |  CASE WHEN ng_en >= ng_es AND ng_en >= ng_fr AND ng_en > 0 THEN 'en'
+        |       WHEN ng_es >= ng_fr AND ng_es > 0 THEN 'es'
+        |       WHEN ng_fr > 0 THEN 'fr'
+        |       ELSE 'unknown' END AS p2
+        |  FROM ng),
+        |lng AS (SELECT doc_id, p1 AS cat FROM r2
+        |  UNION ALL SELECT doc_id, p2 FROM r2
+        |  UNION ALL SELECT doc_id, lang FROM r2),
+        |nic AS (SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS n_ic
+        |  FROM lng GROUP BY 1, 2),
+        |sm AS (SELECT CAST(sum(n_ic * (n_ic - 1)) AS BIGINT) AS s,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_items FROM nic),
+        |ct AS (SELECT cat, CAST(sum(n_ic) AS BIGINT) AS cat_n FROM nic GROUP BY 1),
+        |wp AS (SELECT cat, cat_n,
+        |    CAST(cat_n AS DOUBLE) / CAST(n_items * 3 AS DOUBLE) AS p_c,
+        |    CAST(floor(CAST(cat_n AS DOUBLE) / CAST(n_items * 3 AS DOUBLE)
+        |      * (CAST(cat_n AS DOUBLE) / CAST(n_items * 3 AS DOUBLE))
+        |      * 1e12 + 0.5) AS BIGINT) AS pe_pico,
+        |    n_items, s
+        |  FROM ct, sm),
+        |sc3 AS (SELECT min(n_items) AS n_items, min(s) AS s,
+        |    CAST(sum(pe_pico) AS BIGINT) AS pe_pico_sum FROM wp),
+        |fin AS (SELECT n_items,
+        |    CAST(s AS DOUBLE) / CAST(n_items * 6 AS DOUBLE) AS p_bar,
+        |    CAST(pe_pico_sum AS DOUBLE) / 1e12 AS p_e
+        |  FROM sc3)
+        |SELECT wp.cat, wp.cat_n, round(wp.p_c, 9) AS p_c,
+        |  fin.n_items, CAST(3 AS INTEGER) AS n_raters,
+        |  round(fin.p_bar, 9) AS p_bar, round(fin.p_e, 9) AS p_e,
+        |  round((fin.p_bar - fin.p_e) / (1.0 - fin.p_e), 9) AS kappa
+        |FROM wp, fin ORDER BY wp.cat""".stripMargin)),
+
     // CAL1: reliability diagram + ECE for the qs1 quality classifier
     // against the "document is exact-unique" label — the calibration
     // audit a thresholded keep rule needs.

@@ -201,6 +201,120 @@ object Stats {
           lit(tolerance) * col("n_union").cast("double") + lit(8.0)).as("sketch_union_ok"))
   }
 
+  /** Per-class classification report against a ground-truth column:
+    * confusion totals (tp/fp/fn), precision, recall, F1, plus overall
+    * accuracy with its Wilson 95% interval and the macro-F1 — the eval
+    * every heuristic classifier in the curation stack (langid, quality
+    * LR) needs against labeled data.
+    *
+    * Determinism: every rate is a SINGLE division of exact integers
+    * (`F1 = 2tp/(2tp+fp+fn)` — one exact denominator, not the p·r
+    * composition); the Wilson bounds are fixed-order IEEE from the
+    * exact accuracy ratio and a z = 1.96 literal; macro-F1 terms
+    * pico-quantize before the order-free class sum.
+    *
+    * Scale: one combinable (label, pred) cell shuffle; everything
+    * after is class-vocabulary-sized.
+    */
+  def classificationReport(df: DataFrame, predCol: String,
+                           labelCol: String, z: Double = 1.96): DataFrame = {
+    val cells = df.groupBy(col(labelCol).as("label"), col(predCol).as("pred"))
+      .agg(count(lit(1)).cast("long").as("n")).persist()
+    val predTot = cells.groupBy(col("pred").as("cls"))
+      .agg(sum("n").cast("long").as("n_pred"))
+    val labelTot = cells.groupBy(col("label").as("cls"))
+      .agg(sum("n").cast("long").as("n_label"))
+    val diag = cells.filter(col("label") === col("pred"))
+      .select(col("label").as("cls"), col("n").as("tp"))
+    val perClass = predTot.join(labelTot, Seq("cls"), "full_outer")
+      .join(diag, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
+        (coalesce(col("n_label"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fn"))
+      .withColumn("precision", when(col("tp") + col("fp") > 0,
+        col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("recall", when(col("tp") + col("fn") > 0,
+        col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("f1", when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+        (lit(2L) * col("tp")).cast("double") /
+          (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
+        .otherwise(lit(0.0)))
+      .persist()
+    val scalars = perClass
+      .agg(sum("tp").cast("long").as("n_correct"),
+        ((sum("tp") + sum("fp"))).cast("long").as("n_total"), // Σ(tp+fp) = N
+        count(lit(1)).cast("long").as("n_classes"),
+        sum(floor(col("f1") * lit(1e12) + lit(0.5)).cast("long")).as("f1_pico"))
+      .withColumn("accuracy",
+        col("n_correct").cast("double") / col("n_total").cast("double"))
+      .withColumn("macro_f1", round(
+        col("f1_pico").cast("double") / col("n_classes").cast("double") / 1e12, 9))
+    val nD = col("n_total").cast("double")
+    val p = col("accuracy")
+    val center = p + lit(z * z) / (lit(2.0) * nD)
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      lit(z * z) / (lit(4.0) * nD * nD))
+    val denom = lit(1.0) + lit(z * z) / nD
+    val withCi = scalars
+      .withColumn("wilson_lo", round((center - half) / denom, 9))
+      .withColumn("wilson_hi", round((center + half) / denom, 9))
+      .select(round(col("accuracy"), 9).as("accuracy"), col("macro_f1"),
+        col("wilson_lo"), col("wilson_hi"))
+    perClass.crossJoin(broadcast(withCi))
+      .select(col("cls"), col("tp"), col("fp"), col("fn"),
+        round(col("precision"), 9).as("precision"),
+        round(col("recall"), 9).as("recall"),
+        round(col("f1"), 9).as("f1"),
+        col("accuracy"), col("macro_f1"), col("wilson_lo"), col("wilson_hi"))
+  }
+
+  /** Fleiss' kappa (Fleiss 1971): chance-corrected agreement for ANY
+    * fixed number of raters per item — the multi-labeler extension of
+    * [[cohenKappa]]. `P̄` is an exact rational (Σᵢ Σ_c n_ic(n_ic−1)
+    * over N·n(n−1), all integers); the chance term `P̄e = Σ_c p_c²`
+    * pico-quantizes per category before the order-free sum.
+    *
+    * Scale: one (item, category) count shuffle over the stacked rater
+    * columns, then category-vocabulary-sized reductions.
+    */
+  def fleissKappa(df: DataFrame, idCol: String,
+                  raterCols: Seq[String]): DataFrame = {
+    val n = raterCols.size
+    require(n >= 2, "need at least two raters")
+    val long0 = df.select(col(idCol).as("item"),
+      explode(array(raterCols.map(col): _*)).as("cat"))
+    val nic = long0.groupBy("item", "cat")
+      .agg(count(lit(1)).cast("long").as("n_ic")).persist()
+    val s = nic.agg(
+      sum(col("n_ic") * (col("n_ic") - 1)).cast("long").as("s"),
+      countDistinct("item").cast("long").as("n_items"))
+    val catTot = nic.groupBy("cat").agg(sum("n_ic").cast("long").as("cat_n"))
+    val withP = catTot.crossJoin(broadcast(s))
+      .withColumn("p_c", col("cat_n").cast("double") /
+        (col("n_items") * n).cast("double"))
+      .withColumn("pe_pico",
+        floor(col("p_c") * col("p_c") * lit(1e12) + lit(0.5)).cast("long"))
+      .persist()
+    val scalars = withP.agg(
+        first("n_items").as("n_items"), first("s").as("s"),
+        sum("pe_pico").cast("long").as("pe_pico_sum"))
+      .withColumn("p_bar", col("s").cast("double") /
+        (col("n_items") * (n * (n - 1))).cast("double"))
+      .withColumn("p_e", col("pe_pico_sum").cast("double") / 1e12)
+      .withColumn("kappa",
+        (col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")))
+      .select(col("n_items"), lit(n).as("n_raters"),
+        round(col("p_bar"), 9).as("p_bar"), round(col("p_e"), 9).as("p_e"),
+        round(col("kappa"), 9).as("kappa"))
+    withP.select(col("cat"), col("cat_n"), round(col("p_c"), 9).as("p_c"))
+      .crossJoin(broadcast(scalars))
+      .select(col("cat"), col("cat_n"), col("p_c"),
+        col("n_items"), col("n_raters"), col("p_bar"), col("p_e"), col("kappa"))
+  }
+
   /** Distributed global ranking: the input sorted by `sortCols` (which
     * MUST include a unique tiebreaker for determinism) with a 0-based
     * dense index column `idx` attached.

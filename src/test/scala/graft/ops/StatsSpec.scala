@@ -275,6 +275,38 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(tight.getAs[Double]("nucleus_mass") - 2.0 / 3.0) < 1e-9)
   }
 
+  test("classificationReport: hand-computed per-class P/R/F1, accuracy, macro-F1") {
+    // labels a,a,b,b vs preds a,b,b,b
+    val df = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("b", "b")).toDF("label", "pred")
+    val got = Stats.classificationReport(df, "pred", "label").orderBy("cls").collect()
+    val a = got(0); val b = got(1)
+    assert(a.getAs[String]("cls") === "a" && a.getAs[Long]("tp") === 1L
+      && a.getAs[Long]("fp") === 0L && a.getAs[Long]("fn") === 1L)
+    assert(a.getAs[Double]("precision") === 1.0 && a.getAs[Double]("recall") === 0.5)
+    assert(math.abs(a.getAs[Double]("f1") - 2.0 / 3.0) < 1e-9)
+    assert(math.abs(b.getAs[Double]("f1") - 0.8) < 1e-9) // 4/(4+1+0)
+    assert(a.getAs[Double]("accuracy") === 0.75)
+    assert(math.abs(a.getAs[Double]("macro_f1") - (2.0 / 3.0 + 0.8) / 2.0) < 1e-6)
+    val (lo, hi) = (a.getAs[Double]("wilson_lo"), a.getAs[Double]("wilson_hi"))
+    assert(lo > 0.0 && lo < 0.75 && hi > 0.75 && hi < 1.0) // CI brackets accuracy
+  }
+
+  test("fleissKappa: perfect agreement gives 1; the textbook 2-item case gives 0.25") {
+    val perfect = Seq((1L, "x", "x", "x"), (2L, "y", "y", "y"))
+      .toDF("id", "r1", "r2", "r3")
+    val p = Stats.fleissKappa(perfect, "id", Seq("r1", "r2", "r3")).collect().head
+    assert(p.getAs[Double]("kappa") === 1.0)
+    // item1 (x,x,y), item2 (y,y,y): p_bar 2/3, p_e 5/9, kappa 1/4
+    val mixed = Seq((1L, "x", "x", "y"), (2L, "y", "y", "y"))
+      .toDF("id", "r1", "r2", "r3")
+    val m = Stats.fleissKappa(mixed, "id", Seq("r1", "r2", "r3"))
+      .orderBy("cat").collect()
+    assert(math.abs(m.head.getAs[Double]("p_bar") - 2.0 / 3.0) < 1e-9)
+    assert(math.abs(m.head.getAs[Double]("p_e") - 5.0 / 9.0) < 1e-6)
+    assert(math.abs(m.head.getAs[Double]("kappa") - 0.25) < 1e-6)
+    assert(m.map(_.getAs[String]("cat")).toSeq === Seq("x", "y"))
+  }
+
   test("calibrationReport: perfectly calibrated bins give ECE 0; a wrong classifier doesn't") {
     // bin 2 (score .25): half positive -> rate .5 vs pred .25 => gap .25
     // bin 7 (score .75): all positive -> rate 1.0 vs pred .75 => gap .25
