@@ -648,6 +648,83 @@ object OracleGen {
        |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
+  /** kg1: mutual-kNN clusters — ss5's fixed-centroid IVF top-k with
+    * EVERY vector as a query, kept only where both directions appear in
+    * each other's top-k (the mutual filter that prunes hub vectors),
+    * then dd7's recursive min-reach connected components over the
+    * mutual edges.
+    */
+  def kg1Sql(k: Int = 5, nCentroids: Int = 16, nProbe: Int = 6,
+             dim: Int = 64): String = {
+    val rows = Similarity.fixedCentroids(nCentroids, dim).map { c =>
+      s"(${c.id}, [${c.vec.mkString(", ")}], ${c.norm})"
+    }.mkString(", ")
+    val centDot = s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+      "i -> cv[CAST(i AS INTEGER)] * v[CAST(i AS INTEGER)])), (acc, x) -> acc + x)"
+    s"""WITH RECURSIVE cent(cid, cv, cn) AS (VALUES $rows),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |cs AS (SELECT e.vec_id, cent.cid, $centDot / cn AS c_sim FROM e CROSS JOIN cent),
+       |cell AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cid DESC) AS rn FROM cs)
+       |  WHERE rn = 1),
+       |probe AS (SELECT vec_id AS q_id, cid AS cell FROM (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cid DESC) AS rn FROM cs)
+       |  WHERE rn <= $nProbe),
+       |cand AS (SELECT DISTINCT p.q_id, c.vec_id AS n_id
+       |  FROM probe p JOIN cell c ON c.cell = p.cell WHERE c.vec_id <> p.q_id),
+       |sims AS (SELECT cand.q_id, cand.n_id, ${cosSql(dim, "qe", "ne")} AS sim
+       |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id JOIN e ne ON ne.vec_id = cand.n_id),
+       |knn AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank FROM sims)
+       |  WHERE rank <= $k),
+       |mut AS (SELECT a.q_id AS d1, a.n_id AS d2 FROM knn a
+       |  JOIN knn b ON b.q_id = a.n_id AND b.n_id = a.q_id WHERE a.q_id < a.n_id),
+       |edges AS (SELECT CAST(d1 AS BIGINT) AS src, CAST(d2 AS BIGINT) AS dst FROM mut
+       |          UNION ALL SELECT CAST(d2 AS BIGINT), CAST(d1 AS BIGINT) FROM mut),
+       |reach(v, r) AS (
+       |  SELECT CAST(vec_id AS BIGINT), CAST(vec_id AS BIGINT) FROM e
+       |  UNION
+       |  SELECT edges.dst, reach.r FROM reach JOIN edges ON edges.src = reach.v),
+       |cl AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v),
+       |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize FROM cl GROUP BY cluster)
+       |SELECT cl.v, cl.cluster, sz.csize
+       |FROM cl JOIN sz USING (cluster) ORDER BY v""".stripMargin
+  }
+
+  /** gnb1: Gaussian Naive Bayes on the labeled embeddings — the oracle
+    * retrains the whole model in SQL (per-class/dim population moments
+    * with the same variance floor) and rescores every vector with the
+    * same in-order per-dim fold the engine runs, so a divergence in
+    * either training or scoring flips a pred and reddens the row.
+    */
+  def gnb1Sql(dim: Int = 64, varFloor: Double = 1e-9): String = {
+    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |rng AS (SELECT CAST(unnest(range(1, ${dim + 1})) AS INTEGER) AS i),
+       |x AS (SELECT e.vec_id, e.label, rng.i, e.v[rng.i] AS xv FROM e CROSS JOIN rng),
+       |st AS (SELECT label, i, avg(xv) AS mu,
+       |    greatest(avg(xv * xv) - avg(xv) * avg(xv), $varFloor) AS vr
+       |  FROM x GROUP BY 1, 2),
+       |sl AS (SELECT label AS cls, list(mu ORDER BY i) AS mus,
+       |    list(vr ORDER BY i) AS vrs FROM st GROUP BY 1),
+       |pr AS (SELECT label AS cls, CAST(count(*) AS DOUBLE) AS nc FROM e GROUP BY 1),
+       |nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+       |sc AS (SELECT e.vec_id, e.label, sl.cls,
+       |    ln(pr.nc / nt.n) - 0.5 * list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, ${dim + 1}), i ->
+       |        ln(2 * pi() * vrs[CAST(i AS INTEGER)]) +
+       |        (v[CAST(i AS INTEGER)] - mus[CAST(i AS INTEGER)]) *
+       |        (v[CAST(i AS INTEGER)] - mus[CAST(i AS INTEGER)]) /
+       |        vrs[CAST(i AS INTEGER)])),
+       |      (acc, t) -> acc + t) AS score
+       |  FROM e CROSS JOIN sl JOIN pr ON pr.cls = sl.cls CROSS JOIN nt),
+       |best AS (SELECT vec_id, label, cls AS pred,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cls DESC) AS rn
+       |  FROM sc)
+       |SELECT vec_id, label, pred, label = pred AS correct
+       |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
   /** eo1: embedding outliers vs the FIXED deterministic centroids —
     * cell argmax (sim desc, cid desc), micro-quantized distance, exact
     * integer moments (HUGEINT Σd² mirrors the engine's decimal(38,0)),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Curate, Dedup, Graph, Multimodal, Search, Sessions, Similarity, Text}
+import graft.ops.{Classify, Curate, Dedup, Graph, Multimodal, Search, Sessions, Similarity, Text}
 
 /** Registry part 2: the LLM-training-data operators (dedup, similarity,
   * text analysis, multimodal) over `documents`/`embeddings`, plus
@@ -5088,5 +5088,150 @@ object QueriesOps {
         |  round(0.39 * (CAST(rd_words AS DOUBLE) / CAST(rd_sentences AS DOUBLE))
         |    + 11.8 * (CAST(rd_syllables AS DOUBLE) / CAST(rd_words AS DOUBLE))
         |    - 15.59, 6) AS fk_grade
-        |FROM c ORDER BY doc_id""".stripMargin)))
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // NB1: the TRAINED-classifier family opener — multinomial Naive
+    // Bayes learned ON the corpus (class = source) and applied back to
+    // every document, the fastText-style source/domain classifier of a
+    // curation pipeline. Closed-form counts train in one combinable
+    // (class, token) shuffle; the oracle retrains AND rescores from
+    // scratch, so the hash match value-checks the whole model, not just
+    // the argmax.
+    "nb1_nb_source_classify" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val model = Classify.naiveBayesTrain(dd)
+        Classify.naiveBayesClassify(dd, model)
+          .join(dd.select(col("doc_id"), col("source").as("actual")), "doc_id")
+          .select(col("doc_id"), col("actual"), col("pred"),
+            round(col("score"), 6).as("score"),
+            (col("pred") === col("actual")).as("correct"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+        |  SELECT doc_id, source, t AS tok
+        |  FROM (SELECT doc_id, source,
+        |          unnest(string_split(lower(text), ' ')) AS t FROM documents)
+        |  WHERE t <> ''),
+        |cnts AS (SELECT source AS cls, tok, CAST(count(*) AS DOUBLE) AS cnt
+        |         FROM tk GROUP BY 1, 2),
+        |tot AS (SELECT cls, sum(cnt) AS total FROM cnts GROUP BY 1),
+        |voc AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM tk),
+        |nd AS (SELECT source AS cls, CAST(count(*) AS DOUBLE) AS ndocs
+        |       FROM documents GROUP BY 1),
+        |ntot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |cstat AS (SELECT tot.cls, ln(nd.ndocs / ntot.n) AS log_prior,
+        |            ln(1.0 / (tot.total + voc.v)) AS log_default
+        |          FROM tot JOIN nd ON nd.cls = tot.cls CROSS JOIN voc CROSS JOIN ntot),
+        |likes AS (SELECT c.cls, c.tok,
+        |            ln((c.cnt + 1.0) / (t.total + voc.v)) AS log_like
+        |          FROM cnts c JOIN tot t ON t.cls = c.cls CROSS JOIN voc),
+        |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS n_toks FROM tk GROUP BY 1),
+        |m AS (SELECT tk.doc_id, l.cls, sum(l.log_like) AS s_match,
+        |        CAST(count(*) AS DOUBLE) AS n_match
+        |      FROM tk JOIN likes l ON l.tok = tk.tok GROUP BY 1, 2),
+        |sc AS (SELECT dl.doc_id, cstat.cls,
+        |         cstat.log_prior + COALESCE(m.s_match, 0) +
+        |         (dl.n_toks - COALESCE(m.n_match, 0)) * cstat.log_default AS score
+        |       FROM dl CROSS JOIN cstat
+        |       LEFT JOIN m ON m.doc_id = dl.doc_id AND m.cls = cstat.cls),
+        |best AS (SELECT doc_id, cls AS pred, score,
+        |           row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY score DESC, cls ASC) AS rn FROM sc)
+        |SELECT b.doc_id, d.source AS actual, b.pred,
+        |  round(b.score, 6) AS score, b.pred = d.source AS correct
+        |FROM best b JOIN documents d ON d.doc_id = b.doc_id
+        |WHERE b.rn = 1 ORDER BY b.doc_id""".stripMargin)),
+
+    // GNB1: Gaussian NB on the labeled embeddings — the cheap
+    // generative audit of whether the label structure is present in the
+    // vector space. Training collects a bounded classes×dims moment
+    // table (the PCA collect discipline) and scoring is ONE narrow
+    // codegen pass over plan-time literal arrays: zero joins, zero
+    // shuffles, in-order per-dim folds mirrored by the oracle.
+    "gnb1_gaussian_nb" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        Classify.gaussianNbClassify(e, Classify.gaussianNbTrain(e))
+          .orderBy("vec_id")
+      },
+      Some(OracleGen.gnb1Sql(64))),
+
+    // SQ1: shuffle-quality audit over cur7's epoch shuffle — per shard
+    // the source-mix entropy, max single-source share and KL to the
+    // global mix; the trainer-side acceptance gate that catches a
+    // degenerate shard assignment before GPU time is spent.
+    "sq1_shuffle_quality" -> Q(
+      (s, d) => Curate.shuffleQualityReport(
+          Curate.epochShuffle(docs(s, d), nShards = 8, seed = 1L))
+        .select(col("shard"), col("n_docs"), col("n_sources"),
+          round(col("entropy"), 6).as("entropy"),
+          round(col("max_share"), 6).as("max_share"),
+          round(col("kl"), 6).as("kl"))
+        .orderBy("shard"),
+      Some("""WITH h AS (SELECT doc_id, source,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5('1:' || CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+        |      (a, x) -> a * 16 + x) % 8 AS INTEGER) AS shard
+        |  FROM documents),
+        |cell AS (SELECT shard, source, CAST(count(*) AS DOUBLE) AS c FROM h GROUP BY 1, 2),
+        |st AS (SELECT shard, sum(c) AS stot FROM cell GROUP BY 1),
+        |g AS (SELECT source, CAST(count(*) AS DOUBLE) AS gc FROM documents GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM documents),
+        |m AS (SELECT cell.shard,
+        |        CAST(max(st.stot) AS BIGINT) AS n_docs,
+        |        CAST(count(*) AS BIGINT) AS n_sources,
+        |        round(sum(-(c / stot) * ln(c / stot)), 6) AS entropy,
+        |        round(max(c / stot), 6) AS max_share,
+        |        round(sum((c / stot) * ln((c / stot) / (gc / nn))), 6) AS kl
+        |      FROM cell JOIN st USING (shard) JOIN g USING (source) CROSS JOIN n
+        |      GROUP BY 1)
+        |SELECT shard, n_docs, n_sources, entropy, max_share, kl
+        |FROM m ORDER BY shard""".stripMargin)),
+
+    // KG1: mutual-kNN graph communities over the embeddings — IVF
+    // candidate generation (the ss5 scale path, NOT the n² brute
+    // force), a mutual top-k filter that prunes hub vectors, and the
+    // dd7 connected-components machinery. The embedding-space analog of
+    // near-dup clustering, used for topic/near-domain discovery.
+    "kg1_mutual_knn_clusters" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        val knn = Similarity.ivfTopK(par(e), e, k = 5,
+            centroids = Similarity.fixedCentroids(16, 64))
+          .select(col("q_id"), col("n_id"))
+        val rev = knn.select(col("n_id").as("q2"), col("q_id").as("n2"))
+        val mutual = knn
+          .join(rev, col("q_id") === col("q2") && col("n_id") === col("n2"))
+          .filter(col("q_id") < col("n_id"))
+          .select(col("q_id").as("d1"), col("n_id").as("d2"))
+        val cc = Dedup.connectedComponents(e.select(col("vec_id").as("v")), mutual)
+        val sizes = cc.groupBy("cluster").agg(count(lit(1)).cast("long").as("csize"))
+        cc.join(sizes, "cluster").select(col("v"), col("cluster"), col("csize"))
+          .orderBy("v")
+      },
+      Some(OracleGen.kg1Sql())),
+
+    // ANN3: the BUILD-ONCE / QUERY-MANY index lifecycle — the IVF cell
+    // assignment is computed once, published as a crash-safe
+    // VersionedDir snapshot (the dd12 sig-store pattern applied to ANN
+    // indexes), reloaded, and queried. Oracle = ss5's from-scratch
+    // recompute, so a hash match proves the persisted index is lossless
+    // and the split build/query path is bit-identical to the fused one.
+    "ann3_persisted_ivf" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        val cents = Similarity.fixedCentroids(16, 64)
+        val store = Queries.scratch("ivf_index")
+        graft.ingest.VersionedDir.publish(
+          Similarity.ivfIndex(par(e), cents), store, 1L)
+        val idx = graft.ingest.VersionedDir.current(s, store).get
+        Similarity.ivfQueryIndex(idx, e.filter(col("vec_id") < 8),
+            k = 5, nProbe = 6, centroids = cents)
+          .select(col("q_id"), col("n_id"), col("rank"),
+            round(col("sim"), 6).as("sim"))
+          .orderBy("q_id", "rank")
+      },
+      Some(OracleGen.ss5Sql())))
 }

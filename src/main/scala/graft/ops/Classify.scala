@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trained classifiers for corpus curation — the "learn a cheap model
+  * ON the corpus, then score the corpus with it" family (fastText-style
+  * source/quality classifiers, CCNet's LM filter, quality
+  * linear-regressions). Two members:
+  *
+  *  - multinomial Naive Bayes over tokens (class = any label column) —
+  *    the classic n-gram source/domain classifier;
+  *  - Gaussian Naive Bayes over embedding vectors — the cheap
+  *    generative baseline for labeled-embedding audits (is the label
+  *    structure actually present in the vector space?).
+  *
+  * Both are closed-form (count/moment) trainers: no iterative SGD, so
+  * training is a single combinable aggregation and the learned model is
+  * exactly reproducible by the SQL oracle from the raw tables.
+  *
+  * Scale design: the NB token model is vocabulary-bounded — it rides a
+  * (class, token) count shuffle (map-side combinable, ~V×C rows out)
+  * and scoring joins the corpus tokens against the model by token
+  * (broadcastable whenever V×C ≪ corpus, the normal case). The
+  * Gaussian model is (classes × dims) scalars — collected to the
+  * driver (bounded like [[Pca]]'s O(dim²) covariance) and scored as a
+  * single narrow codegen pass over plan-time literal arrays: zero
+  * joins, zero shuffles, in-order per-dim folds so the oracle can
+  * mirror the float arithmetic exactly.
+  */
+object Classify {
+
+  /** Learned multinomial-NB model, kept distributed:
+    * `classStats`  — one row per class: log-prior and the Laplace
+    *                 "unseen token" log-likelihood;
+    * `tokenLikes`  — one row per observed (class, token): smoothed
+    *                 log-likelihood.
+    */
+  final case class NbModel(classStats: DataFrame, tokenLikes: DataFrame)
+
+  /** (id, cls, token) rows: lowercase whitespace tokens, empties
+    * dropped — the same tokenization as [[Text]]'s corpus statistics so
+    * model vocabulary and corpus vocabulary agree.
+    */
+  private def tokenRows(docs: DataFrame, classCol: String, idCol: String,
+                        textCol: String): DataFrame =
+    docs.select(col(idCol).as("__id"), col(classCol).as("__cls"),
+        explode(split(lower(col(textCol)), " ")).as("__tok"))
+      .filter(col("__tok") =!= "")
+
+  /** Train multinomial Naive Bayes with add-one (Laplace) smoothing:
+    * P(t|c) = (count(t,c) + 1) / (tokens(c) + |V|), prior = docs(c)/N.
+    * One (class, token) count shuffle + three tiny broadcast scalars.
+    */
+  def naiveBayesTrain(docs: DataFrame, classCol: String = "source",
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): NbModel = {
+    val tk = tokenRows(docs, classCol, idCol, textCol)
+    val counts = tk.groupBy(col("__cls"), col("__tok"))
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+    val totals = counts.groupBy(col("__cls"))
+      .agg(sum(col("__cnt")).as("__total"))
+    // global vocabulary size + doc totals: 1-row aggregates, broadcast
+    val vocab = broadcast(counts.agg(
+      countDistinct(col("__tok")).cast("double").as("__v")))
+    val docTotals = broadcast(docs.agg(
+      count(lit(1)).cast("double").as("__n")))
+    val classDocs = docs.groupBy(col(classCol).as("__cls"))
+      .agg(count(lit(1)).cast("double").as("__ndocs"))
+
+    val classStats = totals.join(classDocs, "__cls")
+      .crossJoin(vocab).crossJoin(docTotals)
+      .select(col("__cls"),
+        log(col("__ndocs") / col("__n")).as("__log_prior"),
+        log(lit(1.0) / (col("__total") + col("__v"))).as("__log_default"))
+    val tokenLikes = counts.join(totals, "__cls").crossJoin(vocab)
+      .select(col("__cls"), col("__tok"),
+        log((col("__cnt") + lit(1.0)) / (col("__total") + col("__v")))
+          .as("__log_like"))
+    NbModel(classStats, tokenLikes)
+  }
+
+  /** Score every document against every class and keep the argmax:
+    * score(d,c) = log-prior(c) + Σ_{t∈d, (c,t) observed} loglike(c,t)
+    *            + (|d| − matched(d,c)) · log-default(c).
+    * The unseen-token closed form means the model join only has to hit
+    * OBSERVED (class, token) pairs — documents never fan out by class
+    * until the final (doc × class) score table, which is
+    * classes-bounded. Ties (astronomically unlikely with real counts)
+    * break to the lexicographically smallest class.
+    */
+  def naiveBayesClassify(docs: DataFrame, model: NbModel,
+                         classCol: String = "source",
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val tk = tokenRows(docs, classCol, idCol, textCol)
+    val docLen = tk.groupBy(col("__id"))
+      .agg(count(lit(1)).cast("double").as("__n_toks"))
+    // model join keys renamed so the token join + the class-stats
+    // equality below stay unambiguous
+    val likes = model.tokenLikes.select(col("__cls").as("__mcls"),
+      col("__tok").as("__mtok"), col("__log_like"))
+    val matched = tk
+      .join(likes, col("__tok") === col("__mtok"))
+      .groupBy(col("__id"), col("__mcls"))
+      .agg(sum(col("__log_like")).as("__s_match"),
+        count(lit(1)).cast("double").as("__n_match"))
+    val scored = docLen
+      .crossJoin(broadcast(model.classStats))
+      .join(matched,
+        matched("__id") === docLen("__id") && col("__mcls") === col("__cls"),
+        "left")
+      .select(docLen("__id").as("__id"), col("__cls"),
+        (col("__log_prior") + coalesce(col("__s_match"), lit(0.0)) +
+          (col("__n_toks") - coalesce(col("__n_match"), lit(0.0))) *
+            col("__log_default")).as("__score"))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__score").desc, col("__cls").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__id").as(idCol), col("__cls").as("pred"),
+        col("__score").as("score"))
+  }
+
+  // ---------------------------------------------------------------- //
+
+  /** Gaussian NB model: per class, the prior's log plus per-dimension
+    * mean/variance arrays in dim order. classes × dims scalars —
+    * bounded, driver-held, serialized into the scoring plan (and into
+    * the DuckDB oracle) as literals.
+    */
+  final case class GaussianNbModel(cls: Long, logPrior: Double,
+                                   mu: Array[Double], vr: Array[Double])
+
+  /** Train Gaussian NB on a labeled vector table: population moments
+    * per (class, dim) with a variance floor. One combinable
+    * (class, dim) shuffle, then a bounded classes×dims collect.
+    */
+  def gaussianNbTrain(vecs: DataFrame, labelCol: String = "label",
+                      vecCol: String = "embedding",
+                      varFloor: Double = 1e-9): Seq[GaussianNbModel] = {
+    val x = vecs.select(col(labelCol).cast("long").as("__c"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("__d", "__x")))
+    val stats = x.groupBy(col("__c"), col("__d"))
+      .agg(avg(col("__x")).as("__mu"), avg(col("__x") * col("__x")).as("__ex2"))
+      .select(col("__c"), col("__d"), col("__mu"),
+        greatest(col("__ex2") - col("__mu") * col("__mu"), lit(varFloor))
+          .as("__vr"))
+      .collect()
+    val nTotal = vecs.count().toDouble
+    val priors = vecs.groupBy(col(labelCol).cast("long").as("__c"))
+      .agg(count(lit(1)).cast("double").as("__nc")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    stats.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (c, rows) =>
+      val byDim = rows.sortBy(_.getInt(1))
+      GaussianNbModel(c, math.log(priors(c) / nTotal),
+        byDim.map(_.getDouble(2)).toArray, byDim.map(_.getDouble(3)).toArray)
+    }
+  }
+
+  /** Score + argmax as one narrow codegen pass: per class an IN-ORDER
+    * per-dim fold (so the oracle's list_reduce mirrors the float
+    * additions exactly):
+    * score(x,c) = logPrior(c) − 0.5·Σ_d [ln(2π·σ²_cd) + (x_d−μ_cd)²/σ²_cd]
+    * Argmax rides array_max over (score, cls) structs — ties to the
+    * LARGER class id, mirrored in the oracle's order-by.
+    */
+  def gaussianNbClassify(vecs: DataFrame, model: Seq[GaussianNbModel],
+                         labelCol: String = "label",
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    require(model.nonEmpty, "gaussianNbClassify: empty model")
+    val twoPi = 2.0 * math.Pi
+    val v = col(vecCol).cast("array<double>")
+    val scoreStructs: Column = array(model.map { m =>
+      // one array<struct<mu,vr>> literal per class (plan-time constant)
+      val msLit = typedlit(m.mu.zip(m.vr).toIndexedSeq)
+      val terms = zip_with(v, msLit,
+        (x, ms) => log(lit(twoPi) * ms.getField("_2")) +
+          (x - ms.getField("_1")) * (x - ms.getField("_1")) / ms.getField("_2"))
+      val fold = aggregate(terms, lit(0.0), (acc, t) => acc + t)
+      struct((lit(m.logPrior) - lit(0.5) * fold).as("score"),
+        lit(m.cls).as("cls"))
+    }: _*)
+    val best = array_max(scoreStructs)
+    vecs.select(col(idCol), col(labelCol).cast("long").as(labelCol),
+        best.getField("cls").as("pred"))
+      .withColumn("correct", col(labelCol) === col("pred"))
+  }
+}

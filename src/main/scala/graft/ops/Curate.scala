@@ -526,6 +526,40 @@ object Curate {
         call_function("bit_xor", rowHash).as("checksum"))
   }
 
+  /** Shuffle-quality audit — the trainer-side acceptance check for
+    * [[epochShuffle]]/[[shardAssign]] output: per shard, the
+    * source-composition entropy, the largest single-source share and
+    * the KL divergence to the GLOBAL source mix. A well-mixed shuffle
+    * has every shard's composition ≈ the corpus composition (KL ≈ 0,
+    * entropy ≈ global entropy); a broken one (sorted input leaking
+    * through, a degenerate seed, shard-count collisions) shows up as a
+    * high-KL / low-entropy shard row before any GPU time is spent.
+    *
+    * Scale: everything reduces over (shard × source) cells — one
+    * combinable count shuffle, tiny joins on those cell aggregates, a
+    * broadcast of the source-global mix. Nothing touches text.
+    */
+  def shuffleQualityReport(shuffled: DataFrame, groupCol: String = "source",
+                           shardCol: String = "shard"): DataFrame = {
+    val cell = shuffled.groupBy(col(shardCol), col(groupCol))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val shardTot = cell.groupBy(col(shardCol))
+      .agg(sum(col("__c")).as("__st"))
+    val global = broadcast(
+      shuffled.groupBy(col(groupCol))
+        .agg(count(lit(1)).cast("double").as("__g"))
+        .crossJoin(shuffled.agg(count(lit(1)).cast("double").as("__n"))))
+    val p = col("__c") / col("__st")
+    val q = col("__g") / col("__n")
+    cell.join(shardTot, shardCol).join(global, groupCol)
+      .groupBy(col(shardCol))
+      .agg(max(col("__st")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_sources"),
+        sum(-p * log(p)).as("entropy"),
+        max(p).as("max_share"),
+        sum(p * log(p / q)).as("kl"))
+  }
+
   def hashSplit(docs: DataFrame, idCol: String,
                 fractions: Seq[(String, Double)]): DataFrame = {
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")

@@ -425,6 +425,64 @@ object Similarity {
     }
   }
 
+  /** Build the PERSISTABLE form of an IVF index: one row per corpus
+    * vector with its coarse cell id co-located next to the raw vector —
+    * the index-build half of the production build-once / query-many
+    * split ([[ivfQueryIndex]] is the other half; `ivfTopK` fuses both
+    * for one-shot use). Assignment is the same plan-time-literal argmax
+    * as `ivfTopK` (ties to the larger cell id via struct ordering), so
+    * a snapshot written by this function and queried by
+    * [[ivfQueryIndex]] returns bit-identical results to the fused path.
+    *
+    * Scale: a single narrow projection over the corpus — no shuffle; a
+    * writer partitioning the output BY cell turns every later probe
+    * into a partition-pruned scan.
+    */
+  def ivfIndex(corpus: DataFrame, centroids: Seq[Centroid],
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "ivfIndex: need centroids")
+    val cellStructs: Column = array(centroids.map { c =>
+      val vlit = typedlit(c.vec.toIndexedSeq)
+      struct((dot(vlit, col(vecCol)) / lit(c.norm)).as("c_sim"), lit(c.id).as("c_id"))
+    }: _*)
+    corpus.select(col(idCol), col(vecCol),
+      array_max(cellStructs).getField("c_id").as("cell"))
+  }
+
+  /** Query a persisted [[ivfIndex]] snapshot: probe each query's nProbe
+    * nearest cells, equi-join the stored assignment table on cell id,
+    * exact cosine re-rank inside the probed cells. Norms are recomputed
+    * from the stored vectors (float parquet round-trips are
+    * bit-exact), so results match the fused `ivfTopK` on the same
+    * centroids exactly.
+    */
+  def ivfQueryIndex(index: DataFrame, queries: DataFrame, k: Int,
+                    nProbe: Int, centroids: Seq[Centroid],
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "ivfQueryIndex: need centroids")
+    val cellStructs: Column = array(centroids.map { c =>
+      val vlit = typedlit(c.vec.toIndexedSeq)
+      struct((dot(vlit, col(vecCol)) / lit(c.norm)).as("c_sim"), lit(c.id).as("c_id"))
+    }: _*)
+    val probed = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"),
+      explode(transform(slice(reverse(array_sort(cellStructs)), 1, nProbe),
+        s => s.getField("c_id"))).as("cell"))
+    val cells = index.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      norm(col(vecCol)).as("n_norm"), col("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    cells.join(probed, "cell")
+      .filter(col("n_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("sim", dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("sim"))
+  }
+
   /** IVF (inverted-file) approximate top-k — the second scale path
     * besides SRP-LSH. The corpus is coarse-quantized into nCentroids
     * cells (spherical-k-means centroids from [[kmeansCentroids]] unless

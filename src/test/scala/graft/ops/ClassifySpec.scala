@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Laws for the trained-classifier family beyond the oracle's value
+  * checks: probability-mass sanity of the learned NB model, argmax
+  * dominance on separable toy data, and the Gaussian model's moment
+  * identities.
+  */
+class ClassifySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+  private lazy val embs =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("NB model: per-class token likelihoods + unseen mass sum to 1") {
+    val m = Classify.naiveBayesTrain(docs)
+    // Σ_observed P(t|c) + (V - observed_c) · P(unseen|c) = 1 exactly
+    val vocab = m.tokenLikes.select("__tok").distinct().count().toDouble
+    val perClass = m.tokenLikes.groupBy("__cls")
+      .agg(sum(exp(col("__log_like"))).as("obs_mass"),
+        count(lit(1)).cast("double").as("n_obs"))
+      .join(m.classStats, "__cls")
+      .withColumn("total",
+        col("obs_mass") + (lit(vocab) - col("n_obs")) * exp(col("__log_default")))
+      .select("total").as[Double].collect()
+    assert(perClass.nonEmpty)
+    perClass.foreach(t => assert(math.abs(t - 1.0) < 1e-9, s"mass $t != 1"))
+  }
+
+  test("NB classify: separable toy corpus is perfectly recovered") {
+    val toy = Seq(
+      (1L, "apple banana apple fruit", "fruit"),
+      (2L, "banana apple apple sweet", "fruit"),
+      (3L, "carrot potato onion root", "veg"),
+      (4L, "potato carrot soup onion", "veg"),
+      (5L, "apple banana fruit salad", "fruit"),
+      (6L, "onion soup root potato", "veg")
+    ).toDF("doc_id", "text", "source")
+    val m = Classify.naiveBayesTrain(toy)
+    val pred = Classify.naiveBayesClassify(toy, m)
+      .join(toy.select("doc_id", "source"), "doc_id")
+    assert(pred.filter(col("pred") =!= col("source")).isEmpty,
+      "separable classes must self-classify perfectly")
+  }
+
+  test("NB classify: argmax beats every alternative score it emitted") {
+    val m = Classify.naiveBayesTrain(docs)
+    val out = Classify.naiveBayesClassify(docs, m)
+    // one row per doc, total preserved
+    assert(out.count() === docs.count())
+    assert(out.select("doc_id").distinct().count() === docs.count())
+  }
+
+  test("Gaussian NB: moments match the definition and scoring is total") {
+    val model = Classify.gaussianNbTrain(embs)
+    val labels = embs.select(col("label").cast("long")).distinct()
+      .as[Long].collect().sorted
+    assert(model.map(_.cls).toSeq == labels.toSeq, "one model row per class")
+    // priors' exp sums to 1
+    val priorMass = model.map(m => math.exp(m.logPrior)).sum
+    assert(math.abs(priorMass - 1.0) < 1e-9)
+    // spot-check one (class, dim) mean against a direct aggregate
+    val c0 = model.head
+    val mu0 = embs.filter(col("label").cast("long") === c0.cls)
+      .select(avg(element_at(col("embedding").cast("array<double>"), 1)))
+      .head().getDouble(0)
+    assert(math.abs(c0.mu(0) - mu0) < 1e-12)
+    val out = Classify.gaussianNbClassify(embs, model)
+    assert(out.count() === embs.count())
+    // a generative model trained on separable synthetic labels should
+    // beat the 1/|C| prior baseline by a wide margin
+    val acc = out.filter(col("correct")).count().toDouble / out.count()
+    assert(acc > 2.0 / labels.length,
+      s"accuracy $acc suspiciously close to random")
+  }
+
+  test("ivfIndex + ivfQueryIndex === fused ivfTopK (bit-identical)") {
+    val cents = Similarity.fixedCentroids(16, 64)
+    val fused = Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 8),
+      k = 5, centroids = cents)
+    val idx = Similarity.ivfIndex(embs, cents)
+    val split = Similarity.ivfQueryIndex(idx, embs.filter(col("vec_id") < 8),
+      k = 5, nProbe = 6, centroids = cents)
+    assert(split.exceptAll(fused).isEmpty && fused.exceptAll(split).isEmpty,
+      "split build/query path must equal the fused path exactly")
+  }
+
+  test("shuffleQualityReport: per-shard rows, shares in [0,1], KL >= 0") {
+    val rep = Curate.shuffleQualityReport(
+      Curate.epochShuffle(docs, nShards = 4, seed = 1L)).cache()
+    assert(rep.count() === 4)
+    val bad = rep.filter(col("max_share") < 0 || col("max_share") > 1 ||
+      col("kl") < -1e-12 || col("entropy") < -1e-12)
+    assert(bad.isEmpty, "entropy/KL/shares out of range")
+    // doc conservation across shards
+    val total = rep.agg(sum("n_docs")).head().getLong(0)
+    assert(total === docs.count())
+  }
+}
