@@ -62,6 +62,51 @@ object OracleGen {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  /** dd16: LSH banding-quality audit — rebuild the portable md5
+    * signatures, bands and RAW candidate pairs (pre-verification) plus
+    * the exact-Jaccard truth set, and reduce both to one confusion
+    * row. Shares every construction rule with [[dd3pSql]].
+    */
+  def dd16Sql(threshold: Double): String = {
+    val (a, b) = MinHashSigs.perms(64, 42L)
+    val minExprs = (0 until 64)
+      .map(j => s"min((${a(j)} * h + ${b(j)}) % $P)").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id AS d, string_split(lower(text), ' ') AS t FROM documents),
+       |shg AS (SELECT d, unnest(list_distinct(
+       |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |  ELSE list_transform(range(0, len(t) - 2),
+       |    i -> array_to_string(list_slice(t, CAST(i + 1 AS INTEGER), CAST(i + 3 AS INTEGER)), ' '))
+       |  END)) AS s FROM tok),
+       |shm AS (SELECT d, md5(s) AS m FROM shg),
+       |sh AS (SELECT DISTINCT d, ${hex60("m")} % $P AS h FROM shm),
+       |sigs AS (SELECT d, [$minExprs] AS sig FROM sh GROUP BY d),
+       |bands AS (SELECT d, bb.b AS band,
+       |    md5(array_to_string(list_slice(sig, CAST(bb.b * 4 + 1 AS INTEGER), CAST(bb.b * 4 + 4 AS INTEGER)), ',')) AS bh
+       |  FROM sigs, range(16) bb(b)),
+       |cand AS (SELECT DISTINCT x.d AS d1, y.d AS d2 FROM bands x
+       |  JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.d < y.d),
+       |sizes AS (SELECT d, count(*) AS n FROM sh GROUP BY d),
+       |common AS (SELECT x.d AS d1, y.d AS d2, count(*) AS c FROM sh x
+       |  JOIN sh y ON y.h = x.h AND x.d < y.d GROUP BY 1, 2),
+       |truth AS (SELECT d1, d2 FROM common
+       |  JOIN sizes s1 ON s1.d = common.d1 JOIN sizes s2 ON s2.d = common.d2
+       |  WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= $threshold),
+       |ntc AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+       |ncc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+       |tpc AS (SELECT CAST(count(*) AS BIGINT) AS tp FROM truth t
+       |  JOIN cand c ON c.d1 = t.d1 AND c.d2 = t.d2)
+       |SELECT n_truth, n_cand, tp, n_cand - tp AS fp, n_truth - tp AS fn,
+       |  round(CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE), 6) AS prec,
+       |  round(CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS rec,
+       |  round(CASE WHEN CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE)
+       |               + CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE) = 0 THEN 0.0
+       |    ELSE 2.0 * (CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE))
+       |         * (CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE))
+       |         / (CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE)
+       |            + CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE)) END, 6) AS f1
+       |FROM ntc CROSS JOIN ncc CROSS JOIN tpc""".stripMargin
+  }
+
   /** dd3: the native xxhash64 MinHash-LSH pair set asserted equal to
     * the portable md5 one IN-PLAN — the engine emits the full-outer
     * union of both verified pair sets with membership flags, and the

@@ -5233,5 +5233,79 @@ object QueriesOps {
             round(col("sim"), 6).as("sim"))
           .orderBy("q_id", "rank")
       },
-      Some(OracleGen.ss5Sql())))
+      Some(OracleGen.ss5Sql())),
+
+    // DD16: the dedup-CONFIG audit — raw band-collision candidates
+    // (what the verify bill scales with) scored against exact-Jaccard
+    // truth on the sample: confusion cells + precision/recall/F1 in one
+    // row. The number you look at before committing a (hashes, bands)
+    // scheme to the full corpus.
+    "dd16_lsh_eval" -> Q(
+      (s, d) => Dedup.lshEvalReport(par(docs(s, d)), threshold = 0.5)
+        .select(col("n_truth"), col("n_cand"), col("tp"), col("fp"), col("fn"),
+          round(col("prec"), 6).as("prec"), round(col("rec"), 6).as("rec"),
+          round(col("f1"), 6).as("f1")),
+      Some(OracleGen.dd16Sql(0.5))),
+
+    // TX18: interpolated Kneser–Ney bigram LM — the smoothing upgrade
+    // over tx12's MLE; discounted evidence mass is reassigned by
+    // CONTINUATION counts (how many contexts a word follows), the
+    // closed-form that beats add-k for LM quality filters. Top-100 by
+    // raw bigram count (integer-deterministic order).
+    "tx18_kneser_ney" -> Q(
+      (s, d) => Text.knBigramLm(docs(s, d))
+        .select(col("w1"), col("w2"), col("n12"), col("n1"),
+          col("npost"), col("npre"), round(col("p_kn"), 6).as("p_kn"))
+        .orderBy(col("n12").desc, col("w1"), col("w2"))
+        .limit(100),
+      Some("""WITH t AS (SELECT string_split(lower(text), ' ') AS toks FROM documents),
+        |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |        i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS s
+        |      FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT s.w1 AS w1, s.w2 AS w2, CAST(count(*) AS BIGINT) AS n12
+        |      FROM b GROUP BY 1, 2),
+        |n1t AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1,
+        |          CAST(count(*) AS BIGINT) AS npost FROM c GROUP BY 1),
+        |npret AS (SELECT w2, CAST(count(*) AS BIGINT) AS npre FROM c GROUP BY 1),
+        |nbt AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM c)
+        |SELECT w1, w2, n12, n1, npost, npre,
+        |  round(greatest(CAST(n12 AS DOUBLE) - 0.75, 0.0) / CAST(n1 AS DOUBLE)
+        |    + (0.75 * CAST(npost AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |      * (CAST(npre AS DOUBLE) / nb), 6) AS p_kn
+        |FROM c JOIN n1t USING (w1) JOIN npret USING (w2) CROSS JOIN nbt
+        |ORDER BY n12 DESC, w1, w2 LIMIT 100""".stripMargin)),
+
+    // PCA3: INCREMENTAL covariance maintenance — the moment table
+    // (exact integer sums on a pinned quantization scale) is published
+    // as a VersionedDir snapshot for the base corpus, the delta's
+    // moments are added cell-wise (exact, order-free), the merged store
+    // is re-published, and the top component is computed FROM THE
+    // STORE. Oracle = pca1's full-corpus recompute: the hash match
+    // proves sign-delta-merge-reload is bit-identical to rescanning
+    // everything — the 100 TB shape where the base is never touched
+    // again.
+    "pca3_incremental_moments" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        val dim = 64
+        val xd = transform(col("embedding"), _.cast("double"))
+        // pinned quantization scale (production fixes this at store
+        // creation; pinned to the corpus max here so the merged store
+        // must equal pca1's one-shot recompute exactly)
+        val gmax = e.select(max(aggregate(xd, lit(0.0),
+          (a, b) => greatest(a, abs(b))))).head.getDouble(0)
+        val store = Queries.scratch("pca_moments")
+        graft.ingest.VersionedDir.publish(
+          graft.ops.Pca.momentTable(e.filter(col("vec_id") < 300), gmax, dim),
+          store, 1L)
+        val base = graft.ingest.VersionedDir.current(s, store).get
+        val delta = graft.ops.Pca.momentTable(
+          e.filter(col("vec_id") >= 300), gmax, dim)
+        graft.ingest.VersionedDir.publish(
+          graft.ops.Pca.mergeMoments(base, delta), store, 2L)
+        graft.ops.Pca.topComponentFromMoments(
+            graft.ingest.VersionedDir.current(s, store).get, dim)
+          .orderBy("dim_idx")
+      },
+      Some(PcaComponentOracle)))
 }

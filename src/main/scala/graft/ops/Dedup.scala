@@ -690,6 +690,65 @@ object Dedup {
     minhashLshPairs(docs, threshold, numHashes, bands, shingleK, textCol, idCol,
       hashFn = md5ShingleHash, bandHashFn = md5)
 
+  /** LSH banding-quality evaluation — the audit you run on a SAMPLE
+    * before committing a (numHashes, bands) scheme to the full corpus:
+    * RAW band-collision candidates (pre-verification, the set whose
+    * size drives the verify bill) scored against exact-Jaccard truth.
+    * One summary row: truth/candidate pair counts, the confusion cells
+    * and precision / recall / F1. Low precision → banding too loose
+    * (verification cost explodes); recall < 1 → true near-dups leak
+    * through (raise bands or hashes).
+    *
+    * Truth = shingle-Jaccard ≥ threshold over pairs sharing ≥ 1
+    * shingle (pairs sharing none have J = 0 and cannot pass a positive
+    * threshold). The truth join is O(shingle collisions) — affordable
+    * on the audit sample, never run corpus-wide; the banded candidate
+    * side is the production-scale path.
+    */
+  def lshEvalReport(docs: DataFrame, threshold: Double = 0.5,
+                    numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    hashFn: Column => Column = md5ShingleHash,
+                    bandHashFn: Column => Column = c => md5(c)): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sigs = minhashSignatures(docs, numHashes, shingleK, textCol, idCol,
+      hashFn = hashFn)
+    val banded = bandsOfSignatures(sigs, numHashes, bands, bandHashFn)
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.d") < col("b.d"))
+      .select(col("a.d").as("d1"), col("b.d").as("d2"))
+      .dropDuplicates("d1", "d2")
+      .persist(StorageLevel.DISK_ONLY)
+    val sh = shingleHashes(docs, shingleK, textCol, idCol, hashFn)
+      .dropDuplicates("d", "h")
+      .persist(StorageLevel.DISK_ONLY)
+    val sizes = sh.groupBy(col("d")).agg(count(lit(1)).as("n"))
+    val common = sh.toDF("d1", "h").join(sh.toDF("d2", "h"), Seq("h"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
+    val truth = common
+      .join(sizes.toDF("d1", "n1"), "d1")
+      .join(sizes.toDF("d2", "n2"), "d2")
+      .filter(col("c").cast("double") /
+        (col("n1") + col("n2") - col("c")).cast("double") >= threshold)
+      .select(col("d1"), col("d2"))
+      .persist(StorageLevel.DISK_ONLY)
+    val nt = truth.agg(count(lit(1)).cast("long").as("n_truth"))
+    val nc = cand.agg(count(lit(1)).cast("long").as("n_cand"))
+    val tp = truth.join(cand, Seq("d1", "d2"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("tp"))
+    val p = col("tp").cast("double") / col("n_cand").cast("double")
+    val r = col("tp").cast("double") / col("n_truth").cast("double")
+    nt.crossJoin(nc).crossJoin(tp)
+      .select(col("n_truth"), col("n_cand"), col("tp"),
+        (col("n_cand") - col("tp")).as("fp"),
+        (col("n_truth") - col("tp")).as("fn"),
+        p.as("prec"), r.as("rec"),
+        when(p + r === 0.0, lit(0.0))
+          .otherwise(lit(2.0) * p * r / (p + r)).as("f1"))
+  }
+
   // ---------------- dedup clustering (connected components) ----------
 
   /** Connected components over a near-duplicate pair list: every vertex

@@ -31,33 +31,74 @@ import org.apache.spark.sql.functions._
   */
 object Pca {
 
+  /** The corpus's exact integer moment table on a PINNED quantization
+    * scale `gmax`: one row per moment cell —
+    * kind 0 = row count (pos 0), kind 1 = per-dim sums Σqᵢ,
+    * kind 2 = upper-triangle product sums Σqᵢ·qⱼ (pos = triangular
+    * index). Because every cell is an integer sum, moment tables of
+    * DISJOINT row sets merge by plain addition ([[mergeMoments]]) —
+    * the incremental/streaming form of covariance maintenance: sign the
+    * delta, add, never rescan the base. The pinned scale is what makes
+    * the merge exact; production fixes `gmax` when the store is
+    * created (re-pin + rebuild on range drift).
+    *
+    * Scale: two narrow codegen passes over the batch, combinable
+    * (kind, pos, long) sums — dim·(dim+3)/2 + 1 cells total.
+    */
+  def momentTable(embs: DataFrame, gmax: Double, dim: Int,
+                  vecCol: String = "embedding"): DataFrame = {
+    val xd = transform(col(vecCol), _.cast("double"))
+    val q = embs.select(transform(xd,
+      v => round(v / lit(gmax) * lit(127.0)).cast("long")).as("q"))
+    val s1 = q.select(posexplode(col("q")).as(Seq("pos", "qi")))
+      .groupBy("pos").agg(sum("qi").as("s"))
+      .select(lit(1).as("kind"), col("pos"), col("s"))
+    val upExpr = s"flatten(transform(sequence(0, ${dim - 1}), " +
+      s"i -> transform(sequence(i, ${dim - 1}), j -> q[i] * q[j])))"
+    val s2 = q.select(posexplode(expr(upExpr)).as(Seq("pos", "p")))
+      .groupBy("pos").agg(sum("p").as("s"))
+      .select(lit(2).as("kind"), col("pos"), col("s"))
+    val n = q.agg(count(lit(1)).as("s"))
+      .select(lit(0).as("kind"), lit(0).as("pos"), col("s"))
+    n.unionByName(s1).unionByName(s2)
+  }
+
+  /** Add moment tables cell-wise — exact (integer sums), commutative,
+    * associative: the merge step of incremental covariance.
+    */
+  def mergeMoments(tables: DataFrame*): DataFrame =
+    tables.reduce(_ unionByName _)
+      .groupBy(col("kind"), col("pos")).agg(sum(col("s")).as("s"))
+
   /** Returns (dim_idx, loading, eigval): the top component's loading
     * per dimension plus the Rayleigh-quotient eigenvalue (in quantized
     * covariance units) on every row.
     */
   def topComponentQuantized(embs: DataFrame, iters: Int = 12,
                             vecCol: String = "embedding"): DataFrame = {
-    val spark = embs.sparkSession
-    import spark.implicits._
-
-    val xd = transform(col(vecCol), _.cast("double"))
     val dim = embs.select(size(col(vecCol))).head.getInt(0)
+    val xd = transform(col(vecCol), _.cast("double"))
     val gmax = embs
       .select(max(aggregate(xd, lit(0.0), (a, b) => greatest(a, abs(b)))))
       .head.getDouble(0)
-    val q = embs.select(transform(xd,
-      v => round(v / lit(gmax) * lit(127.0)).cast("long")).as("q"))
+    topComponentFromMoments(momentTable(embs, gmax, dim, vecCol), dim, iters)
+  }
 
-    // integer moments: per-dim sums and upper-triangle product sums
-    val s1 = q.select(posexplode(col("q")).as(Seq("i", "qi")))
-      .groupBy("i").agg(sum("qi").as("s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val upExpr = s"flatten(transform(sequence(0, ${dim - 1}), " +
-      s"i -> transform(sequence(i, ${dim - 1}), j -> q[i] * q[j])))"
-    val s2 = q.select(posexplode(expr(upExpr)).as(Seq("pos", "p")))
-      .groupBy("pos").agg(sum("p").as("s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val n = q.count()
+  /** Power-iterate the covariance assembled from a (possibly merged /
+    * reloaded) moment table — the read side of the incremental store.
+    * Identical folds to the fused path, so store round-trips are
+    * bit-exact.
+    */
+  def topComponentFromMoments(moments: DataFrame, dim: Int,
+                              iters: Int = 12): DataFrame = {
+    val spark = moments.sparkSession
+    import spark.implicits._
+
+    val cells = moments.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val s1 = (0 until dim).map(i => i -> cells((1, i))).toMap
+    val s2 = cells.collect { case ((2, p), v) => p -> v }
+    val n = cells((0, 0))
 
     def triPos(i: Int, j: Int): Int = i * dim - i * (i - 1) / 2 + (j - i)
     val c = Array.tabulate(dim, dim) { (i, j) =>

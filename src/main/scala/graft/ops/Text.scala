@@ -456,6 +456,52 @@ object Text {
       .limit(topK)
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1999's fixed-discount form) — the smoothing that
+    * actually powers n-gram LM filters, upgrading tx12's raw MLE:
+    * P(w2|w1) = max(n12 − D, 0)/n1 + (D·N₁₊(w1,·)/n1) · (N₁₊(·,w2)/NB)
+    * where N₁₊(w1,·) is the distinct-successor count, N₁₊(·,w2) the
+    * distinct-predecessor (continuation) count, NB the bigram-type
+    * total. Everything derives from ONE aggregated bigram table: all
+    * counts are exact integers; the probability is a fixed-order
+    * double expression the oracle mirrors.
+    *
+    * Scale: adjacency pairs are generated in-row (no positional
+    * self-join), one combinable (w1, w2) count shuffle over the corpus,
+    * then two vocab-bounded window passes and a broadcast 1-row type
+    * total — text is never shuffled.
+    */
+  def knBigramLm(docs: DataFrame, discount: Double = 0.75,
+                 textCol: String = "text"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = docs
+      .select(split(lower(col(textCol)), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> " +
+          "struct(toks[i] AS w1, toks[i+1] AS w2))")).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).cast("long").as("n12"))
+      // three consumers (two windows + the type total): persist the
+      // vocab-bounded aggregate, not the corpus
+      .persist(StorageLevel.DISK_ONLY)
+    val w1win = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    val w2win = org.apache.spark.sql.expressions.Window.partitionBy(col("w2"))
+    val nb = broadcast(pairs.agg(count(lit(1)).cast("double").as("__nb")))
+    val d = lit(discount)
+    pairs
+      .withColumn("n1", sum(col("n12")).over(w1win).cast("long"))
+      .withColumn("npost", count(lit(1)).over(w1win).cast("long"))
+      .withColumn("npre", count(lit(1)).over(w2win).cast("long"))
+      .crossJoin(nb)
+      .withColumn("p_kn",
+        greatest(col("n12").cast("double") - d, lit(0.0)) / col("n1").cast("double")
+          + (d * col("npost").cast("double") / col("n1").cast("double"))
+            * (col("npre").cast("double") / col("__nb")))
+      .select(col("w1"), col("w2"), col("n12"), col("n1"),
+        col("npost"), col("npre"), col("p_kn"))
+  }
+
   /** Nucleus (top-p) successor sets of a bigram language model
     * (Holtzman et al. 2020's sampling rule applied to corpus
     * statistics): for each context token, the smallest

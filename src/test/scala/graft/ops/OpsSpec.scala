@@ -872,4 +872,38 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaCand === pairs)
   }
+
+  test("lshEvalReport: confusion cells consistent; planted dups recalled") {
+    val rep = Dedup.lshEvalReport(corpus, threshold = 0.5).head()
+    val (nt, nc, tp, fp, fn) = (rep.getLong(0), rep.getLong(1),
+      rep.getLong(2), rep.getLong(3), rep.getLong(4))
+    assert(tp + fp === nc, "tp + fp must tile the candidate set")
+    assert(tp + fn === nt, "tp + fn must tile the truth set")
+    assert(nt >= 20, "planted exact+near dup pairs must be in the truth set")
+    // exact duplicates have identical signatures -> banding cannot miss
+    // them; near-dups at J~0.9 survive 16-band/4-row banding w.h.p.
+    val rec = rep.getDouble(6)
+    assert(rec > 0.9, s"recall $rec too low for planted duplicates")
+    val prec = rep.getDouble(5)
+    assert(prec >= 0.0 && prec <= 1.0 && rep.getDouble(7) >= 0.0)
+  }
+
+  test("Kneser-Ney bigram LM: identities and probability bounds hold") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val kn = Text.knBigramLm(docs).cache()
+    // continuation counts tile the bigram-type total
+    val nb = kn.count()
+    val npreSum = kn.select("w2", "npre").distinct()
+      .agg(sum("npre")).head().getLong(0)
+    assert(npreSum === nb, "sum of distinct-predecessor counts = bigram types")
+    val npostSum = kn.select("w1", "npost").distinct()
+      .agg(sum("npost")).head().getLong(0)
+    assert(npostSum === nb, "sum of distinct-successor counts = bigram types")
+    // probabilities in (0, 1]; discounted term never exceeds MLE
+    assert(kn.filter(col("p_kn") <= 0 || col("p_kn") > 1).isEmpty)
+    val mleViolation = kn.filter(
+      greatest(col("n12").cast("double") - lit(0.75), lit(0.0)) / col("n1").cast("double")
+        > col("n12").cast("double") / col("n1").cast("double"))
+    assert(mleViolation.isEmpty, "discounting must not exceed raw MLE")
+  }
 }

@@ -69,4 +69,23 @@ class PcaSpec extends AnyFunSuite {
       assert(g === w)
     }
   }
+
+  test("moment tables: split + merge is bit-identical to one-shot") {
+    val e = planted().cache()
+    val dim = 8
+    val xd = org.apache.spark.sql.functions.transform(
+      col("embedding"), _.cast("double"))
+    val gmax = e.select(max(aggregate(xd, lit(0.0),
+      (a, b) => greatest(a, abs(b))))).head.getDouble(0)
+    val m1 = Pca.momentTable(e.filter(col("vec_id") < 15), gmax, dim)
+    val m2 = Pca.momentTable(e.filter(col("vec_id") >= 15), gmax, dim)
+    val merged = Pca.topComponentFromMoments(
+      Pca.mergeMoments(m1, m2), dim).orderBy("dim_idx").collect()
+    val oneShot = Pca.topComponentQuantized(e).orderBy("dim_idx").collect()
+    merged.zip(oneShot).foreach { case (a, b) =>
+      assert(a.getInt(0) === b.getInt(0))
+      assert(a.getDouble(1) === b.getDouble(1), "loading must be bit-equal")
+      assert(a.getDouble(2) === b.getDouble(2), "eigval must be bit-equal")
+    }
+  }
 }
