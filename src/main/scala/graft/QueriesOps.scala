@@ -219,6 +219,51 @@ object QueriesOps {
     |    j -> CAST(qv[j] AS DOUBLE) * v[j])), (a,b) -> a + b) AS score
     |FROM q, fin WHERE q.vec_id < 100 ORDER BY q.vec_id""".stripMargin
 
+  /** tx13's full Gopher-rule recompute — shared verbatim by fa1's
+    * attribution oracle (wrapped as a subquery there).
+    */
+  private val GopherOracle: String = """WITH t AS (
+    |  SELECT doc_id, text,
+    |         string_split(text, ' ') AS w,
+    |         string_split(text, chr(10)) AS l
+    |  FROM documents),
+    |f AS (
+    |  SELECT doc_id,
+    |    len(w) AS n_words,
+    |    CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w) AS mean_len,
+    |    CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE) / len(w) AS hash_ratio,
+    |    CAST((len(text) - len(replace(text, '...', ''))) / 3 AS DOUBLE) / len(w) AS ell_ratio,
+    |    CAST(len(list_filter(l, x -> regexp_matches(x, '^\s*[-*•]'))) AS DOUBLE) / len(l) AS bullet_frac,
+    |    CAST(len(list_filter(l, x -> regexp_matches(x, '\.\.\.\s*$'))) AS DOUBLE) / len(l) AS ell_line_frac,
+    |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(w) AS alpha_frac,
+    |    len(list_distinct(list_filter(w, x ->
+    |      list_contains(['the','be','to','of','and','that','have','with'], lower(x))))) AS stop_hits,
+    |    1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l) AS dup_line_frac
+    |  FROM t)
+    |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+    |  n_words BETWEEN 50 AND 100000 AS r_word_count,
+    |  mean_len BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
+    |  hash_ratio < 0.1 AS r_hash_ratio,
+    |  ell_ratio < 0.1 AS r_ellipsis_ratio,
+    |  bullet_frac < 0.9 AS r_bullet_lines,
+    |  ell_line_frac < 0.3 AS r_ellipsis_lines,
+    |  alpha_frac >= 0.8 AS r_alpha_words,
+    |  stop_hits >= 2 AS r_stopwords,
+    |  dup_line_frac < 0.3 AS r_dup_lines,
+    |  (n_words BETWEEN 50 AND 100000) AND (mean_len BETWEEN 3.0 AND 10.0)
+    |    AND hash_ratio < 0.1 AND ell_ratio < 0.1 AND bullet_frac < 0.9
+    |    AND ell_line_frac < 0.3 AND alpha_frac >= 0.8 AND stop_hits >= 2
+    |    AND dup_line_frac < 0.3 AS gopher_keep
+    |FROM f ORDER BY doc_id""".stripMargin
+
+  /** The nine individual Gopher rule columns (gopher_keep excluded) —
+    * shared by tx13's projection and fa1's attribution melt.
+    */
+  private val GopherRuleCols: Seq[String] = Seq("r_word_count",
+    "r_mean_word_len", "r_hash_ratio", "r_ellipsis_ratio",
+    "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words", "r_stopwords",
+    "r_dup_lines")
+
   private def dec(c: String) = col(c).cast("decimal(18,2)")
   private val discPrice = dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))
 
@@ -647,39 +692,7 @@ object QueriesOps {
           "r_ellipsis_lines", "r_alpha_words", "r_stopwords",
           "r_dup_lines", "gopher_keep")
         .orderBy("doc_id"),
-      Some("""WITH t AS (
-        |  SELECT doc_id, text,
-        |         string_split(text, ' ') AS w,
-        |         string_split(text, chr(10)) AS l
-        |  FROM documents),
-        |f AS (
-        |  SELECT doc_id,
-        |    len(w) AS n_words,
-        |    CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w) AS mean_len,
-        |    CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE) / len(w) AS hash_ratio,
-        |    CAST((len(text) - len(replace(text, '...', ''))) / 3 AS DOUBLE) / len(w) AS ell_ratio,
-        |    CAST(len(list_filter(l, x -> regexp_matches(x, '^\s*[-*•]'))) AS DOUBLE) / len(l) AS bullet_frac,
-        |    CAST(len(list_filter(l, x -> regexp_matches(x, '\.\.\.\s*$'))) AS DOUBLE) / len(l) AS ell_line_frac,
-        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(w) AS alpha_frac,
-        |    len(list_distinct(list_filter(w, x ->
-        |      list_contains(['the','be','to','of','and','that','have','with'], lower(x))))) AS stop_hits,
-        |    1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l) AS dup_line_frac
-        |  FROM t)
-        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-        |  n_words BETWEEN 50 AND 100000 AS r_word_count,
-        |  mean_len BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
-        |  hash_ratio < 0.1 AS r_hash_ratio,
-        |  ell_ratio < 0.1 AS r_ellipsis_ratio,
-        |  bullet_frac < 0.9 AS r_bullet_lines,
-        |  ell_line_frac < 0.3 AS r_ellipsis_lines,
-        |  alpha_frac >= 0.8 AS r_alpha_words,
-        |  stop_hits >= 2 AS r_stopwords,
-        |  dup_line_frac < 0.3 AS r_dup_lines,
-        |  (n_words BETWEEN 50 AND 100000) AND (mean_len BETWEEN 3.0 AND 10.0)
-        |    AND hash_ratio < 0.1 AND ell_ratio < 0.1 AND bullet_frac < 0.9
-        |    AND ell_line_frac < 0.3 AND alpha_frac >= 0.8 AND stop_hits >= 2
-        |    AND dup_line_frac < 0.3 AS gopher_keep
-        |FROM f ORDER BY doc_id""".stripMargin)),
+      Some(GopherOracle)),
 
     // TX17: vocabulary coverage — top-500 corpus vocab (tie-broken
     // lexicographically, a total order both engines reproduce), per-doc
@@ -5307,5 +5320,135 @@ object QueriesOps {
             graft.ingest.VersionedDir.current(s, store).get, dim)
           .orderBy("dim_idx")
       },
-      Some(PcaComponentOracle)))
+      Some(PcaComponentOracle)),
+
+    // FA1: filter ATTRIBUTION over the tx13 Gopher battery — per rule
+    // the total drop count, the UNIQUE drop count (docs only this rule
+    // catches — the rule's marginal value), and the corpus drop total.
+    // The report that decides whether a filter earns its compute at
+    // 100 TB; n_unique = 0 means the rule is subsumed.
+    "fa1_filter_attribution" -> Q(
+      (s, d) => {
+        val g = Text.gopherRules(docs(s, d))
+        val nFails = GopherRuleCols.map(r =>
+          when(col(r), lit(0)).otherwise(lit(1))).reduce(_ + _)
+        val base = g.withColumn("__nf", nFails)
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        val stackExpr = s"stack(${GopherRuleCols.size}, " +
+          GopherRuleCols.map(r => s"'$r', $r").mkString(", ") +
+          ") AS (rule, pass)"
+        val dropped = broadcast(base.agg(
+          sum(when(col("__nf") > 0, lit(1L)).otherwise(lit(0L))).as("n_dropped")))
+        base.select(col("doc_id"), col("__nf"), expr(stackExpr))
+          .groupBy(col("rule"))
+          .agg(count(lit(1)).cast("long").as("__n"),
+            sum(when(!col("pass"), lit(1L)).otherwise(lit(0L))).as("n_fail"),
+            sum(when(!col("pass") && col("__nf") === 1, lit(1L))
+              .otherwise(lit(0L))).as("n_unique"))
+          .crossJoin(dropped)
+          .select(col("rule"), col("n_fail"), col("n_unique"), col("n_dropped"),
+            round(col("n_fail").cast("double") / col("__n").cast("double"), 6)
+              .as("fail_share"))
+          .orderBy("rule")
+      },
+      Some {
+        val union = GopherRuleCols.map(r =>
+          s"SELECT doc_id, '$r' AS rule, $r AS pass FROM g").mkString("\n|  UNION ALL ")
+        s"""WITH g AS (SELECT * FROM ($GopherOracle)),
+           |u AS (
+           |  $union),
+           |nf AS (SELECT doc_id, CAST(sum(CASE WHEN pass THEN 0 ELSE 1 END) AS BIGINT)
+           |         AS nfails FROM u GROUP BY 1),
+           |dr AS (SELECT CAST(count(*) FILTER (WHERE nfails > 0) AS BIGINT) AS n_dropped FROM nf),
+           |per AS (SELECT rule, CAST(count(*) AS BIGINT) AS n_docs,
+           |         CAST(sum(CASE WHEN pass THEN 0 ELSE 1 END) AS BIGINT) AS n_fail,
+           |         CAST(sum(CASE WHEN NOT pass AND nf.nfails = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+           |        FROM u JOIN nf USING (doc_id) GROUP BY rule)
+           |SELECT rule, n_fail, n_unique, n_dropped,
+           |  round(CAST(n_fail AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS fail_share
+           |FROM per CROSS JOIN dr ORDER BY rule""".stripMargin
+      }),
+
+    // ISO1: per-label embedding isotropy — mean pairwise cosine WITHOUT
+    // a pair join (the ‖Σv̂‖² identity), plus mean vector norm. The
+    // representation-collapse gate before ANN indexing / contrastive
+    // training.
+    "iso1_isotropy_report" -> Q(
+      (s, d) => Similarity.isotropyReport(embs(s, d))
+        .select(col("label"), col("n"),
+          round(col("mean_norm"), 6).as("mean_norm"),
+          round(col("isotropy"), 6).as("isotropy"))
+        .orderBy("label"),
+      Some("""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |nrm AS (SELECT vec_id, label, v,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        |      i -> v[CAST(i AS INTEGER)] * v[CAST(i AS INTEGER)])), (a, b) -> a + b)) AS nn
+        |  FROM e),
+        |rng AS (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS i),
+        |x AS (SELECT label, rng.i, v[rng.i] / nn AS xh FROM nrm CROSS JOIN rng),
+        |sv AS (SELECT label, i, sum(xh) AS s FROM x GROUP BY 1, 2),
+        |ag AS (SELECT label, sum(s * s) AS ssum FROM sv GROUP BY 1),
+        |cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n, avg(nn) AS mean_norm
+        |        FROM nrm GROUP BY 1)
+        |SELECT label, n, round(mean_norm, 6) AS mean_norm,
+        |  round((ssum - CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6)
+        |    AS isotropy
+        |FROM ag JOIN cnt USING (label) ORDER BY label""".stripMargin)),
+
+    // DC4: contamination TRACE — pair-level (train doc, benchmark doc,
+    // shared 8-gram count) evidence behind dc1's boolean; the artifact
+    // a leak review actually reads. Same broadcast profile as dc1.
+    "dc4_contamination_trace" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        Curate.contaminationTrace(
+            all.filter(col("doc_id") % 97 =!= 0),
+            all.filter(col("doc_id") % 97 === 0))
+          .orderBy("doc_id", "bench_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |         CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(0, len(toks) - 8 + 1),
+        |           i -> array_to_string(list_slice(toks, CAST(i + 1 AS INTEGER), CAST(i + 8 AS INTEGER)), ' '))
+        |         END)) AS s
+        |       FROM t),
+        |trn AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+        |bch AS (SELECT * FROM sh WHERE doc_id % 97 = 0)
+        |SELECT trn.doc_id AS doc_id, bch.doc_id AS bench_id,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM trn JOIN bch ON bch.s = trn.s
+        |GROUP BY 1, 2 ORDER BY doc_id, bench_id""".stripMargin)),
+
+    // CUR12: packing-efficiency report over cur2's token packing — the
+    // padding-waste accounting a trainer bills by: per shard the bin
+    // count, stream length, capacity and utilization.
+    "cur12_pack_efficiency" -> Q(
+      (s, d) => Curate.packTokenBudget(docs(s, d), budget = 200, shardCol = "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          (max(col("bin")) + 1).cast("long").as("n_bins"),
+          sum(col("n_tokens")).cast("long").as("stream_len"))
+        .withColumn("capacity", col("n_bins") * lit(200L))
+        .select(col("source"), col("n_docs"), col("n_bins"), col("stream_len"),
+          col("capacity"),
+          round(col("stream_len").cast("double") / col("capacity").cast("double"), 6)
+            .as("utilization"))
+        .orderBy("source"),
+      Some("""WITH t AS (
+        |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT doc_id, source, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |  FROM t),
+        |p AS (SELECT doc_id, source, n_tokens, tok_offset // 200 AS bin FROM o)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(bin) + 1 AS BIGINT) AS n_bins,
+        |  CAST(sum(n_tokens) AS BIGINT) AS stream_len,
+        |  CAST((max(bin) + 1) * 200 AS BIGINT) AS capacity,
+        |  round(CAST(sum(n_tokens) AS DOUBLE) / CAST((max(bin) + 1) * 200 AS DOUBLE), 6)
+        |    AS utilization
+        |FROM p GROUP BY source ORDER BY source""".stripMargin)))
 }

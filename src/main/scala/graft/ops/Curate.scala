@@ -186,6 +186,30 @@ object Curate {
         col("n_shared").cast("double") / col("n_grams").cast("double"))
       .withColumn("drop_doc", col("overlap_frac") >= dropThreshold)
 
+  /** Contamination TRACE — pair-level evidence behind [[decontaminate]]'s
+    * per-doc flag: (train doc, benchmark doc, shared k-shingle count).
+    * The audit artifact reviewers actually read: WHICH eval item leaked
+    * into WHICH training document, strongest links first — and the
+    * input to per-benchmark leak dashboards.
+    *
+    * Scale: same broadcast profile as [[decontaminate]] — the benchmark
+    * (id, shingle) relation is tiny and broadcast; the corpus's
+    * shingles never shuffle; output is bounded by true overlaps.
+    */
+  def contaminationTrace(docs: DataFrame, benchmark: DataFrame, k: Int = 8,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val docSh = docs.select(col(idCol).as("__d"),
+      explode(array_distinct(Dedup.shingleCol(col(textCol), k))).as("sh"))
+    val benchSh = benchmark.select(col(idCol).as("__b"),
+      explode(array_distinct(Dedup.shingleCol(col(textCol), k))).as("sh"))
+    docSh.join(broadcast(benchSh), "sh")
+      .groupBy(col("__d"), col("__b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .select(col("__d").as("doc_id"), col("__b").as("bench_id"),
+        col("n_shared"))
+  }
+
   /** Bloom-filter decontamination: the same membership test as
     * [[decontaminate]] but against an approximate broadcast structure —
     * the form to reach for when even the DISTINCT benchmark shingle set

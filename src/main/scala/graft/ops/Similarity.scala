@@ -556,6 +556,40 @@ object Similarity {
     * one combinable 1-row moment aggregate broadcast back + a
     * distributed TakeOrdered — no shuffle of vectors at all.
     */
+  /** Per-label embedding isotropy report — the representation-quality
+    * audit (Ethayarajh EMNLP'19's anisotropy measure): the MEAN
+    * PAIRWISE COSINE inside each label, computed WITHOUT any pair join
+    * via the sum-vector identity ‖Σv̂‖² = n + Σ_{i≠j} cos(vᵢ,vⱼ), so
+    * avg cos = (‖Σv̂‖² − n) / (n·(n−1)). High isotropy (cos → 0) means
+    * the space spreads; cos → 1 inside a label means collapsed /
+    * duplicated vectors — the cheap gate before ANN indexing or
+    * contrastive training.
+    *
+    * Scale: one narrow normalize pass, a combinable (label, dim) sum
+    * shuffle (classes×dims cells), closed-form arithmetic — the n²
+    * pair join the identity replaces never exists.
+    */
+  def isotropyReport(vecs: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame = {
+    val vd = col(vecCol).cast("array<double>")
+    val nrm = vecs.select(col(labelCol).cast("long").as("label"),
+      vd.as("v"), norm(vd).as("nn"))
+    val x = nrm.select(col("label"), col("nn"),
+        posexplode(col("v")).as(Seq("dim", "xv")))
+      .select(col("label"), col("dim"), (col("xv") / col("nn")).as("xh"))
+    val sums = x.groupBy(col("label"), col("dim"))
+      .agg(sum(col("xh")).as("sv"))
+    val ssum = sums.groupBy(col("label"))
+      .agg(sum(col("sv") * col("sv")).as("ssum"))
+    val cnt = nrm.groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n"), avg(col("nn")).as("mean_norm"))
+    ssum.join(cnt, "label")
+      .select(col("label"), col("n"), col("mean_norm"),
+        ((col("ssum") - col("n").cast("double")) /
+          (col("n").cast("double") * (col("n").cast("double") - lit(1.0))))
+          .as("isotropy"))
+  }
+
   def embeddingOutliers(corpus: DataFrame, topK: Int = 20,
                         centroids: Seq[Centroid] = Nil, nCentroids: Int = 16,
                         idCol: String = "vec_id",

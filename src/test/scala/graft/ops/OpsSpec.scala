@@ -888,6 +888,39 @@ class OpsSpec extends AnyFunSuite {
     assert(prec >= 0.0 && prec <= 1.0 && rep.getDouble(7) >= 0.0)
   }
 
+  test("isotropyReport equals the explicit pairwise-cosine mean on a toy set") {
+    import spark.implicits._
+    // two labels: one collapsed (copies of one direction), one spread
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0), (1L, Array(2f, 0f, 0f, 0f), 0),
+      (2L, Array(3f, 0f, 0f, 0f), 0),
+      (3L, Array(1f, 0f, 0f, 0f), 1), (4L, Array(0f, 1f, 0f, 0f), 1),
+      (5L, Array(0f, 0f, 1f, 0f), 1), (6L, Array(0f, 0f, 0f, 1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val rep = graft.ops.Similarity.isotropyReport(vecs)
+      .orderBy("label").collect()
+    // collapsed label: every pairwise cosine is exactly 1
+    assert(math.abs(rep(0).getDouble(3) - 1.0) < 1e-9)
+    // orthogonal label: every pairwise cosine is exactly 0
+    assert(math.abs(rep(1).getDouble(3)) < 1e-9)
+  }
+
+  test("contaminationTrace is consistent with decontaminate's per-doc flag") {
+    val train = corpus.filter(col("doc_id") < 60)
+    val bench = corpus.filter(col("doc_id") >= 1000 && col("doc_id") < 1010)
+    val trace = Curate.contaminationTrace(train, bench).cache()
+    val flagged = Curate.decontaminate(train, bench)
+      .filter(col("contaminated")).select("doc_id")
+    // the docs appearing in the trace are exactly the flagged docs
+    val traceDocs = trace.select("doc_id").distinct()
+    assert(traceDocs.exceptAll(flagged).isEmpty &&
+      flagged.exceptAll(traceDocs).isEmpty)
+    // planted exact duplicates (1000..1009 copy docs 0..9) must trace
+    // back to their source with a positive shared-gram count
+    assert(trace.filter(col("doc_id") === col("bench_id") - 1000).count() === 10)
+    assert(trace.filter(col("n_shared") <= 0).isEmpty)
+  }
+
   test("Kneser-Ney bigram LM: identities and probability bounds hold") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val kn = Text.knBigramLm(docs).cache()
