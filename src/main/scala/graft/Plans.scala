@@ -38,7 +38,12 @@ object Plans {
     "ph1_phrase_search", "dh1_decayed_topk", "fs1_fellegi_sunter",
     "rd1_readability", "jw1_jaro_winkler", "gc1_grid_density",
     "np1_nucleus_vocab", "dp1_dp_release", "qn1_quantile_norm",
-    "cal1_calibration", "ac1_langid_eval", "fk1_fleiss_kappa")
+    "cal1_calibration", "ac1_langid_eval", "fk1_fleiss_kappa",
+    "nb1_nb_source_classify", "gnb1_gaussian_nb", "sq1_shuffle_quality",
+    "kg1_mutual_knn_clusters", "dd16_lsh_eval", "tx18_kneser_ney",
+    "fa1_filter_attribution", "iso1_isotropy_report",
+    "dc4_contamination_trace", "cur12_pack_efficiency",
+    "dm1_domain_divergence")
 
   /** (shuffle exchanges, broadcast exchanges) of the physical plan,
     * counted via tree walk, not the text dump: a persisted subtree's

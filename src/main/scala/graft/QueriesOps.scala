@@ -5450,5 +5450,41 @@ object QueriesOps {
         |  CAST((max(bin) + 1) * 200 AS BIGINT) AS capacity,
         |  round(CAST(sum(n_tokens) AS DOUBLE) / CAST((max(bin) + 1) * 200 AS DOUBLE), 6)
         |    AS utilization
-        |FROM p GROUP BY source ORDER BY source""".stripMargin)))
+        |FROM p GROUP BY source ORDER BY source""".stripMargin)),
+
+    // DM1: pairwise source divergence (KL both ways + Jensen–Shannon)
+    // over a shared top-500 + OOV-bucket unigram distribution — the
+    // corpus-similarity matrix behind mixing-weight decisions: near-zero
+    // JS pairs can share a weight, a high-JS-everywhere source is the
+    // re-curation candidate. Vocab-bounded after one tokenize pass.
+    "dm1_domain_divergence" -> Q(
+      (s, d) => Text.domainDivergence(docs(s, d), vocabSize = 500)
+        .select(col("ga"), col("gb"),
+          round(col("kl_ab"), 6).as("kl_ab"),
+          round(col("kl_ba"), 6).as("kl_ba"),
+          round(col("js"), 6).as("js"))
+        .orderBy("ga", "gb"),
+      Some("""WITH tk AS (SELECT g, t FROM (
+        |    SELECT source AS g, unnest(string_split(lower(text), ' ')) AS t
+        |    FROM documents) WHERE len(t) > 0),
+        |c AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY t),
+        |v AS (SELECT t FROM (SELECT t, row_number() OVER (ORDER BY cnt DESC, t ASC) AS rn
+        |      FROM c) WHERE rn <= 500),
+        |bk AS (SELECT g, CASE WHEN v.t IS NULL THEN 'oov' ELSE tk.t END AS b
+        |       FROM tk LEFT JOIN v ON v.t = tk.t),
+        |cnts AS (SELECT g, b, CAST(count(*) AS DOUBLE) AS c FROM bk GROUP BY 1, 2),
+        |tot AS (SELECT g, sum(c) AS tot FROM cnts GROUP BY 1),
+        |bu AS (SELECT t AS b FROM v UNION ALL SELECT 'oov'),
+        |dense AS (SELECT tot.g, bu.b,
+        |    (COALESCE(cnts.c, 0.0) + 1.0) / (tot.tot + 501.0) AS p
+        |  FROM tot CROSS JOIN bu
+        |  LEFT JOIN cnts ON cnts.g = tot.g AND cnts.b = bu.b),
+        |pr AS (SELECT a.g AS ga, b2.g AS gb, a.p AS pa, b2.p AS pb
+        |       FROM dense a JOIN dense b2 ON b2.b = a.b AND a.g < b2.g)
+        |SELECT ga, gb,
+        |  round(sum(pa * ln(pa / pb)), 6) AS kl_ab,
+        |  round(sum(pb * ln(pb / pa)), 6) AS kl_ba,
+        |  round(0.5 * sum(pa * ln(pa / ((pa + pb) / 2.0)))
+        |    + 0.5 * sum(pb * ln(pb / ((pa + pb) / 2.0))), 6) AS js
+        |FROM pr GROUP BY 1, 2 ORDER BY ga, gb""".stripMargin)))
 }

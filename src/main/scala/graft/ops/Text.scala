@@ -456,6 +456,60 @@ object Text {
       .limit(topK)
   }
 
+  /** Pairwise DOMAIN DIVERGENCE between sources (Kilgarriff 2001's
+    * corpus-similarity problem, the mixing-weight input of a
+    * multi-source pipeline): each source's unigram distribution over a
+    * shared top-`vocabSize` vocabulary plus ONE OOV bucket (add-one
+    * smoothed, so every cell is positive and the distribution sums to
+    * 1 exactly), then per source pair both KL directions and the
+    * Jensen–Shannon divergence. Near-identical sources (JS ≈ 0) can
+    * share a mixing weight; an outlier source (high JS to everything)
+    * is the one to re-curate.
+    *
+    * Scale: the corpus is tokenized ONCE (one combinable
+    * (source, bucket) count shuffle); everything after is
+    * vocab-bounded — a dense sources×(K+1) cell table and a pair join
+    * of sources²×(K+1) rows. The top-K + OOV bucketing is what keeps
+    * the dense form bounded at any corpus size.
+    */
+  def domainDivergence(docs: DataFrame, groupCol: String = "source",
+                       vocabSize: Int = 500,
+                       textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(groupCol).as("__g"),
+        explode(split(lower(col(textCol)), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+    val vocab = toks.groupBy(col("t"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("t").asc).limit(vocabSize)
+      .select(col("t"), lit(1).as("__in"))
+    // bucket every token: itself if in-vocab, else the single OOV cell
+    val bucketed = toks.join(broadcast(vocab), Seq("t"), "left")
+      .select(col("__g"),
+        when(col("__in").isNull, lit("oov")).otherwise(col("t")).as("b"))
+    val counts = bucketed.groupBy(col("__g"), col("b"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val totals = counts.groupBy(col("__g")).agg(sum(col("c")).as("tot"))
+    val buckets = broadcast(vocab.select(col("t").as("b"))
+      .unionByName(toks.sparkSession.range(1).select(lit("oov").as("b"))))
+    val dense = totals.crossJoin(buckets)
+      .join(counts, Seq("__g", "b"), "left")
+      .select(col("__g"), col("b"),
+        ((coalesce(col("c"), lit(0.0)) + lit(1.0)) /
+          (col("tot") + lit(vocabSize + 1.0))).as("p"))
+    val a = dense.select(col("__g").as("ga"), col("b"), col("p").as("pa"))
+    val bb = dense.select(col("__g").as("gb"), col("b"), col("p").as("pb"))
+    val m = (col("pa") + col("pb")) / lit(2.0)
+    a.join(bb, "b").filter(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb"))
+      .agg(sum(col("pa") * log(col("pa") / col("pb"))).as("kl_ab"),
+        sum(col("pb") * log(col("pb") / col("pa"))).as("kl_ba"),
+        sum(col("pa") * log(col("pa") / m)).as("__ja"),
+        sum(col("pb") * log(col("pb") / m)).as("__jb"))
+      .select(col("ga"), col("gb"), col("kl_ab"), col("kl_ba"),
+        (lit(0.5) * col("__ja") + lit(0.5) * col("__jb")).as("js"))
+  }
+
   /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
     * Chen & Goodman 1999's fixed-discount form) — the smoothing that
     * actually powers n-gram LM filters, upgrading tx12's raw MLE:
