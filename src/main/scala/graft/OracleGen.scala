@@ -62,6 +62,96 @@ object OracleGen {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  /** lr1: full-batch GD logistic regression UNROLLED as chained CTEs
+    * (the pg1/BPE discipline): the tx2 feature battery + bias, label =
+    * n_chars > 300, zero init, `steps` gradient steps at lr = 1.0;
+    * emits the learned weights (value-checking the whole optimization
+    * path) plus train accuracy.
+    */
+  def lr1Sql(steps: Int = 3): String = {
+    val nf = 5
+    def zExpr(wt: String): String =
+      (0 until nf).map(j => s"f$j * $wt.w$j").mkString(" + ")
+    val base = """WITH q AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE)
+      |      / CAST(length(text) AS DOUBLE) AS punct_ratio,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+      |      / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |         x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE)
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+      |    CAST(list_sum(list_transform(string_split(text, ' '),
+      |         x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len
+      |  FROM documents),
+      |x AS (SELECT doc_id, 1.0 AS f0, punct_ratio AS f1, alpha_ratio AS f2,
+      |        stopword_ratio AS f3, mean_word_len / 10.0 AS f4,
+      |        CASE WHEN n_chars > 300 THEN 1.0 ELSE 0.0 END AS y FROM q),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM x),
+      |wt0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)""".stripMargin
+    val stepsSql = (1 to steps).map { t =>
+      val g = (0 until nf).map(j =>
+        s"sum(f$j * (1.0 / (1.0 + exp(-(${zExpr(s"wt${t - 1}")}))) - y)) AS g$j")
+        .mkString(",\n|    ")
+      val w = (0 until nf).map(j =>
+        s"wt${t - 1}.w$j - 1.0 * (g$t.g$j / nn.n) AS w$j").mkString(", ")
+      s""",
+         |g$t AS (SELECT $g
+         |  FROM x CROSS JOIN wt${t - 1}),
+         |wt$t AS (SELECT $w FROM g$t CROSS JOIN wt${t - 1} CROSS JOIN nn)""".stripMargin
+    }.mkString
+    val accuracy =
+      s""",
+         |zf AS (SELECT x.y, ${zExpr(s"wt$steps")} AS z FROM x CROSS JOIN wt$steps),
+         |acc AS (SELECT avg(CASE WHEN (z > 0) = (y = 1.0) THEN 1.0 ELSE 0.0 END) AS a,
+         |    CAST(count(*) AS BIGINT) AS n_docs FROM zf)
+         |SELECT j, round(weight, 6) AS weight, round(acc.a, 6) AS accuracy, acc.n_docs
+         |FROM (
+         |  ${(0 until nf).map(j => s"SELECT $j AS j, wt$steps.w$j AS weight FROM wt$steps")
+             .mkString("\n|  UNION ALL ")}
+         |) w CROSS JOIN acc ORDER BY j""".stripMargin
+    base + stepsSql + accuracy
+  }
+
+  /** cdc1: content-defined chunking — the full cut-rule, chunk-hash and
+    * shared-chunk recompute; every index arithmetic mirrors the
+    * engine's 0-based boundary positions.
+    */
+  def cdc1Sql(window: Int = 4, divisor: Int = 16): String = {
+    val win = s"array_to_string(list_slice(toks, " +
+      s"CAST(greatest(i + ${2 - window}, 1) AS INTEGER), CAST(i + 1 AS INTEGER)), ' ')"
+    // NB: hex60 is not usable here — its internal lambda variable is
+    // also `i` and would SHADOW the boundary position; inline the
+    // 60-bit fold with `j` instead.
+    val h60 = s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16), " +
+      s"j -> CAST(strpos('0123456789abcdef', substr(md5($win), CAST(j AS INTEGER), 1)) - 1 AS BIGINT))), " +
+      "(acc, x) -> acc * 16 + x)"
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       |p AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+       |bp AS (SELECT doc_id, toks, n,
+       |    list_filter(range(0, greatest(n - 1, 1)), i -> i <= n - 2 AND
+       |      $h60 % $divisor = 0) AS bpos
+       |  FROM p),
+       |se AS (SELECT doc_id, toks,
+       |    list_prepend(CAST(0 AS BIGINT), list_transform(bpos, b -> b + 1)) AS starts,
+       |    list_append(bpos, CAST(n - 1 AS BIGINT)) AS ends FROM bp),
+       |chs AS (SELECT doc_id, unnest(list_transform(range(1, len(starts) + 1),
+       |    k -> struct_pack(
+       |      h := md5(array_to_string(list_slice(toks,
+       |             CAST(starts[CAST(k AS INTEGER)] + 1 AS INTEGER),
+       |             CAST(ends[CAST(k AS INTEGER)] + 1 AS INTEGER)), ' ')),
+       |      l := CAST(ends[CAST(k AS INTEGER)] - starts[CAST(k AS INTEGER)] + 1 AS BIGINT)))) AS s
+       |  FROM se),
+       |ch AS (SELECT doc_id, s.h AS h, s.l AS l FROM chs),
+       |multi AS (SELECT h FROM ch GROUP BY h HAVING count(DISTINCT doc_id) > 1)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN h IN (SELECT h FROM multi) THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_shared_chunks,
+       |  round(avg(l), 6) AS mean_chunk_len
+       |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** dd16: LSH banding-quality audit — rebuild the portable md5
     * signatures, bands and RAW candidate pairs (pre-verification) plus
     * the exact-Jaccard truth set, and reduce both to one confusion
@@ -699,14 +789,17 @@ object OracleGen {
     * then dd7's recursive min-reach connected components over the
     * mutual edges.
     */
-  def kg1Sql(k: Int = 5, nCentroids: Int = 16, nProbe: Int = 6,
-             dim: Int = 64): String = {
+  /** The shared all-queries IVF-kNN CTE chain (cent…knn) used by kg1,
+    * gr3 and ann4 — identical construction rules to [[ss5Sql]].
+    */
+  private def ivfKnnCte(k: Int, nCentroids: Int, nProbe: Int,
+                        dim: Int): String = {
     val rows = Similarity.fixedCentroids(nCentroids, dim).map { c =>
       s"(${c.id}, [${c.vec.mkString(", ")}], ${c.norm})"
     }.mkString(", ")
     val centDot = s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
       "i -> cv[CAST(i AS INTEGER)] * v[CAST(i AS INTEGER)])), (acc, x) -> acc + x)"
-    s"""WITH RECURSIVE cent(cid, cv, cn) AS (VALUES $rows),
+    s"""cent(cid, cv, cn) AS (VALUES $rows),
        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |cs AS (SELECT e.vec_id, cent.cid, $centDot / cn AS c_sim FROM e CROSS JOIN cent),
        |cell AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
@@ -721,8 +814,14 @@ object OracleGen {
        |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id JOIN e ne ON ne.vec_id = cand.n_id),
        |knn AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, row_number() OVER (
        |    PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank FROM sims)
-       |  WHERE rank <= $k),
-       |mut AS (SELECT a.q_id AS d1, a.n_id AS d2 FROM knn a
+       |  WHERE rank <= $k)""".stripMargin
+  }
+
+  /** The mutual-edge + min-reach connected-components continuation of
+    * [[ivfKnnCte]] (needs WITH RECURSIVE at the head).
+    */
+  private val mutualCcCte: String =
+    s"""mut AS (SELECT a.q_id AS d1, a.n_id AS d2 FROM knn a
        |  JOIN knn b ON b.q_id = a.n_id AND b.n_id = a.q_id WHERE a.q_id < a.n_id),
        |edges AS (SELECT CAST(d1 AS BIGINT) AS src, CAST(d2 AS BIGINT) AS dst FROM mut
        |          UNION ALL SELECT CAST(d2 AS BIGINT), CAST(d1 AS BIGINT) FROM mut),
@@ -730,11 +829,74 @@ object OracleGen {
        |  SELECT CAST(vec_id AS BIGINT), CAST(vec_id AS BIGINT) FROM e
        |  UNION
        |  SELECT edges.dst, reach.r FROM reach JOIN edges ON edges.src = reach.v),
-       |cl AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v),
+       |cl AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v)""".stripMargin
+
+  def kg1Sql(k: Int = 5, nCentroids: Int = 16, nProbe: Int = 6,
+             dim: Int = 64): String =
+    s"""WITH RECURSIVE ${ivfKnnCte(k, nCentroids, nProbe, dim)},
+       |$mutualCcCte,
        |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize FROM cl GROUP BY cluster)
        |SELECT cl.v, cl.cluster, sz.csize
        |FROM cl JOIN sz USING (cluster) ORDER BY v""".stripMargin
-  }
+
+  /** gr3: Newman modularity of the kg1 partition over the mutual-kNN
+    * graph — per-cluster internal-edge and degree sums as exact
+    * integers, Q assembled in fixed-order double arithmetic.
+    */
+  def gr3Sql(k: Int = 5, nCentroids: Int = 16, nProbe: Int = 6,
+             dim: Int = 64): String =
+    s"""WITH RECURSIVE ${ivfKnnCte(k, nCentroids, nProbe, dim)},
+       |$mutualCcCte,
+       |mtot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM mut),
+       |deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+       |ein AS (SELECT ca.cluster, CAST(count(*) AS BIGINT) AS ec
+       |  FROM mut JOIN cl ca ON ca.v = mut.d1 JOIN cl cb ON cb.v = mut.d2
+       |  WHERE ca.cluster = cb.cluster GROUP BY 1),
+       |dsum AS (SELECT cl.cluster, CAST(sum(COALESCE(deg.d, 0)) AS BIGINT) AS dc
+       |  FROM cl LEFT JOIN deg ON deg.v = cl.v GROUP BY 1),
+       |q AS (SELECT sum(CAST(COALESCE(ein.ec, 0) AS DOUBLE) / CAST(mtot.m AS DOUBLE)
+       |    - (CAST(dsum.dc AS DOUBLE) / (2.0 * CAST(mtot.m AS DOUBLE)))
+       |      * (CAST(dsum.dc AS DOUBLE) / (2.0 * CAST(mtot.m AS DOUBLE)))) AS q,
+       |    CAST(count(*) AS BIGINT) AS n_clusters
+       |  FROM dsum LEFT JOIN ein USING (cluster) CROSS JOIN mtot)
+       |SELECT mtot.m AS n_edges, q.n_clusters, round(q.q, 6) AS modularity
+       |FROM q CROSS JOIN mtot""".stripMargin
+
+  /** ann4: hubness report — the k-occurrence distribution of the IVF
+    * top-k graph from exact integer moments (hub skew is the standard
+    * ANN pathology diagnostic).
+    */
+  def ann4Sql(k: Int = 5, nCentroids: Int = 16, nProbe: Int = 6,
+              dim: Int = 64): String =
+    s"""WITH ${ivfKnnCte(k, nCentroids, nProbe, dim)},
+       |occ AS (SELECT e.vec_id, CAST(COALESCE(o.c, 0) AS BIGINT) AS o FROM e
+       |  LEFT JOIN (SELECT n_id, count(*) AS c FROM knn GROUP BY 1) o
+       |    ON o.n_id = e.vec_id),
+       |mom AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(o) AS BIGINT) AS s1,
+       |    CAST(sum(o * o) AS BIGINT) AS s2, CAST(sum(o * o * o) AS BIGINT) AS s3,
+       |    CAST(max(o) AS BIGINT) AS max_occ,
+       |    CAST(sum(CASE WHEN o = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_antihubs
+       |  FROM occ)
+       |SELECT n, max_occ, n_antihubs,
+       |  round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_occ,
+       |  round((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+       |    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS var_occ,
+       |  round(((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+       |    - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+       |         - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       |           * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+       |    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+       |    / CASE WHEN (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+       |        - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       |          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) <= 0 THEN 1.0
+       |      ELSE pow((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+       |        - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       |          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 1.5) END, 6) AS skew_occ
+       |FROM mom""".stripMargin
 
   /** gnb1: Gaussian Naive Bayes on the labeled embeddings — the oracle
     * retrains the whole model in SQL (per-class/dim population moments

@@ -5486,5 +5486,137 @@ object QueriesOps {
         |  round(sum(pb * ln(pb / pa)), 6) AS kl_ba,
         |  round(0.5 * sum(pa * ln(pa / ((pa + pb) / 2.0)))
         |    + 0.5 * sum(pb * ln(pb / ((pa + pb) / 2.0))), 6) AS js
-        |FROM pr GROUP BY 1, 2 ORDER BY ga, gb""".stripMargin)))
+        |FROM pr GROUP BY 1, 2 ORDER BY ga, gb""".stripMargin)),
+
+    // CDC1: content-defined chunking (Rabin cut rule on tokens) — chunk
+    // boundaries move WITH content, so an insertion perturbs one chunk,
+    // not every downstream block; per-doc chunk counts + cross-doc
+    // shared chunks = the storage-layer dedup view beside dd9's spans.
+    "cdc1_content_chunks" -> Q(
+      (s, d) => Dedup.contentChunks(par(docs(s, d)), window = 4, divisor = 16)
+        .select(col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
+          round(col("mean_chunk_len"), 6).as("mean_chunk_len"))
+        .orderBy("doc_id"),
+      Some(OracleGen.cdc1Sql(4, 16))),
+
+    // AUG1: deterministic token-dropout augmentation — md5-coin drops
+    // (reproducible across runs, engines, retries); the oracle
+    // regenerates the augmented text byte-for-byte (aug_md5 match).
+    "aug1_token_dropout" -> Q(
+      (s, d) => Curate.tokenDropout(docs(s, d), dropDenom = 10)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |k AS (SELECT doc_id, toks,
+        |    list_transform(list_filter(range(1, len(toks) + 1), i ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
+        |        j -> CAST(strpos('0123456789abcdef', substr(md5(
+        |               CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR) || ':'
+        |               || toks[CAST(i AS INTEGER)]), CAST(j AS INTEGER), 1)) - 1 AS BIGINT))),
+        |        (acc, x) -> acc * 16 + x) % 10 <> 0),
+        |      i -> toks[CAST(i AS INTEGER)]) AS kept
+        |  FROM t)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_orig,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  md5(array_to_string(kept, ' ')) AS aug_md5
+        |FROM k ORDER BY doc_id""".stripMargin)),
+
+    // GR3: Newman modularity of kg1's mutual-kNN partition — the
+    // clustering-quality number (random wiring ⇒ Q ≈ 0) that decides
+    // whether embedding communities are real before they drive
+    // dedup-canonical or mixing decisions.
+    "gr3_modularity" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        val knn = Similarity.ivfTopK(par(e), e, k = 5,
+            centroids = Similarity.fixedCentroids(16, 64))
+          .select(col("q_id"), col("n_id"))
+        val rev = knn.select(col("n_id").as("q2"), col("q_id").as("n2"))
+        val mutual = knn
+          .join(rev, col("q_id") === col("q2") && col("n_id") === col("n2"))
+          .filter(col("q_id") < col("n_id"))
+          .select(col("q_id").as("d1"), col("n_id").as("d2"))
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        val cc = Dedup.connectedComponents(e.select(col("vec_id").as("v")), mutual)
+        graft.ops.Graph.modularity(mutual, cc)
+          .select(col("n_edges"), col("n_clusters"),
+            round(col("modularity"), 6).as("modularity"))
+      },
+      Some(OracleGen.gr3Sql())),
+
+    // ANN4: hubness report of the IVF top-k graph — k-occurrence
+    // moments (mean/var/skew), the biggest hub, the never-retrieved
+    // anti-hub count. The standard ANN pathology gate.
+    "ann4_hubness" -> Q(
+      (s, d) => Similarity.hubnessReport(par(embs(s, d)), k = 5, nProbe = 6,
+          centroids = Similarity.fixedCentroids(16, 64))
+        .select(col("n"), col("max_occ"), col("n_antihubs"),
+          round(col("mean_occ"), 6).as("mean_occ"),
+          round(col("var_occ"), 6).as("var_occ"),
+          round(col("skew_occ"), 6).as("skew_occ")),
+      Some(OracleGen.ann4Sql())),
+
+    // SP3: temporal split with EMBARGO (train < t₁, embargo gap,
+    // test ≥ t₂ — the leakage-hygiene split for time-series eval), plus
+    // the cross-split user-overlap count the reviewer asks about first.
+    "sp3_embargo_split" -> Q(
+      (s, d) => {
+        val ev = Queries.events(s, d)
+        val split = when(col("ts") < lit("2024-01-15").cast("timestamp"), "train")
+          .when(col("ts") < lit("2024-01-18").cast("timestamp"), "embargo")
+          .otherwise("test")
+        val sdf = ev.select(split.as("split"), col("user_id"))
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        val per = sdf.groupBy(col("split"))
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            countDistinct(col("user_id")).cast("long").as("n_users"))
+        val leak = broadcast(
+          sdf.filter(col("split") === "train").select("user_id").distinct()
+            .join(sdf.filter(col("split") === "test").select("user_id").distinct(),
+              "user_id")
+            .agg(count(lit(1)).cast("long").as("n_leak_users")))
+        per.crossJoin(leak).orderBy("split")
+      },
+      Some("""WITH s AS (SELECT CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 'train'
+        |         WHEN ts < TIMESTAMP '2024-01-18' THEN 'embargo'
+        |         ELSE 'test' END AS split, user_id FROM events),
+        |per AS (SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |        FROM s GROUP BY 1),
+        |lk AS (SELECT CAST(count(*) AS BIGINT) AS n_leak_users FROM
+        |   (SELECT DISTINCT user_id FROM s WHERE split = 'train') a
+        |   JOIN (SELECT DISTINCT user_id FROM s WHERE split = 'test') b USING (user_id))
+        |SELECT split, n_events, n_users, n_leak_users
+        |FROM per CROSS JOIN lk ORDER BY split""".stripMargin)),
+
+    // LR1: the ITERATIVE trainer beside nb1/gnb1's closed forms —
+    // full-batch GD logistic regression on the tx2 feature battery
+    // (label = n_chars > 300), 3 steps unrolled in the oracle, so the
+    // WEIGHTS are value-checked, not just predictions. Each step is one
+    // combinable gradient aggregate + an O(dims) driver update — the
+    // canonical Spark batch-GD loop.
+    "lr1_logistic_gd" -> Q(
+      (s, d) => {
+        val feats = Text.withQuality(docs(s, d))
+          .select(col("doc_id"), lit(1.0).as("f0"),
+            col("punct_ratio").as("f1"), col("alpha_ratio").as("f2"),
+            col("stopword_ratio").as("f3"),
+            (col("mean_word_len") / lit(10.0)).as("f4"),
+            when(col("n_chars") > 300, lit(1.0)).otherwise(lit(0.0)).as("y"))
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        val fc = Seq("f0", "f1", "f2", "f3", "f4")
+        val w = Classify.logisticGd(feats, fc, "y", steps = 3, lr = 1.0)
+        val scored = Classify.logisticScore(feats, fc, w)
+        val acc = broadcast(scored.agg(
+          avg(when((col("z") > 0) === (col("y") === 1.0), lit(1.0))
+            .otherwise(lit(0.0))).as("accuracy"),
+          count(lit(1)).cast("long").as("n_docs")))
+        import s.implicits._
+        w.toSeq.zipWithIndex.map { case (wi, j) => (j, wi) }
+          .toDF("j", "weight")
+          .crossJoin(acc)
+          .select(col("j"), round(col("weight"), 6).as("weight"),
+            round(col("accuracy"), 6).as("accuracy"), col("n_docs"))
+          .orderBy("j")
+      },
+      Some(OracleGen.lr1Sql(3))))
 }

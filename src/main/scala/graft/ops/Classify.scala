@@ -123,6 +123,51 @@ object Classify {
         col("__score").as("score"))
   }
 
+  /** Full-batch gradient-descent logistic regression with a FIXED step
+    * count — the iterative trainer beside the closed-form NB pair: the
+    * shape of every "fit a small quality/filter model on corpus
+    * features" job. Determinism contract: fixed zero init, fixed lr,
+    * fixed steps, and the per-step gradient is a plain combinable SUM —
+    * the oracle unrolls the identical three steps as chained CTEs (the
+    * pg1/BPE discipline), so the learned weights themselves are
+    * value-checked, not just the predictions.
+    *
+    * Scale: each step is ONE map-side-combinable aggregate over the
+    * feature table (dims+0 scalars out) + an O(dims) driver update —
+    * the classic Spark batch-GD loop. Feature tables never shuffle.
+    */
+  def logisticGd(feats: DataFrame, featCols: Seq[String],
+                 labelCol: String, steps: Int = 3,
+                 lr: Double = 1.0): Array[Double] = {
+    require(featCols.nonEmpty && steps > 0, "need features and steps")
+    val n = feats.count().toDouble
+    var w = Array.fill(featCols.size)(0.0)
+    for (_ <- 1 to steps) {
+      // z in fixed feature order (the oracle mirrors the same fold)
+      val z = featCols.zip(w).map { case (c, wi) => col(c) * lit(wi) }
+        .reduce(_ + _)
+      val err = lit(1.0) / (lit(1.0) + exp(-z)) - col(labelCol)
+      val gradAggs = featCols.map(c => sum(col(c) * err))
+      val row = feats.agg(gradAggs.head, gradAggs.tail: _*).head()
+      w = w.zipWithIndex.map { case (wi, j) =>
+        wi - lr * (row.getDouble(j) / n)
+      }
+    }
+    w
+  }
+
+  /** Score a feature table with trained weights: per-row linear term,
+    * sigmoid, and the > 0 keep decision — one codegen projection.
+    */
+  def logisticScore(feats: DataFrame, featCols: Seq[String],
+                    weights: Array[Double]): DataFrame = {
+    val z = featCols.zip(weights).map { case (c, wi) => col(c) * lit(wi) }
+      .reduce(_ + _)
+    feats.withColumn("z", z)
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("z"))))
+      .withColumn("pred", col("z") > 0)
+  }
+
   // ---------------------------------------------------------------- //
 
   /** Gaussian NB model: per class, the prior's log plus per-dimension

@@ -584,6 +584,30 @@ object Curate {
         sum(p * log(p / q)).as("kl"))
   }
 
+  /** Deterministic token-dropout augmentation: token i of doc d drops
+    * iff md5(d:i:token) lands in the dropRate slice of the hash space —
+    * the seedless md5-coin discipline (cur1/cur6), so the augmented
+    * corpus is REPRODUCIBLE run-to-run and engine-to-engine: reruns,
+    * retries and the SQL oracle all regenerate byte-identical text.
+    * The cheap-and-cheerful robustness augmentation for classifier
+    * training data.
+    *
+    * Scale: one in-row higher-order pass — no shuffle, no UDF, no RNG
+    * state to coordinate across executors.
+    */
+  def tokenDropout(docs: DataFrame, dropDenom: Int = 10,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val kept = filter(toks, (x, i) =>
+      pmod(Dedup.md5Hash60(concat(col(idCol).cast("string"), lit(":"),
+        i.cast("string"), lit(":"), x)), lit(dropDenom.toLong)) =!= 0)
+    docs.select(col(idCol),
+      size(toks).cast("long").as("n_orig"),
+      size(kept).cast("long").as("n_kept"),
+      md5(array_join(kept, " ")).as("aug_md5"))
+  }
+
   def hashSplit(docs: DataFrame, idCol: String,
                 fractions: Seq[(String, Double)]): DataFrame = {
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")

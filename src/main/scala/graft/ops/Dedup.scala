@@ -690,6 +690,58 @@ object Dedup {
     minhashLshPairs(docs, threshold, numHashes, bands, shingleK, textCol, idCol,
       hashFn = md5ShingleHash, bandHashFn = md5)
 
+  /** Content-defined chunking (Rabin-fingerprint cut rule à la LBFS,
+    * Muthitacharoen et al. SOSP'01, on tokens): the stream is cut
+    * after any position whose trailing `window`-token context hashes
+    * to 0 mod `divisor` — so chunk boundaries move WITH content, and
+    * an insertion reshuffles only its own chunk instead of every
+    * fixed-width block downstream. Output per doc: chunk count, chunks
+    * shared with ANOTHER doc (the storage-dedup hit set), mean chunk
+    * length — dd9's span dedup lifted to variable-width chunks, the
+    * storage-layer view of corpus redundancy.
+    *
+    * Scale: boundaries, chunk hashes and lengths are all in-row
+    * higher-order expressions (per doc O(tokens·window)); the only
+    * shuffles carry (hash, id) pairs — the dd9 discipline. Expected
+    * chunk length = divisor tokens.
+    */
+  def contentChunks(docs: DataFrame, window: Int = 4, divisor: Int = 16,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol).as("__d"),
+        split(lower(col(textCol)), " ").as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    val n = size(col("__toks"))
+    def winStr(i: Column): Column = {
+      val st = greatest(i + lit(2 - window), lit(1))
+      array_join(slice(col("__toks"), st, i + lit(2) - st), " ")
+    }
+    val bpos = filter(sequence(lit(0), greatest(n - lit(2), lit(0))),
+      i => i <= n - lit(2) &&
+        pmod(md5Hash60(winStr(i)), lit(divisor.toLong)) === 0)
+    val withB = base.withColumn("__bpos", bpos)
+    val starts = concat(array(lit(0)), transform(col("__bpos"), b => b + 1))
+    val ends = concat(col("__bpos"), array(n - lit(1)))
+    val chunks = zip_with(starts, ends, (st, en) =>
+      struct(md5(array_join(slice(col("__toks"), st + 1, en - st + 1), " ")).as("h"),
+        (en - st + 1).cast("long").as("l")))
+    val exploded = withB.select(col("__d"), explode(chunks).as("c"))
+      .select(col("__d"), col("c.h").as("h"), col("c.l").as("l"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val multi = exploded.groupBy(col("h"))
+      .agg(countDistinct(col("__d")).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select(col("h"), lit(1).as("__shared"))
+    exploded.join(multi, Seq("h"), "left")
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("__shared").isNotNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_shared_chunks"),
+        avg(col("l")).as("mean_chunk_len"))
+      .select(col("__d").as(idCol), col("n_chunks"),
+        col("n_shared_chunks"), col("mean_chunk_len"))
+  }
+
   /** LSH banding-quality evaluation — the audit you run on a SAMPLE
     * before committing a (numHashes, bands) scheme to the full corpus:
     * RAW band-collision candidates (pre-verification, the set whose

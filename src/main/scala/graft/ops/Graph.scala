@@ -257,4 +257,49 @@ object Graph {
     cur.unpersist(false)
     out
   }
+
+  /** Newman modularity Q of a partition over an UNDIRECTED edge list
+    * (Newman & Girvan 2004): Q = Σ_c [ e_c/m − (d_c/2m)² ] — the
+    * clustering-quality score that says whether a community structure
+    * (kg1's mutual-kNN components, label propagation, …) beats random
+    * wiring (Q ≈ 0) or is genuinely assortative (Q → 1). One row:
+    * (n_edges, n_clusters, modularity).
+    *
+    * Scale: two ids-only joins (edge endpoints → clusters), one degree
+    * count and one per-cluster aggregate — everything after the input
+    * edge list carries (long, long) pairs; Q itself reduces
+    * cluster-count-many exact integer cells in fixed-order doubles.
+    *
+    * `edges` columns d1/d2 (one row per undirected edge);
+    * `clusters` columns v/cluster ([[graft.ops.Dedup.connectedComponents]] output).
+    */
+  def modularity(edges: DataFrame, clusters: DataFrame): DataFrame = {
+    val mtot = broadcast(edges.agg(count(lit(1)).cast("long").as("m")))
+    val directed = edges.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(edges.select(col("d2").as("src"), col("d1").as("dst")))
+    val deg = directed.groupBy(col("src").as("dv"))
+      .agg(count(lit(1)).cast("long").as("d"))
+    val ca = clusters.select(col("v").as("va"), col("cluster").as("cla"))
+    val cb = clusters.select(col("v").as("vb"), col("cluster").as("clb"))
+    val ein = edges
+      .join(ca, col("d1") === col("va"))
+      .join(cb, col("d2") === col("vb"))
+      .filter(col("cla") === col("clb"))
+      .groupBy(col("cla").as("cluster"))
+      .agg(count(lit(1)).cast("long").as("ec"))
+    val dsum = clusters.join(deg, col("v") === col("dv"), "left")
+      .groupBy(col("cluster"))
+      .agg(sum(coalesce(col("d"), lit(0L))).cast("long").as("dc"))
+    val md = col("m").cast("double")
+    dsum.join(ein, Seq("cluster"), "left").crossJoin(mtot)
+      .select(col("cluster"),
+        (coalesce(col("ec"), lit(0L)).cast("double") / md -
+          (col("dc").cast("double") / (lit(2.0) * md)) *
+            (col("dc").cast("double") / (lit(2.0) * md))).as("__q"),
+        col("m"))
+      .groupBy(col("m").as("n_edges"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"),
+        sum(col("__q")).as("modularity"))
+      .select(col("n_edges"), col("n_clusters"), col("modularity"))
+  }
 }

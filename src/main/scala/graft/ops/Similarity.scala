@@ -556,6 +556,46 @@ object Similarity {
     * one combinable 1-row moment aggregate broadcast back + a
     * distributed TakeOrdered — no shuffle of vectors at all.
     */
+  /** Hubness report of the ANN top-k graph (Radovanović et al.
+    * JMLR'10): the k-occurrence distribution — how often each vector
+    * appears in OTHER vectors' top-k — from exact integer moments:
+    * mean (≈ k by construction), variance, skewness, the max (the
+    * biggest hub) and the anti-hub count (vectors never retrieved).
+    * High positive skew is THE standard symptom of hub pathology that
+    * silently degrades kNN-based dedup/retrieval quality.
+    *
+    * Scale: rides the IVF top-k (plan-time centroid literals); the
+    * occurrence count is one combinable ids-only aggregate; moments
+    * are a 1-row reduce. At billions of vectors the o³ sum needs
+    * decimal headroom (the Pca note); long here.
+    */
+  def hubnessReport(corpus: DataFrame, k: Int = 5, nProbe: Int = 6,
+                    centroids: Seq[Centroid] = Nil, nCentroids: Int = 16,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val knn = ivfTopK(corpus, corpus, k, nCentroids, nProbe, idCol, vecCol,
+      centroids)
+    val occCounts = knn.groupBy(col("n_id")).agg(count(lit(1)).as("c"))
+    val occ = corpus.select(col(idCol).as("__v"))
+      .join(occCounts, col("__v") === col("n_id"), "left")
+      .select(coalesce(col("c"), lit(0L)).cast("long").as("o"))
+    val mom = occ.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("o")).cast("long").as("s1"),
+      sum(col("o") * col("o")).cast("long").as("s2"),
+      sum(col("o") * col("o") * col("o")).cast("long").as("s3"),
+      max(col("o")).cast("long").as("max_occ"),
+      sum(when(col("o") === 0, lit(1L)).otherwise(lit(0L))).as("n_antihubs"))
+    val nD = col("n").cast("double")
+    val mean = col("s1").cast("double") / nD
+    val ex2 = col("s2").cast("double") / nD
+    val vr = ex2 - mean * mean
+    val skew = (col("s3").cast("double") / nD - lit(3.0) * mean * vr
+      - mean * mean * mean) /
+      when(vr <= 0.0, lit(1.0)).otherwise(pow(vr, lit(1.5)))
+    mom.select(col("n"), col("max_occ"), col("n_antihubs"),
+      mean.as("mean_occ"), vr.as("var_occ"), skew.as("skew_occ"))
+  }
+
   /** Per-label embedding isotropy report — the representation-quality
     * audit (Ethayarajh EMNLP'19's anisotropy measure): the MEAN
     * PAIRWISE COSINE inside each label, computed WITHOUT any pair join

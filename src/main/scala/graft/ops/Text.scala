@@ -486,12 +486,12 @@ object Text {
     // bucket every token: itself if in-vocab, else the single OOV cell
     val bucketed = toks.join(broadcast(vocab), Seq("t"), "left")
       .select(col("__g"),
-        when(col("__in").isNull, lit("oov")).otherwise(col("t")).as("b"))
+        when(col("__in").isNull, lit("oov")).otherwise(col("t")).as("b"))
     val counts = bucketed.groupBy(col("__g"), col("b"))
       .agg(count(lit(1)).cast("double").as("c"))
     val totals = counts.groupBy(col("__g")).agg(sum(col("c")).as("tot"))
     val buckets = broadcast(vocab.select(col("t").as("b"))
-      .unionByName(toks.sparkSession.range(1).select(lit("oov").as("b"))))
+      .unionByName(toks.sparkSession.range(1).select(lit("oov").as("b"))))
     val dense = totals.crossJoin(buckets)
       .join(counts, Seq("__g", "b"), "left")
       .select(col("__g"), col("b"),

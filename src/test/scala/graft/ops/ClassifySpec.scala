@@ -81,6 +81,26 @@ class ClassifySpec extends AnyFunSuite {
       s"accuracy $acc suspiciously close to random")
   }
 
+  test("logisticGd: first-step closed form; separable data fits perfectly") {
+    val feats = Seq(
+      (1L, 1.0, 2.0, 1.0), (2L, 1.0, 3.0, 1.0), (3L, 1.0, 2.5, 1.0),
+      (4L, 1.0, -2.0, 0.0), (5L, 1.0, -3.0, 0.0), (6L, 1.0, -2.5, 0.0)
+    ).toDF("id", "f0", "f1", "y")
+    val fc = Seq("f0", "f1")
+    // step 1 from zero init: sigma(0) = 0.5, grad_j = sum(x_j*(0.5-y))/n
+    val w1 = Classify.logisticGd(feats, fc, "y", steps = 1)
+    val rows = Seq((1.0, 2.0, 1.0), (1.0, 3.0, 1.0), (1.0, 2.5, 1.0),
+      (1.0, -2.0, 0.0), (1.0, -3.0, 0.0), (1.0, -2.5, 0.0))
+    val g0 = rows.map { case (f0, _, y) => f0 * (0.5 - y) }.sum / 6.0
+    val g1 = rows.map { case (_, f1, y) => f1 * (0.5 - y) }.sum / 6.0
+    assert(math.abs(w1(0) - (-g0)) < 1e-12 && math.abs(w1(1) - (-g1)) < 1e-12)
+    // separable by sign(f1): a few more steps classify perfectly
+    val w = Classify.logisticGd(feats, fc, "y", steps = 5)
+    val scored = Classify.logisticScore(feats, fc, w)
+    assert(scored.filter((col("pred") === true) =!= (col("y") === 1.0)).isEmpty,
+      "separable toy set must be perfectly classified")
+  }
+
   test("ivfIndex + ivfQueryIndex === fused ivfTopK (bit-identical)") {
     val cents = Similarity.fixedCentroids(16, 64)
     val fused = Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 8),

@@ -149,4 +149,21 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("v")).toSet
     assert(got === Set(1L, 10L, 11L))
   }
+
+  test("modularity: two disjoint triangles score exactly 0.5") {
+    import spark.implicits._
+    // textbook case: perfect 2-community partition of two triangles
+    // Q = 2 * (3/6 - (6/12)^2) = 0.5
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("d1", "d2")
+    val cl = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("v", "cluster")
+    val r = Graph.modularity(tri, cl).head()
+    assert(r.getLong(0) === 6L && r.getLong(1) === 2L)
+    assert(math.abs(r.getDouble(2) - 0.5) < 1e-12)
+    // the same graph under ONE cluster scores exactly 0 (the null model)
+    val one = cl.select(col("v"), lit(1L).as("cluster"))
+    val r0 = Graph.modularity(tri, one).head()
+    assert(math.abs(r0.getDouble(2)) < 1e-12, "single-cluster Q must be 0")
+  }
 }

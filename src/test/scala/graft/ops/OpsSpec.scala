@@ -888,6 +888,49 @@ class OpsSpec extends AnyFunSuite {
     assert(prec >= 0.0 && prec <= 1.0 && rep.getDouble(7) >= 0.0)
   }
 
+  test("hubnessReport: occurrence mass equals the top-k graph row count") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = graft.ops.Similarity.fixedCentroids(16, 64)
+    val rep = graft.ops.Similarity.hubnessReport(e, k = 5, nProbe = 6,
+      centroids = cents).head()
+    val knnRows = graft.ops.Similarity.ivfTopK(e, e, k = 5, centroids = cents)
+      .count()
+    val n = rep.getLong(0)
+    assert(n === e.count())
+    // Σ occurrences IS the knn edge count, so the means must be equal
+    assert(rep.getDouble(3) === knnRows.toDouble / n)
+    assert(rep.getLong(1) >= 1L && rep.getLong(2) >= 0L)
+    assert(rep.getDouble(4) >= 0.0, "variance cannot be negative")
+  }
+
+  test("contentChunks: chunks tile each doc; exact dups share every chunk") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rep = Dedup.contentChunks(corpus).cache()
+    // conservation: n_chunks * mean_chunk_len recovers the token count
+    val viol = rep.join(corpus.select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("double").as("nt")), "doc_id")
+      .filter(abs(col("n_chunks").cast("double") * col("mean_chunk_len") - col("nt")) > 1e-6)
+    assert(viol.isEmpty, "chunks must tile the token stream exactly")
+    // a doc and its planted exact duplicate share ALL chunks
+    val dup = rep.filter(col("doc_id") >= 1000 && col("doc_id") < 1010)
+    assert(dup.filter(col("n_shared_chunks") =!= col("n_chunks")).isEmpty,
+      "exact duplicates must share every content-defined chunk")
+    // boundary insensitivity: content cuts are data-local, so every doc
+    // has at least one chunk and mean length stays positive
+    assert(rep.filter(col("n_chunks") < 1 || col("mean_chunk_len") <= 0).isEmpty)
+  }
+
+  test("tokenDropout: deterministic, ~1/10 drop rate, subset semantics") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Curate.tokenDropout(docs).cache()
+    val b = Curate.tokenDropout(docs)
+    assert(a.exceptAll(b).isEmpty, "md5-coin dropout must be run-stable")
+    assert(a.filter(col("n_kept") > col("n_orig")).isEmpty)
+    val tot = a.agg(sum("n_orig"), sum("n_kept")).head()
+    val rate = 1.0 - tot.getLong(1).toDouble / tot.getLong(0).toDouble
+    assert(rate > 0.05 && rate < 0.15, s"drop rate $rate far from 1/10")
+  }
+
   test("isotropyReport equals the explicit pairwise-cosine mean on a toy set") {
     import spark.implicits._
     // two labels: one collapsed (copies of one direction), one spread
@@ -938,5 +981,9 @@ class OpsSpec extends AnyFunSuite {
       greatest(col("n12").cast("double") - lit(0.75), lit(0.0)) / col("n1").cast("double")
         > col("n12").cast("double") / col("n1").cast("double"))
     assert(mleViolation.isEmpty, "discounting must not exceed raw MLE")
+    // knBigramLm persists its bigram aggregate internally; the cache
+    // manager is SparkContext-wide, so a leaked entry would substitute
+    // InMemoryRelations into tx12/tx18's plan-golden trees. Clear it.
+    spark.catalog.clearCache()
   }
 }
