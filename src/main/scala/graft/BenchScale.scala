@@ -56,7 +56,14 @@ object BenchScale {
     // fixed-round k-core peel, decayed heavy hitters — each expected
     // linear; a superlinear rank would expose a hidden sort funnel
     "gn1_gini", "ev1_retrieval_metrics", "fi1_itemset_lift",
-    "kc1_kcore", "dh1_decayed_topk")
+    "kc1_kcore", "dh1_decayed_topk",
+    // round-9 trained-model + audit families: NB's vocab-bounded model
+    // join, GD's per-step gradient aggregate, the in-row chunker, the
+    // (shard × source) mix audit and the vocab-dense divergence matrix
+    // — each expected linear; a superlinear nb1 would expose the score
+    // table fanning out by corpus instead of by class
+    "nb1_nb_source_classify", "lr1_logistic_gd", "cdc1_content_chunks",
+    "sq1_shuffle_quality", "dm1_domain_divergence", "ann4_hubness")
 
   private val Stride = 1000000000L
 

@@ -62,6 +62,47 @@ object OracleGen {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  /** km1: Lloyd k-means with fixed init and `rounds` UNROLLED rounds —
+    * every assignment (min squared-L2, ties to smaller cid) and every
+    * centroid update (per-(cluster, dim) mean, empty clusters keep the
+    * previous centroid) recomputed in SQL from the same literals.
+    */
+  def km1Sql(k: Int = 8, rounds: Int = 2, dim: Int = 64): String = {
+    val rows = Similarity.fixedCentroids(k, dim).map { c =>
+      s"(${c.id}, [${c.vec.mkString(", ")}])"
+    }.mkString(", ")
+    def dist(cent: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+        s"i -> (v[CAST(i AS INTEGER)] - cv[CAST(i AS INTEGER)]) " +
+        s"* (v[CAST(i AS INTEGER)] - cv[CAST(i AS INTEGER)]))), (a, b) -> a + b)"
+    val base = s"""WITH cent0(cid, cv) AS (VALUES $rows),
+      |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |rng AS (SELECT CAST(unnest(range(1, ${dim + 1})) AS INTEGER) AS i)""".stripMargin
+    val roundsSql = (1 to rounds).map { t =>
+      val p = t - 1
+      s""",
+         |d$t AS (SELECT e.vec_id, cent$p.cid, ${dist(s"cent$p")} AS d
+         |  FROM e CROSS JOIN cent$p),
+         |a$t AS (SELECT vec_id, cid AS cluster FROM (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn FROM d$t)
+         |  WHERE rn = 1),
+         |m$t AS (SELECT a$t.cluster, rng.i, avg(e.v[rng.i]) AS m
+         |  FROM a$t JOIN e USING (vec_id) CROSS JOIN rng GROUP BY 1, 2),
+         |g$t AS (SELECT cent$p.cid, rng.i, COALESCE(m$t.m, cent$p.cv[rng.i]) AS cval
+         |  FROM cent$p CROSS JOIN rng
+         |  LEFT JOIN m$t ON m$t.cluster = cent$p.cid AND m$t.i = rng.i),
+         |cent$t AS (SELECT cid, list(cval ORDER BY i) AS cv FROM g$t GROUP BY cid)""".stripMargin
+    }.mkString
+    s"""$base$roundsSql,
+       |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+       |       FROM a$rounds GROUP BY 1)
+       |SELECT CAST(g$rounds.cid AS BIGINT) AS cluster,
+       |  COALESCE(sz.n_members, 0) AS n_members,
+       |  CAST(g$rounds.i - 1 AS INTEGER) AS dim, round(g$rounds.cval, 6) AS c_val
+       |FROM g$rounds LEFT JOIN sz ON sz.cluster = g$rounds.cid
+       |ORDER BY cluster, dim""".stripMargin
+  }
+
   /** lr1: full-batch GD logistic regression UNROLLED as chained CTEs
     * (the pg1/BPE discipline): the tx2 feature battery + bias, label =
     * n_chars > 300, zero init, `steps` gradient steps at lr = 1.0;

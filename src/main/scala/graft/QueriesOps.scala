@@ -5618,5 +5618,18 @@ object QueriesOps {
             round(col("accuracy"), 6).as("accuracy"), col("n_docs"))
           .orderBy("j")
       },
-      Some(OracleGen.lr1Sql(3))))
+      Some(OracleGen.lr1Sql(3))),
+
+    // KM1: distributed Lloyd k-means, the third trainer shape (fixed
+    // init + fixed rounds → the oracle unrolls every assignment and
+    // centroid update). Per round: one plan-time-literal assignment
+    // pass + one combinable (cluster, dim) moment shuffle + an
+    // O(k·dim) driver update — MLlib's KMeans pattern, value-checked.
+    "km1_lloyd_kmeans" -> Q(
+      (s, d) => Similarity.lloydRounds(par(embs(s, d)),
+          Similarity.fixedCentroids(8, 64), rounds = 2)
+        .select(col("cluster"), col("n_members"), col("dim"),
+          round(col("c_val"), 6).as("c_val"))
+        .orderBy("cluster", "dim"),
+      Some(OracleGen.km1Sql(8, 2))))
 }

@@ -556,6 +556,69 @@ object Similarity {
     * one combinable 1-row moment aggregate broadcast back + a
     * distributed TakeOrdered — no shuffle of vectors at all.
     */
+  /** Distributed Lloyd k-means with a FIXED round count and
+    * deterministic init — the third trainer shape beside the
+    * closed-form NB pair and the GD loop: per round one narrow
+    * plan-time-literal assignment pass (no shuffle of vectors) and one
+    * combinable (cluster, dim) moment shuffle, then an O(k·dim)
+    * driver update — the exact pattern MLlib's KMeans runs, made
+    * oracle-checkable by pinning init and rounds (the oracle unrolls
+    * every assignment and centroid update). Empty clusters keep their
+    * previous centroid.
+    *
+    * Returns (cluster, n_members, dim, c_val): the final centroids
+    * with the last assignment's cluster sizes.
+    */
+  def lloydRounds(corpus: DataFrame, initCentroids: Seq[Centroid],
+                  rounds: Int = 2, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(initCentroids.nonEmpty && rounds > 0, "need centroids and rounds")
+    val vd = col(vecCol).cast("array<double>")
+    var cents: Seq[(Long, Array[Double])] =
+      initCentroids.map(c => c.id -> c.vec)
+    def assignCol(cs: Seq[(Long, Array[Double])]): Column = {
+      val structs = array(cs.map { case (cid, cv) =>
+        val cl = typedlit(cv.toIndexedSeq)
+        // squared L2 as an IN-ORDER per-dim fold (oracle-mirrored)
+        val d2 = aggregate(zip_with(vd, cl, (x, c) => (x - c) * (x - c)),
+          lit(0.0), (a, t) => a + t)
+        struct(d2.as("d"), lit(cid).as("cid"))
+      }: _*)
+      // min (dist, cid) struct: ties to the SMALLER cluster id
+      array_min(structs).getField("cid")
+    }
+    var assigned: DataFrame = corpus.limit(0).select(col(idCol),
+      lit(0L).as("cluster")) // replaced in round 1
+    for (_ <- 1 to rounds) {
+      assigned = corpus.select(col(idCol), vd.as("__v"),
+        assignCol(cents).as("cluster"))
+      val stats = assigned
+        .select(col("cluster"), posexplode(col("__v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim")).agg(avg(col("x")).as("m"))
+        .collect()
+      val byC = stats.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, old) =>
+        byC.get(cid) match {
+          case Some(rows) =>
+            val m = old.clone()
+            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+            cid -> m
+          case None => cid -> old
+        }
+      }
+    }
+    val sizes = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).cast("long").as("n_members"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = cents.flatMap { case (cid, v) =>
+      v.zipWithIndex.map { case (cv, d) => (cid, d, cv) }
+    }.toDF("cluster", "dim", "c_val")
+    centDf.join(sizes, Seq("cluster"), "left")
+      .select(col("cluster"), coalesce(col("n_members"), lit(0L)).as("n_members"),
+        col("dim"), col("c_val"))
+  }
+
   /** Hubness report of the ANN top-k graph (Radovanović et al.
     * JMLR'10): the k-occurrence distribution — how often each vector
     * appears in OTHER vectors' top-k — from exact integer moments:
