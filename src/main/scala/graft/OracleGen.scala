@@ -572,6 +572,57 @@ object OracleGen {
        |FROM sims WHERE cos_sim >= $threshold ORDER BY id1, id2""".stripMargin
   }
 
+  /** bx2: margin-based bitext mining over SRP-LSH candidate pairs —
+    * the scale-path twin of bx1's brute-force leg. Buckets mirror
+    * [[Similarity.lshCandidatePairs]] (same planeSigns literals,
+    * Hamming-1 probe on the SOURCE side only), and the margin /
+    * mutual-best machinery is bx1's verbatim, restricted to the
+    * candidate set — so the oracle recomputes the identical candidate
+    * universe and the identical ordered-fold avgK arithmetic.
+    */
+  def bx2Sql(k: Int = 4, marginThreshold: Double = 1.05,
+             nPlanes: Int = 8, nTables: Int = 8,
+             dim: Int = 64, baseSeed: Long = 11L): String = {
+    val flips: Seq[Long] = Seq(0L) ++ (0 until nPlanes).map(p => 1L << p)
+    s"""WITH pl(tbl, p, s) AS (VALUES ${planeRows(nPlanes, dim, (0 until nTables).map(baseSeed + _))}),
+       |e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |dots AS (SELECT e.vec_id, pl.tbl, pl.p, ${planeDot(dim)} AS dp FROM e CROSS JOIN pl),
+       |bkt AS (SELECT vec_id, tbl,
+       |    CAST(sum(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bkt
+       |  FROM dots GROUP BY vec_id, tbl),
+       |sb AS (SELECT b.vec_id AS s_id, b.tbl, xor(b.bkt, CAST(f.f AS BIGINT)) AS bkt
+       |  FROM bkt b JOIN e ON e.vec_id = b.vec_id,
+       |       (SELECT unnest([${flips.mkString(", ")}]) AS f) f
+       |  WHERE e.label % 2 = 0),
+       |tb AS (SELECT b.vec_id AS t_id, b.tbl, b.bkt
+       |  FROM bkt b JOIN e ON e.vec_id = b.vec_id WHERE e.label % 2 = 1),
+       |cand AS (SELECT DISTINCT sb.s_id, tb.t_id
+       |  FROM sb JOIN tb ON tb.tbl = sb.tbl AND tb.bkt = sb.bkt),
+       |sc AS (SELECT cand.s_id, cand.t_id, ${cosSql(dim, "se", "te")} AS cos_sim
+       |  FROM cand JOIN e se ON se.vec_id = cand.s_id JOIN e te ON te.vec_id = cand.t_id),
+       |rs AS (SELECT *, row_number() OVER (PARTITION BY s_id ORDER BY cos_sim DESC, t_id ASC) AS r FROM sc),
+       |rt AS (SELECT *, row_number() OVER (PARTITION BY t_id ORDER BY cos_sim DESC, s_id ASC) AS r FROM sc),
+       |avs AS (SELECT s_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(cos_sim ORDER BY cos_sim DESC, t_id ASC)), (a, x) -> a + x)
+       |    / count(*) AS avg_s
+       |  FROM rs WHERE r <= $k GROUP BY s_id),
+       |avt AS (SELECT t_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(cos_sim ORDER BY cos_sim DESC, s_id ASC)), (a, x) -> a + x)
+       |    / count(*) AS avg_t
+       |  FROM rt WHERE r <= $k GROUP BY t_id),
+       |m AS (SELECT sc.s_id, sc.t_id, cos_sim,
+       |    cos_sim / ((avg_s + avg_t) / 2.0) AS margin
+       |  FROM sc JOIN avs ON sc.s_id = avs.s_id JOIN avt ON sc.t_id = avt.t_id),
+       |b AS (SELECT *,
+       |    row_number() OVER (PARTITION BY s_id ORDER BY margin DESC, t_id ASC) AS bs,
+       |    row_number() OVER (PARTITION BY t_id ORDER BY margin DESC, s_id ASC) AS bt
+       |  FROM m)
+       |SELECT s_id, t_id, round(cos_sim, 6) AS cos_sim, round(margin, 6) AS margin
+       |FROM b WHERE bs = 1 AND bt = 1 AND margin > $marginThreshold ORDER BY s_id, t_id""".stripMargin
+  }
+
   /** dd13: SemDeDup over the FIXED deterministic centroids — cell
     * assignment via the same in-order list_reduce fold as VectorDot
     * (ties to the higher cid, matching array_max on (c_sim, c_id)),

@@ -43,7 +43,7 @@ object Plans {
     "kg1_mutual_knn_clusters", "dd16_lsh_eval", "tx18_kneser_ney",
     "fa1_filter_attribution", "iso1_isotropy_report",
     "dc4_contamination_trace", "cur12_pack_efficiency",
-    "dm1_domain_divergence")
+    "dm1_domain_divergence", "bx2_bitext_lsh")
 
   /** (shuffle exchanges, broadcast exchanges) of the physical plan,
     * counted via tree walk, not the text dump: a persisted subtree's

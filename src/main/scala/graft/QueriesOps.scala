@@ -1117,6 +1117,26 @@ object QueriesOps {
         |SELECT s_id, t_id, round(cos_sim, 6) AS cos_sim, round(margin, 6) AS margin
         |FROM b WHERE bs = 1 AND bt = 1 AND margin > 1.05 ORDER BY s_id""".stripMargin)),
 
+    // bx2: the 100 TB bitext plan — the registered query feeds SRP-LSH
+    // candidate pairs (ids-only shuffle, Hamming-1 probe on the source
+    // side) into bitextMine's `candidates` parameter, so NO corpus ×
+    // corpus cross join appears anywhere in the plan. The oracle
+    // recomputes the identical candidate universe from the serialized
+    // plane literals, then runs bx1's margin machinery restricted to it.
+    "bx2_bitext_lsh" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        val src = e.filter(pmod(col("label"), lit(2)) === 0)
+        val tgt = e.filter(pmod(col("label"), lit(2)) === 1)
+        Similarity.bitextMine(src, tgt, k = 4, marginThreshold = 1.05,
+            candidates = Some(Similarity.lshCandidatePairs(src, tgt)))
+          .select(col("s_id"), col("t_id"),
+            round(col("cos_sim"), 6).as("cos_sim"),
+            round(col("margin"), 6).as("margin"))
+          .orderBy("s_id", "t_id")
+      },
+      Some(OracleGen.bx2Sql())),
+
     "ss1_bruteforce_topk" -> Q(
       (s, d) => {
         val e = embs(s, d)

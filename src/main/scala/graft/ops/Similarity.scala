@@ -166,6 +166,46 @@ object Similarity {
       .select(col("s_id"), col("t_id"), col("cos_sim"), col("margin"))
   }
 
+  /** SRP-LSH candidate pairs ACROSS two tables — the scale path that
+    * feeds [[bitextMine]]'s `candidates` parameter (and any other
+    * cross-corpus scorer): both sides are bucketed under `nTables`
+    * independent sign-random-projection tables, the source side
+    * additionally probes every bucket at Hamming distance 1
+    * (asymmetric, the [[lshNearDupPairs]] rationale), and pairs form
+    * only inside colliding (table, bucket) cells.
+    *
+    * Shuffle discipline (the dd3 pattern): the explode and the
+    * (tbl, bkt) equi-join carry ONLY (id, table, bucket) longs —
+    * vectors never ride the candidate shuffle; the caller re-joins
+    * payloads for the surviving deduplicated (s_id, t_id) pairs. At
+    * 100 TB this replaces the O(n_s × n_t) cross join with
+    * sum-of-bucket-products work while every downstream margin /
+    * mutual-best step is unchanged.
+    */
+  def lshCandidatePairs(src: DataFrame, tgt: DataFrame,
+                        nPlanes: Int = 8, nTables: Int = 8, dim: Int = 64,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        baseSeed: Long = 11L, multiProbe: Boolean = true): DataFrame = {
+    def bucketed(df: DataFrame, as: String, probe: Boolean): DataFrame = {
+      val bktCols = (0 until nTables).map(t =>
+        srpBucket(col(vecCol), nPlanes, dim, seed = baseSeed + t).as(s"__b$t"))
+      val base = df.select(col(idCol).as(as) +: bktCols: _*)
+      val tb = (0 until nTables).flatMap { t =>
+        val bkt = col(s"__b$t")
+        val probes =
+          if (probe) bkt +: (0 until nPlanes).map(p => bkt.bitwiseXOR(lit(1L << p)))
+          else Seq(bkt)
+        probes.map(b => struct(lit(t).as("tbl"), b.as("bkt")))
+      }
+      base.select(col(as), explode(array(tb: _*)).as("tb"))
+        .select(col(as), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    }
+    bucketed(src, "s_id", probe = multiProbe)
+      .join(bucketed(tgt, "t_id", probe = false), Seq("tbl", "bkt"))
+      .select(col("s_id"), col("t_id"))
+      .dropDuplicates("s_id", "t_id")
+  }
+
   /** Exact per-dimension winsorization bounds (the outlier-clamping
     * feature-scaling step beside [[standardize]]): for each dimension,
     * the RANK-BASED lower/upper clip values — lo = k-th smallest,
@@ -292,6 +332,16 @@ object Similarity {
     * — shuffle proportional to candidates. This is the plan that
     * survives a 1000-executor corpus where broadcast brute force
     * cannot.
+    *
+    * Shuffle discipline (the dd3 pattern, shared with
+    * [[lshNearDupPairs]]): the bucket explode and (tbl, bkt) equi-join
+    * carry ONLY (id, table, bucket) tuples — three longs per row — so
+    * neither the ×316 probe fan-out nor the candidate exchange ever
+    * ships a 64-dim vector. Vectors re-join ONCE per surviving
+    * deduplicated (q_id, n_id) candidate for the exact-cosine scoring
+    * pass: corpus vectors via an ids-keyed equi-join (narrow payload ×
+    * candidates, not × probes), query vectors via a small-side join
+    * AQE turns into a broadcast.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nPlanes: Int = 12, nTables: Int = 4, dim: Int = 64,
@@ -306,9 +356,7 @@ object Similarity {
       // without this the probe fan-out made codegen JIT 13× the work)
       val bktCols = (0 until nTables).map(t =>
         srpBucket(col(vecCol), nPlanes, dim, seed = 7L + t).as(s"__b$t"))
-      val base = df.select(Seq(col(idCol).as(s"${prefix}_id"),
-        col(vecCol).as(s"${prefix}_vec"),
-        norm(col(vecCol)).as(s"${prefix}_norm")) ++ bktCols: _*)
+      val base = df.select(col(idCol).as(s"${prefix}_id") +: bktCols: _*)
       val flips: Seq[Long] = Seq(0L) ++
         (if (probe && probeHamming >= 1)
           (0 until nPlanes).map(p => 1L << p) else Nil) ++
@@ -320,21 +368,24 @@ object Similarity {
         flips.map(f => struct(lit(t).as("tbl"),
           (if (f == 0L) bkt else bkt.bitwiseXOR(lit(f))).as("bkt")))
       }
-      base.select(col(s"${prefix}_id"), col(s"${prefix}_vec"), col(s"${prefix}_norm"),
-          explode(array(tb: _*)).as("tb"))
-        .select(col(s"${prefix}_id"), col(s"${prefix}_vec"), col(s"${prefix}_norm"),
+      base.select(col(s"${prefix}_id"), explode(array(tb: _*)).as("tb"))
+        .select(col(s"${prefix}_id"),
           col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     }
     val c = bucketed(corpus, "n", probe = false)
     val q = bucketed(queries, "q", probe = probeHamming > 0)
     val cand = c.join(q, Seq("tbl", "bkt"))
       .filter(col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("q_vec"), col("q_norm"),
-        col("n_id"), col("n_vec"), col("n_norm"))
+      .select(col("q_id"), col("n_id"))
       .dropDuplicates("q_id", "n_id")
+    val cv = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      norm(col(vecCol)).as("n_norm"))
+    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id").asc)
-    cand.withColumn("sim", dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+    cand.join(cv, "n_id").join(qv, "q_id")
+      .withColumn("sim", dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"), col("sim"))

@@ -873,6 +873,27 @@ class OpsSpec extends AnyFunSuite {
     assert(viaCand === pairs)
   }
 
+  test("lshCandidatePairs: exact twins always collide; pairs distinct and side-typed") {
+    import spark.implicits._
+    val dim = 64
+    val r = new scala.util.Random(3)
+    def rv(): Seq[Float] = Seq.fill(dim)(r.nextGaussian().toFloat)
+    val srcVecs = (0 until 12).map(i => (i.toLong, rv()))
+    // tgt holds an EXACT copy of each src vector (ids 100+) plus noise
+    val src = srcVecs.toDF("vec_id", "embedding")
+    val tgt = (srcVecs.map { case (i, v) => (100L + i, v) } ++
+      (0 until 20).map(i => (200L + i.toLong, rv()))).toDF("vec_id", "embedding")
+    val cand = graft.ops.Similarity.lshCandidatePairs(src, tgt).collect()
+    val pairs = cand.map(x => (x.getLong(0), x.getLong(1)))
+    assert(pairs.length === pairs.distinct.length, "candidates must be deduplicated")
+    assert(pairs.forall { case (s, t) => s < 100 && t >= 100 },
+      "s_id from src, t_id from tgt only")
+    // an identical vector hashes to the same bucket in EVERY table —
+    // seeded SRP cannot split it, so exact-twin recall is exactly 1
+    val twins = pairs.filter { case (s, t) => t == s + 100 }.toSet
+    assert(twins.size === 12, s"all exact twins must be candidates, got ${twins.size}")
+  }
+
   test("lshEvalReport: confusion cells consistent; planted dups recalled") {
     val rep = Dedup.lshEvalReport(corpus, threshold = 0.5).head()
     val (nt, nc, tp, fp, fn) = (rep.getLong(0), rep.getLong(1),
