@@ -89,14 +89,23 @@ object Classify {
     * until the final (doc × class) score table, which is
     * classes-bounded. Ties (astronomically unlikely with real counts)
     * break to the lexicographically smallest class.
+    *
+    * Scoring needs NO label column (the production use of a source
+    * classifier is labeling an unlabeled corpus), and zero-token
+    * documents still receive prior-only scores — doc ids come from
+    * `docs` itself, not from the token table (r9 advice).
     */
   def naiveBayesClassify(docs: DataFrame, model: NbModel,
-                         classCol: String = "source",
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
-    val tk = tokenRows(docs, classCol, idCol, textCol)
-    val docLen = tk.groupBy(col("__id"))
-      .agg(count(lit(1)).cast("double").as("__n_toks"))
+    val tk = docs.select(col(idCol).as("__id"),
+        explode(split(lower(col(textCol)), " ")).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val docLen = docs.select(col(idCol).as("__id"))
+      .join(tk.groupBy(col("__id"))
+          .agg(count(lit(1)).cast("double").as("__tl")),
+        Seq("__id"), "left")
+      .select(col("__id"), coalesce(col("__tl"), lit(0.0)).as("__n_toks"))
     // model join keys renamed so the token join + the class-stats
     // equality below stay unambiguous
     val likes = model.tokenLikes.select(col("__cls").as("__mcls"),
@@ -130,7 +139,13 @@ object Classify {
     * fixed steps, and the per-step gradient is a plain combinable SUM —
     * the oracle unrolls the identical three steps as chained CTEs (the
     * pg1/BPE discipline), so the learned weights themselves are
-    * value-checked, not just the predictions.
+    * value-checked, not just the predictions. NOTE the gradient sum is
+    * a partition-order-dependent double reduction, so the weights are
+    * stable to the gate's 6 decimals AT FIXED PARTITIONING (the test
+    * fixtures); across partitionings/scale a value sitting exactly on
+    * a rounding boundary can flip its last digit — quantize the
+    * features to integers (the pico-stats discipline) if bit-exact
+    * cross-cluster reproducibility is required.
     *
     * Scale: each step is ONE map-side-combinable aggregate over the
     * feature table (dims+0 scalars out) + an O(dims) driver update —

@@ -793,11 +793,15 @@ object Curate {
       .persist()
     val ece = withRates.agg(
       (sum("ece_pico").cast("double") / 1e12).as("__ece"))
-    withRates.crossJoin(broadcast(ece))
+    val out = withRates.crossJoin(broadcast(ece))
       .select(col("bucket"), col("n"), col("n_pos"),
         round(col("rate"), 9).as("rate"),
         round(col("mean_pred"), 9).as("mean_pred"),
         round(col("__ece"), 9).as("ece"))
+    // nBuckets rows: materialize eagerly, release both cache entries
+    val mat = out.localCheckpoint(true)
+    Seq(bins, withRates).foreach(_.unpersist())
+    mat
   }
 
   /** Quantile normalization across groups (the Bolstad 2003

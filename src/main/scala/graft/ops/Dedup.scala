@@ -732,7 +732,7 @@ object Dedup {
       .agg(countDistinct(col("__d")).as("__nd"))
       .filter(col("__nd") > 1)
       .select(col("h"), lit(1).as("__shared"))
-    exploded.join(multi, Seq("h"), "left")
+    val out = exploded.join(multi, Seq("h"), "left")
       .groupBy(col("__d"))
       .agg(count(lit(1)).cast("long").as("n_chunks"),
         sum(when(col("__shared").isNotNull, lit(1L)).otherwise(lit(0L)))
@@ -740,6 +740,11 @@ object Dedup {
         avg(col("l")).as("mean_chunk_len"))
       .select(col("__d").as(idCol), col("n_chunks"),
         col("n_shared_chunks"), col("mean_chunk_len"))
+    // eager materialize (one row per doc) then release the chunk table:
+    // no CacheManager entry outlives the call (r9 advice)
+    val mat = out.localCheckpoint(true)
+    exploded.unpersist()
+    mat
   }
 
   /** LSH banding-quality evaluation — the audit you run on a SAMPLE
@@ -792,13 +797,19 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("tp"))
     val p = col("tp").cast("double") / col("n_cand").cast("double")
     val r = col("tp").cast("double") / col("n_truth").cast("double")
-    nt.crossJoin(nc).crossJoin(tp)
+    val report = nt.crossJoin(nc).crossJoin(tp)
       .select(col("n_truth"), col("n_cand"), col("tp"),
         (col("n_cand") - col("tp")).as("fp"),
         (col("n_truth") - col("tp")).as("fn"),
         p.as("prec"), r.as("rec"),
         when(p + r === 0.0, lit(0.0))
           .otherwise(lit(2.0) * p * r / (p + r)).as("f1"))
+    // the report is ONE row: materialize it eagerly and release all
+    // three persisted intermediates — no CacheManager entry outlives
+    // the call (r9 advice)
+    val mat = report.localCheckpoint(true)
+    Seq(cand, sh, truth).foreach(_.unpersist())
+    mat
   }
 
   // ---------------- dedup clustering (connected components) ----------

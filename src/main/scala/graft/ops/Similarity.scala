@@ -739,8 +739,13 @@ object Similarity {
       .agg(count(lit(1)).cast("long").as("n"), avg(col("nn")).as("mean_norm"))
     ssum.join(cnt, "label")
       .select(col("label"), col("n"), col("mean_norm"),
-        ((col("ssum") - col("n").cast("double")) /
-          (col("n").cast("double") * (col("n").cast("double") - lit(1.0))))
+        // a singleton label has no pairs: emit NULL, not 0/0 (the
+        // DuckDB oracle mirrors the same CASE, so the gate holds on
+        // any dataset with a one-vector label)
+        when(col("n") > 1,
+          (col("ssum") - col("n").cast("double")) /
+            (col("n").cast("double") * (col("n").cast("double") - lit(1.0))))
+          .otherwise(lit(null).cast("double"))
           .as("isotropy"))
   }
 

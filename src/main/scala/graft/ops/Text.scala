@@ -543,7 +543,7 @@ object Text {
     val w2win = org.apache.spark.sql.expressions.Window.partitionBy(col("w2"))
     val nb = broadcast(pairs.agg(count(lit(1)).cast("double").as("__nb")))
     val d = lit(discount)
-    pairs
+    val out = pairs
       .withColumn("n1", sum(col("n12")).over(w1win).cast("long"))
       .withColumn("npost", count(lit(1)).over(w1win).cast("long"))
       .withColumn("npre", count(lit(1)).over(w2win).cast("long"))
@@ -554,6 +554,14 @@ object Text {
             * (col("npre").cast("double") / col("__nb")))
       .select(col("w1"), col("w2"), col("n12"), col("n1"),
         col("npost"), col("npre"), col("p_kn"))
+    // eagerly materialize the (observed-bigram-bounded) result, then
+    // release the persisted aggregate: no CacheManager entry outlives
+    // the call (the r9 advice's leak — block storage from
+    // localCheckpoint is freed by the ContextCleaner once the returned
+    // frame is unreferenced, unlike a CacheManager entry)
+    val mat = out.localCheckpoint(true)
+    pairs.unpersist()
+    mat
   }
 
   /** Nucleus (top-p) successor sets of a bigram language model
@@ -674,9 +682,13 @@ object Text {
     val fit = m.select(col("n"),
       slope.as("slope"),
       ((sy - slope * sx) / nD / 1e9).as("intercept"))
-    ranked.filter(col("rank") <= topK)
+    val out = ranked.filter(col("rank") <= topK)
       .crossJoin(broadcast(fit))
       .select(col("rank"), col("term"), col("cnt"), col("n"),
         round(col("slope"), 9).as("slope"), round(col("intercept"), 9).as("intercept"))
+    // topK rows: materialize eagerly, release the fitN-row cache entry
+    val mat = out.localCheckpoint(true)
+    ranked.unpersist()
+    mat
   }
 }

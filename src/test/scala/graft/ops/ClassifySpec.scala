@@ -50,6 +50,23 @@ class ClassifySpec extends AnyFunSuite {
       "separable classes must self-classify perfectly")
   }
 
+  test("NB classify: unlabeled corpus scores; empty docs get prior-only argmax") {
+    val m = Classify.naiveBayesTrain(docs)
+    // production shape: the scoring corpus has NO label column, and one
+    // doc tokenizes to nothing — it must survive with a prior-only score
+    val unlabeled = Seq((900L, "the quick fox"), (901L, ""), (902L, "   "))
+      .toDF("doc_id", "text")
+    val out = Classify.naiveBayesClassify(unlabeled, m).collect()
+    assert(out.length === 3, "every doc, including empty ones, is scored")
+    val priorArgmax = m.classStats
+      .orderBy(col("__log_prior").desc, col("__cls").asc)
+      .select("__cls").first().getString(0)
+    out.filter(r => r.getLong(0) >= 901L).foreach { r =>
+      assert(r.getString(1) === priorArgmax,
+        "zero-token docs must classify to the max-prior class")
+    }
+  }
+
   test("NB classify: argmax beats every alternative score it emitted") {
     val m = Classify.naiveBayesTrain(docs)
     val out = Classify.naiveBayesClassify(docs, m)

@@ -967,6 +967,12 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(rep(0).getDouble(3) - 1.0) < 1e-9)
     // orthogonal label: every pairwise cosine is exactly 0
     assert(math.abs(rep(1).getDouble(3)) < 1e-9)
+    // a singleton label has no pairs: isotropy is NULL, not 0/0
+    val single = Seq((9L, Array(1f, 1f, 0f, 0f), 7)).toDF("vec_id", "embedding", "label")
+    val srep = graft.ops.Similarity.isotropyReport(vecs.unionByName(single))
+      .filter(col("label") === 7).collect()
+    assert(srep.length === 1 && srep(0).isNullAt(3),
+      "singleton label must report NULL isotropy")
   }
 
   test("contaminationTrace is consistent with decontaminate's per-doc flag") {
