@@ -633,10 +633,10 @@ object QueriesOps {
     // at read time. Oracle recomputes the whole battery in batch.
     "st4_stream_quality" -> Q(
       (s, d) => {
-        val dir = Queries.scratch("st4_docs")
+        val dir = Queries.scratchOnce("st4_docs", d)(
+          docs(s, d).repartition(4).write.mode("overwrite").parquet(_))
         val out = Queries.scratch("st4_counts")
         val ck = Queries.scratch("st4_ck")
-        docs(s, d).repartition(4).write.mode("overwrite").parquet(dir)
         val stream = s.readStream.schema(docs(s, d).schema)
           .option("maxFilesPerTrigger", 1).parquet(dir)
         val gated = Text.gopherRules(stream).select(col("source"), col("gopher_keep"))
@@ -3489,8 +3489,8 @@ object QueriesOps {
       (s, d) => {
         val ev = Queries.events(s, d)
           .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
-        val srcDir = Queries.scratch("hl2_src")
-        ev.repartition(4).write.mode("overwrite").parquet(srcDir)
+        val srcDir = Queries.scratchOnce("hl2_src", d)(
+          ev.repartition(4).write.mode("overwrite").parquet(_))
         val sketchDir = Queries.scratch("hl2_sketch") + "/t"
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)

@@ -67,7 +67,17 @@ object Ingest {
       .withColumn("day", substring(col("update_at"), 9, 2))
       .withColumn("hour", substring(col("update_at"), 12, 2))
       .withColumn("minute", substring(col("update_at"), 15, 2))
-    partitioned.write
+    // hash-repartition on the partition columns: each minute's rows
+    // land in exactly one task, so the dynamic partitionBy write emits
+    // ONE file per minute dir (the bounded-small-files contract) while
+    // the write itself parallelizes across executors — a caller-side
+    // coalesce(1) enforced the same file layout serially, which at
+    // 100 TB/day of CDC would bottleneck the whole landing path on a
+    // single task
+    partitioned
+      .repartition(col("year"), col("month"), col("day"),
+        col("hour"), col("minute"))
+      .write
       .partitionBy("year", "month", "day", "hour", "minute")
       .mode("append").json(dir)
   }
