@@ -63,7 +63,15 @@ object BenchScale {
     // — each expected linear; a superlinear nb1 would expose the score
     // table fanning out by corpus instead of by class
     "nb1_nb_source_classify", "lr1_logistic_gd", "cdc1_content_chunks",
-    "sq1_shuffle_quality", "dm1_domain_divergence", "ann4_hubness")
+    "sq1_shuffle_quality", "dm1_domain_divergence", "ann4_hubness",
+    // round-10 additions (every bench query > 2 s now smokes): the
+    // mutual-kNN cluster composite (its CC pass runs in the build/warm
+    // phase via the shared memo; dd7 covers raw CC scaling), PQ / IVF-PQ
+    // scans, the candidates-fed bitext miner, the sampled blocking-
+    // quality audit, and large-star/small-star connected components
+    "kg1_mutual_knn_clusters", "gr3_modularity", "ss6_pq_topk",
+    "ss7_ivfpq_topk", "bx2_bitext_lsh", "er2_blocking_quality",
+    "dd7_dedup_clusters")
 
   private val Stride = 1000000000L
 
@@ -135,9 +143,21 @@ object BenchScale {
     val scaledDir = Queries.scratch("bench_scale_corpus")
     println(s"[bench-scale] building ${k}x corpus at $scaledDir")
     buildScaledDir(spark, baseDir, scaledDir, k)
+    // reducer count scales with bytes shuffled (GraftSession's own
+    // sizing rule): the base leg keeps the measured-optimum 8, the k×
+    // leg runs with k×-proportional reducers — raising it via runtime
+    // conf per leg mirrors what a real cluster does as data grows
+    val basePartitions =
+      spark.conf.get("spark.sql.shuffle.partitions", "8").toInt
+    val scaledPartitions = sys.env.getOrElse(
+      "SPARK_GRAFT_SCALED_SHUFFLE_PARTITIONS",
+      math.min(basePartitions * k, 64).toString)
+    println(s"[bench-scale] shuffle.partitions: base=$basePartitions scaled=$scaledPartitions")
     val rows = ScaleQueries.map { name =>
       val fn = SparkEntry.queries(name)
+      spark.conf.set("spark.sql.shuffle.partitions", basePartitions.toString)
       val b = timeOf(fn, spark, baseDir)
+      spark.conf.set("spark.sql.shuffle.partitions", scaledPartitions)
       val s = timeOf(fn, spark, scaledDir)
       val r = s / b
       println(String.format(java.util.Locale.ROOT,
