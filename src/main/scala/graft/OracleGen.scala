@@ -623,6 +623,67 @@ object OracleGen {
        |FROM b WHERE bs = 1 AND bt = 1 AND margin > $marginThreshold ORDER BY s_id, t_id""".stripMargin
   }
 
+  /** mmr1: Maximal-Marginal-Relevance greedy re-rank — the m-step
+    * selection loop UNROLLED as chained CTEs (the pg1/BPE discipline),
+    * one step per CTE appending that step's argmax to the selected
+    * list. NOT a single list_reduce with a list accumulator: DuckDB
+    * 1.0.0's list_reduce mis-evaluates nested-lambda reduces when more
+    * than one row is in the batch (row-at-a-time evaluation matches
+    * Spark exactly; batched drifts — found while gating this query),
+    * so the oracle avoids the construct entirely. The per-step argmax
+    * is a list_sort on (-score, id) structs — same winner as Spark's
+    * explicit comparator fold because the score doubles are
+    * bit-identical. Candidate top-N uses the ss1 cosine form on raw
+    * vectors; relevance/diversity dots are in-order folds over the
+    * UNIT-NORMALIZED vectors — the Spark op's exact float sequence.
+    */
+  def mmr1Sql(topN: Int = 16, m: Int = 6, lambda: Double = 0.7,
+              dim: Int = 64, nQueries: Int = 4): String = {
+    val lam = java.lang.Double.toString(lambda)
+    val oml = java.lang.Double.toString(1.0 - lambda)
+    def dotf(a: String, b: String, iv: String, sv: String, vv: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+        s"$iv -> $a[CAST($iv AS INTEGER)] * $b[CAST($iv AS INTEGER)])), ($sv, $vv) -> $sv + $vv)"
+    val sumsq = dotf("v", "v", "j2", "t2", "u2")
+    val relQC = dotf("q.qvh", "h.vh", "i2", "s2", "v2")
+    val maxSim = "CASE WHEN len(sel) = 0 THEN 0.0 ELSE " +
+      s"list_max(list_transform(sel, a2 -> ${dotf("a2.vh", "c.vh", "i3", "s3", "v3")})) END"
+    val scoredSorted = "list_sort(list_transform(" +
+      "list_filter(cands, c -> NOT list_contains(list_transform(sel, a -> a.id), c.id)), " +
+      s"c -> struct_pack(nscore := -($lam * c.rel - $oml * ($maxSim)), " +
+      "id := c.id, rel := c.rel, vh := c.vh)))"
+    val stepCtes = (1 to m).map { i =>
+      s"""s$i AS (SELECT q_id, cands,
+         |  CASE WHEN len($scoredSorted) = 0 THEN sel
+         |    ELSE list_append(sel, struct_pack(
+         |      id := $scoredSorted[1].id, vh := $scoredSorted[1].vh,
+         |      rel := $scoredSorted[1].rel, score := -($scoredSorted[1].nscore)))
+         |  END AS sel
+         |  FROM s${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |h AS (SELECT vec_id, list_transform(v, xx -> xx / sqrt($sumsq)) AS vh FROM e),
+       |q AS (SELECT vec_id AS q_id, vh AS qvh FROM h WHERE vec_id < $nQueries),
+       |sims AS (SELECT q.q_id, e2.vec_id AS n_id, ${cosSql(dim, "qe", "e2")} AS sim
+       |  FROM e e2 CROSS JOIN q JOIN e qe ON qe.vec_id = q.q_id WHERE e2.vec_id <> q.q_id),
+       |topn AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk FROM sims)
+       |  WHERE rk <= $topN),
+       |rels AS (SELECT topn.q_id, topn.n_id, h.vh AS nvh, $relQC AS rel
+       |  FROM topn JOIN h ON h.vec_id = topn.n_id JOIN q ON q.q_id = topn.q_id),
+       |cl AS (SELECT q_id, list(struct_pack(id := n_id, vh := nvh, rel := rel)
+       |    ORDER BY rel DESC, n_id ASC) AS cands FROM rels GROUP BY q_id),
+       |s0 AS (SELECT q_id, cands,
+       |  CAST([] AS STRUCT(id BIGINT, vh DOUBLE[], rel DOUBLE, score DOUBLE)[]) AS sel
+       |  FROM cl),
+       |$stepCtes,
+       |ex AS (SELECT q_id, unnest(sel) AS el,
+       |    CAST(generate_subscripts(sel, 1) AS INTEGER) AS sel_rank FROM s$m)
+       |SELECT q_id, sel_rank, el.id AS n_id,
+       |  round(el.rel, 6) AS rel, round(el.score, 6) AS mmr_score
+       |FROM ex ORDER BY q_id, sel_rank""".stripMargin
+  }
+
   /** dd13: SemDeDup over the FIXED deterministic centroids — cell
     * assignment via the same in-order list_reduce fold as VectorDot
     * (ties to the higher cid, matching array_max on (c_sim, c_id)),

@@ -2783,6 +2783,22 @@ object QueriesOps {
         |SELECT doc_id, n_chars, round(skey, 9) AS skey
         |FROM sel ORDER BY doc_id""".stripMargin)),
 
+    // MMR1: Maximal-Marginal-Relevance greedy re-rank (Carbonell &
+    // Goldstein 1998) — the serving-side diversification after ANN
+    // retrieval, the whole m-step greedy loop as ONE nested HOF
+    // expression (aggregate over steps, explicit-comparator argmax,
+    // in-order dot folds). The oracle replays the identical selection
+    // with DuckDB's list_reduce (accumulator = selected list), so an
+    // iterative greedy algorithm sits under the full hash gate.
+    "mmr1_mmr_rerank" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        graft.ops.Search.mmrRerank(e, e.filter(col("vec_id") < 4),
+            topN = 16, m = 6, lambda = 0.7)
+          .orderBy("q_id", "sel_rank")
+      },
+      Some(OracleGen.mmr1Sql())),
+
     // RM3 pseudo-relevance-feedback expansion over the bm1 query:
     // top-10 feedback docs by BM25 (same exact-binary k1=1.0/b=0.5),
     // relevance-model term weights as order-free micro-unit sums,
@@ -4490,6 +4506,46 @@ object QueriesOps {
     // ZL1: Zipf-law fit — OLS slope of ln(freq) on ln(rank) over the
     // top-100 terms, moments from nano-quantized logs (exact integer
     // sums), top-10 terms emitted with the fit scalars.
+    // HP1: Heaps'-law vocabulary-growth fit — β from least squares in
+    // log-log over one cumulative (tokens, vocab) point per doc in
+    // doc-id order. Cumulatives ride Stats.prefixSum (range-partitioned
+    // two-pass, exact longs — no single-reducer ORDER BY window);
+    // quantize-then-decimal-sum regression is the zl1 discipline.
+    "hp1_heaps_fit" -> Q(
+      (s, d) => Text.heapsFit(docs(s, d))
+        .select(col("n_points"), col("total_tokens"), col("vocab"),
+          round(col("beta"), 9).as("beta"),
+          round(col("log_k"), 9).as("log_k")),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+        |tk AS (SELECT doc_id, t FROM tok WHERE len(t) > 0),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks FROM tk GROUP BY 1),
+        |fn AS (SELECT min_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_new FROM
+        |       (SELECT t, min(doc_id) AS min_doc FROM tk GROUP BY 1) GROUP BY 1),
+        |base AS (SELECT d.doc_id, coalesce(pd.n_toks, 0) AS n_toks,
+        |         coalesce(fn.n_new, 0) AS n_new
+        |         FROM documents d LEFT JOIN pd USING (doc_id) LEFT JOIN fn USING (doc_id)),
+        |cum AS (SELECT doc_id,
+        |    sum(n_toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct,
+        |    sum(n_new) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+        |  FROM base),
+        |p AS (SELECT ct, cv FROM cum WHERE ct > 0 AND cv > 0),
+        |qq AS (SELECT ct, cv,
+        |    CAST(floor(ln(CAST(ct AS DOUBLE)) * 1e9 + 0.5) AS DECIMAL(38,0)) AS qx,
+        |    CAST(floor(ln(CAST(cv AS DOUBLE)) * 1e9 + 0.5) AS DECIMAL(38,0)) AS qy
+        |  FROM p),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+        |    CAST(max(ct) AS BIGINT) AS total_tokens, CAST(max(cv) AS BIGINT) AS vocab,
+        |    sum(qx) AS sx, sum(qy) AS sy, sum(qx * qy) AS sxy, sum(qx * qx) AS sxx
+        |  FROM qq),
+        |c AS (SELECT n_points, total_tokens, vocab, CAST(n_points AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd FROM m)
+        |SELECT n_points, total_tokens, vocab,
+        |  round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 9) AS beta,
+        |  round(((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd) / nd) / 1e9, 9)
+        |    AS log_k
+        |FROM c""".stripMargin)),
+
     "zl1_zipf_slope" -> Q(
       (s, d) => Text.zipfFit(docs(s, d), fitN = 100, topK = 10).orderBy("rank"),
       Some("""WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS term

@@ -414,4 +414,94 @@ object Search {
       .orderBy(col("decayed_pico").desc, col("key").asc).limit(k)
       .withColumn("decayed", round(col("decayed_pico").cast("double") / 1e12, 9))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998) over an embedding candidate set — the serving-side
+    * diversification step after ANN retrieval: greedily select `m` of
+    * each query's `topN` candidates maximizing
+    * `λ·cos(q,c) − (1−λ)·max_{s∈S} cos(c,s)`, so near-duplicate hits
+    * don't crowd the result page / RAG context window.
+    *
+    * Execution shape: candidates collapse to ONE in-row list per query
+    * (collect_list bounded by topN), and the whole greedy loop is a
+    * nested higher-order expression — an `aggregate` over `m` steps
+    * whose accumulator is the selected array, an explicit comparator
+    * fold for the argmax (ties to the smaller id; no reliance on
+    * engine struct-ordering), and in-order `zip_with`/`aggregate`
+    * folds for every dot product. Fully codegen'd, no UDF, and every
+    * float op has a literal DuckDB mirror — which is what puts a
+    * greedy iterative algorithm under the hash gate.
+    *
+    * Scale: per-query work is O(m·topN·dim) in-row — embarrassingly
+    * parallel over queries; candidate generation is the pluggable
+    * part (`candidates` takes [[graft.ops.Similarity.lshTopK]] /
+    * `ivfTopK` output at corpus scale; the default brute-force top-N
+    * is the exact baseline for bounded query batches).
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, topN: Int = 16,
+                m: Int = 6, lambda: Double = 0.7,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                candidates: Option[DataFrame] = None): DataFrame = {
+    require(m >= 1 && topN >= m, "need 1 <= m <= topN")
+    def vhat(df: DataFrame, prefix: String): DataFrame = {
+      val vd = transform(col(vecCol), x => x.cast("double"))
+      df.select(col(idCol).as(s"${prefix}_id"), vd.as("__vd"))
+        .select(col(s"${prefix}_id"),
+          transform(col("__vd"), x => x / sqrt(Similarity.dotHof(col("__vd"), col("__vd"))))
+            .as(s"${prefix}_vh"))
+    }
+    val cand = candidates match {
+      case Some(c) => c.select("q_id", "n_id")
+      case None => Similarity.bruteForceTopK(corpus, queries, topN, idCol, vecCol)
+        .select("q_id", "n_id")
+    }
+    val scored = cand
+      .join(vhat(corpus, "n"), "n_id")
+      .join(vhat(queries, "q"), "q_id")
+      .withColumn("rel", Similarity.dotHof(col("q_vh"), col("n_vh")))
+    // one in-row candidate list per query: (rel desc, id asc) order,
+    // truncated to topN (candidates may be wider when caller-supplied)
+    val lst = slice(sort_array(collect_list(struct(
+      (-col("rel")).as("nr"), col("n_id").as("id"),
+      col("rel").as("rel"), col("n_vh").as("vh")))), 1, topN)
+    val grouped = scored.groupBy(col("q_id")).agg(lst.as("__cands"))
+    val cands = col("__cands")
+    def dotf(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    val lam = lit(lambda)
+    val oneMinusLam = lit(1.0 - lambda)
+    // typed empty accumulator: slice-to-zero of a cast of the candidate
+    // list itself (array() alone is array<null>)
+    val accType = transform(cands, c => struct(
+      c.getField("id").as("id"), c.getField("vh").as("vh"),
+      c.getField("rel").as("rel"), lit(0.0).as("score")))
+    val emptyAcc = slice(accType, 1, 0)
+    val selected = aggregate(
+      sequence(lit(1), lit(m)), emptyAcc,
+      (acc, _) => {
+        val rem = filter(cands, c => !array_contains(
+          transform(acc, a => a.getField("id")), c.getField("id")))
+        val remScored = transform(rem, c => {
+          val maxSim = when(size(acc) === 0, lit(0.0)).otherwise(
+            array_max(transform(acc, a => dotf(a.getField("vh"), c.getField("vh")))))
+          struct(c.getField("id").as("id"), c.getField("vh").as("vh"),
+            c.getField("rel").as("rel"),
+            (lam * c.getField("rel") - oneMinusLam * maxSim).as("score"))
+        })
+        // NB slice length must stay bounded: start+Int.MaxValue
+        // overflows inside Slice and yields an empty array, collapsing
+        // the argmax to element 1 (the remaining list is <= topN long)
+        val best = aggregate(
+          slice(remScored, 2, topN), element_at(remScored, 1),
+          (b, x) => when(x.getField("score") > b.getField("score") ||
+              (x.getField("score") === b.getField("score") &&
+                x.getField("id") < b.getField("id")), x).otherwise(b))
+        when(size(rem) === 0, acc).otherwise(concat(acc, array(best)))
+      })
+    grouped.select(col("q_id"), posexplode(selected).as(Seq("__p", "__s")))
+      .select(col("q_id"), (col("__p") + 1).cast("int").as("sel_rank"),
+        col("__s").getField("id").as("n_id"),
+        round(col("__s").getField("rel"), 6).as("rel"),
+        round(col("__s").getField("score"), 6).as("mmr_score"))
+  }
 }

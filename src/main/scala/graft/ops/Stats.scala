@@ -336,6 +336,49 @@ object Stats {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Distributed global PREFIX SUM: the input sorted by `sortCols`
+    * (MUST include a unique tiebreaker) with, for each long column in
+    * `valueCols`, a running cumulative `cum_<name>` attached
+    * (inclusive of the current row).
+    *
+    * The classic two-pass shape — a range-partitioned sort, one pass
+    * for per-partition subtotals (collected: O(partitions) longs on
+    * the driver), then a second pass adding each partition's base
+    * offset — because `sum() over (ORDER BY …)` with no partition key
+    * funnels every row through one reducer, which is exactly the
+    * single-task funnel [[globalRank]] exists to avoid. Values must be
+    * exact longs so partial order within the pass cannot change the
+    * result.
+    */
+  def prefixSum(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
+                valueCols: Seq[String]): DataFrame = {
+    val sorted = df.orderBy(sortCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = valueCols.map(c => sorted.schema.fieldIndex(c))
+    val partTotals: Array[Array[Long]] = sorted.rdd
+      .mapPartitionsWithIndex { (pi, it) =>
+        val acc = Array.fill(idx.size)(0L)
+        it.foreach(r => idx.zipWithIndex.foreach { case (fi, j) =>
+          acc(j) += r.getLong(fi) })
+        Iterator((pi, acc))
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets: Array[Array[Long]] = partTotals.scanLeft(
+      Array.fill(idx.size)(0L))((a, b) => a.zip(b).map { case (x, y) => x + y })
+    val schema = valueCols.foldLeft(sorted.schema)((s, c) =>
+      s.add(s"cum_$c", "long", nullable = false))
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+      val run = offsets(pi).clone()
+      it.map { r =>
+        idx.zipWithIndex.foreach { case (fi, j) => run(j) += r.getLong(fi) }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ run.toSeq)
+      }
+    }
+    val out = df.sparkSession.createDataFrame(rdd, schema)
+      .localCheckpoint(true)
+    sorted.unpersist()
+    out
+  }
+
   /** Benford's-law audit of a positive numeric column (Newcomb 1881,
     * Benford 1938; the standard fabricated-data / fraud screen): the
     * observed first-significant-digit distribution against the

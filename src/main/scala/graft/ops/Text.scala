@@ -691,4 +691,64 @@ object Text {
     ranked.unpersist()
     mat
   }
+
+  /** Heaps'-law fit (Heaps 1978; Herdan 1960): vocabulary growth
+    * V(n) ≈ K·n^β against cumulative token count, the companion
+    * diagnostic to [[zipfFit]] — β well under the typical 0.4–0.6
+    * band flags a templated/duplicated corpus whose vocabulary stops
+    * growing; β ≈ 1 flags noise (every token new). The fit is least
+    * squares in log-log space over one cumulative point per document
+    * in doc-id order.
+    *
+    * Determinism: per-doc token and first-occurrence counts are exact
+    * longs; cumulatives come from [[Stats.prefixSum]] (exact-integer
+    * two-pass, order fixed by doc id); the log-log points quantize to
+    * 1e-9 before the decimal-exact normal-equation sums — the zl1
+    * discipline, so the oracle mirrors every float op.
+    *
+    * Scale: one token-count shuffle + one first-occurrence (term)
+    * shuffle, then the range-partitioned prefix sum — no
+    * single-reducer window anywhere (`sum() over (ORDER BY)` would
+    * funnel the corpus through one task; prefixSum is the two-pass
+    * escape).
+    */
+  def heapsFit(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("__d"),
+        explode(Dedup.tokens(col(textCol))).as("__t"))
+      .filter(length(col("__t")) > 0)
+    val perDoc = toks.groupBy(col("__d"))
+      .agg(count(lit(1)).cast("long").as("n_toks"))
+    val firstNew = toks.groupBy(col("__t"))
+      .agg(min(col("__d")).as("__d"))
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).cast("long").as("n_new"))
+    val base = docs.select(col(idCol).as("__d"))
+      .join(perDoc, Seq("__d"), "left")
+      .join(firstNew, Seq("__d"), "left")
+      .select(col("__d"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val cum = Stats.prefixSum(base, Seq(col("__d").asc), Seq("n_toks", "n_new"))
+      .filter(col("cum_n_toks") > 0 && col("cum_n_new") > 0)
+    val qq = cum.select(
+      floor(log(col("cum_n_toks").cast("double")) * lit(1e9) + lit(0.5))
+        .cast("decimal(38,0)").as("qx"),
+      floor(log(col("cum_n_new").cast("double")) * lit(1e9) + lit(0.5))
+        .cast("decimal(38,0)").as("qy"),
+      col("cum_n_toks"), col("cum_n_new"))
+    val m = qq.agg(
+      count(lit(1)).cast("long").as("n_points"),
+      max(col("cum_n_toks")).as("total_tokens"),
+      max(col("cum_n_new")).as("vocab"),
+      sum(col("qx")).as("sx"), sum(col("qy")).as("sy"),
+      sum(col("qx") * col("qy")).as("sxy"), sum(col("qx") * col("qx")).as("sxx"))
+    val nD = col("n_points").cast("double")
+    val (sx, sy, sxy, sxx) = (col("sx").cast("double"), col("sy").cast("double"),
+      col("sxy").cast("double"), col("sxx").cast("double"))
+    val slope = (nD * sxy - sx * sy) / (nD * sxx - sx * sx)
+    m.select(col("n_points"), col("total_tokens"), col("vocab"),
+      slope.as("beta"),
+      ((sy - slope * sx) / nD / 1e9).as("log_k"))
+  }
 }

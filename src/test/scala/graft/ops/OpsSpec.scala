@@ -873,6 +873,24 @@ class OpsSpec extends AnyFunSuite {
     assert(viaCand === pairs)
   }
 
+  test("heapsFit: beta = 1 on an all-novel corpus, ~0 on a fixed-vocab corpus") {
+    import spark.implicits._
+    // every doc contributes exactly 2 brand-new tokens: V(n) = n, beta = 1
+    val novel = (1 to 40).map(i => (i.toLong, s"w${2 * i} w${2 * i + 1}"))
+      .toDF("doc_id", "text")
+    val b1 = graft.ops.Text.heapsFit(novel).head()
+    assert(math.abs(b1.getAs[Double]("beta") - 1.0) < 1e-6,
+      s"all-novel corpus must fit beta=1, got ${b1.getAs[Double]("beta")}")
+    assert(b1.getAs[Long]("vocab") === 80L && b1.getAs[Long]("total_tokens") === 80L)
+    // fixed vocabulary after doc 1: V flat while n grows -> beta near 0
+    val fixed = (1 to 40).map(i => (i.toLong, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val b0 = graft.ops.Text.heapsFit(fixed).head()
+    assert(b0.getAs[Double]("beta") < 0.05,
+      s"fixed-vocab corpus must fit beta~0, got ${b0.getAs[Double]("beta")}")
+    assert(b0.getAs[Long]("vocab") === 8L)
+  }
+
   test("lshCandidatePairs: exact twins always collide; pairs distinct and side-typed") {
     import spark.implicits._
     val dim = 64

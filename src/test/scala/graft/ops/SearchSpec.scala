@@ -134,4 +134,36 @@ class SearchSpec extends AnyFunSuite {
         r.getAs[Long]("rm_micro"))).toList
     assert(again === got)
   }
+
+  test("mmrRerank: rank-1 is pure relevance; near-dup of it is demoted below a diverse hit") {
+    import spark.implicits._
+    // query along axis 0; candidate A = best match, A' = near-copy of A,
+    // B = diverse (axis 1 lean). Pure relevance orders A, A', B; MMR
+    // must pick A then B (A' is redundant with A).
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val corpus = Seq(
+      (10L, v(1.0, 0.05, 0, 0)),   // A: rel ~1
+      (11L, v(0.99, 0.06, 0, 0)),  // A': near-dup of A, rel just below
+      (12L, v(0.5, 0.85, 0, 0))    // B: diverse, lower rel
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((0L, v(1.0, 0, 0, 0))).toDF("vec_id", "embedding")
+    val got = Search.mmrRerank(corpus, queries, topN = 3, m = 3, lambda = 0.3)
+      .orderBy("sel_rank").collect()
+      .map(r => (r.getAs[Int]("sel_rank"), r.getAs[Long]("n_id")))
+    assert(got.map(_._2).toSeq === Seq(10L, 12L, 11L),
+      s"MMR must interleave the diverse hit before the near-dup, got ${got.toSeq}")
+    // selections are distinct and dense-ranked
+    assert(got.map(_._1).toSeq === Seq(1, 2, 3))
+  }
+
+  test("mmrRerank: lambda=1 degenerates to pure relevance order") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0)
+    val mmr = Search.mmrRerank(e, q, topN = 8, m = 5, lambda = 1.0)
+      .orderBy("sel_rank").collect().map(_.getAs[Long]("n_id")).toSeq
+    val brute = graft.ops.Similarity.bruteForceTopK(e, q, k = 5)
+      .orderBy("rank").collect().map(_.getAs[Long]("n_id")).toSeq
+    assert(mmr === brute, "with no diversity penalty MMR is exactly top-k")
+  }
 }

@@ -13,6 +13,22 @@ class StatsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("prefixSum: matches the single-partition window on shuffled input") {
+    val n = 500
+    val df = spark.createDataFrame(
+      scala.util.Random.shuffle((1 to n).toList).map(i => (i.toLong, i.toLong * 3, i.toLong % 7))
+    ).toDF("id", "a", "b").repartition(7)
+    val got = graft.ops.Stats.prefixSum(df, Seq(col("id").asc), Seq("a", "b"))
+      .orderBy("id").collect()
+    var (ca, cb) = (0L, 0L)
+    (1 to n).zip(got).foreach { case (i, r) =>
+      ca += i.toLong * 3; cb += i.toLong % 7
+      assert(r.getAs[Long]("id") === i.toLong)
+      assert(r.getAs[Long]("cum_a") === ca, s"cum_a at $i")
+      assert(r.getAs[Long]("cum_b") === cb, s"cum_b at $i")
+    }
+  }
+
   test("welchTTest: hand-computed t, df, and significance") {
     // control [1,2,3]: mean 2, var 1 — treatment [2,4,6,8]: mean 5, var 20/3
     // se2 = 1/3 + (20/3)/4 = 2; t = (2-5)/sqrt(2); df = 4/(1/18 + 25/27)
