@@ -64,14 +64,48 @@ object BenchScale {
     // table fanning out by corpus instead of by class
     "nb1_nb_source_classify", "lr1_logistic_gd", "cdc1_content_chunks",
     "sq1_shuffle_quality", "dm1_domain_divergence", "ann4_hubness",
-    // round-10 additions (every bench query > 2 s now smokes): the
-    // mutual-kNN cluster composite (its CC pass runs in the build/warm
-    // phase via the shared memo; dd7 covers raw CC scaling), PQ / IVF-PQ
-    // scans, the candidates-fed bitext miner, the sampled blocking-
-    // quality audit, and large-star/small-star connected components
-    "kg1_mutual_knn_clusters", "gr3_modularity", "ss6_pq_topk",
-    "ss7_ivfpq_topk", "bx2_bitext_lsh", "er2_blocking_quality",
+    // round-10 additions: PQ / IVF-PQ scans (fixed query set → linear),
+    // the sampled blocking-quality audit, large-star/small-star CC.
+    // kg1/gr3 and bx2 are NOT here at their registered fixed index
+    // widths: an all-pairs kNN graph at FIXED cell count is
+    // O(n²/cells) (the first 10× run of kg1 spilled ~79 GB of shuffle
+    // and filled the disk — the smoke caught a real quadratic), and a
+    // two-sided SRP-LSH miner at fixed plane count is O(n²/2^planes).
+    // They smoke below as WIDTH-SCALED entries instead, which is their
+    // documented 100 TB operating rule.
+    "ss6_pq_topk", "ss7_ivfpq_topk", "er2_blocking_quality",
     "dd7_dedup_clusters")
+
+  /** Entries whose index width must grow with the corpus (the LSH /
+    * IVF contract): each gives (base-leg fn, scaled-leg fn at k×) —
+    * cells ∝ k for the IVF kNN graph (constant cell occupancy),
+    * +log₂k hyperplanes for the two-sided SRP miner (constant bucket
+    * occupancy). The smoke thereby measures the OPERATING RULE, not a
+    * configuration no one would run at 10× the data.
+    */
+  def paramQueries(k: Int): Seq[(String,
+      (SparkSession, String) => DataFrame, (SparkSession, String) => DataFrame)] = {
+    import org.apache.spark.sql.functions.{col, round => rnd}
+    def kg1At(nCells: Int)(s: SparkSession, d: String): DataFrame = {
+      val (_, cc) = QueriesOps.mutualKnnEdgesCc(s, d, nCells)
+      cc.groupBy("cluster").count()
+    }
+    def bx2At(nPlanes: Int)(s: SparkSession, d: String): DataFrame = {
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      val src = e.filter(org.apache.spark.sql.functions.pmod(col("label"),
+        org.apache.spark.sql.functions.lit(2)) === 0)
+      val tgt = e.filter(org.apache.spark.sql.functions.pmod(col("label"),
+        org.apache.spark.sql.functions.lit(2)) === 1)
+      graft.ops.Similarity.bitextMine(src, tgt, k = 4, marginThreshold = 1.05,
+        candidates = Some(graft.ops.Similarity.lshCandidatePairs(src, tgt,
+          nPlanes = nPlanes)))
+        .select(col("s_id"), col("t_id"), rnd(col("cos_sim"), 6).as("cos_sim"))
+    }
+    val extraPlanes = math.ceil(math.log(k.toDouble) / math.log(2.0)).toInt
+    Seq(
+      ("kg1_mutual_knn@cells~n", kg1At(16) _, kg1At(16 * k) _),
+      ("bx2_bitext_lsh@planes+log2k", bx2At(8) _, bx2At(8 + extraPlanes) _))
+  }
 
   private val Stride = 1000000000L
 
@@ -153,12 +187,16 @@ object BenchScale {
       "SPARK_GRAFT_SCALED_SHUFFLE_PARTITIONS",
       math.min(basePartitions * k, 64).toString)
     println(s"[bench-scale] shuffle.partitions: base=$basePartitions scaled=$scaledPartitions")
-    val rows = ScaleQueries.map { name =>
-      val fn = SparkEntry.queries(name)
+    val entries: Seq[(String, (SparkSession, String) => DataFrame,
+        (SparkSession, String) => DataFrame)] =
+      ScaleQueries.map { n =>
+        val fn = SparkEntry.queries(n); (n, fn, fn)
+      } ++ paramQueries(k)
+    val rows = entries.map { case (name, baseFn, scaledFn) =>
       spark.conf.set("spark.sql.shuffle.partitions", basePartitions.toString)
-      val b = timeOf(fn, spark, baseDir)
+      val b = timeOf(baseFn, spark, baseDir)
       spark.conf.set("spark.sql.shuffle.partitions", scaledPartitions)
-      val s = timeOf(fn, spark, scaledDir)
+      val s = timeOf(scaledFn, spark, scaledDir)
       val r = s / b
       println(String.format(java.util.Locale.ROOT,
         """{"query":"%s","base_sec":%.3f,"scaled_sec":%.3f,"ratio":%.2f}""",

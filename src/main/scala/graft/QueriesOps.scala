@@ -48,22 +48,36 @@ object QueriesOps {
     * test scale. Returns (edges, components) as fresh parquet reads,
     * so consumers' plans stay session-local and cache-free.
     */
+  /** The kg1/gr3 composite with a caller-chosen coarse-cell count and
+    * no memo — the BenchScale entry point. The registered queries pin
+    * nCells=16 as plan-time literals for the oracle; at real scale the
+    * operating rule is cells ∝ corpus (constant cell occupancy), else
+    * the all-pairs kNN candidate work is O(n²/cells) — the 10× smoke
+    * measured exactly that blowup at fixed cells (a ~79 GB shuffle
+    * spill filled the disk) and measures the ∝-scaled rule holding.
+    */
+  private[graft] def mutualKnnEdgesCc(s: SparkSession, d: String,
+                                      nCells: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val e = embs(s, d)
+    val knn = Similarity.ivfTopK(par(e), e, k = 5,
+        centroids = Similarity.fixedCentroids(nCells, 64))
+      .select(col("q_id"), col("n_id"))
+    val rev = knn.select(col("n_id").as("q2"), col("q_id").as("n2"))
+    val mutual = knn
+      .join(rev, col("q_id") === col("q2") && col("n_id") === col("n2"))
+      .filter(col("q_id") < col("n_id"))
+      .select(col("q_id").as("d1"), col("n_id").as("d2"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val cc = Dedup.connectedComponents(e.select(col("vec_id").as("v")), mutual)
+    (mutual, cc)
+  }
+
   private val mutualCcMemo =
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
   private def mutualKnnCc(s: SparkSession, d: String):
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val (edir, cdir) = mutualCcMemo.getOrElseUpdate(d, {
-      val e = embs(s, d)
-      val knn = Similarity.ivfTopK(par(e), e, k = 5,
-          centroids = Similarity.fixedCentroids(16, 64))
-        .select(col("q_id"), col("n_id"))
-      val rev = knn.select(col("n_id").as("q2"), col("q_id").as("n2"))
-      val mutual = knn
-        .join(rev, col("q_id") === col("q2") && col("n_id") === col("n2"))
-        .filter(col("q_id") < col("n_id"))
-        .select(col("q_id").as("d1"), col("n_id").as("d2"))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      val cc = Dedup.connectedComponents(e.select(col("vec_id").as("v")), mutual)
+      val (mutual, cc) = mutualKnnEdgesCc(s, d, nCells = 16)
       val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
       val ed = Queries.scratch(s"mutual_edges_$tag")
       val cd = Queries.scratch(s"mutual_cc_$tag")
