@@ -4294,6 +4294,94 @@ object QueriesOps {
       },
       Some(BpeTokenizeOracle)),
 
+    // BPE4: tokenizer FERTILITY report per language — pieces/word and
+    // chars/piece under the learned merges, the standard "is this
+    // tokenizer fair to language X" audit (a high-fertility language
+    // pays more sequence length per character of content). Reuses
+    // bpe1's learned merges and bpe2's vocabulary segmentation: the
+    // corpus side is one token explode + a vocab-sized join — the
+    // merge replay never touches token occurrences.
+    "bpe4_fertility" -> Q(
+      (s, d) => {
+        val m = graft.ops.Bpe.learnMerges(docs(s, d), BpeMergeRounds)
+          .orderBy("step").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val dd = docs(s, d)
+        val vocab = graft.ops.Bpe.segmentVocab(dd, m)
+          .select(col("w"), col("n_pieces"))
+        val toks = dd.select(col("doc_id"), col("lang"),
+            explode(Dedup.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+        toks.join(vocab, "w")
+          .withColumn("wc", length(col("w")).cast("long"))
+          .groupBy(col("lang"))
+          .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
+            count(lit(1)).cast("long").as("n_words"),
+            sum(col("n_pieces").cast("long")).cast("long").as("n_pieces"),
+            sum(col("wc")).cast("long").as("n_chars"))
+          .select(col("lang"), col("n_docs"), col("n_words"),
+            col("n_pieces"), col("n_chars"),
+            round(col("n_pieces").cast("double") / col("n_words").cast("double"), 9)
+              .as("fertility"),
+            round(col("n_chars").cast("double") / col("n_pieces").cast("double"), 9)
+              .as("chars_per_piece"))
+          .orderBy("lang")
+      },
+      Some(bpeWordCtes(BpeMergeRounds) +
+        s""",
+           |pieces AS (SELECT w,
+           |  CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS np FROM w$BpeMergeRounds),
+           |tk AS (SELECT doc_id, lang,
+           |    string_split(lower(text), ' ')[u.i] AS tok
+           |  FROM documents,
+           |    unnest(generate_series(1, len(string_split(lower(text), ' ')))) u(i)),
+           |j AS (SELECT tk.lang, tk.doc_id, p.np, CAST(len(tk.tok) AS BIGINT) AS wc
+           |  FROM tk JOIN pieces p ON p.w = tk.tok WHERE len(tk.tok) > 0)
+           |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           |  CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(np) AS BIGINT) AS n_pieces,
+           |  CAST(sum(wc) AS BIGINT) AS n_chars,
+           |  round(CAST(sum(np) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9) AS fertility,
+           |  round(CAST(sum(wc) AS DOUBLE) / CAST(sum(np) AS DOUBLE), 9) AS chars_per_piece
+           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // DD17: dedup SAVINGS report — what exact dedup actually buys, in
+    // the unit the training bill is written in (tokens), per source.
+    // One hash-group pass decides keepers (min doc id per content
+    // hash, the dd1 rule); token counts are in-row sizes — no text
+    // ever shuffles, only (hash, id, n_tokens) triples.
+    "dd17_dedup_savings" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+          .withColumn("__h", md5(col("text")))
+          .withColumn("__nt",
+            size(filter(Dedup.tokens(col("text")), t => length(t) > 0)).cast("long"))
+        val keep = dd.groupBy(col("__h")).agg(min(col("doc_id")).as("__keep"))
+        dd.join(keep, "__h")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(when(col("doc_id") === col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(col("__nt")).cast("long").as("tokens_total"),
+            sum(when(col("doc_id") === col("__keep"), col("__nt")).otherwise(lit(0L)))
+              .cast("long").as("tokens_kept"))
+          .select(col("source"), col("n_docs"), col("n_kept"),
+            col("tokens_total"), col("tokens_kept"),
+            round(lit(1.0) - col("tokens_kept").cast("double")
+              / col("tokens_total").cast("double"), 9).as("savings"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT doc_id, source, md5(text) AS h,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS BIGINT) AS nt
+        |  FROM documents),
+        |k AS (SELECT h, min(doc_id) AS keep FROM t GROUP BY 1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id = keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(nt) AS BIGINT) AS tokens_total,
+        |  CAST(sum(CASE WHEN doc_id = keep THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept,
+        |  round(1.0 - CAST(sum(CASE WHEN doc_id = keep THEN nt ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(nt) AS DOUBLE), 9) AS savings
+        |FROM t JOIN k USING (h) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // One-row dataset card: volume / diversity / dup mass / exact
     // median length / mean quality — the release datasheet.
     "card1_dataset_card" -> Q(

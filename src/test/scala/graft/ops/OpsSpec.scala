@@ -873,6 +873,28 @@ class OpsSpec extends AnyFunSuite {
     assert(viaCand === pairs)
   }
 
+  test("dedup savings: planted exact dups billed at their token mass") {
+    import spark.implicits._
+    // source A: one unique doc (3 tokens) + 2 copies of a 4-token doc;
+    // keeper of the copy group is the min id, the other copy is waste
+    val docs = Seq(
+      (1L, "A", "alpha beta gamma"),
+      (2L, "A", "dup dup dup dup"),
+      (3L, "A", "dup dup dup dup"),
+      (4L, "B", "unique text here now")
+    ).toDF("doc_id", "source", "text")
+    val dd = docs.withColumn("__h", md5(col("text")))
+      .withColumn("__nt", size(filter(graft.ops.Dedup.tokens(col("text")),
+        t => length(t) > 0)).cast("long"))
+    val keep = dd.groupBy(col("__h")).agg(min(col("doc_id")).as("__keep"))
+    val got = dd.join(keep, "__h").groupBy("source")
+      .agg(sum(when(col("doc_id") === col("__keep"), col("__nt")).otherwise(lit(0L))).as("kept"),
+        sum(col("__nt")).as("total"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("A") === ((7L, 11L)), "A keeps 3+4 of 3+4+4 tokens")
+    assert(got("B") === ((4L, 4L)), "no dups in B -> zero savings")
+  }
+
   test("heapsFit: beta = 1 on an all-novel corpus, ~0 on a fixed-vocab corpus") {
     import spark.implicits._
     // every doc contributes exactly 2 brand-new tokens: V(n) = n, beta = 1
