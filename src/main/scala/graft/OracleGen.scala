@@ -936,6 +936,45 @@ object OracleGen {
        |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
+  /** hn1: hard-negative mining for contrastive training — ss5's IVF
+    * top-k widened to `k`, then banded to sim ∈ [lo, hi) (similar
+    * enough to be informative, far enough to not be a positive) and
+    * re-ranked to the `keep` hardest per query. Band membership tests
+    * the UNROUNDED sim — both engines compute the identical double, so
+    * the boundary cannot disagree.
+    */
+  def hn1Sql(k: Int = 20, lo: Double = 0.2, hi: Double = 0.8,
+             keep: Int = 3, nCentroids: Int = 16, nProbe: Int = 6,
+             dim: Int = 64): String = {
+    val rows = Similarity.fixedCentroids(nCentroids, dim).map { c =>
+      s"(${c.id}, [${c.vec.mkString(", ")}], ${c.norm})"
+    }.mkString(", ")
+    val centDot = s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+      "i -> cv[CAST(i AS INTEGER)] * v[CAST(i AS INTEGER)])), (acc, x) -> acc + x)"
+    s"""WITH cent(cid, cv, cn) AS (VALUES $rows),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |cs AS (SELECT e.vec_id, cent.cid, $centDot / cn AS c_sim FROM e CROSS JOIN cent),
+       |cell AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cid DESC) AS rn FROM cs)
+       |  WHERE rn = 1),
+       |probe AS (SELECT vec_id AS q_id, cid AS cell FROM (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cid DESC) AS rn
+       |    FROM cs WHERE vec_id < 8)
+       |  WHERE rn <= $nProbe),
+       |cand AS (SELECT DISTINCT p.q_id, c.vec_id AS n_id
+       |  FROM probe p JOIN cell c ON c.cell = p.cell WHERE c.vec_id <> p.q_id),
+       |sims AS (SELECT cand.q_id, cand.n_id, ${cosSql(dim, "qe", "ne")} AS sim
+       |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id JOIN e ne ON ne.vec_id = cand.n_id),
+       |ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (
+       |    PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rank FROM sims),
+       |band AS (SELECT q_id, n_id, sim FROM ranked
+       |  WHERE rank <= $k AND sim >= $lo AND sim < $hi),
+       |nr AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (
+       |    PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS neg_rank FROM band)
+       |SELECT q_id, neg_rank, n_id, round(sim, 6) AS sim
+       |FROM nr WHERE neg_rank <= $keep ORDER BY q_id, neg_rank""".stripMargin
+  }
+
   /** kg1: mutual-kNN clusters — ss5's fixed-centroid IVF top-k with
     * EVERY vector as a query, kept only where both directions appear in
     * each other's top-k (the mutual filter that prunes hub vectors),

@@ -1386,6 +1386,28 @@ object QueriesOps {
       },
       Some(OracleGen.ss5Sql())),
 
+    // HN1: hard-negative mining for contrastive training — the step
+    // that builds an embedding model's training pairs: per anchor, the
+    // IVF top-k widened to 20, banded to sim ∈ [0.2, 0.8) (informative
+    // but not a positive/near-dup), hardest 3 kept. The scale path is
+    // ss5's (cell-confined candidates); the band tests the UNROUNDED
+    // sim both engines compute identically.
+    "hn1_hard_negatives" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        val knn = Similarity.ivfTopK(par(e), e.filter(col("vec_id") < 8), k = 20,
+          centroids = Similarity.fixedCentroids(16, 64))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("n_id").asc)
+        knn.filter(col("sim") >= 0.2 && col("sim") < 0.8)
+          .withColumn("neg_rank", row_number().over(w).cast("int"))
+          .filter(col("neg_rank") <= 3)
+          .select(col("q_id"), col("neg_rank"), col("n_id"),
+            round(col("sim"), 6).as("sim"))
+          .orderBy("q_id", "neg_rank")
+      },
+      Some(OracleGen.hn1Sql())),
+
     // EO1: embedding-space outliers — cosine distance to the own
     // (nearest) fixed centroid, micro-quantized, z-scored from exact
     // integer moments, top-20. The vector-modality outlier gate beside
