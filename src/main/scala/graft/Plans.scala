@@ -43,7 +43,8 @@ object Plans {
     "kg1_mutual_knn_clusters", "dd16_lsh_eval", "tx18_kneser_ney",
     "fa1_filter_attribution", "iso1_isotropy_report",
     "dc4_contamination_trace", "cur12_pack_efficiency",
-    "dm1_domain_divergence", "bx2_bitext_lsh")
+    "dm1_domain_divergence", "bx2_bitext_lsh", "mmr1_mmr_rerank",
+    "hn1_hard_negatives", "dd17_dedup_savings")
 
   /** (shuffle exchanges, broadcast exchanges) of the physical plan,
     * counted via tree walk, not the text dump: a persisted subtree's
