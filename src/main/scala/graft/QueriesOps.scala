@@ -5486,6 +5486,34 @@ object QueriesOps {
     // truth on the sample: confusion cells + precision/recall/F1 in one
     // row. The number you look at before committing a (hashes, bands)
     // scheme to the full corpus.
+    // DD18: cross-source near-dup MATRIX — where the duplication
+    // actually lives: MinHash-LSH pairs (the dd3 portable path) rolled
+    // up into an unordered (source_a, source_b) count table. Off-
+    // diagonal mass = cross-source contamination (mirrors, scrapes of
+    // scrapes); diagonal mass = within-source redundancy. Pairs carry
+    // ids only; sources join per surviving pair.
+    "dd18_crossdup_matrix" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val pairs = Dedup.minhashLshPairsPortable(par(dd), threshold = 0.5)
+          .select("d1", "d2")
+        val src = dd.select(col("doc_id"), col("source"))
+        pairs.join(src.toDF("d1", "src1"), "d1")
+          .join(src.toDF("d2", "src2"), "d2")
+          .select(least(col("src1"), col("src2")).as("source_a"),
+            greatest(col("src1"), col("src2")).as("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).cast("long").as("n_pairs"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH p AS (${OracleGen.dd3pSql(0.5)}),
+        |sa AS (SELECT doc_id, source FROM documents)
+        |SELECT least(s1.source, s2.source) AS source_a,
+        |  greatest(s1.source, s2.source) AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM p JOIN sa s1 ON s1.doc_id = p.d1 JOIN sa s2 ON s2.doc_id = p.d2
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     "dd16_lsh_eval" -> Q(
       (s, d) => Dedup.lshEvalReport(par(docs(s, d)), threshold = 0.5)
         .select(col("n_truth"), col("n_cand"), col("tp"), col("fp"), col("fn"),
