@@ -924,6 +924,48 @@ object Queries {
         |FROM tx WHERE substr(update_at, 9, 2) = '04' AND substr(update_at, 12, 2) = '00'
         |ORDER BY id""".stripMargin)),
 
+    // ST5: the BACKFILL → STREAMING HANDOFF seam (the lambda-
+    // architecture moment every CDC pipeline lives through once): hour
+    // A arrives as a batch backfill through TableWriter.mergeCommit's
+    // bootstrap path, hour B lands as CDC files and drains through the
+    // STREAMING merge into the same lake — and the final table must
+    // equal the per-id latest-wins truth of both hours, proving the
+    // batch-written and stream-merged halves compose under one table
+    // contract (same key, same precombine, same partition layout).
+    "st5_backfill_handoff" -> Q(
+      (s, d) => {
+        val cols = Seq("account", "create_at", "update_at", "entity",
+          "amount", "is_credit", "note")
+        val day = tx(s, d).filter(substring(col("update_at"), 9, 2) === "02")
+        val hourA = day.filter(substring(col("update_at"), 12, 2) === "00")
+          .select(cols.map(col): _*)
+        val hourB = day.filter(substring(col("update_at"), 12, 2) === "01")
+          .select(cols.map(col): _*)
+        val landing = scratchOnce("st5_landing", d)(Ingest.landCdc(hourB, _))
+        val lake = scratch("st5_lake") + "/tbl"
+        if (!hourA.isEmpty)
+          TableWriter.mergeCommit(s, Ingest.toLakeRows(hourA), lake)
+        CdcStream.mergeStream(s, landing, lake, scratch("st5_ckpt"),
+          maxFilesPerTrigger = 20, availableNow = true).awaitTermination()
+        val out =
+          if (Files.exists(Paths.get(lake))) TableWriter.read(s, lake)
+          else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            Schemas.lakeFlat)
+        out.select("id", "account", "create_at", "update_at", "entity",
+            "amount", "is_credit", "note")
+          .orderBy("id")
+      },
+      Some(s"""$TxCte
+        |SELECT id, account, create_at, update_at, entity, amount, is_credit, note
+        |FROM (SELECT 'account:' || account || ',create_at:' || create_at AS id, *,
+        |        row_number() OVER (
+        |          PARTITION BY 'account:' || account || ',create_at:' || create_at
+        |          ORDER BY update_at DESC) AS rn
+        |      FROM tx
+        |      WHERE substr(update_at, 9, 2) = '02'
+        |        AND substr(update_at, 12, 2) IN ('00', '01'))
+        |WHERE rn = 1 ORDER BY id""".stripMargin)),
+
     // T8 (stream form): the CUSTOM-STATE latest-per-key operator
     // (flatMapGroupsWithState, O(live keys) state) drained with
     // AvailableNow into a memory sink. Every key's final emission must

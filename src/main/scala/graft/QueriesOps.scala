@@ -687,6 +687,39 @@ object QueriesOps {
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // TX19: code-vs-prose routing battery — programming punctuation
+    // density, indented-line fraction, fixed-list keyword hits, all
+    // in-row; the screen that splits a pretraining mix into code and
+    // NL pipelines before any learned classifier runs.
+    "tx19_code_detect" -> Q(
+      (s, d) => Text.codeDetect(docs(s, d))
+        .select(col("doc_id"), col("n_chars"), col("n_sym"),
+          col("n_indent_lines"), col("n_lines"), col("n_kw"),
+          round(col("symbol_ratio"), 9).as("symbol_ratio"),
+          round(col("indent_frac"), 9).as("indent_frac"),
+          col("is_code"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, text,
+        |    CAST(len(text) AS BIGINT) AS n_chars,
+        |    CAST(len(text) - len(translate(text, '{}();=<>[]', '')) AS BIGINT) AS n_sym,
+        |    string_split(text, chr(10)) AS lines,
+        |    string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, n_chars, n_sym,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^(  |\t)'))) AS BIGINT) AS n_indent_lines,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(toks, tk -> list_contains([${Text.CodeKeywords.map(k => s"'$k'").mkString(", ")}], tk))) AS BIGINT) AS n_kw
+        |  FROM t),
+        |r AS (SELECT *,
+        |    CASE WHEN n_chars > 0 THEN CAST(n_sym AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS symbol_ratio,
+        |    CASE WHEN n_lines > 0 THEN CAST(n_indent_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS indent_frac
+        |  FROM f)
+        |SELECT doc_id, n_chars, n_sym, n_indent_lines, n_lines, n_kw,
+        |  round(symbol_ratio, 9) AS symbol_ratio,
+        |  round(indent_frac, 9) AS indent_frac,
+        |  (symbol_ratio >= 0.03 AND (n_kw >= 2 OR indent_frac >= 0.3)) AS is_code
+        |FROM r ORDER BY doc_id""".stripMargin)),
+
     // Cross-document n-gram novelty: the diversity telemetry of a data
     // mix — fraction of each doc's distinct trigrams unique to it.
     "tx15_novelty" -> Q(

@@ -692,6 +692,43 @@ object Text {
     mat
   }
 
+  /** Code-vs-prose detector — the battery that routes a pretraining
+    * mix's documents to the code or natural-language pipeline (and the
+    * cheap screen before an expensive learned classifier): programming
+    * punctuation density (`{}();=<>[]`), indented-line fraction,
+    * keyword-token hits from a fixed literal list. All in-row codegen
+    * (translate + split + filter HOFs), zero shuffle; the keep rule is
+    * a deterministic boolean over exact counts.
+    */
+  val CodeKeywords: Seq[String] = Seq("def", "return", "import", "class",
+    "if", "else", "for", "while", "function", "var", "let", "const",
+    "public", "void", "int", "string")
+
+  def codeDetect(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("long")
+    val nSym = (length(t) - length(translate(t, "{}();=<>[]", ""))).cast("long")
+    val lines = split(t, "\n")
+    val nIndent = size(filter(lines, l => l.rlike("^(  |\t)"))).cast("long")
+    val kwHits = size(filter(Dedup.tokens(t),
+      tk => tk.isin(CodeKeywords: _*))).cast("long")
+    docs.select(col(idCol), nChars.as("n_chars"), nSym.as("n_sym"),
+        nIndent.as("n_indent_lines"), size(lines).cast("long").as("n_lines"),
+        kwHits.as("n_kw"))
+      .withColumn("symbol_ratio",
+        when(col("n_chars") > 0,
+          col("n_sym").cast("double") / col("n_chars").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("indent_frac",
+        when(col("n_lines") > 0,
+          col("n_indent_lines").cast("double") / col("n_lines").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("is_code",
+        col("symbol_ratio") >= 0.03 &&
+          (col("n_kw") >= 2 || col("indent_frac") >= 0.3))
+  }
+
   /** Heaps'-law fit (Heaps 1978; Herdan 1960): vocabulary growth
     * V(n) ≈ K·n^β against cumulative token count, the companion
     * diagnostic to [[zipfFit]] — β well under the typical 0.4–0.6

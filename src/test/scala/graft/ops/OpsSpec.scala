@@ -873,6 +873,24 @@ class OpsSpec extends AnyFunSuite {
     assert(viaCand === pairs)
   }
 
+  test("codeDetect: code routes to code, prose to prose") {
+    import spark.implicits._
+    val code =
+      """def main(args):
+        |  x = compute(args);
+        |  if x > 0:
+        |    return x;
+        |  else:
+        |    return [];""".stripMargin
+    val prose = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the quiet field toward the river bank"
+    val got = graft.ops.Text.codeDetect(
+        Seq((1L, code), (2L, prose)).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_code")).toMap
+    assert(got(1L), "indented keyworded symbol-dense text is code")
+    assert(!got(2L), "plain prose is not code")
+  }
+
   test("dedup savings: planted exact dups billed at their token mass") {
     import spark.implicits._
     // source A: one unique doc (3 tokens) + 2 copies of a 4-token doc;
