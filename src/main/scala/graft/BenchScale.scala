@@ -74,7 +74,14 @@ object BenchScale {
     // They smoke below as WIDTH-SCALED entries instead, which is their
     // documented 100 TB operating rule.
     "ss6_pq_topk", "ss7_ivfpq_topk", "er2_blocking_quality",
-    "dd7_dedup_clusters")
+    "dd7_dedup_clusters",
+    // round-10 late additions: the streaming e2e merge (was the one
+    // >2s bench query missing here), the two-pass prefix-sum fit, the
+    // fixed-query rerankers, the vocab-bounded fertility join, the
+    // in-row code battery, token-mass savings, and the backfill seam
+    "s9_stream_merge_e2e", "hp1_heaps_fit", "mmr1_mmr_rerank",
+    "hn2_band_negatives", "bpe4_fertility", "tx19_code_detect",
+    "dd17_dedup_savings", "st5_backfill_handoff")
 
   /** Entries whose index width must grow with the corpus (the LSH /
     * IVF contract): each gives (base-leg fn, scaled-leg fn at k×) —

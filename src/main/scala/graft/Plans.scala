@@ -44,7 +44,7 @@ object Plans {
     "fa1_filter_attribution", "iso1_isotropy_report",
     "dc4_contamination_trace", "cur12_pack_efficiency",
     "dm1_domain_divergence", "bx2_bitext_lsh", "mmr1_mmr_rerank",
-    "hn1_hard_negatives", "dd17_dedup_savings")
+    "hn2_band_negatives", "dd17_dedup_savings")
 
   /** (shuffle exchanges, broadcast exchanges) of the physical plan,
     * counted via tree walk, not the text dump: a persisted subtree's

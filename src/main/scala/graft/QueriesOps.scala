@@ -1419,13 +1419,13 @@ object QueriesOps {
       },
       Some(OracleGen.ss5Sql())),
 
-    // HN1: hard-negative mining for contrastive training — the step
-    // that builds an embedding model's training pairs: per anchor, the
-    // IVF top-k widened to 20, banded to sim ∈ [0.2, 0.8) (informative
-    // but not a positive/near-dup), hardest 3 kept. The scale path is
-    // ss5's (cell-confined candidates); the band tests the UNROUNDED
-    // sim both engines compute identically.
-    "hn1_hard_negatives" -> Q(
+    // HN2: label-free BANDED negative mining beside hn1's label-aware
+    // triplet form — per anchor, the IVF top-k widened to 20, banded
+    // to sim ∈ [0.2, 0.8) (informative but not a positive/near-dup),
+    // hardest 3 kept. The scale path is ss5's (cell-confined
+    // candidates); the band tests the UNROUNDED sim both engines
+    // compute identically.
+    "hn2_band_negatives" -> Q(
       (s, d) => {
         val e = embs(s, d)
         val knn = Similarity.ivfTopK(par(e), e.filter(col("vec_id") < 8), k = 20,
