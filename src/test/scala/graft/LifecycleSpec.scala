@@ -174,4 +174,37 @@ class LifecycleSpec extends AnyFunSuite {
     assert(Ingest.pruneLanding(landingDir, state.lastProcessedPartition) === 0,
       "retention must be idempotent")
   }
+
+  test("backfill->stream handoff: a key updated in BOTH halves resolves to the stream-side latest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_handoff")
+    val lake = s"$root/lake/tbl"
+    val cols = Seq("account", "create_at", "update_at", "entity", "amount", "is_credit", "note")
+    // hour A (batch backfill): key K at v1 + an A-only key
+    val hourA = Seq(
+      ("acc-K", "2024-01-02T00:00:01.000000+0000", "2024-01-02T00:00:01.000000+0000", "e1", 10, 1, "v1"),
+      ("acc-A", "2024-01-02T00:00:02.000000+0000", "2024-01-02T00:00:02.000000+0000", "e1", 20, 0, "a")
+    ).toDF(cols: _*)
+    // hour B (streamed): the SAME key K re-updated at v2 + a B-only key
+    val hourB = Seq(
+      ("acc-K", "2024-01-02T00:00:01.000000+0000", "2024-01-02T01:00:01.000000+0000", "e2", 11, 1, "v2"),
+      ("acc-B", "2024-01-02T01:00:03.000000+0000", "2024-01-02T01:00:03.000000+0000", "e1", 30, 0, "b")
+    ).toDF(cols: _*)
+    graft.ingest.TableWriter.mergeCommit(spark,
+      graft.ingest.Ingest.toLakeRows(hourA), lake)
+    val landing = s"$root/landing"
+    graft.ingest.Ingest.landCdc(hourB, landing)
+    graft.streaming.CdcStream.mergeStream(spark, landing, lake,
+      s"$root/ckpt", maxFilesPerTrigger = 1, availableNow = true).awaitTermination()
+    val got = graft.ingest.TableWriter.read(spark, lake)
+      .select("id", "update_at", "note").orderBy("id").collect()
+      .map(r => (r.getString(0), r.getString(2)))
+    assert(got.length === 3, s"3 distinct keys expected, got ${got.toSeq}")
+    val k = got.find(_._1.startsWith("account:acc-K")).get
+    assert(k._2 === "v2",
+      "the stream-side re-update of a batch-backfilled key must win (precombine on update_at)")
+    assert(got.exists(_._1.startsWith("account:acc-A")) &&
+      got.exists(_._1.startsWith("account:acc-B")))
+  }
 }
