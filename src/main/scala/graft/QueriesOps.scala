@@ -5729,6 +5729,38 @@ object QueriesOps {
     // CUR12: packing-efficiency report over cur2's token packing — the
     // padding-waste accounting a trainer bills by: per shard the bin
     // count, stream length, capacity and utilization.
+    // CUR14: length-profile rejection sampling — thin each source to
+    // the POOLED power-of-two length distribution (integer threshold
+    // ladder, no float log2) so a long-doc-heavy source can't dominate
+    // token mass when the recipe counts documents; acceptance by the
+    // seedless md5 content coin, rates = exact count ratios.
+    "cur14_length_match" -> Q(
+      (s, d) => Curate.lengthMatchSample(docs(s, d))
+        .select(col("source"), col("bucket"), col("n_docs"),
+          col("n_accept"), round(col("rate"), 9).as("rate"))
+        .orderBy("source", "bucket"),
+      Some(s"""WITH t AS (SELECT doc_id, source, text, CAST(len(text) AS BIGINT) AS n FROM documents),
+        |b AS (SELECT *, CAST(len(bin(n)) AS INTEGER) AS bk FROM t),
+        |nb AS (SELECT bk, CAST(count(*) AS BIGINT) AS cb FROM b GROUP BY 1),
+        |nsb AS (SELECT source, bk, CAST(count(*) AS BIGINT) AS csb FROM b GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS cs FROM b GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS ct FROM b),
+        |r AS (SELECT nsb.source, nsb.bk, csb,
+        |    least(1.0, CAST(cb AS DOUBLE) * CAST(cs AS DOUBLE)
+        |      / (CAST(ct AS DOUBLE) * CAST(csb AS DOUBLE))) AS rate
+        |  FROM nsb JOIN nb USING (bk) JOIN ns USING (source) CROSS JOIN nn),
+        |u AS (SELECT doc_id, source, bk,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 9),
+        |        i -> CAST(strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1 AS BIGINT))),
+        |      (a, x) -> a * 16 + x) AS DOUBLE) / CAST(4294967296 AS DOUBLE) AS u
+        |  FROM b)
+        |SELECT u.source, u.bk AS bucket, r.csb AS n_docs,
+        |  CAST(sum(CASE WHEN u.u < r.rate THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+        |  round(r.rate, 9) AS rate
+        |FROM u JOIN r ON r.source = u.source AND r.bk = u.bk
+        |GROUP BY 1, 2, 3, 5 ORDER BY 1, 2""".stripMargin)),
+
     "cur12_pack_efficiency" -> Q(
       (s, d) => Curate.packTokenBudget(docs(s, d), budget = 200, shardCol = "source")
         .groupBy(col("source"))

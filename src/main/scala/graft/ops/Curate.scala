@@ -804,6 +804,57 @@ object Curate {
     mat
   }
 
+  /** Length-profile rejection sampling: thin each source's documents
+    * so every source matches the POOLED length distribution — the
+    * curation step that stops a long-doc-heavy source from dominating
+    * token mass when the mixture recipe is written in documents. Docs
+    * bucket by power-of-two length (an INTEGER comparison ladder over
+    * literal thresholds — no float log2, whose last-ulp could disagree
+    * across engines at exact powers of two); source s keeps bucket b
+    * at rate min(1, pooled_share_b / source_share_sb), decided by the
+    * seedless md5 content coin (the [[temperatureResample]] coin — the
+    * same doc keeps its fate under re-curation).
+    *
+    * Scale: two map-side-combinable count aggregates (buckets and
+    * sources×buckets cells), a broadcast rate table, one codegen coin
+    * — the corpus never shuffles.
+    */
+  def lengthMatchSample(docs: DataFrame, stratumCol: String = "source",
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    // the coin and bucket ride `base` from the start: the rates table
+    // below is derived FROM base, so a post-join column referencing
+    // textCol would hit self-join lineage ambiguity. The length bucket
+    // is the BIT LENGTH of the char count via bin() — an exact string
+    // operation both engines implement identically (no float log2
+    // whose last ulp could flip a power-of-two boundary, and no
+    // HOF-captured outer attribute, which Spark's column pruning
+    // mis-binds here: INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND).
+    val coin = conv(substring(md5(col(textCol)), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+    val base = docs
+      .withColumn("__u", coin)
+      .withColumn("__b", length(bin(length(col(textCol)).cast("long"))).cast("int"))
+    val byBucket = base.groupBy(col("__b"))
+      .agg(count(lit(1)).cast("long").as("__nb"))
+    val bySrcBucket = base.groupBy(col(stratumCol), col("__b"))
+      .agg(count(lit(1)).cast("long").as("__nsb"))
+    val bySrc = base.groupBy(col(stratumCol))
+      .agg(count(lit(1)).cast("long").as("__ns"))
+    val total = base.agg(count(lit(1)).cast("long").as("__n"))
+    val rates = bySrcBucket.join(byBucket, "__b").join(bySrc, stratumCol)
+      .crossJoin(broadcast(total))
+      .withColumn("rate", least(lit(1.0),
+        col("__nb").cast("double") * col("__ns").cast("double") /
+          (col("__n").cast("double") * col("__nsb").cast("double"))))
+      .select(col(stratumCol), col("__b"), col("__nsb"), col("rate"))
+    base.join(broadcast(rates), Seq(stratumCol, "__b"))
+      .groupBy(col(stratumCol), col("__b").as("bucket"))
+      .agg(first(col("__nsb")).as("n_docs"),
+        sum(when(col("__u") < col("rate"), 1L).otherwise(0L)).as("n_accept"),
+        first(col("rate")).as("rate"))
+  }
+
   /** Quantile normalization across groups (the Bolstad 2003
     * batch-effect correction, applied to corpus curation: each
     * source's score distribution maps onto the POOLED distribution, so

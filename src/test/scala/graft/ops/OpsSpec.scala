@@ -873,6 +873,25 @@ class OpsSpec extends AnyFunSuite {
     assert(viaCand === pairs)
   }
 
+  test("lengthMatchSample: single source keeps everything; skewed source thins to the pooled profile") {
+    import spark.implicits._
+    def doc(i: Long, src: String, len: Int) = (i, src, "x" * len)
+    // one source: its profile IS the pooled profile -> rate 1 everywhere
+    val single = (1L to 30L).map(i => doc(i, "a", 10 * i.toInt)).toDF("doc_id", "source", "text")
+    val r1 = Curate.lengthMatchSample(single).collect()
+    assert(r1.forall(_.getAs[Double]("rate") === 1.0))
+    assert(r1.map(_.getAs[Long]("n_accept")).sum === 30L)
+    // source b only has LONG docs while a is balanced: b's long-bucket
+    // rate < 1 (thinned), a's buckets stay acceptable
+    val skewed = ((1L to 20L).map(i => doc(i, "a", if (i <= 10) 10 else 5000)) ++
+      (21L to 40L).map(i => doc(i, "b", 5000))).toDF("doc_id", "source", "text")
+    val r2 = Curate.lengthMatchSample(skewed).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getAs[Double]("rate")).toMap
+    val longBucket = r2.keys.filter(_._1 == "b").map(_._2).head
+    assert(r2(("b", longBucket)) < 1.0,
+      s"the long-only source must be thinned in its long bucket, got $r2")
+  }
+
   test("codeDetect: code routes to code, prose to prose") {
     import spark.implicits._
     val code =
