@@ -161,7 +161,13 @@ object Queries {
   private[graft] def scratchOnce(name: String, sfDir: String)(
       produce: String => Unit): String =
     scratchOnceMemo.computeIfAbsent(s"$name@$sfDir", { _ =>
-      val dir = scratch(name)
+      // the sfDir tag is part of the PHYSICAL path, not just the memo
+      // key: one process touching two data dirs (BenchScale's base +
+      // scaled corpora) must land each (name, dir) pair in its own
+      // directory, or the second dir's produce() would rewrite the
+      // directory the first memo entry still points at.
+      val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = scratch(s"${name}_$tag")
       produce(dir)
       dir
     })

