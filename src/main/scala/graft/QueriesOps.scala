@@ -641,14 +641,14 @@ object QueriesOps {
         |  CAST(n12 AS DOUBLE) / CAST(sum(n12) OVER (PARTITION BY w1) AS DOUBLE) AS p
         |FROM c ORDER BY n12 DESC, w1, w2 LIMIT 100""".stripMargin)),
 
-    // Curation-on-ingest: documents drained as 4 file-bounded micro-
+    // Curation-on-ingest: documents drained as 2 file-bounded micro-
     // batches through the Gopher gate; per-epoch (keep, drop) counts
     // committed replay-safe (epoch-keyed overwrite dirs), totals summed
     // at read time. Oracle recomputes the whole battery in batch.
     "st4_stream_quality" -> Q(
-      (s, d) => {
+      (s, d) => Queries.withStreamShuffle(s) {
         val dir = Queries.scratchOnce("st4_docs", d)(
-          docs(s, d).repartition(4).write.mode("overwrite").parquet(_))
+          docs(s, d).repartition(2).write.mode("overwrite").parquet(_))
         val out = Queries.scratch("st4_counts")
         val ck = Queries.scratch("st4_ck")
         val stream = s.readStream.schema(docs(s, d).schema)
@@ -1159,9 +1159,13 @@ object QueriesOps {
     // mined "translations". avgK rides the ordered-left-fold
     // discipline so margins (and therefore mutual-best ranks) are
     // bit-identical across engines; cos/margin round(6) on output.
+    // TRUTH BASELINE — deliberately brute-force, never scale-swept
+    // (bx2_bitext_lsh is the 100 TB plan); the vec_id < 1000 cap keeps
+    // the exact-truth audit slice bounded so the bench doesn't pay
+    // O(n²) as the table grows (a no-op at the sf0.01 gate's 500 rows).
     "bx1_bitext_margin" -> Q(
       (s, d) => {
-        val e = embs(s, d)
+        val e = embs(s, d).filter(col("vec_id") < 1000)
         graft.ops.Similarity.bitextMine(
             e.filter(pmod(col("label"), lit(2)) === 0),
             e.filter(pmod(col("label"), lit(2)) === 1),
@@ -1171,8 +1175,10 @@ object QueriesOps {
             round(col("margin"), 6).as("margin"))
           .orderBy("s_id")
       },
-      Some("""WITH s AS (SELECT vec_id AS s_id, embedding AS s_vec FROM embeddings WHERE label % 2 = 0),
-        |t AS (SELECT vec_id AS t_id, embedding AS t_vec FROM embeddings WHERE label % 2 = 1),
+      Some("""WITH s AS (SELECT vec_id AS s_id, embedding AS s_vec FROM embeddings
+        |       WHERE label % 2 = 0 AND vec_id < 1000),
+        |t AS (SELECT vec_id AS t_id, embedding AS t_vec FROM embeddings
+        |       WHERE label % 2 = 1 AND vec_id < 1000),
         |sc AS (SELECT s_id, t_id,
         |    list_sum(list_transform(range(1, len(s_vec) + 1),
         |      i -> CAST(s_vec[i] AS DOUBLE) * CAST(t_vec[i] AS DOUBLE)))
@@ -3568,14 +3574,14 @@ object QueriesOps {
     // foreachBatch) instead of built in one pass; the final analytics
     // read sketches only. Exact per-day distincts carry the hash;
     // estimate accuracy is the bound boolean. Multi-tick drain
-    // (maxFilesPerTrigger=1 over 4 files) proves merge associativity
+    // (maxFilesPerTrigger=1 over 2 files) proves merge associativity
     // across batches, not just within one.
     "hl2_stream_sketch" -> Q(
-      (s, d) => {
+      (s, d) => Queries.withStreamShuffle(s) {
         val ev = Queries.events(s, d)
           .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
         val srcDir = Queries.scratchOnce("hl2_src", d)(
-          ev.repartition(4).write.mode("overwrite").parquet(_))
+          ev.repartition(2).write.mode("overwrite").parquet(_))
         val sketchDir = Queries.scratch("hl2_sketch") + "/t"
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
