@@ -81,7 +81,24 @@ object BenchScale {
     // in-row code battery, token-mass savings, and the backfill seam
     "s9_stream_merge_e2e", "hp1_heaps_fit", "mmr1_mmr_rerank",
     "hn2_band_negatives", "bpe4_fertility", "tx19_code_detect",
-    "dd17_dedup_savings", "st5_backfill_handoff")
+    "dd17_dedup_savings", "st5_backfill_handoff",
+    // round-11: the heavy batch tail (every non-streaming query >1.5 s
+    // at sf0.1 now has an entry; truth baselines like bx1 are excluded
+    // by the never-scale-swept convention). BPE merge learning is the
+    // classic accidental-quadratic (vocab loop re-scanning the corpus);
+    // pca's moment pass, label-prop's fixed rounds, the blocked ER
+    // join, DSIR's weight table, the equi-depth two-pass and the e2e
+    // initial load are all expected-linear; the tagged-copy dissimilar
+    // construction keeps dd2's shared-shingle candidates and dd14/sp2's
+    // cluster structure replica-local, so they scale as k independent
+    // corpora
+    "bpe1_bpe_merges", "bpe2_segment_vocab", "bpe3_tokenize_corpus",
+    "pca1_top_component", "pca2_project", "pca3_incremental_moments",
+    "lp1_label_prop", "dd2_ngram_jaccard", "er1_entity_resolution",
+    "ds1_dsir_select", "hi2_equidepth", "s1_initial_load_e2e",
+    "dd14_quality_canonical", "sp2_cluster_safe_split",
+    "dd12_incremental_sig_dedup", "k10_landing_retention",
+    "hl2_stream_sketch", "ssj1_stream_stream_join")
 
   /** Entries whose index width must grow with the corpus (the LSH /
     * IVF contract): each gives (base-leg fn, scaled-leg fn at k×) —
