@@ -1158,4 +1158,56 @@ object OracleGen {
        |SELECT vec_id, CAST(cell AS BIGINT) AS cell, d_micro, round(z, 6) AS z
        |FROM top ORDER BY vec_id""".stripMargin
   }
+
+  /** bt1: Bradley–Terry MM fit with `iters` unrolled iteration CTEs.
+    * All state is integer micro-units and every step a floor `//`
+    * division, mirroring Classify.bradleyTerry's exact long arithmetic
+    * (SUM promotes to HUGEINT in DuckDB — still exact integers).
+    */
+  def bt1Sql(iters: Int = 8): String = {
+    val iterCtes = (1 to iters).map { k =>
+      val prev = if (k == 1) "it0" else s"it${k - 1}"
+      s"""it$k AS MATERIALIZED (SELECT i.item,
+         |    CASE WHEN d.denom IS NULL OR d.denom = 0 THEN i.wm
+         |         ELSE COALESCE(w.W, 0) * 1000000000000 // d.denom END AS wm
+         |  FROM $prev i
+         |  LEFT JOIN (SELECT e.i AS item,
+         |        SUM(e.n * 1000000000000 // (wa.wm + wb.wm)) AS denom
+         |      FROM e JOIN $prev wa ON wa.item = e.i
+         |        JOIN $prev wb ON wb.item = e.j
+         |      GROUP BY 1) d ON d.item = i.item
+         |  LEFT JOIN wins w ON w.item = i.item)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dd AS (SELECT doc_id, source,
+       |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt
+       |  FROM documents),
+       |pr0 AS (SELECT doc_id // 2 AS pair, doc_id, source, nt FROM dd),
+       |r AS (SELECT pair, source,
+       |    row_number() OVER (PARTITION BY pair ORDER BY nt DESC, doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY pair) AS c FROM pr0),
+       |pw AS (SELECT a.pair, a.source AS w, b.source AS l
+       |  FROM r a JOIN r b ON a.pair = b.pair AND a.rn = 1 AND b.rn = 2
+       |  WHERE a.c = 2 AND a.source <> b.source),
+       |m AS MATERIALIZED (SELECT w, l, CAST(count(*) AS BIGINT) AS n
+       |  FROM pw GROUP BY 1, 2),
+       |items AS MATERIALIZED (SELECT DISTINCT item FROM
+       |  (SELECT w AS item FROM m UNION ALL SELECT l FROM m)),
+       |tot AS (SELECT least(w, l) AS a, greatest(w, l) AS b,
+       |    CAST(sum(n) AS BIGINT) AS n FROM m GROUP BY 1, 2),
+       |e AS MATERIALIZED (SELECT a AS i, b AS j, n FROM tot
+       |  UNION ALL SELECT b, a, n FROM tot),
+       |wins AS MATERIALIZED (SELECT w AS item, CAST(sum(n) AS BIGINT) AS W
+       |  FROM m GROUP BY 1),
+       |it0 AS MATERIALIZED (SELECT item, CAST(1000000 AS BIGINT) AS wm FROM items),
+       |$iterCtes
+       |SELECT i.item, CAST(COALESCE(w.W, 0) AS BIGINT) AS n_wins,
+       |  CAST(COALESCE(t.nc, 0) AS BIGINT) AS n_comparisons,
+       |  CAST(f.wm AS DOUBLE) / 1000000.0 AS strength
+       |FROM items i
+       |LEFT JOIN wins w ON w.item = i.item
+       |LEFT JOIN (SELECT e.i AS item, CAST(sum(n) AS BIGINT) AS nc
+       |           FROM e GROUP BY 1) t ON t.item = i.item
+       |JOIN it$iters f ON f.item = i.item
+       |ORDER BY i.item""".stripMargin
+  }
 }

@@ -4011,6 +4011,46 @@ object QueriesOps {
         |    / CAST(count(*) AS DOUBLE) AS dup_ratio
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // SA1: ExactSubstr-style repeated-substring PROFILE (Lee et al.
+    // 2021) — per doc, how many positions sit inside an 8- / 32-token
+    // window repeated ANYWHERE in the corpus, via binary-lifted md5
+    // gram labels (prefix-doubling on hashes: log₂w window passes, one
+    // corpus shuffle). The oracle replays the identical md5 doubling
+    // ladder, so the gate checks every lift level, not just the rollup.
+    "sa1_repeat_profile" -> Q(
+      (s, d) => Dedup.repeatProfile(par(docs(s, d)), reportWs = Seq(8, 32))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |        FROM documents),
+        |p AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+        |        unnest(toks) AS tok FROM t),
+        |g1 AS (SELECT doc_id, pos, md5(tok) AS h1 FROM p),
+        |g2 AS (SELECT doc_id, pos, md5(h1 || lead(h1, 1) OVER w) AS h2 FROM g1
+        |       WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |g4 AS (SELECT doc_id, pos, md5(h2 || lead(h2, 2) OVER w) AS h4 FROM g2
+        |       WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |g8 AS (SELECT doc_id, pos, md5(h4 || lead(h4, 4) OVER w) AS h8 FROM g4
+        |       WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |g16 AS (SELECT doc_id, pos, h8, md5(h8 || lead(h8, 8) OVER w) AS h16 FROM g8
+        |        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |g32 AS (SELECT doc_id, pos, md5(h16 || lead(h16, 16) OVER w) AS h32 FROM g16
+        |        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |r8 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS rep8 FROM
+        |         (SELECT doc_id, count(*) OVER (PARTITION BY h8) AS c
+        |          FROM g8 WHERE h8 IS NOT NULL) WHERE c > 1 GROUP BY 1),
+        |r32 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS rep32 FROM
+        |          (SELECT doc_id, count(*) OVER (PARTITION BY h32) AS c
+        |           FROM g32 WHERE h32 IS NOT NULL) WHERE c > 1 GROUP BY 1),
+        |ln AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+        |SELECT ln.doc_id, ln.n_tokens,
+        |  CAST(coalesce(r8.rep8, 0) AS BIGINT) AS rep8,
+        |  CAST(coalesce(r32.rep32, 0) AS BIGINT) AS rep32,
+        |  CASE WHEN ln.n_tokens - 7 > 0 THEN
+        |    round(CAST(coalesce(r8.rep8, 0) AS DOUBLE)
+        |      / CAST(ln.n_tokens - 7 AS DOUBLE), 9) END AS frac8
+        |FROM ln LEFT JOIN r8 USING (doc_id) LEFT JOIN r32 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
     // Z-score outlier screen per event_type: moments from decimal-exact
     // sums (st2's trick), broadcast back onto the stream for a narrow
     // per-row z — the standard drift/anomaly monitor a pipeline runs
@@ -5454,6 +5494,25 @@ object QueriesOps {
           .orderBy("vec_id")
       },
       Some(OracleGen.gnb1Sql(64))),
+
+    // BT1: Bradley–Terry strengths over sources from deterministic
+    // doc-pair preferences (longer doc wins its pair; same-source pairs
+    // excluded) — the preference-data fit behind reward-model curation.
+    // 8 MM iterations in exact integer micro-unit arithmetic, unrolled
+    // by the oracle; the one corpus-sized pass is the pair aggregation.
+    "bt1_bradley_terry" -> Q(
+      (s, d) => {
+        val dd = docs(s, d).select(col("doc_id"), col("source"),
+          size(Dedup.tokens(col("text"))).cast("long").as("__nt"))
+        val pr = dd.withColumn("__pair", expr("doc_id div 2"))
+          .groupBy("__pair")
+          .agg(count(lit(1)).as("__c"),
+            expr("max_by(source, struct(__nt, -doc_id))").as("w"),
+            expr("min_by(source, struct(__nt, -doc_id))").as("l"))
+          .filter(col("__c") === 2 && col("w") =!= col("l"))
+        Classify.bradleyTerry(pr, "w", "l", iters = 8).orderBy("item")
+      },
+      Some(OracleGen.bt1Sql(8))),
 
     // SQ1: shuffle-quality audit over cur7's epoch shuffle — per shard
     // the source-mix entropy, max single-source share and KL to the

@@ -248,4 +248,67 @@ object Classify {
         best.getField("cls").as("pred"))
       .withColumn("correct", col(labelCol) === col("pred"))
   }
+
+  /** Bradley–Terry preference-strength fit (Bradley & Terry 1952) via
+    * Hunter's MM iteration (Hunter 2004, "MM algorithms for generalized
+    * Bradley-Terry models") — the model behind reward-model /
+    * preference-data curation: given pairwise win counts between items
+    * (annotator A-vs-B choices, side-by-side evals), recover a strength
+    * per item such that P(i beats j) = w_i / (w_i + w_j). The curation
+    * uses: rank candidate sources/policies from noisy pairwise labels,
+    * and flag preference sets whose fitted strengths are near-uniform
+    * (no signal) before paying for RLHF training on them.
+    *
+    * `pairs` must carry (winnerCol, loserCol) item ids per comparison.
+    * MM update: w_i ← W_i / Σ_{j≠i} n_ij_total / (w_i + w_j), with
+    * W_i = total wins of i — monotone in likelihood, no step size.
+    *
+    * Determinism (the cross-engine contract): strengths are carried in
+    * INTEGER micro-units and every term is an integer floor-division —
+    * `t_ij = n_ij·10¹² / (wm_i + wm_j)` (a micro-quantized term),
+    * `wm_i' = W_i·10¹² / Σ_j t_ij` — so all `iters` rounds are exact
+    * long arithmetic the oracle replays with `//`, and the only float
+    * is the final round(wm/10⁶, 6) display division.
+    *
+    * Scale: the win matrix is a combinable (winner, loser) count
+    * shuffle over the comparisons — the ONLY corpus-sized pass. The
+    * matrix itself is items²-bounded (≤ `maxItems`² rows, enforced);
+    * iterating on it driver-side is microseconds (the [[Pca]] /
+    * IVF-codebook bounded-collect discipline) and the result returns
+    * as a literal row set.
+    */
+  def bradleyTerry(pairs: DataFrame, winnerCol: String, loserCol: String,
+                   iters: Int = 8, maxItems: Int = 64): DataFrame = {
+    val spark = pairs.sparkSession
+    val m = pairs.groupBy(col(winnerCol).as("wi"), col(loserCol).as("li"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val items = m.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    require(items.length <= maxItems,
+      s"bradleyTerry: ${items.length} items exceed the bounded-collect cap " +
+        s"$maxItems — aggregate items (e.g. to sources) before fitting")
+    def und(a: String, b: String) = if (a <= b) (a, b) else (b, a)
+    val wins = m.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val totals = m.groupBy(t => und(t._1, t._2))
+      .map { case (k, v) => k -> v.map(_._3).sum } // n_ij + n_ji
+    val S = 1000000000000L
+    var wm = items.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      wm = items.map { i =>
+        val denom = items.filter(_ != i).map { j =>
+          val n = totals.getOrElse(und(i, j), 0L)
+          if (n == 0) 0L else n * S / (wm(i) + wm(j))
+        }.sum
+        i -> (if (denom == 0) wm(i) else wins.getOrElse(i, 0L) * S / denom)
+      }.toMap
+    }
+    import spark.implicits._
+    items.toSeq.map { i =>
+      // wm is exact integer micros: /1e6 is the same binary double op
+      // the oracle's CAST(wm AS DOUBLE)/1000000.0 performs
+      (i, wins.getOrElse(i, 0L),
+        totals.collect { case ((a, b), n) if a == i || b == i => n }.sum,
+        wm(i) / 1e6)
+    }.toDF("item", "n_wins", "n_comparisons", "strength")
+  }
 }

@@ -1037,4 +1037,75 @@ object Dedup {
         (coalesce(col("n_dup_spans"), lit(0L)).cast("double") /
           col("n_spans").cast("double")).as("dup_ratio"))
   }
+
+  /** ExactSubstr-style repeated-substring profile (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * https://arxiv.org/abs/2107.06499 — whose suffix-array pass is the
+    * canonical corpus-wide exact-substring dedup): for every position
+    * in every document, whether its w-token window occurs ANYWHERE
+    * else in the corpus, profiled at geometric window lengths — the
+    * audit that tells you how much of each document is verbatim-
+    * repeated material and at what span scale, before you commit to a
+    * cut length.
+    *
+    * Algorithm — binary-lifted gram hashing, the suffix-array
+    * prefix-doubling idea (Manber & Myers 1990) carried on md5 labels
+    * instead of ranks: `h_1(i) = md5(tok_i)`, `h_{2w}(i) =
+    * md5(h_w(i) || h_w(i+w))` via `lead(h_w, w)` inside the document,
+    * so the label of a 32-token window is built in log₂ 32 = 5 window
+    * passes instead of materializing 32-token strings. Two positions
+    * share `h_w` iff their w-token windows are identical (md5 labels
+    * are strings, so the oracle replays the doubling EXACTLY — no
+    * cross-engine hash-collision asymmetry; within one engine a
+    * collision is a 2⁻¹²⁸ event). Null `lead` past the doc tail
+    * null-propagates through concat, so windows never span documents.
+    *
+    * vs [[duplicatedSpans]]: dd9 answers one fixed length by
+    * materializing every k-token string; this profiles ALL the
+    * geometric lengths from one lifted ladder and shuffles only
+    * (hash, doc) pairs.
+    *
+    * Scale: ONE corpus shuffle (partition by doc) feeds every ladder
+    * level — the lifts are same-window `lead`s, re-sort-free; each
+    * reported length then costs one (hash, doc)-pair shuffle for the
+    * corpus-wide multiplicity mark. At 100 TB, truncate the md5 labels
+    * to 16 hex chars to halve those bytes — both engines truncate
+    * identically, so the gate still matches.
+    */
+  def repeatProfile(docs: DataFrame, reportWs: Seq[Int] = Seq(8, 32),
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(reportWs.nonEmpty && reportWs.forall(w =>
+      w > 0 && Integer.bitCount(w) == 1), "report lengths must be powers of 2")
+    val w = Window.partitionBy(col("__d")).orderBy(col("__p"))
+    val base = docs.select(col(idCol).as("__d"),
+      posexplode(tokens(col(textCol))).as(Seq("__p", "__t")))
+    val maxW = reportWs.max
+    var lifted = base.withColumn("h1", md5(col("__t")))
+    var lvl = 1
+    while (lvl < maxW) {
+      lifted = lifted.withColumn(s"h${lvl * 2}",
+        md5(concat(col(s"h$lvl"), lead(col(s"h$lvl"), lvl).over(w))))
+      lvl *= 2
+    }
+    val hs = lifted.select(col("__d") +: reportWs.map(rw => col(s"h$rw")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val repLegs = reportWs.map { rw =>
+      val hw = Window.partitionBy(col(s"h$rw"))
+      hs.filter(col(s"h$rw").isNotNull)
+        .withColumn("__c", count(lit(1)).over(hw))
+        .filter(col("__c") > 1)
+        .groupBy(col("__d")).agg(count(lit(1)).cast("long").as(s"rep$rw"))
+    }
+    val lens = docs.select(col(idCol).as("__d"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val joined = repLegs.foldLeft(lens)((acc, leg) => acc.join(leg, Seq("__d"), "left"))
+    val w0 = reportWs.head
+    val windows0 = greatest(col("n_tokens") - (w0 - 1), lit(0L))
+    joined.select(
+      col("__d").as(idCol) +: col("n_tokens") +:
+        reportWs.map(rw => coalesce(col(s"rep$rw"), lit(0L)).as(s"rep$rw")) :+
+        when(windows0 > 0, round(coalesce(col(s"rep$w0"), lit(0L)).cast("double")
+          / windows0.cast("double"), 9)).as(s"frac$w0"): _*)
+  }
 }

@@ -140,4 +140,25 @@ class ClassifySpec extends AnyFunSuite {
     val total = rep.agg(sum("n_docs")).head().getLong(0)
     assert(total === docs.count())
   }
+
+  test("bradleyTerry: dominance orders strengths; 2:1 odds recover ~2/3 win prob") {
+    val s = spark
+    import s.implicits._
+    // a beats b 8/8, b beats c 8/8, a beats c 8/8 → strict strength order
+    val chain = (Seq.fill(8)(("a", "b")) ++ Seq.fill(8)(("b", "c")) ++
+      Seq.fill(8)(("a", "c"))).toDF("w", "l")
+    val st = Classify.bradleyTerry(chain, "w", "l").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("strength")).toMap
+    assert(st("a") > st("b") && st("b") > st("c"))
+    // x beats y 20 times, y beats x 10 → fitted P(x>y) ≈ 2/3
+    val odds = (Seq.fill(20)(("x", "y")) ++ Seq.fill(10)(("y", "x"))).toDF("w", "l")
+    val so = Classify.bradleyTerry(odds, "w", "l").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("strength")).toMap
+    val p = so("x") / (so("x") + so("y"))
+    assert(math.abs(p - 2.0 / 3.0) < 0.01, s"fitted P(x beats y) = $p")
+    // determinism: the integer-arithmetic fit is bit-identical on rerun
+    val again = Classify.bradleyTerry(odds, "w", "l").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("strength")).toMap
+    assert(again === so)
+  }
 }

@@ -566,6 +566,39 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2).getAs[Double]("dup_ratio") === 0.0)
   }
 
+  test("repeatProfile: lifted labels find exactly the planted repeats per scale") {
+    import spark.implicits._
+    val run32 = (1 to 32).map(i => s"w$i").mkString(" ")  // 32 shared tokens
+    val run8 = "p1 p2 p3 p4 p5 p6 p7 p8"                  // 8 shared tokens
+    val docs = Seq(
+      (1L, s"$run32 unique-a1 unique-a2"),
+      (2L, s"unique-b0 $run32"),
+      (3L, s"$run8 solo-c1 solo-c2 solo-c3 solo-c4 solo-c5 solo-c6 solo-c7 solo-c8"),
+      (4L, s"solo-d1 $run8 solo-d2 solo-d3 solo-d4 solo-d5 solo-d6 solo-d7"),
+      (5L, "nothing shared with any other document in this tiny corpus at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatProfile(docs, reportWs = Seq(8, 32))
+      .orderBy("doc_id").collect()
+    // docs 1/2: the 32-run repeats → exactly one 32-window each, and
+    // all 25 in-run 8-windows repeat (positions 0..24 of the run)
+    assert(got(0).getAs[Long]("rep32") === 1L)
+    assert(got(1).getAs[Long]("rep32") === 1L)
+    assert(got(0).getAs[Long]("rep8") === 25L)
+    assert(got(1).getAs[Long]("rep8") === 25L)
+    // docs 3/4: only an 8-run repeats → rep8 = 1, no 32-scale repeat
+    assert(got(2).getAs[Long]("rep32") === 0L)
+    assert(got(2).getAs[Long]("rep8") === 1L)
+    assert(got(3).getAs[Long]("rep8") === 1L)
+    // doc 5: clean
+    assert(got(4).getAs[Long]("rep8") === 0L && got(4).getAs[Long]("rep32") === 0L)
+    // a full verbatim duplicate repeats at EVERY window: frac8 == 1
+    val dup = Seq((10L, run32), (11L, run32)).toDF("doc_id", "text")
+    val dgot = Dedup.repeatProfile(dup, reportWs = Seq(8, 32))
+      .orderBy("doc_id").collect()
+    assert(dgot.forall(_.getAs[Double]("frac8") === 1.0))
+    assert(dgot.forall(_.getAs[Long]("rep32") === 1L))
+  }
+
   test("labelCentroids: hand-computed centroid and inertia on a 2-label set") {
     import spark.implicits._
     val embs = Seq(
