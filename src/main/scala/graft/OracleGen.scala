@@ -1159,6 +1159,36 @@ object OracleGen {
        |FROM top ORDER BY vec_id""".stripMargin
   }
 
+  /** cs1: Gonzalez farthest-first k-center traversal, each pick an
+    * unrolled CTE replaying the exact integer argmax (micro-quantized
+    * in-order L2 folds, ties to the smaller id).
+    */
+  def cs1Sql(k: Int = 8, dim: Int = 64): String = {
+    def qd(a: String, b: String) =
+      s"CAST(floor(list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+        s"i -> ($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]) * " +
+        s"($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]))), (acc, x) -> acc + x) " +
+        "* 1000000 + 0.5) AS BIGINT)"
+    val steps = (2 to k).map { m =>
+      val dists = (1 until m).map(j => qd("e.v", s"c$j.v"))
+      val minD = if (dists.size == 1) dists.head
+                 else s"least(${dists.mkString(", ")})"
+      val froms = (1 until m).map(j => s"c$j").mkString(", ")
+      s"""p$m AS (SELECT e.vec_id, e.v, $minD AS dm FROM e, $froms),
+         |c$m AS MATERIALIZED (SELECT vec_id, v, dm FROM p$m
+         |  ORDER BY dm DESC, vec_id ASC LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to k).map(m =>
+      s"SELECT $m AS step, vec_id, dm AS d_micro FROM c$m")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c1 AS MATERIALIZED (SELECT vec_id, v, CAST(0 AS BIGINT) AS dm FROM e
+       |  ORDER BY vec_id LIMIT 1),
+       |$steps
+       |SELECT step, vec_id, d_micro FROM ($sel) ORDER BY step""".stripMargin
+  }
+
   /** bt1: Bradley–Terry MM fit with `iters` unrolled iteration CTEs.
     * All state is integer micro-units and every step a floor `//`
     * division, mirroring Classify.bradleyTerry's exact long arithmetic

@@ -97,6 +97,30 @@ object QueriesOps {
     * hit identical IEEE operations; the remaining sum-order ulps are
     * absorbed by the comparator's 9-decimal canonicalization.
     */
+  /** DuckDB oracle for bfs1: the 4 BFS relaxation rounds unrolled
+    * (MATERIALIZED — each round references its predecessor twice).
+    */
+  private val KHopRounds = 4
+  private val KHopOracle: String = {
+    val base = """WITH ed AS MATERIALIZED (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT lag(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS src,
+      |           user_id AS dst FROM events)
+      |  WHERE src IS NOT NULL AND src != dst),
+      |nodes AS (SELECT src AS v FROM ed UNION SELECT dst FROM ed),
+      |d0 AS MATERIALIZED (SELECT v, CAST(0 AS BIGINT) AS h FROM nodes WHERE v % 50 = 0)""".stripMargin
+    val rounds = (1 to KHopRounds).map { k =>
+      s""",
+         |d$k AS MATERIALIZED (SELECT v, CAST(min(h) AS BIGINT) AS h FROM (
+         |  SELECT v, h FROM d${k - 1}
+         |  UNION ALL
+         |  SELECT ed.dst AS v, p.h + 1 AS h FROM ed JOIN d${k - 1} p ON p.v = ed.src)
+         |  GROUP BY v)""".stripMargin
+    }.mkString
+    base + rounds +
+      s"\nSELECT v AS user_id, h AS hops FROM d$KHopRounds ORDER BY user_id"
+  }
+
   private val PageRankIters = 8
   private val PageRankOracle: String = {
     val base = """WITH ed AS (
@@ -4303,6 +4327,23 @@ object QueriesOps {
         .select(col("v").as("user_id"), col("pr")).orderBy("user_id"),
       Some(PageRankOracle)),
 
+    // BFS1: bounded-hop reachability from a seed set (user_id % 50 = 0)
+    // over the same handoff graph — exact ≤4-hop distances, every round
+    // an order-free integer min the oracle unrolls as CTEs.
+    "bfs1_khop_reach" -> Q(
+      (s, d) => {
+        val ed = Graph.handoffEdges(Queries.events(s, d),
+          streamCol = "event_type", keyCol = "user_id",
+          tsCol = "ts", tieCol = "event_id")
+        val nodes = ed.select(col("src").as("v"))
+          .unionByName(ed.select(col("dst").as("v"))).distinct()
+        Graph.kHopDistances(ed, nodes.filter(pmod(col("v"), lit(50)) === 0),
+            rounds = KHopRounds)
+          .select(col("v").as("user_id"), col("h").as("hops"))
+          .orderBy("user_id")
+      },
+      Some(KHopOracle)),
+
     // Synchronous label-propagation communities (Raghavan '07): 5
     // fixed rounds, most-frequent-neighbor label, ties to the SMALLEST
     // label — every decision an integer compare, so the oracle (the
@@ -5494,6 +5535,16 @@ object QueriesOps {
           .orderBy("vec_id")
       },
       Some(OracleGen.gnb1Sql(64))),
+
+    // CS1: Gonzalez farthest-first k-center coreset over the embedding
+    // table — the 2-approx cover-selection behind coreset/active-
+    // learning batch picks; each pick one narrow scan, the emitted
+    // distance-at-pick sequence is the cover-radius curve. The oracle
+    // replays all 8 integer argmax picks as unrolled CTEs.
+    "cs1_kcenter_coreset" -> Q(
+      (s, d) => graft.ops.Similarity.kCenterCoreset(embs(s, d), k = 8)
+        .orderBy("step"),
+      Some(OracleGen.cs1Sql(8, 64))),
 
     // BT1: Bradley–Terry strengths over sources from deterministic
     // doc-pair preferences (longer doc wins its pair; same-source pairs

@@ -302,4 +302,48 @@ object Graph {
         sum(col("__q")).as("modularity"))
       .select(col("n_edges"), col("n_clusters"), col("modularity"))
   }
+
+  /** Bounded-hop BFS distances from a seed set: each round relaxes
+    * `h(v) = min(h(v), min_{u→v} h(u) + 1)` synchronously, so after
+    * `rounds` rounds the table holds exact ≤`rounds`-hop shortest
+    * distances (unreached nodes are absent) — the neighborhood-
+    * expansion primitive behind influence/contamination radius audits
+    * ("which users/documents sit within k referral hops of a flagged
+    * seed") on the same event-handoff graphs the pg1/lp1 family uses.
+    *
+    * Determinism: distances are exact longs and min is order-free —
+    * every round is a pure integer function of the last, which the
+    * oracle replays as unrolled CTEs.
+    *
+    * Scale: edges shuffle once and persist; each round exchanges
+    * (node, hop) pairs — O(frontier edges) narrow rows. Per-round
+    * lineage cut + unpersist as in [[pageRank]]; `rounds` is a fixed
+    * small constant, so the plan depth is bounded.
+    */
+  def kHopDistances(edges: DataFrame, seeds: DataFrame,
+                    rounds: Int = 4): DataFrame = {
+    val spark = edges.sparkSession
+    def shallow(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    val ed = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = shallow(seeds.select(col("v").cast("long"))
+      .distinct().withColumn("h", lit(0L))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    var prev: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val prop = ed.join(dist, ed("src") === dist("v"))
+        .select(col("dst").as("v"), (col("h") + 1).as("h"))
+      val next = dist.unionByName(prop)
+        .groupBy("v").agg(min("h").as("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      if (prev != null) prev.unpersist()
+      prev = dist
+      dist = shallow(next)
+    }
+    ed.unpersist()
+    dist
+  }
 }

@@ -1401,4 +1401,50 @@ object Similarity {
         lit(0L).as("n_cells"), col("n_points"))
     agg.unionByName(noise)
   }
+
+  /** Greedy k-center coreset (Gonzalez 1985's farthest-first traversal,
+    * the 2-approximation for the k-center cover — the selection rule
+    * behind coreset / active-learning batch picks à la Sener & Savarese
+    * 2018): seed with the smallest id, then repeatedly take the point
+    * FARTHEST from the chosen set. Emits one row per pick with the
+    * point's distance-to-set at pick time — a non-increasing sequence
+    * whose tail IS the cover radius, the "how well do k exemplars span
+    * this embedding space" curve read directly off the result.
+    *
+    * Determinism: squared-L2 distances are in-order per-dim folds
+    * micro-quantized to longs BEFORE the min-over-centers and the
+    * argmax (ties break to the smaller id), so every pick is an exact
+    * integer decision the oracle replays step for step.
+    *
+    * Scale: each of the k−1 picks is ONE narrow scan (distances to
+    * plan-time literal centers, a TakeOrdered(1) — no shuffle, no
+    * all-pairs anything); k scans of the corpus is the algorithm's
+    * defined cost. For k beyond tens, run the same traversal over IVF
+    * cell representatives ([[ivfCentroids]]) instead of raw rows —
+    * the standard composition at 100 TB.
+    */
+  def kCenterCoreset(vecs: DataFrame, k: Int = 8, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val spark = vecs.sparkSession
+    val vd = col(vecCol).cast("array<double>")
+    val first = vecs.orderBy(col(idCol)).select(col(idCol), vd.as("__v")).head()
+    var centers: Seq[(Long, Seq[Double], Long)] =
+      Seq((first.getLong(0), first.getSeq[Double](1), 0L))
+    for (_ <- 2 to k) {
+      val dCols = centers.map { case (_, cv, _) =>
+        val cl = typedlit(cv.toIndexedSeq)
+        floor(aggregate(zip_with(vd, cl, (x, c) => (x - c) * (x - c)),
+          lit(0.0), (a, t) => a + t) * 1e6 + lit(0.5)).cast("long")
+      }
+      val minD = if (dCols.size == 1) dCols.head else least(dCols: _*)
+      val best = vecs.select(col(idCol), vd.as("__v"), minD.as("__d"))
+        .orderBy(col("__d").desc, col(idCol).asc).limit(1).head()
+      centers = centers :+ ((best.getLong(0), best.getSeq[Double](1),
+        best.getLong(2)))
+    }
+    import spark.implicits._
+    centers.zipWithIndex.map { case ((id, _, dm), i) => (i + 1, id, dm) }
+      .toDF("step", idCol, "d_micro")
+  }
 }

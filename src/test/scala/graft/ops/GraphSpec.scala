@@ -166,4 +166,21 @@ class GraphSpec extends AnyFunSuite {
     val r0 = Graph.modularity(tri, one).head()
     assert(math.abs(r0.getDouble(2)) < 1e-12, "single-cluster Q must be 0")
   }
+
+  test("kHopDistances: exact hops on a directed path, bounded by rounds") {
+    import spark.implicits._
+    // 1 → 2 → 3 → 4 → 5 → 6, plus a shortcut 1 → 4
+    val ed = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (1L, 4L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("v")
+    val got = Graph.kHopDistances(ed, seeds, rounds = 3).orderBy("v").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // shortcut wins for 4 (1 hop, not 3); 6 is 4 hops away → absent
+    assert(got === Array((1L, 0L), (2L, 1L), (3L, 2L), (4L, 1L), (5L, 2L)))
+    // a seed inside a cycle keeps h=0 (min with its own relaxations)
+    val cyc = Seq((7L, 8L), (8L, 7L)).toDF("src", "dst")
+    val g2 = Graph.kHopDistances(cyc, Seq(7L).toDF("v"), rounds = 4)
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(g2 === Array((7L, 0L), (8L, 1L)))
+  }
 }

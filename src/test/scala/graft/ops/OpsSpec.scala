@@ -599,6 +599,22 @@ class OpsSpec extends AnyFunSuite {
     assert(dgot.forall(_.getAs[Long]("rep32") === 1L))
   }
 
+  test("kCenterCoreset: farthest-first picks in hand-checkable order") {
+    import spark.implicits._
+    // 1-D line embedded in 2-D: 0, 1, 10, 11
+    val vecs = Seq((1L, Array(0f, 0f)), (2L, Array(1f, 0f)),
+      (3L, Array(10f, 0f)), (4L, Array(11f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterCoreset(vecs, k = 4).orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // seed = min id (0); farthest = 11 (d²=121); then the 1-vs-10 tie
+    // breaks to the smaller id; last pick's distance IS the cover radius
+    assert(got === Array((1, 1L, 0L), (2, 4L, 121000000L),
+      (3, 2L, 1000000L), (4, 3L, 1000000L)))
+    // pick distances never increase after the seed
+    val ds = got.drop(1).map(_._3)
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b })
+  }
+
   test("labelCentroids: hand-computed centroid and inertia on a 2-label set") {
     import spark.implicits._
     val embs = Seq(
