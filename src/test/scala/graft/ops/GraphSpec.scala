@@ -175,8 +175,10 @@ class GraphSpec extends AnyFunSuite {
     val seeds = Seq(1L).toDF("v")
     val got = Graph.kHopDistances(ed, seeds, rounds = 3).orderBy("v").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    // shortcut wins for 4 (1 hop, not 3); 6 is 4 hops away → absent
-    assert(got === Array((1L, 0L), (2L, 1L), (3L, 2L), (4L, 1L), (5L, 2L)))
+    // shortcut wins for 4 (1 hop, not 3) and pulls 5/6 to 2/3 hops;
+    // without it 6 would be 5 hops away and absent at rounds = 3
+    assert(got === Array((1L, 0L), (2L, 1L), (3L, 2L), (4L, 1L),
+      (5L, 2L), (6L, 3L)))
     // a seed inside a cycle keeps h=0 (min with its own relaxations)
     val cyc = Seq((7L, 8L), (8L, 7L)).toDF("src", "dst")
     val g2 = Graph.kHopDistances(cyc, Seq(7L).toDF("v"), rounds = 4)
