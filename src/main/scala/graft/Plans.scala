@@ -44,7 +44,11 @@ object Plans {
     "fa1_filter_attribution", "iso1_isotropy_report",
     "dc4_contamination_trace", "cur12_pack_efficiency",
     "dm1_domain_divergence", "bx2_bitext_lsh", "mmr1_mmr_rerank",
-    "hn2_band_negatives", "dd17_dedup_savings")
+    "hn2_band_negatives", "dd17_dedup_savings",
+    // round-11 (bt1/cs1/bfs1 run driver-side actions during
+    // construction, so their registered plans are trivial — sa1 is the
+    // one whose ladder shape the golden can meaningfully pin)
+    "sa1_repeat_profile")
 
   /** (shuffle exchanges, broadcast exchanges) of the physical plan,
     * counted via tree walk, not the text dump: a persisted subtree's
