@@ -5637,6 +5637,42 @@ object QueriesOps {
       },
       Some(OracleGen.ss5Sql())),
 
+    // ANN5: STREAMING IVF index maintenance — embedding batches drain
+    // through an AvailableNow stream; each micro-batch assigns its rows
+    // to cells (one narrow pass over plan-time centroid literals) and
+    // commits an epoch-keyed index fragment (overwrite-per-epoch = the
+    // SigStore replay-idempotent contract; cell assignment is per-row,
+    // so fragments union losslessly — the property that makes IVF
+    // ingest streamable at all). Queries read the fragment union.
+    // Oracle = ss5's from-scratch recompute: a hash match proves the
+    // stream-built index ≡ the batch-built index ≡ the fused path.
+    "ann5_stream_ivf" -> Q(
+      (s, d) => Queries.withStreamShuffle(s) {
+        import org.apache.spark.sql.streaming.Trigger
+        val e = embs(s, d)
+        val cents = Similarity.fixedCentroids(16, 64)
+        val srcDir = Queries.scratchOnce("ann5_src", d)(
+          e.repartition(2).write.mode("overwrite").parquet(_))
+        val store = Queries.scratch("ann5_index")
+        s.readStream.schema(e.schema).option("maxFilesPerTrigger", 1)
+          .parquet(srcDir)
+          .writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", Queries.scratch("ann5_ckpt"))
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            if (!batch.isEmpty)
+              Similarity.ivfIndex(batch, cents)
+                .write.mode("overwrite").parquet(s"$store/epoch=$batchId"): Unit
+          }
+          .start().awaitTermination()
+        val idx = s.read.parquet(store)
+        Similarity.ivfQueryIndex(idx, e.filter(col("vec_id") < 8),
+            k = 5, nProbe = 6, centroids = cents)
+          .select(col("q_id"), col("n_id"), col("rank"),
+            round(col("sim"), 6).as("sim"))
+          .orderBy("q_id", "rank")
+      },
+      Some(OracleGen.ss5Sql())),
+
     // DD16: the dedup-CONFIG audit — raw band-collision candidates
     // (what the verify bill scales with) scored against exact-Jaccard
     // truth on the sample: confusion cells + precision/recall/F1 in one

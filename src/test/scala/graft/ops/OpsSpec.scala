@@ -599,6 +599,17 @@ class OpsSpec extends AnyFunSuite {
     assert(dgot.forall(_.getAs[Long]("rep32") === 1L))
   }
 
+  test("ivfIndex fragments union losslessly — the law streaming ingest rides") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.fixedCentroids(16, 64)
+    val full = Similarity.ivfIndex(e, cents)
+    // cell assignment is per-row, so ANY partition of the corpus builds
+    // the same index as one batch — ann5's micro-batch fragments included
+    val split = Similarity.ivfIndex(e.filter(col("vec_id") % 2 === 0), cents)
+      .unionByName(Similarity.ivfIndex(e.filter(col("vec_id") % 2 === 1), cents))
+    assert(split.exceptAll(full).isEmpty && full.exceptAll(split).isEmpty)
+  }
+
   test("kCenterCoreset: farthest-first picks in hand-checkable order") {
     import spark.implicits._
     // 1-D line embedded in 2-D: 0, 1, 10, 11
