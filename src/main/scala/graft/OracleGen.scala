@@ -1189,6 +1189,53 @@ object OracleGen {
        |SELECT step, vec_id, d_micro FROM ($sel) ORDER BY step""".stripMargin
   }
 
+  /** rbo1: truncated rank-biased overlap between the exact and the
+    * int8-quantized cosine rankings. Tail weights come from the SAME
+    * Scala computation the Spark side uses (Search.rboTailWeights), so
+    * both engines share identical pico-long literals.
+    */
+  def rbo1Sql(nQueries: Int = 4, depth: Int = 10, p: Double = 0.9,
+              dim: Int = 64): String = {
+    val wRows = graft.ops.Search.rboTailWeights(depth, p).zipWithIndex
+      .map { case (pico, i) => s"(${i + 1}, ${pico})" }.mkString(", ")
+    def dotf(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+        s"i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)])), (acc, x) -> acc + x)"
+    def rankCtes(tag: String, src: String) =
+      s"""${tag}p AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         |    ${dotf("a.yd", "b.yd")}
+         |      / (sqrt(${dotf("a.yd", "a.yd")}) * sqrt(${dotf("b.yd", "b.yd")})) AS sim
+         |  FROM $src a JOIN $src b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < $nQueries),
+         |${tag}r AS (SELECT q_id, n_id, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+         |  FROM ${tag}p),
+         |${tag}a AS MATERIALIZED (SELECT q_id, n_id, rank FROM ${tag}r
+         |  WHERE rank <= $depth)""".stripMargin
+    s"""WITH v AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS yd FROM embeddings),
+       |sq AS (SELECT vec_id, yd,
+       |    list_reduce(list_prepend(0.0, list_transform(yd, x -> abs(x))),
+       |      (a, b) -> greatest(a, b)) AS scale FROM v),
+       |dq AS MATERIALIZED (SELECT vec_id,
+       |    CASE WHEN scale = 0 THEN list_transform(yd, x -> 0.0)
+       |    ELSE list_transform(yd, x ->
+       |      CAST(round(x / scale * 127.0) AS INTEGER) * scale / 127.0)
+       |    END AS yd FROM sq),
+       |${rankCtes("e", "v")},
+       |${rankCtes("q", "dq")},
+       |j AS (SELECT ea.q_id, greatest(ea.rank, qa.rank) AS m
+       |  FROM ea JOIN qa ON qa.q_id = ea.q_id AND qa.n_id = ea.n_id),
+       |w(m, pico) AS (VALUES $wRows),
+       |agg AS (SELECT j.q_id, CAST(count(*) AS BIGINT) AS o,
+       |    CAST(sum(w.pico) AS BIGINT) AS pico
+       |  FROM j JOIN w ON w.m = j.m GROUP BY 1)
+       |SELECT q.q_id, CAST(COALESCE(agg.o, 0) AS BIGINT) AS overlap$depth,
+       |  CAST(COALESCE(agg.pico, 0) AS DOUBLE) / 1e12 AS rbo
+       |FROM (SELECT vec_id AS q_id FROM v WHERE vec_id < $nQueries) q
+       |LEFT JOIN agg ON agg.q_id = q.q_id ORDER BY q.q_id""".stripMargin
+  }
+
   /** bt1: Bradley–Terry MM fit with `iters` unrolled iteration CTEs.
     * All state is integer micro-units and every step a floor `//`
     * division, mirroring Classify.bradleyTerry's exact long arithmetic

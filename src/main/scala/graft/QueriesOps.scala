@@ -1559,6 +1559,31 @@ object QueriesOps {
         |      (a, b) -> greatest(a, b)) <= scale / 253.0 END AS err_ok
         |FROM q ORDER BY vec_id""".stripMargin)),
 
+    // RBO1: rank-biased overlap (Webber et al. 2010) between the exact
+    // and the int8-quantized cosine rankings — the top-weighted "what
+    // did quantization do to what users actually see" eval, scored as
+    // exact pico-unit weight sums (tail-weight literals shared verbatim
+    // between engines). Lists are k-bounded per query; nothing
+    // corpus-sized shuffles beyond the two ranking legs.
+    "rbo1_quant_rank_overlap" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        val deq = Similarity.quantizeInt8(e).select(col("vec_id"),
+          when(col("scale") === 0.0, transform(col("qvec"), _ => lit(0.0)))
+            .otherwise(transform(col("qvec"),
+              q => q.cast("double") * col("scale") / lit(127.0)))
+            .as("embedding"))
+        val exact = Similarity.bruteForceTopK(e,
+            e.filter(col("vec_id") < 4), k = 10)
+          .select(col("q_id"), col("n_id").as("id"), col("rank"))
+        val quant = Similarity.bruteForceTopK(deq,
+            deq.filter(col("vec_id") < 4), k = 10)
+          .select(col("q_id"), col("n_id").as("id"), col("rank"))
+        graft.ops.Search.rankBiasedOverlap(exact, quant, depth = 10, p = 0.9)
+          .orderBy("q_id")
+      },
+      Some(OracleGen.rbo1Sql(4, 10, 0.9, 64))),
+
     // The fifth dedup modality end-to-end: embedding-cosine near-dup
     // pairs drive the corpus dedup DECISION (drop the later member of
     // every pair ≥ τ). Bounded to the ss2 slice so the exact pair

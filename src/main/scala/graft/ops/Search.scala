@@ -504,4 +504,50 @@ object Search {
         round(col("__s").getField("rel"), 6).as("rel"),
         round(col("__s").getField("score"), 6).as("mmr_score"))
   }
+
+  /** Pico-quantized tail weights for truncated RBO: `W(m) = Σ_{d=m..D}
+    * (1−p)·p^{d−1}/d` — an item common to both prefixes at joint depth
+    * m contributes exactly W(m) to the RBO sum, which turns the
+    * per-depth overlap definition into one weight lookup per matched
+    * item. Driver-computed here and serialized verbatim into the
+    * oracle, so both engines share the identical long literals.
+    */
+  def rboTailWeights(depth: Int, p: Double): Seq[Long] =
+    (1 to depth).map { m =>
+      (m to depth).map(d => (1 - p) * math.pow(p, d - 1) / d).sum
+    }.map(x => math.floor(x * 1e12 + 0.5).toLong)
+
+  /** Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) between
+    * two top-`depth` rankings per query — the standard top-weighted
+    * similarity of two retrieval runs, here the eval that quantifies
+    * how much an index change (quantization, truncation, a new ANN
+    * config) actually disturbs what users see. Truncated RBO_min: the
+    * known-prefix sum with no extrapolation, so the score is exact
+    * given the two lists.
+    *
+    * Inputs carry (qCol, idCol, rankCol) with rank 1..depth. Emits one
+    * row per query in `a`: the prefix overlap at `depth` and the RBO
+    * score (an exact pico-unit long sum divided once).
+    *
+    * Scale: the lists are k-bounded per query — the join and rollup
+    * shuffle O(queries·depth) id/rank triples, nothing corpus-sized.
+    */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, depth: Int = 10,
+                        p: Double = 0.9, qCol: String = "q_id",
+                        idCol: String = "id",
+                        rankCol: String = "rank"): DataFrame = {
+    val wLit = typedlit(rboTailWeights(depth, p))
+    val joined = a.select(col(qCol), col(idCol), col(rankCol).as("__ra"))
+      .join(b.select(col(qCol), col(idCol), col(rankCol).as("__rb")),
+        Seq(qCol, idCol))
+      .withColumn("__m", greatest(col("__ra"), col("__rb")).cast("int"))
+      .groupBy(col(qCol))
+      .agg(count(lit(1)).cast("long").as(s"overlap$depth"),
+        sum(element_at(wLit, col("__m"))).cast("long").as("__pico"))
+    a.select(col(qCol)).distinct()
+      .join(joined, Seq(qCol), "left")
+      .select(col(qCol),
+        coalesce(col(s"overlap$depth"), lit(0L)).as(s"overlap$depth"),
+        (coalesce(col("__pico"), lit(0L)).cast("double") / 1e12).as("rbo"))
+  }
 }

@@ -166,4 +166,24 @@ class SearchSpec extends AnyFunSuite {
       .orderBy("rank").collect().map(_.getAs[Long]("n_id")).toSeq
     assert(mmr === brute, "with no diversity penalty MMR is exactly top-k")
   }
+
+  test("rankBiasedOverlap: identity = full weight mass, disjoint = 0, hand case") {
+    import spark.implicits._
+    def lst(rows: (Long, Long, Int)*) = rows.toDF("q_id", "id", "rank")
+    val a = lst((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+    // identical lists: every item contributes its own tail weight
+    val self = Search.rankBiasedOverlap(a, a, depth = 3, p = 0.9).head()
+    val full = Search.rboTailWeights(3, 0.9).sum / 1e12
+    assert(self.getAs[Long]("overlap3") === 3L)
+    assert(self.getAs[Double]("rbo") === full)
+    // disjoint lists: zero overlap, zero score, row still present
+    val b = lst((1L, 20L, 1), (1L, 21L, 2), (1L, 22L, 3))
+    val dis = Search.rankBiasedOverlap(a, b, depth = 3, p = 0.9).head()
+    assert(dis.getAs[Long]("overlap3") === 0L && dis.getAs[Double]("rbo") === 0.0)
+    // one shared item at ranks (1, 2) scores exactly the m=2 tail weight
+    val c = lst((1L, 10L, 2), (1L, 21L, 1), (1L, 22L, 3))
+    val one = Search.rankBiasedOverlap(a, c, depth = 3, p = 0.9).head()
+    assert(one.getAs[Long]("overlap3") === 1L)
+    assert(one.getAs[Double]("rbo") === Search.rboTailWeights(3, 0.9)(1) / 1e12)
+  }
 }
