@@ -1189,6 +1189,48 @@ object OracleGen {
        |SELECT step, vec_id, d_micro FROM ($sel) ORDER BY step""".stripMargin
   }
 
+  /** ch1: mod-hash vs consistent-hash rebalance audit. Ring literals
+    * come from the same driver computation the Spark plan serializes
+    * (Layout.hashRing), key hashes from the shared md5Hash60 fold.
+    */
+  def ch1Sql(fromShards: Int = 8, toShards: Int = 9, vnodes: Int = 16): String = {
+    def ringRows(n: Int) = graft.ops.Layout.hashRing(n, vnodes)
+      .map { case (p, s) => s"($p, $s)" }.mkString(", ")
+    val M = 1L << 60
+    val h60 = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(range(1, 16), i -> CAST(strpos('0123456789abcdef', " +
+      "substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))), " +
+      "(acc, x) -> acc * 16 + x)"
+    s"""WITH k AS MATERIALIZED (SELECT doc_id, $h60 AS h FROM documents),
+       |rf(pos, shard) AS (VALUES ${ringRows(fromShards)}),
+       |rt(pos, shard) AS (VALUES ${ringRows(toShards)}),
+       |af AS (SELECT k.doc_id, arg_min(rf.shard, (rf.pos - k.h + $M) % $M)
+       |    AS ring_from FROM k CROSS JOIN rf GROUP BY k.doc_id),
+       |at AS (SELECT k.doc_id, arg_min(rt.shard, (rt.pos - k.h + $M) % $M)
+       |    AS ring_to FROM k CROSS JOIN rt GROUP BY k.doc_id),
+       |a AS MATERIALIZED (SELECT k.doc_id,
+       |    CAST(k.h % $fromShards AS INTEGER) AS mod_from,
+       |    CAST(k.h % $toShards AS INTEGER) AS mod_to,
+       |    af.ring_from, at.ring_to
+       |  FROM k JOIN af USING (doc_id) JOIN at USING (doc_id)),
+       |c AS (SELECT 'mod_from' AS scheme, mod_from AS shard,
+       |        CAST(count(*) AS BIGINT) AS n_docs FROM a GROUP BY 2
+       |  UNION ALL SELECT 'mod_to', mod_to, CAST(count(*) AS BIGINT)
+       |    FROM a GROUP BY 2
+       |  UNION ALL SELECT 'ring_from', ring_from, CAST(count(*) AS BIGINT)
+       |    FROM a GROUP BY 2
+       |  UNION ALL SELECT 'ring_to', ring_to, CAST(count(*) AS BIGINT)
+       |    FROM a GROUP BY 2),
+       |m AS (SELECT 'moved_mod' AS scheme, -1 AS shard,
+       |    CAST(sum(CASE WHEN mod_from <> mod_to THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_docs FROM a
+       |  UNION ALL SELECT 'moved_ring', -1,
+       |    CAST(sum(CASE WHEN ring_from <> ring_to THEN 1 ELSE 0 END) AS BIGINT)
+       |    FROM a)
+       |SELECT scheme, shard, n_docs FROM (SELECT * FROM c UNION ALL SELECT * FROM m)
+       |ORDER BY scheme, shard""".stripMargin
+  }
+
   /** rbo1: truncated rank-biased overlap between the exact and the
     * int8-quantized cosine rankings. Tail weights come from the SAME
     * Scala computation the Spark side uses (Search.rboTailWeights), so

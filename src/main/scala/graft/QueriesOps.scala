@@ -1559,6 +1559,17 @@ object QueriesOps {
         |      (a, b) -> greatest(a, b)) <= scale / 253.0 END AS err_ok
         |FROM q ORDER BY vec_id""".stripMargin)),
 
+    // CH1: shard-rebalance audit — mod-hash vs consistent-hash ring at
+    // 8→9 shards over the real key population. The 100 TB planning
+    // number: mod moves ~8/9 of the corpus, the ring ~1/9; assignment
+    // is one in-row integer fold over plan-time ring literals, only the
+    // shard-count rollups shuffle.
+    "ch1_shard_rebalance" -> Q(
+      (s, d) => graft.ops.Layout.consistentHashRebalance(
+          docs(s, d).select("doc_id"))
+        .orderBy("scheme", "shard"),
+      Some(OracleGen.ch1Sql())),
+
     // RBO1: rank-biased overlap (Webber et al. 2010) between the exact
     // and the int8-quantized cosine rankings — the top-weighted "what
     // did quantization do to what users actually see" eval, scored as

@@ -62,4 +62,72 @@ object Layout {
       .sortWithinPartitions(col("__ck"))
       .drop("__ck")
       .write.mode("overwrite").parquet(outPath)
+
+  /** The consistent-hash ring for `n` shards × `vnodes` virtual nodes:
+    * (position, shard) points, position = the 60-bit fold of
+    * `md5("shard-<s>:v<v>")` — the same md5Hash60 domain the engine
+    * hashes keys into, computed driver-side so the identical literals
+    * serialize into both the Spark plan and the oracle SQL.
+    */
+  def hashRing(n: Int, vnodes: Int = 16): Seq[(Long, Int)] =
+    (for { s <- 0 until n; v <- 0 until vnodes } yield {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"shard-$s:v$v".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16), s)
+    }).sortBy(_._1)
+
+  /** Shard-rebalance audit, mod-hash vs consistent-hash (Karger et al.
+    * STOC'97): assign every key to shards under BOTH schemes at
+    * `fromShards` and `toShards`, emit per-scheme shard counts plus the
+    * two moved-key totals. The planning number this exists for: growing
+    * n→n+1 moves ~n/(n+1) of a mod-hashed corpus (a near-total
+    * reshuffle at 100 TB) but only ~1/(n+1) of a ring-hashed one —
+    * this op measures the actual ratio on the actual key population,
+    * and the per-shard counts show the ring's vnode-smoothed balance.
+    *
+    * Scale: assignment is ONE in-row pass (ring = a sorted plan-time
+    * literal array; successor search an integer fold over n·vnodes
+    * entries); the only shuffles are the 4 shard-count rollups.
+    * Determinism: positions and key hashes share the md5Hash60 domain;
+    * successor distance is an exact integer mod — no ties (positions
+    * are distinct), no floats.
+    */
+  def consistentHashRebalance(keys: DataFrame, fromShards: Int = 8,
+                              toShards: Int = 9, vnodes: Int = 16,
+                              idCol: String = "doc_id"): DataFrame = {
+    val M = 1L << 60
+    val h = Dedup.md5Hash60(col(idCol).cast("string"))
+    def ringAssign(r: Seq[(Long, Int)]): Column =
+      aggregate(typedlit(r),
+        struct(lit(Long.MaxValue).as("d"), lit(-1).as("s")),
+        (acc, e) => {
+          val dist = pmod(e.getField("_1") - h + lit(M), lit(M))
+          when(dist < acc.getField("d"),
+            struct(dist.as("d"), e.getField("_2").as("s"))).otherwise(acc)
+        }).getField("s")
+    val assigned = keys.select(col(idCol),
+        pmod(h, lit(fromShards.toLong)).cast("int").as("mod_from"),
+        pmod(h, lit(toShards.toLong)).cast("int").as("mod_to"),
+        ringAssign(hashRing(fromShards, vnodes)).as("ring_from"),
+        ringAssign(hashRing(toShards, vnodes)).as("ring_to"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val counts = Seq("mod_from", "mod_to", "ring_from", "ring_to").map { c =>
+      assigned.groupBy(col(c).as("shard"))
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+        .select(lit(c).as("scheme"), col("shard"), col("n_docs"))
+    }.reduce(_ unionByName _)
+    val moved = assigned.agg(
+        sum(when(col("mod_from") =!= col("mod_to"), 1L).otherwise(0L))
+          .cast("long").as("mm"),
+        sum(when(col("ring_from") =!= col("ring_to"), 1L).otherwise(0L))
+          .cast("long").as("rm"))
+      .select(explode(array(
+        struct(lit("moved_mod").as("scheme"), lit(-1).as("shard"),
+          col("mm").as("n_docs")),
+        struct(lit("moved_ring").as("scheme"), lit(-1).as("shard"),
+          col("rm").as("n_docs")))).as("r"))
+      .select(col("r.scheme"), col("r.shard"), col("r.n_docs"))
+    counts.unionByName(moved)
+  }
 }

@@ -110,4 +110,23 @@ class LayoutSpec extends AnyFunSuite {
     assert(zHit * 2 <= zGroups.size,
       s"z-order should skip at least half the row groups: hit $zHit/${zGroups.size}")
   }
+
+  test("consistentHashRebalance: ring moves far fewer keys than mod at n→n+1") {
+    val s = spark
+    import s.implicits._
+    val keys = (1L to 2000L).map(i => s"key-$i").toDF("doc_id")
+    val out = Layout.consistentHashRebalance(keys).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val movedMod = out.find(_._1 == "moved_mod").get._3
+    val movedRing = out.find(_._1 == "moved_ring").get._3
+    // mod 8→9 relocates ~8/9 of keys; the ring only ~1/9 (vnode noise
+    // aside) — the whole reason the ring exists
+    assert(movedMod > 1500, s"mod-hash moved only $movedMod of 2000")
+    assert(movedRing * 3 < movedMod,
+      s"ring moved $movedRing vs mod $movedMod — expected a ≥3x gap")
+    // every scheme's shard counts conserve the corpus
+    Seq("mod_from", "mod_to", "ring_from", "ring_to").foreach { sch =>
+      assert(out.filter(t => t._1 == sch && t._2 >= 0).map(_._3).sum === 2000L,
+        s"$sch does not conserve keys") }
+  }
 }
