@@ -1189,6 +1189,32 @@ object OracleGen {
        |SELECT step, vec_id, d_micro FROM ($sel) ORDER BY step""".stripMargin
   }
 
+  /** zo2: the Hilbert xy2d walk unrolled as chained CTEs — one round
+    * per bit (quadrant, rotation, reflection), all long arithmetic.
+    */
+  def zo2Sql(bits: Int = 8): String = {
+    val keys = "l_orderkey, l_linenumber, l_partkey, l_suppkey"
+    val rounds = ((bits - 1) to 0 by -1).map { i =>
+      val s = 1L << i
+      s"""r$i AS (SELECT $keys,
+         |  CASE WHEN (hy & $s) > 0 THEN hx
+         |       WHEN (hx & $s) > 0 THEN $s - 1 - hy ELSE hy END AS hx,
+         |  CASE WHEN (hy & $s) > 0 THEN hy
+         |       WHEN (hx & $s) > 0 THEN $s - 1 - hx ELSE hx END AS hy,
+         |  hd + ${s * s} * xor(3 * (CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END),
+         |    CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END) AS hd
+         |  FROM r${i + 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH r$bits AS (SELECT $keys,
+       |    CAST(l_partkey % 256 AS BIGINT) AS hx,
+       |    CAST(l_suppkey % 256 AS BIGINT) AS hy,
+       |    CAST(0 AS BIGINT) AS hd
+       |  FROM lineitem WHERE l_orderkey < 500),
+       |$rounds
+       |SELECT $keys, hd AS hkey FROM r0
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  }
+
   /** ch1: mod-hash vs consistent-hash rebalance audit. Ring literals
     * come from the same driver computation the Spark plan serializes
     * (Layout.hashRing), key hashes from the shared md5Hash60 fold.

@@ -3322,6 +3322,21 @@ object QueriesOps {
            |ORDER BY l_orderkey, l_linenumber""".stripMargin
       }),
 
+    // Hilbert clustering key — zo1's sibling on the curve that never
+    // takes Morton's diagonal jumps (tighter row-group boxes for the
+    // same file count at 100 TB). Every round of the xy2d walk is
+    // exact long arithmetic; the oracle replays the rounds as chained
+    // CTEs, so the gate value-checks the full rotation/reflection
+    // ladder, not just the final key.
+    "zo2_hilbert_key" -> Q(
+      (s, d) => graft.ops.Layout.withHilbertKey2(
+          li(s, d).filter(col("l_orderkey") < 500),
+          pmod(col("l_partkey"), lit(256)),
+          pmod(col("l_suppkey"), lit(256)), bits = 8, out = "hkey")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "hkey")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some(OracleGen.zo2Sql(8))),
+
     // ---- relational / benchmark suite --------------------------------
 
     // TPC-H Q1-style pricing summary: decimal-exact sums cast to double

@@ -111,6 +111,28 @@ class LayoutSpec extends AnyFunSuite {
       s"z-order should skip at least half the row groups: hit $zHit/${zGroups.size}")
   }
 
+  test("hilbert key: bijective on the grid; every consecutive cell pair adjacent") {
+    val s = spark
+    import s.implicits._
+    val grid = (for { x <- 0 until 8; y <- 0 until 8 } yield (x, y)).toDF("x", "y")
+    val keyed = Layout.withHilbertKey2(grid, col("x"), col("y"), bits = 3, out = "d")
+      .collect().map(r => (r.getAs[Long]("d"), (r.getInt(0), r.getInt(1))))
+    assert(keyed.map(_._1).distinct.length === 64)
+    assert(keyed.map(_._1).min === 0L && keyed.map(_._1).max === 63L)
+    // THE Hilbert property (and what Morton lacks): walking the key
+    // order never jumps — consecutive keys are manhattan-adjacent cells
+    val byD = keyed.sortBy(_._1).map(_._2)
+    byD.zip(byD.tail).foreach { case ((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"cells ($x1,$y1)->($x2,$y2) not adjacent — not a Hilbert walk") }
+    // base-quadrant orientation of the classic U
+    val base = Layout.withHilbertKey2(
+        Seq((0, 0), (0, 1), (1, 1), (1, 0)).toDF("x", "y"),
+        col("x"), col("y"), bits = 1, out = "d").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getAs[Long]("d"))).toMap
+    assert(base === Map((0, 0) -> 0L, (0, 1) -> 1L, (1, 1) -> 2L, (1, 0) -> 3L))
+  }
+
   test("consistentHashRebalance: ring moves far fewer keys than mod at n→n+1") {
     val s = spark
     import s.implicits._
