@@ -98,7 +98,9 @@ object BenchScale {
     "ds1_dsir_select", "hi2_equidepth", "s1_initial_load_e2e",
     "dd14_quality_canonical", "sp2_cluster_safe_split",
     "dd12_incremental_sig_dedup", "k10_landing_retention",
-    "hl2_stream_sketch", "ssj1_stream_stream_join")
+    "hl2_stream_sketch", "ssj1_stream_stream_join",
+    // round-11 gate query over the catalog-bucketed merge (>1.5 s rule)
+    "j5_upsert_join_equiv")
 
   /** Entries whose index width must grow with the corpus (the LSH /
     * IVF contract): each gives (base-leg fn, scaled-leg fn at k×) —

@@ -1189,6 +1189,38 @@ object OracleGen {
        |SELECT step, vec_id, d_micro FROM ($sel) ORDER BY step""".stripMargin
   }
 
+  /** mk1: substochastic power iteration in exact pico-long arithmetic,
+    * one MATERIALIZED CTE per round (the bt1 integer contract).
+    */
+  def mk1Sql(iters: Int = 12): String = {
+    val rounds = (1 to iters).map { k =>
+      val prev = if (k == 1) "it0" else s"it${k - 1}"
+      s"""it$k AS MATERIALIZED (SELECT st.s, COALESCE(agg.x, 0) AS x
+         |  FROM states st LEFT JOIN (
+         |    SELECT m.t AS s, SUM(p.x * m.n // tot.nt) AS x
+         |    FROM m JOIN $prev p ON p.s = m.p JOIN tot ON tot.p = m.p
+         |    GROUP BY 1) agg ON agg.s = st.s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tr0 AS (SELECT lag(event_type) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id) AS p,
+       |    event_type AS t FROM events),
+       |m AS MATERIALIZED (SELECT p, t, CAST(count(*) AS BIGINT) AS n
+       |  FROM tr0 WHERE p IS NOT NULL GROUP BY 1, 2),
+       |states AS MATERIALIZED (SELECT DISTINCT s FROM
+       |  (SELECT p AS s FROM m UNION ALL SELECT t FROM m)),
+       |tot AS MATERIALIZED (SELECT p, CAST(sum(n) AS BIGINT) AS nt
+       |  FROM m GROUP BY 1),
+       |ns AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+       |it0 AS MATERIALIZED (SELECT s, 1000000000000 // ns.k AS x
+       |  FROM states, ns),
+       |$rounds
+       |SELECT st.s AS state, CAST(COALESCE(tot.nt, 0) AS BIGINT) AS n_out,
+       |  round(CAST(f.x AS DOUBLE) / 1e12, 9) AS p_steady
+       |FROM states st LEFT JOIN tot ON tot.p = st.s
+       |JOIN it$iters f ON f.s = st.s
+       |ORDER BY st.s""".stripMargin
+  }
+
   /** zo2: the Hilbert xy2d walk unrolled as chained CTEs — one round
     * per bit (quadrant, rotation, reflection), all long arithmetic.
     */

@@ -4378,6 +4378,26 @@ object QueriesOps {
         .select(col("v").as("user_id"), col("pr")).orderBy("user_id"),
       Some(PageRankOracle)),
 
+    // MK1: Markov steady-state event mix — per-user event-type
+    // transition counts power-iterated to the distribution the stream
+    // converges to (absorbing states surface as mass leak). Exact
+    // pico-long integer rounds (the bt1 contract), matrix bounded by
+    // the event-type vocabulary; only the transition count shuffles.
+    "mk1_markov_steady" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val tr = Queries.events(s, d)
+          .withColumn("__p", lag(col("event_type"), 1).over(w))
+          .filter(col("__p").isNotNull)
+          .select(col("__p"), col("event_type"))
+        Graph.markovSteady(tr, "__p", "event_type", iters = 12)
+          .select(col("state"), col("n_out"),
+            round(col("p_steady"), 9).as("p_steady"))
+          .orderBy("state")
+      },
+      Some(OracleGen.mk1Sql(12))),
+
     // BFS1: bounded-hop reachability from a seed set (user_id % 50 = 0)
     // over the same handoff graph — exact ≤4-hop distances, every round
     // an order-free integer min the oracle unrolls as CTEs.

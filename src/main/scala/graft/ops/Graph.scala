@@ -303,6 +303,48 @@ object Graph {
       .select(col("n_edges"), col("n_clusters"), col("modularity"))
   }
 
+  /** Steady-state distribution of the first-order Markov chain defined
+    * by observed transitions — `x' = xP` power-iterated a FIXED number
+    * of rounds from uniform, with P the row-normalized transition
+    * counts. The "what mix does this event stream converge to" summary
+    * (and the detector for absorbing states dominating a funnel), the
+    * stochastic-matrix sibling of [[pageRank]] without teleport.
+    *
+    * Determinism: the state vector is carried in pico-unit longs and
+    * every term is `x_i · n_ij / n_i` in exact integer floor
+    * arithmetic, so all rounds are reproducible cross-engine (the
+    * bradleyTerry contract). States with no outgoing transitions leak
+    * their mass (substochastic iteration) — deliberately, identically
+    * on both engines: a true absorbing state shows up as the leak.
+    *
+    * Scale: the ONLY corpus-sized pass is the combinable (prev, next)
+    * count shuffle; the matrix is states²-bounded (≤ `maxStates`²,
+    * enforced) and iterates driver-side in microseconds.
+    */
+  def markovSteady(transitions: DataFrame, prevCol: String, nextCol: String,
+                   iters: Int = 12, maxStates: Int = 64): DataFrame = {
+    val spark = transitions.sparkSession
+    val m = transitions.groupBy(col(prevCol).as("p"), col(nextCol).as("t"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = m.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    require(states.length <= maxStates,
+      s"markovSteady: ${states.length} states exceed the bounded-collect " +
+        s"cap $maxStates — bucket the state column first")
+    val outTot = m.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val S = 1000000000000L
+    var x = states.map(_ -> S / states.length).toMap
+    for (_ <- 1 to iters) {
+      val next = scala.collection.mutable.Map(states.map(_ -> 0L): _*)
+      for ((i, j, n) <- m) next(j) += x(i) * n / outTot(i)
+      x = next.toMap
+    }
+    import spark.implicits._
+    states.toSeq.map { st =>
+      (st, outTot.getOrElse(st, 0L), x(st) / 1e12)
+    }.toDF("state", "n_out", "p_steady")
+  }
+
   /** Bounded-hop BFS distances from a seed set: each round relaxes
     * `h(v) = min(h(v), min_{u→v} h(u) + 1)` synchronously, so after
     * `rounds` rounds the table holds exact ≤`rounds`-hop shortest

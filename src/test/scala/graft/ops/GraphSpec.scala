@@ -167,6 +167,28 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(r0.getDouble(2)) < 1e-12, "single-cluster Q must be 0")
   }
 
+  test("markovSteady: two-state chain converges to the analytic stationary mix") {
+    val s = spark
+    import s.implicits._
+    // P(a->b) = 1, P(b->a) = 1/2, P(b->b) = 1/2 → stationary (1/3, 2/3)
+    val tr = (Seq.fill(4)(("a", "b")) ++ Seq.fill(2)(("b", "a")) ++
+      Seq.fill(2)(("b", "b"))).toDF("p", "t")
+    val got = Graph.markovSteady(tr, "p", "t", iters = 40).orderBy("state")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("p_steady")).toMap
+    assert(math.abs(got("a") - 1.0 / 3.0) < 1e-6, s"a: ${got("a")}")
+    assert(math.abs(got("b") - 2.0 / 3.0) < 1e-6, s"b: ${got("b")}")
+    // an absorbing sink leaks nothing INTO other states: all surviving
+    // mass ends on the sink
+    val abs = (Seq(("x", "y"), ("y", "y"), ("y", "y"))).toDF("p", "t")
+    val g2 = Graph.markovSteady(abs, "p", "t", iters = 30).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("p_steady")).toMap
+    assert(g2("x") === 0.0 && g2("y") > 0.99)
+    // determinism: exact integer rounds reproduce bit-for-bit
+    val again = Graph.markovSteady(tr, "p", "t", iters = 40).orderBy("state")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("p_steady")).toMap
+    assert(again === got)
+  }
+
   test("kHopDistances: exact hops on a directed path, bounded by rounds") {
     import spark.implicits._
     // 1 → 2 → 3 → 4 → 5 → 6, plus a shortcut 1 → 4
