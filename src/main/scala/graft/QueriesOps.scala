@@ -5233,6 +5233,58 @@ object QueriesOps {
         |  accuracy, macro_f1, wilson_lo, wilson_hi
         |FROM pr, ci ORDER BY cls""".stripMargin)),
 
+    // PAV1: isotonic calibration of the qs1 quality score via the
+    // closed minimax PAVA form (max-min of micro-quantized segment
+    // means over the bin prefix sums) — the monotone corrected score
+    // cal1's diagnosis feeds; the lattice is nBuckets³-bounded so the
+    // fit is constant-cost at any corpus size.
+    "pav1_isotonic_fit" -> Q(
+      (s, d) => {
+        val scored = Curate.lrQualityScore(docs(s, d))
+          .withColumn("is_unique",
+            (count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(md5(col("text")))) === 1).cast("long"))
+        Curate.isotonicCalibration(scored, "lr_score", "is_unique")
+          .orderBy("bucket")
+      },
+      Some("""WITH q AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+        |    CAST(list_sum(list_transform(string_split(text, ' '),
+        |         x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len
+        |  FROM documents),
+        |sc AS (SELECT doc_id, text,
+        |    1.0 / (1.0 + exp(0.0 - (-2.0 + alpha_ratio * 3.0 + stopword_ratio * 2.5
+        |      + mean_word_len * 0.15 - punct_ratio * 4.0))) AS s
+        |  FROM q),
+        |lab AS (SELECT doc_id, s,
+        |    CAST(count(*) OVER (PARTITION BY md5(text)) = 1 AS BIGINT) AS y
+        |  FROM sc),
+        |bins AS (SELECT CAST(least(floor(s * 10), 9) AS INTEGER) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+        |  FROM lab GROUP BY 1),
+        |c AS (SELECT bucket, n, n_pos,
+        |    sum(n_pos) OVER w AS cp, sum(n) OVER w AS cn FROM bins
+        |  WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)),
+        |cj AS (SELECT bucket AS j, cp - n_pos AS cpj, cn - n AS cnj FROM c),
+        |ck AS (SELECT bucket AS k, cp AS cpk, cn AS cnk FROM c),
+        |r AS (SELECT j, k, (cpk - cpj) * 1000000 // (cnk - cnj) AS rm
+        |  FROM cj JOIN ck ON j <= k),
+        |t1 AS (SELECT b.bucket AS b, r.j, min(r.rm) AS mn
+        |  FROM bins b JOIN r ON r.j <= b.bucket AND r.k >= b.bucket
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT b, CAST(max(mn) AS BIGINT) AS iso_micro FROM t1 GROUP BY 1)
+        |SELECT bins.bucket, bins.n, bins.n_pos, iso.iso_micro,
+        |  round(CAST(iso.iso_micro AS DOUBLE) / 1e6, 6) AS iso_rate
+        |FROM bins JOIN iso ON iso.b = bins.bucket ORDER BY bucket""".stripMargin)),
+
     // FK1: Fleiss' kappa across THREE raters — the two langid
     // pipelines plus the lang ground truth — the multi-labeler
     // agreement gate beside kp1's two-rater Cohen form.

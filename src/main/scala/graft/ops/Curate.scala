@@ -805,6 +805,55 @@ object Curate {
     out
   }
 
+  /** Isotonic calibration of a probability score (pool-adjacent-
+    * violators à la Zadrozny & Elkan KDD'02; sklearn's
+    * IsotonicRegression) over the reliability bins — the fitter that
+    * turns [[calibrationReport]]'s diagnosis into a monotone corrected
+    * score. Rather than the sequential pooling loop, the fitted value
+    * uses the closed MINIMAX form `iso_b = max_{j≤b} min_{k≥b}
+    * mean(y_j..y_k)` (Robertson–Wright–Dykstra 1988, Thm 1.4.4), which
+    * is pure relational algebra over the bin prefix sums — no
+    * iteration, no data-dependent loop an oracle can't replay.
+    *
+    * Determinism: segment means micro-quantize as `(Σpos)·10⁶ div
+    * (Σn)` exact integer divisions BEFORE the min/max lattice, so
+    * every comparison is a long compare in both engines.
+    *
+    * Scale: one combinable nBuckets-ary count shuffle over the corpus;
+    * the minimax lattice is nBuckets³-bounded rows (≤1000 at the
+    * default 10) — constant at any corpus size.
+    */
+  def isotonicCalibration(scored: DataFrame, scoreCol: String,
+                          labelCol: String, nBuckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = least(floor(col(scoreCol) * nBuckets), lit(nBuckets - 1L))
+      .cast("int").as("bucket")
+    val bins = scored.select(b, col(labelCol).cast("long").as("__y"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__y")).cast("long").as("n_pos"))
+      .persist()
+    val wOrd = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = bins
+      .withColumn("cp", sum("n_pos").over(wOrd).cast("long"))
+      .withColumn("cn", sum("n").over(wOrd).cast("long"))
+    val cj = c.select(col("bucket").as("j"),
+      (col("cp") - col("n_pos")).as("cpj"), (col("cn") - col("n")).as("cnj"))
+    val ck = c.select(col("bucket").as("k"),
+      col("cp").as("cpk"), col("cn").as("cnk"))
+    val r = cj.join(ck, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        expr("(cpk - cpj) * 1000000 div (cnk - cnj)").as("rm"))
+    val t1 = bins.select(col("bucket").as("b"))
+      .join(r, col("j") <= col("b") && col("k") >= col("b"))
+      .groupBy("b", "j").agg(min("rm").as("mn"))
+    val iso = t1.groupBy("b").agg(max("mn").cast("long").as("iso_micro"))
+    bins.join(iso, bins("bucket") === iso("b"))
+      .select(col("bucket"), col("n"), col("n_pos"), col("iso_micro"),
+        round(col("iso_micro").cast("double") / 1e6, 6).as("iso_rate"))
+  }
+
   /** Length-profile rejection sampling: thin each source's documents
     * so every source matches the POOLED length distribution — the
     * curation step that stops a long-doc-heavy source from dominating

@@ -410,4 +410,27 @@ class CurateSpec extends AnyFunSuite {
     // k = n returns everything
     assert(Curate.weightedSample(rows, k = 21, weightCol = "w").count() === 21L)
   }
+
+  test("isotonicCalibration: PAVA pools violating bins to the hand-computed fit") {
+    val s = spark
+    import s.implicits._
+    // bin rates (0.8, 0.2, 0.4) violate monotonicity twice → the whole
+    // prefix pools to 14/30; minimax must yield 466666 micro everywhere
+    def rows(score: Double, pos: Int, neg: Int) =
+      Seq.fill(pos)((score, 1L)) ++ Seq.fill(neg)((score, 0L))
+    val scored = (rows(0.05, 8, 2) ++ rows(0.15, 2, 8) ++ rows(0.25, 4, 6))
+      .toDF("sc", "y")
+    val got = Curate.isotonicCalibration(scored, "sc", "y")
+      .orderBy("bucket").collect()
+    assert(got.map(_.getAs[Long]("iso_micro")).toSeq ===
+      Seq(466666L, 466666L, 466666L))
+    // an already-monotone score passes through unchanged
+    val mono = (rows(0.05, 2, 8) ++ rows(0.15, 4, 6) ++ rows(0.25, 8, 2))
+      .toDF("sc", "y")
+    val gm = Curate.isotonicCalibration(mono, "sc", "y")
+      .orderBy("bucket").collect().map(_.getAs[Long]("iso_micro")).toSeq
+    assert(gm === Seq(200000L, 400000L, 800000L))
+    // and the output is always non-decreasing
+    assert(gm.zip(gm.tail).forall { case (a, b) => a <= b })
+  }
 }
