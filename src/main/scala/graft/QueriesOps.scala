@@ -6197,6 +6197,116 @@ object QueriesOps {
         |SELECT split, n_events, n_users, n_leak_users
         |FROM per CROSS JOIN lk ORDER BY split""".stripMargin)),
 
+    // KS1: two-sample Kolmogorov–Smirnov on document length between
+    // the English and German slices — the distribution-SHAPE shift
+    // gate beside ab1's mean test. D's numerator is exact integer
+    // cross-multiplied CDF counts; window over distinct lengths only.
+    "ks1_ks_test" -> Q(
+      (s, d) => graft.ops.Stats.ksTest(docs(s, d), "n_chars", "lang", "en", "de"),
+      Some("""WITH f AS (SELECT CAST(n_chars AS BIGINT) AS v, lang FROM documents
+        |  WHERE lang IN ('en', 'de')),
+        |g AS (SELECT v,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+        |  FROM f GROUP BY 1),
+        |c AS (SELECT
+        |    CAST(sum(c_a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) AS cum_a,
+        |    CAST(sum(c_b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) AS cum_b
+        |  FROM g),
+        |t AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a, CAST(sum(c_b) AS BIGINT) AS n_b FROM g),
+        |dm AS (SELECT
+        |    CAST(max(abs(cum_a * CAST(t.n_b AS DECIMAL(38,0))
+        |               - cum_b * CAST(t.n_a AS DECIMAL(38,0)))) AS BIGINT) AS d_num,
+        |    max(t.n_a) AS n_a, max(t.n_b) AS n_b
+        |  FROM c CROSS JOIN t)
+        |SELECT n_a, n_b, d_num,
+        |  round(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 9) AS d_stat,
+        |  round(1.358 * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 9) AS crit_005,
+        |  CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |    > 1.358 * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS reject
+        |FROM dm""".stripMargin)),
+
+    // MW1: Mann–Whitney rank-sum between the even/odd user arms — the
+    // nonparametric A/B gate beside ab1 (Welch) and st3 (chi-square).
+    // Doubled-unit tie ranks keep every rank sum an exact integer.
+    "mw1_mann_whitney" -> Q(
+      (s, d) => graft.ops.Stats.mannWhitney(
+        Queries.events(s, d).withColumn("arm",
+          when(col("user_id") % 2 === 0, "control").otherwise("treatment")),
+        "value", "arm", "control", "treatment"),
+      Some("""WITH b AS (SELECT
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS q,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
+        |  FROM events),
+        |g AS (SELECT q, CAST(sum(in_a) AS BIGINT) AS c_a,
+        |    CAST(count(*) AS BIGINT) AS c_t
+        |  FROM b GROUP BY 1),
+        |r AS (SELECT c_a, c_t,
+        |    coalesce(sum(c_t) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM g),
+        |r2 AS (SELECT c_a, c_t, 2 * cum_before + c_t + 1 AS rank2 FROM r),
+        |m AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+        |    CAST(sum(c_t) - sum(c_a) AS BIGINT) AS n_b,
+        |    sum(CAST(c_a AS DECIMAL(38,0)) * CAST(rank2 AS DECIMAL(38,0))) AS r_a2,
+        |    sum(CAST(c_t AS DECIMAL(38,0)) * CAST(c_t AS DECIMAL(38,0)) * CAST(c_t AS DECIMAL(38,0))
+        |        - CAST(c_t AS DECIMAL(38,0))) AS ties
+        |  FROM r2),
+        |c AS (SELECT n_a, n_b, ties,
+        |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |    CAST(n_a + n_b AS DOUBLE) AS nd,
+        |    CAST(r_a2 AS DOUBLE) AS r_a2d, CAST(ties AS DOUBLE) AS tiesd
+        |  FROM m),
+        |z AS (SELECT *, r_a2d - na * (na + 1.0) AS u2,
+        |    na * nb * ((nd + 1.0) * nd * (nd - 1.0) - tiesd) AS var_num,
+        |    12.0 * nd * (nd - 1.0) AS var_den
+        |  FROM c)
+        |SELECT n_a, n_b,
+        |  round(u2 / 2.0, 1) AS u_a,
+        |  CAST(ties AS BIGINT) AS tie_term,
+        |  round((u2 - na * nb) / (2.0 * sqrt(var_num / var_den)), 9) AS z_stat,
+        |  abs((u2 - na * nb) / (2.0 * sqrt(var_num / var_den))) > 1.96 AS significant
+        |FROM z""".stripMargin)),
+
+    // CR1: Pearson correlation matrix over the four lineitem measures
+    // — ONE moment pass (exact decimal sums at 1e4 quantization), six
+    // fixed-order double expressions off the persisted moment row.
+    "cr1_corr_matrix" -> Q(
+      (s, d) => graft.ops.Stats.corrMatrix(li(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b"),
+      Some("""WITH q AS (SELECT
+        |    CAST(floor(l_quantity * 1e4 + 0.5) AS DECIMAL(38,0)) AS q0,
+        |    CAST(floor(l_extendedprice * 1e4 + 0.5) AS DECIMAL(38,0)) AS q1,
+        |    CAST(floor(l_discount * 1e4 + 0.5) AS DECIMAL(38,0)) AS q2,
+        |    CAST(floor(l_tax * 1e4 + 0.5) AS DECIMAL(38,0)) AS q3
+        |  FROM lineitem),
+        |m AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(q0) AS DOUBLE) AS s0, CAST(sum(q1) AS DOUBLE) AS s1,
+        |    CAST(sum(q2) AS DOUBLE) AS s2, CAST(sum(q3) AS DOUBLE) AS s3,
+        |    CAST(sum(q0 * q0) AS DOUBLE) AS ss00, CAST(sum(q0 * q1) AS DOUBLE) AS ss01,
+        |    CAST(sum(q0 * q2) AS DOUBLE) AS ss02, CAST(sum(q0 * q3) AS DOUBLE) AS ss03,
+        |    CAST(sum(q1 * q1) AS DOUBLE) AS ss11, CAST(sum(q1 * q2) AS DOUBLE) AS ss12,
+        |    CAST(sum(q1 * q3) AS DOUBLE) AS ss13, CAST(sum(q2 * q2) AS DOUBLE) AS ss22,
+        |    CAST(sum(q2 * q3) AS DOUBLE) AS ss23, CAST(sum(q3 * q3) AS DOUBLE) AS ss33,
+        |    CAST(count(*) AS DOUBLE) AS nd
+        |  FROM q)
+        |SELECT col_a, col_b, n, corr FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+        |    round((nd * ss01 - s0 * s1) / sqrt((nd * ss00 - s0 * s0) * (nd * ss11 - s1 * s1)), 9) AS corr FROM m
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', n,
+        |    round((nd * ss02 - s0 * s2) / sqrt((nd * ss00 - s0 * s0) * (nd * ss22 - s2 * s2)), 9) FROM m
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', n,
+        |    round((nd * ss03 - s0 * s3) / sqrt((nd * ss00 - s0 * s0) * (nd * ss33 - s3 * s3)), 9) FROM m
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', n,
+        |    round((nd * ss12 - s1 * s2) / sqrt((nd * ss11 - s1 * s1) * (nd * ss22 - s2 * s2)), 9) FROM m
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', n,
+        |    round((nd * ss13 - s1 * s3) / sqrt((nd * ss11 - s1 * s1) * (nd * ss33 - s3 * s3)), 9) FROM m
+        |  UNION ALL SELECT 'l_discount', 'l_tax', n,
+        |    round((nd * ss23 - s2 * s3) / sqrt((nd * ss22 - s2 * s2) * (nd * ss33 - s3 * s3)), 9) FROM m
+        |) ORDER BY col_a, col_b""".stripMargin)),
+
     // LR1: the ITERATIVE trainer beside nb1/gnb1's closed forms —
     // full-batch GD logistic regression on the tx2 feature battery
     // (label = n_chars > 300), 3 steps unrolled in the oracle, so the

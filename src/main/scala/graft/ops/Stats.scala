@@ -479,4 +479,144 @@ object Stats {
         (col("n_covered").cast("double") / col("n_eval").cast("double") >=
           lit(minCoverage)).as("coverage_ok"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov test (Smirnov 1939) between the
+    * rows where `groupCol` = `groupA` and `groupB`: the supremum
+    * distance D between the two empirical CDFs of the INTEGER-valued
+    * `valueCol`, with the large-sample α=0.05 critical value
+    * `1.358·√((n_a+n_b)/(n_a·n_b))` — the standard distribution-shift
+    * gate when a mean test (ab1) can't see shape changes.
+    *
+    * Exactness: D's numerator is `max |cum_a·n_b − cum_b·n_a|` over
+    * distinct values — pure integer arithmetic (decimal(38,0), so the
+    * products can't overflow at any corpus size); the two divisions
+    * and one sqrt happen once on the final scalar row.
+    *
+    * Scale: one combinable (value → two counts) shuffle, then the
+    * cumulative window runs over the DISTINCT-VALUE table, whose
+    * cardinality is the value domain, not the corpus — for unbounded
+    * domains pre-bin upstream. Nothing wider than the distinct-value
+    * table ever sorts.
+    */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+             groupA: String, groupB: String): DataFrame = {
+    val isA = col(groupCol) === groupA
+    val isB = col(groupCol) === groupB
+    val byV = df.filter(isA || isB)
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).cast("long").as("c_a"),
+           sum(when(isB, 1L).otherwise(0L)).cast("long").as("c_b"))
+      .persist()
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(Long.MinValue, 0)
+    val cum = byV.select(
+      sum(col("c_a")).over(wCum).cast("decimal(38,0)").as("cum_a"),
+      sum(col("c_b")).over(wCum).cast("decimal(38,0)").as("cum_b"))
+    val tot = byV.agg(sum("c_a").cast("long").as("n_a"),
+                      sum("c_b").cast("long").as("n_b"))
+    val d = cum.crossJoin(broadcast(tot))
+      .agg(max(abs(col("cum_a") * col("n_b").cast("decimal(38,0)") -
+                   col("cum_b") * col("n_a").cast("decimal(38,0)")))
+             .cast("long").as("d_num"),
+           max("n_a").as("n_a"), max("n_b").as("n_b"))
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val dStat = col("d_num").cast("double") / (na * nb)
+    val crit = lit(1.358) * sqrt((na + nb) / (na * nb))
+    d.select(col("n_a"), col("n_b"), col("d_num"),
+      round(dStat, 9).as("d_stat"),
+      round(crit, 9).as("crit_005"),
+      (dStat > crit).as("reject"))
+  }
+
+  /** Mann–Whitney U rank-sum test (Mann & Whitney 1947) between two
+    * arms of a CONTINUOUS metric — the nonparametric companion of
+    * [[welchTTest]] for skewed/outlier-heavy metrics where a mean
+    * comparison misleads. Tie-corrected normal approximation.
+    *
+    * Exactness discipline: observations micro-quantize, then ties
+    * group exactly by quantized value; average tie ranks live in
+    * DOUBLED units (`rank2 = 2·cum_before + t + 1`, always integer),
+    * so the rank sum Σ c_a·rank2 and the tie term Σ(t³−t) are exact
+    * decimals — order-free across any partitioning. The z-statistic's
+    * floats appear once, in one fixed expression.
+    *
+    * Scale: one combinable (value → counts) shuffle; the exclusive
+    * cumulative runs over the distinct-value table (bounded by the
+    * quantized value domain — pre-bin if unbounded), never the corpus.
+    */
+  def mannWhitney(df: DataFrame, valueCol: String, armCol: String,
+                  armA: String, armB: String): DataFrame = {
+    val isA = col(armCol) === armA
+    val isB = col(armCol) === armB
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val byQ = df.filter(isA || isB)
+      .select(floor(col(valueCol) * lit(1e6) + lit(0.5)).cast("long").as("q"),
+              isA.as("in_a"))
+      .groupBy("q")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).cast("long").as("c_a"),
+           count(lit(1)).cast("long").as("c_t"))
+    val wPrev = org.apache.spark.sql.expressions.Window.orderBy("q")
+      .rowsBetween(Long.MinValue, -1)
+    val ranked = byQ
+      .withColumn("cum_before", coalesce(sum(col("c_t")).over(wPrev), lit(0L)))
+      .withColumn("rank2", lit(2L) * col("cum_before") + col("c_t") + lit(1L))
+    val m = ranked.agg(
+      sum("c_a").cast("long").as("n_a"),
+      (sum("c_t") - sum("c_a")).cast("long").as("n_b"),
+      sum(dec(col("c_a")) * dec(col("rank2"))).as("r_a2"),
+      sum(dec(col("c_t")) * dec(col("c_t")) * dec(col("c_t")) - dec(col("c_t")))
+        .as("ties"))
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val nd = (col("n_a") + col("n_b")).cast("double")
+    val u2 = col("r_a2").cast("double") - na * (na + lit(1.0)) // doubled U_A
+    val varNum = na * nb * ((nd + lit(1.0)) * nd * (nd - lit(1.0)) -
+      col("ties").cast("double"))
+    val varDen = lit(12.0) * nd * (nd - lit(1.0))
+    val z = (u2 - na * nb) / (lit(2.0) * sqrt(varNum / varDen))
+    m.select(col("n_a"), col("n_b"),
+      round(u2 / lit(2.0), 1).as("u_a"),
+      col("ties").cast("long").as("tie_term"),
+      round(z, 9).as("z_stat"),
+      (abs(z) > lit(1.96)).as("significant"))
+  }
+
+  /** Pairwise Pearson correlation matrix over `cols` — the feature-
+    * redundancy audit run before any model fit or mixture design:
+    * which quality signals are measuring the same thing?
+    *
+    * ONE combinable aggregate pass computes every moment (n, k sums,
+    * k(k+1)/2 cross-products) over values quantized at `scale`
+    * (correlation is affine-invariant, so quantization is the only —
+    * and deterministic — approximation); each of the k(k−1)/2 output
+    * rows is a fixed-order double expression over that single
+    * persisted moment row. The corpus is scanned exactly once
+    * regardless of k.
+    *
+    * Scale: map-side partials reduce to ONE row of exact decimals —
+    * no shuffle wider than the combiner tree, any corpus size.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String],
+                 scale: Double = 1e4): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val qdf = df.select(cols.map(c =>
+      floor(col(c) * lit(scale) + lit(0.5)).cast("decimal(38,0)").as(s"q_$c")): _*)
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      Seq(count(lit(1)).cast("long").as("n")) ++
+      cols.map(c => sum(col(s"q_$c")).as(s"s_$c")) ++
+      (for { i <- cols.indices; j <- i until cols.size } yield
+        sum(col(s"q_${cols(i)}") * col(s"q_${cols(j)}")).as(s"ss_${i}_$j"))
+    val m = qdf.agg(aggs.head, aggs.tail: _*).persist()
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size } yield {
+      val nd = col("n").cast("double")
+      val si = col(s"s_${cols(i)}").cast("double")
+      val sj = col(s"s_${cols(j)}").cast("double")
+      val ssij = col(s"ss_${i}_$j").cast("double")
+      val ssii = col(s"ss_${i}_$i").cast("double")
+      val ssjj = col(s"ss_${j}_$j").cast("double")
+      m.select(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"), col("n"),
+        round((nd * ssij - si * sj) /
+          sqrt((nd * ssii - si * si) * (nd * ssjj - sj * sj)), 9).as("corr"))
+    }
+    pairs.reduce(_ unionByName _)
+  }
 }

@@ -413,4 +413,43 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("jaccard") === 0.5)
     assert(r.getAs[Boolean]("sketch_inter_ok") && r.getAs[Boolean]("sketch_union_ok"))
   }
+
+  test("ksTest: hand-computed D on two small samples") {
+    // A=[1,2,3], B=[2,3,4]: sup |F_A - F_B| = 1/3 (numerator 3 over n_a*n_b=9)
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 2L), ("b", 3L), ("b", 4L))
+      .toDF("g", "v")
+    val r = Stats.ksTest(df, "v", "g", "a", "b").collect().head
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 3L)
+    assert(r.getAs[Long]("d_num") === 3L)
+    assert(math.abs(r.getAs[Double]("d_stat") - 1.0 / 3.0) < 1e-9)
+    // crit = 1.358*sqrt(6/9) ≈ 1.109 > D → not rejected
+    assert(!r.getAs[Boolean]("reject"))
+  }
+
+  test("mannWhitney: tie-corrected U and z on a hand case") {
+    // A=[1,2,3], B=[2,3,4]: avg ranks 1, 2.5, 4.5 → R_A=8, U_A=2
+    // ties: two groups of 2 → T=12; var = 9*(210-12)/360 = 4.95
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0)).toDF("arm", "v")
+    val r = Stats.mannWhitney(df, "v", "arm", "a", "b").collect().head
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 3L)
+    assert(r.getAs[Double]("u_a") === 2.0)
+    assert(r.getAs[Long]("tie_term") === 12L)
+    assert(math.abs(r.getAs[Double]("z_stat") - (-2.5 / math.sqrt(4.95))) < 1e-6)
+    assert(!r.getAs[Boolean]("significant"))
+  }
+
+  test("corrMatrix: perfectly correlated / anti-correlated columns") {
+    val df = Seq((1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0))
+      .toDF("x", "y", "z")
+    val got = Stats.corrMatrix(df, Seq("x", "y", "z"))
+      .orderBy("col_a", "col_b").collect()
+    assert(got.length === 3)
+    val m = got.map(r => (r.getAs[String]("col_a"), r.getAs[String]("col_b")) ->
+      r.getAs[Double]("corr")).toMap
+    assert(m(("x", "y")) === 1.0)
+    assert(m(("x", "z")) === -1.0)
+    assert(m(("y", "z")) === -1.0)
+    assert(got.forall(_.getAs[Long]("n") === 3L))
+  }
 }
