@@ -109,6 +109,44 @@ object OracleGen {
     * emits the learned weights (value-checking the whole optimization
     * path) plus train accuracy.
     */
+  /** bs1: Poisson-bootstrap replicates over events.value — the weight
+    * ladder inlines [[graft.ops.Stats.poissonThresholds]] verbatim, so
+    * both engines compare the same 60-bit md5 draw against the same
+    * nine literals.
+    */
+  def bs1Sql(reps: Int = 32): String = {
+    val ts = graft.ops.Stats.poissonThresholds
+    val ladder = ts.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+    s"""WITH base AS (SELECT CAST(event_id AS VARCHAR) AS id,
+       |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS qv FROM events),
+       |full_m AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |    sum(CAST(qv AS DECIMAL(38,0))) AS s_full FROM base),
+       |wb AS (SELECT id, qv, CAST(r.b AS BIGINT) AS b FROM base
+       |  CROSS JOIN (SELECT unnest(range(0, $reps)) AS b) r),
+       |uu AS (SELECT b, qv,
+       |    ${hex60(s"md5(id || ':' || CAST(b AS VARCHAR))")} AS u FROM wb),
+       |ww AS (SELECT b, qv, CASE $ladder ELSE ${ts.size} END AS w FROM uu),
+       |pr AS (SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+       |    sum(CAST(w AS DECIMAL(38,0)) * CAST(qv AS DECIMAL(38,0))) AS s_wv
+       |  FROM ww GROUP BY 1),
+       |pp AS MATERIALIZED (SELECT b, n_eff, s_wv,
+       |    CAST(floor(CAST(s_wv AS DOUBLE) / CAST(n_eff AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS mb_pico
+       |  FROM pr),
+       |sc AS (SELECT sum(CAST(mb_pico AS DECIMAL(38,0))) AS s1,
+       |    sum(CAST(mb_pico AS DECIMAL(38,0)) * CAST(mb_pico AS DECIMAL(38,0))) AS s2,
+       |    CAST(min(mb_pico) AS BIGINT) AS lo_pico, CAST(max(mb_pico) AS BIGINT) AS hi_pico
+       |  FROM pp)
+       |SELECT pp.b, pp.n_eff,
+       |  round(CAST(pp.s_wv AS DOUBLE) / CAST(pp.n_eff AS DOUBLE) / 1e6, 6) AS mean_b,
+       |  round(CAST(f.s_full AS DOUBLE) / CAST(f.n_rows AS DOUBLE) / 1e6, 6) AS est_mean,
+       |  round(sqrt(($reps.0 * CAST(sc.s2 AS DOUBLE) - CAST(sc.s1 AS DOUBLE) * CAST(sc.s1 AS DOUBLE))
+       |    / ($reps.0 * ($reps.0 - 1.0))) / 1e12, 9) AS se_boot,
+       |  round(CAST(sc.lo_pico AS DOUBLE) / 1e12, 6) AS ci_lo,
+       |  round(CAST(sc.hi_pico AS DOUBLE) / 1e12, 6) AS ci_hi
+       |FROM pp CROSS JOIN sc CROSS JOIN full_m f ORDER BY pp.b""".stripMargin
+  }
+
   def lr1Sql(steps: Int = 3): String = {
     val nf = 5
     def zExpr(wt: String): String =

@@ -6307,6 +6307,77 @@ object QueriesOps {
         |    round((nd * ss23 - s2 * s3) / sqrt((nd * ss22 - s2 * s2) * (nd * ss33 - s3 * s3)), 9) FROM m
         |) ORDER BY col_a, col_b""".stripMargin)),
 
+    // AB2: CUPED variance reduction beside ab1's raw Welch test — the
+    // pre-2024-01-15 per-user value sum is the covariate; θ, adjusted
+    // lift, and the ρ² variance reduction from one exact moment row.
+    "ab2_cuped" -> Q(
+      (s, d) => {
+        val qv = floor(col("value") * lit(1e6) + lit(0.5)).cast("long")
+        val split = lit("2024-01-15").cast("timestamp")
+        val per = Queries.events(s, d).groupBy("user_id")
+          .agg(sum(when(col("ts") < split, qv).otherwise(0L)).cast("long").as("x_q"),
+               sum(when(col("ts") >= split, qv).otherwise(0L)).cast("long").as("y_q"))
+          .withColumn("arm",
+            when(col("user_id") % 2 === 0, "control").otherwise("treatment"))
+        graft.ops.Stats.cupedAdjust(per)
+      },
+      Some("""WITH q AS (SELECT user_id, ts,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS qv FROM events),
+        |p AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN qv ELSE 0 END) AS BIGINT) AS x_q,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN qv ELSE 0 END) AS BIGINT) AS y_q,
+        |    CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm
+        |  FROM q GROUP BY 1, 4),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |    CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    sum(CAST(x_q AS DECIMAL(38,0))) AS sx, sum(CAST(y_q AS DECIMAL(38,0))) AS sy,
+        |    sum(CAST(x_q AS DECIMAL(38,0)) * CAST(x_q AS DECIMAL(38,0))) AS sxx,
+        |    sum(CAST(x_q AS DECIMAL(38,0)) * CAST(y_q AS DECIMAL(38,0))) AS sxy,
+        |    sum(CAST(y_q AS DECIMAL(38,0)) * CAST(y_q AS DECIMAL(38,0))) AS syy,
+        |    sum(CASE WHEN arm = 'control' THEN CAST(x_q AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sx_c,
+        |    sum(CASE WHEN arm = 'control' THEN CAST(y_q AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sy_c,
+        |    sum(CASE WHEN arm = 'treatment' THEN CAST(x_q AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sx_t,
+        |    sum(CASE WHEN arm = 'treatment' THEN CAST(y_q AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sy_t
+        |  FROM p),
+        |c AS (SELECT n_c, n_t, CAST(n AS DOUBLE) AS nd,
+        |    CAST(n_c AS DOUBLE) AS ncd, CAST(n_t AS DOUBLE) AS ntd,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd,
+        |    CAST(syy AS DOUBLE) AS syyd,
+        |    CAST(sx_c AS DOUBLE) AS sxcd, CAST(sy_c AS DOUBLE) AS sycd,
+        |    CAST(sx_t AS DOUBLE) AS sxtd, CAST(sy_t AS DOUBLE) AS sytd
+        |  FROM m),
+        |e AS (SELECT *, nd * sxyd - sxd * syd AS cov_num,
+        |    nd * sxxd - sxd * sxd AS varx_num,
+        |    nd * syyd - syd * syd AS vary_num FROM c),
+        |f AS (SELECT *, cov_num / varx_num AS theta,
+        |    sycd / ncd AS mean_yc, sytd / ntd AS mean_yt,
+        |    sxcd / ncd AS mean_xc, sxtd / ntd AS mean_xt,
+        |    vary_num / (nd * (nd - 1.0)) AS var_y,
+        |    (vary_num - cov_num * cov_num / varx_num) / (nd * (nd - 1.0)) AS var_adj
+        |  FROM e)
+        |SELECT n_c, n_t, round(theta, 9) AS theta,
+        |  round(mean_yc / 1e6, 6) AS mean_y_control,
+        |  round(mean_yt / 1e6, 6) AS mean_y_treatment,
+        |  round((mean_yt - mean_yc) / 1e6, 6) AS diff_raw,
+        |  round(((mean_yt - mean_yc) - theta * (mean_xt - mean_xc)) / 1e6, 6) AS diff_cuped,
+        |  round(var_y / 1e12, 6) AS var_y,
+        |  round(var_adj / 1e12, 6) AS var_adj,
+        |  round(1.0 - var_adj / var_y, 9) AS var_reduction
+        |FROM f""".stripMargin)),
+
+    // BS1: Poisson-bootstrap uncertainty for the event-value mean —
+    // the Google "massive data streams" bootstrap: per-row Poisson(1)
+    // weights from md5(id:b) against the shared literal CDF ladder, 32
+    // replicates, exact integer replicate sums; SE from pico-quantized
+    // replicate means. No global resample, no RNG state, no collect.
+    "bs1_poisson_bootstrap" -> Q(
+      (s, d) => graft.ops.Stats.poissonBootstrap(
+          Queries.events(s, d), "event_id", "value", reps = 32)
+        .orderBy("b"),
+      Some(OracleGen.bs1Sql(32))),
+
     // LR1: the ITERATIVE trainer beside nb1/gnb1's closed forms —
     // full-batch GD logistic regression on the tx2 feature battery
     // (label = n_chars > 300), 3 steps unrolled in the oracle, so the

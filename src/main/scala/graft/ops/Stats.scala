@@ -580,6 +580,140 @@ object Stats {
       (abs(z) > lit(1.96)).as("significant"))
   }
 
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013)
+    * — adjust an experiment metric by its pre-experiment covariate:
+    * `Y_adj = Y − θ·(X − X̄)` with `θ = cov(X,Y)/var(X)`, shrinking
+    * metric variance by exactly ρ² and leaving the treatment effect
+    * unbiased. The standard sensitivity lever for A/B tests on
+    * high-variance engagement metrics.
+    *
+    * Input: one row per experiment unit with `arm` ∈
+    * {'control','treatment'} and the EXACT pre/post metric sums
+    * `x_q`/`y_q` already micro-quantized to longs (build them with a
+    * conditional-sum groupBy — per-unit sums of quantized longs are
+    * order-free). All cross-moments then accumulate as decimal(38,0)
+    * in ONE combinable pass; θ, means, variances and the adjusted
+    * lift are fixed-order double expressions on the single moment row.
+    *
+    * Scale: after the per-unit rollup (one keyed shuffle of long
+    * triples), ONE combinable aggregate — a single row moves.
+    */
+  def cupedAdjust(perUnit: DataFrame): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val isC = col("arm") === "control"
+    val m = perUnit.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(when(isC, 1L).otherwise(0L)).cast("long").as("n_c"),
+      sum(when(!isC, 1L).otherwise(0L)).cast("long").as("n_t"),
+      sum(dec(col("x_q"))).as("sx"), sum(dec(col("y_q"))).as("sy"),
+      sum(dec(col("x_q")) * dec(col("x_q"))).as("sxx"),
+      sum(dec(col("x_q")) * dec(col("y_q"))).as("sxy"),
+      sum(dec(col("y_q")) * dec(col("y_q"))).as("syy"),
+      sum(when(isC, dec(col("x_q"))).otherwise(lit(0).cast("decimal(38,0)"))).as("sx_c"),
+      sum(when(isC, dec(col("y_q"))).otherwise(lit(0).cast("decimal(38,0)"))).as("sy_c"),
+      sum(when(!isC, dec(col("x_q"))).otherwise(lit(0).cast("decimal(38,0)"))).as("sx_t"),
+      sum(when(!isC, dec(col("y_q"))).otherwise(lit(0).cast("decimal(38,0)"))).as("sy_t"))
+    val nd = col("n").cast("double")
+    val (nc, nt) = (col("n_c").cast("double"), col("n_t").cast("double"))
+    val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val (sxx, sxy, syy) = (col("sxx").cast("double"), col("sxy").cast("double"),
+      col("syy").cast("double"))
+    val covNum = nd * sxy - sx * sy   // n²·cov in micro² units
+    val varXNum = nd * sxx - sx * sx  // n²·var(X)
+    val varYNum = nd * syy - sy * sy  // n²·var(Y)
+    val theta = covNum / varXNum      // unit-free
+    val meanYc = col("sy_c").cast("double") / nc
+    val meanYt = col("sy_t").cast("double") / nt
+    val meanXc = col("sx_c").cast("double") / nc
+    val meanXt = col("sx_t").cast("double") / nt
+    val diffRaw = meanYt - meanYc
+    val diffCuped = diffRaw - theta * (meanXt - meanXc)
+    // var(Y_adj) = var(Y) − cov²/var(X); displayed in original units²
+    val varY = varYNum / (nd * (nd - lit(1.0)))
+    val varAdj = (varYNum - covNum * covNum / varXNum) / (nd * (nd - lit(1.0)))
+    m.select(col("n_c"), col("n_t"),
+      round(theta, 9).as("theta"),
+      round(meanYc / 1e6, 6).as("mean_y_control"),
+      round(meanYt / 1e6, 6).as("mean_y_treatment"),
+      round(diffRaw / 1e6, 6).as("diff_raw"),
+      round(diffCuped / 1e6, 6).as("diff_cuped"),
+      round(varY / 1e12, 6).as("var_y"),
+      round(varAdj / 1e12, 6).as("var_adj"),
+      round(lit(1.0) - varAdj / varY, 9).as("var_reduction"))
+  }
+
+  /** Poisson(1) CDF at k = 0..8, scaled to 2⁶⁰ and floored — SHARED
+    * LITERALS between the Spark plan and the DuckDB oracle (the
+    * benfordExpected discipline: no engine evaluates exp/factorial).
+    * P(X > 8) ≈ 1.1e-6: draws clamp to 9 there, identically in both
+    * engines.
+    */
+  val poissonThresholds: Seq[Long] = Seq(
+    424136118829305344L, 848272237658610688L, 1060340297073263360L,
+    1131029650211480960L, 1148701988496035328L, 1152236456152946176L,
+    1152825534095764608L, 1152909688087595776L, 1152920207336574720L)
+
+  /** Poisson bootstrap (Chamandy et al., Google 2012 — "Estimating
+    * uncertainty for massive data streams"): the distributed-scale
+    * bootstrap. Row i's weight in replicate b is an independent
+    * Poisson(1) draw — ≈ the multinomial resample, but needs NO global
+    * n and stays embarrassingly parallel: each row computes its own
+    * (replicate, weight) pairs from `md5(id:b)` against the
+    * [[poissonThresholds]] literal ladder. Emits one row per replicate
+    * (weighted mean, effective n) with the point estimate, bootstrap
+    * SE, and the replicate-range CI attached to every row.
+    *
+    * Determinism: weights are pure md5 functions of (id, b); replicate
+    * sums Σw, Σw·q are exact integers; each replicate mean is ONE
+    * division; the SE re-quantizes replicate means to pico-units so
+    * the cross-replicate moment sum is order-free.
+    *
+    * Scale: the corpus expands ×`reps` into (id-hash, long, long)
+    * triples feeding a combinable per-replicate aggregate — `reps`
+    * rows survive. No global resample, no collect, no RNG state.
+    */
+  def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
+                       reps: Int = 32): DataFrame = {
+    require(reps >= 2, "need at least two replicates")
+    val base = df.select(col(idCol).cast("string").as("id"),
+      floor(col(valueCol) * lit(1e6) + lit(0.5)).cast("long").as("qv"))
+    val full = base.agg(count(lit(1)).cast("long").as("n_rows"),
+      sum(col("qv").cast("decimal(38,0)")).as("s_full"))
+    val withB = base.select(col("id"), col("qv"),
+      explode(array((0 until reps).map(lit(_)): _*)).as("b"))
+    val u = conv(substring(md5(concat_ws(":", col("id"), col("b").cast("string"))),
+      1, 15), 16, 10).cast("long")
+    val w = poissonThresholds.zipWithIndex.foldRight(
+        lit(poissonThresholds.size): org.apache.spark.sql.Column) {
+      case ((t, k), acc) => when(u < lit(t), lit(k)).otherwise(acc)
+    }
+    val perRep = withB.withColumn("w", w.cast("long"))
+      .groupBy("b")
+      .agg(sum("w").cast("long").as("n_eff"),
+        sum(col("w").cast("decimal(38,0)") * col("qv").cast("decimal(38,0)"))
+          .as("s_wv"))
+      .withColumn("mb_pico", floor(col("s_wv").cast("double") /
+        col("n_eff").cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+      .persist()
+    val r = lit(reps).cast("double")
+    val scalars = perRep.agg(
+      sum(col("mb_pico").cast("decimal(38,0)")).as("s1"),
+      sum(col("mb_pico").cast("decimal(38,0)") * col("mb_pico").cast("decimal(38,0)")).as("s2"),
+      min("mb_pico").as("lo_pico"), max("mb_pico").as("hi_pico"))
+    val se = sqrt((r * col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double")) /
+      (r * (r - lit(1.0)))) / lit(1e12)
+    perRep.crossJoin(broadcast(scalars)).crossJoin(broadcast(full))
+      .select(col("b"), col("n_eff"),
+        round(col("s_wv").cast("double") / col("n_eff").cast("double") / 1e6, 6)
+          .as("mean_b"),
+        round(col("s_full").cast("double") / col("n_rows").cast("double") / 1e6, 6)
+          .as("est_mean"),
+        round(se, 9).as("se_boot"),
+        round(col("lo_pico").cast("double") / 1e12, 6).as("ci_lo"),
+        round(col("hi_pico").cast("double") / 1e12, 6).as("ci_hi"))
+  }
+
   /** Pairwise Pearson correlation matrix over `cols` — the feature-
     * redundancy audit run before any model fit or mixture design:
     * which quality signals are measuring the same thing?

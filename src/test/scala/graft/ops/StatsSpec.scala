@@ -439,6 +439,46 @@ class StatsSpec extends AnyFunSuite {
     assert(!r.getAs[Boolean]("significant"))
   }
 
+  test("cupedAdjust: perfectly predictive covariate zeroes adjusted variance") {
+    // y = x exactly → θ=1, var_adj=0, reduction=1, and the CUPED lift
+    // collapses to 0 because the arms' y-gap is fully explained by x
+    val df = Seq(("control", 1L, 1L), ("control", 2L, 2L),
+      ("treatment", 3L, 3L), ("treatment", 4L, 4L)).toDF("arm", "x_q", "y_q")
+    val r = Stats.cupedAdjust(df).collect().head
+    assert(r.getAs[Long]("n_c") === 2L && r.getAs[Long]("n_t") === 2L)
+    assert(r.getAs[Double]("theta") === 1.0)
+    assert(r.getAs[Double]("var_adj") === 0.0)
+    assert(r.getAs[Double]("var_reduction") === 1.0)
+    assert(r.getAs[Double]("diff_cuped") === 0.0)
+    assert(math.abs(r.getAs[Double]("diff_raw") - 2e-6) < 1e-12) // micro units
+  }
+
+  test("cupedAdjust: independent covariate leaves the lift untouched") {
+    // x constant → cov=0 would divide by zero var(x); use x uncorrelated:
+    // x = (1,2,1,2) against y = (10,10,20,20): cov(x,y)=0 → θ=0
+    val df = Seq(("control", 1L, 10L), ("control", 2L, 10L),
+      ("treatment", 1L, 20L), ("treatment", 2L, 20L)).toDF("arm", "x_q", "y_q")
+    val r = Stats.cupedAdjust(df).collect().head
+    assert(r.getAs[Double]("theta") === 0.0)
+    assert(r.getAs[Double]("diff_cuped") === r.getAs[Double]("diff_raw"))
+    assert(r.getAs[Double]("var_reduction") === 0.0)
+  }
+
+  test("poissonBootstrap: constant metric pins every replicate to it; weights behave") {
+    val df = (1 to 800).map(i => (i.toLong, 5.0)).toDF("id", "v")
+    val rows = Stats.poissonBootstrap(df, "id", "v", reps = 16).collect()
+    assert(rows.length === 16)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_b") === 5.0)    // constant metric: exact
+      assert(r.getAs[Double]("est_mean") === 5.0)
+      assert(r.getAs[Double]("se_boot") === 0.0)
+      assert(r.getAs[Double]("ci_lo") === 5.0 && r.getAs[Double]("ci_hi") === 5.0)
+      // Poisson(1) effective n concentrates around n (±4σ ≈ ±113)
+      val nEff = r.getAs[Long]("n_eff")
+      assert(nEff > 800 - 120 && nEff < 800 + 120, s"n_eff $nEff")
+    }
+  }
+
   test("corrMatrix: perfectly correlated / anti-correlated columns") {
     val df = Seq((1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0))
       .toDF("x", "y", "z")
