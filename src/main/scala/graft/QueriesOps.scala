@@ -450,6 +450,33 @@ object QueriesOps {
          |GROUP BY 1 ORDER BY v""".stripMargin
   }
 
+  /** DuckDB oracle for aa1: Adamic–Adar over the same handoff graph as
+    * kc1, with the pico 1/ln(deg) weights inlined as the SAME literals
+    * [[graft.ops.Graph.adamicAdarWeights]] feeds the Spark plan.
+    */
+  private val AaMaxDeg = 64
+  private val AaTopK = 20
+  private val AdamicAdarOracle: String = {
+    val w = graft.ops.Graph.adamicAdarWeights(AaMaxDeg).mkString("[", ", ", "]")
+    s"""WITH ed AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT lag(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS src,
+      |           user_id AS dst FROM events)
+      |  WHERE src IS NOT NULL AND src != dst),
+      |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM ed),
+      |adj AS (SELECT a AS w, b AS x FROM und UNION ALL SELECT b, a FROM und),
+      |dg AS (SELECT w, CAST(count(*) AS INTEGER) AS deg FROM adj GROUP BY 1),
+      |md AS MATERIALIZED (SELECT adj.w, adj.x, CAST($w[deg - 1] AS BIGINT) AS wq
+      |  FROM adj JOIN dg USING (w) WHERE deg BETWEEN 2 AND $AaMaxDeg),
+      |pr AS (SELECT l.x AS u, r.x AS v, CAST(count(*) AS BIGINT) AS n_common,
+      |    CAST(sum(l.wq) AS BIGINT) AS score_pico
+      |  FROM md l JOIN md r ON l.w = r.w AND l.x < r.x GROUP BY 1, 2),
+      |nv AS (SELECT pr.* FROM pr LEFT JOIN und ON pr.u = und.a AND pr.v = und.b
+      |  WHERE und.a IS NULL)
+      |SELECT u, v, n_common, round(CAST(score_pico AS DOUBLE) / 1e12, 6) AS score
+      |FROM nv ORDER BY score_pico DESC, u, v LIMIT $AaTopK""".stripMargin
+  }
+
   /** DuckDB oracle for bf1: the Benford audit with the nine expected
     * shares inlined as the SAME driver-computed double literals
     * [[graft.ops.Stats.benfordExpected]] feeds the Spark plan (the
@@ -6306,6 +6333,44 @@ object QueriesOps {
         |  UNION ALL SELECT 'l_discount', 'l_tax', n,
         |    round((nd * ss23 - s2 * s3) / sqrt((nd * ss22 - s2 * s2) * (nd * ss33 - s3 * s3)), 9) FROM m
         |) ORDER BY col_a, col_b""".stripMargin)),
+
+    // AA1: Adamic–Adar link prediction over the same user-handoff
+    // graph as kc1/pg1 — rare-shared-neighbor scoring of NON-edges,
+    // hub-capped wedges, literal 1/ln(deg) weights, integer top-k.
+    "aa1_adamic_adar" -> Q(
+      (s, d) => graft.ops.Graph.adamicAdar(
+          graft.ops.Graph.handoffEdges(
+            Queries.events(s, d), "event_type", "user_id", "ts", "event_id"),
+          maxDegree = AaMaxDeg, topK = AaTopK)
+        .orderBy(col("score").desc, col("u"), col("v")),
+      Some(AdamicAdarOracle)),
+
+    // SKY1: Pareto skyline of users over (spend, activity, breadth) —
+    // grid-prune then exact dominance anti-join; every comparison an
+    // exact long. The oracle runs the brute NOT EXISTS dominance form.
+    "sky1_pareto_skyline" -> Q(
+      (s, d) => {
+        val per = Queries.events(s, d).groupBy(col("user_id").as("id"))
+          .agg(sum(floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+              .cast("long").as("value_q"),
+            count(lit(1)).cast("long").as("n_events"),
+            countDistinct(col("event_type")).cast("long").as("n_types"))
+        graft.ops.Stats.paretoSkyline(per, "id",
+            Seq("value_q", "n_events", "n_types"))
+          .orderBy("id")
+      },
+      Some("""WITH p AS MATERIALIZED (SELECT user_id AS id,
+        |    CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS value_q,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |  FROM events GROUP BY 1)
+        |SELECT id, value_q, n_events, n_types FROM p
+        |WHERE NOT EXISTS (SELECT 1 FROM p q
+        |  WHERE q.value_q >= p.value_q AND q.n_events >= p.n_events
+        |    AND q.n_types >= p.n_types
+        |    AND (q.value_q > p.value_q OR q.n_events > p.n_events
+        |      OR q.n_types > p.n_types))
+        |ORDER BY id""".stripMargin)),
 
     // AB2: CUPED variance reduction beside ab1's raw Welch test — the
     // pre-2024-01-15 per-user value sum is the covariate; θ, adjusted

@@ -200,6 +200,68 @@ object Graph {
     result
   }
 
+  /** Pico-quantized Adamic–Adar weights `floor(1e12/ln(d) + 0.5)` for
+    * d = 2..maxDegree — DRIVER-COMPUTED literals shared verbatim with
+    * the oracle (the benfordExpected discipline: no engine evaluates a
+    * log in the data path).
+    */
+  def adamicAdarWeights(maxDegree: Int): Seq[Long] =
+    (2 to maxDegree).map(d => math.floor(1e12 / math.log(d.toDouble) + 0.5).toLong)
+
+  /** Adamic–Adar link prediction (Adamic & Adar, Social Networks 2003)
+    * — score every NON-edge pair (u,v) by `Σ_{w ∈ N(u)∩N(v)} 1/ln d(w)`
+    * (rare shared neighbors count more), the classic "who should be
+    * connected next" / entity-merge-candidate ranking.
+    *
+    * Hub cap: wedges only form through common neighbors with
+    * `2 ≤ deg(w) ≤ maxDegree`. That is the standard scale bound — a
+    * degree-D hub alone would emit D(D−1)/2 pairs, and its ln-weight
+    * is the smallest anyway, so capping bounds the wedge explosion at
+    * |E|·maxDegree while barely moving the ranking.
+    *
+    * Determinism: weights come from the [[adamicAdarWeights]] literal
+    * array indexed by integer degree; per-pair scores are exact pico
+    * sums; the top-k boundary orders by (score_pico, u, v) — all
+    * integers.
+    *
+    * Scale: canonical edge table persists once; wedge enumeration is
+    * an ids-only self-equi-join on the capped adjacency (long triples),
+    * combinable pair aggregation, anti-join against existing edges,
+    * then TakeOrdered for the top-k — no global sort, no text.
+    */
+  def adamicAdar(edges: DataFrame, maxDegree: Int = 64,
+                 topK: Int = 20): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = und.select(col("a").as("w"), col("b").as("x"))
+      .unionAll(und.select(col("b").as("w"), col("a").as("x")))
+    val deg = adj.groupBy("w").agg(count(lit(1)).cast("int").as("deg"))
+    val wArr = array(adamicAdarWeights(maxDegree).map(lit(_)): _*)
+    val mid = adj.join(deg, "w")
+      .filter(col("deg") >= 2 && col("deg") <= maxDegree)
+      .withColumn("wq", element_at(wArr, col("deg") - 1))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = mid.as("l").join(mid.as("r"),
+        col("l.w") === col("r.w") && col("l.x") < col("r.x"))
+      .select(col("l.x").as("u"), col("r.x").as("v"), col("l.wq").as("wq"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).cast("long").as("n_common"),
+        sum("wq").cast("long").as("score_pico"))
+    val novel = pairs.join(und,
+      pairs("u") === und("a") && pairs("v") === und("b"), "left_anti")
+    val result = novel
+      .orderBy(col("score_pico").desc, col("u"), col("v")).limit(topK)
+      .select(col("u"), col("v"), col("n_common"),
+        round(col("score_pico").cast("double") / 1e12, 6).as("score"))
+      .localCheckpoint() // topK rows; lets both caches drop (gr2 discipline)
+    und.unpersist(false)
+    mid.unpersist(false)
+    result
+  }
+
   /** k-core decomposition by synchronous peeling (Seidman, Social
     * Networks 1983; the Batagelj–Zaveršnik bulk variant): each round
     * simultaneously removes every node whose degree in the CURRENT

@@ -580,6 +580,57 @@ object Stats {
       (abs(z) > lit(1.96)).as("significant"))
   }
 
+  /** Pareto skyline (Börzsönyi/Kossmann/Stocker, ICDE 2001) over
+    * integer criteria, all maximized: the rows no other row dominates
+    * (≥ everywhere, > somewhere) — multi-criteria selection without
+    * collapsing the objectives into one weighted score.
+    *
+    * Two-phase distributed shape (the BNL-at-scale idiom):
+    * 1. GRID PRUNE — bucket every dim into 2^gridBits levels off one
+    *    broadcast min/max row; a cell dies if some other cell's
+    *    per-dim MINIMA strictly exceed its per-dim MAXIMA (a real
+    *    point there dominates everything here). Cell-vs-cell work is
+    *    (2^gridBits)^k² — fixed, tiny, corpus-independent. Dominance
+    *    is transitive and maximal points are never pruned, so
+    *    filtering survivors against survivors alone stays EXACT.
+    * 2. EXACT PASS — one dominance anti-join over the surviving band.
+    *    Survivor count tracks the skyline band, not the corpus; for
+    *    heavily-correlated dims raise gridBits.
+    *
+    * All comparisons are longs — quantize upstream; bit-identical in
+    * any engine.
+    */
+  def paretoSkyline(pts: DataFrame, idCol: String, dims: Seq[String],
+                    gridBits: Int = 3): DataFrame = {
+    require(dims.nonEmpty, "need at least one criterion")
+    val g = (1L << gridBits)
+    val p0 = pts.select(col(idCol).cast("long").as("id") +:
+      dims.map(c => col(c).cast("long").as(c)): _*).persist()
+    val mmAggs = dims.flatMap(c =>
+      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+    val mm = p0.agg(mmAggs.head, mmAggs.tail: _*)
+    val bCols = dims.map(c => least(lit(g - 1),
+      expr(s"(($c - mn_$c) * ${g}L) div (mx_$c - mn_$c + 1)")).as(s"b_$c"))
+    val pb = p0.crossJoin(broadcast(mm))
+      .select(col("id") +: (dims.map(col(_)) ++ bCols): _*)
+      .persist()
+    val cellAggs = dims.flatMap(c =>
+      Seq(min(col(c)).as(s"cmn_$c"), max(col(c)).as(s"cmx_$c")))
+    val cells = pb.groupBy(dims.map(c => col(s"b_$c")): _*)
+      .agg(cellAggs.head, cellAggs.tail: _*)
+    val cellDom = dims.map(c => col(s"d.cmn_$c") > col(s"c.cmx_$c")).reduce(_ && _)
+    val deadCells = cells.as("c").join(cells.as("d"), cellDom, "left_semi")
+      .select(dims.map(c => col(s"b_$c")): _*)
+    val surv = pb.join(deadCells, dims.map(c => s"b_$c"), "left_anti").persist()
+    val geq = dims.map(c => col(s"q.$c") >= col(s"p.$c")).reduce(_ && _)
+    val strict = dims.map(c => col(s"q.$c") > col(s"p.$c")).reduce(_ || _)
+    val sky = surv.as("p").join(surv.as("q"), geq && strict, "left_anti")
+      .select(col("id") +: dims.map(col(_)): _*)
+      .localCheckpoint() // skyline band is small; lets all caches drop
+    p0.unpersist(false); pb.unpersist(false); surv.unpersist(false)
+    sky
+  }
+
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013)
     * — adjust an experiment metric by its pre-experiment covariate:
     * `Y_adj = Y − θ·(X − X̄)` with `θ = cov(X,Y)/var(X)`, shrinking

@@ -207,4 +207,30 @@ class GraphSpec extends AnyFunSuite {
       .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(g2 === Array((7L, 0L), (8L, 1L)))
   }
+
+  test("adamicAdar: 4-cycle scores both diagonals 2/ln2; edges never scored") {
+    val ed = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val got = Graph.adamicAdar(ed, maxDegree = 64, topK = 10)
+      .orderBy("u", "v").collect()
+    assert(got.length === 2) // only the two non-edges (1,3), (2,4)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_common") === 2L)
+      // 2·floor(1e12/ln 2 + .5)/1e12 rounded to 6
+      assert(r.getAs[Double]("score") === 2.88539)
+    }
+    assert(got.map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"))).toSeq ===
+      Seq((1L, 3L), (2L, 4L)))
+  }
+
+  test("adamicAdar: hub cap drops wedges through high-degree centers") {
+    // star: center 0 connected to 1..5 (deg 5) — with maxDegree=4 the
+    // only possible common neighbor is capped out, so no pairs emerge
+    val ed = edges((1L to 5L).map(i => (0L, i)): _*)
+    assert(Graph.adamicAdar(ed, maxDegree = 4, topK = 10).count() === 0L)
+    // raising the cap re-admits the center: C(5,2)=10 pairs at 1/ln5
+    val up = Graph.adamicAdar(ed, maxDegree = 8, topK = 100).collect()
+    assert(up.length === 10)
+    val w = math.floor(1e12 / math.log(5.0) + 0.5) / 1e12
+    up.foreach(r => assert(math.abs(r.getAs[Double]("score") - w) < 1e-6))
+  }
 }

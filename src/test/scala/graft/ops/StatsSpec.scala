@@ -439,6 +439,32 @@ class StatsSpec extends AnyFunSuite {
     assert(!r.getAs[Boolean]("significant"))
   }
 
+  test("paretoSkyline: matches brute-force dominance on random points") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(50).toLong, rnd.nextInt(50).toLong, rnd.nextInt(8).toLong))
+    val df = pts.toDF("id", "x", "y", "z").repartition(5)
+    val got = Stats.paretoSkyline(df, "id", Seq("x", "y", "z"))
+      .collect().map(_.getAs[Long]("id")).toSet
+    val brute = pts.filter { p =>
+      !pts.exists(q => q._2 >= p._2 && q._3 >= p._3 && q._4 >= p._4 &&
+        (q._2 > p._2 || q._3 > p._3 || q._4 > p._4))
+    }.map(_._1).toSet
+    assert(got === brute)
+    spark.catalog.clearCache()
+  }
+
+  test("paretoSkyline: hand case — duplicates both survive, dominated drop") {
+    val df = Seq((1L, 5L, 5L), (2L, 5L, 5L), (3L, 4L, 6L), (4L, 3L, 3L),
+      (5L, 6L, 1L)).toDF("id", "a", "b")
+    val got = Stats.paretoSkyline(df, "id", Seq("a", "b"))
+      .collect().map(_.getAs[Long]("id")).toSet
+    // 4 is dominated by 1/2; equal points 1,2 both stay; 3 and 5 are
+    // incomparable corners
+    assert(got === Set(1L, 2L, 3L, 5L))
+    spark.catalog.clearCache()
+  }
+
   test("cupedAdjust: perfectly predictive covariate zeroes adjusted variance") {
     // y = x exactly → θ=1, var_adj=0, reduction=1, and the CUPED lift
     // collapses to 0 because the arms' y-gap is fully explained by x
