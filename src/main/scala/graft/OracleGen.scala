@@ -109,6 +109,43 @@ object OracleGen {
     * emits the learned weights (value-checking the whole optimization
     * path) plus train accuracy.
     */
+  /** acf1: autocorrelation at lags 1..maxLag of the dense hourly
+    * event-count series — mirrors [[graft.ops.TimeSeries.acf]]:
+    * n-scaled integer deviations, one moment row, one UNION arm per
+    * lag.
+    */
+  def acf1Sql(maxLag: Int = 12): String = {
+    def dev(c: String) =
+      s"(CAST(n AS DECIMAL(38,0)) * CAST($c AS DECIMAL(38,0)) - sx)"
+    val leads = (1 to maxLag)
+      .map(k => s"lead(x, $k) OVER (ORDER BY b) AS x_$k").mkString(", ")
+    val nums = (1 to maxLag).map(k =>
+      s"""sum(CASE WHEN x_$k IS NOT NULL THEN ${dev("x")} * ${dev(s"x_$k")}
+         |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS num_$k,
+         |    CAST(sum(CASE WHEN x_$k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nt_$k""".stripMargin)
+      .mkString(",\n    ")
+    val arms = (1 to maxLag).map(k =>
+      s"SELECT $k AS lag, nt_$k AS n_terms, " +
+        s"round(CAST(num_$k AS DOUBLE) / CAST(den AS DOUBLE), 9) AS acf FROM m")
+      .mkString("\n  UNION ALL ")
+    s"""WITH c AS (SELECT date_trunc('hour', ts) AS b,
+       |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+       |bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM c),
+       |sp AS (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS b FROM bounds),
+       |s AS MATERIALIZED (SELECT sp.b, coalesce(c.x, 0) AS x FROM sp LEFT JOIN c USING (b)),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(x AS DECIMAL(38,0))) AS sx FROM s),
+       |l AS (SELECT b, x, $leads FROM s),
+       |d AS (SELECT l.*, t.n, t.sx FROM l CROSS JOIN t),
+       |m AS MATERIALIZED (SELECT
+       |    sum(${dev("x")} * ${dev("x")}) AS den,
+       |    $nums
+       |  FROM d)
+       |SELECT lag, n_terms, acf FROM (
+       |  $arms
+       |) ORDER BY lag""".stripMargin
+  }
+
   /** bs1: Poisson-bootstrap replicates over events.value — the weight
     * ladder inlines [[graft.ops.Stats.poissonThresholds]] verbatim, so
     * both engines compare the same 60-bit md5 draw against the same

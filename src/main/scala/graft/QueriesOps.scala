@@ -6334,6 +6334,106 @@ object QueriesOps {
         |    round((nd * ss23 - s2 * s3) / sqrt((nd * ss22 - s2 * s2) * (nd * ss33 - s3 * s3)), 9) FROM m
         |) ORDER BY col_a, col_b""".stripMargin)),
 
+    // ACF1: autocorrelation of the dense hourly event-count series at
+    // lags 1..12 — periodicity audit; n-scaled integer deviations, all
+    // 12 numerators in ONE aggregate pass over the spine-sized series.
+    "acf1_autocorr" -> Q(
+      (s, d) => graft.ops.TimeSeries.acf(
+          graft.ops.TimeSeries.denseCountSeries(
+            Queries.events(s, d), "ts", "hour"), maxLag = 12)
+        .orderBy("lag"),
+      Some(OracleGen.acf1Sql(12))),
+
+    // CPD1: CUSUM changepoint on the same hourly series — argmax |C_t|
+    // with earliest tiebreak, all boundary decisions exact integers.
+    "cpd1_cusum_changepoint" -> Q(
+      (s, d) => graft.ops.TimeSeries.cusumChangepoint(
+        graft.ops.TimeSeries.denseCountSeries(
+          Queries.events(s, d), "ts", "hour")),
+      Some("""WITH c AS (SELECT date_trunc('hour', ts) AS b,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM c),
+        |sp AS (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS b FROM bounds),
+        |s AS MATERIALIZED (SELECT sp.b, coalesce(c.x, 0) AS x FROM sp LEFT JOIN c USING (b)),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(38,0))) AS sx FROM s),
+        |cu AS (SELECT b, x,
+        |    sum(x) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    CAST(row_number() OVER (ORDER BY b) AS BIGINT) AS tt FROM s),
+        |j AS (SELECT cu.b, cu.cum, cu.tt, t.n, t.sx,
+        |    CAST(n AS DECIMAL(38,0)) * CAST(cum AS DECIMAL(38,0))
+        |      - CAST(tt AS DECIMAL(38,0)) * sx AS c_t
+        |  FROM cu CROSS JOIN t),
+        |top AS (SELECT * FROM j ORDER BY abs(c_t) DESC, tt ASC LIMIT 1)
+        |SELECT b AS change_b, tt AS t_star, n,
+        |  round(CAST(abs(c_t) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS c_max,
+        |  round(CAST(cum AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS mean_before,
+        |  CASE WHEN n > tt THEN round(CAST(sx - CAST(cum AS DECIMAL(38,0)) AS DOUBLE)
+        |      / CAST(n - tt AS DOUBLE), 6) ELSE 0.0 END AS mean_after,
+        |  CASE WHEN n > tt THEN round(CAST(sx - CAST(cum AS DECIMAL(38,0)) AS DOUBLE)
+        |      / CAST(n - tt AS DOUBLE)
+        |      - CAST(cum AS DOUBLE) / CAST(tt AS DOUBLE), 6) ELSE 0.0 END AS delta
+        |FROM top""".stripMargin)),
+
+    // OLS1: closed-form two-regressor OLS (order total ~ item count +
+    // total quantity) via Cramer on the normal equations — one moment
+    // pass, no iteration; R² from the normal-equation SSE identity.
+    "ols1_price_model" -> Q(
+      (s, d) => {
+        val items = li(s, d).groupBy(col("l_orderkey").as("o_orderkey"))
+          .agg(count(lit(1)).cast("long").as("x1"),
+            sum(floor(col("l_quantity") * lit(1e6) + lit(0.5)).cast("long"))
+              .cast("long").as("x2"))
+        val y = s.read.parquet(s"$d/orders.parquet")
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * lit(1e6) + lit(0.5)).cast("long").as("y_q"))
+        graft.ops.Stats.olsNormal2(y.join(items, "o_orderkey"))
+          .select(col("n"), round(col("b0") / 1e6, 6).as("b0"),
+            round(col("b1") / 1e6, 6).as("b1"),
+            round(col("b2"), 6).as("b2"), round(col("r2"), 9).as("r2"))
+      },
+      Some("""WITH it AS (SELECT l_orderkey AS o_orderkey,
+        |    CAST(count(*) AS BIGINT) AS x1,
+        |    CAST(sum(CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS x2
+        |  FROM lineitem GROUP BY 1),
+        |p AS (SELECT CAST(floor(o.o_totalprice * 1e6 + 0.5) AS BIGINT) AS y_q,
+        |    it.x1, it.x2
+        |  FROM orders o JOIN it USING (o_orderkey)),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(y_q AS DECIMAL(38,0))) AS sy,
+        |    sum(CAST(x1 AS DECIMAL(38,0))) AS sx1,
+        |    sum(CAST(x2 AS DECIMAL(38,0))) AS sx2,
+        |    sum(CAST(x1 AS DECIMAL(38,0)) * CAST(x1 AS DECIMAL(38,0))) AS sx11,
+        |    sum(CAST(x1 AS DECIMAL(38,0)) * CAST(x2 AS DECIMAL(38,0))) AS sx12,
+        |    sum(CAST(x2 AS DECIMAL(38,0)) * CAST(x2 AS DECIMAL(38,0))) AS sx22,
+        |    sum(CAST(x1 AS DECIMAL(38,0)) * CAST(y_q AS DECIMAL(38,0))) AS sx1y,
+        |    sum(CAST(x2 AS DECIMAL(38,0)) * CAST(y_q AS DECIMAL(38,0))) AS sx2y,
+        |    sum(CAST(y_q AS DECIMAL(38,0)) * CAST(y_q AS DECIMAL(38,0))) AS syy
+        |  FROM p),
+        |c AS (SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sy AS DOUBLE) AS sy,
+        |    CAST(sx1 AS DOUBLE) AS sx1, CAST(sx2 AS DOUBLE) AS sx2,
+        |    CAST(sx11 AS DOUBLE) AS sx11, CAST(sx12 AS DOUBLE) AS sx12,
+        |    CAST(sx22 AS DOUBLE) AS sx22, CAST(sx1y AS DOUBLE) AS sx1y,
+        |    CAST(sx2y AS DOUBLE) AS sx2y, CAST(syy AS DOUBLE) AS syy
+        |  FROM m),
+        |dets AS (SELECT *,
+        |    nd * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1 * sx22 - sx12 * sx2)
+        |      + sx2 * (sx1 * sx12 - sx11 * sx2) AS det_a,
+        |    sy * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1y * sx22 - sx12 * sx2y)
+        |      + sx2 * (sx1y * sx12 - sx11 * sx2y) AS det0,
+        |    nd * (sx1y * sx22 - sx12 * sx2y) - sy * (sx1 * sx22 - sx12 * sx2)
+        |      + sx2 * (sx1 * sx2y - sx1y * sx2) AS det1,
+        |    nd * (sx11 * sx2y - sx1y * sx12) - sx1 * (sx1 * sx2y - sx1y * sx2)
+        |      + sy * (sx1 * sx12 - sx11 * sx2) AS det2
+        |  FROM c),
+        |bb AS (SELECT *, det0 / det_a AS b0, det1 / det_a AS b1,
+        |    det2 / det_a AS b2 FROM dets),
+        |fit AS (SELECT *, syy - b0 * sy - b1 * sx1y - b2 * sx2y AS sse,
+        |    syy - sy * sy / nd AS sst FROM bb)
+        |SELECT n, round(b0 / 1e6, 6) AS b0, round(b1 / 1e6, 6) AS b1,
+        |  round(b2, 6) AS b2, round(1.0 - sse / sst, 9) AS r2
+        |FROM fit""".stripMargin)),
+
     // AA1: Adamic–Adar link prediction over the same user-handoff
     // graph as kc1/pg1 — rare-shared-neighbor scoring of NON-edges,
     // hub-capped wedges, literal 1/ln(deg) weights, integer top-k.

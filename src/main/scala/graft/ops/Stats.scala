@@ -580,6 +580,54 @@ object Stats {
       (abs(z) > lit(1.96)).as("significant"))
   }
 
+  /** Closed-form multiple OLS with two regressors + intercept, by
+    * Cramer's rule on the 3×3 normal equations — the distributed
+    * regression shape: ONE combinable moment pass (nine exact decimal
+    * sums over pre-quantized longs `y_q`, `x1`, `x2`), then every
+    * coefficient, SSE (via the normal-equation identity
+    * `Σŷε = 0 ⇒ SSE = Syy − b·[Sy, Sx1y, Sx2y]`), and R² as
+    * fixed-order double expressions on the single moment row. No
+    * iteration, no gradient, no driver-side matrix library.
+    *
+    * Output is in QUANTIZED units — the caller applies its display
+    * conversions (and mirrors them in the oracle).
+    *
+    * Scale: map-side partials → one row; corpus scanned once.
+    */
+  def olsNormal2(df: DataFrame): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val m = df.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(dec(col("y_q"))).as("sy"),
+      sum(dec(col("x1"))).as("sx1"), sum(dec(col("x2"))).as("sx2"),
+      sum(dec(col("x1")) * dec(col("x1"))).as("sx11"),
+      sum(dec(col("x1")) * dec(col("x2"))).as("sx12"),
+      sum(dec(col("x2")) * dec(col("x2"))).as("sx22"),
+      sum(dec(col("x1")) * dec(col("y_q"))).as("sx1y"),
+      sum(dec(col("x2")) * dec(col("y_q"))).as("sx2y"),
+      sum(dec(col("y_q")) * dec(col("y_q"))).as("syy"))
+    val nd = col("n").cast("double")
+    val sy = col("sy").cast("double")
+    val sx1 = col("sx1").cast("double"); val sx2 = col("sx2").cast("double")
+    val sx11 = col("sx11").cast("double"); val sx12 = col("sx12").cast("double")
+    val sx22 = col("sx22").cast("double")
+    val sx1y = col("sx1y").cast("double"); val sx2y = col("sx2y").cast("double")
+    val syy = col("syy").cast("double")
+    val detA = nd * (sx11 * sx22 - sx12 * sx12) -
+      sx1 * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2)
+    val det0 = sy * (sx11 * sx22 - sx12 * sx12) -
+      sx1 * (sx1y * sx22 - sx12 * sx2y) + sx2 * (sx1y * sx12 - sx11 * sx2y)
+    val det1 = nd * (sx1y * sx22 - sx12 * sx2y) -
+      sy * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx2y - sx1y * sx2)
+    val det2 = nd * (sx11 * sx2y - sx1y * sx12) -
+      sx1 * (sx1 * sx2y - sx1y * sx2) + sy * (sx1 * sx12 - sx11 * sx2)
+    val b0 = det0 / detA; val b1 = det1 / detA; val b2 = det2 / detA
+    val sse = syy - b0 * sy - b1 * sx1y - b2 * sx2y
+    val sst = syy - sy * sy / nd
+    m.select(col("n"), b0.as("b0"), b1.as("b1"), b2.as("b2"),
+      (lit(1.0) - sse / sst).as("r2"))
+  }
+
   /** Pareto skyline (Börzsönyi/Kossmann/Stocker, ICDE 2001) over
     * integer criteria, all maximized: the rows no other row dominates
     * (≥ everywhere, > somewhere) — multi-criteria selection without

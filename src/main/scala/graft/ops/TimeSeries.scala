@@ -128,4 +128,104 @@ object TimeSeries {
         round(col("ape_pico").cast("double") /
           col("n_forecast").cast("double") / 1e12, 9).as("mape"))
   }
+
+  /** Dense event-count series: one row per `bucket` from the global
+    * min to max of `tsCol`, with `x` = exact event count (0 where no
+    * events landed — a missing bucket IS a zero observation, which
+    * row-lag operators would otherwise silently skip).
+    *
+    * Scale: the spine derives from a one-row (min, max) aggregate and
+    * is time-range/bucket–sized — corpus-independent; the count
+    * aggregate is combinable.
+    */
+  def denseCountSeries(df: DataFrame, tsCol: String,
+                       bucket: String = "hour"): DataFrame = {
+    val counts = df.groupBy(date_trunc(bucket, col(tsCol)).as("b"))
+      .agg(count(lit(1)).cast("long").as("x"))
+    val spine = counts.agg(min("b").as("__lo"), max("b").as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"),
+        expr(s"INTERVAL 1 $bucket"))).as("b"))
+    spine.join(counts, Seq("b"), "left")
+      .select(col("b"), coalesce(col("x"), lit(0L)).as("x"))
+  }
+
+  /** Sample autocorrelation function at lags 1..maxLag over a DENSE
+    * integer series (b, x) — the periodicity / burstiness audit:
+    * `acf_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²` (the standard biased
+    * estimator: full-series denominator, n−k numerator terms).
+    *
+    * Exactness: deviations are n-SCALED (`n·x_t − Σx` — exact
+    * integers, no float mean), so every numerator/denominator is an
+    * order-free decimal sum; one division per lag at the end.
+    *
+    * Scale: the single-partition lead-window runs over the SERIES
+    * table (time-range/bucket rows, corpus-independent), and all
+    * maxLag numerators accumulate in ONE aggregate pass.
+    */
+  def acf(series: DataFrame, maxLag: Int = 12): DataFrame = {
+    val zero = lit(0).cast("decimal(38,0)")
+    val s = series.select(col("b"), col("x").cast("long").as("x"))
+    val tot = s.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"))
+    val w = Window.orderBy("b")
+    val withLeads = (1 to maxLag).foldLeft(s)((d, k) =>
+      d.withColumn(s"x_$k", lead(col("x"), k).over(w)))
+    val dev = (c: org.apache.spark.sql.Column) =>
+      col("n").cast("decimal(38,0)") * c.cast("decimal(38,0)") - col("sx")
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      sum(dev(col("x")) * dev(col("x"))).as("den") +:
+      (1 to maxLag).flatMap(k => Seq(
+        sum(when(col(s"x_$k").isNotNull, dev(col("x")) * dev(col(s"x_$k")))
+          .otherwise(zero)).as(s"num_$k"),
+        sum(when(col(s"x_$k").isNotNull, 1L).otherwise(0L)).cast("long")
+          .as(s"nt_$k")))
+    val m = withLeads.crossJoin(broadcast(tot))
+      .agg(aggs.head, aggs.tail: _*).persist()
+    (1 to maxLag).map(k => m.select(lit(k).as("lag"),
+        col(s"nt_$k").as("n_terms"),
+        round(col(s"num_$k").cast("double") / col("den").cast("double"), 9)
+          .as("acf")))
+      .reduce(_ unionByName _)
+  }
+
+  /** CUSUM changepoint detection (Page 1954) over a dense integer
+    * series: `C_t = Σ_{i≤t}(x_i − x̄)` peaks where the level shifts;
+    * emits the argmax-|C| bucket (earliest on ties) with the
+    * before/after means and their delta — the "when did the rate
+    * change" monitoring primitive.
+    *
+    * Exactness: n-scaled partial sums `n·cum_t − t·Σx` are exact
+    * integers, the argmax boundary orders by (|C| desc, t asc) —
+    * integers again; the four display divisions happen on the single
+    * winning row.
+    *
+    * Scale: one cumulative window over the SERIES table (corpus-
+    * independent length), a TakeOrdered(1) — no global sort of
+    * anything corpus-sized.
+    */
+  def cusumChangepoint(series: DataFrame): DataFrame = {
+    val s = series.select(col("b"), col("x").cast("long").as("x"))
+    val tot = s.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"))
+    val wCum = Window.orderBy("b").rowsBetween(Long.MinValue, 0)
+    val wRow = Window.orderBy("b")
+    val cum = s
+      .withColumn("cum", sum(col("x")).over(wCum).cast("decimal(38,0)"))
+      .withColumn("t", row_number().over(wRow).cast("long"))
+    val j = cum.crossJoin(broadcast(tot))
+      .withColumn("c_t", col("n").cast("decimal(38,0)") * col("cum") -
+        col("t").cast("decimal(38,0)") * col("sx"))
+    val top = j.orderBy(abs(col("c_t")).desc, col("t").asc).limit(1)
+    val before = col("cum").cast("double") / col("t").cast("double")
+    val after = (col("sx") - col("cum")).cast("double") /
+      (col("n") - col("t")).cast("double")
+    top.select(col("b").as("change_b"), col("t").as("t_star"), col("n"),
+      round(abs(col("c_t")).cast("double") / col("n").cast("double"), 6)
+        .as("c_max"),
+      round(before, 6).as("mean_before"),
+      when(col("n") > col("t"), round(after, 6)).otherwise(lit(0.0))
+        .as("mean_after"),
+      when(col("n") > col("t"), round(after - before, 6)).otherwise(lit(0.0))
+        .as("delta"))
+  }
 }

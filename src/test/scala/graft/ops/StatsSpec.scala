@@ -439,6 +439,39 @@ class StatsSpec extends AnyFunSuite {
     assert(!r.getAs[Boolean]("significant"))
   }
 
+  test("olsNormal2: recovers an exact plane with r2 = 1") {
+    // y = 2 + 3·x1 + 5·x2 on four non-collinear points
+    val pts = Seq((1L, 0L), (0L, 1L), (2L, 1L), (1L, 3L))
+      .map { case (x1, x2) => (2L + 3L * x1 + 5L * x2, x1, x2) }
+    val r = Stats.olsNormal2(pts.toDF("y_q", "x1", "x2")).collect().head
+    assert(r.getAs[Long]("n") === 4L)
+    assert(math.abs(r.getAs[Double]("b0") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("b1") - 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("b2") - 5.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-12)
+  }
+
+  test("olsNormal2: matches the hand-solved normal equations with noise") {
+    // y = x1 + residuals on points where the fit is NOT exact
+    val df = Seq((1L, 1L, 0L), (3L, 2L, 0L), (2L, 3L, 1L), (5L, 4L, 1L))
+      .toDF("y_q", "x1", "x2")
+    val r = Stats.olsNormal2(df).collect().head
+    // solved by hand via numpy-style elimination of X^T X b = X^T y:
+    // moments: n=4 sy=11 sx1=10 sx2=2 sx11=30 sx12=7 sx22=2 sx1y=33 sx2y=7 syy=39
+    // det(A) = 4(60-49) - 10(20-14) + 2(70-60) = 4; closed form gives
+    // b = (-1.75, 2.5, -3.5) (checked against numpy lstsq)
+    val detA = 4.0
+    val b0 = (11.0 * (60 - 49) - 10 * (33 * 2 - 7 * 7) + 2 * (33 * 7 - 30 * 7)) / detA
+    val b1 = (4.0 * (33 * 2 - 7 * 7) - 11 * (10 * 2 - 7 * 2) + 2 * (10 * 7 - 33 * 2)) / detA
+    val b2 = (4.0 * (30 * 7 - 33 * 7) - 10 * (10 * 7 - 33 * 2) + 11 * (10 * 7 - 30 * 2)) / detA
+    assert(math.abs(r.getAs[Double]("b0") - b0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("b1") - b1) < 1e-9)
+    assert(math.abs(r.getAs[Double]("b2") - b2) < 1e-9)
+    val sse = 39.0 - b0 * 11 - b1 * 33 - b2 * 7
+    val sst = 39.0 - 11.0 * 11.0 / 4.0
+    assert(math.abs(r.getAs[Double]("r2") - (1.0 - sse / sst)) < 1e-12)
+  }
+
   test("paretoSkyline: matches brute-force dominance on random points") {
     val rnd = new scala.util.Random(7)
     val pts = (1 to 300).map(i =>

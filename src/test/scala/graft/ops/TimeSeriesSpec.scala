@@ -56,4 +56,42 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(math.abs(got(3).getAs[Double]("ewma") - num / den) < 1e-9)
     assert(got.map(_.getAs[Boolean]("spike")).toSeq === Seq(false, false, false, true))
   }
+
+  private def hourly(xs: Long*) = {
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${i}%02d:00:00")
+    xs.zipWithIndex.map { case (x, i) => (ts(i), x) }.toDF("b", "x")
+  }
+
+  test("acf: alternating series gives -5/6 at lag 1, +2/3 at lag 2") {
+    // x = 1,0,1,0,1,0: n-scaled devs ±3; den = 6·9 = 54
+    // lag1: 5 terms of -9 → -45/54; lag2: 4 terms of +9 → 36/54
+    val got = TimeSeries.acf(hourly(1L, 0L, 1L, 0L, 1L, 0L), maxLag = 2)
+      .orderBy("lag").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[Long]("n_terms") === 5L)
+    assert(math.abs(got(0).getAs[Double]("acf") - (-45.0 / 54.0)) < 1e-9)
+    assert(got(1).getAs[Long]("n_terms") === 4L)
+    assert(math.abs(got(1).getAs[Double]("acf") - (36.0 / 54.0)) < 1e-9)
+    spark.catalog.clearCache()
+  }
+
+  test("cusumChangepoint: level step found at the last pre-shift bucket") {
+    // 0,0,0,10,10,10: C_t peaks (|-90|) at t=3; means 0 → 10
+    val r = TimeSeries.cusumChangepoint(hourly(0L, 0L, 0L, 10L, 10L, 10L))
+      .collect().head
+    assert(r.getAs[Long]("t_star") === 3L)
+    assert(r.getAs[Double]("c_max") === 15.0)
+    assert(r.getAs[Double]("mean_before") === 0.0)
+    assert(r.getAs[Double]("mean_after") === 10.0)
+    assert(r.getAs[Double]("delta") === 10.0)
+  }
+
+  test("denseCountSeries: gaps appear as zero-count buckets") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(ts("2024-01-01 00:10:00"), ts("2024-01-01 00:20:00"),
+      ts("2024-01-01 03:05:00")).map(Tuple1(_)).toDF("ts")
+    val got = TimeSeries.denseCountSeries(ev, "ts", "hour")
+      .orderBy("b").collect().map(_.getAs[Long]("x")).toSeq
+    assert(got === Seq(2L, 0L, 0L, 1L)) // hours 00..03, gaps zero-filled
+  }
 }
