@@ -5715,6 +5715,35 @@ object QueriesOps {
       },
       Some(OracleGen.bt1Sql(8))),
 
+    // BT2: the UNCAPPED distributed Bradley–Terry (join-iterative MM,
+    // closing the bt1 >64-item advisory) gated as a j5-style
+    // equivalence row: both formulations run on the SAME pairs and the
+    // oracle expects the distributed strengths to equal bt1's exactly
+    // (strength_diff ≡ 0 — integer floor-division state makes the two
+    // bit-identical, not merely close).
+    "bt2_bt_distributed" -> Q(
+      (s, d) => {
+        val dd = docs(s, d).select(col("doc_id"), col("source"),
+          size(Dedup.tokens(col("text"))).cast("long").as("__nt"))
+        val pr = dd.withColumn("__pair", expr("doc_id div 2"))
+          .groupBy("__pair")
+          .agg(count(lit(1)).as("__c"),
+            expr("max_by(source, struct(__nt, -doc_id))").as("w"),
+            expr("min_by(source, struct(__nt, -doc_id))").as("l"))
+          .filter(col("__c") === 2 && col("w") =!= col("l"))
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        val dist = Classify.bradleyTerryDistributed(pr, "w", "l", iters = 8)
+        val ref = Classify.bradleyTerry(pr, "w", "l", iters = 8)
+          .select(col("item"), col("strength").as("strength_ref"))
+        dist.join(ref, "item")
+          .select(col("item"), col("n_wins"), col("n_comparisons"),
+            col("strength"),
+            (col("strength") - col("strength_ref")).as("strength_diff"))
+          .orderBy("item")
+      },
+      Some("SELECT item, n_wins, n_comparisons, strength, CAST(0.0 AS DOUBLE) AS strength_diff\n" +
+        s"FROM (${OracleGen.bt1Sql(8)}) ORDER BY item")),
+
     // SQ1: shuffle-quality audit over cur7's epoch shuffle — per shard
     // the source-mix entropy, max single-source share and KL to the
     // global mix; the trainer-side acceptance gate that catches a

@@ -311,4 +311,72 @@ object Classify {
         wm(i) / 1e6)
     }.toDF("item", "n_wins", "n_comparisons", "strength")
   }
+
+  /** [[bradleyTerry]] without the bounded-collect cap: the SAME
+    * integer-micro MM iteration (floor divisions only, so the two
+    * formulations are BIT-IDENTICAL — the per-item denominator is an
+    * order-free sum of exact longs), but each round is a pair of
+    * equi-joins of the O(items) strength table onto the items²-bounded
+    * undirected win matrix plus one combinable sum — nothing ever
+    * collects, so high-cardinality item universes (domains, annotator
+    * ids) fit.
+    *
+    * Scale: the comparison stream reduces once to the (winner, loser)
+    * count matrix (the only corpus-sized pass, combinable); every
+    * iteration then moves (item, long) pairs only, with the per-round
+    * lineage cut + unpersist discipline of [[Graph.pageRank]].
+    * `n·10¹²` must fit a long — cap per-cell counts below ~9·10⁶ or
+    * pre-scale.
+    */
+  def bradleyTerryDistributed(pairs: DataFrame, winnerCol: String,
+                              loserCol: String, iters: Int = 8): DataFrame = {
+    val spark = pairs.sparkSession
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def shallow(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    val m = pairs.groupBy(col(winnerCol).as("w"), col(loserCol).as("l"))
+      .agg(count(lit(1)).cast("long").as("n")).persist(disk)
+    val items = m.select(col("w").as("item"))
+      .unionAll(m.select(col("l").as("item"))).distinct().persist(disk)
+    val tot = m.groupBy(least(col("w"), col("l")).as("a"),
+        greatest(col("w"), col("l")).as("b"))
+      .agg(sum("n").cast("long").as("n"))
+    val e = tot.select(col("a").as("i"), col("b").as("j"), col("n"))
+      .unionAll(tot.select(col("b").as("i"), col("a").as("j"), col("n")))
+      .persist(disk)
+    val wins = m.groupBy(col("w").as("item"))
+      .agg(sum("n").cast("long").as("w_total")).persist(disk)
+    var cur = items.select(col("item"), lit(1000000L).as("wm")).persist(disk)
+    cur.count()
+    for (_ <- 1 to iters) {
+      val wa = cur.select(col("item").as("i"), col("wm").as("wmi"))
+      val wb = cur.select(col("item").as("j"), col("wm").as("wmj"))
+      val denom = e.join(wa, "i").join(wb, "j")
+        .select(col("i").as("item"),
+          expr("n * 1000000000000L div (wmi + wmj)").as("t"))
+        .groupBy("item").agg(sum("t").cast("long").as("denom"))
+      val next = cur.join(denom, Seq("item"), "left")
+        .join(wins, Seq("item"), "left")
+        .select(col("item"),
+          when(col("denom").isNull || col("denom") === 0L, col("wm"))
+            .otherwise(expr("coalesce(w_total, 0L) * 1000000000000L div denom"))
+            .as("wm"))
+      val nxt = shallow(next).persist(disk)
+      nxt.count()
+      cur.unpersist(false)
+      cur = nxt
+    }
+    val ncomp = e.groupBy(col("i").as("item"))
+      .agg(sum("n").cast("long").as("n_comparisons"))
+    val out = items.join(wins, Seq("item"), "left")
+      .join(ncomp, Seq("item"), "left").join(cur, "item")
+      .select(col("item"), coalesce(col("w_total"), lit(0L)).as("n_wins"),
+        coalesce(col("n_comparisons"), lit(0L)).as("n_comparisons"),
+        (col("wm").cast("double") / 1e6).as("strength"))
+      .orderBy("item")
+      .localCheckpoint() // O(items) rows; lets every cache drop
+    m.unpersist(false); items.unpersist(false); e.unpersist(false)
+    wins.unpersist(false); cur.unpersist(false)
+    out
+  }
 }

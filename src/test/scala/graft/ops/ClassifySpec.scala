@@ -161,4 +161,30 @@ class ClassifySpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getAs[Double]("strength")).toMap
     assert(again === so)
   }
+
+  test("bradleyTerryDistributed: bit-identical to the collect fit; uncapped past 64 items") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val pairs = (1 to 200).map { _ =>
+      val a = s"it${rnd.nextInt(30)}"; val b = s"it${rnd.nextInt(30)}"
+      if (a <= b) (a, b) else (b, a)
+    }.filter(p => p._1 != p._2).toDF("w", "l")
+    val ref = Classify.bradleyTerry(pairs, "w", "l", iters = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val dist = Classify.bradleyTerryDistributed(pairs, "w", "l", iters = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(dist === ref) // exact, not approximate: integer floor state
+    // >64 items: the collect fit refuses, the distributed fit runs
+    val big = (0 until 100).map(i => (s"x$i", s"x${(i + 1) % 100}")).toDF("w", "l")
+    assertThrows[IllegalArgumentException](
+      Classify.bradleyTerry(big, "w", "l", iters = 2))
+    val fit = Classify.bradleyTerryDistributed(big, "w", "l", iters = 2)
+    assert(fit.count() === 100L)
+    // a pure cycle is symmetric: every item fits the same strength
+    val ss = fit.select("strength").distinct().count()
+    assert(ss === 1L, "cycle symmetry broken")
+    spark.catalog.clearCache()
+  }
 }
