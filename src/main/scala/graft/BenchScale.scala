@@ -100,7 +100,11 @@ object BenchScale {
     "dd12_incremental_sig_dedup", "k10_landing_retention",
     "hl2_stream_sketch", "ssj1_stream_stream_join",
     // round-11 gate query over the catalog-bucketed merge (>1.5 s rule)
-    "j5_upsert_join_equiv")
+    "j5_upsert_join_equiv",
+    // round-11b: the ×reps bootstrap expansion (linear by construction
+    // — reps is fixed), the hub-capped wedge join (bounded |E|·cap),
+    // and the grid-pruned skyline (disjoint copies replicate the band)
+    "bs1_poisson_bootstrap", "aa1_adamic_adar", "sky1_pareto_skyline")
 
   /** Entries whose index width must grow with the corpus (the LSH /
     * IVF contract): each gives (base-leg fn, scaled-leg fn at k×) —

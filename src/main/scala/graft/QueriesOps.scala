@@ -6363,6 +6363,100 @@ object QueriesOps {
         |    round((nd * ss23 - s2 * s3) / sqrt((nd * ss22 - s2 * s2) * (nd * ss33 - s3 * s3)), 9) FROM m
         |) ORDER BY col_a, col_b""".stripMargin)),
 
+    // TH1: Theil–Sen robust regression (price ~ quantity) in the
+    // paired variant — rank by x, pair i with i+n/2, median slope then
+    // median residual; exact-rank selections, no all-pairs blowup.
+    "th1_theil_sen" -> Q(
+      (s, d) => graft.ops.Stats.theilSen(
+          li(s, d).select(
+            floor(col("l_quantity") * lit(1e6) + lit(0.5)).cast("long").as("x_q"),
+            floor(col("l_extendedprice") * lit(1e6) + lit(0.5)).cast("long").as("y_q"),
+            (col("l_orderkey") * 100 + col("l_linenumber")).cast("long").as("tb")))
+        .select(col("n"), col("n_pairs"), round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept")),
+      Some("""WITH pts AS (SELECT CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT) AS x_q,
+        |    CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT) AS y_q,
+        |    CAST(l_orderkey * 100 + l_linenumber AS BIGINT) AS tb FROM lineitem),
+        |rk AS MATERIALIZED (SELECT x_q, y_q, tb,
+        |    CAST(row_number() OVER (ORDER BY x_q, tb) - 1 AS BIGINT) AS idx FROM pts),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) // 2 AS BIGINT) AS h FROM rk),
+        |pr AS (SELECT a.idx AS pid, a.x_q AS xa, a.y_q AS ya, b.x_q AS xb, b.y_q AS yb
+        |  FROM rk a JOIN nn ON a.idx < nn.h
+        |  JOIN rk b ON b.idx = a.idx + nn.h
+        |  WHERE b.x_q != a.x_q),
+        |sl AS MATERIALIZED (SELECT pid,
+        |    CAST(floor(CAST(yb - ya AS DOUBLE) / CAST(xb - xa AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS s
+        |  FROM pr),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST((count(*) + 1) // 2 AS BIGINT) AS ks FROM sl),
+        |srk AS (SELECT s, row_number() OVER (ORDER BY s, pid) AS rr FROM sl),
+        |sv AS (SELECT s AS slope_nano FROM srk JOIN mm ON srk.rr = mm.ks),
+        |res AS (SELECT y_q - (CASE WHEN sv.slope_nano * x_q >= 0
+        |      THEN (sv.slope_nano * x_q) // 1000000000
+        |      ELSE -((-(sv.slope_nano * x_q)) // 1000000000) END) AS r, tb
+        |  FROM pts CROSS JOIN sv),
+        |ir AS (SELECT r, row_number() OVER (ORDER BY r, tb) AS rr FROM res),
+        |ni AS (SELECT CAST((count(*) + 1) // 2 AS BIGINT) AS ki FROM res),
+        |iv AS (SELECT r AS icept FROM ir JOIN ni ON ir.rr = ni.ki)
+        |SELECT nn.n, mm.m AS n_pairs,
+        |  round(CAST(sv.slope_nano AS DOUBLE) / 1e9, 6) AS slope,
+        |  round(CAST(iv.icept AS DOUBLE) / 1e6, 6) AS intercept
+        |FROM nn CROSS JOIN mm CROSS JOIN sv CROSS JOIN iv""".stripMargin)),
+
+    // SUR1: Kaplan–Meier time-to-ship survival (weeks from order to
+    // shipment) with ADMINISTRATIVE right-censoring at study end =
+    // max order date — items not yet shipped by then leave the risk
+    // set without a death; integer fold keeps both engines bit-equal.
+    "sur1_kaplan_meier" -> Q(
+      (s, d) => {
+        val ords = s.read.parquet(s"$d/orders.parquet")
+        val se = ords.agg(max("o_orderdate").as("se"))
+        val j = li(s, d)
+          .join(ords.select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .crossJoin(broadcast(se))
+        val lab = j.select(
+          when(col("l_shipdate") <= col("se"),
+              greatest(lit(0L), datediff(col("l_shipdate"), col("o_orderdate")).cast("long")))
+            .otherwise(greatest(lit(0L), datediff(col("se"), col("o_orderdate")).cast("long")))
+            .as("t_raw"),
+          (col("l_shipdate") > col("se")).as("cens"))
+          .select(expr("t_raw div 7").as("t"), col("cens"))
+        graft.ops.Stats.kaplanMeier(lab).orderBy("t_day")
+      },
+      Some("""WITH se AS (SELECT max(o_orderdate) AS se FROM orders),
+        |j AS (SELECT l.l_shipdate, o.o_orderdate, s.se FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey CROSS JOIN se s),
+        |lab AS (SELECT (CASE WHEN l_shipdate <= se
+        |      THEN greatest(0, date_diff('day', o_orderdate, l_shipdate))
+        |      ELSE greatest(0, date_diff('day', o_orderdate, se)) END) // 7 AS t,
+        |    l_shipdate > se AS cens FROM j),
+        |per AS (SELECT t,
+        |    CAST(sum(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM lab GROUP BY 1),
+        |tt AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_total FROM per),
+        |wn AS (SELECT t, d, c, n_total - coalesce(sum(d + c)
+        |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at
+        |  FROM per CROSS JOIN tt),
+        |de AS (SELECT t, d, c, n_at FROM wn WHERE d > 0),
+        |dl AS (SELECT list(d * 4294967296 + n_at ORDER BY t) AS ds,
+        |    list(t ORDER BY t) AS ts, list(n_at ORDER BY t) AS ns,
+        |    list(d ORDER BY t) AS dd, list(c ORDER BY t) AS cs FROM de),
+        |pf AS (SELECT unnest(range(1, len(ds) + 1)) AS i,
+        |    ds, ts, ns, dd, cs FROM dl),
+        |rw AS (SELECT ts[i] AS t_day, ns[i] AS n_risk, dd[i] AS n_deaths,
+        |    cs[i] AS n_censored,
+        |    list_reduce(list_prepend(CAST(1000000000000 AS BIGINT),
+        |        list_slice(ds, 1, i)),
+        |      (acc, x) -> acc * ((x % 4294967296) - (x // 4294967296))
+        |        // (x % 4294967296)) AS s_pico
+        |  FROM pf)
+        |SELECT t_day, n_risk, n_deaths, n_censored,
+        |  round(CAST(s_pico AS DOUBLE) / 1e12, 6) AS survival
+        |FROM rw ORDER BY t_day""".stripMargin)),
+
     // ACF1: autocorrelation of the dense hourly event-count series at
     // lags 1..12 — periodicity audit; n-scaled integer deviations, all
     // 12 numerators in ONE aggregate pass over the spine-sized series.

@@ -580,6 +580,119 @@ object Stats {
       (abs(z) > lit(1.96)).as("significant"))
   }
 
+  /** Theil–Sen robust regression (Theil 1950, Sen 1968) in the
+    * distributed PAIRED variant: rank all points by x, pair rank i
+    * with rank i+n/2 (n/2 disjoint wide-baseline pairs — the standard
+    * scale-out of the O(n²) all-pairs estimator, and still ~29%-
+    * breakdown robust), take the MEDIAN pair slope, then the median
+    * residual as intercept. The regression you run when OLS would be
+    * dragged by the heavy tail.
+    *
+    * Determinism: ranking is [[globalRank]] on (x, tiebreak); the one
+    * float op is the per-pair slope division (IEEE-exact, then
+    * nano-quantized); medians are LOWER medians selected at exact
+    * integer rank; the slope·x product divides via a sign-safe floor
+    * (both engines agree on non-negative operands).
+    *
+    * Scale: a range-partitioned sort, one equi-join on rank (long
+    * rows), two exact-rank median selections — no all-pairs blowup,
+    * no driver-side sort.
+    */
+  def theilSen(pts: DataFrame): DataFrame = {
+    val ranked = globalRank(
+      pts.select(col("x_q").cast("long"), col("y_q").cast("long"),
+        col("tb").cast("long")),
+      col("x_q").asc, col("tb").asc).persist()
+    val n = ranked.count()
+    val h = n / 2
+    val lo = ranked.select(col("idx"), col("x_q").as("xa"), col("y_q").as("ya"))
+      .filter(col("idx") < h)
+    val hi = ranked.select((col("idx") - h).as("idx"),
+      col("x_q").as("xb"), col("y_q").as("yb"))
+      .filter(col("idx") >= 0)
+    val slopes = lo.join(hi, "idx")
+      .filter(col("xb") =!= col("xa"))
+      .select(col("idx").as("pid"),
+        floor((col("yb") - col("ya")).cast("double") /
+          (col("xb") - col("xa")).cast("double") * lit(1e9) + lit(0.5))
+          .cast("long").as("s"))
+      .persist()
+    val m = slopes.count()
+    require(m > 0, "theilSen: no pairs with distinct x")
+    val kS = (m + 1) / 2
+    val slope = globalRank(slopes, col("s").asc, col("pid").asc)
+      .filter(col("idx") === kS - 1).select(col("s")).head().getLong(0)
+    // residuals: y − slope·x/1e9 — sign-safe division (both engines
+    // only ever divide NON-NEGATIVE operands, where Spark's truncating
+    // `div` and DuckDB's flooring `//` agree; sign reapplied outside)
+    val shifted = when(lit(slope) * col("x_q") >= 0,
+        expr(s"(${slope}L * x_q) div 1000000000L"))
+      .otherwise(-expr(s"(-(${slope}L * x_q)) div 1000000000L"))
+    val res = ranked.select((col("y_q") - shifted).cast("long").as("r"),
+      col("tb"))
+    val kI = (n + 1) / 2
+    val intercept = globalRank(res, col("r").asc, col("tb").asc)
+      .filter(col("idx") === kI - 1).select(col("r")).head().getLong(0)
+    ranked.unpersist(false); slopes.unpersist(false)
+    val spark = pts.sparkSession
+    import spark.implicits._
+    Seq((n, m, slope / 1e9, intercept / 1e6))
+      .toDF("n", "n_pairs", "slope", "intercept")
+  }
+
+  /** Kaplan–Meier survival estimator (Kaplan & Meier, JASA 1958) over
+    * a labeled lifetime table `(t: integer time-to-event, cens:
+    * boolean)` — right-censored rows (`cens = true`: the event was NOT
+    * observed by study end) leave the risk set without a death, the
+    * correction that makes the curve unbiased where "drop the
+    * incomplete rows" would bias survival down. The churn-retention /
+    * time-to-completion curve: `S(t) = Π_{death times ≤ t}
+    * (n_i − d_i)/n_i`.
+    *
+    * Determinism: lifetimes are integers (bucket upstream — days,
+    * weeks); risk sets come from an exclusive cumulative over the
+    * distinct-lifetime table; the survival product is an INTEGER FOLD
+    * — `S_pico ← S_pico·(n−d) div n` in t-order over the collected
+    * death-time array (a projection ladder re-slices the array per
+    * prefix, the pav1/zo2 discipline) — so both engines produce
+    * bit-identical curves with one display division.
+    *
+    * Scale: the caller's per-subject rollup is the only corpus-sized
+    * pass; everything here lives on the distinct-lifetime table
+    * (bounded by the observation window over the bucket size — keep it
+    * in the hundreds, the prefix ladder is O(m²) array ops on one
+    * row). The fold requires `S_pico·n` to fit a long — n < 9·10⁶; at
+    * larger subject counts pre-aggregate to cohorts or rescale S to
+    * nano.
+    */
+  def kaplanMeier(lifetimes: DataFrame): DataFrame = {
+    val lab = lifetimes.select(col("t").cast("long").as("t"), col("cens"))
+    val per = lab.groupBy("t").agg(
+      sum(when(!col("cens"), 1L).otherwise(0L)).cast("long").as("d"),
+      sum(when(col("cens"), 1L).otherwise(0L)).cast("long").as("c"))
+    val tot = per.agg(sum(col("d") + col("c")).cast("long").as("n_total"))
+    val wPrev = org.apache.spark.sql.expressions.Window.orderBy("t")
+      .rowsBetween(Long.MinValue, -1)
+    val withN = per.crossJoin(broadcast(tot))
+      .withColumn("n_at", col("n_total") -
+        coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+    val arr = withN.filter(col("d") > 0)
+      .select(struct(col("t"), col("d"), col("c"), col("n_at")).as("e"))
+      .agg(sort_array(collect_list(col("e"))).as("dl"))
+      .filter(size(col("dl")) > 0) // all-censored input: empty curve,
+    // not a descending sequence(1,0) indexing into an empty array
+    arr.select(explode(expr(
+        """transform(sequence(1, size(dl)), i -> struct(
+          |  dl[i-1].t AS t_day, dl[i-1].n_at AS n_risk,
+          |  dl[i-1].d AS n_deaths, dl[i-1].c AS n_censored,
+          |  aggregate(slice(dl, 1, i), 1000000000000L,
+          |    (acc, x) -> acc * (x.n_at - x.d) div x.n_at) AS s_pico))"""
+          .stripMargin)).as("r"))
+      .select(col("r.t_day"), col("r.n_risk"), col("r.n_deaths"),
+        col("r.n_censored"),
+        round(col("r.s_pico").cast("double") / 1e12, 6).as("survival"))
+  }
+
   /** Closed-form multiple OLS with two regressors + intercept, by
     * Cramer's rule on the 3×3 normal equations — the distributed
     * regression shape: ONE combinable moment pass (nine exact decimal

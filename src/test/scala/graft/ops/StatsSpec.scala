@@ -439,6 +439,40 @@ class StatsSpec extends AnyFunSuite {
     assert(!r.getAs[Boolean]("significant"))
   }
 
+  test("kaplanMeier: hand-computed curve with censoring; all-censored is empty") {
+    // deaths at t=2 (d=2, n=5) and t=4 (d=1, n=3); censored at 10, 30
+    // S(2) = 3/5 = 0.6; S(4) = 0.6 * 2/3 = 0.4 — exact integer folds
+    val lab = Seq((2L, false), (2L, false), (4L, false), (10L, true),
+      (30L, true)).toDF("t", "cens")
+    val got = Stats.kaplanMeier(lab).orderBy("t_day").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[Long]("t_day") === 2L)
+    assert(got(0).getAs[Long]("n_risk") === 5L)
+    assert(got(0).getAs[Long]("n_deaths") === 2L)
+    assert(got(0).getAs[Double]("survival") === 0.6)
+    assert(got(1).getAs[Long]("t_day") === 4L)
+    assert(got(1).getAs[Long]("n_risk") === 3L)
+    assert(got(1).getAs[Double]("survival") === 0.4)
+    // every subject censored → no death times → empty curve, no crash
+    val allCens = Seq((1L, true), (2L, true)).toDF("t", "cens")
+    assert(Stats.kaplanMeier(allCens).count() === 0L)
+  }
+
+  test("theilSen: robust to an outlier OLS would chase") {
+    // y = 2x + 1 at x = 1..7 except a wild outlier at x = 6 —
+    // paired slopes (0,3),(1,4),(2,5): [2, 2, 331.67] → median 2;
+    // median residual (y − 2x) stays 1
+    val pts = ((1 to 7).map { i =>
+      val y = if (i == 6) 1000L else 2L * i + 1
+      (i * 1000000L, y * 1000000L, i.toLong)
+    }).toDF("x_q", "y_q", "tb")
+    val r = Stats.theilSen(pts).collect().head
+    assert(r.getAs[Long]("n") === 7L && r.getAs[Long]("n_pairs") === 3L)
+    assert(r.getAs[Double]("slope") === 2.0)
+    assert(r.getAs[Double]("intercept") === 1.0)
+    spark.catalog.clearCache()
+  }
+
   test("olsNormal2: recovers an exact plane with r2 = 1") {
     // y = 2 + 3·x1 + 5·x2 on four non-collinear points
     val pts = Seq((1L, 0L), (0L, 1L), (2L, 1L), (1L, 3L))
