@@ -6363,6 +6363,61 @@ object QueriesOps {
         |    round((nd * ss23 - s2 * s3) / sqrt((nd * ss22 - s2 * s2) * (nd * ss33 - s3 * s3)), 9) FROM m
         |) ORDER BY col_a, col_b""".stripMargin)),
 
+    // EXP1: experiment-health gate — SRM chi-square vs 50/50, Wilson
+    // CIs on conversion (value > 100), odds ratio, and the continuous-
+    // metric MDE at alpha=.05/80% power; one aggregate pass, literal z's.
+    "exp1_experiment_health" -> Q(
+      (s, d) => graft.ops.Stats.experimentHealth(
+        Queries.events(s, d).withColumn("arm",
+          when(col("user_id") % 2 === 0, "control").otherwise("treatment")),
+        "value", "arm", "control", "treatment", convThreshold = 100.0),
+      Some("""WITH b AS (SELECT
+        |    CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm,
+        |    CAST(floor(value * 1e6 + 0.5) AS DECIMAL(38,0)) AS q,
+        |    value > 100.0 AS conv
+        |  FROM events),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 'control' AND conv THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN arm = 'treatment' AND conv THEN 1 ELSE 0 END) AS BIGINT) AS conv_b,
+        |    sum(CASE WHEN arm = 'control' THEN q ELSE CAST(0 AS DECIMAL(38,0)) END) AS s_a,
+        |    sum(CASE WHEN arm = 'treatment' THEN q ELSE CAST(0 AS DECIMAL(38,0)) END) AS s_b,
+        |    sum(CASE WHEN arm = 'control' THEN q * q ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss_a,
+        |    sum(CASE WHEN arm = 'treatment' THEN q * q ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss_b
+        |  FROM b),
+        |c AS (SELECT n_a, n_b, conv_a, conv_b,
+        |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |    CAST(conv_a AS DOUBLE) AS ca, CAST(conv_b AS DOUBLE) AS cb,
+        |    CAST(s_a AS DOUBLE) AS sa, CAST(s_b AS DOUBLE) AS sb,
+        |    CAST(ss_a AS DOUBLE) AS ssa, CAST(ss_b AS DOUBLE) AS ssb
+        |  FROM m),
+        |e AS (SELECT *, (na + nb) / 2.0 AS ee FROM c),
+        |f AS (SELECT *,
+        |    (na - ee) * (na - ee) / ee + (nb - ee) * (nb - ee) / ee AS srm,
+        |    (ssa - sa * sa / na) / (na - 1.0) AS var_a,
+        |    (ssb - sb * sb / nb) / (nb - 1.0) AS var_b,
+        |    ca / na AS pa, cb / nb AS pb,
+        |    1.0 + (1.96 * 1.96) / na AS dena,
+        |    1.0 + (1.96 * 1.96) / nb AS denb
+        |  FROM e),
+        |g AS (SELECT *,
+        |    (pa + (1.96 * 1.96) / (2.0 * na)) / dena AS cen_a,
+        |    1.96 * sqrt(pa * (1.0 - pa) / na + (1.96 * 1.96) / (4.0 * na * na)) / dena AS hw_a,
+        |    (pb + (1.96 * 1.96) / (2.0 * nb)) / denb AS cen_b,
+        |    1.96 * sqrt(pb * (1.0 - pb) / nb + (1.96 * 1.96) / (4.0 * nb * nb)) / denb AS hw_b
+        |  FROM f)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  round(srm, 6) AS srm_chi2, srm < 3.841 AS srm_ok,
+        |  round(ca / na, 6) AS rate_a, round(cb / nb, 6) AS rate_b,
+        |  round(cen_a - hw_a, 6) AS rate_a_lo, round(cen_a + hw_a, 6) AS rate_a_hi,
+        |  round(cen_b - hw_b, 6) AS rate_b_lo, round(cen_b + hw_b, 6) AS rate_b_hi,
+        |  CASE WHEN conv_a > 0 AND (nb - cb) > 0
+        |    THEN round((cb * (na - ca)) / (ca * (nb - cb)), 6)
+        |    ELSE CAST('NaN' AS DOUBLE) END AS odds_ratio,
+        |  round(2.8016 * sqrt(var_a / na + var_b / nb) / 1e6, 6) AS mde_abs
+        |FROM g""".stripMargin)),
+
     // TH1: Theil–Sen robust regression (price ~ quantity) in the
     // paired variant — rank by x, pair i with i+n/2, median slope then
     // median residual; exact-rank selections, no all-pairs blowup.

@@ -580,6 +580,81 @@ object Stats {
       (abs(z) > lit(1.96)).as("significant"))
   }
 
+  /** Experiment-health report — the pre-readout gate every
+    * experimentation platform runs before anyone trusts a lift number:
+    *
+    *  - SRM (sample-ratio mismatch): χ² of the observed arm split
+    *    against 50/50 (Fabijan et al. 2019 — a failed SRM invalidates
+    *    the experiment regardless of the metric);
+    *  - Wilson score intervals (Wilson 1927) on each arm's conversion
+    *    rate — the binomial CI that behaves at small n and extreme p;
+    *  - the conversion odds ratio;
+    *  - MDE: the minimum detectable absolute effect on the continuous
+    *    metric at α=0.05 / 80% power, `(z_{α/2}+z_β)·√(s²_c/n_c +
+    *    s²_t/n_t)` — "could this experiment even see the lift we
+    *    care about?".
+    *
+    * z literals (1.96, 0.8416) and the χ² bound (3.841) are inlined
+    * identically in both engines. ONE combinable aggregate pass:
+    * counts and micro-quantized moments as exact integers, every
+    * statistic a fixed-order double expression on the single row.
+    */
+  def experimentHealth(df: DataFrame, valueCol: String, armCol: String,
+                       armA: String, armB: String,
+                       convThreshold: Double): DataFrame = {
+    val isA = col(armCol) === armA
+    val isB = col(armCol) === armB
+    val q = floor(col(valueCol) * lit(1e6) + lit(0.5)).cast("decimal(38,0)")
+    val zero = lit(0).cast("decimal(38,0)")
+    val conv = col(valueCol) > convThreshold
+    val m = df.filter(isA || isB).agg(
+      sum(when(isA, 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when(isB, 1L).otherwise(0L)).cast("long").as("n_b"),
+      sum(when(isA && conv, 1L).otherwise(0L)).cast("long").as("conv_a"),
+      sum(when(isB && conv, 1L).otherwise(0L)).cast("long").as("conv_b"),
+      sum(when(isA, q).otherwise(zero)).as("s_a"),
+      sum(when(isB, q).otherwise(zero)).as("s_b"),
+      sum(when(isA, q * q).otherwise(zero)).as("ss_a"),
+      sum(when(isB, q * q).otherwise(zero)).as("ss_b"))
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val e = (na + nb) / lit(2.0)
+    val srm = (na - e) * (na - e) / e + (nb - e) * (nb - e) / e
+    val (sa, sb) = (col("s_a").cast("double"), col("s_b").cast("double"))
+    val (ssa, ssb) = (col("ss_a").cast("double"), col("ss_b").cast("double"))
+    val varA = (ssa - sa * sa / na) / (na - 1.0)
+    val varB = (ssb - sb * sb / nb) / (nb - 1.0)
+    // 1.96 + 0.8416 inlined as the PARSED literal 2.8016 — a Scala
+    // `1.96 + 0.8416` could differ from the SQL-parsed constant by an
+    // ulp and break the hash match
+    val mde = lit(2.8016) * sqrt(varA / na + varB / nb) / lit(1e6)
+    def wilson(conv: org.apache.spark.sql.Column,
+               n: org.apache.spark.sql.Column) = {
+      val z2 = lit(1.96 * 1.96)
+      val p = conv.cast("double") / n
+      val denom = lit(1.0) + z2 / n
+      val center = (p + z2 / (lit(2.0) * n)) / denom
+      val half = lit(1.96) * sqrt(p * (lit(1.0) - p) / n +
+        z2 / (lit(4.0) * n * n)) / denom
+      (center - half, center + half)
+    }
+    val (wal, wah) = wilson(col("conv_a"), na)
+    val (wbl, wbh) = wilson(col("conv_b"), nb)
+    // degenerate cells (no conversions / universal conversion) give an
+    // undefined OR: emit NaN instead of an ANSI divide-by-zero error
+    val orRaw = (col("conv_b").cast("double") * (na - col("conv_a").cast("double"))) /
+      (col("conv_a").cast("double") * (nb - col("conv_b").cast("double")))
+    val or = when(col("conv_a") > 0 && (col("n_b") - col("conv_b")) > 0, orRaw)
+      .otherwise(lit(Double.NaN))
+    m.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      round(srm, 6).as("srm_chi2"), (srm < lit(3.841)).as("srm_ok"),
+      round(col("conv_a").cast("double") / na, 6).as("rate_a"),
+      round(col("conv_b").cast("double") / nb, 6).as("rate_b"),
+      round(wal, 6).as("rate_a_lo"), round(wah, 6).as("rate_a_hi"),
+      round(wbl, 6).as("rate_b_lo"), round(wbh, 6).as("rate_b_hi"),
+      round(or, 6).as("odds_ratio"),
+      round(mde, 6).as("mde_abs"))
+  }
+
   /** Theil–Sen robust regression (Theil 1950, Sen 1968) in the
     * distributed PAIRED variant: rank all points by x, pair rank i
     * with rank i+n/2 (n/2 disjoint wide-baseline pairs — the standard

@@ -439,6 +439,31 @@ class StatsSpec extends AnyFunSuite {
     assert(!r.getAs[Boolean]("significant"))
   }
 
+  test("experimentHealth: balanced arms pass SRM; hand-checked Wilson and OR") {
+    // 40 control (10 conv) vs 40 treatment (20 conv), values constant
+    val rows = (1 to 40).map(i => ("control", if (i <= 10) 200.0 else 50.0)) ++
+      (1 to 40).map(i => ("treatment", if (i <= 20) 200.0 else 50.0))
+    val r = Stats.experimentHealth(rows.toDF("arm", "v"), "v", "arm",
+      "control", "treatment", convThreshold = 100.0).collect().head
+    assert(r.getAs[Long]("n_a") === 40L && r.getAs[Long]("n_b") === 40L)
+    assert(r.getAs[Double]("srm_chi2") === 0.0 && r.getAs[Boolean]("srm_ok"))
+    assert(r.getAs[Double]("rate_a") === 0.25 && r.getAs[Double]("rate_b") === 0.5)
+    // OR = (20·30)/(10·20) = 3
+    assert(r.getAs[Double]("odds_ratio") === 3.0)
+    // Wilson bounds bracket the rates and stay in [0,1]
+    assert(r.getAs[Double]("rate_a_lo") < 0.25 && r.getAs[Double]("rate_a_hi") > 0.25)
+    assert(r.getAs[Double]("rate_b_lo") < 0.5 && r.getAs[Double]("rate_b_hi") > 0.5)
+    assert(r.getAs[Double]("rate_a_lo") > 0.0 && r.getAs[Double]("rate_b_hi") < 1.0)
+    assert(r.getAs[Double]("mde_abs") > 0.0)
+    // a 90/10 split must FAIL SRM
+    val skew = (1 to 90).map(_ => ("control", 1.0)) ++ (1 to 10).map(_ => ("treatment", 1.0))
+    val s2 = Stats.experimentHealth(skew.toDF("arm", "v"), "v", "arm",
+      "control", "treatment", 0.5).collect().head
+    assert(!s2.getAs[Boolean]("srm_ok"))
+    assert(s2.getAs[Double]("srm_chi2") === 64.0) // (90-50)²/50·2
+    assert(s2.getAs[Double]("odds_ratio").isNaN) // universal conversion: OR undefined
+  }
+
   test("kaplanMeier: hand-computed curve with censoring; all-censored is empty") {
     // deaths at t=2 (d=2, n=5) and t=4 (d=1, n=3); censored at 10, 30
     // S(2) = 3/5 = 0.6; S(4) = 0.6 * 2/3 = 0.4 — exact integer folds
