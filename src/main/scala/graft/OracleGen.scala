@@ -109,6 +109,45 @@ object OracleGen {
     * emits the learned weights (value-checking the whole optimization
     * path) plus train accuracy.
     */
+  /** wl1: Weisfeiler–Lehman refinement on the kc1 handoff graph —
+    * degree seed labels, per-round md5 of (own ‖ sorted neighbors),
+    * distinct-label trajectory + order-free Σ-mod-2⁶⁰ fingerprint.
+    */
+  def wl1Sql(rounds: Int = 3): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"l${r - 1}"
+      val sig = s"md5(CAST(o.lbl AS VARCHAR) || '|' || " +
+        s"array_to_string(list_transform(n$r.ns, x -> CAST(x AS VARCHAR)), ','))"
+      s""",
+         |n$r AS (SELECT adj.v, list(l.lbl ORDER BY l.lbl) AS ns
+         |  FROM adj JOIN $prev l ON l.v = adj.nb GROUP BY adj.v),
+         |l$r AS MATERIALIZED (SELECT n$r.v, ${hex60(sig)} AS lbl
+         |  FROM n$r JOIN $prev o ON o.v = n$r.v)""".stripMargin
+    }.mkString
+    val arms = (0 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, " +
+        s"CAST(count(DISTINCT lbl) AS BIGINT) AS n_labels FROM l$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ed AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT lag(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS src,
+       |           user_id AS dst FROM events)
+       |  WHERE src IS NOT NULL AND src != dst),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM ed),
+       |adj AS MATERIALIZED (SELECT a AS v, b AS nb FROM und
+       |  UNION ALL SELECT b, a FROM und),
+       |l0 AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS lbl
+       |  FROM adj GROUP BY 1)$roundCtes,
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM l0),
+       |fp AS (SELECT CAST(sum(CAST(lbl AS HUGEINT)) % 1152921504606846976 AS BIGINT) AS graph_fp
+       |  FROM l$rounds),
+       |tr AS (
+       |  $arms
+       |)
+       |SELECT tr.round, tr.n_labels, nn.n_nodes, fp.graph_fp
+       |FROM tr CROSS JOIN nn CROSS JOIN fp ORDER BY tr.round""".stripMargin
+  }
+
   /** acf1: autocorrelation at lags 1..maxLag of the dense hourly
     * event-count series — mirrors [[graft.ops.TimeSeries.acf]]:
     * n-scaled integer deviations, one moment row, one UNION arm per

@@ -6363,6 +6363,54 @@ object QueriesOps {
         |    round((nd * ss23 - s2 * s3) / sqrt((nd * ss22 - s2 * s2) * (nd * ss33 - s3 * s3)), 9) FROM m
         |) ORDER BY col_a, col_b""".stripMargin)),
 
+    // WL1: Weisfeiler–Lehman refinement fingerprint of the handoff
+    // graph — distinct-label trajectory per round + an order-free
+    // 60-bit final-labeling hash; the graph-shape drift signature.
+    "wl1_wl_fingerprint" -> Q(
+      (s, d) => graft.ops.Graph.wlRefinement(
+          graft.ops.Graph.handoffEdges(
+            Queries.events(s, d), "event_type", "user_id", "ts", "event_id"),
+          rounds = 3)
+        .orderBy("round"),
+      Some(OracleGen.wl1Sql(3))),
+
+    // CAP1: Chapman capture–recapture — estimate the distinct-user
+    // universe from the week-1 / week-3 capture overlap, with the true
+    // union count emitted beside it as the in-query estimator audit.
+    "cap1_capture_recapture" -> Q(
+      (s, d) => {
+        val ev = Queries.events(s, d)
+        val a = ev.filter(col("ts") < lit("2024-01-08").cast("timestamp"))
+          .select(col("user_id").as("id"))
+        val b = ev.filter(col("ts") >= lit("2024-01-15").cast("timestamp") &&
+            col("ts") < lit("2024-01-22").cast("timestamp"))
+          .select(col("user_id").as("id"))
+        graft.ops.Stats.captureRecapture(a, b)
+      },
+      Some("""WITH a AS (SELECT DISTINCT user_id AS id FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-08'),
+        |b AS (SELECT DISTINCT user_id AS id FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'),
+        |c AS (SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM a) AS n1,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM b) AS n2,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM a JOIN b USING (id)) AS m,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM (SELECT id FROM a UNION SELECT id FROM b)) AS n_true),
+        |e AS (SELECT *,
+        |    (CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+        |      / (CAST(m AS DOUBLE) + 1.0) - 1.0 AS n_hat,
+        |    sqrt((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+        |      * CAST(n1 - m AS DOUBLE) * CAST(n2 - m AS DOUBLE)
+        |      / ((CAST(m AS DOUBLE) + 1.0) * (CAST(m AS DOUBLE) + 1.0)
+        |        * (CAST(m AS DOUBLE) + 2.0))) AS se
+        |  FROM c)
+        |SELECT n1, n2, m, n_true,
+        |  floor(n_hat * 1e3 + 0.5) / 1e3 AS n_hat,
+        |  floor(se * 1e6 + 0.5) / 1e6 AS se,
+        |  floor((n_hat - 1.96 * se) * 1e3 + 0.5) / 1e3 AS ci_lo,
+        |  floor((n_hat + 1.96 * se) * 1e3 + 0.5) / 1e3 AS ci_hi
+        |FROM e""".stripMargin)),
+
     // EXP1: experiment-health gate — SRM chi-square vs 50/50, Wilson
     // CIs on conversion (value > 100), odds ratio, and the continuous-
     // metric MDE at alpha=.05/80% power; one aggregate pass, literal z's.

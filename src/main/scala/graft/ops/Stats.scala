@@ -580,6 +580,44 @@ object Stats {
       (abs(z) > lit(1.96)).as("significant"))
   }
 
+  /** Capture–recapture population estimate (Chapman 1951, the
+    * bias-corrected Lincoln–Petersen): from two independent capture
+    * samples of an unseen universe, `N̂ = (n₁+1)(n₂+1)/(m+1) − 1` with
+    * `m` the overlap — the ecology estimator data teams reuse to size
+    * a crawl frontier, a dedup universe, or an id space that no single
+    * scan can enumerate. Emits the true distinct count of the union
+    * too, so the query itself audits the estimator.
+    *
+    * Exactness: three distinct-count aggregates and one semi-join —
+    * all integers; N̂, its SE (Seber 1970 variance) and the ±1.96 CI
+    * are fixed-order doubles on the single scalar row.
+    *
+    * Scale: two distinct-shuffles of bare ids + one semi-join — no
+    * payload ever moves; this is exactly the estimator's selling
+    * point at 100 TB (sample two slices, never scan the universe).
+    */
+  def captureRecapture(a: DataFrame, b: DataFrame): DataFrame = {
+    val da = a.select(col("id")).distinct().persist()
+    val db = b.select(col("id")).distinct().persist()
+    val n1 = da.count(); val n2 = db.count()
+    val m = da.join(db, "id").count()
+    val nTrue = da.unionAll(db).distinct().count()
+    da.unpersist(false); db.unpersist(false)
+    val spark = a.sparkSession
+    import spark.implicits._
+    val nHat = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    val varHat = (n1 + 1.0) * (n2 + 1.0) * (n1 - m).toDouble * (n2 - m).toDouble /
+      ((m + 1.0) * (m + 1.0) * (m + 2.0))
+    val se = math.sqrt(varHat)
+    // floor(x·k + 0.5)/k on BOTH sides (the repo-wide quantize idiom) —
+    // not rint/round, whose half-even vs half-away semantics differ
+    def q3(x: Double) = math.floor(x * 1e3 + 0.5) / 1e3
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    Seq((n1, n2, m, nTrue, q3(nHat), q6(se),
+        q3(nHat - 1.96 * se), q3(nHat + 1.96 * se)))
+      .toDF("n1", "n2", "m", "n_true", "n_hat", "se", "ci_lo", "ci_hi")
+  }
+
   /** Experiment-health report — the pre-readout gate every
     * experimentation platform runs before anyone trusts a lift number:
     *

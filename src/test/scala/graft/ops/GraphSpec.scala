@@ -208,6 +208,27 @@ class GraphSpec extends AnyFunSuite {
     assert(g2 === Array((7L, 0L), (8L, 1L)))
   }
 
+  test("wlRefinement: regular graphs never individualize; isomorphic graphs share the fingerprint") {
+    // two disjoint triangles: 2-regular → one label at every round
+    val tris = edges((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L), (12L, 10L))
+    val t = Graph.wlRefinement(tris, rounds = 2).orderBy("round").collect()
+    assert(t.map(_.getAs[Long]("n_labels")).toSeq === Seq(1L, 1L, 1L))
+    assert(t.forall(_.getAs[Long]("n_nodes") === 6L))
+    // a path individualizes ends vs middle and stabilizes at 2 labels
+    val p1 = Graph.wlRefinement(edges((1L, 2L), (2L, 3L)), rounds = 2)
+      .orderBy("round").collect()
+    assert(p1.map(_.getAs[Long]("n_labels")).toSeq === Seq(2L, 2L, 2L))
+    // isomorphism invariance: a relabeled path has the SAME fingerprint
+    val p2 = Graph.wlRefinement(edges((30L, 10L), (10L, 20L)), rounds = 2)
+      .orderBy("round").collect()
+    assert(p1.head.getAs[Long]("graph_fp") === p2.head.getAs[Long]("graph_fp"))
+    // a triangle (different shape, same node count) does not
+    val tri = Graph.wlRefinement(edges((1L, 2L), (2L, 3L), (3L, 1L)), rounds = 2)
+      .collect().head.getAs[Long]("graph_fp")
+    assert(tri !== p1.head.getAs[Long]("graph_fp"))
+    spark.catalog.clearCache()
+  }
+
   test("adamicAdar: 4-cycle scores both diagonals 2/ln2; edges never scored") {
     val ed = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
     val got = Graph.adamicAdar(ed, maxDegree = 64, topK = 10)

@@ -439,6 +439,20 @@ class StatsSpec extends AnyFunSuite {
     assert(!r.getAs[Boolean]("significant"))
   }
 
+  test("captureRecapture: hand-computed Chapman estimate and exact counts") {
+    val a = (1L to 60L).map(Tuple1(_)).toDF("id")
+    val b = (41L to 100L).map(Tuple1(_)).toDF("id")
+    val r = Stats.captureRecapture(a, b).collect().head
+    assert(r.getAs[Long]("n1") === 60L && r.getAs[Long]("n2") === 60L)
+    assert(r.getAs[Long]("m") === 20L && r.getAs[Long]("n_true") === 100L)
+    val nHat = 61.0 * 61.0 / 21.0 - 1.0
+    assert(math.abs(r.getAs[Double]("n_hat") - math.floor(nHat * 1e3 + 0.5) / 1e3) < 1e-12)
+    val se = math.sqrt(61.0 * 61.0 * 40.0 * 40.0 / (21.0 * 21.0 * 22.0))
+    assert(math.abs(r.getAs[Double]("se") - math.floor(se * 1e6 + 0.5) / 1e6) < 1e-12)
+    assert(r.getAs[Double]("ci_lo") < r.getAs[Double]("n_hat"))
+    assert(r.getAs[Double]("ci_hi") > r.getAs[Double]("n_hat"))
+  }
+
   test("experimentHealth: balanced arms pass SRM; hand-checked Wilson and OR") {
     // 40 control (10 conv) vs 40 treatment (20 conv), values constant
     val rows = (1 to 40).map(i => ("control", if (i <= 10) 200.0 else 50.0)) ++
