@@ -6363,6 +6363,68 @@ object QueriesOps {
         |    round((nd * ss23 - s2 * s3) / sqrt((nd * ss22 - s2 * s2) * (nd * ss33 - s3 * s3)), 9) FROM m
         |) ORDER BY col_a, col_b""".stripMargin)),
 
+    // CLF1: per-class classifier report (sklearn shape: precision /
+    // recall / F1 / support + __macro / __micro rows) of the stopword
+    // langid against the true lang label — pico-integer metrics, one
+    // cell shuffle; de/zh are classes the classifier can't emit, so
+    // the report shows real zero-recall rows.
+    "clf1_classifier_report" -> Q(
+      (s, d) => Classify.classifierReport(
+          Text.withLangId(docs(s, d)).select(col("lang"), col("lang_pred")),
+          "lang", "lang_pred")
+        .orderBy("cls"),
+      Some("""WITH t AS (SELECT lang, string_split(lower(text), ' ') AS toks FROM documents),
+        |sc AS (SELECT lang,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','and','of','is','to'], x))) AS INTEGER) AS score_en,
+        |  CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x))) AS INTEGER) AS score_es,
+        |  CAST(len(list_filter(toks, x -> list_contains(['le','les','des','et','une'], x))) AS INTEGER) AS score_fr
+        |  FROM t),
+        |pr AS (SELECT lang AS truth,
+        |  CASE WHEN score_en >= score_es AND score_en >= score_fr AND score_en > 0 THEN 'en'
+        |       WHEN score_es >= score_fr AND score_es > 0 THEN 'es'
+        |       WHEN score_fr > 0 THEN 'fr'
+        |       ELSE 'unknown' END AS pred
+        |  FROM sc),
+        |cells AS MATERIALIZED (SELECT truth, pred, CAST(count(*) AS BIGINT) AS n
+        |  FROM pr GROUP BY 1, 2),
+        |cl AS (SELECT DISTINCT cls FROM
+        |  (SELECT truth AS cls FROM cells UNION ALL SELECT pred FROM cells)),
+        |tpx AS (SELECT truth AS cls, n AS tp FROM cells WHERE truth = pred),
+        |pt AS (SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS n_pred FROM cells GROUP BY 1),
+        |tt AS (SELECT truth AS cls, CAST(sum(n) AS BIGINT) AS support FROM cells GROUP BY 1),
+        |per0 AS (SELECT cl.cls, coalesce(tpx.tp, 0) AS tp,
+        |    coalesce(pt.n_pred, 0) - coalesce(tpx.tp, 0) AS fp,
+        |    coalesce(tt.support, 0) - coalesce(tpx.tp, 0) AS fn,
+        |    coalesce(tt.support, 0) AS support
+        |  FROM cl LEFT JOIN tpx USING (cls) LEFT JOIN pt USING (cls)
+        |  LEFT JOIN tt USING (cls)),
+        |perf AS MATERIALIZED (SELECT *,
+        |    CASE WHEN tp + fp > 0 THEN (tp * 1000000000000) // (tp + fp) ELSE 0 END AS prec_pico,
+        |    CASE WHEN tp + fn > 0 THEN (tp * 1000000000000) // (tp + fn) ELSE 0 END AS rec_pico,
+        |    CASE WHEN 2 * tp + fp + fn > 0 THEN (2 * tp * 1000000000000) // (2 * tp + fp + fn) ELSE 0 END AS f1_pico
+        |  FROM per0),
+        |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM perf),
+        |nn AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM cells),
+        |sm AS (SELECT CAST(sum(tp) AS BIGINT) AS s_tp, CAST(sum(fp) AS BIGINT) AS s_fp,
+        |    CAST(sum(fn) AS BIGINT) AS s_fn, CAST(sum(prec_pico) AS BIGINT) AS s_p,
+        |    CAST(sum(rec_pico) AS BIGINT) AS s_r, CAST(sum(f1_pico) AS BIGINT) AS s_f
+        |  FROM perf),
+        |summ AS (SELECT '__macro' AS cls, nn.n AS support, sm.s_tp AS tp,
+        |    sm.s_fp AS fp, sm.s_fn AS fn, sm.s_p // kk.k AS prec_pico,
+        |    sm.s_r // kk.k AS rec_pico, sm.s_f // kk.k AS f1_pico
+        |  FROM nn, sm, kk
+        |  UNION ALL SELECT '__micro', nn.n, sm.s_tp, sm.s_fp, sm.s_fn,
+        |    (sm.s_tp * 1000000000000) // nn.n, (sm.s_tp * 1000000000000) // nn.n,
+        |    (sm.s_tp * 1000000000000) // nn.n
+        |  FROM nn, sm, kk)
+        |SELECT cls, support, tp, fp, fn,
+        |  round(CAST(prec_pico AS DOUBLE) / 1e12, 6) AS precision,
+        |  round(CAST(rec_pico AS DOUBLE) / 1e12, 6) AS recall,
+        |  round(CAST(f1_pico AS DOUBLE) / 1e12, 6) AS f1
+        |FROM (SELECT cls, support, tp, fp, fn, prec_pico, rec_pico, f1_pico FROM perf
+        |  UNION ALL SELECT * FROM summ)
+        |ORDER BY cls""".stripMargin)),
+
     // WL1: Weisfeiler–Lehman refinement fingerprint of the handoff
     // graph — distinct-label trajectory per round + an order-free
     // 60-bit final-labeling hash; the graph-shape drift signature.
@@ -6569,6 +6631,52 @@ object QueriesOps {
             Queries.events(s, d), "ts", "hour"), maxLag = 12)
         .orderBy("lag"),
       Some(OracleGen.acf1Sql(12))),
+
+    // DEC1: classical seasonal decomposition of the hourly series —
+    // centered 25 h MA trend (kept as an exact integer SUM), hour-of-
+    // day seasonal via pico floor-divisions, Wang/Smith/Hyndman
+    // strength of seasonality. 24 rows + scalar strength.
+    "dec1_seasonal_decompose" -> Q(
+      (s, d) => graft.ops.TimeSeries.seasonalDecompose(
+          graft.ops.TimeSeries.denseCountSeries(
+            Queries.events(s, d), "ts", "hour"))
+        .orderBy("hod"),
+      Some("""WITH c AS (SELECT date_trunc('hour', ts) AS b,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM c),
+        |sp AS (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS b FROM bounds),
+        |s AS MATERIALIZED (SELECT sp.b, coalesce(c.x, 0) AS x FROM sp LEFT JOIN c USING (b)),
+        |tr AS (SELECT b, x,
+        |    CAST(sum(x) OVER w25 AS BIGINT) AS t_sum,
+        |    CAST(count(*) OVER w25 AS BIGINT) AS t_cnt
+        |  FROM s WINDOW w25 AS (ORDER BY b ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |tf AS (SELECT 25 * x - t_sum AS d, CAST(hour(b) AS BIGINT) AS hod
+        |  FROM tr WHERE t_cnt = 25),
+        |dp AS MATERIALIZED (SELECT hod, CASE WHEN d >= 0
+        |    THEN (d * 1000000000000) // 25
+        |    ELSE -(((-d) * 1000000000000) // 25) END AS d_pico FROM tf),
+        |bh AS (SELECT hod, CAST(count(*) AS BIGINT) AS cnt,
+        |    sum(CAST(d_pico AS DECIMAL(38,0))) AS sd FROM dp GROUP BY 1),
+        |bh2 AS MATERIALIZED (SELECT hod, cnt, CASE WHEN sd >= 0
+        |    THEN CAST(CAST(sd AS HUGEINT) // cnt AS BIGINT)
+        |    ELSE CAST(-((-CAST(sd AS HUGEINT)) // cnt) AS BIGINT) END AS s_pico
+        |  FROM bh),
+        |rm AS (SELECT dp.d_pico, dp.d_pico - b2.s_pico AS r_pico
+        |  FROM dp JOIN bh2 b2 USING (hod)),
+        |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(d_pico AS DECIMAL(38,0))) AS sdd,
+        |    sum(CAST(d_pico AS DECIMAL(38,0)) * CAST(d_pico AS DECIMAL(38,0))) AS sdd2,
+        |    sum(CAST(r_pico AS DECIMAL(38,0))) AS srr,
+        |    sum(CAST(r_pico AS DECIMAL(38,0)) * CAST(r_pico AS DECIMAL(38,0))) AS srr2
+        |  FROM rm),
+        |sc AS (SELECT n AS n_windows,
+        |    round(greatest(0.0, 1.0 -
+        |      ((CAST(srr2 AS DOUBLE) - CAST(srr AS DOUBLE) * CAST(srr AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+        |      / ((CAST(sdd2 AS DOUBLE) - CAST(sdd AS DOUBLE) * CAST(sdd AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))), 9) AS seasonal_strength
+        |  FROM mom)
+        |SELECT hod, cnt, round(CAST(s_pico AS DOUBLE) / 1e12, 6) AS seasonal,
+        |  n_windows, seasonal_strength
+        |FROM bh2 CROSS JOIN sc ORDER BY hod""".stripMargin)),
 
     // CPD1: CUSUM changepoint on the same hourly series — argmax |C_t|
     // with earliest tiebreak, all boundary decisions exact integers.

@@ -312,6 +312,86 @@ object Classify {
     }.toDF("item", "n_wins", "n_comparisons", "strength")
   }
 
+  /** Per-class classifier evaluation report — the sklearn
+    * `classification_report` shape: per class precision / recall / F1
+    * / support from the (truth, pred) confusion cells, plus `__macro`
+    * (unweighted class mean) and `__micro` (= accuracy) summary rows.
+    * The standard readout before shipping any label-producing
+    * pipeline (langid, quality tiers, topic tags).
+    *
+    * Determinism: metrics are PICO-UNIT INTEGER divisions of exact
+    * cell counts (`prec_pico = tp·10¹² div (tp+fp)`; F1 composed from
+    * the pico values the same way in both engines), so macro means are
+    * order-free integer sums — no float accumulates across rows.
+    * tp·10¹² must fit a long: per-class counts < 9·10⁶ (cohort-
+    * aggregate beyond, or rescale to nano).
+    *
+    * Scale: one combinable (truth, pred) cell shuffle — the ONLY
+    * corpus-sized pass; everything after is classes²-bounded.
+    */
+  def classifierReport(df: DataFrame, truthCol: String,
+                       predCol: String): DataFrame = {
+    val S = 1000000000000L
+    val cells = df.groupBy(col(truthCol).as("truth"), col(predCol).as("pred"))
+      .agg(count(lit(1)).cast("long").as("n")).persist()
+    val classes = cells.select(col("truth").as("cls"))
+      .unionAll(cells.select(col("pred").as("cls"))).distinct()
+    val tp = cells.filter(col("truth") === col("pred"))
+      .select(col("truth").as("cls"), col("n").as("tp"))
+    val predTot = cells.groupBy(col("pred").as("cls"))
+      .agg(sum("n").cast("long").as("n_pred"))
+    val truthTot = cells.groupBy(col("truth").as("cls"))
+      .agg(sum("n").cast("long").as("support"))
+    val per = classes
+      .join(tp, Seq("cls"), "left").join(predTot, Seq("cls"), "left")
+      .join(truthTot, Seq("cls"), "left")
+      .select(col("cls"), coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
+        (coalesce(col("support"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fn"),
+        coalesce(col("support"), lit(0L)).as("support"))
+      .withColumn("prec_pico",
+        when(col("tp") + col("fp") > 0,
+          expr(s"(tp * ${S}L) div (tp + fp)")).otherwise(0L))
+      .withColumn("rec_pico",
+        when(col("tp") + col("fn") > 0,
+          expr(s"(tp * ${S}L) div (tp + fn)")).otherwise(0L))
+      // f1 from the COUNT identity 2tp/(2tp+fp+fn), not from the pico
+      // precision×recall product (which would overflow a long)
+      .withColumn("f1_pico",
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          expr(s"(2L * tp * ${S}L) div (2L * tp + fp + fn)"))
+          .otherwise(0L))
+      .persist()
+    val k = per.count()
+    val n = cells.agg(sum("n").cast("long")).head().getLong(0)
+    val sums = per.agg(sum("tp").cast("long").as("s_tp"),
+      sum("fp").cast("long").as("s_fp"), sum("fn").cast("long").as("s_fn"),
+      sum("prec_pico").cast("long").as("s_p"),
+      sum("rec_pico").cast("long").as("s_r"),
+      sum("f1_pico").cast("long").as("s_f")).head()
+    val accPico = sums.getAs[Long]("s_tp") * S / n
+    val spark = df.sparkSession
+    import spark.implicits._
+    val summary = Seq(
+      ("__macro", n, sums.getAs[Long]("s_tp"), sums.getAs[Long]("s_fp"),
+        sums.getAs[Long]("s_fn"), sums.getAs[Long]("s_p") / k,
+        sums.getAs[Long]("s_r") / k, sums.getAs[Long]("s_f") / k),
+      ("__micro", n, sums.getAs[Long]("s_tp"), sums.getAs[Long]("s_fp"),
+        sums.getAs[Long]("s_fn"), accPico, accPico, accPico))
+      .toDF("cls", "support", "tp", "fp", "fn", "prec_pico", "rec_pico",
+        "f1_pico")
+    val out = per.select("cls", "support", "tp", "fp", "fn", "prec_pico",
+        "rec_pico", "f1_pico")
+      .unionByName(summary)
+      .select(col("cls"), col("support"), col("tp"), col("fp"), col("fn"),
+        round(col("prec_pico").cast("double") / 1e12, 6).as("precision"),
+        round(col("rec_pico").cast("double") / 1e12, 6).as("recall"),
+        round(col("f1_pico").cast("double") / 1e12, 6).as("f1"))
+      .localCheckpoint() // classes+2 rows; lets both caches drop
+    cells.unpersist(false); per.unpersist(false)
+    out
+  }
+
   /** [[bradleyTerry]] without the bounded-collect cap: the SAME
     * integer-micro MM iteration (floor divisions only, so the two
     * formulations are BIT-IDENTICAL — the per-item denominator is an

@@ -188,6 +188,71 @@ object TimeSeries {
       .reduce(_ unionByName _)
   }
 
+  /** Classical seasonal decomposition (the moving-average STL-lite of
+    * Macaulay 1931 / the X-11 first pass) of a dense hourly count
+    * series: trend = centered 25-hour moving average, seasonal =
+    * hour-of-day means of the detrended series, plus the
+    * strength-of-seasonality statistic `max(0, 1 − Var(remainder)/
+    * Var(detrended))` (Wang/Smith/Hyndman 2006) — "is this metric
+    * actually diurnal, and by how much?".
+    *
+    * Exactness: the trend stays an exact 25-term integer SUM (the
+    * detrended value is `25·x − trendSum`, never a float mean);
+    * per-hour seasonal means and remainders pico-quantize via floor
+    * divisions; variances come from exact decimal moment sums. One
+    * display division per output column.
+    *
+    * Scale: everything after the bucket-count aggregate runs on the
+    * SERIES table (corpus-independent); the MA window and the
+    * hour-of-day group-by are both spine-sized.
+    */
+  def seasonalDecompose(series: DataFrame, period: Int = 24,
+                        halfWindow: Int = 12): DataFrame = {
+    val win = 2 * halfWindow + 1
+    val s = series.select(col("b"), col("x").cast("long").as("x"))
+    val wMa = Window.orderBy("b").rowsBetween(-halfWindow, halfWindow)
+    val wCnt = Window.orderBy("b").rowsBetween(-halfWindow, halfWindow)
+    val tr = s
+      .withColumn("t_sum", sum(col("x")).over(wMa).cast("long"))
+      .withColumn("t_cnt", count(lit(1)).over(wCnt).cast("long"))
+      .filter(col("t_cnt") === win) // full centered windows only
+      .withColumn("d", lit(win.toLong) * col("x") - col("t_sum"))
+      .withColumn("hod", hour(col("b")).cast("long"))
+      .withColumn("d_pico", expr(s"""CASE WHEN d >= 0
+        | THEN (d * 1000000000000L) div ${win}L
+        | ELSE -((-d * 1000000000000L) div ${win}L) END""".stripMargin))
+      .persist()
+    val byHour = tr.groupBy("hod").agg(
+      count(lit(1)).cast("long").as("cnt"),
+      sum(col("d_pico").cast("decimal(38,0)")).as("sd"))
+      .withColumn("s_pico", expr("""CASE WHEN sd >= 0
+        | THEN CAST(sd div cnt AS BIGINT)
+        | ELSE CAST(-((-sd) div cnt) AS BIGINT) END""".stripMargin))
+      .persist()
+    val rem = tr.join(byHour.select(col("hod"), col("s_pico")), "hod")
+      .select((col("d_pico") - col("s_pico")).as("r_pico"),
+        col("d_pico"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val mom = rem.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(dec(col("d_pico"))).as("sdd"),
+      sum(dec(col("d_pico")) * dec(col("d_pico"))).as("sdd2"),
+      sum(dec(col("r_pico"))).as("srr"),
+      sum(dec(col("r_pico")) * dec(col("r_pico"))).as("srr2"))
+    val nd = col("n").cast("double")
+    val varD = (col("sdd2").cast("double") -
+      col("sdd").cast("double") * col("sdd").cast("double") / nd) / (nd - 1.0)
+    val varR = (col("srr2").cast("double") -
+      col("srr").cast("double") * col("srr").cast("double") / nd) / (nd - 1.0)
+    val strength = greatest(lit(0.0), lit(1.0) - varR / varD)
+    val scal = mom.select(col("n").as("n_windows"),
+      round(strength, 9).as("seasonal_strength"))
+    byHour.crossJoin(broadcast(scal))
+      .select(col("hod"), col("cnt"),
+        round(col("s_pico").cast("double") / 1e12, 6).as("seasonal"),
+        col("n_windows"), col("seasonal_strength"))
+  }
+
   /** CUSUM changepoint detection (Page 1954) over a dense integer
     * series: `C_t = Σ_{i≤t}(x_i − x̄)` peaks where the level shifts;
     * emits the argmax-|C| bucket (earliest on ties) with the

@@ -162,6 +162,33 @@ class ClassifySpec extends AnyFunSuite {
     assert(again === so)
   }
 
+  test("classifierReport: hand-computed per-class PRF1 with macro/micro rows") {
+    val s = spark
+    import s.implicits._
+    // truth a: 3 (2 right, 1 → b); truth b: 2 (1 right, 1 → c);
+    // truth c: 1 (0 right, → a)
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "c"),
+      ("c", "a")).toDF("truth", "pred")
+    val got = Classify.classifierReport(df, "truth", "pred")
+      .orderBy("cls").collect()
+      .map(r => r.getAs[String]("cls") -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("tp") === 2L && a.getAs[Long]("fp") === 1L &&
+      a.getAs[Long]("fn") === 1L && a.getAs[Long]("support") === 3L)
+    assert(math.abs(a.getAs[Double]("precision") - 2.0 / 3.0) < 1e-6)
+    assert(math.abs(a.getAs[Double]("recall") - 2.0 / 3.0) < 1e-6)
+    assert(math.abs(a.getAs[Double]("f1") - 2.0 / 3.0) < 1e-6) // 4/(4+1+1)=2/3
+    val c = got("c")
+    assert(c.getAs[Double]("precision") === 0.0 && c.getAs[Double]("recall") === 0.0)
+    // micro = accuracy = 3/6
+    assert(got("__micro").getAs[Double]("precision") === 0.5)
+    assert(got("__micro").getAs[Long]("support") === 6L)
+    // macro = mean of per-class metrics over 3 classes
+    val macroP = got("__macro").getAs[Double]("precision")
+    assert(math.abs(macroP - (2.0 / 3.0 + 0.5 + 0.0) / 3.0) < 1e-6)
+    spark.catalog.clearCache()
+  }
+
   test("bradleyTerryDistributed: bit-identical to the collect fit; uncapped past 64 items") {
     val s = spark
     import s.implicits._

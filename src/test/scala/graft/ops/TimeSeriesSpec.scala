@@ -86,6 +86,30 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(r.getAs[Double]("delta") === 10.0)
   }
 
+  test("seasonalDecompose: diurnal spike dominates; seasonal means balance") {
+    // 6 days hourly: noon spikes to 100, otherwise 10 → strongly diurnal
+    val rows = (0 until 24 * 6).map { i =>
+      val ts = java.sql.Timestamp.valueOf(
+        f"2024-01-${1 + i / 24}%02d ${i % 24}%02d:00:00")
+      (ts, if (i % 24 == 12) 100L else 10L)
+    }
+    val got = TimeSeries.seasonalDecompose(rows.toDF("b", "x"))
+      .orderBy("hod").collect()
+    assert(got.length === 24)
+    val strength = got.head.getAs[Double]("seasonal_strength")
+    assert(strength > 0.95, s"diurnal strength $strength")
+    val peak = got.maxBy(_.getAs[Double]("seasonal"))
+    assert(peak.getAs[Long]("hod") === 12L)
+    assert(peak.getAs[Double]("seasonal") > 50.0)
+    // per-hour seasonal means are means of the detrended series: their
+    // cnt-weighted sum equals the total detrended mass up to floor slop
+    val wsum = got.map(r => r.getAs[Double]("seasonal") * r.getAs[Long]("cnt")).sum
+    val nWin = got.head.getAs[Long]("n_windows")
+    assert(got.map(_.getAs[Long]("cnt")).sum === nWin)
+    assert(math.abs(wsum) < 1.0, s"weighted seasonal sum $wsum")
+    spark.catalog.clearCache()
+  }
+
   test("denseCountSeries: gaps appear as zero-count buckets") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(ts("2024-01-01 00:10:00"), ts("2024-01-01 00:20:00"),
