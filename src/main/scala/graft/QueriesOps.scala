@@ -6425,6 +6425,128 @@ object QueriesOps {
         |  UNION ALL SELECT * FROM summ)
         |ORDER BY cls""".stripMargin)),
 
+    // AUC1: threshold-free eval of the en-stopword-count scorer
+    // against the true `lang = en` label — tie-corrected ROC-AUC by
+    // integer rank sums, average precision by pico-quantized PR steps.
+    "auc1_score_auc" -> Q(
+      (s, d) => Classify.rocPrReport(
+          Text.withLangId(docs(s, d))
+            .select(col("score_en"), (col("lang") === "en").as("is_en")),
+          "score_en", "is_en"),
+      Some("""WITH t AS (SELECT
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> list_contains(['the','and','of','is','to'], x))) AS BIGINT) AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |g AS MATERIALIZED (SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+        |c AS MATERIALIZED (SELECT s, pos, cnt,
+        |    coalesce(CAST(sum(cnt) OVER (ORDER BY s ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before,
+        |    CAST(sum(pos) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tp,
+        |    CAST(sum(cnt) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+        |  FROM g),
+        |c2 AS (SELECT *, 2 * cum_before + cnt + 1 AS rank2,
+        |    (cum_tp * 1000000000000) // cum_n AS prec_pico FROM c),
+        |m AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(count(*) AS BIGINT) AS n_thresholds,
+        |    sum(CAST(pos AS DECIMAL(38,0)) * CAST(rank2 AS DECIMAL(38,0))) AS r1_2,
+        |    sum(CAST(pos AS DECIMAL(38,0)) * CAST(prec_pico AS DECIMAL(38,0))) AS ap_sum
+        |  FROM c2)
+        |SELECT n, n_pos, n - n_pos AS n_neg, n_thresholds,
+        |  round((CAST(r1_2 AS DOUBLE) - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0))
+        |    / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)), 9) AS auc,
+        |  round(CAST(ap_sum AS DOUBLE) / (CAST(n_pos AS DOUBLE) * 1e12), 9) AS avg_precision
+        |FROM m""".stripMargin)),
+
+    // WOE1: weight-of-evidence / information-value of doc length as a
+    // predictor of `lang = en` — decile bins by deterministic
+    // (n_chars, doc_id) ntile, Laplace-smoothed WOE as one ln of an
+    // exact-integer ratio, IV from pico-quantized terms.
+    "woe1_woe_iv" -> Q(
+      (s, d) => Classify.woeIvReport(
+          docs(s, d).select(col("n_chars"), col("doc_id"),
+            (col("lang") === "en").as("is_en")),
+          "n_chars", "is_en", "doc_id", bins = 10)
+        .orderBy("bin"),
+      Some("""WITH t AS (SELECT n_chars AS s, doc_id AS id,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+        |b AS MATERIALIZED (SELECT s, y,
+        |    ntile(10) OVER (ORDER BY s ASC, id ASC) AS bin FROM t),
+        |pb AS MATERIALIZED (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS n_good,
+        |    CAST(min(s) AS BIGINT) AS s_min, CAST(max(s) AS BIGINT) AS s_max
+        |  FROM b GROUP BY 1),
+        |pb2 AS (SELECT *, n - n_good AS n_bad FROM pb),
+        |tot AS (SELECT CAST(sum(n_good) AS BIGINT) AS g_tot,
+        |    CAST(sum(n_bad) AS BIGINT) AS b_tot, CAST(10 AS BIGINT) AS k FROM pb2),
+        |terms AS MATERIALIZED (SELECT bin, s_min, s_max, n, n_good, n_bad,
+        |    ln(CAST(CAST(2 * n_good + 1 AS DECIMAL(38,0)) * CAST(2 * b_tot + k AS DECIMAL(38,0)) AS DOUBLE)
+        |      / CAST(CAST(2 * n_bad + 1 AS DECIMAL(38,0)) * CAST(2 * g_tot + k AS DECIMAL(38,0)) AS DOUBLE)) AS woe,
+        |    CAST(2 * n_good + 1 AS DOUBLE) / CAST(2 * g_tot + k AS DOUBLE) AS gs,
+        |    CAST(2 * n_bad + 1 AS DOUBLE) / CAST(2 * b_tot + k AS DOUBLE) AS bs
+        |  FROM pb2, tot),
+        |t2 AS MATERIALIZED (SELECT *,
+        |    CAST(floor((gs - bs) * woe * 1e12 + 0.5) AS BIGINT) AS iv_pico FROM terms),
+        |iv AS (SELECT round(CAST(sum(CAST(iv_pico AS DECIMAL(38,0))) AS DOUBLE) / 1e12, 9) AS iv_total FROM t2)
+        |SELECT CAST(bin AS BIGINT) AS bin, s_min, s_max, n, n_good, n_bad,
+        |  round(woe, 9) AS woe,
+        |  round(CAST(iv_pico AS DOUBLE) / 1e12, 9) AS iv_term, iv_total
+        |FROM t2, iv ORDER BY bin""".stripMargin)),
+
+    // GT1: Good–Turing unseen mass + Chao1 richness per language —
+    // exact freq-of-freq counting, two display divisions.
+    "gt1_good_turing" -> Q(
+      (s, d) => Text.goodTuringReport(docs(s, d)).orderBy("lang"),
+      Some("""WITH toks AS (SELECT lang AS g,
+        |    unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |f AS MATERIALIZED (SELECT g, tok, CAST(count(*) AS BIGINT) AS r
+        |  FROM toks WHERE len(tok) > 0 GROUP BY 1, 2),
+        |ff AS MATERIALIZED (SELECT g, r, CAST(count(*) AS BIGINT) AS n_r
+        |  FROM f GROUP BY 1, 2),
+        |rep AS (SELECT g, CAST(sum(r * n_r) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_r) AS BIGINT) AS vocab,
+        |    CAST(sum(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN r = 2 THEN n_r ELSE 0 END) AS BIGINT) AS n2
+        |  FROM ff GROUP BY 1)
+        |SELECT g AS lang, n_tokens, vocab, n1, n2,
+        |  round(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) AS p_unseen,
+        |  round(CAST(vocab AS DOUBLE) + CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |    / (2.0 * CAST(greatest(n2, 1) AS DOUBLE)), 6) AS chao1,
+        |  round(2.0 * CAST(n2 AS DOUBLE) / CAST(greatest(n1, 1) AS DOUBLE), 9) AS r_star_1
+        |FROM rep ORDER BY lang""".stripMargin)),
+
+    // RFM1: recency/frequency/monetary quintile segmentation of the
+    // order book — exact micro spend, deterministic (metric, entity)
+    // ntile scores, q³-bounded segment rollup.
+    "rfm1_rfm_segments" -> Q(
+      (s, d) => graft.ops.Sessions.rfmSegments(
+          s.read.parquet(s"$d/orders.parquet"),
+          "o_custkey", "o_orderdate", "o_totalprice", q = 5)
+        .orderBy("r", "f", "m"),
+      Some("""WITH per AS MATERIALIZED (SELECT o_custkey AS e,
+        |    max(o_orderdate) AS last_t, CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS mon_micro
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT max(last_t) AS anchor FROM per),
+        |sc AS MATERIALIZED (SELECT e, freq, mon_micro,
+        |    CAST(date_diff('day', last_t, a.anchor) AS BIGINT) AS rec_days
+        |  FROM per, a),
+        |sc2 AS MATERIALIZED (SELECT e, mon_micro, rec_days,
+        |    CAST(ntile(5) OVER (ORDER BY rec_days DESC, e ASC) AS BIGINT) AS r,
+        |    CAST(ntile(5) OVER (ORDER BY freq ASC, e ASC) AS BIGINT) AS f,
+        |    CAST(ntile(5) OVER (ORDER BY mon_micro ASC, e ASC) AS BIGINT) AS m
+        |  FROM sc)
+        |SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_entities,
+        |  CAST(min(rec_days) AS BIGINT) AS rec_min,
+        |  CAST(max(rec_days) AS BIGINT) AS rec_max,
+        |  round(CAST(sum(CAST(mon_micro AS DECIMAL(38,0))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 1e6, 6) AS avg_monetary
+        |FROM sc2 GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin)),
+
     // WL1: Weisfeiler–Lehman refinement fingerprint of the handoff
     // graph — distinct-label trajectory per round + an order-free
     // 60-bit final-labeling hash; the graph-shape drift signature.

@@ -459,4 +459,121 @@ object Classify {
     wins.unpersist(false); cur.unpersist(false)
     out
   }
+
+  /** Threshold-free scorer evaluation: ROC-AUC (tie-corrected
+    * Mann–Whitney rank form) and average precision (the PR-AUC
+    * sklearn reports) of an INTEGER score column against a boolean
+    * label — the standard readout for any ranking-style quality /
+    * langid / relevance scorer before a threshold is picked.
+    *
+    * Determinism: the corpus reduces to per-distinct-score (pos, cnt)
+    * cells; rank sums use the integer identity
+    * `2·rank_avg = 2·cum_before + cnt + 1` (exact decimal sums — no
+    * float rank), and each PR step quantizes precision to pico by
+    * integer floor-division BEFORE the order-free Σ, so both engines
+    * add the same longs. Final AUC/AP are single display divisions.
+    * Caps: `cum_tp·10¹²` must fit a long → ≤9·10⁶ positives (rescale
+    * to nano beyond).
+    *
+    * Scale: ONE combinable group-by-score pass over the corpus; the
+    * two cumulative windows run on the distinct-score table (score-
+    * cardinality–sized, documented single-partition — an integer score
+    * has bounded range, not corpus-sized range).
+    */
+  def rocPrReport(df: DataFrame, scoreCol: String,
+                  labelCol: String): DataFrame = {
+    val S = 1000000000000L
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = df.groupBy(col(scoreCol).cast("long").as("s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).cast("long").as("pos"),
+        count(lit(1)).cast("long").as("cnt"))
+    val wAsc = Window.orderBy(col("s").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wDesc = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cells = g
+      .withColumn("cum_before", coalesce(sum(col("cnt")).over(wAsc), lit(0L)))
+      .withColumn("rank2", lit(2L) * col("cum_before") + col("cnt") + lit(1L))
+      .withColumn("cum_tp", sum(col("pos")).over(wDesc).cast("long"))
+      .withColumn("cum_n", sum(col("cnt")).over(wDesc).cast("long"))
+      // precision at this threshold, pico-quantized BEFORE the sum
+      .withColumn("prec_pico", expr(s"(cum_tp * ${S}L) div cum_n"))
+    val m = cells.agg(
+      sum(col("cnt")).cast("long").as("n"),
+      sum(col("pos")).cast("long").as("n_pos"),
+      count(lit(1)).cast("long").as("n_thresholds"),
+      sum(dec(col("pos")) * dec(col("rank2"))).as("r1_2"),
+      sum(dec(col("pos")) * dec(col("prec_pico"))).as("ap_sum"))
+    m.select(col("n"), col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
+      col("n_thresholds"),
+      round((col("r1_2").cast("double") -
+          col("n_pos").cast("double") * (col("n_pos").cast("double") + 1.0)) /
+        (lit(2.0) * col("n_pos").cast("double") *
+          (col("n") - col("n_pos")).cast("double")), 9).as("auc"),
+      round(col("ap_sum").cast("double") /
+        (col("n_pos").cast("double") * 1e12), 9).as("avg_precision"))
+  }
+
+  /** Weight-of-evidence / information-value report (the credit-scoring
+    * predictive-power audit, Siddiqi 2006): quantile-bin an integer
+    * score, per bin `WOE = ln(smoothed good share / smoothed bad
+    * share)` and its IV term; every row also carries the total IV —
+    * the single number that says whether the score is worth
+    * thresholding (<0.02 useless, >0.3 strong).
+    *
+    * Determinism: bins come from `ntile` over the TOTALLY ordered
+    * (score, id) pair — bit-identical bucketing in both engines; bin
+    * counts are exact longs; the +0.5 Laplace smoothing is kept as the
+    * integer identity `(2g+1)/(2G+k)` so each WOE is one `ln` of a
+    * ratio of exact integer products (decimal-cast — no overflow), and
+    * IV terms pico-quantize before the order-free total.
+    *
+    * Scale: ntile needs a total order — run it per score-shard at real
+    * scale or feed pre-binned scores; here the ORDER is over (long,
+    * long) pairs only after a narrow projection. Everything after the
+    * bin pass is bins-sized.
+    */
+  def woeIvReport(df: DataFrame, scoreCol: String, labelCol: String,
+                  idCol: String, bins: Int = 10): DataFrame = {
+    val perBin = df
+      .select(col(scoreCol).cast("long").as("s"), col(idCol).as("id"),
+        when(col(labelCol), 1L).otherwise(0L).as("y"))
+      .withColumn("bin", ntile(bins).over(
+        Window.orderBy(col("s").asc, col("id").asc)))
+      .groupBy("bin")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum("y").cast("long").as("n_good"),
+        min("s").as("s_min"), max("s").as("s_max"))
+      .withColumn("n_bad", col("n") - col("n_good"))
+    val tot = perBin.agg(sum("n_good").cast("long").as("g_tot"),
+      sum("n_bad").cast("long").as("b_tot")).withColumn("k", lit(bins.toLong))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val terms = perBin.crossJoin(broadcast(tot))
+      // woe = ln( ((2g+1)/(2G+k)) / ((2b+1)/(2B+k)) ) as ONE ln of an
+      // exact-integer-product ratio
+      .withColumn("woe",
+        log((dec(lit(2L) * col("n_good") + 1L) * dec(lit(2L) * col("b_tot") + col("k")))
+            .cast("double") /
+          (dec(lit(2L) * col("n_bad") + 1L) * dec(lit(2L) * col("g_tot") + col("k")))
+            .cast("double")))
+      .withColumn("gs", (lit(2L) * col("n_good") + 1L).cast("double") /
+        (lit(2L) * col("g_tot") + col("k")).cast("double"))
+      .withColumn("bs", (lit(2L) * col("n_bad") + 1L).cast("double") /
+        (lit(2L) * col("b_tot") + col("k")).cast("double"))
+      .withColumn("iv_pico",
+        floor((col("gs") - col("bs")) * col("woe") * lit(1e12) + lit(0.5))
+          .cast("long"))
+      .persist()
+    val ivTot = terms.agg(sum(dec(col("iv_pico"))).as("iv_sum"))
+      .select(round(col("iv_sum").cast("double") / 1e12, 9).as("iv_total"))
+    val out = terms.crossJoin(broadcast(ivTot))
+      .select(col("bin").cast("long").as("bin"), col("s_min"), col("s_max"),
+        col("n"), col("n_good"), col("n_bad"),
+        round(col("woe"), 9).as("woe"),
+        round(col("iv_pico").cast("double") / 1e12, 9).as("iv_term"),
+        col("iv_total"))
+      .localCheckpoint() // bins rows; lets the cache drop
+    terms.unpersist(false)
+    out
+  }
 }

@@ -76,4 +76,48 @@ object Sessions {
       .withColumn("trail_sum",
         sum(col(valueCol).cast("decimal(18,6)")).over(w).cast("double"))
   }
+
+  /** RFM segmentation (Hughes 1994 — the classic customer-value
+    * triage): per entity recency (days since last activity, vs the
+    * dataset's max date), frequency (activity count) and monetary
+    * (exact micro-quantized spend), each scored into `q` quintile-style
+    * buckets, then rolled up per (r, f, m) segment with its size and
+    * average spend — "who are our champions / at-risk / hibernating".
+    *
+    * Determinism: monetary sums are exact micro longs; the three
+    * `ntile` scores run over TOTALLY ordered (metric, entity-id) pairs
+    * so bucketing is engine-exact (higher bucket = better: more
+    * recent / more frequent / higher spend).
+    *
+    * Scale: one combinable per-entity rollup (the only input-sized
+    * pass); the ntile total orders run on the ENTITY table. At true
+    * scale swap ntile for fixed thresholds or percentile_approx cuts —
+    * the rollup shape is unchanged; the segment output is q³-bounded.
+    */
+  def rfmSegments(orders: DataFrame, entityCol: String, tsCol: String,
+                  amountCol: String, q: Int = 5): DataFrame = {
+    val per = orders
+      .select(col(entityCol).as("e"), col(tsCol).as("t"),
+        floor(col(amountCol) * lit(1e6) + lit(0.5)).cast("long").as("a"))
+      .groupBy("e")
+      .agg(max("t").as("last_t"), count(lit(1)).cast("long").as("freq"),
+        sum("a").as("mon_micro"))
+    val anchor = per.agg(max("last_t").as("__anchor"))
+    val scored = per.crossJoin(broadcast(anchor))
+      .withColumn("rec_days", datediff(col("__anchor"), col("last_t")).cast("long"))
+      .withColumn("r", ntile(q).over(
+        Window.orderBy(col("rec_days").desc, col("e").asc)).cast("long"))
+      .withColumn("f", ntile(q).over(
+        Window.orderBy(col("freq").asc, col("e").asc)).cast("long"))
+      .withColumn("m", ntile(q).over(
+        Window.orderBy(col("mon_micro").asc, col("e").asc)).cast("long"))
+    scored.groupBy("r", "f", "m")
+      .agg(count(lit(1)).cast("long").as("n_entities"),
+        sum(col("mon_micro").cast("decimal(38,0)")).as("seg_micro"),
+        min("rec_days").as("rec_min"), max("rec_days").as("rec_max"))
+      .select(col("r"), col("f"), col("m"), col("n_entities"),
+        col("rec_min"), col("rec_max"),
+        round(col("seg_micro").cast("double") /
+          col("n_entities").cast("double") / 1e6, 6).as("avg_monetary"))
+  }
 }

@@ -786,4 +786,43 @@ object Text {
       slope.as("beta"),
       ((sy - slope * sx) / nD / 1e9).as("log_k"))
   }
+
+  /** Good–Turing / Chao1 vocabulary-richness report per group — "how
+    * much of this language's vocabulary have we NOT seen yet?": from
+    * the frequency-of-frequencies, the Good–Turing unseen-mass estimate
+    * `P₀ = N₁/N` (Good 1953), the Chao1 richness floor
+    * `V + N₁²/(2N₂)` (Chao 1984), and the GT-adjusted hapax count
+    * `r*₁ = 2N₂/N₁` — the corpus-growth planning numbers (is more
+    * crawl worth it for language X?).
+    *
+    * Determinism: everything up to the two display divisions is exact
+    * integer counting; N₁/N₂ guards use `greatest(·,1)` (documented:
+    * Chao1 degenerates to V when no doubletons exist).
+    *
+    * Scale: token explode → (group, token) count → freq-of-freq —
+    * two combinable shuffles, the first corpus-sized, the second
+    * vocabulary-sized; the report is groups×max-r-bounded.
+    */
+  def goodTuringReport(docs: DataFrame, groupCol: String = "lang",
+                       textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(groupCol).as("g"),
+        explode(tokensCol(lower(col(textCol)))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val freq = toks.groupBy("g", "tok").agg(count(lit(1)).cast("long").as("r"))
+    val fof = freq.groupBy("g", "r").agg(count(lit(1)).cast("long").as("n_r"))
+    fof.groupBy("g").agg(
+        sum(col("r") * col("n_r")).cast("long").as("n_tokens"),
+        sum("n_r").cast("long").as("vocab"),
+        sum(when(col("r") === 1L, col("n_r")).otherwise(0L)).cast("long").as("n1"),
+        sum(when(col("r") === 2L, col("n_r")).otherwise(0L)).cast("long").as("n2"))
+      .select(col("g").as(groupCol), col("n_tokens"), col("vocab"),
+        col("n1"), col("n2"),
+        round(col("n1").cast("double") / col("n_tokens").cast("double"), 9)
+          .as("p_unseen"),
+        round(col("vocab").cast("double") +
+          col("n1").cast("double") * col("n1").cast("double") /
+            (lit(2.0) * greatest(col("n2"), lit(1L)).cast("double")), 6).as("chao1"),
+        round(lit(2.0) * col("n2").cast("double") /
+          greatest(col("n1"), lit(1L)).cast("double"), 9).as("r_star_1"))
+  }
 }

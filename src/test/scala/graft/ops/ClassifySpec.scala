@@ -214,4 +214,43 @@ class ClassifySpec extends AnyFunSuite {
     assert(ss === 1L, "cycle symmetry broken")
     spark.catalog.clearCache()
   }
+
+  test("rocPrReport: hand-checked tie case and perfect separation") {
+    val s = spark
+    import s.implicits._
+    // scores [1,1,0], labels [T,F,F]: AUC = (1 + 0.5)/2 = 0.75, AP = 0.5
+    val tied = Seq((1L, true), (1L, false), (0L, false)).toDF("sc", "y")
+    val r = Classify.rocPrReport(tied, "sc", "y").head()
+    assert(r.getAs[Long]("n") === 3L && r.getAs[Long]("n_pos") === 1L)
+    assert(math.abs(r.getAs[Double]("auc") - 0.75) < 1e-9)
+    assert(math.abs(r.getAs[Double]("avg_precision") - 0.5) < 1e-9)
+    // perfect separation: AUC = AP = 1
+    val sep = Seq((5L, true), (4L, true), (1L, false), (0L, false))
+      .toDF("sc", "y")
+    val p = Classify.rocPrReport(sep, "sc", "y").head()
+    assert(math.abs(p.getAs[Double]("auc") - 1.0) < 1e-9)
+    assert(math.abs(p.getAs[Double]("avg_precision") - 1.0) < 1e-9)
+    // label-free scorer (all same score): AUC = 0.5 by tie correction
+    val flat = Seq((2L, true), (2L, false), (2L, true), (2L, false))
+      .toDF("sc", "y")
+    val f = Classify.rocPrReport(flat, "sc", "y").head()
+    assert(math.abs(f.getAs[Double]("auc") - 0.5) < 1e-9)
+  }
+
+  test("woeIvReport: bins partition the rows; IV total non-negative and matches term sum") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 200)
+      .map(i => (i.toLong, i.toLong, i % 3 == 0 || i > 150)).toDF("sc", "id", "y")
+    val rep = Classify.woeIvReport(rows, "sc", "y", "id", bins = 5).collect()
+    assert(rep.length === 5)
+    assert(rep.map(_.getAs[Long]("n")).sum === 200L)
+    val ivTotal = rep.head.getAs[Double]("iv_total")
+    rep.foreach(r => assert(r.getAs[Double]("iv_total") === ivTotal))
+    // (gs-bs)·ln(gs/bs) >= 0 term-wise, so the total is non-negative
+    assert(ivTotal >= 0.0)
+    assert(math.abs(rep.map(_.getAs[Double]("iv_term")).sum - ivTotal) < 1e-6)
+    // the high-score bins are good-heavy here, so their WOE is positive
+    assert(rep.maxBy(_.getAs[Long]("bin")).getAs[Double]("woe") > 0.0)
+  }
 }

@@ -1150,4 +1150,23 @@ class OpsSpec extends AnyFunSuite {
     // InMemoryRelations into tx12/tx18's plan-golden trees. Clear it.
     spark.catalog.clearCache()
   }
+
+  test("goodTuringReport: hand-counted freq-of-freq identities") {
+    import spark.implicits._
+    // corpus (one group): a a a b b c d -> N=7, V=4, N1=2 (c,d), N2=1 (b)
+    val docs = Seq(("g1", "a a a b"), ("g1", "b c d")).toDF("lang", "text")
+    val r = Text.goodTuringReport(docs).head()
+    assert(r.getAs[Long]("n_tokens") === 7L)
+    assert(r.getAs[Long]("vocab") === 4L)
+    assert(r.getAs[Long]("n1") === 2L && r.getAs[Long]("n2") === 1L)
+    assert(math.abs(r.getAs[Double]("p_unseen") - 2.0 / 7.0) < 1e-9)
+    // chao1 = V + N1²/(2·N2) = 4 + 4/2 = 6; r*1 = 2·N2/N1 = 1
+    assert(math.abs(r.getAs[Double]("chao1") - 6.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r_star_1") - 1.0) < 1e-9)
+    // no doubletons: chao1 degenerates via the greatest(n2,1) guard
+    val hapax = Seq(("g2", "x y z")).toDF("lang", "text")
+    val h = Text.goodTuringReport(hapax).head()
+    assert(h.getAs[Long]("n2") === 0L)
+    assert(math.abs(h.getAs[Double]("chao1") - (3.0 + 9.0 / 2.0)) < 1e-9)
+  }
 }

@@ -187,4 +187,32 @@ class SessionsSpec extends AnyFunSuite {
     assert(apple.getAs[String]("postings_head") === "1,2") // sorted, capped at 2
     assert(ix(1).getAs[String]("postings_head") === "1,3")
   }
+
+  test("rfmSegments: quintiles partition entities; monotone spend orders the m-score") {
+    import spark.implicits._
+    // 10 entities, one order each on distinct days, spend = 100·id:
+    // every metric is a strict total order, so each quintile holds 2
+    val orders = (1 to 10).map(i =>
+      (i.toLong, ts(f"2024-01-$i%02d 00:00:00"), 100.0 * i))
+      .toDF("cust", "odate", "amount")
+    val seg = Sessions.rfmSegments(orders, "cust", "odate", "amount", q = 5)
+      .collect()
+    assert(seg.map(_.getAs[Long]("n_entities")).sum === 10L)
+    // freq is constant (all 1): ntile falls back to the id tiebreak,
+    // still a partition into 5 buckets of 2
+    val mTotal = seg.groupBy(_.getAs[Long]("m")).view
+      .mapValues(_.map(_.getAs[Long]("n_entities")).sum).toMap
+    assert(mTotal === (1L to 5L).map(_ -> 2L).toMap)
+    // spend grows with id and recency grows with id: the top-m segment
+    // is also the most recent (r = 5) and has the highest avg spend
+    val byM = seg.sortBy(_.getAs[Long]("m"))
+    assert(byM.last.getAs[Double]("avg_monetary") >
+      byM.head.getAs[Double]("avg_monetary"))
+    val topM = seg.filter(_.getAs[Long]("m") === 5L)
+    assert(topM.forall(_.getAs[Long]("r") === 5L))
+    // recency is measured against the dataset max date: the newest
+    // entity has rec_days = 0
+    assert(seg.filter(_.getAs[Long]("r") === 5L)
+      .map(_.getAs[Long]("rec_min")).min === 0L)
+  }
 }
