@@ -149,6 +149,67 @@ object QueriesOps {
       s"\nSELECT v AS user_id, pr FROM r$PageRankIters ORDER BY user_id"
   }
 
+  /** DuckDB oracle for hits1: 8 HITS rounds unrolled (MATERIALIZED —
+    * each normalizer subquery re-reads its round's raw table). L1
+    * normalization; zero-valued nodes add exact 0.0 to every sum, so
+    * both engines normalize by the same value (mod float order, which
+    * the 9-decimal compare absorbs — same contract as pg1).
+    */
+  private val HitsIters = 8
+  private val HitsOracle: String = {
+    val base = """WITH ed AS MATERIALIZED (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT lag(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS src,
+      |           user_id AS dst FROM events)
+      |  WHERE src IS NOT NULL AND src != dst),
+      |nodes AS MATERIALIZED (SELECT src AS v FROM ed UNION SELECT dst FROM ed),
+      |h0 AS (SELECT v, 1.0 AS h FROM nodes)""".stripMargin
+    val rounds = (1 to HitsIters).map { k =>
+      s""",
+         |ra$k AS MATERIALIZED (SELECT ed.dst AS v, sum(p.h) AS r
+         |  FROM ed JOIN h${k - 1} p ON p.v = ed.src GROUP BY 1),
+         |a$k AS MATERIALIZED (SELECT n.v,
+         |    coalesce(r.r, 0) / (SELECT sum(r) FROM ra$k) AS a
+         |  FROM nodes n LEFT JOIN ra$k r ON r.v = n.v),
+         |rh$k AS MATERIALIZED (SELECT ed.src AS v, sum(p.a) AS r
+         |  FROM ed JOIN a$k p ON p.v = ed.dst GROUP BY 1),
+         |h$k AS MATERIALIZED (SELECT n.v,
+         |    coalesce(r.r, 0) / (SELECT sum(r) FROM rh$k) AS h
+         |  FROM nodes n LEFT JOIN rh$k r ON r.v = n.v)""".stripMargin
+    }.mkString
+    base + rounds +
+      s"""
+         |SELECT h.v AS user_id, h.h AS hub, a.a AS authority
+         |FROM h$HitsIters h JOIN a$HitsIters a ON a.v = h.v
+         |ORDER BY user_id""".stripMargin
+  }
+
+  /** DuckDB oracle for as1: undirected-degree Pearson over both edge
+    * orientations — exact decimal moments, one double division.
+    */
+  private val AssortativityOracle: String =
+    """WITH ed AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT lag(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS src,
+      |           user_id AS dst FROM events)
+      |  WHERE src IS NOT NULL AND src != dst),
+      |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM ed),
+      |deg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS deg
+      |  FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+      |p AS (SELECT dx.deg AS x, dy.deg AS y
+      |  FROM und JOIN deg dx ON dx.v = und.a JOIN deg dy ON dy.v = und.b),
+      |bo AS (SELECT x, y FROM p UNION ALL SELECT y, x FROM p),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS m,
+      |    sum(CAST(x AS DECIMAL(38,0))) AS sx,
+      |    sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+      |    sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy
+      |  FROM bo)
+      |SELECT nn.n_nodes, m // 2 AS n_edges,
+      |  round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS assortativity
+      |FROM m, nn""".stripMargin
+
   /** DuckDB oracle for bpe1/bpe2: the BPE merge loop UNROLLED as
     * chained CTEs, mirroring [[graft.ops.Bpe.learnMerges]] round for
     * round. Each round: pairs from the current word table (1-indexed
@@ -4404,6 +4465,28 @@ object QueriesOps {
           iterations = PageRankIters)
         .select(col("v").as("user_id"), col("pr")).orderBy("user_id"),
       Some(PageRankOracle)),
+
+    // HITS1: hubs & authorities over the handoff graph — 8 L1-
+    // normalized rounds on pg1's static edge partitioning; the
+    // oracle unrolls every round.
+    "hits1_hubs_authorities" -> Q(
+      (s, d) => Graph.hits(
+          Graph.handoffEdges(Queries.events(s, d),
+            streamCol = "event_type", keyCol = "user_id",
+            tsCol = "ts", tieCol = "event_id"),
+          iterations = HitsIters)
+        .select(col("v").as("user_id"), col("hub"), col("authority"))
+        .orderBy("user_id"),
+      Some(HitsOracle)),
+
+    // AS1: degree assortativity of the (undirected) handoff graph —
+    // exact decimal moments over both edge orientations, one division.
+    "as1_assortativity" -> Q(
+      (s, d) => Graph.degreeAssortativity(
+          Graph.handoffEdges(Queries.events(s, d),
+            streamCol = "event_type", keyCol = "user_id",
+            tsCol = "ts", tieCol = "event_id")),
+      Some(AssortativityOracle)),
 
     // MK1: Markov steady-state event mix — per-user event-type
     // transition counts power-iterated to the distribution the stream

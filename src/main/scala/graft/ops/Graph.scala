@@ -513,4 +513,112 @@ object Graph {
     ed.unpersist()
     dist
   }
+
+  /** HITS hubs & authorities (Kleinberg, JACM'99) with L1
+    * normalization, run for a FIXED `iterations` (deterministic — no
+    * convergence tolerance an oracle would have to reproduce): each
+    * round `a(v) = Σ_{u→v} h(u)` then `h(u) = Σ_{u→v} a(v)`, each
+    * rescaled to sum 1. The directed complement to [[pageRank]] —
+    * "who routes attention" (hubs) vs "who receives it" (authorities).
+    *
+    * Scale: identical machinery to [[pageRank]] — the edge set is
+    * shuffled ONCE onto a static partitioning; every iteration is two
+    * O(nodes)-table joins onto it, two combinable sum-shuffles, and
+    * two 1-row normalizer aggregates broadcast back in-plan (no
+    * driver-side collect). Per-round lineage cut + unpersist keeps the
+    * analyzer tree O(1)-deep. Zero-valued nodes add exact 0.0 to the
+    * normalizers, so dangling structure cannot perturb the sums.
+    */
+  def hits(edges: DataFrame, iterations: Int = 8): DataFrame = {
+    val spark = edges.sparkSession
+    def shallow(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
+
+    val ed = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = ed.select(col("src").as("v")).union(ed.select(col("dst").as("v")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+
+    def normalized(raw: DataFrame, vc: String, out: String): DataFrame = {
+      val full = nodes.join(raw, nodes("v") === raw(vc), "left")
+        .select(nodes("v"), coalesce(col("__r"), lit(0.0)).as("__r"))
+      val tot = full.agg(sum(col("__r")).as("__t"))
+      full.crossJoin(broadcast(tot))
+        .select(col("v"), (col("__r") / col("__t")).as(out))
+    }
+
+    var hub = shallow(nodes.withColumn("h", lit(1.0))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    var auth: DataFrame = null
+    var prevH: DataFrame = null
+    var prevA: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val a = normalized(
+        ed.join(hub, ed("src") === hub("v"))
+          .groupBy(col("dst").as("av")).agg(sum(col("h")).as("__r")),
+        "av", "a").persist(StorageLevel.MEMORY_AND_DISK)
+      a.count()
+      val h = normalized(
+        ed.join(a, ed("dst") === a("v"))
+          .groupBy(col("src").as("hv")).agg(sum(col("a")).as("__r")),
+        "hv", "h").persist(StorageLevel.MEMORY_AND_DISK)
+      h.count()
+      if (prevH != null) prevH.unpersist()
+      if (prevA != null) prevA.unpersist()
+      prevH = hub; prevA = auth
+      hub = shallow(h); auth = shallow(a)
+    }
+    val out = hub.join(auth.withColumnRenamed("v", "va"),
+        hub("v") === col("va"))
+      .select(col("v"), col("h").as("hub"), col("a").as("authority"))
+    ed.unpersist()
+    out
+  }
+
+  /** Degree assortativity (Newman, PRL'02): the Pearson correlation of
+    * endpoint degrees over every undirected edge, both orientations —
+    * r > 0 means hubs link to hubs (social nets), r < 0 means hubs
+    * link to leaves (hub-and-spoke infrastructure). The one-number
+    * structural fingerprint complementing [[triangleStats]].
+    *
+    * Determinism: degrees are exact longs; the symmetric double-count
+    * makes Σx = Σy and Σx² = Σy², so r reduces to exact decimal
+    * moments with ONE double division at the end.
+    *
+    * Scale: degree table is nodes-sized, joined twice onto the edge
+    * list (narrow (long, long) rows), one combinable moment aggregate.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).cast("long").as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nNodes = deg.count()
+    val pairs = und
+      .join(deg.select(col("v").as("a"), col("deg").as("dx")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("dy")), "b")
+      .select(col("dx"), col("dy"))
+    val both = pairs.unionByName(
+      pairs.select(col("dy").as("dx"), col("dx").as("dy")))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val m = both.agg(
+      count(lit(1)).cast("long").as("m"),
+      sum(dec(col("dx"))).as("sx"),
+      sum(dec(col("dx")) * dec(col("dx"))).as("sxx"),
+      sum(dec(col("dx")) * dec(col("dy"))).as("sxy"))
+    val out = m.select(
+      lit(nNodes).as("n_nodes"), (col("m") / 2).cast("long").as("n_edges"),
+      round((col("m").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) /
+        (col("m").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")), 9)
+        .as("assortativity"))
+    val r = out.localCheckpoint() // 1 row; lets both caches drop
+    und.unpersist(false); deg.unpersist(false)
+    r
+  }
 }

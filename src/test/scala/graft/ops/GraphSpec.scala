@@ -254,4 +254,36 @@ class GraphSpec extends AnyFunSuite {
     val w = math.floor(1e12 / math.log(5.0) + 0.5) / 1e12
     up.foreach(r => assert(math.abs(r.getAs[Double]("score") - w) < 1e-6))
   }
+
+  test("hits: star center is the sole authority of an in-star, sole hub of an out-star") {
+    // out-star 0 -> 1..4: node 0 is the only hub, 1..4 equal authorities
+    val outStar = Graph.hits(edges((1L to 4L).map(i => (0L, i)): _*), iterations = 4)
+      .collect().map(r => r.getAs[Long]("v") ->
+        (r.getAs[Double]("hub"), r.getAs[Double]("authority"))).toMap
+    assert(math.abs(outStar(0L)._1 - 1.0) < 1e-12)
+    assert(math.abs(outStar(0L)._2 - 0.0) < 1e-12)
+    (1L to 4L).foreach { i =>
+      assert(math.abs(outStar(i)._2 - 0.25) < 1e-12)
+      assert(math.abs(outStar(i)._1 - 0.0) < 1e-12)
+    }
+    // L1 invariants on a less regular graph: both scores sum to 1
+    val g = Graph.hits(edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L)),
+      iterations = 6).collect()
+    assert(math.abs(g.map(_.getAs[Double]("hub")).sum - 1.0) < 1e-9)
+    assert(math.abs(g.map(_.getAs[Double]("authority")).sum - 1.0) < 1e-9)
+    spark.catalog.clearCache()
+  }
+
+  test("degreeAssortativity: star graph is maximally disassortative (r = -1)") {
+    val star = Graph.degreeAssortativity(edges((1L to 5L).map(i => (0L, i)): _*))
+      .head()
+    assert(star.getAs[Long]("n_nodes") === 6L)
+    assert(star.getAs[Long]("n_edges") === 5L)
+    assert(math.abs(star.getAs[Double]("assortativity") - (-1.0)) < 1e-9)
+    // direction and duplicate orientation must not matter
+    val dup = Graph.degreeAssortativity(
+      edges((1L to 5L).flatMap(i => Seq((0L, i), (i, 0L))): _*)).head()
+    assert(math.abs(dup.getAs[Double]("assortativity") - (-1.0)) < 1e-9)
+    spark.catalog.clearCache()
+  }
 }
