@@ -4466,6 +4466,100 @@ object QueriesOps {
         .select(col("v").as("user_id"), col("pr")).orderBy("user_id"),
       Some(PageRankOracle)),
 
+    // IPW1: stratified treatment-effect estimate — heavy-signup users
+    // (treated) vs the rest on total purchase value, subclassified on
+    // engagement (event-count decade buckets): the confounder both
+    // drives signups and purchases, so ate != naive_diff.
+    "ipw1_stratified_ate" -> Q(
+      (s, d) => {
+        val units = Queries.events(s, d).groupBy("user_id").agg(
+            (sum(when(col("event_type") === "signup", 1L).otherwise(0L)) > 13L)
+              .as("treated"),
+            (sum(when(col("event_type") === "purchase",
+              floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+              .otherwise(0L)).cast("double") / lit(1e6)).as("outcome"),
+            count(lit(1)).cast("long").as("n_ev"))
+          .withColumn("stratum", expr("n_ev div 10"))
+        graft.ops.Stats.stratifiedAte(units, "stratum", "treated", "outcome")
+          .orderBy("stratum")
+      },
+      Some("""WITH u AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) > 13 AS treated,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS out_micro,
+        |    CAST(count(*) AS BIGINT) AS n_ev
+        |  FROM events GROUP BY 1),
+        |un AS MATERIALIZED (SELECT n_ev // 10 AS stratum,
+        |    CASE WHEN treated THEN 1 ELSE 0 END AS arm,
+        |    CAST(floor(CAST(out_micro AS DOUBLE) / 1e6 * 1e6 + 0.5) AS BIGINT) AS q
+        |  FROM u),
+        |cells AS (SELECT stratum, arm, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(q AS DECIMAL(38,0))) AS s FROM un GROUP BY 1, 2),
+        |st AS MATERIALIZED (SELECT stratum,
+        |    CAST(sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT) AS n_t,
+        |    sum(CASE WHEN arm = 1 THEN s ELSE CAST(0 AS DECIMAL(38,0)) END) AS s_t,
+        |    CAST(sum(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS n_c,
+        |    sum(CASE WHEN arm = 0 THEN s ELSE CAST(0 AS DECIMAL(38,0)) END) AS s_c
+        |  FROM cells GROUP BY 1),
+        |us AS (SELECT *, n_t + n_c AS n_s,
+        |    CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS mtm,
+        |    CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS mcm
+        |  FROM st WHERE n_t > 0 AND n_c > 0),
+        |us2 AS MATERIALIZED (SELECT *,
+        |    CAST(floor((mtm - mcm) * CAST(n_s AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS term_pico
+        |  FROM us),
+        |dr AS (SELECT CAST(count(*) AS BIGINT) AS n_strata_dropped,
+        |    CAST(coalesce(sum(n_t + n_c), 0) AS BIGINT) AS n_units_dropped
+        |  FROM st WHERE n_t = 0 OR n_c = 0),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_strata_used,
+        |    CAST(sum(n_s) AS BIGINT) AS n_units_used,
+        |    sum(CAST(term_pico AS DECIMAL(38,0))) AS ate_sum,
+        |    CAST(sum(n_t) AS BIGINT) AS nt_all, CAST(sum(n_c) AS BIGINT) AS nc_all,
+        |    sum(s_t) AS st_all, sum(s_c) AS sc_all FROM us2),
+        |summ AS (SELECT n_strata_used, n_strata_dropped, n_units_used, n_units_dropped,
+        |    round(CAST(ate_sum AS DOUBLE) / (CAST(n_units_used AS DOUBLE) * 1e12), 6) AS ate,
+        |    round((CAST(st_all AS DOUBLE) / CAST(nt_all AS DOUBLE)
+        |      - CAST(sc_all AS DOUBLE) / CAST(nc_all AS DOUBLE)) / 1e6, 6) AS naive_diff
+        |  FROM tt, dr)
+        |SELECT us2.stratum, us2.n_t, us2.n_c,
+        |  round(mtm / 1e6, 6) AS mean_t, round(mcm / 1e6, 6) AS mean_c,
+        |  round((mtm - mcm) / 1e6, 6) AS diff,
+        |  summ.* FROM us2, summ ORDER BY stratum""".stripMargin)),
+
+    // JB1: Jarque–Bera normality gate per event type — raw power sums
+    // (exact decimals), fixed-order central-moment expansion, χ²₂ cut.
+    "jb1_jarque_bera" -> Q(
+      (s, d) => graft.ops.Stats.jarqueBera(Queries.events(s, d),
+          "value", "event_type")
+        .orderBy("event_type"),
+      Some("""WITH q AS (SELECT event_type AS g,
+        |    CAST(floor(value * 1e3 + 0.5) AS BIGINT) AS x FROM events),
+        |m AS MATERIALIZED (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(38,0))) AS s1,
+        |    sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS s2r,
+        |    sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS s3r,
+        |    sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS s4r
+        |  FROM q GROUP BY 1),
+        |e AS MATERIALIZED (SELECT g, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    CAST(s2r AS DOUBLE) / CAST(n AS DOUBLE) AS p2,
+        |    CAST(s3r AS DOUBLE) / CAST(n AS DOUBLE) AS p3,
+        |    CAST(s4r AS DOUBLE) / CAST(n AS DOUBLE) AS p4
+        |  FROM m),
+        |c AS MATERIALIZED (SELECT g, n, nd,
+        |    p2 - mean * mean AS m2,
+        |    p3 - 3.0 * mean * p2 + 2.0 * mean * mean * mean AS m3,
+        |    p4 - 4.0 * mean * p3 + 6.0 * mean * mean * p2
+        |      - 3.0 * mean * mean * mean * mean AS m4
+        |  FROM e),
+        |sk AS MATERIALIZED (SELECT g, n, nd,
+        |    m3 / pow(m2, 1.5) AS skew, m4 / (m2 * m2) - 3.0 AS kurt FROM c)
+        |SELECT g AS event_type, n,
+        |  round(skew, 9) AS skewness, round(kurt, 9) AS ex_kurtosis,
+        |  round(nd / 6.0 * (skew * skew + kurt * kurt / 4.0), 9) AS jb_stat,
+        |  nd / 6.0 * (skew * skew + kurt * kurt / 4.0) > 5.991 AS reject_normal
+        |FROM sk ORDER BY event_type""".stripMargin)),
+
     // HITS1: hubs & authorities over the handoff graph — 8 L1-
     // normalized rounds on pg1's static edge partitioning; the
     // oracle unrolls every round.

@@ -1078,4 +1078,128 @@ object Stats {
     }
     pairs.reduce(_ unionByName _)
   }
+
+  /** Stratified treatment-effect estimate (the exact-matching /
+    * subclassification form of inverse-propensity weighting —
+    * Rosenbaum & Rubin 1984's subclassification on the propensity
+    * proxy): within each stratum of a confounder, difference the arm
+    * means; the ATE is the stratum-size-weighted sum over strata that
+    * contain BOTH arms. The observational-data companion to ab1/ab2
+    * (which assume randomized arms).
+    *
+    * Input: one row per UNIT with (stratumCol, treatedCol boolean,
+    * outcome double). Output: one row per usable stratum (sizes, arm
+    * means, diff, weight) with the overall `ate` and the confounded
+    * `naive_diff` repeated on each row, plus counts of dropped
+    * single-arm strata/units in every row for audit.
+    *
+    * Determinism: outcomes micro-quantize and aggregate as exact
+    * integers per (stratum, arm) — ONE combinable corpus pass; each
+    * stratum's term `n_s · (mean₁ − mean₀)` pico-quantizes before the
+    * order-free total. Strata counts are bounded (confounder
+    * cardinality), so everything after the first pass is tiny.
+    */
+  def stratifiedAte(units: DataFrame, stratumCol: String,
+                    treatedCol: String, outcomeCol: String): DataFrame = {
+    val cells = units
+      .select(col(stratumCol).as("stratum"),
+        when(col(treatedCol), 1L).otherwise(0L).as("arm"),
+        floor(col(outcomeCol) * lit(1e6) + lit(0.5)).cast("long").as("q"))
+      .groupBy("stratum", "arm")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("q").cast("decimal(38,0)")).as("s"))
+    val strata = cells.groupBy("stratum").agg(
+        sum(when(col("arm") === 1L, col("n")).otherwise(0L)).cast("long").as("n_t"),
+        sum(when(col("arm") === 1L, col("s")).otherwise(lit(0).cast("decimal(38,0)"))).as("s_t"),
+        sum(when(col("arm") === 0L, col("n")).otherwise(0L)).cast("long").as("n_c"),
+        sum(when(col("arm") === 0L, col("s")).otherwise(lit(0).cast("decimal(38,0)"))).as("s_c"))
+      .persist()
+    val usable = strata.filter(col("n_t") > 0 && col("n_c") > 0)
+      .withColumn("n_s", col("n_t") + col("n_c"))
+      .withColumn("mean_t_micro", col("s_t").cast("double") / col("n_t").cast("double"))
+      .withColumn("mean_c_micro", col("s_c").cast("double") / col("n_c").cast("double"))
+      // stratum term n_s·diff, micro → pico BEFORE the order-free sum
+      .withColumn("term_pico",
+        floor((col("mean_t_micro") - col("mean_c_micro")) *
+          col("n_s").cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+      .persist()
+    val dropped = strata.filter(col("n_t") === 0 || col("n_c") === 0)
+      .agg(count(lit(1)).cast("long").as("n_strata_dropped"),
+        coalesce(sum(col("n_t") + col("n_c")), lit(0L)).cast("long")
+          .as("n_units_dropped"))
+    val tot = usable.agg(
+      count(lit(1)).cast("long").as("n_strata_used"),
+      sum("n_s").cast("long").as("n_units_used"),
+      sum(col("term_pico").cast("decimal(38,0)")).as("ate_sum"),
+      sum("n_t").cast("long").as("nt_all"), sum("n_c").cast("long").as("nc_all"),
+      sum("s_t").as("st_all"), sum("s_c").as("sc_all"))
+    val summary = tot.crossJoin(dropped).select(
+      col("n_strata_used"), col("n_strata_dropped"), col("n_units_used"),
+      col("n_units_dropped"),
+      round(col("ate_sum").cast("double") /
+        (col("n_units_used").cast("double") * lit(1e12)), 6).as("ate"),
+      round((col("st_all").cast("double") / col("nt_all").cast("double") -
+        col("sc_all").cast("double") / col("nc_all").cast("double")) / 1e6, 6)
+        .as("naive_diff"))
+    val out = usable.crossJoin(broadcast(summary))
+      .select(col("stratum"), col("n_t"), col("n_c"),
+        round(col("mean_t_micro") / 1e6, 6).as("mean_t"),
+        round(col("mean_c_micro") / 1e6, 6).as("mean_c"),
+        round((col("mean_t_micro") - col("mean_c_micro")) / 1e6, 6).as("diff"),
+        col("n_strata_used"), col("n_strata_dropped"),
+        col("n_units_used"), col("n_units_dropped"),
+        col("ate"), col("naive_diff"))
+      .localCheckpoint() // strata-bounded rows; lets both caches drop
+    strata.unpersist(false); usable.unpersist(false)
+    out
+  }
+
+  /** Jarque–Bera normality test per group (JB 1980): skewness and
+    * excess kurtosis from exact central moments, `JB = n/6·(S² + K²/4)`
+    * against the χ²₂ 95% cut (5.991) — the "is this metric even
+    * remotely normal?" gate that decides between ab1's t-test and
+    * mw1's rank test.
+    *
+    * Determinism: observations quantize to MILLI units; the four raw
+    * power sums Σx..Σx⁴ are exact order-free decimal sums (x⁴ at
+    * milli scale stays far inside decimal(38,0) even at 10¹⁰ rows —
+    * the n-SCALED deviation trick used elsewhere would overflow at
+    * the 4th power, so central moments come from the power-sum
+    * expansion instead, computed in ONE fixed-order double expression
+    * per group). The expansion's cancellation error is ~ulp·(mean/σ)⁴
+    * — negligible for any metric a monitor would test, and identical
+    * in both engines since the doubles and operation order match.
+    *
+    * Scale: ONE combinable pass, group-cardinality output.
+    */
+  def jarqueBera(df: DataFrame, valueCol: String,
+                 groupCol: String): DataFrame = {
+    val q = df.select(col(groupCol).as("g"),
+      floor(col(valueCol) * lit(1e3) + lit(0.5)).cast("long").as("x"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val xd = dec(col("x"))
+    val mom = q.groupBy("g")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(xd).as("s1"), sum(xd * xd).as("s2r"),
+        sum(xd * xd * xd).as("s3r"), sum(xd * xd * xd * xd).as("s4r"))
+    val nd = col("n").cast("double")
+    val mean = col("s1").cast("double") / nd
+    val m2 = col("s2r").cast("double") / nd - mean * mean
+    val m3 = col("s3r").cast("double") / nd -
+      lit(3.0) * mean * (col("s2r").cast("double") / nd) +
+      lit(2.0) * mean * mean * mean
+    val m4 = col("s4r").cast("double") / nd -
+      lit(4.0) * mean * (col("s3r").cast("double") / nd) +
+      lit(6.0) * mean * mean * (col("s2r").cast("double") / nd) -
+      lit(3.0) * mean * mean * mean * mean
+    val skew = m3 / pow(m2, 1.5)
+    val kurt = m4 / (m2 * m2) - lit(3.0)
+    mom.select(col("g").as(groupCol), col("n"),
+        round(skew, 9).as("skewness"),
+        round(kurt, 9).as("ex_kurtosis"),
+        round(nd / lit(6.0) * (skew * skew + kurt * kurt / lit(4.0)), 9)
+          .as("jb_stat"),
+        (nd / lit(6.0) * (skew * skew + kurt * kurt / lit(4.0)) > lit(5.991))
+          .as("reject_normal"))
+  }
 }

@@ -624,4 +624,65 @@ class StatsSpec extends AnyFunSuite {
     assert(m(("y", "z")) === -1.0)
     assert(got.forall(_.getAs[Long]("n") === 3L))
   }
+
+  test("stratifiedAte: hand-built confounder, single-arm stratum dropped") {
+    import spark.implicits._
+    // stratum A: treated mean 10, control mean 8 (diff 2, 4 units)
+    // stratum B: treated mean 20, control mean 19 (diff 1, 4 units)
+    // stratum C: control only (2 units) -> dropped
+    val units = Seq(
+      ("A", true, 10.0), ("A", true, 10.0), ("A", false, 8.0), ("A", false, 8.0),
+      ("B", true, 20.0), ("B", true, 20.0), ("B", false, 19.0), ("B", false, 19.0),
+      ("C", false, 5.0), ("C", false, 7.0)
+    ).toDF("stratum", "treated", "outcome")
+    val got = Stats.stratifiedAte(units, "stratum", "treated", "outcome")
+      .orderBy("stratum").collect()
+    assert(got.length === 2)
+    assert(got.forall(_.getAs[Long]("n_strata_used") === 2L))
+    assert(got.forall(_.getAs[Long]("n_strata_dropped") === 1L))
+    assert(got.forall(_.getAs[Long]("n_units_dropped") === 2L))
+    // ate = (4·2 + 4·1)/8 = 1.5
+    assert(math.abs(got.head.getAs[Double]("ate") - 1.5) < 1e-6)
+    val a = got.find(_.getAs[String]("stratum") == "A").get
+    assert(math.abs(a.getAs[Double]("diff") - 2.0) < 1e-6)
+    // naive diff over the used strata: treated mean 15, control 13.5
+    assert(math.abs(got.head.getAs[Double]("naive_diff") - 1.5) < 1e-6)
+  }
+
+  test("stratifiedAte: confounding separates ate from naive_diff") {
+    import spark.implicits._
+    // treated concentrate in the high-outcome stratum: naive diff is
+    // inflated, the stratified estimate recovers the within-stratum 1.0
+    val units = Seq.tabulate(40) { i =>
+      val hi = i < 20
+      val treated = if (hi) i < 16 else i < 24 // 16/4 vs 4/16 split
+      val base = if (hi) 100.0 else 10.0
+      (if (hi) "hi" else "lo", treated, base + (if (treated) 1.0 else 0.0))
+    }.toDF("stratum", "treated", "outcome")
+    val got = Stats.stratifiedAte(units, "stratum", "treated", "outcome")
+      .collect()
+    assert(math.abs(got.head.getAs[Double]("ate") - 1.0) < 1e-6)
+    assert(got.head.getAs[Double]("naive_diff") > 30.0) // confounded
+  }
+
+  test("jarqueBera: symmetric two-point mass has skew 0, kurt -2; normal-ish passes") {
+    import spark.implicits._
+    val twoPoint = (1 to 100).map(i => ("a", if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("g", "v")
+    val r = Stats.jarqueBera(twoPoint, "v", "g").head()
+    assert(r.getAs[Long]("n") === 100L)
+    assert(math.abs(r.getAs[Double]("skewness")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ex_kurtosis") - (-2.0)) < 1e-9)
+    // JB = 100/6 · (0 + 4/4) = 16.67 > 5.991: two-point mass is not normal
+    assert(r.getAs[Boolean]("reject_normal"))
+    // a symmetric triangular-ish sample: skew exactly 0, and the JB
+    // statistic obeys its defining identity n/6·(S² + K²/4)
+    val tri = (-20 to 20).flatMap(k => Seq.fill(21 - math.abs(k))(("t", k / 10.0)))
+      .toDF("g", "v")
+    val t = Stats.jarqueBera(tri, "v", "g").head()
+    assert(math.abs(t.getAs[Double]("skewness")) < 1e-9)
+    val n = t.getAs[Long]("n").toDouble
+    val s = t.getAs[Double]("skewness"); val k = t.getAs[Double]("ex_kurtosis")
+    assert(math.abs(t.getAs[Double]("jb_stat") - n / 6.0 * (s * s + k * k / 4.0)) < 1e-6)
+  }
 }
