@@ -103,6 +103,71 @@ object OracleGen {
        |ORDER BY cluster, dim""".stripMargin
   }
 
+  /** sil1: simplified silhouette of the fixed-codebook assignment —
+    * same distance fold and (d², cid) tie order as km1Sql; per-point s
+    * pico-quantized before the per-cluster sum.
+    */
+  def sil1Sql(k: Int = 8, dim: Int = 64): String = {
+    val rows = Similarity.fixedCentroids(k, dim).map { c =>
+      s"(${c.id}, [${c.vec.mkString(", ")}])"
+    }.mkString(", ")
+    val dist =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+        s"i -> (v[CAST(i AS INTEGER)] - cv[CAST(i AS INTEGER)]) " +
+        s"* (v[CAST(i AS INTEGER)] - cv[CAST(i AS INTEGER)]))), (a, b) -> a + b)"
+    s"""WITH cent(cid, cv) AS (VALUES $rows),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |d AS MATERIALIZED (SELECT e.vec_id, cent.cid, $dist AS d2
+       |  FROM e CROSS JOIN cent),
+       |r AS MATERIALIZED (SELECT vec_id, cid, d2,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+       |  FROM d),
+       |ab AS (SELECT a.vec_id, a.cid AS cluster, sqrt(a.d2) AS da, sqrt(b.d2) AS db
+       |  FROM r a JOIN r b ON b.vec_id = a.vec_id AND b.rn = 2 WHERE a.rn = 1),
+       |sp AS MATERIALIZED (SELECT cluster,
+       |    CASE WHEN greatest(da, db) > 0
+       |      THEN CAST(floor((db - da) / greatest(da, db) * 1e12 + 0.5) AS BIGINT)
+       |      ELSE 0 END AS s_pico
+       |  FROM ab)
+       |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n,
+       |  round(CAST(sum(CAST(s_pico AS DECIMAL(38,0))) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) / 1e12, 9) AS mean_silhouette
+       |FROM sp GROUP BY 1 ORDER BY cluster""".stripMargin
+  }
+
+  /** cv2: Cramér's V association for each categorical column pair —
+    * full r×c grid (zero cells contribute e), per-cell χ² term
+    * micro-quantized before the order-free sum, V from the single
+    * closed form. `pairs` carries (name, SQL expression) per side.
+    */
+  def cv2Sql(pairs: Seq[((String, String), (String, String))],
+             table: String = "documents"): String = {
+    val legs = pairs.map { case ((na, ea), (nb, eb)) =>
+      s"""(WITH cells AS (SELECT CAST($ea AS VARCHAR) AS a, CAST($eb AS VARCHAR) AS b,
+         |    CAST(count(*) AS BIGINT) AS o FROM $table GROUP BY 1, 2),
+         |ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+         |cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+         |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ra) AS r,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM cb) AS c FROM cells),
+         |fl AS (SELECT ra.a, cb.b, coalesce(c2.o, 0) AS o, ra.ra, cb.cb
+         |  FROM ra CROSS JOIN cb LEFT JOIN cells c2 ON c2.a = ra.a AND c2.b = cb.b),
+         |ee AS (SELECT o, CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE) AS e
+         |  FROM fl, tot),
+         |tm AS (SELECT CAST(floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+         |    * 1e6 + 0.5) AS BIGINT) AS t FROM ee),
+         |ch AS (SELECT CAST(sum(CAST(t AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS chi2 FROM tm)
+         |SELECT '$na' AS col_a, '$nb' AS col_b, tot.n, tot.r AS n_rows, tot.c AS n_cols,
+         |  (tot.r - 1) * (tot.c - 1) AS dof, round(ch.chi2, 6) AS chi2,
+         |  CASE WHEN least(tot.r, tot.c) > 1
+         |    THEN round(sqrt(ch.chi2 / (CAST(tot.n AS DOUBLE)
+         |      * CAST(least(tot.r, tot.c) - 1 AS DOUBLE))), 9)
+         |    ELSE 0.0 END AS cramers_v
+         |FROM ch, tot)""".stripMargin
+    }
+    legs.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+  }
+
   /** lr1: full-batch GD logistic regression UNROLLED as chained CTEs
     * (the pg1/BPE discipline): the tx2 feature battery + bias, label =
     * n_chars > 300, zero init, `steps` gradient steps at lr = 1.0;

@@ -4466,6 +4466,29 @@ object QueriesOps {
         .select(col("v").as("user_id"), col("pr")).orderBy("user_id"),
       Some(PageRankOracle)),
 
+    // SIL1: simplified silhouette of the fixed-codebook assignment —
+    // the internal-validity readout for km1/IVF-style quantizers; one
+    // narrow map pass, k-bounded output.
+    "sil1_silhouette" -> Q(
+      (s, d) => Similarity.silhouetteReport(embs(s, d),
+          Similarity.fixedCentroids(8, 64))
+        .orderBy("cluster"),
+      Some(OracleGen.sil1Sql(8, 64))),
+
+    // CV2: Cramér's V association matrix over (lang, length-bucket,
+    // source) — the categorical companion of cr1; full-grid χ² with
+    // micro-quantized terms.
+    "cv2_cramers_v" -> Q(
+      (s, d) => graft.ops.Stats.cramersV(
+          docs(s, d).withColumn("len_bucket", expr("n_chars div 200")),
+          Seq(("lang", col("lang")), ("len_bucket", col("len_bucket")),
+            ("source", col("source"))))
+        .orderBy("col_a", "col_b"),
+      Some(OracleGen.cv2Sql(Seq(
+        (("lang", "lang"), ("len_bucket", "n_chars // 200")),
+        (("lang", "lang"), ("source", "source")),
+        (("len_bucket", "n_chars // 200"), ("source", "source")))))),
+
     // IPW1: stratified treatment-effect estimate — heavy-signup users
     // (treated) vs the rest on total purchase value, subclassified on
     // engagement (event-count decade buckets): the confounder both

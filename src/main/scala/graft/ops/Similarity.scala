@@ -1447,4 +1447,51 @@ object Similarity {
     centers.zipWithIndex.map { case ((id, _, dm), i) => (i + 1, id, dm) }
       .toDF("step", idCol, "d_micro")
   }
+
+  /** Simplified-silhouette report of a codebook assignment (Hruschka
+    * et al. 2004 — the centroid form of Rousseeuw's silhouette, THE
+    * internal-validity number for a clustering/quantizer): per point
+    * `s = (b − a) / max(a, b)` with `a` = distance to its own (nearest)
+    * centroid and `b` = distance to the second-nearest; per-cluster
+    * mean — near 1 = compact & separated, near 0 = boundary mush,
+    * negative = misassigned mass. Evaluates any published codebook
+    * (the km1 fit, a PQ codebook, an IVF coarse quantizer).
+    *
+    * Determinism: distances are the same in-order per-dim folds as
+    * [[lloydRounds]] (plan-time centroid literals); own/second pick is
+    * an `array_sort` on (d², cid) structs — total order, no float
+    * round-trip; each point's s pico-quantizes before the order-free
+    * per-cluster sum.
+    *
+    * Scale: ONE narrow map pass over the corpus (k folds per row, no
+    * shuffle) + a k-bounded aggregate. No pairwise anything — the
+    * full-silhouette O(n²) is replaced by the centroid form, which is
+    * the only one that exists at 100 TB.
+    */
+  def silhouetteReport(corpus: DataFrame, centroids: Seq[Centroid],
+                       vecCol: String = "embedding"): DataFrame = {
+    require(centroids.size >= 2, "silhouette needs >= 2 centroids")
+    val vd = col(vecCol).cast("array<double>")
+    val structs = array(centroids.map { c =>
+      val cl = typedlit(c.vec.toIndexedSeq)
+      val d2 = aggregate(zip_with(vd, cl, (x, cc) => (x - cc) * (x - cc)),
+        lit(0.0), (a, t) => a + t)
+      struct(d2.as("d"), lit(c.id).as("cid"))
+    }: _*)
+    val ab = corpus.select(array_sort(structs).as("ss"))
+      .select(element_at(col("ss"), 1).getField("cid").as("cluster"),
+        sqrt(element_at(col("ss"), 1).getField("d")).as("da"),
+        sqrt(element_at(col("ss"), 2).getField("d")).as("db"))
+    val sp = ab.select(col("cluster"),
+      when(greatest(col("da"), col("db")) > 0,
+        floor((col("db") - col("da")) / greatest(col("da"), col("db"))
+          * lit(1e12) + lit(0.5)).cast("long"))
+        .otherwise(0L).as("s_pico"))
+    sp.groupBy("cluster")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("s_pico").cast("decimal(38,0)")).as("spp"))
+      .select(col("cluster"), col("n"),
+        round(col("spp").cast("double") / col("n").cast("double") / 1e12, 9)
+          .as("mean_silhouette"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Inference-grade statistics over grouped data: the two-sample Welch
@@ -1201,5 +1201,63 @@ object Stats {
           .as("jb_stat"),
         (nd / lit(6.0) * (skew * skew + kurt * kurt / lit(4.0)) > lit(5.991))
           .as("reject_normal"))
+  }
+
+  /** Cramér's V association matrix over categorical column pairs — the
+    * categorical companion of [[corrMatrix]] (corr is meaningless on
+    * labels; V = √(χ²/(n·(min(r,c)−1))) ∈ [0,1] is the standard
+    * effect-size for "are these two labelings redundant?"). Emits the
+    * full χ² battery per pair (st3 generalized to every pair), over
+    * the COMPLETE r×c grid — zero cells contribute their expectation.
+    *
+    * Determinism: cells/marginals are exact longs; each cell's χ² term
+    * micro-quantizes (coarser than pico — terms can reach n) before
+    * the order-free decimal sum; V is one fixed-order double off the
+    * unrounded χ².
+    *
+    * Scale: per pair ONE combinable (a, b) cell shuffle over the
+    * corpus; everything downstream is r×c-bounded (the crossJoin is
+    * marginals × marginals, NOT data). Pairs run sequentially — k
+    * categorical columns is k(k−1)/2 cheap passes, or pre-cube once
+    * upstream if the corpus scan dominates.
+    */
+  def cramersV(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, "need at least two categorical columns")
+    def leg(aName: String, aCol: Column, bName: String, bCol: Column): DataFrame = {
+      val cells = df.groupBy(aCol.cast("string").as("a"),
+          bCol.cast("string").as("b"))
+        .agg(count(lit(1)).cast("long").as("o")).persist()
+      val ra = cells.groupBy("a").agg(sum("o").cast("long").as("ra"))
+      val cb = cells.groupBy("b").agg(sum("o").cast("long").as("cb"))
+      val tot = cells.agg(sum("o").cast("long").as("n"))
+        .crossJoin(ra.agg(count(lit(1)).cast("long").as("r")))
+        .crossJoin(cb.agg(count(lit(1)).cast("long").as("c")))
+      val fl = ra.crossJoin(cb).join(cells, Seq("a", "b"), "left")
+        .select(coalesce(col("o"), lit(0L)).as("o"), col("ra"), col("cb"))
+      val ee = fl.crossJoin(broadcast(tot))
+        .withColumn("e", col("ra").cast("double") * col("cb").cast("double") /
+          col("n").cast("double"))
+        .withColumn("t", floor((col("o").cast("double") - col("e")) *
+          (col("o").cast("double") - col("e")) / col("e") * lit(1e6) + lit(0.5))
+          .cast("long"))
+      val ch = ee.agg(sum(col("t").cast("decimal(38,0)")).as("ts"))
+        .select((col("ts").cast("double") / lit(1e6)).as("chi2"))
+      val out = ch.crossJoin(tot).select(
+        lit(aName).as("col_a"), lit(bName).as("col_b"),
+        col("n"), col("r").as("n_rows"), col("c").as("n_cols"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        round(col("chi2"), 6).as("chi2"),
+        // a single-class side has no association to measure: V = 0
+        when(least(col("r"), col("c")) > 1,
+          round(sqrt(col("chi2") / (col("n").cast("double") *
+            (least(col("r"), col("c")) - 1).cast("double"))), 9))
+          .otherwise(lit(0.0)).as("cramers_v"))
+        .localCheckpoint() // 1 row; lets the cells cache drop
+      cells.unpersist(false)
+      out
+    }
+    (for { i <- cols.indices; j <- i + 1 until cols.size }
+      yield leg(cols(i)._1, cols(i)._2, cols(j)._1, cols(j)._2))
+      .reduce(_ unionByName _)
   }
 }

@@ -1169,4 +1169,24 @@ class OpsSpec extends AnyFunSuite {
     assert(h.getAs[Long]("n2") === 0L)
     assert(math.abs(h.getAs[Double]("chao1") - (3.0 + 9.0 / 2.0)) < 1e-9)
   }
+
+  test("silhouetteReport: on-centroid points score 1, the midpoint scores 0") {
+    import spark.implicits._
+    val cents = Seq(
+      Similarity.Centroid(0L, Array(0.0, 0.0), 0.0),
+      Similarity.Centroid(1L, Array(10.0, 10.0), math.sqrt(200.0)))
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(10.0f, 10.0f)), (3L, Seq(5.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.silhouetteReport(vecs, cents)
+      .orderBy("cluster").collect()
+    // midpoint ties on distance: array_sort puts the smaller cid first
+    val c0 = got.find(_.getAs[Long]("cluster") == 0L).get
+    assert(c0.getAs[Long]("n") === 2L)
+    // cluster 0 holds the on-centroid point (s=1) and the midpoint (s=0)
+    assert(math.abs(c0.getAs[Double]("mean_silhouette") - 0.5) < 1e-9)
+    val c1 = got.find(_.getAs[Long]("cluster") == 1L).get
+    assert(c1.getAs[Long]("n") === 1L)
+    assert(math.abs(c1.getAs[Double]("mean_silhouette") - 1.0) < 1e-9)
+  }
 }

@@ -685,4 +685,23 @@ class StatsSpec extends AnyFunSuite {
     val s = t.getAs[Double]("skewness"); val k = t.getAs[Double]("ex_kurtosis")
     assert(math.abs(t.getAs[Double]("jb_stat") - n / 6.0 * (s * s + k * k / 4.0)) < 1e-6)
   }
+
+  test("cramersV: identical columns give V=1, independent columns V~0, zero cells counted") {
+    import spark.implicits._
+    val df = (1 to 80).map { i =>
+      val a = if (i % 2 == 0) "x" else "y"
+      (a, a, if (i % 4 < 2) "p" else "q")
+    }.toDF("c1", "c2", "c3")
+    val got = Stats.cramersV(df,
+      Seq(("c1", col("c1")), ("c2", col("c2")), ("c3", col("c3"))))
+      .collect().map(r => (r.getAs[String]("col_a"), r.getAs[String]("col_b")) -> r).toMap
+    val same = got(("c1", "c2"))
+    assert(math.abs(same.getAs[Double]("cramers_v") - 1.0) < 1e-6)
+    assert(same.getAs[Long]("dof") === 1L)
+    assert(same.getAs[Long]("n") === 80L)
+    // c1 alternates by parity, c3 by i%4: exactly independent
+    val ind = got(("c1", "c3"))
+    assert(math.abs(ind.getAs[Double]("cramers_v")) < 1e-6)
+    assert(math.abs(ind.getAs[Double]("chi2")) < 1e-6)
+  }
 }
