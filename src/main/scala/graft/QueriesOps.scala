@@ -4489,6 +4489,79 @@ object QueriesOps {
         (("lang", "lang"), ("source", "source")),
         (("len_bucket", "n_chars // 200"), ("source", "source")))))),
 
+    // LIFT1: cumulative-gains / lift deciles of the en-stopword scorer
+    // — the top-k-budget readout beside auc1's threshold-free AUC.
+    "lift1_gains" -> Q(
+      (s, d) => Classify.gainsLiftReport(
+          Text.withLangId(docs(s, d))
+            .select(col("score_en"), col("doc_id"),
+              (col("lang") === "en").as("is_en")),
+          "score_en", "is_en", "doc_id", bins = 10)
+        .orderBy("decile"),
+      Some("""WITH t AS (SELECT
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> list_contains(['the','and','of','is','to'], x))) AS BIGINT) AS s,
+        |    doc_id AS id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |b AS MATERIALIZED (SELECT y,
+        |    ntile(10) OVER (ORDER BY s DESC, id ASC) AS decile FROM t),
+        |p AS MATERIALIZED (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS n_pos FROM b GROUP BY 1),
+        |c AS (SELECT decile, n, n_pos,
+        |    CAST(sum(n) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+        |    CAST(sum(n_pos) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+        |  FROM p),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(n_pos) AS BIGINT) AS tp FROM p)
+        |SELECT CAST(decile AS BIGINT) AS decile, n, n_pos, cum_n, cum_pos,
+        |  round(CAST(cum_pos AS DOUBLE) / CAST(tp AS DOUBLE), 9) AS gain,
+        |  round(CAST(cum_pos AS DOUBLE) * CAST(tn AS DOUBLE)
+        |    / (CAST(cum_n AS DOUBLE) * CAST(tp AS DOUBLE)), 9) AS lift
+        |FROM c, tt ORDER BY decile""".stripMargin)),
+
+    // LCC1: local-clustering-coefficient histogram of the handoff
+    // graph — per-node triangle charge off gr2's oriented closure,
+    // integer pico lcc, 10-bucket rollup + mean.
+    "lcc1_clustering_histogram" -> Q(
+      (s, d) => Graph.localClusteringHistogram(
+          Graph.handoffEdges(Queries.events(s, d),
+            streamCol = "event_type", keyCol = "user_id",
+            tsCol = "ts", tieCol = "event_id"))
+        .orderBy("bucket"),
+      Some("""WITH ed AS (SELECT DISTINCT src, dst FROM (
+        |    SELECT lag(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS src,
+        |           user_id AS dst FROM events)
+        |  WHERE src IS NOT NULL AND src != dst),
+        |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM ed),
+        |deg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        |ori AS MATERIALIZED (SELECT
+        |    CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND und.a < und.b)
+        |      THEN und.a ELSE und.b END AS t,
+        |    CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND und.a < und.b)
+        |      THEN und.b ELSE und.a END AS h,
+        |    CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND und.a < und.b)
+        |      THEN dy.deg ELSE dx.deg END AS dh
+        |  FROM und JOIN deg dx ON dx.v = und.a JOIN deg dy ON dy.v = und.b),
+        |w AS (SELECT x.t AS c, x.h AS t, y.h AS h FROM ori x JOIN ori y
+        |  ON x.t = y.t AND (x.dh < y.dh OR (x.dh = y.dh AND x.h < y.h))),
+        |tr AS MATERIALIZED (SELECT w.c, w.t, w.h FROM w
+        |  JOIN ori ON ori.t = w.t AND ori.h = w.h),
+        |pn AS (SELECT v, CAST(count(*) AS BIGINT) AS tri FROM (
+        |    SELECT c AS v FROM tr UNION ALL SELECT t FROM tr
+        |    UNION ALL SELECT h FROM tr) GROUP BY 1),
+        |l AS MATERIALIZED (SELECT deg.v, deg.deg, coalesce(pn.tri, 0) AS tri,
+        |    (2 * coalesce(pn.tri, 0) * 1000000000000) // (deg.deg * (deg.deg - 1)) AS lcc_pico
+        |  FROM deg LEFT JOIN pn ON pn.v = deg.v WHERE deg.deg >= 2),
+        |l2 AS MATERIALIZED (SELECT *, least(lcc_pico // 100000000000, 9) AS bucket FROM l),
+        |sm AS (SELECT CAST(count(*) AS BIGINT) AS n_defined,
+        |    round(CAST(sum(CAST(lcc_pico AS DECIMAL(38,0))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) / 1e12, 9) AS mean_lcc FROM l2)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  sm.n_defined, sm.mean_lcc
+        |FROM l2, sm GROUP BY 1, 3, 4 ORDER BY bucket""".stripMargin)),
+
     // IPW1: stratified treatment-effect estimate — heavy-signup users
     // (treated) vs the rest on total purchase value, subclassified on
     // engagement (event-count decade buckets): the confounder both

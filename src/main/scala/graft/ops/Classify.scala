@@ -514,6 +514,49 @@ object Classify {
         (col("n_pos").cast("double") * 1e12), 9).as("avg_precision"))
   }
 
+  /** Cumulative-gains / lift table (the marketing-science decile chart
+    * — "contacting the top-k% of the score ranking captures what share
+    * of the positives, at what multiple of random?"): deciles of the
+    * DESCENDING score order, cumulative capture (gain) and lift per
+    * decile. The operational companion to [[rocPrReport]] — AUC says
+    * whether the scorer ranks, gains say what a top-k budget buys.
+    *
+    * Determinism: deciles come from `ntile` over the totally ordered
+    * (score desc, id) pair; counts are exact longs, cumulatives run on
+    * the bins-sized table; gain/lift are single display divisions of
+    * exact integer products.
+    *
+    * Scale: same contract as [[woeIvReport]] — the ntile total order
+    * runs on narrow (long, long) pairs; shard or pre-bin at true
+    * scale; everything after the bin pass is bins-sized.
+    */
+  def gainsLiftReport(df: DataFrame, scoreCol: String, labelCol: String,
+                      idCol: String, bins: Int = 10): DataFrame = {
+    val per = df
+      .select(col(scoreCol).cast("long").as("s"), col(idCol).as("id"),
+        when(col(labelCol), 1L).otherwise(0L).as("y"))
+      .withColumn("decile", ntile(bins).over(
+        Window.orderBy(col("s").desc, col("id").asc)))
+      .groupBy("decile")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum("y").cast("long").as("n_pos"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.agg(sum("n").cast("long").as("tn"),
+      sum("n_pos").cast("long").as("tp"))
+    per
+      .withColumn("cum_n", sum("n").over(w).cast("long"))
+      .withColumn("cum_pos", sum("n_pos").over(w).cast("long"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile").cast("long").as("decile"), col("n"),
+        col("n_pos"), col("cum_n"), col("cum_pos"),
+        round(col("cum_pos").cast("double") / col("tp").cast("double"), 9)
+          .as("gain"),
+        round(col("cum_pos").cast("double") * col("tn").cast("double") /
+          (col("cum_n").cast("double") * col("tp").cast("double")), 9)
+          .as("lift"))
+  }
+
   /** Weight-of-evidence / information-value report (the credit-scoring
     * predictive-power audit, Siddiqi 2006): quantile-bin an integer
     * score, per bin `WOE = ln(smoothed good share / smoothed bad

@@ -514,6 +514,76 @@ object Graph {
     dist
   }
 
+  /** Local-clustering-coefficient distribution (Watts–Strogatz 1998):
+    * per node `lcc = 2·tri_v / (deg_v·(deg_v−1))`, rolled up as a
+    * 10-bucket histogram plus the mean — the "is this graph cliquey or
+    * tree-like, and WHERE" readout that the single global number from
+    * [[triangleStats]] cannot give.
+    *
+    * Determinism: per-node triangle counts come from the same
+    * degree-oriented wedge closure as [[triangleStats]] (each closed
+    * triangle charges all three vertices — exact longs); lcc
+    * pico-quantizes by integer floor-division, bucket = min(⌊10·lcc⌋,
+    * 9) in pure integer arithmetic. Nodes of degree < 2 have no
+    * defined lcc and are excluded (their count is derivable from
+    * kc1/gr2's node totals).
+    *
+    * Scale: the oriented closure bounds every wedge list by the
+    * arboricity (the gr2 argument); the per-node charge is a narrow
+    * 3-way union + combinable count; `2·tri_v·10¹²` must fit a long —
+    * ≤4·10⁵ triangles through one node (rescale to nano beyond).
+    */
+  def localClusteringHistogram(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).cast("long").as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("t"), col("b").as("h"), col("db").as("dh")))
+        .otherwise(struct(col("b").as("t"), col("a").as("h"), col("da").as("dh")))
+        .as("e"))
+      .select(col("e.t").as("t"), col("e.h").as("h"), col("e.dh").as("dh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.t") === col("y.t") &&
+          (col("x.dh") < col("y.dh") ||
+            (col("x.dh") === col("y.dh") && col("x.h") < col("y.h"))))
+      .select(col("x.t").as("c"), col("x.h").as("t"), col("y.h").as("h"))
+    val tris = wedges.join(oriented.select(col("t"), col("h")), Seq("t", "h"))
+    val perNode = tris.select(col("c").as("v"))
+      .unionAll(tris.select(col("t").as("v")))
+      .unionAll(tris.select(col("h").as("v")))
+      .groupBy("v").agg(count(lit(1)).cast("long").as("tri"))
+    val lcc = deg.filter(col("deg") >= 2L)
+      .join(perNode, Seq("v"), "left")
+      .select(col("v"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("lcc_pico",
+        expr("(2L * tri * 1000000000000L) div (deg * (deg - 1L))"))
+      .withColumn("bucket",
+        least(expr("lcc_pico div 100000000000L"), lit(9L)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val summary = lcc.agg(
+      count(lit(1)).cast("long").as("n_defined"),
+      sum(col("lcc_pico").cast("decimal(38,0)")).as("sp"))
+      .select(col("n_defined"),
+        round(col("sp").cast("double") / col("n_defined").cast("double") / 1e12, 9)
+          .as("mean_lcc"))
+    val out = lcc.groupBy("bucket")
+      .agg(count(lit(1)).cast("long").as("n_nodes"))
+      .crossJoin(broadcast(summary))
+      .select(col("bucket"), col("n_nodes"), col("n_defined"), col("mean_lcc"))
+      .localCheckpoint() // <= 10 rows; lets every cache drop
+    deg.unpersist(false); oriented.unpersist(false); lcc.unpersist(false)
+    out
+  }
+
   /** HITS hubs & authorities (Kleinberg, JACM'99) with L1
     * normalization, run for a FIXED `iterations` (deterministic — no
     * convergence tolerance an oracle would have to reproduce): each

@@ -237,6 +237,28 @@ class ClassifySpec extends AnyFunSuite {
     assert(math.abs(f.getAs[Double]("auc") - 0.5) < 1e-9)
   }
 
+  test("gainsLiftReport: perfect ranking concentrates positives in early deciles") {
+    val s = spark
+    import s.implicits._
+    // 100 rows, 20 positives with the 20 highest scores
+    val rows = (1 to 100).map(i => (100L - i, i.toLong, i <= 20))
+      .toDF("sc", "id", "y")
+    val rep = Classify.gainsLiftReport(rows, "sc", "y", "id", bins = 10)
+      .orderBy("decile").collect()
+    assert(rep.length === 10)
+    assert(rep.map(_.getAs[Long]("n")).sum === 100L)
+    // deciles 1-2 hold all positives: gain hits 1.0 at decile 2
+    assert(math.abs(rep(0).getAs[Double]("gain") - 0.5) < 1e-9)
+    assert(math.abs(rep(1).getAs[Double]("gain") - 1.0) < 1e-9)
+    // decile-1 lift = precision/base = 1.0/0.2 = 5
+    assert(math.abs(rep(0).getAs[Double]("lift") - 5.0) < 1e-9)
+    // the final cumulative lift is 1 by construction
+    assert(math.abs(rep(9).getAs[Double]("lift") - 1.0) < 1e-9)
+    // gains are monotone non-decreasing
+    val gains = rep.map(_.getAs[Double]("gain"))
+    assert(gains.zip(gains.tail).forall { case (a, b) => b >= a })
+  }
+
   test("woeIvReport: bins partition the rows; IV total non-negative and matches term sum") {
     val s = spark
     import s.implicits._

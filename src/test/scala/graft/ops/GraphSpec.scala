@@ -274,6 +274,29 @@ class GraphSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("localClusteringHistogram: triangle = all 1.0, path = all 0.0") {
+    val tri = Graph.localClusteringHistogram(
+      edges((1L, 2L), (2L, 3L), (3L, 1L))).collect()
+    assert(tri.length === 1)
+    assert(tri.head.getAs[Long]("bucket") === 9L) // lcc=1 clamps to top bucket
+    assert(tri.head.getAs[Long]("n_nodes") === 3L)
+    assert(math.abs(tri.head.getAs[Double]("mean_lcc") - 1.0) < 1e-9)
+    // path 1-2-3: only node 2 has deg >= 2; no triangle -> lcc 0
+    val path = Graph.localClusteringHistogram(edges((1L, 2L), (2L, 3L)))
+      .collect()
+    assert(path.length === 1)
+    assert(path.head.getAs[Long]("bucket") === 0L)
+    assert(path.head.getAs[Long]("n_defined") === 1L)
+    assert(path.head.getAs[Double]("mean_lcc") === 0.0)
+    // kite: triangle 1-2-3 plus pendant 3-4: node 3 has deg 3, tri 1
+    // -> lcc = 1/3 (bucket 3); nodes 1,2 have lcc 1
+    val kite = Graph.localClusteringHistogram(
+      edges((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))).collect()
+    val byB = kite.map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n_nodes")).toMap
+    assert(byB === Map(9L -> 2L, 3L -> 1L))
+    spark.catalog.clearCache()
+  }
+
   test("degreeAssortativity: star graph is maximally disassortative (r = -1)") {
     val star = Graph.degreeAssortativity(edges((1L to 5L).map(i => (0L, i)): _*))
       .head()
