@@ -135,6 +135,35 @@ object OracleGen {
        |FROM sp GROUP BY 1 ORDER BY cluster""".stripMargin
   }
 
+  /** jc1: AGMS join-size estimate — J md5-parity ±1 counters per side,
+    * exact integer products, frequency-vector truth; mirrors
+    * [[graft.ops.Joins.agmsJoinCardinality]] coin for coin.
+    */
+  def jc1Sql(counters: Int = 32): String = {
+    val odd = "('1','3','5','7','9','b','d','f')"
+    def sums(pfx: String) = (1 to counters).map { j =>
+      s"CAST(sum(CASE WHEN substr(md5(k), $j, 1) IN $odd THEN -1 ELSE 1 END) AS BIGINT) AS $pfx$j"
+    }.mkString(",\n    ") + s",\n    CAST(count(*) AS BIGINT) AS ${pfx}n"
+    val prod = (1 to counters)
+      .map(j => s"CAST(sa_$j AS DECIMAL(38,0)) * CAST(sb_$j AS DECIMAL(38,0))")
+      .mkString(" + ")
+    s"""WITH a AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE event_type = 'click'),
+       |b AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE event_type = 'purchase'),
+       |sa AS (SELECT ${sums("sa_")} FROM a),
+       |sb AS (SELECT ${sums("sb_")} FROM b),
+       |fa AS (SELECT k, CAST(count(*) AS BIGINT) AS fa FROM a GROUP BY 1),
+       |fb AS (SELECT k, CAST(count(*) AS BIGINT) AS fb FROM b GROUP BY 1),
+       |tr AS (SELECT CAST(coalesce(sum(CAST(fa AS DECIMAL(38,0)) * CAST(fb AS DECIMAL(38,0))), 0) AS BIGINT) AS truth
+       |  FROM fa JOIN fb USING (k)),
+       |est AS (SELECT ($prod) AS p FROM sa, sb)
+       |SELECT sa.sa_n AS n_a, sb.sb_n AS n_b,
+       |  CAST($counters AS BIGINT) AS n_counters, tr.truth,
+       |  round(CAST(p AS DOUBLE) / $counters.0, 6) AS estimate,
+       |  round((CAST(p AS DOUBLE) / $counters.0 - CAST(truth AS DOUBLE))
+       |    / CAST(truth AS DOUBLE), 6) AS rel_err
+       |FROM sa, sb, tr, est""".stripMargin
+  }
+
   /** cv2: Cramér's V association for each categorical column pair —
     * full r×c grid (zero cells contribute e), per-cell χ² term
     * micro-quantized before the order-free sum, V from the single
@@ -1209,6 +1238,24 @@ object OracleGen {
        |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize FROM cl GROUP BY cluster)
        |SELECT cl.v, cl.cluster, sz.csize
        |FROM cl JOIN sz USING (cluster) ORDER BY v""".stripMargin
+
+  /** fnr1: in-batch false-negative rate of the kg1 near-dup partition —
+    * collision probability Σ n_c(n_c−1)/(N(N−1)) and the expected
+    * false negatives in a contrastive batch, off the same cluster
+    * table as kg1Sql.
+    */
+  def fnr1Sql(batch: Int = 1024, k: Int = 5, nCentroids: Int = 16,
+              nProbe: Int = 6, dim: Int = 64): String =
+    s"""WITH RECURSIVE ${ivfKnnCte(k, nCentroids, nProbe, dim)},
+       |$mutualCcCte,
+       |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS c FROM cl GROUP BY 1),
+       |m AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_clusters,
+       |    CAST(sum(c * (c - 1)) AS BIGINT) AS dp2 FROM sz)
+       |SELECT n AS n_vectors, n_clusters, dp2 // 2 AS n_dup_pairs,
+       |  round(CAST(dp2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 9) AS p_collision,
+       |  round(${batch - 1}.0 * (CAST(dp2 AS DOUBLE)
+       |    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6) AS exp_fn_batch$batch
+       |FROM m""".stripMargin
 
   /** gr3: Newman modularity of the kg1 partition over the mutual-kNN
     * graph — per-cluster internal-edge and degree sums as exact

@@ -4489,6 +4489,66 @@ object QueriesOps {
         (("lang", "lang"), ("source", "source")),
         (("len_bucket", "n_chars // 200"), ("source", "source")))))),
 
+    // FNR1: in-batch false-negative rate of the near-dup partition —
+    // the contrastive-training collision audit, off the SAME shared
+    // mutual-kNN CC memo as kg1/gr3 (no recompute).
+    "fnr1_inbatch_negatives" -> Q(
+      (s, d) => {
+        val (_, cc) = mutualKnnCc(s, d)
+        val sz = cc.groupBy("cluster").agg(count(lit(1)).cast("long").as("c"))
+        sz.agg(sum("c").cast("long").as("n"),
+            count(lit(1)).cast("long").as("n_clusters"),
+            sum(expr("c * (c - 1L)")).cast("long").as("dp2"))
+          .select(col("n").as("n_vectors"), col("n_clusters"),
+            expr("dp2 div 2").as("n_dup_pairs"),
+            round(col("dp2").cast("double") /
+              (col("n").cast("double") * (col("n") - 1L).cast("double")), 9)
+              .as("p_collision"),
+            round(lit(1023.0) * (col("dp2").cast("double") /
+              (col("n").cast("double") * (col("n") - 1L).cast("double"))), 6)
+              .as("exp_fn_batch1024"))
+      },
+      Some(OracleGen.fnr1Sql(1024))),
+
+    // FH1: feature-hashing collision audit — md5-prefix bucket mod 2^14
+    // over the vocabulary; term- and mass-level collision shares.
+    "fh1_feature_hashing" -> Q(
+      (s, d) => Text.featureHashReport(docs(s, d), buckets = 16384),
+      Some("""WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |terms AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks WHERE len(tok) > 0 GROUP BY 1),
+        |tb AS MATERIALIZED (SELECT cnt,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT))),
+        |      (a, x) -> a * 16 + x) AS BIGINT) % 16384 AS bucket
+        |  FROM terms),
+        |pb AS MATERIALIZED (SELECT bucket, CAST(count(*) AS BIGINT) AS n_terms,
+        |    CAST(sum(cnt) AS BIGINT) AS mass FROM tb GROUP BY 1),
+        |m AS (SELECT CAST(sum(n_terms) AS BIGINT) AS n_terms,
+        |    CAST(count(*) AS BIGINT) AS buckets_used,
+        |    CAST(sum(CASE WHEN n_terms > 1 THEN n_terms ELSE 0 END) AS BIGINT) AS colliding_terms,
+        |    CAST(sum(CASE WHEN n_terms > 1 THEN mass ELSE 0 END) AS BIGINT) AS colliding_mass,
+        |    CAST(sum(mass) AS BIGINT) AS total_mass,
+        |    CAST(max(n_terms) AS BIGINT) AS max_bucket_terms FROM pb)
+        |SELECT n_terms, CAST(16384 AS BIGINT) AS n_buckets, buckets_used,
+        |  colliding_terms, max_bucket_terms,
+        |  round(CAST(colliding_terms AS DOUBLE) / CAST(n_terms AS DOUBLE), 9) AS term_collision_rate,
+        |  round(CAST(colliding_mass AS DOUBLE) / CAST(total_mass AS DOUBLE), 9) AS mass_collision_share
+        |FROM m""".stripMargin)),
+
+    // JC1: AGMS tug-of-war join-size estimate (click ⋈ purchase on
+    // user) — two one-pass ±1 sketches, exact-integer products,
+    // frequency-vector truth + relative error as the audit.
+    "jc1_join_cardinality" -> Q(
+      (s, d) => {
+        val ev = Queries.events(s, d)
+        graft.ops.Joins.agmsJoinCardinality(
+          ev.filter(col("event_type") === "click"), "user_id",
+          ev.filter(col("event_type") === "purchase"), "user_id",
+          counters = 32)
+      },
+      Some(OracleGen.jc1Sql(32))),
+
     // LIFT1: cumulative-gains / lift deciles of the en-stopword scorer
     // — the top-k-budget readout beside auc1's threshold-free AUC.
     "lift1_gains" -> Q(

@@ -177,4 +177,61 @@ object Joins {
       }
     fact.filter(keep).join(dim, col(factKey) === col(dimKey))
   }
+
+  /** AGMS / tug-of-war join-size estimate (Alon–Matias–Szegedy STOC'96,
+    * Alon–Gibbons–Matias–Szegedy PODS'99): |A ⋈ B| = Σ_k f_A(k)·f_B(k)
+    * estimated by J independent ±1-hash counters — `S_j = Σ_rows
+    * s_j(key)`, estimate = mean_j S_j^A·S_j^B. THE query-planning
+    * primitive for sizing a join without running it: each side is
+    * sketched in ONE pass, the sketches are 2×J longs, and sides can
+    * be sketched on different days/clusters and combined later.
+    *
+    * Determinism: the ±1 coins are hex-digit parities of md5(key) —
+    * engine-portable; counters and products are exact integers, the
+    * mean is one display division. The exact truth (via frequency
+    * vectors, never the expanded join) and the relative error ride
+    * along as the estimator audit.
+    *
+    * Scale: two ONE-pass combinable aggregates (J longs each) + a
+    * key-cardinality-bounded frequency join for the truth leg — drop
+    * the truth leg in production and the operator never shuffles
+    * anything but 2×J longs. Counter count J trades accuracy
+    * (stderr ≈ √(F₂ᴬ·F₂ᴮ)/√J) for sketch width.
+    */
+  def agmsJoinCardinality(a: DataFrame, aKey: String,
+                          b: DataFrame, bKey: String,
+                          counters: Int = 32): DataFrame = {
+    require(counters >= 1 && counters <= 32,
+      "one md5 supplies at most 32 hex-digit parity coins")
+    val odd = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    def sketch(df: DataFrame, key: String, pfx: String): DataFrame = {
+      val h = md5(col(key).cast("string"))
+      val sums = (1 to counters).map(j =>
+        sum(when(substring(h, j, 1).isin(odd: _*), -1L).otherwise(1L))
+          .cast("long").as(s"$pfx$j")) :+
+        count(lit(1)).cast("long").as(s"${pfx}n")
+      df.agg(sums.head, sums.tail: _*)
+    }
+    val fa = a.groupBy(col(aKey).as("__k"))
+      .agg(count(lit(1)).cast("long").as("fa"))
+    val fb = b.groupBy(col(bKey).as("__k"))
+      .agg(count(lit(1)).cast("long").as("fb"))
+    val truth = fa.join(fb, "__k")
+      .agg(coalesce(sum(col("fa").cast("decimal(38,0)") *
+        col("fb").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
+        .as("t"))
+      .select(col("t").cast("long").as("truth"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val prod = (1 to counters)
+      .map(j => dec(col(s"sa_$j")) * dec(col(s"sb_$j")))
+      .reduce(_ + _)
+    sketch(a, aKey, "sa_").crossJoin(sketch(b, bKey, "sb_"))
+      .crossJoin(truth)
+      .select(col("sa_n").as("n_a"), col("sb_n").as("n_b"),
+        lit(counters.toLong).as("n_counters"), col("truth"),
+        round(prod.cast("double") / lit(counters.toDouble), 6).as("estimate"),
+        round((prod.cast("double") / lit(counters.toDouble) -
+          col("truth").cast("double")) / col("truth").cast("double"), 6)
+          .as("rel_err"))
+  }
 }

@@ -787,6 +787,49 @@ object Text {
       ((sy - slope * sx) / nD / 1e9).as("log_k"))
   }
 
+  /** Feature-hashing collision audit (Weinberger 2009's hashing trick,
+    * audited before anyone trains on it): hash the vocabulary into
+    * `buckets` slots, report how many TERMS share a slot and how much
+    * token MASS sits in shared slots — the two numbers that decide
+    * whether 2^b buckets is enough for this corpus's vocabulary.
+    *
+    * Determinism: the bucket is the md5-prefix integer mod `buckets`
+    * (the repo's portable-coin idiom — engine-exact); all counts are
+    * exact longs, two display divisions.
+    *
+    * Scale: token explode → vocabulary count → bucket rollup: two
+    * combinable shuffles (corpus-sized, then vocabulary-sized); the
+    * report is one row.
+    */
+  def featureHashReport(docs: DataFrame, textCol: String = "text",
+                        buckets: Int = 16384): DataFrame = {
+    val terms = docs
+      .select(explode(tokensCol(lower(col(textCol)))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+    val perBucket = terms.groupBy("bucket")
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        sum("cnt").cast("long").as("mass"))
+    perBucket.agg(
+        sum("n_terms").cast("long").as("n_terms"),
+        count(lit(1)).cast("long").as("buckets_used"),
+        sum(when(col("n_terms") > 1L, col("n_terms")).otherwise(0L))
+          .cast("long").as("colliding_terms"),
+        sum(when(col("n_terms") > 1L, col("mass")).otherwise(0L))
+          .cast("long").as("colliding_mass"),
+        sum("mass").cast("long").as("total_mass"),
+        max("n_terms").cast("long").as("max_bucket_terms"))
+      .select(col("n_terms"), lit(buckets.toLong).as("n_buckets"),
+        col("buckets_used"), col("colliding_terms"), col("max_bucket_terms"),
+        round(col("colliding_terms").cast("double") /
+          col("n_terms").cast("double"), 9).as("term_collision_rate"),
+        round(col("colliding_mass").cast("double") /
+          col("total_mass").cast("double"), 9).as("mass_collision_share"))
+  }
+
   /** Good–Turing / Chao1 vocabulary-richness report per group — "how
     * much of this language's vocabulary have we NOT seen yet?": from
     * the frequency-of-frequencies, the Good–Turing unseen-mass estimate

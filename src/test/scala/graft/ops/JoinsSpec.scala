@@ -168,4 +168,31 @@ class JoinsSpec extends AnyFunSuite {
       .select("fk", "payload", "name").collect().map(_.toSeq).toSet
     assert(got === want)
   }
+
+  test("agmsJoinCardinality: exact truth; estimate matches a JVM md5 replay") {
+    val s = spark
+    import s.implicits._
+    val aKeys = Seq(1L, 1L, 2L, 5L, 5L, 5L)
+    val bKeys = Seq(1L, 2L, 2L, 3L, 5L)
+    val a = aKeys.toDF("k"); val b = bKeys.toDF("k")
+    val r = graft.ops.Joins.agmsJoinCardinality(a, "k", b, "k", counters = 32)
+      .head()
+    // truth = Σ f_A(k)·f_B(k) = 2·1 + 1·2 + 3·1 = 7
+    assert(r.getAs[Long]("truth") === 7L)
+    assert(r.getAs[Long]("n_a") === 6L && r.getAs[Long]("n_b") === 5L)
+    // replay the coins with JVM md5: sign_j(k) = parity of hex digit j
+    def hex(k: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(k.toString.getBytes("UTF-8"))
+      .map(x => f"$x%02x").mkString
+    def counter(keys: Seq[Long], j: Int): Long = keys.map { k =>
+      if ("13579bdf".contains(hex(k).charAt(j - 1))) -1L else 1L
+    }.sum
+    val expected = (1 to 32)
+      .map(j => counter(aKeys, j) * counter(bKeys, j)).sum / 32.0
+    assert(math.abs(r.getAs[Double]("estimate") - expected) < 1e-6)
+    // self-join sketch products are squares: estimate >= 0 always
+    val self = graft.ops.Joins.agmsJoinCardinality(a, "k", a, "k", 32).head()
+    assert(self.getAs[Double]("estimate") >= 0.0)
+    assert(self.getAs[Long]("truth") === (4L + 1L + 9L)) // Σ f²
+  }
 }

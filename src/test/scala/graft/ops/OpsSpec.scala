@@ -1170,6 +1170,30 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(h.getAs[Double]("chao1") - (3.0 + 9.0 / 2.0)) < 1e-9)
   }
 
+  test("featureHashReport: single bucket collides everything; wide table matches a JVM md5 replay") {
+    import spark.implicits._
+    val docs = Seq((1L, "apple banana cherry"), (2L, "apple date")).toDF("doc_id", "text")
+    val one = Text.featureHashReport(docs, buckets = 1).head()
+    assert(one.getAs[Long]("n_terms") === 4L)
+    assert(one.getAs[Long]("buckets_used") === 1L)
+    assert(one.getAs[Double]("term_collision_rate") === 1.0)
+    assert(one.getAs[Double]("mass_collision_share") === 1.0)
+    assert(one.getAs[Long]("max_bucket_terms") === 4L)
+    // wide table: recompute each term's bucket with JVM md5 and check
+    // the collision counts agree with the replay
+    def bucket(t: String, b: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map(x => f"$x%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % b
+    }
+    val terms = Seq("apple" -> 2L, "banana" -> 1L, "cherry" -> 1L, "date" -> 1L)
+    val byBucket = terms.groupBy { case (t, _) => bucket(t, 16384L) }
+    val expColliding = byBucket.values.filter(_.size > 1).map(_.size).sum
+    val wide = Text.featureHashReport(docs, buckets = 16384).head()
+    assert(wide.getAs[Long]("buckets_used") === byBucket.size.toLong)
+    assert(wide.getAs[Long]("colliding_terms") === expColliding.toLong)
+  }
+
   test("silhouetteReport: on-centroid points score 1, the midpoint scores 0") {
     import spark.implicits._
     val cents = Seq(
