@@ -4489,6 +4489,66 @@ object QueriesOps {
         (("lang", "lang"), ("source", "source")),
         (("len_bucket", "n_chars // 200"), ("source", "source")))))),
 
+    // SAX1: SAX motif discovery over the hourly event series —
+    // z-normalized {a,b,c} symbols at the Gaussian tercile breakpoints,
+    // 4-symbol sliding words, top-10 recurring shapes.
+    "sax1_motifs" -> Q(
+      (s, d) => graft.ops.TimeSeries.saxMotifs(
+          graft.ops.TimeSeries.denseCountSeries(
+            Queries.events(s, d), "ts", "hour"),
+          wordLen = 4, topK = 10)
+        .orderBy("rank"),
+      Some("""WITH c AS (SELECT date_trunc('hour', ts) AS b,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM c),
+        |sp AS (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS b FROM bounds),
+        |s AS MATERIALIZED (SELECT sp.b, coalesce(c.x, 0) AS x FROM sp LEFT JOIN c USING (b)),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(CAST(x AS DECIMAL(38,0))) AS sx,
+        |    sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx FROM s),
+        |zz AS MATERIALIZED (SELECT b, CASE
+        |    WHEN (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      < -0.4307272992954576 THEN 'a'
+        |    WHEN (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      < 0.4307272992954576 THEN 'b' ELSE 'c' END AS s0
+        |  FROM s, m),
+        |ld AS MATERIALIZED (SELECT s0,
+        |    lead(s0, 1) OVER (ORDER BY b) AS s1,
+        |    lead(s0, 2) OVER (ORDER BY b) AS s2,
+        |    lead(s0, 3) OVER (ORDER BY b) AS s3 FROM zz),
+        |wd AS MATERIALIZED (SELECT s0 || s1 || s2 || s3 AS word,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM ld
+        |  WHERE s1 IS NOT NULL AND s2 IS NOT NULL AND s3 IS NOT NULL GROUP BY 1),
+        |nw AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_windows FROM wd),
+        |tp AS (SELECT word, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS BIGINT) AS rank FROM wd)
+        |SELECT rank, word, cnt, nw.n_windows FROM tp, nw
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin)),
+
+    // HILL1: Hill tail-index of the token frequency distribution —
+    // top-100 order statistics, pico-floored ln terms, one display
+    // division; the ML companion of zl1's regression slope.
+    "hill1_tail_index" -> Q(
+      (s, d) => Text.hillTailIndex(docs(s, d), k = 100),
+      Some("""WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |f AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks WHERE len(tok) > 0 GROUP BY 1),
+        |r AS MATERIALIZED (SELECT cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rn FROM f),
+        |tl AS (SELECT cnt AS x_tail FROM r WHERE rn = 101),
+        |t AS MATERIALIZED (SELECT
+        |    CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(x_tail AS DOUBLE)) * 1e12 + 0.5) AS BIGINT) AS l_pico,
+        |    x_tail
+        |  FROM r, tl WHERE rn <= 100)
+        |SELECT CAST(count(*) AS BIGINT) AS k, x_tail,
+        |  round(CAST(sum(CAST(l_pico AS DECIMAL(38,0))) AS DOUBLE) / 1e12, 9) AS sum_log,
+        |  round(CAST(count(*) AS DOUBLE)
+        |    / (CAST(sum(CAST(l_pico AS DECIMAL(38,0))) AS DOUBLE) / 1e12), 6) AS alpha
+        |FROM t GROUP BY x_tail""".stripMargin)),
+
     // FNR1: in-batch false-negative rate of the near-dup partition —
     // the contrastive-training collision audit, off the SAME shared
     // mutual-kNN CC memo as kg1/gr3 (no recompute).

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.RollingHash
 
@@ -785,6 +786,50 @@ object Text {
     m.select(col("n_points"), col("total_tokens"), col("vocab"),
       slope.as("beta"),
       ((sy - slope * sx) / nD / 1e9).as("log_k"))
+  }
+
+  /** Hill tail-index estimator (Hill 1975) over the token frequency
+    * distribution: `α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1))` on the top-k
+    * order statistics — the principled power-law exponent, the
+    * maximum-likelihood companion to zl1's regression slope (α ≈ 1/s
+    * for Zipf slope s). Decides how much head-vocabulary special-casing
+    * a tokenizer/cache needs.
+    *
+    * Determinism: order statistics come from the (count desc, token
+    * asc) total order; each ln term is one log of an exact-integer
+    * ratio, pico-floored BEFORE the k-term sum.
+    *
+    * Scale: one corpus-sized token count, then a vocabulary-sized
+    * top-(k+1) (TakeOrdered at real scale); k is a constant.
+    */
+  def hillTailIndex(docs: DataFrame, textCol: String = "text",
+                    k: Int = 100): DataFrame = {
+    val freq = docs
+      .select(explode(tokensCol(lower(col(textCol)))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).cast("long").as("cnt"))
+    val ranked = freq
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok").asc)).cast("long"))
+      .filter(col("rn") <= k + 1)
+      .persist()
+    val tail = ranked.filter(col("rn") === (k + 1).toLong)
+      .select(col("cnt").as("x_tail"))
+    val terms = ranked.filter(col("rn") <= k.toLong)
+      .crossJoin(broadcast(tail))
+      .select(floor(log(col("cnt").cast("double") /
+        col("x_tail").cast("double")) * lit(1e12) + lit(0.5))
+        .cast("long").as("l_pico"), col("x_tail"))
+    val out = terms.groupBy("x_tail")
+      .agg(count(lit(1)).cast("long").as("k"),
+        sum(col("l_pico").cast("decimal(38,0)")).as("sp"))
+      .select(col("k"), col("x_tail"),
+        round(col("sp").cast("double") / 1e12, 9).as("sum_log"),
+        round(col("k").cast("double") /
+          (col("sp").cast("double") / 1e12), 6).as("alpha"))
+      .localCheckpoint() // 1 row; lets the cache drop
+    ranked.unpersist(false)
+    out
   }
 
   /** Feature-hashing collision audit (Weinberger 2009's hashing trick,

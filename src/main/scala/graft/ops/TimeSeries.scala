@@ -253,6 +253,57 @@ object TimeSeries {
         col("n_windows"), col("seasonal_strength"))
   }
 
+  /** SAX motif discovery (Lin/Keogh 2003 symbolic aggregate
+    * approximation, word-per-bucket form): z-normalize the dense
+    * series, map each bucket to {a,b,c} by the Gaussian tercile
+    * breakpoints ±0.4307…, slide a `wordLen` window, and rank the
+    * recurring words — "what shapes does this metric repeat?" (the
+    * hourly double-peak, the overnight flat, the spike-decay).
+    *
+    * Determinism: mean/sd come from exact integer moments in ONE fixed
+    * double expression; the breakpoint compares are on bit-identical
+    * doubles (same literal, same operation order), so symbols cannot
+    * flip across engines; word counts are exact longs and the top-k
+    * orders by (count desc, word asc).
+    *
+    * Scale: everything runs on the SERIES table (corpus-independent);
+    * the lead window and word rollup are spine-sized.
+    */
+  def saxMotifs(series: DataFrame, wordLen: Int = 4,
+                topK: Int = 10): DataFrame = {
+    val s = series.select(col("b"), col("x").cast("long").as("x"))
+    val m = s.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("x").cast("decimal(38,0)") * col("x").cast("decimal(38,0)"))
+        .as("sxx"))
+    val mean = col("sx").cast("double") / col("n").cast("double")
+    val sd = sqrt(col("sxx").cast("double") / col("n").cast("double")
+      - mean * mean)
+    val bp = 0.4307272992954576 // Gaussian tercile breakpoint
+    val z = (col("x").cast("double") - mean) / sd
+    val sym = when(z < lit(-bp), "a").when(z < lit(bp), "b").otherwise("c")
+    val w = Window.orderBy("b")
+    val withSym = s.crossJoin(broadcast(m)).select(col("b"), sym.as("s0"))
+    val withLeads = (1 until wordLen).foldLeft(withSym)((d, k) =>
+      d.withColumn(s"s$k", lead(col("s0"), k).over(w)))
+    val words = withLeads
+      .filter((1 until wordLen).map(k => col(s"s$k").isNotNull)
+        .reduce(_ && _))
+      .select(concat((0 until wordLen).map(k => col(s"s$k")): _*).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("long").as("cnt"))
+      .persist()
+    val nw = words.agg(sum("cnt").cast("long").as("n_windows"))
+    val top = words
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("word").asc)).cast("long"))
+      .filter(col("rank") <= topK)
+      .crossJoin(broadcast(nw))
+      .select(col("rank"), col("word"), col("cnt"), col("n_windows"))
+      .localCheckpoint() // topK rows; lets the cache drop
+    words.unpersist(false)
+    top
+  }
+
   /** CUSUM changepoint detection (Page 1954) over a dense integer
     * series: `C_t = Σ_{i≤t}(x_i − x̄)` peaks where the level shifts;
     * emits the argmax-|C| bucket (earliest on ties) with the

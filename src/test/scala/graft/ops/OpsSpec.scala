@@ -1170,6 +1170,19 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(h.getAs[Double]("chao1") - (3.0 + 9.0 / 2.0)) < 1e-9)
   }
 
+  test("hillTailIndex: hand-computed top-2 estimator on a geometric vocabulary") {
+    import spark.implicits._
+    // frequencies 8, 4, 2, 1 -> with k=2: terms ln(8/2), ln(4/2); alpha = 2/(3 ln 2)
+    val text = (Seq.fill(8)("w1") ++ Seq.fill(4)("w2") ++
+      Seq.fill(2)("w3") ++ Seq("w4")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val r = Text.hillTailIndex(docs, k = 2).head()
+    assert(r.getAs[Long]("k") === 2L)
+    assert(r.getAs[Long]("x_tail") === 2L)
+    assert(math.abs(r.getAs[Double]("sum_log") - 3.0 * math.log(2.0)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("alpha") - 2.0 / (3.0 * math.log(2.0))) < 1e-6)
+  }
+
   test("featureHashReport: single bucket collides everything; wide table matches a JVM md5 replay") {
     import spark.implicits._
     val docs = Seq((1L, "apple banana cherry"), (2L, "apple date")).toDF("doc_id", "text")

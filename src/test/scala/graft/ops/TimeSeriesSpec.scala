@@ -118,4 +118,19 @@ class TimeSeriesSpec extends AnyFunSuite {
       .orderBy("b").collect().map(_.getAs[Long]("x")).toSeq
     assert(got === Seq(2L, 0L, 0L, 1L)) // hours 00..03, gaps zero-filled
   }
+
+  test("saxMotifs: a strict alternation yields exactly the two alternating words") {
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // 12 buckets alternating 0/10: z = ±1 -> symbols a/c alternating
+    val series = (0 until 12)
+      .map(h => (ts(h), if (h % 2 == 0) 0L else 10L)).toDF("b", "x")
+    val got = TimeSeries.saxMotifs(series, wordLen = 4, topK = 10)
+      .orderBy("rank").collect()
+    assert(got.map(_.getAs[String]("word")).toSet === Set("acac", "caca"))
+    assert(got.map(_.getAs[Long]("cnt")).sum === 9L) // 12 - 4 + 1 windows
+    assert(got.forall(_.getAs[Long]("n_windows") === 9L))
+    // counts desc with word tiebreak: acac (5) before caca (4)
+    assert(got.head.getAs[String]("word") === "acac")
+    assert(got.head.getAs[Long]("cnt") === 5L)
+  }
 }
