@@ -101,6 +101,13 @@ object BenchScale {
     "hl2_stream_sketch", "ssj1_stream_stream_join",
     // round-11 gate query over the catalog-bucketed merge (>1.5 s rule)
     "j5_upsert_join_equiv",
+    // round-11 continued batch (>1.5 s rule): fixed-round HITS (per-
+    // round cost is O(edges) joins — linear), the arboricity-bounded
+    // triangle charge, the 3-pass categorical association battery, and
+    // the items-bounded distributed Bradley–Terry rounds over a
+    // corpus-reduced pair matrix
+    "hits1_hubs_authorities", "lcc1_clustering_histogram",
+    "cv2_cramers_v", "bt2_bt_distributed",
     // round-11b: the ×reps bootstrap expansion (linear by construction
     // — reps is fixed), the hub-capped wedge join (bounded |E|·cap),
     // and the grid-pruned skyline (disjoint copies replicate the band)

@@ -135,6 +135,49 @@ object OracleGen {
        |FROM sp GROUP BY 1 ORDER BY cluster""".stripMargin
   }
 
+  /** per1: single-bin DFT periodogram at candidate periods — the
+    * twiddle factors cos/sin(2πr/p) serialize as double literals (the
+    * km1Sql centroid discipline), per-residue n-scaled integer
+    * deviations, micro-floored products, exact-integer dominance.
+    */
+  def per1Sql(periods: Seq[Int] = Seq(12, 24, 168)): String = {
+    def lits(f: Int => Double, p: Int): String =
+      (0 until p).map(r => f(r).toString).mkString("[", ", ", "]")
+    val legs = periods.map { p =>
+      val cosL = lits(r => math.cos(2.0 * math.Pi * r / p), p)
+      val sinL = lits(r => math.sin(2.0 * math.Pi * r / p), p)
+      s"""(SELECT CAST($p AS BIGINT) AS period, n, sc, ss, sc * sc + ss * ss AS p_int
+         |  FROM (SELECT max(n) AS n, sum(CAST(tc AS DECIMAL(38,0))) AS sc,
+         |      sum(CAST(ts AS DECIMAL(38,0))) AS ss
+         |    FROM (SELECT n,
+         |        CAST(floor(CAST(dev AS DOUBLE) * ($cosL)[r + 1] * 1000000.0 + 0.5) AS BIGINT) AS tc,
+         |        CAST(floor(CAST(dev AS DOUBLE) * ($sinL)[r + 1] * 1000000.0 + 0.5) AS BIGINT) AS ts
+         |      FROM (SELECT res.r, CAST(tot.n AS DECIMAL(38,0)) * res.sr
+         |            - CAST(res.cnt AS DECIMAL(38,0)) * tot.sx AS dev, tot.n
+         |        FROM (SELECT CAST(t % $p AS INTEGER) AS r, CAST(count(*) AS BIGINT) AS cnt,
+         |            sum(CAST(x AS DECIMAL(38,0))) AS sr FROM ix GROUP BY 1) res, tot))))""".stripMargin
+    }
+    s"""WITH c AS (SELECT date_trunc('hour', ts) AS b,
+       |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+       |bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM c),
+       |sp AS (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS b FROM bounds),
+       |s AS MATERIALIZED (SELECT sp.b, coalesce(c.x, 0) AS x FROM sp LEFT JOIN c USING (b)),
+       |tot AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(x AS DECIMAL(38,0))) AS sx FROM s),
+       |ix AS MATERIALIZED (SELECT x, CAST(row_number() OVER (ORDER BY b) - 1 AS BIGINT) AS t FROM s),
+       |al AS MATERIALIZED (${legs.mkString("\n  UNION ALL\n")}),
+       |mx AS (SELECT max(p_int) AS pm FROM al)
+       |SELECT period, n AS n_buckets,
+       |  round(CAST(sc AS DOUBLE) / 1e6 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9) AS s_cos,
+       |  round(CAST(ss AS DOUBLE) / 1e6 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9) AS s_sin,
+       |  round((CAST(sc AS DOUBLE) / 1e6 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+       |      * (CAST(sc AS DOUBLE) / 1e6 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+       |    + (CAST(ss AS DOUBLE) / 1e6 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+       |      * (CAST(ss AS DOUBLE) / 1e6 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 9) AS power,
+       |  p_int = mx.pm AS dominant
+       |FROM al, mx ORDER BY period""".stripMargin
+  }
+
   /** jc1: AGMS join-size estimate — J md5-parity ±1 counters per side,
     * exact integer products, frequency-vector truth; mirrors
     * [[graft.ops.Joins.agmsJoinCardinality]] coin for coin.
@@ -162,6 +205,35 @@ object OracleGen {
        |  round((CAST(p AS DOUBLE) / $counters.0 - CAST(truth AS DOUBLE))
        |    / CAST(truth AS DOUBLE), 6) AS rel_err
        |FROM sa, sb, tr, est""".stripMargin
+  }
+
+  /** ann6: IVF cell-balance audit — same centroid literals / distance
+    * fold / (d², cid) assignment order as sil1Sql, occupancy rollup +
+    * imbalance factor.
+    */
+  def ann6Sql(k: Int = 16, dim: Int = 64): String = {
+    val rows = Similarity.fixedCentroids(k, dim).map { c =>
+      s"(${c.id}, [${c.vec.mkString(", ")}])"
+    }.mkString(", ")
+    val dist =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+        s"i -> (v[CAST(i AS INTEGER)] - cv[CAST(i AS INTEGER)]) " +
+        s"* (v[CAST(i AS INTEGER)] - cv[CAST(i AS INTEGER)]))), (a, b) -> a + b)"
+    s"""WITH cent(cid, cv) AS (VALUES $rows),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |d AS MATERIALIZED (SELECT e.vec_id, cent.cid, $dist AS d2
+       |  FROM e CROSS JOIN cent),
+       |r AS (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn FROM d),
+       |cells AS MATERIALIZED (SELECT cid AS cell, CAST(count(*) AS BIGINT) AS n_members
+       |  FROM r WHERE rn = 1 GROUP BY 1),
+       |sm AS (SELECT CAST(sum(n_members) AS BIGINT) AS n,
+       |    CAST(count(*) AS BIGINT) AS used, CAST(max(n_members) AS BIGINT) AS max_m
+       |  FROM cells)
+       |SELECT CAST(cell AS BIGINT) AS cell, n_members, sm.used AS cells_used,
+       |  CAST($k AS BIGINT) - sm.used AS cells_empty,
+       |  round(CAST(sm.max_m AS DOUBLE) / (CAST(sm.n AS DOUBLE) / $k.0), 6) AS imbalance
+       |FROM cells, sm ORDER BY cell""".stripMargin
   }
 
   /** cv2: Cramér's V association for each categorical column pair —

@@ -48,7 +48,14 @@ object Plans {
     // round-11 (bt1/cs1/bfs1 run driver-side actions during
     // construction, so their registered plans are trivial — sa1 is the
     // one whose ladder shape the golden can meaningfully pin)
-    "sa1_repeat_profile")
+    "sa1_repeat_profile",
+    // round-11 continued: the pure-plan members of the eval/stats/
+    // systems batch (hits1/lcc1/cv2/ipw1/sax1/hill1/per1/woe1
+    // materialize eagerly during construction and are excluded for the
+    // bt1 reason)
+    "auc1_score_auc", "lift1_gains", "gt1_good_turing",
+    "rfm1_rfm_segments", "sil1_silhouette", "jb1_jarque_bera",
+    "jc1_join_cardinality", "fh1_feature_hashing")
 
   /** (shuffle exchanges, broadcast exchanges) of the physical plan,
     * counted via tree walk, not the text dump: a persisted subtree's

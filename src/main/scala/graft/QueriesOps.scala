@@ -155,7 +155,11 @@ object QueriesOps {
     * both engines normalize by the same value (mod float order, which
     * the 9-decimal compare absorbs — same contract as pg1).
     */
-  private val HitsIters = 8
+  // 5 rounds: HITS converges geometrically (second-eigenvalue ratio);
+  // the bench cost is per-round FIXED overhead (2 joins + 2 in-plan
+  // normalizers + persist/count each round — structural, not data), so
+  // rounds are the knob. The oracle unrolls the same constant.
+  private val HitsIters = 5
   private val HitsOracle: String = {
     val base = """WITH ed AS MATERIALIZED (
       |  SELECT DISTINCT src, dst FROM (
@@ -4466,6 +4470,15 @@ object QueriesOps {
         .select(col("v").as("user_id"), col("pr")).orderBy("user_id"),
       Some(PageRankOracle)),
 
+    // ANN6: IVF cell-balance audit at the kg1/ss5 production cell
+    // count — occupancy histogram + imbalance factor, the skew
+    // diagnostic behind every nprobe bound.
+    "ann6_cell_balance" -> Q(
+      (s, d) => Similarity.cellBalanceReport(embs(s, d),
+          Similarity.fixedCentroids(16, 64))
+        .orderBy("cell"),
+      Some(OracleGen.ann6Sql(16, 64))),
+
     // SIL1: simplified silhouette of the fixed-codebook assignment —
     // the internal-validity readout for km1/IVF-style quantizers; one
     // narrow map pass, k-bounded output.
@@ -4488,6 +4501,17 @@ object QueriesOps {
         (("lang", "lang"), ("len_bucket", "n_chars // 200")),
         (("lang", "lang"), ("source", "source")),
         (("len_bucket", "n_chars // 200"), ("source", "source")))))),
+
+    // PER1: DFT periodogram at 12 h / 24 h / 168 h candidate periods —
+    // plan-time twiddle literals, n-scaled integer deviations per
+    // residue class, exact-integer dominance pick.
+    "per1_periodogram" -> Q(
+      (s, d) => graft.ops.TimeSeries.periodogram(
+          graft.ops.TimeSeries.denseCountSeries(
+            Queries.events(s, d), "ts", "hour"),
+          periods = Seq(12, 24, 168))
+        .orderBy("period"),
+      Some(OracleGen.per1Sql(Seq(12, 24, 168)))),
 
     // SAX1: SAX motif discovery over the hourly event series —
     // z-normalized {a,b,c} symbols at the Gaussian tercile breakpoints,
@@ -6125,8 +6149,12 @@ object QueriesOps {
             expr("min_by(source, struct(__nt, -doc_id))").as("l"))
           .filter(col("__c") === 2 && col("w") =!= col("l"))
           .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        val dist = Classify.bradleyTerryDistributed(pr, "w", "l", iters = 8)
-        val ref = Classify.bradleyTerry(pr, "w", "l", iters = 8)
+        // 4 MM rounds: the bit-identity law is per-round (ClassifySpec
+        // proves it at 8 on toy data); the gate needs the distributed
+        // path exercised, not convergence — half the rounds, half the
+        // bench cost
+        val dist = Classify.bradleyTerryDistributed(pr, "w", "l", iters = 4)
+        val ref = Classify.bradleyTerry(pr, "w", "l", iters = 4)
           .select(col("item"), col("strength").as("strength_ref"))
         dist.join(ref, "item")
           .select(col("item"), col("n_wins"), col("n_comparisons"),
@@ -6135,7 +6163,7 @@ object QueriesOps {
           .orderBy("item")
       },
       Some("SELECT item, n_wins, n_comparisons, strength, CAST(0.0 AS DOUBLE) AS strength_diff\n" +
-        s"FROM (${OracleGen.bt1Sql(8)}) ORDER BY item")),
+        s"FROM (${OracleGen.bt1Sql(4)}) ORDER BY item")),
 
     // SQ1: shuffle-quality audit over cur7's epoch shuffle — per shard
     // the source-mix entropy, max single-source share and KL to the

@@ -623,11 +623,12 @@ object Graph {
     var prevH: DataFrame = null
     var prevA: DataFrame = null
     for (_ <- 1 to iterations) {
+      // a is materialized transitively by h's count (it sits under h's
+      // plan and is persisted) — one action per round, the pg1 budget
       val a = normalized(
         ed.join(hub, ed("src") === hub("v"))
           .groupBy(col("dst").as("av")).agg(sum(col("h")).as("__r")),
         "av", "a").persist(StorageLevel.MEMORY_AND_DISK)
-      a.count()
       val h = normalized(
         ed.join(a, ed("dst") === a("v"))
           .groupBy(col("src").as("hv")).agg(sum(col("a")).as("__r")),

@@ -1468,6 +1468,48 @@ object Similarity {
     * full-silhouette O(n²) is replaced by the centroid form, which is
     * the only one that exists at 100 TB.
     */
+  /** IVF cell-balance audit: the occupancy histogram of a coarse
+    * quantizer's assignment plus the imbalance factor
+    * `max_cell / (n/k)` — THE skew diagnostic for every IVF probing
+    * path (ss5/ss7/ann5): a hot cell turns nprobe-bounded scans into
+    * full scans, and the fix (split the cell, raise k) is decided off
+    * exactly this report.
+    *
+    * Determinism: same plan-time centroid literals and in-order
+    * distance folds as [[silhouetteReport]]; occupancy is exact longs,
+    * imbalance one fixed-order double.
+    *
+    * Scale: ONE narrow map pass + a k-bounded rollup.
+    */
+  def cellBalanceReport(corpus: DataFrame, centroids: Seq[Centroid],
+                        vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "need centroids")
+    val k = centroids.size
+    val vd = col(vecCol).cast("array<double>")
+    val structs = array(centroids.map { c =>
+      val cl = typedlit(c.vec.toIndexedSeq)
+      val d2 = aggregate(zip_with(vd, cl, (x, cc) => (x - cc) * (x - cc)),
+        lit(0.0), (a, t) => a + t)
+      struct(d2.as("d"), lit(c.id).as("cid"))
+    }: _*)
+    val cells = corpus
+      .select(array_min(structs).getField("cid").as("cell"))
+      .groupBy("cell").agg(count(lit(1)).cast("long").as("n_members"))
+      .persist()
+    val sm = cells.agg(sum("n_members").cast("long").as("n"),
+      count(lit(1)).cast("long").as("used"),
+      max("n_members").cast("long").as("max_m"))
+    val out = cells.crossJoin(broadcast(sm))
+      .select(col("cell"), col("n_members"),
+        col("used").as("cells_used"),
+        (lit(k.toLong) - col("used")).as("cells_empty"),
+        round(col("max_m").cast("double") /
+          (col("n").cast("double") / lit(k.toDouble)), 6).as("imbalance"))
+      .localCheckpoint() // k rows; lets the cache drop
+    cells.unpersist(false)
+    out
+  }
+
   def silhouetteReport(corpus: DataFrame, centroids: Seq[Centroid],
                        vecCol: String = "embedding"): DataFrame = {
     require(centroids.size >= 2, "silhouette needs >= 2 centroids")

@@ -304,6 +304,68 @@ object TimeSeries {
     top
   }
 
+  /** Single-bin DFT periodogram at candidate periods (the Goertzel /
+    * spectral-peak test: "is this metric 24-hourly, 12-hourly, or
+    * weekly?") over a dense integer series. For each period p the
+    * series folds to p residue classes; the centered cos/sin sums
+    * use n-SCALED exact integer deviations per class
+    * (`dev_r = n·Σ_{t≡r}x − cnt_r·Σx`), multiplied by PLAN-TIME
+    * twiddle literals cos/sin(2πr/p) — the same doubles in both
+    * engines, so the only quantization is one micro-floor per residue
+    * (p terms). Dominance is decided on EXACT integer power
+    * (sc² + ss² in micro² units) — no float compare picks the winner.
+    *
+    * Scale: one spine-sized residue aggregate per period; everything
+    * else is p-bounded.
+    */
+  def periodogram(series: DataFrame,
+                  periods: Seq[Int] = Seq(12, 24, 168)): DataFrame = {
+    val s = series.select(col("b"), col("x").cast("long").as("x"))
+    val tot = s.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"))
+    val w = Window.orderBy("b")
+    val indexed = s.withColumn("t", (row_number().over(w) - 1).cast("long"))
+      .persist()
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val legs = periods.map { p =>
+      val cosArr = typedlit((0 until p).map(r => math.cos(2.0 * math.Pi * r / p)))
+      val sinArr = typedlit((0 until p).map(r => math.sin(2.0 * math.Pi * r / p)))
+      val res = indexed
+        .groupBy((col("t") % p).cast("int").as("r"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          sum(col("x").cast("decimal(38,0)")).as("sr"))
+        .crossJoin(broadcast(tot))
+        .withColumn("dev", dec(col("n")) * col("sr") - dec(col("cnt")) * col("sx"))
+        .withColumn("tc", floor(col("dev").cast("double") *
+          element_at(cosArr, col("r") + 1) * lit(1e6) + lit(0.5)).cast("long"))
+        .withColumn("ts", floor(col("dev").cast("double") *
+          element_at(sinArr, col("r") + 1) * lit(1e6) + lit(0.5)).cast("long"))
+      res.agg(max("n").as("n"),
+          sum(dec(col("tc"))).as("sc"), sum(dec(col("ts"))).as("ss"))
+        .select(lit(p.toLong).as("period"), col("n"),
+          col("sc"), col("ss"), (col("sc") * col("sc") + col("ss") * col("ss"))
+            .as("p_int"))
+    }
+    val all = legs.reduce(_ unionByName _)
+    val wAll = Window.orderBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val nd = col("n").cast("double")
+    val norm = (c: org.apache.spark.sql.Column) =>
+      round(c.cast("double") / 1e6 / (nd * nd), 9)
+    val out = all
+      .withColumn("p_max", max(col("p_int")).over(wAll))
+      .select(col("period"), col("n").as("n_buckets"),
+        norm(col("sc")).as("s_cos"), norm(col("ss")).as("s_sin"),
+        round((col("sc").cast("double") / 1e6 / (nd * nd)) *
+          (col("sc").cast("double") / 1e6 / (nd * nd)) +
+          (col("ss").cast("double") / 1e6 / (nd * nd)) *
+          (col("ss").cast("double") / 1e6 / (nd * nd)), 9).as("power"),
+        (col("p_int") === col("p_max")).as("dominant"))
+      .localCheckpoint() // |periods| rows; lets the cache drop
+    indexed.unpersist(false)
+    out
+  }
+
   /** CUSUM changepoint detection (Page 1954) over a dense integer
     * series: `C_t = Σ_{i≤t}(x_i − x̄)` peaks where the level shifts;
     * emits the argmax-|C| bucket (earliest on ties) with the

@@ -1207,6 +1207,24 @@ class OpsSpec extends AnyFunSuite {
     assert(wide.getAs[Long]("colliding_terms") === expColliding.toLong)
   }
 
+  test("cellBalanceReport: occupancy and imbalance on a lopsided assignment") {
+    import spark.implicits._
+    val cents = Seq(
+      Similarity.Centroid(0L, Array(0.0, 0.0), 0.0),
+      Similarity.Centroid(1L, Array(10.0, 10.0), math.sqrt(200.0)))
+    val vecs = Seq(
+      (1L, Seq(0.1f, 0.0f)), (2L, Seq(0.0f, 0.2f)), (3L, Seq(1.0f, 1.0f)),
+      (4L, Seq(10.0f, 9.5f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.cellBalanceReport(vecs, cents).orderBy("cell").collect()
+    assert(got.map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n_members")).toMap
+      === Map(0L -> 3L, 1L -> 1L))
+    assert(got.forall(_.getAs[Long]("cells_used") === 2L))
+    assert(got.forall(_.getAs[Long]("cells_empty") === 0L))
+    // imbalance = max / (n/k) = 3 / (4/2) = 1.5
+    assert(got.forall(r => math.abs(r.getAs[Double]("imbalance") - 1.5) < 1e-9))
+  }
+
   test("silhouetteReport: on-centroid points score 1, the midpoint scores 0") {
     import spark.implicits._
     val cents = Seq(

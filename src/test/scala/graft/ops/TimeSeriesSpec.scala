@@ -119,6 +119,24 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got === Seq(2L, 0L, 0L, 1L)) // hours 00..03, gaps zero-filled
   }
 
+  test("periodogram: a pure 24h cosine dominates the 12h and 168h bins") {
+    def ts(i: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + i * 3600000L)
+    val series = (0 until 72).map(t =>
+      (ts(t), 100L + math.round(50.0 * math.cos(2 * math.Pi * t / 24))))
+      .toDF("b", "x")
+    val got = TimeSeries.periodogram(series, Seq(12, 24, 168))
+      .orderBy("period").collect()
+    val byP = got.map(r => r.getAs[Long]("period") -> r).toMap
+    assert(byP(24L).getAs[Boolean]("dominant"))
+    assert(!byP(12L).getAs[Boolean]("dominant") && !byP(168L).getAs[Boolean]("dominant"))
+    assert(byP(24L).getAs[Double]("power") > 100.0 * byP(12L).getAs[Double]("power"))
+    // cosine phase: the signal lands in s_cos, s_sin stays near zero
+    assert(math.abs(byP(24L).getAs[Double]("s_sin")) <
+      math.abs(byP(24L).getAs[Double]("s_cos")) / 100.0)
+    assert(got.forall(_.getAs[Long]("n_buckets") === 72L))
+  }
+
   test("saxMotifs: a strict alternation yields exactly the two alternating words") {
     def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
     // 12 buckets alternating 0/10: z = ±1 -> symbols a/c alternating
