@@ -4706,6 +4706,107 @@ object QueriesOps {
         |  sm.n_defined, sm.mean_lcc
         |FROM l2, sm GROUP BY 1, 3, 4 ORDER BY bucket""".stripMargin)),
 
+    // EMD1: exact 1-D Wasserstein distance between the even/odd
+    // doc_id halves' length distributions — drift in the metric's own
+    // units, zero floats in the accumulation.
+    "emd1_wasserstein_drift" -> Q(
+      (s, d) => graft.ops.Stats.wasserstein1(
+          docs(s, d).withColumn("half_a", col("doc_id") % 2 === 0),
+          "n_chars", "half_a"),
+      Some("""WITH cells AS MATERIALIZED (SELECT n_chars AS v,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM documents GROUP BY 1),
+        |cum AS MATERIALIZED (SELECT v,
+        |    CAST(sum(ca) OVER w AS BIGINT) AS cum_a,
+        |    CAST(sum(cb) OVER w AS BIGINT) AS cum_b,
+        |    CAST(lead(v, 1) OVER (ORDER BY v) - v AS BIGINT) AS gap
+        |  FROM cells WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM cells),
+        |t AS (SELECT CAST(gap AS DECIMAL(38,0))
+        |      * abs(CAST(cum_a AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0))
+        |            - CAST(cum_b AS DECIMAL(38,0)) * CAST(na AS DECIMAL(38,0))) AS term,
+        |    na, nb FROM cum, tot WHERE gap IS NOT NULL)
+        |SELECT na AS n_a, nb AS n_b, CAST(count(*) AS BIGINT) AS n_segments,
+        |  round(CAST(sum(term) AS DOUBLE)
+        |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 9) AS wasserstein1
+        |FROM t GROUP BY na, nb""".stripMargin)),
+
+    // WIL1: Wilson funnel screening of per-source long-doc rates —
+    // which sources are SIGNIFICANTLY below the corpus rate, not just
+    // noisily below.
+    "wil1_source_funnel" -> Q(
+      (s, d) => graft.ops.Stats.proportionFunnel(
+          docs(s, d).withColumn("is_long", col("n_chars") >= 300),
+          "source", "is_long")
+        .orderBy("source"),
+      Some("""WITH g AS MATERIALIZED (SELECT source AS g,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(k) AS BIGINT) AS tk FROM g),
+        |e AS (SELECT g.g, g.n, g.k, tot.tn, tot.tk,
+        |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS ph,
+        |    1.0 + 3.8415999999999997 / CAST(n AS DOUBLE) AS dn,
+        |    CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE) AS pg
+        |  FROM g, tot),
+        |w AS (SELECT g, n, k, ph, pg,
+        |    (ph + 3.8415999999999997 / (2.0 * CAST(n AS DOUBLE))) / dn AS center,
+        |    1.96 * sqrt(ph * (1.0 - ph) / CAST(n AS DOUBLE)
+        |      + 3.8415999999999997 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / dn AS half
+        |  FROM e)
+        |SELECT g AS source, n, k, round(ph, 6) AS rate,
+        |  round(center - half, 6) AS wilson_lo,
+        |  round(center + half, 6) AS wilson_hi,
+        |  round(pg, 6) AS global_rate,
+        |  center + half < pg AS flag_low,
+        |  center - half > pg AS flag_high
+        |FROM w ORDER BY source""".stripMargin)),
+
+    // SEQ1: group-sequential monitoring of the ab1 experiment — one
+    // look per week, cumulative Welch z vs the O'Brien–Fleming
+    // boundary z·√(K/k); the peeking-safe companion to ab1.
+    "seq1_group_sequential" -> Q(
+      (s, d) => graft.ops.Stats.groupSequential(
+          Queries.events(s, d).withColumn("arm",
+            when(col("user_id") % 2 === 0, "control").otherwise("treatment")),
+          "ts", "arm", "value", "control", "treatment")
+        .orderBy("k"),
+      Some("""WITH b AS (SELECT date_trunc('week', ts) AS w,
+        |    CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END AS arm,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS q FROM events),
+        |cells AS MATERIALIZED (SELECT w, arm, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(q AS DECIMAL(38,0))) AS s,
+        |    sum(CAST(q AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0))) AS ss
+        |  FROM b GROUP BY 1, 2),
+        |cum AS MATERIALIZED (SELECT w, arm,
+        |    CAST(sum(n) OVER win AS BIGINT) AS cn,
+        |    sum(s) OVER win AS cs, sum(ss) OVER win AS css,
+        |    CAST(dense_rank() OVER (PARTITION BY arm ORDER BY w) AS BIGINT) AS k
+        |  FROM cells WINDOW win AS (PARTITION BY arm ORDER BY w
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |lk AS MATERIALIZED (SELECT t.k, t.cn AS n_t, c.cn AS n_c,
+        |    t.cs AS s_t, c.cs AS s_c, t.css AS ss_t, c.css AS ss_c
+        |  FROM (SELECT * FROM cum WHERE arm = 1) t
+        |  JOIN (SELECT * FROM cum WHERE arm = 0) c USING (w, k)),
+        |kk AS (SELECT CAST(max(k) AS BIGINT) AS bigk FROM lk),
+        |e AS (SELECT lk.*, kk.bigk,
+        |    CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS mt,
+        |    CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS mc,
+        |    (CAST(ss_t AS DOUBLE) - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+        |      / (CAST(n_t AS DOUBLE) - 1.0) AS vt,
+        |    (CAST(ss_c AS DOUBLE) - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+        |      / (CAST(n_c AS DOUBLE) - 1.0) AS vc
+        |  FROM lk, kk)
+        |SELECT k, bigk AS n_looks, n_t, n_c,
+        |  round((mt - mc) / 1e6, 6) AS diff,
+        |  round((mt - mc) / sqrt(vt / CAST(n_t AS DOUBLE) + vc / CAST(n_c AS DOUBLE)), 6) AS z,
+        |  round(1.96 * sqrt(CAST(bigk AS DOUBLE) / CAST(k AS DOUBLE)), 6) AS boundary,
+        |  abs((mt - mc) / sqrt(vt / CAST(n_t AS DOUBLE) + vc / CAST(n_c AS DOUBLE)))
+        |    > 1.96 * sqrt(CAST(bigk AS DOUBLE) / CAST(k AS DOUBLE)) AS crossed
+        |FROM e ORDER BY k""".stripMargin)),
+
     // IPW1: stratified treatment-effect estimate — heavy-signup users
     // (treated) vs the rest on total purchase value, subclassified on
     // engagement (event-count decade buckets): the confounder both

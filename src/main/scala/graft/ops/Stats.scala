@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Inference-grade statistics over grouped data: the two-sample Welch
@@ -1201,6 +1202,157 @@ object Stats {
           .as("jb_stat"),
         (nd / lit(6.0) * (skew * skew + kurt * kurt / lit(4.0)) > lit(5.991))
           .as("reject_normal"))
+  }
+
+  /** Group-sequential monitoring table (Pocock/O'Brien–Fleming interim
+    * looks — "when could this experiment have stopped?"): one look per
+    * time bucket, cumulative two-sample z against the OBF-approximate
+    * boundary `z_{α/2}·√(K/k)` at look k of K. The peeking-safe
+    * companion to ab1's single final test.
+    *
+    * Determinism: per-(bucket, arm) micro moments are exact integers;
+    * looks cumulate on the buckets×2 table; z/boundary are fixed-order
+    * doubles off exact sums (the ab1 contract); the crossing flag is a
+    * double compare with the same ±ulp caveat as every significance
+    * flag in this file.
+    *
+    * Scale: ONE combinable corpus pass; everything after is
+    * looks-bounded.
+    */
+  def groupSequential(df: DataFrame, tsCol: String, armCol: String,
+                      valueCol: String, armA: String, armB: String,
+                      bucket: String = "week",
+                      zAlpha: Double = 1.96): DataFrame = {
+    val cells = df
+      .filter(col(armCol).isin(armA, armB))
+      .select(date_trunc(bucket, col(tsCol)).as("w"),
+        when(col(armCol) === armB, 1L).otherwise(0L).as("arm"),
+        floor(col(valueCol) * lit(1e6) + lit(0.5)).cast("long").as("q"))
+      .groupBy("w", "arm")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("q").cast("decimal(38,0)")).as("s"),
+        sum(col("q").cast("decimal(38,0)") * col("q").cast("decimal(38,0)"))
+          .as("ss"))
+    val wW = Window.partitionBy("arm").orderBy("w")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells
+      .withColumn("cn", sum("n").over(wW).cast("long"))
+      .withColumn("cs", sum("s").over(wW))
+      .withColumn("css", sum("ss").over(wW))
+      .withColumn("k", dense_rank().over(Window.partitionBy("arm").orderBy("w"))
+        .cast("long"))
+    val looks = cum.filter(col("arm") === 1L).as("t")
+      .join(cum.filter(col("arm") === 0L).as("c"), Seq("w", "k"))
+      .select(col("k"), col("w"),
+        col("t.cn").as("n_t"), col("c.cn").as("n_c"),
+        col("t.cs").as("s_t"), col("c.cs").as("s_c"),
+        col("t.css").as("ss_t"), col("c.css").as("ss_c"))
+    val bigK = looks.agg(max("k").as("bigk")).head().getLong(0)
+    val nt = col("n_t").cast("double"); val nc = col("n_c").cast("double")
+    val mt = col("s_t").cast("double") / nt
+    val mc = col("s_c").cast("double") / nc
+    val vt = (col("ss_t").cast("double") - col("s_t").cast("double") *
+      col("s_t").cast("double") / nt) / (nt - 1.0)
+    val vc = (col("ss_c").cast("double") - col("s_c").cast("double") *
+      col("s_c").cast("double") / nc) / (nc - 1.0)
+    val se = sqrt(vt / nt + vc / nc)
+    val z = (mt - mc) / se
+    val bound = lit(zAlpha) *
+      sqrt(lit(bigK.toDouble) / col("k").cast("double"))
+    looks.select(col("k"), lit(bigK).as("n_looks"),
+      col("n_t"), col("n_c"),
+      round((mt - mc) / 1e6, 6).as("diff"),
+      round(z, 6).as("z"),
+      round(bound, 6).as("boundary"),
+      (abs(z) > bound).as("crossed"))
+  }
+
+  /** 1-D Wasserstein-1 (earth-mover) distance between two samples of
+    * an integer-valued metric — `W₁ = ∫|F_A − F_B|` over the value
+    * axis, the drift measure that (unlike dr1's PSI or dm1's JS) is in
+    * the METRIC'S OWN UNITS and needs no binning choice: "the length
+    * distribution moved by 14 characters".
+    *
+    * Determinism: EXACT — on the merged distinct-value grid,
+    * `W₁·n_A·n_B = Σ gap·|cum_A·n_B − cum_B·n_A|` is pure integer
+    * arithmetic (one display division at the end). No quantization,
+    * no floats anywhere in the accumulation.
+    *
+    * Scale: one combinable (value, side) count, cumulative windows on
+    * the distinct-value table (value-cardinality-sized, documented
+    * single-partition; range-partition the value axis beyond).
+    */
+  def wasserstein1(df: DataFrame, valueCol: String,
+                   sideCol: String): DataFrame = {
+    val cells = df
+      .select(col(valueCol).cast("long").as("v"),
+        when(col(sideCol), 1L).otherwise(0L).as("side"))
+      .groupBy("v")
+      .agg(sum(when(col("side") === 1L, 1L).otherwise(0L)).cast("long").as("ca"),
+        sum(when(col("side") === 0L, 1L).otherwise(0L)).cast("long").as("cb"))
+    val w = Window.orderBy("v")
+    val wCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cum = cells
+      .withColumn("cum_a", sum("ca").over(wCum).cast("long"))
+      .withColumn("cum_b", sum("cb").over(wCum).cast("long"))
+      .withColumn("gap", (lead(col("v"), 1).over(w) - col("v")).cast("long"))
+    val tot = cells.agg(sum("ca").cast("long").as("na"),
+      sum("cb").cast("long").as("nb"))
+    cum.filter(col("gap").isNotNull)
+      .crossJoin(broadcast(tot))
+      .select((dec(col("gap")) *
+        abs(dec(col("cum_a")) * dec(col("nb")) - dec(col("cum_b")) * dec(col("na"))))
+        .as("term"), col("na"), col("nb"))
+      .groupBy("na", "nb")
+      .agg(sum(col("term")).as("s"), count(lit(1)).cast("long").as("n_segments"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"), col("n_segments"),
+        round(col("s").cast("double") /
+          (col("na").cast("double") * col("nb").cast("double")), 9)
+          .as("wasserstein1"))
+  }
+
+  /** Proportion funnel (Spiegelhalter 2005 funnel-plot screening):
+    * per group the pass rate with its Wilson interval, flagged when
+    * the WHOLE interval sits below/above the global rate — the
+    * multiple-groups answer to "which sources are significantly worse,
+    * not just noisily worse?". The per-source screening companion to
+    * exp1's two-arm Wilson CIs.
+    *
+    * Determinism: counts are exact longs; every rate/CI is one
+    * fixed-order double expression; the flags compare doubles computed
+    * identically in both engines (the ab1 significance-flag contract).
+    *
+    * Scale: ONE combinable (group, pass) pass; groups-bounded after.
+    */
+  def proportionFunnel(df: DataFrame, groupCol: String, passCol: String,
+                       z: Double = 1.96): DataFrame = {
+    val g = df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col(passCol), 1L).otherwise(0L)).cast("long").as("k"))
+      .persist()
+    val tot = g.agg(sum("n").cast("long").as("tn"),
+      sum("k").cast("long").as("tk"))
+    val nd = col("n").cast("double")
+    val ph = col("k").cast("double") / nd
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nd
+    val center = (ph + z2 / (lit(2.0) * nd)) / denom
+    val half = lit(z) * sqrt(ph * (lit(1.0) - ph) / nd +
+      z2 / (lit(4.0) * nd * nd)) / denom
+    val pg = col("tk").cast("double") / col("tn").cast("double")
+    val out = g.crossJoin(broadcast(tot))
+      .select(col("g").as(groupCol), col("n"), col("k"),
+        round(ph, 6).as("rate"),
+        round(center - half, 6).as("wilson_lo"),
+        round(center + half, 6).as("wilson_hi"),
+        round(pg, 6).as("global_rate"),
+        (center + half < pg).as("flag_low"),
+        (center - half > pg).as("flag_high"))
+      .localCheckpoint() // groups rows; lets the cache drop
+    g.unpersist(false)
+    out
   }
 
   /** Cramér's V association matrix over categorical column pairs — the

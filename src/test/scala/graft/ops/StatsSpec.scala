@@ -686,6 +686,72 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(t.getAs[Double]("jb_stat") - n / 6.0 * (s * s + k * k / 4.0)) < 1e-6)
   }
 
+  test("groupSequential: a massive effect crosses every OBF look; boundaries shrink to z_alpha") {
+    import spark.implicits._
+    def ts(w: Int, i: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+        w * 7L * 86400000L + i * 3600000L)
+    // 3 weeks x (8 control around 0.5, 8 treatment around 10.5)
+    val rows = for {
+      w <- 0 until 3; i <- 0 until 8; arm <- Seq("control", "treatment")
+    } yield (ts(w, i), arm,
+      (if (arm == "treatment") 10.0 else 0.0) + (i % 2).toDouble)
+    val df = rows.toDF("ts", "arm", "v")
+    val got = Stats.groupSequential(df, "ts", "arm", "v",
+      "control", "treatment").orderBy("k").collect()
+    assert(got.length === 3)
+    assert(got.forall(_.getAs[Long]("n_looks") === 3L))
+    // boundary at look k = 1.96·sqrt(3/k); final look = 1.96
+    assert(math.abs(got(0).getAs[Double]("boundary") - 1.96 * math.sqrt(3.0)) < 1e-6)
+    assert(math.abs(got(2).getAs[Double]("boundary") - 1.96) < 1e-6)
+    // diff = 10 exactly at every look; z enormous -> crossed everywhere
+    got.foreach { r =>
+      assert(math.abs(r.getAs[Double]("diff") - 10.0) < 1e-6)
+      assert(r.getAs[Boolean]("crossed"))
+      assert(r.getAs[Double]("z") > r.getAs[Double]("boundary"))
+    }
+    // cumulative ns: 8, 16, 24 per arm
+    assert(got.map(_.getAs[Long]("n_t")).toSeq === Seq(8L, 16L, 24L))
+  }
+
+  test("wasserstein1: hand cases — shifted point masses and identical samples") {
+    import spark.implicits._
+    // A = {0,0}, B = {10,10}: W1 = 10 exactly
+    val shift = Seq((0L, true), (0L, true), (10L, false), (10L, false))
+      .toDF("v", "a")
+    val r = Stats.wasserstein1(shift, "v", "a").head()
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    assert(math.abs(r.getAs[Double]("wasserstein1") - 10.0) < 1e-9)
+    // identical samples: W1 = 0
+    val same = Seq((1L, true), (5L, true), (1L, false), (5L, false))
+      .toDF("v", "a")
+    assert(Stats.wasserstein1(same, "v", "a").head()
+      .getAs[Double]("wasserstein1") === 0.0)
+    // A = {0,10}, B = {5,5}: |F_A - F_B| = 1/2 on [0,5) and [5,10) -> W1 = 5
+    val mix = Seq((0L, true), (10L, true), (5L, false), (5L, false))
+      .toDF("v", "a")
+    assert(math.abs(Stats.wasserstein1(mix, "v", "a").head()
+      .getAs[Double]("wasserstein1") - 5.0) < 1e-9)
+  }
+
+  test("proportionFunnel: extreme groups flag, the on-rate group does not") {
+    import spark.implicits._
+    val rows = (1 to 100).flatMap(i => Seq(
+      ("A", true), ("B", false), ("C", i <= 50)))
+    val got = Stats.proportionFunnel(rows.toDF("g", "p"), "g", "p")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(got("A").getAs[Boolean]("flag_high") && !got("A").getAs[Boolean]("flag_low"))
+    assert(got("B").getAs[Boolean]("flag_low") && !got("B").getAs[Boolean]("flag_high"))
+    assert(!got("C").getAs[Boolean]("flag_low") && !got("C").getAs[Boolean]("flag_high"))
+    assert(got.values.forall(_.getAs[Double]("global_rate") === 0.5))
+    // Wilson interval brackets the rate and stays inside [0, 1]
+    got.values.foreach { r =>
+      assert(r.getAs[Double]("wilson_lo") >= 0.0 && r.getAs[Double]("wilson_hi") <= 1.0)
+      assert(r.getAs[Double]("wilson_lo") <= r.getAs[Double]("rate") + 1e-9)
+      assert(r.getAs[Double]("wilson_hi") >= r.getAs[Double]("rate") - 1e-9)
+    }
+  }
+
   test("cramersV: identical columns give V=1, independent columns V~0, zero cells counted") {
     import spark.implicits._
     val df = (1 to 80).map { i =>
