@@ -4706,6 +4706,47 @@ object QueriesOps {
         |  sm.n_defined, sm.mean_lcc
         |FROM l2, sm GROUP BY 1, 3, 4 ORDER BY bucket""".stripMargin)),
 
+    // RI1: referential-integrity audit over the star schema's three FK
+    // edges — orphaned children, null FKs, childless parents; dq1
+    // checks values, this checks relationships.
+    "ri1_referential_integrity" -> Q(
+      (s, d) => {
+        val li2 = li(s, d); val ord = s.read.parquet(s"$d/orders.parquet")
+        val cust = s.read.parquet(s"$d/customer.parquet")
+        val supp = s.read.parquet(s"$d/supplier.parquet")
+        Seq(
+          graft.ops.Profile.referentialIntegrity(
+            li2, "l_orderkey", ord, "o_orderkey", "lineitem->orders"),
+          graft.ops.Profile.referentialIntegrity(
+            ord, "o_custkey", cust, "c_custkey", "orders->customer"),
+          graft.ops.Profile.referentialIntegrity(
+            li2, "l_suppkey", supp, "s_suppkey", "lineitem->supplier"))
+          .reduce(_ unionByName _).orderBy("relation")
+      },
+      Some(Seq(
+        ("lineitem->orders", "l_orderkey", "lineitem", "o_orderkey", "orders"),
+        ("orders->customer", "o_custkey", "orders", "c_custkey", "customer"),
+        ("lineitem->supplier", "l_suppkey", "lineitem", "s_suppkey", "supplier"))
+        .map { case (rel, ckc, ct, pkc, pt) =>
+          s"""(WITH ck AS (SELECT $ckc AS k FROM $ct),
+             |pk AS (SELECT DISTINCT $pkc AS k FROM $pt),
+             |ok AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM ck
+             |  WHERE k IS NOT NULL GROUP BY 1),
+             |orph AS (SELECT ok.k, ok.c FROM ok LEFT JOIN pk ON pk.k = ok.k
+             |  WHERE pk.k IS NULL)
+             |SELECT '$rel' AS relation,
+             |  CAST((SELECT count(*) FROM ck) AS BIGINT) AS n_child,
+             |  CAST((SELECT count(*) FROM ck WHERE k IS NULL) AS BIGINT) AS n_null_fk,
+             |  CAST((SELECT coalesce(sum(c), 0) FROM orph) AS BIGINT) AS n_orphan_rows,
+             |  CAST((SELECT count(*) FROM orph) AS BIGINT) AS n_orphan_keys,
+             |  CAST((SELECT count(*) FROM pk) AS BIGINT) AS n_parent_keys,
+             |  CAST((SELECT count(*) FROM pk LEFT JOIN
+             |      (SELECT DISTINCT k FROM ck WHERE k IS NOT NULL) c2 ON c2.k = pk.k
+             |    WHERE c2.k IS NULL) AS BIGINT) AS n_childless_parents,
+             |  round(CAST((SELECT coalesce(sum(c), 0) FROM orph) AS DOUBLE)
+             |    / CAST((SELECT count(*) FROM ck) AS DOUBLE), 9) AS orphan_rate)""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY relation"))),
+
     // EMD1: exact 1-D Wasserstein distance between the even/odd
     // doc_id halves' length distributions — drift in the metric's own
     // units, zero floats in the accumulation.

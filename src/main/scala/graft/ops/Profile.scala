@@ -412,4 +412,45 @@ object Profile {
             org.apache.spark.sql.types.LongType))))
       .withColumn("js_divergence", round(lit(jsSum.toDouble / 1e12), 9))
   }
+
+  /** Referential-integrity audit for one FK relation: orphaned child
+    * rows (FK value absent from the parent), null FKs, and childless
+    * parents — the three counts every lakehouse DQ battery publishes
+    * per edge of the schema graph (dq1's expectations check VALUES,
+    * this checks RELATIONSHIPS).
+    *
+    * Determinism: pure integer counting; one display division.
+    *
+    * Scale: the orphan probe is a DISTINCT-keys anti-join (key-
+    * cardinality-sized both sides, never row×row); childless parents
+    * are the mirror anti-join. Counts come off the key tables.
+    */
+  def referentialIntegrity(child: DataFrame, childKey: String,
+                           parent: DataFrame, parentKey: String,
+                           relation: String): DataFrame = {
+    val spark = child.sparkSession
+    val ck = child.select(col(childKey).as("k"))
+    val pk = parent.select(col(parentKey).as("k")).distinct()
+      .persist()
+    val nChild = ck.count()
+    val nNull = ck.filter(col("k").isNull).count()
+    val orphanKeys = ck.filter(col("k").isNotNull).groupBy("k")
+      .agg(count(lit(1)).cast("long").as("c"))
+      .join(pk, Seq("k"), "left_anti")
+      .persist()
+    val orphanRows = orphanKeys.agg(coalesce(sum("c"), lit(0L)).cast("long"))
+      .head().getLong(0)
+    val nOrphanKeys = orphanKeys.count()
+    val childless = pk.join(ck.filter(col("k").isNotNull).distinct(),
+      Seq("k"), "left_anti").count()
+    val nParent = pk.count()
+    pk.unpersist(false); orphanKeys.unpersist(false)
+    import spark.implicits._
+    Seq((relation, nChild, nNull, orphanRows, nOrphanKeys, nParent, childless))
+      .toDF("relation", "n_child", "n_null_fk", "n_orphan_rows",
+        "n_orphan_keys", "n_parent_keys", "n_childless_parents")
+      .withColumn("orphan_rate",
+        round(col("n_orphan_rows").cast("double") /
+          col("n_child").cast("double"), 9))
+  }
 }

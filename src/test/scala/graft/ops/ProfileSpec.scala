@@ -158,4 +158,27 @@ class ProfileSpec extends AnyFunSuite {
     assert(top.getAs[String]("term") === "alpha",
       "the term whose probability moved most must rank first")
   }
+
+  test("referentialIntegrity: orphans, null FKs and childless parents all counted") {
+    val s = spark
+    import s.implicits._
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Profile.referentialIntegrity(child, "fk", parent, "pk", "c->p")
+      .head()
+    assert(r.getAs[String]("relation") === "c->p")
+    assert(r.getAs[Long]("n_child") === 5L)
+    assert(r.getAs[Long]("n_null_fk") === 1L)
+    assert(r.getAs[Long]("n_orphan_rows") === 1L) // the key-9 row
+    assert(r.getAs[Long]("n_orphan_keys") === 1L)
+    assert(r.getAs[Long]("n_parent_keys") === 3L)
+    assert(r.getAs[Long]("n_childless_parents") === 1L) // key 3
+    assert(math.abs(r.getAs[Double]("orphan_rate") - 0.2) < 1e-9)
+    // clean relation: everything zero except the population counts
+    val clean = Profile.referentialIntegrity(
+      Seq(1L, 2L).toDF("fk"), "fk", parent, "pk", "ok").head()
+    assert(clean.getAs[Long]("n_orphan_rows") === 0L)
+    assert(clean.getAs[Double]("orphan_rate") === 0.0)
+  }
 }
