@@ -4706,6 +4706,29 @@ object QueriesOps {
         |  sm.n_defined, sm.mean_lcc
         |FROM l2, sm GROUP BY 1, 3, 4 ORDER BY bucket""".stripMargin)),
 
+    // UTF1: UTF-8 byte-budget census per language — bytes/char and
+    // multibyte share decide tokenizer byte-level budgets and storage
+    // planning for multilingual corpora. Pure integer counting.
+    "utf1_byte_census" -> Q(
+      (s, d) => docs(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(length(col("text")).cast("long")).cast("long").as("n_chars"),
+          sum(octet_length(col("text")).cast("long")).cast("long").as("n_bytes"))
+        .select(col("lang"), col("n_docs"), col("n_chars"), col("n_bytes"),
+          round(col("n_bytes").cast("double") / col("n_chars").cast("double"), 9)
+            .as("bytes_per_char"),
+          round((col("n_bytes") - col("n_chars")).cast("double") /
+            col("n_bytes").cast("double"), 9).as("multibyte_share"))
+        .orderBy("lang"),
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+        |  round(CAST(sum(strlen(text)) AS DOUBLE) / CAST(sum(length(text)) AS DOUBLE), 9) AS bytes_per_char,
+        |  round(CAST(sum(strlen(text)) - sum(length(text)) AS DOUBLE)
+        |    / CAST(sum(strlen(text)) AS DOUBLE), 9) AS multibyte_share
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // RI1: referential-integrity audit over the star schema's three FK
     // edges — orphaned children, null FKs, childless parents; dq1
     // checks values, this checks relationships.
