@@ -178,6 +178,68 @@ object OracleGen {
        |FROM al, mx ORDER BY period""".stripMargin
   }
 
+  /** ot1: Sinkhorn entropic OT between the click/purchase hour-of-day
+    * profiles — K = exp(−C/ε) and K∘C serialized as double literals
+    * (the ONLY libm is plan-time), alternating scalings as chained
+    * MATERIALIZED CTEs with in-order folds, bit-identical to the
+    * engine's unrolled expression ladder.
+    */
+  def ot1Sql(bins: Int = 24, eps: Double = 4.0, iters: Int = 6): String = {
+    def circ(i: Int, j: Int): Double = {
+      val d = math.abs(i - j); math.min(d, bins - d).toDouble
+    }
+    def mat(f: (Int, Int) => Double): String =
+      (0 until bins).map(i => (0 until bins).map(j => f(i, j).toString)
+        .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val kLit = mat((i, j) => math.exp(-circ(i, j) / eps))
+    val kcLit = mat((i, j) => math.exp(-circ(i, j) / eps) * circ(i, j))
+    val n1 = bins + 1
+    def dot(m: String, vec: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, $n1), " +
+        s"j -> ($m)[i][j] * ($vec)[j])), (x, y) -> x + y)"
+    val rounds = (1 to iters).map { k =>
+      val prev = if (k == 1) "ab" else s"vk${k - 1}"
+      s""",
+         |uk$k AS MATERIALIZED (SELECT p.*, list_transform(range(1, $n1),
+         |    i -> a[i] / ${dot("kk.km", s"v_${k - 1}")}) AS u_$k
+         |  FROM $prev p, kk),
+         |vk$k AS MATERIALIZED (SELECT p.*, list_transform(range(1, $n1),
+         |    i -> bb[i] / ${dot("kk.km", s"u_$k")}) AS v_$k
+         |  FROM uk$k p, kk)""".stripMargin
+    }.mkString
+    val costTerm = s"u_$iters[i] * " +
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, $n1), " +
+      s"j -> kk.kcm[i][j] * v_$iters[j])), (x, y) -> x + y)"
+    val errTerm = s"abs(u_$iters[i] * " +
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, $n1), " +
+      s"j -> kk.km[i][j] * v_$iters[j])), (x, y) -> x + y) - a[i])"
+    s"""WITH kk AS (SELECT $kLit AS km, $kcLit AS kcm),
+       |c AS (SELECT CAST(hour(ts) AS INTEGER) AS b,
+       |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS side
+       |  FROM events WHERE event_type IN ('click', 'purchase')),
+       |counts AS (SELECT b, CAST(sum(side) AS BIGINT) AS ca,
+       |    CAST(count(*) - sum(side) AS BIGINT) AS cb FROM c GROUP BY 1),
+       |sp AS (SELECT CAST(unnest(range(0, $bins)) AS INTEGER) AS b),
+       |dense AS (SELECT sp.b, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+       |  FROM sp LEFT JOIN counts USING (b)),
+       |one AS MATERIALIZED (SELECT CAST(sum(ca) AS BIGINT) AS na,
+       |    CAST(sum(cb) AS BIGINT) AS nb,
+       |    list(CAST(ca AS DOUBLE) ORDER BY b) AS lca,
+       |    list(CAST(cb AS DOUBLE) ORDER BY b) AS lcb FROM dense),
+       |ab AS MATERIALIZED (SELECT na, nb,
+       |    list_transform(lca, x -> x / CAST(na AS DOUBLE)) AS a,
+       |    list_transform(lcb, x -> x / CAST(nb AS DOUBLE)) AS bb,
+       |    ${Seq.fill(bins)("1.0").mkString("[", ", ", "]")} AS v_0
+       |  FROM one)$rounds
+       |SELECT na AS n_a, nb AS n_b, CAST($bins AS BIGINT) AS n_bins,
+       |  CAST($iters AS BIGINT) AS n_iters,
+       |  round(list_reduce(list_prepend(0.0, list_transform(range(1, $n1),
+       |    i -> $costTerm)), (x, y) -> x + y), 9) AS ot_cost,
+       |  round(list_reduce(list_prepend(0.0, list_transform(range(1, $n1),
+       |    i -> $errTerm)), (x, y) -> greatest(x, y)), 9) AS row_marginal_err
+       |FROM vk$iters, kk""".stripMargin
+  }
+
   /** jc1: AGMS join-size estimate — J md5-parity ±1 counters per side,
     * exact integer products, frequency-vector truth; mirrors
     * [[graft.ops.Joins.agmsJoinCardinality]] coin for coin.

@@ -4770,6 +4770,19 @@ object QueriesOps {
              |    / CAST((SELECT count(*) FROM ck) AS DOUBLE), 9) AS orphan_rate)""".stripMargin
         }.mkString("", "\nUNION ALL\n", "\nORDER BY relation"))),
 
+    // OT1: Sinkhorn entropic optimal transport between the click and
+    // purchase hour-of-day profiles — plan-time exp literals, pure
+    // IEEE iterations, bit-identical across engines with NO
+    // quantization; emd1's regularized 2-D-capable sibling.
+    "ot1_sinkhorn" -> Q(
+      (s, d) => graft.ops.Stats.sinkhornOt(
+          Queries.events(s, d)
+            .filter(col("event_type").isin("click", "purchase"))
+            .withColumn("hod", hour(col("ts")))
+            .withColumn("is_click", col("event_type") === "click"),
+          "hod", "is_click", bins = 24, eps = 4.0, iters = 6),
+      Some(OracleGen.ot1Sql(24, 4.0, 6))),
+
     // EMD1: exact 1-D Wasserstein distance between the even/odd
     // doc_id halves' length distributions — drift in the metric's own
     // units, zero floats in the accumulation.

@@ -1267,6 +1267,82 @@ object Stats {
       (abs(z) > bound).as("crossed"))
   }
 
+  /** Entropic optimal transport between two histograms over the same
+    * circular bin axis (Sinkhorn–Knopp as popularized by Cuturi,
+    * NIPS'13): `iters` alternating scalings `u = a/(Kv)`, `v = b/(Kᵀu)`
+    * with `K = exp(−C/ε)` and C the circular bin distance, then the
+    * transport cost `Σ u_i K_ij C_ij v_j` — "how far apart are these
+    * two activity profiles, as a RESHUFFLING COST in bins?" (emd1 is
+    * the exact 1-D linear form; this is the regularized 2-D-capable
+    * form with an explicit coupling).
+    *
+    * Determinism: the ONLY libm calls (exp) happen at PLAN TIME — K
+    * and K∘C serialize as double literals into both engines; every
+    * iteration is pure IEEE ±/×/÷ over in-order folds (zip_with +
+    * left fold, the km1 discipline), so u/v are BIT-IDENTICAL across
+    * engines with no quantization at all. Histogram shares divide
+    * exact longs.
+    *
+    * Scale: ONE combinable (bin, side) count pass; the iteration is a
+    * single-row expression ladder over bins²-sized literals — constant
+    * work, corpus-independent.
+    */
+  def sinkhornOt(df: DataFrame, binCol: String, sideCol: String,
+                 bins: Int = 24, eps: Double = 4.0,
+                 iters: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    def circ(i: Int, j: Int): Double = {
+      val d = math.abs(i - j); math.min(d, bins - d).toDouble
+    }
+    val kRow = (0 until bins).map(i =>
+      typedlit((0 until bins).map(j => math.exp(-circ(i, j) / eps))))
+    val kcRow = (0 until bins).map(i =>
+      typedlit((0 until bins).map(j => math.exp(-circ(i, j) / eps) * circ(i, j))))
+    val counts = df
+      .select(col(binCol).cast("int").as("b"),
+        when(col(sideCol), 1L).otherwise(0L).as("side"))
+      .groupBy("b")
+      .agg(sum(when(col("side") === 1L, 1L).otherwise(0L)).cast("long").as("ca"),
+        sum(when(col("side") === 0L, 1L).otherwise(0L)).cast("long").as("cb"))
+    val spine = spark.range(bins).select(col("id").cast("int").as("b"))
+    val dense = spine.join(counts, Seq("b"), "left")
+      .select(col("b"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val one = dense.agg(
+      sum("ca").cast("long").as("na"), sum("cb").cast("long").as("nb"),
+      sort_array(collect_list(struct(col("b"), col("ca")))).as("la"),
+      sort_array(collect_list(struct(col("b"), col("cb")))).as("lb"))
+    // histogram shares as UNROLLED expressions (no lambda captures)
+    val withAb = one
+      .withColumn("a", array((0 until bins).map(i =>
+        element_at(col("la"), i + 1).getField("ca").cast("double") /
+          col("na").cast("double")): _*))
+      .withColumn("bb", array((0 until bins).map(i =>
+        element_at(col("lb"), i + 1).getField("cb").cast("double") /
+          col("nb").cast("double")): _*))
+      .withColumn("v_0", typedlit(Seq.fill(bins)(1.0)))
+    val fold = (row: Column, vec: Column) =>
+      aggregate(zip_with(row, vec, (x, y) => x * y), lit(0.0), (acc, t) => acc + t)
+    val afterIters = (1 to iters).foldLeft(withAb) { (d, k) =>
+      d.withColumn(s"u_$k", array((0 until bins).map(i =>
+          element_at(col("a"), i + 1) / fold(kRow(i), col(s"v_${k - 1}"))): _*))
+        .withColumn(s"v_$k", array((0 until bins).map(j =>
+          element_at(col("bb"), j + 1) / fold(kRow(j), col(s"u_$k"))): _*))
+    }
+    val u = col(s"u_$iters"); val v = col(s"v_$iters")
+    val cost = (0 until bins).map(i =>
+      element_at(u, i + 1) * fold(kcRow(i), v)).reduce(_ + _)
+    // row-marginal residual (column marginals are exact by the final
+    // v-update): convergence witness
+    val rowErr = greatest((0 until bins).map(i =>
+      abs(element_at(u, i + 1) * fold(kRow(i), v) -
+        element_at(col("a"), i + 1))): _*)
+    afterIters.select(col("na").as("n_a"), col("nb").as("n_b"),
+      lit(bins.toLong).as("n_bins"), lit(iters.toLong).as("n_iters"),
+      round(cost, 9).as("ot_cost"),
+      round(rowErr, 9).as("row_marginal_err"))
+  }
+
   /** 1-D Wasserstein-1 (earth-mover) distance between two samples of
     * an integer-valued metric — `W₁ = ∫|F_A − F_B|` over the value
     * axis, the drift measure that (unlike dr1's PSI or dm1's JS) is in

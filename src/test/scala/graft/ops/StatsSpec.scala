@@ -714,6 +714,30 @@ class StatsSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("n_t")).toSeq === Seq(8L, 16L, 24L))
   }
 
+  test("sinkhornOt: opposite point masses cost the full circular distance; identical cost 0") {
+    import spark.implicits._
+    // all A-mass at bin 0, all B-mass at bin 12: the only feasible
+    // coupling moves everything 12 bins -> cost = 12 at any epsilon
+    val far = (1 to 5).flatMap(_ => Seq((0L, true), (12L, false)))
+      .toDF("hod", "isa")
+    val r = Stats.sinkhornOt(far, "hod", "isa", bins = 24, eps = 4.0,
+      iters = 6).head()
+    assert(r.getAs[Long]("n_a") === 5L && r.getAs[Long]("n_b") === 5L)
+    assert(math.abs(r.getAs[Double]("ot_cost") - 12.0) < 1e-6)
+    assert(r.getAs[Double]("row_marginal_err") < 1e-9)
+    // identical point masses: the coupling is a single diagonal cell
+    val same = (1 to 5).flatMap(_ => Seq((3L, true), (3L, false)))
+      .toDF("hod", "isa")
+    val s0 = Stats.sinkhornOt(same, "hod", "isa", 24, 4.0, 6).head()
+    assert(math.abs(s0.getAs[Double]("ot_cost")) < 1e-9)
+    // spread histograms: cost strictly positive, marginals converged
+    val mix = ((1 to 20).map(i => ((i % 24).toLong, true)) ++
+      (1 to 20).map(i => (((i + 6) % 24).toLong, false))).toDF("hod", "isa")
+    val m = Stats.sinkhornOt(mix, "hod", "isa", 24, 4.0, 6).head()
+    assert(m.getAs[Double]("ot_cost") > 0.0)
+    assert(m.getAs[Double]("row_marginal_err") < 0.05)
+  }
+
   test("wasserstein1: hand cases — shifted point masses and identical samples") {
     import spark.implicits._
     // A = {0,0}, B = {10,10}: W1 = 10 exactly
