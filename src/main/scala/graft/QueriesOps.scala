@@ -4770,6 +4770,101 @@ object QueriesOps {
              |    / CAST((SELECT count(*) FROM ck) AS DOUBLE), 9) AS orphan_rate)""".stripMargin
         }.mkString("", "\nUNION ALL\n", "\nORDER BY relation"))),
 
+    // DID1: difference-in-differences on the events panel — odd users
+    // "rolled out" at Jan 16; the quasi-experimental causal estimator
+    // beside ab1/ab2/ipw1. One 4-cell moment pass.
+    "did1_diff_in_diff" -> Q(
+      (s, d) => graft.ops.Stats.diffInDiff(
+          Queries.events(s, d)
+            .withColumn("treated", col("user_id") % 2 === 1),
+          "ts", "treated", "value", cutoff = "2024-01-16 00:00:00"),
+      Some("""WITH q AS (SELECT
+        |    CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS post,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS q FROM events),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN t = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_00,
+        |    CAST(sum(CASE WHEN t = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_01,
+        |    CAST(sum(CASE WHEN t = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_10,
+        |    CAST(sum(CASE WHEN t = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_11,
+        |    sum(CASE WHEN t = 0 AND post = 0 THEN CAST(q AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS s_00,
+        |    sum(CASE WHEN t = 0 AND post = 1 THEN CAST(q AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS s_01,
+        |    sum(CASE WHEN t = 1 AND post = 0 THEN CAST(q AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS s_10,
+        |    sum(CASE WHEN t = 1 AND post = 1 THEN CAST(q AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS s_11,
+        |    sum(CASE WHEN t = 0 AND post = 0 THEN CAST(q AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss_00,
+        |    sum(CASE WHEN t = 0 AND post = 1 THEN CAST(q AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss_01,
+        |    sum(CASE WHEN t = 1 AND post = 0 THEN CAST(q AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss_10,
+        |    sum(CASE WHEN t = 1 AND post = 1 THEN CAST(q AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss_11
+        |  FROM q),
+        |e AS (SELECT *,
+        |    CAST(s_00 AS DOUBLE) / CAST(n_00 AS DOUBLE) AS m00,
+        |    CAST(s_01 AS DOUBLE) / CAST(n_01 AS DOUBLE) AS m01,
+        |    CAST(s_10 AS DOUBLE) / CAST(n_10 AS DOUBLE) AS m10,
+        |    CAST(s_11 AS DOUBLE) / CAST(n_11 AS DOUBLE) AS m11,
+        |    (CAST(ss_00 AS DOUBLE) - CAST(s_00 AS DOUBLE) * CAST(s_00 AS DOUBLE) / CAST(n_00 AS DOUBLE)) / (CAST(n_00 AS DOUBLE) - 1.0) AS v00,
+        |    (CAST(ss_01 AS DOUBLE) - CAST(s_01 AS DOUBLE) * CAST(s_01 AS DOUBLE) / CAST(n_01 AS DOUBLE)) / (CAST(n_01 AS DOUBLE) - 1.0) AS v01,
+        |    (CAST(ss_10 AS DOUBLE) - CAST(s_10 AS DOUBLE) * CAST(s_10 AS DOUBLE) / CAST(n_10 AS DOUBLE)) / (CAST(n_10 AS DOUBLE) - 1.0) AS v10,
+        |    (CAST(ss_11 AS DOUBLE) - CAST(s_11 AS DOUBLE) * CAST(s_11 AS DOUBLE) / CAST(n_11 AS DOUBLE)) / (CAST(n_11 AS DOUBLE) - 1.0) AS v11
+        |  FROM m),
+        |f AS (SELECT *, (m11 - m10) - (m01 - m00) AS did,
+        |    sqrt(v11 / CAST(n_11 AS DOUBLE) + v10 / CAST(n_10 AS DOUBLE)
+        |      + v01 / CAST(n_01 AS DOUBLE) + v00 / CAST(n_00 AS DOUBLE)) AS se
+        |  FROM e)
+        |SELECT n_00 AS n_ctrl_pre, n_01 AS n_ctrl_post,
+        |  n_10 AS n_treat_pre, n_11 AS n_treat_post,
+        |  round(m00 / 1e6, 6) AS mean_ctrl_pre, round(m01 / 1e6, 6) AS mean_ctrl_post,
+        |  round(m10 / 1e6, 6) AS mean_treat_pre, round(m11 / 1e6, 6) AS mean_treat_post,
+        |  round(did / 1e6, 6) AS did, round(se / 1e6, 6) AS se,
+        |  round(did / se, 6) AS z, abs(did / se) > 1.96 AS significant
+        |FROM f""".stripMargin)),
+
+    // AAT1: A/A validity check — an md5-parity split of users that is
+    // orthogonal to every real attribute must come out non-significant;
+    // the metric-pipeline neutrality gate experimentation platforms run
+    // before trusting any real readout.
+    "aat1_aa_validity" -> Q(
+      (s, d) => graft.ops.Stats.welchTTest(
+          Queries.events(s, d).withColumn("arm",
+            when(pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+              16, 10).cast("long"), lit(2L)) === 0L, "a").otherwise("b")),
+          "value", "arm", "a", "b"),
+      Some("""WITH b AS (SELECT
+        |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, 9),
+        |          i -> CAST(strpos('0123456789abcdef',
+        |            substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+        |        (a, x) -> a * 16 + x) % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+        |    CAST(floor(value * 1e6 + 0.5) AS DECIMAL(38,0)) AS q
+        |  FROM events),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN arm = 'a' THEN q ELSE CAST(0 AS DECIMAL(38,0)) END) AS s_a,
+        |    sum(CASE WHEN arm = 'b' THEN q ELSE CAST(0 AS DECIMAL(38,0)) END) AS s_b,
+        |    sum(CASE WHEN arm = 'a' THEN q * q ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss_a,
+        |    sum(CASE WHEN arm = 'b' THEN q * q ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss_b
+        |  FROM b),
+        |c AS (SELECT n_a, n_b,
+        |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |    CAST(s_a AS DOUBLE) AS sa, CAST(s_b AS DOUBLE) AS sb,
+        |    CAST(ss_a AS DOUBLE) AS ssa, CAST(ss_b AS DOUBLE) AS ssb
+        |  FROM m),
+        |v AS (SELECT *,
+        |    (ssa - sa * sa / na) / (na - 1.0) AS var_qa,
+        |    (ssb - sb * sb / nb) / (nb - 1.0) AS var_qb
+        |  FROM c),
+        |w AS (SELECT *, var_qa / na + var_qb / nb AS se2 FROM v)
+        |SELECT n_a, n_b,
+        |  round(sa / na / 1e6, 6) AS mean_a,
+        |  round(sb / nb / 1e6, 6) AS mean_b,
+        |  round(var_qa / 1e12, 6) AS var_a,
+        |  round(var_qb / 1e12, 6) AS var_b,
+        |  (sa / na - sb / nb) / sqrt(se2) AS t_stat,
+        |  se2 * se2 / ((var_qa / na) * (var_qa / na) / (na - 1.0)
+        |             + (var_qb / nb) * (var_qb / nb) / (nb - 1.0)) AS df_welch,
+        |  abs((sa / na - sb / nb) / sqrt(se2)) > 1.96 AS significant
+        |FROM w""".stripMargin)),
+
     // OT1: Sinkhorn entropic optimal transport between the click and
     // purchase hour-of-day profiles — plan-time exp literals, pure
     // IEEE iterations, bit-identical across engines with NO

@@ -1267,6 +1267,55 @@ object Stats {
       (abs(z) > bound).as("crossed"))
   }
 
+  /** Difference-in-differences (the Card–Krueger quasi-experimental
+    * workhorse): `DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)`
+    * over a 2×2 (treated, post-cutoff) design, with the four-cell
+    * Welch-style standard error — the estimator for "the rollout
+    * happened at time t to group T; what did it cause?" when neither
+    * arm is randomized. Completes the causal shelf beside ab1
+    * (randomized), ab2 (variance-reduced) and ipw1 (subclassified).
+    *
+    * Determinism: the corpus reduces to FOUR exact micro-moment cells
+    * in one combinable pass; every statistic is a fixed-order double
+    * off that single row (the ab1 contract).
+    */
+  def diffInDiff(df: DataFrame, tsCol: String, treatCol: String,
+                 valueCol: String, cutoff: String): DataFrame = {
+    val q = df.select(
+      when(col(treatCol), 1L).otherwise(0L).as("t"),
+      when(col(tsCol) >= lit(cutoff).cast("timestamp"), 1L).otherwise(0L)
+        .as("post"),
+      floor(col(valueCol) * lit(1e6) + lit(0.5)).cast("long").as("q"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cellAggs = (for { t <- Seq(0, 1); p <- Seq(0, 1) } yield {
+      val in = col("t") === t.toLong && col("post") === p.toLong
+      Seq(sum(when(in, 1L).otherwise(0L)).cast("long").as(s"n_$t$p"),
+        sum(when(in, dec(col("q"))).otherwise(dec(lit(0L)))).as(s"s_$t$p"),
+        sum(when(in, dec(col("q")) * dec(col("q"))).otherwise(dec(lit(0L))))
+          .as(s"ss_$t$p"))
+    }).flatten
+    val m = q.agg(cellAggs.head, cellAggs.tail: _*)
+    def nd(c: String) = col(s"n_$c").cast("double")
+    def mean(c: String) = col(s"s_$c").cast("double") / nd(c)
+    def vr(c: String) = (col(s"ss_$c").cast("double") -
+      col(s"s_$c").cast("double") * col(s"s_$c").cast("double") / nd(c)) /
+      (nd(c) - 1.0)
+    val did = (mean("11") - mean("10")) - (mean("01") - mean("00"))
+    val se = sqrt(vr("11") / nd("11") + vr("10") / nd("10") +
+      vr("01") / nd("01") + vr("00") / nd("00"))
+    m.select(
+      col("n_00").as("n_ctrl_pre"), col("n_01").as("n_ctrl_post"),
+      col("n_10").as("n_treat_pre"), col("n_11").as("n_treat_post"),
+      round(mean("00") / 1e6, 6).as("mean_ctrl_pre"),
+      round(mean("01") / 1e6, 6).as("mean_ctrl_post"),
+      round(mean("10") / 1e6, 6).as("mean_treat_pre"),
+      round(mean("11") / 1e6, 6).as("mean_treat_post"),
+      round(did / 1e6, 6).as("did"),
+      round(se / 1e6, 6).as("se"),
+      round(did / se, 6).as("z"),
+      (abs(did / se) > lit(1.96)).as("significant"))
+  }
+
   /** Entropic optimal transport between two histograms over the same
     * circular bin axis (Sinkhorn–Knopp as popularized by Cuturi,
     * NIPS'13): `iters` alternating scalings `u = a/(Kv)`, `v = b/(Kᵀu)`

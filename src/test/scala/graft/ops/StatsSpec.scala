@@ -714,6 +714,34 @@ class StatsSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("n_t")).toSeq === Seq(8L, 16L, 24L))
   }
 
+  test("diffInDiff: recovers the constructed effect net of the shared trend") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val pre = ts("2024-01-05 00:00:00"); val post = ts("2024-01-20 00:00:00")
+    // shared trend +1; treatment adds +3 on top -> DiD = 3
+    val rows = (0 until 20).flatMap { i =>
+      val jit = (i % 2).toDouble * 0.5 // variance so SE > 0
+      Seq((pre, false, 1.0 + jit), (post, false, 2.0 + jit),
+        (pre, true, 3.0 + jit), (post, true, 7.0 + jit))
+    }
+    val got = Stats.diffInDiff(rows.toDF("ts", "treated", "v"),
+      "ts", "treated", "v", "2024-01-16 00:00:00").head()
+    assert(got.getAs[Long]("n_ctrl_pre") === 20L)
+    assert(math.abs(got.getAs[Double]("mean_treat_post") - 7.25) < 1e-6)
+    assert(math.abs(got.getAs[Double]("did") - 3.0) < 1e-6)
+    assert(got.getAs[Boolean]("significant"))
+    // identical trends, no effect: DiD = 0, not significant
+    val none = (0 until 20).flatMap { i =>
+      val jit = (i % 2).toDouble * 0.5
+      Seq((pre, false, 1.0 + jit), (post, false, 2.0 + jit),
+        (pre, true, 5.0 + jit), (post, true, 6.0 + jit))
+    }
+    val g0 = Stats.diffInDiff(none.toDF("ts", "treated", "v"),
+      "ts", "treated", "v", "2024-01-16 00:00:00").head()
+    assert(math.abs(g0.getAs[Double]("did")) < 1e-9)
+    assert(!g0.getAs[Boolean]("significant"))
+  }
+
   test("sinkhornOt: opposite point masses cost the full circular distance; identical cost 0") {
     import spark.implicits._
     // all A-mass at bin 0, all B-mass at bin 12: the only feasible
