@@ -4770,6 +4770,37 @@ object QueriesOps {
              |    / CAST((SELECT count(*) FROM ck) AS DOUBLE), 9) AS orphan_rate)""".stripMargin
         }.mkString("", "\nUNION ALL\n", "\nORDER BY relation"))),
 
+    // TU1: Theil's uncertainty coefficient between lang and source —
+    // the DIRECTIONAL association readout beside cv2's symmetric V.
+    "tu1_theils_u" -> Q(
+      (s, d) => graft.ops.Stats.theilsU(docs(s, d), "lang", "source"),
+      Some("""WITH cells AS MATERIALIZED (SELECT CAST(lang AS VARCHAR) AS a,
+        |    CAST(source AS VARCHAR) AS b, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |ra AS MATERIALIZED (SELECT a, CAST(sum(o) AS BIGINT) AS na FROM cells GROUP BY 1),
+        |rb AS MATERIALIZED (SELECT b, CAST(sum(o) AS BIGINT) AS nb FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |hat AS (SELECT sum(CAST(CAST(floor(-(CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * ln(CAST(na AS DOUBLE) / CAST(n AS DOUBLE)) * 1e12 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS ha
+        |  FROM ra, tot),
+        |hbt AS (SELECT sum(CAST(CAST(floor(-(CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * ln(CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)) * 1e12 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS hb
+        |  FROM rb, tot),
+        |cond AS (SELECT
+        |    sum(CAST(CAST(floor(-(CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(o AS DOUBLE) / CAST(nb AS DOUBLE)) * 1e12 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS hab,
+        |    sum(CAST(CAST(floor(-(CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(o AS DOUBLE) / CAST(na AS DOUBLE)) * 1e12 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS hba
+        |  FROM cells JOIN ra USING (a) JOIN rb USING (b), tot)
+        |SELECT tot.n,
+        |  round(CAST(ha AS DOUBLE) / 1e12, 9) AS h_a,
+        |  round(CAST(hb AS DOUBLE) / 1e12, 9) AS h_b,
+        |  round(CAST(hab AS DOUBLE) / 1e12, 9) AS h_a_given_b,
+        |  round(CAST(hba AS DOUBLE) / 1e12, 9) AS h_b_given_a,
+        |  round((CAST(ha AS DOUBLE) - CAST(hab AS DOUBLE)) / CAST(ha AS DOUBLE), 9) AS u_a_given_b,
+        |  round((CAST(hb AS DOUBLE) - CAST(hba AS DOUBLE)) / CAST(hb AS DOUBLE), 9) AS u_b_given_a
+        |FROM hat, hbt, cond, tot""".stripMargin)),
+
     // DID1: difference-in-differences on the events panel — odd users
     // "rolled out" at Jan 16; the quasi-experimental causal estimator
     // beside ab1/ab2/ipw1. One 4-cell moment pass.

@@ -1267,6 +1267,64 @@ object Stats {
       (abs(z) > bound).as("crossed"))
   }
 
+  /** Theil's uncertainty coefficient (Theil 1970): the ASYMMETRIC
+    * categorical association `U(A|B) = (H(A) − H(A|B)) / H(A)` — what
+    * fraction of A's entropy does knowing B remove? The directional
+    * complement to [[cramersV]]: V says "related", U says "B predicts
+    * A but A does not predict B" (e.g. source → lang is near-
+    * deterministic while lang → source is not). Emits both directions
+    * off one cell pass.
+    *
+    * Determinism: every entropy term `p·ln(p)` is a double computed
+    * from exact longs in fixed order, PICO-QUANTIZED before the
+    * order-free sum (the js1 discipline); U is two display-scale
+    * divisions of the pico sums.
+    *
+    * Scale: ONE combinable (a, b) cell shuffle; everything after is
+    * r×c-bounded.
+    */
+  def theilsU(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).cast("long").as("o")).persist()
+    val ra = cells.groupBy("a").agg(sum("o").cast("long").as("na"))
+    val rb = cells.groupBy("b").agg(sum("o").cast("long").as("nb"))
+    val tot = cells.agg(sum("o").cast("long").as("n"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    // marginal entropies: Σ -(n_x/N)·ln(n_x/N), pico per term
+    def hMarg(m: DataFrame, cnt: String): DataFrame = m
+      .crossJoin(broadcast(tot))
+      .select(floor(-(col(cnt).cast("double") / col("n").cast("double")) *
+        log(col(cnt).cast("double") / col("n").cast("double")) * lit(1e12)
+        + lit(0.5)).cast("long").as("t"))
+      .agg(sum(dec(col("t"))).as("h"))
+    // conditional: H(A|B) = Σ_cells -(o/N)·ln(o/n_b); H(B|A) mirrored
+    val cond = cells.join(ra, "a").join(rb, "b").crossJoin(broadcast(tot))
+      .select(
+        floor(-(col("o").cast("double") / col("n").cast("double")) *
+          log(col("o").cast("double") / col("nb").cast("double")) * lit(1e12)
+          + lit(0.5)).cast("long").as("tab"),
+        floor(-(col("o").cast("double") / col("n").cast("double")) *
+          log(col("o").cast("double") / col("na").cast("double")) * lit(1e12)
+          + lit(0.5)).cast("long").as("tba"))
+      .agg(sum(dec(col("tab"))).as("hab"), sum(dec(col("tba"))).as("hba"))
+    val out = hMarg(ra, "na").withColumnRenamed("h", "ha")
+      .crossJoin(hMarg(rb, "nb").withColumnRenamed("h", "hb"))
+      .crossJoin(cond).crossJoin(tot)
+      .select(col("n"),
+        round(col("ha").cast("double") / 1e12, 9).as("h_a"),
+        round(col("hb").cast("double") / 1e12, 9).as("h_b"),
+        round(col("hab").cast("double") / 1e12, 9).as("h_a_given_b"),
+        round(col("hba").cast("double") / 1e12, 9).as("h_b_given_a"),
+        round((col("ha").cast("double") - col("hab").cast("double")) /
+          col("ha").cast("double"), 9).as("u_a_given_b"),
+        round((col("hb").cast("double") - col("hba").cast("double")) /
+          col("hb").cast("double"), 9).as("u_b_given_a"))
+      .localCheckpoint() // 1 row; lets the cells cache drop
+    cells.unpersist(false)
+    out
+  }
+
   /** Difference-in-differences (the Card–Krueger quasi-experimental
     * workhorse): `DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)`
     * over a 2×2 (treated, post-cutoff) design, with the four-cell

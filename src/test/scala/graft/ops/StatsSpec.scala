@@ -714,6 +714,24 @@ class StatsSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("n_t")).toSeq === Seq(8L, 16L, 24L))
   }
 
+  test("theilsU: deterministic direction scores 1, independent scores 0, asymmetry shows") {
+    import spark.implicits._
+    // b determines a (a = parity of b) but a does not determine b
+    val det = (1 to 80).map(i => (s"p${i % 2}", s"b${i % 8}")).toDF("a", "b")
+    val r = Stats.theilsU(det, "a", "b").head()
+    assert(math.abs(r.getAs[Double]("u_a_given_b") - 1.0) < 1e-6)
+    assert(r.getAs[Double]("u_b_given_a") < 0.5) // 1 of 3 bits explained
+    assert(r.getAs[Double]("u_b_given_a") > 0.3)
+    // exact independence: both directions 0
+    val ind = (1 to 80).map(i => (s"p${i % 2}", s"q${(i / 2) % 2}"))
+      .toDF("a", "b")
+    val r0 = Stats.theilsU(ind, "a", "b").head()
+    assert(math.abs(r0.getAs[Double]("u_a_given_b")) < 1e-6)
+    assert(math.abs(r0.getAs[Double]("u_b_given_a")) < 1e-6)
+    // marginal entropy sanity: H(a) = ln 2 for the fair binary label
+    assert(math.abs(r0.getAs[Double]("h_a") - math.log(2.0)) < 1e-6)
+  }
+
   test("diffInDiff: recovers the constructed effect net of the shared trend") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
