@@ -1246,6 +1246,52 @@ object OracleGen {
        |FROM j ORDER BY doc_id""".stripMargin
   }
 
+  /** sp4: the leakage-safe cluster split (sp2's law) fed by the BANDED
+    * pair source — SemDeDup's cell-confined candidate generator over
+    * the fixed deterministic centroids (dd14's gate-checked machinery)
+    * instead of sp2's exact O(n²) baseline. Same recursive closure,
+    * same md5 cluster coin; this is the composition that runs at
+    * corpus scale.
+    */
+  def sp4Sql(threshold: Double, bound: Int, nCentroids: Int = 16,
+             dim: Int = 64): String = {
+    val rows = Similarity.fixedCentroids(nCentroids, dim).map { c =>
+      s"(${c.id}, [${c.vec.mkString(", ")}], ${c.norm})"
+    }.mkString(", ")
+    val centDot = s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+      "i -> cv[CAST(i AS INTEGER)] * v[CAST(i AS INTEGER)])), (acc, x) -> acc + x)"
+    s"""WITH RECURSIVE cent(cid, cv, cn) AS (VALUES $rows),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE vec_id < $bound),
+       |cs AS (SELECT e.vec_id, cent.cid, $centDot / cn AS c_sim FROM e CROSS JOIN cent),
+       |cell AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cid DESC) AS rn FROM cs)
+       |  WHERE rn = 1),
+       |pairs AS (SELECT ca.vec_id AS id1, cb.vec_id AS id2
+       |  FROM cell ca JOIN cell cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+       |  JOIN e ae ON ae.vec_id = ca.vec_id JOIN e be ON be.vec_id = cb.vec_id
+       |  WHERE ${cosSql(dim, "ae", "be")} >= $threshold),
+       |edges AS (SELECT CAST(id1 AS BIGINT) AS src, CAST(id2 AS BIGINT) AS dst FROM pairs
+       |          UNION ALL
+       |          SELECT CAST(id2 AS BIGINT), CAST(id1 AS BIGINT) FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT CAST(vec_id AS BIGINT), CAST(vec_id AS BIGINT) FROM e
+       |  UNION
+       |  SELECT edges.dst, reach.r FROM reach JOIN edges ON edges.src = reach.v),
+       |cl AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v),
+       |coin AS (SELECT cluster,
+       |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, 9),
+       |      i -> CAST(strpos('0123456789abcdef',
+       |             substr(md5(CAST(cluster AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+       |    (a, x) -> a * 16 + x) AS DOUBLE) / CAST(4294967296 AS DOUBLE) AS u
+       |  FROM (SELECT DISTINCT cluster FROM cl))
+       |SELECT cl.v, cl.cluster,
+       |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+       |FROM cl JOIN coin USING (cluster)
+       |ORDER BY v""".stripMargin
+  }
+
   /** ss5: IVF top-k over the FIXED deterministic centroids
     * ([[Similarity.fixedCentroids]]), nProbe cells per query. Doubles
     * are serialized via Double.toString (shortest round-trip form), so

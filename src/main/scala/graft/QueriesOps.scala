@@ -95,7 +95,7 @@ object QueriesOps {
     * recursion at all. Float literals are written as the same
     * expressions Spark evaluates ((1.0 - 0.85), 0.85) so both engines
     * hit identical IEEE operations; the remaining sum-order ulps are
-    * absorbed by the comparator's 9-decimal canonicalization.
+    * absorbed by the comparator (12-significant-digit float canon).
     */
   /** DuckDB oracle for bfs1: the 4 BFS relaxation rounds unrolled
     * (MATERIALIZED — each round references its predecessor twice).
@@ -149,11 +149,11 @@ object QueriesOps {
       s"\nSELECT v AS user_id, pr FROM r$PageRankIters ORDER BY user_id"
   }
 
-  /** DuckDB oracle for hits1: 8 HITS rounds unrolled (MATERIALIZED —
+  /** DuckDB oracle for hits1: [[HitsIters]] HITS rounds unrolled (MATERIALIZED —
     * each normalizer subquery re-reads its round's raw table). L1
     * normalization; zero-valued nodes add exact 0.0 to every sum, so
     * both engines normalize by the same value (mod float order, which
-    * the 9-decimal compare absorbs — same contract as pg1).
+    * the comparator's 12-significant-digit float canon absorbs — same contract as pg1).
     */
   // 5 rounds: HITS converges geometrically (second-eigenvalue ratio);
   // the bench cost is per-round FIXED overhead (2 joins + 2 in-plan
@@ -1824,6 +1824,16 @@ object QueriesOps {
     // cosine near-dup graph assigns cluster ids, the md5 coin flips on
     // the cluster id, members inherit. Oracle = dd7's recursive-CTE
     // closure + sp1's coin restated on the cluster id.
+    //
+    // SCALE NOTE on the pair source: the exact O(n²)
+    // cosineNearDupPairs feed is the GATE shape only (bounded to 600
+    // ids so the oracle's all-pairs join stays cheap). At corpus scale
+    // the edge feed swaps to a banded candidate generator —
+    // Dedup.minhashLshPairs (dd2/dd12's source) for text shingles or
+    // Similarity.semanticDedupPairs (dd13's source) for embeddings —
+    // and everything downstream (connectedComponents, the cluster
+    // coin, the inherit join) is unchanged. Both banded sources are
+    // themselves gate-checked; sp4 below registers that composition.
     "sp2_cluster_safe_split" -> Q(
       (s, d) => {
         val bounded = embs(s, d).filter(col("vec_id") < 600)
@@ -1868,6 +1878,29 @@ object QueriesOps {
         |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
         |FROM cl JOIN coin USING (cluster)
         |ORDER BY v""".stripMargin)),
+
+    // SP4: sp2's leakage-safe cluster split fed by the BANDED pair
+    // source — semanticDedupPairs over the fixed centroids (dd14's
+    // cell-confined generator, the one that stays tractable at corpus
+    // scale) replacing sp2's exact O(n²) baseline. Same component
+    // pass, same md5 cluster coin, same split law; registering the
+    // composition proves the scale path end-to-end, not just its
+    // parts.
+    "sp4_banded_cluster_split" -> Q(
+      (s, d) => {
+        val bounded = embs(s, d).filter(col("vec_id") < 600)
+        val pairs = Similarity.semanticDedupPairs(bounded, threshold = 0.4,
+            centroids = Similarity.fixedCentroids(16, 64))
+          .select(col("id1").as("d1"), col("id2").as("d2"))
+        val cc = Dedup.connectedComponents(
+          bounded.select(col("vec_id").as("v")), pairs)
+        val assigned = graft.ops.Curate.hashSplit(
+          cc.select(col("cluster")).distinct(), "cluster",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        cc.join(broadcast(assigned), "cluster")
+          .select(col("v"), col("cluster"), col("split")).orderBy("v")
+      },
+      Some(OracleGen.sp4Sql(0.4, 600))),
 
     // Quantified driver-visible quality check for the approximate ANN
     // paths: recall of ss3/ss4/ss5 against their exact ground truths,
@@ -4985,14 +5018,15 @@ object QueriesOps {
         |  FROM b GROUP BY 1, 2),
         |cum AS MATERIALIZED (SELECT w, arm,
         |    CAST(sum(n) OVER win AS BIGINT) AS cn,
-        |    sum(s) OVER win AS cs, sum(ss) OVER win AS css,
-        |    CAST(dense_rank() OVER (PARTITION BY arm ORDER BY w) AS BIGINT) AS k
+        |    sum(s) OVER win AS cs, sum(ss) OVER win AS css
         |  FROM cells WINDOW win AS (PARTITION BY arm ORDER BY w
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |lk AS MATERIALIZED (SELECT t.k, t.cn AS n_t, c.cn AS n_c,
+        |lk AS MATERIALIZED (SELECT w,
+        |    CAST(dense_rank() OVER (ORDER BY w) AS BIGINT) AS k,
+        |    t.cn AS n_t, c.cn AS n_c,
         |    t.cs AS s_t, c.cs AS s_c, t.css AS ss_t, c.css AS ss_c
         |  FROM (SELECT * FROM cum WHERE arm = 1) t
-        |  JOIN (SELECT * FROM cum WHERE arm = 0) c USING (w, k)),
+        |  JOIN (SELECT * FROM cum WHERE arm = 0) c USING (w)),
         |kk AS (SELECT CAST(max(k) AS BIGINT) AS bigk FROM lk),
         |e AS (SELECT lk.*, kk.bigk,
         |    CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS mt,
@@ -5104,9 +5138,9 @@ object QueriesOps {
         |  nd / 6.0 * (skew * skew + kurt * kurt / 4.0) > 5.991 AS reject_normal
         |FROM sk ORDER BY event_type""".stripMargin)),
 
-    // HITS1: hubs & authorities over the handoff graph — 8 L1-
-    // normalized rounds on pg1's static edge partitioning; the
-    // oracle unrolls every round.
+    // HITS1: hubs & authorities over the handoff graph — HitsIters
+    // L1-normalized rounds on pg1's static edge partitioning; the
+    // oracle unrolls the same constant.
     "hits1_hubs_authorities" -> Q(
       (s, d) => Graph.hits(
           Graph.handoffEdges(Queries.events(s, d),
@@ -7466,7 +7500,7 @@ object QueriesOps {
         |        // (x % 4294967296)) AS s_pico
         |  FROM pf)
         |SELECT t_day, n_risk, n_deaths, n_censored,
-        |  round(CAST(s_pico AS DOUBLE) / 1e12, 6) AS survival
+        |  (s_pico + 500000) // 1000000 AS survival_micro
         |FROM rw ORDER BY t_day""".stripMargin)),
 
     // ACF1: autocorrelation of the dense hourly event-count series at

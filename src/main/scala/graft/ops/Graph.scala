@@ -58,8 +58,13 @@ object Graph {
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count().toDouble
 
-    var pr = shallow(nodes.withColumn("pr", lit(1.0) / lit(n))
-      .persist(StorageLevel.MEMORY_AND_DISK))
+    // Track the PERSISTED originals for unpersist: the loop variable is
+    // a shallow copy (LogicalRDD) whose plan never matches the cached
+    // original, so unpersisting the copy is a silent no-op that leaks
+    // one cached table per round.
+    var prCached = nodes.withColumn("pr", lit(1.0) / lit(n))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var pr = shallow(prCached)
     var prev: DataFrame = null
     for (_ <- 1 to iterations) {
       val contrib = edW.join(pr, edW("src") === pr("v"))
@@ -77,9 +82,12 @@ object Graph {
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count()
       if (prev != null) prev.unpersist()
-      prev = pr
+      prev = prCached
+      prCached = next
       pr = shallow(next)
     }
+    if (prev != null) prev.unpersist()
+    edW.unpersist(); nodes.unpersist() // final round stays persisted for the caller
     pr
   }
 
@@ -617,9 +625,13 @@ object Graph {
         .select(col("v"), (col("__r") / col("__t")).as(out))
     }
 
-    var hub = shallow(nodes.withColumn("h", lit(1.0))
-      .persist(StorageLevel.MEMORY_AND_DISK))
+    // Track the PERSISTED originals (not the shallow LogicalRDD copies)
+    // for unpersist — same leak mode as the pageRank fix above.
+    var hubCached = nodes.withColumn("h", lit(1.0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var hub = shallow(hubCached)
     var auth: DataFrame = null
+    var authCached: DataFrame = null
     var prevH: DataFrame = null
     var prevA: DataFrame = null
     for (_ <- 1 to iterations) {
@@ -636,13 +648,16 @@ object Graph {
       h.count()
       if (prevH != null) prevH.unpersist()
       if (prevA != null) prevA.unpersist()
-      prevH = hub; prevA = auth
+      prevH = hubCached; prevA = authCached
+      hubCached = h; authCached = a
       hub = shallow(h); auth = shallow(a)
     }
+    if (prevH != null) prevH.unpersist()
+    if (prevA != null) prevA.unpersist()
     val out = hub.join(auth.withColumnRenamed("v", "va"),
         hub("v") === col("va"))
       .select(col("v"), col("h").as("hub"), col("a").as("authority"))
-    ed.unpersist()
+    ed.unpersist(); nodes.unpersist() // final round stays persisted for the caller
     out
   }
 

@@ -804,7 +804,11 @@ object Stats {
           .stripMargin)).as("r"))
       .select(col("r.t_day"), col("r.n_risk"), col("r.n_deaths"),
         col("r.n_censored"),
-        round(col("r.s_pico").cast("double") / 1e12, 6).as("survival"))
+        // display column stays an exact integer: s_micro = round-half-up
+        // of s_pico/1e6 computed with integer div (s_pico ≥ 0, so Spark
+        // `div` and DuckDB `//` agree) — a `round(x/1e12, 6)` double here
+        // diverged in the last bits between engines (r11 gate red)
+        expr("(r.s_pico + 500000L) div 1000000L").as("survival_micro"))
   }
 
   /** Closed-form multiple OLS with two regressors + intercept, by
@@ -1162,12 +1166,15 @@ object Stats {
     * mw1's rank test.
     *
     * Determinism: observations quantize to MILLI units; the four raw
-    * power sums Σx..Σx⁴ are exact order-free decimal sums (x⁴ at
-    * milli scale stays far inside decimal(38,0) even at 10¹⁰ rows —
+    * power sums Σx..Σx⁴ are exact order-free decimal sums. The x⁴
+    * headroom claim is VALUE-BOUNDED: at milli scale, x⁴ ≈ |v|⁴·10¹²
+    * per row, so 10¹⁰ rows stay inside decimal(38,0) only for metric
+    * magnitudes |v| ≲ 3·10³ (|v| ~ 10⁴ gives 1e28/row → null moments
+    * at 10¹⁰ rows). Rescale larger-magnitude metrics before calling —
     * the n-SCALED deviation trick used elsewhere would overflow at
-    * the 4th power, so central moments come from the power-sum
-    * expansion instead, computed in ONE fixed-order double expression
-    * per group). The expansion's cancellation error is ~ulp·(mean/σ)⁴
+    * the 4th power regardless, so central moments come from the
+    * power-sum expansion instead, computed in ONE fixed-order double
+    * expression per group. The expansion's cancellation error is ~ulp·(mean/σ)⁴
     * — negligible for any metric a monitor would test, and identical
     * in both engines since the doubles and operation order match.
     *
@@ -1239,15 +1246,22 @@ object Stats {
       .withColumn("cn", sum("n").over(wW).cast("long"))
       .withColumn("cs", sum("s").over(wW))
       .withColumn("css", sum("ss").over(wW))
-      .withColumn("k", dense_rank().over(Window.partitionBy("arm").orderBy("w"))
-        .cast("long"))
+    // Join the two arms on the bucket alone, THEN rank the joined
+    // buckets: a look exists where BOTH arms have data. Ranking per-arm
+    // before the join (the old shape) let one sparse-arm bucket shift
+    // every later rank, silently dropping all subsequent looks from the
+    // (w, k) equi-join. Cumulatives still include orphan buckets' data
+    // at the next shared look — correct monitoring semantics. The
+    // global window is looks-bounded (weeks), not corpus-sized.
     val looks = cum.filter(col("arm") === 1L).as("t")
-      .join(cum.filter(col("arm") === 0L).as("c"), Seq("w", "k"))
-      .select(col("k"), col("w"),
+      .join(cum.filter(col("arm") === 0L).as("c"), Seq("w"))
+      .select(col("w"),
         col("t.cn").as("n_t"), col("c.cn").as("n_c"),
         col("t.cs").as("s_t"), col("c.cs").as("s_c"),
         col("t.css").as("ss_t"), col("c.css").as("ss_c"))
-    val bigK = looks.agg(max("k").as("bigk")).head().getLong(0)
+      .withColumn("k", dense_rank().over(Window.orderBy("w")).cast("long"))
+    val bigKRow = looks.agg(max("k").as("bigk")).head()
+    val bigK = if (bigKRow.isNullAt(0)) 0L else bigKRow.getLong(0)
     val nt = col("n_t").cast("double"); val nc = col("n_c").cast("double")
     val mt = col("s_t").cast("double") / nt
     val mc = col("s_c").cast("double") / nc

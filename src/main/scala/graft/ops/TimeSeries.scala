@@ -317,6 +317,14 @@ object TimeSeries {
     *
     * Scale: one spine-sized residue aggregate per period; everything
     * else is p-bounded.
+    *
+    * Overflow cap: the dominance integer `p_int = sc² + ss²` squares
+    * decimal(38,0) sums where |sc| scales as n_buckets·Σ|x|·1e6 — the
+    * square overflows decimal(38,0) (→ null dominant for EVERY period)
+    * once |sc| ≳ 3·10¹⁸. With hourly buckets that bound holds up to
+    * ~10 years × |x| ≲ 10⁶·mean-deviation; for longer/higher-volume
+    * series pre-aggregate to coarser buckets or rescale x before
+    * calling (same caveat style as lcc1/auc1).
     */
   def periodogram(series: DataFrame,
                   periods: Seq[Int] = Seq(12, 24, 168)): DataFrame = {

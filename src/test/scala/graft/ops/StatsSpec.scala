@@ -488,10 +488,10 @@ class StatsSpec extends AnyFunSuite {
     assert(got(0).getAs[Long]("t_day") === 2L)
     assert(got(0).getAs[Long]("n_risk") === 5L)
     assert(got(0).getAs[Long]("n_deaths") === 2L)
-    assert(got(0).getAs[Double]("survival") === 0.6)
+    assert(got(0).getAs[Long]("survival_micro") === 600000L) // S=0.6
     assert(got(1).getAs[Long]("t_day") === 4L)
     assert(got(1).getAs[Long]("n_risk") === 3L)
-    assert(got(1).getAs[Double]("survival") === 0.4)
+    assert(got(1).getAs[Long]("survival_micro") === 400000L) // S=0.4
     // every subject censored → no death times → empty curve, no crash
     val allCens = Seq((1L, true), (2L, true)).toDF("t", "cens")
     assert(Stats.kaplanMeier(allCens).count() === 0L)
@@ -712,6 +712,37 @@ class StatsSpec extends AnyFunSuite {
     }
     // cumulative ns: 8, 16, 24 per arm
     assert(got.map(_.getAs[Long]("n_t")).toSeq === Seq(8L, 16L, 24L))
+  }
+
+  test("groupSequential: a bucket missing from one arm drops only that look, not all later ones") {
+    import spark.implicits._
+    def ts(w: Int, i: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+        w * 7L * 86400000L + i * 3600000L)
+    // weeks 0,1,2 treatment; control SKIPS week 1 — per-arm ranks would
+    // diverge at k=2 and the old (w,k) join dropped week 2's look too
+    val rows =
+      (for { w <- 0 until 3; i <- 0 until 4 }
+        yield (ts(w, i), "treatment", 10.0 + (i % 2))) ++
+      (for { w <- Seq(0, 2); i <- 0 until 4 }
+        yield (ts(w, i), "control", 0.0 + (i % 2)))
+    val got = Stats.groupSequential(rows.toDF("ts", "arm", "v"),
+      "ts", "arm", "v", "control", "treatment").orderBy("k").collect()
+    // looks at weeks 0 and 2 survive; k re-ranked densely over them
+    assert(got.length === 2)
+    assert(got.map(_.getAs[Long]("k")).toSeq === Seq(1L, 2L))
+    assert(got.forall(_.getAs[Long]("n_looks") === 2L))
+    // week-2 look's cumulative treatment n INCLUDES the orphan week 1
+    assert(got(1).getAs[Long]("n_t") === 12L)
+    assert(got(1).getAs[Long]("n_c") === 8L)
+  }
+
+  test("groupSequential: empty after arm filter returns an empty table, no NPE") {
+    import spark.implicits._
+    val df = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "x", 1.0))
+      .toDF("ts", "arm", "v")
+    assert(Stats.groupSequential(df, "ts", "arm", "v",
+      "control", "treatment").count() === 0L)
   }
 
   test("theilsU: deterministic direction scores 1, independent scores 0, asymmetry shows") {
