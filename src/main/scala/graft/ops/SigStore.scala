@@ -75,16 +75,46 @@ object SigStore {
         textCol, idCol, hashFn = hashFn)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val store = VersionedDir.current(spark, storeDir)
-    val crossDrop = store match {
-      case Some(st) => Dedup.sigAgreementPairs(bsig, st, estThreshold,
-          numHashes, bands, bandHashFn, ordered = false)
-        .select(col("d1").as("__drop"))
-      case None => bsig.select(col("d").as("__drop")).limit(0)
+    // CROSS and INTRA fused into ONE band join (round-12 profile: the
+    // two sigAgreementPairs calls were ~40% of the epoch — each banded
+    // bsig separately and each paid its own candidate-dedup shuffle).
+    // The reference side is store ∪ batch with a store flag carried
+    // THROUGH the banding; the join condition encodes both policies at
+    // once: a store hit drops the batch doc for any other id (replay's
+    // self-id excluded), a batch hit drops only the LATER id (r.d <
+    // b.d — the same greedy keep-first as before, regardless of the
+    // earlier doc's own fate). A replayed epoch's ids appear on both
+    // reference halves with IDENTICAL sigs (deterministic signing), so
+    // the (d2, st) disambiguation keeps the verify join exact.
+    val refSig = store match {
+      case Some(st) => st.select(col("d"), col("sig"), lit(true).as("__st"))
+        .unionByName(bsig.select(col("d"), col("sig"), lit(false).as("__st")))
+      case None => bsig.select(col("d"), col("sig"), lit(false).as("__st"))
     }
-    val intraDrop = Dedup.sigAgreementPairs(bsig, bsig, estThreshold,
-        numHashes, bands, bandHashFn, ordered = true)
-      .select(col("d2").as("__drop"))
-    val dropIds = crossDrop.union(intraDrop).distinct()
+    val rpb = numHashes / bands
+    def banded(sigs: DataFrame, extraCols: Column*): DataFrame =
+      sigs.select((col("d") +: extraCols :+ posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => bandHashFn(concat_ws(",", slice(col("sig"), b * rpb + 1, lit(rpb)))))))
+        .asInstanceOf[Seq[Column]]: _*)
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val cand = banded(bsig).as("b")
+      .join(banded(refSig, col("__st")).as("r"),
+        col("b.band") === col("r.band") && col("b.bh") === col("r.bh") &&
+          when(col("r.__st"), col("r.d") =!= col("b.d"))
+            .otherwise(col("r.d") < col("b.d")))
+      .select(col("b.d").as("d1"), col("r.d").as("d2"), col("r.__st").as("st"))
+      .dropDuplicates("d1", "d2", "st")
+    val dropIds = cand
+      .join(bsig.select(col("d").as("d1"), col("sig").as("s1")), "d1")
+      .join(refSig.select(col("d").as("d2"), col("__st").as("st"),
+        col("sig").as("s2")), Seq("d2", "st"))
+      .withColumn("est",
+        aggregate(zip_with(col("s1"), col("s2"),
+            (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
+      .filter(col("est") >= estThreshold)
+      .select(col("d1").as("__drop")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val survivors = batch.join(dropIds,
       batch(idCol) === dropIds("__drop"), "left_anti")
