@@ -1246,6 +1246,69 @@ object OracleGen {
        |FROM j ORDER BY doc_id""".stripMargin
   }
 
+  /** ul1: unigram-LM Viterbi segmentation ([[graft.ops.Bpe.unigramSegment]])
+    * mirrored round for round: same count-seeded micro costs (one ln of
+    * an exact integer ratio per vocab piece), same packed-BIGINT match
+    * encoding, same `maxWordLen` unrolled DP rounds as MATERIALIZED
+    * CTEs (each round references its predecessor's dp array many
+    * times). All decisions are single-long mins — no float enters the
+    * argmin.
+    */
+  def ul1Sql(vocabSize: Int = 256, maxPieceLen: Int = 4,
+             maxWordLen: Int = 16): String = {
+    val base = s"""WITH w AS MATERIALIZED (
+       |  SELECT w, cnt, CAST(length(w) AS BIGINT) AS len FROM (
+       |    SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt
+       |    FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+       |    WHERE len(tok) > 0 GROUP BY tok)
+       |  WHERE length(w) <= $maxWordLen),
+       |subs AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
+       |    SELECT substr(t.w, CAST(a.i AS INTEGER), CAST(b.l AS INTEGER)) AS piece, t.cnt
+       |    FROM w t, unnest(generate_series(1, t.len)) AS a(i),
+       |         unnest(generate_series(1, $maxPieceLen)) AS b(l)
+       |    WHERE a.i + b.l - 1 <= t.len)
+       |  GROUP BY 1),
+       |top AS (SELECT piece, pcnt FROM subs ORDER BY pcnt DESC, piece LIMIT $vocabSize),
+       |vocab AS MATERIALIZED (SELECT DISTINCT piece, pcnt FROM (
+       |  SELECT * FROM top UNION ALL
+       |  SELECT piece, pcnt FROM subs WHERE length(piece) = 1)),
+       |tot AS (SELECT CAST(sum(pcnt) AS BIGINT) AS tot FROM vocab),
+       |priced AS MATERIALIZED (SELECT piece,
+       |    CAST(floor((0.0 - ln(CAST(pcnt AS DOUBLE) / CAST(tot AS DOUBLE))) * 1e6 + 0.5)
+       |      AS BIGINT) * 1024 + 1 AS punits
+       |  FROM vocab, tot),
+       |mt AS MATERIALIZED (SELECT t.w,
+       |    (a.i - 1) * 4503599627370496 + (a.i + b.l - 1) * 70368744177664 + p.punits AS menc
+       |  FROM w t, unnest(generate_series(1, t.len)) AS a(i),
+       |       unnest(generate_series(1, $maxPieceLen)) AS b(l), priced p
+       |  WHERE a.i + b.l - 1 <= t.len
+       |    AND p.piece = substr(t.w, CAST(a.i AS INTEGER), CAST(b.l AS INTEGER))),
+       |d0 AS MATERIALIZED (SELECT t.w, t.cnt, t.len, ma.marr,
+       |    list_transform(generate_series(0, t.len),
+       |      p -> CASE WHEN p = 0 THEN CAST(0 AS BIGINT)
+       |           ELSE CAST(1000000000000000 AS BIGINT) END) AS dp
+       |  FROM w t JOIN (SELECT w, list_sort(list(menc)) AS marr
+       |                 FROM mt GROUP BY w) ma ON ma.w = t.w)""".stripMargin
+    val rounds = (1 to maxWordLen).map { k =>
+      s""",
+         |d$k AS MATERIALIZED (SELECT w, cnt, len, marr,
+         |  list_transform(generate_series(0, len),
+         |    en -> CASE WHEN en = 0 THEN CAST(0 AS BIGINT) ELSE
+         |      list_reduce(list_prepend(dp[en + 1],
+         |          list_filter(marr, mm -> ((mm // 70368744177664) % 64) = en)),
+         |        (acc, mm) -> least(acc,
+         |          dp[(mm // 4503599627370496) + 1] + (mm % 70368744177664)))
+         |    END) AS dp
+         |  FROM d${k - 1})""".stripMargin
+    }.mkString
+    base + rounds +
+      s"""
+         |SELECT w, cnt, len AS n_chars,
+         |  dp[len + 1] // 1024 AS cost_micro,
+         |  dp[len + 1] % 1024 AS n_pieces
+         |FROM d$maxWordLen ORDER BY w""".stripMargin
+  }
+
   /** sp4: the leakage-safe cluster split (sp2's law) fed by the BANDED
     * pair source — SemDeDup's cell-confined candidate generator over
     * the fixed deterministic centroids (dd14's gate-checked machinery)

@@ -5276,6 +5276,15 @@ object QueriesOps {
       },
       Some(BpeSegmentOracle)),
 
+    // UL1: unigram-LM tokenizer segmentation (Kudo '18, SentencePiece's
+    // model family) — the global-optimum counterpoint to BPE's greedy
+    // merges: count-seeded piece costs, exact integer Viterbi over the
+    // vocabulary with a (cost, piece-count) lexicographic tie-break in
+    // ONE long min. The oracle unrolls the same 16 DP rounds.
+    "ul1_unigram_segment" -> Q(
+      (s, d) => graft.ops.Bpe.unigramSegment(docs(s, d)).orderBy("w"),
+      Some(OracleGen.ul1Sql())),
+
     // Corpus-wide tokenization with the learned merges — the job the
     // tokenizer exists for. Per-doc piece count + md5 of the ordered
     // piece sequence (ordered reassembly via array_sort(struct(pos,…)),
@@ -7502,6 +7511,148 @@ object QueriesOps {
         |SELECT t_day, n_risk, n_deaths, n_censored,
         |  (s_pico + 500000) // 1000000 AS survival_micro
         |FROM rw ORDER BY t_day""".stripMargin)),
+
+    // PK1: unbiased pass@k (Chen et al. 2021) — each user plays a
+    // task, their events the sampled attempts, a high-value purchase a
+    // "pass"; per (k, task) the falling-factorial pico-fold
+    // 1 − Π (n−c−i)/(n−i). The LLM-eval staple computed as ONE
+    // combinable count pass + a tasks×|ks|-bounded exact integer fold.
+    "pk1_pass_at_k" -> Q(
+      (s, d) => graft.ops.Classify.passAtK(
+          Queries.events(s, d).withColumn("correct",
+            col("event_type") === "purchase" && col("value") > 90.0),
+          "user_id", "correct")
+        .withColumn("task", col("task").cast("long"))
+        .orderBy("k", "task"),
+      Some("""WITH per AS (SELECT CAST(user_id AS BIGINT) AS task,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' AND value > 90.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |ks AS (SELECT CAST(unnest([1, 5, 10]) AS BIGINT) AS k),
+        |j AS (SELECT k, task, n, c,
+        |    list_reduce(list_prepend(CAST(1000000000000 AS BIGINT),
+        |      list_transform(range(0, k), i -> CAST(i AS BIGINT))),
+        |      (acc, i) -> (acc * (n - c - i)) // (n - i)) AS p_pico
+        |  FROM per CROSS JOIN ks WHERE n >= k)
+        |SELECT k, task, n AS n_samples, c AS n_correct,
+        |  (1000000000000 - p_pico) // 1000000 AS pass_micro
+        |FROM j ORDER BY k, task""".stripMargin)),
+
+    // BR1: Murphy decomposition of the Brier score for cal1's quality
+    // scorer — BS = reliability − resolution + uncertainty (+ explicit
+    // within-bin residual). Same scored table as cal1; one bin pass,
+    // bins-sized terms pico-quantized before the order-free sum.
+    "br1_brier_decomposition" -> Q(
+      (s, d) => {
+        val scored = Curate.lrQualityScore(docs(s, d))
+          .withColumn("is_unique",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(md5(col("text")))) === 1)
+        graft.ops.Classify.brierDecomposition(scored, "lr_score", "is_unique")
+      },
+      Some("""WITH q AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+        |    CAST(list_sum(list_transform(string_split(text, ' '),
+        |         x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len
+        |  FROM documents),
+        |sc AS (SELECT doc_id, text,
+        |    1.0 / (1.0 + exp(0.0 - (-2.0 + alpha_ratio * 3.0 + stopword_ratio * 2.5
+        |      + mean_word_len * 0.15 - punct_ratio * 4.0))) AS s
+        |  FROM q),
+        |lab AS (SELECT doc_id, s,
+        |    CAST(count(*) OVER (PARTITION BY md5(text)) = 1 AS BIGINT) AS y
+        |  FROM sc),
+        |qz AS (SELECT CAST(floor(s * 1e6 + 0.5) AS BIGINT) AS sm, y FROM lab),
+        |per AS (SELECT least((sm * 10) // 1000000, 9) AS b,
+        |    CAST(count(*) AS BIGINT) AS nb, CAST(sum(sm) AS BIGINT) AS sb,
+        |    CAST(sum(y) AS BIGINT) AS ob,
+        |    sum(CAST(sm - 1000000 * y AS DECIMAL(38,0))
+        |      * CAST(sm - 1000000 * y AS DECIMAL(38,0))) AS sq
+        |  FROM qz GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nb) AS BIGINT) AS n, CAST(sum(ob) AS BIGINT) AS o,
+        |    sum(sq) AS sq_tot, CAST(count(*) AS BIGINT) AS bins_used FROM per),
+        |terms AS (SELECT per.nb, per.sb, per.ob, tot.n, tot.o,
+        |    CAST(floor(pow(CAST(sb AS DOUBLE) - 1e6 * CAST(ob AS DOUBLE), 2.0)
+        |      / (CAST(nb AS DOUBLE) * 1e12) * 1e12 + 0.5) AS BIGINT) AS rel_pico,
+        |    CAST(floor(pow(CAST(ob AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(o AS DOUBLE) * CAST(nb AS DOUBLE), 2.0)
+        |      / (CAST(nb AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |      * 1e12 + 0.5) AS BIGINT) AS res_pico
+        |  FROM per, tot),
+        |agg AS (SELECT tot.n, tot.o, tot.sq_tot, tot.bins_used,
+        |    CAST(sum(rel_pico) AS BIGINT) AS rel_sum,
+        |    CAST(sum(res_pico) AS BIGINT) AS res_sum
+        |  FROM terms, tot GROUP BY 1, 2, 3, 4)
+        |SELECT n, bins_used,
+        |  round(CAST(sq_tot AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12), 9) AS bs,
+        |  round(CAST(rel_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12), 9) AS reliability,
+        |  round(CAST(res_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12), 9) AS resolution,
+        |  round(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * (1.0 - CAST(o AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS uncertainty,
+        |  round(CAST(sq_tot AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12)
+        |    - (CAST(rel_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12)
+        |      - CAST(res_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12)
+        |      + CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+        |        * (1.0 - CAST(o AS DOUBLE) / CAST(n AS DOUBLE))), 9) AS residual
+        |FROM agg""".stripMargin)),
+
+    // KT1: Kendall τ-b between the per-source QUALITY ranking and the
+    // per-source LENGTH ranking — "does longer mean better here?" The
+    // per-source means are exact integer divs; the pair table is
+    // sources²-bounded.
+    "kt1_kendall_tau" -> Q(
+      (s, d) => {
+        val perSrc = graft.ops.Text.withQuality(docs(s, d))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("nd"),
+            sum(floor(col("quality_score") * lit(1e6) + lit(0.5))
+              .cast("long")).cast("long").as("qs"),
+            sum(col("n_chars").cast("long")).cast("long").as("cs"))
+          .select(col("source"), expr("qs div nd").as("x"),
+            expr("cs div nd").as("y"))
+        graft.ops.Stats.kendallTauB(perSrc, "source", "x", "y")
+      },
+      Some("""WITH q AS (SELECT source, n_chars,
+        |    least(1.0,
+        |      CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE) * 0.5
+        |      + CAST(len(list_filter(string_split(text, ' '),
+        |          x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
+        |      + least(CAST(list_sum(list_transform(string_split(text, ' '),
+        |          x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+        |          / CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0, 1.0) * 0.2) AS qs
+        |  FROM documents),
+        |per AS (SELECT source,
+        |    CAST(sum(CAST(floor(qs * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+        |      // CAST(count(*) AS BIGINT) AS x,
+        |    CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT)
+        |      // CAST(count(*) AS BIGINT) AS y
+        |  FROM q GROUP BY 1),
+        |pr AS (SELECT a.x - b.x AS dx, a.y - b.y AS dy
+        |  FROM per a JOIN per b ON a.source < b.source),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN dx <> 0 AND dy <> 0
+        |      AND (dx > 0) = (dy > 0) THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |    CAST(sum(CASE WHEN dx <> 0 AND dy <> 0
+        |      AND (dx > 0) <> (dy > 0) THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        |    CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+        |    CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+        |  FROM pr),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per)
+        |SELECT n, n0, concordant, discordant, ties_x, ties_y,
+        |  round(CAST(concordant - discordant AS DOUBLE)
+        |    / sqrt(CAST(n0 - ties_x AS DOUBLE) * CAST(n0 - ties_y AS DOUBLE)), 9) AS tau_b
+        |FROM m, c""".stripMargin)),
 
     // ACF1: autocorrelation of the dense hourly event-count series at
     // lags 1..12 — periodicity audit; n-scaled integer deviations, all

@@ -141,4 +141,105 @@ object Bpe {
           transform(array_sort(collect_list(struct(col("pos"), col("pieces_csv")))),
             x => x.getField("pieces_csv")), ",")).as("pieces_md5"))
   }
+
+  /** Unigram-LM tokenizer segmentation (Kudo, ACL'18 — the
+    * SentencePiece unigram model's inference step): segment every
+    * vocabulary word into the MINIMUM-COST piece sequence under
+    * count-seeded piece costs `cost(p) = −ln(freq(p)/total)`. This is
+    * the count-seeded Viterbi that initializes SentencePiece's EM —
+    * each EM round re-runs exactly this op on re-estimated counts —
+    * and the second real tokenization algorithm beside [[learnMerges]]
+    * (BPE greedily MERGES bottom-up; unigram globally OPTIMIZES the
+    * segmentation top-down).
+    *
+    * Vocabulary: the top `vocabSize` substrings (length ≤ maxPieceLen)
+    * of corpus words by occurrence-weighted frequency, under the total
+    * order (count desc, piece asc), UNION all single characters so
+    * every word stays coverable.
+    *
+    * Determinism: piece costs are MICRO-quantized (`floor(−ln(f/T)·1e6
+    * + 0.5)` — one ln per vocab piece of an exact-integer ratio, the
+    * js1 quantization discipline); the Viterbi objective is the exact
+    * integer `units = cost_micro·1024 + 1`, so a single long min
+    * encodes the (total cost, then piece count) lexicographic
+    * tie-break with no float in any decision. DP is a per-word ARRAY
+    * FOLD — `maxWordLen` chained projections, each building dp' from
+    * dp in one `transform` (the zo2 named-column discipline: no joins
+    * in the loop, no plan-tree duplication) — with word-piece matches
+    * packed into BIGINTs (`st·2⁵² + en·2⁴⁶ + units`) so both engines
+    * run identical integer arithmetic.
+    *
+    * Scale: the corpus pass is [[wordCounts]]; candidate generation,
+    * pricing, and the DP all live on the VOCABULARY (zipf-bounded).
+    * Words longer than `maxWordLen` chars are excluded from the
+    * report (at production scale they fall through to byte/char
+    * fallback pieces, the SentencePiece behavior). `units` headroom:
+    * cost_micro < 2^36 and ≤ maxWordLen pieces per word keep every dp
+    * value < 2^46, far inside a long.
+    */
+  def unigramSegment(docs: DataFrame, vocabSize: Int = 256,
+                     maxPieceLen: Int = 4, maxWordLen: Int = 16,
+                     textCol: String = "text"): DataFrame = {
+    val words = wordCounts(docs, textCol)
+      .filter(length(col("w")) <= maxWordLen)
+      .select(col("w"), col("cnt").cast("long").as("cnt"),
+        length(col("w")).cast("int").as("len"))
+      .persist()
+    // candidate substrings, weighted by the count of the word they sit in
+    val subs = words
+      .select(col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, len), i ->
+           |  transform(sequence(1, least($maxPieceLen, len - i + 1)), l ->
+           |    substring(w, i, l))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum("cnt").cast("long").as("pcnt"))
+      .persist()
+    val vocab = subs.orderBy(col("pcnt").desc, col("piece").asc)
+      .limit(vocabSize)
+      .unionByName(subs.filter(length(col("piece")) === 1))
+      .dropDuplicates("piece")
+    val tot = vocab.agg(sum("pcnt").cast("long").as("tot"))
+    val priced = vocab.crossJoin(broadcast(tot))
+      .withColumn("cost_micro",
+        floor(-log(col("pcnt").cast("double") / col("tot").cast("double")) *
+          lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("punits", col("cost_micro") * lit(1024L) + lit(1L))
+      .select("piece", "punits")
+    // per-word match list: every (start, end, units) where a vocab
+    // piece tiles [st, en), packed into one BIGINT
+    val matches = words
+      .select(col("w"), explode(expr(
+        s"""flatten(transform(sequence(1, len), i ->
+           |  transform(sequence(1, least($maxPieceLen, len - i + 1)), l ->
+           |    struct(i - 1 AS st, i + l - 1 AS en, substring(w, i, l) AS piece))))"""
+          .stripMargin)).as("m"))
+      .select(col("w"), col("m.st").as("st"), col("m.en").as("en"),
+        col("m.piece").as("piece"))
+      .join(broadcast(priced), "piece")
+      .groupBy("w").agg(sort_array(collect_list(
+        col("st").cast("long") * lit(4503599627370496L) +
+          col("en").cast("long") * lit(70368744177664L) + col("punits")))
+        .as("marr"))
+    // Viterbi as maxWordLen chained array projections: dp[pos] = min
+    // units to tile w[0, pos); dp'[en] folds the matches ending at en
+    val BIG = 1000000000000000L
+    var dp = words.join(matches, "w")
+      .withColumn("dp", expr(
+        s"transform(sequence(0, len), p -> CASE WHEN p = 0 THEN 0L ELSE ${BIG}L END)"))
+    for (r <- 1 to maxWordLen) {
+      dp = dp.withColumn("dp", expr(
+        s"""transform(sequence(0, len), en -> CASE WHEN en = 0 THEN 0L ELSE
+           |  aggregate(
+           |    filter(marr, mm -> ((mm div 70368744177664L) % 64L) = en),
+           |    element_at(dp, en + 1),
+           |    (acc, mm) -> least(acc,
+           |      element_at(dp, CAST(mm div 4503599627370496L AS INT) + 1)
+           |        + (mm % 70368744177664L)))
+           |END)""".stripMargin))
+    }
+    dp.select(col("w"), col("cnt"), col("len").cast("long").as("n_chars"),
+        element_at(col("dp"), col("len") + 1).as("units"))
+      .withColumn("cost_micro", expr("units div 1024L"))
+      .withColumn("n_pieces", expr("units % 1024L"))
+      .drop("units")
+  }
 }

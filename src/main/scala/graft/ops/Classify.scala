@@ -619,4 +619,111 @@ object Classify {
     terms.unpersist(false)
     out
   }
+
+  /** Unbiased pass@k estimator (Chen et al. 2021, "Evaluating Large
+    * Language Models Trained on Code", eq. 1): per task with `n`
+    * sampled attempts of which `c` passed, `pass@k = 1 − C(n−c,k)/
+    * C(n,k)` — the probability that at least one of k drawn samples
+    * passes. The combinatorial ratio is computed as the falling-
+    * factorial product `Π_{i=0}^{k−1} (n−c−i)/(n−i)` — never a raw
+    * binomial (no overflow, no float factorial).
+    *
+    * Determinism: ONE combinable per-task count pass; the product is
+    * an exact INTEGER pico-fold (`acc·(n−c−i) div (n−i)` in ascending
+    * i — a zero factor when c > n−k floors the fold at 0, i.e. pass@k
+    * = 1, before any negative factor can appear), so both engines are
+    * bit-identical with a single integer display column. Headroom:
+    * acc ≤ 10¹² so the fold needs n < 9·10⁶ attempts per task —
+    * beyond any sampling budget.
+    *
+    * Scale: the corpus pass is the groupBy(task) count; everything
+    * after lives on the tasks×|ks| table.
+    */
+  def passAtK(df: DataFrame, taskCol: String, correctCol: String,
+              ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    val per = df.groupBy(col(taskCol).as("task"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col(correctCol), 1L).otherwise(0L)).cast("long").as("c"))
+    val legs = ks.map { k =>
+      per.filter(col("n") >= k)
+        .withColumn("k", lit(k.toLong))
+        .withColumn("p_pico", expr(
+          s"aggregate(sequence(0, ${k - 1}), 1000000000000L, " +
+            "(acc, i) -> (acc * (n - c - i)) div (n - i))"))
+    }
+    legs.reduce(_ unionByName _)
+      .select(col("k"), col("task"), col("n").as("n_samples"),
+        col("c").as("n_correct"),
+        expr("(1000000000000L - p_pico) div 1000000L").as("pass_micro"))
+  }
+
+  /** Murphy (1973) decomposition of the Brier score over probability
+    * bins: `BS = uncertainty + reliability − resolution (+ within-bin
+    * residual)` — splits a probabilistic scorer's squared error into
+    * "how miscalibrated are the bins" (reliability, lower better) vs
+    * "how much do the bins separate outcomes" (resolution, higher
+    * better) vs the outcome base-rate entropy no scorer can beat
+    * (uncertainty). The diagnosis layer on top of a calibration table:
+    * ECE says THE BINS ARE OFF, this says how much of the total error
+    * that explains. With continuous scores binned, the classical
+    * identity holds up to a within-bin variance residual, emitted
+    * explicitly as `residual = bs − (reliability − resolution +
+    * uncertainty)` rather than silently folded in.
+    *
+    * Determinism: scores quantize to MICRO once; per-bin sums are
+    * exact longs/decimals; each bin's reliability/resolution term is
+    * a fixed-order double from exact integers, PICO-QUANTIZED before
+    * the bins-sized order-free sum (the js1 discipline); the four
+    * display ratios are single fixed-order double expressions.
+    *
+    * Scale: ONE combinable bin pass; everything after is bins-sized.
+    */
+  def brierDecomposition(df: DataFrame, scoreCol: String,
+                         labelCol: String, bins: Int = 10): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val q = df.select(
+      floor(col(scoreCol) * lit(1e6) + lit(0.5)).cast("long").as("s"),
+      when(col(labelCol), 1L).otherwise(0L).as("y"))
+    val per = q
+      .withColumn("b", least(expr(s"(s * ${bins}L) div 1000000L"),
+        lit(bins - 1L)))
+      .groupBy("b")
+      .agg(count(lit(1)).cast("long").as("nb"),
+        sum("s").cast("long").as("sb"),
+        sum("y").cast("long").as("ob"),
+        sum(dec(col("s") - lit(1000000L) * col("y")) *
+          dec(col("s") - lit(1000000L) * col("y"))).as("sq"))
+    val tot = per.agg(sum("nb").cast("long").as("n"),
+      sum("ob").cast("long").as("o"),
+      sum(dec(col("sq"))).as("sq_tot"),
+      count(lit(1)).cast("long").as("bins_used"))
+    val nd = (c: Column) => c.cast("double")
+    val terms = per.crossJoin(broadcast(tot))
+      // f_b − ō_b in probability units: (sb − 1e6·ob)/(1e6·nb)
+      .withColumn("rel_pico", floor(
+        pow(nd(col("sb")) - lit(1e6) * nd(col("ob")), 2.0) /
+          (nd(col("nb")) * lit(1e12)) * lit(1e12) + lit(0.5)).cast("long"))
+      // ō_b − ō = ob/nb − o/n = (ob·n − o·nb)/(nb·n)
+      .withColumn("res_pico", floor(
+        pow(nd(col("ob")) * nd(col("n")) - nd(col("o")) * nd(col("nb")), 2.0) /
+          (nd(col("nb")) * nd(col("n")) * nd(col("n"))) * lit(1e12) + lit(0.5))
+        .cast("long"))
+    terms
+      .groupBy("n", "o", "sq_tot", "bins_used")
+      .agg(sum("rel_pico").cast("long").as("rel_sum"),
+        sum("res_pico").cast("long").as("res_sum"))
+      .select(col("n"), col("bins_used"),
+        round(nd(col("sq_tot")) / (nd(col("n")) * lit(1e12)), 9).as("bs"),
+        round(nd(col("rel_sum")) / (nd(col("n")) * lit(1e12)), 9)
+          .as("reliability"),
+        round(nd(col("res_sum")) / (nd(col("n")) * lit(1e12)), 9)
+          .as("resolution"),
+        round(nd(col("o")) / nd(col("n")) *
+          (lit(1.0) - nd(col("o")) / nd(col("n"))), 9).as("uncertainty"),
+        round(nd(col("sq_tot")) / (nd(col("n")) * lit(1e12)) -
+          (nd(col("rel_sum")) / (nd(col("n")) * lit(1e12)) -
+            nd(col("res_sum")) / (nd(col("n")) * lit(1e12)) +
+            nd(col("o")) / nd(col("n")) *
+              (lit(1.0) - nd(col("o")) / nd(col("n")))), 9).as("residual"))
+  }
 }

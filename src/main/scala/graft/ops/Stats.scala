@@ -1609,4 +1609,48 @@ object Stats {
       yield leg(cols(i)._1, cols(i)._2, cols(j)._1, cols(j)._2))
       .reduce(_ unionByName _)
   }
+
+  /** Kendall's τ-b (Kendall 1945, the tie-adjusted form) between two
+    * integer metrics over a BOUNDED item table — "do two rankings of
+    * the same items agree?" (quality-rank vs length-rank per source,
+    * human-rank vs model-rank per system). Rank-based, so it is the
+    * robust companion to Pearson moments: invariant to any monotone
+    * transform of either metric.
+    *
+    * Determinism: concordant/discordant/tie counts are exact longs
+    * over the ordered item pairs (i < j by item key — each unordered
+    * pair counted once); τ-b's denominator is the ONE double sqrt at
+    * display time. τ-b = (C − D) / √((n₀−t_x)(n₀−t_y)) with n₀ =
+    * n(n−1)/2 and t the within-metric tie-pair counts.
+    *
+    * Scale: input is an already-aggregated items table (sources,
+    * systems — dozens); the pair self-join is items²-bounded, never
+    * corpus-sized. The corpus pass producing the metrics is the
+    * caller's (one combinable rollup).
+    */
+  def kendallTauB(items: DataFrame, keyCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val base = items.select(col(keyCol).cast("string").as("k"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val pairs = base.as("a").join(base.as("b"), col("a.k") < col("b.k"))
+      .select(
+        (col("a.x") - col("b.x")).as("dx"),
+        (col("a.y") - col("b.y")).as("dy"))
+    val m = pairs.agg(
+      count(lit(1)).cast("long").as("n0"),
+      sum(when(col("dx") =!= 0L && col("dy") =!= 0L &&
+        (col("dx") > 0L) === (col("dy") > 0L), 1L).otherwise(0L))
+        .cast("long").as("concordant"),
+      sum(when(col("dx") =!= 0L && col("dy") =!= 0L &&
+        (col("dx") > 0L) =!= (col("dy") > 0L), 1L).otherwise(0L))
+        .cast("long").as("discordant"),
+      sum(when(col("dx") === 0L, 1L).otherwise(0L)).cast("long").as("ties_x"),
+      sum(when(col("dy") === 0L, 1L).otherwise(0L)).cast("long").as("ties_y"))
+    val cnt = base.agg(count(lit(1)).cast("long").as("n"))
+    m.crossJoin(broadcast(cnt)).select(col("n"), col("n0"),
+      col("concordant"), col("discordant"), col("ties_x"), col("ties_y"),
+      round((col("concordant") - col("discordant")).cast("double") /
+        sqrt((col("n0") - col("ties_x")).cast("double") *
+          (col("n0") - col("ties_y")).cast("double")), 9).as("tau_b"))
+  }
 }

@@ -74,4 +74,28 @@ class BpeSpec extends AnyFunSuite {
     assert(seg("x") === "x")
     assert(seg("yz") === "yz")
   }
+
+  test("unigramSegment: Viterbi picks the globally cheaper tiling, not the longest piece") {
+    // corpus "aa aa ab": piece counts a=5, aa=2, ab=1, b=1 (total 9);
+    // cost_micro(a)=587787, cost(aa)=1504077, cost(ab)=cost(b)=2197225.
+    // "aa" tiles as [a,a] (1175574) < [aa] (1504077) -> 2 pieces;
+    // "ab" tiles as [ab] (2197225) < [a,b] (2785012) -> 1 piece.
+    val got = Bpe.unigramSegment(corpus("aa aa ab")).collect()
+      .map(r => r.getAs[String]("w") ->
+        (r.getAs[Long]("cost_micro"), r.getAs[Long]("n_pieces"))).toMap
+    assert(got("aa") === ((2L * 587787L, 2L)))
+    assert(got("ab") === ((2197225L, 1L)))
+    // counts and char lengths survive the DP
+    val rows = Bpe.unigramSegment(corpus("aa aa ab")).collect()
+    assert(rows.find(_.getAs[String]("w") == "aa").get.getAs[Long]("cnt") === 2L)
+    assert(rows.find(_.getAs[String]("w") == "aa").get.getAs[Long]("n_chars") === 2L)
+  }
+
+  test("unigramSegment: words over maxWordLen drop; single chars always cover") {
+    val got = Bpe.unigramSegment(corpus("abcdefghijklmnopqrstu xyz"),
+      maxWordLen = 16).collect()
+    assert(got.length === 1) // the 21-char word is excluded
+    assert(got.head.getAs[String]("w") === "xyz")
+    assert(got.head.getAs[Long]("n_pieces") >= 1L)
+  }
 }

@@ -275,4 +275,51 @@ class ClassifySpec extends AnyFunSuite {
     // the high-score bins are good-heavy here, so their WOE is positive
     assert(rep.maxBy(_.getAs[Long]("bin")).getAs[Double]("woe") > 0.0)
   }
+
+  test("passAtK: hand-computed estimator; saturation and n>=k filtering") {
+    import spark.implicits._
+    // task A: n=5, c=2 -> pass@1 = c/n = 0.4; pass@5 = 1 (n-c=3 < 5);
+    // k=10 filtered (n < 10). task B: n=12, c=0 -> pass@k = 0 for all k.
+    val df = ((1 to 5).map(i => ("A", i <= 2)) ++
+      (1 to 12).map(_ => ("B", false))).toDF("task", "ok")
+    val got = Classify.passAtK(df, "task", "ok").orderBy("k", "task").collect()
+    def row(k: Long, t: String) =
+      got.find(r => r.getAs[Long]("k") == k && r.getAs[String]("task") == t).get
+    assert(row(1, "A").getAs[Long]("pass_micro") === 400000L)
+    assert(row(5, "A").getAs[Long]("pass_micro") === 1000000L)
+    assert(got.count(r => r.getAs[String]("task") == "A") === 2) // no k=10
+    Seq(1L, 5L, 10L).foreach { k =>
+      assert(row(k, "B").getAs[Long]("pass_micro") === 0L)
+    }
+    // unbiasedness shape: pass@k grows with k (more draws, more chances)
+    val a1 = row(1, "A").getAs[Long]("pass_micro")
+    val a5 = row(5, "A").getAs[Long]("pass_micro")
+    assert(a5 >= a1)
+  }
+
+  test("brierDecomposition: single-bin constant forecast has zero rel+res; identity holds") {
+    import spark.implicits._
+    // all forecasts 0.5, half the outcomes true: rel = 0 (bin mean
+    // forecast equals bin outcome rate), res = 0 (one bin), unc = 0.25,
+    // bs = 0.25, residual = 0
+    val df = Seq((0.5, true), (0.5, false), (0.5, true), (0.5, false))
+      .toDF("p", "y")
+    val r = Classify.brierDecomposition(df, "p", "y").head()
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Long]("bins_used") === 1L)
+    assert(math.abs(r.getAs[Double]("bs") - 0.25) < 1e-9)
+    assert(math.abs(r.getAs[Double]("reliability")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("resolution")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("uncertainty") - 0.25) < 1e-9)
+    assert(math.abs(r.getAs[Double]("residual")) < 1e-9)
+    // a perfectly sharp, perfectly calibrated scorer: bs = 0,
+    // resolution = uncertainty, reliability = 0
+    val sharp = Seq((0.999999, true), (0.999999, true), (0.0, false),
+      (0.0, false)).toDF("p", "y")
+    val s2 = Classify.brierDecomposition(sharp, "p", "y").head()
+    assert(s2.getAs[Double]("bs") < 1e-6)
+    assert(s2.getAs[Double]("reliability") < 1e-6)
+    assert(math.abs(s2.getAs[Double]("resolution") -
+      s2.getAs[Double]("uncertainty")) < 1e-6)
+  }
 }

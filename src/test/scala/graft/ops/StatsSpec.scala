@@ -737,6 +737,25 @@ class StatsSpec extends AnyFunSuite {
     assert(got(1).getAs[Long]("n_c") === 8L)
   }
 
+  test("kendallTauB: perfect agreement 1, reversal -1, ties adjusted") {
+    import spark.implicits._
+    val up = Seq(("a", 1L, 10L), ("b", 2L, 20L), ("c", 3L, 30L))
+      .toDF("k", "x", "y")
+    assert(math.abs(Stats.kendallTauB(up, "k", "x", "y")
+      .head().getAs[Double]("tau_b") - 1.0) < 1e-9)
+    val down = Seq(("a", 1L, 30L), ("b", 2L, 20L), ("c", 3L, 10L))
+      .toDF("k", "x", "y")
+    assert(math.abs(Stats.kendallTauB(down, "k", "x", "y")
+      .head().getAs[Double]("tau_b") + 1.0) < 1e-9)
+    // one x-tie: C=2, D=0, n0=3, tx=1, ty=0 -> tau = 2/sqrt(2*3)
+    val tied = Seq(("a", 1L, 10L), ("b", 1L, 20L), ("c", 2L, 30L))
+      .toDF("k", "x", "y")
+    val r = Stats.kendallTauB(tied, "k", "x", "y").head()
+    assert(r.getAs[Long]("concordant") === 2L)
+    assert(r.getAs[Long]("ties_x") === 1L)
+    assert(math.abs(r.getAs[Double]("tau_b") - 2.0 / math.sqrt(6.0)) < 1e-9)
+  }
+
   test("groupSequential: empty after arm filter returns an empty table, no NPE") {
     import spark.implicits._
     val df = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "x", 1.0))
