@@ -111,7 +111,16 @@ object BenchScale {
     // round-11b: the ×reps bootstrap expansion (linear by construction
     // — reps is fixed), the hub-capped wedge join (bounded |E|·cap),
     // and the grid-pruned skyline (disjoint copies replicate the band)
-    "bs1_poisson_bootstrap", "aa1_adamic_adar", "sky1_pareto_skyline")
+    "bs1_poisson_bootstrap", "aa1_adamic_adar", "sky1_pareto_skyline",
+    // round-12 (>1.5 s rule): the banded cluster split — pair source is
+    // cell-confined and the tagged-copy construction keeps clusters
+    // replica-local, so components and the coin join scale as k
+    // independent corpora (same argument as sp2/dd14); the unigram EM
+    // round — corpus pass is the word count, everything else
+    // (vocab, pricing, DP, backtrace) is vocabulary-bounded, so it
+    // scales with DISTINCT tagged words (~k here), a worst case the
+    // zipf-bounded real vocabulary never hits
+    "sp4_banded_cluster_split", "ul2_unigram_em")
 
   /** Entries whose index width must grow with the corpus (the LSH /
     * IVF contract): each gives (base-leg fn, scaled-leg fn at k×) —

@@ -1254,9 +1254,57 @@ object OracleGen {
     * times). All decisions are single-long mins — no float enters the
     * argmin.
     */
-  def ul1Sql(vocabSize: Int = 256, maxPieceLen: Int = 4,
-             maxWordLen: Int = 16): String = {
-    val base = s"""WITH w AS MATERIALIZED (
+  /** Pricing CTE pair: `<name>` from `<srcName>(piece, pcnt)` with the
+    * micro-quantized −ln cost packed with the +1 tiebreak digit.
+    */
+  private def unigramPriceCtes(name: String, srcName: String): String =
+    s""",
+       |${name}_tot AS (SELECT CAST(sum(pcnt) AS BIGINT) AS tot FROM $srcName),
+       |$name AS MATERIALIZED (SELECT piece,
+       |    CAST(floor((0.0 - ln(CAST(pcnt AS DOUBLE) / CAST(tot AS DOUBLE))) * 1e6 + 0.5)
+       |      AS BIGINT) * 1024 + 1 AS punits
+       |  FROM $srcName, ${name}_tot)""".stripMargin
+
+  /** Match-pack + DP chain CTEs under prices `pricedName`: emits
+    * `<prefix>mt`, `<prefix>0` … `<prefix>maxWordLen` (w, cnt, len,
+    * marr, dp).
+    */
+  private def unigramDpCtes(prefix: String, pricedName: String,
+                            maxPieceLen: Int, maxWordLen: Int): String = {
+    val base = s""",
+       |${prefix}mt AS MATERIALIZED (SELECT t.w,
+       |    (a.i - 1) * 4503599627370496 + (a.i + b.l - 1) * 70368744177664 + p.punits AS menc
+       |  FROM w t, unnest(generate_series(1, t.len)) AS a(i),
+       |       unnest(generate_series(1, $maxPieceLen)) AS b(l), $pricedName p
+       |  WHERE a.i + b.l - 1 <= t.len
+       |    AND p.piece = substr(t.w, CAST(a.i AS INTEGER), CAST(b.l AS INTEGER))),
+       |${prefix}0 AS MATERIALIZED (SELECT t.w, t.cnt, t.len, ma.marr,
+       |    list_transform(generate_series(0, t.len),
+       |      p -> CASE WHEN p = 0 THEN CAST(0 AS BIGINT)
+       |           ELSE CAST(1000000000000000 AS BIGINT) END) AS dp
+       |  FROM w t JOIN (SELECT w, list_sort(list(menc)) AS marr
+       |                 FROM ${prefix}mt GROUP BY w) ma ON ma.w = t.w)""".stripMargin
+    val rounds = (1 to maxWordLen).map { k =>
+      s""",
+         |$prefix$k AS MATERIALIZED (SELECT w, cnt, len, marr,
+         |  list_transform(generate_series(0, len),
+         |    en -> CASE WHEN en = 0 THEN CAST(0 AS BIGINT) ELSE
+         |      list_reduce(list_prepend(dp[en + 1],
+         |          list_filter(marr, mm -> ((mm // 70368744177664) % 64) = en)),
+         |        (acc, mm) -> least(acc,
+         |          dp[(mm // 4503599627370496) + 1] + (mm % 70368744177664)))
+         |    END) AS dp
+         |  FROM $prefix${k - 1})""".stripMargin
+    }.mkString
+    base + rounds
+  }
+
+  /** Words + count-seeded vocabulary + v0 prices + v0 DP chain —
+    * shared by ul1Sql and ul2Sql.
+    */
+  private def unigramBase(vocabSize: Int, maxPieceLen: Int,
+                          maxWordLen: Int): String =
+    s"""WITH w AS MATERIALIZED (
        |  SELECT w, cnt, CAST(length(w) AS BIGINT) AS len FROM (
        |    SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt
        |    FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
@@ -1271,42 +1319,67 @@ object OracleGen {
        |top AS (SELECT piece, pcnt FROM subs ORDER BY pcnt DESC, piece LIMIT $vocabSize),
        |vocab AS MATERIALIZED (SELECT DISTINCT piece, pcnt FROM (
        |  SELECT * FROM top UNION ALL
-       |  SELECT piece, pcnt FROM subs WHERE length(piece) = 1)),
-       |tot AS (SELECT CAST(sum(pcnt) AS BIGINT) AS tot FROM vocab),
-       |priced AS MATERIALIZED (SELECT piece,
-       |    CAST(floor((0.0 - ln(CAST(pcnt AS DOUBLE) / CAST(tot AS DOUBLE))) * 1e6 + 0.5)
-       |      AS BIGINT) * 1024 + 1 AS punits
-       |  FROM vocab, tot),
-       |mt AS MATERIALIZED (SELECT t.w,
-       |    (a.i - 1) * 4503599627370496 + (a.i + b.l - 1) * 70368744177664 + p.punits AS menc
-       |  FROM w t, unnest(generate_series(1, t.len)) AS a(i),
-       |       unnest(generate_series(1, $maxPieceLen)) AS b(l), priced p
-       |  WHERE a.i + b.l - 1 <= t.len
-       |    AND p.piece = substr(t.w, CAST(a.i AS INTEGER), CAST(b.l AS INTEGER))),
-       |d0 AS MATERIALIZED (SELECT t.w, t.cnt, t.len, ma.marr,
-       |    list_transform(generate_series(0, t.len),
-       |      p -> CASE WHEN p = 0 THEN CAST(0 AS BIGINT)
-       |           ELSE CAST(1000000000000000 AS BIGINT) END) AS dp
-       |  FROM w t JOIN (SELECT w, list_sort(list(menc)) AS marr
-       |                 FROM mt GROUP BY w) ma ON ma.w = t.w)""".stripMargin
-    val rounds = (1 to maxWordLen).map { k =>
-      s""",
-         |d$k AS MATERIALIZED (SELECT w, cnt, len, marr,
-         |  list_transform(generate_series(0, len),
-         |    en -> CASE WHEN en = 0 THEN CAST(0 AS BIGINT) ELSE
-         |      list_reduce(list_prepend(dp[en + 1],
-         |          list_filter(marr, mm -> ((mm // 70368744177664) % 64) = en)),
-         |        (acc, mm) -> least(acc,
-         |          dp[(mm // 4503599627370496) + 1] + (mm % 70368744177664)))
-         |    END) AS dp
-         |  FROM d${k - 1})""".stripMargin
-    }.mkString
-    base + rounds +
+       |  SELECT piece, pcnt FROM subs WHERE length(piece) = 1))""".stripMargin +
+      unigramPriceCtes("priced", "vocab") +
+      unigramDpCtes("d", "priced", maxPieceLen, maxWordLen)
+
+  def ul1Sql(vocabSize: Int = 256, maxPieceLen: Int = 4,
+             maxWordLen: Int = 16): String =
+    unigramBase(vocabSize, maxPieceLen, maxWordLen) +
       s"""
          |SELECT w, cnt, len AS n_chars,
          |  dp[len + 1] // 1024 AS cost_micro,
          |  dp[len + 1] % 1024 AS n_pieces
          |FROM d$maxWordLen ORDER BY w""".stripMargin
+
+  /** ul2: one hard-EM round ([[graft.ops.Bpe.unigramEmRound]]) — the
+    * v0 DP chain, an unrolled BACKTRACE (per step the argmin
+    * predecessor is the MIN packed match proving dp[pos]; the reduce
+    * is seeded with a sentinel so the pos=0 fixed-point rows never
+    * evaluate an empty fold), word-count-weighted piece usage, add-1
+    * re-pricing of the same vocabulary, and the v1 DP chain — all as
+    * chained MATERIALIZED CTEs.
+    */
+  def ul2Sql(vocabSize: Int = 256, maxPieceLen: Int = 4,
+             maxWordLen: Int = 16): String = {
+    val chosen =
+      """list_reduce(list_prepend(CAST(4611686018427387904 AS BIGINT),
+        |      list_filter(marr, mm -> ((mm // 70368744177664) % 64) = pos AND
+        |        dp[(mm // 4503599627370496) + 1] + (mm % 70368744177664) = dp[pos + 1])),
+        |      (a, b) -> least(a, b))""".stripMargin
+    val bt0 = s""",
+       |bt0 AS MATERIALIZED (SELECT w, marr, dp, len AS pos,
+       |    CAST([] AS BIGINT[]) AS picks
+       |  FROM d$maxWordLen)""".stripMargin
+    val btRounds = (1 to maxWordLen).map { k =>
+      s""",
+         |bt$k AS MATERIALIZED (SELECT w, marr, dp,
+         |  CASE WHEN pos = 0 THEN pos ELSE ($chosen) // 4503599627370496 END AS pos,
+         |  CASE WHEN pos = 0 THEN picks ELSE list_append(picks, $chosen) END AS picks
+         |  FROM bt${k - 1})""".stripMargin
+    }.mkString
+    val em = s""",
+       |us AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS use_cnt FROM (
+       |    SELECT substr(t.w, CAST(p.mm // 4503599627370496 AS INTEGER) + 1,
+       |        CAST((p.mm // 70368744177664) % 64 AS INTEGER)
+       |          - CAST(p.mm // 4503599627370496 AS INTEGER)) AS piece, t.cnt
+       |    FROM (SELECT b.w, unnest(b.picks) AS mm FROM bt$maxWordLen b) p
+       |    JOIN w t ON t.w = p.w)
+       |  GROUP BY 1),
+       |used AS MATERIALIZED (SELECT v.piece,
+       |    coalesce(us.use_cnt, 0) + 1 AS pcnt
+       |  FROM vocab v LEFT JOIN us ON us.piece = v.piece)""".stripMargin +
+      unigramPriceCtes("priced1", "used") +
+      unigramDpCtes("e", "priced1", maxPieceLen, maxWordLen)
+    unigramBase(vocabSize, maxPieceLen, maxWordLen) + bt0 + btRounds + em +
+      s"""
+         |SELECT d.w, d.cnt, d.len AS n_chars,
+         |  d.dp[d.len + 1] // 1024 AS cost0_micro,
+         |  d.dp[d.len + 1] % 1024 AS pieces0,
+         |  e.dp[e.len + 1] // 1024 AS cost1_micro,
+         |  e.dp[e.len + 1] % 1024 AS pieces1
+         |FROM d$maxWordLen d JOIN e$maxWordLen e ON e.w = d.w
+         |ORDER BY d.w""".stripMargin
   }
 
   /** sp4: the leakage-safe cluster split (sp2's law) fed by the BANDED

@@ -5285,6 +5285,15 @@ object QueriesOps {
       (s, d) => graft.ops.Bpe.unigramSegment(docs(s, d)).orderBy("w"),
       Some(OracleGen.ul1Sql())),
 
+    // UL2: one hard-EM round of the unigram trainer — Viterbi
+    // backtrace (argmin tiling, min-packed-match tiebreak), usage-
+    // count E-step, add-1 re-pricing M-step, re-segmentation; per-word
+    // v0 vs v1 cost/pieces so the EM improvement is auditable in-plan.
+    // The oracle unrolls segmentation + backtrace + re-segmentation.
+    "ul2_unigram_em" -> Q(
+      (s, d) => graft.ops.Bpe.unigramEmRound(docs(s, d)).orderBy("w"),
+      Some(OracleGen.ul2Sql())),
+
     // Corpus-wide tokenization with the learned merges — the job the
     // tokenizer exists for. Per-doc piece count + md5 of the ordered
     // piece sequence (ordered reassembly via array_sort(struct(pos,…)),

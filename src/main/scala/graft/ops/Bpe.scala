@@ -179,13 +179,26 @@ object Bpe {
     */
   def unigramSegment(docs: DataFrame, vocabSize: Int = 256,
                      maxPieceLen: Int = 4, maxWordLen: Int = 16,
-                     textCol: String = "text"): DataFrame = {
-    val words = wordCounts(docs, textCol)
+                     textCol: String = "text"): DataFrame =
+    unigramDp(docs, vocabSize, maxPieceLen, maxWordLen, textCol)
+      .select(col("w"), col("cnt"), col("len").cast("long").as("n_chars"),
+        element_at(col("dp"), col("len") + 1).as("units"))
+      .withColumn("cost_micro", expr("units div 1024L"))
+      .withColumn("n_pieces", expr("units % 1024L"))
+      .drop("units")
+
+  /** Shared unigram scaffolding: (w, cnt, len) vocabulary words. */
+  private def unigramWords(docs: DataFrame, maxWordLen: Int,
+                           textCol: String): DataFrame =
+    wordCounts(docs, textCol)
       .filter(length(col("w")) <= maxWordLen)
       .select(col("w"), col("cnt").cast("long").as("cnt"),
         length(col("w")).cast("int").as("len"))
       .persist()
-    // candidate substrings, weighted by the count of the word they sit in
+
+  /** Count-seeded vocabulary with pcnt — top-N substrings ∪ singles. */
+  private def unigramVocab(words: DataFrame, vocabSize: Int,
+                           maxPieceLen: Int): DataFrame = {
     val subs = words
       .select(col("cnt"), explode(expr(
         s"""flatten(transform(sequence(1, len), i ->
@@ -193,19 +206,31 @@ object Bpe {
            |    substring(w, i, l))))""".stripMargin)).as("piece"))
       .groupBy("piece").agg(sum("cnt").cast("long").as("pcnt"))
       .persist()
-    val vocab = subs.orderBy(col("pcnt").desc, col("piece").asc)
+    subs.orderBy(col("pcnt").desc, col("piece").asc)
       .limit(vocabSize)
       .unionByName(subs.filter(length(col("piece")) === 1))
       .dropDuplicates("piece")
+  }
+
+  /** (piece, pcnt) → (piece, punits): micro-quantized −ln(f/T) cost,
+    * packed with the +1 piece-count tiebreak digit.
+    */
+  private def unigramPrice(vocab: DataFrame): DataFrame = {
     val tot = vocab.agg(sum("pcnt").cast("long").as("tot"))
-    val priced = vocab.crossJoin(broadcast(tot))
+    vocab.crossJoin(broadcast(tot))
       .withColumn("cost_micro",
         floor(-log(col("pcnt").cast("double") / col("tot").cast("double")) *
           lit(1e6) + lit(0.5)).cast("long"))
       .withColumn("punits", col("cost_micro") * lit(1024L) + lit(1L))
       .select("piece", "punits")
-    // per-word match list: every (start, end, units) where a vocab
-    // piece tiles [st, en), packed into one BIGINT
+  }
+
+  /** Per-word packed match list under the given prices + the Viterbi
+    * dp array after `maxWordLen` chained projection rounds. Output:
+    * (w, cnt, len, marr, dp).
+    */
+  private def unigramDpFor(words: DataFrame, priced: DataFrame,
+                           maxPieceLen: Int, maxWordLen: Int): DataFrame = {
     val matches = words
       .select(col("w"), explode(expr(
         s"""flatten(transform(sequence(1, len), i ->
@@ -221,25 +246,102 @@ object Bpe {
         .as("marr"))
     // Viterbi as maxWordLen chained array projections: dp[pos] = min
     // units to tile w[0, pos); dp'[en] folds the matches ending at en
-    val BIG = 1000000000000000L
     var dp = words.join(matches, "w")
       .withColumn("dp", expr(
-        s"transform(sequence(0, len), p -> CASE WHEN p = 0 THEN 0L ELSE ${BIG}L END)"))
-    for (r <- 1 to maxWordLen) {
+        "transform(sequence(0, len), p -> CASE WHEN p = 0 THEN 0L ELSE 1000000000000000L END)"))
+    for (_ <- 1 to maxWordLen) {
       dp = dp.withColumn("dp", expr(
-        s"""transform(sequence(0, len), en -> CASE WHEN en = 0 THEN 0L ELSE
-           |  aggregate(
-           |    filter(marr, mm -> ((mm div 70368744177664L) % 64L) = en),
-           |    element_at(dp, en + 1),
-           |    (acc, mm) -> least(acc,
-           |      element_at(dp, CAST(mm div 4503599627370496L AS INT) + 1)
-           |        + (mm % 70368744177664L)))
-           |END)""".stripMargin))
+        """transform(sequence(0, len), en -> CASE WHEN en = 0 THEN 0L ELSE
+          |  aggregate(
+          |    filter(marr, mm -> ((mm div 70368744177664L) % 64L) = en),
+          |    element_at(dp, en + 1),
+          |    (acc, mm) -> least(acc,
+          |      element_at(dp, CAST(mm div 4503599627370496L AS INT) + 1)
+          |        + (mm % 70368744177664L)))
+          |END)""".stripMargin))
     }
-    dp.select(col("w"), col("cnt"), col("len").cast("long").as("n_chars"),
-        element_at(col("dp"), col("len") + 1).as("units"))
-      .withColumn("cost_micro", expr("units div 1024L"))
-      .withColumn("n_pieces", expr("units % 1024L"))
-      .drop("units")
+    dp
+  }
+
+  private def unigramDp(docs: DataFrame, vocabSize: Int, maxPieceLen: Int,
+                        maxWordLen: Int, textCol: String): DataFrame = {
+    val words = unigramWords(docs, maxWordLen, textCol)
+    val priced = unigramPrice(unigramVocab(words, vocabSize, maxPieceLen))
+    unigramDpFor(words, priced, maxPieceLen, maxWordLen)
+  }
+
+  /** One HARD-EM round of the unigram trainer (Kudo, ACL'18 §3; hard
+    * E-step = Viterbi, the SentencePiece initialization loop):
+    *
+    *  1. segment every word under count-seeded prices (v0 =
+    *     [[unigramSegment]]'s DP);
+    *  2. BACKTRACE the argmin tiling — per step, the predecessor is
+    *     any match ending at `pos` with `dp[st] + units = dp[pos]`,
+    *     tie-broken by MIN packed match (= smallest start, then
+    *     cheapest piece — total order, both engines identical);
+    *  3. E-step: piece usage = Σ word-count over chosen tiles;
+    *  4. M-step: re-price the SAME vocabulary with add-1-smoothed
+    *     usage (`−ln((use+1)/(Σuse+V))` — smoothing keeps unused
+    *     pieces finitely priced so coverage never breaks);
+    *  5. re-segment under the new prices.
+    *
+    * Output per word: v0 vs v1 cost/piece-count, so the corpus-level
+    * `Σ cnt·Δcost` EM improvement is auditable in-plan. Further EM
+    * rounds = re-invoking with the v1 prices (the iterate-this-op
+    * contract; SentencePiece's vocabulary PRUNING step is the
+    * complement, not implemented here).
+    *
+    * Determinism/scale: everything lives on the vocabulary tables; the
+    * backtrace is ONE projection (an aggregate fold of ≤ maxWordLen
+    * steps whose per-step argmin is an integer `array_min`); the
+    * second DP reuses the same chained-projection machinery.
+    */
+  def unigramEmRound(docs: DataFrame, vocabSize: Int = 256,
+                     maxPieceLen: Int = 4, maxWordLen: Int = 16,
+                     textCol: String = "text"): DataFrame = {
+    val words = unigramWords(docs, maxWordLen, textCol)
+    val vocab = unigramVocab(words, vocabSize, maxPieceLen).persist()
+    val priced0 = unigramPrice(vocab)
+    val dp0 = unigramDpFor(words, priced0, maxPieceLen, maxWordLen)
+      .persist()
+    // backtrace: chosen(pos) = min packed match proving dp[pos]
+    val chosen =
+      """array_min(filter(marr, mm ->
+        |  ((mm div 70368744177664L) % 64L) = acc.pos AND
+        |  element_at(dp, CAST(mm div 4503599627370496L AS INT) + 1)
+        |    + (mm % 70368744177664L) = element_at(dp, acc.pos + 1)))"""
+        .stripMargin
+    val traced = dp0.withColumn("picks", expr(
+      s"""aggregate(sequence(1, $maxWordLen),
+         |  named_struct('pos', len, 'ps', CAST(array() AS ARRAY<BIGINT>)),
+         |  (acc, r) -> IF(acc.pos = 0, acc, named_struct(
+         |    'pos', CAST($chosen div 4503599627370496L AS INT),
+         |    'ps', array_append(acc.ps, $chosen))),
+         |  acc -> acc.ps)""".stripMargin))
+    // E-step: piece usage over the chosen tiles (word-count weighted)
+    val usage = traced
+      .select(col("w"), col("cnt"), explode(col("picks")).as("mm"))
+      .select(col("cnt"), expr(
+        """substring(w, CAST(mm div 4503599627370496L AS INT) + 1,
+          |  CAST((mm div 70368744177664L) % 64L AS INT)
+          |    - CAST(mm div 4503599627370496L AS INT))""".stripMargin)
+        .as("piece"))
+      .groupBy("piece").agg(sum("cnt").cast("long").as("use"))
+    // M-step: add-1-smoothed re-pricing of the SAME vocabulary
+    val used = vocab.join(usage, Seq("piece"), "left")
+      .select(col("piece"),
+        (coalesce(col("use"), lit(0L)) + lit(1L)).as("pcnt"))
+    val priced1 = unigramPrice(used)
+    val dp1 = unigramDpFor(words, priced1, maxPieceLen, maxWordLen)
+    val v0 = dp0.select(col("w"), col("cnt"),
+      col("len").cast("long").as("n_chars"),
+      element_at(col("dp"), col("len") + 1).as("u0"))
+    val v1 = dp1.select(col("w"), element_at(col("dp"), col("len") + 1).as("u1"))
+    v0.join(v1, "w")
+      .select(col("w"), col("cnt"), col("n_chars"),
+        expr("u0 div 1024L").as("cost0_micro"),
+        expr("u0 % 1024L").as("pieces0"),
+        expr("u1 div 1024L").as("cost1_micro"),
+        expr("u1 % 1024L").as("pieces1"))
   }
 }

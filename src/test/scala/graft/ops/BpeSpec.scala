@@ -98,4 +98,23 @@ class BpeSpec extends AnyFunSuite {
     assert(got.head.getAs[String]("w") === "xyz")
     assert(got.head.getAs[Long]("n_pieces") >= 1L)
   }
+
+  test("unigramEmRound: usage re-pricing makes the chosen tilings cheaper, never costlier overall") {
+    // corpus "aa aa ab": v0 usage a=4 (2 picks x cnt 2), ab=1, aa=b=0;
+    // add-1 repriced total 9 -> cost1(ab) = -ln(2/9) = 1504077 < v0's
+    // 2197225; "aa" keeps [a,a] at the same cost (a's count unchanged)
+    val got = Bpe.unigramEmRound(corpus("aa aa ab")).collect()
+      .map(r => r.getAs[String]("w") -> r).toMap
+    assert(got("aa").getAs[Long]("pieces0") === 2L)
+    assert(got("aa").getAs[Long]("pieces1") === 2L)
+    assert(got("aa").getAs[Long]("cost0_micro") === 2L * 587787L)
+    assert(got("aa").getAs[Long]("cost1_micro") === 2L * 587787L)
+    assert(got("ab").getAs[Long]("pieces0") === 1L)
+    assert(got("ab").getAs[Long]("cost0_micro") === 2197225L)
+    assert(got("ab").getAs[Long]("cost1_micro") === 1504077L)
+    // corpus-level EM objective improves (hard-EM monotonicity here)
+    val t0 = got.values.map(r => r.getAs[Long]("cnt") * r.getAs[Long]("cost0_micro")).sum
+    val t1 = got.values.map(r => r.getAs[Long]("cnt") * r.getAs[Long]("cost1_micro")).sum
+    assert(t1 <= t0)
+  }
 }
