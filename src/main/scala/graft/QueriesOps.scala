@@ -149,6 +149,81 @@ object QueriesOps {
       s"\nSELECT v AS user_id, pr FROM r$PageRankIters ORDER BY user_id"
   }
 
+  /** DuckDB oracle for ppr1: [[PageRankOracle]] with teleport AND
+    * dangling mass restarting on the seed set (v % 50 = 0, bfs1's seed
+    * rule) — same unrolled rounds, same operand order per term.
+    */
+  private val PprOracle: String = {
+    val base = """WITH ed AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT lag(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS src,
+      |           user_id AS dst FROM events)
+      |  WHERE src IS NOT NULL AND src != dst),
+      |nodes AS (SELECT src AS v FROM ed UNION SELECT dst FROM ed),
+      |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM ed GROUP BY src),
+      |fl AS MATERIALIZED (SELECT n.v,
+      |    CASE WHEN n.v % 50 = 0 THEN 1.0 ELSE 0.0 END AS sflag FROM nodes n),
+      |ns AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM fl WHERE sflag > 0.0),
+      |r0 AS (SELECT v, sflag / ns.ns AS pr FROM fl CROSS JOIN ns)""".stripMargin
+    val rounds = (1 to PageRankIters).map { k =>
+      s""",
+         |r$k AS (
+         |  SELECT f.v,
+         |    ((1.0 - 0.85) * f.sflag / ns.ns) + 0.85 * (COALESCE(c.contrib, 0)
+         |      + dm.mass * f.sflag / ns.ns) AS pr
+         |  FROM fl f
+         |  CROSS JOIN ns
+         |  CROSS JOIN (SELECT COALESCE(sum(p.pr), 0) AS mass FROM r${k - 1} p
+         |              LEFT JOIN deg dg ON dg.src = p.v WHERE dg.src IS NULL) dm
+         |  LEFT JOIN (SELECT ed.dst AS cv, sum(p.pr / dg.od) AS contrib
+         |             FROM ed JOIN r${k - 1} p ON p.v = ed.src
+         |             JOIN deg dg ON dg.src = ed.src GROUP BY ed.dst) c ON c.cv = f.v)"""
+        .stripMargin
+    }.mkString
+    base + rounds +
+      s"\nSELECT v AS user_id, pr FROM r$PageRankIters ORDER BY user_id"
+  }
+
+  /** DuckDB oracle for rg1: clipped n-gram overlap per (ref, cand)
+    * pair, both n legs unioned; totals come from token-list lengths,
+    * all P/R/F1 divisions exact-integer micro.
+    */
+  private def rg1Sql(ns: Seq[Int] = Seq(1, 2)): String = {
+    val base = """WITH p AS MATERIALIZED (SELECT CAST(a.doc_id // 2 AS BIGINT) AS pid,
+      |    list_filter(string_split(lower(a.text), ' '), x -> length(x) > 0) AS rt,
+      |    list_filter(string_split(lower(b.text), ' '), x -> length(x) > 0) AS ct
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |  WHERE a.doc_id % 2 = 0)""".stripMargin
+    val legs = ns.map { n =>
+      s""",
+         |rc$n AS (SELECT pid, array_to_string(list_slice(rt, i, i + ${n - 1}), ' ') AS g,
+         |    CAST(count(*) AS BIGINT) AS rc
+         |  FROM p, unnest(generate_series(1, len(rt) - ${n - 1})) AS a(i) GROUP BY 1, 2),
+         |cc$n AS (SELECT pid, array_to_string(list_slice(ct, i, i + ${n - 1}), ' ') AS g,
+         |    CAST(count(*) AS BIGINT) AS cc
+         |  FROM p, unnest(generate_series(1, len(ct) - ${n - 1})) AS a(i) GROUP BY 1, 2),
+         |ov$n AS (SELECT pid, CAST(sum(least(rc, cc)) AS BIGINT) AS ov
+         |  FROM rc$n JOIN cc$n USING (pid, g) GROUP BY pid),
+         |lg$n AS (SELECT CAST($n AS BIGINT) AS n, p.pid,
+         |    CAST(coalesce(ov$n.ov, 0) AS BIGINT) AS overlap,
+         |    CAST(greatest(0, len(rt) - ${n - 1}) AS BIGINT) AS ref_grams,
+         |    CAST(greatest(0, len(ct) - ${n - 1}) AS BIGINT) AS cand_grams
+         |  FROM p LEFT JOIN ov$n ON ov$n.pid = p.pid)""".stripMargin
+    }.mkString
+    val union = ns.map(n => s"SELECT * FROM lg$n").mkString(" UNION ALL ")
+    base + legs +
+      s""",
+         |u AS ($union)
+         |SELECT n, pid, overlap, ref_grams, cand_grams,
+         |  CASE WHEN cand_grams = 0 THEN 0
+         |       ELSE (overlap * 1000000) // cand_grams END AS precision_micro,
+         |  CASE WHEN ref_grams = 0 THEN 0
+         |       ELSE (overlap * 1000000) // ref_grams END AS recall_micro,
+         |  CASE WHEN ref_grams + cand_grams = 0 THEN 0
+         |       ELSE (2 * overlap * 1000000) // (ref_grams + cand_grams) END AS f1_micro
+         |FROM u ORDER BY n, pid""".stripMargin
+  }
+
   /** DuckDB oracle for hits1: [[HitsIters]] HITS rounds unrolled (MATERIALIZED —
     * each normalizer subquery re-reads its round's raw table). L1
     * normalization; zero-valued nodes add exact 0.0 to every sum, so
@@ -4502,6 +4577,40 @@ object QueriesOps {
           iterations = PageRankIters)
         .select(col("v").as("user_id"), col("pr")).orderBy("user_id"),
       Some(PageRankOracle)),
+
+    // PPR1: personalized PageRank — teleport and dangling mass restart
+    // on the seed users (v % 50 = 0, bfs1's rule): random-walk-with-
+    // restart proximity FROM a trusted set. Same once-shuffled edge
+    // machinery and unrolled oracle as pg1.
+    "ppr1_personalized_pagerank" -> Q(
+      (s, d) => Graph.personalizedPageRank(
+          Graph.handoffEdges(Queries.events(s, d),
+            streamCol = "event_type", keyCol = "user_id",
+            tsCol = "ts", tieCol = "event_id"),
+          seeds = Queries.events(s, d)
+            .select(col("user_id").cast("long").as("v"))
+            .filter(col("v") % 50 === 0).distinct(),
+          iterations = PageRankIters)
+        .select(col("v").as("user_id"), col("pr")).orderBy("user_id"),
+      Some(PprOracle)),
+
+    // RG1: ROUGE-1/2 between adjacent doc pairs (even = reference,
+    // odd = candidate) — clipped multiset n-gram overlap, exact
+    // integer micro P/R/F1. The generation-eval staple beside ev1's
+    // retrieval metrics and pk1's pass@k.
+    "rg1_rouge_n" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val ref = dd.filter(col("doc_id") % 2 === 0)
+          .select(expr("doc_id div 2").as("pid"), col("text").as("ref_text"))
+        val cand = dd.filter(col("doc_id") % 2 === 1)
+          .select(expr("(doc_id - 1) div 2").as("pid"),
+            col("text").as("cand_text"))
+        graft.ops.Text.rougeN(ref.join(cand, "pid"),
+            "ref_text", "cand_text", "pid")
+          .orderBy("n", "pid")
+      },
+      Some(rg1Sql())),
 
     // ANN6: IVF cell-balance audit at the kg1/ss5 production cell
     // count — occupancy histogram + imbalance factor, the skew

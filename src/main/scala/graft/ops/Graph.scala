@@ -91,6 +91,72 @@ object Graph {
     pr
   }
 
+  /** Personalized PageRank (Haveliwala, WWW'02): [[pageRank]] with the
+    * teleport AND the dangling mass restarting on a SEED SET instead of
+    * uniformly — `pr'(v) = (1−d)·s(v)/|S| + d·(Σ_in pr/outdeg +
+    * dangling·s(v)/|S|)` with `s(v) = 1` iff v is a seed. The "random
+    * walk with restart" proximity the data-pipeline uses for
+    * influence/relatedness FROM a known set (trusted sources, a query's
+    * cluster, a contamination origin): mass concentrates near the
+    * seeds instead of spreading globally.
+    *
+    * Seeds are intersected with the graph's node set first (an absent
+    * seed cannot hold mass). Same fixed-iteration determinism,
+    * once-shuffled static edge partitioning, per-round lineage cut,
+    * and persisted-original unpersist discipline as [[pageRank]].
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iterations: Int = 8,
+                           damping: Double = 0.85): DataFrame = {
+    val spark = edges.sparkSession
+    def shallow(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
+
+    val ed = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val deg = ed.groupBy("src").agg(count(lit(1)).cast("double").as("od"))
+    val edW = ed.join(deg, "src").repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = ed.select(col("src").as("v")).union(ed.select(col("dst").as("v")))
+      .distinct()
+    // seed flag joined once onto the node table; nS is a plan literal
+    val flagged = nodes.join(
+        seeds.select(col("v").cast("long").as("v"), lit(1.0).as("sflag"))
+          .distinct(),
+        Seq("v"), "left")
+      .select(col("v"), coalesce(col("sflag"), lit(0.0)).as("sflag"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nS = flagged.filter(col("sflag") > 0.0).count().toDouble
+    require(nS > 0, "personalizedPageRank: no seed is present in the graph")
+
+    var prCached = flagged.select(col("v"), (col("sflag") / lit(nS)).as("pr"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var pr = shallow(prCached)
+    var prev: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val contrib = edW.join(pr, edW("src") === pr("v"))
+        .groupBy(col("dst").as("cv"))
+        .agg(sum(col("pr") / col("od")).as("contrib"))
+      val dangling = pr.join(deg, pr("v") === deg("src"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("mass"))
+      val next = flagged
+        .join(contrib, flagged("v") === contrib("cv"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(flagged("v"),
+          (lit(1.0 - damping) * col("sflag") / lit(nS) + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) +
+              col("mass") * col("sflag") / lit(nS))).as("pr"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      if (prev != null) prev.unpersist()
+      prev = prCached
+      prCached = next
+      pr = shallow(next)
+    }
+    if (prev != null) prev.unpersist()
+    edW.unpersist(); flagged.unpersist()
+    pr
+  }
+
   /** Synchronous label propagation (Raghavan, Albert, Kumara, Phys.
     * Rev. E'07) for community detection: every node starts labeled
     * with its own id; each round, every node simultaneously adopts the

@@ -36,6 +36,37 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(pr(2L) - 0.7125) < 1e-12)
   }
 
+  test("personalizedPageRank: mass conserved, concentrates at the seed, seeds-only teleport") {
+    import spark.implicits._
+    // ring 1->2->3->1, seed = {1}: rank sums to 1, node 1 (the restart
+    // target) holds the most mass, and with all-seeds it equals pageRank
+    val ring = edges((1L, 2L), (2L, 3L), (3L, 1L))
+    val seeds = Seq(1L).toDF("v")
+    val df = Graph.personalizedPageRank(ring, seeds, iterations = 12)
+    assert(math.abs(df.agg(sum("pr")).head.getDouble(0) - 1.0) < 1e-9)
+    val pr = ranks(df)
+    assert(pr(1L) > pr(2L) && pr(1L) > pr(3L))
+    // one hand iteration: A(1)->B(2), seed {1}: pr0 = (1, 0); B dangles
+    // but holds 0 mass. prA = .15*1 + .85*(0 + 0*1) = 0.15
+    // prB = .15*0 + .85*(1 + 0) = 0.85
+    val one = ranks(Graph.personalizedPageRank(edges((1L, 2L)),
+      Seq(1L).toDF("v"), iterations = 1))
+    assert(math.abs(one(1L) - 0.15) < 1e-12)
+    assert(math.abs(one(2L) - 0.85) < 1e-12)
+    // all nodes seeded == classic pageRank
+    val all = Seq(1L, 2L, 3L).toDF("v")
+    val classic = ranks(Graph.pageRank(ring, iterations = 6))
+    val pprAll = ranks(Graph.personalizedPageRank(ring, all, iterations = 6))
+    classic.foreach { case (v, p) => assert(math.abs(pprAll(v) - p) < 1e-12) }
+    // seeds absent from the graph are ignored; none present -> error
+    val withGhost = Seq(1L, 99L).toDF("v")
+    assert(ranks(Graph.personalizedPageRank(ring, withGhost,
+      iterations = 2)).values.sum > 0.99)
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(ring, Seq(42L).toDF("v"), iterations = 1)
+    }
+  }
+
   test("rank is conserved (sums to 1) and favors the sink hub") {
     // star: everyone points at 9, which points back at 0
     val star = (0L to 8L).map(i => (i, 9L)) :+ (9L, 0L)

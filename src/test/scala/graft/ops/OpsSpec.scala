@@ -1244,4 +1244,30 @@ class OpsSpec extends AnyFunSuite {
     assert(c1.getAs[Long]("n") === 1L)
     assert(math.abs(c1.getAs[Double]("mean_silhouette") - 1.0) < 1e-9)
   }
+
+  test("rougeN: clipped multiset overlap, exact micro P/R/F1, empty-side zeros") {
+    import spark.implicits._
+    // ref "the cat sat", cand "the the cat" — ROUGE-1: clipped overlap
+    // = min(2,1)[the] + min(1,1)[cat] = 2; P = R = 2/3; F1 = 2*2/(3+3).
+    // ROUGE-2: ref bigrams {the cat, cat sat}, cand {the the, the cat}
+    // -> overlap 1, P = R = 1/2.
+    val pairs = Seq((0L, "the cat sat", "the the cat"),
+      (1L, "x y", "")).toDF("pid", "rt", "ct")
+    val got = Text.rougeN(pairs, "rt", "ct", "pid").collect()
+    def row(n: Long, pid: Long) = got.find(r =>
+      r.getAs[Long]("n") == n && r.getAs[Long]("pid") == pid).get
+    assert(row(1, 0).getAs[Long]("overlap") === 2L)
+    assert(row(1, 0).getAs[Long]("precision_micro") === 666666L)
+    assert(row(1, 0).getAs[Long]("recall_micro") === 666666L)
+    assert(row(1, 0).getAs[Long]("f1_micro") === 666666L)
+    assert(row(2, 0).getAs[Long]("overlap") === 1L)
+    assert(row(2, 0).getAs[Long]("precision_micro") === 500000L)
+    // empty candidate: zero overlap, zero precision, defined (0) F1
+    assert(row(1, 1).getAs[Long]("overlap") === 0L)
+    assert(row(1, 1).getAs[Long]("cand_grams") === 0L)
+    assert(row(1, 1).getAs[Long]("precision_micro") === 0L)
+    assert(row(1, 1).getAs[Long]("f1_micro") === 0L)
+    // ref shorter than n: ROUGE-2 of a 2-token ref has 1 bigram
+    assert(row(2, 1).getAs[Long]("ref_grams") === 1L)
+  }
 }
