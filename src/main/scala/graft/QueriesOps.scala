@@ -7081,6 +7081,61 @@ object QueriesOps {
         |  md5(array_to_string(kept, ' ')) AS aug_md5
         |FROM k ORDER BY doc_id""".stripMargin)),
 
+    // AUG2: T5-style span corruption — block-local md5-coin spans,
+    // ordered <extra_id_k> sentinels, (input, targets) digests. The
+    // denoising-objective data prep beside aug1's token dropout; the
+    // block confinement removes the sequential overlap fold so the
+    // whole construction is closed-form per position.
+    "aug2_span_corruption" -> Q(
+      (s, d) => Curate.spanCorruption(docs(s, d)).orderBy("doc_id"),
+      Some {
+        def coin(tag: String) =
+          s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
+             |      j -> CAST(strpos('0123456789abcdef', substr(md5(
+             |             CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR) || '$tag'),
+             |           CAST(j AS INTEGER), 1)) - 1 AS BIGINT))),
+             |      (acc, x) -> acc * 16 + x)""".stripMargin
+        val st = s"(b - 1) * 5 + 1 + (${coin(":o")} % 3)"
+        s"""WITH t AS (SELECT doc_id,
+           |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks
+           |  FROM documents),
+           |nn AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+           |sp AS MATERIALIZED (SELECT doc_id, toks, n,
+           |    list_filter(list_transform(
+           |      range(1, greatest(CAST(ceil(CAST(n AS DOUBLE) / 5.0) AS BIGINT), 1) + 1),
+           |      b -> CASE WHEN (${coin(":s")}) % 4 = 0 AND ($st) <= n
+           |        THEN ($st) * 64
+           |          + least(1 + (${coin(":l")} % 3), n - ($st) + 1)
+           |        ELSE -1 END),
+           |      s2 -> s2 > 0) AS spans
+           |  FROM nn),
+           |built AS (SELECT doc_id, n, spans,
+           |    array_to_string(flatten(list_transform(range(1, greatest(n, 1) + 1), i ->
+           |      CASE WHEN i > n THEN CAST([] AS VARCHAR[])
+           |      WHEN len(list_filter(spans, s2 -> (s2 // 64) = i)) > 0 THEN
+           |        ['<extra_id_' ||
+           |          CAST(len(list_filter(spans, s2 -> (s2 // 64) < i)) AS VARCHAR) || '>']
+           |      WHEN len(list_filter(spans, s2 ->
+           |          (s2 // 64) <= i AND i < (s2 // 64) + (s2 % 64))) > 0 THEN
+           |        CAST([] AS VARCHAR[])
+           |      ELSE [toks[CAST(i AS INTEGER)]]
+           |      END)), ' ') AS input_txt,
+           |    CASE WHEN len(spans) = 0 THEN '' ELSE
+           |      array_to_string(flatten(list_transform(range(1, len(spans) + 1), kk ->
+           |        list_concat(['<extra_id_' || CAST(kk - 1 AS VARCHAR) || '>'],
+           |          list_slice(toks, CAST(spans[kk] // 64 AS INTEGER),
+           |            CAST(spans[kk] // 64 + spans[kk] % 64 - 1 AS INTEGER))))), ' ')
+           |    END AS targets_txt
+           |  FROM sp)
+           |SELECT doc_id, n AS n_tokens,
+           |  CAST(len(spans) AS BIGINT) AS n_spans,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(spans, s2 -> s2 % 64)), (a, x2) -> a + x2) AS n_masked,
+           |  md5(input_txt) AS input_md5,
+           |  md5(targets_txt) AS targets_md5
+           |FROM built ORDER BY doc_id""".stripMargin
+      }),
+
     // GR3: Newman modularity of kg1's mutual-kNN partition — the
     // clustering-quality number (random wiring ⇒ Q ≈ 0) that decides
     // whether embedding communities are real before they drive

@@ -608,6 +608,76 @@ object Curate {
       md5(array_join(kept, " ")).as("aug_md5"))
   }
 
+  /** T5-style span corruption (Raffel et al., JMLR'20 §3.1.4), the
+    * denoising-objective data prep: mask contiguous token spans with
+    * ordered sentinels (`<extra_id_k>`) and emit the (input, targets)
+    * pair — input keeps unmasked text with one sentinel per span,
+    * targets list each sentinel followed by the tokens it hides.
+    *
+    * BLOCK-LOCAL placement instead of T5's sequential Poisson draw:
+    * positions partition into `blockSize` blocks; per block three
+    * md5 coins (the cur1/aug1 seedless-coin discipline) decide
+    * span-present (1/spanDenom of blocks), offset (0..2) and length
+    * (1..maxSpanLen ≤ blockSize−2), so spans can NEVER overlap and
+    * the whole construction is a closed-form per-position expression —
+    * no sequential fold, no RNG state, reproducible engine-to-engine
+    * and run-to-run (expected mask rate = E[len]/(spanDenom·blockSize)
+    * = 10% at the defaults, T5's ballpark).
+    *
+    * Output ships md5 digests of input/targets (the bpe3 hash-not-
+    * text convention) plus the count columns the loss accounting
+    * needs. Scale: one in-row pass; per-token work is O(spans in
+    * doc) = O(len/blockSize) — chunk pathological documents first
+    * (cur5) as with every in-row text op.
+    */
+  def spanCorruption(docs: DataFrame, blockSize: Int = 5,
+                     spanDenom: Int = 4, maxSpanLen: Int = 3,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(maxSpanLen + 2 <= blockSize, "span must fit its block at any offset")
+    def coin(tag: String) =
+      s"""CAST(conv(substring(md5(concat(CAST($idCol AS STRING), ':',
+         |  CAST(b AS STRING), '$tag')), 1, 15), 16, 10) AS BIGINT)""".stripMargin
+        .replace("\n", " ")
+    val st = s"(b - 1) * $blockSize + 1 + pmod(${coin(":o")}, 3L)"
+    docs
+      .withColumn("__toks",
+        filter(split(lower(col(textCol)), " "), t => length(t) > lit(0)))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("__spans", expr(
+        s"""filter(transform(
+           |  sequence(1L, greatest(CAST(ceil(__n / ${blockSize}.0) AS BIGINT), 1L)),
+           |  b -> CASE WHEN pmod(${coin(":s")}, ${spanDenom}L) = 0 AND ($st) <= __n
+           |    THEN ($st) * 64L
+           |      + least(1L + pmod(${coin(":l")}, ${maxSpanLen}L), __n - ($st) + 1L)
+           |    ELSE -1L END),
+           |  sp -> sp > 0L)""".stripMargin))
+      .withColumn("__input", expr(
+        """array_join(flatten(transform(
+          |    sequence(1L, greatest(__n, 1L)), i ->
+          |  CASE WHEN i > __n THEN CAST(array() AS ARRAY<STRING>)
+          |  WHEN size(filter(__spans, sp -> (sp div 64L) = i)) > 0 THEN
+          |    array(concat('<extra_id_',
+          |      CAST(size(filter(__spans, sp -> (sp div 64L) < i)) AS STRING), '>'))
+          |  WHEN size(filter(__spans, sp ->
+          |      (sp div 64L) <= i AND i < (sp div 64L) + (sp % 64L))) > 0 THEN
+          |    CAST(array() AS ARRAY<STRING>)
+          |  ELSE array(element_at(__toks, CAST(i AS INT)))
+          |  END)), ' ')""".stripMargin))
+      .withColumn("__targets", expr(
+        """CASE WHEN size(__spans) = 0 THEN '' ELSE
+          |  array_join(flatten(transform(sequence(1, size(__spans)), kk ->
+          |    concat(array(concat('<extra_id_', CAST(kk - 1 AS STRING), '>')),
+          |      slice(__toks, CAST(element_at(__spans, kk) div 64L AS INT),
+          |        CAST(element_at(__spans, kk) % 64L AS INT))))), ' ')
+          |END""".stripMargin))
+      .select(col(idCol), col("__n").as("n_tokens"),
+        size(col("__spans")).cast("long").as("n_spans"),
+        expr("aggregate(__spans, 0L, (a, sp) -> a + (sp % 64L))").as("n_masked"),
+        md5(col("__input")).as("input_md5"),
+        md5(col("__targets")).as("targets_md5"))
+  }
+
   def hashSplit(docs: DataFrame, idCol: String,
                 fractions: Seq[(String, Double)]): DataFrame = {
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")

@@ -433,4 +433,36 @@ class CurateSpec extends AnyFunSuite {
     // and the output is always non-decreasing
     assert(gm.zip(gm.tail).forall { case (a, b) => a <= b })
   }
+
+  test("spanCorruption: deterministic, sentinel-consistent, counts add up") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "one two"), (2L, "")).toDF("doc_id", "text")
+    val a = Curate.spanCorruption(docs).orderBy("doc_id").collect()
+    val b = Curate.spanCorruption(docs).orderBy("doc_id").collect()
+    // md5-coin reproducibility: identical digests run-to-run
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    a.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val spans = r.getAs[Long]("n_spans")
+      val masked = r.getAs[Long]("n_masked")
+      // every span masks 1..3 tokens; masked tokens never exceed the doc
+      assert(masked >= spans && masked <= 3 * spans)
+      assert(masked <= n)
+    }
+    // empty doc: zero everything, digests still defined
+    val empty = a.find(_.getAs[Long]("doc_id") == 2L).get
+    assert(empty.getAs[Long]("n_tokens") === 0L)
+    assert(empty.getAs[Long]("n_spans") === 0L)
+    assert(empty.getAs[String]("input_md5").nonEmpty)
+    // a corpus-sized doc set actually masks something (rate ~10%)
+    val big = (0L until 50L)
+      .map(i => (i, (1 to 40).map(j => s"tok$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val tot = Curate.spanCorruption(big)
+      .agg(sum("n_masked"), sum("n_tokens")).head()
+    val rate = tot.getLong(0).toDouble / tot.getLong(1)
+    assert(rate > 0.03 && rate < 0.25)
+  }
 }
