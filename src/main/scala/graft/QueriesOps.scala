@@ -7086,6 +7086,82 @@ object QueriesOps {
         |  md5(array_to_string(kept, ' ')) AS aug_md5
         |FROM k ORDER BY doc_id""".stripMargin)),
 
+    // DPO1: preference-pair construction for DPO/RLHF data — within
+    // each source, the i-th best-quality doc pairs with the i-th worst
+    // (margin-maximizing matching), capped pairs, positive margin only.
+    "dpo1_preference_pairs" -> Q(
+      (s, d) => Curate.preferencePairs(
+          graft.ops.Text.withQuality(docs(s, d)),
+          "source", "quality_score", "doc_id")
+        .orderBy("source", "pair_rank"),
+      Some("""WITH q AS (SELECT source, doc_id,
+        |    CAST(floor(least(1.0,
+        |      CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE) * 0.5
+        |      + CAST(len(list_filter(string_split(text, ' '),
+        |          x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
+        |      + least(CAST(list_sum(list_transform(string_split(text, ' '),
+        |          x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+        |          / CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0, 1.0) * 0.2)
+        |      * 1e6 + 0.5) AS BIGINT) AS sm
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, sm,
+        |    row_number() OVER (PARTITION BY source ORDER BY sm DESC, doc_id ASC) AS rb,
+        |    row_number() OVER (PARTITION BY source ORDER BY sm ASC, doc_id DESC) AS rw,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM q),
+        |best AS (SELECT source, rb AS i, doc_id AS chosen_id, sm AS chosen_micro
+        |  FROM r WHERE rb <= 3 AND rb * 2 <= n),
+        |worst AS (SELECT source, rw AS i, doc_id AS rejected_id, sm AS rejected_micro
+        |  FROM r WHERE rw <= 3 AND rw * 2 <= n)
+        |SELECT b.source, CAST(b.i AS BIGINT) AS pair_rank,
+        |  b.chosen_id, w.rejected_id, b.chosen_micro, w.rejected_micro,
+        |  b.chosen_micro - w.rejected_micro AS margin_micro
+        |FROM best b JOIN worst w ON w.source = b.source AND w.i = b.i
+        |WHERE b.chosen_micro - w.rejected_micro >= 1
+        |ORDER BY b.source, pair_rank""".stripMargin)),
+
+    // LG1: hash-chained commit ledger over three growing snapshot
+    // commits — the lakehouse integrity record: content fingerprint is
+    // an ORDER-FREE combinable row-hash sum (one aggregate per
+    // snapshot at any scale), the chain is md5(prev || ':' || fp), so
+    // rewriting ANY historical snapshot changes every later link. The
+    // oracle recomputes fingerprints and the whole chain from the raw
+    // table.
+    "lg1_commit_ledger" -> Q(
+      (s, d) => {
+        val dir = Queries.scratch("lg1_ledger")
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        (0 to 2).foreach { k =>
+          graft.ingest.VersionedDir.publish(
+            base.filter(col("doc_id") % 3 <= k).coalesce(1), dir, k.toLong)
+        }
+        graft.ingest.VersionedDir.commitLedger(s, dir,
+          df => concat(df("doc_id").cast("string"), lit(":"), md5(df("text"))))
+          .orderBy("version")
+      },
+      Some {
+        def fp(k: Int) =
+          s"""f$k AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |  coalesce(CAST(sum(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(range(1, 16), j -> CAST(strpos('0123456789abcdef',
+             |      substr(md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)),
+             |        CAST(j AS INTEGER), 1)) - 1 AS BIGINT))),
+             |    (acc, x) -> acc * 16 + x) AS DECIMAL(38,0)))
+             |    % CAST(1152921504606846976 AS DECIMAL(38,0)) AS BIGINT), 0) AS fp
+             |  FROM documents WHERE doc_id % 3 <= $k)""".stripMargin
+        s"""WITH ${fp(0)}, ${fp(1)}, ${fp(2)},
+           |c0 AS (SELECT md5('genesis:' || CAST(f0.fp AS VARCHAR)) AS h FROM f0),
+           |c1 AS (SELECT md5(c0.h || ':' || CAST(f1.fp AS VARCHAR)) AS h FROM c0, f1),
+           |c2 AS (SELECT md5(c1.h || ':' || CAST(f2.fp AS VARCHAR)) AS h FROM c1, f2)
+           |SELECT CAST(0 AS BIGINT) AS version, f0.n AS n_rows,
+           |  f0.fp AS content_fp, c0.h AS chain_md5 FROM f0, c0
+           |UNION ALL SELECT 1, f1.n, f1.fp, c1.h FROM f1, c1
+           |UNION ALL SELECT 2, f2.n, f2.fp, c2.h FROM f2, c2
+           |ORDER BY version""".stripMargin
+      }),
+
     // AUG2: T5-style span corruption — block-local md5-coin spans,
     // ordered <extra_id_k> sentinels, (input, targets) digests. The
     // denoising-objective data prep beside aug1's token dropout; the

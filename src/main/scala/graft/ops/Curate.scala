@@ -678,6 +678,49 @@ object Curate {
         md5(col("__targets")).as("targets_md5"))
   }
 
+  /** Preference-pair construction for DPO/RLHF-style training data:
+    * within each group, pair the i-th BEST-scoring item with the i-th
+    * WORST (the margin-maximizing matching — pair 1 carries the widest
+    * chosen/rejected gap, pair 2 the next, …), keeping at most
+    * `maxPairs` pairs per group, never pairing an item with itself
+    * (i ≤ ⌊n/2⌋), and dropping pairs whose margin falls below
+    * `minMarginMicro` (a zero-margin "preference" teaches nothing).
+    *
+    * Determinism: scores quantize to MICRO once; both rankings order
+    * by (score, id) totally, so pair membership and margins are exact
+    * integers.
+    *
+    * Scale: two window ranks per group partition + a (group, i)
+    * equi-join of the two rank tables — group-local, no corpus-wide
+    * order. At extreme group cardinality pre-bucket scores (the woe1
+    * note).
+    */
+  def preferencePairs(scored: DataFrame, groupCol: String,
+                      scoreCol: String, idCol: String,
+                      maxPairs: Int = 3,
+                      minMarginMicro: Long = 1L): DataFrame = {
+    val q = scored.select(col(groupCol).as("g"), col(idCol).as("id"),
+      floor(col(scoreCol) * lit(1e6) + lit(0.5)).cast("long").as("sm"))
+    val wBest = Window.partitionBy("g").orderBy(col("sm").desc, col("id").asc)
+    val wWorst = Window.partitionBy("g").orderBy(col("sm").asc, col("id").desc)
+    val ranked = q
+      .withColumn("rb", row_number().over(wBest))
+      .withColumn("rw", row_number().over(wWorst))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+    val best = ranked.filter(col("rb") <= maxPairs && col("rb") * 2 <= col("n"))
+      .select(col("g"), col("rb").as("i"), col("id").as("chosen_id"),
+        col("sm").as("chosen_micro"))
+    val worst = ranked.filter(col("rw") <= maxPairs && col("rw") * 2 <= col("n"))
+      .select(col("g"), col("rw").as("i"), col("id").as("rejected_id"),
+        col("sm").as("rejected_micro"))
+    best.join(worst, Seq("g", "i"))
+      .withColumn("margin_micro", col("chosen_micro") - col("rejected_micro"))
+      .filter(col("margin_micro") >= minMarginMicro)
+      .select(col("g").as(groupCol), col("i").cast("long").as("pair_rank"),
+        col("chosen_id"), col("rejected_id"),
+        col("chosen_micro"), col("rejected_micro"), col("margin_micro"))
+  }
+
   def hashSplit(docs: DataFrame, idCol: String,
                 fractions: Seq[(String, Double)]): DataFrame = {
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")

@@ -240,4 +240,31 @@ class MergeCommitSpec extends AnyFunSuite {
     val (_, ok3) = VersionedDir.writeAuditPublish(fixed, dir, 2L, audit)
     assert(ok3 && VersionedDir.currentVersion(spark, dir) === Some(2L))
   }
+
+  test("commitLedger: order-free fingerprints, chained hashes, tamper detection") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_ledger").resolve("t").toString
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      concat(df("k").cast("string"), lit(":"), md5(df("v")))
+    VersionedDir.publish(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir, 0L)
+    VersionedDir.publish(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), dir, 1L)
+    val led = VersionedDir.commitLedger(spark, dir, digest)
+      .orderBy("version").collect()
+    assert(led.map(_.getAs[Long]("n_rows")).toSeq === Seq(2L, 3L))
+    assert(led.map(_.getAs[String]("chain_md5")).distinct.length === 2)
+    // fingerprint is ORDER-FREE: republishing v0 with rows swapped
+    // leaves the whole chain bit-identical
+    VersionedDir.publish(Seq((2L, "b"), (1L, "a")).toDF("k", "v"), dir, 0L)
+    val led2 = VersionedDir.commitLedger(spark, dir, digest)
+      .orderBy("version").collect()
+    assert(led2.map(_.getAs[String]("chain_md5")).toSeq ===
+      led.map(_.getAs[String]("chain_md5")).toSeq)
+    // tampering with HISTORY (v0 content) changes v0's link AND v1's
+    VersionedDir.publish(Seq((1L, "a"), (2L, "TAMPERED")).toDF("k", "v"), dir, 0L)
+    val led3 = VersionedDir.commitLedger(spark, dir, digest)
+      .orderBy("version").collect()
+    assert(led3(0).getAs[String]("chain_md5") !== led(0).getAs[String]("chain_md5"))
+    assert(led3(1).getAs[String]("chain_md5") !== led(1).getAs[String]("chain_md5"))
+  }
 }

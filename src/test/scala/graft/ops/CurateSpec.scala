@@ -434,6 +434,26 @@ class CurateSpec extends AnyFunSuite {
     assert(gm.zip(gm.tail).forall { case (a, b) => a <= b })
   }
 
+  test("preferencePairs: margin-max matching, caps, odd group, zero-margin drop") {
+    import spark.implicits._
+    val scored = Seq(("s", 1L, 0.9), ("s", 2L, 0.7), ("s", 3L, 0.5),
+      ("s", 4L, 0.1), ("t", 5L, 0.8), ("t", 6L, 0.2), ("t", 7L, 0.4),
+      ("u", 8L, 0.5), ("u", 9L, 0.5)).toDF("src", "id", "q")
+    val got = Curate.preferencePairs(scored, "src", "q", "id")
+      .orderBy("src", "pair_rank").collect()
+    // group s (n=4): (1 vs 4, margin .8), (2 vs 3, margin .2)
+    val sPairs = got.filter(_.getAs[String]("src") == "s")
+    assert(sPairs.map(r => (r.getAs[Long]("chosen_id"),
+      r.getAs[Long]("rejected_id"), r.getAs[Long]("margin_micro"))).toSeq ===
+      Seq((1L, 4L, 800000L), (2L, 3L, 200000L)))
+    // group t (n=3): only one pair, middle element unpaired
+    val tPairs = got.filter(_.getAs[String]("src") == "t")
+    assert(tPairs.map(r => (r.getAs[Long]("chosen_id"),
+      r.getAs[Long]("rejected_id"))).toSeq === Seq((5L, 6L)))
+    // group u: equal scores -> zero margin -> no preference rows
+    assert(!got.exists(_.getAs[String]("src") == "u"))
+  }
+
   test("spanCorruption: deterministic, sentinel-consistent, counts add up") {
     import spark.implicits._
     val docs = Seq(
