@@ -5869,6 +5869,101 @@ object QueriesOps {
         |JOIN sizes sb ON sb.seg = inter.seg_b
         |ORDER BY seg_a, seg_b""".stripMargin)),
 
+    // TK1: KMV/theta sketch set ops over per-day audiences (30 daily
+    // buckets at ~2 events/user/day — partially-overlapping user sets,
+    // so intersection AND A-not-B are non-degenerate; to bound the
+    // pair table the query keeps the first 8 days = 28 pairs) — the
+    // sketch family's SUBTRACTION
+    // story (estimates HLL cannot produce), with exact truths feeding
+    // in-plan ±4/sqrt(k-2) accuracy booleans. k = 64 so the estimators
+    // actually engage at sf0.01 (audiences > k) instead of the exact
+    // small-set path.
+    "tk1_theta_setops" -> Q(
+      (s, d) => graft.ops.Stats.kmvThetaSetOps(
+          Queries.events(s, d)
+            .filter(dayofmonth(col("ts")) <= 8)
+            .withColumn("day", expr("CAST(day(ts) AS STRING)")),
+          "day", "user_id", k = 64)
+        .orderBy("seg_a", "seg_b"),
+      Some {
+        val k = 64
+        val hash = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(range(1, 16), j -> CAST(strpos('0123456789abcdef',
+          |        substr(md5(CAST(user_id AS VARCHAR)), CAST(j AS INTEGER), 1)) - 1
+          |        AS BIGINT))), (acc, x) -> acc * 16 + x)""".stripMargin
+        s"""WITH sm AS MATERIALIZED (
+           |  SELECT DISTINCT CAST(day(ts) AS VARCHAR) AS seg, $hash AS h
+           |  FROM events WHERE day(ts) <= 8),
+           |sig AS MATERIALIZED (SELECT seg, h FROM (SELECT seg, h,
+           |    row_number() OVER (PARTITION BY seg ORDER BY h) AS r FROM sm)
+           |  WHERE r <= $k),
+           |per AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_sig,
+           |    CASE WHEN count(*) < $k THEN 1152921504606846976
+           |         ELSE CAST(max(h) AS BIGINT) END AS theta,
+           |    CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+           |         ELSE ${(k - 1).toDouble} * 1.152921504606846976e18
+           |           / CAST(max(h) AS DOUBLE) END AS est
+           |  FROM sig GROUP BY seg),
+           |pr AS MATERIALIZED (SELECT a.seg AS seg_a, b.seg AS seg_b,
+           |    least(a.theta, b.theta) AS th, a.est AS est_a, b.est AS est_b
+           |  FROM per a JOIN per b ON a.seg < b.seg),
+           |ab AS MATERIALIZED (SELECT pr.seg_a, pr.seg_b, pr.th, sa.h,
+           |    EXISTS (SELECT 1 FROM sig sb
+           |            WHERE sb.seg = pr.seg_b AND sb.h = sa.h) AS in_b
+           |  FROM pr JOIN sig sa ON sa.seg = pr.seg_a WHERE sa.h < pr.th),
+           |ci AS (SELECT seg_a, seg_b, CAST(count(*) AS BIGINT) AS c_inter
+           |  FROM ab WHERE in_b GROUP BY 1, 2),
+           |ca AS (SELECT seg_a, seg_b, CAST(count(*) AS BIGINT) AS c_aonly
+           |  FROM ab WHERE NOT in_b GROUP BY 1, 2),
+           |mg AS (SELECT seg_a, seg_b, h FROM (
+           |    SELECT pr.seg_a, pr.seg_b, s2.h,
+           |      row_number() OVER (PARTITION BY pr.seg_a, pr.seg_b ORDER BY s2.h) AS r
+           |    FROM pr JOIN (SELECT DISTINCT x.seg_a, x.seg_b, x.h FROM (
+           |        SELECT p2.seg_a, p2.seg_b, sa2.h FROM pr p2
+           |          JOIN sig sa2 ON sa2.seg = p2.seg_a
+           |        UNION ALL
+           |        SELECT p3.seg_a, p3.seg_b, sb2.h FROM pr p3
+           |          JOIN sig sb2 ON sb2.seg = p3.seg_b) x) s2
+           |      ON s2.seg_a = pr.seg_a AND s2.seg_b = pr.seg_b)
+           |  WHERE r <= $k),
+           |mp AS (SELECT seg_a, seg_b,
+           |    CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+           |         ELSE ${(k - 1).toDouble} * 1.152921504606846976e18
+           |           / CAST(max(h) AS DOUBLE) END AS est_union
+           |  FROM mg GROUP BY 1, 2),
+           |sizes AS (SELECT seg, CAST(count(*) AS BIGINT) AS n FROM sm GROUP BY 1),
+           |ex AS (SELECT x.seg AS seg_a, y.seg AS seg_b,
+           |    CAST(count(*) AS BIGINT) AS n_inter
+           |  FROM sm x JOIN sm y ON x.h = y.h AND x.seg < y.seg GROUP BY 1, 2),
+           |f AS (SELECT pr.seg_a, pr.seg_b, sa.n AS n_a, sb.n AS n_b,
+           |    coalesce(ex.n_inter, 0) AS n_inter,
+           |    sa.n + sb.n - coalesce(ex.n_inter, 0) AS n_union,
+           |    pr.est_a, pr.est_b, mp.est_union,
+           |    coalesce(ci.c_inter, 0) * 1.152921504606846976e18
+           |      / CAST(pr.th AS DOUBLE) AS est_inter,
+           |    coalesce(ca.c_aonly, 0) * 1.152921504606846976e18
+           |      / CAST(pr.th AS DOUBLE) AS est_anotb
+           |  FROM pr
+           |  JOIN sizes sa ON sa.seg = pr.seg_a
+           |  JOIN sizes sb ON sb.seg = pr.seg_b
+           |  LEFT JOIN ex ON ex.seg_a = pr.seg_a AND ex.seg_b = pr.seg_b
+           |  LEFT JOIN ci ON ci.seg_a = pr.seg_a AND ci.seg_b = pr.seg_b
+           |  LEFT JOIN ca ON ca.seg_a = pr.seg_a AND ca.seg_b = pr.seg_b
+           |  JOIN mp ON mp.seg_a = pr.seg_a AND mp.seg_b = pr.seg_b)
+           |SELECT seg_a, seg_b, n_a, n_b, n_inter, n_union,
+           |  round(est_a, 6) AS est_a, round(est_b, 6) AS est_b,
+           |  round(est_union, 6) AS est_union,
+           |  round(est_inter, 6) AS est_inter,
+           |  round(est_anotb, 6) AS est_anotb,
+           |  abs(est_union - CAST(n_union AS DOUBLE))
+           |    <= ${4.0 / math.sqrt((k - 2).toDouble)} * CAST(n_union AS DOUBLE) + 8.0 AS ok_union,
+           |  abs(est_inter - CAST(n_inter AS DOUBLE))
+           |    <= ${4.0 / math.sqrt((k - 2).toDouble)} * CAST(n_union AS DOUBLE) + 8.0 AS ok_inter,
+           |  abs(est_anotb - CAST(n_a - n_inter AS DOUBLE))
+           |    <= ${4.0 / math.sqrt((k - 2).toDouble)} * CAST(n_union AS DOUBLE) + 8.0 AS ok_anotb
+           |FROM f ORDER BY seg_a, seg_b""".stripMargin
+      }),
+
     // BF1: Benford first-digit audit of extended prices — digit from
     // the integer cents' decimal string (no float extraction), chi²
     // and Nigrini MAD from pico-quantized cell terms, expected shares

@@ -202,6 +202,113 @@ object Stats {
           lit(tolerance) * col("n_union").cast("double") + lit(8.0)).as("sketch_union_ok"))
   }
 
+  /** KMV/theta sketch set operations (Bar-Yossef et al. RANDOM'02;
+    * Dasgupta et al.'s theta framework): per segment keep the k
+    * SMALLEST 60-bit member hashes; θ = the k-th value. Unlike HLL
+    * (ao1), theta sketches support INTERSECTION and A-NOT-B directly —
+    * count the signature hashes below θ* = min(θ_A, θ_B) that fall in
+    * the wanted region and scale by 2⁶⁰/θ* — which is what a
+    * cross-corpus audit needs ("how many documents are in crawl A but
+    * not crawl B?") without |A∪B|-sized exact joins.
+    *
+    * Determinism: signatures are exact integer hash sets (md5-60, the
+    * portable-coin discipline); every estimator is ONE fixed-order
+    * double expression over exact longs, round-6 display; sets smaller
+    * than k are EXACT (θ = 2⁶⁰), the standard small-set rule. The
+    * exact n_a/n_b/inter/union columns (cheap at gate scale) feed the
+    * in-plan ±4/√(k−2) accuracy booleans — at corpus scale only the
+    * signature legs run.
+    *
+    * Scale: ONE distinct (seg, hash) shuffle + a per-seg top-k window;
+    * signatures are k longs per segment, so every pairwise op is
+    * segments²·k-bounded.
+    */
+  def kmvThetaSetOps(df: DataFrame, segCol: String, memberCol: String,
+                     k: Int = 256): DataFrame = {
+    val TWO60 = 1152921504606846976L
+    val sm = df.select(col(segCol).cast("string").as("seg"),
+        Dedup.md5Hash60(col(memberCol).cast("string")).as("h"))
+      .distinct().persist()
+    val sig = sm.withColumn("r",
+        row_number().over(Window.partitionBy("seg").orderBy("h")))
+      .filter(col("r") <= k).drop("r").persist()
+    val per = sig.groupBy("seg")
+      .agg(count(lit(1)).cast("long").as("n_sig"), max("h").as("kth"))
+      .withColumn("theta",
+        when(col("n_sig") < k, lit(TWO60)).otherwise(col("kth")))
+      .withColumn("est", when(col("n_sig") < k, col("n_sig").cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(TWO60.toDouble) /
+          col("kth").cast("double")))
+    val pairs = per.as("a").join(per.as("b"), col("a.seg") < col("b.seg"))
+      .select(col("a.seg").as("seg_a"), col("b.seg").as("seg_b"),
+        least(col("a.theta"), col("b.theta")).as("th"),
+        col("a.est").as("est_a"), col("b.est").as("est_b"))
+      .persist()
+    def sigAs(side: String) = sig
+      .select(col("seg").as(side), col("h"))
+    // signature hashes below θ*, split by membership in the other side
+    val aBelow = pairs.select("seg_a", "seg_b", "th")
+      .join(sigAs("seg_a"), Seq("seg_a")).filter(col("h") < col("th"))
+    val commonBelow = aBelow
+      .join(sigAs("seg_b"), Seq("seg_b", "h"), "left_semi")
+      .groupBy("seg_a", "seg_b").agg(count(lit(1)).cast("long").as("c_inter"))
+    val aOnlyBelow = aBelow
+      .join(sigAs("seg_b"), Seq("seg_b", "h"), "left_anti")
+      .groupBy("seg_a", "seg_b").agg(count(lit(1)).cast("long").as("c_aonly"))
+    // merged union sketch per pair
+    val mergedSig = pairs.select("seg_a", "seg_b")
+      .join(sigAs("seg_a"), Seq("seg_a"))
+      .unionByName(pairs.select("seg_a", "seg_b")
+        .join(sigAs("seg_b"), Seq("seg_b"))
+        .select(col("seg_a"), col("seg_b"), col("h")))
+      .distinct()
+      .withColumn("r", row_number().over(
+        Window.partitionBy("seg_a", "seg_b").orderBy("h")))
+      .filter(col("r") <= k)
+    val mergedPer = mergedSig.groupBy("seg_a", "seg_b")
+      .agg(count(lit(1)).cast("long").as("mn"), max("h").as("mkth"))
+      .withColumn("est_union", when(col("mn") < k, col("mn").cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(TWO60.toDouble) /
+          col("mkth").cast("double")))
+    // exact truths (gate-scale audit legs; the production path is the
+    // signatures above)
+    val sizes = sm.groupBy("seg").agg(count(lit(1)).cast("long").as("n"))
+    val exInter = sm.as("x").join(sm.as("y"),
+        col("x.h") === col("y.h") && col("x.seg") < col("y.seg"))
+      .groupBy(col("x.seg").as("seg_a"), col("y.seg").as("seg_b"))
+      .agg(count(lit(1)).cast("long").as("n_inter"))
+    val tol = lit(4.0 / math.sqrt((k - 2).toDouble))
+    val nu = col("n_union").cast("double")
+    pairs
+      .join(sizes.select(col("seg").as("seg_a"), col("n").as("n_a")), "seg_a")
+      .join(sizes.select(col("seg").as("seg_b"), col("n").as("n_b")), "seg_b")
+      .join(exInter, Seq("seg_a", "seg_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .join(commonBelow, Seq("seg_a", "seg_b"), "left")
+      .withColumn("c_inter", coalesce(col("c_inter"), lit(0L)))
+      .join(aOnlyBelow, Seq("seg_a", "seg_b"), "left")
+      .withColumn("c_aonly", coalesce(col("c_aonly"), lit(0L)))
+      .join(mergedPer, Seq("seg_a", "seg_b"))
+      .withColumn("est_inter", col("c_inter").cast("double") *
+        lit(TWO60.toDouble) / col("th").cast("double"))
+      .withColumn("est_anotb", col("c_aonly").cast("double") *
+        lit(TWO60.toDouble) / col("th").cast("double"))
+      .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+        col("n_inter"), col("n_union"),
+        round(col("est_a"), 6).as("est_a"),
+        round(col("est_b"), 6).as("est_b"),
+        round(col("est_union"), 6).as("est_union"),
+        round(col("est_inter"), 6).as("est_inter"),
+        round(col("est_anotb"), 6).as("est_anotb"),
+        (abs(col("est_union") - nu) <= tol * nu + lit(8.0)).as("ok_union"),
+        (abs(col("est_inter") - col("n_inter").cast("double")) <=
+          tol * nu + lit(8.0)).as("ok_inter"),
+        (abs(col("est_anotb") -
+          (col("n_a") - col("n_inter")).cast("double")) <=
+          tol * nu + lit(8.0)).as("ok_anotb"))
+  }
+
   /** Per-class classification report against a ground-truth column:
     * confusion totals (tp/fp/fn), precision, recall, F1, plus overall
     * accuracy with its Wilson 95% interval and the macro-F1 — the eval

@@ -737,6 +737,31 @@ class StatsSpec extends AnyFunSuite {
     assert(got(1).getAs[Long]("n_c") === 8L)
   }
 
+  test("kmvThetaSetOps: small sets are exact; estimators within bounds when engaged") {
+    import spark.implicits._
+    // sets below k are EXACT: A = {1..10}, B = {6..15}: inter 5, aonly 5
+    val small = ((1 to 10).map(i => ("A", i.toLong)) ++
+      (6 to 15).map(i => ("B", i.toLong))).toDF("seg", "m")
+    val r = Stats.kmvThetaSetOps(small, "seg", "m", k = 64).head()
+    assert(r.getAs[Long]("n_a") === 10L)
+    assert(r.getAs[Long]("n_inter") === 5L)
+    assert(r.getAs[Double]("est_a") === 10.0)
+    assert(r.getAs[Double]("est_union") === 15.0)
+    assert(r.getAs[Double]("est_inter") === 5.0)
+    assert(r.getAs[Double]("est_anotb") === 5.0)
+    assert(r.getAs[Boolean]("ok_union") && r.getAs[Boolean]("ok_inter") &&
+      r.getAs[Boolean]("ok_anotb"))
+    // engaged estimators (n >> k): bounds hold, A-not-B sums with inter
+    val big = ((1 to 900).map(i => ("A", i.toLong)) ++
+      (301 to 1200).map(i => ("B", i.toLong))).toDF("seg", "m")
+    val rb = Stats.kmvThetaSetOps(big, "seg", "m", k = 64).head()
+    assert(rb.getAs[Boolean]("ok_union") && rb.getAs[Boolean]("ok_inter") &&
+      rb.getAs[Boolean]("ok_anotb"))
+    // a + (a-not-b) decomposition: est_inter + est_anotb ≈ est_a scale
+    val sumAb = rb.getAs[Double]("est_inter") + rb.getAs[Double]("est_anotb")
+    assert(math.abs(sumAb - 900.0) < 0.5 * 900.0)
+  }
+
   test("kendallTauB: perfect agreement 1, reversal -1, ties adjusted") {
     import spark.implicits._
     val up = Seq(("a", 1L, 10L), ("b", 2L, 20L), ("c", 3L, 30L))
