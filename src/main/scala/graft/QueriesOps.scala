@@ -3505,6 +3505,45 @@ object QueriesOps {
         |  abs(est.est - exact.exact_disc) <= CAST(10.0 AS DOUBLE) AS within_bin_width
         |FROM est JOIN exact ON est.q = exact.q ORDER BY est.q""".stripMargin)),
 
+    // LY1: clustering-depth advisor — simulate 32 range-clustered
+    // files under each candidate sort key and report how many files a
+    // point probe on l_shipdate must open. Sorting by l_shipdate gives
+    // depth ~1 (skipping works); sorting by l_partkey leaves every
+    // file's date range overlapping (~32) — the OPTIMIZE/zo1 rewrite
+    // decision made from numbers instead of folklore.
+    "ly1_clustering_depth" -> Q(
+      (s, d) => graft.ops.Layout.clusteringDepthReport(
+          li(s, d),
+          Seq(("l_shipdate", col("l_shipdate")),
+            ("l_partkey", col("l_partkey"))),
+          probeCol = "l_shipdate",
+          idCol = concat_ws(":", col("l_orderkey"), col("l_linenumber")))
+        .orderBy("sort_key"),
+      Some("""WITH base AS (SELECT l_shipdate AS p,
+        |    l_orderkey || ':' || l_linenumber AS id,
+        |    l_shipdate AS k1, l_partkey AS k2 FROM lineitem),
+        |f1 AS (SELECT p, ntile(32) OVER (ORDER BY k1, id) AS f FROM base),
+        |r1 AS (SELECT f, min(p) AS lo, max(p) AS hi FROM f1 GROUP BY f),
+        |d1 AS (SELECT x.f, CAST(count(*) AS BIGINT) AS d
+        |  FROM r1 x JOIN r1 y ON x.lo <= y.hi AND y.lo <= x.hi GROUP BY x.f),
+        |a1 AS (SELECT CAST(count(*) AS BIGINT) AS n_files,
+        |    CAST(sum(d) AS BIGINT) AS sd, max(d) AS max_depth, min(d) AS min_depth
+        |  FROM d1),
+        |f2 AS (SELECT p, ntile(32) OVER (ORDER BY k2, id) AS f FROM base),
+        |r2 AS (SELECT f, min(p) AS lo, max(p) AS hi FROM f2 GROUP BY f),
+        |d2 AS (SELECT x.f, CAST(count(*) AS BIGINT) AS d
+        |  FROM r2 x JOIN r2 y ON x.lo <= y.hi AND y.lo <= x.hi GROUP BY x.f),
+        |a2 AS (SELECT CAST(count(*) AS BIGINT) AS n_files,
+        |    CAST(sum(d) AS BIGINT) AS sd, max(d) AS max_depth, min(d) AS min_depth
+        |  FROM d2)
+        |SELECT 'l_shipdate' AS sort_key, n_files,
+        |  (sd * 1000000) // n_files AS avg_depth_micro, max_depth, min_depth
+        |FROM a1
+        |UNION ALL
+        |SELECT 'l_partkey', n_files, (sd * 1000000) // n_files, max_depth, min_depth
+        |FROM a2
+        |ORDER BY sort_key""".stripMargin)),
+
     // Z-order (Morton) key — cross-engine value check of the layout
     // op's bit-interleave arithmetic (the clustering WRITE and its
     // row-group-skipping payoff are proven in LayoutSpec on parquet

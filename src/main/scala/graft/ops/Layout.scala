@@ -108,6 +108,49 @@ object Layout {
       .drop("__ck")
       .write.mode("overwrite").parquet(outPath)
 
+  /** Clustering-depth advisor (the Iceberg/Delta OPTIMIZE decision
+    * metric): simulate writing the table as `nFiles` range-clustered
+    * files under each CANDIDATE sort key, take per-file [min, max] of
+    * the PROBE column, and report the average/max file-range overlap
+    * depth — "a point predicate on the probe column must open this
+    * many files". Depth ≈ 1 means the candidate key clusters the probe
+    * perfectly (file skipping works); depth ≈ nFiles means every file
+    * must be read and re-clustering pays for itself. The number that
+    * decides zo1-style rewrites BEFORE paying for them.
+    *
+    * Determinism: file assignment is `ntile(nFiles)` over the total
+    * (key, id) order; overlap counts are exact integers; avg depth is
+    * one integer micro-division. Scale: the gate form's global ntile
+    * is the semantics; production uses `repartitionByRange`'s sampled
+    * boundaries ([[clusteredWrite]]) and reads [min, max] straight
+    * from parquet footers — the report is then footer-only, O(files²)
+    * on file COUNT, no data pass at all.
+    */
+  def clusteringDepthReport(df: DataFrame,
+                            candidates: Seq[(String, Column)],
+                            probeCol: String, idCol: Column,
+                            nFiles: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val legs = candidates.map { case (name, key) =>
+      val filed = df.select(key.as("k"), col(probeCol).as("p"), idCol.as("id"))
+        .withColumn("f", ntile(nFiles).over(
+          Window.orderBy(col("k"), col("id"))))
+      val ranges = filed.groupBy("f")
+        .agg(min("p").as("lo"), max("p").as("hi"))
+      val depth = ranges.as("x").join(ranges.as("y"),
+          col("x.lo") <= col("y.hi") && col("y.lo") <= col("x.hi"))
+        .groupBy(col("x.f").as("f"))
+        .agg(count(lit(1)).cast("long").as("d"))
+      depth.agg(count(lit(1)).cast("long").as("n_files"),
+          sum("d").cast("long").as("sd"),
+          max("d").as("max_depth"), min("d").as("min_depth"))
+        .select(lit(name).as("sort_key"), col("n_files"),
+          expr("(sd * 1000000L) div n_files").as("avg_depth_micro"),
+          col("max_depth"), col("min_depth"))
+    }
+    legs.reduce(_ unionByName _)
+  }
+
   /** The consistent-hash ring for `n` shards × `vnodes` virtual nodes:
     * (position, shard) points, position = the 60-bit fold of
     * `md5("shard-<s>:v<v>")` — the same md5Hash60 domain the engine

@@ -151,4 +151,24 @@ class LayoutSpec extends AnyFunSuite {
       assert(out.filter(t => t._1 == sch && t._2 >= 0).map(_._3).sum === 2000L,
         s"$sch does not conserve keys") }
   }
+
+  test("clusteringDepthReport: probe-aligned key gives depth 1, orthogonal key gives depth nFiles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // p cycles 0..9 as id grows: sorting by id leaves every file with
+    // the full p range (depth = nFiles); sorting by p packs ranges
+    // disjointly (depth = 1, up to the ntile boundary rows)
+    val df = (0L until 400L).map(i => (i, i % 10)).toDF("id", "p")
+    val rep = Layout.clusteringDepthReport(df,
+        Seq(("by_p", col("p")), ("by_id", col("id"))),
+        probeCol = "p", idCol = col("id"), nFiles = 8)
+      .collect().map(r => r.getAs[String]("sort_key") -> r).toMap
+    assert(rep("by_id").getAs[Long]("avg_depth_micro") === 8000000L)
+    // interior files share BOTH endpoint values with their neighbors
+    // (a p-value spans a file boundary), so depth peaks at 3, never 8
+    assert(rep("by_p").getAs[Long]("max_depth") <= 3L)
+    assert(rep("by_p").getAs[Long]("min_depth") >= 1L)
+    assert(rep("by_p").getAs[Long]("avg_depth_micro") <
+      rep("by_id").getAs[Long]("avg_depth_micro") / 2)
+  }
 }
