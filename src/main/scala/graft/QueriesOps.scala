@@ -3513,7 +3513,10 @@ object QueriesOps {
     // decision made from numbers instead of folklore.
     "ly1_clustering_depth" -> Q(
       (s, d) => graft.ops.Layout.clusteringDepthReport(
-          li(s, d),
+          li(s, d).filter(col("l_orderkey") < 10000), // bounded gate slice:
+          // the report is file-count-sized; the two global ntile windows
+          // exist only to SIMULATE the clustered write here — production
+          // reads [min,max] from parquet footers (see the op's doc)
           Seq(("l_shipdate", col("l_shipdate")),
             ("l_partkey", col("l_partkey"))),
           probeCol = "l_shipdate",
@@ -3521,7 +3524,8 @@ object QueriesOps {
         .orderBy("sort_key"),
       Some("""WITH base AS (SELECT l_shipdate AS p,
         |    l_orderkey || ':' || l_linenumber AS id,
-        |    l_shipdate AS k1, l_partkey AS k2 FROM lineitem),
+        |    l_shipdate AS k1, l_partkey AS k2 FROM lineitem
+        |  WHERE l_orderkey < 10000),
         |f1 AS (SELECT p, ntile(32) OVER (ORDER BY k1, id) AS f FROM base),
         |r1 AS (SELECT f, min(p) AS lo, max(p) AS hi FROM f1 GROUP BY f),
         |d1 AS (SELECT x.f, CAST(count(*) AS BIGINT) AS d
