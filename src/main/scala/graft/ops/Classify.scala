@@ -644,14 +644,15 @@ object Classify {
     val per = df.groupBy(col(taskCol).as("task"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(when(col(correctCol), 1L).otherwise(0L)).cast("long").as("c"))
-    val legs = ks.map { k =>
-      per.filter(col("n") >= k)
-        .withColumn("k", lit(k.toLong))
-        .withColumn("p_pico", expr(
-          s"aggregate(sequence(0, ${k - 1}), 1000000000000L, " +
-            "(acc, i) -> (acc * (n - c - i)) div (n - i))"))
-    }
-    legs.reduce(_ unionByName _)
+    // k as an EXPLODED column, not one plan leg per k: a per-k union
+    // re-scanned and re-shuffled the corpus once per k (measured 3
+    // scans at |ks| = 3); exploding keeps ONE scan + ONE shuffle and
+    // the fold bound is just a column
+    per.withColumn("k", explode(typedlit(ks.map(_.toLong))))
+      .filter(col("n") >= col("k"))
+      .withColumn("p_pico", expr(
+        "aggregate(sequence(0L, k - 1L), 1000000000000L, " +
+          "(acc, i) -> (acc * (n - c - i)) div (n - i))"))
       .select(col("k"), col("task"), col("n").as("n_samples"),
         col("c").as("n_correct"),
         expr("(1000000000000L - p_pico) div 1000000L").as("pass_micro"))
