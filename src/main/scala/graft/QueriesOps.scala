@@ -7224,6 +7224,42 @@ object QueriesOps {
         |  md5(array_to_string(kept, ' ')) AS aug_md5
         |FROM k ORDER BY doc_id""".stripMargin)),
 
+    // LB1: length-grouped batching audit — exact padding waste under
+    // hash-random vs length-sorted batch formation, per-shard (cur2
+    // discipline). The number that decides the loader change.
+    "lb1_length_batching" -> Q(
+      (s, d) => Curate.lengthBatchingAudit(docs(s, d), batchSize = 16,
+          shardCol = "source")
+        .orderBy("strategy"),
+      Some {
+        def leg(name: String, order: String) =
+          s"""r_$name AS (SELECT sh, len,
+             |    (row_number() OVER (PARTITION BY sh ORDER BY $order) - 1) // 16 AS b
+             |  FROM base),
+             |g_$name AS (SELECT sh, b, CAST(count(*) AS BIGINT) AS bn,
+             |    CAST(sum(len) AS BIGINT) AS bl, max(len) AS bm
+             |  FROM r_$name GROUP BY 1, 2),
+             |a_$name AS (SELECT CAST(count(*) AS BIGINT) AS n_batches,
+             |    CAST(sum(bl) AS BIGINT) AS total_tokens,
+             |    CAST(sum(bn * bm) AS BIGINT) AS padded_tokens FROM g_$name)"""
+            .stripMargin
+        s"""WITH base AS MATERIALIZED (SELECT source AS sh, doc_id AS id,
+           |    CAST(len(list_filter(string_split(lower(text), ' '),
+           |      x -> length(x) > 0)) AS BIGINT) AS len,
+           |    md5(CAST(doc_id AS VARCHAR)) AS h
+           |  FROM documents),
+           |${leg("rnd", "h ASC, id ASC")},
+           |${leg("len", "len DESC, h ASC, id ASC")}
+           |SELECT 'random' AS strategy, n_batches, total_tokens, padded_tokens,
+           |  ((padded_tokens - total_tokens) * 1000000) // padded_tokens AS waste_micro
+           |FROM a_rnd
+           |UNION ALL
+           |SELECT 'length', n_batches, total_tokens, padded_tokens,
+           |  ((padded_tokens - total_tokens) * 1000000) // padded_tokens
+           |FROM a_len
+           |ORDER BY strategy""".stripMargin
+      }),
+
     // DPO1: preference-pair construction for DPO/RLHF data — within
     // each source, the i-th best-quality doc pairs with the i-th worst
     // (margin-maximizing matching), capped pairs, positive margin only.

@@ -608,6 +608,51 @@ object Curate {
       md5(array_join(kept, " ")).as("aug_md5"))
   }
 
+  /** Length-grouped batching audit (the HF `LengthGroupedSampler`
+    * rationale, quantified): form fixed-size batches under two
+    * orderings — hash-random (the default loader) and length-sorted —
+    * and report each strategy's PADDING WASTE: a batch pads every
+    * sequence to its longest member, so waste = Σ_batch B·max_len −
+    * Σ len. Length-grouping routinely cuts padded-token throughput
+    * loss 2-5×; this emits the exact number for THIS corpus, which is
+    * what decides whether the loader change pays.
+    *
+    * Batching is PER SHARD (`shardCol`) — the cur2 discipline: a
+    * global sort is a single reducer, per-shard streams are how
+    * batching actually runs at scale, and the report sums shard
+    * results exactly.
+    *
+    * Determinism: lengths are exact token counts; both orderings are
+    * total ((md5(id), id) / (len desc, md5(id), id)); all outputs are
+    * exact integers with one micro division for the waste fraction.
+    */
+  def lengthBatchingAudit(docs: DataFrame, batchSize: Int,
+                          shardCol: String, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(shardCol).as("sh"), col(idCol).as("id"),
+        size(filter(split(lower(col(textCol)), " "), t => length(t) > lit(0)))
+          .cast("long").as("len"))
+      .withColumn("h", md5(col("id").cast("string")))
+      .persist()
+    def audit(name: String, orderCols: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy("sh").orderBy(orderCols: _*)
+      base
+        .withColumn("b", ((row_number().over(w) - 1) / batchSize).cast("long"))
+        .groupBy("sh", "b")
+        .agg(count(lit(1)).cast("long").as("bn"),
+          sum("len").cast("long").as("bl"), max("len").as("bm"))
+        .agg(count(lit(1)).cast("long").as("n_batches"),
+          sum("bl").cast("long").as("total_tokens"),
+          sum(col("bn") * col("bm")).cast("long").as("padded_tokens"))
+        .select(lit(name).as("strategy"), col("n_batches"),
+          col("total_tokens"), col("padded_tokens"),
+          expr("((padded_tokens - total_tokens) * 1000000L) div padded_tokens")
+            .as("waste_micro"))
+    }
+    audit("random", Seq(col("h").asc, col("id").asc))
+      .unionByName(audit("length", Seq(col("len").desc, col("h").asc, col("id").asc)))
+  }
+
   /** T5-style span corruption (Raffel et al., JMLR'20 §3.1.4), the
     * denoising-objective data prep: mask contiguous token spans with
     * ordered sentinels (`<extra_id_k>`) and emit the (input, targets)

@@ -434,6 +434,25 @@ class CurateSpec extends AnyFunSuite {
     assert(gm.zip(gm.tail).forall { case (a, b) => a <= b })
   }
 
+  test("lengthBatchingAudit: length grouping never wastes more than hash-random; exact totals") {
+    import spark.implicits._
+    // one shard, lengths 1 and 9 alternating by id parity: batchSize 2.
+    // Length order pairs equal lengths -> zero waste; hash order mixes.
+    val docs = (0L until 40L)
+      .map(i => (i, "s", (if (i % 2 == 0) "a" else "a " * 9).trim))
+      .toDF("doc_id", "src", "text")
+    val got = Curate.lengthBatchingAudit(docs, batchSize = 2, shardCol = "src")
+      .collect().map(r => r.getAs[String]("strategy") -> r).toMap
+    assert(got("length").getAs[Long]("total_tokens") === 20L * 1 + 20L * 9)
+    assert(got("length").getAs[Long]("waste_micro") === 0L)
+    assert(got("random").getAs[Long]("waste_micro") >=
+      got("length").getAs[Long]("waste_micro"))
+    assert(got("random").getAs[Long]("n_batches") === 20L)
+    // waste accounting identity: padded = total + waste-part
+    val r = got("random")
+    assert(r.getAs[Long]("padded_tokens") >= r.getAs[Long]("total_tokens"))
+  }
+
   test("preferencePairs: margin-max matching, caps, odd group, zero-margin drop") {
     import spark.implicits._
     val scored = Seq(("s", 1L, 0.9), ("s", 2L, 0.7), ("s", 3L, 0.5),
