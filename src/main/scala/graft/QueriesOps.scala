@@ -8033,6 +8033,55 @@ object QueriesOps {
         |        * (1.0 - CAST(o AS DOUBLE) / CAST(n AS DOUBLE))), 9) AS residual
         |FROM agg""".stripMargin)),
 
+    // CAL2: temperature scaling of cal1's quality scorer — grid-search
+    // the logit temperature minimizing NLL against the is_unique
+    // label; the parametric fix for the miscalibration br1's
+    // reliability term measures. Grid is the plan; argmin is integer.
+    "cal2_temperature_fit" -> Q(
+      (s, d) => {
+        val scored = Curate.lrQualityScore(docs(s, d))
+          .withColumn("is_unique",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(md5(col("text")))) === 1)
+        graft.ops.Classify.temperatureFit(scored, "lr_linear", "is_unique")
+          .orderBy("t_milli")
+      },
+      Some("""WITH q AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+        |    CAST(list_sum(list_transform(string_split(text, ' '),
+        |         x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len
+        |  FROM documents),
+        |sc AS (SELECT doc_id, text,
+        |    -2.0 + alpha_ratio * 3.0 + stopword_ratio * 2.5
+        |      + mean_word_len * 0.15 - punct_ratio * 4.0 AS z
+        |  FROM q),
+        |lab AS (SELECT z,
+        |    CASE WHEN count(*) OVER (PARTITION BY md5(text)) = 1
+        |      THEN 1.0 ELSE 0.0 END AS y
+        |  FROM sc),
+        |tg AS (SELECT unnest([0.25, 0.5, 0.75, 1.0, 1.5, 2.0, 3.0, 4.0]) AS t),
+        |rws AS (SELECT t,
+        |    least(greatest(1.0 / (1.0 + exp((0.0 - z) / t)), 1e-9), 1.0 - 1e-9) AS pc,
+        |    y
+        |  FROM lab CROSS JOIN tg),
+        |per AS (SELECT t, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor((0.0 - (y * ln(pc) + (1.0 - y) * ln(1.0 - pc)))
+        |      * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS nll_sum_pico
+        |  FROM rws GROUP BY t),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY nll_sum_pico ASC, t ASC) AS rn
+        |  FROM per)
+        |SELECT CAST(floor(t * 1000.0 + 0.5) AS BIGINT) AS t_milli, n,
+        |  nll_sum_pico // n AS mean_nll_pico, rn = 1 AS is_best
+        |FROM rk ORDER BY t_milli""".stripMargin)),
+
     // KT1: Kendall τ-b between the per-source QUALITY ranking and the
     // per-source LENGTH ranking — "does longer mean better here?" The
     // per-source means are exact integer divs; the pair table is

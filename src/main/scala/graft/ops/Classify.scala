@@ -658,6 +658,49 @@ object Classify {
         expr("(1000000000000L - p_pico) div 1000000L").as("pass_micro"))
   }
 
+  /** Temperature scaling (Guo et al., ICML'17) — the one-parameter
+    * post-hoc calibration fix: rescale the scorer's LOGITS by 1/T and
+    * pick the T minimizing validation NLL over a FIXED grid (the
+    * deterministic stand-in for the 1-D Newton solve; the grid is the
+    * plan — both engines evaluate the same candidates). T > 1 softens
+    * an overconfident scorer, T < 1 sharpens an underconfident one;
+    * the chosen T feeds back into serving as a literal. The parametric
+    * complement to [[graft.ops.Curate.isotonicCalibration]]'s
+    * monotone fit and the FIX for what [[brierDecomposition]]'s
+    * reliability term diagnoses.
+    *
+    * Determinism: per-row NLL terms are fixed-order doubles from the
+    * shared logit expression, PICO-QUANTIZED before the order-free
+    * sum (the js1 discipline); probabilities clamp to [1e−9, 1−1e−9]
+    * in both engines so a saturated logit cannot produce ±∞; the
+    * winner is an integer argmin with a smaller-T tiebreak.
+    *
+    * Scale: ONE pass over (logit, label) × |grid| in-row expansions,
+    * combinable per-T sums; everything after is grid-sized.
+    */
+  def temperatureFit(scored: DataFrame, logitCol: String, labelCol: String,
+                     grid: Seq[Double] =
+                       Seq(0.25, 0.5, 0.75, 1.0, 1.5, 2.0, 3.0, 4.0)): DataFrame = {
+    val rows = scored.select(col(logitCol).as("z"),
+        when(col(labelCol), 1.0).otherwise(0.0).as("y"))
+      .select(explode(typedlit(grid)).as("t"), col("z"), col("y"))
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp((lit(0.0) - col("z")) / col("t"))))
+      .withColumn("pc", least(greatest(col("p"), lit(1e-9)), lit(1.0) - lit(1e-9)))
+      .withColumn("nll_pico", floor((lit(0.0) -
+        (col("y") * log(col("pc")) +
+          (lit(1.0) - col("y")) * log(lit(1.0) - col("pc")))) * lit(1e12) +
+        lit(0.5)).cast("long"))
+    val per = rows.groupBy("t")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum("nll_pico").cast("long").as("nll_sum_pico"))
+    per
+      .withColumn("is_best", row_number().over(
+        Window.orderBy(col("nll_sum_pico").asc, col("t").asc)) === 1)
+      .select(floor(col("t") * lit(1000.0) + lit(0.5)).cast("long").as("t_milli"),
+        col("n"), expr("nll_sum_pico div n").as("mean_nll_pico"),
+        col("is_best"))
+  }
+
   /** Murphy (1973) decomposition of the Brier score over probability
     * bins: `BS = uncertainty + reliability − resolution (+ within-bin
     * residual)` — splits a probabilistic scorer's squared error into

@@ -297,6 +297,25 @@ class ClassifySpec extends AnyFunSuite {
     assert(a5 >= a1)
   }
 
+  test("temperatureFit: correct logits pick the sharpest T, inverted logits the softest") {
+    import spark.implicits._
+    // every prediction right: NLL falls monotonically as T shrinks
+    val good = ((1 to 50).map(_ => (2.0, true)) ++
+      (1 to 50).map(_ => (-2.0, false))).toDF("z", "y")
+    val g = Classify.temperatureFit(good, "z", "y").collect()
+    assert(g.length === 8)
+    assert(g.find(_.getAs[Boolean]("is_best")).get.getAs[Long]("t_milli") === 250L)
+    // every prediction WRONG: softening (largest T) minimizes the damage
+    val bad = ((1 to 50).map(_ => (2.0, false)) ++
+      (1 to 50).map(_ => (-2.0, true))).toDF("z", "y")
+    val b = Classify.temperatureFit(bad, "z", "y").collect()
+    assert(b.find(_.getAs[Boolean]("is_best")).get.getAs[Long]("t_milli") === 4000L)
+    // exactly one winner, and per-T NLL is monotone in T for `good`
+    assert(g.count(_.getAs[Boolean]("is_best")) === 1)
+    val byT = g.sortBy(_.getAs[Long]("t_milli")).map(_.getAs[Long]("mean_nll_pico"))
+    assert(byT.zip(byT.tail).forall { case (a, c) => a <= c })
+  }
+
   test("brierDecomposition: single-bin constant forecast has zero rel+res; identity holds") {
     import spark.implicits._
     // all forecasts 0.5, half the outcomes true: rel = 0 (bin mean
