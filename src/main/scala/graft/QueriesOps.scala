@@ -7224,6 +7224,36 @@ object QueriesOps {
         |  md5(array_to_string(kept, ' ')) AS aug_md5
         |FROM k ORDER BY doc_id""".stripMargin)),
 
+    // CC1: competence-paced curriculum table — per competence step the
+    // target count, difficulty (token-length) threshold, and admitted
+    // count; quantile ladder on the DISTINCT-difficulty table, never a
+    // corpus rank.
+    "cc1_competence_curriculum" -> Q(
+      (s, d) => Curate.competenceCurriculum(docs(s, d),
+          size(filter(split(lower(col("text")), " "),
+            t => length(t) > lit(0))))
+        .orderBy("c_milli"),
+      Some("""WITH dd AS (SELECT CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> length(x) > 0)) AS BIGINT) AS diff FROM documents),
+        |per AS (SELECT diff, CAST(count(*) AS BIGINT) AS cnt FROM dd GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM per),
+        |cum AS MATERIALIZED (SELECT diff,
+        |    CAST(sum(cnt) OVER (ORDER BY diff
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    tot.n FROM per CROSS JOIN tot),
+        |g AS (SELECT CAST(unnest([100, 200, 300, 400, 500, 600, 700, 800, 900, 1000])
+        |    AS BIGINT) AS c_milli),
+        |st AS (SELECT g.c_milli, (g.c_milli * cum.n) // 1000 AS k_target,
+        |    cum.diff, cum.cum, cum.n
+        |  FROM g CROSS JOIN cum
+        |  WHERE cum.cum >= (g.c_milli * cum.n) // 1000),
+        |th AS (SELECT c_milli, k_target, n, min(diff) AS threshold_diff
+        |  FROM st GROUP BY 1, 2, 3)
+        |SELECT th.c_milli, th.n AS n_docs, th.k_target, th.threshold_diff,
+        |  cum.cum AS n_at_or_below
+        |FROM th JOIN cum ON cum.diff = th.threshold_diff
+        |ORDER BY c_milli""".stripMargin)),
+
     // LB1: length-grouped batching audit — exact padding waste under
     // hash-random vs length-sorted batch formation, per-shard (cur2
     // discipline). The number that decides the loader change.

@@ -608,6 +608,44 @@ object Curate {
       md5(array_join(kept, " ")).as("aug_md5"))
   }
 
+  /** Competence-based curriculum pacing table (Platanios et al.,
+    * NAACL'19): at competence c the trainer samples only from the
+    * easiest c-fraction of the corpus; this emits, per grid step, the
+    * target count `k = ⌊c·n⌋`, the difficulty threshold that admits
+    * it, and how many documents sit at-or-below the threshold (ties
+    * admit whole difficulty groups — the deterministic choice both
+    * engines reproduce). The pacing schedule is then a literal table
+    * the sampler joins against — no per-epoch re-sort.
+    *
+    * Scale: difficulty is integer-valued (tokens, micro quality), so
+    * the quantile ladder runs on the DISTINCT-difficulty table
+    * (bounded) via one cumulative — never a corpus-wide rank (the
+    * hi2/gn1 lesson). ONE combinable count shuffle total.
+    */
+  def competenceCurriculum(docs: DataFrame, difficulty: Column,
+                           grid: Seq[Double] = (1 to 10).map(_ / 10.0))
+      : DataFrame = {
+    val per = docs.select(difficulty.cast("long").as("diff"))
+      .groupBy("diff").agg(count(lit(1)).cast("long").as("cnt"))
+    val w = Window.orderBy("diff")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.agg(sum("cnt").cast("long").as("n"))
+    val cum = per.withColumn("cum", sum("cnt").over(w).cast("long"))
+      .crossJoin(broadcast(tot))
+    val steps = cum.select(col("diff"), col("cum"), col("n"),
+      explode(typedlit(grid.map(c => math.floor(c * 1000 + 0.5).toLong)))
+        .as("c_milli"))
+    steps
+      .withColumn("k_target", expr("(c_milli * n) div 1000L"))
+      .filter(col("cum") >= col("k_target"))
+      .groupBy("c_milli", "k_target", "n")
+      .agg(min("diff").as("threshold_diff"))
+      .join(cum.select(col("diff").as("threshold_diff"), col("cum")
+        .as("n_at_or_below")), Seq("threshold_diff"))
+      .select(col("c_milli"), col("n").as("n_docs"), col("k_target"),
+        col("threshold_diff"), col("n_at_or_below"))
+  }
+
   /** Length-grouped batching audit (the HF `LengthGroupedSampler`
     * rationale, quantified): form fixed-size batches under two
     * orderings — hash-random (the default loader) and length-sorted —

@@ -434,6 +434,29 @@ class CurateSpec extends AnyFunSuite {
     assert(gm.zip(gm.tail).forall { case (a, b) => a <= b })
   }
 
+  test("competenceCurriculum: thresholds are the hand-computed quantile ladder; ties admit whole groups") {
+    import spark.implicits._
+    // difficulties: 1 x10, 2 x10, 3 x10, 4 x10 (n = 40)
+    val docs = (0 until 40).map(i => ((i / 10 + 1).toLong)).toDF("diff")
+    val got = Curate.competenceCurriculum(docs, col("diff"))
+      .orderBy("c_milli").collect()
+    assert(got.length === 10)
+    def row(c: Long) = got.find(_.getAs[Long]("c_milli") == c).get
+    // c=0.2: k=8, the first difficulty group covers it (10 >= 8)
+    assert(row(200L).getAs[Long]("k_target") === 8L)
+    assert(row(200L).getAs[Long]("threshold_diff") === 1L)
+    assert(row(200L).getAs[Long]("n_at_or_below") === 10L)
+    // c=0.3: k=12 -> must admit difficulty 2's WHOLE group (20 docs)
+    assert(row(300L).getAs[Long]("threshold_diff") === 2L)
+    assert(row(300L).getAs[Long]("n_at_or_below") === 20L)
+    // c=1.0: everything
+    assert(row(1000L).getAs[Long]("threshold_diff") === 4L)
+    assert(row(1000L).getAs[Long]("n_at_or_below") === 40L)
+    // monotone ladder
+    val ths = got.sortBy(_.getAs[Long]("c_milli")).map(_.getAs[Long]("threshold_diff"))
+    assert(ths.zip(ths.tail).forall { case (a, b) => a <= b })
+  }
+
   test("lengthBatchingAudit: length grouping never wastes more than hash-random; exact totals") {
     import spark.implicits._
     // one shard, lengths 1 and 9 alternating by id parity: batchSize 2.
