@@ -120,7 +120,7 @@ object BenchScale {
     // (vocab, pricing, DP, backtrace) is vocabulary-bounded, so it
     // scales with DISTINCT tagged words (~k here), a worst case the
     // zipf-bounded real vocabulary never hits
-    "sp4_banded_cluster_split", "ul2_unigram_em",
+    "sp4_banded_cluster_split", "ul2_unigram_em", "tc1_tokenizer_bakeoff",
     // seeded-restart PageRank: identical per-round O(edges) profile to
     // pg1 (one extra node-table flag join per round)
     "ppr1_personalized_pagerank")

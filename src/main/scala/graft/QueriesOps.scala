@@ -5433,6 +5433,57 @@ object QueriesOps {
       },
       Some(BpeSegmentOracle)),
 
+    // TC1: tokenizer bake-off — BPE (8 merges) vs unigram-LM on the
+    // SAME vocabulary slice (words ≤ 16 chars, unigram's domain):
+    // occurrence-weighted fertility (pieces per word) and compression
+    // (chars per piece), the two numbers a tokenizer choice is made
+    // on. Both sides exact integers; oracle nests both unrolled
+    // tokenizers as subqueries.
+    "tc1_tokenizer_bakeoff" -> Q(
+      (s, d) => {
+        val m = graft.ops.Bpe.learnMerges(docs(s, d), BpeMergeRounds)
+          .orderBy("step").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val bpe = graft.ops.Bpe.segmentVocab(docs(s, d), m)
+          .filter(length(col("w")) <= 16)
+          .select(col("w"), col("cnt").cast("long").as("cnt"),
+            length(col("w")).cast("long").as("n_chars"),
+            col("n_pieces").cast("long").as("n_pieces"))
+        val uni = graft.ops.Bpe.unigramSegment(docs(s, d))
+          .select(col("w"), col("cnt"), col("n_chars"), col("n_pieces"))
+        def leg(name: String, seg: org.apache.spark.sql.DataFrame) =
+          seg.agg(count(lit(1)).cast("long").as("n_words"),
+              sum("cnt").cast("long").as("n_occ"),
+              sum(col("cnt") * col("n_pieces")).cast("long").as("total_pieces"),
+              sum(col("cnt") * col("n_chars")).cast("long").as("total_chars"))
+            .select(lit(name).as("tokenizer"), col("n_words"), col("n_occ"),
+              col("total_pieces"),
+              expr("(total_pieces * 1000000L) div n_occ").as("fertility_micro"),
+              expr("(total_chars * 1000000L) div total_pieces")
+                .as("chars_per_piece_micro"))
+        leg("bpe8", bpe).unionByName(leg("unigram", uni)).orderBy("tokenizer")
+      },
+      Some {
+        def wrap(name: String, sub: String) =
+          s"""SELECT '$name' AS tokenizer, CAST(count(*) AS BIGINT) AS n_words,
+             |  CAST(sum(cnt) AS BIGINT) AS n_occ,
+             |  CAST(sum(cnt * n_pieces) AS BIGINT) AS total_pieces,
+             |  (CAST(sum(cnt * n_pieces) AS BIGINT) * 1000000)
+             |    // CAST(sum(cnt) AS BIGINT) AS fertility_micro,
+             |  (CAST(sum(cnt * n_chars) AS BIGINT) * 1000000)
+             |    // CAST(sum(cnt * n_pieces) AS BIGINT) AS chars_per_piece_micro
+             |FROM ($sub) ${name.take(3)}""".stripMargin
+        wrap("bpe8",
+          s"""SELECT w, cnt, CAST(length(w) AS BIGINT) AS n_chars,
+             |  CAST(n_pieces AS BIGINT) AS n_pieces
+             |FROM (${BpeSegmentOracle.replace("ORDER BY w", "")})
+             |WHERE length(w) <= 16""".stripMargin) +
+          "\nUNION ALL\n" +
+          wrap("unigram",
+            OracleGen.ul1Sql().replace("ORDER BY w", "")) +
+          "\nORDER BY tokenizer"
+      }),
+
     // UL1: unigram-LM tokenizer segmentation (Kudo '18, SentencePiece's
     // model family) — the global-optimum counterpoint to BPE's greedy
     // merges: count-seeded piece costs, exact integer Viterbi over the
