@@ -5796,6 +5796,35 @@ object QueriesOps {
     // support counts after frequent-item pruning, ratios from single
     // divisions of exact longs. See Itemsets.frequentPairs for the
     // 100 TB pruning argument.
+    // SQ2: sequential patterns over per-user event streams — contiguous
+    // event-type 2/3-grams supported by USER presence (the GSP
+    // definition), top-20 under a total order. The ordered complement
+    // to fi1's unordered baskets.
+    "sq2_sequential_patterns" -> Q(
+      (s, d) => graft.ops.Itemsets.sequentialPatterns(
+          Queries.events(s, d), "user_id", "ts", "event_id", "event_type")
+        .orderBy(col("n_support").desc, col("pattern").asc),
+      Some("""WITH seqs AS MATERIALIZED (SELECT user_id AS e,
+        |    list(event_type ORDER BY ts, event_id) AS arr FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_entities FROM seqs),
+        |g2 AS (SELECT DISTINCT e,
+        |    array_to_string(list_slice(arr, i, i + 1), '>') AS pattern
+        |  FROM seqs, unnest(generate_series(1, len(arr) - 1)) AS a(i)),
+        |g3 AS (SELECT DISTINCT e,
+        |    array_to_string(list_slice(arr, i, i + 2), '>') AS pattern
+        |  FROM seqs, unnest(generate_series(1, len(arr) - 2)) AS a(i)),
+        |u AS (SELECT CAST(2 AS BIGINT) AS n, pattern,
+        |    CAST(count(*) AS BIGINT) AS n_support FROM g2 GROUP BY 2
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), pattern, CAST(count(*) AS BIGINT)
+        |  FROM g3 GROUP BY 2),
+        |f AS (SELECT n, pattern, n_support, tot.n_entities,
+        |    (n_support * 1000000) // tot.n_entities AS support_micro
+        |  FROM u, tot WHERE n_support >= 2
+        |  ORDER BY n_support DESC, pattern ASC LIMIT 20)
+        |SELECT * FROM f ORDER BY n_support DESC, pattern ASC"""
+        .stripMargin)),
+
     "fi1_itemset_lift" -> Q(
       (s, d) => graft.ops.Itemsets.frequentPairs(
           li(s, d), "l_orderkey", "l_partkey", minSupport = 2L)

@@ -54,4 +54,55 @@ object Itemsets {
         (col("n_ab").cast("double") * nb /
           (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
   }
+
+  /** Sequential-pattern mining (the GSP/PrefixSpan primitive at
+    * bounded depth): contiguous event-type n-grams (n = 2, 3) over
+    * each entity's TIME-ORDERED stream, supported by the number of
+    * entities whose stream CONTAINS the pattern (presence, not
+    * occurrence count — the standard sequence-support definition).
+    * The ORDERED complement to [[pairCounts]]'s unordered baskets:
+    * "view→click→purchase" is signal where {view, click, purchase}
+    * is noise.
+    *
+    * Determinism: per-entity order is the (ts, seq) total order
+    * rebuilt via `array_sort(struct(...))` (the bpe3 ordered-
+    * reassembly discipline — never bare collect_list); supports are
+    * exact integers; the top-k cut is a (support desc, pattern asc)
+    * total order.
+    *
+    * Scale: one entity-keyed reassembly shuffle (narrow type strings),
+    * in-row gram explosion, one combinable distinct-support shuffle —
+    * patterns are vocabulary^n-bounded, never corpus-sized.
+    */
+  def sequentialPatterns(events: DataFrame, entityCol: String,
+                         tsCol: String, seqCol: String, itemCol: String,
+                         ns: Seq[Int] = Seq(2, 3), minSupport: Long = 2L,
+                         topK: Int = 20): DataFrame = {
+    val seqs = events.groupBy(col(entityCol).as("e"))
+      .agg(transform(array_sort(collect_list(struct(col(tsCol).as("t"),
+          col(seqCol).as("s"), col(itemCol).as("it")))),
+        x => x.getField("it")).as("arr"))
+    val tot = seqs.agg(count(lit(1)).cast("long").as("n_entities"))
+    val legs = ns.map { n =>
+      seqs.select(col("e"), explode(expr(
+          s"""CASE WHEN size(arr) >= $n THEN
+             |  transform(sequence(1, size(arr) - ${n - 1}),
+             |    i -> concat_ws('>', slice(arr, i, $n)))
+             |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+          .as("pattern"))
+        .distinct() // presence per entity, not occurrences
+        .groupBy("pattern")
+        .agg(count(lit(1)).cast("long").as("n_support"))
+        .withColumn("n", lit(n.toLong))
+    }
+    legs.reduce(_ unionByName _)
+      .filter(col("n_support") >= minSupport)
+      .crossJoin(broadcast(tot))
+      .withColumn("support_micro",
+        expr("(n_support * 1000000L) div n_entities"))
+      .orderBy(col("n_support").desc, col("pattern").asc)
+      .limit(topK)
+      .select(col("n"), col("pattern"), col("n_support"),
+        col("n_entities"), col("support_micro"))
+  }
 }

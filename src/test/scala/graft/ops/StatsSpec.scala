@@ -89,6 +89,30 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("lift") - 4.0 / 3.0) < 1e-12) // 3*4/(3*3)
   }
 
+  test("sequentialPatterns: order matters, presence not occurrences, min support") {
+    import spark.implicits._
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    // user 1: a b a b  (contains a>b twice but counts ONCE)
+    // user 2: a b c    user 3: b a (reversed — contains b>a, NOT a>b... it does contain a? no a>b since order b,a)
+    val ev = Seq(
+      (1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"), (1L, ts(3), 3L, "a"),
+      (1L, ts(4), 4L, "b"),
+      (2L, ts(1), 5L, "a"), (2L, ts(2), 6L, "b"), (2L, ts(3), 7L, "c"),
+      (3L, ts(1), 8L, "b"), (3L, ts(2), 9L, "a"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Itemsets.sequentialPatterns(ev, "user_id", "ts", "event_id",
+        "event_type", minSupport = 2L).collect()
+      .map(r => r.getAs[String]("pattern") -> r.getAs[Long]("n_support")).toMap
+    // a>b supported by users 1 and 2 (ONCE each despite user 1's repeat)
+    assert(got("a>b") === 2L)
+    // b>a appears for users 1 and 3
+    assert(got("b>a") === 2L)
+    // b>c only user 2 -> below min support, absent
+    assert(!got.contains("b>c"))
+    // ordered trigram a>b>a only user 1 -> absent at minSupport 2
+    assert(!got.contains("a>b>a"))
+  }
+
   test("retrievalMetrics: equal-length corpus ranks by tf — perfect ndcg and mrr") {
     // all dl equal => score strictly increases with tf => run == ideal
     val docs = Seq((1L, "t t t"), (2L, "t t x"), (3L, "t x y"), (4L, "z z z"))
