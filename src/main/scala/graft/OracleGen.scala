@@ -1340,8 +1340,10 @@ object OracleGen {
     * re-pricing of the same vocabulary, and the v1 DP chain — all as
     * chained MATERIALIZED CTEs.
     */
-  def ul2Sql(vocabSize: Int = 256, maxPieceLen: Int = 4,
-             maxWordLen: Int = 16): String = {
+  /** Shared hard-EM prefix SQL: v0 chain + unrolled backtrace + usage
+    * CTE (`us`). */
+  private def unigramEmPrefixSql(vocabSize: Int, maxPieceLen: Int,
+                                 maxWordLen: Int): String = {
     val chosen =
       """list_reduce(list_prepend(CAST(4611686018427387904 AS BIGINT),
         |      list_filter(marr, mm -> ((mm // 70368744177664) % 64) = pos AND
@@ -1358,20 +1360,26 @@ object OracleGen {
          |  CASE WHEN pos = 0 THEN picks ELSE list_append(picks, $chosen) END AS picks
          |  FROM bt${k - 1})""".stripMargin
     }.mkString
-    val em = s""",
+    val us = s""",
        |us AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS use_cnt FROM (
        |    SELECT substr(t.w, CAST(p.mm // 4503599627370496 AS INTEGER) + 1,
        |        CAST((p.mm // 70368744177664) % 64 AS INTEGER)
        |          - CAST(p.mm // 4503599627370496 AS INTEGER)) AS piece, t.cnt
        |    FROM (SELECT b.w, unnest(b.picks) AS mm FROM bt$maxWordLen b) p
        |    JOIN w t ON t.w = p.w)
-       |  GROUP BY 1),
-       |used AS MATERIALIZED (SELECT v.piece,
-       |    coalesce(us.use_cnt, 0) + 1 AS pcnt
-       |  FROM vocab v LEFT JOIN us ON us.piece = v.piece)""".stripMargin +
+       |  GROUP BY 1)""".stripMargin
+    unigramBase(vocabSize, maxPieceLen, maxWordLen) + bt0 + btRounds + us
+  }
+
+  def ul2Sql(vocabSize: Int = 256, maxPieceLen: Int = 4,
+             maxWordLen: Int = 16): String =
+    unigramEmPrefixSql(vocabSize, maxPieceLen, maxWordLen) +
+      s""",
+         |used AS MATERIALIZED (SELECT v.piece,
+         |    coalesce(us.use_cnt, 0) + 1 AS pcnt
+         |  FROM vocab v LEFT JOIN us ON us.piece = v.piece)""".stripMargin +
       unigramPriceCtes("priced1", "used") +
-      unigramDpCtes("e", "priced1", maxPieceLen, maxWordLen)
-    unigramBase(vocabSize, maxPieceLen, maxWordLen) + bt0 + btRounds + em +
+      unigramDpCtes("e", "priced1", maxPieceLen, maxWordLen) +
       s"""
          |SELECT d.w, d.cnt, d.len AS n_chars,
          |  d.dp[d.len + 1] // 1024 AS cost0_micro,
@@ -1380,7 +1388,40 @@ object OracleGen {
          |  e.dp[e.len + 1] % 1024 AS pieces1
          |FROM d$maxWordLen d JOIN e$maxWordLen e ON e.w = d.w
          |ORDER BY d.w""".stripMargin
-  }
+
+  /** ul3: the vocabulary PRUNE round — unused multi-char pieces drop,
+    * singles stay, survivors re-price on add-1 usage, corpus
+    * re-segments; one summary row of vocab/cost/fertility
+    * before/after.
+    */
+  def ul3Sql(vocabSize: Int = 256, maxPieceLen: Int = 4,
+             maxWordLen: Int = 16): String =
+    unigramEmPrefixSql(vocabSize, maxPieceLen, maxWordLen) +
+      s""",
+         |kept AS MATERIALIZED (SELECT v.piece,
+         |    coalesce(us.use_cnt, 0) + 1 AS pcnt
+         |  FROM vocab v LEFT JOIN us ON us.piece = v.piece
+         |  WHERE coalesce(us.use_cnt, 0) > 0 OR length(v.piece) = 1)"""
+        .stripMargin +
+      unigramPriceCtes("priced1", "kept") +
+      unigramDpCtes("e", "priced1", maxPieceLen, maxWordLen) +
+      s"""
+         |SELECT vb.vocab_before, va.vocab_after,
+         |  vb.vocab_before - va.vocab_after AS n_pruned,
+         |  tb.occ_before AS n_occurrences,
+         |  (tb.cost_before * 1000) // tb.occ_before AS cost_per_occ_nano,
+         |  (ta.cost_after * 1000) // ta.occ_after AS cost_per_occ_nano_after,
+         |  (tb.pieces_before * 1000000) // tb.occ_before AS fertility_micro,
+         |  (ta.pieces_after * 1000000) // ta.occ_after AS fertility_micro_after
+         |FROM (SELECT CAST(count(*) AS BIGINT) AS vocab_before FROM vocab) vb,
+         |     (SELECT CAST(count(*) AS BIGINT) AS vocab_after FROM kept) va,
+         |     (SELECT CAST(sum(cnt * (dp[len + 1] // 1024)) AS BIGINT) AS cost_before,
+         |             CAST(sum(cnt * (dp[len + 1] % 1024)) AS BIGINT) AS pieces_before,
+         |             CAST(sum(cnt) AS BIGINT) AS occ_before FROM d$maxWordLen) tb,
+         |     (SELECT CAST(sum(cnt * (dp[len + 1] // 1024)) AS BIGINT) AS cost_after,
+         |             CAST(sum(cnt * (dp[len + 1] % 1024)) AS BIGINT) AS pieces_after,
+         |             CAST(sum(cnt) AS BIGINT) AS occ_after FROM e$maxWordLen) ta"""
+        .stripMargin
 
   /** sp4: the leakage-safe cluster split (sp2's law) fed by the BANDED
     * pair source — SemDeDup's cell-confined candidate generator over

@@ -5502,6 +5502,15 @@ object QueriesOps {
       (s, d) => graft.ops.Bpe.unigramEmRound(docs(s, d)).orderBy("w"),
       Some(OracleGen.ul2Sql())),
 
+    // UL3: the vocabulary PRUNE round — unused multi-char pieces drop
+    // after the Viterbi E-step (their removal cannot raise corpus
+    // cost), singles stay for coverage, survivors re-price, corpus
+    // re-segments. ul1 (init) + ul2 (EM) + ul3 (prune) = the full
+    // SentencePiece training loop, each round gate-checked.
+    "ul3_unigram_prune" -> Q(
+      (s, d) => graft.ops.Bpe.unigramPruneRound(docs(s, d)),
+      Some(OracleGen.ul3Sql())),
+
     // Corpus-wide tokenization with the learned merges — the job the
     // tokenizer exists for. Per-doc piece count + md5 of the ordered
     // piece sequence (ordered reassembly via array_sort(struct(pos,…)),

@@ -296,9 +296,13 @@ object Bpe {
     * steps whose per-step argmin is an integer `array_min`); the
     * second DP reuses the same chained-projection machinery.
     */
-  def unigramEmRound(docs: DataFrame, vocabSize: Int = 256,
-                     maxPieceLen: Int = 4, maxWordLen: Int = 16,
-                     textCol: String = "text"): DataFrame = {
+  /** Shared hard-EM prefix: (words, vocab, dp0, usage) — the v0 DP,
+    * its backtrace, and the word-count-weighted piece usage.
+    */
+  private def unigramEmPrefix(docs: DataFrame, vocabSize: Int,
+                              maxPieceLen: Int, maxWordLen: Int,
+                              textCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val words = unigramWords(docs, maxWordLen, textCol)
     val vocab = unigramVocab(words, vocabSize, maxPieceLen).persist()
     val priced0 = unigramPrice(vocab)
@@ -327,6 +331,14 @@ object Bpe {
           |    - CAST(mm div 4503599627370496L AS INT))""".stripMargin)
         .as("piece"))
       .groupBy("piece").agg(sum("cnt").cast("long").as("use"))
+    (words, vocab, dp0, usage)
+  }
+
+  def unigramEmRound(docs: DataFrame, vocabSize: Int = 256,
+                     maxPieceLen: Int = 4, maxWordLen: Int = 16,
+                     textCol: String = "text"): DataFrame = {
+    val (words, vocab, dp0, usage) =
+      unigramEmPrefix(docs, vocabSize, maxPieceLen, maxWordLen, textCol)
     // M-step: add-1-smoothed re-pricing of the SAME vocabulary
     val used = vocab.join(usage, Seq("piece"), "left")
       .select(col("piece"),
@@ -343,5 +355,47 @@ object Bpe {
         expr("u0 % 1024L").as("pieces0"),
         expr("u1 div 1024L").as("cost1_micro"),
         expr("u1 % 1024L").as("pieces1"))
+  }
+
+  /** SentencePiece's vocabulary PRUNE step (Kudo §3.2, the hard-EM
+    * form): after one Viterbi E-step, every multi-char piece the
+    * optimal tilings never used is dropped (its removal cannot
+    * increase the corpus cost — nothing references it), single chars
+    * are kept unconditionally (coverage), survivors re-price on
+    * add-1-smoothed usage, and the corpus re-segments under the
+    * pruned vocabulary. One summary row: vocabulary before/after and
+    * the exact corpus cost/fertility before/after — the trainer's
+    * "did pruning hurt?" audit. Iterating [[unigramEmRound]] +
+    * this op alternately is the full SentencePiece loop.
+    */
+  def unigramPruneRound(docs: DataFrame, vocabSize: Int = 256,
+                        maxPieceLen: Int = 4, maxWordLen: Int = 16,
+                        textCol: String = "text"): DataFrame = {
+    val (words, vocab, dp0, usage) =
+      unigramEmPrefix(docs, vocabSize, maxPieceLen, maxWordLen, textCol)
+    val kept = vocab.join(usage, Seq("piece"), "left")
+      .withColumn("use", coalesce(col("use"), lit(0L)))
+      .filter(col("use") > 0L || length(col("piece")) === 1)
+      .select(col("piece"), (col("use") + lit(1L)).as("pcnt"))
+      .persist()
+    val priced1 = unigramPrice(kept)
+    val dp1 = unigramDpFor(words, priced1, maxPieceLen, maxWordLen)
+    def totals(dp: DataFrame, tag: String) = dp
+      .select(col("cnt"),
+        element_at(col("dp"), col("len") + 1).as("u"))
+      .agg(sum(expr("cnt * (u div 1024L)")).cast("long").as(s"cost_$tag"),
+        sum(expr("cnt * (u % 1024L)")).cast("long").as(s"pieces_$tag"),
+        sum("cnt").cast("long").as(s"occ_$tag"))
+    val sizes = vocab.agg(count(lit(1)).cast("long").as("vocab_before"))
+      .crossJoin(kept.agg(count(lit(1)).cast("long").as("vocab_after")))
+    sizes.crossJoin(totals(dp0, "before")).crossJoin(totals(dp1, "after"))
+      .select(col("vocab_before"), col("vocab_after"),
+        (col("vocab_before") - col("vocab_after")).as("n_pruned"),
+        col("occ_before").as("n_occurrences"),
+        expr("(cost_before * 1000L) div occ_before").as("cost_per_occ_nano"),
+        expr("(cost_after * 1000L) div occ_after").as("cost_per_occ_nano_after"),
+        expr("(pieces_before * 1000000L) div occ_before").as("fertility_micro"),
+        expr("(pieces_after * 1000000L) div occ_after")
+          .as("fertility_micro_after"))
   }
 }

@@ -99,6 +99,23 @@ class BpeSpec extends AnyFunSuite {
     assert(got.head.getAs[Long]("n_pieces") >= 1L)
   }
 
+  test("unigramPruneRound: unused multi-char pieces drop, singles stay, cost falls, fertility holds") {
+    // corpus "aa aa ab": vocab {a, aa, ab, b}; Viterbi uses a (x4) and
+    // ab (x1); aa is multi-char and unused -> pruned; b is a single ->
+    // kept despite zero usage
+    val r = Bpe.unigramPruneRound(corpus("aa aa ab")).head()
+    assert(r.getAs[Long]("vocab_before") === 4L)
+    assert(r.getAs[Long]("vocab_after") === 3L)
+    assert(r.getAs[Long]("n_pruned") === 1L)
+    assert(r.getAs[Long]("n_occurrences") === 3L)
+    // tilings unchanged: 5 pieces over 3 word occurrences
+    assert(r.getAs[Long]("fertility_micro") === 1666666L)
+    assert(r.getAs[Long]("fertility_micro_after") === 1666666L)
+    // usage-concentrated re-pricing lowers the corpus cost
+    assert(r.getAs[Long]("cost_per_occ_nano_after") <
+      r.getAs[Long]("cost_per_occ_nano"))
+  }
+
   test("unigramEmRound: usage re-pricing makes the chosen tilings cheaper, never costlier overall") {
     // corpus "aa aa ab": v0 usage a=4 (2 picks x cnt 2), ab=1, aa=b=0;
     // add-1 repriced total 9 -> cost1(ab) = -ln(2/9) = 1504077 < v0's
