@@ -26,6 +26,27 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.toSeq.filter { case (n, _) => args.contains(n) }
+    // Previous complete anchor, parsed with Jackson (on Spark's
+    // classpath) rather than the old indexOf/regex scrape, which broke
+    // silently if any key before "queries" contained '}'. Loaded BEFORE
+    // the measurement loop so the per-query NDJSON line can be marked
+    // provisional when a requeue is already known to be coming — a
+    // consumer grouping lines by "query" then keeps exactly one
+    // non-provisional line per query.
+    val prevAnchor: Map[String, Double] =
+      try {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = mapper.readTree(java.nio.file.Files.readString(
+          java.nio.file.Paths.get("BENCH_LOCAL.json")))
+        val qs = root.get("queries")
+        if (qs == null) Map.empty
+        else {
+          val it = qs.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+          b.result()
+        }
+      } catch { case _: Throwable => Map.empty }
     def esc0(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ").replace("\t", " ")
     val results = selected.sortBy(_._1).map { case (name, fn) =>
@@ -57,8 +78,14 @@ object Bench {
       // capture truncates the (large) final summary line, and the lines
       // double as live progress
       outcome match {
-        case Right(t) => println(String.format(java.util.Locale.ROOT,
-          """{"query":"%s","sec":%.3f}""", name, Double.box(t)))
+        case Right(t) =>
+          // provisional = this time already trips the cross-run requeue
+          // threshold; a second line for the same query (the requeue's
+          // result, carrying "requeued_from") will supersede this one
+          val prov = prevAnchor.get(name).exists(p => t > 2.5 * p + 0.2)
+          println(String.format(java.util.Locale.ROOT,
+            if (prov) """{"query":"%s","sec":%.3f,"provisional":true}"""
+            else """{"query":"%s","sec":%.3f}""", name, Double.box(t)))
         case Left(m) => println(s"""{"query":"$name","error":"${esc0(m.take(200))}"}""")
       }
       name -> outcome
@@ -73,15 +100,6 @@ object Bench {
     // min is kept. A genuine regression survives the requeue — its
     // re-measure reproduces the slow time — so this only removes
     // artifacts, never evidence.
-    val prevAnchor: Map[String, Double] =
-      try {
-        val txt = java.nio.file.Files.readString(
-          java.nio.file.Paths.get("BENCH_LOCAL.json"))
-        val i = txt.indexOf("\"queries\":{")
-        val qsec = if (i < 0) "" else txt.substring(i + 11, txt.indexOf('}', i))
-        "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(qsec)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
     val fnByName = selected.toMap
     val spliced = results.map {
       case (name, Right(t))

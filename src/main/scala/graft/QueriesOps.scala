@@ -8039,8 +8039,9 @@ object QueriesOps {
         |    CAST(sum(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT) AS c
         |  FROM lab GROUP BY 1),
         |tt AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_total FROM per),
-        |wn AS (SELECT t, d, c, n_total - coalesce(sum(d + c)
-        |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at
+        |wn AS (SELECT t, d, c, CAST(n_total - coalesce(sum(d + c)
+        |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS n_at
         |  FROM per CROSS JOIN tt),
         |de AS (SELECT t, d, c, n_at FROM wn WHERE d > 0),
         |dl AS (SELECT list(d * 4294967296 + n_at ORDER BY t) AS ds,
@@ -8055,8 +8056,8 @@ object QueriesOps {
         |      (acc, x) -> acc * ((x % 4294967296) - (x // 4294967296))
         |        // (x % 4294967296)) AS s_pico
         |  FROM pf)
-        |SELECT t_day, n_risk, n_deaths, n_censored,
-        |  (s_pico + 500000) // 1000000 AS survival_micro
+        |SELECT t_day, CAST(n_risk AS BIGINT) AS n_risk, n_deaths, n_censored,
+        |  CAST((s_pico + 500000) // 1000000 AS BIGINT) AS survival_micro
         |FROM rw ORDER BY t_day""".stripMargin)),
 
     // PK1: unbiased pass@k (Chen et al. 2021) — each user plays a

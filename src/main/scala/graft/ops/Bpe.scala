@@ -187,7 +187,20 @@ object Bpe {
       .withColumn("n_pieces", expr("units % 1024L"))
       .drop("units")
 
-  /** Shared unigram scaffolding: (w, cnt, len) vocabulary words. */
+  /** Shared unigram scaffolding: (w, cnt, len) vocabulary words.
+    *
+    * Cache contract (here and in the other unigram helpers): the
+    * persisted intermediates are LAZY, VOCABULARY-BOUNDED cache
+    * entries shared by the v0/v1 legs of one returned plan — a fixed
+    * handful per call, not the per-iteration loop growth that
+    * [[Graph.pageRank]]'s eager unpersist discipline exists for.
+    * Eager materialize-then-unpersist inside the op re-runs the whole
+    * computation on every plan BUILD (the r10 cal1 lesson: 4.5×), and
+    * unpersisting a lazy handle before return silently disables the
+    * shared-leg reuse. Callers owning a long-lived session release
+    * them with `spark.catalog.clearCache()` (the bench/verify
+    * harnesses do so per query).
+    */
   private def unigramWords(docs: DataFrame, maxWordLen: Int,
                            textCol: String): DataFrame =
     wordCounts(docs, textCol)

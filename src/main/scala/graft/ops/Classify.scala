@@ -629,12 +629,16 @@ object Classify {
     * binomial (no overflow, no float factorial).
     *
     * Determinism: ONE combinable per-task count pass; the product is
-    * an exact INTEGER pico-fold (`acc·(n−c−i) div (n−i)` in ascending
-    * i — a zero factor when c > n−k floors the fold at 0, i.e. pass@k
-    * = 1, before any negative factor can appear), so both engines are
-    * bit-identical with a single integer display column. Headroom:
-    * acc ≤ 10¹² so the fold needs n < 9·10⁶ attempts per task —
-    * beyond any sampling budget.
+    * a DETERMINISTIC INTEGER pico-fold (`acc·(n−c−i) div (n−i)` in
+    * ascending i — a zero factor when c > n−k floors the fold at 0,
+    * i.e. pass@k = 1, before any negative factor can appear), so both
+    * engines are bit-identical with a single integer display column.
+    * Each fold step truncates, so the result approximates the exact
+    * rational 10¹²·C(n−c,k)/C(n,k) from below with < k pico-units of
+    * accumulated error — identical in both engines (the property the
+    * gate needs), not the exact rational itself. Headroom: acc ≤ 10¹²
+    * so the fold needs n < 9·10⁶ attempts per task — beyond any
+    * sampling budget.
     *
     * Scale: the corpus pass is the groupBy(task) count; everything
     * after lives on the tasks×|ks| table.

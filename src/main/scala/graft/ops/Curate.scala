@@ -667,6 +667,8 @@ object Curate {
   def lengthBatchingAudit(docs: DataFrame, batchSize: Int,
                           shardCol: String, idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
+    // lazy cache entry shared by the two ordering audits; released by
+    // the caller's clearCache() (the calibrationReport contract)
     val base = docs.select(col(shardCol).as("sh"), col(idCol).as("id"),
         size(filter(split(lower(col(textCol)), " "), t => length(t) > lit(0)))
           .cast("long").as("len"))

@@ -225,6 +225,10 @@ object Stats {
     */
   def kmvThetaSetOps(df: DataFrame, segCol: String, memberCol: String,
                      k: Int = 256): DataFrame = {
+    // sm/sig/pairs are lazy cache entries shared by the multiple
+    // set-op legs of one returned plan (sig feeds 4 legs, pairs 3);
+    // callers in long-lived sessions release them via clearCache() —
+    // the calibrationReport contract.
     val TWO60 = 1152921504606846976L
     val sm = df.select(col(segCol).cast("string").as("seg"),
         Dedup.md5Hash60(col(memberCol).cast("string")).as("h"))

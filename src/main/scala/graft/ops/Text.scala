@@ -933,6 +933,10 @@ object Text {
     */
   def rougeN(pairs: DataFrame, refCol: String, candCol: String,
              idCol: String, ns: Seq[Int] = Seq(1, 2)): DataFrame = {
+    // `base` is a lazy cache entry shared by the 3 legs of each n
+    // (ref-grams, cand-grams, lengths); callers in long-lived sessions
+    // release it via clearCache() — the calibrationReport contract
+    // (eager materialize-then-unpersist re-runs on every plan build).
     val base = pairs.select(col(idCol).cast("long").as("pid"),
         expr(s"filter(split(lower($refCol), ' '), x -> length(x) > 0)").as("rt"),
         expr(s"filter(split(lower($candCol), ' '), x -> length(x) > 0)").as("ct"))

@@ -68,8 +68,21 @@ def main(sf_dir, out_dir):
         try:
             exp = con.sql(oracle[name])
             erows, ecols = exp.fetchall(), [c for c in exp.columns]
+            etypes = [str(t) for t in exp.types]
         except Exception as e:
             results[name] = {"status": "ORACLE_SQL_FAIL", "err": str(e)[:300]}
+            continue
+        # Dtype gate (round-12 lesson, sur1): fetchall() erases DuckDB's
+        # physical types, so an oracle whose output column materializes
+        # as HUGEINT/UHUGEINT can hash-MATCH here (plain Python ints)
+        # while the driver's pandas-backed hash sees object dtype vs
+        # Spark's int64 and fails. Forbid int128 output columns outright
+        # — every oracle must cast its sums/window-sums to BIGINT.
+        bad_types = [f"{c}:{t}" for c, t in zip(ecols, etypes)
+                     if "HUGEINT" in t.upper()]
+        if bad_types:
+            results[name] = {"status": "ORACLE_DTYPE_FAIL",
+                             "hugeint_cols": bad_types}
             continue
         cols_ok = sorted(gcols) == sorted(ecols)
         rows_ok = len(grows) == len(erows)
