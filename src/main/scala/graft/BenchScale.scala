@@ -55,6 +55,12 @@ object BenchScale {
     // zipWithIndex), retrieval eval fan-in, A-Priori pair mining,
     // fixed-round k-core peel, decayed heavy hitters — each expected
     // linear; a superlinear rank would expose a hidden sort funnel
+    // fi2_itemset_lift_rel is deliberately ABSENT: the disjoint-copy
+    // construction holds per-item support constant while a RELATIVE
+    // threshold rises with basket count, so the scaled leg prunes to
+    // an empty pair set and the "ratio" measures only fixed overhead.
+    // Real corpus growth multiplies supports with baskets, which is
+    // the regime the relative cut is for (see SCALE.md §fi).
     "gn1_gini", "ev1_retrieval_metrics", "fi1_itemset_lift",
     "kc1_kcore", "dh1_decayed_topk",
     // round-9 trained-model + audit families: NB's vocab-bounded model
@@ -236,11 +242,16 @@ object BenchScale {
       "SPARK_GRAFT_SCALED_SHUFFLE_PARTITIONS",
       math.min(basePartitions * k, 64).toString)
     println(s"[bench-scale] shuffle.partitions: base=$basePartitions scaled=$scaledPartitions")
+    // optional 4th+ args: run only the named entries (solo triage, the
+    // Bench convention); a name-filtered run never replaces the full
+    // BENCH_SCALE.json unless explicitly pointed at it
+    val only = args.drop(3).toSet
     val entries: Seq[(String, (SparkSession, String) => DataFrame,
         (SparkSession, String) => DataFrame)] =
-      ScaleQueries.map { n =>
+      (ScaleQueries.map { n =>
         val fn = SparkEntry.queries(n); (n, fn, fn)
-      } ++ paramQueries(k)
+      } ++ paramQueries(k))
+        .filter { case (n, _, _) => only.isEmpty || only.contains(n) }
     val rows = entries.map { case (name, baseFn, scaledFn) =>
       spark.conf.set("spark.sql.shuffle.partitions", basePartitions.toString)
       val b = timeOf(baseFn, spark, baseDir)

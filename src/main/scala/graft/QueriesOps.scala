@@ -5857,6 +5857,37 @@ object QueriesOps {
         |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS lift
         |FROM pc, nb ORDER BY item_a, item_b""".stripMargin)),
 
+    // FI2: fi1's RELATIVE-support scale path — threshold = max(2,
+    // ceil(n_baskets · 250/10⁶)), so the a-priori item prune keeps
+    // cutting as the corpus grows instead of saturating at a fixed
+    // absolute 2 (the r12 scale-smoke's worst entry). Same exact-count
+    // semantics; the threshold is a broadcast 1-row scalar in-plan.
+    "fi2_itemset_lift_rel" -> Q(
+      (s, d) => graft.ops.Itemsets.frequentPairs(
+          li(s, d), "l_orderkey", "l_partkey",
+          minSupport = 2L, minSupportMicro = 250L)
+        .orderBy("item_a", "item_b"),
+      Some("""WITH bi AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |  FROM lineitem),
+        |nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM bi),
+        |th AS (SELECT n_baskets,
+        |    greatest(2, (n_baskets * 250 + 999999) // 1000000) AS thr FROM nb),
+        |f AS (SELECT item, CAST(count(*) AS BIGINT) AS item_n FROM bi GROUP BY 1),
+        |ff AS (SELECT f.item, f.item_n FROM f, th WHERE f.item_n >= th.thr),
+        |pr AS (SELECT bi.basket, bi.item, ff.item_n FROM bi JOIN ff USING (item)),
+        |pc AS (SELECT x.item AS item_a, y.item AS item_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab,
+        |    CAST(min(x.item_n) AS BIGINT) AS n_a, CAST(min(y.item_n) AS BIGINT) AS n_b
+        |  FROM pr x JOIN pr y ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY 1, 2),
+        |pp AS (SELECT pc.* FROM pc, th WHERE pc.n_ab >= th.thr)
+        |SELECT item_a, item_b, n_ab, n_a, n_b,
+        |  CAST(n_ab AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE) AS support,
+        |  CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) AS confidence,
+        |  CAST(n_ab AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS lift
+        |FROM pp, nb ORDER BY item_a, item_b""".stripMargin)),
+
     // KC1: k-core of the user-handoff graph — 8 synchronous peel
     // rounds at k=2, every decision an integer degree count. Oracle =
     // the peel unrolled as chained CTEs (the pg1 discipline).

@@ -27,14 +27,28 @@ object Itemsets {
     * The n² blowup per basket is bounded by the largest basket's
     * FREQUENT-item count, not its raw size. All ratios are single
     * divisions of exact longs cast to double in a fixed order.
+    *
+    * `minSupportMicro` makes the threshold RELATIVE: the effective
+    * cut is `max(minSupport, ceil(n_baskets · minSupportMicro/10⁶))`.
+    * An absolute threshold stops pruning as data grows (at 10× the
+    * corpus every item clears a fixed 2 and candidate pairs grow
+    * linearly with basket count — the r12 scale-smoke's worst entry);
+    * relative support is how production A-Priori keeps the frequent-
+    * item set — and with it the pair-join input — SHRINKING as a
+    * fraction of the corpus. The threshold is in-plan (a broadcast
+    * 1-row crossJoin), no extra action.
     */
   def frequentPairs(df: DataFrame, basketCol: String, itemCol: String,
-                    minSupport: Long): DataFrame = {
+                    minSupport: Long, minSupportMicro: Long = 0L): DataFrame = {
     val bi = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
       .distinct().persist()
     val nBaskets = bi.agg(countDistinct("basket").cast("long").as("n_baskets"))
+    val thr = greatest(lit(minSupport),
+      expr(s"(n_baskets * ${minSupportMicro}L + 999999L) div 1000000L"))
     val freq = bi.groupBy("item").agg(count(lit(1)).cast("long").as("item_n"))
-      .filter(col("item_n") >= minSupport)
+      .crossJoin(broadcast(nBaskets))
+      .filter(col("item_n") >= thr)
+      .select("item", "item_n")
     val pruned = bi.join(freq, "item")
       .select(col("basket"), col("item"), col("item_n"))
     val pairs = pruned.as("x").join(pruned.as("y"), Seq("basket"))
@@ -45,9 +59,9 @@ object Itemsets {
       .agg(count(lit(1)).cast("long").as("n_ab"),
         first("n_a").cast("long").as("n_a"),
         first("n_b").cast("long").as("n_b"))
-      .filter(col("n_ab") >= minSupport)
     val nb = col("n_baskets").cast("double")
     pairs.crossJoin(broadcast(nBaskets))
+      .filter(col("n_ab") >= thr)
       .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
         (col("n_ab").cast("double") / nb).as("support"),
         (col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence"),
