@@ -5194,9 +5194,11 @@ object QueriesOps {
         |      / (CAST(n_c AS DOUBLE) - 1.0) AS vc
         |  FROM lk, kk)
         |SELECT k, bigk AS n_looks, n_t, n_c,
-        |  round((mt - mc) / 1e6, 6) AS diff,
-        |  round((mt - mc) / sqrt(vt / CAST(n_t AS DOUBLE) + vc / CAST(n_c AS DOUBLE)), 6) AS z,
-        |  round(1.96 * sqrt(CAST(bigk AS DOUBLE) / CAST(k AS DOUBLE)), 6) AS boundary,
+        |  CAST(floor(mt - mc + 0.5) AS BIGINT) AS diff_micro,
+        |  CAST(floor((mt - mc) / sqrt(vt / CAST(n_t AS DOUBLE)
+        |    + vc / CAST(n_c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS z_micro,
+        |  CAST(floor(1.96 * sqrt(CAST(bigk AS DOUBLE) / CAST(k AS DOUBLE))
+        |    * 1e6 + 0.5) AS BIGINT) AS boundary_micro,
         |  abs((mt - mc) / sqrt(vt / CAST(n_t AS DOUBLE) + vc / CAST(n_c AS DOUBLE)))
         |    > 1.96 * sqrt(CAST(bigk AS DOUBLE) / CAST(k AS DOUBLE)) AS crossed
         |FROM e ORDER BY k""".stripMargin)),
@@ -5252,13 +5254,15 @@ object QueriesOps {
         |    CAST(sum(n_t) AS BIGINT) AS nt_all, CAST(sum(n_c) AS BIGINT) AS nc_all,
         |    sum(s_t) AS st_all, sum(s_c) AS sc_all FROM us2),
         |summ AS (SELECT n_strata_used, n_strata_dropped, n_units_used, n_units_dropped,
-        |    round(CAST(ate_sum AS DOUBLE) / (CAST(n_units_used AS DOUBLE) * 1e12), 6) AS ate,
-        |    round((CAST(st_all AS DOUBLE) / CAST(nt_all AS DOUBLE)
-        |      - CAST(sc_all AS DOUBLE) / CAST(nc_all AS DOUBLE)) / 1e6, 6) AS naive_diff
+        |    CAST(floor(CAST(ate_sum AS DOUBLE)
+        |      / (CAST(n_units_used AS DOUBLE) * 1e12) * 1e6 + 0.5) AS BIGINT) AS ate_micro,
+        |    CAST(floor(CAST(st_all AS DOUBLE) / CAST(nt_all AS DOUBLE)
+        |      - CAST(sc_all AS DOUBLE) / CAST(nc_all AS DOUBLE) + 0.5) AS BIGINT) AS naive_diff_micro
         |  FROM tt, dr)
         |SELECT us2.stratum, us2.n_t, us2.n_c,
-        |  round(mtm / 1e6, 6) AS mean_t, round(mcm / 1e6, 6) AS mean_c,
-        |  round((mtm - mcm) / 1e6, 6) AS diff,
+        |  CAST(floor(mtm + 0.5) AS BIGINT) AS mean_t_micro,
+        |  CAST(floor(mcm + 0.5) AS BIGINT) AS mean_c_micro,
+        |  CAST(floor(mtm - mcm + 0.5) AS BIGINT) AS diff_micro,
         |  summ.* FROM us2, summ ORDER BY stratum""".stripMargin)),
 
     // JB1: Jarque–Bera normality gate per event type — raw power sums
@@ -6114,10 +6118,11 @@ object QueriesOps {
            |  LEFT JOIN ca ON ca.seg_a = pr.seg_a AND ca.seg_b = pr.seg_b
            |  JOIN mp ON mp.seg_a = pr.seg_a AND mp.seg_b = pr.seg_b)
            |SELECT seg_a, seg_b, n_a, n_b, n_inter, n_union,
-           |  round(est_a, 6) AS est_a, round(est_b, 6) AS est_b,
-           |  round(est_union, 6) AS est_union,
-           |  round(est_inter, 6) AS est_inter,
-           |  round(est_anotb, 6) AS est_anotb,
+           |  CAST(floor(est_a * 1e6 + 0.5) AS BIGINT) AS est_a_micro,
+           |  CAST(floor(est_b * 1e6 + 0.5) AS BIGINT) AS est_b_micro,
+           |  CAST(floor(est_union * 1e6 + 0.5) AS BIGINT) AS est_union_micro,
+           |  CAST(floor(est_inter * 1e6 + 0.5) AS BIGINT) AS est_inter_micro,
+           |  CAST(floor(est_anotb * 1e6 + 0.5) AS BIGINT) AS est_anotb_micro,
            |  abs(est_union - CAST(n_union AS DOUBLE))
            |    <= ${4.0 / math.sqrt((k - 2).toDouble)} * CAST(n_union AS DOUBLE) + 8.0 AS ok_union,
            |  abs(est_inter - CAST(n_inter AS DOUBLE))
@@ -8172,16 +8177,21 @@ object QueriesOps {
         |    CAST(sum(res_pico) AS BIGINT) AS res_sum
         |  FROM terms, tot GROUP BY 1, 2, 3, 4)
         |SELECT n, bins_used,
-        |  round(CAST(sq_tot AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12), 9) AS bs,
-        |  round(CAST(rel_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12), 9) AS reliability,
-        |  round(CAST(res_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12), 9) AS resolution,
-        |  round(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
-        |    * (1.0 - CAST(o AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS uncertainty,
-        |  round(CAST(sq_tot AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12)
+        |  CAST(floor(CAST(sq_tot AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12)
+        |    * 1e9 + 0.5) AS BIGINT) AS bs_nano,
+        |  CAST(floor(CAST(rel_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12)
+        |    * 1e9 + 0.5) AS BIGINT) AS reliability_nano,
+        |  CAST(floor(CAST(res_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12)
+        |    * 1e9 + 0.5) AS BIGINT) AS resolution_nano,
+        |  CAST(floor(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * (1.0 - CAST(o AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+        |    AS uncertainty_nano,
+        |  CAST(floor((CAST(sq_tot AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12)
         |    - (CAST(rel_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12)
         |      - CAST(res_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12)
         |      + CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
-        |        * (1.0 - CAST(o AS DOUBLE) / CAST(n AS DOUBLE))), 9) AS residual
+        |        * (1.0 - CAST(o AS DOUBLE) / CAST(n AS DOUBLE)))) * 1e9 + 0.5)
+        |    AS BIGINT) AS residual_nano
         |FROM agg""".stripMargin)),
 
     // CAL2: temperature scaling of cal1's quality scorer — grid-search
@@ -8278,8 +8288,9 @@ object QueriesOps {
         |  FROM pr),
         |c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per)
         |SELECT n, n0, concordant, discordant, ties_x, ties_y,
-        |  round(CAST(concordant - discordant AS DOUBLE)
-        |    / sqrt(CAST(n0 - ties_x AS DOUBLE) * CAST(n0 - ties_y AS DOUBLE)), 9) AS tau_b
+        |  CAST(floor(CAST(concordant - discordant AS DOUBLE)
+        |    / sqrt(CAST(n0 - ties_x AS DOUBLE) * CAST(n0 - ties_y AS DOUBLE))
+        |    * 1e9 + 0.5) AS BIGINT) AS tau_b_nano
         |FROM m, c""".stripMargin)),
 
     // ACF1: autocorrelation of the dense hourly event-count series at

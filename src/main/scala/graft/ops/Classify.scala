@@ -760,18 +760,24 @@ object Classify {
       .groupBy("n", "o", "sq_tot", "bins_used")
       .agg(sum("rel_pico").cast("long").as("rel_sum"),
         sum("res_pico").cast("long").as("res_sum"))
+      // nano-long display of the four ratios + residual (floor(x·10⁹
+      // +0.5) of identical fixed-order doubles in both engines):
+      // exact integers survive any comparator precision
       .select(col("n"), col("bins_used"),
-        round(nd(col("sq_tot")) / (nd(col("n")) * lit(1e12)), 9).as("bs"),
-        round(nd(col("rel_sum")) / (nd(col("n")) * lit(1e12)), 9)
-          .as("reliability"),
-        round(nd(col("res_sum")) / (nd(col("n")) * lit(1e12)), 9)
-          .as("resolution"),
-        round(nd(col("o")) / nd(col("n")) *
-          (lit(1.0) - nd(col("o")) / nd(col("n"))), 9).as("uncertainty"),
-        round(nd(col("sq_tot")) / (nd(col("n")) * lit(1e12)) -
+        floor(nd(col("sq_tot")) / (nd(col("n")) * lit(1e12)) * lit(1e9) +
+          lit(0.5)).cast("long").as("bs_nano"),
+        floor(nd(col("rel_sum")) / (nd(col("n")) * lit(1e12)) * lit(1e9) +
+          lit(0.5)).cast("long").as("reliability_nano"),
+        floor(nd(col("res_sum")) / (nd(col("n")) * lit(1e12)) * lit(1e9) +
+          lit(0.5)).cast("long").as("resolution_nano"),
+        floor(nd(col("o")) / nd(col("n")) *
+          (lit(1.0) - nd(col("o")) / nd(col("n"))) * lit(1e9) + lit(0.5))
+          .cast("long").as("uncertainty_nano"),
+        floor((nd(col("sq_tot")) / (nd(col("n")) * lit(1e12)) -
           (nd(col("rel_sum")) / (nd(col("n")) * lit(1e12)) -
             nd(col("res_sum")) / (nd(col("n")) * lit(1e12)) +
             nd(col("o")) / nd(col("n")) *
-              (lit(1.0) - nd(col("o")) / nd(col("n")))), 9).as("residual"))
+              (lit(1.0) - nd(col("o")) / nd(col("n"))))) * lit(1e9) +
+          lit(0.5)).cast("long").as("residual_nano"))
   }
 }

@@ -300,11 +300,21 @@ object Stats {
         lit(TWO60.toDouble) / col("th").cast("double"))
       .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
         col("n_inter"), col("n_union"),
-        round(col("est_a"), 6).as("est_a"),
-        round(col("est_b"), 6).as("est_b"),
-        round(col("est_union"), 6).as("est_union"),
-        round(col("est_inter"), 6).as("est_inter"),
-        round(col("est_anotb"), 6).as("est_anotb"),
+        // micro-quantized display (floor(x·10⁶+0.5) of the single-
+        // division doubles, bit-identical in both engines) — exact
+        // long columns survive any comparator precision (the sur1
+        // %.12g lesson: round(x, 6) doubles ≥ ~1e6 lose sub-unit
+        // digits to significant-digit canonicalization)
+        floor(col("est_a") * lit(1e6) + lit(0.5)).cast("long")
+          .as("est_a_micro"),
+        floor(col("est_b") * lit(1e6) + lit(0.5)).cast("long")
+          .as("est_b_micro"),
+        floor(col("est_union") * lit(1e6) + lit(0.5)).cast("long")
+          .as("est_union_micro"),
+        floor(col("est_inter") * lit(1e6) + lit(0.5)).cast("long")
+          .as("est_inter_micro"),
+        floor(col("est_anotb") * lit(1e6) + lit(0.5)).cast("long")
+          .as("est_anotb_micro"),
         (abs(col("est_union") - nu) <= tol * nu + lit(8.0)).as("ok_union"),
         (abs(col("est_inter") - col("n_inter").cast("double")) <=
           tol * nu + lit(8.0)).as("ok_inter"),
@@ -1205,8 +1215,9 @@ object Stats {
     *
     * Input: one row per UNIT with (stratumCol, treatedCol boolean,
     * outcome double). Output: one row per usable stratum (sizes, arm
-    * means, diff, weight) with the overall `ate` and the confounded
-    * `naive_diff` repeated on each row, plus counts of dropped
+    * means, diff, weight) with the overall `ate_micro` and the
+    * confounded `naive_diff_micro` repeated on each row (exact micro-
+    * unit longs), plus counts of dropped
     * single-arm strata/units in every row for audit.
     *
     * Determinism: outcomes micro-quantize and aggregate as exact
@@ -1249,22 +1260,28 @@ object Stats {
       sum(col("term_pico").cast("decimal(38,0)")).as("ate_sum"),
       sum("n_t").cast("long").as("nt_all"), sum("n_c").cast("long").as("nc_all"),
       sum("s_t").as("st_all"), sum("s_c").as("sc_all"))
+    // micro-long display columns (floor(x+0.5) of values already in
+    // micro units — the intermediate doubles are identical fixed-order
+    // expressions in both engines): exact integers survive any
+    // comparator precision (the sur1 %.12g lesson)
     val summary = tot.crossJoin(dropped).select(
       col("n_strata_used"), col("n_strata_dropped"), col("n_units_used"),
       col("n_units_dropped"),
-      round(col("ate_sum").cast("double") /
-        (col("n_units_used").cast("double") * lit(1e12)), 6).as("ate"),
-      round((col("st_all").cast("double") / col("nt_all").cast("double") -
-        col("sc_all").cast("double") / col("nc_all").cast("double")) / 1e6, 6)
-        .as("naive_diff"))
+      floor(col("ate_sum").cast("double") /
+        (col("n_units_used").cast("double") * lit(1e12)) * lit(1e6) +
+        lit(0.5)).cast("long").as("ate_micro"),
+      floor(col("st_all").cast("double") / col("nt_all").cast("double") -
+        col("sc_all").cast("double") / col("nc_all").cast("double") +
+        lit(0.5)).cast("long").as("naive_diff_micro"))
     val out = usable.crossJoin(broadcast(summary))
       .select(col("stratum"), col("n_t"), col("n_c"),
-        round(col("mean_t_micro") / 1e6, 6).as("mean_t"),
-        round(col("mean_c_micro") / 1e6, 6).as("mean_c"),
-        round((col("mean_t_micro") - col("mean_c_micro")) / 1e6, 6).as("diff"),
+        floor(col("mean_t_micro") + lit(0.5)).cast("long").as("mean_t_micro"),
+        floor(col("mean_c_micro") + lit(0.5)).cast("long").as("mean_c_micro"),
+        floor(col("mean_t_micro") - col("mean_c_micro") + lit(0.5))
+          .cast("long").as("diff_micro"),
         col("n_strata_used"), col("n_strata_dropped"),
         col("n_units_used"), col("n_units_dropped"),
-        col("ate"), col("naive_diff"))
+        col("ate_micro"), col("naive_diff_micro"))
       .localCheckpoint() // strata-bounded rows; lets both caches drop
     strata.unpersist(false); usable.unpersist(false)
     out
@@ -1386,9 +1403,12 @@ object Stats {
       sqrt(lit(bigK.toDouble) / col("k").cast("double"))
     looks.select(col("k"), lit(bigK).as("n_looks"),
       col("n_t"), col("n_c"),
-      round((mt - mc) / 1e6, 6).as("diff"),
-      round(z, 6).as("z"),
-      round(bound, 6).as("boundary"),
+      // exact micro-long display (floor(x+0.5)/floor(x·10⁶+0.5) of the
+      // identical fixed-order doubles): survives any comparator
+      // precision; `crossed` keeps the raw-double compare
+      floor(mt - mc + lit(0.5)).cast("long").as("diff_micro"),
+      floor(z * lit(1e6) + lit(0.5)).cast("long").as("z_micro"),
+      floor(bound * lit(1e6) + lit(0.5)).cast("long").as("boundary_micro"),
       (abs(z) > bound).as("crossed"))
   }
 
@@ -1760,8 +1780,12 @@ object Stats {
     val cnt = base.agg(count(lit(1)).cast("long").as("n"))
     m.crossJoin(broadcast(cnt)).select(col("n"), col("n0"),
       col("concordant"), col("discordant"), col("ties_x"), col("ties_y"),
-      round((col("concordant") - col("discordant")).cast("double") /
+      // nano-quantized display of the one double op (sub − sqrt —
+      // fixed order over exact longs, bit-identical in both engines);
+      // an exact long column survives any comparator precision
+      floor((col("concordant") - col("discordant")).cast("double") /
         sqrt((col("n0") - col("ties_x")).cast("double") *
-          (col("n0") - col("ties_y")).cast("double")), 9).as("tau_b"))
+          (col("n0") - col("ties_y")).cast("double")) * lit(1e9) + lit(0.5))
+        .cast("long").as("tau_b_nano"))
   }
 }

@@ -326,19 +326,19 @@ class ClassifySpec extends AnyFunSuite {
     val r = Classify.brierDecomposition(df, "p", "y").head()
     assert(r.getAs[Long]("n") === 4L)
     assert(r.getAs[Long]("bins_used") === 1L)
-    assert(math.abs(r.getAs[Double]("bs") - 0.25) < 1e-9)
-    assert(math.abs(r.getAs[Double]("reliability")) < 1e-9)
-    assert(math.abs(r.getAs[Double]("resolution")) < 1e-9)
-    assert(math.abs(r.getAs[Double]("uncertainty") - 0.25) < 1e-9)
-    assert(math.abs(r.getAs[Double]("residual")) < 1e-9)
+    assert(r.getAs[Long]("bs_nano") === 250000000L)
+    assert(r.getAs[Long]("reliability_nano") === 0L)
+    assert(r.getAs[Long]("resolution_nano") === 0L)
+    assert(r.getAs[Long]("uncertainty_nano") === 250000000L)
+    assert(r.getAs[Long]("residual_nano") === 0L)
     // a perfectly sharp, perfectly calibrated scorer: bs = 0,
     // resolution = uncertainty, reliability = 0
     val sharp = Seq((0.999999, true), (0.999999, true), (0.0, false),
       (0.0, false)).toDF("p", "y")
     val s2 = Classify.brierDecomposition(sharp, "p", "y").head()
-    assert(s2.getAs[Double]("bs") < 1e-6)
-    assert(s2.getAs[Double]("reliability") < 1e-6)
-    assert(math.abs(s2.getAs[Double]("resolution") -
-      s2.getAs[Double]("uncertainty")) < 1e-6)
+    assert(s2.getAs[Long]("bs_nano") < 1000L)
+    assert(s2.getAs[Long]("reliability_nano") < 1000L)
+    assert(math.abs(s2.getAs[Long]("resolution_nano") -
+      s2.getAs[Long]("uncertainty_nano")) < 1000L)
   }
 }

@@ -666,11 +666,11 @@ class StatsSpec extends AnyFunSuite {
     assert(got.forall(_.getAs[Long]("n_strata_dropped") === 1L))
     assert(got.forall(_.getAs[Long]("n_units_dropped") === 2L))
     // ate = (4·2 + 4·1)/8 = 1.5
-    assert(math.abs(got.head.getAs[Double]("ate") - 1.5) < 1e-6)
+    assert(got.head.getAs[Long]("ate_micro") === 1500000L)
     val a = got.find(_.getAs[String]("stratum") == "A").get
-    assert(math.abs(a.getAs[Double]("diff") - 2.0) < 1e-6)
+    assert(a.getAs[Long]("diff_micro") === 2000000L)
     // naive diff over the used strata: treated mean 15, control 13.5
-    assert(math.abs(got.head.getAs[Double]("naive_diff") - 1.5) < 1e-6)
+    assert(got.head.getAs[Long]("naive_diff_micro") === 1500000L)
   }
 
   test("stratifiedAte: confounding separates ate from naive_diff") {
@@ -685,8 +685,8 @@ class StatsSpec extends AnyFunSuite {
     }.toDF("stratum", "treated", "outcome")
     val got = Stats.stratifiedAte(units, "stratum", "treated", "outcome")
       .collect()
-    assert(math.abs(got.head.getAs[Double]("ate") - 1.0) < 1e-6)
-    assert(got.head.getAs[Double]("naive_diff") > 30.0) // confounded
+    assert(got.head.getAs[Long]("ate_micro") === 1000000L)
+    assert(got.head.getAs[Long]("naive_diff_micro") > 30000000L) // confounded
   }
 
   test("jarqueBera: symmetric two-point mass has skew 0, kurt -2; normal-ish passes") {
@@ -726,13 +726,14 @@ class StatsSpec extends AnyFunSuite {
     assert(got.length === 3)
     assert(got.forall(_.getAs[Long]("n_looks") === 3L))
     // boundary at look k = 1.96·sqrt(3/k); final look = 1.96
-    assert(math.abs(got(0).getAs[Double]("boundary") - 1.96 * math.sqrt(3.0)) < 1e-6)
-    assert(math.abs(got(2).getAs[Double]("boundary") - 1.96) < 1e-6)
+    assert(math.abs(got(0).getAs[Long]("boundary_micro") / 1e6 -
+      1.96 * math.sqrt(3.0)) < 1e-5)
+    assert(got(2).getAs[Long]("boundary_micro") === 1960000L)
     // diff = 10 exactly at every look; z enormous -> crossed everywhere
     got.foreach { r =>
-      assert(math.abs(r.getAs[Double]("diff") - 10.0) < 1e-6)
+      assert(r.getAs[Long]("diff_micro") === 10000000L)
       assert(r.getAs[Boolean]("crossed"))
-      assert(r.getAs[Double]("z") > r.getAs[Double]("boundary"))
+      assert(r.getAs[Long]("z_micro") > r.getAs[Long]("boundary_micro"))
     }
     // cumulative ns: 8, 16, 24 per arm
     assert(got.map(_.getAs[Long]("n_t")).toSeq === Seq(8L, 16L, 24L))
@@ -769,10 +770,10 @@ class StatsSpec extends AnyFunSuite {
     val r = Stats.kmvThetaSetOps(small, "seg", "m", k = 64).head()
     assert(r.getAs[Long]("n_a") === 10L)
     assert(r.getAs[Long]("n_inter") === 5L)
-    assert(r.getAs[Double]("est_a") === 10.0)
-    assert(r.getAs[Double]("est_union") === 15.0)
-    assert(r.getAs[Double]("est_inter") === 5.0)
-    assert(r.getAs[Double]("est_anotb") === 5.0)
+    assert(r.getAs[Long]("est_a_micro") === 10000000L)
+    assert(r.getAs[Long]("est_union_micro") === 15000000L)
+    assert(r.getAs[Long]("est_inter_micro") === 5000000L)
+    assert(r.getAs[Long]("est_anotb_micro") === 5000000L)
     assert(r.getAs[Boolean]("ok_union") && r.getAs[Boolean]("ok_inter") &&
       r.getAs[Boolean]("ok_anotb"))
     // engaged estimators (n >> k): bounds hold, A-not-B sums with inter
@@ -782,7 +783,8 @@ class StatsSpec extends AnyFunSuite {
     assert(rb.getAs[Boolean]("ok_union") && rb.getAs[Boolean]("ok_inter") &&
       rb.getAs[Boolean]("ok_anotb"))
     // a + (a-not-b) decomposition: est_inter + est_anotb ≈ est_a scale
-    val sumAb = rb.getAs[Double]("est_inter") + rb.getAs[Double]("est_anotb")
+    val sumAb = (rb.getAs[Long]("est_inter_micro") +
+      rb.getAs[Long]("est_anotb_micro")) / 1e6
     assert(math.abs(sumAb - 900.0) < 0.5 * 900.0)
   }
 
@@ -790,19 +792,20 @@ class StatsSpec extends AnyFunSuite {
     import spark.implicits._
     val up = Seq(("a", 1L, 10L), ("b", 2L, 20L), ("c", 3L, 30L))
       .toDF("k", "x", "y")
-    assert(math.abs(Stats.kendallTauB(up, "k", "x", "y")
-      .head().getAs[Double]("tau_b") - 1.0) < 1e-9)
+    assert(Stats.kendallTauB(up, "k", "x", "y")
+      .head().getAs[Long]("tau_b_nano") === 1000000000L)
     val down = Seq(("a", 1L, 30L), ("b", 2L, 20L), ("c", 3L, 10L))
       .toDF("k", "x", "y")
-    assert(math.abs(Stats.kendallTauB(down, "k", "x", "y")
-      .head().getAs[Double]("tau_b") + 1.0) < 1e-9)
+    assert(Stats.kendallTauB(down, "k", "x", "y")
+      .head().getAs[Long]("tau_b_nano") === -1000000000L)
     // one x-tie: C=2, D=0, n0=3, tx=1, ty=0 -> tau = 2/sqrt(2*3)
     val tied = Seq(("a", 1L, 10L), ("b", 1L, 20L), ("c", 2L, 30L))
       .toDF("k", "x", "y")
     val r = Stats.kendallTauB(tied, "k", "x", "y").head()
     assert(r.getAs[Long]("concordant") === 2L)
     assert(r.getAs[Long]("ties_x") === 1L)
-    assert(math.abs(r.getAs[Double]("tau_b") - 2.0 / math.sqrt(6.0)) < 1e-9)
+    assert(math.abs(r.getAs[Long]("tau_b_nano") / 1e9 -
+      2.0 / math.sqrt(6.0)) < 1e-8)
   }
 
   test("groupSequential: empty after arm filter returns an empty table, no NPE") {
