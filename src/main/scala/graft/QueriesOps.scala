@@ -229,6 +229,89 @@ object QueriesOps {
          |FROM u ORDER BY n, pid""".stripMargin
   }
 
+  /** DuckDB oracle for bl1: per-n clipped-match legs over the rg1
+    * pairing, then the single fixed-order BLEU double (mirrors
+    * [[graft.ops.Text.bleu]]'s expression order exactly).
+    */
+  private def bl1Sql(maxN: Int = 4): String = {
+    val base = """WITH p AS MATERIALIZED (SELECT CAST(a.doc_id // 2 AS BIGINT) AS pid,
+      |    list_filter(string_split(lower(a.text), ' '), x -> length(x) > 0) AS rt,
+      |    list_filter(string_split(lower(b.text), ' '), x -> length(x) > 0) AS ct
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |  WHERE a.doc_id % 2 = 0)""".stripMargin
+    val legs = (1 to maxN).map { n =>
+      s""",
+         |rc$n AS (SELECT pid, array_to_string(list_slice(rt, i, i + ${n - 1}), ' ') AS g,
+         |    CAST(count(*) AS BIGINT) AS rc
+         |  FROM p, unnest(generate_series(1, len(rt) - ${n - 1})) AS a(i) GROUP BY 1, 2),
+         |cc$n AS (SELECT pid, array_to_string(list_slice(ct, i, i + ${n - 1}), ' ') AS g,
+         |    CAST(count(*) AS BIGINT) AS cc
+         |  FROM p, unnest(generate_series(1, len(ct) - ${n - 1})) AS a(i) GROUP BY 1, 2),
+         |mm$n AS (SELECT pid, CAST(sum(least(rc, cc)) AS BIGINT) AS m
+         |  FROM rc$n JOIN cc$n USING (pid, g) GROUP BY pid)""".stripMargin
+    }.mkString
+    val mcols = (1 to maxN).map(n =>
+      s"CAST(coalesce(mm$n.m, 0) AS BIGINT) AS m_$n," +
+      s" CAST(greatest(0, len(ct) - ${n - 1}) AS BIGINT) AS c_$n").mkString(",\n|  ")
+    val joins = (1 to maxN).map(n => s"LEFT JOIN mm$n ON mm$n.pid = p.pid").mkString(" ")
+    val allPos = (1 to maxN).map(n => s"m_$n > 0 AND c_$n > 0").mkString(" AND ")
+    val logSum = (1 to maxN).map(n =>
+      s"ln(CAST(m_$n AS DOUBLE) / CAST(c_$n AS DOUBLE))").mkString(" + ")
+    base + legs +
+      s""",
+         |f AS (SELECT p.pid, CAST(len(rt) AS BIGINT) AS ref_len,
+         |  CAST(len(ct) AS BIGINT) AS cand_len,
+         |  $mcols
+         |  FROM p $joins)
+         |SELECT pid, ref_len, cand_len,
+         |  ${(1 to maxN).map(n => s"m_$n, c_$n").mkString(", ")},
+         |  CASE WHEN $allPos THEN
+         |    CAST(floor((CASE WHEN cand_len >= ref_len THEN 1.0
+         |        ELSE exp(1.0 - CAST(ref_len AS DOUBLE) / CAST(cand_len AS DOUBLE)) END)
+         |      * exp(($logSum) / ${maxN.toDouble}) * 1e9 + 0.5) AS BIGINT)
+         |  ELSE 0 END AS bleu_nano
+         |FROM f ORDER BY pid""".stripMargin
+  }
+
+  /** DuckDB oracle for chf1: character-n-gram legs over whitespace-
+    * stripped text; with beta^2 = 4 every score column is exact
+    * integer division (mirrors [[graft.ops.Text.chrF]]).
+    */
+  private def chf1Sql(maxN: Int = 3): String = {
+    val base = """WITH p AS MATERIALIZED (SELECT CAST(a.doc_id // 2 AS BIGINT) AS pid,
+      |    replace(lower(a.text), ' ', '') AS rs,
+      |    replace(lower(b.text), ' ', '') AS cs
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |  WHERE a.doc_id % 2 = 0)""".stripMargin
+    val legs = (1 to maxN).map { n =>
+      s""",
+         |rc$n AS (SELECT pid, substr(rs, i, $n) AS g, CAST(count(*) AS BIGINT) AS rc
+         |  FROM p, unnest(generate_series(1, length(rs) - ${n - 1})) AS a(i) GROUP BY 1, 2),
+         |cc$n AS (SELECT pid, substr(cs, i, $n) AS g, CAST(count(*) AS BIGINT) AS cc
+         |  FROM p, unnest(generate_series(1, length(cs) - ${n - 1})) AS a(i) GROUP BY 1, 2),
+         |mm$n AS (SELECT pid, CAST(sum(least(rc, cc)) AS BIGINT) AS m
+         |  FROM rc$n JOIN cc$n USING (pid, g) GROUP BY pid),
+         |lg$n AS (SELECT CAST($n AS BIGINT) AS n, p.pid,
+         |    CAST(coalesce(mm$n.m, 0) AS BIGINT) AS matched,
+         |    CAST(greatest(0, length(rs) - ${n - 1}) AS BIGINT) AS r_grams,
+         |    CAST(greatest(0, length(cs) - ${n - 1}) AS BIGINT) AS c_grams
+         |  FROM p LEFT JOIN mm$n ON mm$n.pid = p.pid)""".stripMargin
+    }.mkString
+    val union = (1 to maxN).map(n => s"SELECT * FROM lg$n").mkString(" UNION ALL ")
+    base + legs +
+      s""",
+         |u AS (SELECT *,
+         |    CASE WHEN 4 * r_grams + c_grams = 0 THEN 0
+         |         ELSE (5 * matched * 1000000) // (4 * r_grams + c_grams)
+         |    END AS f_micro
+         |  FROM ($union)),
+         |smry AS (SELECT pid, CAST(sum(f_micro) // $maxN AS BIGINT) AS chrf_micro
+         |  FROM u GROUP BY pid)
+         |SELECT u.n, u.pid, u.matched, u.r_grams, u.c_grams,
+         |  CAST(u.f_micro AS BIGINT) AS f_micro, smry.chrf_micro
+         |FROM u JOIN smry ON smry.pid = u.pid ORDER BY u.n, u.pid""".stripMargin
+  }
+
   /** DuckDB oracle for hits1: [[HitsIters]] HITS rounds unrolled (MATERIALIZED —
     * each normalizer subquery re-reads its round's raw table). L1
     * normalization; zero-valued nodes add exact 0.0 to every sum, so
@@ -4659,6 +4742,185 @@ object QueriesOps {
           .orderBy("n", "pid")
       },
       Some(rg1Sql())),
+
+    // BL1: sentence-level BLEU over the rg1 document pairing — clipped
+    // n-gram precisions (n=1..4), brevity penalty, unsmoothed (zero
+    // precision => BLEU 0, the filtering-correct choice). All counts
+    // exact longs; the one BP·geomean double is fixed-order and
+    // nano-quantized.
+    "bl1_bleu" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val ref = dd.filter(col("doc_id") % 2 === 0)
+          .select(expr("doc_id div 2").as("pid"), col("text").as("ref_text"))
+        val cand = dd.filter(col("doc_id") % 2 === 1)
+          .select(expr("(doc_id - 1) div 2").as("pid"),
+            col("text").as("cand_text"))
+        graft.ops.Text.bleu(ref.join(cand, "pid"),
+            "ref_text", "cand_text", "pid")
+          .orderBy("pid")
+      },
+      Some(bl1Sql())),
+
+    // CHF1: chrF (character n-gram F-2) over the same pairing — the
+    // tokenization-free MT-quality score; with beta^2 = 4 every column
+    // reduces to exact integer division (F = 5m/(4r + c)).
+    "chf1_chrf" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val ref = dd.filter(col("doc_id") % 2 === 0)
+          .select(expr("doc_id div 2").as("pid"), col("text").as("ref_text"))
+        val cand = dd.filter(col("doc_id") % 2 === 1)
+          .select(expr("(doc_id - 1) div 2").as("pid"),
+            col("text").as("cand_text"))
+        graft.ops.Text.chrF(ref.join(cand, "pid"),
+            "ref_text", "cand_text", "pid")
+          .orderBy("n", "pid")
+      },
+      Some(chf1Sql())),
+
+    // RE1: Renyi-2 entropy efficiency of the corpus token distribution
+    // (Zouhar et al. ICML'23) — the tokenizer-quality readout; the
+    // collision sum is an exact rational of count sums, Shannon rides
+    // the pico-quantized term discipline.
+    "re1_renyi_efficiency" -> Q(
+      (s, d) => graft.ops.Text.renyiEfficiency(docs(s, d)),
+      Some("""WITH tk AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> length(x) > 0)) AS t FROM documents),
+        |c AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_tokens,
+        |    CAST(count(*) AS BIGINT) AS vocab FROM c),
+        |s AS (SELECT t_tokens, vocab,
+        |    sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS s2,
+        |    sum(CAST(CAST(floor(-(CAST(c AS DOUBLE) / CAST(t_tokens AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE) / CAST(t_tokens AS DOUBLE)) * 1e12 + 0.5)
+        |      AS BIGINT) AS DECIMAL(38,0))) AS sh_sum
+        |  FROM c, tot GROUP BY 1, 2)
+        |SELECT t_tokens AS n_tokens, vocab,
+        |  CAST(floor((0.0 - ln(CAST(s2 AS DOUBLE)
+        |    / (CAST(t_tokens AS DOUBLE) * CAST(t_tokens AS DOUBLE))))
+        |    * 1e9 + 0.5) AS BIGINT) AS h2_nano,
+        |  CAST(floor(CAST(sh_sum AS DOUBLE) / 1e12 * 1e9 + 0.5) AS BIGINT)
+        |    AS h_shannon_nano,
+        |  CASE WHEN vocab > 1 THEN
+        |    CAST(floor((0.0 - ln(CAST(s2 AS DOUBLE)
+        |      / (CAST(t_tokens AS DOUBLE) * CAST(t_tokens AS DOUBLE))))
+        |      / ln(CAST(vocab AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+        |  ELSE 0 END AS eff2_nano,
+        |  CASE WHEN vocab > 1 THEN
+        |    CAST(floor(CAST(sh_sum AS DOUBLE) / 1e12 / ln(CAST(vocab AS DOUBLE))
+        |      * 1e9 + 0.5) AS BIGINT)
+        |  ELSE 0 END AS eff_shannon_nano
+        |FROM s""".stripMargin)),
+
+    // KR1: Krippendorff's nominal alpha over each user's event-type
+    // "ratings" — the missing-data-native agreement coefficient
+    // (items = users, one rating per event; single-rating users drop
+    // as unpairable, exercised by construction).
+    "kr1_krippendorff_alpha" -> Q(
+      (s, d) => graft.ops.Stats.krippendorffAlpha(
+          Queries.events(s, d), "user_id", "event_type"),
+      Some("""WITH cells AS (SELECT CAST(user_id AS VARCHAR) AS u, event_type AS c,
+        |    CAST(count(*) AS BIGINT) AS n_uc FROM events GROUP BY 1, 2),
+        |items AS (SELECT u, CAST(sum(n_uc) AS BIGINT) AS m_u,
+        |    CAST(sum(n_uc * n_uc) AS BIGINT) AS sq_u FROM cells GROUP BY 1),
+        |kept AS (SELECT u, m_u, (m_u * m_u - sq_u) AS d_u,
+        |    ((m_u * m_u - sq_u) * 1000000000000) // (m_u - 1) AS term_pico
+        |  FROM items WHERE m_u >= 2),
+        |dropped AS (SELECT CAST(count(*) AS BIGINT) AS n_items_dropped
+        |  FROM items WHERE m_u < 2),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_items_used,
+        |    CAST(sum(m_u) AS BIGINT) AS n_values,
+        |    sum(CAST(term_pico AS DECIMAL(38,0))) AS do_pico FROM kept),
+        |cm AS (SELECT cells.c, CAST(sum(n_uc) AS BIGINT) AS n_c FROM cells
+        |  JOIN kept USING (u) GROUP BY 1),
+        |de AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+        |    sum(CAST(n_c AS DECIMAL(38,0))
+        |      * CAST(tot.n_values - n_c AS DECIMAL(38,0))) AS de_raw
+        |  FROM cm, tot GROUP BY tot.n_values)
+        |SELECT n_items_used, n_items_dropped, n_values, n_categories,
+        |  CASE WHEN de_raw = 0 THEN 1000000000
+        |  ELSE CAST(floor((1.0 - (CAST(n_values AS DOUBLE) - 1.0)
+        |    * (CAST(do_pico AS DOUBLE) / 1e12)
+        |    / CAST(de_raw AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+        |  END AS alpha_nano
+        |FROM tot, dropped, de""".stripMargin)),
+
+    // LD1: l-diversity + t-closeness per nation over the customer
+    // market segment — the ka1/dp1 privacy family's distributional
+    // refinements; entropy terms pico-quantized, TV distance exact
+    // integer over the full class x value grid.
+    "ld1_l_diversity" -> Q(
+      (s, d) => graft.ops.Curate.lDiversityReport(
+          s.read.parquet(s"$d/customer.parquet"),
+          Seq("c_nationkey"), "c_mktsegment")
+        .orderBy("c_nationkey"),
+      Some("""WITH cells AS (SELECT c_nationkey, c_mktsegment AS s,
+        |    CAST(count(*) AS BIGINT) AS n_gc FROM customer GROUP BY 1, 2),
+        |g AS (SELECT c_nationkey, CAST(sum(n_gc) AS BIGINT) AS n_g,
+        |    CAST(count(*) AS BIGINT) AS l_distinct FROM cells GROUP BY 1),
+        |gl AS (SELECT s, CAST(sum(n_gc) AS BIGINT) AS n_c FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_c) AS BIGINT) AS n_total FROM gl),
+        |grid AS (SELECT g.c_nationkey, g.n_g, g.l_distinct, gl.s, gl.n_c,
+        |    tt.n_total, coalesce(cells.n_gc, 0) AS n_gc
+        |  FROM g CROSS JOIN gl CROSS JOIN tt
+        |  LEFT JOIN cells ON cells.c_nationkey = g.c_nationkey AND cells.s = gl.s),
+        |per AS (SELECT c_nationkey, n_g, l_distinct, n_total,
+        |    sum(abs(CAST(n_gc AS HUGEINT) * n_total
+        |      - CAST(n_c AS HUGEINT) * n_g)) AS tv_sum,
+        |    sum(CAST(CASE WHEN n_gc > 0 THEN
+        |      CAST(floor(-(CAST(n_gc AS DOUBLE) / CAST(n_g AS DOUBLE))
+        |        * ln(CAST(n_gc AS DOUBLE) / CAST(n_g AS DOUBLE)) * 1e12 + 0.5)
+        |        AS BIGINT) ELSE 0 END AS DECIMAL(38,0))) AS h_sum
+        |  FROM grid GROUP BY 1, 2, 3, 4)
+        |SELECT c_nationkey, n_g, l_distinct,
+        |  CAST(floor(exp(CAST(h_sum AS DOUBLE) / 1e12) * 1e6 + 0.5) AS BIGINT)
+        |    AS entropy_l_micro,
+        |  CAST((tv_sum * 1000000) // (CAST(2 AS HUGEINT) * n_g * n_total)
+        |    AS BIGINT) AS t_tv_micro
+        |FROM per ORDER BY c_nationkey""".stripMargin)),
+
+    // CI1: ColBERT-style MaxSim late-interaction top-k — each vector
+    // treated as 4 sub-vector "tokens", score = sum over query tokens
+    // of max doc-token cosine; the whole score is one in-row fixed-
+    // order fold (bit-identical engines), micro display.
+    "ci1_maxsim_topk" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.maxSimTopK(e, e.filter(col("vec_id") < 8), k = 5)
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM e WHERE vec_id < 8),
+        |pairs AS (
+        |  SELECT q_id, e.vec_id AS n_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(0, 4), i ->
+        |        list_max(list_transform(range(0, 4), j ->
+        |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |            list_transform(range(1, 17), t ->
+        |              CAST(q_vec[i * 16 + t] AS DOUBLE)
+        |                * CAST(e.embedding[j * 16 + t] AS DOUBLE))),
+        |            (a2, x2) -> a2 + x2)
+        |          / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |              list_transform(range(1, 17), t2 ->
+        |                CAST(q_vec[i * 16 + t2] AS DOUBLE)
+        |                  * CAST(q_vec[i * 16 + t2] AS DOUBLE))),
+        |              (a3, x3) -> a3 + x3))
+        |           * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |              list_transform(range(1, 17), t3 ->
+        |                CAST(e.embedding[j * 16 + t3] AS DOUBLE)
+        |                  * CAST(e.embedding[j * 16 + t3] AS DOUBLE))),
+        |              (a4, x4) -> a4 + x4))))))),
+        |      (acc, x) -> acc + x) AS sim
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
+        |ranked AS (SELECT q_id, n_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rank
+        |  FROM pairs)
+        |SELECT q_id, n_id, rank,
+        |  CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS maxsim_micro
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
     // ANN6: IVF cell-balance audit at the kg1/ss5 production cell
     // count — occupancy histogram + imbalance factor, the skew

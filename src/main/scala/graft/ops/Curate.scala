@@ -1160,4 +1160,67 @@ object Curate {
       .withColumn("noisy_n", round(col("true_n").cast("double") + noise, 6))
       .withColumn("epsilon", lit(epsilon))
   }
+
+  /** l-diversity and t-closeness per equivalence class (Machanavajjhala
+    * et al., ICDE'06; Li et al., ICDE'07) — the two refinements of
+    * [[kAnonymityReport]]'s k: a class can be large yet leak its
+    * sensitive attribute if the attribute barely varies (l-diversity)
+    * or if its distribution diverges from the table's (t-closeness,
+    * skewness attack). Per quasi-identifier class:
+    *   - `l_distinct` — distinct sensitive values (distinct
+    *     l-diversity);
+    *   - `entropy_l_micro` — exp(H) of the class's sensitive
+    *     distribution (entropy l-diversity: the class is entropy-l
+    *     diverse iff exp(H) ≥ l);
+    *   - `t_tv_micro` — total-variation distance to the GLOBAL
+    *     sensitive distribution (the categorical EMD under unit
+    *     ground distance — the standard t-closeness instantiation for
+    *     unordered attributes).
+    *
+    * Determinism: entropy terms pico-quantize per (class, value)
+    * before the order-free sum (the js1 discipline); TV is computed
+    * as exact integers: `Σ_c |n_gc·N − N_c·n_g| · 10⁶ div (2·n_g·N)`
+    * over the full class×value grid (absent cells contribute
+    * `N_c·n_g`), all in decimal(38,0).
+    *
+    * Scale: one combinable (QI, sensitive) cell shuffle; the grid join
+    * is classes×values-bounded, never row-bounded.
+    */
+  def lDiversityReport(df: DataFrame, qiCols: Seq[String],
+                       sensitiveCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val qi = qiCols.map(col)
+    val cells = df.groupBy(qi :+ col(sensitiveCol).cast("string").as("__s"): _*)
+      .agg(count(lit(1)).cast("long").as("n_gc"))
+    val groups = cells.groupBy(qi: _*)
+      .agg(sum("n_gc").cast("long").as("n_g"),
+        count(lit(1)).cast("long").as("l_distinct"))
+    val global = cells.groupBy("__s").agg(sum("n_gc").cast("long").as("n_c"))
+    val tot = global.agg(sum("n_c").cast("long").as("n_total"))
+    // full grid: every class × every global sensitive value (bounded
+    // classes×values cartesian — the sensitive domain is small by
+    // definition of the attack model)
+    val grid = groups.crossJoin(global.crossJoin(broadcast(tot)))
+      .join(cells, qiCols :+ "__s", "left")
+      .withColumn("n_gc", coalesce(col("n_gc"), lit(0L)))
+    val per = grid.select(qi ++ Seq(col("n_g"), col("l_distinct"),
+        // |n_gc·N − N_c·n_g| — exact decimal
+        abs(dec(col("n_gc")) * dec(col("n_total")) -
+          dec(col("n_c")) * dec(col("n_g"))).as("tv_num"),
+        when(col("n_gc") > 0L,
+          floor(-(col("n_gc").cast("double") / col("n_g").cast("double")) *
+            log(col("n_gc").cast("double") / col("n_g").cast("double")) *
+            lit(1e12) + lit(0.5)).cast("long")).otherwise(lit(0L))
+          .as("h_pico"),
+        col("n_total")): _*)
+      .groupBy(qi ++ Seq(col("n_g"), col("l_distinct"), col("n_total")): _*)
+      .agg(sum("tv_num").as("tv_sum"),
+        sum(col("h_pico").cast("decimal(38,0)")).as("h_sum"))
+    per.select(qi ++ Seq(col("n_g"), col("l_distinct"),
+      floor(exp(col("h_sum").cast("double") / lit(1e12)) * lit(1e6) +
+        lit(0.5)).cast("long").as("entropy_l_micro"),
+      expr("""CAST((tv_sum * 1000000) div
+             |  (CAST(2 AS DECIMAL(38,0)) * n_g * n_total) AS BIGINT)"""
+        .stripMargin).as("t_tv_micro")): _*)
+  }
 }

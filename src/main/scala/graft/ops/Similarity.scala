@@ -1536,4 +1536,55 @@ object Similarity {
         round(col("spp").cast("double") / col("n").cast("double") / 1e12, 9)
           .as("mean_silhouette"))
   }
+
+  /** Late-interaction (MaxSim) retrieval à la ColBERT (Khattab &
+    * Zaharia, SIGIR'20): treat each vector as `parts` contiguous
+    * sub-vectors ("token embeddings") and score a (query, doc) pair as
+    * `Σ_{i∈query parts} max_{j∈doc parts} cos(q_i, d_j)` — the
+    * multi-vector relevance that single-vector cosine flattens away
+    * (a doc matching every query facet separately beats one matching
+    * the average). Top-k per query under (score desc, n_id asc).
+    *
+    * Determinism: the whole score is ONE in-row fold — a fixed-order
+    * `aggregate` over query parts of `array_max` over doc parts, each
+    * cosine a left-to-right 16-term dot fold — so both engines
+    * produce bit-identical doubles, micro-quantized for display. The
+    * rank window orders by the raw double with an id tiebreak.
+    *
+    * Scale: queries broadcast (small by construction); the corpus is
+    * scanned ONCE with a per-row constant-size expression (parts² dot
+    * products of dim/parts terms = exactly the work of one full-dim
+    * dot per query part). The production path for large query sets
+    * LSH-prefilters candidates (ss3/ss4) and MaxSim-scores only the
+    * survivors; this operator is that scorer.
+    */
+  def maxSimTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 parts: Int = 4, dim: Int = 64,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(dim % parts == 0, "parts must divide dim")
+    val sub = dim / parts
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec")))
+    def dotF(a: String, aOff: String, b: String, bOff: String) =
+      s"""aggregate(sequence(1, $sub), CAST(0.0 AS DOUBLE), (acc2, t) ->
+         |  acc2 + CAST(element_at($a, $aOff * $sub + t) AS DOUBLE)
+         |       * CAST(element_at($b, $bOff * $sub + t) AS DOUBLE))""".stripMargin
+    val scoreExpr =
+      s"""aggregate(sequence(0, ${parts - 1}), CAST(0.0 AS DOUBLE), (acc, i) ->
+         |  acc + array_max(transform(sequence(0, ${parts - 1}), j ->
+         |    ${dotF("q_vec", "i", "n_vec", "j")}
+         |    / (sqrt(${dotF("q_vec", "i", "q_vec", "i")})
+         |     * sqrt(${dotF("n_vec", "j", "n_vec", "j")})))))""".stripMargin
+    val scored = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .join(q, col("n_id") =!= col("q_id"))
+      .withColumn("sim", expr(scoreExpr))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"),
+        floor(col("sim") * lit(1e6) + lit(0.5)).cast("long")
+          .as("maxsim_micro"))
+  }
 }

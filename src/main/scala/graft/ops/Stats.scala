@@ -1788,4 +1788,63 @@ object Stats {
           (col("n0") - col("ties_y")).cast("double")) * lit(1e9) + lit(0.5))
         .cast("long").as("tau_b_nano"))
   }
+
+  /** Krippendorff's α, nominal metric (Krippendorff 2004 §11; the
+    * pairable-values form) — the labeler-agreement coefficient that,
+    * unlike [[fleissKappa]], handles MISSING ratings natively: items
+    * rated by any subset of labelers contribute exactly their pairable
+    * values. The labeling-pipeline QA staple when annotation is
+    * sparse (every real crowd/model-labeler matrix is).
+    *
+    * Each input ROW is one rating of `itemCol` with label `labelCol`
+    * (rater identity cancels out of the nominal-α math — only the
+    * per-item label multiset matters). Items with one rating are
+    * dropped (no pairable values), counted in the audit columns. With
+    * n_uc = count of label c on item u, m_u = Σ_c n_uc:
+    * `D_o ∝ Σ_u Σ_c n_uc·(m_u − n_uc)/(m_u − 1)` and
+    * `α = 1 − (n−1)·D_o_num / Σ_c n_c·(n − n_c)` over the pairable
+    * universe of n values.
+    *
+    * Determinism: each item's disagreement term is an exact pico
+    * integer division (`Σ_c n_uc(m_u−n_uc)·10¹² div (m_u−1)`); the
+    * totals are exact decimal sums; α is ONE fixed-order double
+    * expression, nano-quantized.
+    *
+    * Scale: one combinable (item, label) cell shuffle; items-bounded
+    * tables after; the category marginal is labels-bounded.
+    */
+  def krippendorffAlpha(ratings: DataFrame, itemCol: String,
+                        labelCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = ratings.groupBy(col(itemCol).cast("string").as("u"),
+        col(labelCol).cast("string").as("c"))
+      .agg(count(lit(1)).cast("long").as("n_uc"))
+    val items = cells.groupBy("u").agg(sum("n_uc").cast("long").as("m_u"),
+      sum(col("n_uc") * col("n_uc")).cast("long").as("sq_u"))
+    val kept = items.filter(col("m_u") >= 2L)
+      // Σ_c n_uc(m_u − n_uc) = m_u² − Σ_c n_uc²
+      .withColumn("d_u", col("m_u") * col("m_u") - col("sq_u"))
+      .withColumn("term_pico", expr("(d_u * 1000000000000L) div (m_u - 1L)"))
+    val dropped = items.filter(col("m_u") < 2L)
+      .agg(count(lit(1)).cast("long").as("n_items_dropped"))
+    val tot = kept.agg(count(lit(1)).cast("long").as("n_items_used"),
+      sum("m_u").cast("long").as("n_values"),
+      sum(dec(col("term_pico"))).as("do_pico"))
+    val catMarg = cells.join(kept.select("u"), Seq("u"), "left_semi")
+      .groupBy("c").agg(sum("n_uc").cast("long").as("n_c"))
+    val de = catMarg.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).cast("long").as("n_categories"),
+        sum(dec(col("n_c")) * dec(col("n_values") - col("n_c"))).as("de_raw"))
+    tot.crossJoin(dropped).crossJoin(de)
+      .select(col("n_items_used"), col("n_items_dropped"), col("n_values"),
+        col("n_categories"),
+        // single-category universe: D_e = 0, α undefined — report
+        // perfect agreement (there is literally nothing to disagree on)
+        when(col("de_raw") === lit(0).cast("decimal(38,0)"), lit(1000000000L))
+          .otherwise(floor((lit(1.0) -
+            (col("n_values").cast("double") - lit(1.0)) *
+              (col("do_pico").cast("double") / lit(1e12)) /
+              col("de_raw").cast("double")) * lit(1e9) + lit(0.5))
+            .cast("long")).as("alpha_nano"))
+  }
 }

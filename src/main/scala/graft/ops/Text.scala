@@ -970,4 +970,175 @@ object Text {
         when(col("ref_grams") + col("cand_grams") === 0L, 0L)
           .otherwise(expr("(2L * overlap * 1000000L) div (ref_grams + cand_grams)")))
   }
+
+  /** Sentence-level BLEU (Papineni et al., ACL'02): clipped n-gram
+    * precision for n = 1..`maxN`, geometric mean, brevity penalty —
+    * the MT-filtering staple for (reference, candidate) pair quality
+    * (bitext mining, back-translation audit, round-trip checks). No
+    * smoothing: any zero n-gram precision makes the pair's BLEU
+    * exactly 0 (the strict original definition — deterministic, and
+    * the right behavior for FILTERING, where a zero-4-gram pair is
+    * exactly what you want to drop).
+    *
+    * Determinism: clipped matches `m_n = Σ_g min(refcount, candcount)`
+    * and gram totals are exact longs; BLEU's one double expression
+    * `BP · exp(Σ ln(m_n/c_n) / N)` is fixed-order over those longs
+    * (bit-identical in both engines), nano-quantized for display.
+    *
+    * Scale: like [[rougeN]] — one explode-count shuffle per (side, n)
+    * keyed (pair, gram), combinable; the per-n legs join on pid only.
+    */
+  def bleu(pairs: DataFrame, refCol: String, candCol: String,
+           idCol: String, maxN: Int = 4): DataFrame = {
+    // lazy cache entry shared by the 2·maxN gram legs (the rougeN /
+    // calibrationReport contract: callers clearCache())
+    val base = pairs.select(col(idCol).cast("long").as("pid"),
+        expr(s"filter(split(lower($refCol), ' '), x -> length(x) > 0)").as("rt"),
+        expr(s"filter(split(lower($candCol), ' '), x -> length(x) > 0)").as("ct"))
+      .persist()
+    def gcol(tc: String, n: Int) = expr(
+      s"""CASE WHEN size($tc) >= $n THEN
+         |  transform(sequence(1, size($tc) - ${n - 1}),
+         |    i -> concat_ws(' ', slice($tc, i, $n)))
+         |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+    val legs = (1 to maxN).map { n =>
+      val rc = base.select(col("pid"), explode(gcol("rt", n)).as("g"))
+        .groupBy("pid", "g").agg(count(lit(1)).cast("long").as("rc"))
+      val cc = base.select(col("pid"), explode(gcol("ct", n)).as("g"))
+        .groupBy("pid", "g").agg(count(lit(1)).cast("long").as("cc"))
+      val m = rc.join(cc, Seq("pid", "g"))
+        .groupBy("pid")
+        .agg(sum(least(col("rc"), col("cc"))).cast("long").as(s"m_$n"))
+      base.select(col("pid"),
+          greatest(lit(0L), (size(col("ct")) - lit(n - 1)).cast("long"))
+            .as(s"c_$n"))
+        .join(m, Seq("pid"), "left")
+        .select(col("pid"), coalesce(col(s"m_$n"), lit(0L)).as(s"m_$n"),
+          col(s"c_$n"))
+    }
+    val joined = legs.reduce(_.join(_, "pid"))
+    val withLen = base.select(col("pid"),
+        size(col("rt")).cast("long").as("ref_len"),
+        size(col("ct")).cast("long").as("cand_len"))
+      .join(joined, "pid")
+    val allPos = (1 to maxN)
+      .map(n => col(s"m_$n") > 0L && col(s"c_$n") > 0L).reduce(_ && _)
+    val logSum = (1 to maxN)
+      .map(n => log(col(s"m_$n").cast("double") / col(s"c_$n").cast("double")))
+      .reduce(_ + _)
+    val bp = when(col("cand_len") >= col("ref_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) -
+        col("ref_len").cast("double") / col("cand_len").cast("double")))
+    withLen
+      .withColumn("bleu_nano", when(allPos,
+        floor(bp * exp(logSum / lit(maxN.toDouble)) * lit(1e9) + lit(0.5))
+          .cast("long")).otherwise(lit(0L)))
+      .select(Seq(col("pid"), col("ref_len"), col("cand_len")) ++
+        (1 to maxN).flatMap(n => Seq(col(s"m_$n"), col(s"c_$n"))) :+
+        col("bleu_nano"): _*)
+  }
+
+  /** chrF (Popović, WMT'15): character-n-gram F-β over whitespace-
+    * stripped lowercase text — the tokenization-free MT/translation
+    * quality signal that survives morphology-rich languages where
+    * word-level BLEU collapses. β = 2 (recall-weighted, the paper's
+    * recommended setting); n = 1..`maxN`.
+    *
+    * Determinism: with β² = 4 the per-n F reduces to the EXACT
+    * rational `(1+β²)·m_n / (β²·r_n + c_n)` (substitute P = m/c,
+    * R = m/r and simplify), so every column is an exact long via one
+    * integer division — no floats anywhere.
+    *
+    * Scale: same shape as [[bleu]] at character granularity — the
+    * gram explosion is ~`maxN·chars` rows per pair, combinable counts.
+    */
+  def chrF(pairs: DataFrame, refCol: String, candCol: String,
+           idCol: String, maxN: Int = 3): DataFrame = {
+    val beta2 = 4L // β = 2
+    val base = pairs.select(col(idCol).cast("long").as("pid"),
+        regexp_replace(lower(col(refCol)), " ", "").as("rs"),
+        regexp_replace(lower(col(candCol)), " ", "").as("cs"))
+      .persist()
+    def gcol(sc: String, n: Int) = expr(
+      s"""CASE WHEN length($sc) >= $n THEN
+         |  transform(sequence(1, length($sc) - ${n - 1}),
+         |    i -> substring($sc, i, $n))
+         |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+    val legs = (1 to maxN).map { n =>
+      val rc = base.select(col("pid"), explode(gcol("rs", n)).as("g"))
+        .groupBy("pid", "g").agg(count(lit(1)).cast("long").as("rc"))
+      val cc = base.select(col("pid"), explode(gcol("cs", n)).as("g"))
+        .groupBy("pid", "g").agg(count(lit(1)).cast("long").as("cc"))
+      val m = rc.join(cc, Seq("pid", "g"))
+        .groupBy("pid")
+        .agg(sum(least(col("rc"), col("cc"))).cast("long").as("m"))
+      base.select(col("pid"),
+          greatest(lit(0L), (length(col("rs")) - lit(n - 1)).cast("long"))
+            .as("r_grams"),
+          greatest(lit(0L), (length(col("cs")) - lit(n - 1)).cast("long"))
+            .as("c_grams"))
+        .join(m, Seq("pid"), "left")
+        .select(lit(n.toLong).as("n"), col("pid"),
+          coalesce(col("m"), lit(0L)).as("matched"),
+          col("r_grams"), col("c_grams"))
+    }
+    val perN = legs.reduce(_ unionByName _)
+      .withColumn("f_micro",
+        when(lit(beta2) * col("r_grams") + col("c_grams") === 0L, 0L)
+          .otherwise(expr(
+            s"((1 + $beta2) * matched * 1000000L) div ($beta2 * r_grams + c_grams)")))
+    // chrF = mean of the per-n F scores (exact integer mean — `div`,
+    // not `/`, so no double division sneaks into the display column)
+    val summary = perN.groupBy("pid")
+      .agg(expr(s"sum(f_micro) div ${maxN}L").cast("long").as("chrf_micro"))
+    perN.join(summary, "pid")
+      .select(col("n"), col("pid"), col("matched"), col("r_grams"),
+        col("c_grams"), col("f_micro"), col("chrf_micro"))
+  }
+
+  /** Rényi-2 (collision) entropy efficiency of the whitespace-token
+    * unigram distribution — the tokenizer-quality signal of Zouhar et
+    * al. (ICML'23, "Tokenization and the Noiseless Channel"): how
+    * close the token distribution is to uniform over its vocabulary,
+    * which their experiments tie to downstream MT quality better than
+    * fertility. α = 2 keeps everything exact: `H₂ = −ln(Σ p²)` where
+    * `Σ p² = (Σ n_t²) / T²` is an exact rational of count sums (no
+    * pow(), whose libm implementations differ across engines).
+    * Shannon H ships alongside via the standard pico-quantized term
+    * sum (the js1 discipline); both normalize by ln(V).
+    *
+    * Scale: ONE combinable token-count shuffle; the n_t² sum is a
+    * second combinable pass over the vocabulary-sized count table.
+    */
+  def renyiEfficiency(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(explode(expr(
+        s"filter(split(lower($textCol), ' '), x -> length(x) > 0)")).as("t"))
+      .groupBy("t").agg(count(lit(1)).cast("long").as("c"))
+    val tot = counts.agg(sum("c").cast("long").as("t_tokens"),
+      count(lit(1)).cast("long").as("vocab"))
+    val sums = counts.crossJoin(broadcast(tot))
+      .select(col("t_tokens"), col("vocab"),
+        col("c").cast("decimal(38,0)").as("cd"),
+        floor(-(col("c").cast("double") / col("t_tokens").cast("double")) *
+          log(col("c").cast("double") / col("t_tokens").cast("double")) *
+          lit(1e12) + lit(0.5)).cast("long").as("sh_pico"))
+      .groupBy("t_tokens", "vocab")
+      .agg(sum(col("cd") * col("cd")).as("s2"),
+        sum(col("sh_pico").cast("decimal(38,0)")).as("sh_sum"))
+    val collision = col("s2").cast("double") /
+      (col("t_tokens").cast("double") * col("t_tokens").cast("double"))
+    val lnV = log(col("vocab").cast("double"))
+    sums.select(col("t_tokens").as("n_tokens"), col("vocab"),
+      floor(-log(collision) * lit(1e9) + lit(0.5)).cast("long")
+        .as("h2_nano"),
+      floor(col("sh_sum").cast("double") / lit(1e12) * lit(1e9) + lit(0.5))
+        .cast("long").as("h_shannon_nano"),
+      when(col("vocab") > 1L,
+        floor(-log(collision) / lnV * lit(1e9) + lit(0.5)).cast("long"))
+        .otherwise(lit(0L)).as("eff2_nano"),
+      when(col("vocab") > 1L,
+        floor(col("sh_sum").cast("double") / lit(1e12) / lnV * lit(1e9) +
+          lit(0.5)).cast("long")).otherwise(lit(0L)).as("eff_shannon_nano"))
+  }
 }

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** Unit laws for the round-13 eval/privacy/retrieval additions: BLEU,
+  * chrF, Rényi efficiency, Krippendorff's α, l-diversity/t-closeness,
+  * and MaxSim late-interaction retrieval.
+  */
+class EvalTextSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bleu: identical pair scores exactly 1; missing 4-gram scores 0") {
+    val same = Seq((1L, "the cat sat on the mat today", "the cat sat on the mat today"))
+      .toDF("pid", "ref", "cand")
+    val r = Text.bleu(same, "ref", "cand", "pid").head()
+    assert(r.getAs[Long]("bleu_nano") === 1000000000L)
+    assert(r.getAs[Long]("ref_len") === 7L)
+    // a 3-token candidate has no 4-gram in common by construction
+    val short = Seq((1L, "a b c d e", "x y z"))
+      .toDF("pid", "ref", "cand")
+    assert(Text.bleu(short, "ref", "cand", "pid")
+      .head().getAs[Long]("bleu_nano") === 0L)
+    spark.catalog.clearCache()
+  }
+
+  test("bleu: brevity penalty bites a short but precise candidate") {
+    // cand is a strict prefix: all clipped precisions 1, BP = exp(1-8/5)
+    val pre = Seq((1L, "a b c d e f g h", "a b c d e"))
+      .toDF("pid", "ref", "cand")
+    val r = Text.bleu(pre, "ref", "cand", "pid").head()
+    val expected = math.floor(math.exp(1.0 - 8.0 / 5.0) * 1e9 + 0.5).toLong
+    assert(r.getAs[Long]("bleu_nano") === expected)
+    spark.catalog.clearCache()
+  }
+
+  test("chrF: identical pair scores 1e6 at every n; disjoint scores 0") {
+    val same = Seq((1L, "abcdef", "abcdef")).toDF("pid", "ref", "cand")
+    val rows = Text.chrF(same, "ref", "cand", "pid").collect()
+    assert(rows.length === 3)
+    assert(rows.forall(_.getAs[Long]("f_micro") === 1000000L))
+    assert(rows.forall(_.getAs[Long]("chrf_micro") === 1000000L))
+    val disj = Seq((1L, "aaaa", "bbbb")).toDF("pid", "ref", "cand")
+    assert(Text.chrF(disj, "ref", "cand", "pid").collect()
+      .forall(_.getAs[Long]("chrf_micro") === 0L))
+    spark.catalog.clearCache()
+  }
+
+  test("renyiEfficiency: uniform token distribution is maximally efficient") {
+    val docs = Seq("alpha beta gamma delta").toDF("text")
+    val r = Text.renyiEfficiency(docs).head()
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    assert(r.getAs[Long]("vocab") === 4L)
+    // H2 = ln 4 and H/ln V = 1 exactly (uniform); Shannon rides pico
+    // quantization so allow 1 nano of slack
+    assert(r.getAs[Long]("eff2_nano") === 1000000000L)
+    assert(math.abs(r.getAs[Long]("eff_shannon_nano") - 1000000000L) <= 1L)
+    // a skewed distribution is strictly less efficient
+    val skew = Seq("a a a a a a b").toDF("text")
+    val s = Text.renyiEfficiency(skew).head()
+    assert(s.getAs[Long]("eff2_nano") < 1000000000L)
+  }
+
+  test("krippendorffAlpha: hand-computed nominal alpha; singletons dropped") {
+    // items {a,a}, {b,b}, {a,b} + one unpairable singleton:
+    // D_o terms 0, 0, 2e12; n = 6, n_a = n_b = 3, D_e raw = 18
+    // alpha = 1 - 5 * 2 / 18 = 4/9
+    val ratings = Seq(
+      ("i1", "a"), ("i1", "a"), ("i2", "b"), ("i2", "b"),
+      ("i3", "a"), ("i3", "b"), ("solo", "a")).toDF("item", "label")
+    val r = Stats.krippendorffAlpha(ratings, "item", "label").head()
+    assert(r.getAs[Long]("n_items_used") === 3L)
+    assert(r.getAs[Long]("n_items_dropped") === 1L)
+    assert(r.getAs[Long]("n_values") === 6L)
+    assert(r.getAs[Long]("alpha_nano") === 444444444L)
+    // perfect agreement across a 2-category universe
+    val perfect = Seq(("i1", "a"), ("i1", "a"), ("i2", "b"), ("i2", "b"))
+      .toDF("item", "label")
+    assert(Stats.krippendorffAlpha(perfect, "item", "label")
+      .head().getAs[Long]("alpha_nano") === 1000000000L)
+  }
+
+  test("lDiversityReport: distinct/entropy l and exact TV distance") {
+    // g1 sensitive {x,x,y}; g2 {x,y,y,z}; global x=3 y=3 z=1, N=7
+    val df = Seq(
+      ("g1", "x"), ("g1", "x"), ("g1", "y"),
+      ("g2", "x"), ("g2", "y"), ("g2", "y"), ("g2", "z"))
+      .toDF("grp", "sens")
+    val got = Curate.lDiversityReport(df, Seq("grp"), "sens")
+      .orderBy("grp").collect()
+    val g1 = got(0)
+    assert(g1.getAs[Long]("n_g") === 3L)
+    assert(g1.getAs[Long]("l_distinct") === 2L)
+    // TV numerators: |2*7-3*3|=5, |1*7-3*3|=2, |0*7-1*3|=3 -> 10
+    // t_tv = 10e6 div (2*3*7) = 238095
+    assert(g1.getAs[Long]("t_tv_micro") === 238095L)
+    // entropy l = exp(H({2/3,1/3})) ~ 1.8899
+    assert(math.abs(g1.getAs[Long]("entropy_l_micro") - 1889882L) <= 2L)
+    // a group mirroring the global distribution has TV ~ 0
+    val uni = Seq(("g1", "x"), ("g1", "y"), ("g2", "x"), ("g2", "y"))
+      .toDF("grp", "sens")
+    assert(Curate.lDiversityReport(uni, Seq("grp"), "sens").collect()
+      .forall(_.getAs[Long]("t_tv_micro") === 0L))
+  }
+
+  test("maxSimTopK: identical vector scores exactly parts; ranking follows parts matched") {
+    val v = Array.tabulate(64)(i => (math.sin(i + 1) * 10).toFloat)
+    // n2 = exact copy (sim 4), n3 = copy with last 32 dims zeroed out
+    // except tiny noise (two token slots degrade)
+    val w = v.take(32) ++ Array.fill(32)(0.001f)
+    val df = Seq((1L, v.toSeq), (2L, v.toSeq), (3L, w.toSeq))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.maxSimTopK(df, df.filter(col("vec_id") === 1L), k = 2)
+      .orderBy("rank").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[Long]("n_id") === 2L)
+    assert(got(0).getAs[Long]("maxsim_micro") === 4000000L)
+    assert(got(1).getAs[Long]("n_id") === 3L)
+    assert(got(1).getAs[Long]("maxsim_micro") < 4000000L)
+    assert(got(1).getAs[Long]("maxsim_micro") > 2000000L) // first 2 tokens intact
+  }
+}
