@@ -62,6 +62,98 @@ object OracleGen {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  /** bb1: b-bit MinHash eval — rebuilds the dd3p portable signature
+    * chain (same [[MinHashSigs.perms]] source, so no constant drift),
+    * keeps the sig arrays through the candidate join, and mirrors the
+    * exact-integer slot/low-bit agreement folds of
+    * [[graft.ops.Dedup.bbitMinhashEval]].
+    */
+  def bb1Sql(threshold: Double): String = {
+    val (a, b) = MinHashSigs.perms(64, 42L)
+    val minExprs = (0 until 64)
+      .map(j => s"min((${a(j)} * h + ${b(j)}) % $P)").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id AS d, string_split(lower(text), ' ') AS t FROM documents),
+       |shg AS (SELECT d, unnest(list_distinct(
+       |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |  ELSE list_transform(range(0, len(t) - 2),
+       |    i -> array_to_string(list_slice(t, CAST(i + 1 AS INTEGER), CAST(i + 3 AS INTEGER)), ' '))
+       |  END)) AS s FROM tok),
+       |shm AS (SELECT d, md5(s) AS m FROM shg),
+       |sh AS (SELECT DISTINCT d, ${hex60("m")} % $P AS h FROM shm),
+       |sigs AS MATERIALIZED (SELECT d, [$minExprs] AS sig FROM sh GROUP BY d),
+       |bands AS (SELECT d, bb.b AS band,
+       |    md5(array_to_string(list_slice(sig, CAST(bb.b * 4 + 1 AS INTEGER), CAST(bb.b * 4 + 4 AS INTEGER)), ',')) AS bh
+       |  FROM sigs, range(16) bb(b)),
+       |cand AS (SELECT DISTINCT x.d AS d1, y.d AS d2 FROM bands x
+       |  JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.d < y.d),
+       |sizes AS (SELECT d, count(*) AS n FROM sh GROUP BY d),
+       |common AS (SELECT cand.d1, cand.d2, count(*) AS c FROM cand
+       |  JOIN sh x ON x.d = cand.d1
+       |  JOIN sh y ON y.d = cand.d2 AND y.h = x.h
+       |  GROUP BY cand.d1, cand.d2),
+       |jj AS (SELECT d1, d2,
+       |    CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) AS jaccard
+       |  FROM common JOIN sizes s1 ON s1.d = common.d1
+       |  JOIN sizes s2 ON s2.d = common.d2
+       |  WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= $threshold),
+       |f AS (SELECT jj.d1, jj.d2,
+       |    CAST(floor(jaccard * 1e6 + 0.5) AS BIGINT) AS jaccard_micro,
+       |    CAST(list_sum(list_transform(range(1, 65), zi ->
+       |      CASE WHEN g1.sig[zi] = g2.sig[zi] THEN 1 ELSE 0 END)) AS BIGINT)
+       |      AS slot_matches,
+       |    CAST(list_sum(list_transform(range(1, 65), zb ->
+       |      CASE WHEN g1.sig[zb] % 2 = g2.sig[zb] % 2 THEN 1 ELSE 0 END)) AS BIGINT)
+       |      AS bit_collisions
+       |  FROM jj JOIN sigs g1 ON g1.d = jj.d1 JOIN sigs g2 ON g2.d = jj.d2)
+       |SELECT d1, d2, jaccard_micro, slot_matches, bit_collisions,
+       |  (slot_matches * 1000000) // 64 AS full_est_micro,
+       |  (bit_collisions * 2000000) // 64 - 1000000 AS bbit_est_micro,
+       |  abs((slot_matches * 1000000) // 64 - jaccard_micro) AS err_full_micro,
+       |  abs((bit_collisions * 2000000) // 64 - 1000000 - jaccard_micro)
+       |    AS err_bbit_micro
+       |FROM f ORDER BY d1, d2""".stripMargin
+  }
+
+  /** fim1: the md5-coin FIM transform replayed — the apply-coin and
+    * both cut points are hex60 folds of md5(doc_id ‖ tag), mirroring
+    * [[graft.ops.Curate.fimTransform]] cut for cut.
+    */
+  def fim1Sql(applyDenom: Int): String = {
+    def coin(tag: String) =
+      hex60(s"md5(concat(CAST(doc_id AS VARCHAR), '$tag'))")
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks
+       |  FROM documents),
+       |b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+       |    ${coin(":a")} AS ca, ${coin(":p")} AS cp, ${coin(":m")} AS cm
+       |  FROM t),
+       |c AS (SELECT doc_id, toks, n, cp, cm,
+       |    (ca % $applyDenom = 0 AND n >= 3) AS fim_applied FROM b),
+       |d AS (SELECT *, CASE WHEN fim_applied THEN cp % n ELSE n END AS p
+       |  FROM c),
+       |e AS (SELECT *, CASE WHEN fim_applied THEN 1 + cm % (n - p)
+       |    ELSE 0 END AS m
+       |  FROM d),
+       |g AS (SELECT doc_id, n, fim_applied, p, m,
+       |    coalesce(array_to_string(list_slice(toks, 1, CAST(p AS INTEGER)),
+       |      ' '), '') AS pre,
+       |    coalesce(array_to_string(list_slice(toks, CAST(p + 1 AS INTEGER),
+       |      CAST(p + m AS INTEGER)), ' '), '') AS mid,
+       |    coalesce(array_to_string(list_slice(toks, CAST(p + m + 1 AS INTEGER),
+       |      CAST(n AS INTEGER)), ' '), '') AS suf,
+       |    coalesce(array_to_string(toks, ' '), '') AS orig
+       |  FROM e)
+       |SELECT doc_id, n AS n_tokens, fim_applied,
+       |  p AS prefix_len, m AS middle_len, (n - p - m) AS suffix_len,
+       |  md5(CASE WHEN fim_applied THEN
+       |      '<|fim_pre|> ' || pre || ' <|fim_suf|> ' || suf || ' <|fim_mid|> ' || mid
+       |    ELSE orig END) AS psm_md5,
+       |  md5(CASE WHEN fim_applied THEN
+       |      '<|fim_suf|> ' || suf || ' <|fim_pre|> ' || pre || ' <|fim_mid|> ' || mid
+       |    ELSE orig END) AS spm_md5
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
   /** km1: Lloyd k-means with fixed init and `rounds` UNROLLED rounds —
     * every assignment (min squared-L2, ties to smaller cid) and every
     * centroid update (per-(cluster, dim) mean, empty clusters keep the

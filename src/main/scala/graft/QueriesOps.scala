@@ -1347,6 +1347,23 @@ object QueriesOps {
         .orderBy("d1", "d2"),
       Some(OracleGen.dd4pSql(3))),
 
+    // BB1: b-bit MinHash eval (Li & König WWW'10, b=1) — lowest-bit
+    // signatures (64x storage cut for the SigStore) measured against
+    // full signatures and exact Jaccard on the LSH candidates; every
+    // column an exact integer (in-row zip folds + micro divisions).
+    "bb1_bbit_minhash" -> Q(
+      (s, d) => Dedup.bbitMinhashEval(par(docs(s, d)), threshold = 0.3)
+        .orderBy("d1", "d2"),
+      Some(OracleGen.bb1Sql(0.3))),
+
+    // FIM1: fill-in-the-middle transform (Bavarian et al. '22) — md5-
+    // coin selected docs split into (prefix, middle, suffix) at md5-
+    // derived cuts; PSM and SPM digests, AR passthrough for the rest.
+    "fim1_fill_in_middle" -> Q(
+      (s, d) => graft.ops.Curate.fimTransform(docs(s, d))
+        .orderBy("doc_id"),
+      Some(OracleGen.fim1Sql(2))),
+
     // Incremental NEAR-dup dedup against a PERSISTED signature table —
     // dd8's incremental pattern lifted from exact hashes to MinHash:
     // the base corpus (doc_id < 300) is signed once and published as a

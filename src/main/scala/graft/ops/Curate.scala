@@ -763,6 +763,62 @@ object Curate {
         md5(col("__targets")).as("targets_md5"))
   }
 
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle") —
+    * the code/infilling-objective data prep: on an md5-coin-selected
+    * fraction of documents, split the token stream into (prefix,
+    * middle, suffix) at md5-derived cut points and emit BOTH orderings
+    * the paper trains on — PSM `<|fim_pre|> P <|fim_suf|> S
+    * <|fim_mid|> M` and SPM `<|fim_suf|> S <|fim_pre|> P <|fim_mid|>
+    * M`. Untransformed documents pass through verbatim (the paper's
+    * joint objective keeps a plain-AR fraction).
+    *
+    * Determinism: the apply-coin and both cut points derive from
+    * md5(doc_id ‖ tag) (the aug2/cur1 md5-coin discipline — replayable
+    * in any engine); cut points cover the full valid range (prefix
+    * 0..n−1, middle ≥ 1, suffix ≥ 0). Digests stand in for the
+    * transformed strings (bounded output width).
+    *
+    * Scale: entirely narrow — one map pass, no shuffle; the transform
+    * is O(tokens) per document.
+    */
+  def fimTransform(docs: DataFrame, applyDenom: Int = 2,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    def coin(tag: String) =
+      s"""CAST(conv(substring(md5(concat(CAST($idCol AS STRING), '$tag')),
+         |  1, 15), 16, 10) AS BIGINT)""".stripMargin.replace("\n", " ")
+    docs
+      .withColumn("__toks",
+        filter(split(lower(col(textCol)), " "), t => length(t) > lit(0)))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("fim_applied",
+        expr(s"pmod(${coin(":a")}, ${applyDenom}L) = 0 AND __n >= 3L"))
+      .withColumn("__p", expr(
+        s"CASE WHEN fim_applied THEN pmod(${coin(":p")}, __n) ELSE __n END"))
+      .withColumn("__m", expr(
+        s"CASE WHEN fim_applied THEN 1L + pmod(${coin(":m")}, __n - __p) " +
+          "ELSE 0L END"))
+      .withColumn("__pre",
+        expr("array_join(slice(__toks, 1, CAST(__p AS INT)), ' ')"))
+      .withColumn("__mid", expr(
+        "array_join(slice(__toks, CAST(__p + 1L AS INT), CAST(__m AS INT)), ' ')"))
+      .withColumn("__suf", expr(
+        """array_join(slice(__toks, CAST(__p + __m + 1L AS INT),
+          |  CAST(__n - __p - __m AS INT)), ' ')""".stripMargin))
+      .select(col(idCol), col("__n").as("n_tokens"), col("fim_applied"),
+        col("__p").as("prefix_len"), col("__m").as("middle_len"),
+        (col("__n") - col("__p") - col("__m")).as("suffix_len"),
+        md5(when(col("fim_applied"),
+          concat(lit("<|fim_pre|> "), col("__pre"), lit(" <|fim_suf|> "),
+            col("__suf"), lit(" <|fim_mid|> "), col("__mid")))
+          .otherwise(expr("array_join(__toks, ' ')"))).as("psm_md5"),
+        md5(when(col("fim_applied"),
+          concat(lit("<|fim_suf|> "), col("__suf"), lit(" <|fim_pre|> "),
+            col("__pre"), lit(" <|fim_mid|> "), col("__mid")))
+          .otherwise(expr("array_join(__toks, ' ')"))).as("spm_md5"))
+  }
+
   /** Preference-pair construction for DPO/RLHF-style training data:
     * within each group, pair the i-th BEST-scoring item with the i-th
     * WORST (the margin-maximizing matching — pair 1 carries the widest

@@ -690,6 +690,59 @@ object Dedup {
     minhashLshPairs(docs, threshold, numHashes, bands, shingleK, textCol, idCol,
       hashFn = md5ShingleHash, bandHashFn = md5)
 
+  /** b-bit MinHash evaluation (Li & König, WWW'10, b = 1): keep only
+    * the LOWEST BIT of each of the 64 MinHash slots — a 64× signature-
+    * storage cut (one long per doc instead of 64) — and measure what
+    * that costs against both the full-signature estimator and exact
+    * Jaccard on the LSH candidate pairs. The b=1 estimator is the
+    * paper's sparse-regime form `J̃ = 2·collisionRate − 1` (for our
+    * 2⁶⁰ hash space the density terms r₁, r₂ are ~0, which is the
+    * regime the simplification needs).
+    *
+    * At 100 TB the storage term dominates near-dup infra: the
+    * signature store ([[SigStore]]) holds one row per corpus doc
+    * forever, so 512 B → 8 B per doc is the difference between a
+    * broadcastable signature table and a shuffled one. This operator
+    * is the measurement that justifies (or rejects) the switch at a
+    * given threshold.
+    *
+    * Determinism: every column is an exact integer — slot agreements
+    * and low-bit collisions are in-row zip folds over the portable
+    * md5 signatures; estimates and errors are integer micro divisions.
+    *
+    * Scale: signatures are one narrow codegen pass; candidates come
+    * from the banded join (ids only); the eval join ships two 64-long
+    * arrays per CANDIDATE pair, not per corpus row.
+    */
+  def bbitMinhashEval(docs: DataFrame, threshold: Double = 0.3,
+                      numHashes: Int = 64, bands: Int = 16,
+                      shingleK: Int = 3,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val pairs = minhashLshPairsPortable(docs, threshold, numHashes, bands,
+      shingleK, textCol, idCol)
+    val sigs = minhashSignatures(docs, numHashes, shingleK, textCol, idCol,
+      hashFn = md5ShingleHash)
+    pairs
+      .join(sigs.select(col("d").as("d1"), col("sig").as("s1")), "d1")
+      .join(sigs.select(col("d").as("d2"), col("sig").as("s2")), "d2")
+      .withColumn("jaccard_micro",
+        floor(col("jaccard") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("slot_matches", expr(
+        "aggregate(zip_with(s1, s2, (x, y) -> IF(x = y, 1L, 0L)), 0L, (acc, v) -> acc + v)"))
+      .withColumn("bit_collisions", expr(
+        "aggregate(zip_with(s1, s2, (x, y) -> IF(x % 2L = y % 2L, 1L, 0L)), 0L, (acc, v) -> acc + v)"))
+      .withColumn("full_est_micro",
+        expr(s"(slot_matches * 1000000L) div ${numHashes}L"))
+      .withColumn("bbit_est_micro",
+        expr(s"(bit_collisions * 2000000L) div ${numHashes}L - 1000000L"))
+      .select(col("d1"), col("d2"), col("jaccard_micro"),
+        col("slot_matches"), col("bit_collisions"),
+        col("full_est_micro"), col("bbit_est_micro"),
+        abs(col("full_est_micro") - col("jaccard_micro")).as("err_full_micro"),
+        abs(col("bbit_est_micro") - col("jaccard_micro")).as("err_bbit_micro"))
+  }
+
   /** Content-defined chunking (Rabin-fingerprint cut rule à la LBFS,
     * Muthitacharoen et al. SOSP'01, on tokens): the stream is cut
     * after any position whose trailing `window`-token context hashes

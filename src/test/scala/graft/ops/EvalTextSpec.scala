@@ -106,6 +106,51 @@ class EvalTextSpec extends AnyFunSuite {
       .forall(_.getAs[Long]("t_tv_micro") === 0L))
   }
 
+  test("fimTransform: lengths partition the doc; short docs pass through; deterministic") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "tiny doc"), // n = 2 < 3: never applied
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val got = Curate.fimTransform(docs).orderBy("doc_id").collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("prefix_len") + r.getAs[Long]("middle_len") +
+        r.getAs[Long]("suffix_len") === r.getAs[Long]("n_tokens"))
+    }
+    val tiny = got.find(_.getAs[Long]("doc_id") == 2L).get
+    assert(!tiny.getAs[Boolean]("fim_applied"))
+    // passthrough digest = md5 of the original token join
+    assert(tiny.getAs[String]("psm_md5") ===
+      spark.sql("SELECT md5('tiny doc')").head().getString(0))
+    assert(tiny.getAs[String]("psm_md5") === tiny.getAs[String]("spm_md5"))
+    got.filter(_.getAs[Boolean]("fim_applied")).foreach { r =>
+      assert(r.getAs[Long]("middle_len") >= 1L)
+      assert(r.getAs[String]("psm_md5") !== r.getAs[String]("spm_md5"))
+    }
+    // determinism: a second run is bit-identical
+    val again = Curate.fimTransform(docs).orderBy("doc_id").collect()
+    assert(got.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("bbitMinhashEval: exact duplicates agree on every slot and every bit") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different text about spark catalyst expression trees"))
+      .toDF("doc_id", "text")
+    val got = Dedup.bbitMinhashEval(docs, threshold = 0.3).collect()
+    assert(got.length === 1) // only the duplicate pair survives
+    val r = got.head
+    assert(r.getAs[Long]("jaccard_micro") === 1000000L)
+    assert(r.getAs[Long]("slot_matches") === 64L)
+    assert(r.getAs[Long]("bit_collisions") === 64L)
+    assert(r.getAs[Long]("full_est_micro") === 1000000L)
+    assert(r.getAs[Long]("bbit_est_micro") === 1000000L)
+    assert(r.getAs[Long]("err_full_micro") === 0L)
+    assert(r.getAs[Long]("err_bbit_micro") === 0L)
+    spark.catalog.clearCache()
+  }
+
   test("maxSimTopK: identical vector scores exactly parts; ranking follows parts matched") {
     val v = Array.tabulate(64)(i => (math.sin(i + 1) * 10).toFloat)
     // n2 = exact copy (sim 4), n3 = copy with last 32 dims zeroed out
