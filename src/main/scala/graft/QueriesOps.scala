@@ -8572,6 +8572,105 @@ object QueriesOps {
         |    * 1e9 + 0.5) AS BIGINT) AS tau_b_nano
         |FROM m, c""".stripMargin)),
 
+    // SR1: Spearman's rho over the same per-source (quality, length)
+    // ranks as kt1 — the moment-based rank correlation; doubled
+    // average ranks keep ties exact-integer, one sqrt at display.
+    "sr1_spearman_rho" -> Q(
+      (s, d) => {
+        val perSrc = graft.ops.Text.withQuality(docs(s, d))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("nd"),
+            sum(floor(col("quality_score") * lit(1e6) + lit(0.5))
+              .cast("long")).cast("long").as("qs"),
+            sum(col("n_chars").cast("long")).cast("long").as("cs"))
+          .select(col("source"), expr("qs div nd").as("x"),
+            expr("cs div nd").as("y"))
+        graft.ops.Stats.spearmanRho(perSrc, "source", "x", "y")
+      },
+      Some("""WITH q AS (SELECT source, n_chars,
+        |    least(1.0,
+        |      CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE) * 0.5
+        |      + CAST(len(list_filter(string_split(text, ' '),
+        |          x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
+        |      + least(CAST(list_sum(list_transform(string_split(text, ' '),
+        |          x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+        |          / CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0, 1.0) * 0.2) AS qs
+        |  FROM documents),
+        |per AS (SELECT source,
+        |    CAST(sum(CAST(floor(qs * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+        |      // CAST(count(*) AS BIGINT) AS x,
+        |    CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT)
+        |      // CAST(count(*) AS BIGINT) AS y
+        |  FROM q GROUP BY 1),
+        |rk AS (SELECT
+        |    2 * rank() OVER (ORDER BY x) + count(*) OVER (PARTITION BY x) - 1 AS rx,
+        |    2 * rank() OVER (ORDER BY y) + count(*) OVER (PARTITION BY y) - 1 AS ry
+        |  FROM per),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(rx AS DECIMAL(38,0))) AS sx,
+        |    sum(CAST(ry AS DECIMAL(38,0))) AS sy,
+        |    sum(CAST(rx AS DECIMAL(38,0)) * CAST(ry AS DECIMAL(38,0))) AS sxy,
+        |    sum(CAST(rx AS DECIMAL(38,0)) * CAST(rx AS DECIMAL(38,0))) AS sxx,
+        |    sum(CAST(ry AS DECIMAL(38,0)) * CAST(ry AS DECIMAL(38,0))) AS syy
+        |  FROM rk)
+        |SELECT n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0
+        |  THEN CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    * 1e9 + 0.5) AS BIGINT)
+        |  ELSE 0 END AS rho_nano
+        |FROM m""".stripMargin)),
+
+    // VAC1: vacuum dry-run over a scripted versioned table — one
+    // snapshot per retention class (prunable / retained / pointed /
+    // staged_unpointed crash leftover) plus a stray tmp file; the
+    // oracle recomputes every class and count from the raw table.
+    "vac1_vacuum_report" -> Q(
+      (s, d) => {
+        import graft.ingest.VersionedDir
+        val dir = Queries.scratch("vac1_tbl")
+        val orders = s.read.parquet(s"$d/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        def slice(mods: Seq[Int]) =
+          orders.filter(pmod(col("o_orderkey"), lit(8)).isin(mods.map(Integer.valueOf): _*))
+        VersionedDir.publish(slice(Seq(0)), dir, 1L)
+        VersionedDir.publish(slice(Seq(0, 1)), dir, 2L)
+        VersionedDir.publish(slice(Seq(0, 1, 2)), dir, 3L)
+        // crash artifact: staged but never pointed
+        VersionedDir.stage(slice(Seq(0, 1, 2, 3)), dir, 4L)
+        // interrupted writer's tmp junk
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_tmp_junk"))
+        out.write("junk".getBytes("UTF-8")); out.close()
+        // keep = 3 so every retention class appears: v1 prunable,
+        // v2 retained, v3 pointed, v4 staged_unpointed
+        VersionedDir.vacuumReport(s, dir, keep = 3).orderBy("version")
+      },
+      Some("""WITH c AS (SELECT
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 8 = 0) AS n0,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 8 IN (0, 1)) AS n01,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 8 IN (0, 1, 2)) AS n012,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 8 IN (0, 1, 2, 3)) AS n0123)
+        |SELECT CAST(1 AS BIGINT) AS version, 'prunable' AS status,
+        |  CAST(n0 AS BIGINT) AS n_rows, CAST(1 AS BIGINT) AS n_stray_files FROM c
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'retained', CAST(n01 AS BIGINT),
+        |  CAST(1 AS BIGINT) FROM c
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'pointed', CAST(n012 AS BIGINT),
+        |  CAST(1 AS BIGINT) FROM c
+        |UNION ALL SELECT CAST(4 AS BIGINT), 'staged_unpointed', CAST(n0123 AS BIGINT),
+        |  CAST(1 AS BIGINT) FROM c
+        |ORDER BY version""".stripMargin)),
+
     // ACF1: autocorrelation of the dense hourly event-count series at
     // lags 1..12 — periodicity audit; n-scaled integer deviations, all
     // 12 numerators in ONE aggregate pass over the spine-sized series.

@@ -151,4 +151,63 @@ object VersionedDir {
     import spark.implicits._
     rows.toDF("version", "n_rows", "content_fp", "chain_md5")
   }
+
+  /** VACUUM dry-run: classify every snapshot under `dir` the way a
+    * retention pass would treat it, WITHOUT deleting anything — the
+    * audit a lakehouse runs before (and instead of, on disagreement)
+    * the destructive [[prune]]. Statuses:
+    *
+    *  - `pointed` — the snapshot `_LATEST` serves;
+    *  - `prunable` — EXACTLY what [[prune]] with the same `keep`
+    *    would delete (all but the `keep` most recent, never the
+    *    pointed one);
+    *  - `staged_unpointed` — NEWER than the pointer and inside the
+    *    retention window (a crash between [[stage]] and
+    *    [[flipPointer]] leaves these; surfaced for manual review);
+    *  - `retained` — everything else in the window.
+    *
+    * `n_stray_files` (repeated on every row, audit-style) counts
+    * direct children of the root that are neither the `_LATEST`
+    * pointer (or its in-flight `_LATEST.*.tmp`) nor a `v=` snapshot —
+    * tmp files an interrupted writer left behind.
+    *
+    * The version list and the per-snapshot counts are a driver loop
+    * over the BOUNDED snapshot set (the commitLedger discipline); each
+    * count is one distributed aggregate.
+    */
+  def vacuumReport(spark: SparkSession, dir: String,
+                   keep: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keep >= 1, "must keep at least the current snapshot")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val children = if (fs.exists(root)) fs.listStatus(root).toSeq else Seq.empty
+    val versions = children
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(s => s.getPath.getName.stripPrefix("v=").toLong)
+      .sorted
+    val stray = children.count { s =>
+      val n = s.getPath.getName
+      n != "_LATEST" && !n.startsWith("_LATEST.") &&
+        !(s.isDirectory && n.startsWith("v="))
+    }.toLong
+    val pointed = currentVersion(spark, dir)
+    // mirror prune() EXACTLY: prunable = all but the `keep` most recent
+    // (staged-above-pointer dirs count toward the window, as they do
+    // there), never the pointed one — a dry run that disagrees with
+    // the delete pass it previews is worse than none
+    val pruneSet =
+      versions.dropRight(keep).filterNot(pointed.contains).toSet
+    val rows = versions.map { v =>
+      val status =
+        if (pointed.contains(v)) "pointed"
+        else if (pruneSet.contains(v)) "prunable"
+        else if (pointed.exists(v > _)) "staged_unpointed"
+        else "retained"
+      val n = spark.read.parquet(s"$dir/v=$v").count()
+      (v, status, n, stray)
+    }
+    import spark.implicits._
+    rows.toDF("version", "status", "n_rows", "n_stray_files")
+  }
 }

@@ -1847,4 +1847,51 @@ object Stats {
               col("de_raw").cast("double")) * lit(1e9) + lit(0.5))
             .cast("long")).as("alpha_nano"))
   }
+
+  /** Spearman's ρ between two integer metrics over a bounded item
+    * table — Pearson correlation ON THE RANKS: [[kendallTauB]]'s
+    * moment-based sibling (ρ weighs the SIZE of rank displacements
+    * where τ counts inversions; both are monotone-transform
+    * invariant). Ties take the standard AVERAGE (fractional) rank,
+    * kept exact by working in DOUBLED ranks: `rank2x = 2·min_rank +
+    * tie_count − 1`, an integer for any tie pattern.
+    *
+    * Determinism: all five moment sums are exact decimal sums of
+    * integer products; ρ is ONE fixed-order double expression over
+    * them, nano-quantized. A constant metric (zero rank variance)
+    * reports 0.
+    *
+    * Scale: the items table is bounded by contract (sources, systems
+    * — the kt1 precedent), so the two global rank windows are
+    * items-sized, never corpus-sized; the corpus pass producing the
+    * metrics is the caller's.
+    */
+  def spearmanRho(items: DataFrame, keyCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = items.select(col(keyCol).cast("string").as("k"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val ranked = base
+      .withColumn("rx0", rank().over(Window.orderBy("x")).cast("long"))
+      .withColumn("cx", count(lit(1)).over(Window.partitionBy("x")).cast("long"))
+      .withColumn("ry0", rank().over(Window.orderBy("y")).cast("long"))
+      .withColumn("cy", count(lit(1)).over(Window.partitionBy("y")).cast("long"))
+      .select(col("k"),
+        (lit(2L) * col("rx0") + col("cx") - lit(1L)).as("rx"),
+        (lit(2L) * col("ry0") + col("cy") - lit(1L)).as("ry"))
+    val m = ranked.agg(count(lit(1)).cast("long").as("n"),
+      sum(dec(col("rx"))).as("sx"), sum(dec(col("ry"))).as("sy"),
+      sum(dec(col("rx")) * dec(col("ry"))).as("sxy"),
+      sum(dec(col("rx")) * dec(col("rx"))).as("sxx"),
+      sum(dec(col("ry")) * dec(col("ry"))).as("syy"))
+    val nd = col("n").cast("double")
+    val (sx, sy, sxy, sxx, syy) = (col("sx").cast("double"),
+      col("sy").cast("double"), col("sxy").cast("double"),
+      col("sxx").cast("double"), col("syy").cast("double"))
+    val den = (nd * sxx - sx * sx) * (nd * syy - sy * sy)
+    m.select(col("n"),
+      when(den > 0.0,
+        floor((nd * sxy - sx * sy) / sqrt(den) * lit(1e9) + lit(0.5))
+          .cast("long")).otherwise(lit(0L)).as("rho_nano"))
+  }
 }

@@ -151,6 +151,49 @@ class EvalTextSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("spearmanRho: monotone = 1, reversed = -1, tie-averaged hand case") {
+    val up = Seq(("a", 1L, 10L), ("b", 2L, 20L), ("c", 3L, 30L))
+      .toDF("k", "x", "y")
+    assert(Stats.spearmanRho(up, "k", "x", "y")
+      .head().getAs[Long]("rho_nano") === 1000000000L)
+    val down = Seq(("a", 1L, 30L), ("b", 2L, 20L), ("c", 3L, 10L))
+      .toDF("k", "x", "y")
+    assert(Stats.spearmanRho(down, "k", "x", "y")
+      .head().getAs[Long]("rho_nano") === -1000000000L)
+    // x-ties: x ranks (avg) = 1.5, 1.5, 3; y = 1, 2, 3
+    // rho = cov/sd = sqrt(3)/2 on these ranks
+    val tied = Seq(("a", 1L, 10L), ("b", 1L, 20L), ("c", 2L, 30L))
+      .toDF("k", "x", "y")
+    val r = Stats.spearmanRho(tied, "k", "x", "y").head()
+    assert(math.abs(r.getAs[Long]("rho_nano") / 1e9 -
+      math.sqrt(3.0) / 2.0) < 1e-8)
+    // constant metric: zero variance reports 0, no NaN
+    val const = Seq(("a", 5L, 10L), ("b", 5L, 20L)).toDF("k", "x", "y")
+    assert(Stats.spearmanRho(const, "k", "x", "y")
+      .head().getAs[Long]("rho_nano") === 0L)
+  }
+
+  test("vacuumReport: classifies retention states without deleting; counts strays") {
+    import graft.ingest.VersionedDir
+    val dir = java.nio.file.Files.createTempDirectory("vac_spec").toString
+    val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    VersionedDir.publish(df1, dir, 1L)
+    VersionedDir.publish(df1.union(Seq((3L, "c")).toDF("id", "v")), dir, 2L)
+    VersionedDir.publish(df1, dir, 3L)
+    VersionedDir.stage(df1, dir, 4L) // crash leftover, never pointed
+    val got = VersionedDir.vacuumReport(spark, dir, keep = 2)
+      .orderBy("version").collect()
+    assert(got.map(r => r.getAs[Long]("version") -> r.getAs[String]("status"))
+      .toSeq === Seq(1L -> "prunable", 2L -> "prunable", 3L -> "pointed",
+        4L -> "staged_unpointed"))
+    assert(got.forall(_.getAs[Long]("n_stray_files") === 0L))
+    assert(got(1).getAs[Long]("n_rows") === 3L)
+    // the dry run deleted nothing: every snapshot still readable
+    assert(spark.read.parquet(s"$dir/v=1").count() === 2L)
+    // prune deletes exactly the rows the dry run called prunable
+    assert(VersionedDir.prune(spark, dir, keep = 2) === 2)
+  }
+
   test("maxSimTopK: identical vector scores exactly parts; ranking follows parts matched") {
     val v = Array.tabulate(64)(i => (math.sin(i + 1) * 10).toFloat)
     // n2 = exact copy (sim 4), n3 = copy with last 32 dims zeroed out
