@@ -43,12 +43,21 @@ object Itemsets {
     val bi = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
       .distinct().persist()
     val nBaskets = bi.agg(countDistinct("basket").cast("long").as("n_baskets"))
+    // a purely ABSOLUTE threshold is a literal — keep the static
+    // filters (no broadcast dependency on the item-count leg, two
+    // fewer exchanges: the PlanGoldenSpec-pinned fi1 shape); only the
+    // relative path pays the in-plan broadcast scalar its scaling
+    // cut needs
+    val relative = minSupportMicro > 0L
     val thr = greatest(lit(minSupport),
       expr(s"(n_baskets * ${minSupportMicro}L + 999999L) div 1000000L"))
-    val freq = bi.groupBy("item").agg(count(lit(1)).cast("long").as("item_n"))
-      .crossJoin(broadcast(nBaskets))
-      .filter(col("item_n") >= thr)
-      .select("item", "item_n")
+    val freq0 = bi.groupBy("item").agg(count(lit(1)).cast("long").as("item_n"))
+    val freq =
+      if (relative)
+        freq0.crossJoin(broadcast(nBaskets))
+          .filter(col("item_n") >= thr)
+          .select("item", "item_n")
+      else freq0.filter(col("item_n") >= minSupport)
     val pruned = bi.join(freq, "item")
       .select(col("basket"), col("item"), col("item_n"))
     val pairs = pruned.as("x").join(pruned.as("y"), Seq("basket"))
@@ -59,9 +68,10 @@ object Itemsets {
       .agg(count(lit(1)).cast("long").as("n_ab"),
         first("n_a").cast("long").as("n_a"),
         first("n_b").cast("long").as("n_b"))
+    val kept = if (relative) pairs else pairs.filter(col("n_ab") >= minSupport)
     val nb = col("n_baskets").cast("double")
-    pairs.crossJoin(broadcast(nBaskets))
-      .filter(col("n_ab") >= thr)
+    val withNb = kept.crossJoin(broadcast(nBaskets))
+    (if (relative) withNb.filter(col("n_ab") >= thr) else withNb)
       .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
         (col("n_ab").cast("double") / nb).as("support"),
         (col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence"),
