@@ -4907,8 +4907,16 @@ object QueriesOps {
         Similarity.maxSimTopK(e, e.filter(col("vec_id") < 8), k = 5)
           .orderBy("q_id", "rank")
       },
-      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM e WHERE vec_id < 8),
+      Some("""WITH e AS (SELECT vec_id, embedding,
+        |    list_transform(range(0, 4), nn ->
+        |      sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, 17), t4 ->
+        |          CAST(embedding[nn * 16 + t4] AS DOUBLE)
+        |            * CAST(embedding[nn * 16 + t4] AS DOUBLE))),
+        |        (a5, x5) -> a5 + x5))) AS norms
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_vec, norms AS q_norms
+        |  FROM e WHERE vec_id < 8),
         |pairs AS (
         |  SELECT q_id, e.vec_id AS n_id,
         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -4919,16 +4927,8 @@ object QueriesOps {
         |              CAST(q_vec[i * 16 + t] AS DOUBLE)
         |                * CAST(e.embedding[j * 16 + t] AS DOUBLE))),
         |            (a2, x2) -> a2 + x2)
-        |          / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |              list_transform(range(1, 17), t2 ->
-        |                CAST(q_vec[i * 16 + t2] AS DOUBLE)
-        |                  * CAST(q_vec[i * 16 + t2] AS DOUBLE))),
-        |              (a3, x3) -> a3 + x3))
-        |           * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |              list_transform(range(1, 17), t3 ->
-        |                CAST(e.embedding[j * 16 + t3] AS DOUBLE)
-        |                  * CAST(e.embedding[j * 16 + t3] AS DOUBLE))),
-        |              (a4, x4) -> a4 + x4))))))),
+        |          / (q_norms[CAST(i + 1 AS INTEGER)]
+        |           * e.norms[CAST(j + 1 AS INTEGER)]))))),
         |      (acc, x) -> acc + x) AS sim
         |  FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
         |ranked AS (SELECT q_id, n_id, sim,

@@ -1564,19 +1564,28 @@ object Similarity {
                  vecCol: String = "embedding"): DataFrame = {
     require(dim % parts == 0, "parts must divide dim")
     val sub = dim / parts
-    val q = broadcast(queries.select(col(idCol).as("q_id"),
-      col(vecCol).as("q_vec")))
     def dotF(a: String, aOff: String, b: String, bOff: String) =
       s"""aggregate(sequence(1, $sub), CAST(0.0 AS DOUBLE), (acc2, t) ->
          |  acc2 + CAST(element_at($a, $aOff * $sub + t) AS DOUBLE)
          |       * CAST(element_at($b, $bOff * $sub + t) AS DOUBLE))""".stripMargin
+    // token norms precomputed ONCE per row per side: inside the score
+    // fold a norm would be re-derived per (i, j) pair — 2/3 of the
+    // pair's flops for a value that never changes (measured 3.0 s →
+    // ~2x at the gate). Same sqrt expression, so values are identical.
+    def normsExpr(v: String) =
+      s"""transform(sequence(0, ${parts - 1}), nn ->
+         |  sqrt(${dotF(v, "nn", v, "nn")}))""".stripMargin
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"),
+      expr(normsExpr(vecCol)).as("q_norms")))
     val scoreExpr =
       s"""aggregate(sequence(0, ${parts - 1}), CAST(0.0 AS DOUBLE), (acc, i) ->
          |  acc + array_max(transform(sequence(0, ${parts - 1}), j ->
          |    ${dotF("q_vec", "i", "n_vec", "j")}
-         |    / (sqrt(${dotF("q_vec", "i", "q_vec", "i")})
-         |     * sqrt(${dotF("n_vec", "j", "n_vec", "j")})))))""".stripMargin
-    val scored = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+         |    / (element_at(q_norms, i + 1) * element_at(n_norms, j + 1)))))"""
+        .stripMargin
+    val scored = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        expr(normsExpr(vecCol)).as("n_norms"))
       .join(q, col("n_id") =!= col("q_id"))
       .withColumn("sim", expr(scoreExpr))
     val w = Window.partitionBy(col("q_id"))
