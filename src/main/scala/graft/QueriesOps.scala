@@ -3337,6 +3337,111 @@ object QueriesOps {
         |SELECT doc_id, dl, tf_0, tf_1, tf_2, score FROM sc
         |WHERE score > 0 ORDER BY doc_id""".stripMargin)),
 
+    // QL1: Dirichlet-smoothed query likelihood (Zhai & Lafferty '01) —
+    // the LM retrieval baseline beside bm1; same broadcast-stats +
+    // in-row-tf discipline, per-term ln partials in term order,
+    // nano-quantized display.
+    "ql1_query_likelihood" -> Q(
+      (s, d) => graft.ops.Search.queryLikelihood(docs(s, d),
+          Seq("spark", "join", "stream"), mu = 2000.0)
+        .orderBy("doc_id"),
+      Some("""WITH b AS (SELECT doc_id,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x = 'spark')) AS BIGINT) AS tf_0,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x = 'join')) AS BIGINT) AS tf_1,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x = 'stream')) AS BIGINT) AS tf_2
+        |  FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS c_tokens,
+        |    CAST(sum(tf_0) AS BIGINT) AS cf_0,
+        |    CAST(sum(tf_1) AS BIGINT) AS cf_1,
+        |    CAST(sum(tf_2) AS BIGINT) AS cf_2
+        |  FROM b),
+        |sc AS (SELECT doc_id, dl, tf_0, tf_1, tf_2,
+        |    ln((CAST(tf_0 AS DOUBLE) + 2000.0 * (CAST(cf_0 AS DOUBLE) / CAST(c_tokens AS DOUBLE)))
+        |       / (CAST(dl AS DOUBLE) + 2000.0))
+        |    + ln((CAST(tf_1 AS DOUBLE) + 2000.0 * (CAST(cf_1 AS DOUBLE) / CAST(c_tokens AS DOUBLE)))
+        |       / (CAST(dl AS DOUBLE) + 2000.0))
+        |    + ln((CAST(tf_2 AS DOUBLE) + 2000.0 * (CAST(cf_2 AS DOUBLE) / CAST(c_tokens AS DOUBLE)))
+        |       / (CAST(dl AS DOUBLE) + 2000.0)) AS score
+        |  FROM b, st
+        |  WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0)
+        |SELECT doc_id, dl, tf_0, tf_1, tf_2,
+        |  CAST(floor(score * 1e9 + 0.5) AS BIGINT) AS score_nano
+        |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // LLR1: Dunning keyness — which terms discriminate lang='en' from
+    // the rest; exact integer cells, one fixed-order G2 double per
+    // term micro-quantized, top-30 total order.
+    "llr1_keyness" -> Q(
+      (s, d) => graft.ops.Text.keynessLlr(docs(s, d),
+          col("lang") === "en", topK = 30, minCount = 5L),
+      Some("""WITH tk AS (SELECT lang = 'en' AS f,
+        |    unnest(list_filter(string_split(lower(text), ' '),
+        |      x -> length(x) > 0)) AS t
+        |  FROM documents),
+        |c AS (SELECT t,
+        |    CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN f THEN 0 ELSE 1 END) AS BIGINT) AS b
+        |  FROM tk GROUP BY 1 HAVING count(*) >= 5),
+        |tt AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+        |    CAST(sum(b) AS BIGINT) AS nb FROM c),
+        |g AS (SELECT t, a, b,
+        |    (CASE WHEN a > 0 THEN CAST(a AS DOUBLE)
+        |       * ln(CAST(a AS DOUBLE) / (CAST(na AS DOUBLE)
+        |         * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+        |         / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))) ELSE 0.0 END)
+        |    + (CASE WHEN b > 0 THEN CAST(b AS DOUBLE)
+        |       * ln(CAST(b AS DOUBLE) / (CAST(nb AS DOUBLE)
+        |         * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+        |         / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))) ELSE 0.0 END)
+        |      AS gg,
+        |    CAST(a AS DOUBLE) * CAST(nb AS DOUBLE)
+        |      > CAST(b AS DOUBLE) * CAST(na AS DOUBLE) AS overused
+        |  FROM c, tt)
+        |SELECT t AS term, a AS n_focus, b AS n_rest,
+        |  CAST(floor(2.0 * gg * 1e6 + 0.5) AS BIGINT) AS g2_micro,
+        |  overused
+        |FROM g ORDER BY g2_micro DESC, term ASC LIMIT 30""".stripMargin)),
+
+    // AT1: first/last/linear conversion attribution over user event
+    // streams — purchases credit preceding non-purchase touches, no
+    // touch credits '(direct)'; every model column sums to exactly
+    // 1e6 * n_conversions (exact integer credits, remainder-to-first).
+    "at1_attribution" -> Q(
+      (s, d) => graft.ops.Sessions.attribution(
+          Queries.events(s, d), "user_id", "ts", "event_id", "event_type",
+          col("event_type") === "purchase")
+        .orderBy("channel"),
+      Some("""WITH b AS (SELECT user_id AS u, ts, event_id AS sq,
+        |    event_type AS ch, event_type = 'purchase' AS conv FROM events),
+        |cv AS (SELECT u, ts AS cts, sq AS csq FROM b WHERE conv),
+        |tc AS (SELECT u, ts, sq, ch FROM b WHERE NOT conv),
+        |j AS (SELECT cv.u, cv.cts, cv.csq, tc.ts, tc.sq, tc.ch
+        |  FROM cv LEFT JOIN tc ON tc.u = cv.u
+        |    AND (tc.ts < cv.cts OR (tc.ts = cv.cts AND tc.sq < cv.csq))),
+        |rk AS (SELECT *,
+        |    CAST(count(sq) OVER (PARTITION BY u, cts, csq) AS BIGINT) AS n_t,
+        |    CAST(row_number() OVER (PARTITION BY u, cts, csq
+        |      ORDER BY ts ASC NULLS FIRST, sq ASC NULLS FIRST) AS BIGINT) AS r
+        |  FROM j),
+        |cr AS (SELECT
+        |    CASE WHEN n_t = 0 THEN '(direct)' ELSE ch END AS channel,
+        |    CASE WHEN n_t = 0 THEN 1000000
+        |         WHEN r = 1 THEN 1000000 ELSE 0 END AS first_micro,
+        |    CASE WHEN n_t = 0 THEN 1000000
+        |         WHEN r = n_t THEN 1000000 ELSE 0 END AS last_micro,
+        |    CASE WHEN n_t = 0 THEN 1000000
+        |         ELSE 1000000 // n_t
+        |           + CASE WHEN r = 1 THEN 1000000 % n_t ELSE 0 END
+        |    END AS linear_micro
+        |  FROM rk)
+        |SELECT channel,
+        |  CAST(sum(first_micro) AS BIGINT) AS first_micro,
+        |  CAST(sum(last_micro) AS BIGINT) AS last_micro,
+        |  CAST(sum(linear_micro) AS BIGINT) AS linear_micro
+        |FROM cr GROUP BY channel ORDER BY channel""".stripMargin)),
+
     // HR1: hybrid retrieval — BM25 leg + dense cosine leg, each capped
     // at top-50 (TakeOrderedAndProject, never a global sort shuffle),
     // fused by reciprocal-rank fusion (1/(60+rank), Cormack et al.).

@@ -57,6 +57,51 @@ object Search {
         terms.indices.map(i => col(s"tf_$i")) :+ col("score"): _*)
   }
 
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty, SIGIR'01) — the language-modeling baseline beside
+    * [[bm25]]: score(d) = Σ_q ln((tf_q + μ·cf_q/|C|) / (dl + μ)),
+    * the probability the document's smoothed unigram LM generates the
+    * query. The standard second opinion when BM25's idf saturation
+    * misranks long documents.
+    *
+    * Determinism: identical discipline to [[bm25]] — tf in-row,
+    * cf/|C| exact integer aggregates on one broadcast stats row,
+    * per-term ln partials added in TERM-LIST order, never a cross-row
+    * float sum. Docs with no query term at all are dropped (their
+    * score is pure background noise).
+    *
+    * Scale: one broadcast stats row + a narrow codegen'd map over the
+    * corpus — no explode, no shuffle of text.
+    */
+  def queryLikelihood(docs: DataFrame, terms: Seq[String],
+                      mu: Double = 2000.0,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val tt = Dedup.tokens(col(textCol))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(tt, x => x === t)).cast("long").as(s"tf_$i")
+    }
+    val base = docs.select(
+      (col(idCol) +: size(tt).cast("long").as("dl") +: tfCols): _*)
+    val statCols = sum(col("dl")).cast("long").as("c_tokens") +:
+      terms.indices.map(i => sum(col(s"tf_$i")).cast("long").as(s"cf_$i"))
+    val stats = base.agg(count(lit(1)).cast("long").as("n_docs"), statCols: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val cf = col(s"cf_$i").cast("double")
+      log((tf + lit(mu) * (cf / col("c_tokens").cast("double"))) /
+        (col("dl").cast("double") + lit(mu)))
+    }.reduce(_ + _) // left fold in term order — same order as the oracle
+    scored
+      .filter(terms.indices.map(i => col(s"tf_$i") > 0L).reduce(_ || _))
+      .withColumn("score_nano",
+        floor(score * lit(1e9) + lit(0.5)).cast("long"))
+      .select(col(idCol) +: col("dl") +:
+        terms.indices.map(i => col(s"tf_$i")) :+ col("score_nano"): _*)
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
     * 2009): the sparse BM25 leg and a dense cosine leg each produce
     * their top-`candidateK` candidates, and a document's fused score is

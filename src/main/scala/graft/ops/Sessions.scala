@@ -120,4 +120,66 @@ object Sessions {
         round(col("seg_micro").cast("double") /
           col("n_entities").cast("double") / 1e6, 6).as("avg_monetary"))
   }
+
+  /** Multi-touch conversion attribution (the first-touch / last-touch
+    * / linear trio every funnel analysis starts from): for each
+    * conversion event, credit the user's PRECEDING non-conversion
+    * touches — 10⁶ micro-units of credit per conversion per model,
+    * split by the model's rule. Conversions with no prior touch
+    * credit a synthetic `(direct)` channel, so every model's column
+    * sums to exactly `10⁶ · n_conversions` (the books balance — the
+    * audit a marketing-attribution table must pass).
+    *
+    * Determinism: touch order is the (ts, seq) total order; linear
+    * credit is `10⁶ div n` per touch with the remainder assigned to
+    * the FIRST touch, so credits are exact integers that sum exactly.
+    *
+    * Scale: one user-keyed equi-join of conversions to touches (both
+    * sides partition on the user — two shuffles of narrow rows), then
+    * combinable channel sums. Per-user touch history is session-
+    * bounded by construction; a pathological power user is the
+    * standard salting case.
+    */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+                  seqCol: String, channelCol: String,
+                  isConversion: Column): DataFrame = {
+    val base = events.select(col(userCol).as("u"), col(tsCol).as("ts"),
+      col(seqCol).cast("long").as("sq"), col(channelCol).as("ch"),
+      isConversion.as("conv"))
+    val convs = base.filter(col("conv"))
+      .select(col("u"), col("ts").as("cts"), col("sq").as("csq"))
+    val touches = base.filter(!col("conv"))
+      .select(col("u"), col("ts"), col("sq"), col("ch"))
+    // the precedence predicate must be part of the JOIN condition: a
+    // post-join filter would DROP a conversion whose only matches are
+    // later touches, instead of leaving the null row that credits
+    // '(direct)'
+    val joined = convs.as("c").join(touches.as("t"),
+        col("c.u") === col("t.u") &&
+          (col("t.ts") < col("c.cts") ||
+            (col("t.ts") === col("c.cts") && col("t.sq") < col("c.csq"))),
+        "left")
+      .select(col("c.u").as("u"), col("c.cts").as("cts"),
+        col("c.csq").as("csq"), col("t.ts").as("ts"),
+        col("t.sq").as("sq"), col("t.ch").as("ch"))
+    val w = Window.partitionBy("u", "cts", "csq")
+    val ranked = joined
+      .withColumn("n_t", count(col("sq")).over(w).cast("long"))
+      .withColumn("r", row_number().over(
+        w.orderBy(col("ts").asc_nulls_first, col("sq").asc_nulls_first)))
+    val credits = ranked.select(
+      when(col("n_t") === 0L, lit("(direct)")).otherwise(col("ch")).as("channel"),
+      when(col("n_t") === 0L, 1000000L)
+        .when(col("r") === 1, 1000000L).otherwise(0L).as("first_micro"),
+      when(col("n_t") === 0L, 1000000L)
+        .when(col("r") === col("n_t"), 1000000L).otherwise(0L).as("last_micro"),
+      when(col("n_t") === 0L, 1000000L)
+        .otherwise(expr("1000000L div n_t") +
+          when(col("r") === 1, expr("1000000L % n_t")).otherwise(0L))
+        .as("linear_micro"))
+    credits.groupBy("channel")
+      .agg(sum("first_micro").cast("long").as("first_micro"),
+        sum("last_micro").cast("long").as("last_micro"),
+        sum("linear_micro").cast("long").as("linear_micro"))
+  }
 }

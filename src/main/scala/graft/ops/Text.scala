@@ -1096,6 +1096,54 @@ object Text {
         col("c_grams"), col("f_micro"), col("chrf_micro"))
   }
 
+  /** Keyness by Dunning's log-likelihood ratio (Dunning, CL'93 — the
+    * corpus-linguistics standard that, unlike χ², stays calibrated for
+    * rare words): which terms DISCRIMINATE the focus partition from
+    * the rest of the corpus? The curation readout behind "what is
+    * actually in this source/language/cluster" — domain-divergence
+    * (dm1) says HOW FAR apart two slices are, this names the terms
+    * responsible.
+    *
+    * Per term with counts a (focus), b (rest) and totals N_A, N_B:
+    * `G² = 2·(a·ln(a/E_a) + b·ln(b/E_b))`, E_x = N_x·(a+b)/(N_A+N_B);
+    * zero cells contribute 0 (the x·ln(x/E) → 0 limit). `overused`
+    * flags terms whose focus rate exceeds the rest rate.
+    *
+    * Determinism: a/b/N are exact integer counts; G² is one
+    * fixed-order double per term, micro-quantized; the top-k cut is a
+    * (g2 desc, term asc) integer total order.
+    *
+    * Scale: ONE combinable (term, partition) count shuffle; everything
+    * after is vocabulary-bounded, the top-k a TakeOrdered.
+    */
+  def keynessLlr(docs: DataFrame, focus: Column, topK: Int = 30,
+                 minCount: Long = 5L,
+                 textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(focus.as("f"), explode(expr(
+        s"filter(split(lower($textCol), ' '), x -> length(x) > 0)")).as("t"))
+      .groupBy("t")
+      .agg(sum(when(col("f"), 1L).otherwise(0L)).cast("long").as("a"),
+        sum(when(col("f"), 0L).otherwise(1L)).cast("long").as("b"))
+      .filter(col("a") + col("b") >= minCount)
+    val tot = counts.agg(sum("a").cast("long").as("na"),
+      sum("b").cast("long").as("nb"))
+    val g = counts.crossJoin(broadcast(tot))
+    val (ad, bd, nad, nbd) = (col("a").cast("double"), col("b").cast("double"),
+      col("na").cast("double"), col("nb").cast("double"))
+    val ea = nad * (ad + bd) / (nad + nbd)
+    val eb = nbd * (ad + bd) / (nad + nbd)
+    val term1 = when(col("a") > 0L, ad * log(ad / ea)).otherwise(lit(0.0))
+    val term2 = when(col("b") > 0L, bd * log(bd / eb)).otherwise(lit(0.0))
+    g.withColumn("g2_micro",
+        floor(lit(2.0) * (term1 + term2) * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("overused", ad * nbd > bd * nad)
+      .orderBy(col("g2_micro").desc, col("t").asc)
+      .limit(topK)
+      .select(col("t").as("term"), col("a").as("n_focus"),
+        col("b").as("n_rest"), col("g2_micro"), col("overused"))
+  }
+
   /** Rényi-2 (collision) entropy efficiency of the whitespace-token
     * unigram distribution — the tokenizer-quality signal of Zouhar et
     * al. (ICML'23, "Tokenization and the Noiseless Channel"): how

@@ -194,6 +194,58 @@ class EvalTextSpec extends AnyFunSuite {
     assert(VersionedDir.prune(spark, dir, keep = 2) === 2)
   }
 
+  test("queryLikelihood: term-bearing docs rank above smoothed background; no-hit docs dropped") {
+    val docs = Seq(
+      (1L, "spark spark spark is fast"),
+      (2L, "spark appears once here today"),
+      (3L, "nothing relevant in this document at all"))
+      .toDF("doc_id", "text")
+    val got = Search.queryLikelihood(docs, Seq("spark"), mu = 10.0)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L))
+    // same length, higher tf -> strictly higher smoothed likelihood
+    assert(got(0).getAs[Long]("score_nano") > got(1).getAs[Long]("score_nano"))
+  }
+
+  test("keynessLlr: a focus-only term tops the list; balanced terms score ~0") {
+    val docs = (Seq.fill(10)(("en", "common words here plus shibboleth")) ++
+      Seq.fill(10)(("fr", "common words here plus autrechose")))
+      .zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+      .toDF("doc_id", "lang", "text")
+    val got = Text.keynessLlr(docs, col("lang") === "en", topK = 10,
+      minCount = 5L).collect()
+    val byTerm = got.map(r => r.getAs[String]("term") -> r).toMap
+    assert(byTerm("shibboleth").getAs[Boolean]("overused"))
+    assert(!byTerm("autrechose").getAs[Boolean]("overused"))
+    // perfectly balanced terms have G2 exactly 0
+    assert(byTerm("common").getAs[Long]("g2_micro") === 0L)
+    // the two discriminators dominate the balanced terms
+    assert(byTerm("shibboleth").getAs[Long]("g2_micro") >
+      byTerm("common").getAs[Long]("g2_micro"))
+  }
+
+  test("attribution: credits sum to 1e6 per conversion per model; direct handled") {
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // user A: view -> click -> purchase; user B: purchase with no touch
+    val ev = Seq(
+      ("A", ts(1), 1L, "view"), ("A", ts(2), 2L, "click"),
+      ("A", ts(3), 3L, "purchase"),
+      ("B", ts(1), 4L, "purchase"))
+      .toDF("user_id", "t", "event_id", "event_type")
+    val got = Sessions.attribution(ev, "user_id", "t", "event_id",
+      "event_type", col("event_type") === "purchase")
+      .orderBy("channel").collect()
+    val m = got.map(r => r.getAs[String]("channel") ->
+      (r.getAs[Long]("first_micro"), r.getAs[Long]("last_micro"),
+        r.getAs[Long]("linear_micro"))).toMap
+    assert(m("view") === ((1000000L, 0L, 500000L)))
+    assert(m("click") === ((0L, 1000000L, 500000L)))
+    assert(m("(direct)") === ((1000000L, 1000000L, 1000000L)))
+    // books balance: every model sums to 1e6 * n_conversions
+    Seq(m.values.map(_._1).sum, m.values.map(_._2).sum,
+      m.values.map(_._3).sum).foreach(s => assert(s === 2000000L))
+  }
+
   test("maxSimTopK: identical vector scores exactly parts; ranking follows parts matched") {
     val v = Array.tabulate(64)(i => (math.sin(i + 1) * 10).toFloat)
     // n2 = exact copy (sim 4), n3 = copy with last 32 dims zeroed out
