@@ -8677,6 +8677,117 @@ object QueriesOps {
         |    * 1e9 + 0.5) AS BIGINT) AS tau_b_nano
         |FROM m, c""".stripMargin)),
 
+    // NY1: Neyman allocation of a 10k eval budget across event types
+    // by N_h*sigma_h — exact moments, pico weights, largest-remainder
+    // apportionment so the allocations sum to the budget exactly.
+    "ny1_neyman_allocation" -> Q(
+      (s, d) => graft.ops.Stats.neymanAllocation(
+          Queries.events(s, d), "event_type", "value", budget = 10000L)
+        .orderBy("stratum"),
+      Some("""WITH cells AS (SELECT event_type AS h,
+        |    CAST(count(*) AS BIGINT) AS n_h,
+        |    sum(CAST(CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS s,
+        |    sum(CAST(CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS DECIMAL(38,0))
+        |      * CAST(CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS ss
+        |  FROM events GROUP BY 1),
+        |wgt AS (SELECT h, n_h,
+        |    greatest(CAST(floor(CAST(n_h AS DOUBLE)
+        |      * sqrt(greatest((CAST(ss AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_h AS DOUBLE))
+        |        / CAST(n_h AS DOUBLE), 0.0)) + 0.5) AS BIGINT), 1) AS w_pico
+        |  FROM cells),
+        |tt AS (SELECT CAST(sum(w_pico) AS HUGEINT) AS w_tot FROM wgt),
+        |sh AS (SELECT h, n_h, w_pico,
+        |    CAST((CAST(w_pico AS HUGEINT) * 10000)
+        |      // (CASE WHEN w_tot = 0 THEN 1 ELSE w_tot END) AS BIGINT) AS base,
+        |    CAST((CAST(w_pico AS HUGEINT) * 10000)
+        |      % (CASE WHEN w_tot = 0 THEN 1 ELSE w_tot END) AS BIGINT) AS rem
+        |  FROM wgt, tt),
+        |k AS (SELECT CAST(10000 - sum(base) AS BIGINT) AS k FROM sh),
+        |rr AS (SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, h ASC)
+        |    AS BIGINT) AS rr FROM sh)
+        |SELECT h AS stratum, n_h, w_pico,
+        |  base + CASE WHEN rr <= k.k THEN 1 ELSE 0 END AS n_alloc
+        |FROM rr, k ORDER BY stratum""".stripMargin)),
+
+    // SX1: Simpson's-paradox audit — per engagement-bucket association
+    // sign (exact cross-products, no division) vs the pooled sign,
+    // reversal flags + audit scalar; the naive-read warning beside
+    // ipw1's correction.
+    "sx1_simpson_audit" -> Q(
+      (s, d) => {
+        val units = Queries.events(s, d).groupBy("user_id").agg(
+            (sum(when(col("event_type") === "signup", 1L).otherwise(0L)) > 13L)
+              .as("treated"),
+            (sum(when(col("event_type") === "purchase",
+              floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+              .otherwise(0L)) > 500000000L).as("converted"),
+            count(lit(1)).cast("long").as("n_ev"))
+          .withColumn("stratum", expr("n_ev div 10"))
+        graft.ops.Stats.simpsonAudit(units, "stratum", "treated", "converted")
+          .orderBy("stratum")
+      },
+      Some("""WITH u AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) > 13 AS treated,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT) ELSE 0 END)
+        |      > 500000000 AS converted,
+        |    CAST(count(*) AS BIGINT) AS n_ev
+        |  FROM events GROUP BY 1),
+        |un AS (SELECT CAST(n_ev // 10 AS VARCHAR) AS h,
+        |    CASE WHEN treated THEN 1 ELSE 0 END AS arm,
+        |    CASE WHEN converted THEN 1 ELSE 0 END AS y FROM u),
+        |cells AS (SELECT h, arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS s FROM un GROUP BY 1, 2),
+        |st AS (SELECT h,
+        |    CAST(sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN arm = 1 THEN s ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN arm = 0 THEN s ELSE 0 END) AS BIGINT) AS s0
+        |  FROM cells GROUP BY 1 HAVING n1 > 0 AND n0 > 0),
+        |sg AS (SELECT *, CAST(sign(CAST(CAST(s1 AS HUGEINT) * n0
+        |      - CAST(s0 AS HUGEINT) * n1 AS DOUBLE)) AS INTEGER) AS sign
+        |  FROM st),
+        |pl AS (SELECT CAST(sign(CAST(
+        |      CAST(sum(s1) AS HUGEINT) * CAST(sum(n0) AS HUGEINT)
+        |      - CAST(sum(s0) AS HUGEINT) * CAST(sum(n1) AS HUGEINT)
+        |    AS DOUBLE)) AS INTEGER) AS pooled_sign FROM sg),
+        |fl AS (SELECT sg.*, pl.pooled_sign,
+        |    sg.sign <> 0 AND pl.pooled_sign <> 0
+        |      AND sg.sign <> pl.pooled_sign AS reversed
+        |  FROM sg, pl),
+        |ad AS (SELECT CAST(sum(CASE WHEN reversed THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_reversed FROM fl)
+        |SELECT h AS stratum, n1, s1, n0, s0, sign, pooled_sign, reversed,
+        |  ad.n_reversed
+        |FROM fl, ad ORDER BY stratum""".stripMargin)),
+
+    // NS1: word2vec negative-sampling table — count^0.75 as
+    // exp(0.75 ln c) (identical composition both engines, never
+    // pow()), pico weights, exact integer probabilities and 2^60
+    // roulette boundaries in a total order.
+    "ns1_negative_sampling" -> Q(
+      (s, d) => graft.ops.Text.negativeSamplingTable(docs(s, d), topK = 30)
+        .orderBy("rank"),
+      Some("""WITH tk AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> length(x) > 0)) AS t FROM documents),
+        |c AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+        |w AS (SELECT t, c,
+        |    CAST(floor(exp(0.75 * ln(CAST(c AS DOUBLE))) * 1e12 + 0.5)
+        |      AS BIGINT) AS w_pico FROM c),
+        |tt AS (SELECT sum(CAST(w_pico AS DECIMAL(38,0))) AS w_tot FROM w),
+        |rk AS (SELECT t, c, w_pico,
+        |    CAST(row_number() OVER (ORDER BY w_pico DESC, t ASC) AS BIGINT) AS r,
+        |    sum(CAST(w_pico AS DECIMAL(38,0))) OVER (ORDER BY w_pico DESC, t ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w
+        |  FROM w)
+        |SELECT r AS rank, t AS token, c,
+        |  CAST((CAST(w_pico AS HUGEINT) * 1000000) // CAST(w_tot AS HUGEINT)
+        |    AS BIGINT) AS p_micro,
+        |  CAST((CAST(cum_w AS HUGEINT) * 1152921504606846976)
+        |    // CAST(w_tot AS HUGEINT) AS BIGINT) AS wheel_hi
+        |FROM rk, tt WHERE r <= 30 ORDER BY rank""".stripMargin)),
+
     // SR1: Spearman's rho over the same per-source (quality, length)
     // ranks as kt1 — the moment-based rank correlation; doubled
     // average ranks keep ties exact-integer, one sqrt at display.

@@ -1848,6 +1848,113 @@ object Stats {
             .cast("long")).as("alpha_nano"))
   }
 
+  /** Neyman allocation (Neyman 1934, the optimal-stratified-sampling
+    * design): given a total evaluation budget `n`, how many samples
+    * should each stratum get? `n_h ∝ N_h·σ_h` — strata that are BIG
+    * or NOISY earn more of the budget; the design that minimizes the
+    * estimator's variance at fixed cost, and the principled way to
+    * size a human-eval or held-out set per (source, language, …)
+    * stratum instead of proportional-or-uniform guessing.
+    *
+    * Determinism: per-stratum moments are exact (micro-quantized
+    * values, decimal sums); σ_h is one fixed-order double,
+    * pico-quantized into an integer WEIGHT; integer allocations use
+    * LARGEST-REMAINDER apportionment on the weight shares
+    * (`floor(n·w_h/W)` + one extra to the largest remainders, ties by
+    * stratum name), so Σn_h = n EXACTLY and every step is integer
+    * arithmetic after the one σ quantization.
+    *
+    * Scale: one combinable stratum-moment shuffle; apportionment runs
+    * on the strata-bounded table (two windows).
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
+                       budget: Long): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df.select(col(stratumCol).cast("string").as("h"),
+        floor(col(valueCol) * lit(1e6) + lit(0.5)).cast("long").as("q"))
+      .groupBy("h")
+      .agg(count(lit(1)).cast("long").as("n_h"),
+        sum(dec(col("q"))).as("s"),
+        sum(dec(col("q")) * dec(col("q"))).as("ss"))
+    // population σ (N in the denominator — the design-variance form);
+    // single-row strata have σ = 0 and draw only remainder samples
+    val nd = col("n_h").cast("double")
+    val varPop = (col("ss").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / nd) / nd
+    // zero-variance strata keep weight 1 (not 0): apportionment then
+    // always sums to n even when EVERY stratum is degenerate, and a
+    // constant stratum still gets the minimal screening presence
+    val weighted = cells
+      .withColumn("w_pico", greatest(
+        floor(nd * sqrt(greatest(varPop, lit(0.0))) + lit(0.5)).cast("long"),
+        lit(1L)))
+    val tot = weighted.agg(sum(dec(col("w_pico"))).as("w_tot"))
+    val shares = weighted.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"CAST((w_pico * ${budget}L) div " +
+        "CASE WHEN w_tot = 0 THEN 1 ELSE w_tot END AS BIGINT)"))
+      .withColumn("rem", expr(s"CAST((w_pico * ${budget}L) % " +
+        "CASE WHEN w_tot = 0 THEN 1 ELSE w_tot END AS BIGINT)"))
+    val short = shares.agg((lit(budget) - sum("base")).cast("long").as("k"))
+    shares.crossJoin(broadcast(short))
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem").desc, col("h").asc)))
+      .select(col("h").as("stratum"), col("n_h"), col("w_pico"),
+        (col("base") + when(col("rr") <= col("k"), 1L).otherwise(0L))
+          .as("n_alloc"))
+  }
+
+  /** Simpson's-paradox detector (the Yule–Simpson reversal audit):
+    * does the pooled association between a binary treatment and a
+    * binary outcome have the OPPOSITE sign of (all, or most of) the
+    * within-stratum associations? The data-quality sibling of
+    * [[stratifiedAte]]: where ipw1 CORRECTS for the confounder, this
+    * FLAGS that a naive pooled read of the table would mislead.
+    *
+    * Per stratum and pooled, the association sign is the sign of
+    * `p₁ − p₀` compared as exact integer cross-products
+    * (`s1·n0 − s0·n1` — no division, no float). Output: one row per
+    * stratum with its sign, plus the pooled sign and a `reversed`
+    * flag per stratum; `n_reversed` on every row is the audit scalar.
+    *
+    * Scale: ONE combinable (stratum, arm) cell shuffle; everything
+    * after is strata-bounded.
+    */
+  def simpsonAudit(df: DataFrame, stratumCol: String, treatedCol: String,
+                   outcomeCol: String): DataFrame = {
+    val cells = df.select(col(stratumCol).cast("string").as("h"),
+        when(col(treatedCol), 1L).otherwise(0L).as("arm"),
+        when(col(outcomeCol), 1L).otherwise(0L).as("y"))
+      .groupBy("h", "arm")
+      .agg(count(lit(1)).cast("long").as("n"), sum("y").cast("long").as("s"))
+    val st = cells.groupBy("h").agg(
+      sum(when(col("arm") === 1L, col("n")).otherwise(0L)).cast("long").as("n1"),
+      sum(when(col("arm") === 1L, col("s")).otherwise(0L)).cast("long").as("s1"),
+      sum(when(col("arm") === 0L, col("n")).otherwise(0L)).cast("long").as("n0"),
+      sum(when(col("arm") === 0L, col("s")).otherwise(0L)).cast("long").as("s0"))
+      .filter(col("n1") > 0L && col("n0") > 0L)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val withSign = st.withColumn("sign",
+      signum((dec(col("s1")) * dec(col("n0")) -
+        dec(col("s0")) * dec(col("n1"))).cast("double")).cast("int"))
+    val pooled = withSign.agg(
+      sum("s1").cast("long").as("ps1"), sum("n1").cast("long").as("pn1"),
+      sum("s0").cast("long").as("ps0"), sum("n0").cast("long").as("pn0"))
+      .select(signum((dec(col("ps1")) * dec(col("pn0")) -
+        dec(col("ps0")) * dec(col("pn1"))).cast("double")).cast("int")
+        .as("pooled_sign"))
+    val flagged = withSign.crossJoin(broadcast(pooled))
+      .withColumn("reversed",
+        col("sign") =!= 0 && col("pooled_sign") =!= 0 &&
+          col("sign") =!= col("pooled_sign"))
+    val audit = flagged.agg(
+      sum(when(col("reversed"), 1L).otherwise(0L)).cast("long")
+        .as("n_reversed"))
+    flagged.crossJoin(broadcast(audit))
+      .select(col("h").as("stratum"), col("n1"), col("s1"), col("n0"),
+        col("s0"), col("sign"), col("pooled_sign"), col("reversed"),
+        col("n_reversed"))
+  }
+
   /** Spearman's ρ between two integer metrics over a bounded item
     * table — Pearson correlation ON THE RANKS: [[kendallTauB]]'s
     * moment-based sibling (ρ weighs the SIZE of rank displacements

@@ -1096,6 +1096,49 @@ object Text {
         col("c_grams"), col("f_micro"), col("chrf_micro"))
   }
 
+  /** word2vec-style negative-sampling table (Mikolov et al., NeurIPS
+    * '13 §2.2): sampling weight ∝ count^0.75 — the power that keeps
+    * frequent tokens from swamping the negatives while still
+    * preferring them over the tail. Emits the top-`topK` rows of the
+    * table with exact-integer sampling probabilities and the
+    * cumulative boundary each token owns in a 2⁶⁰-sided roulette
+    * wheel (the alias-free sampler production uses: draw u ∈ [0, 2⁶⁰),
+    * binary-search the boundary).
+    *
+    * Determinism: count^0.75 is computed as `exp(0.75·ln c)` — the
+    * SAME composition in both engines (never pow(), whose libm
+    * implementations differ) — then pico-quantized per token before
+    * the order-free total; probabilities and boundaries are exact
+    * integer divisions and prefix sums over the quantized weights in
+    * (weight desc, token asc) total order.
+    *
+    * Scale: one combinable token-count shuffle; the table itself is
+    * vocabulary-bounded and the top-k cut a TakeOrdered.
+    */
+  def negativeSamplingTable(docs: DataFrame, topK: Int = 30,
+                            power: Double = 0.75,
+                            textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(explode(expr(
+        s"filter(split(lower($textCol), ' '), x -> length(x) > 0)")).as("t"))
+      .groupBy("t").agg(count(lit(1)).cast("long").as("c"))
+      .withColumn("w_pico",
+        floor(exp(lit(power) * log(col("c").cast("double"))) * lit(1e12) +
+          lit(0.5)).cast("long"))
+    val tot = counts.agg(sum(col("w_pico").cast("decimal(38,0)")).as("w_tot"))
+    val w = Window.orderBy(col("w_pico").desc, col("t").asc)
+    counts.crossJoin(broadcast(tot))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("cum_w", sum(col("w_pico").cast("decimal(38,0)")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("r") <= topK)
+      .select(col("r").as("rank"), col("t").as("token"), col("c"),
+        expr("CAST((CAST(w_pico AS DECIMAL(38,0)) * 1000000) div w_tot AS BIGINT)")
+          .as("p_micro"),
+        expr("CAST((cum_w * 1152921504606846976) div w_tot AS BIGINT)")
+          .as("wheel_hi"))
+  }
+
   /** Keyness by Dunning's log-likelihood ratio (Dunning, CL'93 — the
     * corpus-linguistics standard that, unlike χ², stays calibrated for
     * rare words): which terms DISCRIMINATE the focus partition from

@@ -246,6 +246,50 @@ class EvalTextSpec extends AnyFunSuite {
       m.values.map(_._3).sum).foreach(s => assert(s === 2000000L))
   }
 
+  test("neymanAllocation: allocations sum to budget exactly; noisy strata earn more") {
+    // A: big + noisy; B: same size, constant; C: small + noisy
+    val df = (Seq.tabulate(100)(i => ("A", (i % 10).toDouble * 10)) ++
+      Seq.fill(100)(("B", 5.0)) ++
+      Seq.tabulate(20)(i => ("C", (i % 10).toDouble * 10)))
+      .toDF("h", "v")
+    val got = Stats.neymanAllocation(df, "h", "v", budget = 1000L)
+      .orderBy("stratum").collect()
+    assert(got.map(_.getAs[Long]("n_alloc")).sum === 1000L)
+    val m = got.map(r => r.getAs[String]("stratum") ->
+      r.getAs[Long]("n_alloc")).toMap
+    assert(m("A") > m("C")) // same sigma, 5x the size
+    assert(m("A") > m("B")) // same size, sigma 0 vs noisy
+    assert(m("B") <= 1L)    // constant stratum: weight-1 screening only
+  }
+
+  test("simpsonAudit: a textbook reversal is flagged; aligned strata are not") {
+    // classic 2-stratum reversal: within each stratum treatment wins,
+    // pooled it loses (treatment concentrated in the hard stratum)
+    val rows =
+      Seq.fill(18)(("easy", false, true)) ++ Seq.fill(2)(("easy", false, false)) ++ // 90%
+      Seq.fill(2)(("easy", true, true)) ++                                          // 100%
+      Seq.fill(2)(("hard", false, false)) ++                                        // 0%
+      Seq.fill(6)(("hard", true, true)) ++ Seq.fill(12)(("hard", true, false))      // 33%
+    val df = rows.toDF("h", "tr", "y")
+    val got = Stats.simpsonAudit(df, "h", "tr", "y").orderBy("stratum").collect()
+    assert(got.forall(_.getAs[Int]("sign") === 1))        // treated wins within
+    assert(got.forall(_.getAs[Int]("pooled_sign") === -1)) // loses pooled
+    assert(got.forall(_.getAs[Boolean]("reversed")))
+    assert(got.head.getAs[Long]("n_reversed") === 2L)
+  }
+
+  test("negativeSamplingTable: power damps frequency; wheel ends at 2^60") {
+    val docs = Seq(Seq.fill(16)("big").mkString(" ") + " small").toDF("text")
+    val got = Text.negativeSamplingTable(docs, topK = 10).orderBy("rank").collect()
+    assert(got.map(_.getAs[String]("token")).toSeq === Seq("big", "small"))
+    val pBig = got(0).getAs[Long]("p_micro")
+    // raw share would be 16/17 = 941k; 16^.75 = 8 -> 8/9 = 888k
+    assert(pBig === (8L * 1000000L) / 9L)
+    // the last wheel boundary is exactly 2^60 (integer division of
+    // cum == tot)
+    assert(got.last.getAs[Long]("wheel_hi") === 1152921504606846976L)
+  }
+
   test("maxSimTopK: identical vector scores exactly parts; ranking follows parts matched") {
     val v = Array.tabulate(64)(i => (math.sin(i + 1) * 10).toFloat)
     // n2 = exact copy (sim 4), n3 = copy with last 32 dims zeroed out
