@@ -8197,6 +8197,72 @@ object QueriesOps {
         |  round(CAST(ap_sum AS DOUBLE) / (CAST(n_pos AS DOUBLE) * 1e12), 9) AS avg_precision
         |FROM m""".stripMargin)),
 
+    // DL1: DeLong's correlated-AUC test — does the stopword scorer
+    // beat raw length at predicting English, beyond noise? Placements
+    // from the doubled-rank identity (no pair join), exact decimal
+    // moments, one fixed-order z double nano-quantized.
+    "dl1_delong_auc" -> Q(
+      (s, d) => Classify.deLongAucTest(
+          Text.withLangId(docs(s, d))
+            .select(col("score_en").cast("long").as("sa"),
+              col("n_chars").cast("long").as("sb"),
+              (col("lang") === "en").as("is_en")),
+          "sa", "sb", "is_en"),
+      Some("""WITH t AS (SELECT
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> list_contains(['the','and','of','is','to'], x))) AS BIGINT) AS sa,
+        |    CAST(n_chars AS BIGINT) AS sb,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |p AS (SELECT y,
+        |    (2 * rank() OVER (ORDER BY sa) + count(*) OVER (PARTITION BY sa) - 1)
+        |      - (2 * rank() OVER (PARTITION BY y ORDER BY sa)
+        |        + count(*) OVER (PARTITION BY y, sa) - 1) AS pa,
+        |    (2 * rank() OVER (ORDER BY sb) + count(*) OVER (PARTITION BY sb) - 1)
+        |      - (2 * rank() OVER (PARTITION BY y ORDER BY sb)
+        |        + count(*) OVER (PARTITION BY y, sb) - 1) AS pb
+        |  FROM t),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    sum(CASE WHEN y = 1 THEN CAST(pa AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sa1,
+        |    sum(CASE WHEN y = 1 THEN CAST(pb AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sb1,
+        |    sum(CASE WHEN y = 1 THEN CAST(pa AS DECIMAL(38,0)) * CAST(pa AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS qaa1,
+        |    sum(CASE WHEN y = 1 THEN CAST(pb AS DECIMAL(38,0)) * CAST(pb AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS qbb1,
+        |    sum(CASE WHEN y = 1 THEN CAST(pa AS DECIMAL(38,0)) * CAST(pb AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS qab1,
+        |    sum(CASE WHEN y = 0 THEN CAST(pa AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sa0,
+        |    sum(CASE WHEN y = 0 THEN CAST(pb AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sb0,
+        |    sum(CASE WHEN y = 0 THEN CAST(pa AS DECIMAL(38,0)) * CAST(pa AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS qaa0,
+        |    sum(CASE WHEN y = 0 THEN CAST(pb AS DECIMAL(38,0)) * CAST(pb AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS qbb0,
+        |    sum(CASE WHEN y = 0 THEN CAST(pa AS DECIMAL(38,0)) * CAST(pb AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS qab0
+        |  FROM p),
+        |f AS (SELECT *,
+        |    CAST(n1 AS DOUBLE) AS n1d, CAST(n0 AS DOUBLE) AS n0d,
+        |    ((CAST(qaa1 AS DOUBLE) - CAST(sa1 AS DOUBLE) * CAST(sa1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |      + (CAST(qbb1 AS DOUBLE) - CAST(sb1 AS DOUBLE) * CAST(sb1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |      - 2.0 * (CAST(qab1 AS DOUBLE) - CAST(sa1 AS DOUBLE) * CAST(sb1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+        |      / ((CAST(n1 AS DOUBLE) - 1.0) * 4.0 * CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))
+        |    + ((CAST(qaa0 AS DOUBLE) - CAST(sa0 AS DOUBLE) * CAST(sa0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |      + (CAST(qbb0 AS DOUBLE) - CAST(sb0 AS DOUBLE) * CAST(sb0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |      - 2.0 * (CAST(qab0 AS DOUBLE) - CAST(sa0 AS DOUBLE) * CAST(sb0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+        |      / ((CAST(n0 AS DOUBLE) - 1.0) * 4.0 * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))
+        |      AS vtot,
+        |    CAST(sa1 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) AS auca,
+        |    CAST(sb1 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) AS aucb
+        |  FROM m)
+        |SELECT n1 AS n_pos, n0 AS n_neg,
+        |  CAST((CAST(sa1 AS HUGEINT) * 1000000)
+        |    // (2 * CAST(n1 AS HUGEINT) * n0) AS BIGINT) AS auc_a_micro,
+        |  CAST((CAST(sb1 AS HUGEINT) * 1000000)
+        |    // (2 * CAST(n1 AS HUGEINT) * n0) AS BIGINT) AS auc_b_micro,
+        |  CASE WHEN n1 >= 2 AND n0 >= 2 AND vtot > 0.0
+        |    THEN CAST(floor((auca - aucb) / sqrt(vtot) * 1e9 + 0.5) AS BIGINT)
+        |    ELSE 0 END AS z_nano,
+        |  CASE WHEN n1 >= 2 AND n0 >= 2 AND vtot > 0.0
+        |    THEN abs((auca - aucb) / sqrt(vtot)) > 1.96
+        |    ELSE false END AS significant
+        |FROM f""".stripMargin)),
+
     // WOE1: weight-of-evidence / information-value of doc length as a
     // predictor of `lang = en` — decile bins by deterministic
     // (n_chars, doc_id) ntile, Laplace-smoothed WOE as one ln of an

@@ -705,6 +705,99 @@ object Classify {
         col("is_best"))
   }
 
+  /** DeLong's test for two CORRELATED AUCs (DeLong, DeLong &
+    * Clarke-Pearson, Biometrics '88) — the standard answer to "is
+    * scorer A actually better than scorer B on this data, or is the
+    * AUC gap noise?". Both scorers rank the SAME items, so the naive
+    * independent-AUC z ignores the covariance that usually dominates;
+    * DeLong estimates it from per-item PLACEMENT values.
+    *
+    * Placements come from the rank identity (no O(n₁·n₀) pair join):
+    * with doubled average ranks `r2 = 2·rank + ties − 1`, a positive's
+    * placement numerator is `p = r2_combined − r2_within_class`
+    * (= 2·Σ_j ψ(X_i, Y_j), an exact integer even under ties), and a
+    * negative's is the same p (its placement is `n₁ − p/2`, but
+    * variance/covariance are shift- and sign-invariant, so the
+    * moments of p suffice).
+    *
+    * Determinism: scores are integer columns (callers micro-quantize
+    * doubles); all placement moments are exact decimal sums; AUCs are
+    * exact integer divisions; z is ONE fixed-order double expression,
+    * nano-quantized. Degenerate classes (< 2 members) report z = 0.
+    *
+    * Scale: four rank windows (two global, two class-partitioned) over
+    * the scored table + one combinable moment aggregate. The global
+    * windows are the one single-reducer stage — at corpus scale the
+    * scored table is an eval SAMPLE by construction (the ly1
+    * bounded-input convention); rr1's distributed-rank machinery is
+    * the fallback when it is not.
+    */
+  def deLongAucTest(df: DataFrame, scoreACol: String, scoreBCol: String,
+                    labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.select(col(scoreACol).cast("long").as("sa"),
+      col(scoreBCol).cast("long").as("sb"),
+      when(col(labelCol), 1L).otherwise(0L).as("y"))
+    def r2(scoreCol: String, parts: Seq[String]): Column = {
+      val wR = if (parts.isEmpty) Window.orderBy(scoreCol)
+        else Window.partitionBy(parts.map(col): _*).orderBy(scoreCol)
+      val wC = if (parts.isEmpty) Window.partitionBy(scoreCol)
+        else Window.partitionBy((parts :+ scoreCol).map(col): _*)
+      lit(2L) * rank().over(wR).cast("long") +
+        count(lit(1)).over(wC).cast("long") - lit(1L)
+    }
+    val placed = base
+      .withColumn("pa", r2("sa", Nil) - r2("sa", Seq("y")))
+      .withColumn("pb", r2("sb", Nil) - r2("sb", Seq("y")))
+    val m = placed.agg(
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).cast("long").as("n1"),
+      sum(when(col("y") === 0L, 1L).otherwise(0L)).cast("long").as("n0"),
+      sum(when(col("y") === 1L, dec(col("pa"))).otherwise(dec(lit(0)))).as("sa1"),
+      sum(when(col("y") === 1L, dec(col("pb"))).otherwise(dec(lit(0)))).as("sb1"),
+      sum(when(col("y") === 1L, dec(col("pa")) * dec(col("pa")))
+        .otherwise(dec(lit(0)))).as("qaa1"),
+      sum(when(col("y") === 1L, dec(col("pb")) * dec(col("pb")))
+        .otherwise(dec(lit(0)))).as("qbb1"),
+      sum(when(col("y") === 1L, dec(col("pa")) * dec(col("pb")))
+        .otherwise(dec(lit(0)))).as("qab1"),
+      sum(when(col("y") === 0L, dec(col("pa"))).otherwise(dec(lit(0)))).as("sa0"),
+      sum(when(col("y") === 0L, dec(col("pb"))).otherwise(dec(lit(0)))).as("sb0"),
+      sum(when(col("y") === 0L, dec(col("pa")) * dec(col("pa")))
+        .otherwise(dec(lit(0)))).as("qaa0"),
+      sum(when(col("y") === 0L, dec(col("pb")) * dec(col("pb")))
+        .otherwise(dec(lit(0)))).as("qbb0"),
+      sum(when(col("y") === 0L, dec(col("pa")) * dec(col("pb")))
+        .otherwise(dec(lit(0)))).as("qab0"))
+    val (n1d, n0d) = (col("n1").cast("double"), col("n0").cast("double"))
+    def covTerm(q: String, sx: String, sz: String, n: Column) =
+      col(q).cast("double") - col(sx).cast("double") *
+        col(sz).cast("double") / n
+    // Var(AUC_A − AUC_B) = S10 part over positives + S01 over negatives
+    val v10 = (covTerm("qaa1", "sa1", "sa1", n1d) +
+      covTerm("qbb1", "sb1", "sb1", n1d) -
+      lit(2.0) * covTerm("qab1", "sa1", "sb1", n1d)) /
+      ((n1d - 1.0) * lit(4.0) * n0d * n0d * n1d)
+    val v01 = (covTerm("qaa0", "sa0", "sa0", n0d) +
+      covTerm("qbb0", "sb0", "sb0", n0d) -
+      lit(2.0) * covTerm("qab0", "sa0", "sb0", n0d)) /
+      ((n0d - 1.0) * lit(4.0) * n1d * n1d * n0d)
+    val aucA = col("sa1").cast("double") / (lit(2.0) * n1d * n0d)
+    val aucB = col("sb1").cast("double") / (lit(2.0) * n1d * n0d)
+    val vtot = v10 + v01
+    m.select(col("n1").as("n_pos"), col("n0").as("n_neg"),
+      expr("CAST((sa1 * 1000000) div (2 * CAST(n1 AS DECIMAL(38,0)) * n0) AS BIGINT)")
+        .as("auc_a_micro"),
+      expr("CAST((sb1 * 1000000) div (2 * CAST(n1 AS DECIMAL(38,0)) * n0) AS BIGINT)")
+        .as("auc_b_micro"),
+      when(col("n1") >= 2L && col("n0") >= 2L && vtot > 0.0,
+        floor((aucA - aucB) / sqrt(vtot) * lit(1e9) + lit(0.5)).cast("long"))
+        .otherwise(lit(0L)).as("z_nano"),
+      when(col("n1") >= 2L && col("n0") >= 2L && vtot > 0.0,
+        abs((aucA - aucB) / sqrt(vtot)) > 1.96).otherwise(lit(false))
+        .as("significant"))
+  }
+
   /** Murphy (1973) decomposition of the Brier score over probability
     * bins: `BS = uncertainty + reliability − resolution (+ within-bin
     * residual)` — splits a probabilistic scorer's squared error into

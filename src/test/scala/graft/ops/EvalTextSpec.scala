@@ -290,6 +290,26 @@ class EvalTextSpec extends AnyFunSuite {
     assert(got.last.getAs[Long]("wheel_hi") === 1152921504606846976L)
   }
 
+  test("deLongAucTest: tie-aware AUCs exact; identical scorers z=0; antisymmetric") {
+    val rows = Seq(
+      (10L, 1L, true), (9L, 5L, true), (8L, 1L, true), (2L, 5L, true),
+      (1L, 1L, false), (2L, 5L, false), (3L, 1L, false), (7L, 5L, false))
+      .toDF("sa", "sb", "y")
+    val r = Classify.deLongAucTest(rows, "sa", "sb", "y").head()
+    // hand: A wins 13.5 of 16 pairs (one tie at 2) = 0.84375
+    assert(r.getAs[Long]("auc_a_micro") === 843750L)
+    // identical scorers: covariance cancels variance exactly -> z = 0
+    val same = Classify.deLongAucTest(
+      rows.select(col("sa"), col("sa").as("sb2"), col("y")),
+      "sa", "sb2", "y").head()
+    assert(same.getAs[Long]("z_nano") === 0L)
+    assert(same.getAs[Long]("auc_a_micro") === same.getAs[Long]("auc_b_micro"))
+    // swapping the scorers flips the sign of z
+    val fwd = Classify.deLongAucTest(rows, "sa", "sb", "y").head()
+    val rev = Classify.deLongAucTest(rows, "sb", "sa", "y").head()
+    assert(fwd.getAs[Long]("z_nano") === -rev.getAs[Long]("z_nano"))
+  }
+
   test("maxSimTopK: identical vector scores exactly parts; ranking follows parts matched") {
     val v = Array.tabulate(64)(i => (math.sin(i + 1) * 10).toFloat)
     // n2 = exact copy (sim 4), n3 = copy with last 32 dims zeroed out
