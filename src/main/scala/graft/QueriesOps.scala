@@ -1831,6 +1831,65 @@ object QueriesOps {
         |      (a, b) -> greatest(a, b)) <= scale / 253.0 END AS err_ok
         |FROM q ORDER BY vec_id""".stripMargin)),
 
+    // CKA1: linear CKA between the float embeddings and their int8
+    // dequantization (Kornblith et al. '19) — did quantization
+    // preserve the GEOMETRY (rotation/scale-invariant), where vq1's
+    // per-vector error bound can't see that a global rotation is
+    // harmless. Exact integer Grams, fixed-unit pico Frobenius terms.
+    "cka1_quantization_cka" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        val deq = Similarity.quantizeInt8(e).select(col("vec_id"),
+          when(col("scale") === 0.0, transform(col("qvec"), _ => lit(0.0)))
+            .otherwise(transform(col("qvec"),
+              q => q.cast("double") * col("scale") / lit(127.0)))
+            .as("deq"))
+        graft.ops.Pca.linearCka(
+          e.select(col("vec_id"), col("embedding")).join(deq, "vec_id"),
+          "embedding", "deq", "vec_id")
+      },
+      Some("""WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd FROM embeddings),
+        |s AS (SELECT vec_id, xd,
+        |    list_reduce(list_prepend(0.0, list_transform(xd, x -> abs(x))),
+        |      (a, b) -> greatest(a, b)) AS scale FROM v),
+        |q AS (SELECT vec_id, xd,
+        |    CASE WHEN scale = 0 THEN list_transform(xd, x -> 0.0)
+        |    ELSE list_transform(xd, x ->
+        |      CAST(round(x / scale * 127.0) AS DOUBLE) * scale / 127.0)
+        |    END AS yd FROM s),
+        |rng AS (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS i),
+        |ex AS MATERIALIZED (SELECT vec_id AS r, rng.i - 1 AS i,
+        |    CAST(floor(xd[rng.i] * 1e6 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(yd[rng.i] * 1e6 + 0.5) AS BIGINT) AS y
+        |  FROM q CROSS JOIN rng),
+        |me AS (SELECT i, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+        |  FROM ex GROUP BY 1),
+        |ce AS MATERIALIZED (SELECT ex.r, ex.i,
+        |    n * x - sx AS cx, n * y - sy AS cy FROM ex JOIN me USING (i)),
+        |gr AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+        |    sum(CAST(a.cx AS DECIMAL(38,0)) * CAST(b.cy AS DECIMAL(38,0))) AS gxy,
+        |    sum(CAST(a.cx AS DECIMAL(38,0)) * CAST(b.cx AS DECIMAL(38,0))) AS gxx,
+        |    sum(CAST(a.cy AS DECIMAL(38,0)) * CAST(b.cy AS DECIMAL(38,0))) AS gyy
+        |  FROM ce a JOIN ce b ON a.r = b.r GROUP BY 1, 2),
+        |fr AS (SELECT
+        |    sum(CAST(CAST(floor((CAST(gxy AS DOUBLE) / 1e18)
+        |      * (CAST(gxy AS DOUBLE) / 1e18) * 1e6 + 0.5) AS BIGINT)
+        |      AS DECIMAL(38,0))) AS fxy,
+        |    sum(CAST(CAST(floor((CAST(gxx AS DOUBLE) / 1e18)
+        |      * (CAST(gxx AS DOUBLE) / 1e18) * 1e6 + 0.5) AS BIGINT)
+        |      AS DECIMAL(38,0))) AS fxx,
+        |    sum(CAST(CAST(floor((CAST(gyy AS DOUBLE) / 1e18)
+        |      * (CAST(gyy AS DOUBLE) / 1e18) * 1e6 + 0.5) AS BIGINT)
+        |      AS DECIMAL(38,0))) AS fyy
+        |  FROM gr)
+        |SELECT CASE WHEN CAST(fxx AS DOUBLE) * CAST(fyy AS DOUBLE) > 0.0
+        |  THEN CAST(floor(CAST(fxy AS DOUBLE)
+        |    / sqrt(CAST(fxx AS DOUBLE) * CAST(fyy AS DOUBLE)) * 1e9 + 0.5)
+        |    AS BIGINT)
+        |  ELSE 0 END AS cka_nano FROM fr""".stripMargin)),
+
     // CH1: shard-rebalance audit — mod-hash vs consistent-hash ring at
     // 8→9 shards over the real key population. The 100 TB planning
     // number: mod moves ~8/9 of the corpus, the ring ~1/9; assignment

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Top principal component of an embedding column by power iteration
@@ -144,5 +144,69 @@ object Pca {
     embs.select(col(idCol),
       aggregate(zip_with(q, ll, (a, b) => a.cast("double") * b),
         lit(0.0), (acc, x) => acc + x).as("score"))
+  }
+
+  /** Linear CKA (Kornblith et al., ICML'19, "Similarity of Neural
+    * Network Representations Revisited"): `CKA(X, Y) = ‖X̃ᵀỸ‖²_F /
+    * (‖X̃ᵀX̃‖_F · ‖ỸᵀỸ‖_F)` over column-centered representations —
+    * 1 iff the two embeddings of the SAME rows agree up to rotation +
+    * isotropic scale, the invariances a downstream cosine consumer
+    * has. THE modern answer to "did quantization / a new checkpoint /
+    * a projection preserve the geometry", where per-vector error
+    * norms (vq1) can't see that a harmless global rotation is
+    * harmless.
+    *
+    * Exact-integer construction: both representations micro-quantize;
+    * centering multiplies through by n (`c = n·x − Σx`, integer — CKA
+    * is scale-invariant so the n factor cancels); all THREE Grams
+    * (XY, XX, YY) come from ONE row-self-join over (row, dim) pairs
+    * as exact decimal sums; each Gram cell's square pico-quantizes in
+    * a FIXED unit before the order-free Frobenius sums; the final
+    * ratio is one fixed-order double, nano display.
+    *
+    * Scale: the (row, dim) explode is n·d rows; the self-join on row
+    * is n·d² — the standard distributed Gram shape, combinable by
+    * (i, j); everything after is d²-bounded. Zero-variance
+    * representations report 0.
+    */
+  def linearCka(df: DataFrame, vecACol: String, vecBCol: String,
+                idCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val ex = df.select(col(idCol).as("r"),
+        posexplode(arrays_zip(col(vecACol), col(vecBCol))))
+      .select(col("r"), col("pos").as("i"),
+        floor(col(s"col.$vecACol").cast("double") * lit(1e6) + lit(0.5))
+          .cast("long").as("x"),
+        floor(col(s"col.$vecBCol").cast("double") * lit(1e6) + lit(0.5))
+          .cast("long").as("y"))
+    val means = ex.groupBy("i")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"))
+    val centered = ex.join(broadcast(means), "i")
+      .select(col("r"), col("i"),
+        (col("n") * col("x") - col("sx")).as("cx"),
+        (col("n") * col("y") - col("sy")).as("cy"))
+    val grams = centered.as("a")
+      .join(centered.as("b"), col("a.r") === col("b.r"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(dec(col("a.cx")) * dec(col("b.cy"))).as("gxy"),
+        sum(dec(col("a.cx")) * dec(col("b.cx"))).as("gxx"),
+        sum(dec(col("a.cy")) * dec(col("b.cy"))).as("gyy"))
+    // fixed-unit pico-quantized squared cells (js1 discipline: quantize
+    // BEFORE the order-free d²-cell sum); /1e18 keeps squares in long
+    // range at micro·n scales
+    def sq(g: String) = floor(
+      (col(g).cast("double") / lit(1e18)) * (col(g).cast("double") / lit(1e18)) *
+        lit(1e6) + lit(0.5)).cast("long")
+    val fro = grams.select(sq("gxy").as("txy"), sq("gxx").as("txx"),
+        sq("gyy").as("tyy"))
+      .agg(sum(dec(col("txy"))).as("fxy"), sum(dec(col("txx"))).as("fxx"),
+        sum(dec(col("tyy"))).as("fyy"))
+    fro.select(
+      when(col("fxx").cast("double") * col("fyy").cast("double") > 0.0,
+        floor(col("fxy").cast("double") /
+          sqrt(col("fxx").cast("double") * col("fyy").cast("double")) *
+          lit(1e9) + lit(0.5)).cast("long")).otherwise(lit(0L))
+        .as("cka_nano"))
   }
 }

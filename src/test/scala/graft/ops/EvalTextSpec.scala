@@ -310,6 +310,25 @@ class EvalTextSpec extends AnyFunSuite {
     assert(fwd.getAs[Long]("z_nano") === -rev.getAs[Long]("z_nano"))
   }
 
+  test("linearCka: identity = 1; invariant to dimension permutation; zero-variance guarded") {
+    val vecs = Seq.tabulate(12)(r =>
+      (r.toLong, Array.tabulate(8)(i => math.sin(r * 8 + i + 1).toFloat).toSeq))
+      .toDF("vec_id", "va")
+    val same = vecs.withColumn("vb", col("va"))
+    assert(Pca.linearCka(same, "va", "vb", "vec_id")
+      .head().getAs[Long]("cka_nano") === 1000000000L)
+    // permuting dimensions is orthogonal: CKA must stay ~1 (within
+    // pico-quantization of the Frobenius terms)
+    val perm = vecs.withColumn("vb", reverse(col("va")))
+    assert(Pca.linearCka(perm, "va", "vb", "vec_id")
+      .head().getAs[Long]("cka_nano") >= 999999000L)
+    // a constant representation has zero centered variance: report 0
+    val const = vecs.withColumn("vb",
+      transform(col("va"), _ => lit(2.5f)))
+    assert(Pca.linearCka(const, "va", "vb", "vec_id")
+      .head().getAs[Long]("cka_nano") === 0L)
+  }
+
   test("maxSimTopK: identical vector scores exactly parts; ranking follows parts matched") {
     val v = Array.tabulate(64)(i => (math.sin(i + 1) * 10).toFloat)
     // n2 = exact copy (sim 4), n3 = copy with last 32 dims zeroed out
