@@ -55,7 +55,14 @@ object Plans {
     // bt1 reason)
     "auc1_score_auc", "lift1_gains", "gt1_good_turing",
     "rfm1_rfm_segments", "sil1_silhouette", "jb1_jarque_bera",
-    "jc1_join_cardinality", "fh1_feature_hashing")
+    "jc1_join_cardinality", "fh1_feature_hashing",
+    // round-13 pure-plan additions (vac1 drives the filesystem and
+    // cka1/ny1 are small-output scalar reports whose shapes the other
+    // pins already exemplify; bb1's sig path is pinned via dd3)
+    "bl1_bleu", "chf1_chrf", "re1_renyi_efficiency",
+    "kr1_krippendorff_alpha", "ld1_l_diversity", "ci1_maxsim_topk",
+    "fim1_fill_in_middle", "ql1_query_likelihood", "llr1_keyness",
+    "at1_attribution", "dl1_delong_auc", "sr1_spearman_rho")
 
   /** (shuffle exchanges, broadcast exchanges) of the physical plan,
     * counted via tree walk, not the text dump: a persisted subtree's
