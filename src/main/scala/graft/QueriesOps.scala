@@ -8322,6 +8322,67 @@ object QueriesOps {
         |    ELSE false END AS significant
         |FROM f""".stripMargin)),
 
+    // YJ1: Youden's-J optimal threshold for the stopword scorer — the
+    // deployable operating point once auc1 says the scorer works;
+    // exact cumulative counts, integer cross-product argmax, highest-
+    // threshold tiebreak.
+    "yj1_youden_threshold" -> Q(
+      (s, d) => Classify.youdenThreshold(
+          Text.withLangId(docs(s, d))
+            .select(col("score_en").cast("long").as("sc"),
+              (col("lang") === "en").as("is_en")),
+          "sc", "is_en"),
+      Some("""WITH t AS (SELECT
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> list_contains(['the','and','of','is','to'], x))) AS BIGINT) AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |g AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS pos FROM t GROUP BY 1),
+        |c AS (SELECT s,
+        |    CAST(sum(pos) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |    CAST(sum(n) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn
+        |  FROM g),
+        |tt AS (SELECT CAST(sum(pos) AS BIGINT) AS p_tot,
+        |    CAST(sum(n) - sum(pos) AS BIGINT) AS n_tot FROM g),
+        |jj AS (SELECT s, tp, cn - tp AS fp, p_tot, n_tot,
+        |    CAST(tp AS HUGEINT) * n_tot - CAST(cn - tp AS HUGEINT) * p_tot AS j_num
+        |  FROM c, tt),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY j_num DESC, s DESC) AS r
+        |  FROM jj)
+        |SELECT s AS threshold, tp, fp,
+        |  p_tot - tp AS fn, n_tot - fp AS tn,
+        |  CAST((tp * 1000000) // p_tot AS BIGINT) AS tpr_micro,
+        |  CAST((fp * 1000000) // n_tot AS BIGINT) AS fpr_micro,
+        |  CAST((j_num * 1000000) // (CAST(p_tot AS HUGEINT) * n_tot) AS BIGINT)
+        |    AS j_micro
+        |FROM rk WHERE r = 1""".stripMargin)),
+
+    // TSCV1: forward-chaining time-series CV folds over event weeks —
+    // the no-future-leakage split audit; boundary invariant checked
+    // from the data, not the construction.
+    "tscv1_forward_chaining" -> Q(
+      (s, d) => graft.ops.Curate.forwardChainingFolds(
+          Queries.events(s, d), "ts", "week")
+        .orderBy("fold"),
+      Some("""WITH b AS (SELECT date_trunc('week', ts) AS w,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    max(ts) AS w_max, min(ts) AS w_min
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY w) AS BIGINT) AS k,
+        |    CAST(sum(n) OVER (ORDER BY w
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+        |    max(w_max) OVER (ORDER BY w
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_max_ts
+        |  FROM b)
+        |SELECT tr.k AS fold, tr.cum_n AS n_train, va.n AS n_val,
+        |  tr.cum_max_ts < va.w_min AS boundary_ok
+        |FROM r tr JOIN r va ON va.k = tr.k + 1
+        |ORDER BY fold""".stripMargin)),
+
     // WOE1: weight-of-evidence / information-value of doc length as a
     // predictor of `lang = en` — decile bins by deterministic
     // (n_chars, doc_id) ntile, Laplace-smoothed WOE as one ln of an

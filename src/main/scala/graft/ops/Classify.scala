@@ -705,6 +705,54 @@ object Classify {
         col("is_best"))
   }
 
+  /** Youden's-J optimal threshold (Youden 1950): the score cut
+    * maximizing `J = TPR − FPR` — the operating point a deployed
+    * binary filter actually needs once the AUC says the scorer works.
+    * Thresholds are "predict positive iff score ≥ s" over the distinct
+    * observed scores.
+    *
+    * Determinism: TP/FP at each threshold are exact cumulative counts
+    * from one score-ordered window; J maximization compares the exact
+    * integer cross-product `tp·N − fp·P` (no division); ties break to
+    * the HIGHEST threshold (the most conservative cut). The output
+    * J/TPR/FPR are exact integer micro divisions.
+    *
+    * Scale: one combinable per-score count shuffle + a thresholds-
+    * bounded window (the auc1 shape).
+    */
+  def youdenThreshold(df: DataFrame, scoreCol: String,
+                      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = df.select(col(scoreCol).cast("long").as("s"),
+        when(col(labelCol), 1L).otherwise(0L).as("y"))
+      .groupBy("s")
+      .agg(count(lit(1)).cast("long").as("n"), sum("y").cast("long").as("pos"))
+    val wCum = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g
+      .withColumn("tp", sum("pos").over(wCum).cast("long"))
+      .withColumn("cn", sum("n").over(wCum).cast("long"))
+      .withColumn("fp", col("cn") - col("tp"))
+    val tot = g.agg(sum("pos").cast("long").as("p_tot"),
+      (sum("n") - sum("pos")).cast("long").as("n_tot"))
+    val scoredT = cum.crossJoin(broadcast(tot))
+      .withColumn("j_num",
+        dec(col("tp")) * dec(col("n_tot")) - dec(col("fp")) * dec(col("p_tot")))
+    scoredT
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("j_num").desc, col("s").desc)))
+      .filter(col("r") === 1)
+      .select(col("s").as("threshold"),
+        col("tp"), col("fp"),
+        (col("p_tot") - col("tp")).as("fn"),
+        (col("n_tot") - col("fp")).as("tn"),
+        expr("CAST((tp * 1000000) div p_tot AS BIGINT)").as("tpr_micro"),
+        expr("CAST((fp * 1000000) div n_tot AS BIGINT)").as("fpr_micro"),
+        expr("CAST((j_num * 1000000) div (CAST(p_tot AS DECIMAL(38,0)) * n_tot) AS BIGINT)")
+          .as("j_micro"))
+  }
+
   /** DeLong's test for two CORRELATED AUCs (DeLong, DeLong &
     * Clarke-Pearson, Biometrics '88) — the standard answer to "is
     * scorer A actually better than scorer B on this data, or is the

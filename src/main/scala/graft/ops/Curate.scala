@@ -763,6 +763,46 @@ object Curate {
         md5(col("__targets")).as("targets_md5"))
   }
 
+  /** Forward-chaining time-series cross-validation audit (Bergmeir &
+    * Benítez 2012; sklearn's TimeSeriesSplit): fold k trains on the
+    * first k time buckets and validates on bucket k+1 — the ONLY CV
+    * scheme that never shows the model the future. Emits one row per
+    * fold with train/val sizes and the leakage invariant
+    * (`boundary_ok`: max train ts < min val ts) checked from the
+    * actual data, not the construction.
+    *
+    * Determinism: buckets are `date_trunc(bucket)`; fold indexing is a
+    * dense rank over the BUCKET table; all counts exact.
+    *
+    * Scale: one combinable bucket-count shuffle; folds live on the
+    * buckets-bounded table (one prefix-sum window).
+    */
+  def forwardChainingFolds(events: DataFrame, tsCol: String,
+                           bucket: String = "week"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = events
+      .select(date_trunc(bucket, col(tsCol)).as("w"), col(tsCol).as("ts"))
+      .groupBy("w")
+      .agg(count(lit(1)).cast("long").as("n"),
+        max("ts").as("w_max"), min("ts").as("w_min"))
+    val wOrd = Window.orderBy("w")
+    val ranked = b
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .withColumn("cum_n", sum("n").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .withColumn("cum_max_ts", max("w_max").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // fold k = train buckets 1..k, validate bucket k+1
+    val train = ranked.select(col("k").as("fold"),
+      col("cum_n").as("n_train"), col("cum_max_ts"))
+    val valid = ranked.select((col("k") - 1L).as("fold"),
+      col("n").as("n_val"), col("w_min").as("val_min_ts"))
+    train.join(valid, "fold")
+      .select(col("fold"), col("n_train"), col("n_val"),
+        (col("cum_max_ts") < col("val_min_ts")).as("boundary_ok"))
+  }
+
   /** Fill-in-the-middle transformation (Bavarian et al. 2022,
     * "Efficient Training of Language Models to Fill in the Middle") —
     * the code/infilling-objective data prep: on an md5-coin-selected

@@ -329,6 +329,37 @@ class EvalTextSpec extends AnyFunSuite {
       .head().getAs[Long]("cka_nano") === 0L)
   }
 
+  test("youdenThreshold: picks the separating cut on a hand ROC; tie goes high") {
+    // scores: positives {5,4,3}, negatives {2,1} -> threshold 3 is
+    // perfect (J = 1)
+    val perfect = Seq((5L, true), (4L, true), (3L, true), (2L, false),
+      (1L, false)).toDF("sc", "y")
+    val r = Classify.youdenThreshold(perfect, "sc", "y").head()
+    assert(r.getAs[Long]("threshold") === 3L)
+    assert(r.getAs[Long]("j_micro") === 1000000L)
+    assert(r.getAs[Long]("tp") === 3L && r.getAs[Long]("tn") === 2L)
+    // overlap: pos {4,2}, neg {3,1}: J(4)=.5, J(3)=0, J(2)=.5, J(1)=0
+    // -> tie between 4 and 2 resolves to the HIGHER threshold
+    val tie = Seq((4L, true), (2L, true), (3L, false), (1L, false))
+      .toDF("sc", "y")
+    assert(Classify.youdenThreshold(tie, "sc", "y")
+      .head().getAs[Long]("threshold") === 4L)
+  }
+
+  test("forwardChainingFolds: cumulative trains, next-bucket vals, no future leakage") {
+    def ts(d: Int, h: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+        d * 86400000L * 7 + h * 3600000L)
+    val ev = (for { w <- 0 until 4; i <- 0 to w } yield (ts(w, i), w))
+      .toDF("t", "tag")
+    val got = Curate.forwardChainingFolds(ev, "t", "week")
+      .orderBy("fold").collect()
+    assert(got.length === 3) // 4 weeks -> 3 folds
+    assert(got.map(_.getAs[Long]("n_train")).toSeq === Seq(1L, 3L, 6L))
+    assert(got.map(_.getAs[Long]("n_val")).toSeq === Seq(2L, 3L, 4L))
+    assert(got.forall(_.getAs[Boolean]("boundary_ok")))
+  }
+
   test("maxSimTopK: identical vector scores exactly parts; ranking follows parts matched") {
     val v = Array.tabulate(64)(i => (math.sin(i + 1) * 10).toFloat)
     // n2 = exact copy (sim 4), n3 = copy with last 32 dims zeroed out
