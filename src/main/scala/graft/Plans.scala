@@ -62,7 +62,8 @@ object Plans {
     "bl1_bleu", "chf1_chrf", "re1_renyi_efficiency",
     "kr1_krippendorff_alpha", "ld1_l_diversity", "ci1_maxsim_topk",
     "fim1_fill_in_middle", "ql1_query_likelihood", "llr1_keyness",
-    "at1_attribution", "dl1_delong_auc", "sr1_spearman_rho")
+    "at1_attribution", "dl1_delong_auc", "sr1_spearman_rho",
+    "yj1_youden_threshold", "tscv1_forward_chaining", "rc1_risk_coverage")
 
   /** (shuffle exchanges, broadcast exchanges) of the physical plan,
     * counted via tree walk, not the text dump: a persisted subtree's

@@ -8764,6 +8764,58 @@ object QueriesOps {
         |    AS BIGINT) AS residual_nano
         |FROM agg""".stripMargin)),
 
+    // RC1: risk-coverage curve / AURC (Geifman & El-Yaniv '17) — what
+    // error rate does each abstention level buy from cal1's scorer;
+    // exact integer confidences, prefix risks, and AURC.
+    "rc1_risk_coverage" -> Q(
+      (s, d) => {
+        val scored = Curate.lrQualityScore(docs(s, d))
+          .withColumn("is_unique",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(md5(col("text")))) === 1)
+        Classify.riskCoverage(scored, "lr_score", "is_unique", "doc_id")
+          .orderBy("coverage_micro")
+      },
+      Some("""WITH q AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+        |    CAST(list_sum(list_transform(string_split(text, ' '),
+        |         x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len
+        |  FROM documents),
+        |sc AS (SELECT doc_id, text,
+        |    1.0 / (1.0 + exp(0.0 - (-2.0 + alpha_ratio * 3.0 + stopword_ratio * 2.5
+        |      + mean_word_len * 0.15 - punct_ratio * 4.0))) AS s
+        |  FROM q),
+        |lab AS (SELECT doc_id AS id,
+        |    CAST(floor(s * 1e6 + 0.5) AS BIGINT) AS sm,
+        |    CAST(count(*) OVER (PARTITION BY md5(text)) = 1 AS BIGINT) AS y
+        |  FROM sc),
+        |b2 AS (SELECT id, sm, y, abs(sm - 500000) AS conf,
+        |    CASE WHEN sm >= 500000 THEN 1 ELSE 0 END AS pred FROM lab),
+        |b3 AS (SELECT *, CASE WHEN pred <> y THEN 1 ELSE 0 END AS err FROM b2),
+        |r AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY conf DESC, id ASC) AS BIGINT) AS k,
+        |    CAST(sum(err) OVER (ORDER BY conf DESC, id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_err
+        |  FROM b3),
+        |r2 AS (SELECT *, (cum_err * 1000000) // k AS risk_micro FROM r),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(risk_micro AS DECIMAL(38,0))) AS aurc_sum FROM r2)
+        |SELECT (k * 1000000) // n AS coverage_micro, k AS n_kept,
+        |  cum_err AS n_errors, CAST(risk_micro AS BIGINT) AS risk_micro,
+        |  CAST(CAST(aurc_sum AS HUGEINT) // n AS BIGINT) AS aurc_micro
+        |FROM r2, tt
+        |WHERE list_contains(list_transform(range(1, 11),
+        |  dd -> CAST(ceil(CAST(n AS DOUBLE) * dd / 10.0) AS BIGINT)), k)
+        |ORDER BY coverage_micro""".stripMargin)),
+
     // CAL2: temperature scaling of cal1's quality scorer — grid-search
     // the logit temperature minimizing NLL against the is_unique
     // label; the parametric fix for the miscalibration br1's

@@ -705,6 +705,55 @@ object Classify {
         col("is_best"))
   }
 
+  /** Risk–coverage curve for selective prediction (Geifman &
+    * El-Yaniv, NeurIPS'17): if the classifier may ABSTAIN on its
+    * least-confident fraction, what error rate does each coverage
+    * level buy? Rows are ranked by confidence (distance from 0.5,
+    * descending); at coverage c the risk is the error rate among the
+    * top-c fraction. Emits one row per decile of coverage plus the
+    * prefix-mean AURC — the scalar that compares selective
+    * classifiers.
+    *
+    * Determinism: confidence is an exact integer `|score_micro −
+    * 500000|`; the ranking is the (confidence desc, id asc) total
+    * order; per-prefix risks are exact integer micro divisions;
+    * AURC = mean over ALL prefixes of risk_k, each term exact-integer
+    * quantized before the order-free sum.
+    *
+    * Scale: one global rank (eval-sample-sized by the ly1 bounded-
+    * input convention) + prefix-sum windows; deciles are a filter on
+    * the ranked table.
+    */
+  def riskCoverage(df: DataFrame, scoreCol: String, labelCol: String,
+                   idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("id"),
+      floor(col(scoreCol) * lit(1e6) + lit(0.5)).cast("long").as("sm"),
+      when(col(labelCol), 1L).otherwise(0L).as("y"))
+      .withColumn("conf", abs(col("sm") - lit(500000L)))
+      .withColumn("pred", when(col("sm") >= 500000L, 1L).otherwise(0L))
+      .withColumn("err", when(col("pred") =!= col("y"), 1L).otherwise(0L))
+    val w = Window.orderBy(col("conf").desc, col("id").asc)
+    val ranked = base
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("cum_err", sum("err").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .withColumn("risk_micro", expr("(cum_err * 1000000L) div k"))
+    val tot = ranked.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("risk_micro").cast("decimal(38,0)")).as("aurc_sum"))
+    ranked.crossJoin(broadcast(tot))
+      // decile coverage rows: k = ceil(n·d/10), d = 1..10
+      .filter(expr(
+        "array_contains(transform(sequence(1, 10), " +
+          "dd -> CAST(ceil(CAST(n AS DOUBLE) * dd / 10.0) AS BIGINT)), k)"))
+      .select(
+        expr("(k * 1000000L) div n").as("coverage_micro"),
+        col("k").as("n_kept"), col("cum_err").as("n_errors"),
+        col("risk_micro"),
+        expr("CAST((aurc_sum div n) AS BIGINT)").as("aurc_micro"))
+  }
+
   /** Youden's-J optimal threshold (Youden 1950): the score cut
     * maximizing `J = TPR − FPR` — the operating point a deployed
     * binary filter actually needs once the AUC says the scorer works.

@@ -360,6 +360,29 @@ class EvalTextSpec extends AnyFunSuite {
     assert(got.forall(_.getAs[Boolean]("boundary_ok")))
   }
 
+  test("riskCoverage: confident-correct prefix has zero risk; full coverage = plain error rate") {
+    // 10 items: 6 confident & correct, 2 confident & wrong at lower
+    // confidence, 2 unconfident correct
+    val rows =
+      Seq.tabulate(6)(i => (i.toLong, 0.99, true)) ++
+      Seq(6L -> ((0.90, false)), 7L -> ((0.10, true))).map { case (i, (s, y)) => (i, s, y) } ++
+      Seq((8L, 0.55, true), (9L, 0.45, false))
+    val df = rows.toDF("id", "p", "y")
+    val got = Classify.riskCoverage(df, "p", "y", "id")
+      .orderBy("coverage_micro").collect()
+    assert(got.length === 10)
+    // first deciles (most confident = the 6 correct) carry zero risk
+    assert(got.head.getAs[Long]("risk_micro") === 0L)
+    // full coverage risk = overall error rate: errors are id 6 (pred 1,
+    // y false) and id 7 (pred 0, y true) and id 9 (pred 0... 0.45 -> pred 0,
+    // y false -> correct). So 2 errors of 10.
+    assert(got.last.getAs[Long]("coverage_micro") === 1000000L)
+    assert(got.last.getAs[Long]("risk_micro") === 200000L)
+    // AURC identical on every row and bounded by the worst prefix risk
+    assert(got.map(_.getAs[Long]("aurc_micro")).distinct.length === 1)
+    assert(got.head.getAs[Long]("aurc_micro") <= 200000L)
+  }
+
   test("maxSimTopK: identical vector scores exactly parts; ranking follows parts matched") {
     val v = Array.tabulate(64)(i => (math.sin(i + 1) * 10).toFloat)
     // n2 = exact copy (sim 4), n3 = copy with last 32 dims zeroed out
