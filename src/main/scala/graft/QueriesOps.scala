@@ -2468,6 +2468,37 @@ object QueriesOps {
         |  CAST(list_sum(list_transform(base, i -> bytes[((i + 2) % L) + 1])) AS BIGINT) AS t_b_sum
         |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // MM8: exposure/contrast QA through the real P6 parse — integer
+    // BT.601 luma (x1000), exact sum/square-sum/min/max and under/
+    // over-exposure counts; the image-corpus screening pass.
+    "mm8_image_quality" -> Q(
+      (s, d) => Multimodal.imageQuality(
+          Multimodal.ppmFromDocuments(docs(s, d)))
+        .toDF().orderBy("doc_id"),
+      Some("""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        |d AS (SELECT doc_id,
+        |    CAST(8 + doc_id % 24 AS INTEGER) AS w,
+        |    CAST(8 + (doc_id // 5) % 24 AS INTEGER) AS h,
+        |    list_transform(range(1, length(hx)//2 + 1),
+        |      i -> strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) * 16
+        |         + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 17) AS bytes
+        |  FROM b),
+        |t AS (SELECT doc_id, w, h, len(bytes) AS L,
+        |    list_transform(range(0, w * h), p ->
+        |      299 * bytes[((3 * p) % L) + 1]
+        |      + 587 * bytes[((3 * p + 1) % L) + 1]
+        |      + 114 * bytes[((3 * p + 2) % L) + 1]) AS lumas
+        |  FROM d)
+        |SELECT doc_id, CAST(w * h AS INTEGER) AS n_px,
+        |  CAST(list_sum(lumas) AS BIGINT) AS luma_sum,
+        |  CAST(list_sum(list_transform(lumas,
+        |    x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS luma_sq_sum,
+        |  CAST(list_min(lumas) AS INTEGER) AS luma_min,
+        |  CAST(list_max(lumas) AS INTEGER) AS luma_max,
+        |  CAST(len(list_filter(lumas, x -> x < 30000)) AS BIGINT) AS n_under,
+        |  CAST(len(list_filter(lumas, x -> x > 225000)) AS BIGINT) AS n_over
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
     // Full-image channel statistics through the same real parse — the
     // decode step of the codec under its own oracle row.
     "mm4_image_stats" -> Q(

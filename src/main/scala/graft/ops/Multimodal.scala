@@ -194,6 +194,48 @@ object Multimodal {
     }
   }
 
+  /** Image exposure/contrast QA through the same real P6 parse — the
+    * screening pass an image-corpus curation runs before any model
+    * sees a pixel: integer ITU-R BT.601 luma per pixel
+    * (`299·R + 587·G + 114·B`, luma×1000 so everything stays exact),
+    * luma sum + square sum (contrast = variance, derivable exactly
+    * downstream), min/max (dynamic range), and under-/over-exposed
+    * pixel counts at the given luma×1000 cuts. One decode map, no
+    * state beyond the row — the wavStats shape for images.
+    */
+  final case class ImageQuality(doc_id: Long, n_px: Int, luma_sum: Long,
+                                luma_sq_sum: Long, luma_min: Int,
+                                luma_max: Int, n_under: Long, n_over: Long)
+
+  def imageQuality(media: Dataset[MediaRow], under: Int = 30000,
+                   over: Int = 225000): Dataset[ImageQuality] = {
+    implicit val enc = Encoders.product[ImageQuality]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        parsePpm(r.payload).map { p =>
+          var (ls, lss, nu, no) = (0L, 0L, 0L, 0L)
+          var (lmin, lmax) = (Int.MaxValue, Int.MinValue)
+          var px = 0
+          val n = p.width * p.height
+          while (px < n) {
+            val i = p.dataOffset + px * 3
+            val luma = 299 * (r.payload(i) & 0xff) +
+              587 * (r.payload(i + 1) & 0xff) +
+              114 * (r.payload(i + 2) & 0xff)
+            ls += luma
+            lss += luma.toLong * luma
+            if (luma < lmin) lmin = luma
+            if (luma > lmax) lmax = luma
+            if (luma < under) nu += 1
+            if (luma > over) no += 1
+            px += 1
+          }
+          ImageQuality(r.doc_id, n, ls, lss, lmin, lmax, nu, no)
+        }
+      }
+    }
+  }
+
   /** Real nearest-neighbor resize over the decoded 2-D RGB grid to a
     * `side`×`side` P6 thumbnail; emits the re-encoded payload plus its
     * channel sums (the oracle-checkable arithmetic).

@@ -44,6 +44,28 @@ class PpmSpec extends AnyFunSuite {
       (108L * 10, 108L * 20, 108L * 30))
   }
 
+  test("imageQuality: constant image has zero contrast; exposure counts exact") {
+    import spark.implicits._
+    // solid mid-gray (100,100,100): luma = 1000*100 = 100000 per px
+    val gray = "P6\n6 4\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](6 * 4 * 3)(100.toByte)
+    val g = Multimodal.imageQuality(
+      Seq(Multimodal.MediaRow(1L, "image", gray)).toDS()).collect().head
+    assert(g.n_px === 24)
+    assert(g.luma_sum === 24L * 100000)
+    // zero contrast: n*sq_sum == sum^2 exactly
+    assert(g.luma_sq_sum * 24 === g.luma_sum * g.luma_sum)
+    assert(g.luma_min === 100000 && g.luma_max === 100000)
+    assert(g.n_under === 0L && g.n_over === 0L)
+    // black + white halves: all pixels flagged, full dynamic range
+    val bw = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 255.toByte, 255.toByte, 255.toByte)
+    val b = Multimodal.imageQuality(
+      Seq(Multimodal.MediaRow(2L, "image", bw)).toDS()).collect().head
+    assert(b.luma_min === 0 && b.luma_max === 255000)
+    assert(b.n_under === 1L && b.n_over === 1L)
+  }
+
   test("aHash: constant image hashes all-ones; banded join equals brute force") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
