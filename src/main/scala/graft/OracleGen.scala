@@ -114,6 +114,70 @@ object OracleGen {
        |FROM f ORDER BY d1, d2""".stripMargin
   }
 
+  /** dd19: the LSH banding planner replayed — one sig chain (bb1Sql's
+    * construction), one truth join, a band-join leg per configuration,
+    * S-curve literals baked from the same driver math.
+    */
+  def dd19Sql(threshold: Double, numHashes: Int,
+              bandConfigs: Seq[Int]): String = {
+    val (a, b) = MinHashSigs.perms(numHashes, 42L)
+    val minExprs = (0 until numHashes)
+      .map(j => s"min((${a(j)} * h + ${b(j)}) % $P)").mkString(", ")
+    val base = s"""WITH tok AS (SELECT doc_id AS d, string_split(lower(text), ' ') AS t FROM documents),
+       |shg AS (SELECT d, unnest(list_distinct(
+       |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |  ELSE list_transform(range(0, len(t) - 2),
+       |    i -> array_to_string(list_slice(t, CAST(i + 1 AS INTEGER), CAST(i + 3 AS INTEGER)), ' '))
+       |  END)) AS s FROM tok),
+       |shm AS (SELECT d, md5(s) AS m FROM shg),
+       |sh AS MATERIALIZED (SELECT DISTINCT d, ${hex60("m")} % $P AS h FROM shm),
+       |sigs AS MATERIALIZED (SELECT d, [$minExprs] AS sig FROM sh GROUP BY d),
+       |sizes AS (SELECT d, count(*) AS n FROM sh GROUP BY d),
+       |truth AS MATERIALIZED (SELECT x.d1, x.d2 FROM (
+       |    SELECT a2.d AS d1, b2.d AS d2, count(*) AS c
+       |    FROM sh a2 JOIN sh b2 ON a2.h = b2.h AND a2.d < b2.d
+       |    GROUP BY 1, 2) x
+       |  JOIN sizes s1 ON s1.d = x.d1 JOIN sizes s2 ON s2.d = x.d2
+       |  WHERE CAST(x.c AS DOUBLE) / CAST(s1.n + s2.n - x.c AS DOUBLE)
+       |    >= $threshold),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)""".stripMargin
+    val legs = bandConfigs.map { bands =>
+      val rows = numHashes / bands
+      s""",
+         |bands$bands AS (SELECT d, bb.b AS band,
+         |    md5(array_to_string(list_slice(sig,
+         |      CAST(bb.b * $rows + 1 AS INTEGER),
+         |      CAST(bb.b * $rows + $rows AS INTEGER)), ',')) AS bh
+         |  FROM sigs, range($bands) bb(b)),
+         |cand$bands AS (SELECT DISTINCT x.d AS d1, y.d AS d2 FROM bands$bands x
+         |  JOIN bands$bands y ON x.band = y.band AND x.bh = y.bh AND x.d < y.d),
+         |nc$bands AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand$bands),
+         |tp$bands AS (SELECT CAST(count(*) AS BIGINT) AS tp FROM truth
+         |  WHERE EXISTS (SELECT 1 FROM cand$bands c
+         |    WHERE c.d1 = truth.d1 AND c.d2 = truth.d2))""".stripMargin
+    }.mkString
+    val selects = bandConfigs.map { bands =>
+      val rows = numHashes / bands
+      val sCurveNano = math.floor(
+        (1.0 - math.pow(1.0 - math.pow(threshold, rows), bands)) * 1e9 + 0.5)
+        .toLong
+      s"""SELECT CAST($bands AS BIGINT) AS bands,
+         |  CAST($rows AS BIGINT) AS rows_per_band,
+         |  nt.n_truth, nc$bands.n_cand, tp$bands.tp,
+         |  nc$bands.n_cand - tp$bands.tp AS fp,
+         |  nt.n_truth - tp$bands.tp AS fn,
+         |  CASE WHEN nc$bands.n_cand > 0
+         |    THEN (tp$bands.tp * 1000000) // nc$bands.n_cand ELSE 0 END
+         |    AS precision_micro,
+         |  CASE WHEN nt.n_truth > 0
+         |    THEN (tp$bands.tp * 1000000) // nt.n_truth ELSE 0 END
+         |    AS recall_micro,
+         |  CAST($sCurveNano AS BIGINT) AS s_curve_nano
+         |FROM nt, nc$bands, tp$bands""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$base$legs\n$selects\nORDER BY bands DESC"
+  }
+
   /** fim1: the md5-coin FIM transform replayed — the apply-coin and
     * both cut points are hex60 folds of md5(doc_id ‖ tag), mirroring
     * [[graft.ops.Curate.fimTransform]] cut for cut.

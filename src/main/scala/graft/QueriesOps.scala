@@ -1347,6 +1347,15 @@ object QueriesOps {
         .orderBy("d1", "d2"),
       Some(OracleGen.dd4pSql(3))),
 
+    // DD19: LSH banding planner — dd16's eval swept over four
+    // (bands, rows) configs of the same 64-slot signatures; empirical
+    // precision/recall per config beside the analytic S-curve
+    // probability. THE tuning table before a 100 TB dedup commits.
+    "dd19_lsh_planner" -> Q(
+      (s, d) => Dedup.lshPlanner(par(docs(s, d)), threshold = 0.5)
+        .orderBy(col("bands").desc),
+      Some(OracleGen.dd19Sql(0.5, 64, Seq(32, 16, 8, 4)))),
+
     // BB1: b-bit MinHash eval (Li & König WWW'10, b=1) — lowest-bit
     // signatures (64x storage cut for the SigStore) measured against
     // full signatures and exact Jaccard on the LSH candidates; every

@@ -865,6 +865,74 @@ object Dedup {
     report
   }
 
+  /** LSH banding PLANNER — [[lshEvalReport]] swept over candidate
+    * (bands × rowsPerBand) configurations of the SAME signature table:
+    * one row per config with its empirical candidate count, confusion
+    * cells, precision/recall/F1 against the shared exact-Jaccard
+    * truth, and the ANALYTIC S-curve collision probability at the
+    * threshold (`1 − (1 − t^r)^b` — the number the textbook promises,
+    * sitting next to what the corpus actually did). THE table that
+    * decides a 100 TB dedup's (bands, rows) before anything expensive
+    * runs: signatures are computed once, the truth join once, and only
+    * the cheap band self-joins repeat per config.
+    *
+    * Determinism: counts exact; ratios integer micro divisions; the
+    * S-curve probability is a plan-time DRIVER-computed literal (both
+    * engines receive the same constant).
+    */
+  def lshPlanner(docs: DataFrame, threshold: Double = 0.5,
+                 numHashes: Int = 64,
+                 bandConfigs: Seq[Int] = Seq(32, 16, 8, 4),
+                 shingleK: Int = 3,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sigs = minhashSignatures(docs, numHashes, shingleK, textCol, idCol,
+        hashFn = md5ShingleHash)
+      .persist(StorageLevel.DISK_ONLY)
+    val sh = shingleHashes(docs, shingleK, textCol, idCol, md5ShingleHash)
+      .dropDuplicates("d", "h")
+      .persist(StorageLevel.DISK_ONLY)
+    val sizes = sh.groupBy(col("d")).agg(count(lit(1)).as("n"))
+    val truth = sh.toDF("d1", "h").join(sh.toDF("d2", "h"), Seq("h"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
+      .join(sizes.toDF("d1", "n1"), "d1")
+      .join(sizes.toDF("d2", "n2"), "d2")
+      .filter(col("c").cast("double") /
+        (col("n1") + col("n2") - col("c")).cast("double") >= threshold)
+      .select(col("d1"), col("d2"))
+      .persist(StorageLevel.DISK_ONLY)
+    val nt = truth.agg(count(lit(1)).cast("long").as("n_truth"))
+    val legs = bandConfigs.map { bands =>
+      val rows = numHashes / bands
+      val banded = bandsOfSignatures(sigs, numHashes, bands, c => md5(c))
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.d") < col("b.d"))
+        .select(col("a.d").as("d1"), col("b.d").as("d2"))
+        .dropDuplicates("d1", "d2")
+      val ncand = cand.agg(count(lit(1)).cast("long").as("n_cand"))
+      val tp = truth.join(cand, Seq("d1", "d2"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("tp"))
+      val sCurveNano = // driver literal: identical constant both engines
+        math.floor((1.0 - math.pow(1.0 - math.pow(threshold, rows), bands))
+          * 1e9 + 0.5).toLong
+      nt.crossJoin(ncand).crossJoin(tp)
+        .select(lit(bands.toLong).as("bands"), lit(rows.toLong).as("rows_per_band"),
+          col("n_truth"), col("n_cand"), col("tp"),
+          (col("n_cand") - col("tp")).as("fp"),
+          (col("n_truth") - col("tp")).as("fn"),
+          when(col("n_cand") > 0L,
+            expr("(tp * 1000000L) div n_cand")).otherwise(lit(0L))
+            .as("precision_micro"),
+          when(col("n_truth") > 0L,
+            expr("(tp * 1000000L) div n_truth")).otherwise(lit(0L))
+            .as("recall_micro"),
+          lit(sCurveNano).as("s_curve_nano"))
+    }
+    legs.reduce(_ unionByName _)
+  }
+
   // ---------------- dedup clustering (connected components) ----------
 
   /** Connected components over a near-duplicate pair list: every vertex

@@ -383,6 +383,27 @@ class EvalTextSpec extends AnyFunSuite {
     assert(got.head.getAs[Long]("aurc_micro") <= 200000L)
   }
 
+  test("lshPlanner: nested bands give monotone candidates; exact dups always recalled") {
+    val docs = (Seq.tabulate(20)(i =>
+      (i.toLong, s"unique document number $i about topic ${i % 7} with words $i")) ++
+      Seq((100L, "unique document number 3 about topic 3 with words 3"))) // exact dup of 3
+      .toDF("doc_id", "text")
+    val got = Dedup.lshPlanner(docs, threshold = 0.9).orderBy(col("bands").desc)
+      .collect()
+    assert(got.length === 4)
+    assert(got.map(_.getAs[Long]("n_truth")).distinct.length === 1)
+    // band nesting: agreement on a wide band implies agreement on its
+    // halves, so candidate sets shrink as bands shrink
+    val cands = got.map(_.getAs[Long]("n_cand"))
+    assert(cands.zip(cands.tail).forall { case (a, b) => a >= b })
+    // an exact duplicate agrees on EVERY band: recalled at every config
+    assert(got.forall(_.getAs[Long]("tp") >= 1L))
+    // the analytic S-curve is monotone in band count too
+    val sc = got.map(_.getAs[Long]("s_curve_nano"))
+    assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
+    spark.catalog.clearCache()
+  }
+
   test("maxSimTopK: identical vector scores exactly parts; ranking follows parts matched") {
     val v = Array.tabulate(64)(i => (math.sin(i + 1) * 10).toFloat)
     // n2 = exact copy (sim 4), n3 = copy with last 32 dims zeroed out
