@@ -70,6 +70,12 @@ object BenchScale {
     // table fanning out by corpus instead of by class
     "nb1_nb_source_classify", "lr1_logistic_gd", "cdc1_content_chunks",
     "sq1_shuffle_quality", "dm1_domain_divergence", "ann4_hubness",
+    // round-13 additions, each expected linear: per-pair gram legs
+    // (bl1), fixed-query in-row scoring (ci1), one token-count shuffle
+    // + vocab tail (llr1), user-keyed narrow joins (at1), one-pass
+    // decode map (mm8), signatures-once band sweeps (dd19)
+    "bl1_bleu", "ci1_maxsim_topk", "llr1_keyness", "at1_attribution",
+    "mm8_image_quality", "dd19_lsh_planner",
     // round-10 additions: PQ / IVF-PQ scans (fixed query set → linear),
     // the sampled blocking-quality audit, large-star/small-star CC.
     // kg1/gr3 and bx2 are NOT here at their registered fixed index
