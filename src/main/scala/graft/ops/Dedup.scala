@@ -886,6 +886,10 @@ object Dedup {
                  shingleK: Int = 3,
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // sigs/sh/truth are lazy DISK_ONLY cache entries shared across the
+    // per-config legs (the lshEvalReport/calibrationReport contract:
+    // callers clearCache(); eager checkpointing re-ran the audit per
+    // plan build — the r10 dd16 6.3× lesson)
     val sigs = minhashSignatures(docs, numHashes, shingleK, textCol, idCol,
         hashFn = md5ShingleHash)
       .persist(StorageLevel.DISK_ONLY)

@@ -1055,6 +1055,8 @@ object Text {
   def chrF(pairs: DataFrame, refCol: String, candCol: String,
            idCol: String, maxN: Int = 3): DataFrame = {
     val beta2 = 4L // β = 2
+    // lazy cache entry shared by the 2·maxN gram legs (the rougeN /
+    // calibrationReport contract: callers clearCache())
     val base = pairs.select(col(idCol).cast("long").as("pid"),
         regexp_replace(lower(col(refCol)), " ", "").as("rs"),
         regexp_replace(lower(col(candCol)), " ", "").as("cs"))
