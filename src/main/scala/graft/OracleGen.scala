@@ -114,6 +114,67 @@ object OracleGen {
        |FROM f ORDER BY d1, d2""".stripMargin
   }
 
+  /** pb1: Koehn's paired bootstrap replayed — character-unigram F-2
+    * for both systems (chf1's n=1 leg), integer per-pair deltas, the
+    * bs1Sql md5-ladder Poisson weights, exact per-replicate signs.
+    */
+  def pb1Sql(reps: Int): String = {
+    val ts = graft.ops.Stats.poissonThresholds
+    val ladder = ts.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+    def leg(tag: String, csExpr: String) =
+      s"""rc$tag AS (SELECT pid, substr(rs, i, 1) AS g, CAST(count(*) AS BIGINT) AS rc
+         |  FROM p, unnest(generate_series(1, length(rs))) AS a(i) GROUP BY 1, 2),
+         |cc$tag AS (SELECT pid, substr($csExpr, i, 1) AS g, CAST(count(*) AS BIGINT) AS cc
+         |  FROM p, unnest(generate_series(1, length($csExpr))) AS a(i) GROUP BY 1, 2),
+         |mm$tag AS (SELECT pid, CAST(sum(least(rc, cc)) AS BIGINT) AS m
+         |  FROM rc$tag JOIN cc$tag USING (pid, g) GROUP BY pid),
+         |f$tag AS (SELECT p.pid,
+         |    CASE WHEN 4 * length(rs) + length($csExpr) = 0 THEN 0
+         |         ELSE (5 * CAST(coalesce(mm$tag.m, 0) AS BIGINT) * 1000000)
+         |           // (4 * length(rs) + length($csExpr)) END AS f
+         |  FROM p LEFT JOIN mm$tag ON mm$tag.pid = p.pid)""".stripMargin
+    s"""WITH p AS MATERIALIZED (SELECT CAST(a.doc_id // 2 AS BIGINT) AS pid,
+       |    replace(lower(a.text), ' ', '') AS rs,
+       |    replace(lower(b.text), ' ', '') AS cs,
+       |    coalesce(array_to_string(list_slice(
+       |      list_filter(string_split(lower(b.text), ' '), x -> length(x) > 0),
+       |      3, len(list_filter(string_split(lower(b.text), ' '),
+       |        x2 -> length(x2) > 0))), ''), '') AS cs2
+       |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+       |  WHERE a.doc_id % 2 = 0),
+       |${leg("a", "cs")},
+       |${leg("b", "cs2")},
+       |dd AS MATERIALIZED (SELECT fa.pid, fa.f - fb.f AS d
+       |  FROM fa JOIN fb ON fb.pid = fa.pid),
+       |full_m AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |    sum(CAST(d AS DECIMAL(38,0))) AS s_d FROM dd),
+       |wb AS (SELECT pid, d, CAST(r.b AS BIGINT) AS b FROM dd
+       |  CROSS JOIN (SELECT unnest(range(0, $reps)) AS b) r),
+       |uu AS (SELECT b, d,
+       |    ${hex60(s"md5(CAST(pid AS VARCHAR) || ':' || CAST(b AS VARCHAR))")} AS u
+       |  FROM wb),
+       |ww AS (SELECT b, d, CASE $ladder ELSE ${ts.size} END AS w FROM uu),
+       |pr AS (SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+       |    sum(CAST(w AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))) AS s_wd
+       |  FROM ww GROUP BY 1),
+       |pp AS (SELECT b, n_eff, s_wd,
+       |    CASE WHEN n_eff = 0 THEN 0
+       |         ELSE CAST(CAST(s_wd AS HUGEINT) // n_eff AS BIGINT)
+       |    END AS delta_micro
+       |  FROM pr),
+       |sc AS (SELECT
+       |    CAST(sum(CASE WHEN s_wd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_wins,
+       |    CAST(min(delta_micro) AS BIGINT) AS delta_lo_micro,
+       |    CAST(max(delta_micro) AS BIGINT) AS delta_hi_micro
+       |  FROM pp)
+       |SELECT f.n_rows, CAST($reps AS BIGINT) AS reps,
+       |  CAST(CAST(f.s_d AS HUGEINT) // f.n_rows AS BIGINT) AS delta_full_micro,
+       |  sc.n_wins, (sc.n_wins * 1000000) // $reps AS win_micro,
+       |  sc.delta_lo_micro, sc.delta_hi_micro
+       |FROM sc, full_m f""".stripMargin
+  }
+
   /** dd19: the LSH banding planner replayed — one sig chain (bb1Sql's
     * construction), one truth join, a band-join leg per configuration,
     * S-curve literals baked from the same driver math.

@@ -5000,6 +5000,36 @@ object QueriesOps {
       },
       Some(chf1Sql())),
 
+    // PB1: Koehn's paired bootstrap — is the intact candidate system
+    // significantly better than a head-truncated one under character-
+    // unigram F-2? Shared Poisson weights pair the items; every
+    // replicate verdict is an exact integer sign.
+    "pb1_paired_bootstrap" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val ref = dd.filter(col("doc_id") % 2 === 0)
+          .select(expr("doc_id div 2").as("pid"), col("text").as("ref_text"))
+        val cand = dd.filter(col("doc_id") % 2 === 1)
+          .select(expr("(doc_id - 1) div 2").as("pid"),
+            col("text").as("cand_text"))
+        val degraded = cand.select(col("pid"), expr(
+          """array_join(slice(filter(split(lower(cand_text), ' '),
+            |  x -> length(x) > 0), 3,
+            |  greatest(size(filter(split(lower(cand_text), ' '),
+            |    x2 -> length(x2) > 0)) - 2, 0)), ' ')""".stripMargin)
+          .as("cand_text"))
+        val fa = Text.chrF(ref.join(cand, "pid"),
+            "ref_text", "cand_text", "pid", maxN = 1)
+          .select(col("pid"),
+            (col("chrf_micro").cast("double") / lit(1e6)).as("ma"))
+        val fb = Text.chrF(ref.join(degraded, "pid"),
+            "ref_text", "cand_text", "pid", maxN = 1)
+          .select(col("pid"),
+            (col("chrf_micro").cast("double") / lit(1e6)).as("mb"))
+        graft.ops.Stats.pairedBootstrap(fa.join(fb, "pid"), "ma", "mb", "pid")
+      },
+      Some(OracleGen.pb1Sql(32))),
+
     // RE1: Renyi-2 entropy efficiency of the corpus token distribution
     // (Zouhar et al. ICML'23) — the tokenizer-quality readout; the
     // collision sum is an exact rational of count sums, Shannon rides

@@ -1789,6 +1789,60 @@ object Stats {
         .cast("long").as("tau_b_nano"))
   }
 
+  /** Paired bootstrap system comparison (Koehn, EMNLP'04 — the MT-eval
+    * standard): is system A's per-item metric actually better than
+    * system B's, where BOTH scored the same items? Resampling the
+    * ITEMS (the pairing) rather than each system separately is what
+    * keeps the correlated per-item difficulty from swamping the
+    * delta. Weights are the same md5-ladder Poisson(1) draws as
+    * [[poissonBootstrap]] — replicate b's verdict is the exact
+    * integer SIGN of `Σ w_i·(a_i − b_i)`.
+    *
+    * One summary row: the full-data delta, the bootstrap win count /
+    * fraction (how often A beats B across replicates — the p-value's
+    * complement in Koehn's procedure), and the replicate-range delta
+    * CI (the bs1 convention).
+    *
+    * Determinism: metrics micro-quantize once; weights are integer
+    * ladder lookups; every replicate statistic is an exact decimal
+    * sum and one integer division. Fully combinable — one
+    * (replicate)-keyed shuffle of narrow rows.
+    */
+  def pairedBootstrap(df: DataFrame, aCol: String, bCol: String,
+                      idCol: String, reps: Int = 32): DataFrame = {
+    require(reps >= 2, "need at least two replicates")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.select(col(idCol).cast("string").as("id"),
+      (floor(col(aCol) * lit(1e6) + lit(0.5)).cast("long") -
+        floor(col(bCol) * lit(1e6) + lit(0.5)).cast("long")).as("d"))
+    val full = base.agg(count(lit(1)).cast("long").as("n_rows"),
+      sum(dec(col("d"))).as("s_d"))
+    val withB = base.select(col("id"), col("d"),
+      explode(array((0 until reps).map(lit(_)): _*)).as("b"))
+    val u = conv(substring(md5(concat_ws(":", col("id"), col("b").cast("string"))),
+      1, 15), 16, 10).cast("long")
+    val w = poissonThresholds.zipWithIndex.foldRight(
+        lit(poissonThresholds.size): Column) {
+      case ((t, k), acc) => when(u < lit(t), lit(k)).otherwise(acc)
+    }
+    val perRep = withB.withColumn("w", w.cast("long"))
+      .groupBy("b")
+      .agg(sum("w").cast("long").as("n_eff"),
+        sum(dec(col("w")) * dec(col("d"))).as("s_wd"))
+      .withColumn("delta_micro",
+        expr("CAST(CASE WHEN n_eff = 0 THEN 0 ELSE s_wd div n_eff END AS BIGINT)"))
+    val scalars = perRep.agg(
+      sum(when(col("s_wd") > 0, 1L).otherwise(0L)).cast("long").as("n_wins"),
+      min("delta_micro").as("delta_lo_micro"),
+      max("delta_micro").as("delta_hi_micro"))
+    scalars.crossJoin(broadcast(full))
+      .select(col("n_rows"), lit(reps.toLong).as("reps"),
+        expr("CAST(s_d div n_rows AS BIGINT)").as("delta_full_micro"),
+        col("n_wins"),
+        expr(s"(n_wins * 1000000L) div ${reps}L").as("win_micro"),
+        col("delta_lo_micro"), col("delta_hi_micro"))
+  }
+
   /** Krippendorff's α, nominal metric (Krippendorff 2004 §11; the
     * pairable-values form) — the labeler-agreement coefficient that,
     * unlike [[fleissKappa]], handles MISSING ratings natively: items

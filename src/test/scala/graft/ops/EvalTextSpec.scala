@@ -404,6 +404,27 @@ class EvalTextSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("pairedBootstrap: dominant system wins every replicate; identical systems never do") {
+    val items = Seq.tabulate(40)(i =>
+      (i.toLong, 0.8 + (i % 5) * 0.01, 0.6 + (i % 5) * 0.01))
+      .toDF("id", "a", "b")
+    val r = Stats.pairedBootstrap(items, "a", "b", "id").head()
+    assert(r.getAs[Long]("n_rows") === 40L)
+    assert(r.getAs[Long]("delta_full_micro") === 200000L)
+    assert(r.getAs[Long]("n_wins") === 32L)
+    assert(r.getAs[Long]("win_micro") === 1000000L)
+    assert(r.getAs[Long]("delta_lo_micro") === 200000L) // constant delta
+    assert(r.getAs[Long]("delta_hi_micro") === 200000L)
+    // identical systems: every replicate delta is exactly zero
+    val same = Stats.pairedBootstrap(
+      items.select(col("id"), col("a"), col("a").as("b2")),
+      "a", "b2", "id").head()
+    assert(same.getAs[Long]("n_wins") === 0L)
+    assert(same.getAs[Long]("delta_full_micro") === 0L)
+    assert(same.getAs[Long]("delta_lo_micro") === 0L)
+    assert(same.getAs[Long]("delta_hi_micro") === 0L)
+  }
+
   test("maxSimTopK: identical vector scores exactly parts; ranking follows parts matched") {
     val v = Array.tabulate(64)(i => (math.sin(i + 1) * 10).toFloat)
     // n2 = exact copy (sim 4), n3 = copy with last 32 dims zeroed out
