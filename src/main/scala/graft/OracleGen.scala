@@ -176,23 +176,29 @@ object OracleGen {
   }
 
   /** dd19: the LSH banding planner replayed — one sig chain (bb1Sql's
-    * construction), one truth join, a band-join leg per configuration,
-    * S-curve literals baked from the same driver math.
+    * construction), a hash-ordered doc sample bounding the truth leg,
+    * one truth join over the sample, a band-join leg per configuration
+    * (full-corpus candidate volume + sample-scored quality), S-curve
+    * literals baked from the same driver math.
     */
   def dd19Sql(threshold: Double, numHashes: Int,
-              bandConfigs: Seq[Int]): String = {
+              bandConfigs: Seq[Int], sampleDocs: Int = 4096): String = {
     val (a, b) = MinHashSigs.perms(numHashes, 42L)
     val minExprs = (0 until numHashes)
       .map(j => s"min((${a(j)} * h + ${b(j)}) % $P)").mkString(", ")
     val base = s"""WITH tok AS (SELECT doc_id AS d, string_split(lower(text), ' ') AS t FROM documents),
+       |samp AS MATERIALIZED (SELECT doc_id AS d FROM documents
+       |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $sampleDocs),
        |shg AS (SELECT d, unnest(list_distinct(
        |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
        |  ELSE list_transform(range(0, len(t) - 2),
        |    i -> array_to_string(list_slice(t, CAST(i + 1 AS INTEGER), CAST(i + 3 AS INTEGER)), ' '))
        |  END)) AS s FROM tok),
        |shm AS (SELECT d, md5(s) AS m FROM shg),
-       |sh AS MATERIALIZED (SELECT DISTINCT d, ${hex60("m")} % $P AS h FROM shm),
-       |sigs AS MATERIALIZED (SELECT d, [$minExprs] AS sig FROM sh GROUP BY d),
+       |shf AS (SELECT DISTINCT d, ${hex60("m")} % $P AS h FROM shm),
+       |sh AS MATERIALIZED (SELECT shf.d, shf.h FROM shf
+       |  WHERE EXISTS (SELECT 1 FROM samp WHERE samp.d = shf.d)),
+       |sigs AS MATERIALIZED (SELECT d, [$minExprs] AS sig FROM shf GROUP BY d),
        |sizes AS (SELECT d, count(*) AS n FROM sh GROUP BY d),
        |truth AS MATERIALIZED (SELECT x.d1, x.d2 FROM (
        |    SELECT a2.d AS d1, b2.d AS d2, count(*) AS c
@@ -212,9 +218,13 @@ object OracleGen {
          |  FROM sigs, range($bands) bb(b)),
          |cand$bands AS (SELECT DISTINCT x.d AS d1, y.d AS d2 FROM bands$bands x
          |  JOIN bands$bands y ON x.band = y.band AND x.bh = y.bh AND x.d < y.d),
-         |nc$bands AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand$bands),
+         |cands$bands AS (SELECT d1, d2 FROM cand$bands c
+         |  WHERE EXISTS (SELECT 1 FROM samp WHERE samp.d = c.d1)
+         |    AND EXISTS (SELECT 1 FROM samp WHERE samp.d = c.d2)),
+         |ncf$bands AS (SELECT CAST(count(*) AS BIGINT) AS n_cand_full FROM cand$bands),
+         |nc$bands AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cands$bands),
          |tp$bands AS (SELECT CAST(count(*) AS BIGINT) AS tp FROM truth
-         |  WHERE EXISTS (SELECT 1 FROM cand$bands c
+         |  WHERE EXISTS (SELECT 1 FROM cands$bands c
          |    WHERE c.d1 = truth.d1 AND c.d2 = truth.d2))""".stripMargin
     }.mkString
     val selects = bandConfigs.map { bands =>
@@ -224,7 +234,7 @@ object OracleGen {
         .toLong
       s"""SELECT CAST($bands AS BIGINT) AS bands,
          |  CAST($rows AS BIGINT) AS rows_per_band,
-         |  nt.n_truth, nc$bands.n_cand, tp$bands.tp,
+         |  nt.n_truth, nc$bands.n_cand, ncf$bands.n_cand_full, tp$bands.tp,
          |  nc$bands.n_cand - tp$bands.tp AS fp,
          |  nt.n_truth - tp$bands.tp AS fn,
          |  CASE WHEN nc$bands.n_cand > 0
@@ -234,7 +244,7 @@ object OracleGen {
          |    THEN (tp$bands.tp * 1000000) // nt.n_truth ELSE 0 END
          |    AS recall_micro,
          |  CAST($sCurveNano AS BIGINT) AS s_curve_nano
-         |FROM nt, nc$bands, tp$bands""".stripMargin
+         |FROM nt, nc$bands, ncf$bands, tp$bands""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"$base$legs\n$selects\nORDER BY bands DESC"
   }
@@ -1017,7 +1027,9 @@ object OracleGen {
        |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id JOIN e ne ON ne.vec_id = cand.n_id),
        |ranked AS (SELECT q_id, n_id, adc_dist, sim, CAST(row_number() OVER (
        |    PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rank FROM sims)
-       |SELECT q_id, n_id, rank, round(adc_dist, 6) AS adc_dist, round(sim, 6) AS sim
+       |SELECT q_id, n_id, rank,
+       |  CAST(floor(adc_dist * 1e9 + 0.5) AS BIGINT) AS adc_nano,
+       |  CAST(floor(sim * 1e9 + 0.5) AS BIGINT) AS sim_nano
        |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
@@ -1080,7 +1092,9 @@ object OracleGen {
        |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id JOIN e ne ON ne.vec_id = cand.n_id),
        |ranked AS (SELECT q_id, n_id, adc_dist, sim, CAST(row_number() OVER (
        |    PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rank FROM sims)
-       |SELECT q_id, n_id, rank, round(adc_dist, 6) AS adc_dist, round(sim, 6) AS sim
+       |SELECT q_id, n_id, rank,
+       |  CAST(floor(adc_dist * 1e9 + 0.5) AS BIGINT) AS adc_nano,
+       |  CAST(floor(sim * 1e9 + 0.5) AS BIGINT) AS sim_nano
        |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 

@@ -1351,6 +1351,9 @@ object QueriesOps {
     // (bands, rows) configs of the same 64-slot signatures; empirical
     // precision/recall per config beside the analytic S-curve
     // probability. THE tuning table before a 100 TB dedup commits.
+    // The exact-truth leg is bounded to a hash-ordered sampleDocs=4096
+    // doc sample (>= the gate corpus, so the audit is exact here);
+    // band legs sweep the FULL signature table and report n_cand_full.
     "dd19_lsh_planner" -> Q(
       (s, d) => Dedup.lshPlanner(par(docs(s, d)), threshold = 0.5)
         .orderBy(col("bands").desc),
@@ -5156,13 +5159,16 @@ object QueriesOps {
         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |      list_transform(range(0, 4), i ->
         |        list_max(list_transform(range(0, 4), j ->
-        |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          CASE WHEN q_norms[CAST(i + 1 AS INTEGER)]
+        |              * e.norms[CAST(j + 1 AS INTEGER)] = CAST(0.0 AS DOUBLE)
+        |          THEN CAST(0.0 AS DOUBLE)
+        |          ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |            list_transform(range(1, 17), t ->
         |              CAST(q_vec[i * 16 + t] AS DOUBLE)
         |                * CAST(e.embedding[j * 16 + t] AS DOUBLE))),
         |            (a2, x2) -> a2 + x2)
         |          / (q_norms[CAST(i + 1 AS INTEGER)]
-        |           * e.norms[CAST(j + 1 AS INTEGER)]))))),
+        |           * e.norms[CAST(j + 1 AS INTEGER)]) END)))),
         |      (acc, x) -> acc + x) AS sim
         |  FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
         |ranked AS (SELECT q_id, n_id, sim,

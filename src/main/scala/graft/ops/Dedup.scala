@@ -879,12 +879,26 @@ object Dedup {
     * Determinism: counts exact; ratios integer micro divisions; the
     * S-curve probability is a plan-time DRIVER-computed literal (both
     * engines receive the same constant).
+    *
+    * Cost model (the 100 TB contract): the BAND sweep runs over the
+    * FULL signature table — ids-only equi-joins, the production path.
+    * The exact-Jaccard TRUTH leg is inherently an all-pairs-by-shingle
+    * self-join (quadratic in hot-shingle frequency), so it is bounded
+    * to a deterministic hash-ordered sample of `sampleDocs` documents
+    * (ORDER BY md5(id) — replayable by any engine, the pqCodebooks
+    * sampling discipline expressed in-plan). Precision/recall are
+    * measured on the sampled sub-population: `tp`/`n_cand`/`fp` count
+    * candidate pairs with BOTH endpoints in the sample; `n_cand_full`
+    * reports each config's candidate volume over the whole corpus —
+    * the cost column next to the sampled quality columns. With
+    * sampleDocs >= |corpus| the audit is exact (the sf0.01 gate).
     */
   def lshPlanner(docs: DataFrame, threshold: Double = 0.5,
                  numHashes: Int = 64,
                  bandConfigs: Seq[Int] = Seq(32, 16, 8, 4),
                  shingleK: Int = 3,
-                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                 textCol: String = "text", idCol: String = "doc_id",
+                 sampleDocs: Int = 4096): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // sigs/sh/truth are lazy DISK_ONLY cache entries shared across the
     // per-config legs (the lshEvalReport/calibrationReport contract:
@@ -893,8 +907,17 @@ object Dedup {
     val sigs = minhashSignatures(docs, numHashes, shingleK, textCol, idCol,
         hashFn = md5ShingleHash)
       .persist(StorageLevel.DISK_ONLY)
+    // hash-ordered deterministic doc sample: bounds the truth leg's
+    // quadratic self-join; a TopK of (md5 hex, id) — never a shuffle
+    // of the corpus
+    val samp = docs
+      .select(col(idCol).as("d"))
+      .orderBy(md5(col("d").cast("string")), col("d"))
+      .limit(sampleDocs)
+      .persist(StorageLevel.DISK_ONLY)
     val sh = shingleHashes(docs, shingleK, textCol, idCol, md5ShingleHash)
       .dropDuplicates("d", "h")
+      .join(samp, Seq("d"), "left_semi")
       .persist(StorageLevel.DISK_ONLY)
     val sizes = sh.groupBy(col("d")).agg(count(lit(1)).as("n"))
     val truth = sh.toDF("d1", "h").join(sh.toDF("d2", "h"), Seq("h"))
@@ -915,15 +938,23 @@ object Dedup {
             col("a.d") < col("b.d"))
         .select(col("a.d").as("d1"), col("b.d").as("d2"))
         .dropDuplicates("d1", "d2")
-      val ncand = cand.agg(count(lit(1)).cast("long").as("n_cand"))
-      val tp = truth.join(cand, Seq("d1", "d2"), "left_semi")
+        .persist(StorageLevel.DISK_ONLY)
+      val ncandFull = cand.agg(count(lit(1)).cast("long").as("n_cand_full"))
+      // quality is scored on the sampled sub-population only: both
+      // endpoints in the sample, matching the truth leg's universe
+      val candS = cand
+        .join(samp.toDF("d1"), Seq("d1"), "left_semi")
+        .join(samp.toDF("d2"), Seq("d2"), "left_semi")
+        .persist(StorageLevel.DISK_ONLY)
+      val ncand = candS.agg(count(lit(1)).cast("long").as("n_cand"))
+      val tp = truth.join(candS, Seq("d1", "d2"), "left_semi")
         .agg(count(lit(1)).cast("long").as("tp"))
       val sCurveNano = // driver literal: identical constant both engines
         math.floor((1.0 - math.pow(1.0 - math.pow(threshold, rows), bands))
           * 1e9 + 0.5).toLong
-      nt.crossJoin(ncand).crossJoin(tp)
+      nt.crossJoin(ncand).crossJoin(ncandFull).crossJoin(tp)
         .select(lit(bands.toLong).as("bands"), lit(rows.toLong).as("rows_per_band"),
-          col("n_truth"), col("n_cand"), col("tp"),
+          col("n_truth"), col("n_cand"), col("n_cand_full"), col("tp"),
           (col("n_cand") - col("tp")).as("fp"),
           (col("n_truth") - col("tp")).as("fn"),
           when(col("n_cand") > 0L,

@@ -933,8 +933,12 @@ object Similarity {
         (norm(col("q_vec")) * col("n_norm")))
       .withColumn("rank", row_number().over(wSim))
       .filter(col("rank") <= k)
+      // nano-quantized integer display (the kt1 tau_b_nano template):
+      // ranks are decided on the raw doubles above; the emitted columns
+      // are exact longs so no rounded raw double rides the gate hash
       .select(col("q_id"), col("n_id"), col("rank"),
-        round(col("adc_dist"), 6).as("adc_dist"), round(col("sim"), 6).as("sim"))
+        floor(col("adc_dist") * lit(1e9) + lit(0.5)).cast("long").as("adc_nano"),
+        floor(col("sim") * lit(1e9) + lit(0.5)).cast("long").as("sim_nano"))
   }
 
   /** IVF-PQ top-k: the composition the PQ scaladoc promises — the IVF
@@ -1000,8 +1004,10 @@ object Similarity {
         (norm(col("q_vec")) * col("n_norm")))
       .withColumn("rank", row_number().over(wSim))
       .filter(col("rank") <= k)
+      // nano-quantized integer display (the kt1 tau_b_nano template)
       .select(col("q_id"), col("n_id"), col("rank"),
-        round(col("adc_dist"), 6).as("adc_dist"), round(col("sim"), 6).as("sim"))
+        floor(col("adc_dist") * lit(1e9) + lit(0.5)).cast("long").as("adc_nano"),
+        floor(col("sim") * lit(1e9) + lit(0.5)).cast("long").as("sim_nano"))
   }
 
   /** Embedding-cosine near-duplicate pairs (the fifth dedup modality of
@@ -1578,11 +1584,17 @@ object Similarity {
     val q = broadcast(queries.select(col(idCol).as("q_id"),
       col(vecCol).as("q_vec"),
       expr(normsExpr(vecCol)).as("q_norms")))
+    // zero-norm guard: an all-zero sub-vector would make the cosine
+    // 0/0 = NaN and poison the whole MaxSim sum; treat it as cosine 0
+    // (the quantizeInt8 scale=0 convention). Same CASE on both engines.
     val scoreExpr =
       s"""aggregate(sequence(0, ${parts - 1}), CAST(0.0 AS DOUBLE), (acc, i) ->
          |  acc + array_max(transform(sequence(0, ${parts - 1}), j ->
-         |    ${dotF("q_vec", "i", "n_vec", "j")}
-         |    / (element_at(q_norms, i + 1) * element_at(n_norms, j + 1)))))"""
+         |    CASE WHEN element_at(q_norms, i + 1) * element_at(n_norms, j + 1)
+         |           = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+         |    ELSE ${dotF("q_vec", "i", "n_vec", "j")}
+         |    / (element_at(q_norms, i + 1) * element_at(n_norms, j + 1))
+         |    END)))"""
         .stripMargin
     val scored = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
         expr(normsExpr(vecCol)).as("n_norms"))

@@ -1890,6 +1890,12 @@ object Stats {
       .agg(count(lit(1)).cast("long").as("n_categories"),
         sum(dec(col("n_c")) * dec(col("n_values") - col("n_c"))).as("de_raw"))
     tot.crossJoin(dropped).crossJoin(de)
+      // no pairable items at all (every item a singleton): kept is
+      // empty, so n_values/do_pico/de_raw are NULL sums and BOTH
+      // when-branches would miss — while the oracle's GROUP BY over an
+      // empty category marginal emits zero rows. Agree with the oracle:
+      // emit the empty frame (α is undefined with nothing to pair).
+      .filter(coalesce(col("n_values"), lit(0L)) >= 2L)
       .select(col("n_items_used"), col("n_items_dropped"), col("n_values"),
         col("n_categories"),
         // single-category universe: D_e = 0, α undefined — report

@@ -1137,7 +1137,16 @@ object Text {
       .select(col("r").as("rank"), col("t").as("token"), col("c"),
         expr("CAST((CAST(w_pico AS DECIMAL(38,0)) * 1000000) div w_tot AS BIGINT)")
           .as("p_micro"),
-        expr("CAST((cum_w * 1152921504606846976) div w_tot AS BIGINT)")
+        // wheel_hi = floor(cum_w·2⁶⁰ / w_tot), computed as two 2³⁰
+        // steps so the intermediate never exceeds decimal(38,0):
+        // cum_w·2⁶⁰ = (q·w_tot + r)·2³⁰ with q = (cum_w·2³⁰) div w_tot,
+        // r = (cum_w·2³⁰) mod w_tot ⇒ wheel = q·2³⁰ + (r·2³⁰) div w_tot
+        // — exact, and safe to w_tot ≈ 10²⁸ pico-weights (a direct
+        // cum_w·2⁶⁰ silently NULLed past w_tot ≈ 8.7·10¹⁹, i.e.
+        // trillion-token corpora).
+        expr("""CAST(((cum_w * 1073741824) div w_tot) * 1073741824
+               |  + ((cum_w * 1073741824) % w_tot * 1073741824) div w_tot
+               |  AS BIGINT)""".stripMargin)
           .as("wheel_hi"))
   }
 

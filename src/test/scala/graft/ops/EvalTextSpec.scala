@@ -401,6 +401,22 @@ class EvalTextSpec extends AnyFunSuite {
     // the analytic S-curve is monotone in band count too
     val sc = got.map(_.getAs[Long]("s_curve_nano"))
     assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
+    // with the sample covering the corpus, the full and sampled
+    // candidate volumes coincide
+    assert(got.forall(r =>
+      r.getAs[Long]("n_cand_full") === r.getAs[Long]("n_cand")))
+    spark.catalog.clearCache()
+    // BOUNDED truth leg: a sample smaller than the corpus restricts the
+    // quality universe (n_cand <= n_cand_full) while the band sweep
+    // still counts full-corpus candidates
+    val bounded = Dedup.lshPlanner(docs, threshold = 0.9, sampleDocs = 8)
+      .orderBy(col("bands").desc).collect()
+    assert(bounded.length === 4)
+    assert(bounded.forall(r =>
+      r.getAs[Long]("n_cand") <= r.getAs[Long]("n_cand_full")))
+    // sampled precision stays a sample-universe ratio: tp <= n_cand
+    assert(bounded.forall(r =>
+      r.getAs[Long]("tp") <= r.getAs[Long]("n_cand")))
     spark.catalog.clearCache()
   }
 

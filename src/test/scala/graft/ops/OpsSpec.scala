@@ -277,12 +277,13 @@ class OpsSpec extends AnyFunSuite {
     val queries = e.limit(6)
     val pq = Similarity.pqTopK(corpus, queries, k = 4,
         rerank = 200, codebooks = cbs)
-      .select("q_id", "n_id", "rank", "sim").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      .select("q_id", "n_id", "rank", "sim_nano").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
     val bf = Similarity.bruteForceTopK(corpus, queries, k = 4)
       .select(col("q_id"), col("n_id"), col("rank"),
-        round(col("sim"), 6).as("sim")).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+        floor(col("sim") * lit(1e9) + lit(0.5)).cast("long").as("sim_nano"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
     assert(pq === bf, "full-rerank PQ diverged from brute force")
   }
 
@@ -294,12 +295,13 @@ class OpsSpec extends AnyFunSuite {
     val queries = e.limit(5)
     val ivfpq = Similarity.ivfPqTopK(e, queries, k = 4,
         nCentroids = 8, nProbe = 8, rerank = 100)
-      .select("q_id", "n_id", "rank", "sim").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      .select("q_id", "n_id", "rank", "sim_nano").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
     val bf = Similarity.bruteForceTopK(e, queries, k = 4)
       .select(col("q_id"), col("n_id"), col("rank"),
-        round(col("sim"), 6).as("sim")).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+        floor(col("sim") * lit(1e9) + lit(0.5)).cast("long").as("sim_nano"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
     assert(ivfpq === bf, "full-coverage IVF-PQ diverged from brute force")
   }
 
