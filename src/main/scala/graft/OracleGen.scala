@@ -1425,6 +1425,83 @@ object OracleGen {
        |FROM u ORDER BY method""".stripMargin
   }
 
+  /** The MaxSim late-interaction score between e-aliased rows `$qa`
+    * and `$na` (each carrying `v` = double vector and `norms` = the
+    * per-part token norms) — the SAME fixed-order fold as
+    * [[graft.ops.Similarity.maxSimTopK]]'s score expression, zero-norm
+    * guard included.
+    */
+  private def maxSimSql(parts: Int, sub: Int, qa: String, na: String): String = {
+    def dotSub(a: String, aOff: String, b: String, bOff: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, ${sub + 1}), t -> " +
+        s"$a.v[CAST($aOff * $sub + t AS INTEGER)] * $b.v[CAST($bOff * $sub + t AS INTEGER)])), " +
+        "(a2, x2) -> a2 + x2)"
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(0, $parts), i ->
+       |        list_max(list_transform(range(0, $parts), j ->
+       |          CASE WHEN $qa.norms[CAST(i + 1 AS INTEGER)]
+       |              * $na.norms[CAST(j + 1 AS INTEGER)] = CAST(0.0 AS DOUBLE)
+       |          THEN CAST(0.0 AS DOUBLE)
+       |          ELSE ${dotSub(qa, "i", na, "j")}
+       |          / ($qa.norms[CAST(i + 1 AS INTEGER)]
+       |           * $na.norms[CAST(j + 1 AS INTEGER)]) END)))),
+       |      (acc, x) -> acc + x)""".stripMargin
+  }
+
+  /** ci2: LSH-prefiltered MaxSim — the ColBERT serving composition.
+    * ss3Sql's SRP candidate CTEs (serialized hyperplane literals,
+    * Hamming≤2 query-side multi-probe) feed the ci1 MaxSim fold as the
+    * scorer; each emitted row carries `in_exact_topk`, its membership
+    * in the full-scan exact MaxSim top-k (the ann1 recall discipline,
+    * row-level so the gate hash pins it).
+    */
+  def ci2Sql(k: Int = 5, parts: Int = 4, nPlanes: Int = 12,
+             nTables: Int = 8, dim: Int = 64, baseSeed: Long = 7L): String = {
+    val sub = dim / parts
+    val flips: Seq[Long] = Seq(0L) ++ (0 until nPlanes).map(p => 1L << p) ++
+      (for (p <- 0 until nPlanes; r <- p + 1 until nPlanes) yield (1L << p) | (1L << r))
+    s"""WITH pl(tbl, p, s) AS (VALUES ${planeRows(nPlanes, dim, (0 until nTables).map(baseSeed + _))}),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |en AS MATERIALIZED (SELECT vec_id, v,
+       |    list_transform(range(0, $parts), nn ->
+       |      sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(range(1, ${sub + 1}), t4 ->
+       |          v[CAST(nn * $sub + t4 AS INTEGER)]
+       |            * v[CAST(nn * $sub + t4 AS INTEGER)])),
+       |        (a5, x5) -> a5 + x5))) AS norms
+       |  FROM e),
+       |dots AS (SELECT e.vec_id, pl.tbl, pl.p, ${planeDot(dim)} AS dp FROM e CROSS JOIN pl),
+       |bkt AS (SELECT vec_id, tbl,
+       |    CAST(sum(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bkt
+       |  FROM dots GROUP BY vec_id, tbl),
+       |qb AS (SELECT b.vec_id AS q_id, b.tbl, xor(b.bkt, CAST(f.f AS BIGINT)) AS bkt
+       |  FROM bkt b, (SELECT unnest([${flips.mkString(", ")}]) AS f) f WHERE b.vec_id < 8),
+       |cand AS (SELECT DISTINCT q.q_id, c.vec_id AS n_id
+       |  FROM qb q JOIN bkt c ON c.tbl = q.tbl AND c.bkt = q.bkt WHERE c.vec_id <> q.q_id),
+       |pairs AS (SELECT cand.q_id, cand.n_id,
+       |    ${maxSimSql(parts, sub, "qe", "ne")} AS sim
+       |  FROM cand JOIN en qe ON qe.vec_id = cand.q_id
+       |  JOIN en ne ON ne.vec_id = cand.n_id),
+       |approx AS (SELECT q_id, n_id, sim, rank FROM (SELECT q_id, n_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rank FROM pairs)
+       |  WHERE rank <= $k),
+       |tpairs AS (SELECT qe.vec_id AS q_id, ne.vec_id AS n_id,
+       |    ${maxSimSql(parts, sub, "qe", "ne")} AS sim
+       |  FROM en qe CROSS JOIN en ne
+       |  WHERE qe.vec_id < 8 AND ne.vec_id <> qe.vec_id),
+       |truth AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, n_id ASC) AS rn FROM tpairs)
+       |  WHERE rn <= $k)
+       |SELECT a.q_id, a.n_id, a.rank,
+       |  CAST(floor(a.sim * 1e6 + 0.5) AS BIGINT) AS maxsim_micro,
+       |  EXISTS (SELECT 1 FROM truth t
+       |    WHERE t.q_id = a.q_id AND t.n_id = a.n_id) AS in_exact_topk
+       |FROM approx a ORDER BY q_id, rank""".stripMargin
+  }
+
   /** dd14: quality-aware canonical selection over SemDeDup's
     * CELL-CONFINED pair graph (the tractable pair source —
     * [[graft.ops.Similarity.semanticDedupPairs]] with the fixed

@@ -57,13 +57,23 @@ object Plans {
     "rfm1_rfm_segments", "sil1_silhouette", "jb1_jarque_bera",
     "jc1_join_cardinality", "fh1_feature_hashing",
     // round-13 pure-plan additions (vac1 drives the filesystem and
-    // cka1/ny1 are small-output scalar reports whose shapes the other
+    // cka1 is a small-output scalar report whose shape the other
     // pins already exemplify; bb1's sig path is pinned via dd3)
     "bl1_bleu", "chf1_chrf", "re1_renyi_efficiency",
     "kr1_krippendorff_alpha", "ld1_l_diversity", "ci1_maxsim_topk",
     "fim1_fill_in_middle", "ql1_query_likelihood", "llr1_keyness",
     "at1_attribution", "dl1_delong_auc", "sr1_spearman_rho",
-    "yj1_youden_threshold", "tscv1_forward_chaining", "rc1_risk_coverage")
+    "yj1_youden_threshold", "tscv1_forward_chaining", "rc1_risk_coverage",
+    // round-14 additions: the r13 stragglers with deterministic plans
+    // (ny1 apportionment windows, sx1 stratified audit, pb1's
+    // md5-ladder replicate fan-out) plus the new ci2 composition.
+    // dd19 is pinned LAST: lshPlanner lazily persists its sig/truth
+    // subtrees at plan-build time, and a cache registration made
+    // mid-list would substitute InMemoryRelations into later queries'
+    // trees (the PlanGoldenSpec cache gotcha) — at the tail it can
+    // affect nothing after it.
+    "ny1_neyman_allocation", "sx1_simpson_audit", "pb1_paired_bootstrap",
+    "ci2_lsh_maxsim", "dd19_lsh_planner")
 
   /** (shuffle exchanges, broadcast exchanges) of the physical plan,
     * counted via tree walk, not the text dump: a persisted subtree's

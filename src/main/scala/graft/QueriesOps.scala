@@ -5179,6 +5179,29 @@ object QueriesOps {
         |  CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS maxsim_micro
         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    // CI2: LSH-prefiltered MaxSim — the ColBERT serving shape the ci1
+    // scaladoc promises: ss3's SRP band candidates (ids only, Hamming≤2
+    // query-side multi-probe) feed maxSimTopK as the scorer, so the
+    // parts² late-interaction fold runs per CANDIDATE rather than per
+    // (query × corpus) pair. Each row carries in_exact_topk — its
+    // membership in ci1's full-scan exact top-k — so the gate hash
+    // pins the prefilter's recall row by row (the ann1 discipline).
+    "ci2_lsh_maxsim" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        val q = e.filter(col("vec_id") < 8)
+        val cand = Similarity.srpCandidates(e, q, nPlanes = 12, nTables = 8)
+        val approx = Similarity.maxSimTopK(e, q, k = 5,
+          candidates = Some(cand))
+        val truth = Similarity.maxSimTopK(e, q, k = 5)
+          .select(col("q_id"), col("n_id")).withColumn("__t", lit(1))
+        approx.join(truth, Seq("q_id", "n_id"), "left")
+          .select(col("q_id"), col("n_id"), col("rank"), col("maxsim_micro"),
+            col("__t").isNotNull.as("in_exact_topk"))
+          .orderBy("q_id", "rank")
+      },
+      Some(OracleGen.ci2Sql())),
+
     // ANN6: IVF cell-balance audit at the kg1/ss5 production cell
     // count — occupancy histogram + imbalance factor, the skew
     // diagnostic behind every nprobe bound.

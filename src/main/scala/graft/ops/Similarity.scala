@@ -346,7 +346,23 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nPlanes: Int = 12, nTables: Int = 4, dim: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              probeHamming: Int = 2): DataFrame = {
+              probeHamming: Int = 2): DataFrame =
+    scoreCosineTopK(corpus, queries,
+      srpCandidates(corpus, queries, nPlanes, nTables, dim, idCol, vecCol,
+        probeHamming),
+      k, idCol, vecCol)
+
+  /** The SRP bucket-collision candidate set of [[lshTopK]], exposed as
+    * ids only — (q_id, n_id) pairs that share a bucket in any table,
+    * query-side multi-probed. This is the PREFILTER stage for scorers
+    * that are too expensive to run against the whole corpus (MaxSim
+    * late interaction, cross-encoder shortlists): candidate generation
+    * carries three longs per row, vectors join only for survivors.
+    */
+  def srpCandidates(corpus: DataFrame, queries: DataFrame,
+                    nPlanes: Int = 12, nTables: Int = 4, dim: Int = 64,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    probeHamming: Int = 2): DataFrame = {
     require(probeHamming >= 0 && probeHamming <= 2, "probeHamming in [0, 2]")
     def bucketed(df: DataFrame, prefix: String, probe: Boolean): DataFrame = {
       // materialize each table's bucket ONCE in its own projection: the
@@ -372,12 +388,16 @@ object Similarity {
         .select(col(s"${prefix}_id"),
           col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     }
-    val c = bucketed(corpus, "n", probe = false)
-    val q = bucketed(queries, "q", probe = probeHamming > 0)
-    val cand = c.join(q, Seq("tbl", "bkt"))
+    bucketed(corpus, "n", probe = false)
+      .join(bucketed(queries, "q", probe = probeHamming > 0), Seq("tbl", "bkt"))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"))
       .dropDuplicates("q_id", "n_id")
+  }
+
+  private def scoreCosineTopK(corpus: DataFrame, queries: DataFrame,
+                              cand: DataFrame, k: Int,
+                              idCol: String, vecCol: String): DataFrame = {
     val cv = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       norm(col(vecCol)).as("n_norm"))
     val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
@@ -1561,13 +1581,17 @@ object Similarity {
     * scanned ONCE with a per-row constant-size expression (parts² dot
     * products of dim/parts terms = exactly the work of one full-dim
     * dot per query part). The production path for large query sets
-    * LSH-prefilters candidates (ss3/ss4) and MaxSim-scores only the
-    * survivors; this operator is that scorer.
+    * LSH-prefilters candidates ([[srpCandidates]], the ss3/ss4
+    * machinery) and MaxSim-scores only the survivors — pass that ids-
+    * only (q_id, n_id) frame as `candidates` and the corpus is cut to
+    * candidate rows by an equi-join BEFORE any score expression runs
+    * (the ColBERT serving shape, registered as ci2).
     */
   def maxSimTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                  parts: Int = 4, dim: Int = 64,
                  idCol: String = "vec_id",
-                 vecCol: String = "embedding"): DataFrame = {
+                 vecCol: String = "embedding",
+                 candidates: Option[DataFrame] = None): DataFrame = {
     require(dim % parts == 0, "parts must divide dim")
     val sub = dim / parts
     def dotF(a: String, aOff: String, b: String, bOff: String) =
@@ -1596,10 +1620,21 @@ object Similarity {
          |    / (element_at(q_norms, i + 1) * element_at(n_norms, j + 1))
          |    END)))"""
         .stripMargin
-    val scored = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-        expr(normsExpr(vecCol)).as("n_norms"))
-      .join(q, col("n_id") =!= col("q_id"))
-      .withColumn("sim", expr(scoreExpr))
+    val corpusSide = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      expr(normsExpr(vecCol)).as("n_norms"))
+    val paired = candidates match {
+      case Some(c) =>
+        // ids-only prefilter: the candidate equi-join bounds which
+        // corpus rows ever meet a query — the parts² score expression
+        // runs per CANDIDATE, not per (query × corpus) pair
+        corpusSide
+          .join(c.select(col("q_id"), col("n_id")), Seq("n_id"))
+          .join(q, Seq("q_id"))
+          .filter(col("n_id") =!= col("q_id"))
+      case None =>
+        corpusSide.join(q, col("n_id") =!= col("q_id"))
+    }
+    val scored = paired.withColumn("sim", expr(scoreExpr))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -457,4 +457,30 @@ class EvalTextSpec extends AnyFunSuite {
     assert(got(1).getAs[Long]("maxsim_micro") < 4000000L)
     assert(got(1).getAs[Long]("maxsim_micro") > 2000000L) // first 2 tokens intact
   }
+
+  test("maxSimTopK candidates: full candidate set equals the full scan; " +
+      "a restricted set only ever scores its pairs") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(60)
+    val q = e.limit(4)
+    val full = Similarity.maxSimTopK(e, q, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getAs[Long]("maxsim_micro"))).toSet
+    // all-pairs candidates -> identical result (the prefilter is pure
+    // pruning, never a scorer change)
+    val allPairs = q.select(col("vec_id").as("q_id"))
+      .crossJoin(e.select(col("vec_id").as("n_id")))
+    val viaCand = Similarity.maxSimTopK(e, q, k = 3,
+        candidates = Some(allPairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getAs[Long]("maxsim_micro"))).toSet
+    assert(viaCand === full, "all-pairs candidates diverged from full scan")
+    // LSH candidates: output pairs are a subset of the candidate set
+    val cand = Similarity.srpCandidates(e, q, nPlanes = 12, nTables = 8)
+    val candSet = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = Similarity.maxSimTopK(e, q, k = 3, candidates = Some(cand))
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+    assert(pruned.forall(candSet.contains),
+      "prefiltered MaxSim emitted a pair outside its candidate set")
+  }
 }
