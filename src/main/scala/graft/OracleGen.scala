@@ -525,6 +525,57 @@ object OracleGen {
        |FROM cells, sm ORDER BY cell""".stripMargin
   }
 
+  /** ann7: incremental IVF append report — base/appended split by
+    * vec_id mod, cosine argmax assignment from the SAME fixed-centroid
+    * literals (ties to the larger cell id, the ss5/ss7 cell CTE), per-
+    * cell occupancy + shifted-cosine means as exact integers, drift
+    * and retrain flag per [[graft.ops.Similarity.ivfAppendReport]].
+    */
+  def ann7Sql(k: Int = 16, dim: Int = 64, splitMod: Int = 5,
+              driftMicro: Long = 50000L): String = {
+    val cents = Similarity.fixedCentroids(k, dim).map { c =>
+      s"(${c.id}, [${c.vec.mkString(", ")}], ${c.norm})"
+    }.mkString(", ")
+    val centDot = s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+      "i -> cv[CAST(i AS INTEGER)] * v[CAST(i AS INTEGER)])), (acc, x) -> acc + x)"
+    s"""WITH cent(cid, cv, cn) AS (VALUES $cents),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    CASE WHEN vec_id % $splitMod = 0 THEN 1 ELSE 0 END AS is_new
+       |  FROM embeddings),
+       |cs AS (SELECT e.vec_id, e.is_new, cent.cid, $centDot / cn AS c_sim
+       |  FROM e CROSS JOIN cent),
+       |best AS (SELECT vec_id, is_new, cid AS cell, c_sim FROM (
+       |    SELECT vec_id, is_new, cid, c_sim, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY c_sim DESC, cid DESC) AS rn FROM cs)
+       |  WHERE rn = 1),
+       |vn AS (SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x * x))) AS vnorm
+       |  FROM e),
+       |s1 AS (SELECT best.cell, best.is_new,
+       |    CASE WHEN vn.vnorm = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(floor((best.c_sim / vn.vnorm + 1.0) * 1e6 + 0.5) AS BIGINT)
+       |    END AS s1p
+       |  FROM best JOIN vn ON vn.vec_id = best.vec_id),
+       |g AS (SELECT cell,
+       |    CAST(sum(CASE WHEN is_new = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       |    CAST(sum(CASE WHEN is_new = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |    sum(CASE WHEN is_new = 0 THEN s1p ELSE 0 END) AS sb,
+       |    sum(CASE WHEN is_new = 1 THEN s1p ELSE 0 END) AS sn
+       |  FROM s1 GROUP BY 1),
+       |m AS (SELECT CAST(cell AS BIGINT) AS cell, n_base, n_new,
+       |    CAST((n_new * 1000000) // greatest(n_base, 1) AS BIGINT) AS growth_micro,
+       |    CASE WHEN n_base > 0 THEN CAST(sb // n_base AS BIGINT)
+       |      ELSE CAST(0 AS BIGINT) END AS sim1p_base_micro,
+       |    CASE WHEN n_new > 0 THEN CAST(sn // n_new AS BIGINT)
+       |      ELSE CAST(0 AS BIGINT) END AS sim1p_new_micro
+       |  FROM g),
+       |f AS (SELECT *, CASE WHEN n_base > 0 AND n_new > 0
+       |    THEN sim1p_base_micro - sim1p_new_micro
+       |    ELSE CAST(0 AS BIGINT) END AS drift_micro FROM m)
+       |SELECT cell, n_base, n_new, growth_micro, sim1p_base_micro,
+       |  sim1p_new_micro, drift_micro, drift_micro > $driftMicro AS retrain
+       |FROM f ORDER BY cell""".stripMargin
+  }
+
   /** cv2: Cramér's V association for each categorical column pair —
     * full r×c grid (zero cells contribute e), per-cell χ² term
     * micro-quantized before the order-free sum, V from the single

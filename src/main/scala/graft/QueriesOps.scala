@@ -5211,6 +5211,24 @@ object QueriesOps {
         .orderBy("cell"),
       Some(OracleGen.ann6Sql(16, 64))),
 
+    // ANN7: incremental IVF maintenance — every fifth vector plays the
+    // appended batch, assigned to the EXISTING fixed centroids (no
+    // retrain, no index rewrite); the report is the retrain trigger:
+    // per-cell occupancy growth + own-centroid cosine drift between
+    // resident and appended members, exact-integer means. The missing
+    // lifecycle piece between ss5's static index and continuous ingest
+    // (ann5 streams epochs; this decides when re-training is due).
+    "ann7_ivf_append" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.ivfAppendReport(
+            e.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+            e.filter(pmod(col("vec_id"), lit(5)) === 0),
+            Similarity.fixedCentroids(16, 64))
+          .orderBy("cell")
+      },
+      Some(OracleGen.ann7Sql(16, 64, 5))),
+
     // SIL1: simplified silhouette of the fixed-codebook assignment —
     // the internal-validity readout for km1/IVF-style quantizers; one
     // narrow map pass, k-bounded output.

@@ -554,6 +554,69 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), col("sim"))
   }
 
+  /** Incremental IVF maintenance: assign an APPENDED batch to the
+    * EXISTING plan-time centroids — no retraining, no touch of the
+    * stored index — and report, per cell, whether the quantizer still
+    * fits the data. The lifecycle piece between a static [[ivfIndex]]
+    * snapshot and a continuously-ingesting corpus (the SigStore-epochs
+    * idea applied to the vector index): appends are one narrow map
+    * (`ivfIndex(appended, cents)` writes the new epoch), and THIS
+    * report is the retrain trigger.
+    *
+    * Per cell: `n_base`/`n_new` occupancy, `growth_micro`
+    * (new-per-base), and the own-centroid cosine of each side's
+    * members, averaged as exact integers (`sim1p_*_micro` = mean of
+    * floor((cos+1)·10⁶+0.5) — the +1 shift keeps every quantity
+    * non-negative so integer `div` semantics agree across engines).
+    * `drift_micro` = base mean − new mean; `retrain` flags cells whose
+    * appended members sit `driftMicro` or more below the resident
+    * members — new data the old centroids no longer represent. Cell
+    * assignment is the exact [[ivfIndex]] argmax (ties to the larger
+    * cell id), so the report describes precisely what the index stores.
+    *
+    * Scale: two narrow assignment passes (nCentroids literals per row;
+    * zero-norm rows guarded to cosine 0) + ONE combinable (cell)
+    * shuffle of scalar rows; output is nCentroids-bounded. At 100 TB
+    * the base side's (n, Σsim1p) pairs live as a per-cell summary in
+    * the index ledger (the mv1 signed-delta discipline), so an append
+    * tick aggregates only the new batch — passing the full base here
+    * recomputes that summary in one pass without re-writing anything.
+    */
+  def ivfAppendReport(base: DataFrame, appended: DataFrame,
+                      centroids: Seq[Centroid],
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      driftMicro: Long = 50000L): DataFrame = {
+    require(centroids.nonEmpty, "ivfAppendReport: need centroids")
+    val cellStructs: Column = array(centroids.map { c =>
+      val vlit = typedlit(c.vec.toIndexedSeq)
+      struct((dot(vlit, col(vecCol)) / lit(c.norm)).as("c_sim"), lit(c.id).as("c_id"))
+    }: _*)
+    def assigned(df: DataFrame, isNew: Int): DataFrame =
+      df.select(array_max(cellStructs).as("b"), norm(col(vecCol)).as("vn"))
+        .select(lit(isNew).as("is_new"), col("b.c_id").as("cell"),
+          when(col("vn") === 0.0, 0L).otherwise(
+            floor((col("b.c_sim") / col("vn") + lit(1.0)) * lit(1e6) + lit(0.5))
+              .cast("long")).as("s1p"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    assigned(base, 0).unionByName(assigned(appended, 1))
+      .groupBy("cell")
+      .agg(sum(when(col("is_new") === 0, 1L).otherwise(0L)).cast("long").as("n_base"),
+        sum(when(col("is_new") === 1, 1L).otherwise(0L)).cast("long").as("n_new"),
+        sum(dec(when(col("is_new") === 0, col("s1p")).otherwise(0L))).as("sb"),
+        sum(dec(when(col("is_new") === 1, col("s1p")).otherwise(0L))).as("sn"))
+      .select(col("cell"), col("n_base"), col("n_new"),
+        expr("(n_new * 1000000L) div greatest(n_base, 1L)").as("growth_micro"),
+        when(col("n_base") > 0L, expr("CAST(sb div n_base AS BIGINT)"))
+          .otherwise(0L).as("sim1p_base_micro"),
+        when(col("n_new") > 0L, expr("CAST(sn div n_new AS BIGINT)"))
+          .otherwise(0L).as("sim1p_new_micro"))
+      .withColumn("drift_micro",
+        when(col("n_base") > 0L && col("n_new") > 0L,
+          col("sim1p_base_micro") - col("sim1p_new_micro")).otherwise(0L))
+      .withColumn("retrain", col("drift_micro") > lit(driftMicro))
+  }
+
   /** IVF (inverted-file) approximate top-k — the second scale path
     * besides SRP-LSH. The corpus is coarse-quantized into nCentroids
     * cells (spherical-k-means centroids from [[kmeansCentroids]] unless

@@ -305,6 +305,37 @@ class OpsSpec extends AnyFunSuite {
     assert(ivfpq === bf, "full-coverage IVF-PQ diverged from brute force")
   }
 
+  test("ivfAppendReport: in-distribution appends don't trip retrain; drifted ones do") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.fixedCentroids(16, 64)
+    // split the SAME distribution: no cell should flag
+    val inDist = Similarity.ivfAppendReport(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+        cents).collect()
+    assert(inDist.nonEmpty)
+    assert(inDist.forall(!_.getAs[Boolean]("retrain")),
+      "same-distribution append flagged retrain")
+    // appended batch pushed FAR off every centroid direction: whatever
+    // cell absorbs it must flag (and counts must reconcile)
+    val far = (0 until 30).map(i =>
+      (10000L + i, Array.tabulate(64)(j => if (j % 2 == 0) 50.0f else -50.0f)))
+      .toDF("vec_id", "embedding")
+    val drifted = Similarity.ivfAppendReport(e, far, cents).collect()
+    assert(drifted.map(_.getAs[Long]("n_new")).sum === 30L)
+    val hot = drifted.filter(_.getAs[Long]("n_new") > 0)
+    assert(hot.nonEmpty && hot.exists(_.getAs[Boolean]("retrain")),
+      "far-off append did not trip the retrain flag")
+    // assignment matches ivfIndex exactly (the report describes what
+    // the index stores)
+    val viaIndex = Similarity.ivfIndex(e, cents)
+      .groupBy("cell").count().collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("count")).toMap
+    val viaReport = Similarity.ivfAppendReport(e, e.limit(0), cents)
+      .collect().map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n_base")).toMap
+    assert(viaReport === viaIndex.filter(_._2 > 0))
+  }
+
   test("embeddingOutliers: a planted far-off vector tops the report with the extreme z") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
