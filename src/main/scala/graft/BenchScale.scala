@@ -135,7 +135,12 @@ object BenchScale {
     "sp4_banded_cluster_split", "ul2_unigram_em", "tc1_tokenizer_bakeoff",
     // seeded-restart PageRank: identical per-round O(edges) profile to
     // pg1 (one extra node-table flag join per round)
-    "ppr1_personalized_pagerank")
+    "ppr1_personalized_pagerank",
+    // round-14: the prefiltered MaxSim composition (fixed query set,
+    // candidates bound the scored pairs — linear in the corpus-side
+    // bucket pass) and the IVF append report (two narrow assignment
+    // passes + one combinable cell shuffle)
+    "ci2_lsh_maxsim", "ann7_ivf_append")
 
   /** Entries whose index width must grow with the corpus (the LSH /
     * IVF contract): each gives (base-leg fn, scaled-leg fn at k×) —
@@ -269,11 +274,37 @@ object BenchScale {
         name, Double.box(b), Double.box(s), Double.box(r)))
       (name, b, s, r)
     }
+    // SELF-TRIAGE (the round-12/13 forensics, automated): every entry
+    // whose full-suite ratio exceeds 4 is re-measured SOLO at the end
+    // of the run — same boot, nothing else interleaved — and both
+    // numbers ship in the artifact. Suite interference (cache churn,
+    // GC pressure from 80 neighboring queries) shows up as a solo
+    // ratio well under the full one (fi1's 9.34 → 3.2 in round 13 cost
+    // a verdict cycle to establish by hand); a ratio that SURVIVES the
+    // solo re-run is a real scaling signal.
+    val soloByName: Map[String, (Double, Double, Double)] =
+      entries.filter { case (n, _, _) =>
+        rows.find(_._1 == n).exists(_._4 > 4.0)
+      }.map { case (name, baseFn, scaledFn) =>
+        spark.conf.set("spark.sql.shuffle.partitions", basePartitions.toString)
+        val b = timeOf(baseFn, spark, baseDir)
+        spark.conf.set("spark.sql.shuffle.partitions", scaledPartitions)
+        val s = timeOf(scaledFn, spark, scaledDir)
+        println(String.format(java.util.Locale.ROOT,
+          """{"query":"%s","solo_base_sec":%.3f,"solo_scaled_sec":%.3f,"solo_ratio":%.2f}""",
+          name, Double.box(b), Double.box(s), Double.box(s / b)))
+        name -> (b, s, s / b)
+      }.toMap
     val maxR = rows.map(_._4).max
     val qs = rows.map { case (n, b, s, r) =>
+      val solo = soloByName.get(n).map { case (sb, ss, sr) =>
+        String.format(java.util.Locale.ROOT,
+          ""","solo_base_sec":%.3f,"solo_scaled_sec":%.3f,"solo_ratio":%.2f""",
+          Double.box(sb), Double.box(ss), Double.box(sr))
+      }.getOrElse("")
       String.format(java.util.Locale.ROOT,
-        """"%s":{"base_sec":%.3f,"scaled_sec":%.3f,"ratio":%.2f}""",
-        n, Double.box(b), Double.box(s), Double.box(r))
+        """"%s":{"base_sec":%.3f,"scaled_sec":%.3f,"ratio":%.2f%s}""",
+        n, Double.box(b), Double.box(s), Double.box(r), solo)
     }.mkString("{", ",", "}")
     val line = String.format(java.util.Locale.ROOT,
       """{"metric":"scale_smoke","k":%d,"base_sf":"%s","max_ratio":%.2f,"queries":%s}""",
