@@ -2329,4 +2329,83 @@ object OracleGen {
        |JOIN it$iters f ON f.item = i.item
        |ORDER BY i.item""".stripMargin
   }
+
+  /** wp1: WordPiece greedy longest-match segmentation
+    * ([[graft.ops.Bpe.wordpieceSegment]]) — position-tagged vocabulary
+    * (top-N (piece, cont) by count ∪ all singles), packed match lists,
+    * and the greedy walk unrolled as maxWordLen chained CTEs (per step
+    * the cursor jumps to the max `en` among matches starting at it —
+    * the same `st*1024+en` integer pack as the Spark side, so
+    * segmentations are bit-identical).
+    */
+  private def wordpieceBase(vocabSize: Int, maxPieceLen: Int,
+                            maxWordLen: Int): String = {
+    val pos2 =
+      """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_filter(marr, mm -> mm // 1024 = pos)),
+        |      (a, b) -> greatest(a, b))""".stripMargin
+    val rounds = (1 to maxWordLen).map { k =>
+      s""",
+         |g$k AS MATERIALIZED (SELECT w, cnt, len, marr,
+         |  CASE WHEN pos >= len THEN pos ELSE ($pos2) END AS pos,
+         |  CASE WHEN pos >= len THEN np ELSE np + 1 END AS np,
+         |  CASE WHEN pos >= len THEN seg ELSE seg ||
+         |    (CASE WHEN pos = 0 THEN '' ELSE ' ##' END) ||
+         |    substr(w, CAST(pos AS INTEGER) + 1,
+         |      CAST(($pos2) - pos AS INTEGER)) END AS seg
+         |  FROM g${k - 1})""".stripMargin
+    }.mkString
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT w, cnt, CAST(length(w) AS BIGINT) AS len FROM (
+       |    SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt
+       |    FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+       |    WHERE len(tok) > 0 GROUP BY tok)
+       |  WHERE length(w) <= $maxWordLen),
+       |subs AS MATERIALIZED (SELECT piece, cont, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
+       |    SELECT substr(t.w, CAST(a.i AS INTEGER), CAST(b.l AS INTEGER)) AS piece,
+       |      CASE WHEN a.i = 1 THEN 0 ELSE 1 END AS cont, t.cnt
+       |    FROM w t, unnest(generate_series(1, t.len)) AS a(i),
+       |         unnest(generate_series(1, $maxPieceLen)) AS b(l)
+       |    WHERE a.i + b.l - 1 <= t.len)
+       |  GROUP BY 1, 2),
+       |top AS (SELECT piece, cont FROM subs
+       |  ORDER BY pcnt DESC, cont, piece LIMIT $vocabSize),
+       |vocab AS MATERIALIZED (SELECT DISTINCT piece, cont FROM (
+       |  SELECT piece, cont FROM top UNION ALL
+       |  SELECT piece, cont FROM subs WHERE length(piece) = 1)),
+       |m AS MATERIALIZED (SELECT s.w, list_sort(list(s.mm)) AS marr FROM (
+       |    SELECT t.w,
+       |      CAST((a.i - 1) * 1024 + (a.i + b.l - 1) AS BIGINT) AS mm,
+       |      substr(t.w, CAST(a.i AS INTEGER), CAST(b.l AS INTEGER)) AS piece,
+       |      CASE WHEN a.i = 1 THEN 0 ELSE 1 END AS cont
+       |    FROM w t, unnest(generate_series(1, t.len)) AS a(i),
+       |         unnest(generate_series(1, $maxPieceLen)) AS b(l)
+       |    WHERE a.i + b.l - 1 <= t.len) s
+       |  JOIN vocab v ON v.piece = s.piece AND v.cont = s.cont
+       |  GROUP BY s.w),
+       |g0 AS MATERIALIZED (SELECT t.w, t.cnt, t.len, m.marr,
+       |    CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS np, '' AS seg
+       |  FROM w t JOIN m ON m.w = t.w)""".stripMargin + rounds
+  }
+
+  def wp1Sql(vocabSize: Int = 256, maxPieceLen: Int = 4,
+             maxWordLen: Int = 16): String =
+    wordpieceBase(vocabSize, maxPieceLen, maxWordLen) +
+      s"""
+         |SELECT w, cnt, len AS n_chars, np AS n_pieces, seg
+         |FROM g$maxWordLen ORDER BY w""".stripMargin
+
+  def wp2Sql(vocabSize: Int = 256, maxPieceLen: Int = 4,
+             maxWordLen: Int = 16, topK: Int = 30): String =
+    wordpieceBase(vocabSize, maxPieceLen, maxWordLen) +
+      s""",
+         |u AS (SELECT
+         |    CASE WHEN p LIKE '##%' THEN substr(p, 3) ELSE p END AS piece,
+         |    CASE WHEN p LIKE '##%' THEN 1 ELSE 0 END AS cont,
+         |    CAST(sum(cnt) AS BIGINT) AS usage FROM (
+         |    SELECT cnt, unnest(string_split(seg, ' ')) AS p
+         |    FROM g$maxWordLen)
+         |  GROUP BY 1, 2)
+         |SELECT piece, cont, usage FROM u
+         |ORDER BY usage DESC, cont, piece LIMIT $topK""".stripMargin
 }

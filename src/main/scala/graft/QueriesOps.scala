@@ -6075,6 +6075,23 @@ object QueriesOps {
       (s, d) => graft.ops.Bpe.unigramPruneRound(docs(s, d)),
       Some(OracleGen.ul3Sql())),
 
+    // WP1: WordPiece greedy longest-match segmentation (Schuster &
+    // Nakajima '12; BERT's MaxMatch) — the third tokenizer beside BPE
+    // (merge-rank greedy) and unigram-LM (Viterbi): position-tagged
+    // vocabulary, single greedy fold, no DP. The emitted `seg` string
+    // ("un ##ab ##le") makes the gate verify the full segmentation,
+    // not just piece counts.
+    "wp1_wordpiece_segment" -> Q(
+      (s, d) => graft.ops.Bpe.wordpieceSegment(docs(s, d)).orderBy("w"),
+      Some(OracleGen.wp1Sql())),
+
+    // WP2: occurrence-weighted piece usage of the WordPiece vocabulary
+    // (initial vs ## continuation forms separate) — the vocab-health
+    // readout before shipping a tokenizer.
+    "wp2_wordpiece_usage" -> Q(
+      (s, d) => graft.ops.Bpe.wordpieceUsage(docs(s, d)),
+      Some(OracleGen.wp2Sql())),
+
     // Corpus-wide tokenization with the learned merges — the job the
     // tokenizer exists for. Per-doc piece count + md5 of the ordered
     // piece sequence (ordered reassembly via array_sort(struct(pos,…)),

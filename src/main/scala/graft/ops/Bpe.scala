@@ -411,4 +411,123 @@ object Bpe {
         expr("(pieces_after * 1000000L) div occ_after")
           .as("fertility_micro_after"))
   }
+
+  /** WordPiece greedy segmentation (Schuster & Nakajima, ICASSP'12;
+    * the BERT tokenizer's MaxMatch — Devlin et al. '19 use exactly
+    * this longest-match-first walk): position-tagged vocabulary
+    * (word-INITIAL pieces vs `##`-CONTINUATION pieces are distinct
+    * entries, counted from their actual corpus positions), then each
+    * word is segmented left-to-right by repeatedly taking the LONGEST
+    * vocabulary piece valid at the cursor. Completes the tokenizer
+    * trio beside BPE ([[learnMerges]], merge-rank greedy) and
+    * unigram-LM ([[unigramSegment]], global-optimum Viterbi):
+    * WordPiece is the one that needs NO per-word DP — a single greedy
+    * fold — which is why serving-side tokenizers ship it.
+    *
+    * Vocabulary: all (piece, cont) substrings up to `maxPieceLen`
+    * chars with summed word counts; top `vocabSize` under the total
+    * order (pcnt desc, cont asc, piece asc) ∪ ALL single-character
+    * entries (both position forms, with their true counts) so the
+    * greedy walk can always advance — the `[UNK]` branch is
+    * structurally unreachable and fertility is exact, not clipped.
+    *
+    * Mechanics: matches per word are an equi-join of exploded
+    * (position, length) substrings against the vocabulary on
+    * (piece, cont = position > 1), packed `st·1024 + en` and sorted;
+    * the greedy walk is `maxWordLen` chained struct projections —
+    * per step, `array_max`-style integer fold of the matches starting
+    * at the cursor (longest wins because `en` is the low bits of a
+    * fixed-`st` pack), emitting the piece into the running `seg`
+    * string (`##`-prefixed past position 0). Both engines run the
+    * same fold on the same integer pack, so segmentations are
+    * bit-identical.
+    *
+    * Scale: ONE corpus-sized word-count shuffle; everything after
+    * lives on the vocabulary-bounded word table (the [[learnMerges]]
+    * scaling argument: WordPiece trainers scale with vocabulary, not
+    * tokens). The greedy fold is a constant-width projection chain —
+    * no shuffle, no UDF, codegen-friendly HOFs throughout.
+    */
+  def wordpieceSegment(docs: DataFrame, vocabSize: Int = 256,
+                       maxPieceLen: Int = 4, maxWordLen: Int = 16,
+                       textCol: String = "text"): DataFrame = {
+    val words = wordCounts(docs, textCol)
+      .filter(length(col("w")) <= maxWordLen)
+      .select(col("w"), col("cnt").cast("long").as("cnt"),
+        length(col("w")).cast("long").as("len"))
+      .persist()
+    // (piece, cont, pcnt): every substring up to maxPieceLen at its
+    // actual position class — word-initial (cont=0) vs interior
+    // (cont=1) counts are SEPARATE entries, the WordPiece signature
+    val subs = words
+      .select(col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, len), i ->
+           |  transform(sequence(1, least($maxPieceLen, len - i + 1)), l ->
+           |    struct(substring(w, CAST(i AS INT), CAST(l AS INT)) AS piece,
+           |      CASE WHEN i = 1 THEN 0 ELSE 1 END AS cont))))""".stripMargin))
+        .as("pc"))
+      .groupBy(col("pc.piece").as("piece"), col("pc.cont").as("cont"))
+      .agg(sum("cnt").cast("long").as("pcnt"))
+      .persist()
+    val vocab = subs
+      .orderBy(col("pcnt").desc, col("cont").asc, col("piece").asc)
+      .limit(vocabSize)
+      .unionByName(subs.filter(length(col("piece")) === 1))
+      .dropDuplicates("piece", "cont")
+    val matches = words
+      .select(col("w"), explode(expr(
+        s"""flatten(transform(sequence(1, len), i ->
+           |  transform(sequence(1, least($maxPieceLen, len - i + 1)), l ->
+           |    struct(substring(w, CAST(i AS INT), CAST(l AS INT)) AS piece,
+           |      CASE WHEN i = 1 THEN 0 ELSE 1 END AS cont,
+           |      CAST((i - 1) * 1024 + (i + l - 1) AS BIGINT) AS mm))))"""
+          .stripMargin)).as("m"))
+      .select(col("w"), col("m.piece").as("piece"), col("m.cont").as("cont"),
+        col("m.mm").as("mm"))
+      .join(broadcast(vocab.select("piece", "cont")), Seq("piece", "cont"))
+      .groupBy("w").agg(sort_array(collect_list(col("mm"))).as("marr"))
+    // greedy longest-match walk: st = (cursor, pieces so far, seg text)
+    val pos2 =
+      """aggregate(filter(marr, mm -> mm div 1024L = st.pos),
+        |  CAST(0 AS BIGINT), (a, mm) -> greatest(a, mm % 1024L))""".stripMargin
+    var seg = words.join(matches, "w")
+      .withColumn("st", expr(
+        "named_struct('pos', CAST(0 AS BIGINT), 'np', CAST(0 AS BIGINT), 'seg', '')"))
+    for (_ <- 1 to maxWordLen) {
+      seg = seg.withColumn("st", expr(
+        s"""CASE WHEN st.pos >= len THEN st ELSE named_struct(
+           |  'pos', ($pos2),
+           |  'np', st.np + 1L,
+           |  'seg', concat(st.seg,
+           |    CASE WHEN st.pos = 0L THEN '' ELSE ' ##' END,
+           |    substring(w, CAST(st.pos AS INT) + 1,
+           |      CAST(($pos2) - st.pos AS INT))))
+           |END""".stripMargin))
+    }
+    val out = seg.select(col("w"), col("cnt"), col("len").as("n_chars"),
+      col("st.np").as("n_pieces"), col("st.seg").as("seg"))
+    out
+  }
+
+  /** Piece-usage report of the [[wordpieceSegment]] vocabulary: which
+    * pieces actually carry the corpus (occurrence-weighted usage,
+    * word-initial and continuation forms separate) — the
+    * vocabulary-health readout a tokenizer owner reads before
+    * shipping (dead entries = wasted embedding rows; a continuation
+    * piece outworking its initial twin = a stemming artifact).
+    * Top `topK` under (usage desc, cont asc, piece asc).
+    */
+  def wordpieceUsage(docs: DataFrame, vocabSize: Int = 256,
+                     maxPieceLen: Int = 4, maxWordLen: Int = 16,
+                     topK: Int = 30, textCol: String = "text"): DataFrame =
+    wordpieceSegment(docs, vocabSize, maxPieceLen, maxWordLen, textCol)
+      .select(col("cnt"), explode(split(col("seg"), " ")).as("p"))
+      .select(col("cnt"),
+        when(col("p").startsWith("##"), lit(1)).otherwise(lit(0)).as("cont"),
+        when(col("p").startsWith("##"), expr("substring(p, 3)"))
+          .otherwise(col("p")).as("piece"))
+      .groupBy("piece", "cont")
+      .agg(sum("cnt").cast("long").as("usage"))
+      .orderBy(col("usage").desc, col("cont").asc, col("piece").asc)
+      .limit(topK)
 }

@@ -134,4 +134,39 @@ class BpeSpec extends AnyFunSuite {
     val t1 = got.values.map(r => r.getAs[Long]("cnt") * r.getAs[Long]("cost1_micro")).sum
     assert(t1 <= t0)
   }
+
+  test("wordpiece: greedy longest-match-first, ## continuations, lossless") {
+    // 'aaaa' with pieces up to len 3: greedy takes 'aaa' then '##a' —
+    // NOT the also-2-piece 'aa ##aa'; longest-first is the law
+    val seg = Bpe.wordpieceSegment(corpus("aaaa aaaa bb"),
+        vocabSize = 64, maxPieceLen = 3)
+      .collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(seg("aaaa") === "aaa ##a")
+    assert(seg("bb") === "bb")
+    // lossless: stripping '##' markers rebuilds every word
+    seg.foreach { case (w, s) =>
+      assert(s.split(" ").map(_.stripPrefix("##")).mkString === w)
+    }
+  }
+
+  test("wordpiece: position-tagged vocab — initial and continuation forms are distinct") {
+    // tiny vocab: only singles survive ('ab' as one piece would need
+    // the top slots; vocabSize=0 keeps singles only) -> every word is
+    // fully exploded into chars, first raw, rest ##-prefixed
+    val seg = Bpe.wordpieceSegment(corpus("ab ab cd"),
+        vocabSize = 0, maxPieceLen = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getString(4))).toMap
+    assert(seg("ab") === ((2L, "a ##b")))
+    assert(seg("cd") === ((2L, "c ##d")))
+  }
+
+  test("wordpiece usage: occurrence-weighted, cont flag split, top order") {
+    val got = Bpe.wordpieceUsage(corpus("aaaa aaaa bb"),
+        vocabSize = 64, maxPieceLen = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // 'aaaa' x2 -> 'aaa'(init) usage 2 and 'a'(cont) usage 2; 'bb' -> ('bb',0) 1
+    assert(got(("aaa", 0)) === 2L)
+    assert(got(("a", 1)) === 2L)
+    assert(got(("bb", 0)) === 1L)
+  }
 }
