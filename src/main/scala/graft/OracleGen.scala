@@ -2395,6 +2395,52 @@ object OracleGen {
          |SELECT w, cnt, len AS n_chars, np AS n_pieces, seg
          |FROM g$maxWordLen ORDER BY w""".stripMargin
 
+  /** prune1: SSL-prototype pruning — the ann7 cosine-argmax assignment
+    * (ties to the larger cell id), per-row prototypicality
+    * nano-quantized BEFORE ranking, per-cell floor drop shares, exact
+    * integer means.
+    */
+  def prune1Sql(k: Int = 16, dim: Int = 64,
+                dropMicro: Long = 250000L): String = {
+    val cents = Similarity.fixedCentroids(k, dim).map { c =>
+      s"(${c.id}, [${c.vec.mkString(", ")}], ${c.norm})"
+    }.mkString(", ")
+    val centDot = s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+      "i -> cv[CAST(i AS INTEGER)] * v[CAST(i AS INTEGER)])), (acc, x) -> acc + x)"
+    s"""WITH cent(cid, cv, cn) AS (VALUES $cents),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |cs AS (SELECT e.vec_id, cent.cid, $centDot / cn AS c_sim
+       |  FROM e CROSS JOIN cent),
+       |best AS (SELECT vec_id, cid AS cell, c_sim FROM (
+       |    SELECT vec_id, cid, c_sim, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY c_sim DESC, cid DESC) AS rn FROM cs)
+       |  WHERE rn = 1),
+       |vn AS (SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x * x))) AS vnorm
+       |  FROM e),
+       |sn AS (SELECT b.vec_id AS id, b.cell,
+       |    CASE WHEN vn.vnorm = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(floor(b.c_sim / vn.vnorm * 1e9 + 0.5) AS BIGINT) END AS s_nano
+       |  FROM best b JOIN vn ON vn.vec_id = b.vec_id),
+       |m AS (SELECT cell, s_nano,
+       |    CAST(row_number() OVER (PARTITION BY cell ORDER BY s_nano DESC, id) AS BIGINT) AS r,
+       |    CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n
+       |  FROM sn),
+       |mk AS (SELECT cell, s_nano, n,
+       |    CASE WHEN r <= (n * $dropMicro) // 1000000 THEN 1 ELSE 0 END AS dropped
+       |  FROM m)
+       |SELECT CAST(cell AS BIGINT) AS cell,
+       |  CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(sum(dropped) AS BIGINT) AS n_dropped,
+       |  CAST(count(*) - sum(dropped) AS BIGINT) AS n_kept,
+       |  CAST(CASE WHEN sum(dropped) = 0 THEN 0
+       |    ELSE sum(CASE WHEN dropped = 1 THEN s_nano ELSE 0 END) // sum(dropped)
+       |    END AS BIGINT) AS mean_drop_nano,
+       |  CAST(CASE WHEN count(*) = sum(dropped) THEN 0
+       |    ELSE sum(CASE WHEN dropped = 0 THEN s_nano ELSE 0 END)
+       |      // (count(*) - sum(dropped)) END AS BIGINT) AS mean_kept_nano
+       |FROM mk GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
   def wp2Sql(vocabSize: Int = 256, maxPieceLen: Int = 4,
              maxWordLen: Int = 16, topK: Int = 30): String =
     wordpieceBase(vocabSize, maxPieceLen, maxWordLen) +

@@ -6092,6 +6092,110 @@ object QueriesOps {
       (s, d) => graft.ops.Bpe.wordpieceUsage(docs(s, d)),
       Some(OracleGen.wp2Sql())),
 
+    // BON1: unbiased Best-of-N curve (Nakano et al. '21) — prompts =
+    // doc_id div 5 (5 candidates each), reward = the shared quality
+    // score; order statistics on micro-quantized scores, exact
+    // binomial-weight folds in both engines.
+    "bon1_best_of_n" -> Q(
+      (s, d) => {
+        val q = graft.ops.Text.withQuality(docs(s, d))
+          .select(expr("doc_id div 5").as("prompt"),
+            col("quality_score"), col("doc_id"))
+        graft.ops.Stats.bestOfN(q, "prompt", "quality_score", "doc_id",
+          maxN = 5).orderBy("n")
+      },
+      Some("""WITH q AS (SELECT doc_id, CAST(doc_id // 5 AS BIGINT) AS p,
+        |    least(1.0,
+        |      CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE) * 0.5
+        |      + CAST(len(list_filter(string_split(text, ' '),
+        |          x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
+        |      + least(CAST(list_sum(list_transform(string_split(text, ' '),
+        |          x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+        |          / CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0, 1.0) * 0.2) AS qs
+        |  FROM documents),
+        |b AS (SELECT p, CAST(floor(qs * 1e6 + 0.5) AS BIGINT) AS s,
+        |    CAST(doc_id AS BIGINT) AS id FROM q),
+        |r AS (SELECT p, s,
+        |    CAST(row_number() OVER (PARTITION BY p ORDER BY s, id) AS BIGINT) AS i,
+        |    CAST(count(*) OVER (PARTITION BY p) AS BIGINT) AS nn FROM b),
+        |e AS (SELECT r.p, r.s, r.i, r.nn, CAST(u.n AS BIGINT) AS n
+        |  FROM r, unnest(generate_series(1, 5)) AS u(n) WHERE u.n <= r.nn),
+        |w AS (SELECT p, n, s,
+        |    CASE WHEN n = 1 THEN CAST(1 AS BIGINT)
+        |         WHEN i - 1 < n - 1 THEN CAST(0 AS BIGINT)
+        |         ELSE list_reduce(list_prepend(CAST(1 AS BIGINT),
+        |             generate_series(1, n - 1)),
+        |           (acc, j) -> (acc * (i - n + j)) // j) END AS wn,
+        |    list_reduce(list_prepend(CAST(1 AS BIGINT), generate_series(1, n)),
+        |      (acc, j) -> (acc * (nn - n + j)) // j) AS wd
+        |  FROM e),
+        |pp AS (SELECT p, n,
+        |    CAST(sum(s * wn) AS BIGINT) // min(wd) AS bon FROM w GROUP BY 1, 2)
+        |SELECT n, CAST(count(*) AS BIGINT) AS n_prompts,
+        |  CAST(sum(bon) // count(*) AS BIGINT) AS mean_bon_micro
+        |FROM pp GROUP BY 1 ORDER BY n""".stripMargin)),
+
+    // PRUNE1: SSL-prototype data pruning (Sorscher et al. '22) — drop
+    // the EASIEST (most prototypical) 25% per cluster; the
+    // embedding-only pruning rule that beats random subsetting in the
+    // data-abundant regime. Fixed coarse centroids (the ss5/ann7
+    // literals) so the oracle recomputes the full assignment.
+    "prune1_prototype_pruning" -> Q(
+      (s, d) => graft.ops.Curate.prototypePruning(embs(s, d),
+          graft.ops.Similarity.fixedCentroids(16, 64)).orderBy("cell"),
+      Some(OracleGen.prune1Sql())),
+
+    // FAIR1: group-fairness audit of a quality gate over language
+    // slices — selection rate, TPR/FPR vs the n_chars>=300 proxy
+    // outcome, disparate-impact ratio vs the largest group, and the
+    // equalized-odds gap. The mixture-bug detector for any corpus cut.
+    "fair1_parity_audit" -> Q(
+      (s, d) => {
+        val base = graft.ops.Text.withQuality(docs(s, d))
+          .select(col("lang"),
+            (floor(col("quality_score") * lit(1e6) + lit(0.5)) >= 610000L)
+              .as("dec"),
+            (col("n_chars") >= 300L).as("outc"))
+        graft.ops.Classify.fairnessAudit(base, "lang", "dec", "outc")
+          .orderBy("grp")
+      },
+      Some("""WITH q AS (SELECT lang, n_chars,
+        |    least(1.0,
+        |      CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE) * 0.5
+        |      + CAST(len(list_filter(string_split(text, ' '),
+        |          x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
+        |      + least(CAST(list_sum(list_transform(string_split(text, ' '),
+        |          x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+        |          / CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0, 1.0) * 0.2) AS qs
+        |  FROM documents),
+        |g AS (SELECT lang AS grp,
+        |    CASE WHEN CAST(floor(qs * 1e6 + 0.5) AS BIGINT) >= 610000
+        |      THEN 1 ELSE 0 END AS d,
+        |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y FROM q),
+        |per AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(d) AS BIGINT) AS n_sel, CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(sum(d * y) AS BIGINT) AS n_tp,
+        |    CAST(sum(d * (1 - y)) AS BIGINT) AS n_fp
+        |  FROM g GROUP BY 1),
+        |pr AS (SELECT *, (n_sel * 1000000) // n AS sel_micro,
+        |    CASE WHEN n_pos = 0 THEN 0
+        |      ELSE (n_tp * 1000000) // n_pos END AS tpr_micro,
+        |    CASE WHEN n = n_pos THEN 0
+        |      ELSE (n_fp * 1000000) // (n - n_pos) END AS fpr_micro FROM per),
+        |ref AS (SELECT grp AS ref_grp, sel_micro AS ref_sel,
+        |    tpr_micro AS ref_tpr, fpr_micro AS ref_fpr
+        |  FROM pr ORDER BY n DESC, grp LIMIT 1)
+        |SELECT grp, n, n_sel, sel_micro, tpr_micro, fpr_micro, ref_grp,
+        |  CASE WHEN ref_sel = 0 THEN CAST(1000000 AS BIGINT)
+        |    ELSE (sel_micro * 1000000) // ref_sel END AS di_ratio_micro,
+        |  greatest(abs(tpr_micro - ref_tpr), abs(fpr_micro - ref_fpr))
+        |    AS eo_gap_micro
+        |FROM pr, ref ORDER BY grp""".stripMargin)),
+
     // Corpus-wide tokenization with the learned merges — the job the
     // tokenizer exists for. Per-doc piece count + md5 of the ordered
     // piece sequence (ordered reassembly via array_sort(struct(pos,…)),

@@ -970,4 +970,57 @@ object Classify {
               (lit(1.0) - nd(col("o")) / nd(col("n"))))) * lit(1e9) +
           lit(0.5)).cast("long").as("residual_nano"))
   }
+
+  /** Group-fairness audit of a binary decision (Hardt, Price, Srebro,
+    * NeurIPS'16 "Equality of Opportunity in Supervised Learning" for
+    * equalized odds; Feldman et al. KDD'15 for disparate impact): per
+    * protected group, the selection rate, TPR and FPR, plus the
+    * cross-group gaps a release gate actually checks — the
+    * disparate-impact RATIO of selection rates against the reference
+    * group (the four-fifths rule compares this to 0.8) and the
+    * equalized-odds gap `max(|ΔTPR|, |ΔFPR|)`. In a data pipeline this
+    * audits a FILTER (quality gate, toxicity cut) against a slice
+    * column: a gate that silently drops one language's documents at
+    * 3× the rate of another's is a mixture bug before it is anything
+    * else.
+    *
+    * The reference group is the largest group (ties to the
+    * lexicographically smallest name) — the "majority baseline" both
+    * cited papers use.
+    *
+    * Determinism: all rates are exact integer micro divisions of exact
+    * counts; gaps are integer arithmetic on those micro rates.
+    * Scale: ONE combinable (group) count shuffle; the groups-bounded
+    * table then broadcast-joins the single reference row.
+    */
+  def fairnessAudit(df: DataFrame, groupCol: String, decisionCol: String,
+                    outcomeCol: String): DataFrame = {
+    val g = df.select(col(groupCol).cast("string").as("grp"),
+      col(decisionCol).cast("boolean").as("d"),
+      col(outcomeCol).cast("boolean").as("y"))
+    val per = g.groupBy("grp").agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(when(col("d"), 1L).otherwise(0L)).cast("long").as("n_sel"),
+      sum(when(col("y"), 1L).otherwise(0L)).cast("long").as("n_pos"),
+      sum(when(col("d") && col("y"), 1L).otherwise(0L)).cast("long").as("n_tp"),
+      sum(when(col("d") && !col("y"), 1L).otherwise(0L)).cast("long").as("n_fp"))
+      .withColumn("sel_micro", expr("(n_sel * 1000000L) div n"))
+      .withColumn("tpr_micro",
+        expr("CASE WHEN n_pos = 0 THEN 0 ELSE (n_tp * 1000000L) div n_pos END"))
+      .withColumn("fpr_micro",
+        expr("""CASE WHEN n = n_pos THEN 0
+               |  ELSE (n_fp * 1000000L) div (n - n_pos) END""".stripMargin))
+    val ref = per.orderBy(col("n").desc, col("grp").asc).limit(1)
+      .select(col("grp").as("ref_grp"), col("sel_micro").as("ref_sel"),
+        col("tpr_micro").as("ref_tpr"), col("fpr_micro").as("ref_fpr"))
+    per.crossJoin(broadcast(ref))
+      .select(col("grp"), col("n"), col("n_sel"),
+        col("sel_micro"), col("tpr_micro"), col("fpr_micro"),
+        col("ref_grp"),
+        expr("""CASE WHEN ref_sel = 0 THEN 1000000L
+               |  ELSE (sel_micro * 1000000L) div ref_sel END""".stripMargin)
+          .as("di_ratio_micro"),
+        greatest(abs(col("tpr_micro") - col("ref_tpr")),
+          abs(col("fpr_micro") - col("ref_fpr"))).as("eo_gap_micro"))
+  }
 }

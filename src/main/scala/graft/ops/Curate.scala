@@ -1319,4 +1319,70 @@ object Curate {
              |  (CAST(2 AS DECIMAL(38,0)) * n_g * n_total) AS BIGINT)"""
         .stripMargin).as("t_tv_micro")): _*)
   }
+
+  /** SSL-prototype data pruning (Sorscher et al., NeurIPS'22 "Beyond
+    * neural scaling laws: beating power law scaling via data pruning"):
+    * assign every embedding to its nearest prototype (a k-means
+    * centroid), score each example by its cosine to the OWN prototype
+    * — high cosine = prototypical/easy, low = hard — and, in the
+    * data-abundant regime the paper establishes, drop the EASIEST
+    * `dropMicro`/1e6 fraction PER CLUSTER (per-cluster, not global, so
+    * no cluster is wiped out by a tight neighbor). The embedding-only
+    * pruning rule — no training signal needed — that beats random
+    * subsetting; the complement of [[graft.ops.Dedup.semanticDedup]]
+    * (which drops near-DUPLICATES, not easy examples).
+    *
+    * Determinism: assignment is the [[graft.ops.Similarity.ivfTopK]]
+    * cosine-argmax over plan-time centroid literals (ties to the
+    * larger cell id); prototypicality nano-quantizes BEFORE ranking,
+    * so the per-cell drop line is an integer total order
+    * (s_nano desc, vec_id asc); drop counts are exact floor shares.
+    *
+    * Scale: one narrow assignment pass (k in-row folds per vector), a
+    * per-cell window whose width is cell occupancy, a cells-bounded
+    * rollup. No pairwise anything — prototypes make pruning linear
+    * where per-pair dedup is quadratic.
+    */
+  def prototypePruning(vecs: DataFrame,
+                       centroids: Seq[Similarity.Centroid],
+                       dropMicro: Long = 250000L,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "need centroids")
+    require(dropMicro >= 0L && dropMicro < 1000000L, "dropMicro in [0, 1e6)")
+    val vd = col(vecCol).cast("array<double>")
+    val cellStructs = array(centroids.map { c =>
+      val vlit = typedlit(c.vec.toIndexedSeq)
+      struct((Similarity.dot(vlit, vd) / lit(c.norm)).as("c_sim"),
+        lit(c.id).as("c_id"))
+    }: _*)
+    val assigned = vecs.select(col(idCol).cast("long").as("id"),
+        array_max(cellStructs).as("best"),
+        Similarity.norm(vd).as("vn"))
+      .select(col("id"), col("best.c_id").as("cell"),
+        when(col("vn") === lit(0.0), lit(0L))
+          .otherwise(floor(col("best.c_sim") / col("vn") * lit(1e9) +
+            lit(0.5)).cast("long")).as("s_nano"))
+    val w = Window.partitionBy("cell")
+      .orderBy(col("s_nano").desc, col("id").asc)
+    val marked = assigned
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("cell")).cast("long"))
+      .withColumn("dropped",
+        (col("r") <= expr(s"(n * ${dropMicro}L) div 1000000L")).cast("int"))
+    marked.groupBy("cell")
+      .agg(count(lit(1)).cast("long").as("n_members"),
+        sum(col("dropped").cast("long")).cast("long").as("n_dropped"),
+        sum(when(col("dropped") === 1, col("s_nano"))
+          .otherwise(lit(0L)).cast("decimal(38,0)")).as("sd"),
+        sum(when(col("dropped") === 0, col("s_nano"))
+          .otherwise(lit(0L)).cast("decimal(38,0)")).as("sk"))
+      .select(col("cell"), col("n_members"), col("n_dropped"),
+        (col("n_members") - col("n_dropped")).as("n_kept"),
+        expr("CAST(CASE WHEN n_dropped = 0 THEN 0 ELSE sd div n_dropped END AS BIGINT)")
+          .as("mean_drop_nano"),
+        expr("""CAST(CASE WHEN n_members = n_dropped THEN 0
+               |  ELSE sk div (n_members - n_dropped) END AS BIGINT)""".stripMargin)
+          .as("mean_kept_nano"))
+  }
 }

@@ -2061,4 +2061,62 @@ object Stats {
         floor((nd * sxy - sx * sy) / sqrt(den) * lit(1e9) + lit(0.5))
           .cast("long")).otherwise(lit(0L)).as("rho_nano"))
   }
+
+  /** Unbiased Best-of-N curve (the BoN estimator of Nakano et al. '21,
+    * WebGPT App. C — the standard way RLHF papers report "reward of
+    * the best of n samples" WITHOUT re-sampling): with a prompt's N
+    * candidate scores sorted ascending s₍₁₎…s₍N₎, the exact
+    * expectation of max over a uniform n-subset is
+    * `Σᵢ C(i−1, n−1)/C(N, n) · s₍ᵢ₎` — every n-subset's max is the
+    * highest-ranked member it contains, and C(i−1, n−1) counts the
+    * subsets whose max is exactly rank i. One pass gives the whole
+    * scaling curve n = 1..maxN; the curve's shape (how fast BoN
+    * saturates) is THE reward-hacking / sample-budget readout.
+    *
+    * Determinism: scores are micro-quantized BEFORE ranking, so the
+    * order statistic is an integer total order (score, id); binomial
+    * weights are exact longs via the in-order multiplicative fold
+    * `Πⱼ (i−n+j)/j` (integrality holds at every step — each prefix is
+    * itself a binomial); per-prompt values and the cross-prompt mean
+    * are exact integer divisions of decimal sums.
+    *
+    * Scale: one (prompt) shuffle to rank candidates, one maxN-way
+    * in-row explode, one combinable (n) rollup — corpus-linear, no
+    * windows wider than a prompt's candidate list.
+    */
+  def bestOfN(scored: DataFrame, promptCol: String, scoreCol: String,
+              idCol: String, maxN: Int = 5): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = scored.select(col(promptCol).cast("long").as("p"),
+      floor(col(scoreCol) * lit(1e6) + lit(0.5)).cast("long").as("s"),
+      col(idCol).cast("long").as("id"))
+    val w = Window.partitionBy("p").orderBy(col("s").asc, col("id").asc)
+    val ranked = base
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy("p")).cast("long"))
+      .withColumn("n", explode(expr(
+        s"transform(sequence(1, $maxN), x -> CAST(x AS BIGINT))")))
+      .filter(col("n") <= col("nn"))
+    // C(i-1, n-1) and C(N, n): exact multiplicative folds, n=1 guarded
+    // (Spark sequence(1, 0) auto-reverses instead of emptying)
+    val wNum = expr(
+      """CASE WHEN n = 1L THEN 1L
+        |  WHEN i - 1L < n - 1L THEN 0L
+        |  ELSE aggregate(sequence(1L, n - 1L), 1L,
+        |    (acc, j) -> (acc * (i - n + j)) div j) END""".stripMargin)
+    val wDen = expr(
+      "aggregate(sequence(1L, n), 1L, (acc, j) -> (acc * (nn - n + j)) div j)")
+    ranked
+      .withColumn("wn", wNum).withColumn("wd", wDen)
+      .groupBy("p", "n")
+      .agg(sum(dec(col("s")) * dec(col("wn"))).as("num"),
+        first(col("wd")).as("den"))
+      .select(col("p"), col("n"),
+        expr("CAST(num div den AS BIGINT)").as("bon_micro"))
+      .groupBy("n")
+      .agg(count(lit(1)).cast("long").as("n_prompts"),
+        sum(dec(col("bon_micro"))).as("sb"))
+      .select(col("n"), col("n_prompts"),
+        expr("CAST(sb div n_prompts AS BIGINT)").as("mean_bon_micro"))
+  }
 }

@@ -341,4 +341,26 @@ class ClassifySpec extends AnyFunSuite {
     assert(math.abs(s2.getAs[Long]("resolution_nano") -
       s2.getAs[Long]("uncertainty_nano")) < 1000L)
   }
+
+  test("fairnessAudit: hand-computed rates, reference = largest group") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", true, true), ("A", true, false), ("A", false, true),
+      ("A", false, false),
+      ("B", true, true), ("B", false, false)).toDF("g", "d", "y")
+    val got = Classify.fairnessAudit(df, "g", "d", "y")
+      .orderBy("grp").collect()
+    val a = got(0); val b = got(1)
+    assert(a.getAs[String]("ref_grp") === "A") // larger group is the reference
+    assert(a.getAs[Long]("sel_micro") === 500000L)
+    assert(a.getAs[Long]("tpr_micro") === 500000L)
+    assert(a.getAs[Long]("fpr_micro") === 500000L)
+    assert(a.getAs[Long]("di_ratio_micro") === 1000000L)
+    assert(a.getAs[Long]("eo_gap_micro") === 0L)
+    assert(b.getAs[Long]("sel_micro") === 500000L)
+    assert(b.getAs[Long]("tpr_micro") === 1000000L)
+    assert(b.getAs[Long]("fpr_micro") === 0L)
+    assert(b.getAs[Long]("di_ratio_micro") === 1000000L)
+    assert(b.getAs[Long]("eo_gap_micro") === 500000L)
+  }
 }

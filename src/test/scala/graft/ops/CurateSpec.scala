@@ -527,4 +527,28 @@ class CurateSpec extends AnyFunSuite {
     val rate = tot.getLong(0).toDouble / tot.getLong(1)
     assert(rate > 0.03 && rate < 0.25)
   }
+
+  test("prototypePruning: drops the floor share per cluster, easiest first") {
+    import spark.implicits._
+    val cents = Seq(Similarity.Centroid(0L, Array(1.0, 0.0), 1.0),
+      Similarity.Centroid(1L, Array(0.0, 1.0), 1.0))
+    // cluster 0: cosines to e1 descend with id; cluster 1: two points
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.8f, 0.3f)), (4L, Seq(0.7f, 0.5f)),
+      (10L, Seq(0.0f, 1.0f)), (11L, Seq(0.2f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val got = Curate.prototypePruning(vecs, cents, dropMicro = 500000L)
+      .orderBy("cell").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq === Seq((0L, 4L, 2L, 2L), (1L, 2L, 1L, 1L)))
+    // the dropped (prototypical) side has the HIGHER mean cosine
+    got.foreach { r =>
+      assert(r.getAs[Long]("mean_drop_nano") > r.getAs[Long]("mean_kept_nano"))
+    }
+    // dropMicro = 0 keeps everything
+    val keep = Curate.prototypePruning(vecs, cents, dropMicro = 0L)
+      .agg(sum("n_dropped")).head().getLong(0)
+    assert(keep === 0L)
+  }
 }

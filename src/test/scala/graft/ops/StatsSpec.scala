@@ -942,4 +942,28 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(ind.getAs[Double]("cramers_v")) < 1e-6)
     assert(math.abs(ind.getAs[Double]("chi2")) < 1e-6)
   }
+
+  test("bestOfN: exact order-statistic expectation on a hand case") {
+    // one prompt, scores 1, 2, 3: E[max of 1] = 2, E[max of 2] =
+    // (0*1 + 1*2 + 2*3)/C(3,2) = 8/3, E[max of 3] = 3
+    val df = Seq((0L, 1.0, 1L), (0L, 2.0, 2L), (0L, 3.0, 3L))
+      .toDF("p", "s", "id")
+    val got = Stats.bestOfN(df, "p", "s", "id", maxN = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) === 2000000L)
+    assert(got(2L) === 2666666L) // floor(8e6 / 3)
+    assert(got(3L) === 3000000L)
+  }
+
+  test("bestOfN: curve is monotone in n; short prompts cap at their own N") {
+    val rows = (0L until 40L).map(i => (i % 8, (i * 37 % 11).toDouble, i))
+    val short = Seq((100L, 5.0, 1000L), (100L, 7.0, 1001L)) // N_p = 2
+    val got = Stats.bestOfN((rows ++ short).toDF("p", "s", "id"),
+      "p", "s", "id", maxN = 5).orderBy("n").collect()
+    val means = got.map(_.getLong(2))
+    assert(means.sliding(2).forall(w => w(0) <= w(1)))
+    // n = 1, 2 include the short prompt; n >= 3 only the 8 full ones
+    val prompts = got.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prompts(1L) === 9L && prompts(2L) === 9L && prompts(3L) === 8L)
+  }
 }
