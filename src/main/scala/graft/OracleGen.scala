@@ -2395,6 +2395,96 @@ object OracleGen {
          |SELECT w, cnt, len AS n_chars, np AS n_pieces, seg
          |FROM g$maxWordLen ORDER BY w""".stripMargin
 
+  /** cnl1: confident learning — the gnb1 model CTEs, a class-ASC
+    * softmax (max-shifted, in-order fold, micro-quantized), exact
+    * integer per-class thresholds, and the qualifying-argmax joint.
+    */
+  def cnl1Sql(dim: Int = 64, varFloor: Double = 1e-9): String =
+    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |rng AS (SELECT CAST(unnest(range(1, ${dim + 1})) AS INTEGER) AS i),
+       |x AS (SELECT e.vec_id, e.label, rng.i, e.v[rng.i] AS xv FROM e CROSS JOIN rng),
+       |st AS (SELECT label, i, avg(xv) AS mu,
+       |    greatest(avg(xv * xv) - avg(xv) * avg(xv), $varFloor) AS vr
+       |  FROM x GROUP BY 1, 2),
+       |sl AS (SELECT label AS cls, list(mu ORDER BY i) AS mus,
+       |    list(vr ORDER BY i) AS vrs FROM st GROUP BY 1),
+       |pr AS (SELECT label AS cls, CAST(count(*) AS DOUBLE) AS nc FROM e GROUP BY 1),
+       |nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+       |sc AS (SELECT e.vec_id AS id, e.label AS given, sl.cls,
+       |    ln(pr.nc / nt.n) - 0.5 * list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, ${dim + 1}), i ->
+       |        ln(2 * pi() * vrs[CAST(i AS INTEGER)]) +
+       |        (v[CAST(i AS INTEGER)] - mus[CAST(i AS INTEGER)]) *
+       |        (v[CAST(i AS INTEGER)] - mus[CAST(i AS INTEGER)]) /
+       |        vrs[CAST(i AS INTEGER)])),
+       |      (acc, t) -> acc + t) AS score
+       |  FROM e CROSS JOIN sl JOIN pr ON pr.cls = sl.cls CROSS JOIN nt),
+       |ag AS MATERIALIZED (SELECT id, given, list(score ORDER BY cls) AS sarr,
+       |    list(cls ORDER BY cls) AS carr FROM sc GROUP BY 1, 2),
+       |ex AS (SELECT id, given, carr,
+       |    list_transform(sarr, s -> exp(s - list_max(sarr))) AS exs FROM ag),
+       |pt AS (SELECT id, given, carr, exs,
+       |    list_reduce(list_prepend(0.0, exs), (a, b) -> a + b) AS tot FROM ex),
+       |post AS MATERIALIZED (SELECT id, given, carr[CAST(u.i AS INTEGER)] AS cls,
+       |    CAST(floor(exs[CAST(u.i AS INTEGER)] / tot * 1e6 + 0.5) AS BIGINT)
+       |      AS p_micro
+       |  FROM pt, unnest(generate_series(1, len(exs))) AS u(i)),
+       |th AS (SELECT cls, CAST(sum(p_micro) AS BIGINT) // count(*) AS t_micro
+       |  FROM post WHERE given = cls GROUP BY 1),
+       |qual AS (SELECT id, cls AS pred_q,
+       |    row_number() OVER (PARTITION BY id ORDER BY p_micro DESC, cls) AS rn
+       |  FROM post JOIN th USING (cls) WHERE p_micro >= t_micro),
+       |base AS (SELECT DISTINCT id, given FROM post),
+       |j AS (SELECT b.given, coalesce(q.pred_q, b.given) AS pred
+       |  FROM base b LEFT JOIN (SELECT id, pred_q FROM qual WHERE rn = 1) q
+       |    USING (id))
+       |SELECT given, pred, CAST(count(*) AS BIGINT) AS n,
+       |  CASE WHEN given != pred THEN 1 ELSE 0 END AS is_issue
+       |FROM j GROUP BY 1, 2 ORDER BY given, pred""".stripMargin
+
+  /** mauve1: divergence frontier — the ann7/prune1 cosine-argmax cell
+    * assignment, exact count histograms, and per-λ KL terms whose log
+    * arguments are exact integer ratios; pico terms, nano display.
+    */
+  def mauve1Sql(k: Int = 16, dim: Int = 64, grid: Int = 8): String = {
+    val cents = Similarity.fixedCentroids(k, dim).map { c =>
+      s"(${c.id}, [${c.vec.mkString(", ")}], ${c.norm})"
+    }.mkString(", ")
+    val centDot = s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+      "i -> cv[CAST(i AS INTEGER)] * v[CAST(i AS INTEGER)])), (acc, x) -> acc + x)"
+    s"""WITH cent(cid, cv, cn) AS (VALUES $cents),
+       |e AS (SELECT vec_id, CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS is_p,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |cs AS (SELECT e.vec_id, e.is_p, cent.cid, $centDot / cn AS c_sim
+       |  FROM e CROSS JOIN cent),
+       |best AS (SELECT vec_id, is_p, cid AS cell FROM (
+       |    SELECT vec_id, is_p, cid, c_sim, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY c_sim DESC, cid DESC) AS rn FROM cs)
+       |  WHERE rn = 1),
+       |cells AS (SELECT cell, CAST(sum(is_p) AS BIGINT) AS a,
+       |    CAST(sum(1 - is_p) AS BIGINT) AS b FROM best GROUP BY 1),
+       |tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+       |    CAST(sum(b) AS BIGINT) AS tb FROM cells),
+       |lam AS (SELECT CAST(unnest(generate_series(1, ${grid - 1})) AS BIGINT) AS lam),
+       |t AS (SELECT lam,
+       |    CASE WHEN a > 0 THEN CAST(floor(
+       |      (CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)) *
+       |      ln(CAST($grid * a * tb AS DOUBLE) /
+       |         CAST(lam * a * tb + ($grid - lam) * b * ta AS DOUBLE))
+       |      * 1e12 + 0.5) AS BIGINT) ELSE CAST(0 AS BIGINT) END AS tp,
+       |    CASE WHEN b > 0 THEN CAST(floor(
+       |      (CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)) *
+       |      ln(CAST($grid * b * ta AS DOUBLE) /
+       |         CAST(lam * a * tb + ($grid - lam) * b * ta AS DOUBLE))
+       |      * 1e12 + 0.5) AS BIGINT) ELSE CAST(0 AS BIGINT) END AS tq
+       |  FROM cells, tot, lam)
+       |SELECT lam, (lam * 1000000) // $grid AS lambda_micro,
+       |  CAST(CAST(sum(tp) AS BIGINT) // 1000 AS BIGINT) AS klp_nano,
+       |  CAST(CAST(sum(tq) AS BIGINT) // 1000 AS BIGINT) AS klq_nano
+       |FROM t GROUP BY 1 ORDER BY lam""".stripMargin
+  }
+
   /** prune1: SSL-prototype pruning — the ann7 cosine-argmax assignment
     * (ties to the larger cell id), per-row prototypicality
     * nano-quantized BEFORE ranking, per-cell floor drop shares, exact

@@ -6137,6 +6137,30 @@ object QueriesOps {
         |  CAST(sum(bon) // count(*) AS BIGINT) AS mean_bon_micro
         |FROM pp GROUP BY 1 ORDER BY n""".stripMargin)),
 
+    // CNL1: confident-learning label-error estimation (Northcutt et
+    // al. '21, the cleanlab algorithm) over the Gaussian-NB posteriors
+    // on the embedding table — per-class self-confidence thresholds,
+    // qualifying-argmax joint (given, latent) distribution; the
+    // off-diagonal mass is the estimated label-error rate.
+    "cnl1_confident_learning" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        Classify.confidentLearning(
+            Classify.gaussianNbPosteriors(e, Classify.gaussianNbTrain(e)))
+          .orderBy("given", "pred")
+      },
+      Some(OracleGen.cnl1Sql(64))),
+
+    // MAUVE1: divergence frontier (Pillutla et al. '21) between the
+    // even- and odd-label halves of the embedding table — quantized
+    // two-sided KL over the fixed coarse cells, λ on the interior
+    // i/8 grid; the two-corpus distribution-gap eval.
+    "mauve1_divergence_frontier" -> Q(
+      (s, d) => graft.ops.Similarity.divergenceFrontier(embs(s, d),
+          pmod(col("label"), lit(2)) === 0,
+          graft.ops.Similarity.fixedCentroids(16, 64)),
+      Some(OracleGen.mauve1Sql())),
+
     // PRUNE1: SSL-prototype data pruning (Sorscher et al. '22) — drop
     // the EASIEST (most prototypical) 25% per cluster; the
     // embedding-only pruning rule that beats random subsetting in the

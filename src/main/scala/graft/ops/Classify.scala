@@ -249,6 +249,86 @@ object Classify {
       .withColumn("correct", col(labelCol) === col("pred"))
   }
 
+  /** Per-class softmax posteriors from the Gaussian NB model — the
+    * long-format (id, given label, class, p_micro) table
+    * [[confidentLearning]] consumes. Scores are the same plan-time-
+    * literal in-order folds as [[gaussianNbClassify]]; the softmax is
+    * a fixed class-ASC fold (max-shifted for stability), so both
+    * engines produce identical doubles before the micro quantization.
+    * One narrow pass, classes-bounded fan-out at the end.
+    */
+  def gaussianNbPosteriors(vecs: DataFrame, model: Seq[GaussianNbModel],
+                           labelCol: String = "label",
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    require(model.nonEmpty, "gaussianNbPosteriors: empty model")
+    val sorted = model.sortBy(_.cls)
+    val twoPi = 2.0 * math.Pi
+    val v = col(vecCol).cast("array<double>")
+    val scoreArr: Column = array(sorted.map { m =>
+      val msLit = typedlit(m.mu.zip(m.vr).toIndexedSeq)
+      val terms = zip_with(v, msLit,
+        (x, ms) => log(lit(twoPi) * ms.getField("_2")) +
+          (x - ms.getField("_1")) * (x - ms.getField("_1")) / ms.getField("_2"))
+      lit(m.logPrior) - lit(0.5) * aggregate(terms, lit(0.0), (acc, t) => acc + t)
+    }: _*)
+    val clsIds = typedlit(sorted.map(_.cls).toIndexedSeq)
+    vecs.select(col(idCol).as("id"), col(labelCol).cast("long").as("given"),
+        scoreArr.as("sarr"))
+      .withColumn("mx", array_max(col("sarr")))
+      .withColumn("ex", expr("transform(sarr, s -> exp(s - mx))"))
+      .withColumn("tot", expr(
+        "aggregate(ex, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .select(col("id"), col("given"),
+        posexplode(expr("transform(ex, x -> x / tot)")).as(Seq("ci", "p")))
+      .select(col("id"), col("given"),
+        element_at(clsIds, col("ci") + 1).as("cls"),
+        floor(col("p") * lit(1e6) + lit(0.5)).cast("long").as("p_micro"))
+  }
+
+  /** Confident-learning label-error estimation (Northcutt, Jiang,
+    * Chuang, JAIR'21 "Confident Learning: Estimating Uncertainty in
+    * Dataset Labels" — the cleanlab algorithm): from out-of-the-box
+    * posteriors and the GIVEN labels alone, estimate the joint
+    * distribution of (given, latent true) labels. Per class j the
+    * confidence threshold `t_j` is the mean self-confidence of
+    * examples GIVEN label j; example x is counted into cell
+    * (given(x), j*) where j* is the argmax class among those with
+    * `p_j(x) ≥ t_j` (no qualifier → x stays on the diagonal). The
+    * off-diagonal mass IS the label-error estimate, and the flagged
+    * rows are the relabel queue — the labeling-QA op run before any
+    * judge/classifier head is trusted.
+    *
+    * Determinism: thresholds are exact integer means of micro
+    * posteriors; the qualifying argmax is an integer total order
+    * (p_micro desc, cls asc).
+    *
+    * Scale: thresholds are a classes-bounded broadcast; the argmax is
+    * one per-id window over a classes-bounded fan-out — corpus-linear,
+    * one shuffle.
+    */
+  def confidentLearning(post: DataFrame): DataFrame = {
+    val th = post.filter(col("given") === col("cls"))
+      .groupBy("cls")
+      .agg(count(lit(1)).cast("long").as("nc"),
+        sum("p_micro").cast("decimal(38,0)").as("sp"))
+      .select(col("cls"), expr("CAST(sp div nc AS BIGINT)").as("t_micro"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("p_micro").desc, col("cls").asc)
+    val qual = post.join(broadcast(th), "cls")
+      .filter(col("p_micro") >= col("t_micro"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("cls").as("pred_q"))
+    post.select("id", "given").distinct()
+      .join(qual, Seq("id"), "left")
+      .select(col("given"),
+        coalesce(col("pred_q"), col("given")).as("pred"))
+      .groupBy("given", "pred")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("is_issue", (col("given") =!= col("pred")).cast("int"))
+  }
+
   /** Bradley–Terry preference-strength fit (Bradley & Terry 1952) via
     * Hunter's MM iteration (Hunter 2004, "MM algorithms for generalized
     * Bradley-Terry models") — the model behind reward-model /

@@ -1706,4 +1706,78 @@ object Similarity {
         floor(col("sim") * lit(1e6) + lit(0.5)).cast("long")
           .as("maxsim_micro"))
   }
+
+  /** MAUVE-style divergence frontier (Pillutla et al., NeurIPS'21 —
+    * "MAUVE: Measuring the Gap Between Neural Text and Human Text";
+    * the quantized two-sided-KL construction of §2): embed both
+    * corpora, QUANTIZE the embedding space into k cells (here the
+    * fixed coarse centroids, cosine argmax — the paper uses k-means
+    * exactly like this), and trace the frontier
+    * `(KL(Q‖M_λ), KL(P‖M_λ))` over mixtures `M_λ = λP̂ + (1−λ)Q̂` for
+    * λ on an interior grid. One-sided KL misses mode COLLAPSE or mode
+    * INVENTION depending on direction; the frontier exposes both —
+    * the standard generated-vs-human distribution-gap eval, and in a
+    * data pipeline the drift check between two corpus snapshots that
+    * token-level divergence ([[graft.ops.Text]] domainDivergence)
+    * can't see.
+    *
+    * Determinism: cell histograms are exact integer counts; each KL
+    * term's log argument is an exact integer ratio
+    * (`g·a_c·B / (i·a_c·B + (g−i)·b_c·A)` — the λ = i/g mixture
+    * cleared of denominators, decimal(38,0) so 100 TB counts never
+    * overflow); terms are fixed-form doubles pico-quantized before
+    * the order-free sum.
+    *
+    * Scale: ONE narrow assignment pass per corpus row (k in-row
+    * folds), a (cell) count shuffle, then everything lives on the
+    * k × grid table. The frontier costs no more than the histogram.
+    */
+  def divergenceFrontier(vecs: DataFrame, isP: Column,
+                         centroids: Seq[Centroid], grid: Int = 8,
+                         vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "need centroids")
+    require(grid >= 2, "grid must be >= 2")
+    val vd = col(vecCol).cast("array<double>")
+    val cellStructs = array(centroids.map { c =>
+      val vlit = typedlit(c.vec.toIndexedSeq)
+      struct((dot(vlit, vd) / lit(c.norm)).as("c_sim"), lit(c.id).as("c_id"))
+    }: _*)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = vecs
+      .select(isP.cast("boolean").as("is_p"),
+        array_max(cellStructs).getField("c_id").as("cell"))
+      .groupBy("cell")
+      .agg(sum(when(col("is_p"), 1L).otherwise(0L)).cast("long").as("a"),
+        sum(when(col("is_p"), 0L).otherwise(1L)).cast("long").as("b"))
+      .persist()
+    val tot = cells.agg(sum("a").cast("long").as("ta"),
+      sum("b").cast("long").as("tb"))
+    val lam = vecs.sparkSession.range(1, grid.toLong)
+      .select(col("id").as("lam"))
+    val terms = cells.crossJoin(broadcast(tot)).crossJoin(broadcast(lam))
+      // mixture denominator cleared of A·B·g: D = i·a·B + (g−i)·b·A
+      .withColumn("dmix",
+        dec(col("lam")) * dec(col("a")) * dec(col("tb")) +
+          (dec(lit(grid.toLong)) - dec(col("lam"))) * dec(col("b")) * dec(col("ta")))
+      .withColumn("tp", when(col("a") > 0L,
+        floor((col("a").cast("double") / col("ta").cast("double")) *
+          log((dec(lit(grid.toLong)) * dec(col("a")) * dec(col("tb")))
+            .cast("double") / col("dmix").cast("double")) * lit(1e12) +
+          lit(0.5)).cast("long")).otherwise(lit(0L)))
+      .withColumn("tq", when(col("b") > 0L,
+        floor((col("b").cast("double") / col("tb").cast("double")) *
+          log((dec(lit(grid.toLong)) * dec(col("b")) * dec(col("ta")))
+            .cast("double") / col("dmix").cast("double")) * lit(1e12) +
+          lit(0.5)).cast("long")).otherwise(lit(0L)))
+    val out = terms.groupBy("lam")
+      .agg(sum(dec(col("tp"))).as("sp"), sum(dec(col("tq"))).as("sq"))
+      .select(col("lam"),
+        expr(s"(lam * 1000000L) div ${grid}L").as("lambda_micro"),
+        expr("CAST(sp div 1000L AS BIGINT)").as("klp_nano"),
+        expr("CAST(sq div 1000L AS BIGINT)").as("klq_nano"))
+      .orderBy("lam")
+      .localCheckpoint() // grid-bounded rows; lets the cells cache drop
+    cells.unpersist(false)
+    out
+  }
 }

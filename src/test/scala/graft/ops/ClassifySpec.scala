@@ -342,6 +342,51 @@ class ClassifySpec extends AnyFunSuite {
       s2.getAs[Long]("uncertainty_nano")) < 1000L)
   }
 
+  test("confidentLearning: thresholds, qualifying argmax, diagonal fallback") {
+    import spark.implicits._
+    // t_0 = (900000+100000)/2 = 500000; t_1 = (800000+900000)/2 = 850000
+    val post = Seq(
+      (1L, 0L, 0L, 900000L), (1L, 0L, 1L, 100000L),
+      (2L, 0L, 0L, 100000L), (2L, 0L, 1L, 900000L), // flips to class 1
+      (3L, 1L, 0L, 200000L), (3L, 1L, 1L, 800000L), // no qualifier -> diag
+      (4L, 1L, 0L, 100000L), (4L, 1L, 1L, 900000L))
+      .toDF("id", "given", "cls", "p_micro")
+    val got = Classify.confidentLearning(post).orderBy("given", "pred")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getInt(3))).toMap
+    assert(got((0L, 0L)) === ((1L, 0)))
+    assert(got((0L, 1L)) === ((1L, 1))) // the flagged label issue
+    assert(got((1L, 1L)) === ((2L, 0)))
+    assert(!got.contains((1L, 0L)))
+  }
+
+  test("gaussianNbPosteriors: rows sum to ~1e6 and argmax agrees with classify") {
+    import spark.implicits._
+    val vecs = (0L until 30L).map { i =>
+      val c = (i % 3).toInt
+      (i, Seq.tabulate(4)(d => (if (d == c) 5.0f else 0.0f) +
+        (i * 7 % 5).toFloat * 0.1f), c)
+    }.toDF("vec_id", "embedding", "label")
+    val model = Classify.gaussianNbTrain(vecs)
+    val post = Classify.gaussianNbPosteriors(vecs, model)
+    val sums = post.groupBy("id")
+      .agg(org.apache.spark.sql.functions.sum("p_micro").as("s"))
+      .collect().map(_.getLong(1))
+    sums.foreach(s => assert(math.abs(s - 1000000L) <= 3L))
+    val amax = post.orderBy(org.apache.spark.sql.functions.col("p_micro").desc)
+      .groupBy("id").agg(org.apache.spark.sql.functions
+        .max_by(org.apache.spark.sql.functions.col("cls"),
+          org.apache.spark.sql.functions.struct(
+            org.apache.spark.sql.functions.col("p_micro"),
+            org.apache.spark.sql.functions.col("cls"))).as("pm"))
+    val pred = Classify.gaussianNbClassify(vecs, model)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("pred"))
+    assert(amax.join(pred, "id")
+      .filter(org.apache.spark.sql.functions.col("pm") =!=
+        org.apache.spark.sql.functions.col("pred")).count() === 0L)
+  }
+
   test("fairnessAudit: hand-computed rates, reference = largest group") {
     import spark.implicits._
     val df = Seq(

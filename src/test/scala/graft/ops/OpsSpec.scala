@@ -1303,4 +1303,36 @@ class OpsSpec extends AnyFunSuite {
     // ref shorter than n: ROUGE-2 of a 2-token ref has 1 bigram
     assert(row(2, 1).getAs[Long]("ref_grams") === 1L)
   }
+
+  test("divergenceFrontier: identical histograms give exactly zero; gap is two-sided") {
+    import spark.implicits._
+    val cents = Seq(Similarity.Centroid(0L, Array(1.0, 0.0), 1.0),
+      Similarity.Centroid(1L, Array(0.0, 1.0), 1.0))
+    // split by parity, cell by i/2 parity: both halves land 5 vectors
+    // in each cell -> P̂ = Q̂ cell-exactly
+    val same = (0L until 20L).map { i =>
+      (i, if ((i / 2) % 2 == 0) Seq(1.0f, 0.1f) else Seq(0.1f, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val z = Similarity.divergenceFrontier(same,
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.lit(2)) === 0, cents).collect()
+    assert(z.length === 7)
+    z.foreach { r =>
+      assert(r.getAs[Long]("klp_nano") === 0L)
+      assert(r.getAs[Long]("klq_nano") === 0L)
+    }
+    // disjoint supports: both KLs positive at every interior λ, and
+    // KL(P‖M) falls as λ (the P share of the mixture) rises
+    val apart = (0L until 20L).map { i =>
+      (i, if (i < 10) Seq(1.0f, 0.0f) else Seq(0.0f, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val g = Similarity.divergenceFrontier(apart,
+      org.apache.spark.sql.functions.col("vec_id") < 10, cents)
+      .orderBy("lam").collect()
+    assert(g.forall(_.getAs[Long]("klp_nano") > 0L))
+    assert(g.forall(_.getAs[Long]("klq_nano") > 0L))
+    val klps = g.map(_.getAs[Long]("klp_nano"))
+    assert(klps.sliding(2).forall(w => w(0) >= w(1)))
+  }
 }
