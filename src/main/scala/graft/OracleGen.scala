@@ -2395,6 +2395,61 @@ object OracleGen {
          |SELECT w, cnt, len AS n_chars, np AS n_pieces, seg
          |FROM g$maxWordLen ORDER BY w""".stripMargin
 
+  /** spec1: spectral bipartition — undirected handoff graph, integer
+    * power iteration for the deflated second eigenvector of D⁻¹A as
+    * unrolled MATERIALIZED CTEs (exact neighbor sums, truncating
+    * divisions — both engines truncate toward zero), sign pinned at
+    * the smallest node, cut/conductance rollup.
+    */
+  def spec1Sql(iters: Int = 12): String = {
+    val rounds = (1 to iters).map { k =>
+      s""",
+         |y$k AS MATERIALIZED (SELECT und.dst AS v, any_value(deg.d) AS d,
+         |    CAST(CAST(sum(p.x) AS BIGINT) // any_value(deg.d) AS BIGINT) AS y
+         |  FROM und JOIN x${k - 1} p ON p.v = und.src
+         |  JOIN deg ON deg.v = und.dst
+         |  GROUP BY 1),
+         |m$k AS (SELECT CAST(CAST(sum(d * y) AS BIGINT) // any_value(volt)
+         |    AS BIGINT) AS m FROM y$k, vol),
+         |mx$k AS (SELECT greatest(max(abs(y - m)), 1) AS mx FROM y$k, m$k),
+         |x$k AS MATERIALIZED (SELECT v,
+         |    CAST(((y - m) * 1000000000) // mx AS BIGINT) AS x
+         |  FROM y$k, m$k, mx$k)""".stripMargin
+    }.mkString
+    s"""WITH dir AS (SELECT DISTINCT src, dst FROM (
+       |    SELECT lag(user_id) OVER (PARTITION BY event_type
+       |      ORDER BY ts, event_id) AS src, user_id AS dst FROM events)
+       |  WHERE src IS NOT NULL AND src != dst),
+       |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM dir UNION ALL SELECT dst, src FROM dir)),
+       |deg AS MATERIALIZED (SELECT dst AS v, CAST(count(*) AS BIGINT) AS d
+       |  FROM und GROUP BY 1),
+       |vol AS (SELECT CAST(sum(d) AS BIGINT) AS volt FROM deg),
+       |x0 AS MATERIALIZED (SELECT v, CAST(CASE WHEN v % 2 = 0
+       |    THEN 1000000000 ELSE -1000000000 END AS BIGINT) AS x FROM deg)"""
+      .stripMargin + rounds +
+      s""",
+         |s0 AS (SELECT CASE WHEN x < 0 THEN -1 ELSE 1 END AS flip
+         |  FROM x$iters ORDER BY v LIMIT 1),
+         |sided AS MATERIALIZED (SELECT v, (x * flip) >= 0 AS pos
+         |  FROM x$iters, s0),
+         |sides AS (SELECT
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+         |    CAST(sum(CASE WHEN pos THEN d ELSE 0 END) AS BIGINT) AS vol_pos,
+         |    CAST(sum(CASE WHEN pos THEN 0 ELSE d END) AS BIGINT) AS vol_neg
+         |  FROM sided JOIN deg USING (v)),
+         |cut AS (SELECT CAST(sum(CASE WHEN a.pos != b.pos THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS cut_edges
+         |  FROM und JOIN sided a ON a.v = und.src
+         |  JOIN sided b ON b.v = und.dst WHERE und.src < und.dst)
+         |SELECT n_pos, n_neg, vol_pos, vol_neg, cut_edges,
+         |  CASE WHEN least(vol_pos, vol_neg) = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE (cut_edges * 1000000000) // least(vol_pos, vol_neg)
+         |  END AS conductance_nano
+         |FROM sides, cut""".stripMargin
+  }
+
   /** cnl1: confident learning — the gnb1 model CTEs, a class-ASC
     * softmax (max-shifted, in-order fold, micro-quantized), exact
     * integer per-class thresholds, and the qualifying-argmax joint.

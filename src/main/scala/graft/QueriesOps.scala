@@ -2566,6 +2566,45 @@ object QueriesOps {
         |    AS INTEGER) AS zero_crossings
         |FROM s ORDER BY doc_id""".stripMargin)),
 
+    // AU5: energy-gate VAD segmentation over the REAL WAV decode —
+    // per-frame |s| sums at the codec boundary, integer cross-product
+    // activity test, gaps-and-islands segments with exact ms bounds;
+    // the keep-utterances/drop-silence cut of speech-corpus curation.
+    "au5_vad_segments" -> Q(
+      (s, d) => Multimodal.vadSegments(Multimodal.wavFromDocuments(docs(s, d)))
+        .orderBy("doc_id", "seg"),
+      Some("""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        |d AS (SELECT doc_id,
+        |    CAST(256 + doc_id % 512 AS INTEGER) AS n,
+        |    list_transform(range(1, length(hx)//2 + 1),
+        |      i -> strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) * 16
+        |         + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 17) AS bytes
+        |  FROM b),
+        |s AS (SELECT doc_id, n,
+        |    list_transform(range(0, n),
+        |      i -> (bytes[(i % len(bytes)) + 1] - 128) * 256) AS smp
+        |  FROM d),
+        |sam AS (SELECT doc_id, u.i AS idx,
+        |    abs(smp[CAST(u.i AS INTEGER) + 1]) AS ab
+        |  FROM s, unnest(range(0, n)) AS u(i)),
+        |fr AS (SELECT doc_id, CAST(idx // 64 AS BIGINT) AS f,
+        |    CAST(count(*) AS BIGINT) AS nif, CAST(sum(ab) AS BIGINT) AS es
+        |  FROM sam GROUP BY 1, 2),
+        |act AS (SELECT *, CAST(row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY f) AS BIGINT) AS rn
+        |  FROM fr WHERE es >= 8000 * nif),
+        |sg AS (SELECT doc_id, f - rn AS grp, min(f) AS f0,
+        |    CAST(count(*) AS BIGINT) AS n_frames,
+        |    CAST(sum(es) AS BIGINT) AS tot, CAST(sum(nif) AS BIGINT) AS ns,
+        |    max(f * 64 + nif) AS end_sample
+        |  FROM act GROUP BY 1, 2)
+        |SELECT doc_id, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY f0) AS BIGINT) AS seg,
+        |  (f0 * 64 * 1000) // 8000 AS start_ms,
+        |  (end_sample * 1000) // 8000 AS end_ms,
+        |  n_frames, tot // ns AS mean_abs
+        |FROM sg ORDER BY doc_id, seg""".stripMargin)),
+
     // Decimation resample (8 kHz -> 4 kHz) over the REAL WAV decode:
     // clipped integer boxcar sums — no division, no rounding mode to
     // reconcile; the oracle rebuilds every output sample from the
@@ -4932,6 +4971,18 @@ object QueriesOps {
           iterations = PageRankIters)
         .select(col("v").as("user_id"), col("pr")).orderBy("user_id"),
       Some(PageRankOracle)),
+
+    // SPEC1: spectral bipartition (Fiedler / normalized cut) of the
+    // undirected handoff graph — integer power iteration with exact
+    // deflation of the trivial eigenvector, sign pinned at the
+    // smallest node; cut size + conductance. Clusters from
+    // CONNECTIVITY beside the embedding family's geometry.
+    "spec1_spectral_bipartition" -> Q(
+      (s, d) => Graph.spectralBipartition(
+          Graph.handoffEdges(Queries.events(s, d),
+            streamCol = "event_type", keyCol = "user_id",
+            tsCol = "ts", tieCol = "event_id")),
+      Some(OracleGen.spec1Sql())),
 
     // PPR1: personalized PageRank — teleport and dangling mass restart
     // on the seed users (v % 50 = 0, bfs1's rule): random-walk-with-

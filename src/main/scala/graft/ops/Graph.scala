@@ -773,4 +773,99 @@ object Graph {
     und.unpersist(false); deg.unpersist(false)
     r
   }
+
+  /** Spectral bipartition (Fiedler '73; Shi & Malik, PAMI 2000
+    * normalized-cut form): power iteration for the SECOND eigenvector
+    * of the random-walk matrix `P = D⁻¹A` on the undirected graph,
+    * with the trivial all-ones eigenvector deflated by the D-weighted
+    * mean each round (P is self-adjoint in the D inner product, so
+    * that projection is exact deflation); the sign pattern of the
+    * result is the 2-way normalized-cut partition, reported with cut
+    * size and conductance `cut / min(vol(S), vol(S̄))` — THE spectral
+    * clustering primitive, and the graph complement of the embedding
+    * k-means family (clusters from CONNECTIVITY, not geometry).
+    *
+    * Determinism: the mk1/bt1 integer-iteration discipline — state is
+    * nano-unit longs; each round is (exact neighbor sum) div degree,
+    * minus the exact D-weighted mean, rescaled to max|x| = 1e9 by one
+    * floor division; eigenvector sign ambiguity is pinned by flipping
+    * so the smallest node id lands non-negative. Both engines replay
+    * bit-identically (the oracle unrolls the rounds as CTEs).
+    *
+    * Scale: undirected edges shuffle once and persist; each round
+    * exchanges (node, long) pairs with two scalar broadcasts — the
+    * [[pageRank]] fixed-point shape, per-round lineage cut included.
+    */
+  def spectralBipartition(edges: DataFrame, iterations: Int = 12): DataFrame = {
+    val spark = edges.sparkSession
+    def shallow(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    val S = 1000000000L
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val dir = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+    val und = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.groupBy(col("dst").as("v"))
+      .agg(count(lit(1)).cast("long").as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vol = deg.agg(sum(dec(col("d"))).as("volt"))
+    var xCached = deg.select(col("v"),
+        when(pmod(col("v"), lit(2L)) === 0L, lit(S)).otherwise(lit(-S)).as("x"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var x = shallow(xCached)
+    var prev: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val y = und.join(x, und("src") === x("v"))
+        .groupBy(und("dst").as("v"))
+        .agg(sum(dec(col("x"))).as("sx"))
+        .join(deg, "v")
+        .select(col("v"), col("d"), expr("CAST(sx div d AS BIGINT)").as("y"))
+      // exact D-weighted mean: (Σ d·y) div volT, one scalar
+      val mScalar = y.crossJoin(vol)
+        .agg(sum(dec(col("d")) * dec(col("y"))).as("sdy"),
+          first(col("volt")).as("vt"))
+        .select(expr("CAST(sdy div vt AS BIGINT)").as("m"))
+      val centered = y.crossJoin(broadcast(mScalar))
+        .select(col("v"), (col("y") - col("m")).as("yc"))
+      val mx = centered.agg(greatest(max(abs(col("yc"))), lit(1L)).as("mx"))
+      val next = centered.crossJoin(broadcast(mx))
+        .select(col("v"),
+          expr(s"CAST((yc * ${S}L) div mx AS BIGINT)").as("x"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      if (prev != null) prev.unpersist()
+      prev = xCached
+      xCached = next
+      x = shallow(next)
+    }
+    // pin the eigenvector sign: smallest node id non-negative
+    val s0 = x.orderBy("v").limit(1)
+      .select(when(col("x") < 0L, lit(-1L)).otherwise(lit(1L)).as("flip"))
+    val sided = x.crossJoin(broadcast(s0))
+      .select(col("v"), (col("x") * col("flip") >= 0L).as("pos"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sided.count()
+    val sides = sided.join(deg, "v")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).cast("long").as("n_pos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).cast("long").as("n_neg"),
+        sum(when(col("pos"), col("d")).otherwise(0L)).cast("long").as("vol_pos"),
+        sum(when(!col("pos"), col("d")).otherwise(0L)).cast("long").as("vol_neg"))
+    val cut = und.filter(col("src") < col("dst"))
+      .join(sided.select(col("v").as("src"), col("pos").as("ps")), "src")
+      .join(sided.select(col("v").as("dst"), col("pos").as("pd")), "dst")
+      .agg(sum(when(col("ps") =!= col("pd"), 1L).otherwise(0L)).cast("long")
+        .as("cut_edges"))
+    val out = sides.crossJoin(cut)
+      .select(col("n_pos"), col("n_neg"), col("vol_pos"), col("vol_neg"),
+        col("cut_edges"),
+        expr("""CASE WHEN least(vol_pos, vol_neg) = 0 THEN 0
+               |  ELSE (cut_edges * 1000000000L) div least(vol_pos, vol_neg)
+               |END""".stripMargin).as("conductance_nano"))
+      .localCheckpoint()
+    if (prev != null) prev.unpersist()
+    xCached.unpersist(); sided.unpersist(); und.unpersist(); deg.unpersist()
+    out
+  }
 }

@@ -340,4 +340,19 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(dup.getAs[Double]("assortativity") - (-1.0)) < 1e-9)
     spark.catalog.clearCache()
   }
+
+  test("spectralBipartition: barbell graph cuts at the bridge") {
+    // two triangles {0,1,2} and {3,4,5} joined by the single edge 2-3:
+    // the normalized cut is the bridge, conductance = 1/7
+    val e = edges((0L, 1L), (1L, 2L), (0L, 2L),
+      (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L))
+    val r = Graph.spectralBipartition(e).head()
+    assert(r.getAs[Long]("n_pos") === 3L)
+    assert(r.getAs[Long]("n_neg") === 3L)
+    assert(r.getAs[Long]("cut_edges") === 1L)
+    assert(r.getAs[Long]("vol_pos") === 7L)
+    assert(r.getAs[Long]("vol_neg") === 7L)
+    assert(r.getAs[Long]("conductance_nano") === 1000000000L / 7L)
+    spark.catalog.clearCache()
+  }
 }

@@ -134,4 +134,41 @@ class WavSpec extends AnyFunSuite {
     assert(!banded.exists { case (a, b, _) => b == 1024L || a == 1024L },
       "the unrelated clip must not pair")
   }
+
+  test("vadSegments: loud clip = one full-span segment, quiet clip = none") {
+    import spark.implicits._
+    // ' ' -> |(32-128)*256| = 24576 >= 8000: active everywhere;
+    // 'a' -> |(97-128)*256| = 7936 < 8000: silent everywhere
+    val loud = Multimodal.makeWav(0L, " ".getBytes("UTF-8"))   // n = 256
+    val quiet = Multimodal.makeWav(0L, "a".getBytes("UTF-8"))
+    val media = Seq(Multimodal.MediaRow(1L, "audio", loud),
+      Multimodal.MediaRow(2L, "audio", quiet)).toDS()
+    val got = Multimodal.vadSegments(media).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("doc_id") === 1L)
+    assert(r.getAs[Long]("seg") === 1L)
+    assert(r.getAs[Long]("start_ms") === 0L)
+    assert(r.getAs[Long]("end_ms") === 32L) // 256 samples @ 8 kHz
+    assert(r.getAs[Long]("n_frames") === 4L)
+    assert(r.getAs[Long]("mean_abs") === 24576L)
+  }
+
+  test("vadSegments: an interior silent gap splits the clip in two") {
+    import spark.implicits._
+    // 256 samples cycle over 4 bytes: frames of 64 samples each see 16
+    // cycles of the same mix, so craft per-frame activity by byte
+    // position instead: use a 256-byte pattern = 64 loud, 128 quiet,
+    // 64 loud -> frames 1 and 4 active, 2 and 3 silent
+    val bytes = (Array.fill(64)(' '.toByte) ++ Array.fill(128)('a'.toByte)
+      ++ Array.fill(64)(' '.toByte))
+    val media = Seq(Multimodal.MediaRow(7L, "audio",
+      Multimodal.makeWav(0L, bytes))).toDS()
+    val got = Multimodal.vadSegments(media).orderBy("seg").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[Long]("start_ms") === 0L)
+    assert(got(0).getAs[Long]("end_ms") === 8L)   // first 64 samples
+    assert(got(1).getAs[Long]("start_ms") === 24L) // last 64 samples
+    assert(got(1).getAs[Long]("end_ms") === 32L)
+  }
 }
