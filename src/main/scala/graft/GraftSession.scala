@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomAnyContain, BloomContainsLong, CmsEstimate, JaroWinkler, MinHashSigs, RollingHash, SimHash64, VectorDot}
+import graft.functions.{BloomAnyContain, BloomContainsLong, CmsEstimate, DeflateLen, JaroWinkler, MinHashSigs, RollingHash, SimHash64, VectorDot}
 
 /** Registers graft's native Catalyst expressions through the PUBLIC
   * extension point (`SparkSessionExtensions.injectFunction`) — the
@@ -57,6 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       (args: Seq[Expression]) => JaroWinkler(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
+      (args: Seq[Expression]) => DeflateLen(args.head)))
   }
 }
 

@@ -6143,6 +6143,15 @@ object QueriesOps {
       (s, d) => graft.ops.Bpe.wordpieceUsage(docs(s, d)),
       Some(OracleGen.wp2Sql())),
 
+    // CZ1: compression-ratio quality gate (Gopher A1.1 / FineWeb) via
+    // the native deflate_len expression — the dual-tail signal token
+    // stats miss. DEFLATE is not SQL-expressible: rows-only gate entry
+    // (the minhash convention), laws in TextCompressionSpec.
+    "cz1_compression_ratio" -> Q(
+      (s, d) => graft.ops.Text.compressionRatio(docs(s, d))
+        .orderBy("source"),
+      None),
+
     // BON1: unbiased Best-of-N curve (Nakano et al. '21) — prompts =
     // doc_id div 5 (5 candidates each), reward = the shared quality
     // score; order statistics on micro-quantized scores, exact

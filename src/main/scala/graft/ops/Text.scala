@@ -1243,4 +1243,46 @@ object Text {
         floor(col("sh_sum").cast("double") / lit(1e12) / lnV * lit(1e9) +
           lit(0.5)).cast("long")).otherwise(lit(0L)).as("eff_shannon_nano"))
   }
+
+  /** Compression-ratio quality gate (Rae et al. '21 Gopher §A1.1;
+    * Penedo et al. '24 FineWeb — both pipelines ship exactly this
+    * filter): per document `deflate_len(text) / octet_length(text)`,
+    * the one-pass signal that catches BOTH tails token statistics
+    * miss — boilerplate/templated text compresses abnormally LOW,
+    * while base64/minified/random blobs sit near (or above) 1.0.
+    * Per-source rollup: exact mean ratio plus the counts falling
+    * under `lowMicro` (repetitive suspects) and over `highMicro`
+    * (high-entropy suspects).
+    *
+    * Determinism: the byte count is a pure function of the UTF-8
+    * bytes for the pinned JDK zlib; ratios are exact integer micro
+    * divisions. No SQL engine exposes DEFLATE, so this op carries
+    * law-based spec checks and a rows-only gate entry (the
+    * minhash/simhash convention) rather than a value oracle.
+    *
+    * Scale: ONE narrow codegen pass (the [[graft.functions.DeflateLen]]
+    * expression) + a combinable (source) rollup — corpus-linear,
+    * no shuffle beyond the sources-bounded aggregate.
+    */
+  def compressionRatio(docs: DataFrame, lowMicro: Long = 300000L,
+                       highMicro: Long = 950000L,
+                       groupCol: String = "source",
+                       textCol: String = "text"): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val per = docs.select(col(groupCol).as("grp"),
+        octet_length(col(textCol)).cast("long").as("nb"),
+        call_function("deflate_len", col(textCol)).as("dl"))
+      .withColumn("ratio_micro",
+        expr("CASE WHEN nb = 0 THEN 1000000L ELSE (dl * 1000000L) div nb END"))
+    per.groupBy("grp")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(dec(col("ratio_micro"))).as("sr"),
+        sum(when(col("ratio_micro") < lowMicro, 1L).otherwise(0L))
+          .cast("long").as("n_repetitive"),
+        sum(when(col("ratio_micro") > highMicro, 1L).otherwise(0L))
+          .cast("long").as("n_high_entropy"))
+      .select(col("grp").as("source"), col("n_docs"),
+        expr("CAST(sr div n_docs AS BIGINT)").as("mean_ratio_micro"),
+        col("n_repetitive"), col("n_high_entropy"))
+  }
 }

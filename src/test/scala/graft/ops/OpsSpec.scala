@@ -1304,6 +1304,27 @@ class OpsSpec extends AnyFunSuite {
     assert(row(2, 1).getAs[Long]("ref_grams") === 1L)
   }
 
+  test("compressionRatio: repetitive text compresses far below varied text") {
+    import spark.implicits._
+    val rep = ("spark " * 200).trim                      // boilerplate
+    val varied = (0 until 200).map(i =>
+      Integer.toString(i * 2654435761L.toInt | 1, 36)).mkString(" ")
+    val docs = Seq((1L, rep, "rep"), (2L, varied, "var"))
+      .toDF("doc_id", "text", "source")
+    val got = Text.compressionRatio(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val r = got("rep").getAs[Long]("mean_ratio_micro")
+    val v = got("var").getAs[Long]("mean_ratio_micro")
+    assert(r > 0L && v > 0L)
+    assert(r * 5 < v, s"repetitive $r should compress >=5x below varied $v")
+    assert(got("rep").getAs[Long]("n_repetitive") === 1L)
+    assert(got("var").getAs[Long]("n_repetitive") === 0L)
+    // determinism: a second evaluation returns identical bytes
+    val again = Text.compressionRatio(docs).collect()
+      .map(r2 => r2.getString(0) -> r2.getAs[Long]("mean_ratio_micro")).toMap
+    assert(again("rep") === r && again("var") === v)
+  }
+
   test("divergenceFrontier: identical histograms give exactly zero; gap is two-sided") {
     import spark.implicits._
     val cents = Seq(Similarity.Centroid(0L, Array(1.0, 0.0), 1.0),
