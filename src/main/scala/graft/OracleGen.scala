@@ -2395,6 +2395,50 @@ object OracleGen {
          |SELECT w, cnt, len AS n_chars, np AS n_pieces, seg
          |FROM g$maxWordLen ORDER BY w""".stripMargin
 
+  /** irt1: Rasch 1PL fit — binomial response cells from events,
+    * synchronous integer gradient rounds unrolled as MATERIALIZED
+    * CTEs: one σ quantization per cell per round, then exact integer
+    * residuals/gradients/centering with truncating division.
+    */
+  def irt1Sql(iters: Int = 8, thr: Int = 60): String = {
+    val rounds = (1 to iters).map { k =>
+      s""",
+         |e$k AS MATERIALIZED (SELECT r.u, r.i, r.n, r.k, t.t, bb.b,
+         |    CAST(r.k * 1000000 - r.n * CAST(floor(1e6 /
+         |      (1 + exp(-(CAST(t.t - bb.b AS DOUBLE) / 1e6))) + 0.5)
+         |      AS BIGINT) AS BIGINT) AS e
+         |  FROM resp r JOIN t${k - 1} t ON t.u = r.u
+         |  JOIN b${k - 1} bb ON bb.i = r.i),
+         |t$k AS MATERIALIZED (SELECT u, CAST(any_value(t)
+         |    + (CAST(sum(e) AS BIGINT) // CAST(sum(n) AS BIGINT)) // 2
+         |    AS BIGINT) AS t
+         |  FROM e$k GROUP BY 1),
+         |braw$k AS MATERIALIZED (SELECT i, CAST(any_value(b)
+         |    - (CAST(sum(e) AS BIGINT) // CAST(sum(n) AS BIGINT)) // 2
+         |    AS BIGINT) AS br
+         |  FROM e$k GROUP BY 1),
+         |b$k AS MATERIALIZED (SELECT i, CAST(br - (SELECT
+         |    CAST(sum(br) AS BIGINT) // count(*) FROM braw$k) AS BIGINT) AS b
+         |  FROM braw$k)""".stripMargin
+    }.mkString
+    s"""WITH resp AS MATERIALIZED (SELECT CAST(user_id AS VARCHAR) AS u,
+       |    event_type AS i, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN value >= $thr THEN 1 ELSE 0 END) AS BIGINT) AS k
+       |  FROM events GROUP BY 1, 2),
+       |it AS MATERIALIZED (SELECT i, CAST(sum(n) AS BIGINT) AS nt,
+       |    CAST(sum(k) AS BIGINT) AS kt FROM resp GROUP BY 1),
+       |t0 AS MATERIALIZED (SELECT DISTINCT u, CAST(0 AS BIGINT) AS t FROM resp),
+       |b0 AS MATERIALIZED (SELECT i, CAST(0 AS BIGINT) AS b FROM it)"""
+      .stripMargin + rounds +
+      s"""
+         |SELECT it.i AS item, it.nt AS n_trials, it.kt AS n_success,
+         |  bf.b AS difficulty_micro,
+         |  (SELECT CAST(sum(t) AS BIGINT) // count(*) FROM t$iters)
+         |    AS mean_theta_micro
+         |FROM it JOIN b$iters bf ON bf.i = it.i
+         |ORDER BY item""".stripMargin
+  }
+
   /** spec1: spectral bipartition — undirected handoff graph, integer
     * power iteration for the deflated second eigenvector of D⁻¹A as
     * unrolled MATERIALIZED CTEs (exact neighbor sums, truncating

@@ -4972,6 +4972,19 @@ object QueriesOps {
         .select(col("v").as("user_id"), col("pr")).orderBy("user_id"),
       Some(PageRankOracle)),
 
+    // IRT1: Rasch 1PL item-response fit over the event log — subjects
+    // = users, items = event types, success = value >= 60; integer
+    // gradient rounds, difficulties centered each round. The
+    // benchmark-curation readout (difficulties comparable across
+    // subject pools) beside raw accuracy.
+    "irt1_rasch_fit" -> Q(
+      (s, d) => Classify.raschFit(
+          Queries.events(s, d).select(col("user_id"), col("event_type"),
+            lit(1L).as("n"), (col("value") >= 60.0).cast("long").as("k")),
+          "user_id", "event_type", "n", "k")
+        .orderBy("item"),
+      Some(OracleGen.irt1Sql())),
+
     // SPEC1: spectral bipartition (Fiedler / normalized cut) of the
     // undirected handoff graph — integer power iteration with exact
     // deflation of the trivial eigenvector, sign pinned at the

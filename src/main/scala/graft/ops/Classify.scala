@@ -249,6 +249,97 @@ object Classify {
       .withColumn("correct", col(labelCol) === col("pred"))
   }
 
+  /** Rasch 1PL item-response fit (Rasch 1960; the one-parameter
+    * logistic IRT model): subjects get an ABILITY θ_u, items a
+    * DIFFICULTY b_i, and `P(success) = σ(θ_u − b_i)`; fit by a fixed
+    * number of synchronous gradient rounds on binomial response counts
+    * `(n_ui trials, k_ui successes)`. The eval-analysis workhorse
+    * behind modern benchmark curation (IRT-subsampled leaderboards,
+    * item-difficulty audits): unlike raw accuracy, difficulties are
+    * comparable ACROSS subject pools and abilities across item sets.
+    * Identification: item difficulties are re-centered to exact mean
+    * zero every round (the standard 1PL constraint).
+    *
+    * Determinism: the mk1/bt1 integer discipline — θ/b are micro-unit
+    * longs; each round quantizes σ once per (u, i) cell
+    * (`floor(σ((θ−b)/1e6)·1e6 + 0.5)`, one fixed double op on exact
+    * integer input), then every residual, gradient, mean and update is
+    * exact integer arithmetic with truncating division in both
+    * engines. η = 1/2 is a bit shift, not a float.
+    *
+    * Scale: responses aggregate once to (subject, item) cells
+    * (combinable); each round is one cells-scan + a subject rollup
+    * (in-plan, corpus-scale) + an ITEMS-BOUNDED gradient collect
+    * (≤ `maxItems`, the markovSteady bounded-collect cap) — the
+    * subject side never leaves the cluster.
+    */
+  def raschFit(resp: DataFrame, subjectCol: String, itemCol: String,
+               nCol: String, kCol: String, iters: Int = 8,
+               maxItems: Int = 64): DataFrame = {
+    val spark = resp.sparkSession
+    def shallow(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    import org.apache.spark.storage.StorageLevel
+    val r = resp.select(col(subjectCol).cast("string").as("u"),
+        col(itemCol).cast("string").as("i"),
+        col(nCol).cast("long").as("n"), col(kCol).cast("long").as("k"))
+      .groupBy("u", "i")
+      .agg(sum("n").cast("long").as("n"), sum("k").cast("long").as("k"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val itemRows = r.groupBy("i")
+      .agg(sum("n").cast("long").as("nt"), sum("k").cast("long").as("kt"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+      .sortBy(_._1)
+    require(itemRows.length <= maxItems,
+      s"raschFit: ${itemRows.length} items exceed the bounded-collect cap " +
+        s"$maxItems — bucket the item column first")
+    var b: Map[String, Long] = itemRows.map(t => t._1 -> 0L).toMap
+    var thCached = r.select(col("u")).distinct().withColumn("t", lit(0L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var th = shallow(thCached)
+    var prev: DataFrame = null
+    for (_ <- 1 to iters) {
+      val bDf = broadcast(spark.createDataFrame(
+        b.toSeq.sortBy(_._1)).toDF("i", "bb"))
+      val e = r.join(th, "u").join(bDf, "i")
+        .withColumn("p_micro", floor(lit(1e6) /
+          (lit(1.0) + exp(-((col("t") - col("bb")).cast("double") / lit(1e6))))
+          + lit(0.5)).cast("long"))
+        .withColumn("e", col("k") * lit(1000000L) - col("n") * col("p_micro"))
+      // subject update in-plan: θ += (Σe div Σn) div 2
+      val nextTh = e.groupBy("u")
+        .agg(sum("e").cast("long").as("se"), sum("n").cast("long").as("sn"),
+          first("t").as("t0"))
+        .select(col("u"),
+          (col("t0") + expr("(se div sn) div 2L")).as("t"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      nextTh.count()
+      // item gradients: items-bounded collect, exact ints
+      val gi = e.groupBy("i")
+        .agg(sum("e").cast("long").as("se"), sum("n").cast("long").as("sn"))
+        .collect().map(x => x.getString(0) -> x.getLong(1) / x.getLong(2) / 2L)
+        .toMap
+      val bRaw = b.map { case (i, bi) => i -> (bi - gi.getOrElse(i, 0L)) }
+      val mean = bRaw.values.sum / bRaw.size
+      b = bRaw.map { case (i, bi) => i -> (bi - mean) }
+      if (prev != null) prev.unpersist()
+      prev = thCached
+      thCached = nextTh
+      th = shallow(nextTh)
+    }
+    val mth = th.agg(sum(col("t").cast("decimal(38,0)")).as("st"),
+      count(lit(1)).cast("long").as("nu"))
+      .select(expr("CAST(st div nu AS BIGINT)").as("mean_theta_micro"))
+    import spark.implicits._
+    val out = itemRows.map { case (i, nt, kt) => (i, nt, kt, b(i)) }
+      .toSeq.toDF("item", "n_trials", "n_success", "difficulty_micro")
+      .crossJoin(broadcast(mth))
+      .localCheckpoint()
+    if (prev != null) prev.unpersist()
+    thCached.unpersist(); r.unpersist()
+    out
+  }
+
   /** Per-class softmax posteriors from the Gaussian NB model — the
     * long-format (id, given label, class, p_micro) table
     * [[confidentLearning]] consumes. Scores are the same plan-time-

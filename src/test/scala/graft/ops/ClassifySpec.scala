@@ -342,6 +342,23 @@ class ClassifySpec extends AnyFunSuite {
       s2.getAs[Long]("uncertainty_nano")) < 1000L)
   }
 
+  test("raschFit: harder items get higher difficulty, b centered, ability orders") {
+    import spark.implicits._
+    // 6 subjects x 3 items; item "hard" passed only by the strongest,
+    // "easy" by everyone, "mid" by half
+    val rows = for {
+      u <- 0L until 6L
+      (i, pass) <- Seq(("easy", true), ("mid", u >= 3L), ("hard", u == 5L))
+    } yield (u, i, 1L, if (pass) 1L else 0L)
+    val got = Classify.raschFit(rows.toDF("u", "i", "n", "k"),
+      "u", "i", "n", "k").orderBy("item").collect()
+    val d = got.map(r => r.getString(0) -> r.getAs[Long]("difficulty_micro")).toMap
+    assert(d("easy") < d("mid") && d("mid") < d("hard"))
+    // centering: difficulties sum to ~0 (exact up to truncation)
+    assert(math.abs(d.values.sum) <= d.size.toLong)
+    spark.catalog.clearCache()
+  }
+
   test("confidentLearning: thresholds, qualifying argmax, diagonal fallback") {
     import spark.implicits._
     // t_0 = (900000+100000)/2 = 500000; t_1 = (800000+900000)/2 = 850000
