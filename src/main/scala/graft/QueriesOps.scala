@@ -6156,6 +6156,54 @@ object QueriesOps {
       (s, d) => graft.ops.Bpe.wordpieceUsage(docs(s, d)),
       Some(OracleGen.wp2Sql())),
 
+    // TT1: TextTiling topic segmentation (Hearst '97, block form) —
+    // w-word blocks, exact Jaccard gap cohesion, boundaries at
+    // interior local minima below the doc mean (integer cross-product
+    // test). The chunk-at-topic-shifts prep beside fixed-window cur5.
+    "tt1_texttiling" -> Q(
+      (s, d) => graft.ops.Text.textTiling(docs(s, d)).orderBy("doc_id"),
+      Some("""WITH base AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '),
+        |      x -> length(x) > 0) AS ws FROM documents),
+        |b2 AS (SELECT doc_id, ws,
+        |    CAST((len(ws) + 9) // 10 AS INTEGER) AS nb FROM base),
+        |bl AS (SELECT doc_id, ws, nb,
+        |    list_transform(range(0, greatest(nb, 1)), bi ->
+        |      list_distinct(list_slice(ws, bi * 10 + 1, bi * 10 + 10)))
+        |      AS blocks
+        |  FROM b2),
+        |ch AS (SELECT doc_id, len(ws) AS nw, nb,
+        |    CASE WHEN nb < 2 THEN CAST([] AS BIGINT[])
+        |    ELSE list_transform(range(0, nb - 1), g ->
+        |      CAST(CASE WHEN len(list_distinct(list_concat(
+        |          blocks[CAST(g AS INTEGER) + 1],
+        |          blocks[CAST(g AS INTEGER) + 2]))) = 0 THEN 0
+        |        ELSE (len(list_intersect(blocks[CAST(g AS INTEGER) + 1],
+        |            blocks[CAST(g AS INTEGER) + 2])) * 1000000)
+        |          // len(list_distinct(list_concat(
+        |            blocks[CAST(g AS INTEGER) + 1],
+        |            blocks[CAST(g AS INTEGER) + 2]))) END AS BIGINT))
+        |    END AS coh
+        |  FROM bl),
+        |sc AS (SELECT doc_id, nw, nb, coh,
+        |    CAST(coalesce(list_sum(coh), 0) AS BIGINT) AS scoh FROM ch),
+        |bd AS (SELECT *, CASE WHEN len(coh) < 3 THEN CAST([] AS INTEGER[])
+        |    ELSE CAST(list_filter(range(1, len(coh) - 1), g ->
+        |      coh[CAST(g AS INTEGER) + 1] < coh[CAST(g AS INTEGER)] AND
+        |      coh[CAST(g AS INTEGER) + 1] <= coh[CAST(g AS INTEGER) + 2] AND
+        |      coh[CAST(g AS INTEGER) + 1] * len(coh) < scoh)
+        |      AS INTEGER[]) END AS bnds
+        |  FROM sc)
+        |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+        |  CAST(nb AS BIGINT) AS n_blocks,
+        |  CASE WHEN len(coh) = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE scoh // len(coh) END AS mean_coh_micro,
+        |  CAST(len(bnds) AS BIGINT) AS n_boundaries,
+        |  coalesce(array_to_string(
+        |    list_transform(bnds, x -> CAST(x AS VARCHAR)), ','), '')
+        |    AS boundaries
+        |FROM bd ORDER BY doc_id""".stripMargin)),
+
     // CZ1: compression-ratio quality gate (Gopher A1.1 / FineWeb) via
     // the native deflate_len expression — the dual-tail signal token
     // stats miss. DEFLATE is not SQL-expressible: rows-only gate entry

@@ -1244,6 +1244,65 @@ object Text {
           lit(0.5)).cast("long")).otherwise(lit(0L)).as("eff_shannon_nano"))
   }
 
+  /** TextTiling topic segmentation, block-comparison form (Hearst,
+    * CL'97 — the standard lexical-cohesion segmenter): cut each
+    * document into `w`-word blocks, score every inter-block gap by the
+    * lexical cohesion of its two sides, and place topic BOUNDARIES at
+    * interior local-minimum gaps whose cohesion falls below the
+    * document mean. The long-document chunking prep that beats fixed
+    * windows ([[graft.ops.Curate]] chunkDocs): RAG/packing chunks cut
+    * at topic shifts, not mid-topic.
+    *
+    * Simplifications vs the paper, chosen for exact cross-engine
+    * arithmetic: cohesion is the word-TYPE Jaccard of adjacent blocks
+    * (exact integer micro ratio) instead of the token-count cosine,
+    * and the boundary rule is `local minimum ∧ coh·n_gaps < Σcoh`
+    * (an integer cross-product — no float mean, no stddev cutoff).
+    *
+    * Scale: entirely IN-ROW — one narrow codegen pass of list HOFs
+    * per document, no shuffle at all; the rollup is the caller's
+    * choice. The emitted boundary list makes the gate verify the full
+    * segmentation.
+    */
+  def textTiling(docs: DataFrame, w: Int = 10,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(w > 0, "block width must be positive")
+    docs.select(col(idCol), col(textCol))
+      .withColumn("ws", expr(
+        s"filter(split(lower($textCol), ' '), x -> length(x) > 0)"))
+      .withColumn("nb", expr(s"CAST((size(ws) + $w - 1) div $w AS INT)"))
+      .withColumn("blocks", expr(
+        s"transform(sequence(0, greatest(nb - 1, 0)), bi -> " +
+          s"array_distinct(slice(ws, bi * $w + 1, $w)))"))
+      .withColumn("coh", expr(
+        s"""CASE WHEN nb < 2 THEN CAST(array() AS ARRAY<BIGINT>)
+           |ELSE transform(sequence(0, nb - 2), g ->
+           |  CAST(CASE WHEN size(array_union(element_at(blocks, g + 1),
+           |      element_at(blocks, g + 2))) = 0 THEN 0
+           |    ELSE (size(array_intersect(element_at(blocks, g + 1),
+           |        element_at(blocks, g + 2))) * 1000000)
+           |      div size(array_union(element_at(blocks, g + 1),
+           |        element_at(blocks, g + 2))) END AS BIGINT))
+           |END""".stripMargin))
+      .withColumn("scoh", expr(
+        "aggregate(coh, CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("bnds", expr(
+        """CASE WHEN size(coh) < 3 THEN CAST(array() AS ARRAY<INT>)
+          |ELSE filter(sequence(1, size(coh) - 2), g ->
+          |  element_at(coh, g + 1) < element_at(coh, g) AND
+          |  element_at(coh, g + 1) <= element_at(coh, g + 2) AND
+          |  element_at(coh, g + 1) * size(coh) < scoh)
+          |END""".stripMargin))
+      .select(col(idCol), size(col("ws")).cast("long").as("n_words"),
+        col("nb").cast("long").as("n_blocks"),
+        expr("CASE WHEN size(coh) = 0 THEN 0L ELSE scoh div size(coh) END")
+          .as("mean_coh_micro"),
+        size(col("bnds")).cast("long").as("n_boundaries"),
+        concat_ws(",", expr("transform(bnds, x -> CAST(x AS STRING))"))
+          .as("boundaries"))
+  }
+
   /** Compression-ratio quality gate (Rae et al. '21 Gopher §A1.1;
     * Penedo et al. '24 FineWeb — both pipelines ship exactly this
     * filter): per document `deflate_len(text) / octet_length(text)`,

@@ -1304,6 +1304,24 @@ class OpsSpec extends AnyFunSuite {
     assert(row(2, 1).getAs[Long]("ref_grams") === 1L)
   }
 
+  test("textTiling: a clean topic shift yields exactly one boundary at the shift") {
+    import spark.implicits._
+    val topicA = (1 to 10).map(i => s"alpha$i").mkString(" ")
+    val topicB = (1 to 10).map(i => s"beta$i").mkString(" ")
+    // blocks: A A B B -> cohesion [1, 0, 1] -> boundary at gap 1
+    val doc = Seq((1L, s"$topicA $topicA $topicB $topicB"),
+      (2L, topicA)) // single block: no gaps, no boundaries
+      .toDF("doc_id", "text")
+    val got = Text.textTiling(doc).orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_blocks") === 4L)
+    assert(got(0).getAs[Long]("n_boundaries") === 1L)
+    assert(got(0).getAs[String]("boundaries") === "1")
+    assert(got(0).getAs[Long]("mean_coh_micro") === 666666L) // (1e6+0+1e6)/3
+    assert(got(1).getAs[Long]("n_blocks") === 1L)
+    assert(got(1).getAs[Long]("n_boundaries") === 0L)
+    assert(got(1).getAs[String]("boundaries") === "")
+  }
+
   test("compressionRatio: repetitive text compresses far below varied text") {
     import spark.implicits._
     val rep = ("spark " * 200).trim                      // boilerplate
