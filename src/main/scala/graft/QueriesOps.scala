@@ -409,6 +409,46 @@ object QueriesOps {
     }.mkString
     base + loop
   }
+  /** DuckDB oracle for wp3: the BPE word CTEs with the likelihood
+    * argmax — per round, unit counts beside pair counts and the
+    * floored pico-scaled score `(pair·1e12) // (c1·c2)` in HUGEINT,
+    * ties lexicographic; same literal-replace rewrite.
+    */
+  private val WpMergesOracle: String = {
+    val base = """WITH w0 AS (
+      |  SELECT w, ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' ' AS s, cnt
+      |  FROM (SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt
+      |        FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+      |        WHERE len(tok) > 0 GROUP BY tok))""".stripMargin
+    val loop = (1 to BpeMergeRounds).map { k =>
+      s""",
+         |pw$k AS MATERIALIZED (
+         |  SELECT l[u.i] AS p1, l[u.i+1] AS p2, CAST(sum(cnt) AS BIGINT) AS pair_cnt
+         |  FROM (SELECT string_split(trim(s), '  ') AS l, cnt FROM w${k - 1}) t,
+         |       unnest(generate_series(1, len(t.l)-1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |un$k AS MATERIALIZED (
+         |  SELECT l[u.i] AS u, CAST(sum(cnt) AS BIGINT) AS ucnt
+         |  FROM (SELECT string_split(trim(s), '  ') AS l, cnt FROM w${k - 1}) t,
+         |       unnest(generate_series(1, len(t.l))) AS u(i)
+         |  GROUP BY 1),
+         |bw$k AS (SELECT p1, p2, pair_cnt,
+         |    CAST((CAST(pair_cnt AS HUGEINT) * 1000000000000)
+         |      // (CAST(c1.ucnt AS HUGEINT) * c2.ucnt) AS BIGINT) AS score_pico
+         |  FROM pw$k JOIN un$k c1 ON c1.u = pw$k.p1
+         |  JOIN un$k c2 ON c2.u = pw$k.p2
+         |  ORDER BY score_pico DESC, p1, p2 LIMIT 1),
+         |w$k AS MATERIALIZED (SELECT w,
+         |  replace(s, ' ' || b.p1 || '  ' || b.p2 || ' ',
+         |             ' ' || b.p1 || b.p2 || ' ') AS s, cnt
+         |  FROM w${k - 1}, bw$k b)""".stripMargin
+    }.mkString
+    base + loop + "\n" +
+      (1 to BpeMergeRounds).map { k =>
+        s"SELECT $k AS step, p1, p2, pair_cnt, score_pico FROM bw$k"
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY step")
+  }
+
   private val BpeMergesOracle: String =
     bpeWordCtes(BpeMergeRounds) + "\n" +
       (1 to BpeMergeRounds).map { k =>
@@ -6138,6 +6178,15 @@ object QueriesOps {
     "ul3_unigram_prune" -> Q(
       (s, d) => graft.ops.Bpe.unigramPruneRound(docs(s, d)),
       Some(OracleGen.ul3Sql())),
+
+    // WP3: WordPiece merge LEARNING — the likelihood-gain argmax
+    // (pair/(c1*c2), floored pico rational, lexicographic ties)
+    // instead of BPE's raw-count argmax: the documented trainer
+    // difference, registered so the bake-off is auditable.
+    "wp3_wordpiece_merges" -> Q(
+      (s, d) => graft.ops.Bpe.learnMergesWordpiece(docs(s, d), BpeMergeRounds)
+        .orderBy("step"),
+      Some(WpMergesOracle)),
 
     // WP1: WordPiece greedy longest-match segmentation (Schuster &
     // Nakajima '12; BERT's MaxMatch) — the third tokenizer beside BPE

@@ -412,6 +412,82 @@ object Bpe {
           .as("fertility_micro_after"))
   }
 
+  /** WordPiece merge LEARNING (Schuster & Nakajima, ICASSP'12 §3.2;
+    * the trainer behind the BERT vocab): identical loop shape to BPE's
+    * [[learnMerges]], but each round merges the pair maximizing the
+    * LIKELIHOOD gain `count(ab) / (count(a)·count(b))` instead of the
+    * raw pair count — the unigram-LM improvement criterion that
+    * prefers strongly-associated pairs over merely-frequent ones (the
+    * documented difference between the two trainers, surfaced here as
+    * a registered op so the bake-off is auditable).
+    *
+    * Determinism: the score is the FLOORED pico-scaled rational
+    * `(count(ab)·10¹²) div (count(a)·count(b))` — exact integer
+    * arithmetic in both engines; ties (including rationals that
+    * collide only after flooring) break lexicographically on the
+    * pair. decimal(38,0) intermediates keep 100 TB-scale counts
+    * exact.
+    *
+    * Scale: as [[learnMerges]] — per round one vocabulary-sized pair
+    * aggregation plus a unit-count aggregation, a 1-row bounded
+    * collect, and a narrow literal-replace rewrite with per-round
+    * lineage cuts.
+    */
+  def learnMergesWordpiece(docs: DataFrame, nMerges: Int,
+                           textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def shallow(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    var words = wordCounts(docs, textCol)
+      .select(seedSymbols(col("w")).as("s"), col("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    words.count()
+    var prev: DataFrame = null
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    for (step <- 1 to nMerges) {
+      val withT = words.select(col("cnt"), split(trim(col("s")), "  ").as("t"))
+      val units = withT
+        .select(col("cnt"), explode(col("t")).as("u"))
+        .groupBy("u").agg(sum(col("cnt")).cast("long").as("ucnt"))
+      val best = withT.filter(size(col("t")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(t)-2), i -> struct(t[i] AS p1, t[i+1] AS p2))")).as("p"))
+        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+        .agg(sum(col("cnt")).cast("long").as("pair_cnt"))
+        .join(units.select(col("u").as("p1"), col("ucnt").as("c1")), "p1")
+        .join(units.select(col("u").as("p2"), col("ucnt").as("c2")), "p2")
+        .withColumn("score_pico", expr(
+          """CAST((CAST(pair_cnt AS DECIMAL(38,0)) * 1000000000000)
+            |  div (CAST(c1 AS DECIMAL(38,0)) * CAST(c2 AS DECIMAL(38,0)))
+            |  AS BIGINT)""".stripMargin))
+        // explicit column order: the using-column joins above move the
+        // join key FIRST, so a positional read would swap (p1, p2)
+        .select("p1", "p2", "pair_cnt", "score_pico")
+        .orderBy(col("score_pico").desc, col("p1"), col("p2"))
+        .limit(1)
+        .collect() // 1 row by construction
+      if (best.nonEmpty) {
+        val r = best(0)
+        val (p1, p2) = (r.getString(0), r.getString(1))
+        merges += ((step, p1, p2, r.getAs[Long]("pair_cnt"),
+          r.getAs[Long]("score_pico")))
+        val next = words.select(
+            replace(col("s"), lit(s" $p1  $p2 "), lit(s" $p1$p2 ")).as("s"),
+            col("cnt"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        if (prev != null) prev.unpersist()
+        prev = words
+        words = shallow(next)
+      }
+    }
+    if (prev != null) prev.unpersist()
+    words.unpersist()
+    merges.toSeq.toDF("step", "p1", "p2", "pair_cnt", "score_pico")
+  }
+
   /** WordPiece greedy segmentation (Schuster & Nakajima, ICASSP'12;
     * the BERT tokenizer's MaxMatch — Devlin et al. '19 use exactly
     * this longest-match-first walk): position-tagged vocabulary

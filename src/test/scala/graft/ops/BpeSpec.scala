@@ -135,6 +135,20 @@ class BpeSpec extends AnyFunSuite {
     assert(t1 <= t0)
   }
 
+  test("wordpiece trainer: likelihood argmax diverges from BPE's count argmax") {
+    // (a,b) is the most FREQUENT pair (3) but both units are common
+    // (8 each): likelihood 3/64. (x,y) occurs twice with exclusive
+    // units: likelihood 2/4. BPE merges (a,b); WordPiece merges (x,y).
+    val docs = corpus((Seq.fill(3)("ab") ++ Seq.fill(2)("xy") ++
+      Seq.fill(5)("a") ++ Seq.fill(5)("b")).mkString(" "))
+    val bpe = Bpe.learnMerges(docs, 1).collect().head
+    assert((bpe.getString(1), bpe.getString(2)) === (("a", "b")))
+    val wp = Bpe.learnMergesWordpiece(docs, 1).collect().head
+    assert((wp.getString(1), wp.getString(2)) === (("x", "y")))
+    assert(wp.getAs[Long]("pair_cnt") === 2L)
+    assert(wp.getAs[Long]("score_pico") === 500000000000L) // 2/(2*2)
+  }
+
   test("wordpiece: greedy longest-match-first, ## continuations, lossless") {
     // 'aaaa' with pieces up to len 3: greedy takes 'aaa' then '##a' —
     // NOT the also-2-piece 'aa ##aa'; longest-first is the law
