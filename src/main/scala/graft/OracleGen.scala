@@ -2499,6 +2499,40 @@ object OracleGen {
     * integer per-class thresholds, and the qualifying-argmax joint.
     */
   def cnl1Sql(dim: Int = 64, varFloor: Double = 1e-9): String =
+    gnbPosteriorCtes(dim, varFloor) +
+      s""",
+         |th AS (SELECT cls, CAST(sum(p_micro) AS BIGINT) // count(*) AS t_micro
+         |  FROM post WHERE given = cls GROUP BY 1),
+         |qual AS (SELECT id, cls AS pred_q,
+         |    row_number() OVER (PARTITION BY id ORDER BY p_micro DESC, cls) AS rn
+         |  FROM post JOIN th USING (cls) WHERE p_micro >= t_micro),
+         |base AS (SELECT DISTINCT id, given FROM post),
+         |j AS (SELECT b.given, coalesce(q.pred_q, b.given) AS pred
+         |  FROM base b LEFT JOIN (SELECT id, pred_q FROM qual WHERE rn = 1) q
+         |    USING (id))
+         |SELECT given, pred, CAST(count(*) AS BIGINT) AS n,
+         |  CASE WHEN given != pred THEN 1 ELSE 0 END AS is_issue
+         |FROM j GROUP BY 1, 2 ORDER BY given, pred""".stripMargin
+
+  /** al1: margin/entropy uncertainty sampling over the same posterior
+    * table — smallest top-two margin first (the acquisition rule),
+    * exact integer margins, pico entropy terms, total-order cut.
+    */
+  def al1Sql(k: Int = 25, dim: Int = 64, varFloor: Double = 1e-9): String =
+    gnbPosteriorCtes(dim, varFloor) +
+      s""",
+         |acq AS (SELECT id, given,
+         |    list(p_micro ORDER BY p_micro DESC, cls DESC) AS ps,
+         |    CAST(sum(CASE WHEN p_micro > 0 THEN CAST(floor(
+         |      -(p_micro / 1e6) * ln(p_micro / 1e6) * 1e12 + 0.5) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS ent
+         |  FROM post GROUP BY 1, 2)
+         |SELECT id, given,
+         |  CAST(ps[1] - coalesce(ps[2], 0) AS BIGINT) AS margin_micro,
+         |  ent // 1000 AS entropy_nano
+         |FROM acq ORDER BY margin_micro, id LIMIT $k""".stripMargin
+
+  private def gnbPosteriorCtes(dim: Int, varFloor: Double): String =
     s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |rng AS (SELECT CAST(unnest(range(1, ${dim + 1})) AS INTEGER) AS i),
@@ -2528,19 +2562,7 @@ object OracleGen {
        |post AS MATERIALIZED (SELECT id, given, carr[CAST(u.i AS INTEGER)] AS cls,
        |    CAST(floor(exs[CAST(u.i AS INTEGER)] / tot * 1e6 + 0.5) AS BIGINT)
        |      AS p_micro
-       |  FROM pt, unnest(generate_series(1, len(exs))) AS u(i)),
-       |th AS (SELECT cls, CAST(sum(p_micro) AS BIGINT) // count(*) AS t_micro
-       |  FROM post WHERE given = cls GROUP BY 1),
-       |qual AS (SELECT id, cls AS pred_q,
-       |    row_number() OVER (PARTITION BY id ORDER BY p_micro DESC, cls) AS rn
-       |  FROM post JOIN th USING (cls) WHERE p_micro >= t_micro),
-       |base AS (SELECT DISTINCT id, given FROM post),
-       |j AS (SELECT b.given, coalesce(q.pred_q, b.given) AS pred
-       |  FROM base b LEFT JOIN (SELECT id, pred_q FROM qual WHERE rn = 1) q
-       |    USING (id))
-       |SELECT given, pred, CAST(count(*) AS BIGINT) AS n,
-       |  CASE WHEN given != pred THEN 1 ELSE 0 END AS is_issue
-       |FROM j GROUP BY 1, 2 ORDER BY given, pred""".stripMargin
+       |  FROM pt, unnest(generate_series(1, len(exs))) AS u(i))""".stripMargin
 
   /** mauve1: divergence frontier — the ann7/prune1 cosine-argmax cell
     * assignment, exact count histograms, and per-λ KL terms whose log

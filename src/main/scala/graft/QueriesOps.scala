@@ -6321,6 +6321,19 @@ object QueriesOps {
       },
       Some(OracleGen.cnl1Sql(64))),
 
+    // AL1: margin/entropy uncertainty sampling over the same NB
+    // posteriors — the active-learning acquisition batch (smallest
+    // top-two margin first); the labeling-budget allocator beside
+    // cnl1's relabel queue.
+    "al1_uncertainty_sampling" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        Classify.uncertaintySample(
+            Classify.gaussianNbPosteriors(e, Classify.gaussianNbTrain(e)))
+          .orderBy("margin_micro", "id")
+      },
+      Some(OracleGen.al1Sql())),
+
     // MAUVE1: divergence frontier (Pillutla et al. '21) between the
     // even- and odd-label halves of the embedding table — quantized
     // two-sided KL over the fixed coarse cells, λ on the interior

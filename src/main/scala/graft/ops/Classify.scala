@@ -377,6 +377,41 @@ object Classify {
         floor(col("p") * lit(1e6) + lit(0.5)).cast("long").as("p_micro"))
   }
 
+  /** Margin/entropy uncertainty sampling (Lewis & Gale, SIGIR'94;
+    * Settles '09 §3.1 — the standard active-learning acquisition
+    * rules): rank unlabeled examples by the TOP-TWO POSTERIOR MARGIN
+    * ascending (smallest margin = the decision boundary = where a
+    * label buys the most), reporting predictive entropy beside it.
+    * The labeling-budget allocator: run after [[gaussianNbPosteriors]]
+    * (or any posterior table) to pick the next annotation batch.
+    *
+    * Determinism: margins are exact integer differences of micro
+    * posteriors (ordered by (p desc, cls desc) — total order);
+    * entropy terms pico-quantize one fixed double op per (id, class)
+    * cell before the exact sum; the acquisition cut is the
+    * (margin asc, id asc) total order.
+    *
+    * Scale: one (id) rollup over the classes-bounded posterior
+    * fan-out, then a TakeOrdered — corpus-linear.
+    */
+  def uncertaintySample(post: DataFrame, k: Int = 25): DataFrame =
+    post
+      .withColumn("term_pico", when(col("p_micro") > 0L,
+        floor(-(col("p_micro").cast("double") / lit(1e6)) *
+          log(col("p_micro").cast("double") / lit(1e6)) * lit(1e12) +
+          lit(0.5)).cast("long")).otherwise(lit(0L)))
+      .groupBy("id", "given")
+      .agg(sort_array(collect_list(struct(col("p_micro"), col("cls"))),
+          asc = false).as("ps"),
+        sum("term_pico").cast("long").as("ent"))
+      .select(col("id"), col("given"),
+        (col("ps").getItem(0).getField("p_micro") -
+          coalesce(col("ps").getItem(1).getField("p_micro"), lit(0L)))
+          .as("margin_micro"),
+        expr("ent div 1000L").as("entropy_nano"))
+      .orderBy(col("margin_micro").asc, col("id").asc)
+      .limit(k)
+
   /** Confident-learning label-error estimation (Northcutt, Jiang,
     * Chuang, JAIR'21 "Confident Learning: Estimating Uncertainty in
     * Dataset Labels" — the cleanlab algorithm): from out-of-the-box

@@ -342,6 +342,21 @@ class ClassifySpec extends AnyFunSuite {
       s2.getAs[Long]("uncertainty_nano")) < 1000L)
   }
 
+  test("uncertaintySample: smallest margin first, entropy orders with flatness") {
+    import spark.implicits._
+    val post = Seq(
+      (1L, 0L, 0L, 900000L), (1L, 0L, 1L, 100000L), // confident
+      (2L, 1L, 0L, 550000L), (2L, 1L, 1L, 450000L), // boundary
+      (3L, 0L, 0L, 500000L), (3L, 0L, 1L, 500000L)) // coin flip
+      .toDF("id", "given", "cls", "p_micro")
+    val got = Classify.uncertaintySample(post, k = 2).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(3L, 2L)) // margins 0 < 100000
+    assert(got(0).getAs[Long]("margin_micro") === 0L)
+    assert(got(1).getAs[Long]("margin_micro") === 100000L)
+    // flat posterior has the max entropy (ln 2 ≈ 0.6931 nano-scaled)
+    assert(math.abs(got(0).getAs[Long]("entropy_nano") - 693147181L) < 1000L)
+  }
+
   test("raschFit: harder items get higher difficulty, b centered, ability orders") {
     import spark.implicits._
     // 6 subjects x 3 items; item "hard" passed only by the strongest,
