@@ -2395,6 +2395,68 @@ object OracleGen {
          |SELECT w, cnt, len AS n_chars, np AS n_pieces, seg
          |FROM g$maxWordLen ORDER BY w""".stripMargin
 
+  /** dtw1: banded DTW — per-pair integer DP unrolled as one CTE per
+    * row. DuckDB's list-accumulator `list_reduce` is broken in
+    * vectorized batches (the mmr1 lesson), so the within-row
+    * left-dependency is resolved by 2·band RELAXATION passes
+    * (lateral column aliases), which converge exactly because the
+    * corridor bounds the dependency chain.
+    */
+  def dtw1Sql(band: Int = 3, maxLen: Int = 40): String = {
+    val INF = "4611686018427387904"
+    def cost(i: String) =
+      s"abs(sa[CAST($i AS INTEGER)] - sb[CAST(j AS INTEGER)])"
+    val rows = (1 to maxLen).map { i =>
+      val t0 =
+        s"""list_prepend(CAST($INF AS BIGINT), list_transform(range(1, len + 1), j ->
+           |      CASE WHEN abs(j - $i) > $band OR $i > len THEN CAST($INF AS BIGINT)
+           |      ELSE ${cost(i.toString)} + least(dp[CAST(j AS INTEGER) + 1],
+           |        dp[CAST(j AS INTEGER)]) END))""".stripMargin
+      def relax(prev: String) =
+        s"""list_prepend(CAST($INF AS BIGINT), list_transform(range(1, len + 1), j ->
+           |      CASE WHEN abs(j - $i) > $band OR $i > len THEN CAST($INF AS BIGINT)
+           |      ELSE least($prev[CAST(j AS INTEGER) + 1],
+           |        ${cost(i.toString)} + $prev[CAST(j AS INTEGER)]) END))""".stripMargin
+      // nested subquery LEVELS, not lateral aliases: aliases inline
+      // textually at bind time (each relax references its predecessor
+      // twice -> 2^passes expression blowup that stalls the binder);
+      // a projection per level evaluates each pass once per row. The
+      // t column is projected away before the next round.
+      val inner = s"SELECT ka, kb, len, sa, sb, dp, $t0 AS t FROM d${i - 1}"
+      val levels = (1 to 2 * band).foldLeft(inner) { (acc, _) =>
+        s"SELECT ka, kb, len, sa, sb, dp, ${relax("t")} AS t FROM (\n$acc)"
+      }
+      s""",
+         |d$i AS MATERIALIZED (SELECT ka, kb, len, sa, sb,
+         |  CASE WHEN $i > len THEN dp ELSE t END AS dp FROM (
+         |$levels))""".stripMargin
+    }.mkString
+    s"""WITH c AS (SELECT event_type AS k, date_trunc('day', ts) AS b,
+       |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+       |bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM c),
+       |sp AS (SELECT unnest(generate_series(lo, hi, INTERVAL '1 day')) AS b
+       |  FROM bounds),
+       |ks AS (SELECT DISTINCT k FROM c),
+       |dense AS MATERIALIZED (SELECT ks.k,
+       |    list_slice(list(coalesce(c.x, 0) ORDER BY sp.b), 1, $maxLen) AS s
+       |  FROM ks CROSS JOIN sp LEFT JOIN c ON c.k = ks.k AND c.b = sp.b
+       |  GROUP BY ks.k),
+       |p0 AS (SELECT a.k AS ka, b.k AS kb, a.s AS sa, b.s AS sb,
+       |    CAST(len(a.s) AS INTEGER) AS len
+       |  FROM dense a JOIN dense b ON a.k < b.k),
+       |d0 AS MATERIALIZED (SELECT ka, kb, len, sa, sb,
+       |    list_prepend(CAST(0 AS BIGINT), list_transform(range(1, len + 1),
+       |      j -> CAST($INF AS BIGINT))) AS dp
+       |  FROM p0)""".stripMargin + rows +
+      s"""
+         |SELECT ka, kb, CAST(len AS BIGINT) AS n_buckets,
+         |  dp[CAST(len AS INTEGER) + 1] AS dtw_dist,
+         |  CAST(list_sum(list_transform(range(1, len + 1), i ->
+         |    abs(sa[CAST(i AS INTEGER)] - sb[CAST(i AS INTEGER)])))
+         |    AS BIGINT) AS euclid_l1
+         |FROM d$maxLen ORDER BY ka, kb""".stripMargin
+  }
+
   /** irt1: Rasch 1PL fit — binomial response cells from events,
     * synchronous integer gradient rounds unrolled as MATERIALIZED
     * CTEs: one σ quantization per cell per round, then exact integer

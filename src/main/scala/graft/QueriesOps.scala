@@ -5012,6 +5012,15 @@ object QueriesOps {
         .select(col("v").as("user_id"), col("pr")).orderBy("user_id"),
       Some(PageRankOracle)),
 
+    // DTW1: banded dynamic-time-warping distance between every pair
+    // of per-event-type daily series (Sakoe-Chiba corridor, all-
+    // integer DP) with the Euclidean L1 companion — the alignment-
+    // tolerant series similarity Euclidean distance can't see.
+    "dtw1_dtw_pairs" -> Q(
+      (s, d) => graft.ops.TimeSeries.dtwPairs(Queries.events(s, d),
+          "event_type", "ts").orderBy("ka", "kb"),
+      Some(OracleGen.dtw1Sql())),
+
     // IRT1: Rasch 1PL item-response fit over the event log — subjects
     // = users, items = event types, success = value >= 60; integer
     // gradient rounds, difficulties centered each round. The

@@ -414,4 +414,75 @@ object TimeSeries {
       when(col("n") > col("t"), round(after - before, 6)).otherwise(lit(0.0))
         .as("delta"))
   }
+
+  /** Banded dynamic-time-warping distance (Sakoe & Chiba, TASSP'78)
+    * between every pair of per-key integer series — THE alignment-
+    * tolerant series similarity (two keys with the same shape shifted
+    * by a lag are "close" under DTW and "far" under Euclidean):
+    * `D[i][j] = |a_i − b_j| + min(D[i−1][j], D[i][j−1], D[i−1][j−1])`
+    * restricted to the |i−j| ≤ `band` diagonal corridor. Emits the
+    * exact DTW distance and the Euclidean-companion Σ|a_i − b_i| so
+    * the warping GAIN is auditable per pair.
+    *
+    * Determinism: the whole DP is exact integer arithmetic — no
+    * floats anywhere. The corridor DP runs as `len` chained column
+    * projections, each building the next DP row with an in-row
+    * left-to-right fold (the unigramDp chained-projection discipline;
+    * the oracle unrolls the same rows as CTEs because DuckDB's
+    * list-accumulator `list_reduce` is broken in vectorized batches).
+    *
+    * Scale: series build with one (key, bucket) count shuffle; pairs
+    * are keys-bounded (k² rows carrying two fixed-length arrays); the
+    * DP is IN-ROW constant work per pair — nothing corpus-sized ever
+    * joins.
+    */
+  def dtwPairs(df: DataFrame, keyCol: String, tsCol: String,
+               bucket: String = "day", band: Int = 3): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("k"),
+        date_trunc(bucket, col(tsCol)).as("b"))
+      .agg(count(lit(1)).cast("long").as("x"))
+    val spine = counts.agg(min("b").as("__lo"), max("b").as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"),
+        expr(s"INTERVAL 1 $bucket"))).as("b"))
+    val keys = counts.select("k").distinct()
+    val dense = keys.crossJoin(spine)
+      .join(counts, Seq("k", "b"), "left")
+      .groupBy("k")
+      .agg(array_sort(collect_list(struct(col("b"),
+        coalesce(col("x"), lit(0L)).as("x")))).as("sx"))
+      .select(col("k"), expr("transform(sx, s -> s.x)").as("s"))
+    val maxLen = 40 // static DP unroll bound; longer series truncate
+    val pairs = dense.select(col("k").as("ka"),
+        expr(s"slice(s, 1, $maxLen)").as("sa"))
+      .join(dense.select(col("k").as("kb"),
+        expr(s"slice(s, 1, $maxLen)").as("sb")),
+        col("ka") < col("kb"))
+      .withColumn("len", size(col("sa")))
+    // DP row i (1-based over sa): dp[j] = DTW of sa[1..i] vs sb[1..j],
+    // INF outside the band. Row 0 seeds j=0 only; each round folds the
+    // next row left to right carrying the running dp[i][j-1].
+    val INF = 4611686018427387904L // 2^62: safe to add costs onto
+    val n = 40 // matches the maxLen slice above; rows beyond len no-op
+    var dp = pairs.withColumn("dp", expr(
+      s"transform(sequence(0, len), j -> CASE WHEN j = 0 THEN 0L ELSE ${INF}L END)"))
+    for (i <- 1 to n) {
+      dp = dp.withColumn("dp", expr(
+        s"""CASE WHEN $i > len THEN dp ELSE
+           |  aggregate(sequence(1, len),
+           |    CAST(array(${INF}L) AS ARRAY<BIGINT>),
+           |    (acc, j) -> array_append(acc,
+           |      CASE WHEN abs(j - $i) > $band THEN ${INF}L ELSE
+           |        abs(element_at(sa, $i) - element_at(sb, j)) +
+           |        least(element_at(dp, j + 1),
+           |          element_at(dp, j),
+           |          element_at(acc, j))
+           |      END))
+           |END""".stripMargin))
+    }
+    dp.select(col("ka"), col("kb"), col("len").cast("long").as("n_buckets"),
+      element_at(col("dp"), col("len") + 1).as("dtw_dist"),
+      expr("""aggregate(sequence(1, len), 0L, (acc, i) ->
+             |  acc + abs(element_at(sa, i) - element_at(sb, i)))"""
+        .stripMargin).as("euclid_l1"))
+  }
 }

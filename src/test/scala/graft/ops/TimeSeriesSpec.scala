@@ -151,4 +151,31 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.head.getAs[String]("word") === "acac")
     assert(got.head.getAs[Long]("cnt") === 5L)
   }
+
+  test("dtwPairs: a one-day lag warps to near zero where L1 cannot") {
+    // a: [1,1,5,1], b: [1,1,1,5] (b is a one day behind a):
+    // DTW path (1,1)(2,2)(2,3)(3,4)(4,4) costs 0+0+0+0+4 = 4;
+    // Euclidean L1 = 0+0+4+4 = 8
+    def day(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$d 00:00:00")
+    val rows =
+      (Seq.fill(1)(day(1)) ++ Seq.fill(1)(day(2)) ++
+        Seq.fill(5)(day(3)) ++ Seq.fill(1)(day(4))).map(("a", _)) ++
+      (Seq.fill(1)(day(1)) ++ Seq.fill(1)(day(2)) ++
+        Seq.fill(1)(day(3)) ++ Seq.fill(5)(day(4))).map(("b", _))
+    val got = TimeSeries.dtwPairs(rows.toDF("event_type", "ts"),
+      "event_type", "ts").collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getString(0), r.getString(1)) === (("a", "b")))
+    assert(r.getAs[Long]("n_buckets") === 4L)
+    assert(r.getAs[Long]("dtw_dist") === 4L)
+    assert(r.getAs[Long]("euclid_l1") === 8L)
+    // identical series: DTW exactly zero
+    val same = rows.filter(_._1 == "a") ++
+      rows.filter(_._1 == "a").map { case (_, t) => ("c", t) }
+    val z = TimeSeries.dtwPairs(same.toDF("event_type", "ts"),
+      "event_type", "ts").collect().head
+    assert(z.getAs[Long]("dtw_dist") === 0L)
+    assert(z.getAs[Long]("euclid_l1") === 0L)
+  }
 }
