@@ -2395,6 +2395,102 @@ object OracleGen {
          |SELECT w, cnt, len AS n_chars, np AS n_pieces, seg
          |FROM g$maxWordLen ORDER BY w""".stripMargin
 
+  /** weat1: WEAT embedding-bias test — nano cosines, exact integer
+    * association sums, md5 sign-flip permutations, add-one p; the
+    * effect-size double mirrors the engine's operand order.
+    */
+  def weat1Sql(xL: Int = 0, yL: Int = 1, aL: Int = 2, bL: Int = 3,
+               reps: Int = 64, dim: Int = 64): String = {
+    val dot = s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+      "i -> wv[CAST(i AS INTEGER)] * tv[CAST(i AS INTEGER)])), (acc, x) -> acc + x)"
+    s"""WITH e AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS lbl,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |nv AS (SELECT id, lbl, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS vn FROM e),
+       |tgt AS (SELECT id AS w, lbl = $xL AS is_x, v AS wv, vn AS wn
+       |  FROM nv WHERE lbl IN ($xL, $yL)),
+       |att AS (SELECT id AS t, lbl = $aL AS is_a, v AS tv, vn AS tn
+       |  FROM nv WHERE lbl IN ($aL, $bL)),
+       |nab AS (SELECT
+       |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+       |  FROM att),
+       |cs AS (SELECT w, is_x, is_a,
+       |    CASE WHEN wn * tn = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(floor($dot / (wn * tn) * 1e9 + 0.5) AS BIGINT) END AS c
+       |  FROM tgt CROSS JOIN att),
+       |sw AS MATERIALIZED (SELECT w, is_x,
+       |    CAST(sum(CASE WHEN is_a THEN c ELSE 0 END) AS BIGINT) // n_a
+       |    - CAST(sum(CASE WHEN is_a THEN 0 ELSE c END) AS BIGINT) // n_b AS s
+       |  FROM cs, nab GROUP BY w, is_x, n_a, n_b),
+       |base AS (SELECT
+       |    CAST(sum(CASE WHEN is_x THEN 1 ELSE 0 END) AS BIGINT) AS n_x,
+       |    CAST(sum(CASE WHEN is_x THEN 0 ELSE 1 END) AS BIGINT) AS n_y,
+       |    CAST(sum(CASE WHEN is_x THEN s ELSE -s END) AS BIGINT) AS s_stat,
+       |    CAST(sum(s) AS BIGINT) AS s1,
+       |    CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS s2,
+       |    CAST(sum(CASE WHEN is_x THEN s ELSE 0 END) AS BIGINT) AS sx,
+       |    CAST(sum(CASE WHEN is_x THEN 0 ELSE s END) AS BIGINT) AS sy
+       |  FROM sw),
+       |pr AS (SELECT r.r,
+       |    CAST(sum((CASE WHEN is_x THEN 1 ELSE -1 END) *
+       |      (CASE WHEN ${hex60("md5(CAST(w AS VARCHAR) || ':' || CAST(r.r AS VARCHAR))")}
+       |        % 2 = 0 THEN 1 ELSE -1 END) * s) AS BIGINT) AS sr
+       |  FROM sw, (SELECT unnest(generate_series(1, $reps)) AS r) r
+       |  GROUP BY 1)
+       |SELECT b.n_x, b.n_y, nab.n_a, nab.n_b,
+       |  b.s_stat AS s_stat_nano,
+       |  CASE WHEN (b.s2 * (b.n_x + b.n_y) - CAST(b.s1 AS HUGEINT) * b.s1) > 0
+       |  THEN CAST(floor((CAST(b.sx AS DOUBLE) / CAST(b.n_x AS DOUBLE)
+       |      - CAST(b.sy AS DOUBLE) / CAST(b.n_y AS DOUBLE)) /
+       |    sqrt((CAST(b.s2 AS DOUBLE) * CAST(b.n_x + b.n_y AS DOUBLE)
+       |        - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE)) /
+       |      (CAST(b.n_x + b.n_y AS DOUBLE) * CAST(b.n_x + b.n_y AS DOUBLE)))
+       |    * 1e9 + 0.5) AS BIGINT) ELSE CAST(0 AS BIGINT) END AS effect_nano,
+       |  ((CAST(sum(CASE WHEN abs(pr.sr) >= abs(b.s_stat) THEN 1 ELSE 0 END)
+       |    AS BIGINT) + 1) * 1000000) // ${reps + 1} AS p_micro
+       |FROM pr, base b, nab
+       |GROUP BY 1, 2, 3, 4, 5, b.s2, b.s1, b.sx, b.sy""".stripMargin
+  }
+
+  /** unif1: alignment & uniformity — consecutive same-label positive
+    * pairs, md5-ordered random pairs, nano 2−2cos distances, pico exp
+    * terms, exact means, one ln at display.
+    */
+  def unif1Sql(dim: Int = 64): String = {
+    val dot = s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+      "i -> va[CAST(i AS INTEGER)] * vb[CAST(i AS INTEGER)])), (acc, x) -> acc + x)"
+    def d2(tbl: String, keys: String) =
+      s"""SELECT CASE WHEN na * nb = 0 THEN CAST(2000000000 AS BIGINT)
+         |    ELSE 2000000000 - CAST(floor($dot / (na * nb) * 2e9 + 0.5) AS BIGINT)
+         |    END AS d2_nano
+         |  FROM (SELECT $keys, v AS va, vn AS na FROM $tbl WHERE side = 0) l
+         |  JOIN (SELECT $keys, v AS vb, vn AS nb FROM $tbl WHERE side = 1) r
+         |  USING ($keys)""".stripMargin
+    s"""WITH e AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS lbl,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |nv AS (SELECT id, lbl, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS vn FROM e),
+       |posr AS (SELECT *, (rk - 1) // 2 AS g, (rk - 1) % 2 AS side FROM (
+       |    SELECT id, lbl, v, vn, CAST(row_number() OVER (
+       |      PARTITION BY lbl ORDER BY id) AS BIGINT) AS rk FROM nv)),
+       |rndr AS (SELECT *, (rk - 1) // 2 AS g, (rk - 1) % 2 AS side FROM (
+       |    SELECT id, lbl, v, vn, CAST(row_number() OVER (ORDER BY
+       |      ${hex60("md5(CAST(id AS VARCHAR))")}, id) AS BIGINT) AS rk
+       |    FROM nv)),
+       |pos AS (SELECT CAST(count(*) AS BIGINT) AS n_pos_pairs,
+       |    CAST(sum(d2_nano) AS BIGINT) AS sp FROM (${d2("posr", "lbl, g")})),
+       |rnd AS (SELECT CAST(count(*) AS BIGINT) AS n_rand_pairs,
+       |    CAST(sum(CAST(floor(exp(d2_nano / -5e8) * 1e12 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS st
+       |  FROM (${d2("rndr", "g")}))
+       |SELECT n_pos_pairs, n_rand_pairs,
+       |  sp // n_pos_pairs AS alignment_nano,
+       |  CAST(floor(ln(CAST(st // n_rand_pairs AS DOUBLE) / 1e12) * 1e9 + 0.5)
+       |    AS BIGINT) AS uniformity_nano
+       |FROM pos, rnd""".stripMargin
+  }
+
   /** dtw1: banded DTW — per-pair integer DP unrolled as one CTE per
     * row. DuckDB's list-accumulator `list_reduce` is broken in
     * vectorized batches (the mmr1 lesson), so the within-row

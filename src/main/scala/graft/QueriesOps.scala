@@ -5012,6 +5012,21 @@ object QueriesOps {
         .select(col("v").as("user_id"), col("pr")).orderBy("user_id"),
       Some(PageRankOracle)),
 
+    // WEAT1: embedding-association bias test (Caliskan '17) — targets
+    // = labels 0/1, attributes = labels 2/3; exact integer association
+    // sums, md5 sign-flip permutation p, effect size d. The encoder
+    // bias audit before an embedding ships.
+    "weat1_embedding_bias" -> Q(
+      (s, d) => graft.ops.Pca.weatTest(embs(s, d), 0L, 1L, 2L, 3L),
+      Some(OracleGen.weat1Sql())),
+
+    // UNIF1: alignment & uniformity (Wang & Isola '20) — positive
+    // pairs from consecutive same-label members, random pairs from
+    // the md5 total order; the two-number contrastive-quality readout.
+    "unif1_alignment_uniformity" -> Q(
+      (s, d) => graft.ops.Pca.alignmentUniformity(embs(s, d)),
+      Some(OracleGen.unif1Sql())),
+
     // DTW1: banded dynamic-time-warping distance between every pair
     // of per-event-type daily series (Sakoe-Chiba corridor, all-
     // integer DP) with the Euclidean L1 companion — the alignment-

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Top principal component of an embedding column by power iteration
@@ -208,5 +209,174 @@ object Pca {
           sqrt(col("fxx").cast("double") * col("fyy").cast("double")) *
           lit(1e9) + lit(0.5)).cast("long")).otherwise(lit(0L))
         .as("cka_nano"))
+  }
+
+  /** WEAT — Word/Embedding Association Test (Caliskan, Bryson,
+    * Narayanan, Science 2017): does the embedding space associate
+    * target group X with attribute set A more than target group Y
+    * does?  `s(w) = mean_A cos(w,a) − mean_B cos(w,b)`,
+    * `S = Σ_X s − Σ_Y s`, effect size `d = (mean_X s − mean_Y s) /
+    * std_{X∪Y} s`, significance by a SIGN-FLIP permutation test (the
+    * standard large-set approximation of the paper's partition test —
+    * md5-deterministic flips, the pb1 replicate discipline, add-one
+    * p). THE embedding-bias audit a data pipeline runs before
+    * shipping an encoder trained on its corpus.
+    *
+    * Determinism: per-pair cosines nano-quantize one fixed fold each;
+    * s(w), S, the moments and every permuted statistic are exact
+    * integer arithmetic; effect size is one double sqrt at display;
+    * flips are pure md5 functions of (id, rep).
+    *
+    * Scale: attribute sets are SMALL by construction (that is what an
+    * attribute battery is) — broadcast; the target side streams
+    * through one narrow cosine pass and a combinable rollup; the
+    * permutation table is reps × targets, combinable by rep.
+    */
+  def weatTest(vecs: DataFrame, xLabel: Long, yLabel: Long,
+               aLabel: Long, bLabel: Long, reps: Int = 64,
+               labelCol: String = "label", idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    require(reps >= 1, "need at least one permutation")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val v = col(vecCol).cast("array<double>")
+    val nrm = sqrt(aggregate(zip_with(v, v, (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x))
+    val tgt = vecs.filter(col(labelCol).isin(xLabel, yLabel))
+      .select(col(idCol).cast("long").as("w"),
+        (col(labelCol) === xLabel).as("is_x"), v.as("wv"), nrm.as("wn"))
+    val att = vecs.filter(col(labelCol).isin(aLabel, bLabel))
+      .select(col(idCol).cast("long").as("t"),
+        (col(labelCol) === aLabel).as("is_a"), v.as("tv"), nrm.as("tn"))
+    val cosN = when(col("wn") * col("tn") === 0.0, lit(0L))
+      .otherwise(floor(aggregate(zip_with(col("wv"), col("tv"),
+          (a, b) => a * b), lit(0.0), (acc, x) => acc + x) /
+        (col("wn") * col("tn")) * lit(1e9) + lit(0.5)).cast("long"))
+    val nab = att.agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).cast("long").as("n_b"))
+    val sw = tgt.crossJoin(broadcast(att))
+      .select(col("w"), col("is_x"), col("is_a"), cosN.as("c"))
+      .groupBy("w", "is_x")
+      .agg(sum(when(col("is_a"), col("c")).otherwise(0L)).cast("long").as("sa"),
+        sum(when(!col("is_a"), col("c")).otherwise(0L)).cast("long").as("sb"))
+      .crossJoin(broadcast(nab))
+      .select(col("w"), col("is_x"),
+        (expr("sa div n_a") - expr("sb div n_b")).as("s"),
+        col("n_a"), col("n_b"))
+      .persist()
+    val base = sw.agg(
+      sum(when(col("is_x"), 1L).otherwise(0L)).cast("long").as("n_x"),
+      sum(when(!col("is_x"), 1L).otherwise(0L)).cast("long").as("n_y"),
+      first("n_a").as("n_a"), first("n_b").as("n_b"),
+      sum(when(col("is_x"), col("s")).otherwise(-col("s")))
+        .cast("long").as("s_stat"),
+      sum(dec(col("s"))).as("s1"),
+      sum(dec(col("s")) * dec(col("s"))).as("s2"),
+      sum(when(col("is_x"), col("s")).otherwise(0L)).cast("long").as("sx"),
+      sum(when(!col("is_x"), col("s")).otherwise(0L)).cast("long").as("sy"))
+    // sign-flip permutations: md5 coin per (w, rep)
+    val perms = sw
+      .select(col("w"), col("is_x"), col("s"),
+        explode(expr(s"sequence(1, $reps)")).as("r"))
+      .withColumn("flip", when(
+        pmod(conv(substring(md5(concat_ws(":", col("w"),
+          col("r").cast("string"))), 1, 15), 16, 10).cast("long"),
+          lit(2L)) === 0L, lit(1L)).otherwise(lit(-1L)))
+      .groupBy("r")
+      .agg(sum((when(col("is_x"), lit(1L)).otherwise(lit(-1L)) *
+        col("flip") * col("s"))).cast("long").as("sr"))
+    val out = perms.crossJoin(broadcast(base))
+      .agg(sum(when(abs(col("sr")) >= abs(col("s_stat")), 1L).otherwise(0L))
+        .cast("long").as("n_ge"),
+        first("n_x").as("n_x"), first("n_y").as("n_y"),
+        first("n_a").as("n_a"), first("n_b").as("n_b"),
+        first("s_stat").as("s_stat"), first("s1").as("s1"),
+        first("s2").as("s2"), first("sx").as("sx"), first("sy").as("sy"))
+      .select(col("n_x"), col("n_y"), col("n_a"), col("n_b"),
+        col("s_stat").as("s_stat_nano"),
+        // d = (x̄ − ȳ) / sd(all s): exact integer moments, one sqrt
+        when(
+          (col("s2") * (col("n_x") + col("n_y")) - col("s1") * col("s1")) > 0,
+          floor((col("sx").cast("double") / col("n_x").cast("double") -
+            col("sy").cast("double") / col("n_y").cast("double")) /
+            sqrt((col("s2").cast("double") * (col("n_x") + col("n_y"))
+              .cast("double") - col("s1").cast("double") *
+              col("s1").cast("double")) /
+              ((col("n_x") + col("n_y")).cast("double") *
+                (col("n_x") + col("n_y")).cast("double"))) *
+            lit(1e9) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)).as("effect_nano"),
+        expr(s"((n_ge + 1L) * 1000000L) div ${reps + 1}L").as("p_micro"))
+      .localCheckpoint()
+    sw.unpersist(false)
+    out
+  }
+
+  /** Alignment & uniformity of an embedding space (Wang & Isola,
+    * ICML'20 — the two-number contrastive-quality decomposition):
+    * ALIGNMENT = mean squared distance between normalized POSITIVE
+    * pairs (here: consecutive same-label members — lower is better),
+    * UNIFORMITY = `ln mean exp(−2‖x̂−ŷ‖²)` over md5-matched RANDOM
+    * pairs (more negative = mass spread over the sphere). Together
+    * they predict downstream linear-probe quality better than either
+    * alone; the embedding-table health check beside [[Pca]] isotropy.
+    *
+    * Determinism: ‖x̂−ŷ‖² = 2 − 2cos with cosines nano-quantized per
+    * pair; alignment is an exact integer mean; uniformity terms are
+    * one fixed double exp on the quantized input, pico-quantized
+    * before the exact mean, one ln at display. Random pairing is the
+    * md5 total order (hex60 of the id), reproducible in SQL.
+    *
+    * Scale: two rank windows (per label; global md5 order) + one
+    * narrow cosine pass per pair table — corpus-linear, no quadratic
+    * pair sources anywhere.
+    */
+  def alignmentUniformity(vecs: DataFrame, labelCol: String = "label",
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val v = col(vecCol).cast("array<double>")
+    val nrm = sqrt(aggregate(zip_with(v, v, (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x))
+    val base = vecs.select(col(idCol).cast("long").as("id"),
+      col(labelCol).cast("long").as("lbl"), v.as("vv"), nrm.as("vn"))
+    def pairUp(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec) =
+      df.withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("g", expr("(rk - 1L) div 2L"))
+        .withColumn("side", expr("(rk - 1L) % 2L"))
+    val posRanked = pairUp(base, Window.partitionBy("lbl")
+      .orderBy(col("id").asc))
+    val rndRanked = pairUp(base
+      .withColumn("h", conv(substring(md5(col("id").cast("string")), 1, 15),
+        16, 10).cast("long")),
+      Window.orderBy(col("h").asc, col("id").asc))
+    def d2Nano(ranked: DataFrame, keyCols: Seq[String]) = {
+      val l = ranked.filter(col("side") === 0L)
+        .select(keyCols.map(col) :+ col("vv").as("va") :+ col("vn").as("na"): _*)
+      val r = ranked.filter(col("side") === 1L)
+        .select(keyCols.map(col) :+ col("vv").as("vb") :+ col("vn").as("nb"): _*)
+      l.join(r, keyCols)
+        .select((when(col("na") * col("nb") === 0.0, lit(2000000000L))
+          .otherwise(lit(2000000000L) -
+            floor(aggregate(zip_with(col("va"), col("vb"), (a, b) => a * b),
+              lit(0.0), (acc, x) => acc + x) /
+              (col("na") * col("nb")) * lit(2e9) + lit(0.5)).cast("long")))
+          .as("d2_nano"))
+    }
+    val pos = d2Nano(posRanked, Seq("lbl", "g"))
+      .agg(count(lit(1)).cast("long").as("n_pos_pairs"),
+        sum(dec(col("d2_nano"))).as("sp"))
+    val rnd = d2Nano(rndRanked, Seq("g"))
+      .select(col("d2_nano"),
+        floor(exp(col("d2_nano").cast("double") / lit(-5e8)) * lit(1e12) +
+          lit(0.5)).cast("long").as("term_pico"))
+      .agg(count(lit(1)).cast("long").as("n_rand_pairs"),
+        sum(dec(col("term_pico"))).as("st"))
+    pos.crossJoin(rnd)
+      .select(col("n_pos_pairs"), col("n_rand_pairs"),
+        expr("CAST(sp div n_pos_pairs AS BIGINT)").as("alignment_nano"),
+        floor(log(expr("CAST(st div n_rand_pairs AS BIGINT)")
+          .cast("double") / lit(1e12)) * lit(1e9) + lit(0.5)).cast("long")
+          .as("uniformity_nano"))
   }
 }

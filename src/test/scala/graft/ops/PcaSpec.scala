@@ -88,4 +88,35 @@ class PcaSpec extends AnyFunSuite {
       assert(a.getDouble(2) === b.getDouble(2), "eigval must be bit-equal")
     }
   }
+
+  test("weatTest: aligned targets/attributes give d = 2, tiny p; swap negates S") {
+    // X (label 0) and A (label 2) on e1; Y (1) and B (3) on e2:
+    // s(x) = +1e9, s(y) = -1e9 -> S = 8e9, sd = 1e9, d = 2 (the max)
+    val mk = (lbl: Int, base: Int, v: Seq[Float]) =>
+      (0 until 4).map(i => ((base + i).toLong, v, lbl))
+    val vecs = (mk(0, 0, Seq(1f, 0f)) ++ mk(1, 100, Seq(0f, 1f)) ++
+      mk(2, 200, Seq(1f, 0f)) ++ mk(3, 300, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding", "label")
+    val r = Pca.weatTest(vecs, 0L, 1L, 2L, 3L).head()
+    assert(r.getAs[Long]("s_stat_nano") === 8000000000L)
+    assert(r.getAs[Long]("effect_nano") === 2000000000L)
+    assert(r.getAs[Long]("p_micro") <= 200000L) // sign-flips rarely reach |S|
+    // swapping the attribute sets negates the association
+    val sw = Pca.weatTest(vecs, 0L, 1L, 3L, 2L).head()
+    assert(sw.getAs[Long]("s_stat_nano") === -8000000000L)
+  }
+
+  test("alignmentUniformity: identical-within-label clusters align at 0") {
+    val vecs = (0 until 8).map { i =>
+      (i.toLong, if (i % 2 == 0) Seq(1f, 0f) else Seq(0f, 1f), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val r = Pca.alignmentUniformity(vecs).head()
+    assert(r.getAs[Long]("n_pos_pairs") === 4L)
+    assert(r.getAs[Long]("n_rand_pairs") === 4L)
+    assert(r.getAs[Long]("alignment_nano") === 0L) // same-label pairs identical
+    // random pairs are same (term 1) or orthogonal (term e^-4):
+    // uniformity lies in [-4, 0]
+    val u = r.getAs[Long]("uniformity_nano")
+    assert(u <= 0L && u >= -4000000000L)
+  }
 }
