@@ -2395,6 +2395,49 @@ object OracleGen {
          |SELECT w, cnt, len AS n_chars, np AS n_pieces, seg
          |FROM g$maxWordLen ORDER BY w""".stripMargin
 
+  /** nf41: NF4 quantization quality — the 16 QLoRA level literals,
+    * absmax scale fold, first-position argmin (ties to the lower
+    * code, mirroring the engine's (d, i) struct min), fixed in-order
+    * error/cosine folds, exact integer label means.
+    */
+  def nf41Sql(): String = {
+    val lv = Similarity.Nf4Levels.mkString("[", ", ", "]")
+    val dl = "list_transform(range(1, 17), l -> " +
+      "abs(x / scale - lv[CAST(l AS INTEGER)]))"
+    def fold(body: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $body)), " +
+        "(acc, t) -> acc + t)"
+    s"""WITH lvt AS (SELECT $lv AS lv),
+       |e AS (SELECT CAST(label AS BIGINT) AS label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+       |  FROM embeddings),
+       |s AS (SELECT label, xd,
+       |    list_reduce(list_prepend(0.0, xd),
+       |      (a, b) -> greatest(a, abs(b))) AS scale FROM e),
+       |d AS MATERIALIZED (SELECT label, xd,
+       |    CASE WHEN scale = 0 THEN list_transform(xd, x -> 0.0)
+       |    ELSE list_transform(xd, x ->
+       |      lv[list_position($dl, list_min($dl))] * scale) END AS deq
+       |  FROM s, lvt),
+       |m AS (SELECT label,
+       |    CAST(floor(${fold("(xd[CAST(i AS INTEGER)] - deq[CAST(i AS INTEGER)]) * (xd[CAST(i AS INTEGER)] - deq[CAST(i AS INTEGER)])")}
+       |      * 1e12 + 0.5) AS BIGINT) AS se_pico,
+       |    ${fold("xd[CAST(i AS INTEGER)] * deq[CAST(i AS INTEGER)]")} AS dot_xq,
+       |    sqrt(${fold("xd[CAST(i AS INTEGER)] * xd[CAST(i AS INTEGER)]")}) AS nx,
+       |    sqrt(${fold("deq[CAST(i AS INTEGER)] * deq[CAST(i AS INTEGER)]")}) AS nq
+       |  FROM d),
+       |c AS (SELECT label, se_pico,
+       |    CASE WHEN nx * nq = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(floor(dot_xq / (nx * nq) * 1e9 + 0.5) AS BIGINT)
+       |    END AS cos_nano
+       |  FROM m)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(CAST(sum(se_pico) AS BIGINT) // count(*) AS BIGINT) AS mse_pico,
+       |  CAST(CAST(sum(cos_nano) AS BIGINT) // count(*) AS BIGINT)
+       |    AS mean_cos_nano
+       |FROM c GROUP BY 1 ORDER BY label""".stripMargin
+  }
+
   /** weat1: WEAT embedding-bias test — nano cosines, exact integer
     * association sums, md5 sign-flip permutations, add-one p; the
     * effect-size double mirrors the engine's operand order.

@@ -5012,6 +5012,15 @@ object QueriesOps {
         .select(col("v").as("user_id"), col("pr")).orderBy("user_id"),
       Some(PageRankOracle)),
 
+    // NF41: NF4 4-bit nonuniform quantization quality (QLoRA levels) —
+    // per-label reconstruction MSE + cosine retention; the
+    // decide-before-you-ship numbers for a 4-bit store beside vq1's
+    // int8 and cka1's geometry check.
+    "nf41_nf4_report" -> Q(
+      (s, d) => graft.ops.Similarity.nf4QuantReport(embs(s, d))
+        .orderBy("label"),
+      Some(OracleGen.nf41Sql())),
+
     // WEAT1: embedding-association bias test (Caliskan '17) — targets
     // = labels 0/1, attributes = labels 2/3; exact integer association
     // sums, md5 sign-flip permutation p, effect size d. The encoder

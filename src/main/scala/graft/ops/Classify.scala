@@ -301,11 +301,14 @@ object Classify {
     for (_ <- 1 to iters) {
       val bDf = broadcast(spark.createDataFrame(
         b.toSeq.sortBy(_._1)).toDF("i", "bb"))
+      // e persists for the round: the subject update and the item
+      // gradients below would otherwise each replay the cell join
       val e = r.join(th, "u").join(bDf, "i")
         .withColumn("p_micro", floor(lit(1e6) /
           (lit(1.0) + exp(-((col("t") - col("bb")).cast("double") / lit(1e6))))
           + lit(0.5)).cast("long"))
         .withColumn("e", col("k") * lit(1000000L) - col("n") * col("p_micro"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // subject update in-plan: θ += (Σe div Σn) div 2
       val nextTh = e.groupBy("u")
         .agg(sum("e").cast("long").as("se"), sum("n").cast("long").as("sn"),
@@ -322,6 +325,7 @@ object Classify {
       val bRaw = b.map { case (i, bi) => i -> (bi - gi.getOrElse(i, 0L)) }
       val mean = bRaw.values.sum / bRaw.size
       b = bRaw.map { case (i, bi) => i -> (bi - mean) }
+      e.unpersist(false)
       if (prev != null) prev.unpersist()
       prev = thCached
       thCached = nextTh

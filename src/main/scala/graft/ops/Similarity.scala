@@ -1290,6 +1290,80 @@ object Similarity {
       .withColumn("err_ok", col("max_err") <= col("scale") / 253.0)
   }
 
+  /** The 16 NF4 levels (Dettmers et al., NeurIPS'23 "QLoRA" §3 /
+    * bitsandbytes): equal-mass quantiles of N(0, 1) rescaled to
+    * [−1, 1] — the information-theoretically-motivated nonuniform
+    * 4-bit codebook for normally-distributed weights/activations.
+    */
+  val Nf4Levels: Seq[Double] = Seq(
+    -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+    -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+    0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+    0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+    0.7229568362236023, 1.0)
+
+  /** NF4 4-bit quantization QUALITY report: quantize each vector to
+    * the nearest NF4 level at its absmax scale (the QLoRA storage
+    * format, 16× smaller than fp32 beside [[quantizeInt8]]'s 4×),
+    * dequantize, and report per label the exact reconstruction MSE
+    * and mean cosine retention — the decide-before-you-ship numbers
+    * for a 4-bit embedding/weight store. Nonuniform levels beat int4's
+    * uniform grid exactly when values are bell-shaped; this report is
+    * how you verify that on YOUR distribution.
+    *
+    * Determinism: the level argmin is an `array_min` over
+    * (|diff|, idx) structs of plan-time level literals (ties to the
+    * lower code); per-dim squared errors and per-vector cosines are
+    * fixed folds pico/nano-quantized before exact integer means.
+    *
+    * Scale: ONE narrow in-row pass (16-way argmin per dim) + a
+    * labels-bounded rollup. Nothing leaves the row until the final
+    * combinable aggregate.
+    */
+  def nf4QuantReport(vectors: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val xd = transform(col(vecCol), v => v.cast("double"))
+    val levelArr = typedlit(Nf4Levels.toIndexedSeq)
+    val scaled = vectors
+      .withColumn("xd", xd)
+      .withColumn("scale", aggregate(col("xd"), lit(0.0),
+        (a, b) => greatest(a, abs(b))))
+      .withColumn("deq", when(col("scale") === 0.0,
+          transform(col("xd"), _ => lit(0.0)))
+        .otherwise(transform(col("xd"), v => {
+          val structs = transform(sequence(lit(0), lit(Nf4Levels.size - 1)),
+            i => struct(abs(v / col("scale") - element_at(levelArr, i + 1))
+              .as("d"), i.as("i")))
+          element_at(levelArr, array_min(structs).getField("i") + 1) *
+            col("scale")
+        })))
+      .withColumn("se_pico", expr(
+        """aggregate(zip_with(xd, deq, (x, q) -> (x - q) * (x - q)),
+          |  CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)""".stripMargin))
+      .withColumn("se_pico",
+        floor(col("se_pico") * lit(1e12) + lit(0.5)).cast("long"))
+      .withColumn("dot_xq", expr(
+        """aggregate(zip_with(xd, deq, (x, q) -> x * q),
+          |  CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)""".stripMargin))
+      .withColumn("nx", sqrt(expr(
+        """aggregate(zip_with(xd, xd, (x, q) -> x * q),
+          |  CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)""".stripMargin)))
+      .withColumn("nq", sqrt(expr(
+        """aggregate(zip_with(deq, deq, (x, q) -> x * q),
+          |  CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)""".stripMargin)))
+      .withColumn("cos_nano", when(col("nx") * col("nq") === 0.0, lit(0L))
+        .otherwise(floor(col("dot_xq") / (col("nx") * col("nq")) * lit(1e9) +
+          lit(0.5)).cast("long")))
+    scaled.groupBy(col(labelCol).cast("long").as("label"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(dec(col("se_pico"))).as("ssp"),
+        sum(dec(col("cos_nano"))).as("scn"))
+      .select(col("label"), col("n"),
+        expr("CAST(ssp div n AS BIGINT)").as("mse_pico"),
+        expr("CAST(scn div n AS BIGINT)").as("mean_cos_nano"))
+  }
+
   /** Per-dimension standardization (z-scoring) of an embedding column —
     * the feature-scaling pass before distance-based downstream ML
     * (clustering, PQ training, linear probes). Dims with zero variance
