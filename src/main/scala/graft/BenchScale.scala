@@ -140,7 +140,14 @@ object BenchScale {
     // candidates bound the scored pairs — linear in the corpus-side
     // bucket pass) and the IVF append report (two narrow assignment
     // passes + one combinable cell shuffle)
-    "ci2_lsh_maxsim", "ann7_ivf_append")
+    "ci2_lsh_maxsim", "ann7_ivf_append",
+    // round-14 (>1.5 s rule): spectral bipartition is pg1's fixed-
+    // round per-edge profile (disjoint replicas under the id-stride
+    // construction); the Rasch fit's cell table grows with users
+    // (items fixed), rounds fixed; the WordPiece trainer is bpe1's
+    // class — per-round vocabulary aggregations over ~k distinct
+    // tagged words (the zipf-bounded worst case)
+    "spec1_spectral_bipartition", "irt1_rasch_fit", "wp3_wordpiece_merges")
 
   /** Entries whose index width must grow with the corpus (the LSH /
     * IVF contract): each gives (base-leg fn, scaled-leg fn at k×) —
