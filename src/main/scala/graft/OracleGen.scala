@@ -1860,6 +1860,56 @@ object OracleGen {
        |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
+  /** ann8: the recall-vs-nprobe tuning sweep — shared cell/probe CTEs
+    * (ss5's fixed-centroid machinery), one recall row per probed
+    * width against the exact brute-force top-k.
+    */
+  def ann8Sql(k: Int = 5, probes: Seq[Int] = Seq(1, 2, 4, 8),
+              nCentroids: Int = 16, dim: Int = 64): String = {
+    val rows = Similarity.fixedCentroids(nCentroids, dim).map { c =>
+      s"(${c.id}, [${c.vec.mkString(", ")}], ${c.norm})"
+    }.mkString(", ")
+    val centDot = s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+      "i -> cv[CAST(i AS INTEGER)] * v[CAST(i AS INTEGER)])), (acc, x) -> acc + x)"
+    val legs = probes.map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS nprobe,
+         |  CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(count(h.n_id) AS BIGINT) AS n_hits,
+         |  (CAST(count(h.n_id) AS BIGINT) * 1000000)
+         |    // CAST(count(*) AS BIGINT) AS recall_micro
+         |FROM truth t LEFT JOIN (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT s.q_id, s.n_id, row_number() OVER (
+         |      PARTITION BY s.q_id ORDER BY s.sim DESC, s.n_id ASC) AS rk
+         |    FROM sims s JOIN (SELECT DISTINCT p2.q_id AS pq, c.vec_id AS pn
+         |      FROM probe p2 JOIN cell c ON c.cell = p2.cell
+         |      WHERE p2.rn <= $p AND c.vec_id <> p2.q_id) cd
+         |      ON cd.pq = s.q_id AND cd.pn = s.n_id)
+         |  WHERE rk <= $k) h
+         |  ON h.q_id = t.q_id AND h.n_id = t.n_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH cent(cid, cv, cn) AS (VALUES $rows),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |cs AS (SELECT e.vec_id, cent.cid, $centDot / cn AS c_sim FROM e CROSS JOIN cent),
+       |cell AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cid DESC) AS rn FROM cs)
+       |  WHERE rn = 1),
+       |probe AS MATERIALIZED (SELECT vec_id AS q_id, cid AS cell, rn FROM (
+       |    SELECT vec_id, cid, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY c_sim DESC, cid DESC) AS rn
+       |    FROM cs WHERE vec_id < 8)
+       |  WHERE rn <= ${probes.max}),
+       |sims AS MATERIALIZED (SELECT qe.vec_id AS q_id, ne.vec_id AS n_id,
+       |    ${cosSql(dim, "qe", "ne")} AS sim
+       |  FROM e qe CROSS JOIN e ne
+       |  WHERE qe.vec_id < 8 AND ne.vec_id <> qe.vec_id),
+       |truth AS MATERIALIZED (SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk FROM sims)
+       |  WHERE rk <= $k)
+       |SELECT * FROM ($legs) ORDER BY nprobe""".stripMargin
+  }
+
   /** hn1: hard-negative mining for contrastive training — ss5's IVF
     * top-k widened to `k`, then banded to sim ∈ [lo, hi) (similar
     * enough to be informative, far enough to not be a positive) and

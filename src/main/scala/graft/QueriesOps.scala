@@ -5012,6 +5012,73 @@ object QueriesOps {
         .select(col("v").as("user_id"), col("pr")).orderBy("user_id"),
       Some(PageRankOracle)),
 
+    // ANN8: the recall-vs-nprobe tuning sweep — the operating curve an
+    // IVF owner reads to set nprobe (recall@k vs probed cells at the
+    // fixed coarse quantizer), one row per width against exact truth.
+    "ann8_nprobe_sweep" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        val q = e.filter(col("vec_id") < 8)
+        val truth = graft.ops.Similarity.bruteForceTopK(e, q, k = 5)
+          .select(col("q_id"), col("n_id"))
+        Seq(1, 2, 4, 8).map { p =>
+          val approx = graft.ops.Similarity.ivfTopK(e, q, k = 5,
+              centroids = graft.ops.Similarity.fixedCentroids(16, 64),
+              nProbe = p)
+            .select(col("q_id"), col("n_id")).withColumn("__hit", lit(1))
+          truth.join(approx, Seq("q_id", "n_id"), "left")
+            .agg(count(lit(1)).cast("long").as("n_truth"),
+              count(col("__hit")).cast("long").as("n_hits"))
+            .select(lit(p.toLong).as("nprobe"), col("n_truth"), col("n_hits"),
+              expr("(n_hits * 1000000L) div n_truth").as("recall_micro"))
+        }.reduce(_ unionByName _).orderBy("nprobe")
+      },
+      Some(OracleGen.ann8Sql())),
+
+    // CP2: Mondrian (group-conditional) conformal over language slices
+    // — per-group quantile thresholds so the coverage guarantee holds
+    // WITHIN every slice (the fairness-aware refinement of cp1's
+    // marginal gate; a marginal tau can undercover a minority slice).
+    "cp2_mondrian_conformal" -> Q(
+      (s, d) => {
+        val q = Text.withQuality(docs(s, d))
+          .select(col("doc_id"), col("lang"), col("quality_score"))
+        graft.ops.Stats.mondrianConformal(
+            q.filter(col("doc_id") % 2 === 0), q.filter(col("doc_id") % 2 === 1),
+            "lang", "quality_score", "doc_id")
+          .orderBy("grp")
+      },
+      Some("""WITH q AS (SELECT doc_id, lang,
+        |    CAST(floor(least(1.0,
+        |      CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE) * 0.5
+        |      + CAST(len(list_filter(string_split(text, ' '),
+        |          x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
+        |      + least(CAST(list_sum(list_transform(string_split(text, ' '),
+        |          x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+        |          / CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0, 1.0) * 0.2)
+        |      * 1e6 + 0.5) AS BIGINT) AS s
+        |  FROM documents),
+        |c AS (SELECT lang AS g, s, doc_id AS tb FROM q WHERE doc_id % 2 = 0),
+        |ev AS (SELECT lang AS g, s FROM q WHERE doc_id % 2 = 1),
+        |nk AS (SELECT g, CAST(count(*) AS BIGINT) AS n_cal,
+        |    greatest(1, ((count(*) + 1) * 100000) // 1000000) AS k
+        |  FROM c GROUP BY 1),
+        |rk AS (SELECT g, s, CAST(row_number() OVER (
+        |    PARTITION BY g ORDER BY s, tb) AS BIGINT) AS idx FROM c),
+        |tau AS (SELECT rk.g, nk.n_cal, nk.k, rk.s AS tau_micro
+        |  FROM rk JOIN nk ON nk.g = rk.g WHERE rk.idx = nk.k)
+        |SELECT tau.g AS grp, tau.n_cal, CAST(tau.k AS BIGINT) AS k,
+        |  tau.tau_micro,
+        |  CAST(count(*) AS BIGINT) AS n_eval,
+        |  CAST(sum(CASE WHEN ev.s >= tau.tau_micro THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_covered,
+        |  (CAST(sum(CASE WHEN ev.s >= tau.tau_micro THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS coverage_micro
+        |FROM ev JOIN tau ON tau.g = ev.g
+        |GROUP BY 1, 2, 3, 4 ORDER BY grp""".stripMargin)),
+
     // NF41: NF4 4-bit nonuniform quantization quality (QLoRA levels) —
     // per-label reconstruction MSE + cosine retention; the
     // decide-before-you-ship numbers for a 4-bit store beside vq1's

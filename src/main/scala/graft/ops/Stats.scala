@@ -602,6 +602,51 @@ object Stats {
           lit(minCoverage)).as("coverage_ok"))
   }
 
+  /** Mondrian (group-conditional) split conformal (Vovk et al. '05
+    * §4.5; Romano et al. '20 popularized the "conformal with groups"
+    * form): [[conformalGate]] computed PER GROUP — each group g gets
+    * its own quantile threshold `τ_g` = the k_g-th smallest
+    * calibration score with `k_g = max(1, ⌊α(n_g+1)⌋)`, so the
+    * (1−α) coverage guarantee holds WITHIN every group, not just
+    * marginally. The fairness-aware gate: a marginal τ can silently
+    * undercover a minority slice (exactly the failure fair1 audits);
+    * Mondrian buys the per-group guarantee at the price of wider
+    * groups-bounded thresholds.
+    *
+    * Determinism: scores micro-quantize BEFORE ranking (integer total
+    * order with the tie column); k_g, τ_g, and every coverage rate
+    * are exact integer arithmetic.
+    *
+    * Scale: one per-group rank window over the CALIBRATION split
+    * (typically small), one broadcast of the groups-bounded τ table,
+    * one combinable eval rollup.
+    */
+  def mondrianConformal(cal: DataFrame, eval: DataFrame, groupCol: String,
+                        scoreCol: String, tieCol: String,
+                        alphaMicro: Long = 100000L): DataFrame = {
+    require(alphaMicro > 0L && alphaMicro < 1000000L, "alpha in (0, 1)")
+    def prep(df: DataFrame) = df.select(col(groupCol).cast("string").as("g"),
+      floor(col(scoreCol) * lit(1e6) + lit(0.5)).cast("long").as("s"),
+      col(tieCol).cast("long").as("tb"))
+    val c = prep(cal)
+    val withK = c.groupBy("g").agg(count(lit(1)).cast("long").as("n_cal"))
+      .withColumn("k", greatest(lit(1L),
+        expr(s"((n_cal + 1L) * ${alphaMicro}L) div 1000000L")))
+    val ranked = c.withColumn("idx", row_number().over(
+      Window.partitionBy("g").orderBy(col("s").asc, col("tb").asc)).cast("long"))
+    val tau = ranked.join(withK, "g")
+      .filter(col("idx") === col("k"))
+      .select(col("g"), col("n_cal"), col("k"), col("s").as("tau_micro"))
+    prep(eval).join(broadcast(tau), "g")
+      .groupBy("g", "n_cal", "k", "tau_micro")
+      .agg(count(lit(1)).cast("long").as("n_eval"),
+        sum(when(col("s") >= col("tau_micro"), 1L).otherwise(0L))
+          .cast("long").as("n_covered"))
+      .select(col("g").as("grp"), col("n_cal"), col("k"), col("tau_micro"),
+        col("n_eval"), col("n_covered"),
+        expr("(n_covered * 1000000L) div n_eval").as("coverage_micro"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov test (Smirnov 1939) between the
     * rows where `groupCol` = `groupA` and `groupB`: the supremum
     * distance D between the two empirical CDFs of the INTEGER-valued

@@ -943,6 +943,24 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(ind.getAs[Double]("chi2")) < 1e-6)
   }
 
+  test("mondrianConformal: per-group quantile thresholds and exact coverage") {
+    // group A: cal scores 1..9 -> k = max(1, (10*0.1e6) div 1e6) = 1,
+    // tau = smallest = 1e6; eval 5 scores all >= 1 -> coverage 1.
+    // group B: cal scores 10, 20 -> k = 1, tau = 10e6; eval {5, 15} ->
+    // coverage 1/2.
+    val cal = ((1 to 9).map(i => ("A", i.toDouble, i.toLong)) ++
+      Seq(("B", 10.0, 100L), ("B", 20.0, 101L))).toDF("g", "s", "id")
+    val ev = ((11 to 15).map(i => ("A", i.toDouble, i.toLong)) ++
+      Seq(("B", 5.0, 200L), ("B", 15.0, 201L))).toDF("g", "s", "id")
+    val got = Stats.mondrianConformal(cal, ev, "g", "s", "id")
+      .orderBy("grp").collect()
+    assert(got(0).getAs[Long]("k") === 1L)
+    assert(got(0).getAs[Long]("tau_micro") === 1000000L)
+    assert(got(0).getAs[Long]("coverage_micro") === 1000000L)
+    assert(got(1).getAs[Long]("tau_micro") === 10000000L)
+    assert(got(1).getAs[Long]("coverage_micro") === 500000L)
+  }
+
   test("bestOfN: exact order-statistic expectation on a hand case") {
     // one prompt, scores 1, 2, 3: E[max of 1] = 2, E[max of 2] =
     // (0*1 + 1*2 + 2*3)/C(3,2) = 8/3, E[max of 3] = 3
