@@ -2765,6 +2765,50 @@ object OracleGen {
          |  CASE WHEN given != pred THEN 1 ELSE 0 END AS is_issue
          |FROM j GROUP BY 1, 2 ORDER BY given, pred""".stripMargin
 
+  /** ood1: Mahalanobis OOD scores — the gnb1 model CTEs without
+    * prior/log terms, raw-double class argmin (ties lower class),
+    * micro-quantized top-k cut.
+    */
+  def ood1Sql(topK: Int = 20, dim: Int = 64, varFloor: Double = 1e-9): String =
+    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |rng AS (SELECT CAST(unnest(range(1, ${dim + 1})) AS INTEGER) AS i),
+       |x AS (SELECT e.vec_id, e.label, rng.i, e.v[rng.i] AS xv FROM e CROSS JOIN rng),
+       |st AS (SELECT label, i, avg(xv) AS mu,
+       |    greatest(avg(xv * xv) - avg(xv) * avg(xv), $varFloor) AS vr
+       |  FROM x GROUP BY 1, 2),
+       |sl AS (SELECT label AS cls, list(mu ORDER BY i) AS mus,
+       |    list(vr ORDER BY i) AS vrs FROM st GROUP BY 1),
+       |sc AS (SELECT e.vec_id AS id, e.label, sl.cls,
+       |    list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, ${dim + 1}), i ->
+       |        (v[CAST(i AS INTEGER)] - mus[CAST(i AS INTEGER)]) *
+       |        (v[CAST(i AS INTEGER)] - mus[CAST(i AS INTEGER)]) /
+       |        vrs[CAST(i AS INTEGER)])),
+       |      (acc, t) -> acc + t) AS m2
+       |  FROM e CROSS JOIN sl),
+       |best AS (SELECT id, label, cls AS nearest_class, m2,
+       |    row_number() OVER (PARTITION BY id ORDER BY m2 ASC, cls ASC) AS rn
+       |  FROM sc)
+       |SELECT id, label, nearest_class,
+       |  CAST(floor(m2 * 1e6 + 0.5) AS BIGINT) AS m2_micro
+       |FROM best WHERE rn = 1
+       |ORDER BY m2_micro DESC, id LIMIT $topK""".stripMargin
+
+  /** cons1: near-dup label consistency — the dd3p portable pair chain
+    * joined to both sides' labels; unordered language-pair counts.
+    */
+  def cons1Sql(threshold: Double): String =
+    s"""SELECT least(a.lang, b.lang) AS lang_a,
+       |  greatest(a.lang, b.lang) AS lang_b,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CASE WHEN least(a.lang, b.lang) != greatest(a.lang, b.lang)
+       |    THEN 1 ELSE 0 END AS is_conflict
+       |FROM (${dd3pSql(threshold)}) p
+       |JOIN documents a ON a.doc_id = p.d1
+       |JOIN documents b ON b.doc_id = p.d2
+       |GROUP BY 1, 2 ORDER BY lang_a, lang_b""".stripMargin
+
   /** al1: margin/entropy uncertainty sampling over the same posterior
     * table — smallest top-two margin first (the acquisition rule),
     * exact integer margins, pico entropy terms, total-order cut.

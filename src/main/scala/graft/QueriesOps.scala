@@ -5012,6 +5012,39 @@ object QueriesOps {
         .select(col("v").as("user_id"), col("pr")).orderBy("user_id"),
       Some(PageRankOracle)),
 
+    // OOD1: Mahalanobis out-of-distribution queue (Lee et al. '18,
+    // diagonal form) — min class-conditional Mahalanobis distance
+    // under the gnb1 Gaussians; the variance-aware quarantine list
+    // beside eo1's centroid-cosine outliers.
+    "ood1_mahalanobis" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        Classify.mahalanobisOod(e, Classify.gaussianNbTrain(e))
+      },
+      Some(OracleGen.ood1Sql())),
+
+    // CONS1: near-dup label consistency — dd3p's portable MinHash
+    // pairs joined to both sides' language labels; conflicting-label
+    // near-dups are langID errors, translations, or annotation noise
+    // (the dedup x labeling QA cross-check).
+    "cons1_neardup_label_consistency" -> Q(
+      (s, d) => {
+        val dd0 = docs(s, d)
+        val pairs = Dedup.minhashLshPairsPortable(par(dd0), threshold = 0.5)
+          .select("d1", "d2")
+        pairs
+          .join(dd0.select(col("doc_id").as("d1"), col("lang").as("la")), "d1")
+          .join(dd0.select(col("doc_id").as("d2"), col("lang").as("lb")), "d2")
+          .select(least(col("la"), col("lb")).as("lang_a"),
+            greatest(col("la"), col("lb")).as("lang_b"))
+          .groupBy("lang_a", "lang_b")
+          .agg(count(lit(1)).cast("long").as("n_pairs"))
+          .withColumn("is_conflict",
+            (col("lang_a") =!= col("lang_b")).cast("int"))
+          .orderBy("lang_a", "lang_b")
+      },
+      Some(OracleGen.cons1Sql(0.5))),
+
     // ANN8: the recall-vs-nprobe tuning sweep — the operating curve an
     // IVF owner reads to set nprobe (recall@k vs probed cells at the
     // fixed coarse quantizer), one row per width against exact truth.

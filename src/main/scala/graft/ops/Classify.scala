@@ -381,6 +381,51 @@ object Classify {
         floor(col("p") * lit(1e6) + lit(0.5)).cast("long").as("p_micro"))
   }
 
+  /** Mahalanobis out-of-distribution scoring (Lee et al., NeurIPS'18
+    * "A Simple Unified Framework for Detecting Out-of-Distribution
+    * Samples" — diagonal per-class form): score every vector by its
+    * minimum class-conditional Mahalanobis distance
+    * `min_c Σ_d (x_d − μ_cd)²/σ²_cd` under the SAME per-class
+    * diagonal Gaussians [[gaussianNbTrain]] fits; the top-scoring
+    * rows are the OOD queue (mislabeled imports, corrupted rows,
+    * genuinely novel domains) a pipeline quarantines before training.
+    * The density-principled refinement of the centroid-cosine outlier
+    * listing (eo1): variance-aware, so a wide class doesn't flag its
+    * own tail.
+    *
+    * Determinism: per-class distances are the gnb1 in-order per-dim
+    * folds over plan-time literals (no prior, no log terms); the
+    * class argmin takes the raw-double min (identical folds both
+    * engines, the gnb1 precedent) with ties to the LOWER class id;
+    * the OOD cut ranks on the micro-QUANTIZED score with an id
+    * tiebreak.
+    *
+    * Scale: one narrow codegen pass (classes × dims folds per row) +
+    * a TakeOrdered — corpus-linear, nothing shuffles but the top-k.
+    */
+  def mahalanobisOod(vecs: DataFrame, model: Seq[GaussianNbModel],
+                     topK: Int = 20, labelCol: String = "label",
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(model.nonEmpty, "mahalanobisOod: empty model")
+    val v = col(vecCol).cast("array<double>")
+    val scoreStructs: Column = array(model.sortBy(_.cls).map { m =>
+      val msLit = typedlit(m.mu.zip(m.vr).toIndexedSeq)
+      val terms = zip_with(v, msLit,
+        (x, ms) => (x - ms.getField("_1")) * (x - ms.getField("_1")) /
+          ms.getField("_2"))
+      struct(aggregate(terms, lit(0.0), (acc, t) => acc + t).as("m2"),
+        lit(m.cls).as("cls"))
+    }: _*)
+    val best = array_min(scoreStructs)
+    vecs.select(col(idCol).as("id"), col(labelCol).cast("long").as("label"),
+        best.getField("cls").as("nearest_class"),
+        floor(best.getField("m2") * lit(1e6) + lit(0.5)).cast("long")
+          .as("m2_micro"))
+      .orderBy(col("m2_micro").desc, col("id").asc)
+      .limit(topK)
+  }
+
   /** Margin/entropy uncertainty sampling (Lewis & Gale, SIGIR'94;
     * Settles '09 §3.1 — the standard active-learning acquisition
     * rules): rank unlabeled examples by the TOP-TWO POSTERIOR MARGIN
