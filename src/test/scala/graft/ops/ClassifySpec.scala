@@ -342,6 +342,22 @@ class ClassifySpec extends AnyFunSuite {
       s2.getAs[Long]("uncertainty_nano")) < 1000L)
   }
 
+  test("mahalanobisOod: a planted far-off vector tops the queue") {
+    import spark.implicits._
+    val inliers = (0L until 20L).map { i =>
+      val c = (i % 2).toInt
+      (i, Seq.tabulate(4)(d => (if (d == c) 3.0f else 0.0f) +
+        (i % 5).toFloat * 0.01f), c)
+    }
+    val ood = Seq((99L, Seq(-9f, 9f, -9f, 9f), 0))
+    val vecs = (inliers ++ ood).toDF("vec_id", "embedding", "label")
+    val got = Classify.mahalanobisOod(vecs, Classify.gaussianNbTrain(vecs),
+      topK = 3).collect()
+    assert(got.head.getAs[Long]("id") === 99L)
+    // scores rank descending and the planted point dominates
+    assert(got.head.getAs[Long]("m2_micro") > 10L * got(1).getAs[Long]("m2_micro"))
+  }
+
   test("uncertaintySample: smallest margin first, entropy orders with flatness") {
     import spark.implicits._
     val post = Seq(
