@@ -2765,6 +2765,72 @@ object OracleGen {
          |  CASE WHEN given != pred THEN 1 ELSE 0 END AS is_issue
          |FROM j GROUP BY 1, 2 ORDER BY given, pred""".stripMargin
 
+  /** mmd1: kernel two-sample MMD²_u — md5-ordered bounded samples,
+    * nano pair distances, exact median-rank σ², pico RBF terms, exact
+    * class means, md5 reassignment permutations with per-rep
+    * renormalization; mirrors [[graft.ops.Pca.mmdTest]] step for step.
+    */
+  def mmd1Sql(m: Int = 128, reps: Int = 32, dim: Int = 64): String = {
+    val d2 = s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+      "i -> (a.v[CAST(i AS INTEGER)] - b.v[CAST(i AS INTEGER)]) * " +
+      "(a.v[CAST(i AS INTEGER)] - b.v[CAST(i AS INTEGER)]))), (acc, x) -> acc + x)"
+    s"""WITH e AS (SELECT vec_id AS id,
+       |    CASE WHEN label % 2 = 0 THEN true ELSE false END AS is_p,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |base AS MATERIALIZED (SELECT id, is_p, v FROM (
+       |    SELECT id, is_p, v, row_number() OVER (PARTITION BY is_p
+       |      ORDER BY ${hex60("md5(CAST(id AS VARCHAR))")}, id) AS rk FROM e)
+       |  WHERE rk <= $m),
+       |pairs AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib,
+       |    a.is_p AS pa, b.is_p AS pb,
+       |    CAST(floor($d2 * 1e9 + 0.5) AS BIGINT) AS d2_nano
+       |  FROM base a JOIN base b ON a.id < b.id),
+       |np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pairs),
+       |sigma AS (SELECT greatest(d2_nano, 1) AS sigma2_nano FROM (
+       |    SELECT d2_nano, row_number() OVER (
+       |      ORDER BY d2_nano, ia, ib) AS r FROM pairs), np
+       |  WHERE r = (np.n + 1) // 2),
+       |k AS MATERIALIZED (SELECT ia, ib, pa, pb,
+       |    CAST(floor(exp(-(CAST(d2_nano AS DOUBLE)
+       |      / CAST(sigma2_nano AS DOUBLE))) * 1e12 + 0.5) AS BIGINT) AS k_pico
+       |  FROM pairs, sigma),
+       |obs AS (SELECT
+       |    CAST(CAST(sum(CASE WHEN pa AND pb THEN k_pico ELSE 0 END) AS BIGINT)
+       |      // sum(CASE WHEN pa AND pb THEN 1 ELSE 0 END) AS BIGINT)
+       |    + CAST(CAST(sum(CASE WHEN NOT pa AND NOT pb THEN k_pico ELSE 0 END) AS BIGINT)
+       |      // sum(CASE WHEN NOT pa AND NOT pb THEN 1 ELSE 0 END) AS BIGINT)
+       |    - 2 * CAST(CAST(sum(CASE WHEN pa != pb THEN k_pico ELSE 0 END) AS BIGINT)
+       |      // sum(CASE WHEN pa != pb THEN 1 ELSE 0 END) AS BIGINT) AS mmd2_pico
+       |  FROM k),
+       |flips AS MATERIALIZED (SELECT base.id, r.r,
+       |    ${hex60("md5(CAST(base.id AS VARCHAR) || ':' || CAST(r.r AS VARCHAR))")}
+       |      % 2 = 0 AS f
+       |  FROM base, (SELECT unnest(generate_series(1, $reps)) AS r) r),
+       |wf AS (SELECT fa.r, fa.f AS fa, fb.f AS fb, k.k_pico
+       |  FROM k JOIN flips fa ON fa.id = k.ia
+       |  JOIN flips fb ON fb.id = k.ib AND fb.r = fa.r),
+       |pr AS (SELECT r,
+       |    CAST(sum(CASE WHEN fa AND fb THEN k_pico ELSE 0 END) AS BIGINT) AS sxx,
+       |    CAST(sum(CASE WHEN fa AND fb THEN 1 ELSE 0 END) AS BIGINT) AS nxx,
+       |    CAST(sum(CASE WHEN NOT fa AND NOT fb THEN k_pico ELSE 0 END) AS BIGINT) AS syy,
+       |    CAST(sum(CASE WHEN NOT fa AND NOT fb THEN 1 ELSE 0 END) AS BIGINT) AS nyy,
+       |    CAST(sum(CASE WHEN fa != fb THEN k_pico ELSE 0 END) AS BIGINT) AS sxy,
+       |    CAST(sum(CASE WHEN fa != fb THEN 1 ELSE 0 END) AS BIGINT) AS nxy
+       |  FROM wf GROUP BY 1),
+       |pv AS (SELECT (sxx // nxx) + (syy // nyy) - 2 * (sxy // nxy) AS mmd_r
+       |  FROM pr WHERE nxx > 0 AND nyy > 0 AND nxy > 0),
+       |cnt AS (SELECT
+       |    CAST(sum(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS m_x,
+       |    CAST(sum(CASE WHEN is_p THEN 0 ELSE 1 END) AS BIGINT) AS m_y
+       |  FROM base)
+       |SELECT cnt.m_x, cnt.m_y, sigma.sigma2_nano, obs.mmd2_pico,
+       |  ((CAST(sum(CASE WHEN pv.mmd_r >= obs.mmd2_pico THEN 1 ELSE 0 END)
+       |    AS BIGINT) + 1) * 1000000)
+       |    // (CAST(count(*) AS BIGINT) + 1) AS p_micro
+       |FROM pv, obs, cnt, sigma
+       |GROUP BY 1, 2, 3, 4""".stripMargin
+  }
+
   /** ood1: Mahalanobis OOD scores — the gnb1 model CTEs without
     * prior/log terms, raw-double class argmin (ties lower class),
     * micro-quantized top-k cut.

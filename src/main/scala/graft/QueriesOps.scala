@@ -373,8 +373,10 @@ object QueriesOps {
       |    sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy
       |  FROM bo)
       |SELECT nn.n_nodes, m // 2 AS n_edges,
-      |  round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |    / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS assortativity
+      |  CASE WHEN CAST(m AS DECIMAL(38,0)) * sxx - sx * sx = 0 THEN 0.0
+      |  ELSE round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
+      |  END AS assortativity
       |FROM m, nn""".stripMargin
 
   /** DuckDB oracle for bpe1/bpe2: the BPE merge loop UNROLLED as
@@ -5011,6 +5013,15 @@ object QueriesOps {
           iterations = PageRankIters)
         .select(col("v").as("user_id"), col("pr")).orderBy("user_id"),
       Some(PageRankOracle)),
+
+    // MMD1: kernel two-sample test (Gretton '12 MMD^2_u, RBF + median
+    // heuristic) between the even/odd-label embedding halves — the
+    // multivariate distribution-equality test ks1/emd1 can't express;
+    // md5 reassignment permutations for the p-value.
+    "mmd1_kernel_two_sample" -> Q(
+      (s, d) => graft.ops.Pca.mmdTest(embs(s, d),
+        pmod(col("label"), lit(2)) === 0),
+      Some(OracleGen.mmd1Sql())),
 
     // OOD1: Mahalanobis out-of-distribution queue (Lee et al. '18,
     // diagonal form) — min class-conditional Mahalanobis distance

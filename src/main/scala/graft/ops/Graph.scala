@@ -762,12 +762,20 @@ object Graph {
       sum(dec(col("dx"))).as("sx"),
       sum(dec(col("dx")) * dec(col("dx"))).as("sxx"),
       sum(dec(col("dx")) * dec(col("dy"))).as("sxy"))
+    // degree-REGULAR graphs (every endpoint degree equal — e.g. a
+    // complete graph) have zero degree variance: assortativity is
+    // undefined and reported as 0.0 (the spearmanRho zero-variance
+    // convention). Without the guard, ANSI Spark throws DIVIDE_BY_ZERO
+    // on the 0/0 — a latent edge the sf0.01 gate never hits but the
+    // sf0.001 handoff graph (complete K15) does.
     val out = m.select(
       lit(nNodes).as("n_nodes"), (col("m") / 2).cast("long").as("n_edges"),
-      round((col("m").cast("double") * col("sxy").cast("double") -
-          col("sx").cast("double") * col("sx").cast("double")) /
-        (col("m").cast("double") * col("sxx").cast("double") -
-          col("sx").cast("double") * col("sx").cast("double")), 9)
+      when(dec(col("m")) * col("sxx") - col("sx") * col("sx") ===
+          dec(lit(0L)), lit(0.0))
+        .otherwise(round((col("m").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) /
+          (col("m").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 9))
         .as("assortativity"))
     val r = out.localCheckpoint() // 1 row; lets both caches drop
     und.unpersist(false); deg.unpersist(false)

@@ -312,6 +312,120 @@ object Pca {
     out
   }
 
+  /** Kernel two-sample test by MMD²_u (Gretton et al., JMLR'12 "A
+    * Kernel Two-Sample Test"): the MULTIVARIATE distribution-equality
+    * test the 1-D machinery (ks1 on values, emd1 on histograms)
+    * cannot express — are two embedding corpora drawn from the same
+    * distribution?  RBF kernel with the paper's median heuristic
+    * (σ² = median pairwise squared distance over the pooled sample),
+    * unbiased estimator `mean k(x,x') + mean k(y,y') − 2·mean k(x,y)`,
+    * significance by md5-deterministic label-REASSIGNMENT permutations
+    * (coin-flip approximation of the permutation null, per-rep group
+    * sizes renormalized exactly; add-one p — the weat1 discipline).
+    *
+    * Determinism: both sides are md5-ordered samples of `m` (the
+    * pqCodebooks bounded-sample discipline — the kernel matrix is the
+    * one quadratic object, so it is BOUNDED by design); pair distances
+    * nano-quantize one fixed fold each; the median is an exact rank
+    * on quantized integers; kernel terms pico-quantize one fixed
+    * double exp each; every mean and permuted statistic is exact
+    * integer arithmetic.
+    *
+    * Scale: the corpus-side cost is the two sample ranks (md5 sort);
+    * the (2m)² kernel matrix and the reps × pairs permutation table
+    * are sample-bounded, never corpus-bounded.
+    */
+  def mmdTest(vecs: DataFrame, isP: Column, m: Int = 128, reps: Int = 32,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 2 && reps >= 1, "need m >= 2 and reps >= 1")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val v = col(vecCol).cast("array<double>")
+    val base = vecs.select(col(idCol).cast("long").as("id"),
+        isP.cast("boolean").as("is_p"), v.as("vv"))
+      .withColumn("h", conv(substring(md5(col("id").cast("string")), 1, 15),
+        16, 10).cast("long"))
+      .withColumn("rk", row_number().over(Window.partitionBy("is_p")
+        .orderBy(col("h").asc, col("id").asc)))
+      .filter(col("rk") <= m)
+      .select(col("id"), col("is_p"), col("vv"))
+      .persist()
+    val pairs = base.select(col("id").as("ia"), col("is_p").as("pa"),
+        col("vv").as("va"))
+      .join(base.select(col("id").as("ib"), col("is_p").as("pb"),
+        col("vv").as("vb")), col("ia") < col("ib"))
+      .withColumn("d2_nano", floor(aggregate(
+          zip_with(col("va"), col("vb"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x) * lit(1e9) + lit(0.5)).cast("long"))
+      .select("ia", "ib", "pa", "pb", "d2_nano")
+      .persist()
+    val np = pairs.count()
+    val sigma = pairs
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("d2_nano").asc, col("ia").asc, col("ib").asc)))
+      .filter(col("r") === (np + 1) / 2)
+      .select(greatest(col("d2_nano"), lit(1L)).as("sigma2_nano"))
+    val k = pairs.crossJoin(broadcast(sigma))
+      .withColumn("k_pico", floor(exp(-(col("d2_nano").cast("double") /
+        col("sigma2_nano").cast("double"))) * lit(1e12) + lit(0.5))
+        .cast("long"))
+      .persist()
+    def mmdOf(df: DataFrame, fa: Column, fb: Column) = {
+      // exact integer means per pair class under endpoint flags fa/fb
+      df.agg(
+        sum(when(fa && fb, dec(col("k_pico"))).otherwise(dec(lit(0L)))).as("sxx"),
+        sum(when(fa && fb, 1L).otherwise(0L)).cast("long").as("nxx"),
+        sum(when(!fa && !fb, dec(col("k_pico"))).otherwise(dec(lit(0L)))).as("syy"),
+        sum(when(!fa && !fb, 1L).otherwise(0L)).cast("long").as("nyy"),
+        sum(when(fa =!= fb, dec(col("k_pico"))).otherwise(dec(lit(0L)))).as("sxy"),
+        sum(when(fa =!= fb, 1L).otherwise(0L)).cast("long").as("nxy"))
+    }
+    val obs = mmdOf(k, col("pa"), col("pb"))
+      .select((expr("CAST(sxx div nxx AS BIGINT)") +
+        expr("CAST(syy div nyy AS BIGINT)") -
+        lit(2L) * expr("CAST(sxy div nxy AS BIGINT)")).as("mmd2_pico"))
+    // permutations: md5 coin per (endpoint id, rep) reassigns sides
+    val flips = base.select(col("id"))
+      .withColumn("r", explode(expr(s"sequence(1, $reps)")))
+      .withColumn("f", pmod(conv(substring(md5(concat_ws(":", col("id"),
+        col("r").cast("string"))), 1, 15), 16, 10).cast("long"),
+        lit(2L)) === 0L)
+    val withFlags = k
+      .join(flips.select(col("id").as("ia"), col("r"), col("f").as("fa")),
+        Seq("ia"))
+      .join(flips.select(col("id").as("ib2"), col("r").as("rb"),
+        col("f").as("fb")),
+        col("ib") === col("ib2") && col("r") === col("rb"))
+      .select(col("r"), col("fa"), col("fb"), col("k_pico"))
+    val perRep = withFlags.groupBy("r")
+      .agg(sum(when(col("fa") && col("fb"), dec(col("k_pico")))
+          .otherwise(dec(lit(0L)))).as("sxx"),
+        sum(when(col("fa") && col("fb"), 1L).otherwise(0L)).cast("long").as("nxx"),
+        sum(when(!col("fa") && !col("fb"), dec(col("k_pico")))
+          .otherwise(dec(lit(0L)))).as("syy"),
+        sum(when(!col("fa") && !col("fb"), 1L).otherwise(0L)).cast("long").as("nyy"),
+        sum(when(col("fa") =!= col("fb"), dec(col("k_pico")))
+          .otherwise(dec(lit(0L)))).as("sxy"),
+        sum(when(col("fa") =!= col("fb"), 1L).otherwise(0L)).cast("long").as("nxy"))
+      .filter(col("nxx") > 0L && col("nyy") > 0L && col("nxy") > 0L)
+      .select((expr("CAST(sxx div nxx AS BIGINT)") +
+        expr("CAST(syy div nyy AS BIGINT)") -
+        lit(2L) * expr("CAST(sxy div nxy AS BIGINT)")).as("mmd_r"))
+    val counts = base.agg(
+      sum(when(col("is_p"), 1L).otherwise(0L)).cast("long").as("m_x"),
+      sum(when(!col("is_p"), 1L).otherwise(0L)).cast("long").as("m_y"))
+    val out = perRep.crossJoin(broadcast(obs))
+      .agg(count(lit(1)).cast("long").as("n_reps_valid"),
+        sum(when(col("mmd_r") >= col("mmd2_pico"), 1L).otherwise(0L))
+          .cast("long").as("n_ge"),
+        first("mmd2_pico").as("mmd2_pico"))
+      .crossJoin(broadcast(counts)).crossJoin(broadcast(sigma))
+      .select(col("m_x"), col("m_y"), col("sigma2_nano"), col("mmd2_pico"),
+        expr("((n_ge + 1L) * 1000000L) div (n_reps_valid + 1L)").as("p_micro"))
+      .localCheckpoint()
+    base.unpersist(false); pairs.unpersist(false); k.unpersist(false)
+    out
+  }
+
   /** Alignment & uniformity of an embedding space (Wang & Isola,
     * ICML'20 — the two-number contrastive-quality decomposition):
     * ALIGNMENT = mean squared distance between normalized POSITIVE

@@ -51,6 +51,15 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
+    # a registered oracle whose result dir is MISSING means the Spark
+    # side FAILED to write it (graft.Verify logs the exception) — r14
+    # lesson: as1 threw at sf0.001 for two runs while this loop,
+    # iterating only over existing dirs, kept reporting all-green
+    for name in sorted(oracle):
+        if not os.path.isdir(os.path.join(out_dir, name)):
+            results[name] = {"status": "MISSING_OUTPUT",
+                             "err": "query registered but no result dir "
+                                    "(Spark-side failure; see verify log)"}
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
