@@ -106,6 +106,23 @@ class PcaSpec extends AnyFunSuite {
     assert(sw.getAs[Long]("s_stat_nano") === -8000000000L)
   }
 
+  test("mmdTest: separated clusters give a large MMD with the minimal p") {
+    import spark.implicits._
+    // P tight around e1, Q tight around e2: every cross-pair is far,
+    // every within-pair near -> MMD^2 near its 1e12-pico maximum and
+    // no permutation can reach it
+    val vecs = (0L until 40L).map { i =>
+      val p = i < 20L
+      (i, Seq.tabulate(4)(d =>
+        (if (p == (d == 0)) 5.0f else 0.0f) + (i % 3).toFloat * 0.05f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val r = Pca.mmdTest(vecs,
+      org.apache.spark.sql.functions.col("vec_id") < 20, m = 20).head()
+    assert(r.getAs[Long]("m_x") === 20L && r.getAs[Long]("m_y") === 20L)
+    assert(r.getAs[Long]("mmd2_pico") > 500000000000L) // > 0.5 of the max 1.0
+    assert(r.getAs[Long]("p_micro") === 1000000L / 33L) // (0+1)/(32+1), add-one
+  }
+
   test("alignmentUniformity: identical-within-label clusters align at 0") {
     val vecs = (0 until 8).map { i =>
       (i.toLong, if (i % 2 == 0) Seq(1f, 0f) else Seq(0f, 1f), i % 2)
