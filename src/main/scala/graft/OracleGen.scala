@@ -2765,6 +2765,40 @@ object OracleGen {
          |  CASE WHEN given != pred THEN 1 ELSE 0 END AS is_issue
          |FROM j GROUP BY 1, 2 ORDER BY given, pred""".stripMargin
 
+  /** au6: spectral power — the au1 sample reconstruction plus per-bin
+    * in-order coefficient folds over the SAME 16 JVM-computed table
+    * literals the engine uses (libm never consulted on either side).
+    */
+  def au6Sql(bins: Seq[Int] = graft.ops.Multimodal.SpectralBins): String = {
+    val legs = bins.map { f =>
+      val ct = graft.ops.Multimodal.spectralCosTable(f).mkString("[", ", ", "]")
+      val st = graft.ops.Multimodal.spectralSinTable(f).mkString("[", ", ", "]")
+      s"""SELECT doc_id, $f AS bin_hz, n AS n_samples,
+         |  CAST(floor(log10(sc * sc + ss * ss + 1.0) * 1e9 + 0.5) AS BIGINT)
+         |    AS log_power_nano
+         |FROM (SELECT doc_id, n,
+         |    list_reduce(list_prepend(0.0, list_transform(range(0, n), i ->
+         |      smp[CAST(i AS INTEGER) + 1] * ($ct)[CAST(i % 16 AS INTEGER) + 1])),
+         |      (acc, x) -> acc + x) AS sc,
+         |    list_reduce(list_prepend(0.0, list_transform(range(0, n), i ->
+         |      smp[CAST(i AS INTEGER) + 1] * ($st)[CAST(i % 16 AS INTEGER) + 1])),
+         |      (acc, x) -> acc + x) AS ss
+         |  FROM s)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+       |d AS (SELECT doc_id,
+       |    CAST(256 + doc_id % 512 AS INTEGER) AS n,
+       |    list_transform(range(1, length(hx)//2 + 1),
+       |      i -> strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) * 16
+       |         + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 17) AS bytes
+       |  FROM b),
+       |s AS MATERIALIZED (SELECT doc_id, n,
+       |    list_transform(range(0, n),
+       |      i -> CAST((bytes[(i % len(bytes)) + 1] - 128) * 256 AS DOUBLE)) AS smp
+       |  FROM d)
+       |SELECT * FROM ($legs) ORDER BY doc_id, bin_hz""".stripMargin
+  }
+
   /** mmd1: kernel two-sample MMD²_u — md5-ordered bounded samples,
     * nano pair distances, exact median-rank σ², pico RBF terms, exact
     * class means, md5 reassignment permutations with per-rep

@@ -2647,6 +2647,15 @@ object QueriesOps {
         |  n_frames, tot // ns AS mean_abs
         |FROM sg ORDER BY doc_id, seg""".stripMargin)),
 
+    // AU6: spectral power at fixed 500 Hz-multiple analysis bins over
+    // the REAL WAV decode — exact 16-periodic DFT coefficient tables
+    // shared as literals by both engines (libm-free determinism); the
+    // band-energy gate of speech curation (tone/noise clip detection).
+    "au6_spectral_power" -> Q(
+      (s, d) => Multimodal.spectralFeatures(Multimodal.wavFromDocuments(docs(s, d)))
+        .toDF().orderBy("doc_id", "bin_hz"),
+      Some(OracleGen.au6Sql())),
+
     // Decimation resample (8 kHz -> 4 kHz) over the REAL WAV decode:
     // clipped integer boxcar sums — no division, no rounding mode to
     // reconcile; the oracle rebuilds every output sample from the

@@ -702,6 +702,61 @@ object Multimodal {
         expr("tot div ns").as("mean_abs"))
   }
 
+  /** Per-clip spectral power at fixed analysis frequencies — the DFT
+    * features (spectral energy bands) speech-curation pipelines gate
+    * on (voice sits 300–3400 Hz; a clip whose energy is all in one
+    * band is a tone/artifact, all-band flat is noise). Goertzel-class
+    * single-bin analysis, computed as two in-order coefficient folds
+    * per bin: `P(f) = (Σ x_n·cos(ω n))² + (Σ x_n·sin(ω n))²`.
+    *
+    * Determinism across engines without trusting libm: the analysis
+    * frequencies are multiples of 500 Hz at the 8 kHz rate, so the
+    * coefficient sequences are EXACTLY 16-PERIODIC — both engines use
+    * the SAME 16 JVM-computed table literals (serialized into the
+    * oracle SQL), and the folds are plain in-order multiply-adds.
+    * Power quantizes once through `log10(P + 1)` to nano.
+    *
+    * Scale: the wavStats shape — one embarrassingly-parallel decode
+    * map emitting bins-bounded rows per clip; no shuffle.
+    */
+  final case class SpectralPower(doc_id: Long, bin_hz: Int, n_samples: Int,
+                                 log_power_nano: Long)
+
+  val SpectralBins: Seq[Int] = Seq(500, 1000, 2000, 3500)
+
+  def spectralCosTable(f: Int): Array[Double] =
+    Array.tabulate(16)(n => math.cos(2.0 * math.Pi * f * n / 8000.0))
+  def spectralSinTable(f: Int): Array[Double] =
+    Array.tabulate(16)(n => math.sin(2.0 * math.Pi * f * n / 8000.0))
+
+  def spectralFeatures(media: Dataset[MediaRow],
+                       bins: Seq[Int] = SpectralBins): Dataset[SpectralPower] = {
+    require(bins.forall(f => (f * 16) % 8000 == 0),
+      "bins must be multiples of 500 Hz (16-periodic at 8 kHz)")
+    implicit val enc = Encoders.product[SpectralPower]
+    val tabs = bins.map(f => (f, spectralCosTable(f), spectralSinTable(f)))
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        parseWav(r.payload).toSeq.flatMap { w =>
+          tabs.map { case (f, ct, st) =>
+            var sc = 0.0
+            var ss = 0.0
+            var i = 0
+            while (i < w.nSamples) {
+              val x = readU16le(r.payload, w.dataOffset + i * 2).toShort.toDouble
+              sc += x * ct(i & 15)
+              ss += x * st(i & 15)
+              i += 1
+            }
+            val p = sc * sc + ss * ss
+            SpectralPower(r.doc_id, f, w.nSamples,
+              math.floor(math.log10(p + 1.0) * 1e9 + 0.5).toLong)
+          }
+        }
+      }
+    }
+  }
+
   /** Integer decimation resample of decoded PCM: each output sample is
     * the CLIPPED SUM of `factor` consecutive inputs (a boxcar
     * anti-alias accumulator held in pure integer arithmetic — no

@@ -135,6 +135,22 @@ class WavSpec extends AnyFunSuite {
       "the unrelated clip must not pair")
   }
 
+  test("spectralFeatures: a pure 16-periodic tone concentrates in its own bin") {
+    import spark.implicits._
+    // synthesize a 500 Hz square-ish wave: bytes alternate every 8
+    // samples (period 16 @ 8 kHz = 500 Hz) -> bin 500 dominates
+    val bytes = Array.tabulate(256)(i =>
+      (if ((i / 8) % 2 == 0) 0 else 0xff).toByte)
+    val media = Seq(Multimodal.MediaRow(1L, "audio",
+      Multimodal.makeWav(0L, bytes))).toDS()
+    val got = Multimodal.spectralFeatures(media).collect()
+      .map(r => r.bin_hz -> r.log_power_nano).toMap
+    assert(got.size === 4)
+    assert(got(500) > got(1000) + 1000000000L) // >=10x the power (1 decade)
+    assert(got(500) > got(2000) + 1000000000L)
+    assert(got(500) > got(3500) + 1000000000L)
+  }
+
   test("vadSegments: loud clip = one full-span segment, quiet clip = none") {
     import spark.implicits._
     // ' ' -> |(32-128)*256| = 24576 >= 8000: active everywhere;
