@@ -9214,6 +9214,119 @@ object QueriesOps {
     // shipment) with ADMINISTRATIVE right-censoring at study end =
     // max order date — items not yet shipped by then leave the risk
     // set without a death; integer fold keeps both engines bit-equal.
+    // SUR2: Nelson-Aalen cumulative hazard — the additive companion of
+    // sur1's product-limit curve over the same ship-latency lifetimes;
+    // exact pico term divisions, integer cumulative window.
+    "sur2_nelson_aalen" -> Q(
+      (s, d) => {
+        val ords = s.read.parquet(s"$d/orders.parquet")
+        val se = ords.agg(max("o_orderdate").as("se"))
+        val j = li(s, d)
+          .join(ords.select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .crossJoin(broadcast(se))
+        val lab = j.select(
+          when(col("l_shipdate") <= col("se"),
+              greatest(lit(0L), datediff(col("l_shipdate"), col("o_orderdate")).cast("long")))
+            .otherwise(greatest(lit(0L), datediff(col("se"), col("o_orderdate")).cast("long")))
+            .as("t_raw"),
+          (col("l_shipdate") > col("se")).as("cens"))
+          .select(expr("t_raw div 7").as("t"), col("cens"))
+        graft.ops.Stats.nelsonAalen(lab).orderBy("t_day")
+      },
+      Some("""WITH se AS (SELECT max(o_orderdate) AS se FROM orders),
+        |j AS (SELECT l.l_shipdate, o.o_orderdate, s.se FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey CROSS JOIN se s),
+        |lab AS (SELECT (CASE WHEN l_shipdate <= se
+        |      THEN greatest(0, date_diff('day', o_orderdate, l_shipdate))
+        |      ELSE greatest(0, date_diff('day', o_orderdate, se)) END) // 7 AS t,
+        |    l_shipdate > se AS cens FROM j),
+        |per AS (SELECT t,
+        |    CAST(sum(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM lab GROUP BY 1),
+        |tt AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_total FROM per),
+        |wn AS (SELECT t, d, c, CAST(n_total - coalesce(sum(d + c)
+        |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS n_at
+        |  FROM per CROSS JOIN tt),
+        |ev AS (SELECT t, d, c, n_at,
+        |    (d * 1000000000000) // n_at AS term_pico FROM wn WHERE d > 0),
+        |cm AS (SELECT t, d, c, n_at, CAST(sum(term_pico)
+        |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS h_pico FROM ev)
+        |SELECT t AS t_day, n_at AS n_risk, d AS n_deaths, c AS n_censored,
+        |  (h_pico + 500000) // 1000000 AS hazard_micro
+        |FROM cm ORDER BY t_day""".stripMargin)),
+
+    // ICC1: intraclass correlation ICC(2,1) — labeler agreement for
+    // CONTINUOUS scores (items = users, raters = event types, rating
+    // = exact integer cents-mean of value): how much of a score's
+    // variance is the item rather than the rater or noise. The
+    // scalar-judge QA beside the categorical kappa family.
+    "icc1_intraclass" -> Q(
+      (s, d) => {
+        val r = Queries.events(s, d)
+          .groupBy(col("user_id").as("it"), col("event_type").as("ra"))
+          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .cast("long").as("sv"), count(lit(1)).cast("long").as("cnt"))
+          .select(col("it"), col("ra"), expr("sv div cnt").as("rating"))
+        graft.ops.Stats.icc21(r, "it", "ra", "rating")
+      },
+      Some("""WITH cells0 AS (SELECT CAST(user_id AS VARCHAR) AS it,
+        |    event_type AS ra,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      // count(*) AS rating
+        |  FROM events GROUP BY 1, 2),
+        |cells AS (SELECT it, ra,
+        |    CAST(floor(rating * 1e6 + 0.5) AS BIGINT) AS y FROM cells0),
+        |kk AS (SELECT CAST(count(DISTINCT ra) AS BIGINT) AS k FROM cells),
+        |rws AS (SELECT it, CAST(count(*) AS BIGINT) AS nr,
+        |    CAST(sum(y) AS BIGINT) AS ri FROM cells GROUP BY 1),
+        |kept AS (SELECT it, ri FROM rws, kk WHERE nr = kk.k),
+        |drp AS (SELECT CAST(count(*) AS BIGINT) AS n_dropped
+        |  FROM rws, kk WHERE nr != kk.k),
+        |kc AS (SELECT c.it, c.ra, c.y FROM cells c
+        |  JOIN kept ON kept.it = c.it),
+        |cls AS (SELECT ra, CAST(sum(y) AS BIGINT) AS cj FROM kc GROUP BY 1),
+        |mm AS (SELECT CAST(sum(y) AS BIGINT) AS s,
+        |    sum(CAST(y AS HUGEINT) * y) AS ss FROM kc),
+        |rs AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(ri AS HUGEINT) * ri) AS sr2 FROM kept),
+        |cs2 AS (SELECT sum(CAST(cj AS HUGEINT) * cj) AS sc2 FROM cls)
+        |SELECT n AS n_items, kk.k AS k_raters, n_dropped,
+        |  CAST(floor((((CAST(sr2 AS DOUBLE) / CAST(kk.k AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |        / CAST(n * kk.k AS DOUBLE)) / CAST(n - 1 AS DOUBLE)
+        |    - (CAST(ss AS DOUBLE)
+        |      - CAST(sr2 AS DOUBLE) / CAST(kk.k AS DOUBLE)
+        |      - CAST(sc2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |        / CAST(n * kk.k AS DOUBLE))
+        |      / CAST((n - 1) * (kk.k - 1) AS DOUBLE))
+        |  / ((CAST(sr2 AS DOUBLE) / CAST(kk.k AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |        / CAST(n * kk.k AS DOUBLE)) / CAST(n - 1 AS DOUBLE)
+        |    + CAST(kk.k - 1 AS DOUBLE) * ((CAST(ss AS DOUBLE)
+        |      - CAST(sr2 AS DOUBLE) / CAST(kk.k AS DOUBLE)
+        |      - CAST(sc2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |        / CAST(n * kk.k AS DOUBLE))
+        |      / CAST((n - 1) * (kk.k - 1) AS DOUBLE))
+        |    + CAST(kk.k AS DOUBLE) * (((CAST(sc2 AS DOUBLE)
+        |        / CAST(n AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |        / CAST(n * kk.k AS DOUBLE)) / CAST(kk.k - 1 AS DOUBLE))
+        |      - ((CAST(ss AS DOUBLE)
+        |        - CAST(sr2 AS DOUBLE) / CAST(kk.k AS DOUBLE)
+        |        - CAST(sc2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |        + CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |          / CAST(n * kk.k AS DOUBLE))
+        |        / CAST((n - 1) * (kk.k - 1) AS DOUBLE)))
+        |      / CAST(n AS DOUBLE)))
+        |  * 1e9 + 0.5) AS BIGINT) AS icc21_nano
+        |FROM mm, rs, cs2, kk, drp WHERE n >= 2 AND kk.k >= 2""".stripMargin)),
+
     "sur1_kaplan_meier" -> Q(
       (s, d) => {
         val ords = s.read.parquet(s"$d/orders.parquet")

@@ -977,6 +977,120 @@ object Stats {
         expr("(r.s_pico + 500000L) div 1000000L").as("survival_micro"))
   }
 
+  /** Nelson–Aalen cumulative hazard (Nelson '72, Aalen '78) — the
+    * additive companion of [[kaplanMeier]]'s product-limit curve:
+    * `H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ`. Preferred over −ln(KM) for small
+    * risk sets, and the quantity whose SLOPE is the hazard rate —
+    * the freshness/latency survival readout where KM gives the
+    * survival fraction.
+    *
+    * Determinism: per-event terms are exact pico integer divisions;
+    * the cumulative sum is an exact integer window; display is the
+    * sur1 half-up integer micro convention.
+    *
+    * Scale: one (t) count shuffle; the cumulative window runs over
+    * the EVENT-TIME table (domain-bounded, not corpus-bounded — the
+    * ks1 argument).
+    */
+  def nelsonAalen(lifetimes: DataFrame): DataFrame = {
+    val lab = lifetimes.select(col("t").cast("long").as("t"), col("cens"))
+    val per = lab.groupBy("t").agg(
+      sum(when(!col("cens"), 1L).otherwise(0L)).cast("long").as("d"),
+      sum(when(col("cens"), 1L).otherwise(0L)).cast("long").as("c"))
+    val tot = per.agg(sum(col("d") + col("c")).cast("long").as("n_total"))
+    val wPrev = Window.orderBy("t").rowsBetween(Long.MinValue, -1)
+    val wCum = Window.orderBy("t").rowsBetween(Long.MinValue, 0)
+    per.crossJoin(broadcast(tot))
+      .withColumn("n_at", col("n_total") -
+        coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("term_pico", expr("(d * 1000000000000L) div n_at"))
+      .withColumn("h_pico", sum("term_pico").over(wCum).cast("long"))
+      .select(col("t").as("t_day"), col("n_at").as("n_risk"),
+        col("d").as("n_deaths"), col("c").as("n_censored"),
+        expr("(h_pico + 500000L) div 1000000L").as("hazard_micro"))
+  }
+
+  /** Intraclass correlation ICC(2,1) (Shrout & Fleiss '79, two-way
+    * random effects, absolute agreement, single rater) — the
+    * labeler-agreement coefficient for CONTINUOUS scores, where the
+    * categorical family (fleissKappa, krippendorffAlpha) does not
+    * apply: how much of a rating's variance is the ITEM rather than
+    * the rater or noise? The QA number for scalar judge/reward
+    * scores before they are trusted as training signal.
+    *
+    * Complete-design form: items rated by every rater (incomplete
+    * items are dropped and counted). With micro-quantized ratings,
+    * every sum of squares is exact decimal arithmetic; the mean
+    * squares and the ICC are ONE fixed-order double expression at
+    * the end, nano-quantized.
+    *
+    * Scale: one (item, rater) cell shuffle, an items-bounded row-sum
+    * table, a raters-bounded column-sum table, scalar moments.
+    */
+  def icc21(ratings: DataFrame, itemCol: String, raterCol: String,
+            valueCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = ratings.select(col(itemCol).cast("string").as("it"),
+      col(raterCol).cast("string").as("ra"),
+      floor(col(valueCol) * lit(1e6) + lit(0.5)).cast("long").as("y"))
+    val k = cells.agg(countDistinct(col("ra")).cast("long").as("k"))
+    val rows = cells.groupBy("it")
+      .agg(count(lit(1)).cast("long").as("nr"),
+        sum(dec(col("y"))).as("ri"))
+    val kept = rows.crossJoin(broadcast(k)).filter(col("nr") === col("k"))
+      .select(col("it"), col("ri"))
+      .persist()
+    val dropped = rows.crossJoin(broadcast(k)).filter(col("nr") =!= col("k"))
+      .agg(count(lit(1)).cast("long").as("n_dropped"))
+    val keptCells = cells.join(kept.select("it"), Seq("it"), "left_semi")
+    val cols = keptCells.groupBy("ra").agg(sum(dec(col("y"))).as("cj"))
+    val moms = keptCells.agg(sum(dec(col("y"))).as("s"),
+      sum(dec(col("y")) * dec(col("y"))).as("ss"))
+    val rowSq = kept.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("ri") * col("ri")).as("sr2"))
+    val colSq = cols.agg(sum(col("cj") * col("cj")).as("sc2"))
+    val out = moms.crossJoin(rowSq).crossJoin(colSq).crossJoin(broadcast(k))
+      .crossJoin(dropped)
+      .filter(col("n") >= 2L && col("k") >= 2L)
+      .select(col("n").as("n_items"), col("k").as("k_raters"),
+        col("n_dropped"),
+        expr(
+          """CAST(floor((((CAST(sr2 AS DOUBLE) / CAST(k AS DOUBLE)
+            |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+            |        / CAST(n * k AS DOUBLE)) / CAST(n - 1L AS DOUBLE)
+            |    - (CAST(ss AS DOUBLE)
+            |      - CAST(sr2 AS DOUBLE) / CAST(k AS DOUBLE)
+            |      - CAST(sc2 AS DOUBLE) / CAST(n AS DOUBLE)
+            |      + CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+            |        / CAST(n * k AS DOUBLE))
+            |      / CAST((n - 1L) * (k - 1L) AS DOUBLE))
+            |  / ((CAST(sr2 AS DOUBLE) / CAST(k AS DOUBLE)
+            |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+            |        / CAST(n * k AS DOUBLE)) / CAST(n - 1L AS DOUBLE)
+            |    + CAST(k - 1L AS DOUBLE) * ((CAST(ss AS DOUBLE)
+            |      - CAST(sr2 AS DOUBLE) / CAST(k AS DOUBLE)
+            |      - CAST(sc2 AS DOUBLE) / CAST(n AS DOUBLE)
+            |      + CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+            |        / CAST(n * k AS DOUBLE))
+            |      / CAST((n - 1L) * (k - 1L) AS DOUBLE))
+            |    + CAST(k AS DOUBLE) * (((CAST(sc2 AS DOUBLE)
+            |        / CAST(n AS DOUBLE)
+            |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+            |        / CAST(n * k AS DOUBLE)) / CAST(k - 1L AS DOUBLE))
+            |      - ((CAST(ss AS DOUBLE)
+            |        - CAST(sr2 AS DOUBLE) / CAST(k AS DOUBLE)
+            |        - CAST(sc2 AS DOUBLE) / CAST(n AS DOUBLE)
+            |        + CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+            |          / CAST(n * k AS DOUBLE))
+            |        / CAST((n - 1L) * (k - 1L) AS DOUBLE)))
+            |      / CAST(n AS DOUBLE)))
+            |  * 1e9 + 0.5) AS BIGINT)""".stripMargin).as("icc21_nano"))
+      .localCheckpoint()
+    kept.unpersist(false)
+    out
+  }
+
   /** Closed-form multiple OLS with two regressors + intercept, by
     * Cramer's rule on the 3×3 normal equations — the distributed
     * regression shape: ONE combinable moment pass (nine exact decimal

@@ -943,6 +943,33 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(ind.getAs[Double]("chi2")) < 1e-6)
   }
 
+  test("nelsonAalen: hand case 2/3 then +1, exact micro display") {
+    val lt = Seq((1L, false), (1L, false), (2L, false)).toDF("t", "cens")
+    val got = Stats.nelsonAalen(lt).orderBy("t_day").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[Long]("n_risk") === 3L)
+    assert(got(0).getAs[Long]("hazard_micro") === 666667L) // 2/3
+    assert(got(1).getAs[Long]("n_risk") === 1L)
+    assert(got(1).getAs[Long]("hazard_micro") === 1666667L) // 2/3 + 1
+  }
+
+  test("icc21: perfect item agreement = 1, pure rater effect = 0") {
+    val perfect = Seq(("A", "r1", 1.0), ("A", "r2", 1.0),
+      ("B", "r1", 2.0), ("B", "r2", 2.0)).toDF("it", "ra", "y")
+    val p = Stats.icc21(perfect, "it", "ra", "y").head()
+    assert(p.getAs[Long]("n_items") === 2L)
+    assert(p.getAs[Long]("icc21_nano") === 1000000000L)
+    // raters disagree systematically, items identical -> no item signal
+    val raterOnly = Seq(("A", "r1", 1.0), ("A", "r2", 2.0),
+      ("B", "r1", 1.0), ("B", "r2", 2.0)).toDF("it", "ra", "y")
+    val r = Stats.icc21(raterOnly, "it", "ra", "y").head()
+    assert(r.getAs[Long]("icc21_nano") === 0L)
+    // incomplete items are dropped and counted
+    val withHole = perfect.unionByName(Seq(("C", "r1", 9.0)).toDF("it", "ra", "y"))
+    assert(Stats.icc21(withHole, "it", "ra", "y").head()
+      .getAs[Long]("n_dropped") === 1L)
+  }
+
   test("mondrianConformal: per-group quantile thresholds and exact coverage") {
     // group A: cal scores 1..9 -> k = max(1, (10*0.1e6) div 1e6) = 1,
     // tau = smallest = 1e6; eval 5 scores all >= 1 -> coverage 1.
