@@ -3047,6 +3047,35 @@ object OracleGen {
        |FROM mk GROUP BY cell ORDER BY cell""".stripMargin
   }
 
+  /** tok1: WordPiece-vs-BPE segmentation agreement — the wp1 greedy
+    * chain and the bpe merge chain side by side (CTE namespaces are
+    * disjoint), joined on the word; occurrence-weighted agreement and
+    * both fertilities as exact integer micro rates.
+    */
+  def tok1Sql(bpeCtesWithoutWith: String, bpeRounds: Int,
+              vocabSize: Int = 256, maxPieceLen: Int = 4,
+              maxWordLen: Int = 16): String =
+    wordpieceBase(vocabSize, maxPieceLen, maxWordLen) +
+      ",\n" + bpeCtesWithoutWith +
+      s""",
+         |wpv AS (SELECT w, cnt, np AS np_wp,
+         |    replace(seg, ' ##', ',') AS wp_csv FROM g$maxWordLen),
+         |bpv AS (SELECT w,
+         |    CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS np_bpe,
+         |    replace(trim(s), '  ', ',') AS pieces_csv FROM w$bpeRounds)
+         |SELECT CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+         |  CAST(sum(CASE WHEN wp_csv = pieces_csv THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_agree_words,
+         |  (CAST(sum(CASE WHEN wp_csv = pieces_csv THEN cnt ELSE 0 END)
+         |    AS BIGINT) * 1000000) // CAST(sum(cnt) AS BIGINT)
+         |    AS agree_occ_micro,
+         |  (CAST(sum(cnt * np_wp) AS BIGINT) * 1000000)
+         |    // CAST(sum(cnt) AS BIGINT) AS fert_wp_micro,
+         |  (CAST(sum(cnt * np_bpe) AS BIGINT) * 1000000)
+         |    // CAST(sum(cnt) AS BIGINT) AS fert_bpe_micro
+         |FROM wpv JOIN bpv USING (w)""".stripMargin
+
   def wp2Sql(vocabSize: Int = 256, maxPieceLen: Int = 4,
              maxWordLen: Int = 16, topK: Int = 30): String =
     wordpieceBase(vocabSize, maxPieceLen, maxWordLen) +

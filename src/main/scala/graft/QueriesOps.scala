@@ -389,7 +389,7 @@ object QueriesOps {
     * throughout; no float enters any decision.
     */
   private val BpeMergeRounds = 8
-  private def bpeWordCtes(rounds: Int): String = {
+  private[graft] def bpeWordCtes(rounds: Int): String = {
     val base = """WITH w0 AS (
       |  SELECT w, ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' ' AS s, cnt
       |  FROM (SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt
@@ -6341,6 +6341,40 @@ object QueriesOps {
         .orderBy("step"),
       Some(WpMergesOracle)),
 
+    // TOK1: WordPiece-vs-BPE segmentation agreement — per-word
+    // boundary identity, occurrence-weighted, both fertilities; the
+    // side-by-side a tokenizer migration reads before switching (two
+    // tokenizers with 90% boundary agreement retrain cheaply; 40%
+    // means the embedding table restarts from scratch).
+    "tok1_segmentation_agreement" -> Q(
+      (s, d) => {
+        val dd0 = docs(s, d)
+        val wp = graft.ops.Bpe.wordpieceSegment(dd0)
+          .select(col("w"), col("cnt"), col("n_pieces").as("np_wp"),
+            regexp_replace(col("seg"), " ##", ",").as("wp_csv"))
+        val merges = graft.ops.Bpe.learnMerges(dd0, BpeMergeRounds)
+          .orderBy("step").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val bp = graft.ops.Bpe.segmentVocab(dd0, merges)
+          .select(col("w"), col("n_pieces").cast("long").as("np_bpe"),
+            col("pieces_csv"))
+        wp.join(bp, "w")
+          .agg(count(lit(1)).cast("long").as("n_words"),
+            sum("cnt").cast("long").as("n_occurrences"),
+            sum(when(col("wp_csv") === col("pieces_csv"), 1L).otherwise(0L))
+              .cast("long").as("n_agree_words"),
+            sum(when(col("wp_csv") === col("pieces_csv"), col("cnt"))
+              .otherwise(0L)).cast("long").as("ao"),
+            sum(col("cnt") * col("np_wp")).cast("long").as("fw"),
+            sum(col("cnt") * col("np_bpe")).cast("long").as("fb"))
+          .select(col("n_words"), col("n_occurrences"), col("n_agree_words"),
+            expr("(ao * 1000000L) div n_occurrences").as("agree_occ_micro"),
+            expr("(fw * 1000000L) div n_occurrences").as("fert_wp_micro"),
+            expr("(fb * 1000000L) div n_occurrences").as("fert_bpe_micro"))
+      },
+      Some(OracleGen.tok1Sql(
+        bpeWordCtes(BpeMergeRounds).stripPrefix("WITH "), BpeMergeRounds))),
+
     // WP1: WordPiece greedy longest-match segmentation (Schuster &
     // Nakajima '12; BERT's MaxMatch) — the third tokenizer beside BPE
     // (merge-rank greedy) and unigram-LM (Viterbi): position-tagged
@@ -6357,6 +6391,24 @@ object QueriesOps {
     "wp2_wordpiece_usage" -> Q(
       (s, d) => graft.ops.Bpe.wordpieceUsage(docs(s, d)),
       Some(OracleGen.wp2Sql())),
+
+    // KWIC1: keyword-in-context concordance for 'spark' — every
+    // occurrence with its ±3-token window; the human-triage surface
+    // behind "how does the corpus actually use X".
+    "kwic1_concordance" -> Q(
+      (s, d) => graft.ops.Text.kwic(docs(s, d), "spark")
+        .orderBy("doc_id", "pos"),
+      Some("""WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '),
+        |      x -> length(x) > 0) AS ws FROM documents),
+        |m AS (SELECT doc_id, ws, CAST(u.p AS BIGINT) AS pos
+        |  FROM w, unnest(range(1, len(ws) + 1)) AS u(p)
+        |  WHERE ws[CAST(u.p AS INTEGER)] = 'spark')
+        |SELECT doc_id, pos,
+        |  array_to_string(list_slice(ws,
+        |    CAST(greatest(pos - 3, 1) AS INTEGER),
+        |    CAST(least(pos + 3, len(ws)) AS INTEGER)), ' ') AS context
+        |FROM m ORDER BY doc_id, pos""".stripMargin)),
 
     // TT1: TextTiling topic segmentation (Hearst '97, block form) —
     // w-word blocks, exact Jaccard gap cohesion, boundaries at

@@ -1244,6 +1244,31 @@ object Text {
           lit(0.5)).cast("long")).otherwise(lit(0L)).as("eff_shannon_nano"))
   }
 
+  /** Keyword-in-context concordance (KWIC — the corpus-linguistics
+    * staple since Luhn '60): every occurrence of `term` with its
+    * ±`window`-token context, the human-inspection surface behind
+    * every "show me how the corpus actually uses X" question (quality
+    * triage, lexicon building, dedup spot checks). One narrow in-row
+    * pass — match positions and context slices are list HOFs; exact
+    * integer positions, no shuffle.
+    */
+  def kwic(docs: DataFrame, term: String, window: Int = 3,
+           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(term.nonEmpty && !term.contains("'"), "term must be quote-free")
+    docs.select(col(idCol),
+        expr(s"filter(split(lower($textCol), ' '), x -> length(x) > 0)")
+          .as("ws"))
+      .withColumn("p", explode(expr(
+        s"""CASE WHEN size(ws) = 0 THEN CAST(array() AS ARRAY<INT>)
+           |ELSE filter(sequence(1, size(ws)),
+           |  p -> element_at(ws, p) = '$term') END""".stripMargin)))
+      .select(col(idCol), col("p").cast("long").as("pos"),
+        expr(s"""array_join(slice(ws, greatest(p - $window, 1),
+                |  least(p + $window, size(ws))
+                |    - greatest(p - $window, 1) + 1), ' ')""".stripMargin)
+          .as("context"))
+  }
+
   /** TextTiling topic segmentation, block-comparison form (Hearst,
     * CL'97 — the standard lexical-cohesion segmenter): cut each
     * document into `w`-word blocks, score every inter-block gap by the

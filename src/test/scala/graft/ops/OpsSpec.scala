@@ -1304,6 +1304,18 @@ class OpsSpec extends AnyFunSuite {
     assert(row(2, 1).getAs[Long]("ref_grams") === 1L)
   }
 
+  test("kwic: exact positions and clamped windows at both edges") {
+    import spark.implicits._
+    val doc = Seq((7L, "spark a b c spark d e f g spark"))
+      .toDF("doc_id", "text")
+    val got = Text.kwic(doc, "spark", window = 2).orderBy("pos").collect()
+    assert(got.map(_.getAs[Long]("pos")).toSeq === Seq(1L, 5L, 10L))
+    assert(got(0).getAs[String]("context") === "spark a b")      // left edge
+    assert(got(1).getAs[String]("context") === "b c spark d e") // interior
+    assert(got(2).getAs[String]("context") === "f g spark")      // right edge
+    assert(Text.kwic(doc, "absent").count() === 0L)
+  }
+
   test("textTiling: a clean topic shift yields exactly one boundary at the shift") {
     import spark.implicits._
     val topicA = (1 to 10).map(i => s"alpha$i").mkString(" ")
