@@ -147,7 +147,12 @@ object BenchScale {
     // (items fixed), rounds fixed; the WordPiece trainer is bpe1's
     // class — per-round vocabulary aggregations over ~k distinct
     // tagged words (the zipf-bounded worst case)
-    "spec1_spectral_bipartition", "irt1_rasch_fit", "wp3_wordpiece_merges")
+    "spec1_spectral_bipartition", "irt1_rasch_fit", "wp3_wordpiece_merges",
+    // round-14 continued (>1.5 s rule): mmd1's kernel matrix is
+    // SAMPLE-bounded (m fixed), so the only scaling cost is the md5
+    // rank — expect ~flat; tok1 is the wp1 + bpe1 chains joined —
+    // both vocabulary-bounded after the word count (~k tagged words)
+    "mmd1_kernel_two_sample", "tok1_segmentation_agreement")
 
   /** Entries whose index width must grow with the corpus (the LSH /
     * IVF contract): each gives (base-leg fn, scaled-leg fn at k×) —
