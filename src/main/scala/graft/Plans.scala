@@ -64,6 +64,16 @@ object Plans {
     "fim1_fill_in_middle", "ql1_query_likelihood", "llr1_keyness",
     "at1_attribution", "dl1_delong_auc", "sr1_spearman_rho",
     "yj1_youden_threshold", "tscv1_forward_chaining", "rc1_risk_coverage",
+    // round-14 pure-plan additions (irt1/spec1/wp3/tok1 run driver
+    // loops, cnl1/al1/ood1 collect their NB model, weat1/icc1/mauve1/
+    // mmd1 materialize eagerly — all excluded for the bt1 reason;
+    // wp1/wp2 lazily persist vocab subtrees and are excluded for the
+    // dd19 cache reason)
+    "tt1_texttiling", "fair1_parity_audit", "bon1_best_of_n",
+    "au5_vad_segments", "dtw1_dtw_pairs", "cp2_mondrian_conformal",
+    "sur2_nelson_aalen", "kwic1_concordance", "nf41_nf4_report",
+    "ann8_nprobe_sweep", "au6_spectral_power",
+    "unif1_alignment_uniformity", "cons1_neardup_label_consistency",
     // round-14 additions: the r13 stragglers with deterministic plans
     // (ny1 apportionment windows, sx1 stratified audit, pb1's
     // md5-ladder replicate fan-out) plus the new ci2 composition.
