@@ -83,6 +83,10 @@ object Plans {
     // trees (the PlanGoldenSpec cache gotcha) — at the tail it can
     // affect nothing after it.
     "ny1_neyman_allocation", "sx1_simpson_audit", "pb1_paired_bootstrap",
+    // round-15: cz1 re-shaped to the oracle-checkable compressionGate
+    // (scan + one combinable rollup — pin it so the deflate pass stays
+    // a single narrow exchange)
+    "cz1_compression_ratio",
     "ci2_lsh_maxsim", "dd19_lsh_planner")
 
   /** (shuffle exchanges, broadcast exchanges) of the physical plan,

@@ -6459,13 +6459,19 @@ object QueriesOps {
         |FROM bd ORDER BY doc_id""".stripMargin)),
 
     // CZ1: compression-ratio quality gate (Gopher A1.1 / FineWeb) via
-    // the native deflate_len expression — the dual-tail signal token
-    // stats miss. DEFLATE is not SQL-expressible: rows-only gate entry
-    // (the minhash convention), laws in TextCompressionSpec.
+    // the native deflate_len expression. DEFLATE values themselves are
+    // not SQL-expressible (laws live in OpsSpec), so the gate row is
+    // Text.compressionGate: SQL-checkable per-source counts/bytes plus
+    // n_in_envelope, which forces deflate_len to execute and asserts
+    // every output lies in zlib's expansion envelope — the oracle pins
+    // it to n_docs, so a broken native expression turns the row red.
     "cz1_compression_ratio" -> Q(
-      (s, d) => graft.ops.Text.compressionRatio(docs(s, d))
+      (s, d) => graft.ops.Text.compressionGate(docs(s, d))
         .orderBy("source"),
-      None),
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+        |  CAST(count(*) AS BIGINT) AS n_in_envelope
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
     // BON1: unbiased Best-of-N curve (Nakano et al. '21) — prompts =
     // doc_id div 5 (5 candidates each), reward = the shared quality

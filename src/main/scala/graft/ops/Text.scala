@@ -1340,9 +1340,9 @@ object Text {
     *
     * Determinism: the byte count is a pure function of the UTF-8
     * bytes for the pinned JDK zlib; ratios are exact integer micro
-    * divisions. No SQL engine exposes DEFLATE, so this op carries
-    * law-based spec checks and a rows-only gate entry (the
-    * minhash/simhash convention) rather than a value oracle.
+    * divisions. No SQL engine exposes DEFLATE, so the ratio values
+    * carry law-based spec checks (OpsSpec); the registered gate row
+    * is [[compressionGate]], whose columns are all SQL-expressible.
     *
     * Scale: ONE narrow codegen pass (the [[graft.functions.DeflateLen]]
     * expression) + a combinable (source) rollup — corpus-linear,
@@ -1368,5 +1368,35 @@ object Text {
       .select(col("grp").as("source"), col("n_docs"),
         expr("CAST(sr div n_docs AS BIGINT)").as("mean_ratio_micro"),
         col("n_repetitive"), col("n_high_entropy"))
+  }
+
+  /** Oracle-checkable gate row for the compression-ratio pass. The
+    * DEFLATE byte counts themselves are not SQL-expressible, so this
+    * emits per-source columns an independent SQL engine CAN verify —
+    * while still forcing the [[graft.functions.DeflateLen]] expression
+    * to execute over every document: `n_in_envelope` counts documents
+    * whose deflate length lies inside zlib's documented expansion
+    * bound (`0 < dl <= nb + nb/1000 + 64`, the `compressBound`
+    * envelope plus header margin; covers nb = 0, where the zlib frame
+    * is 8 bytes). A correct deflate yields `n_in_envelope = n_docs`
+    * exactly — which is what the oracle asserts — so a native
+    * expression returning garbage (zero, negative, inflated) flips
+    * the gate red instead of passing a vacuous row count.
+    *
+    * Scale: identical profile to [[compressionRatio]] — one narrow
+    * codegen pass + a sources-bounded combinable rollup.
+    */
+  def compressionGate(docs: DataFrame, groupCol: String = "source",
+                      textCol: String = "text"): DataFrame = {
+    val per = docs.select(col(groupCol).as("grp"),
+      octet_length(col(textCol)).cast("long").as("nb"),
+      call_function("deflate_len", col(textCol)).as("dl"))
+    per.groupBy("grp")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("nb").cast("decimal(38,0)")).as("sb"),
+        sum(when(expr("dl > 0L AND dl <= nb + (nb div 1000) + 64L"),
+          1L).otherwise(0L)).cast("long").as("n_in_envelope"))
+      .select(col("grp").as("source"), col("n_docs"),
+        expr("CAST(sb AS BIGINT)").as("n_bytes"), col("n_in_envelope"))
   }
 }

@@ -1355,6 +1355,25 @@ class OpsSpec extends AnyFunSuite {
     assert(again("rep") === r && again("var") === v)
   }
 
+  test("compressionGate: every deflate output sits in the zlib envelope") {
+    import spark.implicits._
+    val rep = ("spark " * 200).trim
+    val varied = (0 until 200).map(i =>
+      Integer.toString(i * 2654435761L.toInt | 1, 36)).mkString(" ")
+    // includes the nb = 0 edge (zlib frame of "" is 8 bytes <= 64)
+    val docs = Seq((1L, rep, "a"), (2L, varied, "a"), (3L, "", "b"))
+      .toDF("doc_id", "text", "source")
+    val got = Text.compressionGate(docs).orderBy("source").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("a", "b"))
+    assert(got(0).getAs[Long]("n_docs") === 2L)
+    assert(got(0).getAs[Long]("n_bytes") ===
+      (rep.length + varied.length).toLong) // ascii: bytes == chars
+    // the gate invariant the oracle pins: envelope count == doc count
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_in_envelope") === r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("divergenceFrontier: identical histograms give exactly zero; gap is two-sided") {
     import spark.implicits._
     val cents = Seq(Similarity.Centroid(0L, Array(1.0, 0.0), 1.0),
