@@ -2611,12 +2611,12 @@ object OracleGen {
       // twice -> 2^passes expression blowup that stalls the binder);
       // a projection per level evaluates each pass once per row. The
       // t column is projected away before the next round.
-      val inner = s"SELECT ka, kb, len, sa, sb, dp, $t0 AS t FROM d${i - 1}"
+      val inner = s"SELECT ka, kb, len, sa, sb, nf, dp, $t0 AS t FROM d${i - 1}"
       val levels = (1 to 2 * band).foldLeft(inner) { (acc, _) =>
-        s"SELECT ka, kb, len, sa, sb, dp, ${relax("t")} AS t FROM (\n$acc)"
+        s"SELECT ka, kb, len, sa, sb, nf, dp, ${relax("t")} AS t FROM (\n$acc)"
       }
       s""",
-         |d$i AS MATERIALIZED (SELECT ka, kb, len, sa, sb,
+         |d$i AS MATERIALIZED (SELECT ka, kb, len, sa, sb, nf,
          |  CASE WHEN $i > len THEN dp ELSE t END AS dp FROM (
          |$levels))""".stripMargin
     }.mkString
@@ -2627,18 +2627,20 @@ object OracleGen {
        |  FROM bounds),
        |ks AS (SELECT DISTINCT k FROM c),
        |dense AS MATERIALIZED (SELECT ks.k,
-       |    list_slice(list(coalesce(c.x, 0) ORDER BY sp.b), 1, $maxLen) AS s
+       |    list_slice(list(coalesce(c.x, 0) ORDER BY sp.b), 1, $maxLen) AS s,
+       |    CAST(count(*) AS BIGINT) AS nf
        |  FROM ks CROSS JOIN sp LEFT JOIN c ON c.k = ks.k AND c.b = sp.b
        |  GROUP BY ks.k),
        |p0 AS (SELECT a.k AS ka, b.k AS kb, a.s AS sa, b.s AS sb,
-       |    CAST(len(a.s) AS INTEGER) AS len
+       |    CAST(len(a.s) AS INTEGER) AS len, a.nf AS nf
        |  FROM dense a JOIN dense b ON a.k < b.k),
-       |d0 AS MATERIALIZED (SELECT ka, kb, len, sa, sb,
+       |d0 AS MATERIALIZED (SELECT ka, kb, len, sa, sb, nf,
        |    list_prepend(CAST(0 AS BIGINT), list_transform(range(1, len + 1),
        |      j -> CAST($INF AS BIGINT))) AS dp
        |  FROM p0)""".stripMargin + rows +
       s"""
          |SELECT ka, kb, CAST(len AS BIGINT) AS n_buckets,
+         |  nf AS n_buckets_full,
          |  dp[CAST(len AS INTEGER) + 1] AS dtw_dist,
          |  CAST(list_sum(list_transform(range(1, len + 1), i ->
          |    abs(sa[CAST(i AS INTEGER)] - sb[CAST(i AS INTEGER)])))

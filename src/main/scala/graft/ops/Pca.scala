@@ -340,13 +340,19 @@ object Pca {
     require(m >= 2 && reps >= 1, "need m >= 2 and reps >= 1")
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val v = col(vecCol).cast("array<double>")
-    val base = vecs.select(col(idCol).cast("long").as("id"),
+    val hashed = vecs.select(col(idCol).cast("long").as("id"),
         isP.cast("boolean").as("is_p"), v.as("vv"))
       .withColumn("h", conv(substring(md5(col("id").cast("string")), 1, 15),
         16, 10).cast("long"))
-      .withColumn("rk", row_number().over(Window.partitionBy("is_p")
-        .orderBy(col("h").asc, col("id").asc)))
-      .filter(col("rk") <= m)
+    // per-side top-m via orderBy+limit (TakeOrderedAndProject), NOT a
+    // rank window: Window.partitionBy(is_p) would funnel the whole
+    // corpus through at most two tasks; TakeOrdered keeps the scan
+    // fully parallel and moves only m rows per side. Selects exactly
+    // the same rows (the m smallest (h, id) per side).
+    val base = hashed.filter(col("is_p"))
+      .orderBy(col("h").asc, col("id").asc).limit(m)
+      .unionByName(hashed.filter(!col("is_p"))
+        .orderBy(col("h").asc, col("id").asc).limit(m))
       .select(col("id"), col("is_p"), col("vv"))
       .persist()
     val pairs = base.select(col("id").as("ia"), col("is_p").as("pa"),
@@ -441,7 +447,10 @@ object Pca {
     * before the exact mean, one ln at display. Random pairing is the
     * md5 total order (hex60 of the id), reproducible in SQL.
     *
-    * Scale: two rank windows (per label; global md5 order) + one
+    * Scale: the positive rank window parallelizes per label; the md5
+    * pairing rank is a SALTED two-phase rank (rank within the 2¹⁰
+    * top-bit salt buckets + broadcast cumulative offsets — exactly
+    * the global (h, id) rank, no single-task corpus window), then one
     * narrow cosine pass per pair table — corpus-linear, no quadratic
     * pair sources anywhere.
     */
@@ -460,10 +469,28 @@ object Pca {
         .withColumn("side", expr("(rk - 1L) % 2L"))
     val posRanked = pairUp(base, Window.partitionBy("lbl")
       .orderBy(col("id").asc))
-    val rndRanked = pairUp(base
-      .withColumn("h", conv(substring(md5(col("id").cast("string")), 1, 15),
-        16, 10).cast("long")),
-      Window.orderBy(col("h").asc, col("id").asc))
+    // salted two-phase rank for the md5 pairing: a global
+    // Window.orderBy would funnel the whole corpus through ONE task.
+    // Salt on the top 10 bits of h (a PREFIX of the sort key, so
+    // (salt, h, id) order == (h, id) order), rank within salt in
+    // parallel, then add the broadcast cumulative count of preceding
+    // salts — bit-identical to the global rank.
+    val rndRanked = {
+      val salted = base
+        .withColumn("h", conv(substring(md5(col("id").cast("string")), 1, 15),
+          16, 10).cast("long"))
+        .withColumn("salt", expr("h div 1125899906842624L")) // 2^50: <=1024 salts
+      val offs = salted.groupBy("salt")
+        .agg(count(lit(1)).cast("long").as("c"))
+        .withColumn("off", coalesce(sum("c").over(Window.orderBy("salt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("salt", "off") // <=1024 rows: the only single-task window
+      salted.join(broadcast(offs), Seq("salt"))
+        .withColumn("rk", row_number().over(Window.partitionBy("salt")
+          .orderBy(col("h").asc, col("id").asc)).cast("long") + col("off"))
+        .withColumn("g", expr("(rk - 1L) div 2L"))
+        .withColumn("side", expr("(rk - 1L) % 2L"))
+    }
     def d2Nano(ranked: DataFrame, keyCols: Seq[String]) = {
       val l = ranked.filter(col("side") === 0L)
         .select(keyCols.map(col) :+ col("vv").as("va") :+ col("vn").as("na"): _*)

@@ -1829,6 +1829,13 @@ object Similarity {
     val lam = vecs.sparkSession.range(1, grid.toLong)
       .select(col("id").as("lam"))
     val terms = cells.crossJoin(broadcast(tot)).crossJoin(broadcast(lam))
+      // an empty corpus side (ta = 0 or tb = 0) zeroes dmix and the KL
+      // log argument divides by zero — fail loudly, in-plan (no driver
+      // action), instead of emitting null/NaN rows
+      .withColumn("ta", when(col("ta") > 0L && col("tb") > 0L, col("ta"))
+        .otherwise(expr("CAST(raise_error('divergenceFrontier: one " +
+          "corpus side is empty (ta or tb = 0) — the KL mixture is " +
+          "undefined') AS BIGINT)")))
       // mixture denominator cleared of A·B·g: D = i·a·B + (g−i)·b·A
       .withColumn("dmix",
         dec(col("lam")) * dec(col("a")) * dec(col("tb")) +

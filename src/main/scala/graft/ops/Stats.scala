@@ -2237,7 +2237,10 @@ object Stats {
     * weights are exact longs via the in-order multiplicative fold
     * `Πⱼ (i−n+j)/j` (integrality holds at every step — each prefix is
     * itself a binomial); per-prompt values and the cross-prompt mean
-    * are exact integer divisions of decimal sums.
+    * are exact integer divisions of decimal sums. Exactness needs
+    * C(nn, n)·nn to fit a long, so group sizes past the maxN-derived
+    * cap (≈4100 at maxN = 5) raise_error instead of silently
+    * overflowing the non-ANSI fold.
     *
     * Scale: one (prompt) shuffle to rank candidates, one maxN-way
     * in-row explode, one combinable (n) rollup — corpus-linear, no
@@ -2246,6 +2249,23 @@ object Stats {
   def bestOfN(scored: DataFrame, promptCol: String, scoreCol: String,
               idCol: String, maxN: Int = 5): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    // Exact-long cap: the largest fold intermediate is C(nn, n)·nn for
+    // n <= maxN — beyond this group size the non-ANSI long fold would
+    // overflow SILENTLY and corrupt the curve. Binary-search the
+    // largest safe nn for this maxN and fail loudly past it.
+    val cap: Long = {
+      def comb(nn: Long, k: Int): BigInt =
+        (1 to k).foldLeft(BigInt(1))((a, j) => a * BigInt(nn - k + j) / j)
+      def safe(nn: Long): Boolean =
+        (1 to math.min(maxN, nn.min(Int.MaxValue).toInt)).forall(k =>
+          comb(nn, k) * nn <= BigInt(Long.MaxValue))
+      var lo = 1L; var hi = Long.MaxValue / 2
+      while (lo < hi) {
+        val mid = lo + (hi - lo + 1) / 2
+        if (safe(mid)) lo = mid else hi = mid - 1
+      }
+      lo
+    }
     val base = scored.select(col(promptCol).cast("long").as("p"),
       floor(col(scoreCol) * lit(1e6) + lit(0.5)).cast("long").as("s"),
       col(idCol).cast("long").as("id"))
@@ -2253,6 +2273,10 @@ object Stats {
     val ranked = base
       .withColumn("i", row_number().over(w).cast("long"))
       .withColumn("nn", count(lit(1)).over(Window.partitionBy("p")).cast("long"))
+      .withColumn("nn", when(col("nn") <= lit(cap), col("nn")).otherwise(
+        expr(s"CAST(raise_error(concat('bestOfN: prompt group size ', " +
+          s"CAST(nn AS STRING), ' exceeds the exact-long binomial cap " +
+          s"$cap for maxN=$maxN')) AS BIGINT)")))
       .withColumn("n", explode(expr(
         s"transform(sequence(1, $maxN), x -> CAST(x AS BIGINT))")))
       .filter(col("n") <= col("nn"))

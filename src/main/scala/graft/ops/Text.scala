@@ -1254,14 +1254,18 @@ object Text {
     */
   def kwic(docs: DataFrame, term: String, window: Int = 3,
            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    require(term.nonEmpty && !term.contains("'"), "term must be quote-free")
+    require(term.nonEmpty, "term must be non-empty")
+    // term lands inside a Spark SQL string literal: escape backslashes
+    // FIRST, then quotes — a bare backslash would otherwise produce a
+    // malformed or semantically different literal
+    val termLit = term.replace("\\", "\\\\").replace("'", "\\'")
     docs.select(col(idCol),
         expr(s"filter(split(lower($textCol), ' '), x -> length(x) > 0)")
           .as("ws"))
       .withColumn("p", explode(expr(
         s"""CASE WHEN size(ws) = 0 THEN CAST(array() AS ARRAY<INT>)
            |ELSE filter(sequence(1, size(ws)),
-           |  p -> element_at(ws, p) = '$term') END""".stripMargin)))
+           |  p -> element_at(ws, p) = '$termLit') END""".stripMargin)))
       .select(col(idCol), col("p").cast("long").as("pos"),
         expr(s"""array_join(slice(ws, greatest(p - $window, 1),
                 |  least(p + $window, size(ws))

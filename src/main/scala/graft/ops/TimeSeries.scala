@@ -422,7 +422,9 @@ object TimeSeries {
     * `D[i][j] = |a_i − b_j| + min(D[i−1][j], D[i][j−1], D[i−1][j−1])`
     * restricted to the |i−j| ≤ `band` diagonal corridor. Emits the
     * exact DTW distance and the Euclidean-companion Σ|a_i − b_i| so
-    * the warping GAIN is auditable per pair.
+    * the warping GAIN is auditable per pair, plus `n_buckets_full`
+    * (the untruncated spine length) beside `n_buckets` so the static
+    * 40-bucket DP bound is visible, never silent.
     *
     * Determinism: the whole DP is exact integer arithmetic — no
     * floats anywhere. The corridor DP runs as `len` chained column
@@ -450,9 +452,14 @@ object TimeSeries {
       .groupBy("k")
       .agg(array_sort(collect_list(struct(col("b"),
         coalesce(col("x"), lit(0L)).as("x")))).as("sx"))
-      .select(col("k"), expr("transform(sx, s -> s.x)").as("s"))
-    val maxLen = 40 // static DP unroll bound; longer series truncate
-    val pairs = dense.select(col("k").as("ka"),
+      .select(col("k"), expr("transform(sx, s -> s.x)").as("s"),
+        size(col("sx")).cast("long").as("nf"))
+    // static DP unroll bound; longer series truncate to the first 40
+    // buckets — NOT silent: n_buckets_full carries the untruncated
+    // spine length so a consumer sees exactly when the bound bites
+    // (n_buckets < n_buckets_full)
+    val maxLen = 40
+    val pairs = dense.select(col("k").as("ka"), col("nf"),
         expr(s"slice(s, 1, $maxLen)").as("sa"))
       .join(dense.select(col("k").as("kb"),
         expr(s"slice(s, 1, $maxLen)").as("sb")),
@@ -480,6 +487,7 @@ object TimeSeries {
            |END""".stripMargin))
     }
     dp.select(col("ka"), col("kb"), col("len").cast("long").as("n_buckets"),
+      col("nf").as("n_buckets_full"),
       element_at(col("dp"), col("len") + 1).as("dtw_dist"),
       expr("""aggregate(sequence(1, len), 0L, (acc, i) ->
              |  acc + abs(element_at(sa, i) - element_at(sb, i)))"""

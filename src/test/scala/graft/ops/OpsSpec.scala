@@ -1316,6 +1316,17 @@ class OpsSpec extends AnyFunSuite {
     assert(Text.kwic(doc, "absent").count() === 0L)
   }
 
+  test("kwic: terms with backslashes and quotes match literally") {
+    import spark.implicits._
+    val doc = Seq((1L, """a\b it's a\b plain"""), (2L, "no match here"))
+      .toDF("doc_id", "text")
+    val bs = Text.kwic(doc, """a\b""", window = 1).orderBy("pos").collect()
+    assert(bs.map(_.getAs[Long]("pos")).toSeq === Seq(1L, 3L))
+    assert(bs(1).getAs[String]("context") === """it's a\b plain""")
+    val qt = Text.kwic(doc, "it's", window = 0).collect()
+    assert(qt.map(_.getAs[Long]("pos")).toSeq === Seq(2L))
+  }
+
   test("textTiling: a clean topic shift yields exactly one boundary at the shift") {
     import spark.implicits._
     val topicA = (1 to 10).map(i => s"alpha$i").mkString(" ")
@@ -1404,5 +1415,20 @@ class OpsSpec extends AnyFunSuite {
     assert(g.forall(_.getAs[Long]("klq_nano") > 0L))
     val klps = g.map(_.getAs[Long]("klp_nano"))
     assert(klps.sliding(2).forall(w => w(0) >= w(1)))
+  }
+
+  test("divergenceFrontier: an empty corpus side fails loudly, not NaN") {
+    import spark.implicits._
+    val cents = Seq(Similarity.Centroid(0L, Array(1.0, 0.0), 1.0),
+      Similarity.Centroid(1L, Array(0.0, 1.0), 1.0))
+    val oneSided = (0L until 10L).map(i => (i, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.divergenceFrontier(oneSided,
+        org.apache.spark.sql.functions.lit(true), cents).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("one corpus side is empty")))
   }
 }

@@ -1011,4 +1011,20 @@ class StatsSpec extends AnyFunSuite {
     val prompts = got.map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(prompts(1L) === 9L && prompts(2L) === 9L && prompts(3L) === 8L)
   }
+
+  test("bestOfN: a group past the exact-long binomial cap fails loudly") {
+    // cap for maxN = 5 is ~4100: 4200 candidates in one prompt would
+    // silently overflow the long weight fold — must raise instead
+    val big = (0L until 4200L).map(i => (0L, (i % 97).toDouble, i))
+      .toDF("p", "s", "id")
+    val e = intercept[Exception] {
+      Stats.bestOfN(big, "p", "s", "id", maxN = 5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("exceeds the exact-long binomial cap")))
+    // well under the cap: unaffected
+    val ok = (0L until 100L).map(i => (0L, i.toDouble, i)).toDF("p", "s", "id")
+    assert(Stats.bestOfN(ok, "p", "s", "id", maxN = 5).count() === 5L)
+  }
 }

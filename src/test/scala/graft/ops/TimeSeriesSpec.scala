@@ -168,6 +168,7 @@ class TimeSeriesSpec extends AnyFunSuite {
     val r = got.head
     assert((r.getString(0), r.getString(1)) === (("a", "b")))
     assert(r.getAs[Long]("n_buckets") === 4L)
+    assert(r.getAs[Long]("n_buckets_full") === 4L) // under the 40 cap
     assert(r.getAs[Long]("dtw_dist") === 4L)
     assert(r.getAs[Long]("euclid_l1") === 8L)
     // identical series: DTW exactly zero
@@ -177,5 +178,19 @@ class TimeSeriesSpec extends AnyFunSuite {
       "event_type", "ts").collect().head
     assert(z.getAs[Long]("dtw_dist") === 0L)
     assert(z.getAs[Long]("euclid_l1") === 0L)
+  }
+
+  test("dtwPairs: truncation past 40 buckets is visible, never silent") {
+    import java.sql.Timestamp
+    def day(d: Int) = new Timestamp(
+      Timestamp.valueOf("2024-01-01 00:00:00").getTime + d * 86400000L)
+    // 45-day spine: both series truncate to the first 40 buckets and
+    // n_buckets_full reports the untruncated spine length
+    val rows = (0 until 45).map(d => ("a", day(d))) ++
+      (0 until 45 by 2).map(d => ("b", day(d)))
+    val r = TimeSeries.dtwPairs(rows.toDF("event_type", "ts"),
+      "event_type", "ts").collect().head
+    assert(r.getAs[Long]("n_buckets") === 40L)
+    assert(r.getAs[Long]("n_buckets_full") === 45L)
   }
 }
