@@ -2699,6 +2699,12 @@ object OracleGen {
     * the smallest node, cut/conductance rollup.
     */
   def spec1Sql(iters: Int = 12): String = {
+    // early-exit freeze, mirrored from the engine: once a round's sign
+    // pattern equals the previous round's OR is its exact flip (the
+    // negative-eigenvalue ±v oscillation the s0 pin absorbs), x
+    // carries forward unchanged (f$k latches true) — so both engines
+    // land on the first ±-stable round's values no matter the unroll
+    // depth, and rounds_used is the first latched k.
     val rounds = (1 to iters).map { k =>
       s""",
          |y$k AS MATERIALIZED (SELECT und.dst AS v, any_value(deg.d) AS d,
@@ -2709,10 +2715,20 @@ object OracleGen {
          |m$k AS (SELECT CAST(CAST(sum(d * y) AS BIGINT) // any_value(volt)
          |    AS BIGINT) AS m FROM y$k, vol),
          |mx$k AS (SELECT greatest(max(abs(y - m)), 1) AS mx FROM y$k, m$k),
-         |x$k AS MATERIALIZED (SELECT v,
+         |c$k AS MATERIALIZED (SELECT v,
          |    CAST(((y - m) * 1000000000) // mx AS BIGINT) AS x
-         |  FROM y$k, m$k, mx$k)""".stripMargin
+         |  FROM y$k, m$k, mx$k),
+         |f$k AS (SELECT ((SELECT f FROM f${k - 1}) OR (
+         |    SELECT coalesce(sum(CASE WHEN (c.x >= 0) != (p.x >= 0)
+         |        THEN 1 ELSE 0 END), 0) IN (0, count(*))
+         |    FROM c$k c JOIN x${k - 1} p USING (v))) AS f),
+         |x$k AS MATERIALIZED (SELECT p.v,
+         |    CASE WHEN (SELECT f FROM f${k - 1}) THEN p.x ELSE c.x END AS x
+         |  FROM x${k - 1} p JOIN c$k c USING (v))""".stripMargin
     }.mkString
+    val ruLegs = (1 to iters)
+      .map(k => s"SELECT $k AS k, (SELECT f FROM f$k) AS f")
+      .mkString(" UNION ALL ")
     s"""WITH dir AS (SELECT DISTINCT src, dst FROM (
        |    SELECT lag(user_id) OVER (PARTITION BY event_type
        |      ORDER BY ts, event_id) AS src, user_id AS dst FROM events)
@@ -2723,9 +2739,12 @@ object OracleGen {
        |  FROM und GROUP BY 1),
        |vol AS (SELECT CAST(sum(d) AS BIGINT) AS volt FROM deg),
        |x0 AS MATERIALIZED (SELECT v, CAST(CASE WHEN v % 2 = 0
-       |    THEN 1000000000 ELSE -1000000000 END AS BIGINT) AS x FROM deg)"""
+       |    THEN 1000000000 ELSE -1000000000 END AS BIGINT) AS x FROM deg),
+       |f0 AS (SELECT false AS f)"""
       .stripMargin + rounds +
       s""",
+         |ru AS (SELECT coalesce(min(k), $iters) AS r
+         |  FROM ($ruLegs) t WHERE f),
          |s0 AS (SELECT CASE WHEN x < 0 THEN -1 ELSE 1 END AS flip
          |  FROM x$iters ORDER BY v LIMIT 1),
          |sided AS MATERIALIZED (SELECT v, (x * flip) >= 0 AS pos
@@ -2743,7 +2762,8 @@ object OracleGen {
          |SELECT n_pos, n_neg, vol_pos, vol_neg, cut_edges,
          |  CASE WHEN least(vol_pos, vol_neg) = 0 THEN CAST(0 AS BIGINT)
          |    ELSE (cut_edges * 1000000000) // least(vol_pos, vol_neg)
-         |  END AS conductance_nano
+         |  END AS conductance_nano,
+         |  CAST((SELECT r FROM ru) AS BIGINT) AS rounds_used
          |FROM sides, cut""".stripMargin
   }
 

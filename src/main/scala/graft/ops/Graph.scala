@@ -803,6 +803,12 @@ object Graph {
     * Scale: undirected edges shuffle once and persist; each round
     * exchanges (node, long) pairs with two scalar broadcasts — the
     * [[pageRank]] fixed-point shape, per-round lineage cut included.
+    * Rounds early-exit at the first ±-stable iteration — the sign
+    * pattern reproduced exactly OR exactly flipped (a negative second
+    * eigenvalue makes the deflated iteration oscillate ±v; the s0 pin
+    * makes both the same partition) — capped at `iterations`.
+    * `rounds_used` is emitted and the oracle replays the identical
+    * freeze rule, so the exit round itself is value-gated.
     */
   def spectralBipartition(edges: DataFrame, iterations: Int = 12): DataFrame = {
     val spark = edges.sparkSession
@@ -824,7 +830,9 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var x = shallow(xCached)
     var prev: DataFrame = null
-    for (_ <- 1 to iterations) {
+    var roundsUsed = 0
+    var converged = false
+    while (roundsUsed < iterations && !converged) {
       // y persists for the round: the stats pass and the rescale pass
       // below would otherwise each replay the contribution join (the
       // 3x-per-round recompute that made the first cut of this op
@@ -851,6 +859,22 @@ object Graph {
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count()
       y.unpersist(false)
+      // convergence early-exit: the OUTPUT depends only on the PINNED
+      // sign pattern (s0 flips the global sign), so both a reproduced
+      // pattern (m = 0) and an exactly-flipped one (m = n — the
+      // negative-eigenvalue oscillation ±v the pin absorbs) mean the
+      // partition is final — stop instead of burning the remaining
+      // fixed rounds. One extra 1-row aggregate per round; the oracle
+      // replays the identical freeze rule and rounds_used is gated.
+      roundsUsed += 1
+      val conv = next
+        .join(x.select(col("v"), col("x").as("px")), "v")
+        .agg(count(lit(1)).cast("long").as("n"),
+          coalesce(sum(when((col("x") >= 0L) =!= (col("px") >= 0L), 1L)
+            .otherwise(0L)), lit(0L)).cast("long").as("mm"))
+        .head()
+      val mm = conv.getAs[Long]("mm")
+      if (mm == 0L || mm == conv.getAs[Long]("n")) converged = true
       if (prev != null) prev.unpersist()
       prev = xCached
       xCached = next
@@ -878,7 +902,8 @@ object Graph {
         col("cut_edges"),
         expr("""CASE WHEN least(vol_pos, vol_neg) = 0 THEN 0
                |  ELSE (cut_edges * 1000000000L) div least(vol_pos, vol_neg)
-               |END""".stripMargin).as("conductance_nano"))
+               |END""".stripMargin).as("conductance_nano"),
+        lit(roundsUsed.toLong).as("rounds_used"))
       .localCheckpoint()
     if (prev != null) prev.unpersist()
     xCached.unpersist(); sided.unpersist(); und.unpersist(); deg.unpersist()

@@ -353,6 +353,10 @@ class GraphSpec extends AnyFunSuite {
     assert(r.getAs[Long]("vol_pos") === 7L)
     assert(r.getAs[Long]("vol_neg") === 7L)
     assert(r.getAs[Long]("conductance_nano") === 1000000000L / 7L)
+    // sign pattern stabilizes well before the 12-round cap: the
+    // early-exit must fire and report the round it latched on
+    val ru = r.getAs[Long]("rounds_used")
+    assert(ru >= 1L && ru < 12L, s"expected early exit, used $ru rounds")
     spark.catalog.clearCache()
   }
 }
