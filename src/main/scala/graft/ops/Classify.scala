@@ -273,6 +273,38 @@ object Classify {
     * (≤ `maxItems`, the markovSteady bounded-collect cap) — the
     * subject side never leaves the cluster.
     */
+  /** Lazy (subject, item) response-cell aggregation of [[raschFit]],
+    * exposed for the plan-shape gate. */
+  private[graft] def raschCells(resp: DataFrame, subjectCol: String,
+      itemCol: String, nCol: String, kCol: String): DataFrame =
+    resp.select(col(subjectCol).cast("string").as("u"),
+        col(itemCol).cast("string").as("i"),
+        col(nCol).cast("long").as("n"), col(kCol).cast("long").as("k"))
+      .groupBy("u", "i")
+      .agg(sum("n").cast("long").as("n"), sum("k").cast("long").as("k"))
+
+  /** One gradient round of [[raschFit]], lazy: returns (e, nextTh) —
+    * e is `pin`ned in the real loop because the subject update and the
+    * item gradients both replay the cell join otherwise. Exposed so
+    * the plan-shape gate can golden-pin the round's pure plan (the
+    * registered irt1 plan is a trivial localCheckpoint scan).
+    */
+  private[graft] def raschRound(r: DataFrame, th: DataFrame, bDf: DataFrame,
+      pin: DataFrame => DataFrame = identity): (DataFrame, DataFrame) = {
+    val e = pin(r.join(th, "u").join(broadcast(bDf), "i")
+      .withColumn("p_micro", floor(lit(1e6) /
+        (lit(1.0) + exp(-((col("t") - col("bb")).cast("double") / lit(1e6))))
+        + lit(0.5)).cast("long"))
+      .withColumn("e", col("k") * lit(1000000L) - col("n") * col("p_micro")))
+    // subject update in-plan: θ += (Σe div Σn) div 2
+    val nextTh = e.groupBy("u")
+      .agg(sum("e").cast("long").as("se"), sum("n").cast("long").as("sn"),
+        first("t").as("t0"))
+      .select(col("u"),
+        (col("t0") + expr("(se div sn) div 2L")).as("t"))
+    (e, nextTh)
+  }
+
   def raschFit(resp: DataFrame, subjectCol: String, itemCol: String,
                nCol: String, kCol: String, iters: Int = 8,
                maxItems: Int = 64): DataFrame = {
@@ -280,11 +312,7 @@ object Classify {
     def shallow(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
     import org.apache.spark.storage.StorageLevel
-    val r = resp.select(col(subjectCol).cast("string").as("u"),
-        col(itemCol).cast("string").as("i"),
-        col(nCol).cast("long").as("n"), col(kCol).cast("long").as("k"))
-      .groupBy("u", "i")
-      .agg(sum("n").cast("long").as("n"), sum("k").cast("long").as("k"))
+    val r = raschCells(resp, subjectCol, itemCol, nCol, kCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val itemRows = r.groupBy("i")
       .agg(sum("n").cast("long").as("nt"), sum("k").cast("long").as("kt"))
@@ -299,23 +327,11 @@ object Classify {
     var th = shallow(thCached)
     var prev: DataFrame = null
     for (_ <- 1 to iters) {
-      val bDf = broadcast(spark.createDataFrame(
-        b.toSeq.sortBy(_._1)).toDF("i", "bb"))
-      // e persists for the round: the subject update and the item
-      // gradients below would otherwise each replay the cell join
-      val e = r.join(th, "u").join(bDf, "i")
-        .withColumn("p_micro", floor(lit(1e6) /
-          (lit(1.0) + exp(-((col("t") - col("bb")).cast("double") / lit(1e6))))
-          + lit(0.5)).cast("long"))
-        .withColumn("e", col("k") * lit(1000000L) - col("n") * col("p_micro"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // subject update in-plan: θ += (Σe div Σn) div 2
-      val nextTh = e.groupBy("u")
-        .agg(sum("e").cast("long").as("se"), sum("n").cast("long").as("sn"),
-          first("t").as("t0"))
-        .select(col("u"),
-          (col("t0") + expr("(se div sn) div 2L")).as("t"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val bDf = spark.createDataFrame(
+        b.toSeq.sortBy(_._1)).toDF("i", "bb")
+      val (e, nextTh0) = raschRound(r, th, bDf,
+        _.persist(StorageLevel.MEMORY_AND_DISK))
+      val nextTh = nextTh0.persist(StorageLevel.MEMORY_AND_DISK)
       nextTh.count()
       // item gradients: items-bounded collect, exact ints
       val gi = e.groupBy("i")

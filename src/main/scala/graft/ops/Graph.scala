@@ -810,53 +810,76 @@ object Graph {
     * `rounds_used` is emitted and the oracle replays the identical
     * freeze rule, so the exit round itself is value-gated.
     */
-  def spectralBipartition(edges: DataFrame, iterations: Int = 12): DataFrame = {
-    val spark = edges.sparkSession
-    def shallow(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.rdd, df.schema)
+  /** Lazy building blocks of [[spectralBipartition]], exposed so the
+    * plan-shape gate can golden-pin one round's pure plan (the
+    * registered query's own plan is a trivial localCheckpoint scan —
+    * the driver loop materializes every round). `pin` is how
+    * intermediates the loop re-reads get persisted; the fragment
+    * passes identity so nothing registers in the CacheManager.
+    */
+  private[graft] def spectralParts(edges: DataFrame,
+      pin: DataFrame => DataFrame = identity)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val S = 1000000000L
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val dir = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .filter(col("src") =!= col("dst"))
-    val und = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = und.groupBy(col("dst").as("v"))
-      .agg(count(lit(1)).cast("long").as("d"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val und = pin(dir
+      .union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().repartition(col("src")))
+    val deg = pin(und.groupBy(col("dst").as("v"))
+      .agg(count(lit(1)).cast("long").as("d")))
     val vol = deg.agg(sum(dec(col("d"))).as("volt"))
-    var xCached = deg.select(col("v"),
-        when(pmod(col("v"), lit(2L)) === 0L, lit(S)).otherwise(lit(-S)).as("x"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val x0 = deg.select(col("v"),
+      when(pmod(col("v"), lit(2L)) === 0L, lit(S)).otherwise(lit(-S)).as("x"))
+    (und, deg, vol, x0)
+  }
+
+  /** One power-iteration round of [[spectralBipartition]]: returns
+    * (y, next) — y is `pin`ned because both the stats pass and the
+    * rescale read it (the 3x-per-round recompute that made the first
+    * cut of this op 24 s at sf0.1).
+    */
+  private[graft] def spectralRound(und: DataFrame, deg: DataFrame,
+      vol: DataFrame, x: DataFrame,
+      pin: DataFrame => DataFrame = identity): (DataFrame, DataFrame) = {
+    val S = 1000000000L
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val y = pin(und.join(x, und("src") === x("v"))
+      .groupBy(und("dst").as("v"))
+      .agg(sum(dec(col("x"))).as("sx"))
+      .join(deg, "v")
+      .select(col("v"), col("d"), expr("CAST(sx div d AS BIGINT)").as("y")))
+    // ONE stats pass: the D-weighted mean plus max|y − m| via the
+    // exact identity max|y − m| = max(max(y) − m, m − min(y))
+    val stats = y.crossJoin(vol)
+      .agg(sum(dec(col("d")) * dec(col("y"))).as("sdy"),
+        first(col("volt")).as("vt"),
+        max(col("y")).as("maxy"), min(col("y")).as("miny"))
+      .select(expr("CAST(sdy div vt AS BIGINT)").as("m"),
+        col("maxy"), col("miny"))
+      .select(col("m"), greatest(col("maxy") - col("m"),
+        col("m") - col("miny"), lit(1L)).as("mx"))
+    val next = y.crossJoin(broadcast(stats))
+      .select(col("v"),
+        expr(s"CAST(((y - m) * ${S}L) div mx AS BIGINT)").as("x"))
+    (y, next)
+  }
+
+  def spectralBipartition(edges: DataFrame, iterations: Int = 12): DataFrame = {
+    val spark = edges.sparkSession
+    def shallow(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    val pinP: DataFrame => DataFrame = _.persist(StorageLevel.MEMORY_AND_DISK)
+    val (und, deg, vol, x0) = spectralParts(edges, pinP)
+    var xCached = pinP(x0)
     var x = shallow(xCached)
     var prev: DataFrame = null
     var roundsUsed = 0
     var converged = false
     while (roundsUsed < iterations && !converged) {
-      // y persists for the round: the stats pass and the rescale pass
-      // below would otherwise each replay the contribution join (the
-      // 3x-per-round recompute that made the first cut of this op
-      // 24 s at sf0.1)
-      val y = und.join(x, und("src") === x("v"))
-        .groupBy(und("dst").as("v"))
-        .agg(sum(dec(col("x"))).as("sx"))
-        .join(deg, "v")
-        .select(col("v"), col("d"), expr("CAST(sx div d AS BIGINT)").as("y"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // ONE stats pass: the D-weighted mean plus max|y − m| via the
-      // exact identity max|y − m| = max(max(y) − m, m − min(y))
-      val stats = y.crossJoin(vol)
-        .agg(sum(dec(col("d")) * dec(col("y"))).as("sdy"),
-          first(col("volt")).as("vt"),
-          max(col("y")).as("maxy"), min(col("y")).as("miny"))
-        .select(expr("CAST(sdy div vt AS BIGINT)").as("m"),
-          col("maxy"), col("miny"))
-        .select(col("m"), greatest(col("maxy") - col("m"),
-          col("m") - col("miny"), lit(1L)).as("mx"))
-      val next = y.crossJoin(broadcast(stats))
-        .select(col("v"),
-          expr(s"CAST(((y - m) * ${S}L) div mx AS BIGINT)").as("x"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (y, next0) = spectralRound(und, deg, vol, x, pinP)
+      val next = pinP(next0)
       next.count()
       y.unpersist(false)
       // convergence early-exit: the OUTPUT depends only on the PINNED

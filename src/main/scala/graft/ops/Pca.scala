@@ -335,27 +335,34 @@ object Pca {
     * the (2m)² kernel matrix and the reps × pairs permutation table
     * are sample-bounded, never corpus-bounded.
     */
-  def mmdTest(vecs: DataFrame, isP: Column, m: Int = 128, reps: Int = 32,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(m >= 2 && reps >= 1, "need m >= 2 and reps >= 1")
-    val dec = (c: Column) => c.cast("decimal(38,0)")
+  /** Lazy m-per-side sample of [[mmdTest]] — per-side top-m via
+    * orderBy+limit (TakeOrderedAndProject), NOT a rank window: a
+    * Window.partitionBy(is_p) would funnel the whole corpus through at
+    * most two tasks; TakeOrdered keeps the scan fully parallel and
+    * moves only m rows per side (the m smallest (md5, id) per side).
+    * Exposed for the plan-shape gate.
+    */
+  private[graft] def mmdSample(vecs: DataFrame, isP: Column, m: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val hashed = vecs.select(col(idCol).cast("long").as("id"),
         isP.cast("boolean").as("is_p"), v.as("vv"))
       .withColumn("h", conv(substring(md5(col("id").cast("string")), 1, 15),
         16, 10).cast("long"))
-    // per-side top-m via orderBy+limit (TakeOrderedAndProject), NOT a
-    // rank window: Window.partitionBy(is_p) would funnel the whole
-    // corpus through at most two tasks; TakeOrdered keeps the scan
-    // fully parallel and moves only m rows per side. Selects exactly
-    // the same rows (the m smallest (h, id) per side).
-    val base = hashed.filter(col("is_p"))
+    hashed.filter(col("is_p"))
       .orderBy(col("h").asc, col("id").asc).limit(m)
       .unionByName(hashed.filter(!col("is_p"))
         .orderBy(col("h").asc, col("id").asc).limit(m))
       .select(col("id"), col("is_p"), col("vv"))
-      .persist()
-    val pairs = base.select(col("id").as("ia"), col("is_p").as("pa"),
+  }
+
+  /** Lazy sample-bounded pair table of [[mmdTest]] — the op's ONE
+    * quadratic object, (2m)² by construction. Exposed for the
+    * plan-shape gate (the registered mmd1 plan is a trivial
+    * localCheckpoint scan — construction materializes the kernel).
+    */
+  private[graft] def mmdPairTable(base: DataFrame): DataFrame =
+    base.select(col("id").as("ia"), col("is_p").as("pa"),
         col("vv").as("va"))
       .join(base.select(col("id").as("ib"), col("is_p").as("pb"),
         col("vv").as("vb")), col("ia") < col("ib"))
@@ -363,7 +370,13 @@ object Pca {
           zip_with(col("va"), col("vb"), (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, x) => acc + x) * lit(1e9) + lit(0.5)).cast("long"))
       .select("ia", "ib", "pa", "pb", "d2_nano")
-      .persist()
+
+  def mmdTest(vecs: DataFrame, isP: Column, m: Int = 128, reps: Int = 32,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 2 && reps >= 1, "need m >= 2 and reps >= 1")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = mmdSample(vecs, isP, m, idCol, vecCol).persist()
+    val pairs = mmdPairTable(base).persist()
     val np = pairs.count()
     val sigma = pairs
       .withColumn("r", row_number().over(
