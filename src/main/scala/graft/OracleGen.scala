@@ -1017,6 +1017,62 @@ object OracleGen {
       }
     }.mkString(", ")
 
+  /** ari1: ARI + NMI between the label column and the 2-plane SRP
+    * cell — the SAME plane literals as the engine
+    * (Similarity.planeSigns(nPlanes, dim, seed)), exact HUGEINT pair
+    * counts (C(x,2) halves the even factor first), fixed-form ln
+    * terms nano-quantized then integer-weighted, sign-safe magnitude
+    * division at display.
+    */
+  def ari1Sql(nPlanes: Int = 2, dim: Int = 64, seed: Long = 7L): String = {
+    def c2(cn: String) =
+      s"(CASE WHEN $cn % 2 = 0 THEN CAST($cn // 2 AS HUGEINT) * " +
+        s"CAST($cn - 1 AS HUGEINT) ELSE CAST($cn AS HUGEINT) * " +
+        s"CAST(($cn - 1) // 2 AS HUGEINT) END)"
+    s"""WITH pl(tbl, p, s) AS (VALUES ${planeRows(nPlanes, dim, Seq(seed))}),
+       |e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |dots AS (SELECT e.vec_id, e.label, pl.p, ${planeDot(dim)} AS dp FROM e CROSS JOIN pl),
+       |bkt AS (SELECT vec_id, any_value(label) AS la0,
+       |    CAST(sum(CASE WHEN dp >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS lb
+       |  FROM dots GROUP BY vec_id),
+       |cells AS (SELECT CAST(la0 AS BIGINT) AS la, lb,
+       |    CAST(count(*) AS BIGINT) AS nij FROM bkt GROUP BY 1, 2),
+       |ra AS (SELECT la, CAST(sum(nij) AS BIGINT) AS ai FROM cells GROUP BY 1),
+       |cb AS (SELECT lb, CAST(sum(nij) AS BIGINT) AS bj FROM cells GROUP BY 1),
+       |tot AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
+       |    CAST(count(*) AS BIGINT) AS n_cells,
+       |    CAST(count(DISTINCT la) AS BIGINT) AS n_labels,
+       |    CAST(count(DISTINCT lb) AS BIGINT) AS n_geo_cells,
+       |    sum(${c2("nij")}) AS sij FROM cells),
+       |mi AS (SELECT sum(CAST(nij AS HUGEINT) * CAST(floor(ln(
+       |      (CAST(n AS DOUBLE) * CAST(nij AS DOUBLE)) /
+       |      (CAST(ai AS DOUBLE) * CAST(bj AS DOUBLE))) * 1e9 + 0.5)
+       |    AS HUGEINT)) AS i_num
+       |  FROM cells JOIN ra USING (la) JOIN cb USING (lb), tot),
+       |ha AS (SELECT sum(CAST(ai AS HUGEINT) * CAST(floor(ln(
+       |      CAST(n AS DOUBLE) / CAST(ai AS DOUBLE)) * 1e9 + 0.5)
+       |    AS HUGEINT)) AS h_ai FROM ra, tot),
+       |hb AS (SELECT sum(CAST(bj AS HUGEINT) * CAST(floor(ln(
+       |      CAST(n AS DOUBLE) / CAST(bj AS DOUBLE)) * 1e9 + 0.5)
+       |    AS HUGEINT)) AS h_bj FROM cb, tot),
+       |sab AS (SELECT (SELECT sum(${c2("ai")}) FROM ra) AS sa,
+       |    (SELECT sum(${c2("bj")}) FROM cb) AS sb),
+       |fin AS (SELECT n, n_labels, n_geo_cells, n_cells, sij, sa, sb,
+       |    i_num, h_ai, h_bj, ${c2("n")} AS cc FROM tot, sab, mi, ha, hb),
+       |fin2 AS (SELECT *, 2 * (cc * sij - sa * sb) AS num2,
+       |    cc * (sa + sb) - 2 * sa * sb AS den2 FROM fin)
+       |SELECT n, n_labels, n_geo_cells, n_cells,
+       |  CASE WHEN den2 = 0 THEN CAST(0 AS BIGINT)
+       |    WHEN num2 >= 0 THEN CAST((num2 * 1000000) // den2 AS BIGINT)
+       |    ELSE -CAST(((-num2) * 1000000) // den2 AS BIGINT) END AS ari_micro,
+       |  CASE WHEN h_ai + h_bj = 0 THEN CAST(0 AS BIGINT)
+       |    WHEN i_num >= 0 THEN
+       |      CAST((2 * i_num * 1000000) // (h_ai + h_bj) AS BIGINT)
+       |    ELSE -CAST((2 * (-i_num) * 1000000) // (h_ai + h_bj) AS BIGINT)
+       |  END AS nmi_micro
+       |FROM fin2""".stripMargin
+  }
+
   /** Exact in-order signed dot of plane string `s` against vector col
     * `v` — bit-identical to VectorDot's left fold.
     */

@@ -87,6 +87,12 @@ object Plans {
     // (scan + one combinable rollup — pin it so the deflate pass stays
     // a single narrow exchange)
     "cz1_compression_ratio",
+    // round-15 wave 7 (all five fully lazy): wm1/mj1 are pure in-row
+    // passes, mink1 is the tx14 LM + a doc-bounded rank window, ari1
+    // one contingency shuffle + bounded-table folds, drm1 one
+    // combinable source shuffle + domain-bounded tilt
+    "wm1_watermark_detect", "mink1_min_k_prob", "mj1_mojibake_audit",
+    "ari1_clustering_agreement", "drm1_domain_reweight",
     "ci2_lsh_maxsim", "dd19_lsh_planner")
 
   /** Representative LAZY plan fragments for operators excluded from

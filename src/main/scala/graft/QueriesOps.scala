@@ -10192,5 +10192,139 @@ object QueriesOps {
         .select(col("cluster"), col("n_members"), col("dim"),
           round(col("c_val"), 6).as("c_val"))
         .orderBy("cluster", "dim"),
-      Some(OracleGen.km1Sql(8, 2))))
+      Some(OracleGen.km1Sql(8, 2))),
+
+    // WM1: decoding-watermark detection (Kirchenbauer '23) — per-doc
+    // green-bigram z-test, greenness = md5 15th hex digit mod 4 of
+    // (w1, w2). The synthetic-text countermeasure: flag machine-
+    // generated (watermarked) text before it enters the corpus.
+    // Entirely in-row; z is one fixed-form sqrt on exact integers.
+    "wm1_watermark_detect" -> Q(
+      (s, d) => graft.ops.Text.watermarkDetect(docs(s, d))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |    FROM documents WHERE len(string_split(lower(text), ' ')) >= 2),
+        |g AS (SELECT doc_id, CAST(len(toks) - 1 AS BIGINT) AS n_scored,
+        |    CAST(len(list_filter(range(1, len(toks)), j ->
+        |      (strpos('0123456789abcdef', substr(md5(
+        |        toks[CAST(j AS INTEGER)] || chr(31) ||
+        |        toks[CAST(j AS INTEGER) + 1]), 15, 1)) - 1) % 4 = 0))
+        |      AS BIGINT) AS n_green
+        |  FROM t),
+        |z AS (SELECT doc_id, n_scored, n_green,
+        |    CAST(floor(CAST(4 * n_green - n_scored AS DOUBLE) /
+        |      sqrt(3.0 * CAST(n_scored AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+        |      AS z_nano
+        |  FROM g)
+        |SELECT doc_id, n_scored, n_green, z_nano,
+        |  z_nano > 4000000000 AS wm_flag
+        |FROM z ORDER BY doc_id""".stripMargin)),
+
+    // MINK1: Min-K% prob membership audit (Shi '24) — mean NLL of the
+    // 20% most-surprising bigrams per doc under the tx14 corpus LM; a
+    // LOW score = even the rarest transitions are high-probability =
+    // the duplicate/contamination signal mean perplexity dilutes.
+    "mink1_min_k_prob" -> Q(
+      (s, d) => graft.ops.Text.minKProb(docs(s, d))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> struct_pack(p := i, w1 := toks[i], w2 := toks[i + 1]))) AS s
+        |    FROM t WHERE len(toks) >= 2),
+        |bb AS (SELECT doc_id, CAST(s.p AS BIGINT) AS p, s.w1 AS w1, s.w2 AS w2 FROM b),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM bb GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c12 GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM c12),
+        |lm AS (SELECT w1, w2, CAST(floor(-ln(CAST(n12 + 1 AS DOUBLE) /
+        |      CAST(n1 + v AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS nll_nano
+        |  FROM c12 JOIN c1 USING (w1), v),
+        |r AS (SELECT bb.doc_id, bb.p, lm.nll_nano,
+        |    CAST(row_number() OVER (PARTITION BY bb.doc_id
+        |      ORDER BY lm.nll_nano DESC, bb.p ASC) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY bb.doc_id) AS BIGINT) AS n
+        |  FROM bb JOIN lm USING (w1, w2)),
+        |f AS (SELECT doc_id, n, greatest((n * 20) // 100, 1) AS kc, nll_nano
+        |  FROM r WHERE rk <= greatest((n * 20) // 100, 1))
+        |SELECT doc_id, any_value(n) AS n_scored,
+        |  CAST(any_value(kc) AS BIGINT) AS k_cnt,
+        |  CAST(sum(nll_nano) // any_value(kc) AS BIGINT) AS mink_nll_nano
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // MJ1: mojibake / encoding-damage audit (the ftfy problem class) —
+    // replace-based exact counts of the classic double-encoding
+    // signatures, per-source damage rates. Runs BEFORE text filters:
+    // mojibake corrupts every downstream token statistic.
+    "mj1_mojibake_audit" -> Q(
+      (s, d) => graft.ops.Text.mojibakeAudit(docs(s, d))
+        .orderBy("source"),
+      Some("""WITH per AS (SELECT source,
+        |    CAST(length(text) - length(replace(text, chr(65533), ''))
+        |      AS BIGINT) AS c_repl,
+        |    CAST(length(text) - length(replace(text, chr(195), ''))
+        |      AS BIGINT) AS c_a_tilde,
+        |    CAST((length(text) - length(replace(text,
+        |      chr(226) || chr(8364), ''))) // 2 AS BIGINT) AS c_a_circ,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[\x{0080}-\x{009F}]', '', 'g')) AS BIGINT) AS c_c1
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN c_repl + c_a_tilde + c_a_circ + c_c1 > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_damaged,
+        |  CAST((sum(CASE WHEN c_repl + c_a_tilde + c_a_circ + c_c1 > 0
+        |    THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT)
+        |    AS damage_rate_micro,
+        |  CAST(sum(c_repl) AS BIGINT) AS n_replacement,
+        |  CAST(sum(c_a_tilde) AS BIGINT) AS n_latin1_utf8,
+        |  CAST(sum(c_a_circ) AS BIGINT) AS n_punct_mojibake,
+        |  CAST(sum(c_c1) AS BIGINT) AS n_c1_controls
+        |FROM per GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ARI1: clustering agreement — ARI + mean-normalized MI between
+    // the label column and the deterministic 2-plane SRP geometry
+    // cell; the external validation the dd13/cl1 cluster family was
+    // missing. One contingency shuffle, bounded-table exact rationals.
+    "ari1_clustering_agreement" -> Q(
+      (s, d) => graft.ops.Pca.clusteringAgreement(embs(s, d)),
+      Some(OracleGen.ari1Sql())),
+
+    // DRM1: exponential-tilt domain reweighting (DoReMi-lite, Xie '23
+    // static-loss case) — w_i ∝ token_share_i · exp(η · excess_loss_i)
+    // with the quality deficit as the loss proxy. One combinable
+    // (source) shuffle; the tilt is one exp per domain.
+    "drm1_domain_reweight" -> Q(
+      (s, d) => graft.ops.Curate.domainReweight(docs(s, d))
+        .orderBy("source"),
+      Some("""WITH q AS (SELECT source, doc_id,
+        |    least(1.0,
+        |      CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE) * 0.5
+        |      + CAST(len(list_filter(string_split(text, ' '),
+        |          x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
+        |      + least(CAST(list_sum(list_transform(string_split(text, ' '),
+        |          x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+        |          / CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0, 1.0) * 0.2) AS qs,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |    1000000 - CAST(sum(CAST(floor(qs * 1e6 + 0.5) AS BIGINT))
+        |      // count(*) AS BIGINT) AS loss_micro
+        |  FROM q GROUP BY source),
+        |ref AS (SELECT min(loss_micro) AS min_loss,
+        |    CAST(sum(n_tokens) AS HUGEINT) AS tt FROM per),
+        |tl AS (SELECT source, n_docs, n_tokens,
+        |    CAST((CAST(n_tokens AS HUGEINT) * 1000000) // tt AS BIGINT)
+        |      AS share_micro,
+        |    loss_micro, loss_micro - min_loss AS excess_micro,
+        |    CAST(floor(exp(CAST(loss_micro - min_loss AS DOUBLE) / 1e6 * 2.0)
+        |      * 1e12 + 0.5) AS BIGINT) AS tilt_pico
+        |  FROM per, ref),
+        |w AS (SELECT *, CAST(share_micro AS HUGEINT) *
+        |    CAST(tilt_pico AS HUGEINT) AS w_raw FROM tl),
+        |z AS (SELECT sum(w_raw) AS zz FROM w)
+        |SELECT source, n_docs, n_tokens, share_micro, loss_micro,
+        |  CAST(excess_micro AS BIGINT) AS excess_micro,
+        |  CAST((w_raw * 1000000) // zz AS BIGINT) AS weight_micro
+        |FROM w, z ORDER BY source""".stripMargin)))
 }

@@ -1385,4 +1385,60 @@ object Curate {
                |  ELSE sk div (n_members - n_dropped) END AS BIGINT)""".stripMargin)
           .as("mean_kept_nano"))
   }
+
+  /** Exponential-tilt domain reweighting — the static-loss special
+    * case of DoReMi (Xie et al., NeurIPS'23): given a per-domain
+    * excess-loss signal, the exponentiated-gradient trajectory with
+    * fixed losses collapses to one closed-form tilt
+    * `w_i ∝ share_i · exp(η · excess_i)` over the baseline token
+    * shares — upweight the domains the proxy finds hardest. Here the
+    * loss proxy is the corpus quality deficit (1 − mean
+    * [[graft.ops.Text.withQuality]] score per source), so the tilt
+    * shifts sampling mass toward under-curated sources; swap in a
+    * held-out LM loss per domain for the full DoReMi setup.
+    *
+    * Determinism: per-doc quality micro-quantizes before the exact
+    * per-source integer mean; the single exp per domain is a
+    * fixed-form double on an exact integer argument, pico-quantized;
+    * shares and the normalized weights are exact integer divisions of
+    * decimal sums.
+    *
+    * Scale: one combinable (source) shuffle carrying three integer
+    * sums; everything after lives on the domains-bounded table. The
+    * tilt is one row of arithmetic per domain — no iteration, no
+    * corpus re-pass.
+    */
+  def domainReweight(docs: DataFrame, eta: Double = 2.0,
+                     groupCol: String = "source",
+                     textCol: String = "text"): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val per = graft.ops.Text.withQuality(docs, textCol)
+      .select(col(groupCol).as("grp"),
+        floor(col("quality_score") * lit(1e6) + lit(0.5)).cast("long")
+          .as("q_micro"),
+        size(split(lower(col(textCol)), " ")).cast("long").as("n_tok"))
+      .groupBy("grp")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(dec(col("q_micro"))).as("sq"),
+        sum(col("n_tok")).cast("long").as("n_tokens"))
+      .select(col("grp"), col("n_docs"), col("n_tokens"),
+        (lit(1000000L) - expr("CAST(sq div n_docs AS BIGINT)"))
+          .as("loss_micro"))
+    val floorRef = per.agg(min("loss_micro").cast("long").as("min_loss"),
+      sum(dec(col("n_tokens"))).as("tt"))
+    val tilted = per.crossJoin(broadcast(floorRef))
+      .withColumn("share_micro",
+        expr("CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000) div tt " +
+          "AS BIGINT)"))
+      .withColumn("excess_micro", col("loss_micro") - col("min_loss"))
+      .withColumn("tilt_pico", floor(
+        exp(col("excess_micro").cast("double") / lit(1e6) * lit(eta)) *
+          lit(1e12) + lit(0.5)).cast("long"))
+      .withColumn("w_raw", dec(col("share_micro")) * dec(col("tilt_pico")))
+    val z = tilted.agg(sum(col("w_raw")).as("zz"))
+    tilted.crossJoin(broadcast(z))
+      .select(col("grp").as("source"), col("n_docs"), col("n_tokens"),
+        col("share_micro"), col("loss_micro"), col("excess_micro"),
+        expr("CAST((w_raw * 1000000) div zz AS BIGINT)").as("weight_micro"))
+  }
 }

@@ -533,4 +533,101 @@ object Pca {
           .cast("double") / lit(1e12)) * lit(1e9) + lit(0.5)).cast("long")
           .as("uniformity_nano"))
   }
+
+  /** Clustering agreement — Adjusted Rand Index (Hubert & Arabie '85)
+    * and arithmetic-mean-normalized mutual information — between the
+    * label column and a deterministic geometry clustering (the
+    * [[graft.ops.Similarity.srpBucket]] sign-random-projection cell,
+    * plan-time ±1 hyperplane literals). THE external-validation pair
+    * every clustering pipeline reports: ARI is chance-corrected pair
+    * agreement, NMI the information overlap; together they audit
+    * whether embedding geometry recovers the labeling (the dd13/cl1
+    * cluster family's missing eval).
+    *
+    * Determinism: the contingency table is exact integer counts; pair
+    * counts C(x,2) and all ARI rationals are decimal(38,0) with ONE
+    * sign-safe truncating display division; each MI/entropy log is a
+    * fixed-form double on an exact integer ratio, nano-quantized,
+    * then weighted by exact integer cell counts.
+    *
+    * Scale: ONE corpus pass to the (label, cell) contingency (a
+    * combinable count shuffle, cells = labels × 2^nPlanes rows);
+    * every margin, entropy and the final report live on that bounded
+    * table (the shared cells exchange is reused across branches).
+    */
+  def clusteringAgreement(vecs: DataFrame, labelCol: String = "label",
+                          nPlanes: Int = 2, dim: Int = 64, seed: Long = 7L,
+                          vecCol: String = "embedding"): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    // C(x, 2) without fractional division: one of x, x−1 is even, so
+    // halve THAT factor first and the decimal product stays exact
+    def c2(cn: String): Column = expr(
+      s"""CASE WHEN $cn % 2 = 0
+         |  THEN CAST($cn div 2 AS DECIMAL(38,0)) *
+         |    CAST($cn - 1 AS DECIMAL(38,0))
+         |  ELSE CAST($cn AS DECIMAL(38,0)) *
+         |    CAST(($cn - 1) div 2 AS DECIMAL(38,0))
+         |END""".stripMargin)
+    val cells = vecs.select(col(labelCol).cast("long").as("la"),
+        graft.ops.Similarity.srpBucket(col(vecCol).cast("array<double>"),
+          nPlanes, dim, seed).as("lb"))
+      .groupBy("la", "lb").agg(count(lit(1)).cast("long").as("nij"))
+    val ra = cells.groupBy("la").agg(sum("nij").cast("long").as("ai"))
+    val cb = cells.groupBy("lb").agg(sum("nij").cast("long").as("bj"))
+    // exactness cap: the ARI rationals reach ~n⁴/2 · 1e6, which must
+    // fit DECIMAL(38,0) — exact up to n = 2e8 rows; past it, fail
+    // loudly (subsample the audit) instead of silently overflowing
+    val tot = cells.agg(sum("nij").cast("long").as("n0"),
+        count(lit(1)).cast("long").as("n_cells"),
+        countDistinct(col("la")).cast("long").as("n_labels"),
+        countDistinct(col("lb")).cast("long").as("n_geo_cells"),
+        sum(c2("nij")).as("sij"))
+      .withColumn("n", when(col("n0") <= lit(200000000L), col("n0"))
+        .otherwise(expr("CAST(raise_error(concat('clusteringAgreement: ', " +
+          "CAST(n0 AS STRING), ' rows exceed the decimal(38,0) ARI " +
+          "exactness cap 2e8 — subsample the audit')) AS BIGINT)")))
+      .drop("n0")
+    // per-cell MI terms: l_nano = ln(n*nij / (ai*bj)) on the exact
+    // double ratio, weighted by the exact integer nij
+    val mi = cells.join(ra, "la").join(cb, "lb")
+      .crossJoin(broadcast(tot.select("n")))
+      .select((dec(col("nij")) * dec(floor(
+          log((col("n").cast("double") * col("nij").cast("double")) /
+            (col("ai").cast("double") * col("bj").cast("double"))) *
+            lit(1e9) + lit(0.5)).cast("long"))).as("t"))
+      .agg(sum(col("t")).as("i_num"))
+    def entropy(m: DataFrame, cnt: String) =
+      m.crossJoin(broadcast(tot.select("n")))
+        .select((dec(col(cnt)) * dec(floor(
+            log(col("n").cast("double") / col(cnt).cast("double")) *
+              lit(1e9) + lit(0.5)).cast("long"))).as("t"))
+        .agg(sum(col("t")).as(s"h_$cnt"))
+    val sa = ra.agg(sum(c2("ai")).as("sa"))
+    val sb = cb.agg(sum(c2("bj")).as("sb"))
+    tot.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .crossJoin(broadcast(mi))
+      .crossJoin(broadcast(entropy(ra, "ai")))
+      .crossJoin(broadcast(entropy(cb, "bj")))
+      // ARI = [C·Sij − Sa·Sb] / [C·(Sa+Sb)/2 − Sa·Sb], doubled through
+      // to stay integral; sign-safe truncation (div truncates toward
+      // zero in Spark, // floors in DuckDB — they agree only on
+      // non-negatives, so divide magnitudes)
+      .withColumn("cc", c2("n"))
+      .withColumn("num2", lit(2) * (col("cc") * col("sij") -
+        col("sa") * col("sb")))
+      .withColumn("den2", col("cc") * (col("sa") + col("sb")) -
+        lit(2) * col("sa") * col("sb"))
+      .select(col("n"), col("n_labels"), col("n_geo_cells"), col("n_cells"),
+        when(col("den2") === 0, lit(0L)).otherwise(
+          when(col("num2") >= 0,
+            expr("CAST((num2 * 1000000) div den2 AS BIGINT)"))
+          .otherwise(-expr("CAST(((-num2) * 1000000) div den2 AS BIGINT)")))
+          .as("ari_micro"),
+        when(col("h_ai") + col("h_bj") === 0, lit(0L)).otherwise(
+          when(col("i_num") >= 0,
+            expr("CAST((2 * i_num * 1000000) div (h_ai + h_bj) AS BIGINT)"))
+          .otherwise(
+            -expr("CAST((2 * (-i_num) * 1000000) div (h_ai + h_bj) AS BIGINT)")))
+          .as("nmi_micro"))
+  }
 }

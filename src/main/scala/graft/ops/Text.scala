@@ -1374,6 +1374,136 @@ object Text {
         col("n_repetitive"), col("n_high_entropy"))
   }
 
+  /** Decoding-watermark detection (Kirchenbauer et al., ICML'23 — the
+    * red/green-list scheme): a watermarking sampler boosts "green"
+    * tokens, where greenness of token i is a pseudo-random function of
+    * token i−1. The detector recomputes the green set per bigram and
+    * z-tests the green fraction against the null γ = 1/4:
+    * `z = (g − γn)/√(nγ(1−γ)) = (4g − n)/√(3n)`. A training-data
+    * pipeline runs this to FLAG machine-generated (watermarked) text
+    * before it contaminates the corpus — the synthetic-text
+    * countermeasure beside heuristic quality filters.
+    *
+    * Greenness is the md5 of `w_{i-1} ␟ w_i`: the 15th hex digit
+    * mod 4 == 0 (exactly γ = 1/4 over the uniform hex digit), exact
+    * and engine-portable (no float hashing). z is one fixed-form
+    * sqrt/division on exact integer inputs, nano-quantized.
+    *
+    * Scale: entirely IN-ROW — one narrow codegen pass per document
+    * (the bigram fold never leaves the row), no shuffle at all.
+    */
+  def watermarkDetect(docs: DataFrame, zFlagNano: Long = 4000000000L,
+                      textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), split(lower(col(textCol)), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        (size(col("toks")) - 1).cast("long").as("n_scored"),
+        expr("""CAST(size(filter(sequence(0, size(toks) - 2), i ->
+               |  CAST(conv(substring(md5(concat(toks[i], chr(31),
+               |    toks[i + 1])), 15, 1), 16, 10) AS BIGINT) % 4 = 0))
+               |  AS BIGINT)""".stripMargin).as("n_green"))
+      .withColumn("z_nano",
+        floor((lit(4L) * col("n_green") - col("n_scored")).cast("double") /
+          sqrt(lit(3.0) * col("n_scored").cast("double")) * lit(1e9) +
+          lit(0.5)).cast("long"))
+      .withColumn("wm_flag", col("z_nano") > lit(zFlagNano))
+
+  /** Min-K% prob membership/memorization audit (Shi et al. '24,
+    * "Detecting Pretraining Data from LLMs"): a document the model
+    * (here: the corpus bigram LM, the [[perplexityFilter]] head) has
+    * effectively memorized has NO surprising tokens — so score each
+    * document by the mean NLL of its k% HIGHEST-NLL bigrams. A low
+    * min-k score means even the rarest transitions are high
+    * probability: the duplicate/contamination signal that mean
+    * perplexity dilutes away.
+    *
+    * Determinism: per-bigram NLL is one fixed-form log on the exact
+    * integer add-one ratio, nano-quantized; the per-document top-k%
+    * selection is an integer total order (nll_nano desc, position
+    * asc); the score is an exact integer mean.
+    *
+    * Scale: the LM is the tx14 machinery (two combinable count
+    * shuffles + a broadcast vocab scalar); the top-k% selection is a
+    * document-partitioned rank window — width bounded by document
+    * length, never corpus-sized.
+    */
+  def minKProb(docs: DataFrame, kPct: Int = 20,
+               textCol: String = "text"): DataFrame = {
+    require(kPct >= 1 && kPct <= 100, "kPct must be in [1, 100]")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val b = docs
+      .select(col("doc_id"), split(lower(col(textCol)), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(toks)-2), i -> " +
+          "struct(toks[i] AS w1, toks[i+1] AS w2))")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col.w1").as("w1"), col("col.w2").as("w2"))
+    val c12 = b.groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("n12"))
+    val c1 = c12.groupBy("w1").agg(sum("n12").cast("long").as("n1"))
+    val vocab = c12.agg(countDistinct(col("w2")).cast("long").as("v"))
+    val lm = c12.join(c1, "w1").crossJoin(broadcast(vocab))
+      .withColumn("nll_nano", floor(-log(
+          (col("n12") + lit(1L)).cast("double") /
+            (col("n1") + col("v")).cast("double")) * lit(1e9) + lit(0.5))
+        .cast("long"))
+      .select("w1", "w2", "nll_nano")
+    b.join(lm, Seq("w1", "w2"))
+      .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("nll_nano").desc, col("pos").asc)).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id"))
+        .cast("long"))
+      .withColumn("kc", greatest(expr(s"(n * ${kPct}L) div 100L"), lit(1L)))
+      .filter(col("rk") <= col("kc"))
+      .groupBy("doc_id")
+      .agg(first(col("n")).as("n_scored"), first(col("kc")).as("k_cnt"),
+        sum(dec(col("nll_nano"))).as("s"))
+      .select(col("doc_id"), col("n_scored"), col("k_cnt"),
+        expr("CAST(s div k_cnt AS BIGINT)").as("mink_nll_nano"))
+  }
+
+  /** Mojibake / encoding-damage audit (the ftfy problem class): count
+    * the classic double-encoding signatures per document — U+FFFD
+    * replacement characters (decoder already gave up), 'Ã' (UTF-8
+    * bytes re-decoded as Latin-1: é→Ã©, ü→Ã¼, …), 'â€'
+    * (UTF-8 punctuation re-decoded: '→â€™, "→â€œ), and stray C1
+    * control characters (U+0080–U+009F, the Windows-1252 re-decode
+    * residue) — and roll up per-source damage rates. The encoding
+    * health check a multi-source ingest runs BEFORE text filters,
+    * since mojibake corrupts every downstream token statistic.
+    *
+    * Counts are replace-based exact integers (length deltas), no
+    * regex except the C1 class; rates are exact micro divisions.
+    *
+    * Scale: one narrow in-row pass + a sources-bounded combinable
+    * rollup — the compressionGate profile.
+    */
+  def mojibakeAudit(docs: DataFrame, groupCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def subCount(sig: String) =
+      ((length(t) - length(regexp_replace(t, lit(java.util.regex.Pattern
+        .quote(sig)), lit("")))) / lit(sig.length)).cast("long")
+    val per = docs.select(col(groupCol).as("grp"),
+      subCount("�").as("c_repl"),
+      subCount("Ã").as("c_a_tilde"),
+      subCount("â€").as("c_a_circ"),
+      (length(t) - length(regexp_replace(t,
+        lit("[\\x{0080}-\\x{009F}]"), lit("")))).cast("long").as("c_c1"))
+    per.groupBy("grp")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("c_repl") + col("c_a_tilde") + col("c_a_circ") +
+          col("c_c1") > 0L, 1L).otherwise(0L)).cast("long").as("n_damaged"),
+        sum(col("c_repl")).cast("long").as("n_replacement"),
+        sum(col("c_a_tilde")).cast("long").as("n_latin1_utf8"),
+        sum(col("c_a_circ")).cast("long").as("n_punct_mojibake"),
+        sum(col("c_c1")).cast("long").as("n_c1_controls"))
+      .select(col("grp").as("source"), col("n_docs"), col("n_damaged"),
+        expr("(n_damaged * 1000000L) div n_docs").as("damage_rate_micro"),
+        col("n_replacement"), col("n_latin1_utf8"),
+        col("n_punct_mojibake"), col("n_c1_controls"))
+  }
+
   /** Oracle-checkable gate row for the compression-ratio pass. The
     * DEFLATE byte counts themselves are not SQL-expressible, so this
     * emits per-source columns an independent SQL engine CAN verify —

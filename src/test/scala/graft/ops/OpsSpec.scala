@@ -1316,6 +1316,111 @@ class OpsSpec extends AnyFunSuite {
     assert(Text.kwic(doc, "absent").count() === 0L)
   }
 
+  test("watermarkDetect: a greedily-greened text flags; plain text does not") {
+    import spark.implicits._
+    // greenness oracle, recomputed in the JVM exactly as the engine
+    // hashes it: md5(w1 ␟ w2) 15th hex digit mod 4 == 0
+    def green(w1: String, w2: String): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((w1 + "" + w2).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (Character.digit(hex.charAt(14), 16) % 4) == 0
+    }
+    val vocab = (0 until 64).map(i => s"w$i")
+    // greedy watermark sampler: always pick a green continuation
+    val wm = Iterator.iterate(List("w0")) { acc =>
+      vocab.find(green(acc.head, _)).get :: acc
+    }.drop(40).next().reverse
+    val docs = Seq((1L, wm.mkString(" ")),
+      (2L, (0 until 41).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Text.watermarkDetect(docs).orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_green") === got(0).getAs[Long]("n_scored"))
+    assert(got(0).getAs[Boolean]("wm_flag"),
+      s"fully-green text must flag: z=${got(0).getAs[Long]("z_nano")}")
+    // n=40 all green: z = 3n/sqrt(3n) = sqrt(120) ≈ 10.95 > 4
+    assert(!got(1).getAs[Boolean]("wm_flag"),
+      s"plain text must not flag: z=${got(1).getAs[Long]("z_nano")}")
+  }
+
+  test("minKProb: hand-computed top-k% NLL on a two-doc corpus") {
+    import spark.implicits._
+    // corpus: (a,a) x5 from doc 1, (a,b) x1 from doc 2; c1(a)=6, V=2
+    val docs = Seq((1L, "a a a a a a"), (2L, "a b")).toDF("doc_id", "text")
+    val got = Text.minKProb(docs).orderBy("doc_id").collect()
+    // doc 1: 5 bigrams, k_cnt=1, top nll = -ln(6/8) = ln(4/3)
+    assert(got(0).getAs[Long]("n_scored") === 5L)
+    assert(got(0).getAs[Long]("k_cnt") === 1L)
+    assert(got(0).getAs[Long]("mink_nll_nano") ===
+      math.floor(-math.log(6.0 / 8.0) * 1e9 + 0.5).toLong)
+    // doc 2: 1 bigram, -ln(2/8) = ln 4
+    assert(got(1).getAs[Long]("mink_nll_nano") ===
+      math.floor(-math.log(2.0 / 8.0) * 1e9 + 0.5).toLong)
+  }
+
+  test("mojibakeAudit: each signature counted exactly; clean text clean") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cafÃ© ok Ã¼", "a"),     // 2x Ã (latin1-utf8)
+      (2L, "itâ€™s � here ", "a"), // â€, U+FFFD, C1
+      (3L, "perfectly clean text", "b")).toDF("doc_id", "text", "source")
+    val got = Text.mojibakeAudit(docs).orderBy("source").collect()
+    assert(got(0).getAs[Long]("n_docs") === 2L)
+    assert(got(0).getAs[Long]("n_damaged") === 2L)
+    assert(got(0).getAs[Long]("n_latin1_utf8") === 2L)
+    assert(got(0).getAs[Long]("n_punct_mojibake") === 1L)
+    assert(got(0).getAs[Long]("n_replacement") === 1L)
+    assert(got(0).getAs[Long]("n_c1_controls") === 1L)
+    assert(got(1).getAs[Long]("n_damaged") === 0L)
+    assert(got(1).getAs[Long]("damage_rate_micro") === 0L)
+  }
+
+  test("clusteringAgreement: labels equal to the geometry cell give exactly 1") {
+    import spark.implicits._
+    // set each row's label to its own srpBucket cell, computed here
+    // with the same planeSigns literals the engine uses
+    val planes = Similarity.planeSigns(2, 64, 7L)
+    val rnd = new scala.util.Random(3)
+    val rows = (0L until 40L).map { i =>
+      val v = Array.fill(64)(rnd.nextDouble() * 2 - 1)
+      val cell = planes.zipWithIndex.map { case (p, k) =>
+        val d = p.zip(v).foldLeft(0.0)((acc, t) => acc + t._1 * t._2)
+        if (d >= 0) 1L << k else 0L
+      }.sum
+      (i, cell.toInt, v.map(_.toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val r = graft.ops.Pca.clusteringAgreement(df).head()
+    assert(r.getAs[Long]("ari_micro") === 1000000L)
+    assert(r.getAs[Long]("nmi_micro") === 1000000L)
+    assert(r.getAs[Long]("n_labels") === r.getAs[Long]("n_geo_cells"))
+  }
+
+  test("domainReweight: hand-computed tilt on two one-doc domains") {
+    import spark.implicits._
+    val docs = Seq((1L, "the the the", "s1"), (2L, "zzzz zzzz", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.ops.Curate.domainReweight(docs).orderBy("source")
+      .collect()
+    // s1: alpha 1.0*0.5 + stop 1.0*0.3 + meanlen 3/10*0.2 = 0.86
+    // s2: 0.5 + 0 + 4/10*0.2 = 0.58 -> losses 140000 / 420000
+    assert(got(0).getAs[Long]("loss_micro") === 140000L)
+    assert(got(1).getAs[Long]("loss_micro") === 420000L)
+    assert(got(0).getAs[Long]("excess_micro") === 0L)
+    assert(got(1).getAs[Long]("excess_micro") === 280000L)
+    assert(got(0).getAs[Long]("share_micro") === 600000L) // 3 of 5 tokens
+    val t2 = math.floor(math.exp(0.28 * 2.0) * 1e12 + 0.5).toLong
+    val w1 = BigInt(600000) * BigInt("1000000000000")
+    val w2 = BigInt(400000) * BigInt(t2)
+    assert(got(0).getAs[Long]("weight_micro") ===
+      (w1 * 1000000 / (w1 + w2)).toLong)
+    assert(got(1).getAs[Long]("weight_micro") ===
+      (w2 * 1000000 / (w1 + w2)).toLong)
+    // the tilt moved mass toward the lossier domain
+    assert(got(1).getAs[Long]("weight_micro") >
+      got(1).getAs[Long]("share_micro"))
+  }
+
   test("kwic: terms with backslashes and quotes match literally") {
     import spark.implicits._
     val doc = Seq((1L, """a\b it's a\b plain"""), (2L, "no match here"))
