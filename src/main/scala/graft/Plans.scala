@@ -93,6 +93,10 @@ object Plans {
     // combinable source shuffle + domain-bounded tilt
     "wm1_watermark_detect", "mink1_min_k_prob", "mj1_mojibake_audit",
     "ari1_clustering_agreement", "drm1_domain_reweight",
+    // round-15 wave 8 (sdd1 is a streaming drain — the t8 exclusion
+    // class; the other three are fully lazy)
+    "loo1_source_ablation", "ctx1_pack_attention_waste",
+    "fid1_frechet_diag",
     "ci2_lsh_maxsim", "dd19_lsh_planner")
 
   /** Representative LAZY plan fragments for operators excluded from

@@ -1079,6 +1079,49 @@ object Queries {
         |FROM tx WHERE substr(update_at, 9, 2) = '06' AND substr(update_at, 12, 2) = '00'
         |ORDER BY account, create_at""".stripMargin)),
 
+    // SDD1 (stream form): exact streaming dedup — first occurrence per
+    // (account, entity) wins; per-key state is evicted by the
+    // event-time watermark (production sets it to the dedup horizon;
+    // here it exceeds the corpus span, so the drain equals batch
+    // DISTINCT exactly). Output carries ONLY the key columns, so the
+    // emission is independent of which physical duplicate arrived
+    // first — deterministic under any file/trigger interleaving.
+    "sdd1_stream_dedup" -> Q(
+      (s, d) => withStreamShuffle(s) {
+        import org.apache.spark.sql.streaming.Trigger
+        val day9 = tx(s, d).filter(substring(col("update_at"), 9, 2) === "09")
+          .select("account", "create_at", "update_at", "entity", "amount",
+            "is_credit", "note")
+        val landing = scratchOnce("sdd1_landing", d)(Ingest.landCdc(day9, _))
+        val events = s.readStream.schema(Schemas.flatCdcRow)
+          .option("recursiveFileLookup", "true")
+          .option("maxFilesPerTrigger", halfFilesTrigger(landing))
+          .json(landing)
+          .withColumn("ts", to_timestamp(substring(col("update_at"), 1, 26),
+            "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+        val outDir = scratch("sdd1_out")
+        events.withWatermark("ts", "90 days")
+          .dropDuplicates("account", "entity")
+          .select("account", "entity")
+          .writeStream.outputMode("append")
+          .foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(outDir): Unit
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", scratch("sdd1_ckpt"))
+          .start().awaitTermination()
+        import org.apache.spark.sql.types.{StructField, StructType, StringType}
+        s.read.schema(StructType(Seq(StructField("account", StringType),
+            StructField("entity", StringType))))
+          .parquet(outDir)
+          .orderBy("account", "entity")
+      },
+      Some(s"""$TxCte
+        |SELECT DISTINCT account, entity FROM tx
+        |WHERE substr(update_at, 9, 2) = '09'
+        |ORDER BY account, entity""".stripMargin)),
+
     // K3/T1/T7 (stream form): the streaming landing sink — raw events
     // (incl. REMOVEs, which the consumer drops, T7) arrive as a stream
     // and land minute-partitioned exactly like the Lambda consumer;

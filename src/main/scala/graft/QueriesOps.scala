@@ -10326,5 +10326,120 @@ object QueriesOps {
         |SELECT source, n_docs, n_tokens, share_micro, loss_micro,
         |  CAST(excess_micro AS BIGINT) AS excess_micro,
         |  CAST((w_raw * 1000000) // zz AS BIGINT) AS weight_micro
-        |FROM w, z ORDER BY source""".stripMargin)))
+        |FROM w, z ORDER BY source""".stripMargin)),
+
+    // LOO1: leave-one-out source valuation — for an ADDITIVE metric
+    // the Shapley value equals leave-one-out exactly, so "which
+    // sources help?" is one pass of exact integer arithmetic, not a
+    // retraining study. Negative delta = the source is valuable.
+    "loo1_source_ablation" -> Q(
+      (s, d) => graft.ops.Curate.sourceAblation(docs(s, d))
+        .orderBy("source"),
+      Some("""WITH q AS (SELECT source,
+        |    least(1.0,
+        |      CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE) * 0.5
+        |      + CAST(len(list_filter(string_split(text, ' '),
+        |          x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
+        |      + least(CAST(list_sum(list_transform(string_split(text, ' '),
+        |          x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+        |          / CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0, 1.0) * 0.2) AS qs
+        |  FROM documents),
+        |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CAST(floor(qs * 1e6 + 0.5) AS BIGINT)) AS HUGEINT) AS sq
+        |  FROM q GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn, sum(sq) AS ss
+        |  FROM per)
+        |SELECT source, n_docs,
+        |  CAST(sq // n_docs AS BIGINT) AS mean_q_micro,
+        |  CAST(ss // nn AS BIGINT) AS corpus_mean_micro,
+        |  CASE WHEN nn = n_docs THEN CAST(0 AS BIGINT)
+        |    ELSE CAST((ss - sq) // (nn - n_docs) AS BIGINT)
+        |  END AS mean_without_micro,
+        |  CASE WHEN nn = n_docs THEN CAST(0 AS BIGINT)
+        |    ELSE CAST((ss - sq) // (nn - n_docs) AS BIGINT)
+        |      - CAST(ss // nn AS BIGINT)
+        |  END AS loo_delta_micro
+        |FROM per, tot ORDER BY source""".stripMargin)),
+
+    // CTX1: cross-document attention waste of the cur12 packing — the
+    // fraction of causal attention pairs crossing doc boundaries when
+    // bins concatenate without block-diagonal masks. Pure integer
+    // pair counts on the packTokenBudget assignment.
+    "ctx1_pack_attention_waste" -> Q(
+      (s, d) => graft.ops.Curate.packAttentionWaste(docs(s, d),
+          budget = 200, shardCol = "source")
+        .orderBy("shard"),
+      Some {
+        def c2(cn: String) =
+          s"(CASE WHEN $cn % 2 = 0 THEN CAST($cn // 2 AS HUGEINT) * " +
+            s"CAST($cn - 1 AS HUGEINT) ELSE CAST($cn AS HUGEINT) * " +
+            s"CAST(($cn - 1) // 2 AS HUGEINT) END)"
+        s"""WITH t AS (
+           |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |o AS (SELECT doc_id, source, n_tokens,
+           |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+           |  FROM t),
+           |p AS (SELECT doc_id, source, n_tokens, tok_offset // 200 AS bin FROM o),
+           |b AS (SELECT source AS shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(n_tokens) AS BIGINT) AS ll,
+           |    sum(${c2("n_tokens")}) AS within
+           |  FROM p GROUP BY 1, 2)
+           |SELECT shard, CAST(count(*) AS BIGINT) AS n_bins,
+           |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           |  CAST(sum(${c2("ll")}) AS BIGINT) AS total_pairs,
+           |  CAST(sum(${c2("ll")}) - sum(within) AS BIGINT) AS cross_pairs,
+           |  CASE WHEN sum(${c2("ll")}) = 0 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST(((sum(${c2("ll")}) - sum(within)) * 1000000)
+           |      // sum(${c2("ll")}) AS BIGINT)
+           |  END AS waste_micro
+           |FROM b GROUP BY shard ORDER BY shard""".stripMargin
+      }),
+
+    // FID1: diagonal Fréchet distance between even- and odd-label
+    // embedding populations — mean drift (ed1) plus the VARIANCE gap
+    // it misses; the generated-vs-real population metric beside
+    // mauve1's frontier. One (side, dim) moment shuffle.
+    "fid1_frechet_diag" -> Q(
+      (s, d) => graft.ops.Pca.frechetDiagonal(embs(s, d),
+        pmod(col("label"), lit(2)) === 0),
+      Some("""WITH ex AS (SELECT label % 2 = 0 AS is_p,
+        |    CAST(g.i - 1 AS BIGINT) AS dim,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS x
+        |  FROM embeddings, unnest(generate_series(1, 64)) AS g(i)),
+        |m AS (SELECT is_p, dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS s1,
+        |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS s2
+        |  FROM ex GROUP BY 1, 2),
+        |mm AS (SELECT is_p, dim, n,
+        |    CAST(CASE WHEN s1 >= 0 THEN s1 // n
+        |      ELSE -((-s1) // n) END AS BIGINT) AS mean_nano,
+        |    CAST((n * s2 - s1 * s1) // (CAST(n AS HUGEINT) * n) AS BIGINT)
+        |      AS var_nano2
+        |  FROM m),
+        |j AS (SELECT p.dim, p.n AS n_p, q.n AS n_q,
+        |    CAST(p.mean_nano - q.mean_nano AS HUGEINT) *
+        |      CAST(p.mean_nano - q.mean_nano AS HUGEINT) AS dm2,
+        |    p.var_nano2 AS vp, q.var_nano2 AS vq,
+        |    CAST(floor(sqrt(CAST(p.var_nano2 AS DOUBLE) *
+        |      CAST(q.var_nano2 AS DOUBLE)) + 0.5) AS BIGINT) AS crs
+        |  FROM mm p JOIN mm q USING (dim)
+        |  WHERE p.is_p AND NOT q.is_p),
+        |agg AS (SELECT any_value(n_p) AS n_p, any_value(n_q) AS n_q,
+        |    CAST(count(*) AS BIGINT) AS n_dims,
+        |    sum(dm2) AS mean_term,
+        |    sum(CAST(vp AS HUGEINT) + vq - 2 * crs) AS var_term
+        |  FROM j)
+        |SELECT n_p, n_q, n_dims,
+        |  CAST(mean_term // 1000000 AS BIGINT) AS mean_term_pico,
+        |  CAST((CASE WHEN var_term >= 0 THEN var_term // 1000000
+        |    ELSE -((-var_term) // 1000000) END) AS BIGINT) AS var_term_pico,
+        |  CAST((CASE WHEN mean_term + var_term >= 0
+        |    THEN (mean_term + var_term) // 1000000
+        |    ELSE -((-(mean_term + var_term)) // 1000000)
+        |  END) AS BIGINT) AS fid_pico
+        |FROM agg""".stripMargin)))
 }

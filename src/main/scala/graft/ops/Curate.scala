@@ -1386,6 +1386,90 @@ object Curate {
           .as("mean_kept_nano"))
   }
 
+  /** Leave-one-out source valuation: for each source, the corpus mean
+    * quality WITH and WITHOUT it — the additive-metric special case
+    * where leave-one-out equals the Shapley value exactly, making
+    * "which sources help?" a one-pass exact computation instead of a
+    * retraining study. A NEGATIVE delta means removing the source
+    * would lower corpus quality (the source is valuable); positive
+    * means the corpus improves without it (an ablation candidate).
+    *
+    * Determinism: per-doc quality micro-quantizes before exact
+    * integer sums; every mean is one truncating integer division.
+    *
+    * Scale: ONE combinable (source) shuffle carrying two integer
+    * sums; the leave-one-out table is sources-bounded arithmetic on
+    * broadcast totals. No per-source corpus re-pass — the additivity
+    * is the whole point.
+    */
+  def sourceAblation(docs: DataFrame, groupCol: String = "source",
+                     textCol: String = "text"): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val per = graft.ops.Text.withQuality(docs, textCol)
+      .select(col(groupCol).as("grp"),
+        floor(col("quality_score") * lit(1e6) + lit(0.5)).cast("long")
+          .as("q_micro"))
+      .groupBy("grp")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(dec(col("q_micro"))).as("sq"))
+    val tot = per.agg(sum("n_docs").cast("long").as("nn"),
+      sum(col("sq")).as("ss"))
+    per.crossJoin(broadcast(tot))
+      .select(col("grp").as("source"), col("n_docs"),
+        expr("CAST(sq div n_docs AS BIGINT)").as("mean_q_micro"),
+        expr("CAST(ss div nn AS BIGINT)").as("corpus_mean_micro"),
+        when(col("nn") === col("n_docs"), lit(0L)).otherwise(
+          expr("CAST((ss - sq) div (nn - n_docs) AS BIGINT)"))
+          .as("mean_without_micro"),
+        when(col("nn") === col("n_docs"), lit(0L)).otherwise(
+          expr("CAST((ss - sq) div (nn - n_docs) AS BIGINT) - " +
+            "CAST(ss div nn AS BIGINT)")).as("loo_delta_micro"))
+  }
+
+  /** Cross-document attention waste of a packed-sequence layout: when
+    * documents concatenate into fixed-budget bins WITHOUT attention
+    * masking, a fraction of every causal attention pair crosses a
+    * document boundary — wasted (and contaminating) compute. Per
+    * shard: `waste = Σ_bins [C(L,2) − Σ_docs C(l,2)] / Σ_bins C(L,2)`
+    * over the [[packTokenBudget]] assignment — the number that decides
+    * whether the trainer needs block-diagonal masks.
+    *
+    * Determinism: pure integer pair counts (C(x,2) halves the even
+    * factor first) and one truncating micro division.
+    *
+    * Scale: rides the packTokenBudget window (one per-shard
+    * offset pass) + a (shard, bin) rollup — nothing beyond cur12's
+    * cost.
+    */
+  def packAttentionWaste(docs: DataFrame, budget: Int, shardCol: String,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    def c2(cn: String): Column = expr(
+      s"""CASE WHEN $cn % 2 = 0
+         |  THEN CAST($cn div 2 AS DECIMAL(38,0)) *
+         |    CAST($cn - 1 AS DECIMAL(38,0))
+         |  ELSE CAST($cn AS DECIMAL(38,0)) *
+         |    CAST(($cn - 1) div 2 AS DECIMAL(38,0))
+         |END""".stripMargin)
+    packTokenBudget(docs, budget, shardCol, idCol, textCol)
+      .groupBy(col(shardCol).as("shard"), col("bin"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("n_tokens").cast("long").as("ll"),
+        sum(c2("n_tokens")).as("within"))
+      .groupBy("shard")
+      .agg(count(lit(1)).cast("long").as("n_bins"),
+        sum("n_docs").cast("long").as("n_docs"),
+        sum(c2("ll")).as("total_pairs"),
+        sum(col("within")).as("within_pairs"))
+      .select(col("shard"), col("n_bins"), col("n_docs"),
+        expr("CAST(total_pairs AS BIGINT)").as("total_pairs"),
+        expr("CAST(total_pairs - within_pairs AS BIGINT)")
+          .as("cross_pairs"),
+        when(col("total_pairs") === 0, lit(0L)).otherwise(
+          expr("CAST(((total_pairs - within_pairs) * 1000000) " +
+            "div total_pairs AS BIGINT)")).as("waste_micro"))
+  }
+
   /** Exponential-tilt domain reweighting — the static-loss special
     * case of DoReMi (Xie et al., NeurIPS'23): given a per-domain
     * excess-loss signal, the exponentiated-gradient trajectory with

@@ -534,6 +534,71 @@ object Pca {
           .as("uniformity_nano"))
   }
 
+  /** Diagonal Fréchet distance between two embedding populations
+    * (the FID construction of Heusel et al. '17 under a diagonal
+    * Gaussian approximation): `Σ_d (μP−μQ)² + σP² + σQ² − 2·σPσQ`.
+    * Mean drift alone ([[graft.ops.Similarity]] embeddingDrift / ed1)
+    * misses a VARIANCE collapse — a generated corpus that sits on the
+    * right centroid but has lost diversity scores 0 there and large
+    * here; this is the standard generated-vs-real population gap
+    * beside mauve1's cell-histogram frontier.
+    *
+    * Determinism: components nano-quantize before exact integer
+    * moment sums; means and population variances are truncating
+    * decimal divisions; the one transcendental is a per-dim
+    * fixed-form sqrt on exact integer inputs, half-up rounded.
+    *
+    * Scale: one (side, dim) combinable moment shuffle (a ×dim in-row
+    * fan-out of the scan), then dims-bounded arithmetic — the ed1
+    * profile plus variances.
+    */
+  def frechetDiagonal(vecs: DataFrame, isP: Column,
+                      vecCol: String = "embedding"): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val ex = vecs.select(isP.cast("boolean").as("is_p"),
+        posexplode(col(vecCol).cast("array<double>")))
+      .select(col("is_p"), col("pos").cast("long").as("dim"),
+        floor(col("col") * lit(1e9) + lit(0.5)).cast("long").as("x"))
+    val m = ex.groupBy("is_p", "dim")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(dec(col("x"))).as("s1"),
+        sum(dec(col("x")) * dec(col("x"))).as("s2"))
+      .select(col("is_p"), col("dim"),
+        col("n"),
+        expr("CAST(s1 div n AS BIGINT)").as("mean_nano"),
+        // population variance in nano²: (n·S2 − S1²) div n²
+        expr("CAST((n * s2 - s1 * s1) div (CAST(n AS DECIMAL(38,0)) * n) " +
+          "AS BIGINT)").as("var_nano2"))
+    val p = m.filter(col("is_p")).select(col("dim"),
+      col("n").as("n_p"), col("mean_nano").as("mp"),
+      col("var_nano2").as("vp"))
+    val q = m.filter(!col("is_p")).select(col("dim"),
+      col("n").as("n_q"), col("mean_nano").as("mq"),
+      col("var_nano2").as("vq"))
+    p.join(q, "dim")
+      .select(col("n_p"), col("n_q"),
+        (dec(col("mp") - col("mq")) * dec(col("mp") - col("mq")))
+          .as("dm2"),
+        col("vp"), col("vq"),
+        floor(sqrt(col("vp").cast("double") * col("vq").cast("double")) +
+          lit(0.5)).cast("long").as("cross"))
+      .agg(first(col("n_p")).as("n_p"), first(col("n_q")).as("n_q"),
+        count(lit(1)).cast("long").as("n_dims"),
+        sum(col("dm2")).as("mean_term"),
+        sum(dec(col("vp")) + dec(col("vq")) - dec(lit(2L)) * dec(col("cross")))
+          .as("var_term"))
+      .select(col("n_p"), col("n_q"), col("n_dims"),
+        // nano² → pico display (div 1e6)
+        expr("CAST(mean_term div 1000000 AS BIGINT)").as("mean_term_pico"),
+        expr("CAST((CASE WHEN var_term >= 0 THEN var_term div 1000000 " +
+          "ELSE -((-var_term) div 1000000) END) AS BIGINT)")
+          .as("var_term_pico"),
+        expr("""CAST((CASE WHEN mean_term + var_term >= 0
+               |  THEN (mean_term + var_term) div 1000000
+               |  ELSE -((-(mean_term + var_term)) div 1000000)
+               |END) AS BIGINT)""".stripMargin).as("fid_pico"))
+  }
+
   /** Clustering agreement — Adjusted Rand Index (Hubert & Arabie '85)
     * and arithmetic-mean-normalized mutual information — between the
     * label column and a deterministic geometry clustering (the

@@ -1322,7 +1322,7 @@ class OpsSpec extends AnyFunSuite {
     // hashes it: md5(w1 ␟ w2) 15th hex digit mod 4 == 0
     def green(w1: String, w2: String): Boolean = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest((w1 + "" + w2).getBytes("UTF-8"))
+      val hex = md.digest((w1 + "\u001f" + w2).getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       (Character.digit(hex.charAt(14), 16) % 4) == 0
     }
@@ -1419,6 +1419,55 @@ class OpsSpec extends AnyFunSuite {
     // the tilt moved mass toward the lossier domain
     assert(got(1).getAs[Long]("weight_micro") >
       got(1).getAs[Long]("share_micro"))
+  }
+
+  test("sourceAblation: exact leave-one-out deltas on two hand domains") {
+    import spark.implicits._
+    val docs = Seq((1L, "the the the", "s1"), (2L, "zzzz zzzz", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.ops.Curate.sourceAblation(docs).orderBy("source").collect()
+    // qualities 860000 / 580000 -> corpus mean 720000
+    assert(got(0).getAs[Long]("mean_q_micro") === 860000L)
+    assert(got(0).getAs[Long]("corpus_mean_micro") === 720000L)
+    assert(got(0).getAs[Long]("mean_without_micro") === 580000L)
+    assert(got(0).getAs[Long]("loo_delta_micro") === -140000L) // valuable
+    assert(got(1).getAs[Long]("loo_delta_micro") === 140000L)  // ablatable
+  }
+
+  test("packAttentionWaste: hand pair counts on a one-bin shard") {
+    import spark.implicits._
+    // one shard, docs of 3 and 2 tokens, budget 10 -> one bin of L=5:
+    // total C(5,2)=10, within C(3,2)+C(2,2)=4, cross 6 -> waste 0.6
+    val docs = Seq((1L, "a b c", "s"), (2L, "a b", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.ops.Curate.packAttentionWaste(docs, budget = 10,
+      shardCol = "source").head()
+    assert(r.getAs[Long]("n_bins") === 1L)
+    assert(r.getAs[Long]("total_pairs") === 10L)
+    assert(r.getAs[Long]("cross_pairs") === 6L)
+    assert(r.getAs[Long]("waste_micro") === 600000L)
+  }
+
+  test("frechetDiagonal: identical populations score 0; a pure mean shift is exact") {
+    import spark.implicits._
+    // each id pair (2k, 2k+1) shares a vector -> P and Q are the same
+    // multiset -> every term cancels exactly
+    val same = (0L until 20L).map(i =>
+      (i, Seq(((i / 2) % 5).toFloat, 1.0f))).toDF("vec_id", "embedding")
+    val z = graft.ops.Pca.frechetDiagonal(same,
+      pmod(col("vec_id"), lit(2)) === 0).head()
+    assert(z.getAs[Long]("fid_pico") === 0L)
+    assert(z.getAs[Long]("mean_term_pico") === 0L)
+    assert(z.getAs[Long]("var_term_pico") === 0L)
+    // zero-variance populations one unit apart in dim 0:
+    // fid = (1e9 nano)^2 = 1e18 nano^2 = 1e12 pico
+    val shifted = (0L until 10L).map(i =>
+      (i, Seq(if (i % 2 == 0) 1.0f else 0.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val s2 = graft.ops.Pca.frechetDiagonal(shifted,
+      pmod(col("vec_id"), lit(2)) === 0).head()
+    assert(s2.getAs[Long]("fid_pico") === 1000000000000L)
+    assert(s2.getAs[Long]("var_term_pico") === 0L)
   }
 
   test("kwic: terms with backslashes and quotes match literally") {

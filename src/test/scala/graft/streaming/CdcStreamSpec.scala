@@ -134,6 +134,43 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(out2.length === out1.length + 1, "exactly one new emission in batch 2")
   }
 
+  test("stream dedup: duplicates across micro-batches drop; first occurrence wins") {
+    val root = Files.createTempDirectory("graft_stream_dedup")
+    val srcDir = root.resolve("src").toString
+    Files.createDirectories(Paths.get(srcDir))
+    Files.writeString(Paths.get(srcDir, "b1.json"), Seq(
+      ev("INSERT", "acc-1", 1, "first"),
+      ev("INSERT", "acc-1", 2, "dup-same-batch"),
+      ev("INSERT", "acc-2", 3, "first")).mkString("\n"))
+    val streamSchema = Schemas.flatCdcRow.add("eventName", "string")
+    val q = spark.readStream.schema(streamSchema).json(srcDir)
+      .withColumn("ts", to_timestamp(substring(col("update_at"), 1, 26),
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+      .withWatermark("ts", "90 days")
+      .dropDuplicates("account", "entity")
+      .select("account", "entity")
+      .writeStream.format("memory").queryName("graft_stream_dedup")
+      .outputMode("append")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    val out1 = spark.table("graft_stream_dedup").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(out1.toSet === Set(("acc-1", "E"), ("acc-2", "E")))
+    assert(out1.length === 2, "in-batch duplicate must drop")
+    // batch 2: a cross-batch duplicate (state must remember acc-1) and
+    // one genuinely new key
+    Files.writeString(Paths.get(srcDir, "b2.json"), Seq(
+      ev("INSERT", "acc-1", 4, "dup-cross-batch"),
+      ev("INSERT", "acc-3", 5, "first")).mkString("\n"))
+    q.processAllAvailable()
+    q.stop()
+    val out2 = spark.table("graft_stream_dedup").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(out2.length === 3, s"cross-batch duplicate must drop; got ${out2.toSeq}")
+    assert(out2.toSet === Set(("acc-1", "E"), ("acc-2", "E"), ("acc-3", "E")))
+  }
+
   test("windowedStreamJoin: pairs within the window, never across windows") {
     import org.apache.spark.sql.streaming.Trigger
     val root = Files.createTempDirectory("graft_ssj")
