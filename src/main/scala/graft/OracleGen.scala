@@ -1073,6 +1073,30 @@ object OracleGen {
        |FROM fin2""".stripMargin
   }
 
+  /** knn1: kNN label-probe accuracy — exact cosine top-k for the
+    * bounded query sample (vec_id % mod = 0), majority vote with the
+    * (count desc, label asc) tiebreak, per-label exact accuracy.
+    */
+  def knn1Sql(k: Int = 5, mod: Long = 50, dim: Int = 64): String =
+    s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |tp AS (SELECT qe.vec_id AS q_id, qe.label AS q_lbl, ne.vec_id AS n_id,
+       |    ne.label AS n_lbl, ${cosSql(dim, "qe", "ne")} AS sim
+       |  FROM e qe CROSS JOIN e ne
+       |  WHERE qe.vec_id % $mod = 0 AND ne.vec_id <> qe.vec_id),
+       |nn AS (SELECT q_id, q_lbl, n_lbl FROM (SELECT q_id, q_lbl, n_lbl,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rn FROM tp)
+       |  WHERE rn <= $k),
+       |vote AS (SELECT q_id, q_lbl, n_lbl, CAST(count(*) AS BIGINT) AS c
+       |  FROM nn GROUP BY 1, 2, 3),
+       |win AS (SELECT q_id, q_lbl, n_lbl FROM (SELECT q_id, q_lbl, n_lbl,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_lbl ASC) AS rn FROM vote)
+       |  WHERE rn = 1)
+       |SELECT CAST(q_lbl AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(sum(CASE WHEN n_lbl = q_lbl THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  CAST((sum(CASE WHEN n_lbl = q_lbl THEN 1 ELSE 0 END) * 1000000)
+       |    // count(*) AS BIGINT) AS acc_micro
+       |FROM win GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Exact in-order signed dot of plane string `s` against vector col
     * `v` — bit-identical to VectorDot's left fold.
     */

@@ -97,6 +97,8 @@ object Plans {
     // class; the other three are fully lazy)
     "loo1_source_ablation", "ctx1_pack_attention_waste",
     "fid1_frechet_diag",
+    // round-15 wave 9 (both lazy)
+    "ug1_unicode_hygiene", "knn1_probe_accuracy",
     "ci2_lsh_maxsim", "dd19_lsh_planner")
 
   /** Representative LAZY plan fragments for operators excluded from

@@ -10441,5 +10441,46 @@ object QueriesOps {
         |    THEN (mean_term + var_term) // 1000000
         |    ELSE -((-(mean_term + var_term)) // 1000000)
         |  END) AS BIGINT) AS fid_pico
-        |FROM agg""".stripMargin)))
+        |FROM agg""".stripMargin)),
+
+    // UG1: unicode-hygiene audit — BIDI controls (Trojan Source,
+    // CVE-2021-42574), zero-width characters (the stego/watermark
+    // channel), and mixed-script homoglyph suspects, per source.
+    // Replace-based exact counts on RE2-compatible classes.
+    "ug1_unicode_hygiene" -> Q(
+      (s, d) => graft.ops.Text.unicodeHygiene(docs(s, d))
+        .orderBy("source"),
+      Some("""WITH per AS (SELECT source,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[\x{202A}-\x{202E}\x{2066}-\x{2069}]', '', 'g')) AS BIGINT) AS c_bidi,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g')) AS BIGINT) AS c_zw,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS c_cyr,
+        |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) > 0 AS has_latin
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN c_bidi > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bidi_docs,
+        |  CAST(sum(c_bidi) AS BIGINT) AS n_bidi_chars,
+        |  CAST(sum(CASE WHEN c_zw > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_width_docs,
+        |  CAST(sum(c_zw) AS BIGINT) AS n_zero_width_chars,
+        |  CAST(sum(CASE WHEN c_cyr > 0 AND has_latin THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_mixed_script_docs,
+        |  CAST(sum(CASE WHEN c_bidi > 0 OR c_zw > 0
+        |    OR (c_cyr > 0 AND has_latin) THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST((sum(CASE WHEN c_bidi > 0 OR c_zw > 0
+        |    OR (c_cyr > 0 AND has_latin) THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS flag_rate_micro
+        |FROM per GROUP BY source ORDER BY source""".stripMargin)),
+
+    // KNN1: kNN label-probe accuracy — the cheap stand-in for a
+    // linear probe: exact cosine top-5 over a bounded query sample
+    // (vec_id % 50 = 0, the bfs1 sampling rule), majority-vote label,
+    // per-label accuracy. Separates 'geometry recovers labels' from
+    // 'geometry is non-degenerate'.
+    "knn1_probe_accuracy" -> Q(
+      (s, d) => graft.ops.Similarity.knnProbeAccuracy(embs(s, d),
+          pmod(col("vec_id"), lit(50)) === 0)
+        .orderBy("label"),
+      Some(OracleGen.knn1Sql())))
 }

@@ -61,6 +61,47 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), col("sim"))
   }
 
+  /** kNN label-probe accuracy — THE standard embedding-quality probe
+    * (a cheap stand-in for linear-probe training): for a bounded
+    * query sample, take the exact cosine top-k neighbors (self
+    * excluded), majority-vote their labels (ties break to the
+    * smallest label), and score against the query's own label,
+    * reported per label. Separates "geometry recovers labels" from
+    * "geometry is merely non-degenerate" (iso1/eo1 can't tell).
+    *
+    * Determinism: the neighbor rank is [[bruteForceTopK]]'s
+    * established (sim desc, id asc) total order; votes are exact
+    * integer counts with a deterministic tiebreak; accuracy is one
+    * exact micro division.
+    *
+    * Scale: the query side is sample-bounded BY CONTRACT (broadcast);
+    * the corpus scans once against it (the ss1 shape); everything
+    * after lives on queries×k rows.
+    */
+  def knnProbeAccuracy(vecs: DataFrame, queryPred: Column, k: Int = 5,
+                       labelCol: String = "label", idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val base = vecs.select(col(idCol), col(labelCol).cast("long").as("lbl"),
+      col(vecCol))
+    val nn = bruteForceTopK(base, base.filter(queryPred), k, idCol, vecCol)
+    val lbls = base.select(col(idCol), col("lbl"))
+    val voted = nn
+      .join(lbls.select(col(idCol).as("n_id"), col("lbl").as("n_lbl")),
+        "n_id")
+      .join(broadcast(lbls.select(col(idCol).as("q_id"),
+        col("lbl").as("q_lbl"))), "q_id")
+      .groupBy("q_id", "q_lbl", "n_lbl")
+      .agg(count(lit(1)).cast("long").as("c"))
+      .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("c").desc, col("n_lbl").asc)))
+      .filter(col("rn") === 1)
+    voted.groupBy(col("q_lbl").as("label"))
+      .agg(count(lit(1)).cast("long").as("n_queries"),
+        sum(when(col("n_lbl") === col("q_lbl"), 1L).otherwise(0L))
+          .cast("long").as("n_correct"))
+      .withColumn("acc_micro", expr("(n_correct * 1000000L) div n_queries"))
+  }
+
   /** Matryoshka truncation evaluation (Kusupati et al. 2022,
     * "Matryoshka Representation Learning"): recall@k of
     * prefix-truncated embeddings against the full-dimension exact

@@ -1504,6 +1504,53 @@ object Text {
         col("n_punct_mojibake"), col("n_c1_controls"))
   }
 
+  /** Unicode-hygiene audit — the three invisible-character attack /
+    * contamination channels a code-and-text corpus must scan for:
+    * BIDI control characters (U+202A–202E, U+2066–2069 — the Trojan
+    * Source vector, CVE-2021-42574: source code that renders
+    * differently than it parses), ZERO-WIDTH characters (U+200B–200D,
+    * U+FEFF — the classic steganographic watermark channel), and
+    * MIXED-SCRIPT homoglyph suspects (Cyrillic letters co-occurring
+    * with Latin in one document — the spoofing signal behind IDN
+    * confusable checks). Per-source counts and flagged-doc rates.
+    *
+    * All counts are replace-based exact integers on RE2-compatible
+    * class patterns (identical both engines); rates exact micro.
+    *
+    * Scale: one narrow in-row pass + a sources-bounded combinable
+    * rollup — the compressionGate/mojibake profile.
+    */
+  def unicodeHygiene(docs: DataFrame, groupCol: String = "source",
+                     textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def reCount(cls: String) =
+      (length(t) - length(regexp_replace(t, lit(cls), lit("")))).cast("long")
+    val per = docs.select(col(groupCol).as("grp"),
+      reCount("[\\x{202A}-\\x{202E}\\x{2066}-\\x{2069}]").as("c_bidi"),
+      reCount("[\\x{200B}-\\x{200D}\\x{FEFF}]").as("c_zw"),
+      reCount("[\\x{0400}-\\x{04FF}]").as("c_cyr"),
+      (length(regexp_replace(t, lit("[^A-Za-z]"), lit(""))) > 0)
+        .as("has_latin"))
+    per.groupBy("grp")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("c_bidi") > 0L, 1L).otherwise(0L)).cast("long")
+          .as("n_bidi_docs"),
+        sum(col("c_bidi")).cast("long").as("n_bidi_chars"),
+        sum(when(col("c_zw") > 0L, 1L).otherwise(0L)).cast("long")
+          .as("n_zero_width_docs"),
+        sum(col("c_zw")).cast("long").as("n_zero_width_chars"),
+        sum(when(col("c_cyr") > 0L && col("has_latin"), 1L).otherwise(0L))
+          .cast("long").as("n_mixed_script_docs"),
+        sum(when(col("c_bidi") > 0L || col("c_zw") > 0L ||
+          (col("c_cyr") > 0L && col("has_latin")), 1L).otherwise(0L))
+          .cast("long").as("n_flagged"))
+      .select(col("grp").as("source"), col("n_docs"), col("n_bidi_docs"),
+        col("n_bidi_chars"), col("n_zero_width_docs"),
+        col("n_zero_width_chars"), col("n_mixed_script_docs"),
+        col("n_flagged"),
+        expr("(n_flagged * 1000000L) div n_docs").as("flag_rate_micro"))
+  }
+
   /** Oracle-checkable gate row for the compression-ratio pass. The
     * DEFLATE byte counts themselves are not SQL-expressible, so this
     * emits per-source columns an independent SQL engine CAN verify —

@@ -1470,6 +1470,48 @@ class OpsSpec extends AnyFunSuite {
     assert(s2.getAs[Long]("var_term_pico") === 0L)
   }
 
+  test("unicodeHygiene: bidi, zero-width and mixed-script each flag exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "safe \u202Ereversed\u202C code", "a"), // 2 bidi controls
+      (2L, "wat\u200Bermark\u200Bed text", "a"), // 2 zero-width
+      (3L, "p\u0430ypal login", "a"), // Cyrillic a-homoglyph + latin
+      (4L, "\u0432\u0441\u0451 \u043E\u043A", "b"), // pure Cyrillic: NOT mixed
+      (5L, "clean ascii", "b")).toDF("doc_id", "text", "source")
+    val got = Text.unicodeHygiene(docs).orderBy("source").collect()
+    assert(got(0).getAs[Long]("n_bidi_docs") === 1L)
+    assert(got(0).getAs[Long]("n_bidi_chars") === 2L)
+    assert(got(0).getAs[Long]("n_zero_width_docs") === 1L)
+    assert(got(0).getAs[Long]("n_zero_width_chars") === 2L)
+    assert(got(0).getAs[Long]("n_mixed_script_docs") === 1L)
+    assert(got(0).getAs[Long]("n_flagged") === 3L)
+    assert(got(0).getAs[Long]("flag_rate_micro") === 1000000L)
+    // pure-Cyrillic text is NOT a homoglyph suspect
+    assert(got(1).getAs[Long]("n_mixed_script_docs") === 0L)
+    assert(got(1).getAs[Long]("n_flagged") === 0L)
+  }
+
+  test("knnProbeAccuracy: clean clusters score 1; a planted mislabel scores 0") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes; queries = ids 0 and 50;
+    // id 0 carries the WRONG label, so its 5 neighbors outvote it
+    val rows = (0L until 100L).map { i =>
+      val cluster = if (i < 50) 0 else 1
+      val v = if (cluster == 0) Seq(1.0f, 0.001f * i) else Seq(0.001f * i, 1.0f)
+      val lbl = if (i == 0L) 1 else cluster
+      (i, lbl, v)
+    }
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val got = Similarity.knnProbeAccuracy(df,
+      pmod(col("vec_id"), lit(50)) === 0).orderBy("label").collect()
+    // query 0 (labeled 1, sits in cluster 0) -> neighbors vote 0: wrong
+    // query 50 (labeled 1, cluster 1) -> neighbors vote 1: right
+    val byLabel = got.map(r => r.getLong(0) -> r).toMap
+    assert(byLabel(1L).getAs[Long]("n_queries") === 2L)
+    assert(byLabel(1L).getAs[Long]("n_correct") === 1L)
+    assert(byLabel(1L).getAs[Long]("acc_micro") === 500000L)
+  }
+
   test("kwic: terms with backslashes and quotes match literally") {
     import spark.implicits._
     val doc = Seq((1L, """a\b it's a\b plain"""), (2L, "no match here"))
