@@ -2779,12 +2779,19 @@ object OracleGen {
     * the smallest node, cut/conductance rollup.
     */
   def spec1Sql(iters: Int = 12): String = {
-    // early-exit freeze, mirrored from the engine: once a round's sign
-    // pattern equals the previous round's OR is its exact flip (the
-    // negative-eigenvalue ±v oscillation the s0 pin absorbs), x
-    // carries forward unchanged (f$k latches true) — so both engines
+    // early-exit freeze, mirrored from the engine: once a round's
+    // nonnegative-sign set has the same (count, Σv, Σv²) fingerprint
+    // as the previous round's — or its exact complement (the
+    // negative-eigenvalue ±v oscillation the s0 pin absorbs) — x
+    // carries forward unchanged (f$k latches true), so both engines
     // land on the first ±-stable round's values no matter the unroll
-    // depth, and rounds_used is the first latched k.
+    // depth, and rounds_used is the first latched k. Join-free: each
+    // fingerprint is one aggregate, exactly the engine's rule.
+    def fpSel(src: String) =
+      s"""SELECT CAST(coalesce(sum(CASE WHEN x >= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS cp,
+         |    coalesce(sum(CASE WHEN x >= 0 THEN CAST(v AS HUGEINT) ELSE 0 END), 0) AS sv,
+         |    coalesce(sum(CASE WHEN x >= 0 THEN CAST(v AS HUGEINT) * v ELSE 0 END), 0) AS sq
+         |  FROM $src""".stripMargin
     val rounds = (1 to iters).map { k =>
       s""",
          |y$k AS MATERIALIZED (SELECT und.dst AS v, any_value(deg.d) AS d,
@@ -2798,13 +2805,16 @@ object OracleGen {
          |c$k AS MATERIALIZED (SELECT v,
          |    CAST(((y - m) * 1000000000) // mx AS BIGINT) AS x
          |  FROM y$k, m$k, mx$k),
+         |fpc$k AS (${fpSel(s"c$k")}),
          |f$k AS (SELECT ((SELECT f FROM f${k - 1}) OR (
-         |    SELECT coalesce(sum(CASE WHEN (c.x >= 0) != (p.x >= 0)
-         |        THEN 1 ELSE 0 END), 0) IN (0, count(*))
-         |    FROM c$k c JOIN x${k - 1} p USING (v))) AS f),
+         |    SELECT (c.cp = p.cp AND c.sv = p.sv AND c.sq = p.sq)
+         |      OR (c.cp = t.n - p.cp AND c.sv = t.svall - p.sv
+         |          AND c.sq = t.sqall - p.sq)
+         |    FROM fpc$k c, fpx${k - 1} p, fptot t)) AS f),
          |x$k AS MATERIALIZED (SELECT p.v,
          |    CASE WHEN (SELECT f FROM f${k - 1}) THEN p.x ELSE c.x END AS x
-         |  FROM x${k - 1} p JOIN c$k c USING (v))""".stripMargin
+         |  FROM x${k - 1} p JOIN c$k c USING (v)),
+         |fpx$k AS (${fpSel(s"x$k")})""".stripMargin
     }.mkString
     val ruLegs = (1 to iters)
       .map(k => s"SELECT $k AS k, (SELECT f FROM f$k) AS f")
@@ -2820,7 +2830,10 @@ object OracleGen {
        |vol AS (SELECT CAST(sum(d) AS BIGINT) AS volt FROM deg),
        |x0 AS MATERIALIZED (SELECT v, CAST(CASE WHEN v % 2 = 0
        |    THEN 1000000000 ELSE -1000000000 END AS BIGINT) AS x FROM deg),
-       |f0 AS (SELECT false AS f)"""
+       |f0 AS (SELECT false AS f),
+       |fptot AS (SELECT count(*) AS n, coalesce(sum(CAST(v AS HUGEINT)), 0) AS svall,
+       |    coalesce(sum(CAST(v AS HUGEINT) * v), 0) AS sqall FROM x0),
+       |fpx0 AS (${fpSel("x0")})"""
       .stripMargin + rounds +
       s""",
          |ru AS (SELECT coalesce(min(k), $iters) AS r

@@ -1092,9 +1092,13 @@ object Queries {
         val day9 = tx(s, d).filter(substring(col("update_at"), 9, 2) === "09")
           .select("account", "create_at", "update_at", "entity", "amount",
             "is_credit", "note")
-        val landing = scratchOnce("sdd1_landing", d)(Ingest.landCdc(day9, _))
+        // flat two-file source (the k6 producer shape): the operator
+        // under test is the stateful dedup, not the landing layout —
+        // a minute-partitioned day is hundreds of tiny files whose
+        // per-batch listing would dominate the measurement
+        val landing = scratchOnce("sdd1_src", d)(
+          day9.coalesce(2).write.mode("overwrite").json(_))
         val events = s.readStream.schema(Schemas.flatCdcRow)
-          .option("recursiveFileLookup", "true")
           .option("maxFilesPerTrigger", halfFilesTrigger(landing))
           .json(landing)
           .withColumn("ts", to_timestamp(substring(col("update_at"), 1, 26),

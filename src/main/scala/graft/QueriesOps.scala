@@ -10482,5 +10482,44 @@ object QueriesOps {
       (s, d) => graft.ops.Similarity.knnProbeAccuracy(embs(s, d),
           pmod(col("vec_id"), lit(50)) === 0)
         .orderBy("label"),
-      Some(OracleGen.knn1Sql())))
+      Some(OracleGen.knn1Sql())),
+
+    // CCN1: CCNet perplexity bucketing — per-doc exact-integer mean
+    // bigram NLL, global tercile cuts (tree-aggregated percentile,
+    // broadcast — no global ntile window), per-source head/middle/tail
+    // composition. The 'keep the head, down-sample the tail' report.
+    "ccn1_perplexity_buckets" -> Q(
+      (s, d) => graft.ops.Text.perplexityBuckets(docs(s, d))
+        .orderBy("source", "bucket"),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS s
+        |    FROM t WHERE len(toks) >= 2),
+        |bb AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM b),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM bb GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c12 GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM c12),
+        |lm AS (SELECT w1, w2, CAST(floor(-ln(CAST(n12 + 1 AS DOUBLE) /
+        |      CAST(n1 + v AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS nll_nano
+        |  FROM c12 JOIN c1 USING (w1), v),
+        |pd AS (SELECT doc_id,
+        |    CAST(sum(CAST(nll_nano AS HUGEINT)) // count(*) AS BIGINT) AS nll_nano
+        |  FROM bb JOIN lm USING (w1, w2) GROUP BY doc_id),
+        |pds AS (SELECT pd.doc_id, pd.nll_nano, d.source
+        |  FROM pd JOIN documents d USING (doc_id)),
+        |cuts AS (SELECT quantile_cont(nll_nano, CAST(1 AS DOUBLE)/3) AS c0,
+        |    quantile_cont(nll_nano, CAST(2 AS DOUBLE)/3) AS c1 FROM pds),
+        |bk AS (SELECT source, CAST(CASE WHEN nll_nano < c0 THEN 0
+        |    WHEN nll_nano < c1 THEN 1 ELSE 2 END AS INTEGER) AS bucket,
+        |    nll_nano FROM pds, cuts),
+        |cn AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CAST(nll_nano AS HUGEINT)) // count(*) AS BIGINT)
+        |      AS mean_nll_nano
+        |  FROM bk GROUP BY 1, 2),
+        |tt AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS nt
+        |  FROM cn GROUP BY 1)
+        |SELECT cn.source, bucket, n_docs,
+        |  CAST((n_docs * 1000000) // nt AS BIGINT) AS share_micro,
+        |  mean_nll_nano
+        |FROM cn JOIN tt USING (source) ORDER BY source, bucket""".stripMargin)))
 }

@@ -803,12 +803,15 @@ object Graph {
     * Scale: undirected edges shuffle once and persist; each round
     * exchanges (node, long) pairs with two scalar broadcasts — the
     * [[pageRank]] fixed-point shape, per-round lineage cut included.
-    * Rounds early-exit at the first ±-stable iteration — the sign
-    * pattern reproduced exactly OR exactly flipped (a negative second
-    * eigenvalue makes the deflated iteration oscillate ±v; the s0 pin
-    * makes both the same partition) — capped at `iterations`.
-    * `rounds_used` is emitted and the oracle replays the identical
-    * freeze rule, so the exit round itself is value-gated.
+    * Rounds early-exit at the first ±-stable iteration — the
+    * nonnegative-sign set's (count, Σv, Σv²) fingerprint reproduced
+    * exactly OR exactly complemented (a negative second eigenvalue
+    * makes the deflated iteration oscillate ±v; the s0 pin makes both
+    * the same partition) — capped at `iterations`. The fingerprint
+    * comparison is join-free: one aggregate that doubles as each
+    * round's materializing action. `rounds_used` is emitted and the
+    * oracle replays the identical fingerprint rule, so the exit round
+    * itself is value-gated.
     */
   /** Lazy building blocks of [[spectralBipartition]], exposed so the
     * plan-shape gate can golden-pin one round's pure plan (the
@@ -874,30 +877,55 @@ object Graph {
     val (und, deg, vol, x0) = spectralParts(edges, pinP)
     var xCached = pinP(x0)
     var x = shallow(xCached)
+    // convergence early-exit bookkeeping: the OUTPUT depends only on
+    // the PINNED sign pattern (s0 flips the global sign), so a round
+    // whose nonnegative-sign set reproduces the previous round's — or
+    // is its EXACT complement (the negative-eigenvalue ±v oscillation
+    // the pin absorbs) — means the partition is final. The sets are
+    // compared by the (count, Σv, Σv²) fingerprint: ONE aggregate
+    // over the new x that doubles as the round's materializing action
+    // (it scans every partition, filling the persist) — no per-round
+    // join, no extra job vs the plain count it replaces. The oracle
+    // replays the identical fingerprint rule, and rounds_used is
+    // value-gated, so a (vanishingly unlikely) fingerprint collision
+    // cannot split the engines — the freeze rule IS the semantics.
+    val decC = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    def fpAgg(df: DataFrame) = df.agg(
+      count(lit(1)).cast("long").as("n"),
+      coalesce(sum(when(col("x") >= 0L, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("cp"),
+      coalesce(sum(when(col("x") >= 0L, decC(col("v")))
+        .otherwise(decC(lit(0L)))), decC(lit(0L))).as("sv"),
+      coalesce(sum(when(col("x") >= 0L, decC(col("v")) * decC(col("v")))
+        .otherwise(decC(lit(0L)))), decC(lit(0L))).as("sq"),
+      coalesce(sum(decC(col("v"))), decC(lit(0L))).as("svall"),
+      coalesce(sum(decC(col("v")) * decC(col("v"))), decC(lit(0L)))
+        .as("sqall")).head()
+    def fpOf(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("cp"), r.getAs[java.math.BigDecimal]("sv"),
+        r.getAs[java.math.BigDecimal]("sq"))
+    val fp0 = fpAgg(x)
+    val (nTot, svAll, sqAll) = (fp0.getAs[Long]("n"),
+      fp0.getAs[java.math.BigDecimal]("svall"),
+      fp0.getAs[java.math.BigDecimal]("sqall"))
+    var prevFp = fpOf(fp0)
     var prev: DataFrame = null
     var roundsUsed = 0
     var converged = false
     while (roundsUsed < iterations && !converged) {
       val (y, next0) = spectralRound(und, deg, vol, x, pinP)
       val next = pinP(next0)
-      next.count()
-      y.unpersist(false)
-      // convergence early-exit: the OUTPUT depends only on the PINNED
-      // sign pattern (s0 flips the global sign), so both a reproduced
-      // pattern (m = 0) and an exactly-flipped one (m = n — the
-      // negative-eigenvalue oscillation ±v the pin absorbs) mean the
-      // partition is final — stop instead of burning the remaining
-      // fixed rounds. One extra 1-row aggregate per round; the oracle
-      // replays the identical freeze rule and rounds_used is gated.
       roundsUsed += 1
-      val conv = next
-        .join(x.select(col("v"), col("x").as("px")), "v")
-        .agg(count(lit(1)).cast("long").as("n"),
-          coalesce(sum(when((col("x") >= 0L) =!= (col("px") >= 0L), 1L)
-            .otherwise(0L)), lit(0L)).cast("long").as("mm"))
-        .head()
-      val mm = conv.getAs[Long]("mm")
-      if (mm == 0L || mm == conv.getAs[Long]("n")) converged = true
+      val fr = fpAgg(next)
+      y.unpersist(false)
+      val cur = fpOf(fr)
+      val comp = (nTot - prevFp._1, svAll.subtract(prevFp._2),
+        sqAll.subtract(prevFp._3))
+      if (cur._1 == prevFp._1 && cur._2.compareTo(prevFp._2) == 0 &&
+          cur._3.compareTo(prevFp._3) == 0) converged = true
+      else if (cur._1 == comp._1 && cur._2.compareTo(comp._2) == 0 &&
+          cur._3.compareTo(comp._3) == 0) converged = true
+      prevFp = cur
       if (prev != null) prev.unpersist()
       prev = xCached
       xCached = next

@@ -1462,6 +1462,69 @@ object Text {
         expr("CAST(s div k_cnt AS BIGINT)").as("mink_nll_nano"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC'20): score
+    * every document by its mean bigram NLL under the corpus LM (the
+    * [[perplexityFilter]] head), cut the corpus at the exact global
+    * tercile order statistics, and report per-source head/middle/tail
+    * composition — THE quality-mix report behind "keep the head,
+    * down-sample the tail" curation (head = most fluent).
+    *
+    * Determinism: per-bigram NLL nano-quantizes before the exact
+    * integer per-doc mean (no order-dependent double sums — the
+    * minKProb discipline); cuts are exact interpolated percentiles
+    * over those integers (the hi2/h10 cross-engine convention);
+    * bucket comparisons are integer-vs-cut.
+    *
+    * Scale: the tx14 LM machinery + ONE tree-aggregated percentile
+    * (broadcast cuts — the scale-safe alternative to a global ntile
+    * window) + a (source, bucket) combinable rollup.
+    */
+  def perplexityBuckets(docs: DataFrame, k: Int = 3,
+                        textCol: String = "text"): DataFrame = {
+    require(k >= 2, "need at least 2 buckets")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val b = docs
+      .select(col("doc_id"), split(lower(col(textCol)), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> " +
+          "struct(toks[i] AS w1, toks[i+1] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = b.groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("n12"))
+    val c1 = c12.groupBy("w1").agg(sum("n12").cast("long").as("n1"))
+    val vocab = c12.agg(countDistinct(col("w2")).cast("long").as("v"))
+    val lm = c12.join(c1, "w1").crossJoin(broadcast(vocab))
+      .withColumn("nll_nano", floor(-log(
+          (col("n12") + lit(1L)).cast("double") /
+            (col("n1") + col("v")).cast("double")) * lit(1e9) + lit(0.5))
+        .cast("long"))
+      .select("w1", "w2", "nll_nano")
+    val perDoc = b.join(lm, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(dec(col("nll_nano"))).as("s"))
+      .select(col("doc_id"), expr("CAST(s div n_bigrams AS BIGINT)")
+        .as("nll_nano"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val ps = (1 until k).map(i => s"CAST($i AS DOUBLE)/$k")
+    val cuts = perDoc.agg(
+      expr(s"percentile(nll_nano, array(${ps.mkString(",")}))").as("__cuts"))
+    val bucket = (0 until k - 1).foldRight(lit(k - 1): Column) { (i, els) =>
+      when(col("nll_nano") < col("__cuts")(i), i).otherwise(els)
+    }
+    val counts = perDoc.crossJoin(broadcast(cuts))
+      .groupBy(col("source"), bucket.cast("int").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        expr("CAST(sum(CAST(nll_nano AS DECIMAL(38,0))) div count(1) " +
+          "AS BIGINT)").as("mean_nll_nano"))
+    val totals = counts.groupBy("source")
+      .agg(sum("n_docs").cast("long").as("nt"))
+    counts.join(broadcast(totals), "source")
+      .select(col("source"), col("bucket"), col("n_docs"),
+        expr("(n_docs * 1000000L) div nt").as("share_micro"),
+        col("mean_nll_nano"))
+  }
+
   /** Mojibake / encoding-damage audit (the ftfy problem class): count
     * the classic double-encoding signatures per document — U+FFFD
     * replacement characters (decoder already gave up), 'Ã' (UTF-8

@@ -1512,6 +1512,30 @@ class OpsSpec extends AnyFunSuite {
     assert(byLabel(1L).getAs[Long]("acc_micro") === 500000L)
   }
 
+  test("perplexityBuckets: terciles split a three-level corpus exactly") {
+    import spark.implicits._
+    // three fluency levels x 3 docs each, all same source: bucket
+    // counts must be exactly 3/3/3 and bucket means must be ordered
+    val docs = (0 until 3).flatMap { lvl =>
+      (0 until 3).map { j =>
+        val text = lvl match {
+          case 0 => "a a a a a a a a"                     // one bigram, common
+          case 1 => "a a b a a b a a"                     // mixed
+          case _ => s"c$j d$j e$j f$j g$j h$j"            // all-singleton bigrams
+        }
+        ((lvl * 3 + j).toLong, text, "s")
+      }
+    }.toDF("doc_id", "text", "source")
+    val got = graft.ops.Text.perplexityBuckets(docs)
+      .orderBy("bucket").collect()
+    assert(got.map(_.getAs[Int]("bucket")).toSeq === Seq(0, 1, 2))
+    assert(got.forall(_.getAs[Long]("n_docs") === 3L))
+    assert(got.forall(_.getAs[Long]("share_micro") === 333333L))
+    val means = got.map(_.getAs[Long]("mean_nll_nano"))
+    assert(means(0) < means(1) && means(1) < means(2),
+      s"bucket means must rise head->tail: ${means.toSeq}")
+  }
+
   test("kwic: terms with backslashes and quotes match literally") {
     import spark.implicits._
     val doc = Seq((1L, """a\b it's a\b plain"""), (2L, "no match here"))
