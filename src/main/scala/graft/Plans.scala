@@ -99,6 +99,8 @@ object Plans {
     "fid1_frechet_diag",
     // round-15 wave 9 (both lazy)
     "ug1_unicode_hygiene", "knn1_probe_accuracy",
+    // round-15 wave 10 (lazy; broadcast percentile cuts)
+    "ccn1_perplexity_buckets",
     "ci2_lsh_maxsim", "dd19_lsh_planner")
 
   /** Representative LAZY plan fragments for operators excluded from
