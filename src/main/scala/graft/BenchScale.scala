@@ -152,7 +152,15 @@ object BenchScale {
     // SAMPLE-bounded (m fixed), so the only scaling cost is the md5
     // rank — expect ~flat; tok1 is the wp1 + bpe1 chains joined —
     // both vocabulary-bounded after the word count (~k tagged words)
-    "mmd1_kernel_two_sample", "tok1_segmentation_agreement")
+    "mmd1_kernel_two_sample", "tok1_segmentation_agreement",
+    // round-15: the LM-backed doc scorers (mink1 adds a doc-bounded
+    // rank window to the tx14 LM; ccn1 adds broadcast percentile cuts
+    // — both expected linear with ~k-growing tagged vocab, the ul2
+    // worst case), the streaming dedup drain (fixed two batches,
+    // state ∝ distinct keys), and the one-contingency-pass agreement
+    // report (cells bounded by labels × 4)
+    "mink1_min_k_prob", "ccn1_perplexity_buckets", "sdd1_stream_dedup",
+    "ari1_clustering_agreement")
 
   /** Entries whose index width must grow with the corpus (the LSH /
     * IVF contract): each gives (base-leg fn, scaled-leg fn at k×) —

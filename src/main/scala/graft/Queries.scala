@@ -1126,6 +1126,84 @@ object Queries {
         |WHERE substr(update_at, 9, 2) = '09'
         |ORDER BY account, entity""".stripMargin)),
 
+    // SSW1 (stream form): streaming SESSION windows — gap-merged
+    // per-account sessions maintained as watermarked session_window
+    // state and emitted ONLY when the watermark closes them (append
+    // mode). A '__flush' sentinel far past the corpus span rides the
+    // source so the final no-data micro-batch's watermark closes every
+    // real session (the standard drain-to-batch-parity trick); the
+    // sentinel's own session is filtered from the output. Oracle =
+    // t9's batch gap sessionization of the same slice.
+    "ssw1_stream_sessions" -> Q(
+      (s, d) => withStreamShuffle(s) {
+        import org.apache.spark.sql.streaming.Trigger
+        val day10 = tx(s, d).filter(substring(col("update_at"), 9, 2) === "10")
+          .select("account", "create_at", "update_at", "entity", "amount",
+            "is_credit", "note")
+        val src = scratchOnce("ssw1_src", d) { dir =>
+          day10.coalesce(2).write.mode("overwrite").json(dir)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(dir, "zzz_flush.json"),
+            """{"account":"__flush","create_at":"2024-12-31T00:00:00.000000+0000","update_at":"2024-12-31T00:00:00.000000+0000","entity":"E","amount":0,"is_credit":0,"note":""}""")
+        }
+        val events = s.readStream.schema(Schemas.flatCdcRow)
+          .option("maxFilesPerTrigger", halfFilesTrigger(src))
+          .json(src)
+          .withColumn("ts", to_timestamp(substring(col("update_at"), 1, 26),
+            "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+        val outDir = scratch("ssw1_out")
+        // 2-day delay: out-of-order arrivals across the two source
+        // files stay within the same slice day, so nothing real is
+        // ever late; the sentinel still closes every session
+        events.withWatermark("ts", "2 days")
+          .groupBy(session_window(col("ts"), "5 minutes").as("sw"),
+            col("account"))
+          .agg(count(lit(1)).cast("long").as("n_events"))
+          .select(col("account"),
+            date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss")
+              .as("session_start"),
+            date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss")
+              .as("session_end"),
+            col("n_events"))
+          .writeStream.outputMode("append")
+          .foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(outDir): Unit
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", scratch("ssw1_ckpt"))
+          .start().awaitTermination()
+        import org.apache.spark.sql.types.{StructField, StructType, StringType, LongType}
+        s.read.schema(StructType(Seq(StructField("account", StringType),
+            StructField("session_start", StringType),
+            StructField("session_end", StringType),
+            StructField("n_events", LongType))))
+          .parquet(outDir)
+          .filter(col("account") =!= "__flush")
+          .orderBy("account", "session_start")
+      },
+      Some(s"""$TxCte, sl AS (
+        |  SELECT account, CAST(substr(update_at, 1, 26) AS TIMESTAMP) AS ts
+        |  FROM tx WHERE substr(update_at, 9, 2) = '10'),
+        |o AS (SELECT account, ts,
+        |    lag(ts) OVER (PARTITION BY account ORDER BY ts) AS pts
+        |  FROM sl),
+        |fl AS (SELECT account, ts,
+        |    CASE WHEN pts IS NULL
+        |      OR ts > pts + INTERVAL '5 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM o),
+        |se AS (SELECT account, ts,
+        |    sum(brk) OVER (PARTITION BY account ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM fl)
+        |SELECT account,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL '5 minutes', '%Y-%m-%d %H:%M:%S')
+        |    AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM se GROUP BY account, sid
+        |ORDER BY account, session_start""".stripMargin)),
+
     // K3/T1/T7 (stream form): the streaming landing sink — raw events
     // (incl. REMOVEs, which the consumer drops, T7) arrive as a stream
     // and land minute-partitioned exactly like the Lambda consumer;

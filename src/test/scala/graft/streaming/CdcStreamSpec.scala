@@ -171,6 +171,43 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(out2.toSet === Set(("acc-1", "E"), ("acc-2", "E"), ("acc-3", "E")))
   }
 
+  test("session windows: gap-merged sessions emit only once the watermark closes them") {
+    val root = Files.createTempDirectory("graft_stream_sess")
+    val srcDir = root.resolve("src").toString
+    Files.createDirectories(Paths.get(srcDir))
+    def row(acct: String, hh: Int, mm: Int): String = {
+      val ts = f"2024-01-01T$hh%02d:$mm%02d:00.000000+0000"
+      s"""{"account":"$acct","create_at":"$ts","update_at":"$ts","entity":"E","amount":1,"is_credit":0,"note":"n"}"""
+    }
+    // a: 00:00 and 00:02 merge (gap 5m); 00:20 is its own session.
+    // z at 02:00 advances the watermark (1m delay) past both.
+    Files.writeString(Paths.get(srcDir, "b1.json"), Seq(
+      row("a", 0, 0), row("a", 0, 2), row("a", 0, 20),
+      row("z", 2, 0)).mkString("\n"))
+    val q = spark.readStream.schema(Schemas.flatCdcRow).json(srcDir)
+      .withColumn("ts", to_timestamp(substring(col("update_at"), 1, 26),
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "5 minutes").as("sw"), col("account"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+      .select(col("account"),
+        col("sw.start").cast("string").as("st"),
+        col("sw.end").cast("string").as("en"), col("n_events"))
+      .writeStream.format("memory").queryName("graft_sessions")
+      .outputMode("append")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("graft_sessions").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // z's own session is still OPEN (wm = 01:59 < its end) — only a's
+    assert(out.toSet === Set(
+      ("a", "2024-01-01 00:00:00", "2024-01-01 00:07:00", 2L),
+      ("a", "2024-01-01 00:20:00", "2024-01-01 00:25:00", 1L)),
+      s"closed gap-merged sessions only; got ${out.toSeq}")
+  }
+
   test("windowedStreamJoin: pairs within the window, never across windows") {
     import org.apache.spark.sql.streaming.Trigger
     val root = Files.createTempDirectory("graft_ssj")
