@@ -101,6 +101,9 @@ object Plans {
     "ug1_unicode_hygiene", "knn1_probe_accuracy",
     // round-15 wave 10 (lazy; broadcast percentile cuts)
     "ccn1_perplexity_buckets",
+    // round-15 wave 12 (loop1 lazy; k13 writes its lake eagerly — the
+    // k5 sink-roundtrip exclusion class)
+    "loop1_decode_loops",
     "ci2_lsh_maxsim", "dd19_lsh_planner")
 
   /** Representative LAZY plan fragments for operators excluded from

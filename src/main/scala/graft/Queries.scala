@@ -759,6 +759,51 @@ object Queries {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // K5: CSV sink round-trip (header, quoted JSON-ish strings).
+    // K13: schema-evolution merge — a v2 batch arrives with a NEW
+    // column (channel) the v1 lake rows never had; mergeSchema read
+    // unifies (v1 rows carry NULL channel), then latest-wins dedup
+    // builds the snapshot. The lakehouse capability every long-lived
+    // CDC table eventually needs: no rewrite of historical files, the
+    // new column is simply absent-as-null behind the unified schema.
+    "k13_schema_evolution" -> Q(
+      (s, d) => {
+        val v1 = tx(s, d).filter(substring(col("update_at"), 9, 2) === "11")
+          .select("account", "create_at", "update_at", "entity", "amount",
+            "is_credit", "note")
+        val v2 = tx(s, d).filter(substring(col("update_at"), 9, 2) === "12")
+          .select(col("account"), col("create_at"), col("update_at"),
+            col("entity"), col("amount"), col("is_credit"), col("note"),
+            substring(col("entity"), 1, 2).as("channel"))
+        val lake = scratch("k13_lake")
+        v1.write.mode("overwrite").parquet(s"$lake/batch=1")
+        v2.write.mode("append").parquet(s"$lake/batch=2")
+        val unified = s.read.option("mergeSchema", "true")
+          .option("recursiveFileLookup", "true").parquet(lake)
+        graft.merge.Merge.dedupLatest(
+            unified.withColumn("__k",
+              concat(col("account"), lit("\u0000"), col("entity"))),
+            "__k", "update_at")
+          .groupBy(col("entity"), coalesce(col("channel"), lit("legacy"))
+            .as("channel"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("amount")).cast("long").as("amt"))
+          .orderBy("entity", "channel")
+      },
+      Some(s"""$TxCte, u AS (
+        |  SELECT account, update_at, entity, amount,
+        |    CAST(NULL AS VARCHAR) AS channel
+        |  FROM tx WHERE substr(update_at, 9, 2) = '11'
+        |  UNION ALL
+        |  SELECT account, update_at, entity, amount,
+        |    substr(entity, 1, 2) AS channel
+        |  FROM tx WHERE substr(update_at, 9, 2) = '12'),
+        |w AS (SELECT *, row_number() OVER (
+        |    PARTITION BY account, entity ORDER BY update_at DESC) AS rn
+        |  FROM u)
+        |SELECT entity, coalesce(channel, 'legacy') AS channel,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(amount) AS BIGINT) AS amt
+        |FROM w WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     "k5_csv_roundtrip" -> Q(
       (s, d) => {
         val day2 = tx(s, d).filter(substring(col("update_at"), 9, 2) === "02")

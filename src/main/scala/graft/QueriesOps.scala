@@ -10484,6 +10484,37 @@ object QueriesOps {
         .orderBy("label"),
       Some(OracleGen.knn1Sql())),
 
+    // LOOP1: decode-loop detection — max consecutive stride-3
+    // repetition of any trigram; the contiguous "model got stuck"
+    // artifact the Gopher coverage ratios can't isolate. Synthetic-
+    // text defense beside wm1.
+    "loop1_decode_loops" -> Q(
+      (s, d) => graft.ops.Text.decodeLoops(docs(s, d))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |tt AS (SELECT doc_id, CAST(len(ws) - 2 AS BIGINT) AS ng,
+        |    list_transform(range(1, len(ws) - 1), i ->
+        |      ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1]
+        |        || ' ' || ws[CAST(i AS INTEGER) + 2]) AS gs
+        |  FROM t WHERE len(ws) >= 3),
+        |m AS (SELECT doc_id, u.i AS i FROM tt, unnest(
+        |    CASE WHEN len(gs) <= 3 THEN CAST([] AS BIGINT[])
+        |    ELSE list_filter(range(4, len(gs) + 1), i ->
+        |      gs[CAST(i AS INTEGER)] = gs[CAST(i AS INTEGER) - 3]) END)
+        |  AS u(i)),
+        |r AS (SELECT doc_id, i, i % 3 AS ph,
+        |    (i // 3) - row_number() OVER (PARTITION BY doc_id, i % 3
+        |      ORDER BY i) AS isl FROM m),
+        |st AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS best FROM (
+        |    SELECT doc_id, ph, isl, count(*) AS c FROM r GROUP BY 1, 2, 3)
+        |  GROUP BY 1)
+        |SELECT tt.doc_id, ng AS n_trigrams,
+        |  CAST(coalesce(best, 0) + 1 AS BIGINT) AS max_repeats,
+        |  coalesce(best, 0) + 1 >= 4 AS loop_flag
+        |FROM tt LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     // CCN1: CCNet perplexity bucketing — per-doc exact-integer mean
     // bigram NLL, global tercile cuts (tree-aggregated percentile,
     // broadcast — no global ntile window), per-source head/middle/tail

@@ -1462,6 +1462,55 @@ object Text {
         expr("CAST(s div k_cnt AS BIGINT)").as("mink_nll_nano"))
   }
 
+  /** Decode-loop detection — the "model got stuck repeating a phrase"
+    * artifact of greedy/low-temperature decoding (and of scraped spam):
+    * the maximum number of CONSECUTIVE repetitions of any trigram at
+    * stride 3 (`w_i w_{i+1} w_{i+2}` repeated back-to-back). Distinct
+    * from the Gopher repetition ratios (top-n-gram COVERAGE — a page
+    * can trip those with scattered repeats); this flags the contiguous
+    * loop that screams synthetic text. Complements [[watermarkDetect]]
+    * in the synthetic-text defense.
+    *
+    * Mechanics: per-trigram match flags (g[i] = g[i−3]) explode to
+    * rows; the longest streak per (doc, phase) is gaps-and-islands
+    * over DOC-BOUNDED windows — exact integers, both engines.
+    *
+    * Scale: one in-row trigram pass + a (doc) shuffle of narrow flag
+    * rows + doc-bounded windows — the t9 sessionize cost class.
+    */
+  def decodeLoops(docs: DataFrame, flagAt: Int = 4,
+                  textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        expr(s"filter(split(lower($textCol), ' '), x -> length(x) > 0)")
+          .as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), (size(col("ws")) - 2).cast("long").as("ng"),
+        expr("""transform(sequence(1, size(ws) - 2), i ->
+               |  concat(element_at(ws, i), ' ', element_at(ws, i + 1),
+               |    ' ', element_at(ws, i + 2)))""".stripMargin).as("gs"))
+    val matches = toks.select(col("doc_id"), col("ng"),
+        posexplode(expr(
+          """CASE WHEN size(gs) <= 3 THEN CAST(array() AS ARRAY<BOOLEAN>)
+            |ELSE transform(sequence(4, size(gs)), i ->
+            |  element_at(gs, i) = element_at(gs, i - 3)) END""".stripMargin)))
+      .select(col("doc_id"), col("ng"), (col("pos") + 4).cast("long").as("i"),
+        col("col").as("m"))
+      .filter(col("m"))
+    val runs = matches
+      .withColumn("ph", pmod(col("i"), lit(3L)))
+      .withColumn("isl", expr("i div 3") - row_number().over(
+        Window.partitionBy("doc_id", "ph").orderBy(col("i").asc)).cast("long"))
+      .groupBy("doc_id", "ph", "isl")
+      .agg(count(lit(1)).cast("long").as("streak"))
+      .groupBy("doc_id")
+      .agg(max(col("streak")).as("best"))
+    toks.select(col("doc_id"), col("ng").as("n_trigrams"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_trigrams"),
+        (coalesce(col("best"), lit(0L)) + 1L).as("max_repeats"),
+        (coalesce(col("best"), lit(0L)) + 1L >= flagAt).as("loop_flag"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al., LREC'20): score
     * every document by its mean bigram NLL under the corpus LM (the
     * [[perplexityFilter]] head), cut the corpus at the exact global

@@ -40,4 +40,18 @@ class IngestSpec extends AnyFunSuite {
     val back = spark.read.schema(Schemas.flatCdcRow).json(dir)
     assert(back.head().getAs[String]("create_at").startsWith("2024-01-01"))
   }
+
+  test("schema-evolution read: mergeSchema unifies; pre-evolution rows are null (K13)") {
+    import spark.implicits._
+    val lake = Files.createTempDirectory("graft_k13").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$lake/batch=1")
+    Seq((3L, "c", "web")).toDF("id", "v", "channel")
+      .write.mode("append").parquet(s"$lake/batch=2")
+    val unified = spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true").parquet(lake)
+    assert(unified.columns.toSet === Set("id", "v", "channel"))
+    val rows = unified.orderBy("id").collect()
+    assert(rows.map(_.getAs[String]("channel")).toSeq === Seq(null, null, "web"))
+  }
 }

@@ -1536,6 +1536,25 @@ class OpsSpec extends AnyFunSuite {
       s"bucket means must rise head->tail: ${means.toSeq}")
   }
 
+  test("decodeLoops: a contiguous phrase loop is counted exactly; scatter is not") {
+    import spark.implicits._
+    val docs = Seq(
+      // 'x y z' repeated 4 times back-to-back -> max_repeats 4, flag
+      (1L, "intro x y z x y z x y z x y z outro"),
+      // the same trigram SCATTERED (no adjacency) -> no loop
+      (2L, "x y z a b c x y z d e f x y z"),
+      // degenerate single-token loop: 12 'a's = 'a a a' 4x at stride 3
+      (3L, ("a " * 12).trim),
+      (4L, "too short")).toDF("doc_id", "text")
+    val got = Text.decodeLoops(docs).orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("max_repeats") === 4L)
+    assert(got(0).getAs[Boolean]("loop_flag"))
+    assert(got(1).getAs[Long]("max_repeats") === 1L)
+    assert(!got(1).getAs[Boolean]("loop_flag"))
+    assert(got(2).getAs[Boolean]("loop_flag"))
+    assert(got.length === 3) // the 2-token doc has no trigram
+  }
+
   test("kwic: terms with backslashes and quotes match literally") {
     import spark.implicits._
     val doc = Seq((1L, """a\b it's a\b plain"""), (2L, "no match here"))
