@@ -104,6 +104,10 @@ object Plans {
     // round-15 wave 12 (loop1 lazy; k13 writes its lake eagerly — the
     // k5 sink-roundtrip exclusion class)
     "loop1_decode_loops",
+    // round-15 wave 13: qr1's producer is a once-per-process scratch
+    // write; the registered plan itself (schema'd JSON scan + rollup)
+    // is lazy and deterministic
+    "qr1_corrupt_quarantine",
     "ci2_lsh_maxsim", "dd19_lsh_planner")
 
   /** Representative LAZY plan fragments for operators excluded from

@@ -759,6 +759,52 @@ object Queries {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // K5: CSV sink round-trip (header, quoted JSON-ish strings).
+    // QR1: corrupt-record quarantine — malformed JSON lines (planted
+    // deterministically by the producer: every line with
+    // amount % 10 = 0 is prefixed into invalid JSON) must land in a
+    // quarantine bucket via PERMISSIVE + columnNameOfCorruptRecord,
+    // NEVER silently null-fill into the good rows. The ingestion-
+    // robustness gate every feed needs; the oracle computes both
+    // buckets from the PLANTING RULE, so the parse behavior itself is
+    // what's checked.
+    "qr1_corrupt_quarantine" -> Q(
+      (s, d) => {
+        val day13 = tx(s, d).filter(substring(col("update_at"), 9, 2) === "13")
+          .select("account", "create_at", "update_at", "entity", "amount",
+            "is_credit", "note")
+        val src = scratchOnce("qr1_src", d) { dir =>
+          day13
+            .select(to_json(struct(col("account"), col("create_at"),
+              col("update_at"), col("entity"), col("amount"),
+              col("is_credit"), col("note"))).as("value"),
+              col("amount"))
+            .select(when(pmod(col("amount"), lit(10)) === 0,
+              concat(lit("CORRUPT"), col("value"))).otherwise(col("value"))
+              .as("value"))
+            .coalesce(2).write.mode("overwrite").text(dir)
+        }
+        val schema = Schemas.flatCdcRow.add("_corrupt", "string")
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .json(src)
+          .groupBy(when(col("_corrupt").isNotNull, lit("__quarantined"))
+            .otherwise(col("entity")).as("bucket"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("amount")).cast("long").as("amt"))
+          .orderBy("bucket")
+      },
+      Some(s"""$TxCte, sl AS (SELECT entity, amount FROM tx
+        |  WHERE substr(update_at, 9, 2) = '13')
+        |SELECT entity AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(amount) AS BIGINT) AS amt
+        |FROM sl WHERE amount % 10 != 0 GROUP BY 1
+        |UNION ALL
+        |SELECT '__quarantined', CAST(count(*) AS BIGINT),
+        |  CAST(NULL AS BIGINT)
+        |FROM sl WHERE amount % 10 = 0
+        |ORDER BY bucket""".stripMargin)),
+
     // K13: schema-evolution merge — a v2 batch arrives with a NEW
     // column (channel) the v1 lake rows never had; mergeSchema read
     // unifies (v1 rows carry NULL channel), then latest-wins dedup

@@ -54,4 +54,32 @@ class IngestSpec extends AnyFunSuite {
     val rows = unified.orderBy("id").collect()
     assert(rows.map(_.getAs[String]("channel")).toSeq === Seq(null, null, "web"))
   }
+
+  test("corrupt-record quarantine: malformed lines route, never null-fill (QR1)") {
+    val dir = Files.createTempDirectory("graft_qr1").toString
+    Files.writeString(Paths.get(dir, "feed.json"), Seq(
+      """{"account":"a","create_at":"2024-01-01T00:00:01.000000+0000","update_at":"2024-01-01T00:00:01.000000+0000","entity":"E","amount":5,"is_credit":0,"note":"ok"}""",
+      """CORRUPT{"account":"b"}""",
+      """{"account":"c","create_at":"2024-01-01T00:00:02.000000+0000","update_at":"2024-01-01T00:00:02.000000+0000","entity":"F","amount":7,"is_credit":1,"note":"ok"}""",
+      "not json at all").mkString("\n"))
+    val schema = Schemas.flatCdcRow.add("_corrupt", "string")
+    // Spark disallows corrupt-column-only queries over raw JSON — the
+    // documented workaround is to cache the parsed result first
+    val got = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(dir)
+      .cache()
+    try {
+      got.count()
+      val bad = got.filter(col("_corrupt").isNotNull)
+      val good = got.filter(col("_corrupt").isNull)
+      assert(bad.count() === 2L)
+      assert(good.count() === 2L)
+      // malformed rows must not leak values into the good columns
+      assert(bad.filter(col("account").isNotNull).count() === 0L)
+      assert(good.select("account").collect().map(_.getString(0)).toSet
+        === Set("a", "c"))
+    } finally spark.catalog.clearCache()
+  }
 }
