@@ -108,6 +108,9 @@ object Plans {
     // write; the registered plan itself (schema'd JSON scan + rollup)
     // is lazy and deterministic
     "qr1_corrupt_quarantine",
+    // round-15 wave 14 (both lazy; mad1's cuts are grouped
+    // tree-aggregated percentiles)
+    "pi1_injection_scan", "mad1_robust_outliers",
     "ci2_lsh_maxsim", "dd19_lsh_planner")
 
   /** Representative LAZY plan fragments for operators excluded from

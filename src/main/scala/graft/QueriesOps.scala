@@ -10484,6 +10484,62 @@ object QueriesOps {
         .orderBy("label"),
       Some(OracleGen.knn1Sql())),
 
+    // PI1: prompt-injection marker scan — the adversarial-instruction
+    // hygiene pass (generic public phrasings), per-source flag rates.
+    // Substring containment on lowercased text, exact both engines.
+    "pi1_injection_scan" -> Q(
+      (s, d) => graft.ops.Text.injectionScan(docs(s, d))
+        .orderBy("source"),
+      Some {
+        val hits = graft.ops.Text.InjectionMarkers.map(m =>
+          s"CASE WHEN strpos(lower(text), '$m') > 0 THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH per AS (SELECT source, CAST($hits AS BIGINT) AS n_markers
+           |  FROM documents)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN n_markers > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_flagged,
+           |  CAST(sum(n_markers) AS BIGINT) AS n_marker_hits,
+           |  CAST((sum(CASE WHEN n_markers > 0 THEN 1 ELSE 0 END) * 1000000)
+           |    // count(*) AS BIGINT) AS flag_rate_micro
+           |FROM per GROUP BY source ORDER BY source""".stripMargin
+      }),
+
+    // MAD1: robust per-source outlier share — |x − median| > 3.5·MAD
+    // over quality micro scores; grouped exact interpolated
+    // percentiles (the hi2 convention), no per-source sort.
+    "mad1_robust_outliers" -> Q(
+      (s, d) => graft.ops.Text.madOutliers(docs(s, d))
+        .orderBy("source"),
+      Some("""WITH q0 AS (SELECT source,
+        |    least(1.0,
+        |      CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE) * 0.5
+        |      + CAST(len(list_filter(string_split(text, ' '),
+        |          x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
+        |      + least(CAST(list_sum(list_transform(string_split(text, ' '),
+        |          x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+        |          / CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0, 1.0) * 0.2) AS qs
+        |  FROM documents),
+        |per AS (SELECT source AS grp,
+        |    CAST(floor(qs * 1e6 + 0.5) AS BIGINT) AS q FROM q0),
+        |med AS (SELECT grp, quantile_cont(q, CAST(5 AS DOUBLE)/10) AS med
+        |  FROM per GROUP BY grp),
+        |dev AS (SELECT per.grp, abs(CAST(q AS DOUBLE) - med) AS dv, med
+        |  FROM per JOIN med USING (grp)),
+        |mad AS (SELECT grp, quantile_cont(dv, CAST(5 AS DOUBLE)/10) AS mad
+        |  FROM dev GROUP BY grp)
+        |SELECT dev.grp AS source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(any_value(med), 6) AS median_q_micro,
+        |  round(any_value(mad), 6) AS mad_micro,
+        |  CAST(sum(CASE WHEN dv > 3.5 * mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  CAST((sum(CASE WHEN dv > 3.5 * mad THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS outlier_rate_micro
+        |FROM dev JOIN mad USING (grp)
+        |GROUP BY dev.grp ORDER BY source""".stripMargin)),
+
     // LOOP1: decode-loop detection — max consecutive stride-3
     // repetition of any trigram; the contiguous "model got stuck"
     // artifact the Gopher coverage ratios can't isolate. Synthetic-

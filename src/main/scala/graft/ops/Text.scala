@@ -1462,6 +1462,83 @@ object Text {
         expr("CAST(s div k_cnt AS BIGINT)").as("mink_nll_nano"))
   }
 
+  /** Prompt-injection marker scan — the adversarial-instruction
+    * hygiene pass an instruction-tuning corpus runs BEFORE training:
+    * count documents containing the classic injection phrasings
+    * ("ignore previous instructions", "disregard the above", …,
+    * generic and public), per source. A corpus that ships these
+    * teaches the model to obey them; the scan is the cheap first
+    * line (a trained classifier is the second).
+    *
+    * Counts are substring containment on lowercased text — exact
+    * integers, identical both engines.
+    *
+    * Scale: one narrow in-row pass (markers × instr per row) + a
+    * sources-bounded rollup — the unicodeHygiene profile.
+    */
+  val InjectionMarkers: Seq[String] = Seq(
+    "ignore previous instructions", "ignore all previous instructions",
+    "disregard the above", "you must now", "pretend you are",
+    "do anything now", "system prompt:", "developer mode")
+
+  def injectionScan(docs: DataFrame, groupCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val lowered = lower(col(textCol))
+    val hits = InjectionMarkers.map(m =>
+      when(instr(lowered, m) > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val per = docs.select(col(groupCol).as("grp"), hits.as("n_markers"))
+    per.groupBy("grp")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("n_markers") > 0L, 1L).otherwise(0L)).cast("long")
+          .as("n_flagged"),
+        sum(col("n_markers")).cast("long").as("n_marker_hits"))
+      .select(col("grp").as("source"), col("n_docs"), col("n_flagged"),
+        col("n_marker_hits"),
+        expr("(n_flagged * 1000000L) div n_docs").as("flag_rate_micro"))
+  }
+
+  /** Robust per-source outlier share — the MAD rule (|x − median| >
+    * 3.5·MAD, Iglewicz & Hoaglin's cutoff) over the quality score:
+    * unlike mean/stddev gates, a heavy-tailed source can't drag its
+    * own threshold. The per-source "how much junk is in here" number
+    * beside the absolute tx2 cutoffs.
+    *
+    * Determinism: quality micro-quantizes first; the grouped median
+    * and MAD are exact interpolated percentiles (the hi2/h10
+    * convention); deviations and the 3.5 cutoff are fixed-form
+    * doubles on identical inputs both engines.
+    *
+    * Scale: two grouped tree-aggregated percentile passes (sources ×
+    * percentile state) + narrow joins back — no per-source sort, no
+    * global window.
+    */
+  def madOutliers(docs: DataFrame, cutoff: Double = 3.5,
+                  groupCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    val per = withQuality(docs, textCol)
+      .select(col(groupCol).as("grp"),
+        floor(col("quality_score") * lit(1e6) + lit(0.5)).cast("long")
+          .as("q"))
+    val med = per.groupBy("grp")
+      .agg(expr("percentile(q, CAST(5 AS DOUBLE)/10)").as("med"))
+    val dev = per.join(med, "grp")
+      .withColumn("dv", abs(col("q").cast("double") - col("med")))
+    val mad = dev.groupBy("grp")
+      .agg(expr("percentile(dv, CAST(5 AS DOUBLE)/10)").as("mad"))
+    dev.join(mad, "grp")
+      .groupBy("grp")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        first(col("med")).as("m0"), first(col("mad")).as("d0"),
+        sum(when(col("dv") > lit(cutoff) * col("mad"), 1L).otherwise(0L))
+          .cast("long").as("n_outliers"))
+      .select(col("grp").as("source"), col("n_docs"),
+        round(col("m0"), 6).as("median_q_micro"),
+        round(col("d0"), 6).as("mad_micro"),
+        col("n_outliers"),
+        expr("(n_outliers * 1000000L) div n_docs").as("outlier_rate_micro"))
+  }
+
   /** Decode-loop detection — the "model got stuck repeating a phrase"
     * artifact of greedy/low-temperature decoding (and of scraped spam):
     * the maximum number of CONSECUTIVE repetitions of any trigram at
