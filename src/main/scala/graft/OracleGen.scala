@@ -1006,6 +1006,31 @@ object OracleGen {
        |SELECT d1, d2, hamming FROM cand WHERE hamming <= $maxDist ORDER BY d1, d2""".stripMargin
   }
 
+  /** dc5: fuzzy decontamination — dd4p's portable 60-bit SimHash +
+    * pigeonhole, cross-corpus (train = doc_id % split != 0, eval =
+    * % split = 0); per contaminated train doc: match count + closest
+    * hamming.
+    */
+  def dc5Sql(maxDist: Int = 3, split: Long = 37): String = {
+    val bitTerms = (0 until 60).map(bb =>
+      s"(CASE WHEN sum(((h >> $bb) & 1) * 2 - 1) > 0 THEN CAST(1 AS BIGINT) << $bb ELSE CAST(0 AS BIGINT) END)"
+    ).mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id AS d, unnest(string_split(lower(text), ' ')) AS tk FROM documents),
+       |tm AS (SELECT d, md5(tk) AS m FROM tok),
+       |th AS (SELECT d, ${hex60("m")} AS h FROM tm),
+       |sh AS (SELECT d, $bitTerms AS simhash FROM th GROUP BY d),
+       |ch AS (SELECT d, simhash, cc.c AS chunk,
+       |    (simhash >> CAST(cc.c * 16 AS INTEGER)) & 65535 AS cv
+       |  FROM sh, range(4) cc(c)),
+       |cand AS (SELECT DISTINCT x.d AS d, y.d AS e,
+       |    CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+       |  FROM ch x JOIN ch y ON x.chunk = y.chunk AND x.cv = y.cv
+       |  WHERE x.d % $split != 0 AND y.d % $split = 0)
+       |SELECT d AS doc_id, CAST(count(*) AS BIGINT) AS n_eval_matches,
+       |  CAST(min(hamming) AS BIGINT) AS min_hamming
+       |FROM cand WHERE hamming <= $maxDist GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** One VALUES row per (table, plane): the ±1 components encoded as a
     * '1'/'0' sign string, decoded positionally inside the dot fold.
     */

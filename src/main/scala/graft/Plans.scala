@@ -111,6 +111,8 @@ object Plans {
     // round-15 wave 14 (both lazy; mad1's cuts are grouped
     // tree-aggregated percentiles)
     "pi1_injection_scan", "mad1_robust_outliers",
+    // round-15 wave 15 (lazy; eval chunks broadcast)
+    "dc5_fuzzy_decontaminate",
     "ci2_lsh_maxsim", "dd19_lsh_planner")
 
   /** Representative LAZY plan fragments for operators excluded from

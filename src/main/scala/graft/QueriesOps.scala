@@ -10484,6 +10484,16 @@ object QueriesOps {
         .orderBy("label"),
       Some(OracleGen.knn1Sql())),
 
+    // DC5: fuzzy decontamination — the near-dup contamination exact
+    // n-gram overlap (dc1-dc4) misses; cross-corpus simhash pigeonhole
+    // (train = doc_id % 37 != 0, eval = % 37 = 0), hamming <= 3.
+    "dc5_fuzzy_decontaminate" -> Q(
+      (s, d) => graft.ops.Dedup.decontaminateFuzzy(
+          docs(s, d).filter(pmod(col("doc_id"), lit(37)) =!= 0),
+          docs(s, d).filter(pmod(col("doc_id"), lit(37)) === 0))
+        .orderBy("doc_id"),
+      Some(OracleGen.dc5Sql())),
+
     // PI1: prompt-injection marker scan — the adversarial-instruction
     // hygiene pass (generic public phrasings), per-source flag rates.
     // Substring containment on lowercased text, exact both engines.

@@ -1155,6 +1155,44 @@ object Dedup {
                            idCol: String = "doc_id"): DataFrame =
     simhashPairs(docs, maxDist, textCol, idCol, tokenHash = md5Hash60)
 
+  /** Fuzzy decontamination — the near-duplicate contamination that
+    * exact n-gram overlap ([[graft.ops.Curate]] decontaminate / dc1–
+    * dc4) misses: an eval document lightly paraphrased or
+    * whitespace-mangled into the train set shares few exact 8-grams
+    * but sits within a few SimHash bits. Cross-corpus form of
+    * [[simhashPairsPortable]]: both sides hash to the portable 60-bit
+    * SimHash, pigeonhole over four 16-bit chunks (hamming ≤ 3 ⟹ at
+    * least one agreeing chunk), and ONLY train×eval candidates join.
+    * Emits each contaminated train doc with its match count and
+    * closest hamming distance.
+    *
+    * Scale: the eval side is small by definition — its chunk table
+    * broadcasts; the train side is one narrow signature pass + the
+    * bucketed ids-only join. Never n².
+    */
+  def decontaminateFuzzy(train: DataFrame, evalSet: DataFrame,
+                         maxDist: Int = 3, textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    def chunked(sh: DataFrame) = {
+      val chunks = array((0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
+      sh.select(col("d"), col("simhash"), posexplode(chunks))
+        .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cv")
+    }
+    val t = chunked(simhash(train, textCol, idCol, tokenHash = md5Hash60))
+    val e = chunked(simhash(evalSet, textCol, idCol, tokenHash = md5Hash60))
+      .select(col("d").as("e"), col("simhash").as("esh"),
+        col("chunk"), col("cv"))
+    t.join(broadcast(e), Seq("chunk", "cv"))
+      .select(col("d"), col("e"),
+        bit_count(col("simhash").bitwiseXOR(col("esh"))).as("hamming"))
+      .dropDuplicates("d", "e")
+      .filter(col("hamming") <= maxDist)
+      .groupBy(col("d").as(idCol))
+      .agg(count(lit(1)).cast("long").as("n_eval_matches"),
+        min(col("hamming")).cast("long").as("min_hamming"))
+  }
+
   /** Cross-document duplicated-span detection — the substring-level
     * exact dedup of Lee et al., "Deduplicating Training Data Makes
     * Language Models Better" (arXiv:2107.06499), bounded to `k`-token

@@ -1583,6 +1583,24 @@ class OpsSpec extends AnyFunSuite {
     assert(got.getAs[Long]("outlier_rate_micro") === 100000L)
   }
 
+  test("decontaminateFuzzy: a lightly-mangled eval doc is caught; unrelated is not") {
+    import spark.implicits._
+    // SimHash tolerance scales with 1/sqrt(tokens): a 900-token doc
+    // with ONE appended token moves each bit's vote by +-1 against
+    // ~N(0, 30) margins, so the expected hamming is ~1.6
+    val base = (1 to 900).map(i => s"w$i").mkString(" ")
+    val train = Seq(
+      (1L, base + " extra"),               // near-dup of eval doc 100
+      (2L, "entirely different subject matter discussing protein folding kinetics"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((100L, base)).toDF("doc_id", "text")
+    val got = Dedup.decontaminateFuzzy(train, evalSet).collect()
+    assert(got.length === 1, s"only the near-dup flags; got ${got.toSeq}")
+    assert(got.head.getAs[Long]("doc_id") === 1L)
+    assert(got.head.getAs[Long]("n_eval_matches") === 1L)
+    assert(got.head.getAs[Long]("min_hamming") <= 3L)
+  }
+
   test("kwic: terms with backslashes and quotes match literally") {
     import spark.implicits._
     val doc = Seq((1L, """a\b it's a\b plain"""), (2L, "no match here"))
