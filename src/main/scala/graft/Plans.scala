@@ -113,6 +113,8 @@ object Plans {
     "pi1_injection_scan", "mad1_robust_outliers",
     // round-15 wave 15 (lazy; eval chunks broadcast)
     "dc5_fuzzy_decontaminate",
+    // round-15 capstone (lazy union of one-pass aggregates)
+    "card1_data_card",
     "ci2_lsh_maxsim", "dd19_lsh_planner")
 
   /** Representative LAZY plan fragments for operators excluded from

@@ -10484,6 +10484,51 @@ object QueriesOps {
         .orderBy("label"),
       Some(OracleGen.knn1Sql())),
 
+    // CARD1: the corpus data card — the one-page (metric, value)
+    // release summary (Datasheets for Datasets): sizes, composition
+    // cardinalities, quality mean, exact-dup mass, injection count.
+    "card1_data_card" -> Q(
+      (s, d) => graft.ops.Profile.dataCard(docs(s, d))
+        .orderBy("metric"),
+      Some {
+        val hits = graft.ops.Text.InjectionMarkers.map(m =>
+          s"CASE WHEN strpos(lower(text), '$m') > 0 THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH s AS (SELECT
+           |    CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           |    CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+           |  FROM documents),
+           |q AS (SELECT CAST(sum(CAST(floor(least(1.0,
+           |      CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+           |        / CAST(length(text) AS DOUBLE) * 0.5
+           |      + CAST(len(list_filter(string_split(text, ' '),
+           |          x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE)
+           |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
+           |      + least(CAST(list_sum(list_transform(string_split(text, ' '),
+           |          x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+           |          / CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0, 1.0) * 0.2)
+           |      * 1e6 + 0.5) AS BIGINT)) // count(*) AS BIGINT)
+           |    AS mean_quality_micro FROM documents),
+           |dd AS (SELECT CAST(coalesce(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0)
+           |    AS BIGINT) AS n_exact_dup_docs
+           |  FROM (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1)),
+           |pi AS (SELECT CAST(sum(CASE WHEN ($hits) > 0 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_injection_flagged FROM documents)
+           |SELECT metric, value FROM (
+           |  SELECT 'n_docs' AS metric, n_docs AS value FROM s
+           |  UNION ALL SELECT 'n_tokens', n_tokens FROM s
+           |  UNION ALL SELECT 'n_chars', n_chars FROM s
+           |  UNION ALL SELECT 'n_sources', n_sources FROM s
+           |  UNION ALL SELECT 'n_langs', n_langs FROM s
+           |  UNION ALL SELECT 'mean_quality_micro', mean_quality_micro FROM q
+           |  UNION ALL SELECT 'n_exact_dup_docs', n_exact_dup_docs FROM dd
+           |  UNION ALL SELECT 'n_injection_flagged', n_injection_flagged FROM pi)
+           |ORDER BY metric""".stripMargin
+      }),
+
     // DC5: fuzzy decontamination — the near-dup contamination exact
     // n-gram overlap (dc1-dc4) misses; cross-corpus simhash pigeonhole
     // (train = doc_id % 37 != 0, eval = % 37 = 0), hamming <= 3.

@@ -453,4 +453,45 @@ object Profile {
         round(col("n_orphan_rows").cast("double") /
           col("n_child").cast("double"), 9))
   }
+
+  /** The corpus DATA CARD — the one-page (metric, value) summary every
+    * dataset release ships (Gebru et al. "Datasheets for Datasets";
+    * the HF dataset-card numbers): sizes, composition cardinalities,
+    * the quality mean, the exact-duplicate mass, and the
+    * injection-hygiene count, as one long-typed metric table. Each
+    * number is an independent one-pass aggregate; the card is their
+    * union — the cheap always-on report the deep per-family audits
+    * (dd*, tx*, pi1, …) drill beneath.
+    *
+    * Scale: four aggregation passes over the corpus (plain scan ×2, a
+    * text-hash group, a marker scan) — all combinable, no windows, no
+    * joins; the output is metrics-bounded.
+    */
+  def dataCard(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(textCol).as("t"), col("source"), col("lang"),
+      size(split(col(textCol), " ")).cast("long").as("ntok"),
+      length(col(textCol)).cast("long").as("nch"))
+    val sizes = base.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(col("ntok")).cast("long").as("n_tokens"),
+      sum(col("nch")).cast("long").as("n_chars"),
+      countDistinct(col("source")).cast("long").as("n_sources"),
+      countDistinct(col("lang")).cast("long").as("n_langs"))
+    val quality = graft.ops.Text.withQuality(docs, textCol)
+      .agg(expr("CAST(sum(CAST(floor(quality_score * 1e6 + 0.5) AS " +
+        "DECIMAL(38,0))) div count(1) AS BIGINT)").as("mean_quality_micro"))
+    val dups = docs.select(md5(col(textCol)).as("h"))
+      .groupBy("h").agg(count(lit(1)).cast("long").as("c"))
+      .agg(coalesce(sum(when(col("c") > 1L, col("c")).otherwise(0L)),
+        lit(0L)).cast("long").as("n_exact_dup_docs"))
+    val inj = graft.ops.Text.injectionScan(docs, textCol = textCol)
+      .agg(sum("n_flagged").cast("long").as("n_injection_flagged"))
+    def melt(df: DataFrame, names: Seq[String]) =
+      names.map(n => df.select(lit(n).as("metric"), col(n).as("value")))
+        .reduce(_.unionByName(_))
+    melt(sizes, Seq("n_docs", "n_tokens", "n_chars", "n_sources", "n_langs"))
+      .unionByName(melt(quality, Seq("mean_quality_micro")))
+      .unionByName(melt(dups, Seq("n_exact_dup_docs")))
+      .unionByName(melt(inj, Seq("n_injection_flagged")))
+  }
 }
