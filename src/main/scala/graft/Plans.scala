@@ -114,7 +114,7 @@ object Plans {
     // round-15 wave 15 (lazy; eval chunks broadcast)
     "dc5_fuzzy_decontaminate",
     // round-15 capstone (lazy union of one-pass aggregates)
-    "card1_data_card",
+    "card1_data_card", "len1_length_percentiles",
     "ci2_lsh_maxsim", "dd19_lsh_planner")
 
   /** Representative LAZY plan fragments for operators excluded from

@@ -10484,6 +10484,32 @@ object QueriesOps {
         .orderBy("label"),
       Some(OracleGen.knn1Sql())),
 
+    // LEN1: per-source token-length percentiles — the sequence-length
+    // facts that size packing budgets and truncation losses; grouped
+    // exact interpolated percentiles (hi2 convention).
+    "len1_length_percentiles" -> Q(
+      (s, d) => graft.ops.Profile.lengthPercentiles(docs(s, d))
+        .orderBy("source"),
+      Some("""WITH per AS (SELECT source AS grp,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |cuts AS (SELECT grp,
+        |    quantile_cont(n_tok, CAST(5 AS DOUBLE)/10) AS p50,
+        |    quantile_cont(n_tok, CAST(9 AS DOUBLE)/10) AS p90,
+        |    quantile_cont(n_tok, CAST(99 AS DOUBLE)/100) AS p99
+        |  FROM per GROUP BY grp),
+        |st AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(min(n_tok) AS BIGINT) AS min_tok,
+        |    CAST(max(n_tok) AS BIGINT) AS max_tok,
+        |    CAST(sum(CASE WHEN n_tok >= 256 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_long
+        |  FROM per GROUP BY grp)
+        |SELECT st.grp AS source, n_docs, min_tok,
+        |  round(p50, 6) AS p50_tok, round(p90, 6) AS p90_tok,
+        |  round(p99, 6) AS p99_tok, max_tok, n_long,
+        |  CAST((n_long * 1000000) // n_docs AS BIGINT) AS long_share_micro
+        |FROM st JOIN cuts USING (grp) ORDER BY source""".stripMargin)),
+
     // CARD1: the corpus data card — the one-page (metric, value)
     // release summary (Datasheets for Datasets): sizes, composition
     // cardinalities, quality mean, exact-dup mass, injection count.

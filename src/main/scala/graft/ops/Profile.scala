@@ -454,6 +454,39 @@ object Profile {
           col("n_child").cast("double"), 9))
   }
 
+  /** Per-source token-length distribution — p50/p90/p99 plus min/max
+    * and the long-tail share: the sequence-length facts that size
+    * packing budgets (cur2/ctx1), truncation losses and batch shapes
+    * (lb1). Exact interpolated percentiles per source (the hi2/h10
+    * cross-engine convention), tree-aggregated — no per-source sort.
+    *
+    * Scale: one narrow in-row token count + ONE grouped percentile
+    * pass + a join-free conditional rollup.
+    */
+  def lengthPercentiles(docs: DataFrame, longAt: Long = 256,
+                        groupCol: String = "source",
+                        textCol: String = "text"): DataFrame = {
+    val per = docs.select(col(groupCol).as("grp"),
+      size(split(col(textCol), " ")).cast("long").as("n_tok"))
+    val cuts = per.groupBy("grp").agg(
+      expr("percentile(n_tok, CAST(5 AS DOUBLE)/10)").as("p50"),
+      expr("percentile(n_tok, CAST(9 AS DOUBLE)/10)").as("p90"),
+      expr("percentile(n_tok, CAST(99 AS DOUBLE)/100)").as("p99"))
+    per.groupBy("grp")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min("n_tok").cast("long").as("min_tok"),
+        max("n_tok").cast("long").as("max_tok"),
+        sum(when(col("n_tok") >= longAt, 1L).otherwise(0L)).cast("long")
+          .as("n_long"))
+      .join(cuts, "grp")
+      .select(col("grp").as("source"), col("n_docs"),
+        col("min_tok"), round(col("p50"), 6).as("p50_tok"),
+        round(col("p90"), 6).as("p90_tok"),
+        round(col("p99"), 6).as("p99_tok"), col("max_tok"),
+        col("n_long"),
+        expr("(n_long * 1000000L) div n_docs").as("long_share_micro"))
+  }
+
   /** The corpus DATA CARD — the one-page (metric, value) summary every
     * dataset release ships (Gebru et al. "Datasheets for Datasets";
     * the HF dataset-card numbers): sizes, composition cardinalities,

@@ -1619,6 +1619,21 @@ class OpsSpec extends AnyFunSuite {
     assert(got("n_injection_flagged") === 1L)
   }
 
+  test("lengthPercentiles: exact interpolated cuts on a hand ladder") {
+    import spark.implicits._
+    // lengths 1..5 in one source: p50 = 3 exactly; p90 interpolates
+    // at rank 1 + 0.9*4 = 4.6 -> 4 + 0.6*(5-4) = 4.6
+    val docs = (1 to 5).map(n => (n.toLong, ("w " * n).trim, "s"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.ops.Profile.lengthPercentiles(docs, longAt = 5).head()
+    assert(r.getAs[Long]("min_tok") === 1L)
+    assert(r.getAs[Long]("max_tok") === 5L)
+    assert(r.getAs[Double]("p50_tok") === 3.0)
+    assert(r.getAs[Double]("p90_tok") === 4.6)
+    assert(r.getAs[Long]("n_long") === 1L)
+    assert(r.getAs[Long]("long_share_micro") === 200000L)
+  }
+
   test("kwic: terms with backslashes and quotes match literally") {
     import spark.implicits._
     val doc = Seq((1L, """a\b it's a\b plain"""), (2L, "no match here"))
